@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Dev-only oracle parity checker (mimics the driver's t2 gate).
+
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet written by graft.Verify, runs the
+matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
+compares values exactly (columns sorted by name, rows sorted by all columns).
+Not part of the shipped library — local iteration tooling only.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = norm(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
+            want = norm(con.execute(sql).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_bad += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_bad += 1
+            continue
+        eq = got.equals(want)
+        if not eq:
+            diff = (got != want) & ~(got.isna() & want.isna())
+            bad_cols = [c for c in got.columns if diff[c].any()]
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:2]:
+                idx = diff[c].idxmax()
+                print(f"  row {idx} col {c}: spark={got[c][idx]!r} oracle={want[c][idx]!r}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media treated as opaque binary columns with
+  * typed metadata. The fixture set has no real media, so the binary payload is
+  * synthesized from `documents.text` — the Spark-side mechanics (binary
+  * columns, chunk planning, metadata extraction) are real; the actual decoder
+  * is the stubbed seam in [[graft.operators.MediaDecode]].
+  */
+object Multimodal {
+
+  // Binary metadata extraction: payload size, 64 KiB chunk plan, format guess
+  // from magic-byte prefix (here: first token), content digest.
+  private val x16 = GQuery(
+    "x16_binary_metadata", "ext-multimodal",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          ceil(length(col("payload")) / lit(65536.0)).cast("long").as("n_chunks"),
+          md5(col("payload")).as("digest"),
+          when(col("text").startsWith("the"), "type_a")
+            .when(col("text").startsWith("spark"), "type_b")
+            .otherwise("unknown").as("format_guess"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+              CAST(CEIL(octet_length(CAST(text AS BLOB)) / 65536.0) AS BIGINT) AS n_chunks,
+              md5(text) AS digest,
+              CASE WHEN text LIKE 'the%' THEN 'type_a'
+                   WHEN text LIKE 'spark%' THEN 'type_b'
+                   ELSE 'unknown' END AS format_guess
+            FROM documents ORDER BY doc_id"""))
+
+  val queries: Seq[GQuery] = Seq(x16)
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float>[64]).
+  *
+  * Two paths, per the north star:
+  *   - brute-force cosine top-k: exact baseline. The query side is broadcast,
+  *     the corpus side streams — at 100 TB the corpus never shuffles and the
+  *     top-k is a TakeOrderedAndProject (per-partition heaps + driver merge),
+  *     so cost is one scan.
+  *   - LSH-bucketed top-k: random-hyperplane buckets computed as a column
+  *     expression; candidates only within the query's bucket. Trades recall
+  *     for a corpus-scan-free plan once the bucket column is a partition or
+  *     Z-order key in storage.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  // Exact cosine top-20 neighbors of vec_id = 0.
+  private val x06 = GQuery(
+    "x06_cosine_topk", "ext-similarity",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.join(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("qvec")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    // list_* functions accumulate left-to-right in double like VectorOps —
+    // exactness verified against DuckDB in OracleParity tooling.
+    Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+              list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY sim DESC, e.vec_id LIMIT 20"""))
+
+  // Multi-table LSH approximate top-k: 4 independent tables of 6 hyperplane
+  // sign bits each; candidates share a bucket in any table (union-of-tables
+  // recall, equi-join cost). At corpus scale the bucket array is precomputed
+  // at ingest and the join shuffles only (table, bucket, id).
+  private val x07 = GQuery(
+    "x07_ann_lsh_topk", "ext-similarity-ann",
+    (s, dir) => {
+      val bucketed = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(VectorOps.lshBuckets(col("embedding"), nPlanes = 6, nTables = 4)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
+      val q = bucketed.where(col("vec_id") === 0)
+        .select(col("tbl"), col("bucket"), col("embedding").as("qvec"))
+      bucketed.join(broadcast(q), Seq("tbl", "bucket"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"), col("qvec"))
+        .distinct()
+        .select(col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("qvec")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // approximate (hash-seeded planes): rows-only check + SimilaritySpec
+
+  // Per-label corpus stats: counts and dimensionality checks — the sanity
+  // gate a training-data pipeline runs before indexing. Integer-only, so the
+  // oracle is exact.
+  private val x08 = GQuery(
+    "x08_embedding_stats", "ext-similarity",
+    (s, dir) =>
+      emb(s, dir)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("vec_id")).as("n_ids"),
+          min(size(col("embedding"))).cast("long").as("min_dim"),
+          max(size(col("embedding"))).cast("long").as("max_dim"))
+        .orderBy("label"),
+    Some("""SELECT label, COUNT(*) AS n_vecs, COUNT(DISTINCT vec_id) AS n_ids,
+              CAST(MIN(len(embedding)) AS BIGINT) AS min_dim,
+              CAST(MAX(len(embedding)) AS BIGINT) AS max_dim
+            FROM embeddings GROUP BY label ORDER BY label"""))
+
+  // Embedding-cosine near-duplicate pairs against a bounded reference set
+  // (vec_id < 8) — the embedding flavor of x05's candidate verification.
+  private val x09 = GQuery(
+    "x09_embedding_near_dup", "ext-dedup-fuzzy ext-similarity",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val refs = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("ref_id"), col("embedding").as("rvec"))
+      e.join(broadcast(refs), col("vec_id") > col("ref_id"))
+        .select(col("ref_id"), col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("rvec")).as("sim"))
+        .where(col("sim") >= 0.3)
+        .orderBy("ref_id", "vec_id")
+    },
+    Some("""WITH refs AS (SELECT vec_id AS ref_id, embedding AS rvec
+                          FROM embeddings WHERE vec_id < 8)
+            SELECT r.ref_id, e.vec_id,
+              list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(r.rvec AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(r.rvec AS DOUBLE[]), CAST(r.rvec AS DOUBLE[])))) AS sim
+            FROM embeddings e JOIN refs r ON e.vec_id > r.ref_id
+            WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(r.rvec AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(r.rvec AS DOUBLE[]), CAST(r.rvec AS DOUBLE[])))) >= 0.3
+            ORDER BY r.ref_id, e.vec_id"""))
+
+  val queries: Seq[GQuery] = Seq(x06, x07, x08, x09)
+}
