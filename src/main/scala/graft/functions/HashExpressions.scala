@@ -83,6 +83,86 @@ case class TokenRollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** k-slot MinHash signature over an array<string> of tokens, one pass.
+  *
+  * Each token is hashed ONCE with xxhash64; slot i applies an affine
+  * universal-hash transform `a_i * h + b_i` (a_i odd, from splitmix64(i)) and
+  * keeps the minimum — the standard one-permutation-per-slot construction
+  * (Broder 1997 family). O(T + T·k cheap ops) instead of T·k string hashes,
+  * and native instead of interpreted higher-order functions.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= 1024, s"k must be in [1,1024]: $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  // affine coefficients fixed by splitmix64 so signatures are stable
+  private val as = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i) | 1L)
+  private val bs = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i + 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < arr.numElements()) {
+      if (!arr.isNullAt(t)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+        var i = 0
+        while (i < k) {
+          val v = as(i) * h + bs(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** splitmix64 finalizer (public-domain constant set; Steele et al. 2014). */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+}
+
+/** Count of equal positions between two equal-length array<long> signatures —
+  * the MinHash agreement kernel (estimated Jaccard = agreement / k). Native
+  * loop; the interpreted `zip_with`+`aggregate` equivalent dominates runtime
+  * at millions of candidate pairs.
+  */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sig_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
@@ -91,4 +171,12 @@ object HashFunctions {
   /** Column API for [[TokenRollingHash]]. */
   def tokenRollingHash(tokens: Column): Column =
     ColumnGlue.column(TokenRollingHash(ColumnGlue.expression(tokens)))
+
+  /** Column API for [[MinHashSig]]. */
+  def minhashSig(tokens: Column, k: Int): Column =
+    ColumnGlue.column(MinHashSig(ColumnGlue.expression(tokens), k))
+
+  /** Column API for [[SigAgreement]]. */
+  def sigAgreement(a: Column, b: Column): Column =
+    ColumnGlue.column(SigAgreement(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 }

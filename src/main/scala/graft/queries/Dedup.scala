@@ -52,69 +52,75 @@ object Dedup {
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
             ORDER BY keeper"""))
 
-  /** MinHash signature: k independent hash slots, slot i = min over shingles
-    * of xxhash64(shingle, i). Computed entirely with codegen'd higher-order
-    * functions — one narrow projection, no explode, no shuffle.
-    */
-  private def minhashSig(k: Int) =
-    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform(tokens, t -> xxhash64(t, i))))")
-
-  // MinHash + LSH banding: signatures → band hashes → self-join on
-  // (band, band_hash) → candidate pairs → estimated Jaccard from signature
-  // agreement. Shuffles only (doc_id, band_hash) and the 32-long signatures.
+  // MinHash + LSH banding, cluster-assignment form: signatures (native
+  // MinHashSig: one xxhash per token) → band hashes → per-bucket min doc_id →
+  // per-doc candidate keeper → verify keeper-doc signature agreement →
+  // (doc_id, keeper). Output is one row per document — at corpus scale this
+  // is the dedup operator you actually run (drop rows where doc_id != keeper);
+  // pair enumeration (see x05) is quadratic in cluster size and explodes on
+  // template-heavy corpora.
+  //
+  // Scale shape: shuffles only (band_hash, doc_id) pairs and k-long
+  // signatures; the candidate-keeper join is a self-join on doc_id; nothing
+  // ever shuffles text.
   private val x03 = GQuery(
-    "x03_dedup_minhash_lsh", "ext-dedup-fuzzy",
+    "x03_dedup_minhash_lsh", "ext-dedup-fuzzy custom-expression",
     (s, dir) => {
       val k = 32 // signature length
-      val bands = 8 // 8 bands × 4 rows
+      val bands = 8 // 8 bands x 4 rows: catches ~0.85+ Jaccard reliably
       val sigs = docs(s, dir)
-        .select(col("doc_id"), tokensCol.as("tokens"))
-        .select(col("doc_id"), minhashSig(k).as("sig"))
-      val banded = sigs.select(
-        col("doc_id"), col("sig"),
+        .select(col("doc_id"), HashFunctions.minhashSig(tokensCol, k).as("sig"))
+        .localCheckpoint(true) // computed once; reused on both join sides
+      val banded = sigs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * ${k / bands} + 1, ${k / bands})))")))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_hash")
-      val l = banded.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val r = banded.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      l.join(r, Seq("band", "band_hash"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-            / lit(k.toDouble)).as("est_jaccard"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(first(col("est_jaccard")).as("est_jaccard"))
-        .where(col("est_jaccard") >= 0.85)
-        .orderBy("id_a", "id_b")
+        .select(col("doc_id"), col("col").as("band_hash"))
+      // candidate keeper: smallest doc_id sharing any band bucket
+      val cand = banded
+        .withColumn("bucket_min", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band_hash"))))
+        .groupBy(col("doc_id")).agg(min(col("bucket_min")).as("cand"))
+        .where(col("cand") < col("doc_id"))
+      // verify: estimated Jaccard (signature agreement) >= 0.85
+      val verified = cand
+        .join(sigs, Seq("doc_id"))
+        .join(sigs.select(col("doc_id").as("cand"), col("sig").as("cand_sig")), Seq("cand"))
+        .where(HashFunctions.sigAgreement(col("sig"), col("cand_sig")) >= math.ceil(0.85 * k).toLong)
+        .select(col("doc_id"), col("cand").as("keeper"))
+      docs(s, dir).select(col("doc_id"))
+        .join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+        .orderBy("doc_id")
     },
     None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
 
-  // SimHash near-dup: 64-bit signature via the native SimHash64 expression,
-  // candidate generation by banding the signature into 4×16-bit chunks (two
-  // docs within Hamming distance 3 must agree on at least one chunk), then
-  // exact Hamming verification with bit_count(xor).
+  // SimHash near-dup, cluster-assignment form: 64-bit native SimHash64
+  // signature; candidates share one of four 16-bit chunks (pigeonhole: any
+  // pair within Hamming distance 3 must agree on >= 1 chunk); verification by
+  // exact bit_count(xor) <= 8 against the candidate keeper.
   private val x04 = GQuery(
     "x04_dedup_simhash", "ext-dedup-fuzzy custom-expression",
     (s, dir) => {
       val sigs = docs(s, dir)
         .select(col("doc_id"), HashFunctions.simhash64(tokensCol).as("sig"))
-      val banded = sigs.select(col("doc_id"), col("sig"),
+        .localCheckpoint(true)
+      val banded = sigs.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> concat(b, ':', (sig >> (b * 16)) & 65535))")))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "chunk")
-      val l = banded.select(col("chunk"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val r = banded.select(col("chunk"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      l.join(r, Seq("chunk"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          expr("bit_count(sig_a ^ sig_b)").as("hamming"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(min(col("hamming")).as("hamming"))
-        .where(col("hamming") <= 8)
-        .orderBy("id_a", "id_b")
+        .select(col("doc_id"), col("col").as("chunk"))
+      val cand = banded
+        .withColumn("bucket_min", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))))
+        .groupBy(col("doc_id")).agg(min(col("bucket_min")).as("cand"))
+        .where(col("cand") < col("doc_id"))
+      val verified = cand
+        .join(sigs, Seq("doc_id"))
+        .join(sigs.select(col("doc_id").as("cand"), col("sig").as("cand_sig")), Seq("cand"))
+        .where(expr("bit_count(sig ^ cand_sig)") <= 8)
+        .select(col("doc_id"), col("cand").as("keeper"))
+      docs(s, dir).select(col("doc_id"))
+        .join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+        .orderBy("doc_id")
     },
     None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
 
