@@ -32,6 +32,17 @@ object PipelineMain {
           s"skipped=${r.stats.skipped}")
       case (Left(msg), i) => println(s"CYCLE $i: VERIFY-FAILED: $msg")
     }
+    // dashboard refresh over the run-history the cycles just wrote (the
+    // engine's Grafana-panel equivalents)
+    if (!PipelineRunner.history(spark, cfg).isEmpty) {
+      val dash = RunAnalytics.dashboard(spark, cfg)
+      println(s"DASH converted_24h=${dash("converted_24h").head.getLong(0)} " +
+        s"avg_minutes=${dash("avg_minutes").head.get(0)}")
+      dash("per_hour").collect().foreach(r => println(s"DASH hour=${r.get(0)} n=${r.get(1)}"))
+      dash("recent_cycles").collect().foreach(r =>
+        println(s"DASH cycle=${r.get(0)} total=${r.get(1)} ok=${r.get(2)} " +
+          s"failed=${r.get(3)} skipped=${r.get(4)}"))
+    }
     spark.stop()
   }
 }

@@ -36,5 +36,35 @@ object Multimodal {
                    ELSE 'unknown' END AS format_guess
             FROM documents ORDER BY doc_id"""))
 
-  val queries: Seq[GQuery] = Seq(x16)
+  // Partition-batched media decode through the MediaDecode operator: binary
+  // payloads → per-partition codec → typed features → per-format stats. The
+  // decoder is the documented stub (deterministic features from bytes); the
+  // plan — schema, repartition-bounded batches, feature aggregation — is the
+  // real 100 TB shape.
+  private val x17 = GQuery(
+    "x17_media_decode", "ext-multimodal",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.MediaDecode
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 2 === 0, "img").otherwise("audio").as("format"),
+          col("text").cast("binary").as("payload"))
+        .repartition(8) // batch sizing: payloads per decode batch
+        .as[MediaDecode.MediaRecord]
+      MediaDecode.decode(media)
+        .groupBy(col("format"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          countDistinct(col("digest")).as("n_distinct"))
+        .orderBy("format")
+    },
+    Some("""SELECT CASE WHEN doc_id % 2 = 0 THEN 'img' ELSE 'audio' END AS format,
+              COUNT(*) AS n,
+              CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+              COUNT(DISTINCT md5(text)) AS n_distinct
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  val queries: Seq[GQuery] = Seq(x16, x17)
 }
