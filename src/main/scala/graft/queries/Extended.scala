@@ -139,5 +139,27 @@ object Extended {
               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val queries: Seq[GQuery] = Seq(c18, c19, c20, c21, c22)
+  // Sliding window (1 h window, 30 min slide): each event lands in exactly
+  // two windows — §2.C streaming-windows, batch flavor (the same window()
+  // expression drives the streaming version). Oracle: every event assigned to
+  // the two 30-min-aligned window starts covering it.
+  private val c23 = GQuery(
+    "c23_sliding_window", "streaming-windows",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("wstart"), col("w.end").as("wend"), col("n"))
+        .orderBy("wstart"),
+    Some("""WITH g AS (
+              SELECT to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800) AS w0
+              FROM events),
+            w AS (SELECT w0 AS wstart FROM g
+                  UNION ALL
+                  SELECT w0 - INTERVAL 30 MINUTES FROM g)
+            SELECT CAST(wstart AS TIMESTAMP) AS wstart,
+              CAST(wstart + INTERVAL 1 HOUR AS TIMESTAMP) AS wend, COUNT(*) AS n
+            FROM w GROUP BY 1, 2 ORDER BY 1"""))
+
+  val queries: Seq[GQuery] = Seq(c18, c19, c20, c21, c22, c23)
 }

@@ -115,5 +115,42 @@ object Similarity {
                  * sqrt(list_dot_product(CAST(r.rvec AS DOUBLE[]), CAST(r.rvec AS DOUBLE[])))) >= 0.3
             ORDER BY r.ref_id, e.vec_id"""))
 
-  val queries: Seq[GQuery] = Seq(x06, x07, x08, x09)
+  // IVF (inverted-file) approximate top-k: coarse quantization by per-label
+  // centroid (labels play the coarse-cluster role a k-means pass fills at
+  // ingest), nprobe=3 nearest centroids searched. At corpus scale the
+  // centroid table is broadcast (tiny), assignments are precomputed at
+  // ingest as a partition/cluster key, and a probe scans only nprobe
+  // partitions — the classic IVF-flat layout expressed relationally.
+  private val x10b = GQuery(
+    "x07b_ann_ivf_topk", "ext-similarity-ann",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // centroid per label: element-wise mean of member vectors
+      val centroids = e
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col")).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      // nprobe=3 closest centroids to the query
+      val probed = centroids.crossJoin(broadcast(q))
+        .select(col("label"), col("qvec"),
+          VectorOps.cosine(col("centroid"), col("qvec")).as("csim"))
+        .orderBy(col("csim").desc)
+        .limit(3)
+        .select(col("label"), col("qvec"))
+      // scan only the probed inverted lists
+      e.join(broadcast(probed), Seq("label"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("qvec")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // approximate (probe subset): rows-only check + SimilaritySpec recall
+
+  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09)
 }

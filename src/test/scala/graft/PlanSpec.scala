@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions — the 100 TB gates: filters and projections must
+  * reach the parquet scan, small dims must broadcast, aggregates must have a
+  * map-side partial phase, top-k must be TakeOrderedAndProject rather than a
+  * full sort. These are the properties that decide whether a plan survives a
+  * 100x scale-up, checked structurally so a regression fails loudly.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Tables(spark, sf001, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val scan = planString(df)
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"expected pushed filter in:\n$scan")
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = Tables(spark, sf001, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val scan = planString(df)
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected pruned ReadSchema in:\n$scan")
+  }
+
+  test("b07 star join broadcasts every dimension") {
+    val df = SparkEntry.queries("b07_multijoin_revenue")(spark, sf001)
+    val plan = executedPlan(df).toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 3, s"customer/nation/region must broadcast, got $nBroadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregate runs a map-side partial phase") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf001)
+    val plan = executedPlan(df).toString
+    // partial + final HashAggregate pair around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("b06 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("b06_topk_recent")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("c01 semi and c02 anti joins keep their join type") {
+    val semi = executedPlan(SparkEntry.queries("c01_semi_join")(spark, sf001)).toString
+    val anti = executedPlan(SparkEntry.queries("c02_anti_join_dedup")(spark, sf001)).toString
+    assert(semi.contains("LeftSemi"), semi)
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("whole-stage codegen covers the q01 hot path") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf001)
+    val plan = executedPlan(df).toString
+    // codegen'd operators carry the *(n) stage marker; both the partial and
+    // the final aggregate must be inside a codegen span
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("*(2) HashAggregate"), plan)
+    assert(plan.contains("*(1) ColumnarToRow"), "vectorized scan feeding codegen: " + plan)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage (§2.C "Scans — file formats"): the engine
+  * reads/writes Parquet (primary), CSV and JSON lines via the stock readers,
+  * and opaque payloads via the binaryFile source — the reference's files are
+  * always opaque passthrough (SURVEY.md §2.C), so binary + metadata is the
+  * faithful mapping.
+  */
+class FormatsSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-formats").toString
+
+  test("CSV round-trip preserves schema and values") {
+    val src = Tables(spark, sf001, "nation")
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/nation_csv")
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+    val a = src.orderBy("n_nationkey").collect().map(_.toSeq)
+    val b = back.orderBy("n_nationkey").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("JSON-lines round-trip preserves values") {
+    val src = Tables(spark, sf001, "region")
+    src.write.mode("overwrite").json(s"$tmp/region_json")
+    val back = spark.read.json(s"$tmp/region_json").select(src.columns.map(col): _*)
+    assert(back.orderBy("r_regionkey").collect().map(_.toSeq)
+      .sameElements(src.orderBy("r_regionkey").collect().map(_.toSeq)))
+  }
+
+  test("binaryFile source reads opaque payloads with metadata") {
+    val dir = Files.createDirectory(java.nio.file.Paths.get(tmp, "blobs"))
+    Files.write(dir.resolve("a.bin"), "payload-a".getBytes)
+    Files.write(dir.resolve("b.bin"), "payload-bb".getBytes)
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1),
+        new String(r.getAs[Array[Byte]]("content")))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("a.bin", 9L, "payload-a"), ("b.bin", 10L, "payload-bb")))
+  }
+
+  test("binaryFile pathGlobFilter selects by suffix (the .d-dir analog)") {
+    val dir = Files.createDirectory(java.nio.file.Paths.get(tmp, "mixed"))
+    Files.write(dir.resolve("keep.d"), "x".getBytes)
+    Files.write(dir.resolve("drop.txt"), "y".getBytes)
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.d").load(dir.toString)
+    assert(df.count() == 1)
+  }
+}
