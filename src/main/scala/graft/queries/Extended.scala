@@ -161,5 +161,25 @@ object Extended {
               CAST(wstart + INTERVAL 1 HOUR AS TIMESTAMP) AS wend, COUNT(*) AS n
             FROM w GROUP BY 1, 2 ORDER BY 1"""))
 
-  val queries: Seq[GQuery] = Seq(c18, c19, c20, c21, c22, c23)
+  // Exact interpolated percentiles (median/p90/p99) per group — the duration
+  // distribution an ops dashboard needs beyond B3's average. Spark
+  // `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+  // definition, so results match exactly on the same doubles.
+  private val c24 = GQuery(
+    "c24_percentiles", "percentile-agg",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+              quantile_cont(value, 0.5) AS p50,
+              quantile_cont(value, 0.9) AS p90,
+              quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val queries: Seq[GQuery] = Seq(c18, c19, c20, c21, c22, c23, c24)
 }

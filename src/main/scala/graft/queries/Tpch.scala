@@ -66,5 +66,25 @@ object Tpch {
             ON o.o_orderkey = big.l_orderkey
             ORDER BY o.o_orderkey"""))
 
-  val queries: Seq[GQuery] = Seq(q1, q18)
+  // Q6-shaped selective revenue filter: conjunctive range predicates that all
+  // push to the parquet scan (PlanSpec-style PushedFilters), then a single
+  // global aggregate — the pushdown showcase. At 100 TB with date-partitioned
+  // storage the l_shipdate predicate becomes partition pruning.
+  private val q6 = GQuery(
+    "q06_revenue_filter", "pushdown-agg B1 B2",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(
+          sum(dec(col("l_extendedprice")) * fac(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""))
+
+  val queries: Seq[GQuery] = Seq(q1, q6, q18)
 }
