@@ -181,5 +181,105 @@ object Extended {
               quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val queries: Seq[GQuery] = Seq(c18, c19, c20, c21, c22, c23, c24)
+  // Full outer join with coalesced keys: customers with no orders and order
+  // keys with no customer both survive — the join-type row §2.B lacks.
+  private val c25 = GQuery(
+    "c25_full_outer_join", "outer-join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, Seq("k"), "full_outer")
+        .select(col("k"), col("c_name"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("k")
+    },
+    Some("""SELECT COALESCE(c.c_custkey, o.o_custkey) AS k, c.c_name,
+              COALESCE(o.n_orders, 0) AS n_orders
+            FROM customer c
+            FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                             FROM orders GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY k"""))
+
+  // Analytic-function battery: lag/lead/rank/dense_rank/ntile over a
+  // deterministic per-customer order timeline.
+  private val c26 = GQuery(
+    "c26_analytic_battery", "window-analytic",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              LAG(o_totalprice, 1) OVER w AS prev_price,
+              LEAD(o_totalprice, 1) OVER w AS next_price,
+              RANK() OVER w AS rnk,
+              DENSE_RANK() OVER w AS drnk,
+              CAST(NTILE(4) OVER w AS INT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // Array-function battery over the embedding vectors (§2.C "Array fns" —
+  // the north-star embeddings make them load-bearing). All folds are
+  // left-to-right in double in both engines, so doubles match exactly.
+  private val c27 = GQuery(
+    "c27_array_battery", "array-fns",
+    (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          expr("CAST(element_at(embedding, 1) AS double)").as("h1"),
+          expr("CAST(element_at(embedding, 2) AS double)").as("h2"),
+          expr("CAST(element_at(embedding, 3) AS double)").as("h3"),
+          expr("CAST(array_max(embedding) AS double)").as("mx"),
+          expr("CAST(array_min(embedding) AS double)").as("mn"),
+          expr("aggregate(embedding, CAST(0.0 AS double), (a, x) -> a + CAST(x AS double))").as("s"),
+          expr("CAST(size(embedding) AS long)").as("dim2"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+              CAST(embedding[1] AS DOUBLE) AS h1,
+              CAST(embedding[2] AS DOUBLE) AS h2,
+              CAST(embedding[3] AS DOUBLE) AS h3,
+              CAST(list_max(embedding) AS DOUBLE) AS mx,
+              CAST(list_min(embedding) AS DOUBLE) AS mn,
+              list_sum(CAST(embedding AS DOUBLE[])) AS s,
+              CAST(len(embedding) AS BIGINT) AS dim2
+            FROM embeddings ORDER BY vec_id"""))
+
+  // Conditional-expression battery: CASE tiers, NULLIF/COALESCE, LEAST/
+  // GREATEST over orders.
+  private val c28 = GQuery(
+    "c28_conditional_battery", "conditional-fns",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium")
+            .otherwise("large").as("tier"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"),
+          least(col("o_totalprice"), lit(100000.0)).as("capped"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("floored"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CASE WHEN o_totalprice < 50000 THEN 'small'
+                   WHEN o_totalprice < 200000 THEN 'medium'
+                   ELSE 'large' END AS tier,
+              COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
+              LEAST(o_totalprice, 100000.0) AS capped,
+              GREATEST(o_totalprice, 50000.0) AS floored
+            FROM orders ORDER BY o_orderkey"""))
+
+  val queries: Seq[GQuery] = Seq(
+    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28)
 }
