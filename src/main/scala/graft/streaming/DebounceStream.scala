@@ -26,16 +26,27 @@ object DebounceStream {
   /** Internal per-key state: last size + when it was first seen + emitted. */
   final case class DebounceState(lastSize: Long, stableSinceMs: Long, emitted: Boolean)
 
+  /** @param wallClockTimeout live mode (default): a processing-time timeout
+    *   re-checks stability even when the observation source goes silent, so
+    *   "writer stopped mid-write and never wrote again" still becomes ready
+    *   after the window. Pass false for replay/backfill over historical
+    *   observations, where wall-clock timers would fire spuriously — then
+    *   readiness advances on event time only.
+    */
   def apply(
       observations: Dataset[SizeObservation],
-      quietS: Int): Dataset[ReadyRun] = {
+      quietS: Int,
+      wallClockTimeout: Boolean = true): Dataset[ReadyRun] = {
     val spark = observations.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (wallClockTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     observations
       .groupByKey(_.path)
       .flatMapGroupsWithState[DebounceState, ReadyRun](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (path, obs, state) => step(path, obs, state, quietS)
+        OutputMode.Append(), timeoutConf) {
+        (path, obs, state) => step(path, obs, state, quietS, wallClockTimeout)
       }
   }
 
@@ -47,7 +58,8 @@ object DebounceStream {
       path: String,
       obs: Iterator[SizeObservation],
       state: GroupState[DebounceState],
-      quietS: Int): Iterator[ReadyRun] = {
+      quietS: Int,
+      wallClockTimeout: Boolean = true): Iterator[ReadyRun] = {
     val nowMs = state.getCurrentProcessingTimeMs()
 
     if (obs.isEmpty && state.hasTimedOut) {
@@ -81,7 +93,7 @@ object DebounceStream {
     }
     cur.foreach { s =>
       state.update(s)
-      if (!s.emitted) state.setTimeoutDuration(quietS * 1000L)
+      if (!s.emitted && wallClockTimeout) state.setTimeoutDuration(quietS * 1000L)
     }
     out.result().iterator
   }
