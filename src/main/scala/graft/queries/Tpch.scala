@@ -86,5 +86,39 @@ object Tpch {
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""))
 
-  val queries: Seq[GQuery] = Seq(q1, q6, q18)
+  // Q3-shaped shipping-priority: filter both sides, join, aggregate revenue
+  // per order, top-10 by revenue — the join+agg+top-k composite. The filters
+  // push to both scans; the top-k is a TakeOrderedAndProject over the
+  // aggregate, never a full sort.
+  private val q3 = GQuery(
+    "q03_shipping_priority", "join-agg-topk B6 B7",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") < "1998-01-01")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * fac(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o.o_orderkey LIMIT 10"""))
+
+  val queries: Seq[GQuery] = Seq(q1, q3, q6, q18)
 }
