@@ -31,6 +31,24 @@ object Text {
     Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
             FROM documents ORDER BY doc_id"""))
 
+  // BPE-ish regex token counting: letter runs / digit runs / single
+  // punctuation as separate tokens (the pre-tokenizer split BPE vocabularies
+  // assume). Same regex runs in Spark (Java regex) and DuckDB (RE2) — kept
+  // to the common dialect subset.
+  private val x10b = GQuery(
+    "x10b_token_bpe", "ext-text",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"""))
+            .cast("long").as("n_bpe_tokens"),
+          size(expr("""regexp_extract_all(text, '[0-9]+', 0)""")).cast("long").as("n_numbers"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+              CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+            FROM documents ORDER BY doc_id"""))
+
   // Per-language corpus stats: doc counts, exact char totals, token totals.
   private val x11 = GQuery(
     "x11_text_stats_by_lang", "ext-text",
@@ -140,5 +158,5 @@ object Text {
         .orderBy("doc_id"),
     None) // covered by HashExpressionsSpec
 
-  val queries: Seq[GQuery] = Seq(x10, x11, x12, x13, x14, x15)
+  val queries: Seq[GQuery] = Seq(x10, x10b, x11, x12, x13, x14, x15)
 }
