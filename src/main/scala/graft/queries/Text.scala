@@ -158,5 +158,22 @@ object Text {
         .orderBy("doc_id"),
     None) // covered by HashExpressionsSpec
 
-  val queries: Seq[GQuery] = Seq(x10, x10b, x11, x12, x13, x14, x15)
+  // Corpus token frequency top-50: the boilerplate/contamination-detection
+  // staple. One explode + count with map-side partial aggregation, then
+  // top-k — at corpus scale the explode shuffles (token, partial_count),
+  // never documents.
+  private val x18 = GQuery(
+    "x18_frequent_tokens", "ext-text topk-agg",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(tokens).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+    Some("""SELECT t.token, COUNT(*) AS n
+            FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+            GROUP BY t.token ORDER BY n DESC, t.token LIMIT 50"""))
+
+  val queries: Seq[GQuery] = Seq(x10, x10b, x11, x12, x13, x14, x15, x18)
 }
