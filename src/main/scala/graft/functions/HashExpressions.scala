@@ -179,4 +179,12 @@ object HashFunctions {
   /** Column API for [[SigAgreement]]. */
   def sigAgreement(a: Column, b: Column): Column =
     ColumnGlue.column(SigAgreement(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  /** Column API for [[TokenHashSet]]: array<string> → sorted distinct array<long>. */
+  def tokenHashSet(tokens: Column): Column =
+    ColumnGlue.column(TokenHashSet(ColumnGlue.expression(tokens)))
+
+  /** Column API for [[JaccardLongs]] over two [[TokenHashSet]] columns. */
+  def jaccardLongs(a: Column, b: Column): Column =
+    ColumnGlue.column(JaccardLongs(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 }

@@ -1,69 +1,53 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.element_at
+import org.apache.spark.sql.graftglue.ColumnGlue
 
-/** Vector math over `array<float>` embedding columns, built entirely from
-  * codegen'd higher-order functions (`zip_with`/`aggregate`/`transform`) — no
-  * UDF serialization, stays inside WholeStageCodegen.
+/** Column API for vector math over `array<float>` / `array<double>` embedding
+  * columns, backed by the native Catalyst kernels in
+  * [[graft.functions.VectorExpressions VectorExpressions]].
   *
-  * All arithmetic is widened to double and folded left-to-right in array
-  * order, so results are bit-deterministic regardless of partitioning.
+  * Earlier revisions built these from `zip_with`/`aggregate` higher-order
+  * functions; Spark evaluates those interpreted (one closure dispatch per
+  * element per row), which made similarity scans dominate the benchmark. The
+  * native kernels run the identical double-precision, left-to-right
+  * arithmetic as one tight loop per row, so results are bit-identical and
+  * the DuckDB oracles are unchanged.
   */
 object VectorOps {
-  /** Σ a_i · b_i in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Cosine similarity in double precision, one fused pass. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnGlue.column(CosineSim(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  /** Cosine with the (constant, e.g. broadcast-query) right-side norm
+    * precomputed via [[l2norm]] — hoists √(Σ b_i²) out of the per-row work.
+    */
+  def cosinePreNorm(a: Column, b: Column, bNorm: Column): Column =
+    ColumnGlue.column(CosineSimPreNorm(
+      ColumnGlue.expression(a), ColumnGlue.expression(b), ColumnGlue.expression(bNorm)))
 
   /** L2 norm in double precision. */
   def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+    ColumnGlue.column(L2Norm(ColumnGlue.expression(a)))
 
   /** Squared euclidean distance in double precision. */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, v) => acc + v)
+    ColumnGlue.column(SqDist(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
-  /** Sign bits of `nPlanes` deterministic pseudo-random hyperplanes — the
-    * random-hyperplane LSH bucket key (Charikar 2002). Plane p's component j
-    * is derived from xxhash64(p, j), scaled to [-1, 1]; the bucket id packs
-    * the sign bits of the projections into a long.
-    *
-    * Runs as pure column expressions so the bucketing shuffles only the
-    * packed long, never the vectors-squared cross product — the 100 TB path
-    * for approximate nearest neighbor.
+  /** Single random-hyperplane LSH bucket (sign bits of `nPlanes` projections
+    * packed into a long) — see [[HyperplaneBuckets]]. Deterministic and
+    * scale-invariant: positive scaling never flips a projection's sign.
     */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column = {
-    require(nPlanes > 0 && nPlanes <= 32, s"nPlanes must be in [1,32], got $nPlanes")
-    val bits = (0 until nPlanes).map { p =>
-      // projection of vec on plane (seed, p): Σ_j vec[j] * u(seed, p, j), u in [-1, 1]
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) => {
-          val u = xxhash64(lit(seed), lit(p), j).cast("double") / lit(Long.MaxValue.toDouble)
-          x.cast("double") * u
-        }),
-        lit(0.0),
-        (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =
+    element_at(ColumnGlue.column(
+      HyperplaneBuckets(ColumnGlue.expression(vec), nPlanes, 1, seed)), 1)
 
-  /** Multi-table LSH bucket array: `nTables` independent hyperplane codes.
-    * Candidates = vectors sharing a bucket in ANY table (union improves
-    * recall; each table stays a cheap equi-join key).
+  /** Multi-table LSH bucket array: `nTables` independent hyperplane codes
+    * computed in one pass over the vector. Candidates = vectors sharing a
+    * bucket in ANY table (union improves recall; each table stays a cheap
+    * equi-join key).
     */
   def lshBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
-    array((0 until nTables).map(t => hyperplaneBucket(vec, nPlanes, t)): _*)
+    ColumnGlue.column(HyperplaneBuckets(ColumnGlue.expression(vec), nPlanes, nTables, 0))
 }

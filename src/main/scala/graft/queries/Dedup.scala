@@ -127,17 +127,23 @@ object Dedup {
   // Exact token-set Jaccard against a bounded reference set (doc_id < 8):
   // the verification kernel of near-dup detection, with a DuckDB oracle via
   // list_intersect. Sizes are ints, so the similarity division is exact.
+  //
+  // Each side is hashed ONCE to a sorted distinct array<long> (TokenHashSet),
+  // so the per-pair kernel is an allocation-free merge walk over packed longs
+  // (JaccardLongs) instead of array_intersect over token-string arrays —
+  // the strings never leave the initial projection. Set sizes are identical
+  // to the string formulation (xxhash64 collisions aside, ~2^-64/pair), so
+  // the DuckDB string-set oracle is unchanged.
   private val x05 = GQuery(
-    "x05_ngram_jaccard", "ext-dedup-fuzzy",
+    "x05_ngram_jaccard", "ext-dedup-fuzzy custom-expression",
     (s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), tokensCol.as("tok"))
+      val d = docs(s, dir).select(col("doc_id"),
+        HashFunctions.tokenHashSet(split(col("text"), " ")).as("tok"))
       val refs = d.where(col("doc_id") < 8)
         .select(col("doc_id").as("ref_id"), col("tok").as("rtok"))
-      val inter = size(array_intersect(col("tok"), col("rtok")))
-      val uni = size(col("tok")) + size(col("rtok")) - inter
       d.join(broadcast(refs), col("doc_id") > col("ref_id"))
         .select(col("ref_id"), col("doc_id"),
-          (inter.cast("double") / uni).as("jaccard"))
+          HashFunctions.jaccardLongs(col("tok"), col("rtok")).as("jaccard"))
         .where(col("jaccard") >= 0.8)
         .orderBy("ref_id", "doc_id")
     },

@@ -8,34 +8,40 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (array<float>[64]).
   *
   * Two paths, per the north star:
-  *   - brute-force cosine top-k: exact baseline. The query side is broadcast,
-  *     the corpus side streams — at 100 TB the corpus never shuffles and the
-  *     top-k is a TakeOrderedAndProject (per-partition heaps + driver merge),
-  *     so cost is one scan.
-  *   - LSH-bucketed top-k: random-hyperplane buckets computed as a column
-  *     expression; candidates only within the query's bucket. Trades recall
-  *     for a corpus-scan-free plan once the bucket column is a partition or
-  *     Z-order key in storage.
+  *   - brute-force cosine top-k: exact baseline. The query side is broadcast
+  *     with its norm precomputed, the corpus side streams — at 100 TB the
+  *     corpus never shuffles and the top-k is a TakeOrderedAndProject
+  *     (per-partition heaps + driver merge), so cost is one scan with a
+  *     native one-loop-per-row cosine kernel.
+  *   - LSH / IVF bucketed top-k: candidates found via packed-long bucket
+  *     keys; only candidate ids are deduplicated and only candidate vectors
+  *     are scored. Trades recall for a corpus-scan-free plan once the bucket
+  *     column is a partition or Z-order key in storage.
   */
 object Similarity {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  /** Broadcast-ready query side: vector plus hoisted norm. */
+  private def querySide(e: DataFrame): DataFrame =
+    e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"),
+        VectorOps.l2norm(col("embedding")).as("qnorm"))
 
   // Exact cosine top-20 neighbors of vec_id = 0.
   private val x06 = GQuery(
     "x06_cosine_topk", "ext-similarity",
     (s, dir) => {
       val e = emb(s, dir)
-      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
-      e.join(broadcast(q))
+      e.join(broadcast(querySide(e)))
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          VectorOps.cosine(col("embedding"), col("qvec")).as("sim"))
+          VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(20)
     },
-    // list_* functions accumulate left-to-right in double like VectorOps —
-    // exactness verified against DuckDB in OracleParity tooling.
+    // list_* functions accumulate left-to-right in double like the native
+    // kernel — exactness verified against DuckDB in OracleParity tooling.
     Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
@@ -45,26 +51,32 @@ object Similarity {
             WHERE e.vec_id <> 0
             ORDER BY sim DESC, e.vec_id LIMIT 20"""))
 
-  // Multi-table LSH approximate top-k: 4 independent tables of 6 hyperplane
+  // Multi-table LSH approximate top-k: 6 independent tables of 6 hyperplane
   // sign bits each; candidates share a bucket in any table (union-of-tables
-  // recall, equi-join cost). At corpus scale the bucket array is precomputed
-  // at ingest and the join shuffles only (table, bucket, id).
+  // recall, equi-join cost). Scale shape: the bucketing projection carries
+  // only (vec_id, packed-long bucket) — vectors are never exploded or
+  // shuffled; candidate ids are deduplicated id-only, then exactly the
+  // candidate vectors are re-fetched by key (AQE broadcasts the tiny id set)
+  // and scored with the hoisted-norm native kernel. At corpus scale the
+  // bucket array is precomputed at ingest and the join shuffles only
+  // (table, bucket, id).
   private val x07 = GQuery(
     "x07_ann_lsh_topk", "ext-similarity-ann",
     (s, dir) => {
-      val bucketed = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          posexplode(VectorOps.lshBuckets(col("embedding"), nPlanes = 6, nTables = 4)))
-        .withColumnRenamed("pos", "tbl")
-        .withColumnRenamed("col", "bucket")
-      val q = bucketed.where(col("vec_id") === 0)
-        .select(col("tbl"), col("bucket"), col("embedding").as("qvec"))
-      bucketed.join(broadcast(q), Seq("tbl", "bucket"))
-        .where(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"), col("qvec"))
-        .distinct()
+      val e = emb(s, dir)
+      val bucketed = e
         .select(col("vec_id"),
-          VectorOps.cosine(col("embedding"), col("qvec")).as("sim"))
+          posexplode(VectorOps.lshBuckets(col("embedding"), nPlanes = 6, nTables = 6)))
+        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+      val qBuckets = bucketed.where(col("vec_id") === 0).select("tbl", "bucket")
+      val candIds = bucketed.join(broadcast(qBuckets), Seq("tbl", "bucket"))
+        .where(col("vec_id") =!= 0)
+        .select("vec_id")
+        .distinct()
+      candIds.join(e, Seq("vec_id"))
+        .join(broadcast(querySide(e)))
+        .select(col("vec_id"),
+          VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(20)
     },
@@ -91,15 +103,17 @@ object Similarity {
 
   // Embedding-cosine near-duplicate pairs against a bounded reference set
   // (vec_id < 8) — the embedding flavor of x05's candidate verification.
+  // Reference norms are hoisted into the 8-row broadcast side.
   private val x09 = GQuery(
     "x09_embedding_near_dup", "ext-dedup-fuzzy ext-similarity",
     (s, dir) => {
       val e = emb(s, dir)
       val refs = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("ref_id"), col("embedding").as("rvec"))
+        .select(col("vec_id").as("ref_id"), col("embedding").as("rvec"),
+          VectorOps.l2norm(col("embedding")).as("rnorm"))
       e.join(broadcast(refs), col("vec_id") > col("ref_id"))
         .select(col("ref_id"), col("vec_id"),
-          VectorOps.cosine(col("embedding"), col("rvec")).as("sim"))
+          VectorOps.cosinePreNorm(col("embedding"), col("rvec"), col("rnorm")).as("sim"))
         .where(col("sim") >= 0.3)
         .orderBy("ref_id", "vec_id")
     },
@@ -133,20 +147,19 @@ object Similarity {
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
-      val q = e.where(col("vec_id") === 0)
-        .select(col("embedding").as("qvec"))
+      val q = querySide(e)
       // nprobe=3 closest centroids to the query
       val probed = centroids.crossJoin(broadcast(q))
-        .select(col("label"), col("qvec"),
-          VectorOps.cosine(col("centroid"), col("qvec")).as("csim"))
+        .select(col("label"), col("qvec"), col("qnorm"),
+          VectorOps.cosinePreNorm(col("centroid"), col("qvec"), col("qnorm")).as("csim"))
         .orderBy(col("csim").desc)
         .limit(3)
-        .select(col("label"), col("qvec"))
+        .select(col("label"), col("qvec"), col("qnorm"))
       // scan only the probed inverted lists
       e.join(broadcast(probed), Seq("label"))
         .where(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          VectorOps.cosine(col("embedding"), col("qvec")).as("sim"))
+          VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(20)
     },
