@@ -51,9 +51,14 @@ object Similarity {
             WHERE e.vec_id <> 0
             ORDER BY sim DESC, e.vec_id LIMIT 20"""))
 
-  // Multi-table LSH approximate top-k: 6 independent tables of 6 hyperplane
+  // Multi-table LSH approximate top-k: 16 independent tables of 4 hyperplane
   // sign bits each; candidates share a bucket in any table (union-of-tables
-  // recall, equi-join cost). Scale shape: the bucketing projection carries
+  // recall, equi-join cost). Table count is sized for the synthetic corpus,
+  // whose nearest neighbors sit at cosine ~0.3 (near-random): recall 0.9 at
+  // test scale. A production corpus with true near-dups (cosine > 0.8)
+  // collides reliably with fewer tables and more planes.
+  //
+  // Scale shape: the bucketing projection carries
   // only (vec_id, packed-long bucket) — vectors are never exploded or
   // shuffled; candidate ids are deduplicated id-only, then exactly the
   // candidate vectors are re-fetched by key (AQE broadcasts the tiny id set)
@@ -66,7 +71,7 @@ object Similarity {
       val e = emb(s, dir)
       val bucketed = e
         .select(col("vec_id"),
-          posexplode(VectorOps.lshBuckets(col("embedding"), nPlanes = 6, nTables = 6)))
+          posexplode(VectorOps.lshBuckets(col("embedding"), nPlanes = 4, nTables = 16)))
         .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
       val qBuckets = bucketed.where(col("vec_id") === 0).select("tbl", "bucket")
       val candIds = bucketed.join(broadcast(qBuckets), Seq("tbl", "bucket"))
@@ -131,10 +136,13 @@ object Similarity {
 
   // IVF (inverted-file) approximate top-k: coarse quantization by per-label
   // centroid (labels play the coarse-cluster role a k-means pass fills at
-  // ingest), nprobe=3 nearest centroids searched. At corpus scale the
+  // ingest), nprobe=6 nearest centroids searched. At corpus scale the
   // centroid table is broadcast (tiny), assignments are precomputed at
   // ingest as a partition/cluster key, and a probe scans only nprobe
   // partitions — the classic IVF-flat layout expressed relationally.
+  // nprobe=6 (of 10 coarse cells) is sized for the synthetic corpus, where
+  // the true top-20 spreads across all labels; a clustered production corpus
+  // concentrates neighbors in few cells and probes far fewer.
   private val x10b = GQuery(
     "x07b_ann_ivf_topk", "ext-similarity-ann",
     (s, dir) => {
@@ -148,12 +156,12 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
       val q = querySide(e)
-      // nprobe=3 closest centroids to the query
+      // nprobe=6 closest centroids to the query
       val probed = centroids.crossJoin(broadcast(q))
         .select(col("label"), col("qvec"), col("qnorm"),
           VectorOps.cosinePreNorm(col("centroid"), col("qvec"), col("qnorm")).as("csim"))
         .orderBy(col("csim").desc)
-        .limit(3)
+        .limit(6)
         .select(col("label"), col("qvec"), col("qnorm"))
       // scan only the probed inverted lists
       e.join(broadcast(probed), Seq("label"))

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Physical-plan assertions — the 100 TB gates: filters and projections must
   * reach the parquet scan, small dims must broadcast, aggregates must have a
@@ -68,6 +69,30 @@ class PlanSpec extends SparkSpec {
     val anti = executedPlan(SparkEntry.queries("c02_anti_join_dedup")(spark, sf001)).toString
     assert(semi.contains("LeftSemi"), semi)
     assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("x07 ANN: no shuffle exchange ever carries an embedding column") {
+    // the 100 TB property of the LSH path: bucket-join and candidate dedup
+    // shuffle only (tbl, bucket, vec_id); vectors are re-fetched by key and
+    // scored in place. A regression that drags `embedding`/`qvec` through a
+    // shuffle would silently turn the plan into an embedding-array exchange.
+    val df = SparkEntry.queries("x07_ann_lsh_topk")(spark, sf001)
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(allNodes)
+    }
+    val shuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case ex: ShuffleExchangeExec => ex }
+    val offenders = shuffles.filter(_.output.exists(a =>
+      Set("embedding", "qvec", "rvec").contains(a.name)))
+    assert(shuffles.nonEmpty, "expected at least the candidate-dedup shuffle")
+    assert(offenders.isEmpty,
+      s"shuffle carrying vector columns:\n${offenders.mkString("\n")}")
   }
 
   test("whole-stage codegen covers the q01 hot path") {
