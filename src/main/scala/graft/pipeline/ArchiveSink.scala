@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.io.{BufferedOutputStream, IOException}
+import java.io.BufferedOutputStream
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.Instant
 import java.util.zip.GZIPOutputStream
@@ -43,11 +43,12 @@ object ArchiveSink {
         if (s.plateRel.isEmpty) cfg.archiveDir else s"${cfg.archiveDir}/${s.plateRel}")
       Files.createDirectories(destDir)
       val ext = if (cfg.archiveGzip) ".tar.gz" else ".tar"
-      val prior = existingArchives(destDir, s.base)
-      if (prior.nonEmpty) {
-        if (cfg.archivePolicy == "skip") return s.copy(archived = true)
-        prior.foreach(Files.deleteIfExists) // replace (:386-398)
-      }
+      // policy gates only the deletion of priors; a new timestamped tar is
+      // written either way (:385-398 delete under replace, then :400+
+      // unconditionally archives)
+      if (cfg.archivePolicy == "replace")
+        existingArchives(destDir, s.base).foreach(Files.deleteIfExists)
+      val origBytes = Discovery.dirSizeBytes(src) // src_bytes (:400)
       val fin = destDir.resolve(s"${s.base}-${Naming.tsUtc(now)}$ext")
       val tmp = destDir.resolve(fin.getFileName.toString + ".partial")
       try {
@@ -56,8 +57,9 @@ object ArchiveSink {
       } catch {
         case ex: Exception => Files.deleteIfExists(tmp); throw ex // (:432-437)
       }
+      val archiveBytes = Files.size(fin) // arc_size (:417)
       if (cfg.deleteOrig) deleteRecursive(src) // (:426-431)
-      s.copy(archived = true)
+      s.copy(archived = true, origBytes = origBytes, archiveBytes = archiveBytes)
     } catch {
       case ex: Exception =>
         s.copy(message = (s.message + s" [archive failed: ${ex.getMessage}]").trim)
@@ -65,11 +67,14 @@ object ArchiveSink {
   }
 
   /** Prior archives of this base: `{base}-*.tar[.gz]` (:391-393). */
-  private def existingArchives(dir: Path, base: String): Seq[Path] =
-    Files.list(dir).iterator().asScala.filter { p =>
+  private def existingArchives(dir: Path, base: String): Seq[Path] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
       n.startsWith(base + "-") && (n.endsWith(".tar") || n.endsWith(".tar.gz"))
-    }.toSeq
+    }.toList
+    finally stream.close()
+  }
 
   private def writeTar(src: Path, dest: Path, gzip: Boolean): Unit = {
     val raw = new BufferedOutputStream(Files.newOutputStream(dest))
@@ -108,7 +113,4 @@ object ArchiveSink {
 
   private[pipeline] def listArchives(dir: Path, base: String): Seq[Path] =
     if (Files.isDirectory(dir)) existingArchives(dir, base) else Seq.empty
-
-  // IOException import kept for the object-store seam documentation
-  private val _ = classOf[IOException]
 }

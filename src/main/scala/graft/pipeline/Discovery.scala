@@ -25,10 +25,10 @@ object Discovery {
       Paths.get(cfg.archiveDir).getFileName.toString)
     val plates: Seq[String] =
       if (!Files.isDirectory(watch)) Seq.empty
-      else Files.list(watch).iterator().asScala
+      else listDir(watch)
         .filter(Files.isDirectory(_)) // A2
         .filterNot(p => excluded.contains(p.getFileName.toString))
-        .map(_.toString).toSeq.sorted
+        .map(_.toString).sorted
     if (plates.isEmpty) spark.emptyDataset[RunRecord]
     else
       spark.createDataset(plates)
@@ -46,9 +46,17 @@ object Discovery {
   /** One level of `.d` directories inside a plate (A2, A3). */
   private def listRuns(plate: Path): Seq[Path] =
     if (!Files.isDirectory(plate)) Seq.empty
-    else Files.list(plate).iterator().asScala
+    else listDir(plate)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.endsWith(".d"))
-      .toSeq
+
+  /** Strict directory listing that closes the underlying Files.list stream
+    * (JDK requires explicit close for timely fd disposal — a long-running
+    * poller would otherwise leak one handle per cycle per directory).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val stream = Files.list(p)
+    try stream.iterator().asScala.toList finally stream.close()
+  }
 
   /** A6-A8: dedup anti-join against the converted ledger + skip set, then the
     * deterministic sorted batch cap (pending.sort()[:MAX_MAP], :212-220).

@@ -56,4 +56,11 @@ object GraftConfig {
     * (dags/msconvert_dag.py:33-40 pattern `in ("1","true","True")`).
     */
   def parseBool(s: String): Boolean = s == "1" || s == "true" || s == "True"
+
+  /** The PRIVILEGED flag's distinct, case-insensitive truthiness:
+    * `.lower() in ("1","true","yes")` (dags/msconvert_dag.py:52-56) — the
+    * one Variable in the reference that also accepts "yes".
+    */
+  def parseBoolPrivileged(s: String): Boolean =
+    Set("1", "true", "yes").contains(s.toLowerCase)
 }

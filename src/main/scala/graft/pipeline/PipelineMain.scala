@@ -38,6 +38,10 @@ object PipelineMain {
       val dash = RunAnalytics.dashboard(spark, cfg)
       println(s"DASH converted_24h=${dash("converted_24h").head.getLong(0)} " +
         s"avg_minutes=${dash("avg_minutes").head.get(0)}")
+      val comp = dash("compression").head
+      println(s"DASH orig_bytes=${comp.getAs[Long]("orig_bytes")} " +
+        s"archive_bytes=${comp.getAs[Long]("archive_bytes")} " +
+        s"saved_pct=${comp.getAs[Double]("saved_pct")}")
       dash("per_hour").collect().foreach(r => println(s"DASH hour=${r.get(0)} n=${r.get(1)}"))
       dash("recent_cycles").collect().foreach(r =>
         println(s"DASH cycle=${r.get(0)} total=${r.get(1)} ok=${r.get(2)} " +

@@ -132,10 +132,15 @@ object PipelineRunner {
       .write.mode(SaveMode.Append).parquet(s"${cfg.stateDir}/history")
   }
 
+  /** History table, or a schema-correct empty frame if no cycle has written
+    * yet — so dashboard queries compile (and return empties) either way.
+    */
   def history(spark: SparkSession, cfg: GraftConfig): DataFrame = {
+    import spark.implicits._
     val p = s"${cfg.stateDir}/history"
     if (Files.exists(Paths.get(p))) spark.read.parquet(p)
-    else spark.emptyDataFrame
+    else spark.emptyDataset[RunStatus].toDF()
+      .withColumn("cycleTs", lit(null).cast("timestamp"))
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -67,15 +67,35 @@ object RunAnalytics {
       .orderBy(col("endTs").desc, col("base"))
       .limit(limit)
 
-  /** All five panels as named frames (dashboard refresh equivalent). */
+  /** Compression metric the reference logs per archive (src vs tar bytes and
+    * % saved, dags/msconvert_dag.py:417-424), aggregated over the archived
+    * history: total original bytes, total archive bytes, percent saved.
+    */
+  def compressionRatio(history: DataFrame): DataFrame =
+    history
+      .where(col("archived") && col("origBytes") > 0)
+      .agg(
+        coalesce(sum(col("origBytes")), lit(0L)).as("orig_bytes"),
+        coalesce(sum(col("archiveBytes")), lit(0L)).as("archive_bytes"))
+      .withColumn("saved_pct",
+        when(col("orig_bytes") > 0,
+          round(lit(100.0) * (lit(1.0) - col("archive_bytes") / col("orig_bytes")), 1))
+          .otherwise(lit(0.0)))
+
+  /** All panels as named frames (dashboard refresh equivalent). Safe on an
+    * empty history: panels return empty/zero frames rather than null-filter
+    * surprises (max(endTs) of an empty table is null).
+    */
   def dashboard(spark: SparkSession, cfg: GraftConfig): Map[String, DataFrame] = {
     val h = PipelineRunner.history(spark, cfg)
-    val now = h.agg(max(col("endTs"))).head.getTimestamp(0)
+    val now = Option(h.agg(max(col("endTs"))).head.getTimestamp(0))
+      .getOrElse(new java.sql.Timestamp(0L))
     Map(
       "converted_24h" -> converted24h(h, now),
       "avg_minutes" -> avgConversionMinutes(h),
       "per_hour" -> conversionsPerHour(h),
       "recent_cycles" -> recentCycles(h),
-      "run_details" -> runDetails(h, cfg))
+      "run_details" -> runDetails(h, cfg),
+      "compression" -> compressionRatio(h))
   }
 }

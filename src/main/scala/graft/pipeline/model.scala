@@ -24,6 +24,10 @@ final case class RunEnv(
 
 /** state ∈ {success, failed, skipped}; mirrors Airflow task states the
   * reference's dashboards and verify gate count over.
+  *
+  * `origBytes`/`archiveBytes` are the source-dir vs committed-tar sizes the
+  * reference logs per archive (src_bytes/arc_size + saved %,
+  * dags/msconvert_dag.py:400-424); 0 until a run is archived.
   */
 final case class RunStatus(
     base: String,
@@ -34,7 +38,9 @@ final case class RunStatus(
     message: String,
     startTs: java.sql.Timestamp,
     endTs: java.sql.Timestamp,
-    archived: Boolean)
+    archived: Boolean,
+    origBytes: Long = 0L,
+    archiveBytes: Long = 0L)
 
 object Naming {
   private val fmt =

@@ -280,6 +280,41 @@ object Extended {
               GREATEST(o_totalprice, 50000.0) AS floored
             FROM orders ORDER BY o_orderkey"""))
 
+  // Map-function battery: build a real MapType column per customer
+  // (status → order count) with map_from_entries, then exercise the map
+  // surface — cardinality, map_keys, element_at with a missing-key default.
+  // Entries are sorted before map construction so key order (and the DuckDB
+  // comparison) is deterministic.
+  private val c29 = GQuery(
+    "c29_map_battery", "map-fns",
+    (s, dir) => {
+      val per = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("c"))
+      per.groupBy(col("o_custkey"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("o_orderstatus").as("k"), col("c").as("v"))))).as("mp"))
+        .select(col("o_custkey").as("custkey"),
+          size(map_keys(col("mp"))).cast("long").as("n_statuses"),
+          array_join(map_keys(col("mp")), ",").as("statuses"),
+          coalesce(element_at(col("mp"), lit("F")), lit(0L)).as("f_orders"),
+          coalesce(element_at(col("mp"), lit("O")), lit(0L)).as("o_orders"))
+        .orderBy("custkey")
+    },
+    Some("""WITH per AS (
+              SELECT o_custkey, o_orderstatus AS s, COUNT(*) AS c
+              FROM orders GROUP BY 1, 2),
+            m AS (
+              SELECT o_custkey,
+                map_from_entries(list(struct_pack(k := s, v := c) ORDER BY s)) AS mp
+              FROM per GROUP BY o_custkey)
+            SELECT o_custkey AS custkey,
+              CAST(cardinality(mp) AS BIGINT) AS n_statuses,
+              array_to_string(map_keys(mp), ',') AS statuses,
+              COALESCE(mp['F'][1], 0) AS f_orders,
+              COALESCE(mp['O'][1], 0) AS o_orders
+            FROM m ORDER BY custkey"""))
+
   val queries: Seq[GQuery] = Seq(
-    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28)
+    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29)
 }

@@ -529,18 +529,6 @@ object Relational {
               MAX(ts) + INTERVAL 30 MINUTES AS session_end, COUNT(*) AS n_events
             FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
-  // Convenience: allow `col("col")` style? No — plain col() is used throughout;
-  // this helper keeps the call sites uniform where a session is in scope.
-  implicit private class ColSyntax(name: String) {
-    def apply(s: SparkSession): Column = col(name)
-  }
-  implicit private class DfSyntax(df: DataFrame) {
-    def groupBy(c: Column)(s: SparkSession) = df.groupBy(c)
-  }
-  implicit private class StrInterp(sc: StringContext) {
-    def $(args: Any*): String = sc.s(args: _*)
-  }
-
   val queries: Seq[GQuery] = Seq(
     b01, b02, b03, b04, b05, b05b, b06, b07, b08, b09, b10, b11,
     c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,

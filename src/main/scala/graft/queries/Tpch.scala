@@ -120,5 +120,81 @@ object Tpch {
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue DESC, o.o_orderkey LIMIT 10"""))
 
-  val queries: Seq[GQuery] = Seq(q1, q3, q6, q18)
+  // Q5-shaped local-supplier revenue: the multi-dimension join WITH a cycle —
+  // customer and supplier must share a nation (c_nationkey = s_nationkey)
+  // while lineitem links them through orders. Dims (region→nation→supplier)
+  // collapse via broadcasts; the only shuffles are lineitem⋈orders on
+  // orderkey and the customer join on custkey — the minimum for two big
+  // sides. The nation cycle rides along as a residual equi-condition, never
+  // a cartesian.
+  private val q5 = GQuery(
+    "q05_local_supplier_revenue", "multijoin-cycle B7",
+    (s, dir) => {
+      val region = Tables(s, dir, "region").where(col("r_name") === "ASIA")
+      val nation = Tables(s, dir, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * fac(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name"""))
+
+  // Q16-shaped supplier-part diversity: distinct-aggregate over a join with a
+  // NOT-IN exclusion subquery (here: low-balance suppliers, since this schema
+  // carries supplier linkage on lineitem rather than partsupp). The exclusion
+  // is a broadcast anti-join; count(distinct) expands to the two-phase
+  // partial/final aggregate over (group key, suppkey).
+  private val q16 = GQuery(
+    "q16_supplier_part_types", "distinct-agg-antijoin",
+    (s, dir) => {
+      val excluded = Tables(s, dir, "supplier")
+        .where(col("s_acctbal") < 2000.0).select(col("s_suppkey"))
+      val p = Tables(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#45")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+    Some("""SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#45'
+              AND l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+            GROUP BY p.p_brand, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_size"""))
+
+  val queries: Seq[GQuery] = Seq(q1, q3, q5, q6, q16, q18)
 }

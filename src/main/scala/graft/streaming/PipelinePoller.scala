@@ -13,11 +13,21 @@ import graft.pipeline.{GraftConfig, PipelineRunner}
   * exceeds the interval simply delays the next one, exactly like Airflow
   * with max_active_runs=1. A VerifyGate failure marks the cycle failed and
   * the loop continues — the DagRun fails, the DAG keeps scheduling.
+  *
+  * Config is a thunk re-evaluated at each cycle start, mirroring the
+  * reference's per-DagRun Jinja re-read of Airflow Variables
+  * (dags/msconvert_dag.py:274-275): an operator can flip GZIP_OUT or
+  * ARCHIVE_POLICY in the backing store and the next cycle picks it up
+  * without a redeploy.
   */
 final class PipelinePoller(
     spark: SparkSession,
-    cfg: GraftConfig,
+    cfgFn: () => GraftConfig,
     intervalS: Int = 300) {
+
+  /** Fixed-config convenience (tests, one-shot CLIs). */
+  def this(spark: SparkSession, cfg: GraftConfig, intervalS: Int) =
+    this(spark, () => cfg, intervalS)
 
   @volatile private var stopped = false
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -32,6 +42,7 @@ final class PipelinePoller(
     var i = 0
     while (i < maxCycles && !stopped) {
       val t0 = System.currentTimeMillis()
+      val cfg = cfgFn() // Variable re-read: fresh config each cycle
       val r =
         try Right(PipelineRunner.runCycle(spark, cfg, Instant.now()))
         catch {

@@ -32,10 +32,20 @@ object StreamingPipeline {
     DebounceStream(observations, quietS, wallClockTimeout)
       .writeStream
       .foreachBatch { (ready: Dataset[DebounceStream.ReadyRun], batchId: Long) =>
-        processReadyBatch(ready, cfg, batchId)
-        ()
+        // a failed verify marks the batch failed but keeps the stream alive,
+        // matching PipelinePoller (the reference's DAG keeps scheduling after
+        // a failed DagRun). Letting the exception escape would terminate the
+        // query and re-run recordFailures on the replayed batch at restart,
+        // double-counting the same failures.
+        try { processReadyBatch(ready, cfg, batchId); () }
+        catch {
+          case e: VerifyGate.BatchFailedException =>
+            log.warn(s"batch $batchId failed verify: ${e.getMessage}")
+        }
       }
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** One micro-batch: ready paths → RunRecords → ledger dedup → naming →
     * external-process convert → archive → ledger/history update → verify.

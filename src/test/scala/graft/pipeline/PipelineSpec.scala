@@ -149,6 +149,62 @@ class PipelineSpec extends SparkSpec {
     assert(runATars.head.contains("T010000Z"), "and it is the newer one")
   }
 
+  test("archive policy skip keeps priors and still writes a new tar") {
+    // the reference only deletes priors under 'replace'; 'skip' never deletes
+    // and a re-conversion still archives (msconvert_dag.py:385-398 then :400+)
+    val cfg = freshCfg(copyCmd) // default archivePolicy = "skip"
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    PipelineRunner.runCycle(spark, cfg, t0)
+    val conv = java.nio.file.Paths.get(cfg.stateDir, "converted")
+    Files.walk(conv).sorted(java.util.Comparator.reverseOrder()).forEach(Files.deleteIfExists(_))
+    PipelineRunner.runCycle(spark, cfg, t0.plusSeconds(3600))
+    val archDir = java.nio.file.Paths.get(cfg.archiveDir, "plate one")
+    val runATars = Files.list(archDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("runA-")).toSeq
+    assert(runATars.size == 2, s"skip policy must keep prior AND write new: $runATars")
+  }
+
+  test("config refresh: the poller re-reads config at each cycle start") {
+    // mirrors the reference's per-DagRun Jinja Variable re-read: flipping
+    // GZIP_OUT between cycles changes the next cycle's output extension
+    // without restarting the poller
+    val cfg0 = freshCfg(copyCmd)
+    var calls = 0
+    val cfgFn = () => {
+      calls += 1
+      if (calls >= 2) {
+        val d = java.nio.file.Paths.get(cfg0.watchDir, "plate_two", "runD.d")
+        if (!Files.exists(d)) {
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("raw.bin"), "payload of runD")
+        }
+        cfg0.copy(gzipOut = true)
+      } else cfg0
+    }
+    val res = new graft.streaming.PipelinePoller(spark, cfgFn, 0).run(2)
+    assert(res.size == 2 && res.forall(_.isRight))
+    val outDir = java.nio.file.Paths.get(cfg0.outputDir, "plate_two")
+    val outs = Files.list(outDir).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(outs.exists(n => n.startsWith("runC-") && n.endsWith(".mzML")),
+      s"cycle 1 output plain: $outs")
+    assert(outs.exists(n => n.startsWith("runD-") && n.endsWith(".mzML.gz")),
+      s"cycle 2 must honor the flipped GZIP_OUT: $outs")
+  }
+
+  test("archive size metrics recorded in history (compression panel input)") {
+    val cfg = freshCfg(copyCmd)
+    PipelineRunner.runCycle(spark, cfg, Instant.parse("2026-01-01T00:00:00Z"))
+    import org.apache.spark.sql.functions._
+    val h = PipelineRunner.history(spark, cfg)
+      .where(col("archived"))
+      .agg(min(col("origBytes")).as("minOrig"), min(col("archiveBytes")).as("minArc"),
+        count(lit(1)).as("n"))
+      .head()
+    assert(h.getAs[Long]("n") == 3)
+    assert(h.getAs[Long]("minOrig") > 0, "source dir bytes must be recorded")
+    assert(h.getAs[Long]("minArc") > 0, "committed tar bytes must be recorded")
+  }
+
   test("deleteOrig removes the source run after archive") {
     val cfg = freshCfg(copyCmd, extra = _.copy(deleteOrig = true))
     PipelineRunner.runCycle(spark, cfg, Instant.parse("2026-01-01T00:00:00Z"))

@@ -40,6 +40,24 @@ class RunAnalyticsSpec extends SparkSpec {
     val details = d("run_details").collect()
     assert(details.length == 4)
     assert(details.forall(_.getAs[String]("output_path").contains(cfg.outputDir)))
+    val comp = d("compression").head
+    assert(comp.getAs[Long]("orig_bytes") > 0)
+    assert(comp.getAs[Long]("archive_bytes") > 0)
+    assert(!comp.isNullAt(comp.fieldIndex("saved_pct")))
+  }
+
+  test("dashboard on an empty history returns empty/zero panels, not nulls") {
+    val root = Files.createTempDirectory("graft-analytics-empty")
+    val empty = GraftConfig(
+      watchDir = root.resolve("watch").toString,
+      outputDir = root.resolve("out").toString,
+      archiveDir = root.resolve("arch").toString,
+      stateDir = root.resolve("state").toString)
+    val d = RunAnalytics.dashboard(spark, empty)
+    assert(d("converted_24h").head.getLong(0) == 0)
+    assert(d("per_hour").count() == 0)
+    assert(d("run_details").count() == 0)
+    assert(d("compression").head.getAs[Long]("orig_bytes") == 0)
   }
 
   test("per-hour series matches the flagship entry query shape") {

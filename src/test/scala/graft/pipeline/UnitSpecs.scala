@@ -78,6 +78,13 @@ class ConfigAndNamingSpec extends AnyFunSuite {
     assert(!GraftConfig.parseBool(""))
   }
 
+  test("PRIVILEGED-style bool is case-insensitive and accepts yes") {
+    for (s <- Seq("1", "true", "True", "TRUE", "yes", "Yes", "YES"))
+      assert(GraftConfig.parseBoolPrivileged(s), s)
+    for (s <- Seq("0", "no", "", "y", "on"))
+      assert(!GraftConfig.parseBoolPrivileged(s), s)
+  }
+
   test("invalid format/policy rejected") {
     intercept[IllegalArgumentException] {
       GraftConfig("w", "o", "a", "s", format = "wiff")
