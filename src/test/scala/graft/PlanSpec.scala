@@ -71,6 +71,25 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti)
   }
 
+  test("q05 nation-cycle join: dims broadcast, no cartesian product") {
+    // the c_nationkey = s_nationkey cycle must ride as a residual equi-join
+    // condition on the customer join, never degrade to a cartesian; the
+    // region→nation→supplier dim chain must collapse via broadcasts
+    val df = SparkEntry.queries("q05_local_supplier_revenue")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"dim chain must broadcast:\n$plan")
+  }
+
+  test("q16 distinct-agg keeps the anti-join and a partial aggregate phase") {
+    val df = SparkEntry.queries("q16_supplier_part_types")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"count(distinct) must run partial+final aggregates:\n$plan")
+  }
+
   test("x07 ANN: no shuffle exchange ever carries an embedding column") {
     // the 100 TB property of the LSH path: bucket-join and candidate dedup
     // shuffle only (tbl, bucket, vec_id); vectors are re-fetched by key and

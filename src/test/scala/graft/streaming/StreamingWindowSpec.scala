@@ -44,4 +44,38 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out("2026-01-01 11:00:00.0") == 1L, s"hour 11 = c: $out")
     assert(!out.keys.exists(_.contains("13:")), s"hour 13 not finalized: $out")
   }
+
+  test("stream-stream join: event-time range join with watermarks on both sides") {
+    // the attribution shape: clicks join impressions on key within a 1-hour
+    // event-time window. Both sides carry watermarks so Spark can bound the
+    // join state — the property that makes this viable on unbounded streams.
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    val impDf = imps.toDF().toDF("impTs", "adId").withWatermark("impTs", "1 hour")
+    val clkDf = clicks.toDF().toDF("clkTs", "cAdId").withWatermark("clkTs", "1 hour")
+    val q = impDf.join(clkDf,
+        col("adId") === col("cAdId") &&
+          col("clkTs") >= col("impTs") &&
+          col("clkTs") <= col("impTs") + expr("interval 1 hour"))
+      .select(col("adId"), col("impTs"), col("clkTs"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+
+    imps.addData((ts(10, 0), 1L), (ts(10, 5), 2L))
+    clicks.addData(
+      (ts(10, 30), 1L), // within 1h of ad 1's impression => joins
+      (ts(12, 0), 1L),  // 2h later => outside the range, must not join
+      (ts(10, 20), 2L)) // within 1h of ad 2 => joins
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+    assert(out == Set((1L, ts(10, 30)), (2L, ts(10, 20))),
+      s"exactly the in-window clicks attribute: $out")
+  }
 }
