@@ -83,17 +83,24 @@ case class TokenRollingHash(child: Expression)
     copy(child = newChild)
 }
 
-/** k-slot MinHash signature over an array<string> of tokens, one pass.
+/** k-slot MinHash signature over an array<string> of tokens, one pass, with
+  * optional word-n-gram shingling.
   *
-  * Each token is hashed ONCE with xxhash64; slot i applies an affine
-  * universal-hash transform `a_i * h + b_i` (a_i odd, from splitmix64(i)) and
-  * keeps the minimum — the standard one-permutation-per-slot construction
-  * (Broder 1997 family). O(T + T·k cheap ops) instead of T·k string hashes,
-  * and native instead of interpreted higher-order functions.
+  * Each token is hashed ONCE with xxhash64; for `ngram > 1` consecutive
+  * token hashes combine into shingle hashes via a Karp-Rabin polynomial +
+  * splitmix64 finalizer (order-sensitive, so shingles — unlike unigram token
+  * sets — distinguish word order). Slot i applies an affine universal-hash
+  * transform `a_i * h + b_i` (a_i odd, from splitmix64(i)) to each shingle
+  * hash and keeps the minimum — the standard one-permutation-per-slot
+  * construction (Broder 1997 family). O(T·(n + k)) cheap long ops instead of
+  * T·k string hashes, native instead of interpreted higher-order functions.
+  * `ngram = 1` degenerates to the raw token hash (no finalizer), so unigram
+  * signatures are unchanged from the shingle-free construction.
   */
-case class MinHashSig(child: Expression, k: Int)
+case class MinHashSig(child: Expression, k: Int, ngram: Int = 1)
     extends UnaryExpression with CodegenFallback {
   require(k > 0 && k <= 1024, s"k must be in [1,1024]: $k")
+  require(ngram > 0 && ngram <= 16, s"ngram must be in [1,16]: $ngram")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -101,22 +108,37 @@ case class MinHashSig(child: Expression, k: Int)
   // affine coefficients fixed by splitmix64 so signatures are stable
   private val as = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i) | 1L)
   private val bs = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i + 1))
+  private val B = 1000003L // Karp-Rabin base, same as TokenRollingHash
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    val th = new Array[Long](n)
     var t = 0
-    while (t < arr.numElements()) {
-      if (!arr.isNullAt(t)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
-        var i = 0
-        while (i < k) {
-          val v = as(i) * h + bs(i)
-          if (v < mins(i)) mins(i) = v
-          i += 1
-        }
-      }
+    while (t < n) {
+      th(t) = if (arr.isNullAt(t)) 0L
+        else XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
       t += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    val last = n - ngram
+    var s = 0
+    while (s <= last) {
+      val h =
+        if (ngram == 1) th(s)
+        else {
+          var acc = 0L
+          var j = 0
+          while (j < ngram) { acc = acc * B + th(s + j); j += 1 }
+          MinHashSig.splitmix64(acc)
+        }
+      var i = 0
+      while (i < k) {
+        val v = as(i) * h + bs(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
@@ -172,9 +194,9 @@ object HashFunctions {
   def tokenRollingHash(tokens: Column): Column =
     ColumnGlue.column(TokenRollingHash(ColumnGlue.expression(tokens)))
 
-  /** Column API for [[MinHashSig]]. */
-  def minhashSig(tokens: Column, k: Int): Column =
-    ColumnGlue.column(MinHashSig(ColumnGlue.expression(tokens), k))
+  /** Column API for [[MinHashSig]]; `ngram > 1` = word-shingle signatures. */
+  def minhashSig(tokens: Column, k: Int, ngram: Int = 1): Column =
+    ColumnGlue.column(MinHashSig(ColumnGlue.expression(tokens), k, ngram))
 
   /** Column API for [[SigAgreement]]. */
   def sigAgreement(a: Column, b: Column): Column =

@@ -52,12 +52,15 @@ object Dedup {
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
             ORDER BY keeper"""))
 
-  // MinHash + LSH banding, cluster-assignment form: signatures (native
-  // MinHashSig: one xxhash per token) → band hashes → per-bucket min doc_id →
-  // per-doc candidate keeper → verify keeper-doc signature agreement →
-  // (doc_id, keeper). Output is one row per document — at corpus scale this
-  // is the dedup operator you actually run (drop rows where doc_id != keeper);
-  // pair enumeration (see x05) is quadratic in cluster size and explodes on
+  // MinHash + LSH banding, cluster-assignment form: word-3-gram shingles →
+  // signatures (native MinHashSig: one xxhash per token, rolling shingle
+  // combine) → band hashes → per-bucket min doc_id → per-doc candidate
+  // keeper → verify keeper-doc signature agreement → (doc_id, keeper).
+  // Shingles (not unigram token sets) are the published construction: they
+  // keep word order, so a reshuffled document is NOT a near-duplicate.
+  // Output is one row per document — at corpus scale this is the dedup
+  // operator you actually run (drop rows where doc_id != keeper); pair
+  // enumeration (see x05) is quadratic in cluster size and explodes on
   // template-heavy corpora.
   //
   // Scale shape: shuffles only (band_hash, doc_id) pairs and k-long
@@ -69,7 +72,8 @@ object Dedup {
       val k = 32 // signature length
       val bands = 8 // 8 bands x 4 rows: catches ~0.85+ Jaccard reliably
       val sigs = docs(s, dir)
-        .select(col("doc_id"), HashFunctions.minhashSig(tokensCol, k).as("sig"))
+        .select(col("doc_id"),
+          HashFunctions.minhashSig(split(col("text"), " "), k, ngram = 3).as("sig"))
         .localCheckpoint(true) // computed once; reused on both join sides
       val banded = sigs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * ${k / bands} + 1, ${k / bands})))")))

@@ -48,4 +48,31 @@ class DedupSpec extends SparkSpec {
     assert(agg((0L, 1L)) >= math.ceil(0.7 * k).toLong, s"near-dups agree: ${agg((0L, 1L))}/$k")
     assert(agg((0L, 2L)) <= k / 4, s"disjoint docs must not agree: ${agg((0L, 2L))}/$k")
   }
+
+  test("shingled (ngram=3) minhash keeps word order; unigram cannot") {
+    import spark.implicits._
+    val k = 32
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val shuffled = new scala.util.Random(7)
+      .shuffle((1 to 60).map(i => s"tok$i").toList).mkString(" ")
+    val nearDup = ((1 to 58).map(i => s"tok$i") ++ Seq("other1", "other2")).mkString(" ")
+    val df = Seq((0L, base), (1L, shuffled), (2L, nearDup)).toDF("doc_id", "text")
+    def agreeWith(ngram: Int): Map[(Long, Long), Long] = {
+      val sigs = df.select(col("doc_id"),
+        graft.functions.HashFunctions.minhashSig(split(col("text"), " "), k, ngram).as("sig"))
+      sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          graft.functions.HashFunctions.sigAgreement(col("a.sig"), col("b.sig")).as("agree"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val uni = agreeWith(1)
+    val tri = agreeWith(3)
+    // unigram token sets are order-blind: the shuffled doc looks identical
+    assert(uni((0L, 1L)) == k.toLong, "unigram: same token set => same signature")
+    // 3-gram shingles see the reordering: near-zero agreement
+    assert(tri((0L, 1L)) <= k / 4, s"shingles must punish reordering: ${tri((0L, 1L))}/$k")
+    // while a genuine near-duplicate (shared prefix run) still agrees highly
+    assert(tri((0L, 2L)) >= math.ceil(0.7 * k).toLong,
+      s"shingles keep near-dup recall: ${tri((0L, 2L))}/$k")
+  }
 }

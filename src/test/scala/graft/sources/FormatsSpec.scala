@@ -34,6 +34,20 @@ class FormatsSpec extends SparkSpec {
       .sameElements(src.orderBy("r_regionkey").collect().map(_.toSeq)))
   }
 
+  test("ORC round-trip preserves schema and values (with predicate pushdown)") {
+    val src = Tables(spark, sf001, "customer")
+    src.write.mode("overwrite").orc(s"$tmp/customer_orc")
+    val back = spark.read.orc(s"$tmp/customer_orc")
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val filtered = back.where(col("c_mktsegment") === "BUILDING")
+    assert(filtered.count() ==
+      src.where(col("c_mktsegment") === "BUILDING").count())
+    // ORC scans support pushed filters like parquet — the plan must show them
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_mktsegment"), plan)
+  }
+
   test("binaryFile source reads opaque payloads with metadata") {
     val dir = Files.createDirectory(java.nio.file.Paths.get(tmp, "blobs"))
     Files.write(dir.resolve("a.bin"), "payload-a".getBytes)
