@@ -6,22 +6,31 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column operators: media as opaque `binary` columns with typed
   * metadata, processed in partition-batched decode passes.
   *
-  * The Spark-side plumbing is real — schema, partition-bounded batch decode
-  * via mapPartitions (the JVM analog of arrow-batched mapInPandas: one
-  * decoder instantiation per partition, rows streamed through it), typed
-  * feature output, deterministic partitioning. The codec itself is the
-  * documented stub seam: this container has no image/audio libraries, so
-  * [[StubCodec]] derives features from the bytes deterministically. Swapping
-  * in a real decoder (JavaCV, TwelveMonkeys, a native lib via JNI) changes
-  * ONLY [[Codec.decode]] — no plan, schema, or partitioning changes.
+  * The Spark-side plumbing — schema, partition-bounded batch decode via
+  * mapPartitions (the JVM analog of arrow-batched mapInPandas: one decoder
+  * instantiation per partition, rows streamed through it), typed feature
+  * output, deterministic partitioning — is shared by all codecs.
+  *
+  * Two codecs ship:
+  *   - [[JdkCodec]] — REAL decoding for the container formats the JDK itself
+  *     covers: PNG/JPEG/BMP/GIF via `javax.imageio` (dimensions + mean
+  *     luminance + thumbnail resize) and RIFF/WAVE PCM via
+  *     `javax.sound.sampled` (sample rate, channels, frame count, RMS
+  *     amplitude). Runs headless; no external libraries.
+  *   - [[StubCodec]] — deterministic byte-derived features, retained for
+  *     payloads in formats the JDK cannot parse (video, RAW vendor formats):
+  *     swapping in JavaCV/FFmpeg via JNI changes ONLY [[Codec.decode]] — no
+  *     plan, schema, or partitioning changes.
   */
 object MediaDecode {
 
   /** One media payload: id + opaque bytes + declared format. */
   final case class MediaRecord(media_id: Long, format: String, payload: Array[Byte])
 
-  /** Decoded per-payload features (what a real image/audio decode yields:
-    * dimensions/duration, channel stats, a content digest).
+  /** Decoded per-payload features. Field meaning is per-modality:
+    * images — width/height in px, mean_intensity = mean luminance in [0,255];
+    * audio  — width = sample rate (Hz), height = channels, mean_intensity =
+    * RMS amplitude normalized to [0,1]; unknown — byte-derived stub values.
     */
   final case class MediaFeatures(
       media_id: Long,
@@ -37,19 +46,100 @@ object MediaDecode {
     def decode(r: MediaRecord): MediaFeatures
   }
 
-  /** STUB: stands in for the real media decoder (none available in this
-    * container). Features are deterministic functions of the payload bytes so
-    * tests are stable: "dimensions" from length, "intensity" = mean byte
-    * value, digest = md5. The real implementation replaces this class only.
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** STUB: deterministic features from raw bytes, for formats with no JVM
+    * decoder in this container (video etc.): "dimensions" from length,
+    * "intensity" = mean byte value, digest = md5.
     */
   object StubCodec extends Codec {
     def decode(r: MediaRecord): MediaFeatures = {
       val n = r.payload.length
       val mean = if (n == 0) 0.0 else r.payload.map(b => (b & 0xff).toDouble).sum / n
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(r.payload).map("%02x".format(_)).mkString
       MediaFeatures(r.media_id, r.format, n.toLong,
-        width = math.max(1, n % 1920), height = math.max(1, n % 1080), mean, md)
+        width = math.max(1, n % 1920), height = math.max(1, n % 1080), mean,
+        md5hex(r.payload))
+    }
+  }
+
+  /** Real decoder over the JDK's own media stack. Format is sniffed from
+    * magic bytes (not trusted from the declared column); anything the JDK
+    * cannot parse falls back to [[StubCodec]] features with the declared
+    * format preserved, so a mixed corpus never fails the batch.
+    */
+  object JdkCodec extends Codec {
+    // ImageIO on executors must never touch a display
+    System.setProperty("java.awt.headless", "true")
+
+    private def isPng(b: Array[Byte]) = b.length > 8 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    private def isJpeg(b: Array[Byte]) = b.length > 3 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    private def isBmp(b: Array[Byte]) = b.length > 2 && b(0) == 'B' && b(1) == 'M'
+    private def isGif(b: Array[Byte]) = b.length > 6 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    private def isWave(b: Array[Byte]) = b.length > 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def decode(r: MediaRecord): MediaFeatures = {
+      val b = r.payload
+      try {
+        if (isPng(b) || isJpeg(b) || isBmp(b) || isGif(b)) decodeImage(r)
+        else if (isWave(b)) decodeWav(r)
+        else StubCodec.decode(r)
+      } catch { case _: Exception => StubCodec.decode(r) }
+    }
+
+    private def decodeImage(r: MediaRecord): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) return StubCodec.decode(r)
+      val (w, h) = (img.getWidth, img.getHeight)
+      // mean luminance over a bounded deterministic sample grid (<= 64x64)
+      val sx = math.max(1, w / 64)
+      val sy = math.max(1, h / 64)
+      var sum = 0.0; var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          sum += lum; n += 1
+          x += sx
+        }
+        y += sy
+      }
+      MediaFeatures(r.media_id, r.format, r.payload.length.toLong, w, h,
+        if (n == 0) 0.0 else sum / n, md5hex(r.payload))
+    }
+
+    private def decodeWav(r: MediaRecord): MediaFeatures = {
+      import javax.sound.sampled._
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return StubCodec.decode(r)
+        val bytes = in.readAllBytes()
+        val le = !fmt.isBigEndian
+        var sumSq = 0.0; var n = 0
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            else ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+          val v = s / 32768.0
+          sumSq += v * v; n += 1
+          i += 2
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
+          width = fmt.getSampleRate.toInt, height = fmt.getChannels, rms,
+          md5hex(r.payload))
+      } finally in.close()
     }
   }
 
@@ -59,10 +149,45 @@ object MediaDecode {
     * executor's memory budget, the same constraint that sizes arrow batches
     * in the Python flavor of this operator).
     */
-  def decode(media: Dataset[MediaRecord], codec: Codec = StubCodec): Dataset[MediaFeatures] = {
+  def decode(media: Dataset[MediaRecord], codec: Codec = JdkCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map(codec.decode))
+  }
+
+  /** One resized thumbnail per image payload. */
+  final case class Thumb(media_id: Long, width: Int, height: Int, png: Array[Byte])
+
+  /** Image resize: decode → Graphics2D scale to fit within `maxDim` (aspect
+    * preserved) → re-encode PNG. Non-image payloads are dropped (a media
+    * pipeline resizes only its image modality). Same partition-batched
+    * execution model as [[decode]].
+    */
+  def resize(media: Dataset[MediaRecord], maxDim: Int = 64): Dataset[Thumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val (tw, th) = (math.max(1, (img.getWidth * scale).toInt),
+              math.max(1, (img.getHeight * scale).toInt))
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.drawImage(img, 0, 0, tw, th, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(Thumb(r.media_id, tw, th, bos.toByteArray))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
   }
 
   /** Frame/chunk sampling plan for large payloads: fixed-size chunk spans as

@@ -4,10 +4,12 @@ import graft.{GQuery, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media treated as opaque binary columns with
-  * typed metadata. The fixture set has no real media, so the binary payload is
-  * synthesized from `documents.text` — the Spark-side mechanics (binary
-  * columns, chunk planning, metadata extraction) are real; the actual decoder
-  * is the stubbed seam in [[graft.operators.MediaDecode]].
+  * typed metadata. The fixture set has no real media, so the binary payload
+  * here is synthesized from `documents.text`; [[graft.operators.MediaDecode]]
+  * sniffs magic bytes and REALLY decodes PNG/JPEG/BMP/GIF/WAV via the JDK
+  * (MediaDecodeSpec proves dimensions/luminance/sample-rate/RMS on generated
+  * media), falling back to deterministic byte features for payloads outside
+  * the JDK's codecs — which is what these text-derived fixtures hit.
   */
 object Multimodal {
 
@@ -38,9 +40,10 @@ object Multimodal {
 
   // Partition-batched media decode through the MediaDecode operator: binary
   // payloads → per-partition codec → typed features → per-format stats. The
-  // decoder is the documented stub (deterministic features from bytes); the
-  // plan — schema, repartition-bounded batches, feature aggregation — is the
-  // real 100 TB shape.
+  // text-derived fixtures take JdkCodec's stub fallback path (deterministic
+  // features from bytes, so the DuckDB oracle holds); real PNG/WAV payloads
+  // take the true decode path, spec'd in MediaDecodeSpec. The plan — schema,
+  // repartition-bounded batches, feature aggregation — is the 100 TB shape.
   private val x17 = GQuery(
     "x17_media_decode", "ext-multimodal",
     (s, dir) => {
