@@ -163,5 +163,36 @@ object Dedup {
                 / (len(d.tok) + len(r.rtok) - len(list_intersect(d.tok, r.rtok))) >= 0.8
             ORDER BY r.ref_id, d.doc_id"""))
 
-  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05)
+  // The materialization composite a training-data pipeline actually runs:
+  // exact-dedup (keep the min-doc_id copy of each text) ∘ quality gate
+  // (length + lexical-diversity thresholds) ∘ metadata projection — one pass
+  // producing the training-ready corpus. Single window + narrow projection:
+  // shuffles (text-hash, doc_id) once for the dedup window, nothing else.
+  private val x19 = GQuery(
+    "x19_clean_corpus", "ext-dedup ext-text pipeline-composite",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+      docs(s, dir)
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("keeper"))
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(toks)).cast("double") / size(toks))
+        .where(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH k AS (
+              SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS uniq_ratio
+              FROM documents)
+            SELECT doc_id, lang, source, n_tokens
+            FROM k
+            WHERE doc_id = keeper AND n_tokens >= 20 AND uniq_ratio >= 0.3
+            ORDER BY doc_id"""))
+
+  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19)
 }

@@ -315,6 +315,26 @@ object Extended {
               COALESCE(mp['O'][1], 0) AS o_orders
             FROM m ORDER BY custkey"""))
 
+  // Sketch-based percentiles — the 100 TB path next to c24's exact form:
+  // percentile_approx builds a bounded-memory KLL-style sketch with map-side
+  // partial merge (one pass, no per-group sort), where exact percentiles
+  // materialize every group's values. Rank error <= 1/accuracy of the value
+  // count; the spec pins the approximation against c24's exact answers.
+  private val c30 = GQuery(
+    "c30_approx_percentiles", "percentiles-approx",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.9), lit(0.99)),
+            lit(10000)).as("pcts"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          col("pcts")(0).as("p50"), col("pcts")(1).as("p90"), col("pcts")(2).as("p99"),
+          col("n"))
+        .orderBy("o_orderpriority"),
+    None) // sketch-based: no DuckDB-equivalent bitwise oracle; spec-gated
+
   val queries: Seq[GQuery] = Seq(
-    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29)
+    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30)
 }

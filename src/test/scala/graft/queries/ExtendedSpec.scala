@@ -5,6 +5,27 @@ import org.apache.spark.sql.functions._
 
 class ExtendedSpec extends SparkSpec {
 
+  test("c30 approx percentiles track the exact answers within 5%") {
+    val approx = SparkEntry.queries("c30_approx_percentiles")(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = Tables(spark, sf001, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    for (k <- exact.keys; i <- 0 until 3) {
+      val (a, e) = (approx(k)(i), exact(k)(i))
+      assert(math.abs(a - e) / e < 0.05, s"$k p${Seq(50, 90, 99)(i)}: approx $a vs exact $e")
+    }
+  }
+
   test("c21 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("c21_approx_distinct")(spark, sf001).head
     val exact = Tables(spark, sf001, "lineitem")
