@@ -71,6 +71,21 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti)
   }
 
+  test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
+    // the operator-control surface a tuning engineer reaches for when the
+    // optimizer's choice is wrong at scale: each hint must actually flip the
+    // physical join operator
+    val o = Tables(spark, sf001, "orders").select(col("o_custkey"), col("o_orderkey"))
+    val c = Tables(spark, sf001, "customer").select(col("c_custkey"))
+    def planOf(hint: String): String = {
+      val joined = o.join(c.hint(hint), col("o_custkey") === col("c_custkey"))
+      executedPlan(joined).toString
+    }
+    assert(planOf("merge").contains("SortMergeJoin"), "merge hint")
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"), "shuffle_hash hint")
+    assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast hint")
+  }
+
   test("q05 nation-cycle join: dims broadcast, no cartesian product") {
     // the c_nationkey = s_nationkey cycle must ride as a residual equi-join
     // condition on the customer join, never degrade to a cartesian; the
