@@ -95,7 +95,10 @@ case class TokenRollingHash(child: Expression)
   * construction (Broder 1997 family). O(T·(n + k)) cheap long ops instead of
   * T·k string hashes, native instead of interpreted higher-order functions.
   * `ngram = 1` degenerates to the raw token hash (no finalizer), so unigram
-  * signatures are unchanged from the shingle-free construction.
+  * signatures are unchanged from the shingle-free construction. Null tokens
+  * are skipped (as in the unigram form); a document with fewer than `ngram`
+  * tokens contributes its whole (short) token sequence as one shingle, so
+  * distinct short documents keep distinct signatures.
   */
 case class MinHashSig(child: Expression, k: Int, ngram: Int = 1)
     extends UnaryExpression with CodegenFallback {
@@ -112,24 +115,29 @@ case class MinHashSig(child: Expression, k: Int, ngram: Int = 1)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val th = new Array[Long](n)
+    val nRaw = arr.numElements()
+    val th = new Array[Long](nRaw)
+    var n = 0 // null tokens skipped, order of the rest preserved
     var t = 0
-    while (t < n) {
-      th(t) = if (arr.isNullAt(t)) 0L
-        else XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+    while (t < nRaw) {
+      if (!arr.isNullAt(t)) {
+        th(n) = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+        n += 1
+      }
       t += 1
     }
     val mins = Array.fill(k)(Long.MaxValue)
-    val last = n - ngram
+    // short-doc guard: < ngram tokens => one shingle over the whole sequence
+    val win = if (n > 0 && n < ngram) n else ngram
+    val last = n - win
     var s = 0
     while (s <= last) {
       val h =
-        if (ngram == 1) th(s)
+        if (win == 1) th(s)
         else {
           var acc = 0L
           var j = 0
-          while (j < ngram) { acc = acc * B + th(s + j); j += 1 }
+          while (j < win) { acc = acc * B + th(s + j); j += 1 }
           MinHashSig.splitmix64(acc)
         }
       var i = 0

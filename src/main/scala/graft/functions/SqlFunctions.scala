@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration for the engine's native Catalyst kernels: after
+  * `SqlFunctions.register(spark)`, every kernel is callable from `spark.sql`
+  * under the same name the Column API uses — one Catalyst expression behind
+  * both front-ends, so results are identical by construction.
+  */
+object SqlFunctions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], ns: Int*): Unit =
+    require(ns.contains(args.length),
+      s"$fn expects ${ns.mkString(" or ")} arguments, got ${args.length}")
+
+  def register(spark: SparkSession): Unit = {
+    ColumnGlue.registerTempFunction(spark, "cosine_sim", { args =>
+      arity("cosine_sim", args, 2); CosineSim(args(0), args(1))
+    })
+    ColumnGlue.registerTempFunction(spark, "cosine_sim_prenorm", { args =>
+      arity("cosine_sim_prenorm", args, 3)
+      CosineSimPreNorm(args(0), args(1), args(2))
+    })
+    ColumnGlue.registerTempFunction(spark, "l2_norm", { args =>
+      arity("l2_norm", args, 1); L2Norm(args(0))
+    })
+    ColumnGlue.registerTempFunction(spark, "sq_dist", { args =>
+      arity("sq_dist", args, 2); SqDist(args(0), args(1))
+    })
+    ColumnGlue.registerTempFunction(spark, "simhash64", { args =>
+      arity("simhash64", args, 1); SimHash64(args(0))
+    })
+    ColumnGlue.registerTempFunction(spark, "token_rolling_hash", { args =>
+      arity("token_rolling_hash", args, 1); TokenRollingHash(args(0))
+    })
+    ColumnGlue.registerTempFunction(spark, "token_hash_set", { args =>
+      arity("token_hash_set", args, 1); TokenHashSet(args(0))
+    })
+    ColumnGlue.registerTempFunction(spark, "jaccard_longs", { args =>
+      arity("jaccard_longs", args, 2); JaccardLongs(args(0), args(1))
+    })
+    ColumnGlue.registerTempFunction(spark, "sig_agreement", { args =>
+      arity("sig_agreement", args, 2); SigAgreement(args(0), args(1))
+    })
+    ColumnGlue.registerTempFunction(spark, "minhash_sig", { args =>
+      arity("minhash_sig", args, 2, 3)
+      val k = intLit(args(1), "minhash_sig", "k")
+      val n = if (args.length == 3) intLit(args(2), "minhash_sig", "ngram") else 1
+      MinHashSig(args(0), k, n)
+    })
+    ColumnGlue.registerTempFunction(spark, "hyperplane_buckets", { args =>
+      arity("hyperplane_buckets", args, 3, 4)
+      val planes = intLit(args(1), "hyperplane_buckets", "nPlanes")
+      val tables = intLit(args(2), "hyperplane_buckets", "nTables")
+      val seed = if (args.length == 4) intLit(args(3), "hyperplane_buckets", "seed") else 0
+      HyperplaneBuckets(args(0), planes, tables, seed)
+    })
+  }
+}

@@ -30,10 +30,15 @@ private[functions] object VectorKernels {
   }
 }
 
-/** cosine(a, b) = (Σ a_i b_i) / (√(Σ a_i²) · √(Σ b_i²)), one fused pass. */
+/** cosine(a, b) = (Σ a_i b_i) / (√(Σ a_i²) · √(Σ b_i²)), one fused pass.
+  * Mismatched lengths yield null (a corrupt/truncated embedding must surface
+  * as missing, not as a plausible similarity — the semantics the zip_with
+  * formulation had via null-padding).
+  */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
   private lazy val lf = VectorKernels.isFloatArray(left)
   private lazy val rf = VectorKernels.isFloatArray(right)
@@ -41,7 +46,8 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var sx = 0.0; var sy = 0.0
     var i = 0
     while (i < n) {
@@ -65,6 +71,7 @@ case class CosineSim(left: Expression, right: Expression)
 case class CosineSimPreNorm(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim_prenorm"
   private lazy val lf = VectorKernels.isFloatArray(first)
   private lazy val rf = VectorKernels.isFloatArray(second)
@@ -72,7 +79,8 @@ case class CosineSimPreNorm(first: Expression, second: Expression, third: Expres
   override def nullSafeEval(a: Any, b: Any, nb: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var sx = 0.0
     var i = 0
     while (i < n) {
@@ -112,10 +120,11 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
-/** Σ (a_i − b_i)² — squared euclidean distance. */
+/** Σ (a_i − b_i)² — squared euclidean distance; null on length mismatch. */
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "sq_dist"
   private lazy val lf = VectorKernels.isFloatArray(left)
   private lazy val rf = VectorKernels.isFloatArray(right)
@@ -123,7 +132,8 @@ case class SqDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -228,33 +238,33 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int, seed
   override def prettyName: String = "hyperplane_buckets"
   private lazy val f = VectorKernels.isFloatArray(child)
 
-  // plane components cached per vector dimensionality; benign race (the
-  // computation is deterministic and idempotent), one instance per task
-  @transient private var cachedDim: Int = -1
-  @transient private var mat: Array[Double] = _ // [(table*nPlanes+plane) * dim + j]
+  // plane matrix cached per vector dimensionality. The (dim, matrix) pair is
+  // published together through one volatile reference so a concurrent reader
+  // can never observe a dim that matches with a stale differently-sized
+  // matrix (mixed-dimensionality inputs are legal).
+  @transient @volatile private var cached: (Int, Array[Double]) = _
 
   private def planeMatrix(dim: Int): Array[Double] = {
-    if (cachedDim != dim) {
-      val m = new Array[Double](nTables * nPlanes * dim)
-      var t = 0
-      while (t < nTables) {
-        var p = 0
-        while (p < nPlanes) {
-          var j = 0
-          while (j < dim) {
-            val h = MinHashSig.splitmix64(
-              ((seedBase + t).toLong << 42) ^ (p.toLong << 21) ^ j.toLong)
-            m((t * nPlanes + p) * dim + j) = h.toDouble / Long.MaxValue.toDouble
-            j += 1
-          }
-          p += 1
+    val c = cached
+    if (c != null && c._1 == dim) return c._2
+    val m = new Array[Double](nTables * nPlanes * dim)
+    var t = 0
+    while (t < nTables) {
+      var p = 0
+      while (p < nPlanes) {
+        var j = 0
+        while (j < dim) {
+          val h = MinHashSig.splitmix64(
+            ((seedBase + t).toLong << 42) ^ (p.toLong << 21) ^ j.toLong)
+          m((t * nPlanes + p) * dim + j) = h.toDouble / Long.MaxValue.toDouble
+          j += 1
         }
-        t += 1
+        p += 1
       }
-      mat = m
-      cachedDim = dim
+      t += 1
     }
-    mat
+    cached = (dim, m)
+    m
   }
 
   override def nullSafeEval(input: Any): Any = {

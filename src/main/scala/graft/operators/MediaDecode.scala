@@ -84,16 +84,49 @@ object MediaDecode {
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+    /** Decompression-bomb / garbage-sniff guard: max pixels decoded per
+      * payload. Header dimensions are validated BEFORE the raster is
+      * allocated, so a text payload that happens to start with "BM" (whose
+      * "header" then claims absurd dimensions) or an adversarial 60000x60000
+      * PNG falls back to stub features instead of an executor-killing
+      * allocation.
+      */
+    val MaxPixels: Long = 64L * 1024 * 1024
+
     def decode(r: MediaRecord): MediaFeatures = {
       val b = r.payload
       try {
         if (isPng(b) || isJpeg(b) || isBmp(b) || isGif(b)) decodeImage(r)
         else if (isWave(b)) decodeWav(r)
         else StubCodec.decode(r)
-      } catch { case _: Exception => StubCodec.decode(r) }
+      } catch {
+        case _: Exception => StubCodec.decode(r)
+        case _: OutOfMemoryError => StubCodec.decode(r) // belt for the guard
+      }
+    }
+
+    /** Header-only dimension read; None when no reader or invalid header. */
+    private[operators] def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            Some((reader.getWidth(0), reader.getHeight(0)))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     }
 
     private def decodeImage(r: MediaRecord): MediaFeatures = {
+      val dims = imageDims(r.payload)
+      if (dims.isEmpty) return StubCodec.decode(r)
+      val (hw, hh) = dims.get
+      if (hw <= 0 || hh <= 0 || hw.toLong * hh > MaxPixels) return StubCodec.decode(r)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       if (img == null) return StubCodec.decode(r)
       val (w, h) = (img.getWidth, img.getHeight)
@@ -170,7 +203,11 @@ object MediaDecode {
       System.setProperty("java.awt.headless", "true")
       it.flatMap { r =>
         try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          val okDims = JdkCodec.imageDims(r.payload).exists { case (w, h) =>
+            w > 0 && h > 0 && w.toLong * h <= JdkCodec.MaxPixels
+          }
+          val img = if (!okDims) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
           if (img == null) None
           else {
             val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))

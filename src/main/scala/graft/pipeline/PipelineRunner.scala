@@ -134,13 +134,23 @@ object PipelineRunner {
 
   /** History table, or a schema-correct empty frame if no cycle has written
     * yet — so dashboard queries compile (and return empties) either way.
+    *
+    * Read with mergeSchema and backfill: the history dir is append-only
+    * across engine versions, so files written before a RunStatus field
+    * existed (e.g. origBytes/archiveBytes) must still read — merged schema,
+    * missing columns zero-filled — rather than depend on which file's
+    * footer wins schema inference.
     */
   def history(spark: SparkSession, cfg: GraftConfig): DataFrame = {
     import spark.implicits._
     val p = s"${cfg.stateDir}/history"
-    if (Files.exists(Paths.get(p))) spark.read.parquet(p)
-    else spark.emptyDataset[RunStatus].toDF()
-      .withColumn("cycleTs", lit(null).cast("timestamp"))
+    if (!Files.exists(Paths.get(p)))
+      return spark.emptyDataset[RunStatus].toDF()
+        .withColumn("cycleTs", lit(null).cast("timestamp"))
+    var df = spark.read.option("mergeSchema", "true").parquet(p)
+    for (c <- Seq("origBytes", "archiveBytes"))
+      if (!df.columns.contains(c)) df = df.withColumn(c, lit(0L))
+    df.na.fill(0L, Seq("origBytes", "archiveBytes"))
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)

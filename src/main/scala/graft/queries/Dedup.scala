@@ -166,20 +166,28 @@ object Dedup {
   // The materialization composite a training-data pipeline actually runs:
   // exact-dedup (keep the min-doc_id copy of each text) ∘ quality gate
   // (length + lexical-diversity thresholds) ∘ metadata projection — one pass
-  // producing the training-ready corpus. Single window + narrow projection:
-  // shuffles (text-hash, doc_id) once for the dedup window, nothing else.
+  // producing the training-ready corpus.
+  //
+  // Scale shape: everything derived from text (content hash, token count,
+  // uniqueness ratio) is computed in the initial narrow projection, so the
+  // dedup window's exchange carries only (hash, doc_id, lang, source, two
+  // numbers) — the document bodies never shuffle (the x14 fingerprint
+  // principle). Content identity = xxhash64(text); a 64-bit collision
+  // (~n²/2⁶⁵) could merge two distinct texts, the standard fingerprint
+  // trade accepted everywhere else in this family.
   private val x19 = GQuery(
     "x19_clean_corpus", "ext-dedup ext-text pipeline-composite",
     (s, dir) => {
       val toks = split(col("text"), " ")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
       docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          xxhash64(col("text")).as("h"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
         .withColumn("keeper", min(col("doc_id")).over(w))
-        .where(col("doc_id") === col("keeper"))
-        .withColumn("n_tokens", size(toks).cast("long"))
-        .withColumn("uniq_ratio",
-          size(array_distinct(toks)).cast("double") / size(toks))
-        .where(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3)
+        .where(col("doc_id") === col("keeper") &&
+          col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3)
         .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
         .orderBy("doc_id")
     },

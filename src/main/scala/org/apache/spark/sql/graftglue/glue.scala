@@ -15,4 +15,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression as a session-temporary SQL function, so
+    * `spark.sql("SELECT cosine_sim(a, b) ...")` resolves to the same Catalyst
+    * kernel the Column API uses (the registry lives behind `private[sql]`
+    * sessionState — the second reason this glue object exists).
+    */
+  def registerTempFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -44,22 +44,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(sql) == rows(df))
   }
 
-  test("SQL can call the engine's registered native kernels via temp functions") {
-    register()
-    // expose the custom Catalyst kernels to the SQL surface the supported
-    // way: builder functions over Columns registered as SQL functions
-    spark.udf.register("graft_l2norm",
-      (v: Array[Float]) => math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+  test("native kernels are callable from SQL and bit-match the Column API") {
+    graft.functions.SqlFunctions.register(spark)
     Tables(spark, sf001, "embeddings").createOrReplaceTempView("embeddings")
+    Tables(spark, sf001, "documents").createOrReplaceTempView("documents")
+
+    // vector kernel: SQL l2_norm resolves to the SAME Catalyst expression
     val viaSql = spark.sql(
-      "SELECT vec_id, graft_l2norm(embedding) AS n FROM embeddings ORDER BY vec_id LIMIT 5")
-      .collect().map(_.getDouble(1))
-    val viaNative = Tables(spark, sf001, "embeddings")
+      "SELECT vec_id, l2_norm(embedding) AS n FROM embeddings ORDER BY vec_id LIMIT 5")
+      .collect().map(_.getDouble(1)).toSeq
+    val viaCol = Tables(spark, sf001, "embeddings")
       .select(col("vec_id"), graft.functions.VectorOps.l2norm(col("embedding")).as("n"))
       .orderBy("vec_id").limit(5)
-      .collect().map(_.getDouble(1))
-    viaSql.zip(viaNative).foreach { case (a, b) =>
-      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
-    }
+      .collect().map(_.getDouble(1)).toSeq
+    assert(viaSql == viaCol, "same expression => bitwise-identical results")
+
+    // full SQL-side similarity: cosine between doc 0's embedding and the rest
+    val top = spark.sql(
+      """SELECT e.vec_id,
+        |  cosine_sim(e.embedding, q.embedding) AS sim
+        |FROM embeddings e JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val expected = SparkEntry.queries("x06_cosine_topk")(spark, sf001)
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    assert(top == expected, s"SQL cosine top-5 $top vs Column API $expected")
+
+    // text kernels with literal args: minhash_sig + sig_agreement end to end
+    val agree = spark.sql(
+      """SELECT sig_agreement(
+        |  minhash_sig(split(text, ' '), 32, 3),
+        |  minhash_sig(split(text, ' '), 32, 3)) AS a
+        |FROM documents LIMIT 1""".stripMargin).head.getLong(0)
+    assert(agree == 32L, "identical docs agree on every slot")
   }
 }
