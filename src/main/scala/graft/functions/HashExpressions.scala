@@ -18,30 +18,56 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * results are deterministic across JVMs and cluster nodes.
   */
 
-/** 64-bit SimHash over an array<string> of tokens.
+/** 64-bit SimHash over an array<string> of tokens, with optional word-n-gram
+  * shingle features (Charikar 2002; shingle features are the construction the
+  * published near-dup systems use — they keep word order).
   *
-  * bit b of the output = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
-  * Near-duplicate documents land within a small Hamming distance.
+  * bit b of the output = sign of Σ_features (bit b of feature hash ? +1 : -1),
+  * where a feature is a token hash (`ngram = 1`) or the Karp-Rabin-combined,
+  * splitmix64-finalized hash of `ngram` consecutive token hashes. Null tokens
+  * are skipped; a document shorter than `ngram` tokens contributes its whole
+  * sequence as one feature. Near-duplicate documents land within a small
+  * Hamming distance.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, ngram: Int = 1)
     extends UnaryExpression with CodegenFallback {
+  require(ngram > 0 && ngram <= 16, s"ngram must be in [1,16]: $ngram")
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  private val B = 1000003L
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val counts = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
+    val nRaw = arr.numElements()
+    val th = new Array[Long](nRaw)
+    var n = 0
+    var t = 0
+    while (t < nRaw) {
+      if (!arr.isNullAt(t)) {
+        th(n) = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+        n += 1
       }
-      i += 1
+      t += 1
+    }
+    val counts = new Array[Int](64)
+    val win = if (n > 0 && n < ngram) n else ngram
+    var s = 0
+    while (s <= n - win) {
+      val h =
+        if (win == 1) th(s)
+        else {
+          var acc = 0L
+          var j = 0
+          while (j < win) { acc = acc * B + th(s + j); j += 1 }
+          MinHashSig.splitmix64(acc)
+        }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      s += 1
     }
     var out = 0L
     var b = 0
@@ -195,8 +221,8 @@ case class SigAgreement(left: Expression, right: Expression)
 
 object HashFunctions {
   /** Column API for [[SimHash64]]. */
-  def simhash64(tokens: Column): Column =
-    ColumnGlue.column(SimHash64(ColumnGlue.expression(tokens)))
+  def simhash64(tokens: Column, ngram: Int = 1): Column =
+    ColumnGlue.column(SimHash64(ColumnGlue.expression(tokens), ngram))
 
   /** Column API for [[TokenRollingHash]]. */
   def tokenRollingHash(tokens: Column): Column =

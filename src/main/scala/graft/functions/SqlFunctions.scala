@@ -37,7 +37,9 @@ object SqlFunctions {
       arity("sq_dist", args, 2); SqDist(args(0), args(1))
     })
     ColumnGlue.registerTempFunction(spark, "simhash64", { args =>
-      arity("simhash64", args, 1); SimHash64(args(0))
+      arity("simhash64", args, 1, 2)
+      val n = if (args.length == 2) intLit(args(1), "simhash64", "ngram") else 1
+      SimHash64(args(0), n)
     })
     ColumnGlue.registerTempFunction(spark, "token_rolling_hash", { args =>
       arity("token_rolling_hash", args, 1); TokenRollingHash(args(0))

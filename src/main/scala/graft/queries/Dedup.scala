@@ -19,9 +19,6 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  /** Distinct unigram token set — the shingle basis for the fuzzy ops. */
-  private val tokensCol = array_distinct(split(col("text"), " "))
-
   // Exact dedup: duplicate groups by raw text; keeper = min(doc_id). This is
   // the reference's A6 idempotency semantics (already-converted check,
   // dags/msconvert_dag.py:112-122) applied to content instead of paths.
@@ -97,15 +94,17 @@ object Dedup {
     },
     None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
 
-  // SimHash near-dup, cluster-assignment form: 64-bit native SimHash64
-  // signature; candidates share one of four 16-bit chunks (pigeonhole: any
+  // SimHash near-dup, cluster-assignment form: 64-bit native SimHash64 over
+  // word-bigram shingle features (order-sensitive, softer than x03's
+  // trigrams); candidates share one of four 16-bit chunks (pigeonhole: any
   // pair within Hamming distance 3 must agree on >= 1 chunk); verification by
   // exact bit_count(xor) <= 8 against the candidate keeper.
   private val x04 = GQuery(
     "x04_dedup_simhash", "ext-dedup-fuzzy custom-expression",
     (s, dir) => {
       val sigs = docs(s, dir)
-        .select(col("doc_id"), HashFunctions.simhash64(tokensCol).as("sig"))
+        .select(col("doc_id"),
+          HashFunctions.simhash64(split(col("text"), " "), ngram = 2).as("sig"))
         .localCheckpoint(true)
       val banded = sigs.select(col("doc_id"),
         posexplode(expr(

@@ -196,5 +196,50 @@ object Tpch {
             GROUP BY p.p_brand, p.p_size
             ORDER BY supplier_cnt DESC, p.p_brand, p.p_size"""))
 
-  val queries: Seq[GQuery] = Seq(q1, q3, q5, q6, q16, q18)
+  // Q21-shaped "last shipper in multi-supplier orders": the correlated
+  // EXISTS + NOT EXISTS pair on the same fact table (this schema has no
+  // commit/receipt dates, so "kept the order waiting" becomes "shipped last",
+  // preserving the operator composition exactly). Decorrelates to a
+  // left-semi join (another supplier exists on the order) followed by a
+  // left-anti join with an inequality residual (no other supplier shipped
+  // later). Both shuffle on l_orderkey, so the second join reuses the
+  // first's exchange; supplier names broadcast at the end.
+  private val q21 = GQuery(
+    "q21_last_shipper", "exists-antiexists-composite",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val othersLater = li.select(col("l_orderkey").as("ok3"),
+        col("l_suppkey").as("sk3"), col("l_shipdate").as("sd3"))
+      val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      li
+        .join(others,
+          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+          "left_semi")
+        .join(othersLater,
+          col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3") &&
+            col("sd3") > col("l_shipdate"),
+          "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""SELECT s.s_name, COUNT(*) AS numwait
+            FROM supplier s
+            JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 20"""))
+
+  val queries: Seq[GQuery] = Seq(q1, q3, q5, q6, q16, q18, q21)
 }

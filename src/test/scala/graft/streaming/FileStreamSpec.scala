@@ -32,4 +32,38 @@ class FileStreamSpec extends SparkSpec {
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(streamed == batch, s"stream/batch divergence: ${streamed.size} vs ${batch.size}")
   }
+
+  test("maxFilesPerTrigger bounds per-batch intake (the MAX_MAP analog)") {
+    // the reference caps each cycle at MAX_MAP runs (A8); the streaming file
+    // source expresses the same backpressure as maxFilesPerTrigger: with 6
+    // files and a 2-file cap, AvailableNow must drain in 3 bounded batches
+    // and still process every row exactly once
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ratelimit")
+    val dir = s"$root/input"
+    for (i <- 0 until 6) // 6 appends of 1 row => 6 flat part files
+      Seq((i.toLong, s"run_$i")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    assert(batchSizes.sum == 6, s"every row exactly once: $batchSizes")
+    assert(batchSizes.forall(_ <= 2), s"no batch may exceed the cap: $batchSizes")
+    assert(batchSizes.length >= 3, s"cap must split the intake: $batchSizes")
+  }
 }
