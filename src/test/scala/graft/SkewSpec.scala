@@ -32,4 +32,35 @@ class SkewSpec extends SparkSpec {
 
     assert(salted == direct)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    // one hot key carrying ~all the fact rows; thresholds lowered so the
+    // skew is visible at test scale (the defaults target multi-GB partitions)
+    val fact = ((1 to 200000).map(i => (1L, i.toLong)) ++
+      (1 to 2000).map(i => ((i % 50 + 2).toLong, i.toLong))).toDF("k", "v")
+    val dim = (1L to 60L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ so skew handling applies
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = fact.join(dim, "k")
+      assert(joined.collect().length == 202000)
+      val plan = (joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join for split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -48,6 +48,45 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("c_mktsegment"), plan)
   }
 
+  test("malformed JSON rows land in the corrupt-record column, not as job failure") {
+    // 100 TB ingestion meets bad records; PERMISSIVE + _corrupt_record is the
+    // row-level quarantine (the A10/A13 tolerate-failures philosophy applied
+    // to parsing): good rows parse, bad rows carry their raw line
+    val dir = Files.createDirectory(java.nio.file.Paths.get(tmp, "dirty_json"))
+    Files.writeString(dir.resolve("part.json"),
+      """{"id": 1, "name": "ok"}
+        |{"id": broken !!!
+        |{"id": 3, "name": "also ok"}
+        |""".stripMargin)
+    val schema = "id LONG, name STRING, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record access requires a materialized parse
+    assert(df.count() == 3)
+    assert(df.where(col("_corrupt_record").isNull).count() == 2)
+    val bad = df.where(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").contains("broken"))
+    df.unpersist()
+  }
+
+  test("parquet writes round-trip under zstd, snappy, and gzip codecs") {
+    val src = Tables(spark, sf001, "region")
+    for ((codec, suffix) <- Seq("zstd" -> "zstd", "snappy" -> "snappy", "gzip" -> "gz")) {
+      val path = s"$tmp/region_$codec"
+      src.write.mode("overwrite").option("compression", codec).parquet(path)
+      import scala.jdk.CollectionConverters._
+      val files = Files.list(java.nio.file.Paths.get(path))
+        .iterator().asScala.map(_.getFileName.toString).toList
+      assert(files.exists(_.endsWith(s".$suffix.parquet")),
+        s"$codec must appear in the part-file suffix: $files")
+      val back = spark.read.parquet(path)
+      assert(back.orderBy("r_regionkey").collect().map(_.toSeq)
+        .sameElements(src.orderBy("r_regionkey").collect().map(_.toSeq)))
+    }
+  }
+
   test("binaryFile source reads opaque payloads with metadata") {
     val dir = Files.createDirectory(java.nio.file.Paths.get(tmp, "blobs"))
     Files.write(dir.resolve("a.bin"), "payload-a".getBytes)
