@@ -36,9 +36,9 @@ object PipelineMain {
     // engine's Grafana-panel equivalents)
     if (!PipelineRunner.history(spark, cfg).isEmpty) {
       val dash = RunAnalytics.dashboard(spark, cfg)
-      println(s"DASH converted_24h=${dash("converted_24h").head.getLong(0)} " +
-        s"avg_minutes=${dash("avg_minutes").head.get(0)}")
-      val comp = dash("compression").head
+      println(s"DASH converted_24h=${dash("converted_24h").head().getLong(0)} " +
+        s"avg_minutes=${dash("avg_minutes").head().get(0)}")
+      val comp = dash("compression").head()
       println(s"DASH orig_bytes=${comp.getAs[Long]("orig_bytes")} " +
         s"archive_bytes=${comp.getAs[Long]("archive_bytes")} " +
         s"saved_pct=${comp.getAs[Double]("saved_pct")}")

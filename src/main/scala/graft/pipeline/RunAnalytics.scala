@@ -88,7 +88,7 @@ object RunAnalytics {
     */
   def dashboard(spark: SparkSession, cfg: GraftConfig): Map[String, DataFrame] = {
     val h = PipelineRunner.history(spark, cfg)
-    val now = Option(h.agg(max(col("endTs"))).head.getTimestamp(0))
+    val now = Option(h.agg(max(col("endTs"))).head().getTimestamp(0))
       .getOrElse(new java.sql.Timestamp(0L))
     Map(
       "converted_24h" -> converted24h(h, now),
