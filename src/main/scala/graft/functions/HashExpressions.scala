@@ -35,39 +35,15 @@ case class SimHash64(child: Expression, ngram: Int = 1)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  private val B = 1000003L
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val nRaw = arr.numElements()
-    val th = new Array[Long](nRaw)
-    var n = 0
-    var t = 0
-    while (t < nRaw) {
-      if (!arr.isNullAt(t)) {
-        th(n) = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
-        n += 1
-      }
-      t += 1
-    }
     val counts = new Array[Int](64)
-    val win = if (n > 0 && n < ngram) n else ngram
-    var s = 0
-    while (s <= n - win) {
-      val h =
-        if (win == 1) th(s)
-        else {
-          var acc = 0L
-          var j = 0
-          while (j < win) { acc = acc * B + th(s + j); j += 1 }
-          MinHashSig.splitmix64(acc)
-        }
+    MinHashSig.foreachShingleHash(arr, ngram) { h =>
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
-      s += 1
     }
     var out = 0L
     var b = 0
@@ -137,42 +113,17 @@ case class MinHashSig(child: Expression, k: Int, ngram: Int = 1)
   // affine coefficients fixed by splitmix64 so signatures are stable
   private val as = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i) | 1L)
   private val bs = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i + 1))
-  private val B = 1000003L // Karp-Rabin base, same as TokenRollingHash
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val nRaw = arr.numElements()
-    val th = new Array[Long](nRaw)
-    var n = 0 // null tokens skipped, order of the rest preserved
-    var t = 0
-    while (t < nRaw) {
-      if (!arr.isNullAt(t)) {
-        th(n) = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
-        n += 1
-      }
-      t += 1
-    }
     val mins = Array.fill(k)(Long.MaxValue)
-    // short-doc guard: < ngram tokens => one shingle over the whole sequence
-    val win = if (n > 0 && n < ngram) n else ngram
-    val last = n - win
-    var s = 0
-    while (s <= last) {
-      val h =
-        if (win == 1) th(s)
-        else {
-          var acc = 0L
-          var j = 0
-          while (j < win) { acc = acc * B + th(s + j); j += 1 }
-          MinHashSig.splitmix64(acc)
-        }
+    MinHashSig.foreachShingleHash(arr, ngram) { h =>
       var i = 0
       while (i < k) {
         val v = as(i) * h + bs(i)
         if (v < mins(i)) mins(i) = v
         i += 1
       }
-      s += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
@@ -188,6 +139,46 @@ object MinHashSig {
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
+  }
+
+  /** Karp-Rabin base shared by every shingle construction in this file. */
+  private[functions] val ShingleBase = 1000003L
+
+  /** THE shingle-feature construction, shared by [[MinHashSig]] and
+    * [[SimHash64]] so their feature spaces cannot diverge: hash each
+    * non-null token once (order of the rest preserved), slide an `ngram`
+    * window combining token hashes via Karp-Rabin + splitmix64 finalize
+    * (`ngram = 1` emits the raw token hash), and a document shorter than
+    * `ngram` tokens contributes its whole sequence as one feature. Calls
+    * `f` once per feature hash.
+    */
+  private[functions] def foreachShingleHash(
+      arr: ArrayData, ngram: Int)(f: Long => Unit): Unit = {
+    val nRaw = arr.numElements()
+    val th = new Array[Long](nRaw)
+    var n = 0
+    var t = 0
+    while (t < nRaw) {
+      if (!arr.isNullAt(t)) {
+        th(n) = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+        n += 1
+      }
+      t += 1
+    }
+    val win = if (n > 0 && n < ngram) n else ngram
+    var s = 0
+    while (s <= n - win) {
+      val h =
+        if (win == 1) th(s)
+        else {
+          var acc = 0L
+          var j = 0
+          while (j < win) { acc = acc * ShingleBase + th(s + j); j += 1 }
+          splitmix64(acc)
+        }
+      f(h)
+      s += 1
+    }
   }
 }
 

@@ -36,11 +36,22 @@ final class MetricsListener extends QueryExecutionListener {
     buf.add(capture(funcName, qe, durationNs, failed = false))
 
   override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
-    buf.add(capture(funcName, qe, 0L, failed = true))
+    // qe.executedPlan is a lazy val that RETHROWS when the query died during
+    // planning — a failed record must still be emitted (the listener bus
+    // would swallow the rethrow and drop the event entirely)
+    buf.add(
+      try capture(funcName, qe, 0L, failed = true)
+      catch {
+        case _: Exception =>
+          QueryMetric(funcName, 0L, 0L, 0L, 0L, failed = true,
+            new Timestamp(System.currentTimeMillis()))
+      })
 
   private def capture(
       funcName: String, qe: QueryExecution, durationNs: Long, failed: Boolean): QueryMetric = {
-    // walk the finalized plan (into adaptive sub-stages) and sum SQL metrics
+    // walk the finalized plan — into adaptive sub-stages AND expression-held
+    // subquery plans (scalar/uncorrelated subqueries hang off expressions,
+    // not children) — and sum SQL metrics
     def nodes(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] = {
       val nested = p match {
@@ -49,14 +60,28 @@ final class MetricsListener extends QueryExecutionListener {
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
         case _ => Nil
       }
-      p +: (p.children ++ nested).flatMap(nodes)
+      p +: (p.children ++ nested ++ p.subqueries).flatMap(nodes)
+    }
+    // adaptive wrapper nodes carry no metrics of their own: unwrap to the
+    // finalized root before reading the action's output-row count
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => unwrap(q.plan)
+      case other => other
     }
     val all = nodes(qe.executedPlan)
     def sumMetric(pred: org.apache.spark.sql.execution.SparkPlan => Boolean,
         key: String): Long =
       all.filter(pred).flatMap(_.metrics.get(key)).map(_.value).sum
-    val out = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
-      .getOrElse(sumMetric(_.children.isEmpty, "numOutputRows"))
+    // the action's own row count = the topmost node that tracks one (the
+    // plan root is often a metric-less wrapper: AQE node, WholeStageCodegen)
+    val out = nodes(unwrap(qe.executedPlan))
+      .find(_.metrics.contains("numOutputRows"))
+      .map(_.metrics("numOutputRows").value)
+      .getOrElse(sumMetric(_.isInstanceOf[org.apache.spark.sql.execution.LeafExecNode],
+        "numOutputRows"))
     val scans = sumMetric(_.isInstanceOf[org.apache.spark.sql.execution.LeafExecNode],
       "numOutputRows")
     val shuffle = sumMetric(

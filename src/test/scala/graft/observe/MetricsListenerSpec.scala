@@ -27,6 +27,8 @@ class MetricsListenerSpec extends SparkSpec {
       val agg = ms.last
       assert(agg.scanRows == expected, s"scan rows must count the orders scan: $agg")
       assert(agg.shuffleBytes > 0, s"groupBy must register shuffle volume: $agg")
+      assert(agg.outputRows < agg.scanRows,
+        s"outputRows must be the action's rows (3 status groups), not the scan's: $agg")
 
       // telemetry is itself queryable — the RunAnalytics pattern
       val df = l.toDF(spark)
