@@ -335,6 +335,31 @@ object Extended {
         .orderBy("o_orderpriority"),
     None) // sketch-based: no DuckDB-equivalent bitwise oracle; spec-gated
 
+  // Higher-order-function battery: the user-facing lambda surface
+  // (transform/filter/exists/forall) over array columns, oracle-matched to
+  // DuckDB's list_* lambdas. These are interpreted in Spark — fine for the
+  // functional API surface; the engine's own hot kernels use the native
+  // expressions in graft.functions instead (see VectorExpressions).
+  // Derived outputs are integer/boolean so the comparison is exact.
+  private val c31 = GQuery(
+    "c31_higher_order_battery", "array-lambda-fns",
+    (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(filter(transform(col("embedding"), x => x.cast("double") * 2),
+            y => y > 0.5)).cast("long").as("n_doubled"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          forall(col("embedding"), x => abs(x) < 1e6).as("all_finite"),
+          exists(col("embedding"), x => x > 0.25).as("any_big"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+              CAST(len(list_filter(list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2),
+                y -> y > 0.5)) AS BIGINT) AS n_doubled,
+              CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+              len(list_filter(embedding, x -> abs(x) < 1e6)) = len(embedding) AS all_finite,
+              len(list_filter(embedding, x -> x > 0.25)) > 0 AS any_big
+            FROM embeddings ORDER BY vec_id"""))
+
   val queries: Seq[GQuery] = Seq(
-    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30)
+    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31)
 }
