@@ -360,6 +360,34 @@ object Extended {
               len(list_filter(embedding, x -> x > 0.25)) > 0 AS any_big
             FROM embeddings ORDER BY vec_id"""))
 
+  // Null-semantics battery: SQL's three-valued logic made explicit —
+  // null group keys, count(*) vs count(col), null-safe equality (<=>),
+  // and NULLS FIRST ordering. Nulls are derived via NULLIF since the
+  // fixtures are fully populated.
+  private val c32 = GQuery(
+    "c32_null_semantics", "null-handling conditional-fns",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("st"),
+          col("o_totalprice"))
+        .groupBy(col("st"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(col("st")).as("n_nonnull"),
+          count_if(col("st") <=> lit("F")).as("n_f_nullsafe"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy(col("st").asc_nulls_first),
+    Some("""SELECT NULLIF(o_orderstatus, 'O') AS st,
+              COUNT(*) AS n_all,
+              COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
+              COUNT(*) FILTER (WHERE NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F')
+                AS n_f_nullsafe,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY NULLIF(o_orderstatus, 'O')
+            ORDER BY st NULLS FIRST"""))
+
   val queries: Seq[GQuery] = Seq(
-    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31)
+    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32)
 }
