@@ -34,4 +34,28 @@ class PartitionedWriteSpec extends SparkSpec {
       .where(col("event_type") === "purchase").count()
     assert(df.count() == expected)
   }
+
+  test("maxPartitionBytes sizes the input splits (spill-control knob)") {
+    // the read-side memory-budget knob: lowering maxPartitionBytes must cut
+    // the same file into more, smaller input partitions — how executor
+    // memory is protected when 100 TB of parquet meets a fixed heap
+    val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val openCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    // sf0.1's lineitem (~MBs) is large enough that the split budget, not
+    // the bytes-per-core floor, decides the partitioning
+    def partsWith(maxBytes: String): Int =
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", maxBytes)
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .rdd.getNumPartitions
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+        spark.conf.set("spark.sql.files.openCostInBytes", openCost)
+      }
+    val coarse = partsWith("128MB")
+    val fine = partsWith("64KB")
+    assert(fine > coarse,
+      s"smaller split budget must yield more input partitions: $fine vs $coarse")
+  }
 }
