@@ -1,0 +1,40 @@
+package graft.plans
+
+import graft.functions.{CosineSim, CosineSimPreNorm, L2Norm}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Engine-provided Catalyst extensions, installed with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Currently one optimizer rule: [[HoistCosineNorm]]. The serving-style
+  * similarity query — `cosine_sim(embedding, <literal query vector>)` over a
+  * corpus scan — recomputes the constant query-side norm √(Σ q_i²) for every
+  * row. The rule folds that norm ONCE at optimization time and rewrites to
+  * [[CosineSimPreNorm]], the same hoisting the curated x06/x07 queries do by
+  * hand via the broadcast query side — but automatic, so ad-hoc user SQL
+  * gets the optimized kernel too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => HoistCosineNorm)
+}
+
+object HoistCosineNorm extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSim(a, b) if b.foldable && b.dataType != null =>
+        // evaluate the constant side once via the existing native kernel —
+        // identical arithmetic to the per-row path, so results are unchanged
+        val bVal = b.eval()
+        if (bVal == null) CosineSim(a, b)
+        else {
+          val norm = L2Norm(Literal.create(bVal, b.dataType)).eval()
+          CosineSimPreNorm(a, b, Literal(norm, DoubleType))
+        }
+    }
+}
