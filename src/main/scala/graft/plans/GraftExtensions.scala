@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.DoubleType
   * gets the optimized kernel too.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HoistCosineNorm)
+    ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
+  }
 }
 
 object HoistCosineNorm extends Rule[LogicalPlan] {

@@ -388,6 +388,34 @@ object Extended {
             GROUP BY NULLIF(o_orderstatus, 'O')
             ORDER BY st NULLS FIRST"""))
 
+  // The custom GroupedTopK operator (logical node + strategy + partial/final
+  // physical plans, graft.plans) as an oracle-verified query: top-3 most
+  // recent orders per customer. Identical semantics to the window
+  // row_number form — the oracle — but the partial heap bounds the shuffle
+  // to <= k rows per key per input partition where WindowExec shuffles the
+  // whole table.
+  private val c33 = GQuery(
+    "c33_grouped_topk_custom", "custom-operator topk-per-key",
+    (s, dir) => {
+      import graft.plans.{GroupedTopKOps, GroupedTopKStrategy}
+      if (!s.experimental.extraStrategies.contains(GroupedTopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ GroupedTopKStrategy
+      GroupedTopKOps.groupedTopK(
+        Tables(s, dir, "orders"),
+        keyCols = Seq(col("o_custkey")),
+        orderCols = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn <= 3
+            ORDER BY o_custkey, o_orderkey"""))
+
   val queries: Seq[GQuery] = Seq(
-    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32)
+    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32, c33)
 }
