@@ -76,6 +76,13 @@ private[plans] trait TopKHeapExec extends UnaryExecNode {
 object GroupedTopK {
   /** Bounded per-key heap over one partition: max-heap under the sort order
     * whose root is the WORST retained row, evicted when a better arrives.
+    *
+    * Memory contract: O(distinct keys in the partition × k) retained rows —
+    * the same in-memory hash-by-key shape as a non-spilling hash aggregate.
+    * A production hardening for pathological key cardinality would add the
+    * sort-based spill fallback hash aggregates use; at the intended k
+    * (top-N-per-entity) the retained set is orders of magnitude below the
+    * input.
     */
   private[plans] def topKPerKey(
       keys: Seq[Expression],
@@ -90,9 +97,14 @@ object GroupedTopK {
     // last) at the head, ready for eviction when a better row arrives
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
     iter.foreach { row =>
-      val key = keyProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(),
-        mutable.PriorityQueue.empty[InternalRow](rowOrd))
+      val key = keyProj(row) // reused buffer; copied only on first sight
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+          heaps.put(key.copy(), h)
+          h
+      }
       if (heap.size < k) heap.enqueue(row.copy())
       else if (rowOrd.compare(row, heap.head) < 0) {
         heap.dequeue()
