@@ -23,20 +23,13 @@ object CorpusMain {
   final case class CorpusStats(rowsIn: Long, kept: Long, langs: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): CorpusStats = {
-    val toks = split(col("text"), " ")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val docs = Tables(spark, sfDir, "documents")
     val rowsIn = docs.count()
 
-    val corpus: DataFrame = docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        xxhash64(col("text")).as("h"),
-        md5(col("text")).as("digest"),
-        size(toks).cast("long").as("n_tokens"),
-        (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
-      .withColumn("keeper", min(col("doc_id")).over(w))
-      .where(col("doc_id") === col("keeper") &&
-        col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3)
+    // selection shared with the oracle-verified x19 query — one definition,
+    // so the shipped corpus cannot drift from what correctness checks pin
+    val corpus: DataFrame = graft.queries.Dedup
+      .cleanCorpus(docs, extras = Seq("digest" -> md5(col("text"))))
       .withColumn("quality",
         when(col("n_tokens") >= 50 && col("uniq_ratio") >= 0.5, "good")
           .otherwise("ok"))

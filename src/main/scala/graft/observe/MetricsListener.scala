@@ -42,7 +42,9 @@ final class MetricsListener extends QueryExecutionListener {
     buf.add(
       try capture(funcName, qe, 0L, failed = true)
       catch {
-        case _: Exception =>
+        // Throwable: the lazy val rethrows whatever killed planning,
+        // Exception or Error — either way the failed record must survive
+        case _: Throwable =>
           QueryMetric(funcName, 0L, 0L, 0L, 0L, failed = true,
             new Timestamp(System.currentTimeMillis()))
       })

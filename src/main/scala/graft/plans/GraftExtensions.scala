@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions.{CosineSim, CosineSimPreNorm, L2Norm}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -27,16 +27,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object HoistCosineNorm extends Rule[LogicalPlan] {
+  // cosine is symmetric and IEEE multiplication commutes, so swapping the
+  // arguments to put the constant on the prenorm side is bit-preserving
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case CosineSim(a, b) if b.foldable && b.dataType != null =>
-        // evaluate the constant side once via the existing native kernel —
-        // identical arithmetic to the per-row path, so results are unchanged
-        val bVal = b.eval()
-        if (bVal == null) CosineSim(a, b)
-        else {
-          val norm = L2Norm(Literal.create(bVal, b.dataType)).eval()
-          CosineSimPreNorm(a, b, Literal(norm, DoubleType))
-        }
+      case CosineSim(a, b) if b.foldable => hoist(a, b)
+      case CosineSim(a, b) if a.foldable => hoist(b, a)
     }
+
+  /** Rewrite cosine(varying, constant): fold the constant side's norm once
+    * via the existing native kernel — identical arithmetic to the per-row
+    * path, so results are unchanged.
+    */
+  private def hoist(varying: Expression, constant: Expression): Expression = {
+    val cVal = constant.eval()
+    if (cVal == null) CosineSim(varying, constant)
+    else {
+      val norm = L2Norm(Literal.create(cVal, constant.dataType)).eval()
+      CosineSimPreNorm(varying, constant, Literal(norm, DoubleType))
+    }
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -136,8 +136,10 @@ final case class GroupedTopKFinalExec(
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan) extends TopKHeapExec {
+  // empty keys = GLOBAL top-k: all partial outputs must meet in one place
+  // (AllTuples), else each partition would emit its own local "top-k"
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+    if (keys.isEmpty) Seq(AllTuples) else Seq(ClusteredDistribution(keys))
   override protected def doExecute(): RDD[InternalRow] = heapRDD()
   override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKFinalExec =
     copy(child = newChild)

@@ -176,20 +176,10 @@ object Dedup {
   // trade accepted everywhere else in this family.
   private val x19 = GQuery(
     "x19_clean_corpus", "ext-dedup ext-text pipeline-composite",
-    (s, dir) => {
-      val toks = split(col("text"), " ")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-      docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          xxhash64(col("text")).as("h"),
-          size(toks).cast("long").as("n_tokens"),
-          (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
-        .withColumn("keeper", min(col("doc_id")).over(w))
-        .where(col("doc_id") === col("keeper") &&
-          col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3)
+    (s, dir) =>
+      Dedup.cleanCorpus(docs(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""WITH k AS (
               SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -200,6 +190,40 @@ object Dedup {
             FROM k
             WHERE doc_id = keeper AND n_tokens >= 20 AND uniq_ratio >= 0.3
             ORDER BY doc_id"""))
+
+  // --- shared clean-corpus selection (x19 + graft.CorpusMain) -------------
+
+  /** Quality-gate thresholds, shared by the oracle-verified x19 query and
+    * the CorpusMain materialization CLI so the two cannot drift.
+    */
+  val MinTokens = 20L
+  val MinUniqRatio = 0.3
+
+  /** The clean-corpus selection: exact dedup (min doc_id per content
+    * fingerprint) ∘ quality gate, with everything text-derived computed in
+    * the initial narrow projection so the dedup window's exchange carries
+    * only (hash, metadata) — document bodies never shuffle (the x14
+    * fingerprint principle; a 64-bit collision, ~n²/2⁶⁵, could merge two
+    * distinct texts — the standard fingerprint trade). `extras` lets callers
+    * add more text-derived columns (e.g. a digest) to the same pre-shuffle
+    * projection.
+    */
+  def cleanCorpus(
+      documents: DataFrame,
+      extras: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Seq(
+      col("doc_id"), col("lang"), col("source"),
+      xxhash64(col("text")).as("h"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio")) ++
+      extras.map { case (name, c) => c.as(name) }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    documents.select(base: _*)
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("keeper") &&
+        col("n_tokens") >= MinTokens && col("uniq_ratio") >= MinUniqRatio)
+  }
 
   val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19)
 }

@@ -11,16 +11,26 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   */
 class CatalogStatsSpec extends SparkSpec {
 
-  test("ANALYZE TABLE stats drive the broadcast decision without hints") {
+  test("ANALYZE TABLE stats reach the optimizer and the join broadcasts") {
+    val expectRows = Tables(spark, sf001, "nation").count()
     Tables(spark, sf001, "nation").write.mode("overwrite")
       .saveAsTable("graft_nation_stats")
     Tables(spark, sf001, "customer").createOrReplaceTempView("customer_v")
+    val cboSaved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true") // row counts propagate under CBO
     try {
+      // before ANALYZE: only file-size fallback exists — no row count.
+      // (sizeInBytes alone would already broadcast this tiny table, so the
+      // row count is the signal that proves CATALOG stats are consulted.)
+      def planRowCount(): Option[BigInt] =
+        spark.table("graft_nation_stats").queryExecution
+          .optimizedPlan.stats.rowCount
+      assert(planRowCount().isEmpty,
+        "no ANALYZE yet => the optimizer must not see a row count")
+
       spark.sql("ANALYZE TABLE graft_nation_stats COMPUTE STATISTICS")
-      val stats = spark.sql("DESCRIBE EXTENDED graft_nation_stats")
-        .where(col("col_name") === "Statistics").collect()
-      assert(stats.nonEmpty && stats.head.getString(1).contains("bytes"),
-        s"ANALYZE must record table size: ${stats.toSeq}")
+      assert(planRowCount().contains(BigInt(expectRows)),
+        s"ANALYZE row count must reach plan statistics: ${planRowCount()}")
 
       val joined = spark.table("graft_nation_stats")
         .join(spark.table("customer_v"),
@@ -31,7 +41,10 @@ class CatalogStatsSpec extends SparkSpec {
         case p => p
       }).toString
       assert(plan.contains("BroadcastHashJoin"),
-        s"known-small table must broadcast on stats alone:\n$plan")
-    } finally spark.sql("DROP TABLE IF EXISTS graft_nation_stats")
+        s"known-small table must broadcast with no hint:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboSaved)
+      spark.sql("DROP TABLE IF EXISTS graft_nation_stats")
+    }
   }
 }

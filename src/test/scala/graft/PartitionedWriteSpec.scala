@@ -47,8 +47,7 @@ class PartitionedWriteSpec extends SparkSpec {
       try {
         spark.conf.set("spark.sql.files.maxPartitionBytes", maxBytes)
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
-        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-          .rdd.getNumPartitions
+        spark.read.parquet(s"$sf01/lineitem.parquet").rdd.getNumPartitions
       } finally {
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
         spark.conf.set("spark.sql.files.openCostInBytes", openCost)

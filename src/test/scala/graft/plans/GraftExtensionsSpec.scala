@@ -38,6 +38,28 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ == HoistCosineNorm)
   }
 
+  test("the rule is symmetric: a constant LEFT side hoists too") {
+    val e = Tables(spark, sf001, "embeddings")
+    val qvec = e.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ HoistCosineNorm
+    try {
+      val flipped = e.select(col("vec_id"),
+        VectorOps.cosine(typedlit(qvec), col("embedding")).as("sim"))
+        .orderBy("vec_id").limit(20)
+      assert(flipped.queryExecution.optimizedPlan.toString.contains("cosine_sim_prenorm"),
+        "constant-left cosine must hoist like constant-right")
+      // cosine symmetry + IEEE commutativity: same values either way
+      val straight = e.select(col("vec_id"),
+        VectorOps.cosine(col("embedding"), typedlit(qvec)).as("sim"))
+        .orderBy("vec_id").limit(20)
+      assert(flipped.collect().map(_.getDouble(1)).toSeq ==
+        straight.collect().map(_.getDouble(1)).toSeq)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == HoistCosineNorm)
+  }
+
   test("non-constant sides are left untouched") {
     val e = Tables(spark, sf001, "embeddings")
     spark.experimental.extraOptimizations =

@@ -44,6 +44,16 @@ class GroupedTopKSpec extends SparkSpec {
     }
   }
 
+  test("empty keys = GLOBAL top-k, not per-partition locals") {
+    installed {
+      val df = spark.range(0, 10000, 1, 8).select(col("id").as("v"))
+      val global = GroupedTopKOps.groupedTopK(df, Seq.empty, Seq(col("v").desc), 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(global == Set(9999L, 9998L, 9997L, 9996L, 9995L),
+        s"must merge partial heaps across all 8 partitions: $global")
+    }
+  }
+
   test("plan shape: partial heap below the exchange, final above") {
     installed {
       val topk = GroupedTopKOps.groupedTopK(
