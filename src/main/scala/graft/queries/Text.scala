@@ -175,5 +175,40 @@ object Text {
             FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
             GROUP BY t.token ORDER BY n DESC, t.token LIMIT 50"""))
 
-  val queries: Seq[GQuery] = Seq(x10, x10b, x11, x12, x13, x14, x15, x18)
+  // Sketch-based frequent tokens — the 100 TB path next to x18's exact
+  // groupBy: single-pass Misra-Gries-style candidate set (stat.freqItems)
+  // with bounded memory, no full-vocabulary aggregation. Guarantee: every
+  // token with frequency above the support threshold IS in the candidate
+  // set (false positives possible, no false negatives) — TextSpec pins the
+  // exact top tokens all appear.
+  private val x20 = GQuery(
+    "x20_frequent_tokens_sketch", "ext-text sketch-agg",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(explode(tokens).as("token"))
+        .stat.freqItems(Seq("token"), support = 0.005)
+        .select(explode(col("token_freqItems")).as("candidate"))
+        .orderBy("candidate")
+    },
+    None) // sketch candidate set: superset semantics, spec-gated
+
+  // Stratified corpus sampling (stat.sampleBy): the per-language
+  // downsampling step a training-data mixer runs — per-stratum Bernoulli
+  // with a fixed seed, so the sample is reproducible run to run. Narrow
+  // one-pass operator: no shuffle at all, each partition filters locally.
+  private val x21 = GQuery(
+    "x21_stratified_sample", "ext-text sampling",
+    (s, dir) => {
+      val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 0.5,
+        "fr" -> 0.5, "zh" -> 1.0)
+      docs(s, dir)
+        .stat.sampleBy("lang", fractions, seed = 42L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    },
+    None) // seeded pseudo-random selection: spec-gated (bounds + determinism)
+
+  val queries: Seq[GQuery] = Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21)
 }
