@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed connected components over an edge list — the clustering step
+  * of fuzzy deduplication at corpus scale. Per-bucket keeper assignment
+  * (x03/x04) under-merges: if A~B in one LSH bucket and B~C in another, A and
+  * C land in different clusters even though the dedup relation links them
+  * through B. Production dedup (the published MinHash-LSH pipelines) closes
+  * the candidate graph transitively; this operator does that close.
+  *
+  * Algorithm: min-label propagation with pointer jumping. Each round
+  *   1. neighbor-min: p(v) = min(comp(v), min over comp(u) for u adjacent),
+  *   2. pointer jump:  comp'(v) = p(p(v))
+  * Labels only decrease, and at the fixpoint adjacent vertices have equal
+  * labels (comp(u) <= comp(v) and vice versa), so the fixpoint is exactly the
+  * component-wise minimum vertex id. The jump step doubles propagation
+  * distance per round (CC-MR / Kiveris et al. style), so convergence is
+  * O(log diameter) rounds, not O(diameter) — a 127-hop path closes in ~7
+  * rounds (pinned in ConnectedComponentsSpec).
+  *
+  * Scale shape: every shuffle in the loop carries only (long, long) pairs —
+  * edges are canonicalized + distinct'd once up front, and each round is one
+  * groupBy(id).min plus one self-join on the label table. Lineage is
+  * truncated per round with localCheckpoint so the plan does not grow with
+  * iteration count. Convergence is detected from sum(comp) (labels are
+  * monotonically non-increasing, so the decimal sum is stable iff no label
+  * moved), which avoids a join-against-previous comparison shuffle.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame whose first two columns are long vertex ids
+    *              (undirected; self-loops and duplicates tolerated)
+    * @param maxRounds safety bound; throws if not converged (default 25
+    *                  rounds covers diameters up to ~2^25 with jumping)
+    * @return (labels, rounds): labels has (id, comp) with comp = min vertex
+    *         id of the component; one row per vertex appearing in any edge
+    */
+  def run(edges: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+    val cols = edges.columns
+    val e = edges
+      .select(col(cols(0)).cast("long").as("x"), col(cols(1)).cast("long").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = e.select(col("a").as("id"), col("b").as("nbr"))
+      .union(e.select(col("b").as("id"), col("a").as("nbr")))
+
+    var labels = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var prevSum = checkSum(labels)
+    var rounds = 0
+    var converged = labels.isEmpty
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds, s"connected components did not converge in $maxRounds rounds")
+      // 1. neighbor-min over comp labels (self included via the union branch)
+      val p = sym
+        .join(labels.select(col("id").as("nbr"), col("comp").as("ncomp")), "nbr")
+        .select(col("id"), col("ncomp"))
+        .union(labels.select(col("id"), col("comp").as("ncomp")))
+        .groupBy(col("id")).agg(min(col("ncomp")).as("p"))
+      // 2. pointer jump: follow the new label one more hop. p(v) is itself a
+      // vertex id (labels are mins of vertex ids), so the self-join hits;
+      // left + coalesce only guards the theoretical miss.
+      labels = p
+        .join(p.select(col("id").as("p"), col("p").as("gp")), Seq("p"), "left")
+        .select(col("id"), coalesce(col("gp"), col("p")).as("comp"))
+        .localCheckpoint(true)
+      val s = checkSum(labels)
+      converged = s == prevSum
+      prevSum = s
+    }
+    (labels, rounds)
+  }
+
+  /** Decimal sum of labels — overflow-proof monotone convergence witness. */
+  private def checkSum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
+}

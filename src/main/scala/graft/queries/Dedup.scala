@@ -162,6 +162,51 @@ object Dedup {
                 / (len(d.tok) + len(r.rtok) - len(list_intersect(d.tok, r.rtok))) >= 0.8
             ORDER BY r.ref_id, d.doc_id"""))
 
+  // Transitive closure of x03: per-bucket keeper assignment under-merges —
+  // if A~B in one LSH band bucket and B~C in another, x03 leaves A and C in
+  // different clusters even though the dedup relation links them through B.
+  // Here every (member, bucket_min) candidate edge is verified by signature
+  // agreement (same 0.85 estimated-Jaccard threshold as x03), then the
+  // verified candidate graph is closed with distributed connected components
+  // (graft.operators.ConnectedComponents — O(log diameter) label-propagation
+  // rounds shuffling only (long, long) pairs). Output matches x03's shape:
+  // (doc_id, keeper) with keeper = min doc_id of the transitive cluster, so
+  // x22 is a coarsening of x03 (pinned in DedupSpec).
+  private val x22 = GQuery(
+    "x22_dedup_transitive", "ext-dedup-fuzzy custom-operator",
+    (s, dir) => {
+      val k = 32
+      val bands = 8
+      val sigs = docs(s, dir)
+        .select(col("doc_id"),
+          HashFunctions.minhashSig(split(col("text"), " "), k, ngram = 3).as("sig"))
+        .localCheckpoint(true)
+      val banded = sigs.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * ${k / bands} + 1, ${k / bands})))")))
+        .select(col("doc_id"), col("col").as("band_hash"))
+      // star edges per bucket: every member links to the bucket minimum
+      // (star, not all-pairs — preserves connectivity at O(members) edges)
+      val edges = banded
+        .withColumn("bucket_min", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band_hash"))))
+        .where(col("bucket_min") < col("doc_id"))
+        .select(col("doc_id"), col("bucket_min")).distinct()
+      // verify each candidate edge before closing over it, so one noisy
+      // bucket cannot weld unrelated documents into a mega-cluster
+      val verifiedEdges = edges
+        .join(sigs, Seq("doc_id"))
+        .join(sigs.select(col("doc_id").as("bucket_min"), col("sig").as("msig")),
+          Seq("bucket_min"))
+        .where(HashFunctions.sigAgreement(col("sig"), col("msig")) >= math.ceil(0.85 * k).toLong)
+        .select(col("doc_id"), col("bucket_min"))
+      val (labels, _) = graft.operators.ConnectedComponents.run(verifiedEdges)
+      docs(s, dir).select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keeper"))
+        .orderBy("doc_id")
+    },
+    None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
+
   // The materialization composite a training-data pipeline actually runs:
   // exact-dedup (keep the min-doc_id copy of each text) ∘ quality gate
   // (length + lexical-diversity thresholds) ∘ metadata projection — one pass
@@ -225,5 +270,5 @@ object Dedup {
         col("n_tokens") >= MinTokens && col("uniq_ratio") >= MinUniqRatio)
   }
 
-  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19)
+  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19, x22)
 }

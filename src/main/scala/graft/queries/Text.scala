@@ -210,5 +210,87 @@ object Text {
     },
     None) // seeded pseudo-random selection: spec-gated (bounds + determinism)
 
-  val queries: Seq[GQuery] = Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21)
+  // Gopher-style repetition quality filter: top-token fraction (most frequent
+  // token / total tokens) and duplicate-bigram fraction — the published
+  // repetition signals for filtering boilerplate/spam out of training data
+  // (line-based variants degenerate on this corpus: no newlines in `text`).
+  //
+  // Scale shape: the bigram stats are a narrow per-row projection; the token
+  // frequency pass explodes to (doc_id, token) with map-side partial
+  // aggregation, then reduces to one row per doc — the exchange carries
+  // (doc_id, token, count), never documents. Thresholds (0.2 / 0.5) follow
+  // the Gopher-rules ballpark; ratios divide exact ints so doubles hash-match
+  // the oracle bit-for-bit.
+  private val x23 = GQuery(
+    "x23_repetition_filter", "ext-text quality-filter",
+    (s, dir) => {
+      val bigrams = expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), i -> array_join(slice(split(text, ' '), i, 2), ' '))")
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(tokens).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+      val bg = docs(s, dir).select(col("doc_id"),
+        (size(tokens) - 1).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_uniq_bigrams"))
+      tf.join(bg, "doc_id")
+        .select(col("doc_id"),
+          (col("top_c").cast("double") / col("n_tok")).as("top_token_frac"),
+          (lit(1.0) - col("n_uniq_bigrams").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+        .withColumn("keep", col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM w),
+            tf AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+            top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok FROM tf GROUP BY 1),
+            bg AS (SELECT doc_id,
+                    CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+                    CAST(len(list_distinct(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' ')))) AS BIGINT) AS n_uniq_bigrams
+                   FROM w)
+            SELECT t.doc_id,
+              CAST(top_c AS DOUBLE) / n_tok AS top_token_frac,
+              1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+              (CAST(top_c AS DOUBLE) / n_tok <= 0.2
+               AND 1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams <= 0.5) AS keep
+            FROM top t JOIN bg USING (doc_id) ORDER BY doc_id"""))
+
+  // Benchmark decontamination: flag corpus documents sharing any word-6-gram
+  // with a held-out benchmark set (docs 0-49 stand in for the eval suite) —
+  // the overlap check every serious training-data pipeline runs before
+  // training. Output: contaminated doc -> number of distinct leaked shingles.
+  //
+  // Scale shape: the benchmark side is small by construction (eval suites,
+  // not corpora), so its distinct shingle set broadcasts; the corpus side is
+  // a narrow explode whose matches are rare, so the post-join count shuffles
+  // almost nothing. Exact string shingles keep the DuckDB oracle; at 100 TB
+  // you'd pack shingles to 64-bit hashes first (the TokenHashSet/MinHashSig
+  // kernels) — same plan shape, 8× less shingle traffic.
+  private val x24 = GQuery(
+    "x24_decontaminate", "ext-text decontamination",
+    (s, dir) => {
+      val shingles = expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 1)), i -> array_join(slice(split(text, ' '), i, 6), ' '))")
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(shingles)).as("shingle"))
+      val bench = sh.where(col("doc_id") < 50).select("shingle").distinct()
+      sh.where(col("doc_id") >= 50)
+        .join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, greatest(len(w) - 5, 1) + 1),
+                       i -> array_to_string(w[i:i+5], ' ')))) AS shingle
+                   FROM w),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM sh JOIN bench USING (shingle)
+            WHERE doc_id >= 50
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  val queries: Seq[GQuery] =
+    Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24)
 }

@@ -42,6 +42,80 @@ object Tpch {
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  // Q2-shaped "cheapest supplier per part": correlated MIN subquery
+  // decorrelated to a per-part aggregate joined back on (partkey, price) —
+  // the other classic decorrelation next to b05b's count form. The grouped
+  // side shrinks to one row per part, so AQE can flip the equality join to
+  // broadcast at runtime; part (selective filter) and supplier (names) are
+  // planner-broadcast. Price equality is exact: both engines compare the
+  // same stored doubles, and MIN picks one of them, not a computed value.
+  // (This schema has no partsupp table — lineitem is the part↔supplier
+  // link, preserving Q2's join/subquery composition.)
+  private val q2 = GQuery(
+    "q02_min_cost_supplier", "correlated-min-join B5 B7",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val minPrice = li.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+        .withColumnRenamed("l_partkey", "mp_partkey") // disambiguate self-join
+      val p = Tables(s, dir, "part")
+        .where(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_name"))
+      val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      li.join(minPrice,
+          col("l_partkey") === col("mp_partkey") &&
+            col("l_extendedprice") === col("min_price"))
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("l_extendedprice").as("price"))
+        .orderBy("p_partkey", "s_name")
+    },
+    Some("""WITH m AS (
+              SELECT l_partkey, MIN(l_extendedprice) AS min_price
+              FROM lineitem GROUP BY l_partkey)
+            SELECT p.p_partkey, p.p_name, s.s_name, l.l_extendedprice AS price
+            FROM lineitem l
+            JOIN m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+            JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 5
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            ORDER BY p.p_partkey, s.s_name"""))
+
+  // Q22-shaped "rich customers with no big-ticket order": scalar aggregate
+  // subquery (average positive balance) broadcast as a 1-row join, anti join
+  // against qualifying orders, then a grouped rollup. The three-stage
+  // composition — scalar subquery, NOT EXISTS, aggregate — is the last
+  // TPC-H pattern family not yet in the bench. (Every customer here has
+  // SOME order, so the NOT EXISTS carries Q22's usual pushed predicate to
+  // stay non-vacuous.) The filtered anti-join side shrinks to big-ticket
+  // orders only, so AQE flips it to broadcast; the threshold comparison
+  // happens on the same stored doubles in both engines.
+  private val q22 = GQuery(
+    "q22_no_order_customers", "scalar-subquery anti-join B5 C2",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val thr = c.where(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("thr"))
+      val o = Tables(s, dir, "orders")
+        .where(col("o_totalprice") > 300000.0) // pushes to the scan
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(thr))
+        .where(col("c_acctbal") > col("thr"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   // Q18-shaped: aggregate + HAVING threshold, then join back to orders —
   // group-filter-join. The grouped side shrinks drastically before the join,
   // so AQE can flip it to broadcast at runtime.
@@ -241,5 +315,5 @@ object Tpch {
             ORDER BY numwait DESC, s.s_name
             LIMIT 20"""))
 
-  val queries: Seq[GQuery] = Seq(q1, q3, q5, q6, q16, q18, q21)
+  val queries: Seq[GQuery] = Seq(q1, q2, q3, q5, q6, q16, q18, q21, q22)
 }

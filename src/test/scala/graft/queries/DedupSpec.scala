@@ -49,6 +49,39 @@ class DedupSpec extends SparkSpec {
     assert(agg((0L, 2L)) <= k / 4, s"disjoint docs must not agree: ${agg((0L, 2L))}/$k")
   }
 
+  test("x22 transitive closure coarsens x03 and covers the corpus") {
+    val x03 = clusters("x03_dedup_minhash_lsh")
+    val x22 = clusters("x22_dedup_transitive")
+    val docs = Tables(spark, sf001, "documents")
+    assert(x22.count() == docs.count(), "cluster assignment must cover corpus")
+    assert(x22.where(col("keeper") > col("doc_id")).count() == 0)
+    // every x03 (doc, keeper) pair was a verified edge, so both endpoints
+    // must land in the same x22 component: x22 is a coarsening of x03
+    val comp = x22.select(col("doc_id"), col("keeper").as("comp"))
+    val broken = x03.where(col("keeper") =!= col("doc_id"))
+      .join(comp, "doc_id")
+      .join(comp.select(col("doc_id").as("keeper"), col("comp").as("kcomp")), "keeper")
+      .where(col("comp") =!= col("kcomp"))
+    assert(broken.count() == 0, "x03 keeper pair split across x22 components")
+    // and the closure can only merge clusters, never split them
+    val n03 = x03.select("keeper").distinct().count()
+    val n22 = x22.select("keeper").distinct().count()
+    assert(n22 <= n03, s"transitive closure produced MORE clusters ($n22 > $n03)")
+  }
+
+  test("x22 merges a transitive chain that per-bucket assignment splits") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    // A~B and B~C as verified edges from different buckets, no A~C edge:
+    // per-bucket min assignment leaves C keyed to B, the closure pulls
+    // the whole chain to A. (Edge construction is exercised end-to-end on
+    // the real corpus above; this pins the closure semantics themselves.)
+    val edges = Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "bucket_min")
+    val (labels, _) = ConnectedComponents.run(edges)
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m == Map(0L -> 0L, 1L -> 0L, 2L -> 0L), s"chain must collapse to min: $m")
+  }
+
   test("shingled (ngram=3) minhash keeps word order; unigram cannot") {
     import spark.implicits._
     val k = 32
