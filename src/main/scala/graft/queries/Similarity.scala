@@ -173,5 +173,33 @@ object Similarity {
     },
     None) // approximate (probe subset): rows-only check + SimilaritySpec recall
 
-  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09)
+  // Int8 quantization of the embedding column: per-vector symmetric scale
+  // (127 / max|x|), values floored into [-128, 127] — the 4x storage and
+  // bandwidth compression step before ANN serving. Pure narrow projection,
+  // no shuffle; all arithmetic is double-precision IEEE identical to the
+  // oracle (floats cast exactly, floor has no rounding ties).
+  private val x26 = GQuery(
+    "x26_embedding_quantize", "ext-similarity compression",
+    (s, dir) => {
+      val maxabs = array_max(expr("transform(embedding, x -> abs(cast(x as double)))"))
+      emb(s, dir)
+        .select(col("vec_id"),
+          (lit(127.0) / greatest(maxabs, lit(1e-30))).as("scale"),
+          col("embedding"))
+        .select(col("vec_id"), col("scale"),
+          // joined to a string: the oracle compare handles scalars only —
+          // a consumer would keep the array<tinyint> column instead
+          concat_ws(",",
+            expr("transform(embedding, x -> cast(floor(cast(x as double) * scale) as bigint))"))
+            .as("q"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH s AS (SELECT vec_id, embedding,
+                         127.0 / greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) AS scale
+                       FROM embeddings)
+            SELECT vec_id, scale,
+              array_to_string(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)), ',') AS q
+            FROM s ORDER BY vec_id"""))
+
+  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26)
 }

@@ -291,6 +291,32 @@ object Text {
             WHERE doc_id >= 50
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Token-window chunking: split every document into 32-token windows with
+  // stride 24 (8-token overlap) — the context-window prep step for training
+  // and retrieval corpora. Pure narrow operator: the chunk list is built and
+  // exploded inside one projection, no shuffle anywhere; at 100 TB this is
+  // scan-bound and embarrassingly parallel. posexplode's 0-based pos is the
+  // chunk index, matching the oracle's (start-1)/stride.
+  private val x25 = GQuery(
+    "x25_chunk_documents", "ext-text chunking",
+    (s, dir) => {
+      val chunks = expr(
+        "transform(sequence(1, size(split(text, ' ')), 24), i -> array_join(slice(split(text, ' '), i, 32), ' '))")
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(chunks))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"),
+          size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            ch AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1, 24),
+                     s -> struct_pack(ci := (s - 1) // 24, ch := array_to_string(w[s:s+31], ' ')))) AS u
+                   FROM w)
+            SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, u.ch AS chunk,
+              CAST(len(string_split(u.ch, ' ')) AS BIGINT) AS n_chunk_tokens
+            FROM ch ORDER BY doc_id, chunk_idx"""))
+
   val queries: Seq[GQuery] =
-    Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24)
+    Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25)
 }

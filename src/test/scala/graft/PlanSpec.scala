@@ -129,6 +129,56 @@ class PlanSpec extends SparkSpec {
       s"shuffle carrying vector columns:\n${offenders.mkString("\n")}")
   }
 
+  test("q02 correlated-min join-back: part and supplier broadcast, no cartesian") {
+    val df = SparkEntry.queries("q02_min_cost_supplier")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"part + supplier must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-part MIN must run partial+final aggregates:\n$plan")
+  }
+
+  test("q22 scalar-subquery threshold broadcasts; anti join preserved") {
+    val df = SparkEntry.queries("q22_no_order_customers")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row threshold must broadcast, not shuffle:\n$plan")
+    assert(plan.contains("GreaterThan(o_totalprice,300000.0)"),
+      s"big-ticket predicate must reach the orders scan:\n$plan")
+  }
+
+  test("x24 decontamination: benchmark shingle set broadcasts, corpus shingles never shuffle") {
+    // the 100 TB property: the corpus-side explode joins against a
+    // broadcast of the (small) benchmark set; only the rare matches reach
+    // the post-join count shuffle. The benchmark side's own distinct may
+    // shuffle its shingles — that exchange is bounded by the benchmark
+    // suite and sits beneath the BroadcastExchange, so only shingle
+    // shuffles OUTSIDE a broadcast subtree are offenders.
+    val df = SparkEntry.queries("x24_decontaminate")(spark, sf001)
+    df.collect()
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def offenders(p: SparkPlan, underBroadcast: Boolean): Seq[SparkPlan] = {
+      val nowUnder = underBroadcast || p.isInstanceOf[BroadcastExchangeExec]
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      val here = p match {
+        case ex: ShuffleExchangeExec if !nowUnder && ex.output.exists(a =>
+          Set("shingle", "text").contains(a.name)) => Seq(ex)
+        case _ => Nil
+      }
+      here ++ (p.children ++ nested).flatMap(offenders(_, nowUnder))
+    }
+    val plan = executedPlan(df).toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark set must broadcast:\n$plan")
+    val bad = offenders(df.queryExecution.executedPlan, underBroadcast = false)
+    assert(bad.isEmpty, s"corpus-side shuffle carrying shingles/text:\n${bad.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf001)
     val plan = executedPlan(df).toString
