@@ -416,6 +416,57 @@ object Extended {
               FROM orders) WHERE rn <= 3
             ORDER BY o_custkey, o_orderkey"""))
 
+  // Time-series gap filling with forward fill: densify the hourly series to
+  // the full grid (every hour × every event type), then carry the last
+  // observed value across gaps — the monitoring-dashboard densification the
+  // reference's Grafana panels get from their charting layer, done in the
+  // engine. Hourly sums use the exact-decimal pattern (b03) so the carried
+  // values hash-match.
+  //
+  // Scale shape: the grid is hours × types (tiny — a year is 8.8k rows per
+  // type) built from one global min/max agg and broadcast into the left
+  // join; actuals partial-aggregate before their (type, hour) shuffle; the
+  // forward fill is one window per type, parallel across types. For very
+  // long single series, range-partition by (type, time-bucket) and carry
+  // the per-bucket tail forward — the same chunked-carry seam as
+  // DebounceStream documents.
+  private val c34 = GQuery(
+    "c34_gap_fill", "window-forward-fill time-series",
+    (s, dir) => {
+      val actual = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      val bounds = actual.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      val grid = actual.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(actual, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"), col("v").isNull.as("is_gap"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""WITH actual AS (
+              SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM actual),
+            grid AS (
+              SELECT t.event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM (SELECT DISTINCT event_type FROM actual) t, bounds)
+            SELECT g.event_type, g.hour,
+              a.v IS NULL AS is_gap,
+              last_value(a.v IGNORE NULLS) OVER (
+                PARTITION BY g.event_type ORDER BY g.hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+            FROM grid g LEFT JOIN actual a
+              ON a.event_type = g.event_type AND a.hour = g.hour
+            ORDER BY g.event_type, g.hour"""))
+
   val queries: Seq[GQuery] = Seq(
-    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32, c33)
+    c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
+    c33, c34)
 }

@@ -35,6 +35,56 @@ class PartitionedWriteSpec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("sort-on-write enables parquet row-group skipping for range filters") {
+    // the other half of the storage-layout story next to partition pruning:
+    // within a partition, sorting by the range-filtered column clusters each
+    // row group's min/max stats so a narrow predicate skips whole row
+    // groups. At 100 TB this is the difference between "read the partition"
+    // and "read three row groups of it". Measured via the scan's
+    // numOutputRows (rows surviving row-group/page-level pushdown, before
+    // Spark's residual Filter).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => Nil
+        }
+        p +: (p.children ++ nested).flatMap(allNodes)
+      }
+      allNodes(df.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    }
+    // Sort key is the BIGINT orderkey: Spark's ParquetFilters translates
+    // long/int/string/date predicates into parquet FilterPredicates, but NOT
+    // TimestampNTZType — an l_shipdate sort would show pushed filters in the
+    // plan yet skip nothing (measured: 600k of 600k rows scanned). Range
+    // columns meant for data skipping must be stored as date/long at 100 TB.
+    val li = Tables(spark, sf01, "lineitem")
+    val total = li.count()
+    val base = Files.createTempDirectory("graft-sorted").toString
+    // ~128 KB row groups so sf0.1's lineitem spans many groups per file
+    li.sort("l_orderkey").coalesce(2).write
+      .option("parquet.block.size", 128 * 1024)
+      .mode("overwrite").parquet(s"$base/sorted")
+    li.orderBy(rand(7)).coalesce(2).write
+      .option("parquet.block.size", 128 * 1024)
+      .mode("overwrite").parquet(s"$base/shuffled")
+    def narrow(path: String) = spark.read.parquet(path)
+      .where(col("l_orderkey") >= 10000 && col("l_orderkey") < 11000)
+    val sortedScan = scanRows(narrow(s"$base/sorted"))
+    val shuffledScan = scanRows(narrow(s"$base/shuffled"))
+    assert(narrow(s"$base/sorted").count() == narrow(s"$base/shuffled").count())
+    assert(sortedScan < total / 5,
+      s"sorted layout must skip most row groups: scanned $sortedScan of $total")
+    assert(shuffledScan > sortedScan * 4,
+      s"unsorted layout cannot skip: $shuffledScan vs sorted $sortedScan")
+  }
+
   test("maxPartitionBytes sizes the input splits (spill-control knob)") {
     // the read-side memory-budget knob: lowering maxPartitionBytes must cut
     // the same file into more, smaller input partitions — how executor
