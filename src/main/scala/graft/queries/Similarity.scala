@@ -201,5 +201,45 @@ object Similarity {
               array_to_string(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)), ',') AS q
             FROM s ORDER BY vec_id"""))
 
-  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26)
+  // Batch k-NN join: top-5 cosine neighbors for EVERY query in a batch
+  // (vec_id < 10), not just one — the retrieval/dedup shape production
+  // actually runs. Composes the two custom pieces: the hoisted-norm native
+  // cosine kernel scores one streaming corpus scan against the broadcast
+  // query batch, and GroupedTopK (partial/final bounded heaps) keeps the
+  // per-query top-k with <= k rows per query per partition crossing the
+  // shuffle — where the window row_number form would shuffle all
+  // |corpus| x |batch| scored rows.
+  private val x27 = GQuery(
+    "x27_knn_join", "ext-similarity-batch custom-operator custom-expression",
+    (s, dir) => {
+      import graft.plans.{GroupedTopKOps, GroupedTopKStrategy}
+      if (!s.experimental.extraStrategies.contains(GroupedTopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ GroupedTopKStrategy
+      val e = emb(s, dir)
+      val batch = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          VectorOps.l2norm(col("embedding")).as("qnorm"))
+      val scored = e.where(col("vec_id") >= 10).join(broadcast(batch))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm")).as("sim"))
+      GroupedTopKOps.groupedTopK(scored, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id")), k = 5)
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS sim
+              FROM embeddings e, q WHERE e.vec_id >= 10)
+            SELECT q_id, vec_id, sim FROM (
+              SELECT q_id, vec_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+              FROM scored) WHERE rn <= 5
+            ORDER BY q_id, sim DESC, vec_id"""))
+
+  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26, x27)
 }
