@@ -80,6 +80,7 @@ object MediaDecode {
     private def isBmp(b: Array[Byte]) = b.length > 2 && b(0) == 'B' && b(1) == 'M'
     private def isGif(b: Array[Byte]) = b.length > 6 &&
       b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    private[operators] def looksGif(b: Array[Byte]): Boolean = isGif(b)
     private def isWave(b: Array[Byte]) = b.length > 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
@@ -225,6 +226,111 @@ object MediaDecode {
         } catch { case _: Exception => None }
       }
     }
+  }
+
+  /** One sampled frame. For real (animated-GIF) frames `frame_len` is the
+    * pixel count and `digest` hashes the decoded raster; for stub frames
+    * (formats outside the JDK: video containers) `frame_len` is the byte
+    * span length and `digest` hashes the span — the span arithmetic
+    * (`n*i/k` bounds) is what x28's oracle reproduces in SQL.
+    */
+  final case class Frame(
+      media_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, mean_intensity: Double,
+      frame_len: Long, digest: String)
+
+  /** Frame-sampling seam, same contract as [[Codec]]: deterministic. */
+  trait FrameCodec extends Serializable {
+    def sample(r: MediaRecord, maxFrames: Int): Seq[Frame]
+  }
+
+  /** Uniform frame sampling. Animated GIF is REALLY decoded — ImageIO
+    * reads each sampled frame's raster (the one multi-frame format the JDK
+    * ships a decoder for). Everything else (true video) gets deterministic
+    * uniform byte spans of the payload, the honest stand-in for an FFmpeg
+    * frame grab: swapping in JavaCV changes only this object.
+    */
+  object JdkFrameCodec extends FrameCodec {
+    System.setProperty("java.awt.headless", "true")
+
+    def sample(r: MediaRecord, maxFrames: Int): Seq[Frame] = {
+      val b = r.payload
+      if (b.isEmpty || maxFrames <= 0) return Nil
+      try {
+        if (JdkCodec.looksGif(b)) gifFrames(r, maxFrames) else stubFrames(r, maxFrames)
+      } catch { case _: Exception => stubFrames(r, maxFrames) }
+    }
+
+    private def gifFrames(r: MediaRecord, maxFrames: Int): Seq[Frame] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return stubFrames(r, maxFrames)
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val total = reader.getNumImages(true)
+          if (total <= 0) return stubFrames(r, maxFrames)
+          val k = math.min(maxFrames, total)
+          // uniform sample incl. first and last frame (j*(total-1)/(k-1))
+          val indices =
+            if (k == 1) Seq(0)
+            else (0 until k).map(j => (j.toLong * (total - 1) / (k - 1)).toInt)
+          indices.zipWithIndex.map { case (idx, j) =>
+            val img = reader.read(idx)
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (w.toLong * h > JdkCodec.MaxPixels) return stubFrames(r, maxFrames)
+            val rgb = new Array[Int](w * h)
+            img.getRGB(0, 0, w, h, rgb, 0, w)
+            var sum = 0.0
+            var i = 0
+            while (i < rgb.length) {
+              val p = rgb(i)
+              sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                0.114 * (p & 0xff)
+              i += 1
+            }
+            val bytes = java.nio.ByteBuffer.allocate(rgb.length * 4)
+            rgb.foreach(bytes.putInt)
+            Frame(r.media_id, j, k, w, h,
+              if (rgb.isEmpty) 0.0 else sum / rgb.length,
+              w.toLong * h, md5hex(bytes.array()))
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** Uniform byte spans: frame j covers [n*j/k, n*(j+1)/k). */
+    private def stubFrames(r: MediaRecord, maxFrames: Int): Seq[Frame] = {
+      val n = r.payload.length
+      val k = math.min(maxFrames, math.max(1, n))
+      (0 until k).map { j =>
+        val from = (n.toLong * j / k).toInt
+        val until = (n.toLong * (j + 1) / k).toInt
+        val span = java.util.Arrays.copyOfRange(r.payload, from, until)
+        val mean =
+          if (span.isEmpty) 0.0
+          else span.map(x => (x & 0xff).toDouble).sum / span.length
+        Frame(r.media_id, j, k,
+          width = math.max(1, span.length % 1920),
+          height = math.max(1, span.length % 1080),
+          mean, span.length.toLong, md5hex(span))
+      }
+    }
+  }
+
+  /** Uniform frame sampling over a media column — one row per sampled
+    * frame. Same partition-batched execution model as [[decode]]: one
+    * codec per partition, payloads streamed, fan-out bounded by
+    * `maxFrames` per payload.
+    */
+  def frameSample(
+      media: Dataset[MediaRecord], maxFrames: Int = 4,
+      codec: FrameCodec = JdkFrameCodec): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(codec.sample(_, maxFrames)))
   }
 
   /** Frame/chunk sampling plan for large payloads: fixed-size chunk spans as

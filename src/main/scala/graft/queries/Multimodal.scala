@@ -69,5 +69,33 @@ object Multimodal {
               COUNT(DISTINCT md5(text)) AS n_distinct
             FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  val queries: Seq[GQuery] = Seq(x16, x17)
+  // Uniform frame sampling through MediaDecode.frameSample: one payload →
+  // maxFrames frame rows. Text-derived payloads take the stub path
+  // (deterministic uniform byte spans, n*j/k bounds — reproduced by the
+  // oracle's integer arithmetic); animated GIFs take the REAL ImageIO
+  // frame-raster path, spec'd in MediaDecodeSpec. Fan-out is bounded
+  // (maxFrames per payload), decode parallelism = partition count.
+  private val x28 = GQuery(
+    "x28_frame_sample", "ext-multimodal",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.MediaDecode
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("video").as("format"),
+          col("text").cast("binary").as("payload"))
+        .repartition(8)
+        .as[MediaDecode.MediaRecord]
+      MediaDecode.frameSample(media, maxFrames = 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"), col("frame_len"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""SELECT doc_id AS media_id, CAST(t.j AS BIGINT) AS frame_idx,
+              CAST(4 AS BIGINT) AS n_frames,
+              (octet_length(CAST(text AS BLOB)) * (t.j + 1)) // 4
+                - (octet_length(CAST(text AS BLOB)) * t.j) // 4 AS frame_len
+            FROM documents, range(0, 4) t(j)
+            ORDER BY media_id, frame_idx"""))
+
+  val queries: Seq[GQuery] = Seq(x16, x17, x28)
 }

@@ -95,6 +95,56 @@ class MediaDecodeSpec extends SparkSpec {
     assert((back.getRGB(16, 8) & 0xFFFFFF) == 0x204060, "uniform color survives the resize")
   }
 
+  /** Animated GIF: frames appended via ImageIO's write sequence. */
+  private def animatedGifBytes(grays: Seq[Int], w: Int = 8, h: Int = 6): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("frameSample really decodes animated GIF frames (uniform, incl. first+last)") {
+    import spark.implicits._
+    // 5 frames with increasing gray level; sample 3 => frames 0, 2, 4
+    val gif = animatedGifBytes(Seq(0, 60, 120, 180, 240))
+    val ds = Seq(MediaRecord(9L, "video", gif)).toDS()
+    val frames = frameSample(ds, maxFrames = 3).collect().sortBy(_.frame_idx)
+    assert(frames.length == 3 && frames.forall(_.n_frames == 3))
+    assert(frames.forall(f => f.width == 8 && f.height == 6),
+      s"real raster dimensions expected: ${frames.toSeq}")
+    // gray g decodes to luminance ~g (GIF palette quantization allows slack)
+    val lums = frames.map(_.mean_intensity)
+    assert(math.abs(lums(0) - 0) < 8 && math.abs(lums(1) - 120) < 8 &&
+      math.abs(lums(2) - 240) < 8, s"sampled luminances: ${lums.toSeq}")
+    assert(frames.map(_.digest).distinct.length == 3, "distinct frames, distinct digests")
+  }
+
+  test("frameSample stub path: uniform byte spans cover the payload exactly") {
+    import spark.implicits._
+    val payload = Array.tabulate(1003)(_.toByte) // not a GIF => stub spans
+    val ds = Seq(MediaRecord(5L, "video", payload)).toDS()
+    val frames = frameSample(ds, maxFrames = 4).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    assert(frames.map(_.frame_len).sum == 1003, "spans must partition the payload")
+    assert(frames.map(_.digest).distinct.length == 4)
+    // determinism across partitioning (the decode-batch contract)
+    val re = frameSample(ds.repartition(3), maxFrames = 4).collect().sortBy(_.frame_idx)
+    assert(frames.toSeq == re.toSeq)
+  }
+
   test("chunk plan covers payloads exactly with bounded chunks") {
     val df = media.toDF()
     val plan = chunkPlan(df, chunkBytes = 65536)
