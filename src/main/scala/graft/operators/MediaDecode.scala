@@ -258,7 +258,10 @@ object MediaDecode {
       if (b.isEmpty || maxFrames <= 0) return Nil
       try {
         if (JdkCodec.looksGif(b)) gifFrames(r, maxFrames) else stubFrames(r, maxFrames)
-      } catch { case _: Exception => stubFrames(r, maxFrames) }
+      } catch {
+        case _: Exception => stubFrames(r, maxFrames)
+        case _: OutOfMemoryError => stubFrames(r, maxFrames) // belt for the guard
+      }
     }
 
     private def gifFrames(r: MediaRecord, maxFrames: Int): Seq[Frame] = {
@@ -278,6 +281,11 @@ object MediaDecode {
             if (k == 1) Seq(0)
             else (0 until k).map(j => (j.toLong * (total - 1) / (k - 1)).toInt)
           indices.zipWithIndex.map { case (idx, j) =>
+            // bomb guard BEFORE the raster is allocated: header-only dims
+            // (same header-first discipline as decodeImage/resize)
+            val (hw, hh) = (reader.getWidth(idx), reader.getHeight(idx))
+            if (hw <= 0 || hh <= 0 || hw.toLong * hh > JdkCodec.MaxPixels)
+              return stubFrames(r, maxFrames)
             val img = reader.read(idx)
             val (w, h) = (img.getWidth, img.getHeight)
             if (w.toLong * h > JdkCodec.MaxPixels) return stubFrames(r, maxFrames)

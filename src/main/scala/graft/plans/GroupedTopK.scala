@@ -150,9 +150,18 @@ final case class GroupedTopKFinalExec(
   * `spark.experimental.extraStrategies`).
   */
 object GroupedTopKOps {
-  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   import org.apache.spark.sql.catalyst.expressions.Ascending
   import org.apache.spark.sql.graftglue.ColumnGlue
+
+  /** Idempotent strategy registration (synchronized: extraStrategies is a
+    * read-modify-write of shared session state).
+    */
+  def ensureInstalled(s: SparkSession): Unit = synchronized {
+    if (!s.experimental.extraStrategies.contains(GroupedTopKStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ GroupedTopKStrategy
+  }
 
   /** Top `k` rows per distinct value of `keyCols`, smallest-first under
     * `orderCols` (use `col.desc` for largest-first; pass a total order for

@@ -19,6 +19,52 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
+  // --- shared MinHash-LSH construction (x03 + x22) -------------------------
+  // One definition of signature length, banding, and the verification
+  // threshold: DedupSpec's "x22 coarsens x03" invariant requires the two
+  // queries to build IDENTICAL candidate edges, so they must share this code.
+  private val SigLen = 32
+  private val Bands = 8 // 8 bands x 4 rows: catches ~0.85+ Jaccard reliably
+  private val VerifyAgree = math.ceil(0.85 * SigLen).toLong
+
+  /** Word-3-gram shingle MinHash signatures, computed once and reused on
+    * both sides of the candidate join (localCheckpoint).
+    */
+  private def minhashSigs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      HashFunctions.minhashSig(split(col("text"), " "), SigLen, ngram = 3).as("sig"))
+      .localCheckpoint(true)
+
+  /** (doc_id, band_hash) pairs: one xxhash64 per band over the sig slice. */
+  private def bandHashes(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(b, slice(sig, b * ${SigLen / Bands} + 1, ${SigLen / Bands})))")))
+      .select(col("doc_id"), col("col").as("band_hash"))
+
+  /** Adds each row's bucket minimum (star-edge construction). */
+  private def withBucketMin(banded: DataFrame): DataFrame =
+    banded.withColumn("bucket_min", min(col("doc_id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("band_hash"))))
+
+  /** Keeps only (doc_id, candCol) pairs whose signatures agree on >= the
+    * 0.85-estimated-Jaccard threshold.
+    */
+  private def verifyPairs(pairs: DataFrame, sigs: DataFrame, candCol: String): DataFrame =
+    pairs
+      .join(sigs, Seq("doc_id"))
+      .join(sigs.select(col("doc_id").as(candCol), col("sig").as("cand_sig")), Seq(candCol))
+      .where(HashFunctions.sigAgreement(col("sig"), col("cand_sig")) >= VerifyAgree)
+      .select(col("doc_id"), col(candCol))
+
+  /** Left-join the assignment back over the corpus: unassigned docs keep
+    * themselves; output (doc_id, keeper) sorted.
+    */
+  private def coverCorpus(d: DataFrame, assigned: DataFrame): DataFrame =
+    d.select(col("doc_id"))
+      .join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+      .orderBy("doc_id")
+
   // Exact dedup: duplicate groups by raw text; keeper = min(doc_id). This is
   // the reference's A6 idempotency semantics (already-converted check,
   // dags/msconvert_dag.py:112-122) applied to content instead of paths.
@@ -66,31 +112,15 @@ object Dedup {
   private val x03 = GQuery(
     "x03_dedup_minhash_lsh", "ext-dedup-fuzzy custom-expression",
     (s, dir) => {
-      val k = 32 // signature length
-      val bands = 8 // 8 bands x 4 rows: catches ~0.85+ Jaccard reliably
-      val sigs = docs(s, dir)
-        .select(col("doc_id"),
-          HashFunctions.minhashSig(split(col("text"), " "), k, ngram = 3).as("sig"))
-        .localCheckpoint(true) // computed once; reused on both join sides
-      val banded = sigs.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * ${k / bands} + 1, ${k / bands})))")))
-        .select(col("doc_id"), col("col").as("band_hash"))
+      val sigs = minhashSigs(docs(s, dir))
       // candidate keeper: smallest doc_id sharing any band bucket
-      val cand = banded
-        .withColumn("bucket_min", min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band_hash"))))
+      val cand = withBucketMin(bandHashes(sigs))
         .groupBy(col("doc_id")).agg(min(col("bucket_min")).as("cand"))
         .where(col("cand") < col("doc_id"))
       // verify: estimated Jaccard (signature agreement) >= 0.85
-      val verified = cand
-        .join(sigs, Seq("doc_id"))
-        .join(sigs.select(col("doc_id").as("cand"), col("sig").as("cand_sig")), Seq("cand"))
-        .where(HashFunctions.sigAgreement(col("sig"), col("cand_sig")) >= math.ceil(0.85 * k).toLong)
+      val verified = verifyPairs(cand, sigs, "cand")
         .select(col("doc_id"), col("cand").as("keeper"))
-      docs(s, dir).select(col("doc_id"))
-        .join(verified, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
-        .orderBy("doc_id")
+      coverCorpus(docs(s, dir), verified)
     },
     None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
 
@@ -175,35 +205,18 @@ object Dedup {
   private val x22 = GQuery(
     "x22_dedup_transitive", "ext-dedup-fuzzy custom-operator",
     (s, dir) => {
-      val k = 32
-      val bands = 8
-      val sigs = docs(s, dir)
-        .select(col("doc_id"),
-          HashFunctions.minhashSig(split(col("text"), " "), k, ngram = 3).as("sig"))
-        .localCheckpoint(true)
-      val banded = sigs.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * ${k / bands} + 1, ${k / bands})))")))
-        .select(col("doc_id"), col("col").as("band_hash"))
+      val sigs = minhashSigs(docs(s, dir))
       // star edges per bucket: every member links to the bucket minimum
       // (star, not all-pairs — preserves connectivity at O(members) edges)
-      val edges = banded
-        .withColumn("bucket_min", min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band_hash"))))
+      val edges = withBucketMin(bandHashes(sigs))
         .where(col("bucket_min") < col("doc_id"))
         .select(col("doc_id"), col("bucket_min")).distinct()
       // verify each candidate edge before closing over it, so one noisy
       // bucket cannot weld unrelated documents into a mega-cluster
-      val verifiedEdges = edges
-        .join(sigs, Seq("doc_id"))
-        .join(sigs.select(col("doc_id").as("bucket_min"), col("sig").as("msig")),
-          Seq("bucket_min"))
-        .where(HashFunctions.sigAgreement(col("sig"), col("msig")) >= math.ceil(0.85 * k).toLong)
-        .select(col("doc_id"), col("bucket_min"))
+      val verifiedEdges = verifyPairs(edges, sigs, "bucket_min")
       val (labels, _) = graft.operators.ConnectedComponents.run(verifiedEdges)
-      docs(s, dir).select(col("doc_id"))
-        .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("keeper"))
-        .orderBy("doc_id")
+      coverCorpus(docs(s, dir),
+        labels.select(col("id").as("doc_id"), col("comp").as("keeper")))
     },
     None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
 

@@ -397,10 +397,8 @@ object Extended {
   private val c33 = GQuery(
     "c33_grouped_topk_custom", "custom-operator topk-per-key",
     (s, dir) => {
-      import graft.plans.{GroupedTopKOps, GroupedTopKStrategy}
-      if (!s.experimental.extraStrategies.contains(GroupedTopKStrategy))
-        s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ GroupedTopKStrategy
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
       GroupedTopKOps.groupedTopK(
         Tables(s, dir, "orders"),
         keyCols = Seq(col("o_custkey")),

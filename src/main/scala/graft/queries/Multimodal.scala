@@ -90,11 +90,17 @@ object Multimodal {
           col("n_frames").cast("long").as("n_frames"), col("frame_len"))
         .orderBy("media_id", "frame_idx")
     },
-    Some("""SELECT doc_id AS media_id, CAST(t.j AS BIGINT) AS frame_idx,
-              CAST(4 AS BIGINT) AS n_frames,
-              (octet_length(CAST(text AS BLOB)) * (t.j + 1)) // 4
-                - (octet_length(CAST(text AS BLOB)) * t.j) // 4 AS frame_len
-            FROM documents, range(0, 4) t(j)
+    // k = min(4, n) and zero rows for empty payloads mirrors the stub codec
+    // exactly (k only differs from 4 on sub-4-byte payloads; this corpus
+    // has none, but a general corpus must not break the gate)
+    Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+                       FROM documents
+                       WHERE octet_length(CAST(text AS BLOB)) > 0),
+            f AS (SELECT doc_id, n, least(4, n) AS k FROM d)
+            SELECT doc_id AS media_id, CAST(t.j AS BIGINT) AS frame_idx,
+              CAST(k AS BIGINT) AS n_frames,
+              (n * (t.j + 1)) // k - (n * t.j) // k AS frame_len
+            FROM f, range(0, 4) t(j) WHERE t.j < k
             ORDER BY media_id, frame_idx"""))
 
   val queries: Seq[GQuery] = Seq(x16, x17, x28)

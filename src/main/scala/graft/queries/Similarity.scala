@@ -212,10 +212,8 @@ object Similarity {
   private val x27 = GQuery(
     "x27_knn_join", "ext-similarity-batch custom-operator custom-expression",
     (s, dir) => {
-      import graft.plans.{GroupedTopKOps, GroupedTopKStrategy}
-      if (!s.experimental.extraStrategies.contains(GroupedTopKStrategy))
-        s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ GroupedTopKStrategy
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
       val e = emb(s, dir)
       val batch = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),

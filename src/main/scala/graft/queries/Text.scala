@@ -224,8 +224,11 @@ object Text {
   private val x23 = GQuery(
     "x23_repetition_filter", "ext-text quality-filter",
     (s, dir) => {
+      // the greatest() keeps sequence ascending for 1-token docs (Spark's
+      // sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, _) throws);
+      // such docs take the CASE below, so the dummy 1-shingle is never used
       val bigrams = expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), i -> array_join(slice(split(text, ' '), i, 2), ' '))")
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), i -> array_join(slice(split(text, ' '), i, 2), ' '))")
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(tokens).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
@@ -236,7 +239,9 @@ object Text {
       tf.join(bg, "doc_id")
         .select(col("doc_id"),
           (col("top_c").cast("double") / col("n_tok")).as("top_token_frac"),
-          (lit(1.0) - col("n_uniq_bigrams").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+          when(col("n_bigrams") >= 1,
+            lit(1.0) - col("n_uniq_bigrams").cast("double") / col("n_bigrams"))
+            .otherwise(0.0).as("dup_bigram_frac"))
         .withColumn("keep", col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.5)
         .orderBy("doc_id")
     },
@@ -251,9 +256,13 @@ object Text {
                    FROM w)
             SELECT t.doc_id,
               CAST(top_c AS DOUBLE) / n_tok AS top_token_frac,
-              1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+              CASE WHEN n_bigrams >= 1
+                   THEN 1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams
+                   ELSE 0.0 END AS dup_bigram_frac,
               (CAST(top_c AS DOUBLE) / n_tok <= 0.2
-               AND 1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams <= 0.5) AS keep
+               AND CASE WHEN n_bigrams >= 1
+                        THEN 1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams
+                        ELSE 0.0 END <= 0.5) AS keep
             FROM top t JOIN bg USING (doc_id) ORDER BY doc_id"""))
 
   // Benchmark decontamination: flag corpus documents sharing any word-6-gram

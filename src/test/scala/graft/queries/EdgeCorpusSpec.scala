@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Degenerate-corpus gates: single-token, sub-4-byte, and empty documents
+  * must not crash the text/multimodal operators, and the Spark results must
+  * keep the oracle-aligned semantics (the generated fixtures never hit these
+  * shapes — min 10 tokens / 44 bytes — but a real corpus does).
+  */
+class EdgeCorpusSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("edge-corpus").toString
+    Seq(
+      (0L, "solo", "en", "src0", 4L),
+      (1L, "ab", "en", "src0", 2L),
+      (2L, "", "en", "src0", 0L),
+      (3L, "the the the the", "en", "src0", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("x23 handles single-token and empty docs (dup_bigram_frac = 0, no crash)") {
+    val rows = SparkEntry.queries("x23_repetition_filter")(spark, dir).collect()
+    assert(rows.length == 4)
+    val m = rows.map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // single token (and empty text, which splits to [""]): no bigrams => 0.0
+    assert(m(0L) == ((1.0, 0.0, false)))
+    assert(m(2L) == ((1.0, 0.0, false)))
+    // 'the the the the': top fraction 1, bigram dup 1 - 1/3
+    assert(m(3L)._1 == 1.0 && math.abs(m(3L)._2 - (1.0 - 1.0 / 3)) < 1e-12 && !m(3L)._3)
+  }
+
+  test("x28 emits min(4, n_bytes) frames and skips empty payloads") {
+    val rows = SparkEntry.queries("x28_frame_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!rows.exists(_._1 == 2L), "empty payload must produce no frames")
+    assert(rows.count(_._1 == 0L) == 4 && rows.filter(_._1 == 0L).forall(_._4 == 1L))
+    assert(rows.count(_._1 == 1L) == 2 && rows.filter(_._1 == 1L).forall(r => r._3 == 2L && r._4 == 1L))
+    assert(rows.filter(_._1 == 3L).map(_._4).sorted.toSeq == Seq(3L, 4L, 4L, 4L))
+  }
+
+  test("x24 and x25 run without error on the degenerate corpus") {
+    assert(SparkEntry.queries("x25_chunk_documents")(spark, dir).count() == 4)
+    // all 4 docs fall in the benchmark range (doc_id < 50): corpus side empty
+    assert(SparkEntry.queries("x24_decontaminate")(spark, dir).count() == 0)
+  }
+}
