@@ -326,6 +326,71 @@ object Text {
               CAST(len(string_split(u.ch, ' ')) AS BIGINT) AS n_chunk_tokens
             FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  // Mixture weighting: given target per-language shares, derive the
+  // per-stratum sampling multiplier (target_share x total / stratum_count)
+  // and the capped no-upsampling fraction — the arithmetic a training-data
+  // mixer feeds into x21's sampleBy. One tiny grouped aggregate plus two
+  // broadcast joins (totals row + targets table); the corpus is scanned
+  // once, scan-bound at 100 TB.
+  private val x29 = GQuery(
+    "x29_mixture_weights", "ext-text sampling-weights",
+    (s, dir) => {
+      import s.implicits._
+      val targets = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+        ("fr", 0.15), ("zh", 0.15)).toDF("lang", "target_share")
+      val counts = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"))
+      counts.crossJoin(broadcast(tot)).join(broadcast(targets), "lang")
+        .select(col("lang"), col("n_docs"),
+          (col("n_docs").cast("double") / col("total")).as("actual_share"),
+          col("target_share"),
+          (col("target_share") * col("total") / col("n_docs")).as("weight"),
+          least(lit(1.0), col("target_share") * col("total") / col("n_docs"))
+            .as("sample_frac"))
+        .orderBy("lang")
+    },
+    Some("""WITH targets(lang, target_share) AS (VALUES
+              ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+              ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+              ('zh', CAST(0.15 AS DOUBLE))),
+            counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+            tot AS (SELECT SUM(n_docs) AS total FROM counts)
+            SELECT c.lang, c.n_docs,
+              CAST(c.n_docs AS DOUBLE) / total AS actual_share,
+              t.target_share,
+              t.target_share * total / c.n_docs AS weight,
+              least(1.0, t.target_share * total / c.n_docs) AS sample_frac
+            FROM counts c CROSS JOIN tot JOIN targets t ON c.lang = t.lang
+            ORDER BY c.lang"""))
+
+  // Inverted index: token -> document frequency + sorted posting list — the
+  // retrieval-side primitive built from the same explode/aggregate shape as
+  // x18. The df >= 5 floor keeps rare typo-tokens out (and bounds output);
+  // postings are sorted so the result is deterministic and joined to a
+  // string for the scalar oracle compare.
+  //
+  // Scale shape: shuffles (token, doc_id) pairs with map-side distinct via
+  // array_distinct before the explode; document bodies never shuffle. At
+  // 100 TB stopword posting lists overflow a single aggregation buffer —
+  // production segments postings by (token, doc_id range) buckets, same
+  // plan with a composite key; the df floor here stands in for that cap.
+  private val x30 = GQuery(
+    "x30_inverted_index", "ext-text retrieval-index",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(array_distinct(tokens)).as("token"), col("doc_id"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+        .where(col("df") >= 5)
+        .orderBy("token"),
+    Some("""WITH tok AS (SELECT doc_id,
+                           unnest(list_distinct(string_split(text, ' '))) AS token
+                         FROM documents)
+            SELECT token, COUNT(*) AS df,
+              array_to_string(list_sort(list(doc_id)), ',') AS postings
+            FROM tok GROUP BY token HAVING COUNT(*) >= 5 ORDER BY token"""))
+
   val queries: Seq[GQuery] =
-    Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25)
+    Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29, x30)
 }

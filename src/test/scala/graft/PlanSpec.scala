@@ -179,6 +179,15 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"corpus-side shuffle carrying shingles/text:\n${bad.mkString("\n")}")
   }
 
+  test("x27 knn join: batch broadcasts, GroupedTopK partial/final heaps around the exchange") {
+    val df = SparkEntry.queries("x27_knn_join")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("GroupedTopKPartial") && plan.contains("GroupedTopKFinal"),
+      s"custom bounded-heap operator must plan the per-query top-k:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"query batch must broadcast (corpus never shuffles scored pairs):\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf001)
     val plan = executedPlan(df).toString
