@@ -221,30 +221,62 @@ object Text {
   // (doc_id, token, count), never documents. Thresholds (0.2 / 0.5) follow
   // the Gopher-rules ballpark; ratios divide exact ints so doubles hash-match
   // the oracle bit-for-bit.
+  /** Per-doc repetition stats (doc_id, top_token_frac, dup_bigram_frac,
+    * keep) — shared by x23 and the x31 composite so the two cannot drift.
+    * The greatest() keeps sequence ascending for 1-token docs (Spark's
+    * sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, _) throws);
+    * such docs take the CASE below, so the dummy 1-shingle is never used.
+    */
+  private def repetitionStats(d: DataFrame): DataFrame = {
+    val bigrams = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), i -> array_join(slice(split(text, ' '), i, 2), ' '))")
+    val tf = d
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+    val bg = d.select(col("doc_id"),
+      (size(tokens) - 1).cast("long").as("n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("n_uniq_bigrams"))
+    tf.join(bg, "doc_id")
+      .select(col("doc_id"),
+        (col("top_c").cast("double") / col("n_tok")).as("top_token_frac"),
+        when(col("n_bigrams") >= 1,
+          lit(1.0) - col("n_uniq_bigrams").cast("double") / col("n_bigrams"))
+          .otherwise(0.0).as("dup_bigram_frac"))
+      .withColumn("keep", col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.5)
+  }
+
+  /** Benchmark docs: doc_id < this are the held-out eval-suite stand-in. */
+  private val BenchBound = 50
+
+  /** (doc_id, n_hits) for corpus docs sharing a word-6-gram with the
+    * benchmark set — shared by x24 and x31.
+    */
+  private def contaminationHits(d: DataFrame): DataFrame = {
+    val shingles = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 1)), i -> array_join(slice(split(text, ' '), i, 6), ' '))")
+    val sh = d.select(col("doc_id"), explode(array_distinct(shingles)).as("shingle"))
+    val bench = sh.where(col("doc_id") < BenchBound).select("shingle").distinct()
+    sh.where(col("doc_id") >= BenchBound)
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** 32-token/stride-24 chunk explode over `d` (needs a text column),
+    * keeping `passthrough` columns — shared by x25 and x31.
+    */
+  private def chunked(d: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val chunks = expr(
+      "transform(sequence(1, size(split(text, ' ')), 24), i -> array_join(slice(split(text, ' '), i, 32), ' '))")
+    d.select(col("doc_id") +: passthrough.map(col) :+ posexplode(chunks): _*)
+      .select(col("doc_id") +: passthrough.map(col) :+
+        col("pos").cast("long").as("chunk_idx") :+ col("col").as("chunk"): _*)
+      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")).cast("long"))
+  }
+
   private val x23 = GQuery(
     "x23_repetition_filter", "ext-text quality-filter",
-    (s, dir) => {
-      // the greatest() keeps sequence ascending for 1-token docs (Spark's
-      // sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, _) throws);
-      // such docs take the CASE below, so the dummy 1-shingle is never used
-      val bigrams = expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), i -> array_join(slice(split(text, ' '), i, 2), ' '))")
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(tokens).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
-      val bg = docs(s, dir).select(col("doc_id"),
-        (size(tokens) - 1).cast("long").as("n_bigrams"),
-        size(array_distinct(bigrams)).cast("long").as("n_uniq_bigrams"))
-      tf.join(bg, "doc_id")
-        .select(col("doc_id"),
-          (col("top_c").cast("double") / col("n_tok")).as("top_token_frac"),
-          when(col("n_bigrams") >= 1,
-            lit(1.0) - col("n_uniq_bigrams").cast("double") / col("n_bigrams"))
-            .otherwise(0.0).as("dup_bigram_frac"))
-        .withColumn("keep", col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.5)
-        .orderBy("doc_id")
-    },
+    (s, dir) => repetitionStats(docs(s, dir)).orderBy("doc_id"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             tok AS (SELECT doc_id, unnest(w) AS token FROM w),
             tf AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
@@ -278,17 +310,7 @@ object Text {
   // kernels) — same plan shape, 8× less shingle traffic.
   private val x24 = GQuery(
     "x24_decontaminate", "ext-text decontamination",
-    (s, dir) => {
-      val shingles = expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 1)), i -> array_join(slice(split(text, ' '), i, 6), ' '))")
-      val sh = docs(s, dir).select(col("doc_id"),
-        explode(array_distinct(shingles)).as("shingle"))
-      val bench = sh.where(col("doc_id") < 50).select("shingle").distinct()
-      sh.where(col("doc_id") >= 50)
-        .join(broadcast(bench), "shingle")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => contaminationHits(docs(s, dir)).orderBy("doc_id"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             sh AS (SELECT doc_id,
                      unnest(list_distinct(list_transform(range(1, greatest(len(w) - 5, 1) + 1),
@@ -308,16 +330,7 @@ object Text {
   // chunk index, matching the oracle's (start-1)/stride.
   private val x25 = GQuery(
     "x25_chunk_documents", "ext-text chunking",
-    (s, dir) => {
-      val chunks = expr(
-        "transform(sequence(1, size(split(text, ' ')), 24), i -> array_join(slice(split(text, ' '), i, 32), ' '))")
-      docs(s, dir)
-        .select(col("doc_id"), posexplode(chunks))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-          col("col").as("chunk"),
-          size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"))
-        .orderBy("doc_id", "chunk_idx")
-    },
+    (s, dir) => chunked(docs(s, dir)).orderBy("doc_id", "chunk_idx"),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             ch AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1, 24),
                      s -> struct_pack(ci := (s - 1) // 24, ch := array_to_string(w[s:s+31], ' ')))) AS u
@@ -391,6 +404,73 @@ object Text {
               array_to_string(list_sort(list(doc_id)), ',') AS postings
             FROM tok GROUP BY token HAVING COUNT(*) >= 5 ORDER BY token"""))
 
+  // The full training-prep composite — what this library exists for, as ONE
+  // query: exact-dedup + quality gate (Dedup.cleanCorpus, = x19) ∘
+  // repetition filter (x23's stats) ∘ benchmark exclusion + decontamination
+  // (x24's hits; benchmark docs themselves leave the corpus) ∘ token-window
+  // chunking (x25). Every stage is the SAME code its standalone query runs,
+  // so the composite cannot drift from the verified parts.
+  //
+  // Scale shape: all flag tables carry ids only (the verdict join shuffles
+  // longs); document text moves exactly once, into the final
+  // survivors-join before the narrow chunk explode — the one unavoidable
+  // text movement of multi-signal selection, and the pass that would write
+  // the training corpus anyway (CorpusMain's role).
+  private val x31 = GQuery(
+    "x31_training_prep", "ext-text ext-dedup pipeline-composite",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val keepIds = Dedup.cleanCorpus(d).select(col("doc_id"))
+        .join(repetitionStats(d).where(col("keep")).select("doc_id"), "doc_id")
+        .where(col("doc_id") >= BenchBound)
+        .join(contaminationHits(d).select("doc_id"), Seq("doc_id"), "left_anti")
+      val survivors = d.join(keepIds, "doc_id")
+      chunked(survivors, passthrough = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"),
+          col("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH k AS (
+              SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS uniq_ratio
+              FROM documents),
+            clean AS (
+              SELECT doc_id, text, lang FROM k
+              WHERE doc_id = keeper AND n_tokens >= 20 AND uniq_ratio >= 0.3),
+            w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM w),
+            tf AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+            top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok FROM tf GROUP BY 1),
+            bg AS (SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+                    CAST(len(list_distinct(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' ')))) AS BIGINT) AS n_uniq_bigrams
+                   FROM w),
+            rep AS (
+              SELECT t.doc_id FROM top t JOIN bg USING (doc_id)
+              WHERE CAST(top_c AS DOUBLE) / n_tok <= 0.2
+                AND CASE WHEN n_bigrams >= 1
+                         THEN 1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams
+                         ELSE 0.0 END <= 0.5),
+            sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(w) - 5, 1) + 1),
+                     i -> array_to_string(w[i:i+5], ' ')))) AS shingle FROM w),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+            contaminated AS (
+              SELECT DISTINCT doc_id FROM sh JOIN bench USING (shingle) WHERE doc_id >= 50),
+            survivors AS (
+              SELECT c.doc_id, c.text, c.lang FROM clean c
+              JOIN rep USING (doc_id)
+              WHERE c.doc_id >= 50 AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            sw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM survivors),
+            ch AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(w) + 1, 24),
+                     s -> struct_pack(ci := (s - 1) // 24, ch := array_to_string(w[s:s+31], ' ')))) AS u
+                   FROM sw)
+            SELECT doc_id, lang, CAST(u.ci AS BIGINT) AS chunk_idx, u.ch AS chunk,
+              CAST(len(string_split(u.ch, ' ')) AS BIGINT) AS n_chunk_tokens
+            FROM ch ORDER BY doc_id, chunk_idx"""))
+
   val queries: Seq[GQuery] =
-    Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29, x30)
+    Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
+      x30, x31)
 }
