@@ -29,7 +29,7 @@ class QueriesSpec extends SparkSpec {
 
   test("x01 exact dedup: keeper is min doc_id and copy counts sum to corpus") {
     val df = SparkEntry.queries("x01_dedup_exact")(spark, sf001)
-    val total = df.agg(sum("n_copies")).head.getLong(0)
+    val total = df.agg(sum("n_copies")).head().getLong(0)
     val corpus = Tables(spark, sf001, "documents").count()
     assert(total == corpus)
   }

@@ -75,7 +75,7 @@ class SqlSurfaceSpec extends SparkSpec {
       """SELECT sig_agreement(
         |  minhash_sig(split(text, ' '), 32, 3),
         |  minhash_sig(split(text, ' '), 32, 3)) AS a
-        |FROM documents LIMIT 1""".stripMargin).head.getLong(0)
+        |FROM documents LIMIT 1""".stripMargin).head().getLong(0)
     assert(agree == 32L, "identical docs agree on every slot")
   }
 }

@@ -41,7 +41,7 @@ class HashExpressionsSpec extends SparkSpec {
     val expected = hashes.foldLeft(0L)((h, t) => h * 1000003L + t)
     val got = Seq(tokens.mkString(" ")).toDF("text")
       .select(HashFunctions.tokenRollingHash(split(col("text"), " ")))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(got == expected)
   }
 }

@@ -22,7 +22,7 @@ class UdfSurfaceSpec extends SparkSpec {
       == Seq("run1", "run2", "plain"))
     df.createOrReplaceTempView("___udf_probe")
     assert(spark.sql("SELECT strip_d(name) FROM ___udf_probe WHERE name = 'run1.d'")
-      .head.getString(0) == "run1")
+      .head().getString(0) == "run1")
   }
 
   /** Typed UDAF: exact mean via (sum, count) buffer. */
@@ -39,7 +39,7 @@ class UdfSurfaceSpec extends SparkSpec {
     val meanUdaf = udaf(MeanAgg)
     val got = Tables(spark, sf001, "orders")
       .agg(meanUdaf(col("o_totalprice")).as("m"), avg(col("o_totalprice")).as("a"))
-      .head
+      .head()
     assert(math.abs(got.getDouble(0) - got.getDouble(1)) < 1e-6)
   }
 

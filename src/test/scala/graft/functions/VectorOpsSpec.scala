@@ -25,7 +25,7 @@ class VectorOpsSpec extends SparkSpec {
   test("sqDist matches hand computation") {
     val d = vecs.where(col("id") === 1).as("a")
       .join(vecs.where(col("id") === 4).as("b"))
-      .select(VectorOps.sqDist(col("a.v"), col("b.v"))).head.getDouble(0)
+      .select(VectorOps.sqDist(col("a.v"), col("b.v"))).head().getDouble(0)
     assert(math.abs(d - 1.0) < 1e-12)
   }
 

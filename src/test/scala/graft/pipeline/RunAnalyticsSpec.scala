@@ -31,8 +31,8 @@ class RunAnalyticsSpec extends SparkSpec {
 
   test("dashboard panels compute over engine-produced history") {
     val d = RunAnalytics.dashboard(spark, cfg)
-    assert(d("converted_24h").head.getLong(0) == 4)
-    assert(d("avg_minutes").head.getDouble(0) >= 0.0)
+    assert(d("converted_24h").head().getLong(0) == 4)
+    assert(d("avg_minutes").head().getDouble(0) >= 0.0)
     val perHour = d("per_hour").collect()
     assert(perHour.map(_.getLong(1)).sum == 4)
     val cycles = d("recent_cycles").collect()
@@ -40,7 +40,7 @@ class RunAnalyticsSpec extends SparkSpec {
     val details = d("run_details").collect()
     assert(details.length == 4)
     assert(details.forall(_.getAs[String]("output_path").contains(cfg.outputDir)))
-    val comp = d("compression").head
+    val comp = d("compression").head()
     assert(comp.getAs[Long]("orig_bytes") > 0)
     assert(comp.getAs[Long]("archive_bytes") > 0)
     assert(!comp.isNullAt(comp.fieldIndex("saved_pct")))
@@ -54,10 +54,10 @@ class RunAnalyticsSpec extends SparkSpec {
       archiveDir = root.resolve("arch").toString,
       stateDir = root.resolve("state").toString)
     val d = RunAnalytics.dashboard(spark, empty)
-    assert(d("converted_24h").head.getLong(0) == 0)
+    assert(d("converted_24h").head().getLong(0) == 0)
     assert(d("per_hour").count() == 0)
     assert(d("run_details").count() == 0)
-    assert(d("compression").head.getAs[Long]("orig_bytes") == 0)
+    assert(d("compression").head().getAs[Long]("orig_bytes") == 0)
   }
 
   test("per-hour series matches the flagship entry query shape") {

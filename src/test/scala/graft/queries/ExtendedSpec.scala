@@ -27,9 +27,9 @@ class ExtendedSpec extends SparkSpec {
   }
 
   test("c21 approx distinct within 5% of exact") {
-    val approx = SparkEntry.queries("c21_approx_distinct")(spark, sf001).head
+    val approx = SparkEntry.queries("c21_approx_distinct")(spark, sf001).head()
     val exact = Tables(spark, sf001, "lineitem")
-      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_suppkey"))).head
+      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_suppkey"))).head()
     for (i <- 0 to 1) {
       val (a, e) = (approx.getLong(i).toDouble, exact.getLong(i).toDouble)
       assert(math.abs(a - e) / e < 0.05, s"col $i: approx $a vs exact $e")
@@ -42,7 +42,7 @@ class ExtendedSpec extends SparkSpec {
     assert(out.where(col("asof_signup") > col("purchase_ts")).count() == 0)
     // spot-verify one user against a direct computation
     val e = Tables(spark, sf001, "events")
-    val u = out.where(col("asof_signup").isNotNull).head.getAs[Long]("user_id")
+    val u = out.where(col("asof_signup").isNotNull).head().getAs[Long]("user_id")
     val signups = e.where(col("event_type") === "signup" && col("user_id") === u)
       .select(col("ts")).collect().map(_.getTimestamp(0)).sorted
     val pairs = out.where(col("user_id") === u)

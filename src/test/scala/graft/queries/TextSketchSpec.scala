@@ -34,7 +34,7 @@ class TextSketchSpec extends SparkSpec {
     assert(s1("de") == totals("de") && s1("zh") == totals("zh"))
     for (lang <- Seq("en", "es", "fr")) {
       val expected = fractions(lang) * totals(lang)
-      val sd = math.sqrt(totals(lang)) // > binomial sd for p in [0.25, 0.5]
+      val sd = math.sqrt(totals(lang).toDouble) // > binomial sd for p in [0.25, 0.5]
       assert(math.abs(s1(lang) - expected) <= 4 * sd,
         s"$lang: sampled ${s1(lang)} vs expected ~$expected")
     }

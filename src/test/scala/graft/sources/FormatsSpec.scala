@@ -29,7 +29,7 @@ class FormatsSpec extends SparkSpec {
   test("JSON-lines round-trip preserves values") {
     val src = Tables(spark, sf001, "region")
     src.write.mode("overwrite").json(s"$tmp/region_json")
-    val back = spark.read.json(s"$tmp/region_json").select(src.columns.map(col): _*)
+    val back = spark.read.json(s"$tmp/region_json").select(src.columns.toIndexedSeq.map(col): _*)
     assert(back.orderBy("r_regionkey").collect().map(_.toSeq)
       .sameElements(src.orderBy("r_regionkey").collect().map(_.toSeq)))
   }
