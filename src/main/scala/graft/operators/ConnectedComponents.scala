@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.DecimalType
   * labels (comp(u) <= comp(v) and vice versa), so the fixpoint is exactly the
   * component-wise minimum vertex id. The jump step doubles propagation
   * distance per round (CC-MR / Kiveris et al. style), so convergence is
-  * O(log diameter) rounds, not O(diameter) — a 127-hop path closes in ~7
-  * rounds (pinned in ConnectedComponentsSpec).
+  * logarithmic, not O(diameter): a 127-hop path closes in 7 = log2(128)
+  * rounds and a 10k-vertex sparse random graph in 12 ~ log2(10000) — both
+  * pinned in ConnectedComponentsSpec.
   *
   * Scale shape: every shuffle in the loop carries only (long, long) pairs —
   * edges are canonicalized + distinct'd once up front, and each round is one

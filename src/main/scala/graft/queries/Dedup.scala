@@ -198,7 +198,7 @@ object Dedup {
   // Here every (member, bucket_min) candidate edge is verified by signature
   // agreement (same 0.85 estimated-Jaccard threshold as x03), then the
   // verified candidate graph is closed with distributed connected components
-  // (graft.operators.ConnectedComponents — O(log diameter) label-propagation
+  // (graft.operators.ConnectedComponents — O(log n) label-propagation
   // rounds shuffling only (long, long) pairs). Output matches x03's shape:
   // (doc_id, keeper) with keeper = min doc_id of the transitive cluster, so
   // x22 is a coarsening of x03 (pinned in DedupSpec).

@@ -44,6 +44,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(rounds <= 10, s"pointer jumping should close a 127-hop path in ~7 rounds, took $rounds")
   }
 
+  test("10k-vertex random graph: exact agreement, bounded rounds") {
+    // sparse regime (m ~ 1.2n): many components, some large — the shape an
+    // LSH candidate graph actually has. Pins that convergence stays
+    // logarithmic as the graph grows, not just on toy sizes.
+    val rnd = new scala.util.Random(7)
+    val n = 10000
+    val edges = Seq.fill(12000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val expected = unionFind(n, edges)
+    val (labels, rounds) = ConnectedComponents.run(edges.toDF("src", "dst"))
+    val got = labels.as[(Long, Long)].collect().toMap
+    got.foreach { case (id, comp) => assert(comp == expected(id), s"vertex $id") }
+    // observed 12 ≈ log2(10000): convergence tracks O(log n), same as the
+    // path test (7 ≈ log2(128)); 16 = ceil(log2 n) + slack
+    assert(rounds <= 16, s"O(log n) convergence expected at 10k vertices, took $rounds")
+  }
+
   test("two components stay separate") {
     val e = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a", "b")
     val (labels, _) = ConnectedComponents.run(e)
