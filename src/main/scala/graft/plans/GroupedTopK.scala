@@ -15,15 +15,18 @@ import org.apache.spark.sql.SparkSessionExtensions
   * callers wanting determinism pass a total order, exactly as with
   * row_number()).
   *
-  * Why a custom operator: the window formulation
-  * (`row_number().over(partitionBy(keys).orderBy(order)) <= k`) shuffles
-  * EVERY row of the corpus and sorts whole partitions before discarding all
-  * but k per key. This operator runs a bounded per-key heap BEFORE the
-  * exchange ([[GroupedTopKPartialExec]]) so at most k rows per key per input
-  * partition are ever shuffled, then the same heap after it
+  * Why a custom operator: this operator runs a bounded per-key heap BEFORE
+  * the exchange ([[GroupedTopKPartialExec]]) so at most k rows per key per
+  * input partition are ever shuffled, then the same heap after it
   * ([[GroupedTopKFinalExec]]) — the partial/final aggregation pattern
-  * applied to top-k. At 100 TB with bounded k this turns the window's
-  * full-corpus shuffle into a per-key trickle.
+  * applied to top-k. Spark 3.5+'s native WindowGroupLimit bounds the
+  * window form's shuffle the same way (measured on this Spark 4.1), so the
+  * differentiators are CPU and generality, not shuffle volume: the heap is
+  * O(n log k) with NO full partition sort on either side of the exchange
+  * (the native path sorts every input partition before its partial limit
+  * and re-sorts after for WindowExec), there is no post-shuffle window
+  * evaluation at all, and empty `keys` degrade to a correct GLOBAL top-k
+  * (AllTuples) where the window idiom cannot.
   *
   * The full custom-operator stack: logical node → strategy → partial+final
   * physical plans, registered via [[GraftExtensions]]

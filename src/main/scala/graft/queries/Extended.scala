@@ -391,9 +391,10 @@ object Extended {
   // The custom GroupedTopK operator (logical node + strategy + partial/final
   // physical plans, graft.plans) as an oracle-verified query: top-3 most
   // recent orders per customer. Identical semantics to the window
-  // row_number form — the oracle — but the partial heap bounds the shuffle
-  // to <= k rows per key per input partition where WindowExec shuffles the
-  // whole table.
+  // row_number form — the oracle — with <= k rows per key per input
+  // partition crossing the shuffle and no partition sorts (vs the native
+  // WindowGroupLimit path's sort → partial limit → exchange → sort →
+  // window; see GroupedTopK scaladoc for the honest comparison).
   private val c33 = GQuery(
     "c33_grouped_topk_custom", "custom-operator topk-per-key",
     (s, dir) => {

@@ -207,8 +207,9 @@ object Similarity {
   // cosine kernel scores one streaming corpus scan against the broadcast
   // query batch, and GroupedTopK (partial/final bounded heaps) keeps the
   // per-query top-k with <= k rows per query per partition crossing the
-  // shuffle — where the window row_number form would shuffle all
-  // |corpus| x |batch| scored rows.
+  // shuffle and no sort of the |corpus| x |batch| scored stream (the
+  // window idiom's WindowGroupLimit path bounds its shuffle too, but
+  // fully sorts every partition of scored pairs first).
   private val x27 = GQuery(
     "x27_knn_join", "ext-similarity-batch custom-operator custom-expression",
     (s, dir) => {
