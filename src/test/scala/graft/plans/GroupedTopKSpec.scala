@@ -68,6 +68,10 @@ class GroupedTopKSpec extends SparkSpec {
       val finalIdx = plan.indexOf("GroupedTopKFinal")
       assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
         s"final above exchange above partial:\n$plan")
+      // the differentiator vs the native WindowGroupLimit path (which sorts
+      // every partition before its partial limit and again before
+      // WindowExec): the heap plan contains NO sort at all
+      assert(!plan.contains("Sort "), s"heap plan must be sort-free:\n$plan")
     }
   }
 

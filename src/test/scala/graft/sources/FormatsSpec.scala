@@ -48,6 +48,17 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("c_mktsegment"), plan)
   }
 
+  test("text source reads line-per-row and wholetext-per-file") {
+    val docs = Tables(spark, sf001, "documents").limit(20)
+    docs.select("text").write.mode("overwrite").text(s"$tmp/docs_text")
+    val lines = spark.read.text(s"$tmp/docs_text")
+    assert(lines.count() == 20)
+    // wholetext: one row per file — the document-per-file corpus layout
+    val whole = spark.read.option("wholetext", "true").text(s"$tmp/docs_text")
+    assert(whole.count() < 20 && whole.agg(sum(length(col("value")))).head().getLong(0)
+      >= lines.agg(sum(length(col("value")))).head().getLong(0))
+  }
+
   test("malformed JSON rows land in the corrupt-record column, not as job failure") {
     // 100 TB ingestion meets bad records; PERMISSIVE + _corrupt_record is the
     // row-level quarantine (the A10/A13 tolerate-failures philosophy applied
