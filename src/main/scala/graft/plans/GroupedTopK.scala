@@ -25,8 +25,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * O(n log k) with NO full partition sort on either side of the exchange
   * (the native path sorts every input partition before its partial limit
   * and re-sorts after for WindowExec), there is no post-shuffle window
-  * evaluation at all, and empty `keys` degrade to a correct GLOBAL top-k
-  * (AllTuples) where the window idiom cannot.
+  * evaluation at all, and one operator covers both shapes: empty `keys`
+  * degrade to a correct GLOBAL top-k (AllTuples), the same bounded
+  * per-partition shape orderBy().limit(k)'s TakeOrderedAndProject plans.
   *
   * The full custom-operator stack: logical node → strategy → partial+final
   * physical plans, registered via [[GraftExtensions]]

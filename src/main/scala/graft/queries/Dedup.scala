@@ -150,10 +150,7 @@ object Dedup {
         .join(sigs.select(col("doc_id").as("cand"), col("sig").as("cand_sig")), Seq("cand"))
         .where(expr("bit_count(sig ^ cand_sig)") <= 8)
         .select(col("doc_id"), col("cand").as("keeper"))
-      docs(s, dir).select(col("doc_id"))
-        .join(verified, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
-        .orderBy("doc_id")
+      coverCorpus(docs(s, dir), verified)
     },
     None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
 

@@ -221,15 +221,21 @@ object Text {
   // (doc_id, token, count), never documents. Thresholds (0.2 / 0.5) follow
   // the Gopher-rules ballpark; ratios divide exact ints so doubles hash-match
   // the oracle bit-for-bit.
+  /** Word n-gram window expression over `text`. The greatest() keeps
+    * sequence ascending for docs shorter than n tokens (Spark's
+    * sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, _) throws);
+    * those docs yield one whole-doc "shingle", which every caller either
+    * guards (x23's CASE) or tolerates (x24/x31: a short doc is a valid
+    * contamination unit).
+    */
+  private def wordNgrams(n: Int) = expr(
+    s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), i -> array_join(slice(split(text, ' '), i, $n), ' '))")
+
   /** Per-doc repetition stats (doc_id, top_token_frac, dup_bigram_frac,
     * keep) — shared by x23 and the x31 composite so the two cannot drift.
-    * The greatest() keeps sequence ascending for 1-token docs (Spark's
-    * sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, _) throws);
-    * such docs take the CASE below, so the dummy 1-shingle is never used.
     */
   private def repetitionStats(d: DataFrame): DataFrame = {
-    val bigrams = expr(
-      "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), i -> array_join(slice(split(text, ' '), i, 2), ' '))")
+    val bigrams = wordNgrams(2)
     val tf = d
       .select(col("doc_id"), explode(tokens).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
@@ -253,9 +259,7 @@ object Text {
     * benchmark set — shared by x24 and x31.
     */
   private def contaminationHits(d: DataFrame): DataFrame = {
-    val shingles = expr(
-      "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 1)), i -> array_join(slice(split(text, ' '), i, 6), ' '))")
-    val sh = d.select(col("doc_id"), explode(array_distinct(shingles)).as("shingle"))
+    val sh = d.select(col("doc_id"), explode(array_distinct(wordNgrams(6))).as("shingle"))
     val bench = sh.where(col("doc_id") < BenchBound).select("shingle").distinct()
     sh.where(col("doc_id") >= BenchBound)
       .join(broadcast(bench), "shingle")
