@@ -50,9 +50,12 @@ object ConnectedComponents {
     val sym = e.select(col("a").as("id"), col("b").as("nbr"))
       .union(e.select(col("b").as("id"), col("a").as("nbr")))
 
+    // lazy checkpoints: the convergence-sum action below materializes each
+    // round's labels AND truncates lineage in ONE job (eager would spend a
+    // separate job per round just checkpointing)
     var labels = sym.select(col("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = checkSum(labels)
     var rounds = 0
     var converged = labels.isEmpty
@@ -71,7 +74,7 @@ object ConnectedComponents {
       labels = p
         .join(p.select(col("id").as("p"), col("p").as("gp")), Seq("p"), "left")
         .select(col("id"), coalesce(col("gp"), col("p")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = checkSum(labels)
       converged = s == prevSum
       prevSum = s
