@@ -116,6 +116,45 @@ object Tpch {
               AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // Q10-shaped "returned-item customers": fact-to-fact join (orders filtered
+  // by date range pushed to the scan, lineitem filtered by returnflag), dims
+  // broadcast, grouped revenue rollup, top-20. The selective order-side
+  // filter shrinks that join input so AQE can flip the orderkey join to
+  // broadcast; revenue uses the exact-decimal product (q01's pattern) so
+  // rows and sort order hash-match.
+  private val q10 = GQuery(
+    "q10_returned_items", "join-agg-topk B7",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val n = Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * fac(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c.c_custkey LIMIT 20"""))
+
   // Q18-shaped: aggregate + HAVING threshold, then join back to orders —
   // group-filter-join. The grouped side shrinks drastically before the join,
   // so AQE can flip it to broadcast at runtime.
@@ -315,5 +354,5 @@ object Tpch {
             ORDER BY numwait DESC, s.s_name
             LIMIT 20"""))
 
-  val queries: Seq[GQuery] = Seq(q1, q2, q3, q5, q6, q16, q18, q21, q22)
+  val queries: Seq[GQuery] = Seq(q1, q2, q3, q5, q6, q10, q16, q18, q21, q22)
 }
