@@ -52,13 +52,16 @@ object ConnectedComponents {
 
     // lazy checkpoints: the convergence-sum action below materializes each
     // round's labels AND truncates lineage in ONE job (eager would spend a
-    // separate job per round just checkpointing)
+    // separate job per round just checkpointing). Each superseded round's
+    // checkpoint blocks are unpersisted as soon as its successor is
+    // materialized, so storage holds at most two label generations — only
+    // the RETURNED labels stay cached (callers consume then may unpersist).
     var labels = sym.select(col("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(false)
-    var prevSum = checkSum(labels)
+    var prevSum = checkSum(labels) // materializes; null iff no vertices
     var rounds = 0
-    var converged = labels.isEmpty
+    var converged = prevSum == null
     while (!converged) {
       rounds += 1
       require(rounds <= maxRounds, s"connected components did not converge in $maxRounds rounds")
@@ -71,18 +74,32 @@ object ConnectedComponents {
       // 2. pointer jump: follow the new label one more hop. p(v) is itself a
       // vertex id (labels are mins of vertex ids), so the self-join hits;
       // left + coalesce only guards the theoretical miss.
-      labels = p
+      val next = p
         .join(p.select(col("id").as("p"), col("p").as("gp")), Seq("p"), "left")
         .select(col("id"), coalesce(col("gp"), col("p")).as("comp"))
         .localCheckpoint(false)
-      val s = checkSum(labels)
+      val s = checkSum(next) // materializes `next`; `labels` now retirable
+      checkpointRdds(labels).foreach(_.unpersist(blocking = false))
+      labels = next
       converged = s == prevSum
       prevSum = s
     }
+    checkpointRdds(e).foreach(_.unpersist(blocking = false))
     (labels, rounds)
   }
 
   /** Decimal sum of labels — overflow-proof monotone convergence witness. */
   private def checkSum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
+
+  /** The checkpoint blocks behind a localCheckpoint'd Dataset: its plan is a
+    * bare RDD scan (no exchange, so no AQE wrapper to unwrap). Unpersisting
+    * a superseded generation is what GraphFrames-style iterative algorithms
+    * do — without it every round's full label table stays in the block
+    * manager until ContextCleaner GC.
+    */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.executedPlan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd
+    }
 }

@@ -55,12 +55,17 @@ object MediaDecode {
     * "intensity" = mean byte value, digest = md5.
     */
   object StubCodec extends Codec {
+    /** Byte-derived stand-in dimensions, shared with JdkFrameCodec's stub
+      * frames so the stub feature contract has one definition.
+      */
+    private[operators] def stubDims(nBytes: Int): (Int, Int) =
+      (math.max(1, nBytes % 1920), math.max(1, nBytes % 1080))
+
     def decode(r: MediaRecord): MediaFeatures = {
       val n = r.payload.length
       val mean = if (n == 0) 0.0 else r.payload.map(b => (b & 0xff).toDouble).sum / n
-      MediaFeatures(r.media_id, r.format, n.toLong,
-        width = math.max(1, n % 1920), height = math.max(1, n % 1080), mean,
-        md5hex(r.payload))
+      val (w, h) = stubDims(n)
+      MediaFeatures(r.media_id, r.format, n.toLong, w, h, mean, md5hex(r.payload))
     }
   }
 
@@ -320,10 +325,8 @@ object MediaDecode {
         val mean =
           if (span.isEmpty) 0.0
           else span.map(x => (x & 0xff).toDouble).sum / span.length
-        Frame(r.media_id, j, k,
-          width = math.max(1, span.length % 1920),
-          height = math.max(1, span.length % 1080),
-          mean, span.length.toLong, md5hex(span))
+        val (w, h) = StubCodec.stubDims(span.length)
+        Frame(r.media_id, j, k, w, h, mean, span.length.toLong, md5hex(span))
       }
     }
   }

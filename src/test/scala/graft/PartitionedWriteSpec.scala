@@ -43,19 +43,10 @@ class PartitionedWriteSpec extends SparkSpec {
     // and "read three row groups of it". Measured via the scan's
     // numOutputRows (rows surviving row-group/page-level pushdown, before
     // Spark's residual Filter).
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
-      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-        val nested = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case _ => Nil
-        }
-        p +: (p.children ++ nested).flatMap(allNodes)
-      }
-      allNodes(df.queryExecution.executedPlan)
+      SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
         .collect { case s: FileSourceScanExec => s }
         .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
     }

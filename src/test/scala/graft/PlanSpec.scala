@@ -112,15 +112,7 @@ class PlanSpec extends SparkSpec {
     // shuffle would silently turn the plan into an embedding-array exchange.
     val df = SparkEntry.queries("x07_ann_lsh_topk")(spark, sf001)
     df.collect()
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val nested = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => Nil
-      }
-      p +: (p.children ++ nested).flatMap(allNodes)
-    }
-    val shuffles = allNodes(df.queryExecution.executedPlan)
+    val shuffles = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
       .collect { case ex: ShuffleExchangeExec => ex }
     val offenders = shuffles.filter(_.output.exists(a =>
       Set("embedding", "qvec", "rvec").contains(a.name)))

@@ -13,4 +13,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = GraftSession.local("graft-test", 4)
+
+  /** Every physical node, descending through AQE and query-stage wrappers —
+    * the one definition of the unwrap logic shared by all plan-shape specs
+    * (a Spark upgrade adding a new stage wrapper is fixed here once).
+    */
+  def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    }
+    p +: (p.children ++ nested).flatMap(allPlanNodes)
+  }
 }

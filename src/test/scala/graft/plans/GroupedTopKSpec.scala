@@ -86,17 +86,7 @@ class GroupedTopKSpec extends SparkSpec {
       val rows = topk.collect()
       assert(rows.length == 10) // 2 keys x 5
 
-      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        val nested = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case _ => Nil
-        }
-        p +: (p.children ++ nested).flatMap(allNodes)
-      }
-      val written = allNodes(topk.queryExecution.executedPlan)
+      val written = graft.SparkSpec.allPlanNodes(topk.queryExecution.executedPlan)
         .collect {
           case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => ex
         }
