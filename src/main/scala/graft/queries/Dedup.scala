@@ -217,6 +217,43 @@ object Dedup {
     },
     None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
 
+  // Incremental ingestion dedup: a NEW batch (doc_id >= 250) lands against
+  // an EXISTING corpus (doc_id < 250) — drop new docs whose normalized
+  // fingerprint already exists in the corpus (anti join vs the fingerprint
+  // ledger) or duplicates an earlier doc within the batch itself. This is
+  // the content-level analog of the pipeline's A6 already-converted check
+  // (dags/msconvert_dag.py:112-122): at 100 TB the ledger side is a
+  // fingerprint-only table (16-byte md5 per doc, no text), the anti join
+  // shuffles fingerprints, and the batch's window dedup carries
+  // (fingerprint, doc_id) — document bodies never shuffle.
+  private val x32 = GQuery(
+    "x32_incremental_dedup", "ext-dedup A6 incremental-ingest",
+    (s, dir) => {
+      val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp")
+      val d = docs(s, dir).select(col("doc_id"), fp)
+      val ledger = d.where(col("doc_id") < 250).select(col("fp")).distinct()
+      val batch = d.where(col("doc_id") >= 250)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      batch
+        .join(ledger, Seq("fp"), "left_anti")
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                       FROM documents),
+            ledger AS (SELECT DISTINCT fp FROM d WHERE doc_id < 250),
+            batch AS (SELECT * FROM d WHERE doc_id >= 250)
+            SELECT doc_id, fp FROM (
+              SELECT b.doc_id, b.fp,
+                MIN(b.doc_id) OVER (PARTITION BY b.fp) AS keeper
+              FROM batch b
+              WHERE b.fp NOT IN (SELECT fp FROM ledger))
+            WHERE doc_id = keeper
+            ORDER BY doc_id"""))
+
   // The materialization composite a training-data pipeline actually runs:
   // exact-dedup (keep the min-doc_id copy of each text) ∘ quality gate
   // (length + lexical-diversity thresholds) ∘ metadata projection — one pass
@@ -280,5 +317,5 @@ object Dedup {
         col("n_tokens") >= MinTokens && col("uniq_ratio") >= MinUniqRatio)
   }
 
-  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19, x22)
+  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19, x22, x32)
 }
