@@ -76,6 +76,31 @@ class PartitionedWriteSpec extends SparkSpec {
       s"unsorted layout cannot skip: $shuffledScan vs sorted $sortedScan")
   }
 
+  test("dynamic partition pruning: a runtime dim filter prunes fact partitions") {
+    // the 100 TB join pattern: fact partitioned on the join key, dim filter
+    // only known at runtime — DPP turns the dim's selected keys into a
+    // partition filter on the fact scan instead of scanning every partition
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dpp").resolve("events_by_type").toString
+    Tables(spark, sf001, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    // the dim must be a real scan with a runtime filter — a local literal
+    // relation constant-folds the filter away and the DPP rule never fires
+    val dimPath = Files.createTempDirectory("graft-dpp").resolve("dim").toString
+    Seq(("purchase", "money"), ("signup", "money"), ("click", "traffic"),
+      ("view", "traffic"), ("error", "ops")).toDF("event_type", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.parquet(out)
+    val joined = fact.join(dim, Seq("event_type")).where(col("grp") === "money")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"dim filter must prune fact partitions at runtime:\n$plan")
+    assert(joined.count() == 2, "only the two 'money' event types survive")
+  }
+
   test("maxPartitionBytes sizes the input splits (spill-control knob)") {
     // the read-side memory-budget knob: lowering maxPartitionBytes must cut
     // the same file into more, smaller input partitions — how executor
