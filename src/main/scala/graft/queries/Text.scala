@@ -474,7 +474,41 @@ object Text {
               CAST(len(string_split(u.ch, ' ')) AS BIGINT) AS n_chunk_tokens
             FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  // Sequence packing: assign documents to fixed-token-budget training bins
+  // (2048 tokens) by contiguous cumulative fill, per language — the batch
+  // assembly step between chunking (x25) and the trainer. bin = floor of the
+  // pre-doc cumulative token count / budget: a doc starts a new bin exactly
+  // when the running fill crosses the budget, giving deterministic
+  // contiguous packing (the streaming-friendly form; bin-packing-optimal
+  // packing is NP-hard and order-destroying).
+  //
+  // Scale shape: one narrow projection + one window per language
+  // (parallel across languages; for a single giant stratum, range-partition
+  // by (lang, doc_id bucket) and offset bins by per-bucket totals — the
+  // same chunked-carry seam as c34). The window exchange carries
+  // (lang, doc_id, n_tokens) only.
+  private val x33 = GQuery(
+    "x33_sequence_packing", "ext-text sequence-packing",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), size(tokens).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor(col("cum_before") / 2048L).as("bin"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(floor(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+            FROM documents
+            ORDER BY lang, doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31)
+      x30, x31, x33)
 }
