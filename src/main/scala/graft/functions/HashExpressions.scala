@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -34,6 +35,8 @@ case class SimHash64(child: Expression, ngram: Int = 1)
   require(ngram > 0 && ngram <= 16, s"ngram must be in [1,16]: $ngram")
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -65,6 +68,8 @@ case class TokenRollingHash(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "token_rolling_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
 
   private val B = 1000003L
 
@@ -109,6 +114,8 @@ case class MinHashSig(child: Expression, k: Int, ngram: Int = 1)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
 
   // affine coefficients fixed by splitmix64 so signatures are stable
   private val as = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i) | 1L)
@@ -191,6 +198,8 @@ case class SigAgreement(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "sig_agreement"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, left -> KernelTypes.longSet, right -> KernelTypes.longSet)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -15,7 +16,10 @@ import org.apache.spark.sql.types._
   *
   * All accumulation is double-precision, left-to-right in array order, so
   * results are bit-identical to the previous higher-order-function
-  * formulation and to DuckDB's `list_dot_product`-based oracle.
+  * formulation and to DuckDB's `list_dot_product`-based oracle. A null array
+  * ELEMENT also matches that formulation: it propagates to a null result
+  * (checked only when the array type declares containsNull, so the common
+  * non-null-element case pays nothing).
   */
 private[functions] object VectorKernels {
   /** Element accessor widened to double; supports array<float> and array<double>. */
@@ -28,6 +32,50 @@ private[functions] object VectorKernels {
     case other => throw new IllegalArgumentException(
       s"expected array<float|double>, got $other")
   }
+
+  def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+}
+
+/** Analysis-time input-type validation shared by every kernel in this file
+  * and in HashExpressions. The kernels are exposed to ad-hoc SQL via
+  * [[SqlFunctions.register]], so misuse (`cosine_sim('a','b')`) must fail
+  * during analysis with a named argument message, not as a ClassCastException
+  * on an executor.
+  */
+private[functions] object KernelTypes {
+  /** numeric vector: array<float> or array<double>, any element nullability. */
+  val vec: DataType => Option[String] = {
+    case ArrayType(FloatType | DoubleType, _) => None
+    case other => Some(s"array<float> or array<double>, got ${other.catalogString}")
+  }
+  /** token list: array<string>, any element nullability (nulls are skipped). */
+  val stringArray: DataType => Option[String] = {
+    case ArrayType(StringType, _) => None
+    case other => Some(s"array<string>, got ${other.catalogString}")
+  }
+  /** packed signature/set: array<long> with provably non-null elements (the
+    * TokenHashSet / MinHashSig output shape) — a nullable-element array would
+    * read garbage in the merge walks, so it is rejected at analysis time. */
+  val longSet: DataType => Option[String] = {
+    case ArrayType(LongType, false) => None
+    case ArrayType(LongType, true) =>
+      Some("array<long> with non-nullable elements, got nullable elements")
+    case other => Some(s"array<long> with non-nullable elements, got ${other.catalogString}")
+  }
+  val dbl: DataType => Option[String] = {
+    case DoubleType => None
+    case other => Some(s"double, got ${other.catalogString}")
+  }
+
+  def check(fn: String, args: (Expression, DataType => Option[String])*): TypeCheckResult =
+    args.zipWithIndex.collectFirst {
+      case ((e, p), i) if p(e.dataType).isDefined =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn argument ${i + 1} requires ${p(e.dataType).get}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 }
 
 /** cosine(a, b) = (Σ a_i b_i) / (√(Σ a_i²) · √(Σ b_i²)), one fused pass.
@@ -40,8 +88,12 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, left -> KernelTypes.vec, right -> KernelTypes.vec)
   private lazy val lf = VectorKernels.isFloatArray(left)
   private lazy val rf = VectorKernels.isFloatArray(right)
+  private lazy val ln = VectorKernels.elemNullable(left)
+  private lazy val rn = VectorKernels.elemNullable(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -51,6 +103,7 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var sx = 0.0; var sy = 0.0
     var i = 0
     while (i < n) {
+      if ((ln && x.isNullAt(i)) || (rn && y.isNullAt(i))) return null
       val xv = VectorKernels.elem(x, i, lf)
       val yv = VectorKernels.elem(y, i, rf)
       dot += xv * yv; sx += xv * xv; sy += yv * yv
@@ -73,8 +126,13 @@ case class CosineSimPreNorm(first: Expression, second: Expression, third: Expres
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim_prenorm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, first -> KernelTypes.vec,
+      second -> KernelTypes.vec, third -> KernelTypes.dbl)
   private lazy val lf = VectorKernels.isFloatArray(first)
   private lazy val rf = VectorKernels.isFloatArray(second)
+  private lazy val ln = VectorKernels.elemNullable(first)
+  private lazy val rn = VectorKernels.elemNullable(second)
 
   override def nullSafeEval(a: Any, b: Any, nb: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -84,6 +142,7 @@ case class CosineSimPreNorm(first: Expression, second: Expression, third: Expres
     var dot = 0.0; var sx = 0.0
     var i = 0
     while (i < n) {
+      if ((ln && x.isNullAt(i)) || (rn && y.isNullAt(i))) return null
       val xv = VectorKernels.elem(x, i, lf)
       val yv = VectorKernels.elem(y, i, rf)
       dot += xv * yv; sx += xv * xv
@@ -101,14 +160,19 @@ case class CosineSimPreNorm(first: Expression, second: Expression, third: Expres
 case class L2Norm(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable || VectorKernels.elemNullable(child)
   override def prettyName: String = "l2_norm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.vec)
   private lazy val f = VectorKernels.isFloatArray(child)
+  private lazy val en = VectorKernels.elemNullable(child)
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
     while (i < x.numElements()) {
+      if (en && x.isNullAt(i)) return null
       val v = VectorKernels.elem(x, i, f)
       s += v * v
       i += 1
@@ -126,8 +190,12 @@ case class SqDist(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "sq_dist"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, left -> KernelTypes.vec, right -> KernelTypes.vec)
   private lazy val lf = VectorKernels.isFloatArray(left)
   private lazy val rf = VectorKernels.isFloatArray(right)
+  private lazy val ln = VectorKernels.elemNullable(left)
+  private lazy val rn = VectorKernels.elemNullable(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -137,6 +205,7 @@ case class SqDist(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if ((ln && x.isNullAt(i)) || (rn && y.isNullAt(i))) return null
       val d = VectorKernels.elem(x, i, lf) - VectorKernels.elem(y, i, rf)
       s += d * d
       i += 1
@@ -158,6 +227,8 @@ case class TokenHashSet(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_hash_set"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -195,7 +266,12 @@ case class TokenHashSet(child: Expression)
 case class JaccardLongs(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  // eval returns null for two empty sets even when both inputs are non-null,
+  // so nullability must not be derived from the children
+  override def nullable: Boolean = true
   override def prettyName: String = "jaccard_longs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, left -> KernelTypes.longSet, right -> KernelTypes.longSet)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -235,8 +311,12 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int, seed
   require(nPlanes > 0 && nPlanes <= 32, s"nPlanes must be in [1,32]: $nPlanes")
   require(nTables > 0 && nTables <= 64, s"nTables must be in [1,64]: $nTables")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable || VectorKernels.elemNullable(child)
   override def prettyName: String = "hyperplane_buckets"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.vec)
   private lazy val f = VectorKernels.isFloatArray(child)
+  private lazy val en = VectorKernels.elemNullable(child)
 
   // plane matrix cached per vector dimensionality. The (dim, matrix) pair is
   // published together through one volatile reference so a concurrent reader
@@ -275,6 +355,7 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int, seed
     val acc = new Array[Double](nProj)
     var j = 0
     while (j < dim) {
+      if (en && v.isNullAt(j)) return null
       val xv = VectorKernels.elem(v, j, f)
       var k = 0
       while (k < nProj) {

@@ -250,7 +250,9 @@ object Dedup {
               SELECT b.doc_id, b.fp,
                 MIN(b.doc_id) OVER (PARTITION BY b.fp) AS keeper
               FROM batch b
-              WHERE b.fp NOT IN (SELECT fp FROM ledger))
+              -- NOT EXISTS, not NOT IN: a null fp (null text) must be KEPT,
+              -- matching the Spark plan's left_anti null-key semantics
+              WHERE NOT EXISTS (SELECT 1 FROM ledger l WHERE l.fp = b.fp))
             WHERE doc_id = keeper
             ORDER BY doc_id"""))
 
