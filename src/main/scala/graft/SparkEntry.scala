@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, Extended, Multimodal, Relational, Similarity, Text, Tpch}
+import graft.queries.{Dedup, Extended, Multimodal, Relational, Similarity, Text, Tpch, TpchMore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** Ordered registry of every verifiable query surface. */
   lazy val registry: Seq[GQuery] =
-    Relational.queries ++ Extended.queries ++ Tpch.queries ++ Dedup.queries ++
+    Relational.queries ++ Extended.queries ++ Tpch.queries ++
+      TpchMore.queries ++ Dedup.queries ++
       Similarity.queries ++ Text.queries ++ Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,452 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The remaining public TPC-H query shapes (beyond graft.queries.Tpch),
+  * adapted where the fixture schema lacks a table/column (no partsupp, no
+  * l_commitdate/l_receiptdate/l_shipmode, no p_container — each adaptation
+  * preserves the query's operator COMPOSITION and swaps only the filtered
+  * column). With these, all 22 TPC-H patterns run oracle-gated: the full
+  * join/subquery/aggregate taxonomy a warehouse engine must plan well.
+  *
+  * Numeric discipline matches Tpch.scala: money sums accumulate as exact
+  * DECIMAL(18,2)-derived values and only the final result casts to double,
+  * so Spark and DuckDB hash-match bit-for-bit. Quantities in the fixtures
+  * are integral doubles (< 2^53), so double sums/averages over them are
+  * order-independent and exact in both engines.
+  */
+object TpchMore {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def fac(c: org.apache.spark.sql.Column) = c.cast(DecimalType(4, 2))
+  private def rev = dec(col("l_extendedprice")) * fac(lit(1.0) - col("l_discount"))
+
+  // Q4-shaped order-priority check: date-sliced orders, EXISTS over lineitem
+  // correlated on BOTH a key and an inequality across the two tables
+  // (l_shipdate > o_orderdate stands in for the missing commit/receipt pair).
+  // Decorrelates to a left-semi join on orderkey with the inequality as
+  // residual — the semi join dedups the multi-lineitem matches before the
+  // priority rollup, so the count never inflates.
+  private val q4 = GQuery(
+    "q04_priority_check", "exists-semi-agg B5",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  // Q7-shaped volume shipping: the nation-PAIR query — supplier nation and
+  // customer nation must form one of two ordered pairs (a disjunctive
+  // cross-dimension residual), grouped by both nations and ship year. The
+  // 10-to-100-row supplier and nation dims broadcast; the only shuffles are
+  // lineitem⋈orders (orderkey) and ⋈customer (custkey) — at 100 TB the two
+  // irreducible fact exchanges.
+  private val q7 = GQuery(
+    "q07_volume_shipping", "multijoin-pair-disjunction B7",
+    (s, dir) => {
+      val n = Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_15" && col("cust_nation") === "NATION_18") ||
+          (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_15"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              year(l.l_shipdate) AS l_year,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND ((sn.n_name = 'NATION_15' AND cn.n_name = 'NATION_18')
+                OR (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_15'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3"""))
+
+  // Q8-shaped market share: one nation's fraction of a market's volume per
+  // year. The market = ASIA-region customers buying STANDARD-type parts;
+  // the share is a conditional-sum / total-sum ratio — both sums accumulate
+  // as exact decimals and the single division happens on the final doubles,
+  // so the ratio is bit-stable across engines.
+  private val q8 = GQuery(
+    "q08_market_share", "conditional-share-ratio B7 B11",
+    (s, dir) => {
+      val market = Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")
+            .join(broadcast(Tables(s, dir, "region").where(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val p = Tables(s, dir, "part").where(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(market, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_15", rev).otherwise(lit(0))).cast("double") /
+            sum(rev).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT year(o.o_orderdate) AS o_year,
+              CAST(SUM(CASE WHEN sn.n_name = 'NATION_15'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(4,2)) ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_type = 'STANDARD'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND o.o_custkey IN (
+                SELECT c.c_custkey FROM customer c
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA')
+            GROUP BY 1 ORDER BY 1"""))
+
+  // Q9-shaped product-type profit: profit per supplier nation per order year
+  // over a part-name substring family. Cost side adapts ps_supplycost to
+  // p_retailprice·quantity (the schema's only cost signal); the profit
+  // expression stays an exact decimal difference until the final cast.
+  private val q9 = GQuery(
+    "q09_product_profit", "multijoin-profit-rollup B7",
+    (s, dir) => {
+      val p = Tables(s, dir, "part").where(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(rev - dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    Some("""SELECT n.n_name, year(o.o_orderdate) AS o_year,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(4,2))
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY n.n_name, o_year DESC"""))
+
+  // Q11-shaped important stock: per-part inventory value filtered against a
+  // scalar multiple of the AVERAGE per-part value — the
+  // aggregate-over-aggregate + scalar-subquery-threshold pattern (partsupp
+  // value adapts to extendedprice·quantity from well-funded suppliers; the
+  // relative threshold, unlike Q11's absolute fraction, stays selective but
+  // non-empty at every scale factor). The grouped frame is computed ONCE and
+  // reused for both the per-part rows and the threshold. The average is
+  // derived as exact-decimal-sum / exact-count, THEN cast — never a double
+  // sum — so the boundary comparison is bit-identical in both engines.
+  private val q11 = GQuery(
+    "q11_important_stock", "agg-over-agg scalar-threshold B5",
+    (s, dir) => {
+      val sup = Tables(s, dir, "supplier").where(col("s_acctbal") > 1000.0)
+        .select(col("s_suppkey"))
+      val perPart = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("value_dec"))
+      val threshold = perPart
+        .agg((lit(1.5) * sum(col("value_dec")).cast("double") / count(lit(1)))
+          .as("thr"))
+      perPart.crossJoin(broadcast(threshold))
+        .where(col("value_dec").cast("double") > col("thr"))
+        .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some("""WITH v AS (
+              SELECT l_partkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 1000.0)
+              GROUP BY l_partkey)
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+            FROM v
+            WHERE CAST(value_dec AS DOUBLE) >
+              (SELECT 1.5 * CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) FROM v)
+            ORDER BY value DESC, l_partkey"""))
+
+  // Q12-shaped shipping-mode priority split: fact-fact join + dual
+  // conditional counts (CASE inside SUM) per group — l_returnflag stands in
+  // for the missing l_shipmode; the priority split is Q12's verbatim CASE
+  // pair over o_orderpriority.
+  private val q12 = GQuery(
+    "q12_priority_split", "join conditional-counts B10 B11",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l.l_returnflag,
+              CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_returnflag
+            ORDER BY l.l_returnflag"""))
+
+  // Q13-shaped customer order-count distribution: LEFT OUTER join (customers
+  // with zero qualifying orders must survive with count 0) followed by a
+  // second aggregation over the first's result — the two-level rollup whose
+  // outer key is itself an aggregate.
+  private val q13 = GQuery(
+    "q13_customer_distribution", "outer-join two-level-agg C25",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders").where(col("o_orderstatus") =!= "F")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables(s, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC"""))
+
+  // Q14-shaped promo revenue: single-month scan, broadcast part join, and a
+  // conditional-sum / total-sum percentage — the conditional-aggregate ratio
+  // in its 1-row form.
+  private val q14 = GQuery(
+    "q14_promo_revenue", "conditional-ratio B11",
+    (s, dir) => {
+      val p = Tables(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).cast("double") /
+          sum(rev).cast("double")).as("promo_revenue"))
+    },
+    Some("""SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(4,2)) ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"""))
+
+  // Q15-shaped top supplier: quarterly revenue per supplier, then keep the
+  // supplier(s) hitting the MAX — the scalar-max-over-a-derived-view
+  // pattern. The per-supplier frame computes once; its 1-row max broadcasts
+  // back. Revenue equality compares doubles derived identically from exact
+  // decimal sums, so ties (the reason Q15 returns a set) are hash-stable.
+  private val q15 = GQuery(
+    "q15_top_supplier", "derived-view scalar-max B5 B6",
+    (s, dir) => {
+      val revPerSupp = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).cast("double").as("total_revenue"))
+      val mx = revPerSupp.agg(max(col("total_revenue")).as("mx"))
+      val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      revPerSupp.crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("mx"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH r AS (
+              SELECT l_suppkey,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM r)
+            ORDER BY s.s_suppkey"""))
+
+  // Q17-shaped small-quantity revenue: per-part average quantity (correlated
+  // AVG subquery) decorrelated to a grouped aggregate joined back with an
+  // INEQUALITY against the average — the q02 pattern with < instead of =.
+  // Quantities are integral doubles, so the averages are exact and the
+  // comparison is engine-stable.
+  private val q17 = GQuery(
+    "q17_small_quantity_revenue", "correlated-avg-inequality B5",
+    (s, dir) => {
+      val p = Tables(s, dir, "part").where(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      val avgQ = li.groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("aq"))
+        .withColumnRenamed("l_partkey", "aq_partkey")
+      li.join(avgQ, col("l_partkey") === col("aq_partkey"))
+        .where(col("l_quantity") < lit(0.5) * col("aq"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+    },
+    Some("""WITH fl AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')),
+            a AS (SELECT l_partkey, AVG(l_quantity) AS aq FROM fl GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(fl.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+            FROM fl JOIN a ON fl.l_partkey = a.l_partkey
+            WHERE fl.l_quantity < 0.5 * a.aq"""))
+
+  // Q19-shaped discounted revenue: a DISJUNCTION of conjunctive
+  // brand/size/quantity bands as the join residual (p_size bands stand in
+  // for the missing p_container). The planner must keep the equi-key
+  // (partkey) as the hash join key and evaluate the OR-of-ANDs as residual
+  // filter — never a cartesian.
+  private val q19 = GQuery(
+    "q19_banded_revenue", "disjunctive-residual-join B7",
+    (s, dir) => {
+      val p = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+          ((col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+           (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 20)) ||
+           (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 30))))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+                   AND l.l_quantity BETWEEN 20 AND 30)"""))
+
+  // Q20-shaped part promotion: suppliers who shipped MORE than a threshold
+  // quantity of a part-name family in a year — the nested-IN pattern
+  // (supplier IN grouped-HAVING subquery over lineitem⋈part). Decorrelates
+  // to a left-semi join against the grouped frame; quantities are integral
+  // so the HAVING threshold is exact.
+  private val q20 = GQuery(
+    "q20_excess_shippers", "nested-in-having semi-join B5 C1",
+    (s, dir) => {
+      val widget = Tables(s, dir, "part").where(col("p_name").like("%widget%"))
+        .select(col("p_partkey"))
+      val heavy = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(broadcast(widget), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 300.0)
+      Tables(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l_suppkey
+              HAVING SUM(l_quantity) > 300.0)
+            ORDER BY s_suppkey"""))
+
+  val queries: Seq[GQuery] =
+    Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20)
+}

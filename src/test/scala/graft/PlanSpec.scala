@@ -141,6 +141,36 @@ class PlanSpec extends SparkSpec {
       s"big-ticket predicate must reach the orders scan:\n$plan")
   }
 
+  test("q07 nation-pair join: dims broadcast, disjunctive pair filter, no cartesian") {
+    val df = SparkEntry.queries("q07_volume_shipping")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"supplier-nation and customer-nation dims must broadcast:\n$plan")
+  }
+
+  test("q13 zero-preserving distribution keeps the LEFT join through both aggregate levels") {
+    // customers with no qualifying orders must reach the histogram as
+    // c_count = 0; an inner-join rewrite would silently drop the 0 bucket
+    val df = SparkEntry.queries("q13_customer_distribution")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("LeftOuter"), s"LEFT join must survive planning:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"both aggregation levels must run partial+final phases:\n$plan")
+  }
+
+  test("q19 disjunctive residual stays a hash join on the partkey equi-key") {
+    // the OR-of-ANDs bands must ride as residual condition on the partkey
+    // hash join — degrading to BroadcastNestedLoopJoin/CartesianProduct
+    // would make the join O(|lineitem|·|part|) at scale
+    val df = SparkEntry.queries("q19_banded_revenue")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi hash join with residual:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"disjunction must not degrade the join:\n$plan")
+  }
+
   test("x24 decontamination: benchmark shingle set broadcasts, corpus shingles never shuffle") {
     // the 100 TB property: the corpus-side explode joins against a
     // broadcast of the (small) benchmark set; only the rare matches reach
