@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, Extended, Multimodal, Relational, Similarity, Text, Tpch, TpchMore}
+import graft.queries.{CorpusOps, Dedup, Extended, Multimodal, Relational, Similarity, Text, Tpch, TpchMore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,7 +16,8 @@ object SparkEntry {
   lazy val registry: Seq[GQuery] =
     Relational.queries ++ Extended.queries ++ Tpch.queries ++
       TpchMore.queries ++ Dedup.queries ++
-      Similarity.queries ++ Text.queries ++ Multimodal.queries
+      Similarity.queries ++ Text.queries ++ CorpusOps.queries ++
+      Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.1's minimum slice: the reference's "conversions per hour"
