@@ -465,7 +465,61 @@ object Extended {
               ON a.event_type = g.event_type AND a.hour = g.hour
             ORDER BY g.event_type, g.hour"""))
 
+  // Regexp battery: capture-group extraction, match counting, regex
+  // filtering — kept to the dialect subset Java regex and DuckDB's RE2
+  // share (no backreferences: Spark spells them $1, RE2 \1). Narrow
+  // projection, scan-bound at scale like every scalar battery.
+  private val c35 = GQuery(
+    "c35_regexp_battery", "regexp-fns A5 B8",
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .where(col("p_name").rlike("^[a-f]"))
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 1).as("word1"),
+          regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("word2"),
+          size(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"))
+            .cast("long").as("n_vowel_runs"),
+          col("p_type").rlike("^(PROMO|STANDARD)$").as("is_common_type"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+              regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS word1,
+              regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS word2,
+              CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+              regexp_matches(p_type, '^(PROMO|STANDARD)$') AS is_common_type
+            FROM part
+            WHERE regexp_matches(p_name, '^[a-f]')
+            ORDER BY p_partkey"""))
+
+  // Calendar-arithmetic battery: day/month offsets, day difference vs an
+  // epoch, month-end snapping, quarter and day-of-week extraction. Date
+  // results are cast to timestamp on both sides (the c12 convention) so the
+  // driver compares one temporal type. Spark's dayofweek is 1-based
+  // Sun..Sat; DuckDB's is 0-based — the oracle shifts by one.
+  private val c36 = GQuery(
+    "c36_calendar_battery", "date-fns interval-arith",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_add(to_date(col("o_orderdate")), 30).cast("timestamp").as("plus30d"),
+          add_months(to_date(col("o_orderdate")), 2).cast("timestamp").as("plus2m"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch"),
+          last_day(to_date(col("o_orderdate"))).cast("timestamp").as("month_end"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30d,
+              CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP) AS plus2m,
+              CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch,
+              CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+              CAST(quarter(o_orderdate) AS BIGINT) AS q,
+              CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+            FROM orders ORDER BY o_orderkey"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34)
+    c33, c34, c35, c36)
 }
