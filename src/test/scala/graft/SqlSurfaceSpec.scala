@@ -78,4 +78,18 @@ class SqlSurfaceSpec extends SparkSpec {
         |FROM documents LIMIT 1""".stripMargin).head().getLong(0)
     assert(agree == 32L, "identical docs agree on every slot")
   }
+
+  test("SQL misuse of a native kernel fails at ANALYSIS, not on an executor") {
+    graft.functions.SqlFunctions.register(spark)
+    Tables(spark, sf001, "documents").createOrReplaceTempView("documents")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(text, text) FROM documents").collect()
+    }
+    assert(ex.getMessage.contains("cosine_sim"),
+      s"error must name the kernel and argument: ${ex.getMessage}")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaccard_longs(split(text, ' '), split(text, ' ')) FROM documents")
+        .collect() // array<string>, not array<long> — must fail during analysis
+    }
+  }
 }

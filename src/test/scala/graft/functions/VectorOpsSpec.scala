@@ -29,6 +29,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(d - 1.0) < 1e-12)
   }
 
+  test("a null array ELEMENT propagates to a null result (HOF-formulation parity)") {
+    val withNulls = Seq(
+      (1L, Seq[Option[Float]](Some(1.0f), None, Some(2.0f))),
+      (2L, Seq[Option[Float]](Some(1.0f), Some(0.0f), Some(2.0f))))
+      .toDF("id", "v") // element type is nullable => containsNull = true
+    val rows = withNulls
+      .select(col("id"),
+        VectorOps.cosine(col("v"), col("v")).as("c"),
+        VectorOps.sqDist(col("v"), col("v")).as("d"),
+        VectorOps.l2norm(col("v")).as("n"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2) && rows(0).isNullAt(3),
+      s"null element must yield null, got ${rows(0)}")
+    assert(!rows(1).isNullAt(1) && !rows(1).isNullAt(2) && !rows(1).isNullAt(3))
+  }
+
+  test("jaccardLongs of two empty sets is null even with non-nullable inputs") {
+    // nullable=true must be declared (0/0 case): with the default
+    // child-derived nullability the generated projection would skip the
+    // null check and NPE / fabricate 0.0
+    val row = Seq(("", "")).toDF("a", "b")
+      .select(HashFunctions.jaccardLongs(
+        HashFunctions.tokenHashSet(expr("cast(array() as array<string>)")),
+        HashFunctions.tokenHashSet(expr("cast(array() as array<string>)"))).as("j"))
+      .head()
+    assert(row.isNullAt(0), s"0/0 Jaccard must be null, got $row")
+  }
+
   test("hyperplaneBucket: deterministic, scale-invariant, table-independent") {
     val df = vecs.select(col("id"),
       VectorOps.hyperplaneBucket(col("v"), nPlanes = 6, seed = 0).as("b0"),
