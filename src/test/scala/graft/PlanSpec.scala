@@ -171,6 +171,16 @@ class PlanSpec extends SparkSpec {
       s"disjunction must not degrade the join:\n$plan")
   }
 
+  test("q11 scalar threshold reuses the per-part aggregate exchange") {
+    // the grouped frame feeds both the output rows and the global threshold;
+    // Spark's exchange reuse must compute it ONCE — recomputing a 100 TB
+    // lineitem aggregation for the 1-row threshold would double the query
+    val df = SparkEntry.queries("q11_important_stock")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("ReusedExchange"),
+      s"per-part aggregate must be shared via ReusedExchange:\n$plan")
+  }
+
   test("x24 decontamination: benchmark shingle set broadcasts, corpus shingles never shuffle") {
     // the 100 TB property: the corpus-side explode joins against a
     // broadcast of the (small) benchmark set; only the rare matches reach
