@@ -519,7 +519,33 @@ object Extended {
               CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
             FROM orders ORDER BY o_orderkey"""))
 
+  // Unpivot (melt) battery — the inverse of c18's pivot: four lineitem
+  // measure columns rotate into (metric, value) rows. Spark's native
+  // unpivot and DuckDB's UNPIVOT must agree on row multiplication and
+  // column naming. Narrow 4→2 projection with a 4× row fan-out, no
+  // shuffle until the final sort.
+  private val c37 = GQuery(
+    "c37_unpivot_battery", "unpivot-melt C18-inverse",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "v")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+    Some("""SELECT l_orderkey, l_linenumber, metric, v
+            FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                    l_discount, l_tax
+                  FROM lineitem WHERE l_orderkey <= 100)
+            UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+            ORDER BY l_orderkey, l_linenumber, metric"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36)
+    c33, c34, c35, c36, c37)
 }

@@ -326,6 +326,37 @@ object Text {
             WHERE doc_id >= 50
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Sketch-based decontamination — the 100 TB form of x24. x24 broadcasts
+  // the benchmark's exact distinct shingle set; at eval-suite sizes that is
+  // fine, but when the "benchmark" is itself large (dedup against a whole
+  // held-out corpus), the broadcast becomes a Bloom filter: fixed memory
+  // (fpp 1%), built in one pass over the benchmark side with
+  // `df.stat.bloomFilter`, shipped to executors once, membership-tested
+  // per corpus shingle with zero join/shuffle.
+  //
+  // Honest trade, spec-gated instead of oracle-gated: Bloom membership has
+  // NO false negatives (everything x24 flags, this flags — DedupSpec pins
+  // the superset relation) but a bounded false-positive rate (docs whose
+  // shingles collide can be over-flagged; the spec bounds the excess). The
+  // membership test is a scalar UDF over the broadcast sketch — the one
+  // place a UDF is the right tool, since Spark exposes no public
+  // might_contain expression.
+  private val x39 = GQuery(
+    "x39_decontaminate_bloom", "ext-text decontamination sketch",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordNgrams(6))).as("shingle"))
+      val bloom = sh.where(col("doc_id") < BenchBound).select("shingle").distinct()
+        .stat.bloomFilter("shingle", expectedNumItems = 100000L, fpp = 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((x: String) => bc.value.mightContainString(x))
+      sh.where(col("doc_id") >= BenchBound)
+        .where(mightContain(col("shingle")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+    None) // approximate (Bloom collisions): gated by DedupSpec vs x24
+
   // Token-window chunking: split every document into 32-token windows with
   // stride 24 (8-token overlap) — the context-window prep step for training
   // and retrieval corpora. Pure narrow operator: the chunk list is built and
@@ -510,5 +541,5 @@ object Text {
 
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33)
+      x30, x31, x33, x39)
 }

@@ -41,4 +41,22 @@ class TextSketchSpec extends SparkSpec {
     // fixed seed => identical sample across runs
     assert(sampled() == s1, "seeded sampling must be reproducible")
   }
+
+  test("x39 Bloom decontamination: superset of exact x24, bounded over-flagging") {
+    val exact = SparkEntry.queries("x24_decontaminate")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = SparkEntry.queries("x39_decontaminate_bloom")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Bloom guarantee: NO false negatives — every exactly-contaminated doc
+    // is flagged, and with at least as many hits (collisions only add)
+    val missing = exact.keySet diff bloom.keySet
+    assert(missing.isEmpty, s"Bloom filter lost contaminated docs: $missing")
+    for ((id, n) <- exact)
+      assert(bloom(id) >= n, s"doc $id: bloom hits ${bloom(id)} < exact $n")
+    // fpp 1% on a 500-doc corpus: over-flagged docs must stay a small tail
+    val nDocs = Tables(spark, sf001, "documents").count()
+    val extra = bloom.keySet.size - exact.keySet.size
+    assert(extra <= math.max(5L, nDocs / 20).toInt,
+      s"too many false-positive docs: $extra of $nDocs")
+  }
 }
