@@ -240,5 +240,21 @@ object Similarity {
               FROM scored) WHERE rn <= 5
             ORDER BY q_id, sim DESC, vec_id"""))
 
-  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26, x27)
+  // IVF index build: refine the coarse per-label centroids (x07b's seed)
+  // with two distributed Lloyd iterations — graft.operators.KMeans. The
+  // assignment pass is a narrow per-row argmin against centroid literals
+  // (vectors never shuffle); the update pass shuffles only
+  // (cluster, dim, partial mean). Output: final cell assignment per vector.
+  private val x40 = GQuery(
+    "x40_kmeans_refine", "ext-similarity index-build custom-operator",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val seed = graft.operators.KMeans.seedFromGroups(e, "label", "embedding")
+      val (assigned, _, _) =
+        graft.operators.KMeans.refine(e.select(col("vec_id"), col("embedding")), seed, 2)
+      assigned.withColumnRenamed("id", "vec_id").orderBy("vec_id")
+    },
+    None) // iterative (driver-coordinated rounds): gated by KMeansSpec
+
+  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26, x27, x40)
 }
