@@ -76,6 +76,46 @@ class PartitionedWriteSpec extends SparkSpec {
       s"unsorted layout cannot skip: $shuffledScan vs sorted $sortedScan")
   }
 
+  test("z-order layout skips row groups for predicates on EITHER clustered column") {
+    // linear sort clusters stats for one leading column only; the Morton
+    // key bounds every row group's span in both dimensions. Narrow
+    // predicate on the NON-leading column: the linear layout scans ~all
+    // rows, the z-ordered layout skips most groups.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    }
+    val li = Tables(spark, sf01, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val total = li.count()
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val opts = Map("parquet.block.size" -> (128 * 1024).toString)
+    li.sort(graft.functions.ZOrder.zvalue(col("l_orderkey"), col("l_partkey"), 21))
+      .coalesce(2).write.options(opts).mode("overwrite").parquet(s"$base/z")
+    li.sort("l_orderkey")
+      .coalesce(2).write.options(opts).mode("overwrite").parquet(s"$base/linear")
+    // predicate on the non-leading dimension (l_partkey)
+    def byPart(p: String) = spark.read.parquet(p)
+      .where(col("l_partkey") >= 1000 && col("l_partkey") < 1500)
+    val zPart = scanRows(byPart(s"$base/z"))
+    val linPart = scanRows(byPart(s"$base/linear"))
+    assert(byPart(s"$base/z").count() == byPart(s"$base/linear").count())
+    assert(zPart < total / 3,
+      s"z-order must skip for the second dimension: scanned $zPart of $total")
+    assert(linPart > zPart * 2,
+      s"linear layout cannot skip on the non-leading column: $linPart vs z $zPart")
+    // predicate on the other dimension still skips under z-order (the trade:
+    // weaker than a dedicated sort, far better than nothing)
+    def byOrder(p: String) = spark.read.parquet(p)
+      .where(col("l_orderkey") >= 10000 && col("l_orderkey") < 12000)
+    val zOrd = scanRows(byOrder(s"$base/z"))
+    assert(zOrd < total / 2,
+      s"z-order must still skip on the first dimension: scanned $zOrd of $total")
+  }
+
   test("dynamic partition pruning: a runtime dim filter prunes fact partitions") {
     // the 100 TB join pattern: fact partitioned on the join key, dim filter
     // only known at runtime — DPP turns the dim's selected keys into a
