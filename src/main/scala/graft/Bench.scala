@@ -33,10 +33,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of stdout (observed: 2000
+    // chars) and parses the metric line from it — rounds 1 and 2 both
+    // recorded `parsed: null` because the full-name 9-decimal line ran
+    // ~2.5k chars. Emit short ids (the unique b/c/q/x prefix every doc
+    // table uses) and millisecond precision so the line always fits.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val ids = results.map { case (k, _) => shortId(k) }
+    require(ids.distinct.size == ids.size, s"non-unique bench ids: $ids")
+    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators a large-scale training-data pipeline runs
@@ -199,5 +200,184 @@ object CorpusOps {
                 / COUNT(*) AS coverage
             FROM tok GROUP BY lang ORDER BY lang"""))
 
-  val queries: Seq[GQuery] = Seq(x34, x35, x36, x37, x38)
+  // Repeated-passage detection: every 8-token stride-1 window that occurs
+  // at least twice anywhere in the corpus (same doc or across docs) — the
+  // substring-duplication diagnostic behind "dedup at the passage level,
+  // not the document level" (repeated boilerplate passages inflate model
+  // memorization even when no two documents are verbatim duplicates).
+  // Output per passage: total occurrences, distinct docs, first doc.
+  //
+  // Scale shape: a stride-1 window explode is the one deliberately heavy
+  // scan in the family (~n_tokens rows per doc), but the aggregate is a
+  // plain hash groupBy with map-side combine and the >= 2 floor drops the
+  // long unique tail before anything else happens. At 100 TB the passage
+  // string is replaced by its 64-bit rolling hash (TokenRollingHash kernel)
+  // — identical plan, 8 bytes per shingle through the exchange.
+  private val x41 = GQuery(
+    "x41_passage_dedup", "ext-dedup passage-level",
+    (s, dir) => {
+      val passages = expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)), " +
+          "i -> array_join(slice(split(text, ' '), i, 8), ' '))")
+      docs(s, dir)
+        .select(col("doc_id"), explode(passages).as("passage"))
+        .groupBy(col("passage"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_occurrences") >= 2)
+        .orderBy("passage")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                       i -> array_to_string(w[i:i+7], ' '))) AS passage
+                   FROM w)
+            SELECT passage, COUNT(*) AS n_occurrences,
+              COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+            FROM sh GROUP BY passage HAVING COUNT(*) >= 2
+            ORDER BY passage"""))
+
+  // Deterministic per-stratum subsampling: keep a lang-dependent fraction
+  // of documents chosen by a content-independent reproducible coin — the
+  // first hex byte of md5(doc_id:lang) compared against a per-language
+  // bound (0x33 ≈ 20% ... 0xff = 100%). The same rows are kept on every
+  // run, on any cluster, with no RNG state — the property x21's sampleBy
+  // (seeded per-partition RNG) cannot give across repartitionings.
+  //
+  // Scale shape: a pure narrow filter — no shuffle, no state; the bound
+  // table is a 5-row broadcast. Lexicographic compare of lowercase hex IS
+  // the numeric compare, so Spark and the oracle agree byte-for-byte.
+  private val x42 = GQuery(
+    "x42_hash_sample", "ext-text deterministic-sampling",
+    (s, dir) => {
+      import s.implicits._
+      val bounds = Seq(("en", "33"), ("de", "66"), ("es", "99"),
+        ("fr", "cc"), ("zh", "ff")).toDF("lang", "bound")
+      docs(s, dir)
+        .join(broadcast(bounds), "lang")
+        .where(substring(md5(concat(col("doc_id"), lit(":"), col("lang"))), 1, 2)
+          < col("bound"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH bounds(lang, bound) AS (VALUES
+              ('en', '33'), ('de', '66'), ('es', '99'), ('fr', 'cc'), ('zh', 'ff'))
+            SELECT doc_id, d.lang
+            FROM documents d JOIN bounds b ON d.lang = b.lang
+            WHERE substr(md5(doc_id || ':' || d.lang), 1, 2) < b.bound
+            ORDER BY doc_id"""))
+
+  // MERGE-style upsert: reconcile a stale dimension snapshot against fresh
+  // activity — the incremental-ingestion primitive (Delta/Iceberg MERGE
+  // INTO) expressed as its underlying plan: full-outer join on the key,
+  // then a per-row action verdict. The snapshot is customers with
+  // c_custkey % 3 != 0 (a dim that predates one third of the customers);
+  // the activity is per-customer order volume since 1999. Matched rows
+  // UPDATE (balance += spend), source-only rows INSERT, target-only rows
+  // KEEP — all three MERGE branches exercised and counted.
+  //
+  // Scale shape: one shuffle on the join key for each side (or zero with
+  // both sides bucketed on custkey — BucketingSpec's layout); the verdict
+  // is a narrow projection. This is exactly how a transactional-table MERGE
+  // physically executes; LedgerStore.scala documents the same seam for the
+  // pipeline's attempts ledger.
+  private val x43 = GQuery(
+    "x43_merge_upsert", "ext-pipeline incremental-merge",
+    (s, dir) => {
+      val dim = Tables(s, dir, "customer")
+        .where(pmod(col("c_custkey"), lit(3)) =!= 0)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val src = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("spend"))
+      dim.join(src, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          when(col("c_acctbal").isNotNull && col("n_orders").isNotNull, "update")
+            .when(col("c_acctbal").isNotNull, "keep")
+            .otherwise("insert").as("action"),
+          (coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("spend"), lit(0.0)))
+            .as("new_acctbal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_new_orders"))
+        .orderBy("custkey")
+    },
+    Some("""WITH dim AS (
+              SELECT c_custkey AS custkey, c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey % 3 <> 0),
+            src AS (
+              SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+                SUM(o_totalprice) AS spend
+              FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+              GROUP BY o_custkey)
+            SELECT coalesce(d.custkey, s.custkey) AS custkey,
+              CASE WHEN d.c_acctbal IS NOT NULL AND s.n_orders IS NOT NULL THEN 'update'
+                   WHEN d.c_acctbal IS NOT NULL THEN 'keep'
+                   ELSE 'insert' END AS action,
+              coalesce(d.c_acctbal, 0.0) + coalesce(s.spend, 0.0) AS new_acctbal,
+              coalesce(s.n_orders, 0) AS n_new_orders
+            FROM dim d FULL OUTER JOIN src s ON d.custkey = s.custkey
+            ORDER BY custkey"""))
+
+  // SCD2 change history: collapse each customer's order stream into
+  // validity intervals of constant order status — the
+  // slowly-changing-dimension type-2 build (gaps-and-islands, change-log →
+  // interval form). A run starts where lag(status) differs; run_id is the
+  // cumulative change count; valid_to is the next run's start (NULL for the
+  // open current run — SCD2's "current row" marker).
+  //
+  // Scale shape: two stacked windows over the SAME (custkey, date, key)
+  // partitioning — one Exchange + one Sort serve lag, the running sum, and
+  // lead (Catalyst collapses same-spec windows); the interval groupBy then
+  // reuses the custkey clustering. Bounded to custkey < 100 only to keep
+  // the oracle output reviewable.
+  private val x44 = GQuery(
+    "x44_scd2_history", "ext-pipeline scd2-intervals",
+    (s, dir) => {
+      val byTime = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val runs = Tables(s, dir, "orders")
+        .where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("chg",
+          when(lag(col("o_orderstatus"), 1).over(byTime).isNull ||
+            lag(col("o_orderstatus"), 1).over(byTime) =!= col("o_orderstatus"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val intervals = runs.groupBy(col("o_custkey"), col("run_id"))
+        .agg(first(col("o_orderstatus")).as("status"),
+          min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+      val byRun = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+      intervals
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+        .select(col("o_custkey").as("custkey"), col("run_id"), col("status"),
+          col("valid_from"), col("valid_to"), col("n_orders"))
+        .orderBy("custkey", "run_id")
+    },
+    Some("""WITH o AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                       OR lag(o_orderstatus) OVER w <> o_orderstatus
+                     THEN 1 ELSE 0 END AS chg
+              FROM orders WHERE o_custkey < 100
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+            r AS (
+              SELECT *, CAST(SUM(chg) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+              FROM o),
+            iv AS (
+              SELECT o_custkey, run_id,
+                MIN(o_orderstatus) AS status,
+                MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+              FROM r GROUP BY o_custkey, run_id)
+            SELECT o_custkey AS custkey, run_id, status, valid_from,
+              lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to,
+              n_orders
+            FROM iv ORDER BY custkey, run_id"""))
+
+  val queries: Seq[GQuery] = Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44)
 }
+

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval / language-model scoring operators over the `documents` table:
+  * TF-IDF term weighting, BM25 ranking for a fixed keyword query, and a
+  * bigram language-model table — the text-side primitives a training-data
+  * pipeline uses for quality scoring, retrieval-based decontamination, and
+  * corpus statistics.
+  *
+  * Numeric discipline: every score here is built from IEEE-exact operations
+  * only (+ - * /), no transcendental functions. `ln` is deliberately avoided
+  * — Java's `Math.log` and DuckDB's libm `log` may disagree in the last ulp,
+  * which would break the driver's hash compare — so the IDF factors use the
+  * log-free rational forms ((N+1)/(df+1) for TF-IDF, the BM25+-style
+  * (N-df+0.5)/(df+0.5) for BM25). Both are rank-monotone transforms of the
+  * standard log formulas; at 100 TB the scores feed threshold filters and
+  * top-k ranks, where monotonicity is the only property used.
+  *
+  * Determinism discipline: double addition is not associative, so any score
+  * that is a SUM of per-term doubles is assembled with a FIXED association
+  * order (per-term columns added left-to-right), never a row-order-dependent
+  * `sum()` aggregate — the one way a correct plan can still hash-mismatch.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  private val tokens = split(col("text"), " ")
+
+  // TF-IDF top terms: for each scored document, the 5 highest-weight terms.
+  // tf is the in-doc term count; df is the corpus-wide document frequency
+  // (computed over ALL documents — the global statistic — even though only
+  // doc_id < 20 get scored); weight = tf * (N+1)/(df+1).
+  //
+  // Scale shape: the df pass shuffles (token, partial count) with map-side
+  // combine — the same explode/agg shape as x18/x30; the scored slice is a
+  // filtered scan joined to the broadcast-size df table only for the tokens
+  // it actually contains. The per-doc top-5 is a bounded window (at 100 TB:
+  // the GroupedTopK operator — same result, heap instead of sort).
+  private val x45 = GQuery(
+    "x45_tfidf_topterms", "ext-text retrieval-weighting",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), explode(tokens).as("token"))
+      val n = d.select(countDistinct(col("doc_id")).as("n_docs"))
+      val df = tok.select(col("token"), col("doc_id")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val tf = tok.where(col("doc_id") < 20)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("token"))
+      tf.join(df, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          (col("tf").cast("double") *
+            ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
+            .as("weight"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("weight"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+            df AS (SELECT token, COUNT(*) AS df
+                   FROM (SELECT DISTINCT token, doc_id FROM tok) GROUP BY token),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                   WHERE doc_id < 20 GROUP BY doc_id, token),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                CAST(tf.tf AS DOUBLE) *
+                  ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS weight
+              FROM tf JOIN df USING (token) CROSS JOIN n)
+            SELECT doc_id, rank, token, tf, df, weight FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY weight DESC, token) AS BIGINT) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY doc_id, rank"""))
+
+  // BM25 ranking: top-20 documents for the fixed query {vector, window,
+  // scan}, k1 = 1.2, b = 0.75, log-free IDF (N - df + 0.5)/(df + 0.5).
+  // The three per-term partial scores are pivoted into fixed columns and
+  // added in one left-to-right expression — deterministic double math (see
+  // the object scaladoc); a term missing from a document contributes 0.
+  //
+  // Scale shape: one token explode filtered to the 3 query terms (at 100 TB
+  // the x30 inverted index replaces the scan — same scoring tail), df/avgdl
+  // are scalar broadcasts, and the final top-20 is TakeOrderedAndProject.
+  private val x46 = GQuery(
+    "x46_bm25_rank", "ext-text retrieval-ranking",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val qterms = Seq("vector", "window", "scan")
+      val stats = d.select(
+        countDistinct(col("doc_id")).as("n_docs"),
+        (sum(size(tokens)).cast("double") / countDistinct(col("doc_id")))
+          .as("avgdl"))
+      val tok = d.select(col("doc_id"), explode(tokens).as("token"))
+        .where(col("token").isin(qterms: _*))
+      val df = tok.select(col("token"), col("doc_id")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dl = d.select(col("doc_id"), size(tokens).cast("double").as("dl"))
+      val part = tf.join(broadcast(df), "token")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("token"),
+          (((col("n_docs").cast("double") - col("df") + 0.5) / (col("df").cast("double") + 0.5)) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("ps"))
+      val byTerm = part.groupBy(col("doc_id"))
+        .pivot("token", qterms).agg(first(col("ps")))
+      byTerm
+        .select(col("doc_id"),
+          (coalesce(col("vector"), lit(0.0)) + coalesce(col("window"), lit(0.0))
+            + coalesce(col("scan"), lit(0.0))).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                        CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM d),
+            qt AS (SELECT doc_id, token FROM tok
+                   WHERE token IN ('vector', 'window', 'scan')),
+            df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY token),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qt GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+            part AS (
+              SELECT tf.doc_id, tf.token,
+                ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+                  (CAST(tf AS DOUBLE) * 2.2) /
+                  (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS ps
+              FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+            piv AS (
+              SELECT doc_id,
+                coalesce(MAX(CASE WHEN token = 'vector' THEN ps END), 0.0)
+                  + coalesce(MAX(CASE WHEN token = 'window' THEN ps END), 0.0)
+                  + coalesce(MAX(CASE WHEN token = 'scan' THEN ps END), 0.0) AS score
+              FROM part GROUP BY doc_id)
+            SELECT doc_id, score FROM piv
+            ORDER BY score DESC, doc_id LIMIT 20"""))
+
+  // Bigram language model: P(w2 | w1) = c(w1,w2) / c(w1,·) for every bigram
+  // seen >= 10 times — the conditional-probability table behind perplexity
+  // filters and synthetic-repetition detectors. c(w1,·) counts bigram
+  // STARTS (so rows with the same w1 sum to exactly 1), and the division is
+  // IEEE-exact, keeping the oracle hash-stable.
+  //
+  // Scale shape: one narrow bigram explode, two hash aggregations (bigram
+  // counts; prefix counts via a second map-side-combined pass), one
+  // broadcast-size join on w1 after the >= 10 floor. Token text shuffles
+  // once as (bigram, partial count); at 100 TB the floor moves ahead of the
+  // join so only the surviving vocabulary joins.
+  private val x47 = GQuery(
+    "x47_bigram_lm", "ext-text ngram-lm",
+    (s, dir) => {
+      val bg = docs(s, dir)
+        .select(tokens.as("w"))
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(w) - 1, 0)), " +
+            "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val prefix = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_prefix"))
+      pair.where(col("c") >= 10)
+        .join(prefix, "w1")
+        .select(col("w1"), col("w2"), col("c"), col("c_prefix"),
+          (col("c").cast("double") / col("c_prefix").cast("double")).as("p"))
+        .orderBy("w1", "w2")
+    },
+    Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+            bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+                   FROM d, unnest(range(1, len(w))) r(i)),
+            pair AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+            prefix AS (SELECT w1, COUNT(*) AS c_prefix FROM bg GROUP BY w1)
+            SELECT p.w1, p.w2, p.c, x.c_prefix,
+              CAST(p.c AS DOUBLE) / CAST(x.c_prefix AS DOUBLE) AS p
+            FROM pair p JOIN prefix x USING (w1)
+            WHERE p.c >= 10 ORDER BY p.w1, p.w2"""))
+
+  val queries: Seq[GQuery] = Seq(x45, x46, x47)
+}

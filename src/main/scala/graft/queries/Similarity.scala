@@ -256,5 +256,58 @@ object Similarity {
     },
     None) // iterative (driver-coordinated rounds): gated by KMeansSpec
 
-  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26, x27, x40)
+  // Per-cluster outlier audit: the 3 vectors least similar to their own
+  // label's centroid — the embedding-quality diagnostic behind "find the
+  // mislabeled / off-distribution examples in each cluster" (and the eviction
+  // test an IVF cell runs before accepting its assignment). Composes x07b's
+  // centroid build with the native cosine kernel and a bounded per-group
+  // bottom-k.
+  //
+  // Scale shape: the centroid table is |labels| rows and broadcasts; the
+  // scoring pass is one narrow corpus scan (vectors never shuffle); the
+  // per-label bottom-3 is a bounded window (GroupedTopK at 100 TB). The
+  // per-dimension avg differs from DuckDB's in summation order — last-ulp
+  // noise the driver's rounded hash compare absorbs, with outlier ranks
+  // separated by far more than an ulp on real (and these synthetic) vectors.
+  private val x48 = GQuery(
+    "x48_centroid_outliers", "ext-similarity cluster-audit",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("sim").asc, col("vec_id"))
+      e.join(broadcast(centroids), "label")
+        .select(col("label"), col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("centroid")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("label"), col("rank"), col("vec_id"), col("sim"))
+        .orderBy("label", "rank")
+    },
+    Some("""WITH dims AS (
+              SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+            cent AS (
+              SELECT label, list(c ORDER BY dim) AS centroid FROM (
+                SELECT label, dim, AVG(v) AS c FROM dims GROUP BY label, dim)
+              GROUP BY label),
+            scored AS (
+              SELECT e.label, e.vec_id,
+                list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(c.centroid, c.centroid))) AS sim
+              FROM embeddings e JOIN cent c USING (label))
+            SELECT label, rank, vec_id, sim FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY label ORDER BY sim ASC, vec_id) AS BIGINT) AS rank
+              FROM scored)
+            WHERE rank <= 3 ORDER BY label, rank"""))
+
+  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26, x27, x40, x48)
 }
