@@ -220,6 +220,37 @@ class PlanSpec extends SparkSpec {
       s"query batch must broadcast (corpus never shuffles scored pairs):\n$plan")
   }
 
+  test("x44 SCD2: one hash exchange serves both window specs and the interval aggregate") {
+    // lag + running sum partition by (custkey) sorted by (date, key); the
+    // run groupBy clusters on (custkey, run_id) and the lead window on
+    // (custkey) again — HashPartitioning(custkey) satisfies all three, so
+    // a single upstream exchange must survive planning. A second hash
+    // exchange means the plan re-shuffles per stage and would move the
+    // order stream four times at 100 TB instead of once.
+    val df = SparkEntry.queries("x44_scd2_history")(spark, sf001)
+    val plan = executedPlan(df).toString
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$plan")
+  }
+
+  test("x46 BM25: df/avgdl statistics broadcast; top-20 is TakeOrderedAndProject") {
+    val df = SparkEntry.queries("x46_bm25_rank")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"df table and corpus stats must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bounded top-20, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x48 centroid outliers: centroid table broadcasts to the corpus scan") {
+    val df = SparkEntry.queries("x48_centroid_outliers")(spark, sf001)
+    val plan = executedPlan(df).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"|labels|-row centroid table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf001)
     val plan = executedPlan(df).toString
