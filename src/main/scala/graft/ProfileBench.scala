@@ -12,10 +12,12 @@ object ProfileBench {
       println(f"PROF $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     val q = SparkEntry.queries
-    for (name <- Seq("b10_status_counts", "b10_status_counts", "c14_sorted_limit",
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("b10_status_counts", "b10_status_counts", "c14_sorted_limit",
         "c14_sorted_limit", "b07_multijoin_revenue", "b07_multijoin_revenue",
-        "c17_sessionization", "c08_except", "x07_ann_lsh_topk", "x06_cosine_topk"))
-      time(name)(q(name)(spark, dir).count())
+        "c17_sessionization", "c08_except", "x07_ann_lsh_topk", "x06_cosine_topk")
+    for (name <- names) time(name)(q(name)(spark, dir).count())
     spark.stop()
   }
 }

@@ -189,6 +189,77 @@ object MinHashSig {
   }
 }
 
+/** All word-n-gram shingle hashes of an array<string> of tokens, in document
+  * order, as array<long> — the feature stream [[MinHashSig]] and
+  * [[SimHash64]] consume, exposed directly so set-membership operators
+  * (decontamination, passage dedup) can join on 8-byte hashes instead of
+  * materializing every n-gram as a string. Uses the SAME construction
+  * ([[MinHashSig.foreachShingleHash]]): one xxhash64 per token, Karp-Rabin
+  * window combine + splitmix64 finalize, whole-sequence fallback for
+  * documents shorter than `ngram`. Two windows collide only with
+  * probability ~2⁻⁶⁴ — the standard trade every production shingle pipeline
+  * makes (string n-grams cost ~5× the bytes and the string-build CPU).
+  */
+case class ShingleHashes(child: Expression, ngram: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(ngram > 0 && ngram <= 16, s"ngram must be in [1,16]: $ngram")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      math.max(arr.numElements() - ngram + 1, 1))
+    MinHashSig.foreachShingleHash(arr, ngram)(out += _)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Multiplicity of the most frequent element in an array<string> of tokens —
+  * the per-document half of the Gopher repetition statistics
+  * (top_token_frac = TopTokenCount / size). EXACT: counts key on the token
+  * strings themselves (UTF8String equality), not hashes.
+  *
+  * The repetition statistic is per-document local, so computing it inside
+  * the row pipeline replaces the explode → groupBy(doc, token) →
+  * groupBy(doc) two-shuffle idiom with a narrow scan-bound projection — at
+  * 100 TB that is the difference between shuffling one row per TOKEN of the
+  * corpus and shuffling nothing. Null tokens are skipped; an all-null or
+  * empty array yields 0.
+  */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_token_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]()
+    var best = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val c = counts.merge(arr.getUTF8String(i), 1L, _ + _)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
 /** Count of equal positions between two equal-length array<long> signatures —
   * the MinHash agreement kernel (estimated Jaccard = agreement / k). Native
   * loop; the interpreted `zip_with`+`aggregate` equivalent dominates runtime
@@ -243,4 +314,14 @@ object HashFunctions {
   /** Column API for [[JaccardLongs]] over two [[TokenHashSet]] columns. */
   def jaccardLongs(a: Column, b: Column): Column =
     ColumnGlue.column(JaccardLongs(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  /** Column API for [[ShingleHashes]]: array<string> → array<long> of
+    * word-`ngram` shingle hashes in document order.
+    */
+  def shingleHashes(tokens: Column, ngram: Int): Column =
+    ColumnGlue.column(ShingleHashes(ColumnGlue.expression(tokens), ngram))
+
+  /** Column API for [[TopTokenCount]]. */
+  def topTokenCount(tokens: Column): Column =
+    ColumnGlue.column(TopTokenCount(ColumnGlue.expression(tokens)))
 }

@@ -59,6 +59,13 @@ object SqlFunctions {
       val n = if (args.length == 3) intLit(args(2), "minhash_sig", "ngram") else 1
       MinHashSig(args(0), k, n)
     })
+    ColumnGlue.registerTempFunction(spark, "shingle_hashes", { args =>
+      arity("shingle_hashes", args, 2)
+      ShingleHashes(args(0), intLit(args(1), "shingle_hashes", "ngram"))
+    })
+    ColumnGlue.registerTempFunction(spark, "top_token_count", { args =>
+      arity("top_token_count", args, 1); TopTokenCount(args(0))
+    })
     ColumnGlue.registerTempFunction(spark, "hyperplane_buckets", { args =>
       arity("hyperplane_buckets", args, 3, 4)
       val planes = intLit(args(1), "hyperplane_buckets", "nPlanes")

@@ -233,17 +233,21 @@ object Text {
 
   /** Per-doc repetition stats (doc_id, top_token_frac, dup_bigram_frac,
     * keep) — shared by x23 and the x31 composite so the two cannot drift.
+    *
+    * Every statistic is per-document LOCAL, so the whole computation is one
+    * narrow scan-bound projection: the top-token multiplicity comes from the
+    * native TopTokenCount kernel (exact string counts, one pass per row)
+    * instead of the explode → groupBy(doc, token) → groupBy(doc) idiom,
+    * which shuffles one row per corpus token. HashExpressionsSpec pins
+    * kernel-vs-explode agreement; the DuckDB oracle is unchanged.
     */
   private def repetitionStats(d: DataFrame): DataFrame = {
     val bigrams = wordNgrams(2)
-    val tf = d
-      .select(col("doc_id"), explode(tokens).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
-    val bg = d.select(col("doc_id"),
+    d.select(col("doc_id"),
+      graft.functions.HashFunctions.topTokenCount(tokens).as("top_c"),
+      size(tokens).cast("long").as("n_tok"),
       (size(tokens) - 1).cast("long").as("n_bigrams"),
       size(array_distinct(bigrams)).cast("long").as("n_uniq_bigrams"))
-    tf.join(bg, "doc_id")
       .select(col("doc_id"),
         (col("top_c").cast("double") / col("n_tok")).as("top_token_frac"),
         when(col("n_bigrams") >= 1,
@@ -257,9 +261,19 @@ object Text {
 
   /** (doc_id, n_hits) for corpus docs sharing a word-6-gram with the
     * benchmark set — shared by x24 and x31.
+    *
+    * Joins on 64-bit shingle hashes (the native ShingleHashes kernel: one
+    * xxhash per token, Karp-Rabin window combine — no n-gram strings are
+    * ever materialized), so the broadcast set and the join keys are 8 bytes
+    * per shingle. The DuckDB oracle works over the exact string n-grams;
+    * the counts agree because distinct-hash counts equal distinct-shingle
+    * counts up to a ~2⁻⁶⁴-probability window collision (DedupSpec pins
+    * hash-vs-string agreement end to end on the fixture corpus).
     */
   private def contaminationHits(d: DataFrame): DataFrame = {
-    val sh = d.select(col("doc_id"), explode(array_distinct(wordNgrams(6))).as("shingle"))
+    val sh = d.select(col("doc_id"),
+      explode(array_distinct(graft.functions.HashFunctions.shingleHashes(tokens, 6)))
+        .as("shingle"))
     val bench = sh.where(col("doc_id") < BenchBound).select("shingle").distinct()
     sh.where(col("doc_id") >= BenchBound)
       .join(broadcast(bench), "shingle")
@@ -309,9 +323,9 @@ object Text {
   // Scale shape: the benchmark side is small by construction (eval suites,
   // not corpora), so its distinct shingle set broadcasts; the corpus side is
   // a narrow explode whose matches are rare, so the post-join count shuffles
-  // almost nothing. Exact string shingles keep the DuckDB oracle; at 100 TB
-  // you'd pack shingles to 64-bit hashes first (the TokenHashSet/MinHashSig
-  // kernels) — same plan shape, 8× less shingle traffic.
+  // almost nothing. Shingles travel as 64-bit kernel hashes (see
+  // contaminationHits), not strings — the 100 TB form — while the DuckDB
+  // oracle stays on exact string n-grams.
   private val x24 = GQuery(
     "x24_decontaminate", "ext-text decontamination",
     (s, dir) => contaminationHits(docs(s, dir)).orderBy("doc_id"),
@@ -326,10 +340,11 @@ object Text {
             WHERE doc_id >= 50
             GROUP BY doc_id ORDER BY doc_id"""))
 
-  // Sketch-based decontamination — the 100 TB form of x24. x24 broadcasts
-  // the benchmark's exact distinct shingle set; at eval-suite sizes that is
-  // fine, but when the "benchmark" is itself large (dedup against a whole
-  // held-out corpus), the broadcast becomes a Bloom filter: fixed memory
+  // Sketch-based decontamination — x24's broadcast set replaced by a
+  // sketch. x24 broadcasts the benchmark's distinct shingle-hash set; at
+  // eval-suite sizes that is fine, but when the "benchmark" is itself large
+  // (dedup against a whole held-out corpus), the broadcast becomes a Bloom
+  // filter: fixed memory
   // (fpp 1%), built in one pass over the benchmark side with
   // `df.stat.bloomFilter`, shipped to executors once, membership-tested
   // per corpus shingle with zero join/shuffle.

@@ -44,4 +44,59 @@ class HashExpressionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(got == expected)
   }
+
+  test("shingle_hashes: window count, identity across docs, short-doc fallback") {
+    val df = Seq(
+      "a b c d e",     // 3 trigram windows
+      "z z a b c",     // shares the "a b c" window with doc 0
+      "x y")           // shorter than ngram => one whole-sequence shingle
+      .toDF("text")
+      .select(HashFunctions.shingleHashes(split(col("text"), " "), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).length == 3 && rows(1).length == 3 && rows(2).length == 1)
+    // equal token windows hash equal across documents; distinct windows don't
+    assert(rows(0).head == rows(1).last) // both are hash("a b c" window)
+    assert(rows(0).toSet.intersect(rows(1).toSet) == Set(rows(0).head))
+  }
+
+  test("shingle_hashes distinct counts equal string-n-gram distinct counts") {
+    // the x24 substitution property, pinned at kernel level: per doc,
+    // |distinct shingle hashes| == |distinct string n-grams|
+    val d = graft.Tables(spark, sf001, "documents").limit(100)
+    val strings = d.select(
+      size(array_distinct(expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 1)), " +
+          "i -> array_join(slice(split(text, ' '), i, 6), ' '))"))).as("n"))
+      .collect().map(_.getInt(0))
+    val hashed = d.select(
+      size(array_distinct(
+        HashFunctions.shingleHashes(split(col("text"), " "), 6))).as("n"))
+      .collect().map(_.getInt(0))
+    assert(hashed.sameElements(strings))
+  }
+
+  test("top_token_count matches the explode/groupBy reference on the fixture corpus") {
+    val d = graft.Tables(spark, sf001, "documents")
+    val kernel = d.select(col("doc_id"),
+      HashFunctions.topTokenCount(split(col("text"), " ")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reference = d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(max("count").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == reference)
+  }
+
+  test("top_token_count: nulls skipped, empty array is 0") {
+    val df = Seq(
+      (Seq("a", "b", "a", "a"), 3L),
+      (Seq.empty[String], 0L))
+      .toDF("toks", "expected")
+    val rows = df.select(HashFunctions.topTokenCount(col("toks")), col("expected")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null elements are skipped like the explode idiom drops them
+    val withNull = spark.sql("SELECT array('x', CAST(NULL AS STRING), 'x') AS toks")
+    graft.functions.SqlFunctions.register(spark)
+    assert(withNull.select(expr("top_token_count(toks)")).head().getLong(0) == 2L)
+  }
 }

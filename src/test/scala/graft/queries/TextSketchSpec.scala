@@ -42,6 +42,28 @@ class TextSketchSpec extends SparkSpec {
     assert(sampled() == s1, "seeded sampling must be reproducible")
   }
 
+  test("x24 hashed-shingle contamination counts equal the string-shingle form") {
+    // x24 joins on 64-bit ShingleHashes kernel hashes; the DuckDB oracle
+    // (and this reference reconstruction) uses exact string 6-grams. The
+    // two agree unless two distinct 6-token windows collide in 64 bits —
+    // this pins the agreement end to end on the fixture corpus.
+    val d = Tables(spark, sf001, "documents")
+    val ngrams = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 1)), " +
+        "i -> array_join(slice(split(text, ' '), i, 6), ' '))")
+    val sh = d.select(col("doc_id"), explode(array_distinct(ngrams)).as("shingle"))
+    val bench = sh.where(col("doc_id") < 50).select("shingle").distinct()
+    val stringForm = sh.where(col("doc_id") >= 50)
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashForm = SparkEntry.queries("x24_decontaminate")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashForm == stringForm,
+      s"hash-join contamination diverged from string-join form:\n" +
+        s"hash=$hashForm\nstring=$stringForm")
+  }
+
   test("x39 Bloom decontamination: superset of exact x24, bounded over-flagging") {
     val exact = SparkEntry.queries("x24_decontaminate")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
