@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics beyond windowed aggregation: ordered-funnel
+  * attribution over the `events` table, and the generator-function battery
+  * (sequence / stack / posexplode_outer / array_repeat / flatten) that the
+  * coverage matrix's "generators" row calls for.
+  */
+object Events {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+
+  // Ordered funnel: view -> click -> purchase, strictly sequential per user
+  // (each stage's event must be LATER than the previous stage's earliest
+  // completion — the standard attribution semantics; an earlier click does
+  // not count toward a later view). Output: per-user stage timestamps and
+  // the funnel depth reached (0-3).
+  //
+  // Scale shape: three grouped min-aggregates and the final assembly all
+  // hash on user_id, so AQE plans one exchange per stage over rows already
+  // filtered to one event type — at 100 TB each stage input is a pushed-down
+  // predicate scan, and nothing ever shuffles more than (user_id, ts). The
+  // sequential dependency makes this irreducibly multi-pass in relational
+  // form; the single-pass alternative is the sessionization path (c17) with
+  // a per-user sorted fold, which x44's single-exchange window stack shows.
+  private val x49 = GQuery(
+    "x49_funnel", "ext-events funnel-attribution",
+    (s, dir) => {
+      val e = events(s, dir).select(
+        col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val users = e.select(col("user_id")).distinct()
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      users
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+        .orderBy("user_id")
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+            v AS (SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS t_view
+                  FROM events WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, CAST(MIN(e.ts) AS TIMESTAMP) AS t_click
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, CAST(MIN(e.ts) AS TIMESTAMP) AS t_purchase
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+                  GROUP BY e.user_id)
+            SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+              CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                        WHEN c.t_click IS NOT NULL THEN 2
+                        WHEN v.t_view IS NOT NULL THEN 1
+                        ELSE 0 END AS BIGINT) AS stage
+            FROM u LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
+            ORDER BY u.user_id"""))
+
+  // Generator battery over the nation table: one unioned relation
+  // exercising sequence (with an empty-list case), posexplode_outer (the
+  // empty list must still emit a null row), stack (constant row expansion),
+  // array_repeat, and flatten — each mirrored in the oracle by DuckDB's
+  // range/unnest/UNION ALL equivalents. All values are integers, so parity
+  // is exact. Generators are narrow per-row expansions: no shuffle except
+  // the output sort.
+  private val c38 = GQuery(
+    "c38_generator_battery", "generators",
+    (s, dir) => {
+      val n = Tables(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").cast("long").as("r"))
+      val seqCol = when(pmod(col("k"), lit(5)) === 0, array().cast("array<bigint>"))
+        .otherwise(sequence(lit(0L), pmod(col("k"), lit(3))))
+      val g1 = n.select(col("k"), lit("seq").as("src"), posexplode_outer(seqCol))
+        .select(col("k"), col("src"), col("pos").cast("long").as("pos"),
+          col("col").cast("long").as("val"))
+      val g2 = n.selectExpr("k", "stack(2, 'nat', k, 'reg', r) AS (name, v)")
+        .select(col("k"), concat(lit("stack_"), col("name")).as("src"),
+          lit(null).cast("long").as("pos"), col("v").cast("long").as("val"))
+      val g3 = n.select(col("k"), lit("rep").as("src"),
+          posexplode(array_repeat(col("r"), 2)))
+        .select(col("k"), col("src"), col("pos").cast("long").as("pos"),
+          col("col").cast("long").as("val"))
+      val g4 = n.select(col("k"), lit("flat").as("src"),
+          posexplode(flatten(array(
+            sequence(lit(1L), lit(2L)),
+            sequence(lit(3L), lit(3L) + pmod(col("k"), lit(2)))))))
+        .select(col("k"), col("src"), col("pos").cast("long").as("pos"),
+          col("col").cast("long").as("val"))
+      g1.unionByName(g2).unionByName(g3).unionByName(g4)
+        .orderBy("k", "src", "pos", "val")
+    },
+    Some("""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                         CAST(n_regionkey AS BIGINT) AS r FROM nation),
+            sq AS (SELECT k, CASE WHEN k % 5 = 0 THEN CAST([] AS BIGINT[])
+                              ELSE range(0, k % 3 + 1) END AS l FROM n),
+            g1 AS (
+              SELECT k, 'seq' AS src, CAST(i - 1 AS BIGINT) AS pos, l[i] AS val
+              FROM sq, unnest(range(1, len(l) + 1)) t(i)
+              UNION ALL
+              SELECT k, 'seq', NULL, NULL FROM sq WHERE len(l) = 0),
+            g2 AS (
+              SELECT k, 'stack_nat' AS src, CAST(NULL AS BIGINT) AS pos, k AS val FROM n
+              UNION ALL
+              SELECT k, 'stack_reg', NULL, r FROM n),
+            g3 AS (
+              SELECT k, 'rep' AS src, CAST(i - 1 AS BIGINT) AS pos, r AS val
+              FROM n, unnest(range(1, 3)) t(i)),
+            fl AS (SELECT k, flatten([range(1, 3), range(3, 4 + k % 2)]) AS l FROM n),
+            g4 AS (
+              SELECT k, 'flat' AS src, CAST(i - 1 AS BIGINT) AS pos, l[i] AS val
+              FROM fl, unnest(range(1, len(l) + 1)) t(i))
+            SELECT * FROM (
+              SELECT * FROM g1 UNION ALL SELECT * FROM g2
+              UNION ALL SELECT * FROM g3 UNION ALL SELECT * FROM g4)
+            ORDER BY k, src, pos NULLS FIRST, val NULLS FIRST"""))
+
+  val queries: Seq[GQuery] = Seq(x49, c38)
+}
