@@ -19,31 +19,39 @@ object Events {
   // not count toward a later view). Output: per-user stage timestamps and
   // the funnel depth reached (0-3).
   //
-  // Scale shape: three grouped min-aggregates and the final assembly all
-  // hash on user_id, so AQE plans one exchange per stage over rows already
-  // filtered to one event type — at 100 TB each stage input is a pushed-down
-  // predicate scan, and nothing ever shuffles more than (user_id, ts). The
-  // sequential dependency makes this irreducibly multi-pass in relational
-  // form; the single-pass alternative is the sessionization path (c17) with
-  // a per-user sorted fold, which x44's single-exchange window stack shows.
+  // Scale shape: ONE scan of events and ONE hash exchange on user_id. The
+  // naive relational form (a grouped min per stage, re-joining events three
+  // times) scans the fact table once per funnel stage; instead, a running
+  // min over the per-user time-sorted stream marks each event's
+  // "earliest qualified previous stage so far", which makes qualification a
+  // row-local test. The two stacked windows and the final groupBy all share
+  // the user_id clustering, so one exchange + one sort serve everything
+  // (PlanSpec pins both properties). Strictness is preserved exactly: a
+  // click qualifies iff its ts is strictly greater than the minimum view ts
+  // among earlier rows, which equals "later than the user's earliest view"
+  // whenever that is satisfiable — ties at identical ts fail strict > under
+  // either definition.
   private val x49 = GQuery(
     "x49_funnel", "ext-events funnel-attribution",
     (s, dir) => {
-      val e = events(s, dir).select(
-        col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
-      val users = e.select(col("user_id")).distinct()
-      val v = e.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-      val c = e.where(col("event_type") === "click").join(v, "user_id")
-        .where(col("ts") > col("t_view"))
-        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-      val p = e.where(col("event_type") === "purchase").join(c, "user_id")
-        .where(col("ts") > col("t_click"))
-        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
-      users
-        .join(v, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"))
+        .withColumn("view_min",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("click_q",
+          when(col("event_type") === "click" && col("ts") > col("view_min"), col("ts")))
+        .withColumn("click_min", min(col("click_q")).over(w))
+        .withColumn("purchase_q",
+          when(col("event_type") === "purchase" && col("ts") > col("click_min"), col("ts")))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(col("click_q")).as("t_click"),
+          min(col("purchase_q")).as("t_purchase"))
         .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
           when(col("t_purchase").isNotNull, 3L)
             .when(col("t_click").isNotNull, 2L)

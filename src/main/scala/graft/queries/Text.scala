@@ -350,21 +350,25 @@ object Text {
   // per corpus shingle with zero join/shuffle.
   //
   // Honest trade, spec-gated instead of oracle-gated: Bloom membership has
-  // NO false negatives (everything x24 flags, this flags — DedupSpec pins
-  // the superset relation) but a bounded false-positive rate (docs whose
-  // shingles collide can be over-flagged; the spec bounds the excess). The
-  // membership test is a scalar UDF over the broadcast sketch — the one
-  // place a UDF is the right tool, since Spark exposes no public
+  // NO false negatives (everything x24 flags, this flags — TextSketchSpec
+  // pins the superset relation) but a bounded false-positive rate (docs
+  // whose shingles collide can be over-flagged; the spec bounds the
+  // excess). Shingles enter the sketch as the same 64-bit ShingleHashes
+  // longs x24 joins on, so the sketch hashes 8-byte keys instead of n-gram
+  // strings. The membership test is a scalar UDF over the broadcast sketch
+  // — the one place a UDF is the right tool, since Spark exposes no public
   // might_contain expression.
   private val x39 = GQuery(
     "x39_decontaminate_bloom", "ext-text decontamination sketch",
     (s, dir) => {
       val sh = docs(s, dir)
-        .select(col("doc_id"), explode(array_distinct(wordNgrams(6))).as("shingle"))
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.HashFunctions.shingleHashes(tokens, 6)))
+            .as("shingle"))
       val bloom = sh.where(col("doc_id") < BenchBound).select("shingle").distinct()
         .stat.bloomFilter("shingle", expectedNumItems = 100000L, fpp = 0.01)
       val bc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((x: String) => bc.value.mightContainString(x))
+      val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
       sh.where(col("doc_id") >= BenchBound)
         .where(mightContain(col("shingle")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))

@@ -251,6 +251,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x49 funnel: one events scan, one hash exchange for windows + aggregate") {
+    // the single-pass running-min formulation: the naive per-stage form
+    // scans the fact table once per funnel stage and shuffles three times;
+    // this must keep exactly one scan and one user_id exchange.
+    val df = SparkEntry.queries("x49_funnel")(spark, sf001)
+    val plan = executedPlan(df).toString
+    val nScan = "Scan parquet".r.findAllIn(plan).size
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nScan == 1, s"expected 1 events scan, got $nScan:\n$plan")
+    assert(nHash == 1, s"expected 1 hash exchange, got $nHash:\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf001)
     val plan = executedPlan(df).toString
