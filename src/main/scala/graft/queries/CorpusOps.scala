@@ -207,25 +207,36 @@ object CorpusOps {
   // memorization even when no two documents are verbatim duplicates).
   // Output per passage: total occurrences, distinct docs, first doc.
   //
-  // Scale shape: a stride-1 window explode is the one deliberately heavy
-  // scan in the family (~n_tokens rows per doc), but the aggregate is a
-  // plain hash groupBy with map-side combine and the >= 2 floor drops the
-  // long unique tail before anything else happens. At 100 TB the passage
-  // string is replaced by its 64-bit rolling hash (TokenRollingHash kernel)
-  // — identical plan, 8 bytes per shingle through the exchange.
+  // Scale shape, two-phase: the stride-1 window stream is aggregated on its
+  // 64-bit ShingleHashes value — 8 bytes per window through the exchange,
+  // no passage strings built — and the >= 2 floor drops the long unique
+  // tail (~98% of windows on this corpus) BEFORE any string exists. Only
+  // surviving (hash, first_doc, pos) triples rejoin the corpus to slice
+  // their passage text out of the first occurrence. The DuckDB oracle
+  // groups the exact strings; agreement relies on the same ~2⁻⁶⁴ window-
+  // collision bound as x24 (a collision would also merge two passages'
+  // counts — the spec-pinned ShingleHashes distinct-count property covers
+  // the construction).
   private val x41 = GQuery(
     "x41_passage_dedup", "ext-dedup passage-level",
     (s, dir) => {
-      val passages = expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)), " +
-          "i -> array_join(slice(split(text, ' '), i, 8), ' '))")
-      docs(s, dir)
-        .select(col("doc_id"), explode(passages).as("passage"))
-        .groupBy(col("passage"))
+      import graft.functions.HashFunctions.shingleHashes
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"),
+        posexplode(shingleHashes(split(col("text"), " "), 8)))
+      val survivors = sh
+        .groupBy(col("col").as("h"))
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"),
-          min(col("doc_id")).as("first_doc"))
+          min(struct(col("doc_id"), col("pos"))).as("first"))
         .where(col("n_occurrences") >= 2)
+        .select(col("h"), col("n_occurrences"), col("n_docs"),
+          col("first.doc_id").as("first_doc"), col("first.pos").as("pos"))
+      survivors.join(d, col("first_doc") === d("doc_id"))
+        .select(
+          array_join(slice(split(col("text"), " "), col("pos") + 1, lit(8)), " ")
+            .as("passage"),
+          col("n_occurrences"), col("n_docs"), col("first_doc"))
         .orderBy("passage")
     },
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -159,11 +159,16 @@ object Retrieval {
   private val x47 = GQuery(
     "x47_bigram_lm", "ext-text ngram-lm",
     (s, dir) => {
+      // zip the token array against itself shifted by one; slice lengths are
+      // clamped to 0 so single-token documents yield no bigrams (the naive
+      // sequence(1, size - 1) spells DESCENDING [1, 0] when size = 1 and
+      // crashes element_at — the same pitfall wordNgrams documents)
       val bg = docs(s, dir)
         .select(tokens.as("w"))
         .select(explode(expr(
-          "transform(sequence(1, greatest(size(w) - 1, 0)), " +
-            "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))")).as("b"))
+          "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+            "slice(w, 2, greatest(size(w) - 1, 0)), " +
+            "(a, b) -> struct(a as w1, b as w2))")).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       val prefix = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_prefix"))

@@ -48,4 +48,19 @@ class EdgeCorpusSpec extends SparkSpec {
     // all 4 docs fall in the benchmark range (doc_id < 50): corpus side empty
     assert(SparkEntry.queries("x24_decontaminate")(spark, dir).count() == 0)
   }
+
+  test("retrieval/corpus-prep operators handle the degenerate corpus") {
+    // no 8-token window repeats across these docs: sub-8-token docs hash as
+    // whole-sequence shingles, all distinct
+    assert(SparkEntry.queries("x41_passage_dedup")(spark, dir).count() == 0)
+    // every doc yields at least one scored term (the empty doc tokenizes
+    // to [""], which is still a term)
+    assert(SparkEntry.queries("x45_tfidf_topterms")(spark, dir).count() >= 4)
+    // none of the BM25 query terms occur => empty ranking, no crash
+    assert(SparkEntry.queries("x46_bm25_rank")(spark, dir).count() == 0)
+    // max bigram count is 3 ("the the" x3), below the >= 10 floor
+    assert(SparkEntry.queries("x47_bigram_lm")(spark, dir).count() == 0)
+    // deterministic sampling is a filter: output is a subset of the corpus
+    assert(SparkEntry.queries("x42_hash_sample")(spark, dir).count() <= 4)
+  }
 }
