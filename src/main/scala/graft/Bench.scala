@@ -37,7 +37,10 @@ object Bench {
     // chars) and parses the metric line from it — rounds 1 and 2 both
     // recorded `parsed: null` because the full-name 9-decimal line ran
     // ~2.5k chars. Emit short ids (the unique b/c/q/x prefix every doc
-    // table uses) and millisecond precision so the line always fits.
+    // table uses) and millisecond precision (~1.8k chars at 123 queries),
+    // and fail LOUDLY (non-zero exit the driver records) if query growth
+    // ever pushes the line back over the tail window — a silent re-break
+    // would cost a round of benchmark feedback.
     def shortId(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -46,7 +49,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    require(line.length <= 1900,
+      s"metric line ${line.length} chars exceeds the driver's ~2000-char stdout tail; " +
+        "shorten ids or drop per-query entries before the next bench round")
+    println(line)
     spark.stop()
   }
 }

@@ -231,8 +231,11 @@ case class ShingleHashes(child: Expression, ngram: Int)
   * the row pipeline replaces the explode → groupBy(doc, token) →
   * groupBy(doc) two-shuffle idiom with a narrow scan-bound projection — at
   * 100 TB that is the difference between shuffling one row per TOKEN of the
-  * corpus and shuffling nothing. Null tokens are skipped; an all-null or
-  * empty array yields 0.
+  * corpus and shuffling nothing. Null tokens are SKIPPED (consistent with
+  * every kernel in this file; note this differs from explode + groupBy,
+  * which groups null elements and counts them — split() output never
+  * contains nulls, so the curated queries can't observe the difference);
+  * an all-null or empty array yields 0.
   */
 case class TopTokenCount(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -251,10 +251,12 @@ object CorpusOps {
 
   // Deterministic per-stratum subsampling: keep a lang-dependent fraction
   // of documents chosen by a content-independent reproducible coin — the
-  // first hex byte of md5(doc_id:lang) compared against a per-language
-  // bound (0x33 ≈ 20% ... 0xff = 100%). The same rows are kept on every
-  // run, on any cluster, with no RNG state — the property x21's sampleBy
-  // (seeded per-partition RNG) cannot give across repartitionings.
+  // first hex byte of md5(doc_id:lang) compared (inclusively, so 'ff'
+  // really is 256/256 = keep-all) against a per-language bound
+  // (0x33 → 52/256 ≈ 20% ... 0xff = 100%). The same rows are kept on
+  // every run, on any cluster, with no RNG state — the property x21's
+  // sampleBy (seeded per-partition RNG) cannot give across
+  // repartitionings.
   //
   // Scale shape: a pure narrow filter — no shuffle, no state; the bound
   // table is a 5-row broadcast. Lexicographic compare of lowercase hex IS
@@ -268,7 +270,7 @@ object CorpusOps {
       docs(s, dir)
         .join(broadcast(bounds), "lang")
         .where(substring(md5(concat(col("doc_id"), lit(":"), col("lang"))), 1, 2)
-          < col("bound"))
+          <= col("bound"))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
@@ -276,7 +278,7 @@ object CorpusOps {
               ('en', '33'), ('de', '66'), ('es', '99'), ('fr', 'cc'), ('zh', 'ff'))
             SELECT doc_id, d.lang
             FROM documents d JOIN bounds b ON d.lang = b.lang
-            WHERE substr(md5(doc_id || ':' || d.lang), 1, 2) < b.bound
+            WHERE substr(md5(doc_id || ':' || d.lang), 1, 2) <= b.bound
             ORDER BY doc_id"""))
 
   // MERGE-style upsert: reconcile a stale dimension snapshot against fresh

@@ -243,7 +243,10 @@ object Text {
     */
   private def repetitionStats(d: DataFrame): DataFrame = {
     val bigrams = wordNgrams(2)
-    d.select(col("doc_id"),
+    // null-text docs are dropped, matching both the previous explode
+    // formulation (explode of a null array emits nothing) and the oracle
+    // (unnest(string_split(NULL)) drops the doc)
+    d.where(col("text").isNotNull).select(col("doc_id"),
       graft.functions.HashFunctions.topTokenCount(tokens).as("top_c"),
       size(tokens).cast("long").as("n_tok"),
       (size(tokens) - 1).cast("long").as("n_bigrams"),
@@ -267,7 +270,7 @@ object Text {
     * ever materialized), so the broadcast set and the join keys are 8 bytes
     * per shingle. The DuckDB oracle works over the exact string n-grams;
     * the counts agree because distinct-hash counts equal distinct-shingle
-    * counts up to a ~2⁻⁶⁴-probability window collision (DedupSpec pins
+    * counts up to a ~2⁻⁶⁴-probability window collision (TextSketchSpec pins
     * hash-vs-string agreement end to end on the fixture corpus).
     */
   private def contaminationHits(d: DataFrame): DataFrame = {
@@ -374,7 +377,7 @@ object Text {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
     },
-    None) // approximate (Bloom collisions): gated by DedupSpec vs x24
+    None) // approximate (Bloom collisions): gated by TextSketchSpec vs x24
 
   // Token-window chunking: split every document into 32-token windows with
   // stride 24 (8-token overlap) — the context-window prep step for training

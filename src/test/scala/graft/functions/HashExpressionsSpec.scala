@@ -94,9 +94,14 @@ class HashExpressionsSpec extends SparkSpec {
       .toDF("toks", "expected")
     val rows = df.select(HashFunctions.topTokenCount(col("toks")), col("expected")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
-    // null elements are skipped like the explode idiom drops them
-    val withNull = spark.sql("SELECT array('x', CAST(NULL AS STRING), 'x') AS toks")
+    // null elements are SKIPPED entirely (kernel-family convention; note
+    // explode+groupBy would instead group nulls — split() never emits
+    // nulls, so only ad-hoc SQL callers can see this): two nulls never
+    // form a count-2 group
     graft.functions.SqlFunctions.register(spark)
+    val withNull = spark.sql("SELECT array('x', CAST(NULL AS STRING), 'x') AS toks")
     assert(withNull.select(expr("top_token_count(toks)")).head().getLong(0) == 2L)
+    val twoNulls = spark.sql("SELECT array(CAST(NULL AS STRING), CAST(NULL AS STRING), 'x') AS toks")
+    assert(twoNulls.select(expr("top_token_count(toks)")).head().getLong(0) == 1L)
   }
 }

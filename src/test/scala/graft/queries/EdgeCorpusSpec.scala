@@ -60,7 +60,16 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(SparkEntry.queries("x46_bm25_rank")(spark, dir).count() == 0)
     // max bigram count is 3 ("the the" x3), below the >= 10 floor
     assert(SparkEntry.queries("x47_bigram_lm")(spark, dir).count() == 0)
-    // deterministic sampling is a filter: output is a subset of the corpus
-    assert(SparkEntry.queries("x42_hash_sample")(spark, dir).count() <= 4)
+    // deterministic sampling: recompute the md5 coin independently and
+    // assert the EXACT keep set (all docs are 'en' => bound "33")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (0L to 3L).filter { id =>
+      val hex = md.digest(s"$id:en".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      hex <= "33"
+    }.toSet
+    val kept = SparkEntry.queries("x42_hash_sample")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expected, s"kept $kept, expected $expected")
   }
 }
