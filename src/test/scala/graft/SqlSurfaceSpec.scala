@@ -92,4 +92,32 @@ class SqlSurfaceSpec extends SparkSpec {
         .collect() // array<string>, not array<long> — must fail during analysis
     }
   }
+
+  test("EVERY registered kernel rejects a wrong-typed call at analysis time") {
+    graft.functions.SqlFunctions.register(spark)
+    Tables(spark, sf001, "documents").createOrReplaceTempView("documents")
+    // one deliberately ill-typed invocation per registered function; each
+    // must fail during analysis (AnalysisException), never on an executor
+    val bad = Seq(
+      "cosine_sim" -> "cosine_sim(text, text)",
+      "cosine_sim_prenorm" -> "cosine_sim_prenorm(text, text, 1.0)",
+      "l2_norm" -> "l2_norm(text)",
+      "sq_dist" -> "sq_dist(doc_id, doc_id)",
+      "simhash64" -> "simhash64(doc_id)",
+      "token_rolling_hash" -> "token_rolling_hash(n_chars)",
+      "token_hash_set" -> "token_hash_set(doc_id)",
+      "jaccard_longs" -> "jaccard_longs(split(text, ' '), split(text, ' '))",
+      "sig_agreement" -> "sig_agreement(text, text)",
+      "minhash_sig" -> "minhash_sig(text, 8)",
+      "shingle_hashes" -> "shingle_hashes(doc_id, 3)",
+      "top_token_count" -> "top_token_count(n_chars)",
+      "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)")
+    for ((name, call) <- bad) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call FROM documents").collect()
+      }
+      assert(ex.getMessage.contains(name),
+        s"$name: analysis error must name the kernel: ${ex.getMessage}")
+    }
+  }
 }

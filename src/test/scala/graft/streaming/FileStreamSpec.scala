@@ -33,6 +33,30 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream/batch divergence: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming exact-dedup reproduces batch x01 (unified-model parity)") {
+    // the training-data dedup aggregate run as a stream over the same
+    // corpus: groupBy(text) -> (min keeper, count) in complete mode must
+    // equal the batch x01 answer row for row
+    val schema = spark.read.parquet(s"$sf001/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf001)
+      .groupBy(col("text"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .select(col("keeper"), col("n_copies"))
+    val q = stream.writeStream.format("memory").queryName("dedup_files")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val streamed = spark.table("dedup_files")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.SparkEntry.queries("x01_dedup_exact")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream/batch dedup divergence: ${streamed.size} vs ${batch.size}")
+  }
+
   test("maxFilesPerTrigger bounds per-batch intake (the MAX_MAP analog)") {
     // the reference caps each cycle at MAX_MAP runs (A8); the streaming file
     // source expresses the same backpressure as maxFilesPerTrigger: with 6
