@@ -391,6 +391,34 @@ object CorpusOps {
               n_orders
             FROM iv ORDER BY custkey, run_id"""))
 
-  val queries: Seq[GQuery] = Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44)
+  // Policy/blocklist filtering: flag documents containing any term from a
+  // (small, broadcast) blocklist, with total hits and distinct matched
+  // terms per document — the wordlist-driven safety/policy pass every
+  // production corpus runs (the terms here are ordinary fixture vocabulary
+  // standing in for a real denylist). Same broadcast-set shape as x24 but
+  // keyed on whole tokens, not shingles; at 100 TB the token explode is
+  // scan-bound and only the rare matches reach the count shuffle.
+  private val x51 = GQuery(
+    "x51_blocklist_filter", "ext-text policy-filter",
+    (s, dir) => {
+      import s.implicits._
+      val blocklist = Seq("slow", "broken", "error").toDF("term")
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .join(broadcast(blocklist), col("tok") === col("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("term")).as("n_terms"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH bl(term) AS (VALUES ('slow'), ('broken'), ('error')),
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+            SELECT doc_id, COUNT(*) AS n_hits,
+              COUNT(DISTINCT t.tok) AS n_terms
+            FROM tok t JOIN bl ON t.tok = bl.term
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  val queries: Seq[GQuery] = Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51)
 }
 

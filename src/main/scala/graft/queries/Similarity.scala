@@ -309,5 +309,43 @@ object Similarity {
               FROM scored)
             WHERE rank <= 3 ORDER BY label, rank"""))
 
-  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26, x27, x40, x48)
+  // Hard-negative mining: for each query vector, the 3 most similar vectors
+  // with a DIFFERENT label — the contrastive-training data op (high-cosine,
+  // wrong-class examples are the negatives that actually teach an embedding
+  // model). Same broadcast-batch × streaming-corpus × GroupedTopK shape as
+  // x27 with the label-disagreement predicate applied before scoring ever
+  // shuffles.
+  private val x50 = GQuery(
+    "x50_hard_negatives", "ext-similarity contrastive-mining",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val e = emb(s, dir)
+      val batch = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("qvec"), VectorOps.l2norm(col("embedding")).as("qnorm"))
+      val scored = e.where(col("vec_id") >= 10).join(broadcast(batch))
+        .where(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm")).as("sim"))
+      GroupedTopKOps.groupedTopK(scored, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id")), k = 3)
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS sim
+              FROM embeddings e, q
+              WHERE e.vec_id >= 10 AND e.label <> q.q_label)
+            SELECT q_id, vec_id, sim FROM (
+              SELECT q_id, vec_id, sim,
+                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+              FROM scored) WHERE rn <= 3
+            ORDER BY q_id, sim DESC, vec_id"""))
+
+  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26, x27, x40, x48, x50)
 }
