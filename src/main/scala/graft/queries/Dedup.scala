@@ -319,5 +319,43 @@ object Dedup {
         col("n_tokens") >= MinTokens && col("uniq_ratio") >= MinUniqRatio)
   }
 
-  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19, x22, x32)
+  // Incremental LSH maintenance: dedup a NEW batch against the standing
+  // corpus without ever joining the standing corpus to itself — the
+  // operation an ingest pipeline runs every cycle once the initial x03
+  // dedup has been paid. Here `source = 'src0'` plays the new batch and the
+  // other sources the standing index (whose signatures/bands production
+  // would have persisted at ingest; recomputing them here changes cost, not
+  // semantics). Same SigLen/Bands/VerifyAgree construction as x03/x22, so
+  // the flags are exactly the cross-side subset of x03's candidate edges.
+  //
+  // Scale shape: the standing side contributes only (band_hash, doc_id)
+  // pairs and k-long signatures — both persisted index artifacts at 100 TB
+  // — and the join is batch-bands probing standing-bands: cost scales with
+  // the BATCH, not the corpus. Output: one row per new doc, dup_of = the
+  // smallest verified standing match (null = genuinely new).
+  private val x52 = GQuery(
+    "x52_incremental_lsh", "ext-dedup-fuzzy incremental-index",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val batchSigs = minhashSigs(d.where(col("source") === "src0"))
+      val standSigs = minhashSigs(d.where(col("source") =!= "src0"))
+      val standBands = bandHashes(standSigs)
+        .select(col("band_hash"), col("doc_id").as("old_id"))
+      val cand = bandHashes(batchSigs)
+        .join(standBands, "band_hash")
+        .groupBy(col("doc_id")).agg(min(col("old_id")).as("cand"))
+      val verified = cand
+        .join(batchSigs, Seq("doc_id"))
+        .join(standSigs.select(col("doc_id").as("cand"), col("sig").as("cand_sig")),
+          Seq("cand"))
+        .where(HashFunctions.sigAgreement(col("sig"), col("cand_sig")) >= VerifyAgree)
+        .select(col("doc_id"), col("cand").as("dup_of"))
+      batchSigs.select(col("doc_id"))
+        .join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"))
+        .orderBy("doc_id")
+    },
+    None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
+
+  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52)
 }

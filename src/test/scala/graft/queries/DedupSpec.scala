@@ -108,4 +108,34 @@ class DedupSpec extends SparkSpec {
     assert(tri((0L, 2L)) >= math.ceil(0.7 * k).toLong,
       s"shingles keep near-dup recall: ${tri((0L, 2L))}/$k")
   }
+
+  test("x52 incremental LSH: batch dups vs the standing corpus only") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearCopy = (1 to 58).map(i => s"tok$i").mkString(" ") + " changed1 changed2"
+    val fresh = (1 to 60).map(i => s"new$i").mkString(" ")
+    val inBatchDup = (1 to 60).map(i => s"twin$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("inc-lsh").toString
+    Seq(
+      // standing corpus (not src0)
+      (10L, base, "en", "srcA", base.length.toLong),
+      (11L, fresh.replace("new", "zzz"), "en", "srcA", 100L),
+      // new batch: a near-copy of standing doc 10, a genuinely new doc,
+      // and an in-batch duplicate pair (must NOT be flagged here — in-batch
+      // dedup is x01/x32's job, this operator only probes the standing index)
+      (100L, nearCopy, "en", "src0", nearCopy.length.toLong),
+      (101L, fresh, "en", "src0", fresh.length.toLong),
+      (102L, inBatchDup, "en", "src0", inBatchDup.length.toLong),
+      (103L, inBatchDup, "en", "src0", inBatchDup.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = SparkEntry.queries("x52_incremental_lsh")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out.keySet == Set(100L, 101L, 102L, 103L), "one row per batch doc")
+    assert(out(100L).contains(10L), s"planted near-copy must match standing doc 10: $out")
+    assert(out(101L).isEmpty, "genuinely new doc must not be flagged")
+    assert(out(102L).isEmpty && out(103L).isEmpty,
+      "in-batch duplicates are out of scope for the incremental probe")
+  }
 }
