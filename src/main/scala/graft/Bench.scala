@@ -51,10 +51,13 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    require(line.length <= 1900,
-      s"metric line ${line.length} chars exceeds the driver's ~2000-char stdout tail; " +
-        "shorten ids or drop per-query entries before the next bench round")
+    // emit BEFORE the guard: if query growth ever trips it, the round's
+    // numbers still reach the log tail and only the exit code goes loud —
+    // failing first would discard the whole timed pass the guard protects
     println(line)
+    require(line.length <= 1900,
+      s"metric line ${line.length} chars nears the driver's ~2000-char stdout tail; " +
+        "shorten ids or drop per-query entries before the next bench round")
     spark.stop()
   }
 }

@@ -9,6 +9,10 @@ import org.apache.spark.sql.types.IntegerType
   * `SqlFunctions.register(spark)`, every kernel is callable from `spark.sql`
   * under the same name the Column API uses — one Catalyst expression behind
   * both front-ends, so results are identical by construction.
+  *
+  * The builder table is the single source of truth; [[names]] exposes it so
+  * the SQL-misuse gate (SqlSurfaceSpec) can PROVE it covers every registered
+  * kernel rather than trusting a hand-maintained parallel list.
   */
 object SqlFunctions {
 
@@ -22,56 +26,63 @@ object SqlFunctions {
     require(ns.contains(args.length),
       s"$fn expects ${ns.mkString(" or ")} arguments, got ${args.length}")
 
-  def register(spark: SparkSession): Unit = {
-    ColumnGlue.registerTempFunction(spark, "cosine_sim", { args =>
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> { args =>
       arity("cosine_sim", args, 2); CosineSim(args(0), args(1))
-    })
-    ColumnGlue.registerTempFunction(spark, "cosine_sim_prenorm", { args =>
+    },
+    "cosine_sim_prenorm" -> { args =>
       arity("cosine_sim_prenorm", args, 3)
       CosineSimPreNorm(args(0), args(1), args(2))
-    })
-    ColumnGlue.registerTempFunction(spark, "l2_norm", { args =>
+    },
+    "l2_norm" -> { args =>
       arity("l2_norm", args, 1); L2Norm(args(0))
-    })
-    ColumnGlue.registerTempFunction(spark, "sq_dist", { args =>
+    },
+    "sq_dist" -> { args =>
       arity("sq_dist", args, 2); SqDist(args(0), args(1))
-    })
-    ColumnGlue.registerTempFunction(spark, "simhash64", { args =>
+    },
+    "simhash64" -> { args =>
       arity("simhash64", args, 1, 2)
       val n = if (args.length == 2) intLit(args(1), "simhash64", "ngram") else 1
       SimHash64(args(0), n)
-    })
-    ColumnGlue.registerTempFunction(spark, "token_rolling_hash", { args =>
+    },
+    "token_rolling_hash" -> { args =>
       arity("token_rolling_hash", args, 1); TokenRollingHash(args(0))
-    })
-    ColumnGlue.registerTempFunction(spark, "token_hash_set", { args =>
+    },
+    "token_hash_set" -> { args =>
       arity("token_hash_set", args, 1); TokenHashSet(args(0))
-    })
-    ColumnGlue.registerTempFunction(spark, "jaccard_longs", { args =>
+    },
+    "jaccard_longs" -> { args =>
       arity("jaccard_longs", args, 2); JaccardLongs(args(0), args(1))
-    })
-    ColumnGlue.registerTempFunction(spark, "sig_agreement", { args =>
+    },
+    "sig_agreement" -> { args =>
       arity("sig_agreement", args, 2); SigAgreement(args(0), args(1))
-    })
-    ColumnGlue.registerTempFunction(spark, "minhash_sig", { args =>
+    },
+    "minhash_sig" -> { args =>
       arity("minhash_sig", args, 2, 3)
       val k = intLit(args(1), "minhash_sig", "k")
       val n = if (args.length == 3) intLit(args(2), "minhash_sig", "ngram") else 1
       MinHashSig(args(0), k, n)
-    })
-    ColumnGlue.registerTempFunction(spark, "shingle_hashes", { args =>
+    },
+    "shingle_hashes" -> { args =>
       arity("shingle_hashes", args, 2)
       ShingleHashes(args(0), intLit(args(1), "shingle_hashes", "ngram"))
-    })
-    ColumnGlue.registerTempFunction(spark, "top_token_count", { args =>
+    },
+    "top_token_count" -> { args =>
       arity("top_token_count", args, 1); TopTokenCount(args(0))
-    })
-    ColumnGlue.registerTempFunction(spark, "hyperplane_buckets", { args =>
+    },
+    "hyperplane_buckets" -> { args =>
       arity("hyperplane_buckets", args, 3, 4)
       val planes = intLit(args(1), "hyperplane_buckets", "nPlanes")
       val tables = intLit(args(2), "hyperplane_buckets", "nTables")
       val seed = if (args.length == 4) intLit(args(3), "hyperplane_buckets", "seed") else 0
       HyperplaneBuckets(args(0), planes, tables, seed)
     })
-  }
+
+  /** Every SQL-registered kernel name (the misuse gate iterates this). */
+  def names: Seq[String] = builders.map(_._1)
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      ColumnGlue.registerTempFunction(spark, name, builder)
+    }
 }

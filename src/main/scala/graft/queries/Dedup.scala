@@ -325,8 +325,11 @@ object Dedup {
   // dedup has been paid. Here `source = 'src0'` plays the new batch and the
   // other sources the standing index (whose signatures/bands production
   // would have persisted at ingest; recomputing them here changes cost, not
-  // semantics). Same SigLen/Bands/VerifyAgree construction as x03/x22, so
-  // the flags are exactly the cross-side subset of x03's candidate edges.
+  // semantics). Same SigLen/Bands/VerifyAgree construction as x03/x22;
+  // unlike x03's min-candidate-then-verify cluster heuristic, every
+  // cross-side candidate pair is verified and the minimum is taken over
+  // VERIFIED matches, so a spurious band collision can never mask a real
+  // near-duplicate.
   //
   // Scale shape: the standing side contributes only (band_hash, doc_id)
   // pairs and k-long signatures — both persisted index artifacts at 100 TB
@@ -341,15 +344,18 @@ object Dedup {
       val standSigs = minhashSigs(d.where(col("source") =!= "src0"))
       val standBands = bandHashes(standSigs)
         .select(col("band_hash"), col("doc_id").as("old_id"))
-      val cand = bandHashes(batchSigs)
+      // verify EVERY distinct candidate pair, THEN take the smallest
+      // verified match — min-before-verify would let one spurious band
+      // collision with a low-id standing doc suppress a genuine near-dup
+      val candPairs = bandHashes(batchSigs)
         .join(standBands, "band_hash")
-        .groupBy(col("doc_id")).agg(min(col("old_id")).as("cand"))
-      val verified = cand
+        .select(col("doc_id"), col("old_id")).distinct()
+      val verified = candPairs
         .join(batchSigs, Seq("doc_id"))
-        .join(standSigs.select(col("doc_id").as("cand"), col("sig").as("cand_sig")),
-          Seq("cand"))
+        .join(standSigs.select(col("doc_id").as("old_id"), col("sig").as("cand_sig")),
+          Seq("old_id"))
         .where(HashFunctions.sigAgreement(col("sig"), col("cand_sig")) >= VerifyAgree)
-        .select(col("doc_id"), col("cand").as("dup_of"))
+        .groupBy(col("doc_id")).agg(min(col("old_id")).as("dup_of"))
       batchSigs.select(col("doc_id"))
         .join(verified, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup_of"))

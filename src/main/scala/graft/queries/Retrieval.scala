@@ -46,9 +46,12 @@ object Retrieval {
     (s, dir) => {
       val d = docs(s, dir)
       val tok = d.select(col("doc_id"), explode(tokens).as("token"))
-      // count docs from the SAME token stream the oracle counts from, so a
-      // null-text doc (dropped by both explodes) never skews N
-      val n = tok.select(countDistinct(col("doc_id")).as("n_docs"))
+      // N must equal the oracle's COUNT(DISTINCT doc_id) over the token
+      // stream = docs with non-null text (empty text still tokenizes to
+      // [""]); the narrow filter-count gives that without re-exploding the
+      // corpus just to produce one scalar
+      val n = d.where(col("text").isNotNull)
+        .select(countDistinct(col("doc_id")).as("n_docs"))
       val df = tok.select(col("token"), col("doc_id")).distinct()
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
       val tf = tok.where(col("doc_id") < 20)

@@ -3,26 +3,39 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 /** Physical-strategy invariance: results must not depend on which plan
-  * Catalyst picks. Representative join/agg/window/kernel queries are re-run
-  * with broadcast joins disabled and with AQE disabled, and must produce
-  * row-identical results — the gate that separates "right answer because
-  * the planner happened to broadcast" from "right answer, period". At
-  * 100 TB these knobs WILL flip (per-stage sizes cross thresholds, AQE
-  * re-plans mid-query), so semantics anchored to a physical choice are
-  * latent wrong answers.
+  * Catalyst picks. Queries are re-run with planner-chosen broadcast joins
+  * and AQE disabled and must produce row-identical results — the gate that
+  * separates "right answer because the planner happened to broadcast" from
+  * "right answer, period". At 100 TB these knobs WILL flip (per-stage sizes
+  * cross thresholds, AQE re-plans mid-query), so semantics anchored to a
+  * physical choice are latent wrong answers.
+  *
+  * Two groups, honestly separated: autoBroadcastJoinThreshold=-1 only
+  * affects PLANNER-chosen broadcasts, so queries built with explicit
+  * broadcast() hints keep their join strategy under it — for those, only
+  * the AQE-off half does real work, and they are listed separately rather
+  * than padding the strategy-flip group.
   */
 class PlanRobustnessSpec extends SparkSpec {
 
-  // heavier shapes across the operator families: star join, group-join,
-  // decorrelated subquery, funnel windows, merge upsert, contamination
-  // hash join, BM25 pivot, grouped-topk custom operator
-  private val names = Seq(
-    "b07_multijoin_revenue", "q18_large_orders", "b05b_decorrelated_join",
-    "x49_funnel", "x43_merge_upsert", "x24_decontaminate",
-    "x46_bm25_rank", "x27_knn_join")
+  // no explicit join hints anywhere in these plans: disabling auto-broadcast
+  // genuinely flips their join strategies (SMJ instead of BHJ)
+  private val strategyFree = Seq(
+    "q18_large_orders", "c16_composite_key_join", "x43_merge_upsert",
+    "x44_scd2_history", "x49_funnel", "b05b_decorrelated_join")
 
+  // explicit broadcast() hints pin the join side by design; these verify
+  // independence from AQE runtime re-planning only
+  private val hinted = Seq(
+    "b07_multijoin_revenue", "x24_decontaminate", "x27_knn_join", "x46_bm25_rank")
+
+  // sorted stringified rows: content equality as a multiset. Some queries'
+  // ORDER BY is not a total order (e.g. c16 — the synthetic lineitem has
+  // duplicate (l_orderkey, l_linenumber) keys), so tie order may
+  // legitimately differ between plans; the driver's oracle compare likewise
+  // sorts before hashing.
   private def rows(df: DataFrame): Seq[String] =
-    df.collect().map(_.toString).toSeq
+    df.collect().map(_.toString).toSeq.sorted
 
   private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -34,7 +47,7 @@ class PlanRobustnessSpec extends SparkSpec {
     }
   }
 
-  for (name <- names) {
+  for (name <- strategyFree) {
     test(s"$name: identical results with broadcast joins and AQE disabled") {
       val baseline = rows(SparkEntry.queries(name)(spark, sf001))
       withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -42,6 +55,18 @@ class PlanRobustnessSpec extends SparkSpec {
         val hostile = rows(SparkEntry.queries(name)(spark, sf001))
         assert(hostile == baseline,
           s"$name diverged under no-broadcast/no-AQE planning: " +
+            s"${hostile.size} vs ${baseline.size} rows")
+      }
+    }
+  }
+
+  for (name <- hinted) {
+    test(s"$name: identical results with AQE disabled (joins hint-pinned)") {
+      val baseline = rows(SparkEntry.queries(name)(spark, sf001))
+      withConfs("spark.sql.adaptive.enabled" -> "false") {
+        val hostile = rows(SparkEntry.queries(name)(spark, sf001))
+        assert(hostile == baseline,
+          s"$name diverged with AQE disabled: " +
             s"${hostile.size} vs ${baseline.size} rows")
       }
     }

@@ -112,6 +112,11 @@ class SqlSurfaceSpec extends SparkSpec {
       "shingle_hashes" -> "shingle_hashes(doc_id, 3)",
       "top_token_count" -> "top_token_count(n_chars)",
       "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)")
+    // self-enforcing completeness: registering a 14th kernel without adding
+    // a bad-call row here must fail this gate, not silently escape it
+    assert(bad.map(_._1).toSet == graft.functions.SqlFunctions.names.toSet,
+      s"misuse gate out of sync with SqlFunctions.names: " +
+        s"missing ${graft.functions.SqlFunctions.names.toSet -- bad.map(_._1).toSet}")
     for ((name, call) <- bad) {
       val ex = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"SELECT $call FROM documents").collect()
