@@ -104,24 +104,26 @@ object Text {
 
   // Language-ID heuristic: marker-token voting with a deterministic argmax
   // (a stand-in for n-gram models — the scoring skeleton is the operator).
+  // Shared by x13 (per-doc output) and x53 (confusion matrix) so the
+  // classifier under evaluation is the classifier being run.
+  private def langVotes(d: DataFrame): DataFrame = {
+    def votes(markers: String) =
+      size(expr(s"filter(split(text, ' '), t -> t IN ($markers))")).cast("long")
+    val vData = votes("'data', 'row', 'column', 'table'")
+    val vQuery = votes("'query', 'filter', 'join', 'sort'")
+    val vStream = votes("'stream', 'window', 'batch', 'spark'")
+    d.select(col("doc_id"), col("lang"),
+      vData.as("v_data"), vQuery.as("v_query"), vStream.as("v_stream"))
+      .withColumn("lang_guess",
+        when(col("v_data") > col("v_query") && col("v_data") > col("v_stream"), "tabular")
+          .when(col("v_query") > col("v_data") && col("v_query") > col("v_stream"), "relational")
+          .when(col("v_stream") > col("v_data") && col("v_stream") > col("v_query"), "streaming")
+          .otherwise("und"))
+  }
+
   private val x13 = GQuery(
     "x13_langid_heuristic", "ext-text",
-    (s, dir) => {
-      def votes(markers: String) =
-        size(expr(s"filter(split(text, ' '), t -> t IN ($markers))")).cast("long")
-      val vData = votes("'data', 'row', 'column', 'table'")
-      val vQuery = votes("'query', 'filter', 'join', 'sort'")
-      val vStream = votes("'stream', 'window', 'batch', 'spark'")
-      docs(s, dir)
-        .select(col("doc_id"), col("lang"),
-          vData.as("v_data"), vQuery.as("v_query"), vStream.as("v_stream"))
-        .withColumn("lang_guess",
-          when(col("v_data") > col("v_query") && col("v_data") > col("v_stream"), "tabular")
-            .when(col("v_query") > col("v_data") && col("v_query") > col("v_stream"), "relational")
-            .when(col("v_stream") > col("v_data") && col("v_stream") > col("v_query"), "streaming")
-            .otherwise("und"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => langVotes(docs(s, dir)).orderBy("doc_id"),
     Some("""WITH v AS (
               SELECT doc_id, lang,
                 CAST(len(list_filter(string_split(text, ' '), t -> t IN ('data', 'row', 'column', 'table'))) AS BIGINT) AS v_data,
@@ -561,7 +563,43 @@ object Text {
             FROM documents
             ORDER BY lang, doc_id"""))
 
+  // Classifier evaluation: the confusion matrix of x13's language-ID guess
+  // against the gold `lang` label — the accept/reject evidence a pipeline
+  // reviews before trusting a heuristic filter at corpus scale. Reuses
+  // langVotes verbatim, so the evaluated classifier IS the deployed one.
+  // frac_of_lang = n / gold-class total (IEEE-exact division); matrix is
+  // |langs| x |guesses| small, aggregation is one grouped count plus a
+  // per-class window over the tiny matrix.
+  private val x53 = GQuery(
+    "x53_langid_confusion", "ext-text classifier-eval",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      langVotes(docs(s, dir))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac_of_lang",
+          col("n").cast("double") / sum(col("n")).over(w))
+        .orderBy("lang", "lang_guess")
+    },
+    Some("""WITH v AS (
+              SELECT doc_id, lang,
+                CAST(len(list_filter(string_split(text, ' '), t -> t IN ('data', 'row', 'column', 'table'))) AS BIGINT) AS v_data,
+                CAST(len(list_filter(string_split(text, ' '), t -> t IN ('query', 'filter', 'join', 'sort'))) AS BIGINT) AS v_query,
+                CAST(len(list_filter(string_split(text, ' '), t -> t IN ('stream', 'window', 'batch', 'spark'))) AS BIGINT) AS v_stream
+              FROM documents),
+            g AS (
+              SELECT lang,
+                CASE WHEN v_data > v_query AND v_data > v_stream THEN 'tabular'
+                     WHEN v_query > v_data AND v_query > v_stream THEN 'relational'
+                     WHEN v_stream > v_data AND v_stream > v_query THEN 'streaming'
+                     ELSE 'und' END AS lang_guess
+              FROM v),
+            m AS (SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY 1, 2)
+            SELECT lang, lang_guess, n,
+              CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang) AS frac_of_lang
+            FROM m ORDER BY lang, lang_guess"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39)
+      x30, x31, x33, x39, x53)
 }

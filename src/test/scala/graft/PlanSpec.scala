@@ -263,6 +263,33 @@ class PlanSpec extends SparkSpec {
     assert(nHash == 1, s"expected 1 hash exchange, got $nHash:\n$plan")
   }
 
+  test("x24 hashed shingles measurably shrink shuffle traffic vs string shingles") {
+    // the ShingleHashes substitution claims 8 bytes per shingle instead of
+    // a ~40-byte string; measure it — total shuffle bytes of the hash form
+    // must be well under the reconstructed string form's on the same corpus
+    def shuffleBytes(df: DataFrame): Long = {
+      df.collect()
+      SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+        .collect { case ex: ShuffleExchangeExec => ex }
+        .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
+    }
+    val hashForm = shuffleBytes(SparkEntry.queries("x24_decontaminate")(spark, sf001))
+    val ngrams = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 1)), " +
+        "i -> array_join(slice(split(text, ' '), i, 6), ' '))")
+    val sh = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), explode(array_distinct(ngrams)).as("shingle"))
+    val bench = sh.where(col("doc_id") < 50).select("shingle").distinct()
+    val stringForm = shuffleBytes(
+      sh.where(col("doc_id") >= 50)
+        .join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id"))
+    assert(hashForm > 0 && stringForm > 0, s"metrics missing: $hashForm / $stringForm")
+    assert(hashForm * 2 < stringForm,
+      s"hashed shingles should at least halve shuffle bytes: $hashForm vs $stringForm")
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf001)
     val plan = executedPlan(df).toString
