@@ -47,12 +47,18 @@ object Dedup {
       org.apache.spark.sql.expressions.Window.partitionBy(col("band_hash"))))
 
   /** Keeps only (doc_id, candCol) pairs whose signatures agree on >= the
-    * 0.85-estimated-Jaccard threshold.
+    * 0.85-estimated-Jaccard threshold. `candSigs` supplies the candidate
+    * side's signatures when they come from a different frame (x52's
+    * standing corpus); the single-frame overload is the x03/x22 case.
     */
   private def verifyPairs(pairs: DataFrame, sigs: DataFrame, candCol: String): DataFrame =
+    verifyPairs(pairs, sigs, candCol, sigs)
+
+  private def verifyPairs(pairs: DataFrame, sigs: DataFrame, candCol: String,
+      candSigs: DataFrame): DataFrame =
     pairs
       .join(sigs, Seq("doc_id"))
-      .join(sigs.select(col("doc_id").as(candCol), col("sig").as("cand_sig")), Seq(candCol))
+      .join(candSigs.select(col("doc_id").as(candCol), col("sig").as("cand_sig")), Seq(candCol))
       .where(HashFunctions.sigAgreement(col("sig"), col("cand_sig")) >= VerifyAgree)
       .select(col("doc_id"), col(candCol))
 
@@ -350,11 +356,7 @@ object Dedup {
       val candPairs = bandHashes(batchSigs)
         .join(standBands, "band_hash")
         .select(col("doc_id"), col("old_id")).distinct()
-      val verified = candPairs
-        .join(batchSigs, Seq("doc_id"))
-        .join(standSigs.select(col("doc_id").as("old_id"), col("sig").as("cand_sig")),
-          Seq("old_id"))
-        .where(HashFunctions.sigAgreement(col("sig"), col("cand_sig")) >= VerifyAgree)
+      val verified = verifyPairs(candPairs, batchSigs, "old_id", standSigs)
         .groupBy(col("doc_id")).agg(min(col("old_id")).as("dup_of"))
       batchSigs.select(col("doc_id"))
         .join(verified, Seq("doc_id"), "left")

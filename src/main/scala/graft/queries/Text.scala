@@ -261,8 +261,11 @@ object Text {
       .withColumn("keep", col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.5)
   }
 
-  /** Benchmark docs: doc_id < this are the held-out eval-suite stand-in. */
-  private val BenchBound = 50
+  /** Benchmark docs: doc_id < this are the held-out eval-suite stand-in
+    * (package-visible so plan specs can reconstruct the string form at the
+    * same split).
+    */
+  private[graft] val BenchBound = 50
 
   /** (doc_id, n_hits) for corpus docs sharing a word-6-gram with the
     * benchmark set — shared by x24 and x31.

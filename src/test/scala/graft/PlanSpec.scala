@@ -274,14 +274,15 @@ class PlanSpec extends SparkSpec {
         .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
     }
     val hashForm = shuffleBytes(SparkEntry.queries("x24_decontaminate")(spark, sf001))
+    val bound = graft.queries.Text.BenchBound
     val ngrams = expr(
       "transform(sequence(1, greatest(size(split(text, ' ')) - 5, 1)), " +
         "i -> array_join(slice(split(text, ' '), i, 6), ' '))")
     val sh = Tables(spark, sf001, "documents")
       .select(col("doc_id"), explode(array_distinct(ngrams)).as("shingle"))
-    val bench = sh.where(col("doc_id") < 50).select("shingle").distinct()
+    val bench = sh.where(col("doc_id") < bound).select("shingle").distinct()
     val stringForm = shuffleBytes(
-      sh.where(col("doc_id") >= 50)
+      sh.where(col("doc_id") >= bound)
         .join(broadcast(bench), "shingle")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id"))

@@ -114,9 +114,11 @@ class SqlSurfaceSpec extends SparkSpec {
       "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)")
     // self-enforcing completeness: registering a 14th kernel without adding
     // a bad-call row here must fail this gate, not silently escape it
-    assert(bad.map(_._1).toSet == graft.functions.SqlFunctions.names.toSet,
+    val registered = graft.functions.SqlFunctions.names.toSet
+    val covered = bad.map(_._1).toSet
+    assert(covered == registered,
       s"misuse gate out of sync with SqlFunctions.names: " +
-        s"missing ${graft.functions.SqlFunctions.names.toSet -- bad.map(_._1).toSet}")
+        s"uncovered=${registered -- covered} stale=${covered -- registered}")
     for ((name, call) <- bad) {
       val ex = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"SELECT $call FROM documents").collect()
