@@ -602,7 +602,33 @@ object Text {
               CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang) AS frac_of_lang
             FROM m ORDER BY lang, lang_guess"""))
 
+  // Sequence-length histogram: documents per power-of-2 token-length bucket
+  // per language — the distribution a packing stage (x33) and a
+  // context-window budget decision are sized against. Bucket = the highest
+  // power of two <= n, computed as 1 << (binary-digit-count - 1): pure
+  // integer arithmetic both engines evaluate identically (floor(log2(n))
+  // via doubles rounds differently across libms at exact powers). One
+  // narrow projection + one tiny grouped count.
+  private val x54 = GQuery(
+    "x54_length_histogram", "ext-text length-distribution",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), size(tokens).cast("long").as("n"))
+        .withColumn("bucket_lo",
+          expr("shiftleft(1L, cast(length(bin(n)) as int) - 1)"))
+        .groupBy(col("lang"), col("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n")).as("min_len"),
+          max(col("n")).as("max_len"))
+        .orderBy("lang", "bucket_lo"),
+    Some("""WITH d AS (SELECT lang,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                       FROM documents)
+            SELECT lang,
+              CAST(1 AS BIGINT) << (length(bin(n)) - 1) AS bucket_lo,
+              COUNT(*) AS n_docs, MIN(n) AS min_len, MAX(n) AS max_len
+            FROM d GROUP BY 1, 2 ORDER BY lang, bucket_lo"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53)
+      x30, x31, x33, x39, x53, x54)
 }
