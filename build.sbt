@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench metric line from a bounded stdout tail with a
+// line-anchored JSON parse. sbt's default logger prefixes forked-process
+// stdout with "[info] ", which defeats that parse (BENCH parsed:null rounds
+// 1-3). StdoutOutput passes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,7 +23,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the iterative operators (x22/x56) emit one benign
+    // lineage-truncation WARN per unpersisted checkpoint generation, and a
+    // log flood adjacent to the metric line risks crowding it out of the
+    // driver's bounded stdout tail
+    spark.sparkContext.setLogLevel("ERROR")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -34,13 +38,15 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver captures only a bounded tail of stdout (observed: 2000
-    // chars) and parses the metric line from it — rounds 1 and 2 both
-    // recorded `parsed: null` because the full-name 9-decimal line ran
-    // ~2.5k chars. Emit short ids (the unique b/c/q/x prefix every doc
-    // table uses) and millisecond precision (~1.8k chars at 123 queries),
-    // and fail LOUDLY (non-zero exit the driver records) if query growth
-    // ever pushes the line back over the tail window — a silent re-break
-    // would cost a round of benchmark feedback.
+    // chars) and parses the metric line from it with a line-anchored JSON
+    // parse. Two failure modes have bitten: (1) the full-name 9-decimal
+    // line ran ~2.5k chars and scrolled out of the tail (rounds 1-2, fixed
+    // by short ids + ms precision below); (2) sbt's logger prefixed the
+    // forked stdout with "[info] " so the line never started with '{'
+    // (round 3, fixed by `run / outputStrategy := StdoutOutput` in
+    // build.sbt). Keep the length guard: fail LOUDLY (non-zero exit the
+    // driver records) if query growth ever pushes the line back over the
+    // tail window — a silent re-break would cost a round of feedback.
     def shortId(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -32,11 +32,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   */
 case class SimHash64(child: Expression, ngram: Int = 1)
     extends UnaryExpression with CodegenFallback {
-  require(ngram > 0 && ngram <= 16, s"ngram must be in [1,16]: $ngram")
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override def checkInputDataTypes(): TypeCheckResult =
-    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
+    KernelTypes.intRange(prettyName, "ngram", ngram, 1, 16)(
+      KernelTypes.check(prettyName, child -> KernelTypes.stringArray))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -109,17 +109,18 @@ case class TokenRollingHash(child: Expression)
   */
 case class MinHashSig(child: Expression, k: Int, ngram: Int = 1)
     extends UnaryExpression with CodegenFallback {
-  require(k > 0 && k <= 1024, s"k must be in [1,1024]: $k")
-  require(ngram > 0 && ngram <= 16, s"ngram must be in [1,16]: $ngram")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def checkInputDataTypes(): TypeCheckResult =
-    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
+    KernelTypes.intRange(prettyName, "ngram", ngram, 1, 16)(
+      KernelTypes.intRange(prettyName, "k", k, 1, 1024)(
+        KernelTypes.check(prettyName, child -> KernelTypes.stringArray)))
 
-  // affine coefficients fixed by splitmix64 so signatures are stable
-  private val as = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i) | 1L)
-  private val bs = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i + 1))
+  // affine coefficients fixed by splitmix64 so signatures are stable;
+  // lazy so an out-of-range k fails analysis before any allocation
+  private lazy val as = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i) | 1L)
+  private lazy val bs = Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i + 1))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -202,12 +203,12 @@ object MinHashSig {
   */
 case class ShingleHashes(child: Expression, ngram: Int)
     extends UnaryExpression with CodegenFallback {
-  require(ngram > 0 && ngram <= 16, s"ngram must be in [1,16]: $ngram")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def checkInputDataTypes(): TypeCheckResult =
-    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
+    KernelTypes.intRange(prettyName, "ngram", ngram, 1, 16)(
+      KernelTypes.check(prettyName, child -> KernelTypes.stringArray))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -293,6 +294,53 @@ case class SigAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One BPE merge applied to an array<string> of symbols: every adjacent
+  * (left, right) pair becomes the concatenated symbol, scanning left to
+  * right without overlap ("a","a","a" under merge (a,a) → "aa","a" — the
+  * standard greedy BPE application; Sennrich et al. 2016). Null symbols
+  * never match and pass through unchanged.
+  *
+  * [[graft.operators.Bpe]] folds N of these (one per learned merge, in rank
+  * order) over the DISTINCT-WORD table, so the per-round work is vocab-
+  * bounded, never corpus-bounded; the corpus-wide application joins the
+  * segmented vocab back by word. CodegenFallback keeps the fold inside the
+  * surrounding WholeStageCodegen span with one virtual call per merge.
+  */
+case class BpeMergeStep(child: Expression, left: String, right: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "bpe_merge_step"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.stringArray)
+
+  @transient private lazy val l = org.apache.spark.unsafe.types.UTF8String.fromString(left)
+  @transient private lazy val r = org.apache.spark.unsafe.types.UTF8String.fromString(right)
+  @transient private lazy val merged =
+    org.apache.spark.unsafe.types.UTF8String.concat(l, r)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (cur != null && i + 1 < n && !arr.isNullAt(i + 1) &&
+          cur.equals(l) && arr.getUTF8String(i + 1).equals(r)) {
+        out += merged
+        i += 2
+      } else {
+        out += cur
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeStep =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column, ngram: Int = 1): Column =
@@ -327,4 +375,10 @@ object HashFunctions {
   /** Column API for [[TopTokenCount]]. */
   def topTokenCount(tokens: Column): Column =
     ColumnGlue.column(TopTokenCount(ColumnGlue.expression(tokens)))
+
+  /** Column API for [[BpeMergeStep]]: one learned BPE merge over a symbol
+    * array; fold in rank order to apply a whole merge table.
+    */
+  def bpeMergeStep(syms: Column, left: String, right: String): Column =
+    ColumnGlue.column(BpeMergeStep(ColumnGlue.expression(syms), left, right))
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graftglue.ColumnGlue
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL-surface registration for the engine's native Catalyst kernels: after
   * `SqlFunctions.register(spark)`, every kernel is callable from `spark.sql`
@@ -20,6 +20,13 @@ object SqlFunctions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def stringLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
   }
 
   private def arity(fn: String, args: Seq[Expression], ns: Int*): Unit =
@@ -69,6 +76,11 @@ object SqlFunctions {
     },
     "top_token_count" -> { args =>
       arity("top_token_count", args, 1); TopTokenCount(args(0))
+    },
+    "bpe_merge_step" -> { args =>
+      arity("bpe_merge_step", args, 3)
+      BpeMergeStep(args(0), stringLit(args(1), "bpe_merge_step", "left"),
+        stringLit(args(2), "bpe_merge_step", "right"))
     },
     "hyperplane_buckets" -> { args =>
       arity("hyperplane_buckets", args, 3, 4)

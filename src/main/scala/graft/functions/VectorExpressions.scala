@@ -76,6 +76,22 @@ private[functions] object KernelTypes {
         TypeCheckResult.TypeCheckFailure(
           s"$fn argument ${i + 1} requires ${p(e.dataType).get}")
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  /** Scalar-parameter range validation, layered over `check`. Kernels are
+    * built by the SQL front-end BEFORE analysis, so a constructor require()
+    * on an out-of-range literal (shingle_hashes(arr, 0)) would escape as
+    * IllegalArgumentException at expression-build time instead of the
+    * AnalysisException the misuse gate guarantees for every kernel —
+    * range checks therefore live here, in checkInputDataTypes.
+    */
+  def intRange(fn: String, arg: String, v: Int, lo: Int, hi: Int)(
+      base: TypeCheckResult): TypeCheckResult =
+    base match {
+      case TypeCheckResult.TypeCheckSuccess if v < lo || v > hi =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn: $arg must be in [$lo, $hi], got $v")
+      case other => other
+    }
 }
 
 /** cosine(a, b) = (Σ a_i b_i) / (√(Σ a_i²) · √(Σ b_i²)), one fused pass.
@@ -308,13 +324,13 @@ case class JaccardLongs(left: Expression, right: Expression)
   */
 case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int, seedBase: Int)
     extends UnaryExpression with CodegenFallback {
-  require(nPlanes > 0 && nPlanes <= 32, s"nPlanes must be in [1,32]: $nPlanes")
-  require(nTables > 0 && nTables <= 64, s"nTables must be in [1,64]: $nTables")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable || VectorKernels.elemNullable(child)
   override def prettyName: String = "hyperplane_buckets"
   override def checkInputDataTypes(): TypeCheckResult =
-    KernelTypes.check(prettyName, child -> KernelTypes.vec)
+    KernelTypes.intRange(prettyName, "nTables", nTables, 1, 64)(
+      KernelTypes.intRange(prettyName, "nPlanes", nPlanes, 1, 32)(
+        KernelTypes.check(prettyName, child -> KernelTypes.vec)))
   private lazy val f = VectorKernels.isFloatArray(child)
   private lazy val en = VectorKernels.elemNullable(child)
 

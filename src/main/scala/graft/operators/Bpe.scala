@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE (byte-pair-encoding) vocabulary learning over a corpus —
+  * the pair-merge trainer (Sennrich et al. 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units") expressed as a driver-coordinated
+  * Spark loop, the same iterative-operator pattern as
+  * [[ConnectedComponents]] (per-round distributed aggregate + tiny driver
+  * decision + lazy localCheckpoint to keep the plan from growing with
+  * iteration count).
+  *
+  * Per round:
+  *   1. adjacent-pair counts over the DISTINCT-WORD symbol table, weighted
+  *      by word frequency — the one shuffle, carrying (left, right,
+  *      partial count), vocab-bounded, never corpus-bounded (classic BPE
+  *      trains on the word-count table for exactly this reason);
+  *   2. the argmax pair comes to the driver (ONE row — this is the k×dim
+  *      move KMeans makes, not a corpus collect) with a deterministic
+  *      tie-break: count desc, then (left, right) lexicographic;
+  *   3. the merge is applied to every word's symbols by the native
+  *      [[graft.functions.BpeMergeStep]] kernel — narrow, no shuffle.
+  *
+  * Training stops early if no adjacent pair remains (every word fully
+  * merged). Round count is the token-economy knob, not a convergence
+  * question, so there is no fixpoint detection to get wrong.
+  *
+  * Symbols are single characters at round 0 — no end-of-word marker; the
+  * whitespace pre-tokenization (x10's convention) already delimits words,
+  * and BpeSpec's driver-side reference implementation uses the identical
+  * convention, so agreement is exact by construction.
+  */
+object Bpe {
+
+  /** One learned merge: applying rank order reproduces the segmentation. */
+  final case class BpeMerge(rank: Int, left: String, right: String, count: Long) {
+    def merged: String = left + right
+  }
+
+  /** Character symbols of a word column — round-0 state and the input shape
+    * [[applyMerges]] expects. substring is 1-based and per-character.
+    */
+  def charSymbols(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Fold a learned merge table (rank order) over a symbol-array column —
+    * the SAME kernel the trainer used, so tokenization cannot drift from
+    * training.
+    */
+  def applyMerges(syms: Column, merges: Seq[BpeMerge]): Column =
+    merges.foldLeft(syms)((c, m) => HashFunctions.bpeMergeStep(c, m.left, m.right))
+
+  /** Learn up to `nMerges` merges from a (word, count) table.
+    *
+    * @param wordCounts first column: word (string), second: corpus
+    *                   frequency (long). Distinct words — the vocab table,
+    *                   not the corpus.
+    * @return merge table in rank order (may be shorter than `nMerges` if
+    *         the corpus runs out of adjacent pairs)
+    */
+  def learn(wordCounts: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    require(nMerges >= 0, s"nMerges must be >= 0: $nMerges")
+    val cols = wordCounts.columns
+    var state = wordCounts
+      .select(col(cols(0)).cast("string").as("word"), col(cols(1)).cast("long").as("n"))
+      .where(length(col("word")) >= 1)
+      .select(charSymbols(col("word")).as("syms"), col("n"))
+      .localCheckpoint(false)
+    // lazy checkpoints, materialized by the NEXT round's pair-count action;
+    // each superseded generation is unpersisted once its successor has been
+    // materialized (the lag-one discipline ConnectedComponents uses), so
+    // the block manager holds at most two vocab generations.
+    var prev: DataFrame = null
+    val out = Seq.newBuilder[BpeMerge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val top = state.where(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+          .as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // materializes `state`'s checkpoint as a side effect
+      if (prev != null) {
+        ConnectedComponents.checkpointRdds(prev).foreach(_.unpersist(blocking = false))
+        prev = null
+      }
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += BpeMerge(rank, l, r, c)
+        prev = state
+        state = state
+          .withColumn("syms", HashFunctions.bpeMergeStep(col("syms"), l, r))
+          .localCheckpoint(false)
+        rank += 1
+      }
+    }
+    // the final generation (and a possibly never-materialized successor)
+    for (df <- Seq(prev, state) if df != null)
+      ConnectedComponents.checkpointRdds(df).foreach(_.unpersist(blocking = false))
+    out.result()
+  }
+}

@@ -98,7 +98,7 @@ object ConnectedComponents {
     * do — without it every round's full label table stays in the block
     * manager until ContextCleaner GC.
     */
-  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+  private[operators] def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.executedPlan.collect {
       case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd
     }

@@ -110,28 +110,36 @@ object CorpusOps {
             FROM k WHERE rn = 1
             GROUP BY doc_id ORDER BY doc_id"""))
 
-  // Deterministic training shuffle: assign every document a pseudo-random
-  // but reproducible (shard, position) — the global corpus shuffle a
-  // training run needs WITHOUT a global sort. The shard key is the first
-  // hex character of md5(doc_id:seed) (16 shards), and the position is a
-  // per-shard rank over the full hash — so the expensive ordering runs as
-  // 16 parallel partition-local sorts, never one driver-side permutation.
-  // At 1000 executors the shard count rises with the cluster, same plan.
+  /** Deterministic training shuffle: assign every document a pseudo-random
+    * but reproducible (shard, position) — the global corpus shuffle a
+    * training run needs WITHOUT a global sort. The shard key is the first
+    * `shardHexChars` hex characters of md5(doc_id:seed) (16^w shards), and
+    * the position is a per-shard rank over the full hash — so the expensive
+    * ordering runs as 16^w parallel partition-local sorts, never one
+    * driver-side permutation. The width is the scale knob: production sizes
+    * shards so each sorts comfortably in one task (w=2 → 256 shards at
+    * 1000 executors; w=3 → 4096), same plan at every width —
+    * TrainingShuffleSpec pins that the realized shard set matches the
+    * parameter exactly.
+    */
+  def trainingShuffle(d: DataFrame, shardHexChars: Int): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      s"shardHexChars must be in [1,8]: $shardHexChars")
+    val h = md5(concat(col("doc_id"), lit(":42")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"), h.as("h"), substring(h, 1, shardHexChars).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   private val x36 = GQuery(
     "x36_training_shuffle", "ext-text deterministic-shard",
-    (s, dir) => {
-      val h = md5(concat(col("doc_id"), lit(":42")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-      docs(s, dir)
-        .select(col("doc_id"), h.as("h"), substring(h, 1, 1).as("shard"))
-        .withColumn("pos", row_number().over(w).cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy("shard", "pos")
-    },
+    (s, dir) => trainingShuffle(docs(s, dir), shardHexChars = 2)
+      .orderBy("shard", "pos"),
     Some("""WITH h AS (
               SELECT doc_id, md5(doc_id || ':42') AS h,
-                substr(md5(doc_id || ':42'), 1, 1) AS shard
+                substr(md5(doc_id || ':42'), 1, 2) AS shard
               FROM documents)
             SELECT doc_id, shard,
               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos

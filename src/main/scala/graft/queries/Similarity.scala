@@ -143,7 +143,7 @@ object Similarity {
   // nprobe=6 (of 10 coarse cells) is sized for the synthetic corpus, where
   // the true top-20 spreads across all labels; a clustered production corpus
   // concentrates neighbors in few cells and probes far fewer.
-  private val x10b = GQuery(
+  private val x07b = GQuery(
     "x07b_ann_ivf_topk", "ext-similarity-ann",
     (s, dir) => {
       val e = emb(s, dir)
@@ -347,5 +347,70 @@ object Similarity {
               FROM scored) WHERE rn <= 3
             ORDER BY q_id, sim DESC, vec_id"""))
 
-  val queries: Seq[GQuery] = Seq(x06, x07, x10b, x08, x09, x26, x27, x40, x48, x50)
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then within each cluster flag members
+    * whose cosine to the cluster's kept representative exceeds `tau` —
+    * catching near-duplicate MEANING that lexical dedup (MinHash/SimHash
+    * over tokens) cannot see.
+    *
+    * Exposed as a function so the spec can run it on a corpus with planted
+    * semantic near-dups; x55 runs it on the fixture embeddings.
+    *
+    * Scale shape — composition of already-verified pieces, no new
+    * machinery:
+    *   1. k-means assignment ([[graft.operators.KMeans]]): centroids are
+    *      broadcast literals, the argmin is a narrow per-row projection —
+    *      vectors never shuffle to get their cluster.
+    *   2. Representative per cluster = member most similar to its own
+    *      centroid, via GroupedTopK top-1: bounded heaps mean at most ONE
+    *      member row per cluster per partition crosses the shuffle — the
+    *      only movement of vectors in the whole plan, k rows final.
+    *   3. Dup flagging = one narrow pass against the broadcast |clusters|-
+    *      row representative table. Members are scored against exactly one
+    *      representative — n rows scored, never the n²/cluster pairwise
+    *      matrix, and cross-cluster pairs are never formed at all.
+    */
+  def semDedup(e: DataFrame, iters: Int, tau: Double): DataFrame = {
+    import graft.plans.GroupedTopKOps
+    GroupedTopKOps.ensureInstalled(e.sparkSession)
+    val spark = e.sparkSession
+    import spark.implicits._
+    val seed = graft.operators.KMeans.seedFromGroups(
+      e.select(col("label"), col("embedding")), "label", "embedding")
+    val (assigned, centroids, _) = graft.operators.KMeans.refine(
+      e.select(col("vec_id"), col("embedding")), seed, iters)
+    val centDf = centroids.zipWithIndex
+      .map { case (c, j) => (j, c, math.sqrt(c.map(x => x * x).sum)) }
+      .toDF("cluster", "centroid", "cnorm")
+    val members = e.select(col("vec_id"), col("embedding"))
+      .join(assigned.withColumnRenamed("id", "vec_id"), "vec_id")
+    // representative = member closest (cosine) to its cluster centroid;
+    // ties break to the lowest vec_id, so the choice is deterministic
+    val scored = members.join(broadcast(centDf), "cluster")
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        VectorOps.cosinePreNorm(col("embedding"), col("centroid"), col("cnorm")).as("csim"))
+    val reps = GroupedTopKOps.groupedTopK(scored, Seq(col("cluster")),
+      Seq(col("csim").desc, col("vec_id")), k = 1)
+      .select(col("cluster"), col("vec_id").as("rep_id"),
+        col("embedding").as("rvec"), VectorOps.l2norm(col("embedding")).as("rnorm"))
+    members.join(broadcast(reps), "cluster")
+      .select(col("vec_id"), col("cluster"), col("rep_id"),
+        VectorOps.cosinePreNorm(col("embedding"), col("rvec"), col("rnorm")).as("sim_to_rep"))
+      .withColumn("is_semantic_dup",
+        col("vec_id") =!= col("rep_id") && col("sim_to_rep") >= tau)
+      .orderBy("vec_id")
+  }
+
+  // Semantic dedup over the fixture embeddings: 2 Lloyd refinements from the
+  // per-label seed, tau = 0.9. The synthetic vectors are near-orthogonal
+  // (nearest neighbors ~0.3 cosine), so few fixture rows flag — the planted-
+  // near-dup behavior is gated by SemDedupSpec on a corpus with true
+  // semantic duplicates; this registry entry pins the end-to-end plan and
+  // per-vector output (all rows emitted with their verdict, rows > 0).
+  private val x55 = GQuery(
+    "x55_semantic_dedup", "ext-dedup-semantic ext-similarity custom-operator",
+    (s, dir) => semDedup(emb(s, dir), iters = 2, tau = 0.9),
+    None) // iterative k-means upstream: gated by SemDedupSpec
+
+  val queries: Seq[GQuery] = Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55)
 }

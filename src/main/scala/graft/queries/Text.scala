@@ -195,22 +195,38 @@ object Text {
     },
     None) // sketch candidate set: superset semantics, spec-gated
 
-  // Stratified corpus sampling (stat.sampleBy): the per-language
-  // downsampling step a training-data mixer runs — per-stratum Bernoulli
-  // with a fixed seed, so the sample is reproducible run to run. Narrow
-  // one-pass operator: no shuffle at all, each partition filters locally.
+  // Stratified corpus sampling: the per-language downsampling step a
+  // training-data mixer runs. Per-stratum selection by a content-
+  // independent deterministic coin — the first 2 hex chars of
+  // md5(doc_id:x21:lang) compared (inclusively) against a per-language
+  // bound, so fraction = (bound+1)/256 exactly: '3f' = 64/256 = 25 %,
+  // '7f' = 50 %, 'ff' = keep-all. Unlike stat.sampleBy (seeded
+  // PER-PARTITION RNG, whose sample changes under repartitioning — the
+  // x42 lesson), the same rows are kept on every run on any cluster, which
+  // also makes the query exactly DuckDB-oracled. Narrow one-pass operator:
+  // no shuffle before the final per-lang rollup; the bound table is a
+  // 5-row broadcast. stat.sampleBy itself (the built-in API this replaces)
+  // stays covered by TextSketchSpec's sampleBy gate.
   private val x21 = GQuery(
     "x21_stratified_sample", "ext-text sampling",
     (s, dir) => {
-      val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 0.5,
-        "fr" -> 0.5, "zh" -> 1.0)
+      import s.implicits._
+      val bounds = Seq(("en", "3f"), ("de", "ff"), ("es", "7f"),
+        ("fr", "7f"), ("zh", "ff")).toDF("lang", "bound")
       docs(s, dir)
-        .stat.sampleBy("lang", fractions, seed = 42L)
+        .join(broadcast(bounds), "lang")
+        .where(substring(md5(concat(col("doc_id"), lit(":x21:"), col("lang"))), 1, 2)
+          <= col("bound"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")
     },
-    None) // seeded pseudo-random selection: spec-gated (bounds + determinism)
+    Some("""WITH bounds(lang, bound) AS (VALUES
+              ('en', '3f'), ('de', 'ff'), ('es', '7f'), ('fr', '7f'), ('zh', 'ff'))
+            SELECT d.lang, COUNT(*) AS n_sampled
+            FROM documents d JOIN bounds b ON d.lang = b.lang
+            WHERE substr(md5(d.doc_id || ':x21:' || d.lang), 1, 2) <= b.bound
+            GROUP BY d.lang ORDER BY d.lang"""))
 
   // Gopher-style repetition quality filter: top-token fraction (most frequent
   // token / total tokens) and duplicate-bigram fraction — the published
@@ -438,33 +454,53 @@ object Text {
             FROM counts c CROSS JOIN tot JOIN targets t ON c.lang = t.lang
             ORDER BY c.lang"""))
 
-  // Inverted index: token -> document frequency + sorted posting list — the
-  // retrieval-side primitive built from the same explode/aggregate shape as
-  // x18. The df >= 5 floor keeps rare typo-tokens out (and bounds output);
-  // postings are sorted so the result is deterministic and joined to a
-  // string for the scalar oracle compare.
-  //
-  // Scale shape: shuffles (token, doc_id) pairs with map-side distinct via
-  // array_distinct before the explode; document bodies never shuffle. At
-  // 100 TB stopword posting lists overflow a single aggregation buffer —
-  // production segments postings by (token, doc_id range) buckets, same
-  // plan with a composite key; the df floor here stands in for that cap.
+  /** Segmented inverted index: token -> posting-list SEGMENTS — the
+    * retrieval-side primitive built from the same explode/aggregate shape
+    * as x18, in the layout production posting lists actually use
+    * (Lucene/ES-style per-range segments).
+    *
+    * Every aggregation buffer is bounded by construction: postings group by
+    * the composite key (token, doc_id div segWidth), so even a stopword
+    * appearing in every document materializes at most `segWidth` ids per
+    * buffer — the unbounded-collect_list-per-token hazard of the flat
+    * layout cannot occur at any corpus size. Token-level df (for the >= 5
+    * floor) is a window over the segment rows — at most
+    * |doc_id range| / segWidth rows per token, corpus-bounded and tiny.
+    * A reader reconstructs the flat list by concatenating a token's
+    * segments in `seg` order (segments partition doc_id space in order);
+    * InvertedIndexSpec pins both the bound and the reconstruction.
+    *
+    * Scale shape: shuffles (token, doc_id) pairs with map-side distinct via
+    * array_distinct before the explode; document bodies never shuffle.
+    */
+  def invertedIndex(d: DataFrame, segWidth: Long, minDf: Long): DataFrame = {
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    d.select(explode(array_distinct(tokens)).as("token"), col("doc_id"))
+      .withColumn("seg", expr(s"doc_id div $segWidth"))
+      .groupBy(col("token"), col("seg"))
+      .agg(count(lit(1)).as("seg_df"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+      .withColumn("df", sum(col("seg_df")).over(wTok))
+      .where(col("df") >= minDf)
+      .select(col("token"), col("seg"), col("df"), col("seg_df"), col("postings"))
+  }
+
   private val x30 = GQuery(
     "x30_inverted_index", "ext-text retrieval-index",
-    (s, dir) =>
-      docs(s, dir)
-        .select(explode(array_distinct(tokens)).as("token"), col("doc_id"))
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("df"),
-          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
-        .where(col("df") >= 5)
-        .orderBy("token"),
+    (s, dir) => invertedIndex(docs(s, dir), segWidth = 64L, minDf = 5L)
+      .orderBy("token", "seg"),
     Some("""WITH tok AS (SELECT doc_id,
                            unnest(list_distinct(string_split(text, ' '))) AS token
-                         FROM documents)
-            SELECT token, COUNT(*) AS df,
-              array_to_string(list_sort(list(doc_id)), ',') AS postings
-            FROM tok GROUP BY token HAVING COUNT(*) >= 5 ORDER BY token"""))
+                         FROM documents),
+            seg AS (
+              SELECT token, doc_id // 64 AS seg, COUNT(*) AS seg_df,
+                array_to_string(list_sort(list(doc_id)), ',') AS postings
+              FROM tok GROUP BY 1, 2)
+            SELECT token, seg, df, seg_df, postings FROM (
+              SELECT token, seg, seg_df, postings,
+                CAST(SUM(seg_df) OVER (PARTITION BY token) AS BIGINT) AS df
+              FROM seg)
+            WHERE df >= 5 ORDER BY token, seg"""))
 
   // The full training-prep composite — what this library exists for, as ONE
   // query: exact-dedup + quality gate (Dedup.cleanCorpus, = x19) ∘
@@ -532,32 +568,61 @@ object Text {
               CAST(len(string_split(u.ch, ' ')) AS BIGINT) AS n_chunk_tokens
             FROM ch ORDER BY doc_id, chunk_idx"""))
 
-  // Sequence packing: assign documents to fixed-token-budget training bins
-  // (2048 tokens) by contiguous cumulative fill, per language — the batch
-  // assembly step between chunking (x25) and the trainer. bin = floor of the
-  // pre-doc cumulative token count / budget: a doc starts a new bin exactly
-  // when the running fill crosses the budget, giving deterministic
-  // contiguous packing (the streaming-friendly form; bin-packing-optimal
-  // packing is NP-hard and order-destroying).
-  //
-  // Scale shape: one narrow projection + one window per language
-  // (parallel across languages; for a single giant stratum, range-partition
-  // by (lang, doc_id bucket) and offset bins by per-bucket totals — the
-  // same chunked-carry seam as c34). The window exchange carries
-  // (lang, doc_id, n_tokens) only.
+  /** Chunked-carry sequence packing: assign documents to fixed-token-budget
+    * training bins (2048 tokens) by contiguous cumulative fill, per
+    * language — the batch assembly step between chunking (x25) and the
+    * trainer. bin = floor of the pre-doc cumulative token count / budget: a
+    * doc starts a new bin exactly when the running fill crosses the budget,
+    * giving deterministic contiguous packing (the streaming-friendly form;
+    * bin-packing-optimal packing is NP-hard and order-destroying).
+    *
+    * Scale shape — the naive form is ONE window per language, which
+    * serializes a 90 %-English corpus onto a single core exactly when it
+    * matters. This form is the chunked carry:
+    *   1. range-bucket within language by `doc_id div bucketWidth` (bucket
+    *      order = doc_id order, so per-(lang,bucket) fills concatenate to
+    *      the per-lang fill);
+    *   2. per-bucket token totals — |langs|·|buckets| rows, corpus-size
+    *      independent;
+    *   3. exclusive prefix sum of bucket totals per lang (a window over the
+    *      TINY totals table) = each bucket's starting offset, broadcast
+    *      back;
+    *   4. the cumulative fill runs as a window partitioned by
+    *      (lang, bucket) — a giant stratum fills in |buckets| parallel
+    *      tasks — plus the bucket's carry offset.
+    * Result is row-identical to the single-window form (asserted in
+    * SequencePackingSpec); the big exchange still carries only
+    * (doc_id, lang, n_tokens).
+    *
+    * Returned UNORDERED (partitioning = the fill windows') so the spec can
+    * observe fill parallelism with spark_partition_id(); x33 adds the
+    * deterministic orderBy.
+    */
+  def packedBins(d: DataFrame, bucketWidth: Long, budget: Long = 2048L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = d.select(col("doc_id"), col("lang"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+    val wOff = W.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_tokens")).over(wOff), lit(0L)))
+      .select(col("lang"), col("bucket"), col("offset"))
+    val wFill = W.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_tokens")).over(wFill), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("cum_before") / budget.toDouble).as("bin"))
+  }
+
   private val x33 = GQuery(
     "x33_sequence_packing", "ext-text sequence-packing",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      docs(s, dir)
-        .select(col("doc_id"), col("lang"), size(tokens).cast("long").as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          floor(col("cum_before") / 2048L).as("bin"))
-        .orderBy("lang", "doc_id")
-    },
+    (s, dir) => packedBins(docs(s, dir), bucketWidth = 256L)
+      .orderBy("lang", "doc_id"),
     Some("""SELECT doc_id, lang,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
               CAST(floor(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
@@ -628,7 +693,43 @@ object Text {
               COUNT(*) AS n_docs, MIN(n) AS min_len, MAX(n) AS max_len
             FROM d GROUP BY 1, 2 ORDER BY lang, bucket_lo"""))
 
+  // BPE vocabulary learning + application, end to end: learn 10 merges from
+  // the corpus word-count table (graft.operators.Bpe — the CC-style
+  // iterative pattern), then tokenize the corpus with the learned table and
+  // report per-document compression (char symbols before vs BPE symbols
+  // after). The apply step uses the SAME BpeMergeStep kernel the trainer
+  // used, folded in rank order, so tokenization cannot drift from training.
+  //
+  // Scale shape: training works on the DISTINCT-WORD table (vocab-bounded,
+  // the classic BPE formulation); application segments each distinct word
+  // ONCE and rejoins by word — the corpus-size pass carries only
+  // (doc_id, word) into a broadcast join against the segmented vocab, then
+  // partial-aggregates (doc_id, counts). Iterative + hash-free but
+  // DRIVER-coordinated merges: gated by BpeSpec (exact agreement with a
+  // reference implementation), not a SQL oracle.
+  private val x56 = GQuery(
+    "x56_bpe_vocab", "ext-text vocab-trainer custom-operator iterative",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(tokens).as("word"))
+        .where(length(col("word")) >= 1)
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val merges = Bpe.learn(vocab, nMerges = 10)
+      val segmented = vocab.select(col("word"),
+        length(col("word")).cast("long").as("n_chars"),
+        size(Bpe.applyMerges(Bpe.charSymbols(col("word")), merges))
+          .cast("long").as("n_syms"))
+      words.join(broadcast(segmented), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chars")).as("n_char_syms"),
+          sum(col("n_syms")).as("n_bpe_syms"))
+        .orderBy("doc_id")
+    },
+    None) // iterative driver-coordinated trainer: gated by BpeSpec
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54)
+      x30, x31, x33, x39, x53, x54, x56)
 }

@@ -35,9 +35,19 @@ class PlanRobustnessSpec extends SparkSpec {
   // ORDER BY is not a total order (e.g. c16 — the synthetic lineitem has
   // duplicate (l_orderkey, l_linenumber) keys), so tie order may
   // legitimately differ between plans; the driver's oracle compare likewise
-  // sorts before hashing.
+  // sorts before hashing. Doubles are rounded to 9 significant digits
+  // before comparing: physically different plans (broadcast vs sort-merge,
+  // AQE on/off) may legally accumulate double sums in a different row
+  // order, differing in the last ulp — the driver's compare rounds for
+  // exactly this reason, and an exact-ulp gate here would be flaky.
   private def rows(df: DataFrame): Seq[String] =
-    df.collect().map(_.toString).toSeq.sorted
+    df.collect().map(_.toSeq.map {
+      case d: Double =>
+        String.format(java.util.Locale.ROOT, "%.8e", Double.box(d))
+      case f: Float =>
+        String.format(java.util.Locale.ROOT, "%.5e", Float.box(f))
+      case v => String.valueOf(v)
+    }.mkString("[", ",", "]")).toSeq.sorted
 
   private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }

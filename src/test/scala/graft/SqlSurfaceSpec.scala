@@ -111,6 +111,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "minhash_sig" -> "minhash_sig(text, 8)",
       "shingle_hashes" -> "shingle_hashes(doc_id, 3)",
       "top_token_count" -> "top_token_count(n_chars)",
+      "bpe_merge_step" -> "bpe_merge_step(doc_id, 'a', 'b')",
       "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)")
     // self-enforcing completeness: registering a 14th kernel without adding
     // a bad-call row here must fail this gate, not silently escape it
@@ -125,6 +126,33 @@ class SqlSurfaceSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains(name),
         s"$name: analysis error must name the kernel: ${ex.getMessage}")
+    }
+  }
+
+  test("out-of-range scalar literals fail at ANALYSIS too, naming the argument") {
+    // a well-typed call with a bad parameter VALUE (shingle_hashes(arr, 0))
+    // must fail exactly like a wrong-typed one: AnalysisException during
+    // analysis, never IllegalArgumentException from a constructor require()
+    // at expression-build time (ADVICE r3) — range checks live in
+    // checkInputDataTypes
+    graft.functions.SqlFunctions.register(spark)
+    Tables(spark, sf001, "documents").createOrReplaceTempView("documents")
+    Tables(spark, sf001, "embeddings").createOrReplaceTempView("embeddings")
+    val badLiteral = Seq(
+      ("shingle_hashes", "ngram", "shingle_hashes(split(text, ' '), 0) FROM documents"),
+      ("shingle_hashes", "ngram", "shingle_hashes(split(text, ' '), 17) FROM documents"),
+      ("simhash64", "ngram", "simhash64(split(text, ' '), -1) FROM documents"),
+      ("minhash_sig", "k", "minhash_sig(split(text, ' '), 0) FROM documents"),
+      ("minhash_sig", "k", "minhash_sig(split(text, ' '), 1025) FROM documents"),
+      ("minhash_sig", "ngram", "minhash_sig(split(text, ' '), 8, 99) FROM documents"),
+      ("hyperplane_buckets", "nPlanes", "hyperplane_buckets(embedding, 0, 4) FROM embeddings"),
+      ("hyperplane_buckets", "nTables", "hyperplane_buckets(embedding, 4, 65) FROM embeddings"))
+    for ((name, arg, call) <- badLiteral) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call").collect()
+      }
+      assert(ex.getMessage.contains(name) && ex.getMessage.contains(arg),
+        s"$name: range error must name kernel and argument: ${ex.getMessage}")
     }
   }
 }

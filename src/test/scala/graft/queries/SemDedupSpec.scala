@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for x55 SemDeDup: semantic near-duplicates (same meaning-vector
+  * direction, regardless of lexical form) must be flagged against their
+  * cluster representative; spread-out cluster members and the
+  * representatives themselves must survive; and the plan must never form
+  * cross-cluster or pairwise comparisons (cost = one score per member).
+  */
+class SemDedupSpec extends SparkSpec {
+
+  // three orthogonal meaning directions; per cluster: 4 near-identical
+  // "core" vectors (planted semantic dups — distinct noise = distinct
+  // lexical form, same direction) + 1 angularly distant member that still
+  // belongs to the cluster (cos ~0.71 to the core, ~0 to other clusters)
+  private lazy val planted = {
+    import spark.implicits._
+    val rows = for {
+      c <- 0 until 3
+      j <- 0 until 5
+    } yield {
+      val v = Array.fill(6)(0.0f)
+      v(c) = 1.0f
+      if (j < 4) v(3) = 0.01f * (j + 1) // cores: tiny per-member noise
+      else v(4) = 1.0f                  // far member: 45 degrees off the core
+      ((c * 10 + j).toLong, v, s"c$c")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("planted semantic near-dups are flagged; reps and distant members survive") {
+    val out = Similarity.semDedup(planted, iters = 2, tau = 0.95).collect()
+    assert(out.length == 15, "one verdict row per input vector")
+    assert(out.map(_.getLong(0)).distinct.length == 15)
+
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap // rep_id, sim, dup
+    for (c <- 0 until 3) {
+      val ids = (0 until 5).map(j => (c * 10 + j).toLong)
+      val clusters = out.filter(r => ids.contains(r.getLong(0))).map(_.getInt(1)).distinct
+      assert(clusters.length == 1,
+        s"planted cluster $c split across kmeans cells $clusters")
+      val repId = byId(ids.head)._1
+      assert(ids.forall(byId(_)._1 == repId), "one representative per cluster")
+      assert((0 until 4).map(j => (c * 10 + j).toLong).contains(repId),
+        s"representative must be a core member (closest to centroid), got $repId")
+      assert(!byId(repId)._3, "the kept representative is never flagged")
+      assert(math.abs(byId(repId)._2 - 1.0) < 1e-12,
+        "rep scored against itself (cos 1 up to sqrt(s)·sqrt(s) ulps)")
+      for (j <- 0 until 4; id = (c * 10 + j).toLong if id != repId)
+        assert(byId(id)._3, s"planted near-dup $id must be flagged (sim ${byId(id)._2})")
+      val farId = (c * 10 + 4).toLong
+      assert(!byId(farId)._3,
+        s"distant member $farId wrongly flagged (sim ${byId(farId)._2})")
+      assert(byId(farId)._2 < 0.8 && byId(farId)._2 > 0.6,
+        s"distant member should sit ~cos 0.71 from the core, got ${byId(farId)._2}")
+    }
+  }
+
+  test("cost shape: one score per member, no pairwise or cross-cluster comparison") {
+    val df = Similarity.semDedup(planted, iters = 1, tau = 0.95)
+    // every member is scored against exactly ONE representative — the
+    // output has one row per input vector, so the n²-per-cluster pairwise
+    // matrix (and any cross-cluster pair) was never materialized
+    assert(df.count() == 15)
+    df.collect()
+    val nodes = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "semantic dedup must not contain any all-pairs join")
+  }
+}

@@ -29,8 +29,9 @@ class TextSketchSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val s1 = sampled()
-    // fraction-1.0 strata are kept whole; fractional strata land within a
-    // generous Bernoulli band around fraction * N (binomial sd ~ sqrt(N)/2)
+    // fraction-1.0 strata are kept whole (inclusive 'ff' bound really is
+    // 256/256); fractional strata land within a generous Bernoulli band
+    // around fraction * N (the md5-prefix coin is uniform per doc)
     assert(s1("de") == totals("de") && s1("zh") == totals("zh"))
     for (lang <- Seq("en", "es", "fr")) {
       val expected = fractions(lang) * totals(lang)
@@ -38,8 +39,28 @@ class TextSketchSpec extends SparkSpec {
       assert(math.abs(s1(lang) - expected) <= 4 * sd,
         s"$lang: sampled ${s1(lang)} vs expected ~$expected")
     }
-    // fixed seed => identical sample across runs
-    assert(sampled() == s1, "seeded sampling must be reproducible")
+    // content-derived coin => identical sample across runs by construction
+    assert(sampled() == s1, "deterministic sampling must be reproducible")
+  }
+
+  test("stat.sampleBy (the built-in x21 replaced) keeps its per-stratum contract") {
+    // x21 now uses the md5-prefix coin (repartition-stable + oracled); the
+    // built-in seeded sampler remains part of the supported API surface —
+    // this pins its fraction bounds and same-seed reproducibility.
+    val d = Tables(spark, sf001, "documents")
+    val fractions = Map("en" -> 0.25, "de" -> 1.0)
+    def run(): Map[String, Long] =
+      d.stat.sampleBy("lang", fractions, seed = 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = run()
+    val totals = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1("de") == totals("de"), "fraction 1.0 keeps the stratum whole")
+    assert(!s1.contains("es"), "unlisted strata are dropped entirely")
+    val sd = math.sqrt(totals("en").toDouble)
+    assert(math.abs(s1("en") - 0.25 * totals("en")) <= 4 * sd)
+    assert(run() == s1, "same seed, same partitioning => same sample")
   }
 
   test("x24 hashed-shingle contamination counts equal the string-shingle form") {
