@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *      trains on the word-count table for exactly this reason);
   *   2. the argmax pair comes to the driver (ONE row — this is the k×dim
   *      move KMeans makes, not a corpus collect) with a deterministic
-  *      tie-break: count desc, then (left, right) lexicographic;
+  *      tie-break: count desc, then (left, right) in Unicode CODE-POINT
+  *      order (Spark's binary UTF-8 string order — NOT Java String's
+  *      UTF-16 code-unit order, which disagrees for supplementary-plane
+  *      symbols; BpeSpec pins the convention on a surrogate-pair corpus);
   *   3. the merge is applied to every word's symbols by the native
   *      [[graft.functions.BpeMergeStep]] kernel — narrow, no shuffle.
   *
@@ -40,10 +43,16 @@ object Bpe {
   }
 
   /** Character symbols of a word column — round-0 state and the input shape
-    * [[applyMerges]] expects. substring is 1-based and per-character.
+    * [[applyMerges]] expects. substring is 1-based and per-character. The
+    * empty-word guard is load-bearing: Spark's sequence(1, 0) is the
+    * DESCENDING [1, 0], so an unguarded transform would turn "" into two
+    * empty symbols instead of zero (split on repeated delimiters produces
+    * "" words routinely).
     */
   def charSymbols(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    when(length(word) >= 1,
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
 
   /** Fold a learned merge table (rank order) over a symbol-array column —
     * the SAME kernel the trainer used, so tokenization cannot drift from

@@ -40,8 +40,12 @@ object KMeans {
     * @param vecs      (id, vec) — vec is array<float> or array<double>
     * @param centroids ordered seq of centroid vectors (cluster id = index)
     */
-  def step(vecs: DataFrame, centroids: Seq[Array[Double]])
-      : (DataFrame, Seq[Array[Double]], Double) = {
+  /** Narrow assignment pass: (id, vec, cluster, dist) from the argmin
+    * against centroid literals — no join, no shuffle; THE way to attach a
+    * cluster column to a vector table (joining back a precomputed (id,
+    * cluster) table would exchange the full vector corpus by id).
+    */
+  def assign(vecs: DataFrame, centroids: Seq[Array[Double]]): DataFrame = {
     val idCol = vecs.columns(0)
     val vecCol = vecs.columns(1)
     val dists = centroids.zipWithIndex.map { case (c, j) =>
@@ -49,10 +53,15 @@ object KMeans {
     }
     // argmin over the k (distance, index) structs: array_min orders by
     // distance first, index as deterministic tiebreak
-    val assigned = vecs
+    vecs
       .withColumn("best", array_min(array(dists: _*)))
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("best.j").as("cluster"), col("best.d").as("dist"))
+  }
+
+  def step(vecs: DataFrame, centroids: Seq[Array[Double]])
+      : (DataFrame, Seq[Array[Double]], Double) = {
+    val assigned = assign(vecs, centroids)
     val objective = assigned.agg(sum(col("dist"))).head().getDouble(0)
     val updated = assigned
       .select(col("cluster"), posexplode(col("vec").cast("array<double>")))
@@ -75,6 +84,8 @@ object KMeans {
     */
   def refine(vecs: DataFrame, seed: Seq[Array[Double]], iters: Int)
       : (DataFrame, Seq[Array[Double]], Seq[Double]) = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters); " +
+      "for a seed-only assignment call assign(vecs, seed) directly")
     var cs = seed
     var out: DataFrame = null
     val trace = Seq.newBuilder[Double]

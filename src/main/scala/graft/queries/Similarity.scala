@@ -358,9 +358,12 @@ object Similarity {
     *
     * Scale shape — composition of already-verified pieces, no new
     * machinery:
-    *   1. k-means assignment ([[graft.operators.KMeans]]): centroids are
-    *      broadcast literals, the argmin is a narrow per-row projection —
-    *      vectors never shuffle to get their cluster.
+    *   1. k-means assignment ([[graft.operators.KMeans]].assign on the
+    *      FINAL refined centroids): centroids are broadcast literals, the
+    *      argmin is a narrow per-row projection — vectors never shuffle to
+    *      get their cluster (joining back refine's (id, cluster) table
+    *      would exchange the whole vector corpus by id, which is why the
+    *      assignment is recomputed narrowly instead).
     *   2. Representative per cluster = member most similar to its own
     *      centroid, via GroupedTopK top-1: bounded heaps mean at most ONE
     *      member row per cluster per partition crosses the shuffle — the
@@ -369,6 +372,9 @@ object Similarity {
     *      row representative table. Members are scored against exactly one
     *      representative — n rows scored, never the n²/cluster pairwise
     *      matrix, and cross-cluster pairs are never formed at all.
+    *
+    * @param iters Lloyd refinements of the per-label seed; 0 = cluster on
+    *              the seed centroids as-is
     */
   def semDedup(e: DataFrame, iters: Int, tau: Double): DataFrame = {
     import graft.plans.GroupedTopKOps
@@ -377,13 +383,18 @@ object Similarity {
     import spark.implicits._
     val seed = graft.operators.KMeans.seedFromGroups(
       e.select(col("label"), col("embedding")), "label", "embedding")
-    val (assigned, centroids, _) = graft.operators.KMeans.refine(
-      e.select(col("vec_id"), col("embedding")), seed, iters)
+    val centroids =
+      if (iters == 0) seed
+      else graft.operators.KMeans.refine(
+        e.select(col("vec_id"), col("embedding")), seed, iters)._2
     val centDf = centroids.zipWithIndex
       .map { case (c, j) => (j, c, math.sqrt(c.map(x => x * x).sum)) }
       .toDF("cluster", "centroid", "cnorm")
-    val members = e.select(col("vec_id"), col("embedding"))
-      .join(assigned.withColumnRenamed("id", "vec_id"), "vec_id")
+    // membership = narrow argmin against the FINAL centroids (a fresh
+    // Lloyd assign — the canonical cell for each vector)
+    val members = graft.operators.KMeans
+      .assign(e.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"), col("cluster"))
     // representative = member closest (cosine) to its cluster centroid;
     // ties break to the lowest vec_id, so the choice is deterministic
     val scored = members.join(broadcast(centDf), "cluster")

@@ -113,7 +113,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "top_token_count" -> "top_token_count(n_chars)",
       "bpe_merge_step" -> "bpe_merge_step(doc_id, 'a', 'b')",
       "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)")
-    // self-enforcing completeness: registering a 14th kernel without adding
+    // self-enforcing completeness: registering a new kernel without adding
     // a bad-call row here must fail this gate, not silently escape it
     val registered = graft.functions.SqlFunctions.names.toSet
     val covered = bad.map(_._1).toSet

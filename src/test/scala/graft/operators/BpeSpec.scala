@@ -11,10 +11,28 @@ import scala.collection.mutable
   * implementation of the published algorithm (Sennrich et al. 2016) under
   * the shared conventions — char start symbols, no end-of-word marker,
   * overlapping pair counts, greedy left-to-right application, ties broken
-  * by count desc then (left, right) lexicographic.
+  * by count desc then (left, right) in Unicode code-point order — the
+  * reference compares UTF-8 bytes, NOT Java String order, because Spark's
+  * binary string order and UTF-16 code-unit order disagree for
+  * supplementary-plane symbols (pinned below on a surrogate-pair corpus).
   */
 class BpeSpec extends SparkSpec {
   import Bpe.BpeMerge
+
+  /** Unsigned lexicographic UTF-8 byte order = Unicode code-point order =
+    * Spark's binary string order.
+    */
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    var i = 0
+    var r = 0
+    while (r == 0 && i < math.min(x.length, y.length)) {
+      r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+  }
 
   private def refMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
     val b = Vector.newBuilder[String]
@@ -27,8 +45,15 @@ class BpeSpec extends SparkSpec {
     b.result()
   }
 
+  /** Code-POINT symbolization, matching Spark's substring semantics — a
+    * UTF-16 split (w.map(_.toString)) would shear supplementary-plane
+    * chars into lone surrogate halves.
+    */
+  private def charSyms(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
   private def refLearn(words: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
-    var state = words.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    var state = words.toSeq.map { case (w, n) => (charSyms(w), n) }
     val out = mutable.Buffer[(String, String, Long)]()
     var stop = false
     while (out.size < nMerges && !stop) {
@@ -37,6 +62,8 @@ class BpeSpec extends SparkSpec {
         counts((syms(i), syms(i + 1))) += n
       if (counts.isEmpty) stop = true
       else {
+        implicit val pairOrd: Ordering[(Long, String, String)] =
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order)
         val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
         out += ((l, r, c))
         state = state.map { case (syms, n) => (refMerge(syms, l, r), n) }
@@ -64,7 +91,7 @@ class BpeSpec extends SparkSpec {
       .select(col("word"), Bpe.applyMerges(Bpe.charSymbols(col("word")), merges).as("syms"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
     val expected = corpus.map { case (w, _) =>
-      w -> merges.foldLeft(w.map(_.toString).toVector)((s, m) => refMerge(s, m.left, m.right))
+      w -> merges.foldLeft(charSyms(w))((s, m) => refMerge(s, m.left, m.right))
     }.toMap
     assert(got == expected)
   }
@@ -74,6 +101,22 @@ class BpeSpec extends SparkSpec {
     // (c,d) and (a,b) both have weight 3 — (a,b) must win round 0
     val merges = Bpe.learn(Seq("cd" -> 3L, "ab" -> 3L).toDF("word", "n"), 1)
     assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+  }
+
+  test("tie-break order is Unicode code-point order, pinned beyond the BMP") {
+    import spark.implicits._
+    // U+FFFD (EF BF BD in UTF-8) vs U+1F600 😀 (F0 9F 98 80, a surrogate
+    // pair in UTF-16): code-point order puts U+FFFD FIRST, while Java
+    // String.compareTo puts the emoji's 0xD83D lead surrogate first — a
+    // reference implementation using naive String ordering diverges here
+    val emoji = new String(Character.toChars(0x1F600))
+    val corpus = Seq(emoji + "x" -> 3L, "\uFFFDy" -> 3L)
+    val merges = Bpe.learn(corpus.toDF("word", "n"), 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("\uFFFD", "y")),
+      s"expected the U+FFFD pair to win the tie, got $merges")
+    val expected = refLearn(corpus.toMap, 1)
+    assert(merges.map(m => (m.left, m.right, m.count)) == expected,
+      "reference (UTF-8 byte order) must agree on the supplementary-plane tie")
   }
 
   test("training stops early when no adjacent pair remains") {
@@ -92,6 +135,18 @@ class BpeSpec extends SparkSpec {
     // and the overlapping-count convention: 'aaa' contributes (a,a) twice
     val m = Bpe.learn(Seq("aaa" -> 1L).toDF("word", "n"), 1)
     assert(m.map(x => (x.left, x.right, x.count)) == Seq(("a", "a", 2L)))
+  }
+
+  test("charSymbols of an empty word is an empty array, not two empty symbols") {
+    import spark.implicits._
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark — unguarded, "" would
+    // symbolize as two empty strings and poison pair counts
+    val out = Seq("", "a", "ab").toDF("word")
+      .select(col("word"), Bpe.charSymbols(col("word")).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("") == Seq())
+    assert(out("a") == Seq("a"))
+    assert(out("ab") == Seq("a", "b"))
   }
 
   test("the kernel is SQL-callable and matches the Column API") {

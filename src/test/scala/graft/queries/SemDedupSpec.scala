@@ -59,6 +59,14 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("iters = 0 clusters on the seed centroids as-is (no refine round)") {
+    val out = Similarity.semDedup(planted, iters = 0, tau = 0.95).collect()
+    assert(out.length == 15)
+    // the planted geometry is orthogonal, so even the unrefined seed
+    // separates the three clusters
+    assert(out.map(_.getInt(1)).distinct.length == 3)
+  }
+
   test("cost shape: one score per member, no pairwise or cross-cluster comparison") {
     val df = Similarity.semDedup(planted, iters = 1, tau = 0.95)
     // every member is scored against exactly ONE representative — the
@@ -71,5 +79,15 @@ class SemDedupSpec extends SparkSpec {
       n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
         n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
       "semantic dedup must not contain any all-pairs join")
+    // ...and no shuffled join at all: cluster membership is a narrow argmin
+    // against broadcast centroids, so the only joins are broadcast-hash
+    // against the tiny centroid/representative tables — a sort-merge or
+    // shuffled-hash join here would mean the vector corpus is being
+    // exchanged (the round-4 review catch: joining refine's (id, cluster)
+    // table back would do exactly that at production scale)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "semantic dedup must join only against broadcast side tables")
   }
 }
