@@ -701,12 +701,16 @@ object Text {
   // used, folded in rank order, so tokenization cannot drift from training.
   //
   // Scale shape: training works on the DISTINCT-WORD table (vocab-bounded,
-  // the classic BPE formulation); application segments each distinct word
-  // ONCE and rejoins by word — the corpus-size pass carries only
-  // (doc_id, word) into a broadcast join against the segmented vocab, then
-  // partial-aggregates (doc_id, counts). Iterative + hash-free but
-  // DRIVER-coordinated merges: gated by BpeSpec (exact agreement with a
-  // reference implementation), not a SQL oracle.
+  // the classic BPE formulation). Application folds the merge table — N
+  // tiny (left, right) literals, NOT the vocab — over each word occurrence
+  // in place: a pure narrow scan with zero joins, so document text never
+  // shuffles and the only exchange is the partial-aggregated (doc_id,
+  // counts) rollup. (A 30k-merge production table would instead segment
+  // the distinct-word table once and join back by word — trading one
+  // corpus shuffle for not folding 30k kernels per occurrence; at 10
+  // merges the fold is ~free and the shuffle-free plan wins.) Iterative +
+  // hash-free but DRIVER-coordinated merges: gated by BpeSpec (exact
+  // agreement with a reference implementation), not a SQL oracle.
   private val x56 = GQuery(
     "x56_bpe_vocab", "ext-text vocab-trainer custom-operator iterative",
     (s, dir) => {
@@ -716,11 +720,10 @@ object Text {
         .where(length(col("word")) >= 1)
       val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
       val merges = Bpe.learn(vocab, nMerges = 10)
-      val segmented = vocab.select(col("word"),
-        length(col("word")).cast("long").as("n_chars"),
-        size(Bpe.applyMerges(Bpe.charSymbols(col("word")), merges))
-          .cast("long").as("n_syms"))
-      words.join(broadcast(segmented), "word")
+      words
+        .select(col("doc_id"), length(col("word")).cast("long").as("n_chars"),
+          size(Bpe.applyMerges(Bpe.charSymbols(col("word")), merges))
+            .cast("long").as("n_syms"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_chars")).as("n_char_syms"),
