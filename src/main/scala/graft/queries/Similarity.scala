@@ -423,5 +423,40 @@ object Similarity {
     (s, dir) => semDedup(emb(s, dir), iters = 2, tau = 0.9),
     None) // iterative k-means upstream: gated by SemDedupSpec
 
-  val queries: Seq[GQuery] = Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55)
+  // The SemDeDup paper's actual deployment shape: semantic dedup joined
+  // into the corpus-cleaning pipeline ALONGSIDE lexical dedup — the two
+  // catch disjoint duplicate classes (rewordings share a meaning vector
+  // but no shingles; boilerplate shares shingles but may embed apart), so
+  // production runs both and a document must survive both. Cross-modal by
+  // id: embeddings.vec_id IS documents.doc_id for the embedded slice of
+  // the corpus; docs without an embedding carry no semantic verdict and
+  // pass that gate (left join + coalesce false), exactly how a pipeline
+  // treats the not-yet-embedded tail.
+  //
+  // Scale shape: both flag tables carry ONLY ids (longs) into the verdict
+  // joins; document text is never selected, and the semantic side reuses
+  // x55's no-shuffled-join plan. At 100 TB the verdict join shuffles
+  // 8-byte ids — the same discipline as x31's flag joins.
+  private val x57 = GQuery(
+    "x57_semantic_clean", "ext-dedup-semantic pipeline-composite",
+    (s, dir) => {
+      val d = graft.Tables(s, dir, "documents")
+      val lexKeep = Dedup.cleanCorpus(d)
+        .select(col("doc_id"), lit(true).as("lex_keep"))
+      val semDup = semDedup(emb(s, dir), iters = 2, tau = 0.9)
+        .where(col("is_semantic_dup"))
+        .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup"))
+      d.select(col("doc_id"), col("lang"))
+        .join(lexKeep, Seq("doc_id"), "left")
+        .join(semDup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("lex_keep"), lit(false)).as("lex_keep"),
+          coalesce(col("sem_dup"), lit(false)).as("sem_dup"))
+        .withColumn("keep", col("lex_keep") && !col("sem_dup"))
+        .orderBy("doc_id")
+    },
+    None) // semantic half is k-means-derived: gated by SemDedupSpec
+
+  val queries: Seq[GQuery] =
+    Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57)
 }

@@ -67,6 +67,30 @@ class SemDedupSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).distinct.length == 3)
   }
 
+  test("x57 composes the lexical and semantic gates consistently over the fixture") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables(spark, sf001, "documents")
+    val out = graft.SparkEntry.queries("x57_semantic_clean")(spark, sf001).collect()
+    assert(out.length == d.count(), "one verdict row per document")
+    val lex = Dedup.cleanCorpus(d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sem = Similarity.semDedup(graft.Tables(spark, sf001, "embeddings"),
+        iters = 2, tau = 0.9)
+      .where(col("is_semantic_dup"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val embedded = graft.Tables(spark, sf001, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    for (r <- out) {
+      val (id, lexKeep, semDup, keep) =
+        (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))
+      assert(lexKeep == lex.contains(id), s"doc $id lexical flag drifted")
+      assert(semDup == sem.contains(id), s"doc $id semantic flag drifted")
+      if (!embedded.contains(id))
+        assert(!semDup, s"doc $id has no embedding and cannot be a semantic dup")
+      assert(keep == (lexKeep && !semDup), s"doc $id verdict inconsistent")
+    }
+  }
+
   test("cost shape: one score per member, no pairwise or cross-cluster comparison") {
     val df = Similarity.semDedup(planted, iters = 1, tau = 0.95)
     // every member is scored against exactly ONE representative — the
