@@ -73,24 +73,38 @@ object CorpusOps {
   // every later repetition is dropped, and each document is reassembled
   // from its surviving lines in order.
   //
-  // Scale shape: the dedup window's exchange carries (line_hash → here the
-  // line itself for the oracle, at 100 TB an xxhash64), doc_id, pos — one
-  // row per line; the reassembly shuffles each surviving line ONCE to its
-  // document's reducer. Documents whose every line was seen earlier drop
-  // out entirely (n_kept = 0 rows are absent by construction).
+  // Scale shape — line TEXT crosses exactly ONE exchange (x31's "text
+  // moves once" discipline applied at line granularity):
+  //   1. the dedup ranking runs over xxhash64(line): its window exchange
+  //      carries (hash, doc_id, pos) — 24-byte rows, never line text —
+  //      and emits the id-only winner set (doc_id, pos);
+  //   2. lines are repartitioned by doc_id ONCE (the single text
+  //      movement); HashPartitioning(doc_id) satisfies both the
+  //      (doc_id, pos) winner join's clustering (subset of the join keys)
+  //      AND the reassembly groupBy(doc_id), so no further exchange
+  //      touches a string (PlanSpec pins the count).
+  //  The xxhash64 key makes first-occurrence choice collision-exact up to
+  //  64-bit hash equality of distinct 8-token spans (~2⁻⁶⁴, the x24/x41
+  //  trade); the string-form oracle is unchanged and would hash-mismatch
+  //  on any collision. Documents whose every line was seen earlier drop
+  //  out entirely (n_kept = 0 rows are absent by construction).
   private val x35 = GQuery(
     "x35_line_dedup", "ext-dedup sub-document",
     (s, dir) => {
-      val lines = docs(s, dir)
+      def lines = docs(s, dir)
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(1, size(split(text, ' ')), 8), " +
             "i -> array_join(slice(split(text, ' '), i, 8), ' '))")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("line"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
-      lines
+        .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+      val winners = lines
+        .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
+        .select(col("doc_id"), col("pos"))
+      lines.repartition(col("doc_id"))
+        .join(winners.repartition(col("doc_id")), Seq("doc_id", "pos"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           md5(array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),

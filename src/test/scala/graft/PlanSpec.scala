@@ -121,6 +121,23 @@ class PlanSpec extends SparkSpec {
       s"shuffle carrying vector columns:\n${offenders.mkString("\n")}")
   }
 
+  test("x35 line dedup: line text crosses exactly one exchange; ranking shuffles hashes only") {
+    // the 100 TB property: the first-occurrence ranking exchanges
+    // (xxhash64, doc_id, pos) 24-byte rows, and the single text movement
+    // is the repartition(doc_id) that BOTH the winner join (subset of its
+    // keys) and the reassembly groupBy reuse — a second string-carrying
+    // exchange means the co-partitioning chain broke
+    val df = SparkEntry.queries("x35_line_dedup")(spark, sf001)
+    df.collect()
+    val shuffles = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case ex: ShuffleExchangeExec => ex }
+    val carryingText = shuffles.filter(_.output.exists(_.name == "line"))
+    assert(shuffles.size >= 2, "expected the hash-rank and repartition exchanges")
+    assert(carryingText.size == 1,
+      s"line text must cross exactly one exchange, found ${carryingText.size}:\n" +
+        carryingText.mkString("\n"))
+  }
+
   test("q02 correlated-min join-back: part and supplier broadcast, no cartesian") {
     val df = SparkEntry.queries("q02_min_cost_supplier")(spark, sf001)
     val plan = executedPlan(df).toString
