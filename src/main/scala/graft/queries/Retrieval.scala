@@ -38,12 +38,17 @@ object Retrieval {
   //
   // Scale shape: the df pass shuffles (token, partial count) with map-side
   // combine — the same explode/agg shape as x18/x30; the scored slice is a
-  // filtered scan joined to the broadcast-size df table only for the tokens
-  // it actually contains. The per-doc top-5 is a bounded window (at 100 TB:
-  // the GroupedTopK operator — same result, heap instead of sort).
+  // filtered scan joined to the df table only for the tokens it actually
+  // contains. The per-doc top-5 runs through GroupedTopK (partial/final
+  // bounded heaps): at most 5 scored rows per doc per partition cross the
+  // exchange instead of every distinct token of every doc, and the rank
+  // window afterwards orders <= 5 rows per doc on the SAME partitioning
+  // (no further exchange).
   private val x45 = GQuery(
     "x45_tfidf_topterms", "ext-text retrieval-weighting",
     (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
       val d = docs(s, dir)
       val tok = d.select(col("doc_id"), explode(tokens).as("token"))
       // N must equal the oracle's COUNT(DISTINCT doc_id) over the token
@@ -56,15 +61,16 @@ object Retrieval {
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
       val tf = tok.where(col("doc_id") < 20)
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("weight").desc, col("token"))
-      tf.join(df, "token").crossJoin(broadcast(n))
+      val scored = tf.join(df, "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           (col("tf").cast("double") *
             ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
             .as("weight"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("token"))
+      GroupedTopKOps.groupedTopK(scored, Seq(col("doc_id")),
+        Seq(col("weight").desc, col("token")), k = 5)
         .withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 5)
         .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("weight"))
         .orderBy(col("doc_id"), col("rank"))
     },

@@ -138,6 +138,23 @@ class PlanSpec extends SparkSpec {
         carryingText.mkString("\n"))
   }
 
+  test("x45: one bounded hash exchange of scored rows (GroupedTopK), window reuses it") {
+    // the top-5 heap exchange is the ONLY hash shuffle of scored rows —
+    // the rank window runs on GroupedTopK's output partitioning (the final
+    // orderBy's range exchange carries the <= 5-per-doc result, not the
+    // full scored stream)
+    val df = SparkEntry.queries("x45_tfidf_topterms")(spark, sf001)
+    df.collect()
+    val hashScored = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case ex: ShuffleExchangeExec => ex }
+      .filter(ex => ex.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        && ex.output.exists(_.name == "weight"))
+    assert(hashScored.size == 1,
+      s"scored rows must cross exactly one hash exchange (the bounded heap), " +
+        s"found ${hashScored.size}:\n${hashScored.mkString("\n")}")
+  }
+
   test("q02 correlated-min join-back: part and supplier broadcast, no cartesian") {
     val df = SparkEntry.queries("q02_min_cost_supplier")(spark, sf001)
     val plan = executedPlan(df).toString
