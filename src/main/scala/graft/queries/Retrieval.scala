@@ -96,43 +96,59 @@ object Retrieval {
   // The three per-term partial scores are pivoted into fixed columns and
   // added in one left-to-right expression — deterministic double math (see
   // the object scaladoc); a term missing from a document contributes 0.
-  //
-  // Scale shape: one token explode filtered to the 3 query terms (at 100 TB
-  // the x30 inverted index replaces the scan — same scoring tail), df/avgdl
-  // are scalar broadcasts, and the final top-20 is TakeOrderedAndProject.
+
+  private val QTerms = Seq("vector", "window", "scan")
+
+  /** The BM25 scoring tail shared by x46 (scan-fed tf) and x58 (index-fed
+    * tf) — ONE implementation of the math, so the two retrieval paths
+    * cannot drift. `tf` must hold one row per (doc_id, token) with its
+    * term frequency; df is derived from it (row count per token = distinct
+    * docs, since tf is already per-doc aggregated). df/avgdl are scalar
+    * broadcasts; the final top-20 is TakeOrderedAndProject.
+    */
+  private def bm25Rank(d: DataFrame, tf: DataFrame): DataFrame = {
+    val stats = d.select(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (sum(size(tokens)).cast("double") / countDistinct(col("doc_id")))
+        .as("avgdl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = d.select(col("doc_id"), size(tokens).cast("double").as("dl"))
+    val part = tf.join(broadcast(df), "token")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"),
+        (((col("n_docs").cast("double") - col("df") + 0.5) / (col("df").cast("double") + 0.5)) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("ps"))
+    val byTerm = part.groupBy(col("doc_id"))
+      .pivot("token", QTerms).agg(first(col("ps")))
+    byTerm
+      .select(col("doc_id"),
+        (coalesce(col("vector"), lit(0.0)) + coalesce(col("window"), lit(0.0))
+          + coalesce(col("scan"), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // Scan-fed form: one token explode filtered to the 3 query terms.
   private val x46 = GQuery(
     "x46_bm25_rank", "ext-text retrieval-ranking",
     (s, dir) => {
       val d = docs(s, dir)
-      val qterms = Seq("vector", "window", "scan")
-      val stats = d.select(
-        countDistinct(col("doc_id")).as("n_docs"),
-        (sum(size(tokens)).cast("double") / countDistinct(col("doc_id")))
-          .as("avgdl"))
-      val tok = d.select(col("doc_id"), explode(tokens).as("token"))
-        .where(col("token").isin(qterms: _*))
-      val df = tok.select(col("token"), col("doc_id")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dl = d.select(col("doc_id"), size(tokens).cast("double").as("dl"))
-      val part = tf.join(broadcast(df), "token")
-        .join(dl, "doc_id").crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("token"),
-          (((col("n_docs").cast("double") - col("df") + 0.5) / (col("df").cast("double") + 0.5)) *
-            (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-            .as("ps"))
-      val byTerm = part.groupBy(col("doc_id"))
-        .pivot("token", qterms).agg(first(col("ps")))
-      byTerm
-        .select(col("doc_id"),
-          (coalesce(col("vector"), lit(0.0)) + coalesce(col("window"), lit(0.0))
-            + coalesce(col("scan"), lit(0.0))).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
+      val tf = d.select(col("doc_id"), explode(tokens).as("token"))
+        .where(col("token").isin(QTerms: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      bm25Rank(d, tf)
     },
-    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    Some(Bm25OracleSql))
+
+  /** One oracle for BOTH BM25 paths: x58 must produce the identical top-20
+    * through the index, so it shares x46's SQL verbatim — the DuckDB
+    * compare then independently proves scan-path ≡ index-path.
+    */
+  private lazy val Bm25OracleSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             stats AS (SELECT COUNT(*) AS n_docs,
                         CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
             tok AS (SELECT doc_id, unnest(w) AS token FROM d),
@@ -154,7 +170,42 @@ object Retrieval {
                   + coalesce(MAX(CASE WHEN token = 'scan' THEN ps END), 0.0) AS score
               FROM part GROUP BY doc_id)
             SELECT doc_id, score FROM piv
-            ORDER BY score DESC, doc_id LIMIT 20"""))
+            ORDER BY score DESC, doc_id LIMIT 20"""
+
+  /** tf-enriched segmented posting index — the ingest artifact x58 reads:
+    * one row per (token, doc_id-range segment) holding (doc_id, tf)
+    * postings. Same bounded-buffer discipline as x30 (at most segWidth
+    * entries per aggregation buffer regardless of a token's df); the extra
+    * tf field is what makes the index sufficient for BM25/TF-IDF scoring
+    * without touching document text.
+    */
+  def scoredIndex(d: DataFrame, segWidth: Long): DataFrame =
+    d.select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy(col("token"), expr(s"doc_id div $segWidth").as("seg"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"), col("seg"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+
+  // Index-fed form — the 100 TB retrieval architecture x46's scaladoc
+  // promised: BM25 over posting lists instead of a corpus scan. In this
+  // in-query demonstration the index is built from the same table and the
+  // term filter prunes it before the posting explode; in production the
+  // index is a stored artifact partitioned by token, so the query reads
+  // only its terms' segment rows and document text is never scanned at
+  // all. The scoring tail is bm25Rank — the SAME code x46 runs — and the
+  // oracle is x46's SQL verbatim: the driver's DuckDB compare proves the
+  // two physical paths produce the identical ranking.
+  private val x58 = GQuery(
+    "x58_bm25_from_index", "ext-text retrieval-ranking retrieval-index",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tf = scoredIndex(d, segWidth = 64L)
+        .where(col("token").isin(QTerms: _*))
+        .select(col("token"), explode(col("postings")).as("p"))
+        .select(col("p.doc_id").as("doc_id"), col("token"), col("p.tf").as("tf"))
+      bm25Rank(d, tf)
+    },
+    Some(Bm25OracleSql))
 
   // Bigram language model: P(w2 | w1) = c(w1,w2) / c(w1,·) for every bigram
   // seen >= 10 times — the conditional-probability table behind perplexity
@@ -199,5 +250,5 @@ object Retrieval {
             FROM pair p JOIN prefix x USING (w1)
             WHERE p.c >= 10 ORDER BY p.w1, p.w2"""))
 
-  val queries: Seq[GQuery] = Seq(x45, x46, x47)
+  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58)
 }
