@@ -47,12 +47,13 @@ object Bpe {
     * empty-word guard is load-bearing: Spark's sequence(1, 0) is the
     * DESCENDING [1, 0], so an unguarded transform would turn "" into two
     * empty symbols instead of zero (split on repeated delimiters produces
-    * "" words routinely).
+    * "" words routinely). A NULL word stays NULL (neither branch matches),
+    * matching every other column function's null propagation.
     */
   def charSymbols(word: Column): Column =
     when(length(word) >= 1,
       transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
-      .otherwise(array().cast("array<string>"))
+      .when(length(word) === 0, array().cast("array<string>"))
 
   /** Fold a learned merge table (rank order) over a symbol-array column —
     * the SAME kernel the trainer used, so tokenization cannot drift from

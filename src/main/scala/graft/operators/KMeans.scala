@@ -35,15 +35,13 @@ object KMeans {
   private def sqDistToLit(vec: Column, c: Array[Double]): Column =
     graft.functions.VectorOps.sqDist(vec, typedLit(c))
 
-  /** One Lloyd step: returns (assignments, newCentroids, objective).
-    *
-    * @param vecs      (id, vec) — vec is array<float> or array<double>
-    * @param centroids ordered seq of centroid vectors (cluster id = index)
-    */
   /** Narrow assignment pass: (id, vec, cluster, dist) from the argmin
     * against centroid literals — no join, no shuffle; THE way to attach a
     * cluster column to a vector table (joining back a precomputed (id,
     * cluster) table would exchange the full vector corpus by id).
+    *
+    * @param vecs      (id, vec) — vec is array<float> or array<double>
+    * @param centroids ordered seq of centroid vectors (cluster id = index)
     */
   def assign(vecs: DataFrame, centroids: Seq[Array[Double]]): DataFrame = {
     val idCol = vecs.columns(0)
@@ -59,6 +57,9 @@ object KMeans {
         col("best.j").as("cluster"), col("best.d").as("dist"))
   }
 
+  /** One Lloyd step over [[assign]]'s output: returns (assignments as
+    * (id, cluster), newCentroids, objective = Σ min-distances).
+    */
   def step(vecs: DataFrame, centroids: Seq[Array[Double]])
       : (DataFrame, Seq[Array[Double]], Double) = {
     val assigned = assign(vecs, centroids)

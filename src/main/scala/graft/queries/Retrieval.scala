@@ -99,6 +99,36 @@ object Retrieval {
 
   private val QTerms = Seq("vector", "window", "scan")
 
+  /** One oracle for BOTH BM25 paths: x58 must produce the identical top-20
+    * through the index, so it shares x46's SQL verbatim — the DuckDB
+    * compare then independently proves scan-path ≡ index-path. (Declared
+    * before both queries: object-init order matters for a plain val.)
+    */
+  private val Bm25OracleSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                        CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM d),
+            qt AS (SELECT doc_id, token FROM tok
+                   WHERE token IN ('vector', 'window', 'scan')),
+            df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY token),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qt GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+            part AS (
+              SELECT tf.doc_id, tf.token,
+                ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+                  (CAST(tf AS DOUBLE) * 2.2) /
+                  (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS ps
+              FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+            piv AS (
+              SELECT doc_id,
+                coalesce(MAX(CASE WHEN token = 'vector' THEN ps END), 0.0)
+                  + coalesce(MAX(CASE WHEN token = 'window' THEN ps END), 0.0)
+                  + coalesce(MAX(CASE WHEN token = 'scan' THEN ps END), 0.0) AS score
+              FROM part GROUP BY doc_id)
+            SELECT doc_id, score FROM piv
+            ORDER BY score DESC, doc_id LIMIT 20"""
+
   /** The BM25 scoring tail shared by x46 (scan-fed tf) and x58 (index-fed
     * tf) — ONE implementation of the math, so the two retrieval paths
     * cannot drift. `tf` must hold one row per (doc_id, token) with its
@@ -143,34 +173,6 @@ object Retrieval {
     },
     Some(Bm25OracleSql))
 
-  /** One oracle for BOTH BM25 paths: x58 must produce the identical top-20
-    * through the index, so it shares x46's SQL verbatim — the DuckDB
-    * compare then independently proves scan-path ≡ index-path.
-    */
-  private lazy val Bm25OracleSql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            stats AS (SELECT COUNT(*) AS n_docs,
-                        CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
-            tok AS (SELECT doc_id, unnest(w) AS token FROM d),
-            qt AS (SELECT doc_id, token FROM tok
-                   WHERE token IN ('vector', 'window', 'scan')),
-            df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY token),
-            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qt GROUP BY doc_id, token),
-            dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
-            part AS (
-              SELECT tf.doc_id, tf.token,
-                ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-                  (CAST(tf AS DOUBLE) * 2.2) /
-                  (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS ps
-              FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
-            piv AS (
-              SELECT doc_id,
-                coalesce(MAX(CASE WHEN token = 'vector' THEN ps END), 0.0)
-                  + coalesce(MAX(CASE WHEN token = 'window' THEN ps END), 0.0)
-                  + coalesce(MAX(CASE WHEN token = 'scan' THEN ps END), 0.0) AS score
-              FROM part GROUP BY doc_id)
-            SELECT doc_id, score FROM piv
-            ORDER BY score DESC, doc_id LIMIT 20"""
 
   /** tf-enriched segmented posting index — the ingest artifact x58 reads:
     * one row per (token, doc_id-range segment) holding (doc_id, tf)

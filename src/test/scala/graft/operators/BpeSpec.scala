@@ -147,6 +147,10 @@ class BpeSpec extends SparkSpec {
     assert(out("") == Seq())
     assert(out("a") == Seq("a"))
     assert(out("ab") == Seq("a", "b"))
+    // and NULL propagates as NULL (not an empty array) like any column fn
+    val nullRow = Seq(Option.empty[String]).toDF("word")
+      .select(Bpe.charSymbols(col("word")).as("syms")).head()
+    assert(nullRow.isNullAt(0), "charSymbols(NULL) must be NULL")
   }
 
   test("the kernel is SQL-callable and matches the Column API") {
