@@ -25,7 +25,11 @@ class PlanRobustnessSpec extends SparkSpec {
   private val strategyFree = Seq(
     "q18_large_orders", "c16_composite_key_join", "x43_merge_upsert",
     "x44_scd2_history", "x49_funnel", "b05b_decorrelated_join",
-    "b07_multijoin_revenue", "x46_bm25_rank")
+    "b07_multijoin_revenue", "x46_bm25_rank",
+    // round 4: x45's tf ⋈ df and x58's dl join are planner-chosen, and
+    // both route their top-k through custom operators (GroupedTopK) whose
+    // results must not depend on the physical join strategy around them
+    "x45_tfidf_topterms", "x58_bm25_from_index")
 
   // EVERY join in these is broadcast()-hinted, so the threshold knob is a
   // no-op by construction; they verify independence from AQE re-planning
