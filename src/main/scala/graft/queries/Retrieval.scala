@@ -136,7 +136,7 @@ object Retrieval {
     * docs, since tf is already per-doc aggregated). df/avgdl are scalar
     * broadcasts; the final top-20 is TakeOrderedAndProject.
     */
-  private def bm25Rank(d: DataFrame, tf: DataFrame): DataFrame = {
+  private[queries] def bm25Rank(d: DataFrame, tf: DataFrame): DataFrame = {
     val stats = d.select(
       countDistinct(col("doc_id")).as("n_docs"),
       (sum(size(tokens)).cast("double") / countDistinct(col("doc_id")))

@@ -72,4 +72,25 @@ class EdgeCorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == expected, s"kept $kept, expected $expected")
   }
+
+  test("round-4 operators handle the degenerate corpus") {
+    // x33: every doc (incl. empty text, which tokenizes to [""] = 1 token)
+    // gets a bin; 4 tiny docs all fit in bin 0
+    val packed = SparkEntry.queries("x33_sequence_packing")(spark, dir).collect()
+    assert(packed.length == 4 && packed.forall(_.getLong(3) == 0L))
+    // x30 at the registry's df >= 5 floor: max df here is 4 => empty, no crash
+    assert(SparkEntry.queries("x30_inverted_index")(spark, dir).count() == 0)
+    // ...and with the floor at 1, 'the' (docs 0-3? only doc 3) segments sanely
+    val idx = Text.invertedIndex(
+      graft.Tables(spark, dir, "documents"), segWidth = 8L, minDf = 1L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("df")).toMap
+    assert(idx("the") == 1L, "array_distinct => one posting per doc, df counts docs")
+    // x56: the empty-text doc contributes no >= 1-char words and drops out;
+    // the other three segment without error
+    val bpe = SparkEntry.queries("x56_bpe_vocab")(spark, dir).collect()
+    assert(bpe.map(_.getLong(0)).toSet == Set(0L, 1L, 3L))
+    // 'the the the the': 4 words x 3 chars; BPE merges can only shrink
+    val d3 = bpe.find(_.getLong(0) == 3L).get
+    assert(d3.getLong(2) == 12L && d3.getLong(3) <= 12L)
+  }
 }
