@@ -220,20 +220,26 @@ object Retrieval {
   // broadcast-size join on w1 after the >= 10 floor. Token text shuffles
   // once as (bigram, partial count); at 100 TB the floor moves ahead of the
   // join so only the surviving vocabulary joins.
+  /** Per-document bigram stream (doc_id, w1, w2) — shared by the LM builder
+    * (x47) and the LM scorer (x59) so the two sides of the train/apply pair
+    * see the identical feature space. Zips the token array against itself
+    * shifted by one; slice lengths are clamped to 0 so single-token
+    * documents yield no bigrams (the naive sequence(1, size - 1) spells
+    * DESCENDING [1, 0] when size = 1 and crashes element_at — the same
+    * pitfall wordNgrams documents).
+    */
+  private def docBigrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+          "slice(w, 2, greatest(size(w) - 1, 0)), " +
+          "(a, b) -> struct(a as w1, b as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
   private val x47 = GQuery(
     "x47_bigram_lm", "ext-text ngram-lm",
     (s, dir) => {
-      // zip the token array against itself shifted by one; slice lengths are
-      // clamped to 0 so single-token documents yield no bigrams (the naive
-      // sequence(1, size - 1) spells DESCENDING [1, 0] when size = 1 and
-      // crashes element_at — the same pitfall wordNgrams documents)
-      val bg = docs(s, dir)
-        .select(tokens.as("w"))
-        .select(explode(expr(
-          "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
-            "slice(w, 2, greatest(size(w) - 1, 0)), " +
-            "(a, b) -> struct(a as w1, b as w2))")).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bg = docBigrams(docs(s, dir))
       val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       val prefix = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_prefix"))
       pair.where(col("c") >= 10)
@@ -252,5 +258,47 @@ object Retrieval {
             FROM pair p JOIN prefix x USING (w1)
             WHERE p.c >= 10 ORDER BY p.w1, p.w2"""))
 
-  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58)
+  // LM coverage scoring — the x47 bigram LM APPLIED as a quality signal:
+  // per document, the fraction of its bigrams found in the floored LM table
+  // (CCNet-style perplexity bucketing's log-free stand-in: a document whose
+  // transitions the corpus LM has never seen >= 10 times is noise-like;
+  // exact integer ratio instead of Σ log p, which would break the oracle
+  // hash — the scaladoc's no-transcendentals discipline). Docs with no
+  // bigrams (single-token) carry no signal and drop out, like x47's own
+  // feature space.
+  //
+  // Scale shape: ONE bigram explode feeds both the LM aggregation and the
+  // scoring join (shared docBigrams); the floored LM table is
+  // corpus-frequency-bounded and broadcasts; the per-doc rollup
+  // partial-aggregates (doc_id, two counts). Token text shuffles only as
+  // (bigram, partial count) in the LM build — at 100 TB the LM is a stored
+  // artifact and scoring is a pure broadcast-join scan.
+  private val x59 = GQuery(
+    "x59_lm_coverage", "ext-text lm-scoring quality-filter",
+    (s, dir) => {
+      val bg = docBigrams(docs(s, dir))
+      val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 10)
+        .select(col("w1"), col("w2"), lit(1L).as("known"))
+      bg.join(broadcast(lm), Seq("w1", "w2"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("known"), lit(0L))).cast("long").as("n_known"))
+        .withColumn("coverage",
+          col("n_known").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                   FROM d, unnest(range(1, len(w))) r(i)),
+            lm AS (SELECT w1, w2, CAST(1 AS BIGINT) AS known FROM (
+                     SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2)
+                   WHERE c >= 10)
+            SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+              CAST(SUM(COALESCE(lm.known, 0)) AS BIGINT) AS n_known,
+              CAST(SUM(COALESCE(lm.known, 0)) AS DOUBLE) / COUNT(*) AS coverage
+            FROM bg LEFT JOIN lm USING (w1, w2)
+            GROUP BY bg.doc_id ORDER BY bg.doc_id"""))
+
+  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58, x59)
 }
