@@ -267,12 +267,14 @@ object Retrieval {
   // bigrams (single-token) carry no signal and drop out, like x47's own
   // feature space.
   //
-  // Scale shape: ONE bigram explode feeds both the LM aggregation and the
-  // scoring join (shared docBigrams); the floored LM table is
-  // corpus-frequency-bounded and broadcasts; the per-doc rollup
-  // partial-aggregates (doc_id, two counts). Token text shuffles only as
-  // (bigram, partial count) in the LM build — at 100 TB the LM is a stored
-  // artifact and scoring is a pure broadcast-join scan.
+  // Scale shape: the shared docBigrams DEFINITION keeps the train and
+  // apply feature spaces identical, but physically this in-query form
+  // scans and explodes the corpus twice (LM build subtree + scoring probe
+  // subtree — disjoint, so no exchange reuse); at 100 TB the LM is a
+  // stored artifact and scoring is ONE narrow scan + broadcast join. The
+  // floored LM table is corpus-frequency-bounded and broadcasts; the
+  // per-doc rollup partial-aggregates (doc_id, two counts); token text
+  // shuffles only as (bigram, partial count) in the LM build.
   private val x59 = GQuery(
     "x59_lm_coverage", "ext-text lm-scoring quality-filter",
     (s, dir) => {
