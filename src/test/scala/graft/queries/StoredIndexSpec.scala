@@ -45,4 +45,50 @@ class StoredIndexSpec extends SparkSpec {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("stored bigram LM: x59 scoring from the persisted table is one corpus scan") {
+    // x59's deployment shape (its scaladoc's honest caveat made concrete):
+    // with the floored LM persisted at build time, scoring is a single
+    // narrow corpus scan + broadcast join — and identical to the in-query
+    // two-scan form
+    val base = Files.createTempDirectory("graft-lm")
+    val out = base.resolve("bigram_lm").toString
+    try {
+      val d = Tables(spark, sf001, "documents")
+      val bg = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+            "slice(w, 2, greatest(size(w) - 1, 0)), " +
+            "(a, b) -> struct(a as w1, b as w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 10)
+        .select(col("w1"), col("w2"), lit(1L).as("known"))
+        .write.mode("overwrite").parquet(out)
+
+      val lm = spark.read.parquet(out)
+      val scored = bg.join(broadcast(lm), Seq("w1", "w2"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("known"), lit(0L))).cast("long").as("n_known"))
+        .withColumn("coverage",
+          col("n_known").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy("doc_id")
+      scored.collect()
+      // exactly one documents scan in the scoring plan (the LM comes from
+      // its own stored parquet)
+      val docScans = SparkSpec.allPlanNodes(scored.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .filter(_.metadata.get("Location").exists(_.contains("documents")))
+      assert(docScans.size == 1,
+        s"stored-LM scoring must scan the corpus once, found ${docScans.size}")
+      assert(scored.collect().toSeq ==
+        SparkEntry.queries("x59_lm_coverage")(spark, sf001).collect().toSeq,
+        "stored-LM scoring must equal the in-query form row for row")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }
