@@ -276,9 +276,9 @@ object CorpusOps {
   // first hex byte of md5(doc_id:lang) compared (inclusively, so 'ff'
   // really is 256/256 = keep-all) against a per-language bound
   // (0x33 → 52/256 ≈ 20% ... 0xff = 100%). The same rows are kept on
-  // every run, on any cluster, with no RNG state — the property x21's
-  // sampleBy (seeded per-partition RNG) cannot give across
-  // repartitionings.
+  // every run, on any cluster, with no RNG state — the property seeded
+  // sampleBy (per-partition RNG) cannot give across repartitionings;
+  // x21 adopted this same coin in round 4.
   //
   // Scale shape: a pure narrow filter — no shuffle, no state; the bound
   // table is a 5-row broadcast. Lexicographic compare of lowercase hex IS

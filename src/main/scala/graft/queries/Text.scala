@@ -420,7 +420,7 @@ object Text {
   // Mixture weighting: given target per-language shares, derive the
   // per-stratum sampling multiplier (target_share x total / stratum_count)
   // and the capped no-upsampling fraction — the arithmetic a training-data
-  // mixer feeds into x21's sampleBy. One tiny grouped aggregate plus two
+  // mixer feeds into x21's per-stratum sampler. One tiny grouped aggregate plus two
   // broadcast joins (totals row + targets table); the corpus is scanned
   // once, scan-bound at 100 TB.
   private val x29 = GQuery(
