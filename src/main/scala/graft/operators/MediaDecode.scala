@@ -233,6 +233,87 @@ object MediaDecode {
     }
   }
 
+  /** 64-bit perceptual fingerprint (as 16 lowercase hex chars).
+    * `real_decode` says which path produced it — the aHash of a decoded
+    * raster, or the byte-derived stub.
+    */
+  final case class PHash(media_id: Long, phash: String, real_decode: Boolean)
+
+  /** Average-hash (aHash) perceptual fingerprint: decode → 8×8 box-mean
+    * luminance grid → bit (row-major, MSB first) set iff its cell is
+    * brighter than the grid mean. Robust to resizing and re-encoding (the
+    * box means barely move), so near-duplicate IMAGES land within a small
+    * Hamming distance — the image-modality analog of SimHash over tokens
+    * (x04), consumed the same way: band the 64 bits, bucket-join on bands,
+    * confirm candidates by Hamming distance. MediaDecodeSpec pins both
+    * robustness (scaled/re-encoded copy ≤ 6 bits apart) and separation
+    * (inverted image ~64 bits apart).
+    *
+    * Payloads the JDK cannot decode take the deterministic byte-derived
+    * stub (first 64 bits of the md5 digest, `real_decode = false`) — the
+    * same honesty contract as [[StubCodec]]: plumbing stays testable and
+    * oracle-exact on text-derived fixtures, and only this object changes
+    * when a real video/image codec is swapped in.
+    */
+  def perceptualHash(media: Dataset[MediaRecord]): Dataset[PHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { r =>
+        val fromImage =
+          try {
+            val okDims = JdkCodec.imageDims(r.payload).exists { case (w, h) =>
+              w > 0 && h > 0 && w.toLong * h <= JdkCodec.MaxPixels
+            }
+            val img = if (!okDims) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val cells = new Array[Double](64)
+              var cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  // integer block bounds partition the image exactly; a
+                  // sub-8px dimension degenerates to repeated single rows
+                  val x0 = w * cx / 8; val x1 = math.max(x0 + 1, w * (cx + 1) / 8)
+                  val y0 = h * cy / 8; val y1 = math.max(y0 + 1, h * (cy + 1) / 8)
+                  var sum = 0.0
+                  var y = y0
+                  while (y < math.min(y1, h)) {
+                    var x = x0
+                    while (x < math.min(x1, w)) {
+                      val rgb = img.getRGB(x, y)
+                      sum += 0.299 * ((rgb >> 16) & 0xff) +
+                        0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+                  cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
+                  cx += 1
+                }
+                cy += 1
+              }
+              val mean = cells.sum / 64
+              var bits = 0L
+              var i = 0
+              while (i < 64) {
+                if (cells(i) > mean) bits |= (1L << (63 - i))
+                i += 1
+              }
+              Some(PHash(r.media_id, f"$bits%016x", real_decode = true))
+            }
+          } catch { case _: Exception => None }
+        fromImage.getOrElse(
+          PHash(r.media_id, md5hex(r.payload).take(16), real_decode = false))
+      }
+    }
+  }
+
   /** One sampled frame. For real (animated-GIF) frames `frame_len` is the
     * pixel count and `digest` hashes the decoded raster; for stub frames
     * (formats outside the JDK: video containers) `frame_len` is the byte

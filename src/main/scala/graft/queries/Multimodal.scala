@@ -103,5 +103,48 @@ object Multimodal {
             FROM f, range(0, 4) t(j) WHERE t.j < k
             ORDER BY media_id, frame_idx"""))
 
-  val queries: Seq[GQuery] = Seq(x16, x17, x28)
+  // Image near-duplicate detection over perceptual hashes — the multimodal
+  // member of the dedup family: MediaDecode.perceptualHash fingerprints
+  // every payload (real aHash for decodable images, byte-derived stub
+  // otherwise), then members group by fingerprint with a window keeper —
+  // the x01 exact-dedup shape keyed on perceptual content instead of
+  // bytes. The fixture has no images, so payloads are planted in 25
+  // duplicate classes (the x34 planting discipline: prove the round trip,
+  // not nothing); real-image semantics — scaling/re-encode invariance,
+  // banded candidate recovery, Hamming confirm — are pinned in PHashSpec.
+  //
+  // Scale shape: fingerprinting is a partition-batched narrow pass
+  // (payloads never shuffle); the dedup window's exchange carries
+  // (16-char hash, media_id) only. At a real near-dup threshold (t > 0)
+  // the grouping becomes x04's banded bucket-join with a Hamming confirm —
+  // same plan, 4 x 16-bit bands of this same hash.
+  private val x60 = GQuery(
+    "x60_image_near_dup", "ext-multimodal ext-dedup-fuzzy",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.MediaDecode
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("img").as("format"),
+          concat(lit("img-"), col("doc_id") % 25).cast("binary").as("payload"))
+        .repartition(8)
+        .as[MediaDecode.MediaRecord]
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+      MediaDecode.perceptualHash(media)
+        .withColumn("keeper", min(col("media_id")).over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .where(col("n_copies") >= 2)
+        .select(col("media_id"), col("phash"), col("keeper"), col("n_copies"))
+        .orderBy("media_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+                         substr(md5('img-' || (doc_id % 25)), 1, 16) AS phash
+                       FROM documents),
+            k AS (SELECT doc_id AS media_id, phash,
+                    MIN(doc_id) OVER (PARTITION BY phash) AS keeper,
+                    COUNT(*) OVER (PARTITION BY phash) AS n_copies
+                  FROM p)
+            SELECT media_id, phash, keeper, CAST(n_copies AS BIGINT) AS n_copies
+            FROM k WHERE n_copies >= 2 ORDER BY media_id"""))
+
+  val queries: Seq[GQuery] = Seq(x16, x17, x28, x60)
 }
