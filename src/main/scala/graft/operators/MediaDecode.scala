@@ -111,6 +111,27 @@ object MediaDecode {
       }
     }
 
+    /** ONE definition of the decompression-bomb-guarded image read, shared
+      * by decodeImage, resize, and perceptualHash: header-only dimension
+      * check against [[MaxPixels]] BEFORE any raster is allocated; None for
+      * unreadable/oversized payloads.
+      */
+    private[operators] def readImageGuarded(
+        payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      val ok = imageDims(payload).exists { case (w, h) =>
+        w > 0 && h > 0 && w.toLong * h <= MaxPixels
+      }
+      if (!ok) None
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    }
+
+    /** Rec. 601 luma — the one luminance definition every image feature
+      * in this object derives from.
+      */
+    private[operators] def luminance(rgb: Int): Double =
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+
     /** Header-only dimension read; None when no reader or invalid header. */
     private[operators] def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -129,11 +150,7 @@ object MediaDecode {
     }
 
     private def decodeImage(r: MediaRecord): MediaFeatures = {
-      val dims = imageDims(r.payload)
-      if (dims.isEmpty) return StubCodec.decode(r)
-      val (hw, hh) = dims.get
-      if (hw <= 0 || hh <= 0 || hw.toLong * hh > MaxPixels) return StubCodec.decode(r)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      val img = readImageGuarded(r.payload).orNull
       if (img == null) return StubCodec.decode(r)
       val (w, h) = (img.getWidth, img.getHeight)
       // mean luminance over a bounded deterministic sample grid (<= 64x64)
@@ -144,10 +161,7 @@ object MediaDecode {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          sum += lum; n += 1
+          sum += luminance(img.getRGB(x, y)); n += 1
           x += sx
         }
         y += sy
@@ -209,11 +223,7 @@ object MediaDecode {
       System.setProperty("java.awt.headless", "true")
       it.flatMap { r =>
         try {
-          val okDims = JdkCodec.imageDims(r.payload).exists { case (w, h) =>
-            w > 0 && h > 0 && w.toLong * h <= JdkCodec.MaxPixels
-          }
-          val img = if (!okDims) null
-            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          val img = JdkCodec.readImageGuarded(r.payload).orNull
           if (img == null) None
           else {
             val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
@@ -245,9 +255,22 @@ object MediaDecode {
     * box means barely move), so near-duplicate IMAGES land within a small
     * Hamming distance — the image-modality analog of SimHash over tokens
     * (x04), consumed the same way: band the 64 bits, bucket-join on bands,
-    * confirm candidates by Hamming distance. MediaDecodeSpec pins both
-    * robustness (scaled/re-encoded copy ≤ 6 bits apart) and separation
-    * (inverted image ~64 bits apart).
+    * confirm candidates by Hamming distance. With 4 bands, recovery of a
+    * candidate is GUARANTEED for pairs up to 3 bits apart (pigeonhole) and
+    * probabilistic beyond — size the band count to the confirm threshold
+    * (b bands guarantee t ≤ b-1). PHashSpec pins robustness
+    * (scaled/re-encoded copy ≤ 6 bits apart), separation (inverted image
+    * ≥ 48 bits apart), and the banding guarantee.
+    *
+    * FLAT images (every cell equal): textureless aHash would emit all-zero
+    * bits for every uniform image — merging a white placeholder with a
+    * black one. Such payloads instead hash to their 8-bit quantized
+    * brightness replicated across all 8 bytes, so flat images separate by
+    * brightness (and an inverted flat image still lands far away).
+    *
+    * Per-cell means are computed over a bounded sample grid (≤ 8×8 samples
+    * per cell, ≤ 4096 getRGB calls per payload regardless of resolution) —
+    * the same cost discipline as decodeImage's 64×64 grid.
     *
     * Payloads the JDK cannot decode take the deterministic byte-derived
     * stub (first 64 bits of the md5 digest, `real_decode = false`) — the
@@ -263,13 +286,7 @@ object MediaDecode {
       it.map { r =>
         val fromImage =
           try {
-            val okDims = JdkCodec.imageDims(r.payload).exists { case (w, h) =>
-              w > 0 && h > 0 && w.toLong * h <= JdkCodec.MaxPixels
-            }
-            val img = if (!okDims) null
-              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-            if (img == null) None
-            else {
+            JdkCodec.readImageGuarded(r.payload).map { img =>
               val (w, h) = (img.getWidth, img.getHeight)
               val cells = new Array[Double](64)
               var cy = 0
@@ -278,34 +295,46 @@ object MediaDecode {
                 while (cx < 8) {
                   // integer block bounds partition the image exactly; a
                   // sub-8px dimension degenerates to repeated single rows
-                  val x0 = w * cx / 8; val x1 = math.max(x0 + 1, w * (cx + 1) / 8)
-                  val y0 = h * cy / 8; val y1 = math.max(y0 + 1, h * (cy + 1) / 8)
-                  var sum = 0.0
+                  val x0 = w * cx / 8; val x1 = math.min(w, math.max(x0 + 1, w * (cx + 1) / 8))
+                  val y0 = h * cy / 8; val y1 = math.min(h, math.max(y0 + 1, h * (cy + 1) / 8))
+                  val sx = math.max(1, (x1 - x0) / 8)
+                  val sy = math.max(1, (y1 - y0) / 8)
+                  var sum = 0.0; var n = 0
                   var y = y0
-                  while (y < math.min(y1, h)) {
+                  while (y < y1) {
                     var x = x0
-                    while (x < math.min(x1, w)) {
-                      val rgb = img.getRGB(x, y)
-                      sum += 0.299 * ((rgb >> 16) & 0xff) +
-                        0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                      x += 1
+                    while (x < x1) {
+                      sum += JdkCodec.luminance(img.getRGB(x, y)); n += 1
+                      x += sx
                     }
-                    y += 1
+                    y += sy
                   }
-                  val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
                   cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
                   cx += 1
                 }
                 cy += 1
               }
               val mean = cells.sum / 64
-              var bits = 0L
-              var i = 0
-              while (i < 64) {
-                if (cells(i) > mean) bits |= (1L << (63 - i))
-                i += 1
+              var spreadMax = cells(0); var spreadMin = cells(0)
+              cells.foreach { c =>
+                if (c > spreadMax) spreadMax = c
+                if (c < spreadMin) spreadMin = c
               }
-              Some(PHash(r.media_id, f"$bits%016x", real_decode = true))
+              val bits =
+                if (spreadMax == spreadMin) {
+                  // flat image: brightness byte replicated (see scaladoc)
+                  val b = math.min(255L, math.max(0L, math.round(mean)))
+                  (0 until 8).foldLeft(0L)((acc, i) => acc | (b << (8 * i)))
+                } else {
+                  var acc = 0L
+                  var i = 0
+                  while (i < 64) {
+                    if (cells(i) > mean) acc |= (1L << (63 - i))
+                    i += 1
+                  }
+                  acc
+                }
+              PHash(r.media_id, f"$bits%016x", real_decode = true)
             }
           } catch { case _: Exception => None }
         fromImage.getOrElse(

@@ -113,11 +113,14 @@ object Multimodal {
   // not nothing); real-image semantics — scaling/re-encode invariance,
   // banded candidate recovery, Hamming confirm — are pinned in PHashSpec.
   //
-  // Scale shape: fingerprinting is a partition-batched narrow pass
-  // (payloads never shuffle); the dedup window's exchange carries
-  // (16-char hash, media_id) only. At a real near-dup threshold (t > 0)
-  // the grouping becomes x04's banded bucket-join with a Hamming confirm —
-  // same plan, 4 x 16-bit bands of this same hash.
+  // Scale shape: the batch-sizing repartition(8) is the ONE intentional
+  // payload exchange (decode parallelism — the same knob x17/x28 turn and
+  // decode()'s scaladoc frames; at ingest the payloads arrive partitioned
+  // and it disappears). After fingerprinting, the dedup window's exchange
+  // carries (16-char hash, media_id) only. At a real near-dup threshold
+  // (t > 0) the grouping becomes x04's banded bucket-join with a Hamming
+  // confirm — same plan, b bands of this same hash with b > t for
+  // guaranteed candidate recovery (pigeonhole; PHashSpec pins it).
   private val x60 = GQuery(
     "x60_image_near_dup", "ext-multimodal ext-dedup-fuzzy",
     (s, dir) => {

@@ -73,19 +73,61 @@ class PHashSpec extends SparkSpec {
       s"inversion flips bright/dark cells; got only ${hamming(b, inv)} bits")
   }
 
-  test("banded candidate recovery finds the near-dup pair a full-hash join misses") {
-    // the x04 consumption pattern on the image hash: a scaled copy differs
-    // in a few bits (so exact grouping misses it) but at least one of the
-    // 4 x 16-bit bands is identical, so the banded bucket-join surfaces the
-    // candidate and the Hamming confirm keeps it
+  test("banded candidate recovery: b bands guarantee pairs up to b-1 bits apart") {
+    // the x04 consumption pattern on the image hash: candidates come from a
+    // bucket-join on hash bands. The guarantee is pigeonhole — flipping at
+    // most b-1 bits cannot touch all b bands — so recovery at confirm
+    // threshold t needs b > t bands. Pin the math on adversarial flips:
+    // any 3 bits spread across a 4-band hash leave >= 1 band intact...
+    val a = java.lang.Long.parseUnsignedLong("5a5a5a5a5a5a5a5a", 16)
+    for (flips <- Seq(Seq(0), Seq(0, 16, 32), Seq(63, 47, 31), Seq(5, 6, 7))) {
+      val b = flips.foldLeft(a)((v, i) => v ^ (1L << i))
+      val (ha, hb) = (f"$a%016x", f"$b%016x")
+      val shared = (0 until 4).exists(i =>
+        ha.substring(4 * i, 4 * i + 4) == hb.substring(4 * i, 4 * i + 4))
+      assert(shared, s"<= 3 flipped bits must leave one of 4 bands intact: $flips")
+    }
+    // ...while 4 bits CAN touch all 4 bands — recovery beyond b-1 is
+    // probabilistic, which is why the threshold sizes the band count
+    val b4 = Seq(0, 16, 32, 48).foldLeft(a)((v, i) => v ^ (1L << i))
+    val (ha, hb4) = (f"$a%016x", f"$b4%016x")
+    assert(!(0 until 4).exists(i =>
+      ha.substring(4 * i, 4 * i + 4) == hb4.substring(4 * i, 4 * i + 4)),
+      "a 4-band-spread 4-bit flip shares no band — the guarantee's sharp edge")
+    // and the real scaled pair from the invariance gate is recoverable with
+    // bands sized to its measured drift (b = drift + 1)
     val base = gradientPng(64, 48)
     val h = hashesOf(Seq(1L -> base, 2L -> scaled(base, 128, 96)))
-    val (a, b) = (h(1L)._1, h(2L)._1)
-    val bands = (0 until 4).map(i => (a.substring(4 * i, 4 * i + 4),
-      b.substring(4 * i, 4 * i + 4)))
-    assert(bands.exists { case (x, y) => x == y },
-      s"a <= 6-bit-apart pair must share at least one of 4 bands: $a vs $b")
-    assert(hamming(a, b) <= 6)
+    val drift = hamming(h(1L)._1, h(2L)._1)
+    assert(drift <= 6)
+    val bands = drift + 1
+    val bitsPer = 64 / bands
+    val la = java.lang.Long.parseUnsignedLong(h(1L)._1, 16)
+    val lb = java.lang.Long.parseUnsignedLong(h(2L)._1, 16)
+    val sharedBand = (0 until bands).exists { i =>
+      val lo = i * bitsPer
+      val width = if (i == bands - 1) 64 - lo else bitsPer
+      val mask = if (width == 64) -1L else ((1L << width) - 1) << lo
+      (la & mask) == (lb & mask)
+    }
+    assert(sharedBand, s"drift-$drift pair must share one of ${bands} bands")
+  }
+
+  test("flat images hash to their brightness, separating white from black") {
+    // textureless payloads: plain aHash would emit all zeros for EVERY
+    // uniform image, merging a white placeholder with a black one — the
+    // brightness-replication fallback keeps them apart
+    def flatPng(v: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      pngOf(img)
+    }
+    val h = hashesOf(Seq(1L -> flatPng(255), 2L -> flatPng(0), 3L -> flatPng(255)))
+    assert(h(1L) == (("ffffffffffffffff", true)))
+    assert(h(2L) == (("0000000000000000", true)))
+    assert(h(1L)._1 == h(3L)._1, "identical flat images still collide (dedup works)")
+    assert(hamming(h(1L)._1, h(2L)._1) == 64, "white vs black maximally separated")
   }
 
   test("undecodable payloads take the md5-prefix stub path deterministically") {

@@ -74,7 +74,7 @@ class StoredIndexSpec extends SparkSpec {
         .withColumn("coverage",
           col("n_known").cast("double") / col("n_bigrams").cast("double"))
         .orderBy("doc_id")
-      scored.collect()
+      val rows = scored.collect().toSeq
       // exactly one documents scan in the scoring plan (the LM comes from
       // its own stored parquet)
       val docScans = SparkSpec.allPlanNodes(scored.queryExecution.executedPlan)
@@ -82,8 +82,7 @@ class StoredIndexSpec extends SparkSpec {
         .filter(_.metadata.get("Location").exists(_.contains("documents")))
       assert(docScans.size == 1,
         s"stored-LM scoring must scan the corpus once, found ${docScans.size}")
-      assert(scored.collect().toSeq ==
-        SparkEntry.queries("x59_lm_coverage")(spark, sf001).collect().toSeq,
+      assert(rows == SparkEntry.queries("x59_lm_coverage")(spark, sf001).collect().toSeq,
         "stored-LM scoring must equal the in-query form row for row")
     } finally {
       import scala.jdk.CollectionConverters._
