@@ -341,6 +341,154 @@ case class BpeMergeStep(child: Expression, left: String, right: String)
     copy(child = newChild)
 }
 
+/** A WHOLE learned BPE merge table applied in one expression — the scale
+  * form of folding [[BpeMergeStep]] per rank. The fold builds one nested
+  * kernel node per merge, so a production 30k-merge tokenizer would create
+  * a 30k-deep expression tree (analysis-time and codegen blowup); this
+  * kernel holds the table as two plain string sequences inside ONE node, so
+  * plan size is constant in the merge count and the table ships to
+  * executors once with the serialized plan.
+  *
+  * Semantics are EXACTLY the rank-order fold's (BpeSpec pins agreement on a
+  * 1000-merge learned table): instead of visiting every rank, each round
+  * scans the word's adjacent pairs for the MINIMUM applicable rank at or
+  * after a cursor, applies that rank's left-to-right non-overlapping pass
+  * ([[BpeMergeStep]]'s convention), and advances the cursor past it. Every
+  * rank skipped between cursor positions has no adjacent occurrence in the
+  * current state — precisely the ranks whose fold pass is a no-op — so the
+  * applied passes and intermediate states coincide with the fold's, for ANY
+  * table (duplicate pairs included: each pair keeps its full ascending rank
+  * list and the cursor picks the first unconsumed one). Cost is O(len²)
+  * per word independent of table size — each applied pass shrinks the
+  * symbol array, so there are at most len-1 rounds of O(len) scans.
+  *
+  * Null symbols never match and pass through unchanged, as in
+  * [[BpeMergeStep]]. Empty or null merge components are rejected at
+  * analysis time: no trainable symbol is empty (round-0 symbols are single
+  * characters), so an empty component in the table is always a caller bug.
+  */
+case class BpeApplyAll(child: Expression, lefts: Seq[String], rights: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "bpe_apply_all"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.stringArray) match {
+      case TypeCheckResult.TypeCheckSuccess if lefts.length != rights.length =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: lefts and rights must be the same length, " +
+            s"got ${lefts.length} vs ${rights.length}")
+      case TypeCheckResult.TypeCheckSuccess
+          if lefts.exists(s => s == null || s.isEmpty) ||
+            rights.exists(s => s == null || s.isEmpty) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: merge components (lefts/rights) must be non-null, " +
+            "non-empty strings")
+      case other => other
+    }
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val leftsU: Array[UTF8String] =
+    lefts.iterator.map(UTF8String.fromString).toArray
+  @transient private lazy val rightsU: Array[UTF8String] =
+    rights.iterator.map(UTF8String.fromString).toArray
+  @transient private lazy val mergedU: Array[UTF8String] =
+    Array.tabulate(leftsU.length)(i => UTF8String.concat(leftsU(i), rightsU(i)))
+  /** left → right → ascending ranks (built in rank order, so pre-sorted). */
+  @transient private lazy val pairRanks
+      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Array[Int]]] = {
+    val tmp = new java.util.HashMap[
+      UTF8String,
+      java.util.HashMap[UTF8String, scala.collection.mutable.ArrayBuffer[Int]]]()
+    var k = 0
+    while (k < leftsU.length) {
+      tmp.computeIfAbsent(leftsU(k), _ => new java.util.HashMap)
+        .computeIfAbsent(rightsU(k), _ => scala.collection.mutable.ArrayBuffer.empty[Int])
+        .append(k)
+      k += 1
+    }
+    val out = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Array[Int]]]()
+    tmp.forEach { (l, byRight) =>
+      val m = new java.util.HashMap[UTF8String, Array[Int]]()
+      byRight.forEach((r, ranks) => m.put(r, ranks.toArray))
+      out.put(l, m)
+    }
+    out
+  }
+
+  /** First element of ascending `ranks` that is >= lo, or Int.MaxValue. */
+  private def firstAtLeast(ranks: Array[Int], lo: Int): Int = {
+    var a = 0
+    var b = ranks.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (ranks(m) < lo) a = m + 1 else b = m
+    }
+    if (a < ranks.length) ranks(a) else Int.MaxValue
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = arr.numElements()
+    val syms = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      syms(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    var cursor = 0
+    var done = n < 2 || leftsU.length == 0
+    while (!done) {
+      var best = Int.MaxValue
+      i = 0
+      while (i + 1 < n) {
+        val a = syms(i)
+        val b = syms(i + 1)
+        if (a != null && b != null) {
+          val byRight = pairRanks.get(a)
+          if (byRight != null) {
+            val ranks = byRight.get(b)
+            if (ranks != null) {
+              val r = firstAtLeast(ranks, cursor)
+              if (r < best) best = r
+            }
+          }
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val l = leftsU(best)
+        val r = rightsU(best)
+        val m = mergedU(best)
+        var w = 0
+        i = 0
+        while (i < n) {
+          if (i + 1 < n && syms(i) != null && syms(i + 1) != null &&
+              syms(i).equals(l) && syms(i + 1).equals(r)) {
+            syms(w) = m
+            i += 2
+          } else {
+            syms(w) = syms(i)
+            i += 1
+          }
+          w += 1
+        }
+        n = w
+        cursor = best + 1
+        done = n < 2
+      }
+    }
+    val out = new Array[AnyRef](n)
+    i = 0
+    while (i < n) { out(i) = syms(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyAll =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column, ngram: Int = 1): Column =
@@ -381,4 +529,10 @@ object HashFunctions {
     */
   def bpeMergeStep(syms: Column, left: String, right: String): Column =
     ColumnGlue.column(BpeMergeStep(ColumnGlue.expression(syms), left, right))
+
+  /** Column API for [[BpeApplyAll]]: a whole merge table (rank order) in one
+    * kernel call — plan size constant in the merge count.
+    */
+  def bpeApplyAll(syms: Column, lefts: Seq[String], rights: Seq[String]): Column =
+    ColumnGlue.column(BpeApplyAll(ColumnGlue.expression(syms), lefts, rights))
 }

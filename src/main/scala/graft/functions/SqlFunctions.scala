@@ -1,9 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.ColumnGlue
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, NullType, StringType}
 
 /** SQL-surface registration for the engine's native Catalyst kernels: after
   * `SqlFunctions.register(spark)`, every kernel is callable from `spark.sql`
@@ -13,25 +17,78 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * The builder table is the single source of truth; [[names]] exposes it so
   * the SQL-misuse gate (SqlSurfaceSpec) can PROVE it covers every registered
   * kernel rather than trusting a hand-maintained parallel list.
+  *
+  * EVERY misuse fails analysis with an AnalysisException naming the kernel
+  * and argument — wrong types and out-of-range values via each kernel's
+  * checkInputDataTypes, and (since round 5) non-literal / wrong-count
+  * parameters too: builders run at function-resolution time, before
+  * analysis completes, so instead of throwing raw IllegalArgumentException
+  * there, a failed parameter extraction returns [[InvalidKernelCall]] — a
+  * placeholder whose checkInputDataTypes always fails, deferring the error
+  * to the analyzer where it surfaces under the same contract.
   */
 object SqlFunctions {
 
+  /** Control-flow exception for parameter-extraction failures inside a
+    * builder; [[register]] converts it to an [[InvalidKernelCall]] so the
+    * failure surfaces as an AnalysisException during analysis, never as an
+    * IllegalArgumentException at expression-build time.
+    */
+  private final case class KernelMisuse(fn: String, msg: String)
+      extends RuntimeException(s"$fn: $msg")
+
+  /** Analysis-failing placeholder for a malformed kernel call (non-literal
+    * scalar parameter, wrong argument count). Never survives analysis.
+    */
+  private[functions] case class InvalidKernelCall(
+      fn: String, msg: String, args: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = args
+    override def dataType: DataType = NullType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      TypeCheckResult.TypeCheckFailure(s"$fn: $msg")
+    override def eval(input: InternalRow): Any =
+      throw new IllegalStateException(s"$fn: unreachable — fails analysis")
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): InvalidKernelCall =
+      copy(args = newChildren)
+  }
+
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an integer literal, got $other")
+    case other => throw KernelMisuse(fn, s"$arg must be an integer literal, got $other")
   }
 
   private def stringLit(e: Expression, fn: String, arg: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) if v != null =>
       v.toString
-    case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be a string literal, got $other")
+    case other => throw KernelMisuse(fn, s"$arg must be a string literal, got $other")
   }
 
+  /** A foldable array<string> parameter (e.g. `array('a', 'b')`, which the
+    * analyzer has already resolved to CreateArray of literals by the time
+    * this builder runs — function resolution is bottom-up). Null elements
+    * pass through; the kernel's checkInputDataTypes rejects them with the
+    * argument-naming message.
+    */
+  private def stringArrayLit(e: Expression, fn: String, arg: String): Seq[String] =
+    e match {
+      case a if a.resolved && a.foldable &&
+          a.dataType.isInstanceOf[ArrayType] &&
+          a.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+        val ad = a.eval().asInstanceOf[ArrayData]
+        if (ad == null) throw KernelMisuse(fn, s"$arg must be a non-null array<string> literal")
+        Seq.tabulate(ad.numElements()) { i =>
+          if (ad.isNullAt(i)) null else ad.getUTF8String(i).toString
+        }
+      case other =>
+        throw KernelMisuse(fn, s"$arg must be an array<string> literal, got $other")
+    }
+
   private def arity(fn: String, args: Seq[Expression], ns: Int*): Unit =
-    require(ns.contains(args.length),
-      s"$fn expects ${ns.mkString(" or ")} arguments, got ${args.length}")
+    if (!ns.contains(args.length))
+      throw KernelMisuse(fn, s"expects ${ns.mkString(" or ")} arguments, got ${args.length}")
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> { args =>
@@ -82,6 +139,11 @@ object SqlFunctions {
       BpeMergeStep(args(0), stringLit(args(1), "bpe_merge_step", "left"),
         stringLit(args(2), "bpe_merge_step", "right"))
     },
+    "bpe_apply_all" -> { args =>
+      arity("bpe_apply_all", args, 3)
+      BpeApplyAll(args(0), stringArrayLit(args(1), "bpe_apply_all", "lefts"),
+        stringArrayLit(args(2), "bpe_apply_all", "rights"))
+    },
     "hyperplane_buckets" -> { args =>
       arity("hyperplane_buckets", args, 3, 4)
       val planes = intLit(args(1), "hyperplane_buckets", "nPlanes")
@@ -95,6 +157,9 @@ object SqlFunctions {
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
-      ColumnGlue.registerTempFunction(spark, name, builder)
+      val deferred: Seq[Expression] => Expression = args =>
+        try builder(args)
+        catch { case KernelMisuse(fn, msg) => InvalidKernelCall(fn, msg, args) }
+      ColumnGlue.registerTempFunction(spark, name, deferred)
     }
 }

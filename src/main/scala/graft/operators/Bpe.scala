@@ -57,10 +57,42 @@ object Bpe {
 
   /** Fold a learned merge table (rank order) over a symbol-array column —
     * the SAME kernel the trainer used, so tokenization cannot drift from
-    * training.
+    * training. One nested kernel node PER MERGE: the right shape for a
+    * small table (x56's 10 merges), an expression-tree blowup at a
+    * production 30k-merge vocabulary — use [[applyMergesAll]] there.
     */
   def applyMerges(syms: Column, merges: Seq[BpeMerge]): Column =
     merges.foldLeft(syms)((c, m) => HashFunctions.bpeMergeStep(c, m.left, m.right))
+
+  /** Scale form of [[applyMerges]]: the WHOLE merge table in ONE
+    * [[graft.functions.BpeApplyAll]] kernel call. Plan size is constant in
+    * the merge count (the table rides inside the single expression node and
+    * ships to executors once with the serialized plan), and per-word cost
+    * is O(len²) independent of table size — the kernel applies only the
+    * ranks actually present in the word, in exact fold order (BpeSpec pins
+    * row-identical agreement with [[applyMerges]] on a 1000-merge learned
+    * table).
+    */
+  def applyMergesAll(syms: Column, merges: Seq[BpeMerge]): Column =
+    HashFunctions.bpeApplyAll(syms, merges.map(_.left), merges.map(_.right))
+
+  /** Segment a DISTINCT-WORD vocabulary table through a learned merge table
+    * once — the production tokenization shape: the kernel runs per distinct
+    * word (vocab-bounded work, Zipf says orders of magnitude smaller than
+    * the corpus), and the caller joins the segmentation back to word
+    * occurrences by `word` (broadcast when the vocab is small, sort-merge
+    * at 100 TB vocab scale — either way the per-occurrence work is a join
+    * probe, not a re-segmentation).
+    *
+    * @param vocab table whose `wordCol` column holds DISTINCT words (the
+    *              trainer's word-count table is exactly this shape); rows
+    *              are NOT deduplicated here — a duplicated word would fan
+    *              out the join.
+    * @return (word, syms) — one row per input row, `syms` the BPE symbols
+    */
+  def segmentVocab(vocab: DataFrame, wordCol: String, merges: Seq[BpeMerge]): DataFrame =
+    vocab.select(col(wordCol).cast("string").as("word"))
+      .select(col("word"), applyMergesAll(charSymbols(col("word")), merges).as("syms"))
 
   /** Learn up to `nMerges` merges from a (word, count) table.
     *

@@ -705,12 +705,12 @@ object Text {
   // tiny (left, right) literals, NOT the vocab — over each word occurrence
   // in place: a pure narrow scan with zero joins, so document text never
   // shuffles and the only exchange is the partial-aggregated (doc_id,
-  // counts) rollup. (A 30k-merge production table would instead segment
-  // the distinct-word table once and join back by word — trading one
-  // corpus shuffle for not folding 30k kernels per occurrence; at 10
-  // merges the fold is ~free and the shuffle-free plan wins.) Iterative +
-  // hash-free but DRIVER-coordinated merges: gated by BpeSpec (exact
-  // agreement with a reference implementation), not a SQL oracle.
+  // counts) rollup. At 10 merges the fold is ~free and this shuffle-free
+  // plan wins; a 30k-merge production table instead takes x61's path
+  // (segment the distinct-word vocab once through the single BpeApplyAll
+  // kernel, join back by word). Iterative + hash-free but
+  // DRIVER-coordinated merges: gated by BpeSpec (exact agreement with a
+  // reference implementation), not a SQL oracle.
   private val x56 = GQuery(
     "x56_bpe_vocab", "ext-text vocab-trainer custom-operator iterative",
     (s, dir) => {
@@ -732,7 +732,40 @@ object Text {
     },
     None) // iterative driver-coordinated trainer: gated by BpeSpec
 
+  // BPE tokenization by VOCAB SEGMENTATION — the production-scale apply
+  // path for a large merge table, producing output ROW-IDENTICAL to x56
+  // (BpeSpec pins the equality; the x46/x58 pattern — two physical paths,
+  // one result). Where x56 folds one kernel node per merge over every word
+  // OCCURRENCE, this path (a) segments each DISTINCT word exactly once
+  // through the single BpeApplyAll kernel — plan size and analysis time
+  // constant in the merge count, per-word cost independent of table size —
+  // and (b) joins the (word → n_syms) segmentation back to occurrences.
+  // The join is vocab × corpus on `word`: broadcast at small vocab, sort-
+  // merge at 100 TB (where the 30k-deep fold is not runnable at all); the
+  // per-occurrence work becomes a join probe instead of a re-segmentation,
+  // which is why every production tokenizer deploys this shape.
+  private val x61 = GQuery(
+    "x61_bpe_tokenize_scale", "ext-text vocab-apply scale-path",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(tokens).as("word"))
+        .where(length(col("word")) >= 1)
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val merges = Bpe.learn(vocab, nMerges = 10)
+      val seg = Bpe.segmentVocab(vocab, "word", merges)
+        .select(col("word"), length(col("word")).cast("long").as("n_chars"),
+          size(col("syms")).cast("long").as("n_syms"))
+      words.join(seg, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chars")).as("n_char_syms"),
+          sum(col("n_syms")).as("n_bpe_syms"))
+        .orderBy("doc_id")
+    },
+    None) // gated by BpeSpec: row-identical to x56 + bounded-plan pin
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54, x56)
+      x30, x31, x33, x39, x53, x54, x56, x61)
 }

@@ -112,6 +112,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "shingle_hashes" -> "shingle_hashes(doc_id, 3)",
       "top_token_count" -> "top_token_count(n_chars)",
       "bpe_merge_step" -> "bpe_merge_step(doc_id, 'a', 'b')",
+      "bpe_apply_all" -> "bpe_apply_all(doc_id, array('a'), array('b'))",
       "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)")
     // self-enforcing completeness: registering a new kernel without adding
     // a bad-call row here must fail this gate, not silently escape it
@@ -154,5 +155,31 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(ex.getMessage.contains(name) && ex.getMessage.contains(arg),
         s"$name: range error must name kernel and argument: ${ex.getMessage}")
     }
+  }
+
+  test("non-literal scalar parameters and wrong arity fail at ANALYSIS too") {
+    // builders run at function-resolution time; a failed parameter
+    // extraction must surface as AnalysisException (via the deferred
+    // InvalidKernelCall placeholder), never as a raw
+    // IllegalArgumentException at expression-build time (ADVICE r4)
+    graft.functions.SqlFunctions.register(spark)
+    Tables(spark, sf001, "documents").createOrReplaceTempView("documents")
+    val badParam = Seq(
+      ("minhash_sig", "k", "minhash_sig(split(text, ' '), n_chars) FROM documents"),
+      ("shingle_hashes", "ngram", "shingle_hashes(split(text, ' '), 1 + 1) FROM documents"),
+      ("bpe_merge_step", "left", "bpe_merge_step(split(text, ' '), text, 'b') FROM documents"),
+      ("bpe_apply_all", "lefts", "bpe_apply_all(split(text, ' '), split(text, ' '), array('b')) FROM documents"))
+    for ((name, arg, call) <- badParam) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call").collect()
+      }
+      assert(ex.getMessage.contains(name) && ex.getMessage.contains(arg),
+        s"$name: non-literal param must name kernel and argument: ${ex.getMessage}")
+    }
+    val arity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT l2_norm() FROM documents").collect()
+    }
+    assert(arity.getMessage.contains("l2_norm"),
+      s"wrong arity must fail analysis naming the kernel: ${arity.getMessage}")
   }
 }

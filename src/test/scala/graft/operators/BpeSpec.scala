@@ -160,4 +160,141 @@ class BpeSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(viaSql == Seq("lo", "w"))
   }
+
+  // ---- scale apply path: BpeApplyAll + vocab segmentation (round-5) ----
+
+  /** A 1000-merge LEARNED-shape table: rank k merges (c_0…c_k, c_{k+1})
+    * over a word of strictly ascending code points starting at 'a'. This is
+    * exactly what [[Bpe.learn]] produces on the single long word — every
+    * round's pairs all have count 1 and the prefix pair (starting with 'a',
+    * the smallest symbol byte-wise) wins the code-point tie-break — so the
+    * table respects the learned-table invariant (each component exists when
+    * its rank fires) without running 1000 driver rounds; the first rounds
+    * are cross-checked against the real trainer below.
+    */
+  private def chainChars(n: Int): Vector[String] =
+    (0 to n).map(i => new String(Character.toChars('a' + i))).toVector
+
+  private def chainMerges(n: Int): Seq[BpeMerge] = {
+    val cs = chainChars(n)
+    (0 until n).map(k => BpeMerge(k, cs.take(k + 1).mkString, cs(k + 1), 1L))
+  }
+
+  /** Words exercising partial/absent/full merge application against the
+    * chain table: every prefix length, suffixes (no merge fires — each rank
+    * needs the 'a'-rooted prefix), doubled chars, and shuffled windows.
+    */
+  private def chainCorpus(n: Int): Seq[String] = {
+    val full = chainChars(n).mkString
+    val rnd = new scala.util.Random(42)
+    val prefixes = Seq(1, 2, 3, 7, n / 2, n, n + 1).map(full.take)
+    val suffixes = Seq(2, 5, n / 3).map(full.takeRight)
+    val shuffled = (0 until 10).map { _ =>
+      val start = rnd.nextInt(n - 8)
+      new String(rnd.shuffle(full.slice(start, start + 8).toSeq).toArray)
+    }
+    val doubled = Seq("aabbcc", full.take(4) * 3, "a" * 9)
+    prefixes ++ suffixes ++ shuffled ++ doubled
+  }
+
+  test("BpeApplyAll reproduces the 1000-merge literal fold row-for-row") {
+    import spark.implicits._
+    val merges = chainMerges(1000)
+    // the chain table IS the learned table: cross-check the construction
+    // against the real trainer on the first rounds
+    val firstLearned = Bpe.learn(
+      Seq(chainChars(1000).mkString -> 1L).toDF("word", "n"), nMerges = 6)
+    assert(firstLearned.map(m => (m.left, m.right)) ==
+      chainMerges(6).map(m => (m.left, m.right)),
+      "chain construction must match what learn() produces on the long word")
+
+    val words = chainCorpus(1000).toDF("word")
+    val both = words.select(
+      col("word"),
+      Bpe.applyMerges(Bpe.charSymbols(col("word")), merges).as("fold"),
+      Bpe.applyMergesAll(Bpe.charSymbols(col("word")), merges).as("all"))
+      .collect()
+    for (r <- both)
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"fold vs kernel diverged on word '${r.getString(0).take(40)}…'")
+    // and the fully-mergeable word collapses to one symbol
+    val fullWord = chainChars(1000).mkString
+    val one = Seq(fullWord).toDF("word")
+      .select(Bpe.applyMergesAll(Bpe.charSymbols(col("word")), merges).as("s"))
+      .head().getSeq[String](0)
+    assert(one == Seq(fullWord), "1000 chained merges collapse the word to 1 symbol")
+  }
+
+  test("BpeApplyAll equals the fold on ARBITRARY tables (duplicates included)") {
+    import spark.implicits._
+    // the kernel's cursor argument claims exact fold equivalence for ANY
+    // table, not just learned ones — fuzz it with random tables containing
+    // duplicate pairs and merges that re-create earlier pairs' components
+    val rnd = new scala.util.Random(7)
+    val symbols = Vector("a", "b", "c", "ab", "bc", "ca", "abc")
+    for (trial <- 0 until 8) {
+      val table = (0 until 30).map { k =>
+        BpeMerge(k, symbols(rnd.nextInt(symbols.length)),
+          symbols(rnd.nextInt(symbols.length)), 1L)
+      }
+      val words = (0 until 40)
+        .map(_ => (0 until (1 + rnd.nextInt(12))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+      val rows = words.toDF("word").select(
+        Bpe.applyMerges(Bpe.charSymbols(col("word")), table).as("fold"),
+        Bpe.applyMergesAll(Bpe.charSymbols(col("word")), table).as("all"))
+        .collect()
+      for (r <- rows)
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"trial $trial: fold vs kernel diverged; table=$table")
+    }
+  }
+
+  test("the scale path's plan is bounded: no per-rank nodes at 1000 merges") {
+    import spark.implicits._
+    def planLines(n: Int): Int =
+      Seq("abc").toDF("word")
+        .select(Bpe.applyMergesAll(Bpe.charSymbols(col("word")), chainMerges(n)).as("s"))
+        .queryExecution.analyzed.treeString.linesIterator.size
+    assert(planLines(1000) == planLines(10),
+      "plan tree must not grow with the merge count (one kernel node total)")
+    val big = Seq("abc").toDF("word")
+      .select(Bpe.applyMergesAll(Bpe.charSymbols(col("word")), chainMerges(1000)).as("s"))
+      .queryExecution.analyzed.treeString
+    assert(!big.contains("bpe_merge_step"), "no per-rank BpeMergeStep nodes")
+  }
+
+  test("x61 (vocab-segmentation apply) is row-identical to x56 (fold apply)") {
+    // two physical paths, one result — the x46/x58 pattern, in-suite:
+    // x56 folds per occurrence with zero joins; x61 segments the distinct
+    // vocab once and joins back by word
+    val a = graft.SparkEntry.queries("x56_bpe_vocab")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.SparkEntry.queries("x61_bpe_tokenize_scale")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b, s"x56 (${a.size} rows) and x61 (${b.size} rows) must agree")
+    // plan pin: x61 applies the table through exactly one BpeApplyAll node
+    // and zero per-rank BpeMergeStep nodes
+    val plan = graft.SparkEntry.queries("x61_bpe_tokenize_scale")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("bpe_merge_step"), "x61 must not fold per-rank kernels")
+    assert(plan.contains("bpe_apply_all"), "x61 must use the single-node kernel")
+  }
+
+  test("bpe_apply_all is SQL-callable; misuse fails analysis naming the argument") {
+    graft.functions.SqlFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT bpe_apply_all(array('l','o','w','e','r'), array('l','o','lo'), array('o','w','w')) AS m")
+      .head().getSeq[String](0)
+    // rank 0 (l,o)→lo, rank 1 (o,w) no longer adjacent… then rank 2 (lo,w)? wait:
+    // ['l','o','w','e','r'] → rank0 → ['lo','w','e','r'] → rank1 (o,w): absent
+    // → rank2 (lo,w) → ['low','e','r']
+    assert(viaSql == Seq("low", "e", "r"))
+    // non-literal merge-table parameter: AnalysisException, not a raw
+    // IllegalArgumentException at expression-build time (ADVICE r4)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bpe_apply_all(array('a'), split('a b', ' '), array('b'))").collect()
+    }
+    assert(ex.getMessage.contains("bpe_apply_all") && ex.getMessage.contains("lefts"),
+      s"must name kernel and argument: ${ex.getMessage}")
+  }
 }
