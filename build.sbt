@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst's analyzer recurses per expression-tree level; deliberately
+  // deep plans (BpeSpec's fold-vs-kernel comparison) need headroom beyond
+  // the JVM default thread stack.
+  "-Xss8m",
 )

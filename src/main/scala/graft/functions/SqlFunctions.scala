@@ -66,11 +66,16 @@ object SqlFunctions {
     case other => throw KernelMisuse(fn, s"$arg must be a string literal, got $other")
   }
 
-  /** A foldable array<string> parameter (e.g. `array('a', 'b')`, which the
-    * analyzer has already resolved to CreateArray of literals by the time
-    * this builder runs — function resolution is bottom-up). Null elements
-    * pass through; the kernel's checkInputDataTypes rejects them with the
-    * argument-naming message.
+  /** A CONSTANT array<string> parameter. The accepted contract is wider
+    * than [[intLit]]/[[stringLit]]'s strict-literal rule, deliberately:
+    * ANY resolved foldable array<string> expression is evaluated at
+    * resolution time — `array('a', 'b')`, but also constant-folding
+    * shapes like `split('a b', ' ')` — because there is no literal
+    * syntax for arrays in SQL; "constant at analysis time" is the real
+    * requirement (the kernel embeds the table in the plan). The SQL
+    * empty array `array()` resolves to array<null> and is accepted as
+    * the empty table. Null ELEMENTS pass through; the kernel's
+    * checkInputDataTypes rejects them with the argument-naming message.
     */
   private def stringArrayLit(e: Expression, fn: String, arg: String): Seq[String] =
     e match {
@@ -82,6 +87,17 @@ object SqlFunctions {
         Seq.tabulate(ad.numElements()) { i =>
           if (ad.isNullAt(i)) null else ad.getUTF8String(i).toString
         }
+      case a if a.resolved && a.foldable &&
+          a.dataType.isInstanceOf[ArrayType] &&
+          a.dataType.asInstanceOf[ArrayType].elementType == NullType =>
+        // `array()` with no elements types as array<null>: an empty merge
+        // table, legal. A NON-empty array<null> is all-null elements —
+        // reject here with the naming message (the string-typed kernel
+        // would otherwise never see it).
+        val ad = a.eval().asInstanceOf[ArrayData]
+        if (ad == null || ad.numElements() > 0)
+          throw KernelMisuse(fn, s"$arg must be an array<string> literal with non-null elements")
+        Seq.empty
       case other =>
         throw KernelMisuse(fn, s"$arg must be an array<string> literal, got $other")
     }

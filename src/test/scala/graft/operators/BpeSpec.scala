@@ -197,18 +197,25 @@ class BpeSpec extends SparkSpec {
     prefixes ++ suffixes ++ shuffled ++ doubled
   }
 
-  test("BpeApplyAll reproduces the 1000-merge literal fold row-for-row") {
+  test("BpeApplyAll reproduces the 200-merge literal fold row-for-row") {
     import spark.implicits._
-    val merges = chainMerges(1000)
+    // 200 merges, NOT 1000: the FOLD side nests one UnaryExpression per
+    // rank, and Catalyst's recursive analyzer overflows the thread stack
+    // somewhere past ~500 levels — a 1000-deep fold cannot even be
+    // ANALYZED on a default stack (which is precisely the kernel's reason
+    // to exist). 200 ranks exercise the same cursor/rank logic while
+    // staying comfortably analyzable; 1000-merge behavior is pinned
+    // kernel-only below and in the bounded-plan test.
+    val merges = chainMerges(200)
     // the chain table IS the learned table: cross-check the construction
     // against the real trainer on the first rounds
     val firstLearned = Bpe.learn(
-      Seq(chainChars(1000).mkString -> 1L).toDF("word", "n"), nMerges = 6)
+      Seq(chainChars(200).mkString -> 1L).toDF("word", "n"), nMerges = 6)
     assert(firstLearned.map(m => (m.left, m.right)) ==
       chainMerges(6).map(m => (m.left, m.right)),
       "chain construction must match what learn() produces on the long word")
 
-    val words = chainCorpus(1000).toDF("word")
+    val words = chainCorpus(200).toDF("word")
     val both = words.select(
       col("word"),
       Bpe.applyMerges(Bpe.charSymbols(col("word")), merges).as("fold"),
@@ -217,10 +224,11 @@ class BpeSpec extends SparkSpec {
     for (r <- both)
       assert(r.getSeq[String](1) == r.getSeq[String](2),
         s"fold vs kernel diverged on word '${r.getString(0).take(40)}…'")
-    // and the fully-mergeable word collapses to one symbol
+    // the kernel alone handles production depth: the fully-mergeable word
+    // collapses to one symbol under the full 1000-merge table
     val fullWord = chainChars(1000).mkString
     val one = Seq(fullWord).toDF("word")
-      .select(Bpe.applyMergesAll(Bpe.charSymbols(col("word")), merges).as("s"))
+      .select(Bpe.applyMergesAll(Bpe.charSymbols(col("word")), chainMerges(1000)).as("s"))
       .head().getSeq[String](0)
     assert(one == Seq(fullWord), "1000 chained merges collapse the word to 1 symbol")
   }
@@ -272,12 +280,21 @@ class BpeSpec extends SparkSpec {
     val b = graft.SparkEntry.queries("x61_bpe_tokenize_scale")(spark, sf001)
       .collect().map(_.toSeq).toSeq
     assert(a.nonEmpty && a == b, s"x56 (${a.size} rows) and x61 (${b.size} rows) must agree")
-    // plan pin: x61 applies the table through exactly one BpeApplyAll node
-    // and zero per-rank BpeMergeStep nodes
-    val plan = graft.SparkEntry.queries("x61_bpe_tokenize_scale")(spark, sf001)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("bpe_merge_step"), "x61 must not fold per-rank kernels")
-    assert(plan.contains("bpe_apply_all"), "x61 must use the single-node kernel")
+    // plan pin: x61 applies the table through the single-node kernel and
+    // zero per-rank steps. Checked by expression CLASS over the OPTIMIZED
+    // plan, not by grepping executedPlan.toString — column pruning folds
+    // the kernel into HashAggregate resultExpressions, which simpleString
+    // does not render, so a text grep misses a kernel that IS there.
+    import graft.functions.{BpeApplyAll, BpeMergeStep}
+    val opt = graft.SparkEntry.queries("x61_bpe_tokenize_scale")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val exprs = opt.collect { case p =>
+      p.expressions.flatMap(_.collect { case e => e })
+    }.flatten
+    assert(exprs.exists(_.isInstanceOf[BpeApplyAll]),
+      "x61 must apply the table through the single-node BpeApplyAll kernel")
+    assert(!exprs.exists(_.isInstanceOf[BpeMergeStep]),
+      "x61 must not fold per-rank BpeMergeStep kernels")
   }
 
   test("bpe_apply_all is SQL-callable; misuse fails analysis naming the argument") {
@@ -290,9 +307,15 @@ class BpeSpec extends SparkSpec {
     // → rank2 (lo,w) → ['low','e','r']
     assert(viaSql == Seq("low", "e", "r"))
     // non-literal merge-table parameter: AnalysisException, not a raw
-    // IllegalArgumentException at expression-build time (ADVICE r4)
+    // IllegalArgumentException at expression-build time (ADVICE r4). The
+    // array must be built from a COLUMN REFERENCE (genuinely non-foldable)
+    // with lefts/rights the same length — split('a b', ' ') is foldable and
+    // would be accepted, leaving a length-mismatch error to pass this test
+    // for the wrong reason (ADVICE r5).
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("SELECT bpe_apply_all(array('a'), split('a b', ' '), array('b'))").collect()
+      spark.sql(
+        "SELECT bpe_apply_all(array('a'), array(w), array('b')) FROM VALUES ('x') AS t(w)")
+        .collect()
     }
     assert(ex.getMessage.contains("bpe_apply_all") && ex.getMessage.contains("lefts"),
       s"must name kernel and argument: ${ex.getMessage}")
