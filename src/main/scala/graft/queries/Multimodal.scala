@@ -104,23 +104,29 @@ object Multimodal {
             ORDER BY media_id, frame_idx"""))
 
   // Image near-duplicate detection over perceptual hashes — the multimodal
-  // member of the dedup family: MediaDecode.perceptualHash fingerprints
-  // every payload (real aHash for decodable images, byte-derived stub
-  // otherwise), then members group by fingerprint with a window keeper —
-  // the x01 exact-dedup shape keyed on perceptual content instead of
-  // bytes. The fixture has no images, so payloads are planted in 25
-  // duplicate classes (the x34 planting discipline: prove the round trip,
-  // not nothing); real-image semantics — scaling/re-encode invariance,
-  // banded candidate recovery, Hamming confirm — are pinned in PHashSpec.
+  // member of the dedup family, at a REAL near-dup threshold: banded
+  // candidate recovery over the 64-bit aHash (4 × 16-bit bands — pigeonhole
+  // guarantees any pair within Hamming distance 3 shares a band; PHashSpec
+  // pins the math and its sharp edge) with an exact Hamming ≤ 3 confirm.
+  // Candidates take x04's cluster-assignment shape (per-band bucket-min,
+  // never pair enumeration — quadratic on template-heavy corpora) but
+  // verify EVERY distinct bucket candidate before taking the minimum —
+  // x52's discipline, so one spurious band collision with a low-id
+  // stranger cannot suppress a genuine near-dup. The fixture has no
+  // images, so payloads are planted in 25 duplicate classes (the x34
+  // planting discipline); their stub phashes are either identical or
+  // ~32 bits apart, so banding + confirm provably reduces to the exact
+  // groups the DuckDB oracle computes — the whole banded path is
+  // hash-verified end to end. Scaled/re-encoded REAL images land ≤ 6 bits
+  // apart (PHashSpec), within one more band of this same plan.
   //
   // Scale shape: the batch-sizing repartition(8) is the ONE intentional
-  // payload exchange (decode parallelism — the same knob x17/x28 turn and
-  // decode()'s scaladoc frames; at ingest the payloads arrive partitioned
-  // and it disappears). After fingerprinting, the dedup window's exchange
-  // carries (16-char hash, media_id) only. At a real near-dup threshold
-  // (t > 0) the grouping becomes x04's banded bucket-join with a Hamming
-  // confirm — same plan, b bands of this same hash with b > t for
-  // guaranteed candidate recovery (pigeonhole; PHashSpec pins it).
+  // payload exchange (decode parallelism — the same knob x17/x28 turn; at
+  // ingest the payloads arrive partitioned and it disappears). After
+  // fingerprinting, every exchange carries (band, media_id) or
+  // (media_id, 8-byte hash) — never payloads (PHashSpec pins it). The
+  // per-doc candidate set is ≤ 4 rows (one per band), so the verify join
+  // is linear in the corpus.
   private val x60 = GQuery(
     "x60_image_near_dup", "ext-multimodal ext-dedup-fuzzy",
     (s, dir) => {
@@ -131,13 +137,43 @@ object Multimodal {
           concat(lit("img-"), col("doc_id") % 25).cast("binary").as("payload"))
         .repartition(8)
         .as[MediaDecode.MediaRecord]
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
-      MediaDecode.perceptualHash(media)
-        .withColumn("keeper", min(col("media_id")).over(w))
-        .withColumn("n_copies", count(lit(1)).over(w))
-        .where(col("n_copies") >= 2)
-        .select(col("media_id"), col("phash"), col("keeper"), col("n_copies"))
-        .orderBy("media_id")
+      // (media_id, phash, 4 × 16-bit band values as ints — the Hamming
+      // confirm works bandwise: sum of per-band bit_count(xor))
+      val ph = MediaDecode.perceptualHash(media)
+        .select(col("media_id"), col("phash"),
+          expr("transform(sequence(0, 3), b -> " +
+            "cast(conv(substring(phash, b * 4 + 1, 4), 16, 10) as int))").as("bv"))
+        .localCheckpoint(true) // fingerprints reused by cand + both verify sides
+      val banded = ph.select(col("media_id"),
+        posexplode(expr("transform(sequence(0, 3), b -> " +
+          "concat(b, ':', substring(phash, b * 4 + 1, 4)))")))
+        .select(col("media_id"), col("col").as("band"))
+      // every distinct per-band bucket-min candidate (≤ 4 per doc) ...
+      val cands = banded
+        .withColumn("bucket_min", min(col("media_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+        .where(col("bucket_min") < col("media_id"))
+        .select(col("media_id"), col("bucket_min").as("cand")).distinct()
+      // ... is Hamming-confirmed, THEN the minimum verified match wins
+      val verified = cands
+        .join(ph.select(col("media_id"), col("bv")), Seq("media_id"))
+        .join(ph.select(col("media_id").as("cand"), col("bv").as("cbv")), Seq("cand"))
+        .where(expr("aggregate(zip_with(bv, cbv, (x, y) -> bit_count(x ^ y)), " +
+          "0, (a, x) -> a + x)") <= 3)
+        .groupBy(col("media_id")).agg(min(col("cand")).as("keeper"))
+      // group rows: members + their keepers, n_copies = group size
+      val sizes = verified.groupBy(col("keeper")).agg(count(lit(1)).as("n_dups"))
+      val memberRows = verified
+        .join(ph.select(col("media_id"), col("phash")), Seq("media_id"))
+        .join(sizes, Seq("keeper"))
+        .select(col("media_id"), col("phash"), col("keeper"),
+          (col("n_dups") + 1).as("n_copies"))
+      val keeperRows = sizes
+        .join(ph.select(col("media_id"), col("phash")),
+          sizes("keeper") === ph("media_id"))
+        .select(col("media_id"), col("phash"), col("keeper"),
+          (col("n_dups") + 1).as("n_copies"))
+      memberRows.union(keeperRows).orderBy("media_id")
     },
     Some("""WITH p AS (SELECT doc_id,
                          substr(md5('img-' || (doc_id % 25)), 1, 16) AS phash

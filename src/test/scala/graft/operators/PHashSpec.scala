@@ -136,4 +136,41 @@ class PHashSpec extends SparkSpec {
       .digest("not an image".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(h(7L) == ((md.take(16), false)))
   }
+
+  test("x60's banded query recovers exact-group dedup on the fixture and never shuffles payloads") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("x60_image_near_dup")(spark, sf001)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+
+    // ground truth, computed independently: the fixture's stub phashes are
+    // identical within a planted class and ~32 bits apart across classes,
+    // so banding (4 bands, guarantee t <= 3) + Hamming <= 3 confirm must
+    // reproduce the EXACT phash-equality groups
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    val expected = graft.Tables(spark, sf001, "documents")
+      .select(col("doc_id").as("media_id"),
+        substring(md5(concat(lit("img-"), col("doc_id") % 25)), 1, 16).as("phash"))
+      .withColumn("keeper", min(col("media_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .where(col("n_copies") >= 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(rows.nonEmpty && rows == expected,
+      "banded near-dup must equal the exact-group formulation on this fixture")
+
+    // scale pin: after fingerprinting, nothing that moves carries media —
+    // every exchange in the final plan is (band, id) or (id, hash) wide;
+    // the one intentional payload move (decode batch sizing) sits behind
+    // the fingerprint checkpoint and media never shuffles again
+    val nodes = graft.SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the banded plan")
+    val heavy = exchanges.filter(_.output.exists(a =>
+      a.name == "payload" || a.name == "text"))
+    assert(heavy.isEmpty,
+      s"banded dedup must shuffle only bands/ids/hashes, found: ${heavy.map(_.output)}")
+  }
 }
