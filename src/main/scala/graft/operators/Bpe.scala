@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.HashFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative BPE (byte-pair-encoding) vocabulary learning over a corpus —
@@ -93,6 +93,33 @@ object Bpe {
   def segmentVocab(vocab: DataFrame, wordCol: String, merges: Seq[BpeMerge]): DataFrame =
     vocab.select(col(wordCol).cast("string").as("word"))
       .select(col("word"), applyMergesAll(charSymbols(col("word")), merges).as("syms"))
+
+  /** Persist a learned merge table as a parquet artifact — the tokenizer-
+    * vocabulary file of the serving architecture: trained once at ingest,
+    * loaded by every tokenization job thereafter ([[readMerges]]). One file:
+    * the table is merge-count-sized (30k rows for a production tokenizer).
+    */
+  def writeMerges(spark: SparkSession, merges: Seq[BpeMerge], path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("rank", "left", "right", "count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a stored merge table in rank order. The collect is the KMeans
+    * k×dim move — a vocab-bounded driver materialization (the table must
+    * reach the driver anyway to ride inside the [[applyMergesAll]]
+    * expression node), never a corpus one.
+    */
+  def readMerges(spark: SparkSession, path: String): Seq[BpeMerge] =
+    // rank order restored on the driver: a distributed orderBy would add a
+    // range-partition sampling job just to sort a merge-count-sized table
+    spark.read.parquet(path)
+      .collect()
+      .map(r => BpeMerge(r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("count")))
+      .sortBy(_.rank)
+      .toSeq
 
   /** Learn up to `nMerges` merges from a (word, count) table.
     *

@@ -765,7 +765,43 @@ object Text {
     },
     None) // gated by BpeSpec: row-identical to x56 + bounded-plan pin
 
+  // BPE tokenization from a STORED merge table — the SERVING shape x61's
+  // scaladoc promised: the vocabulary is a persisted artifact (trained once
+  // at ingest via graft.operators.Bpe.writeMerges; built here on first
+  // touch), and the tokenization job LOADS it — zero driver-coordinated
+  // merge rounds, no trainer shuffles — then runs x61's exact
+  // vocab-segmentation apply. Output is row-identical to x61 and x56
+  // (StoredIndexSpec pins the equality and that merge loading is a single
+  // read job, not a training loop). This is where the ~60 % of x61's wall
+  // time that was inline Bpe.learn goes away: the serving path's cost is
+  // the corpus scan + vocab segmentation + join, nothing else.
+  private val x63 = GQuery(
+    "x63_bpe_tokenize_stored", "ext-text vocab-apply stored-artifact serving-path",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(tokens).as("word"))
+        .where(length(col("word")) >= 1)
+      val store = graft.StoredArtifacts.dir(dir, "bpe_merges_v1")
+      if (!graft.StoredArtifacts.ready(store)) {
+        val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        Bpe.writeMerges(s, Bpe.learn(vocab, nMerges = 10), store)
+      }
+      val merges = Bpe.readMerges(s, store)
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val seg = Bpe.segmentVocab(vocab, "word", merges)
+        .select(col("word"), length(col("word")).cast("long").as("n_chars"),
+          size(col("syms")).cast("long").as("n_syms"))
+      words.join(seg, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chars")).as("n_char_syms"),
+          sum(col("n_syms")).as("n_bpe_syms"))
+        .orderBy("doc_id")
+    },
+    None) // gated by StoredIndexSpec: row-identical to x61, read-only serving path
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54, x56, x61)
+      x30, x31, x33, x39, x53, x54, x56, x61, x63)
 }

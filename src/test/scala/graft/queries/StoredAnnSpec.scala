@@ -1,0 +1,100 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** x07b's production claim, demonstrated end to end: the IVF index as a
+  * STORED artifact — Lloyd-refined centroids plus cluster-partitioned cell
+  * directories — probed by a read path that runs NO k-means, never opens
+  * the source corpus, and prunes to nprobe partitions. The serving-shape
+  * counterpart of StoredIndexSpec's posting-index test.
+  */
+class StoredAnnSpec extends SparkSpec {
+
+  private lazy val exactTop20: Set[Long] =
+    SparkEntry.queries("x06_cosine_topk")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+
+  /** Jobs submitted under `group` (polled until the async status store
+    * stops moving, so late job-start events are counted).
+    */
+  private def jobsInGroup(group: String): Int = {
+    var n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    var stable = 0
+    while (stable < 3) {
+      Thread.sleep(100)
+      val m = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      if (m == n) stable += 1 else { n = m; stable = 0 }
+    }
+    n
+  }
+
+  test("stored IVF: probe-only read path hits the recall gate, prunes to nprobe cells, never rescans the corpus") {
+    val base = Files.createTempDirectory("graft-ivf")
+    val idx = base.resolve("ivf").toString
+    try {
+      val e = Tables(spark, sf001, "embeddings")
+      Similarity.writeIvfIndex(e, idx, iters = 2)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+
+      spark.sparkContext.setJobGroup("ivf-probe", "probe-only read path")
+      val probed = Similarity.probeStoredIvf(spark, idx, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+      val got = probed.collect().map(_.getLong(0)).toSet
+      spark.sparkContext.clearJobGroup()
+
+      // recall: same 0.6 bar as the inline-built x07b (SimilaritySpec)
+      assert(got.size == 20)
+      val recall = (got & exactTop20).size / 20.0
+      assert(recall >= 0.6, s"stored-IVF recall too low: $recall")
+
+      // read-path discipline: every file scan reads the INDEX — the source
+      // embeddings table is never opened, so no Lloyd pass is even possible
+      val scans = SparkSpec.allPlanNodes(probed.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.metadata.get("Location").exists(_.contains("graft-ivf"))),
+        s"probe plan must scan only the stored index:\n${probed.queryExecution.executedPlan}")
+
+      // partition pruning: the cluster filter reaches the cell scan as a
+      // PARTITION filter (nprobe directories), not a post-scan predicate
+      val cellScan = scans.find(_.metadata.get("Location").exists(_.contains("cells")))
+        .getOrElse(fail("no scan of the cells table in the probe plan"))
+      val pf = cellScan.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("cluster"),
+        s"cluster IN (...) must be a partition filter, got: $pf")
+
+      // job-count discipline: the probe is a centroid read + one scoring
+      // collect — a handful of jobs. Two Lloyd iterations would add 4+
+      // (per-step objective and centroid-update collects); the bound
+      // catches a regression that silently re-trains on the read path.
+      val probeJobs = jobsInGroup("ivf-probe")
+      assert(probeJobs > 0 && probeJobs <= 6,
+        s"probe-only read path ran $probeJobs jobs — is it re-running Lloyd?")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("x62 registry entry serves from the shared stored index and stays within the recall gate") {
+    val got = SparkEntry.queries("x62_ann_ivf_stored")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 20)
+    val recall = (got & exactTop20).size / 20.0
+    assert(recall >= 0.6, s"x62 recall too low: $recall")
+    // idempotent serving: a second invocation reads the already-built
+    // artifact and returns the identical ranking
+    val again = SparkEntry.queries("x62_ann_ivf_stored")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got, "stored-index probe must be deterministic across invocations")
+  }
+}

@@ -46,6 +46,63 @@ class StoredIndexSpec extends SparkSpec {
     }
   }
 
+  test("stored BPE merge table: x63 serves x61's exact answer with zero training rounds") {
+    import graft.operators.Bpe
+    val base = Files.createTempDirectory("graft-bpe")
+    val store = base.resolve("merges").toString
+    try {
+      val d = Tables(spark, sf001, "documents")
+      val vocab = d.select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) >= 1)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val trained = Bpe.learn(vocab, nMerges = 10)
+      Bpe.writeMerges(spark, trained, store)
+
+      // round trip is exact — rank order, symbols, counts
+      spark.sparkContext.setJobGroup("bpe-load", "merge-table load")
+      val loaded = Bpe.readMerges(spark, store)
+      spark.sparkContext.clearJobGroup()
+      assert(loaded == trained, "stored merge table must round-trip exactly")
+
+      // loading is a READ, not a training loop: one parquet collect — the
+      // 10-merge trainer alone launches 10+ driver-coordinated jobs
+      var jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("bpe-load").length
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val m = spark.sparkContext.statusTracker.getJobIdsForGroup("bpe-load").length
+        if (m == jobs) stable += 1 else { jobs = m; stable = 0 }
+      }
+      assert(jobs > 0 && jobs <= 3,
+        s"merge-table load ran $jobs jobs — is it re-training?")
+
+      // the serving query (x63, shared artifact built on first touch) is
+      // row-identical to the inline-trained x61 — three physical paths
+      // (x56 fold, x61 inline-trained segmentation, x63 stored-vocab
+      // segmentation), one result
+      val fromStore = graft.SparkEntry.queries("x63_bpe_tokenize_stored")(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      val inline = graft.SparkEntry.queries("x61_bpe_tokenize_scale")(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      assert(fromStore.nonEmpty && fromStore == inline,
+        "stored-vocab tokenization must equal the inline-trained path row for row")
+
+      // and the apply side is the single-node kernel, never a per-rank fold
+      import graft.functions.{BpeApplyAll, BpeMergeStep}
+      val opt = graft.SparkEntry.queries("x63_bpe_tokenize_stored")(spark, sf001)
+        .queryExecution.optimizedPlan
+      val exprs = opt.collect { case p =>
+        p.expressions.flatMap(_.collect { case e => e })
+      }.flatten
+      assert(exprs.exists(_.isInstanceOf[BpeApplyAll]))
+      assert(!exprs.exists(_.isInstanceOf[BpeMergeStep]))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("stored bigram LM: x59 scoring from the persisted table is one corpus scan") {
     // x59's deployment shape (its scaladoc's honest caveat made concrete):
     // with the floored LM persisted at build time, scoring is a single
