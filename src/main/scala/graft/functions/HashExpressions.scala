@@ -489,6 +489,53 @@ case class BpeApplyAll(child: Expression, lefts: Seq[String], rights: Seq[String
     copy(child = newChild)
 }
 
+/** Membership test against a BROADCAST Bloom filter — the native form of
+  * the classic `udf((x: Long) => bc.value.mightContainLong(x))` pattern
+  * (x39's sketch-side decontamination). Spark's public surface exposes no
+  * might_contain expression (the built-in one is `private[sql]`, reserved
+  * for runtime-filter injection), so sketch probes usually fall back to a
+  * Scala UDF — which boxes every input and breaks the codegen pipeline's
+  * null-tracking. This expression generates a direct `mightContainLong`
+  * call inside whole-stage codegen: the broadcast handle rides in the plan
+  * (bytes, not the filter), each executor resolves `.value()` ONCE into a
+  * generated-class field, and the per-row cost is the filter's own bit
+  * probes. Bloom semantics are the caller's contract: never a false
+  * negative, bounded false positives (x39's spec gates both sides).
+  */
+case class BloomMightContainLong(
+    child: Expression,
+    filter: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: key must be bigint, got ${other.simpleString(10)}")
+  }
+
+  @transient private lazy val bf = filter.value
+
+  override def nullSafeEval(input: Any): Any =
+    bf.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val bfClass = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", filter,
+      "org.apache.spark.broadcast.Broadcast")
+    // one .value() resolution per generated-class instance, not per row
+    val bfVar = ctx.addMutableState(bfClass, "bloomFilter",
+      v => s"$v = ($bfClass) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$bfVar.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column, ngram: Int = 1): Column =
@@ -535,4 +582,13 @@ object HashFunctions {
     */
   def bpeApplyAll(syms: Column, lefts: Seq[String], rights: Seq[String]): Column =
     ColumnGlue.column(BpeApplyAll(ColumnGlue.expression(syms), lefts, rights))
+
+  /** Column API for [[BloomMightContainLong]]: codegen'd membership probe
+    * of a broadcast Bloom filter over a bigint key column.
+    */
+  def bloomMightContainLong(
+      key: Column,
+      filter: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      : Column =
+    ColumnGlue.column(BloomMightContainLong(ColumnGlue.expression(key), filter))
 }

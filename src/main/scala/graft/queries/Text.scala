@@ -379,9 +379,10 @@ object Text {
   // whose shingles collide can be over-flagged; the spec bounds the
   // excess). Shingles enter the sketch as the same 64-bit ShingleHashes
   // longs x24 joins on, so the sketch hashes 8-byte keys instead of n-gram
-  // strings. The membership test is a scalar UDF over the broadcast sketch
-  // — the one place a UDF is the right tool, since Spark exposes no public
-  // might_contain expression.
+  // strings. The membership test is the native BloomMightContainLong
+  // expression — a codegen'd mightContainLong call against the broadcast
+  // sketch (one .value() resolution per executor, no UDF boxing; Spark's
+  // own might_contain is private[sql], reserved for runtime filters).
   private val x39 = GQuery(
     "x39_decontaminate_bloom", "ext-text decontamination sketch",
     (s, dir) => {
@@ -392,9 +393,8 @@ object Text {
       val bloom = sh.where(col("doc_id") < BenchBound).select("shingle").distinct()
         .stat.bloomFilter("shingle", expectedNumItems = 100000L, fpp = 0.01)
       val bc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
       sh.where(col("doc_id") >= BenchBound)
-        .where(mightContain(col("shingle")))
+        .where(graft.functions.HashFunctions.bloomMightContainLong(col("shingle"), bc))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
     },

@@ -102,4 +102,17 @@ class TextSketchSpec extends SparkSpec {
     assert(extra <= math.max(5L, nDocs / 20).toInt,
       s"too many false-positive docs: $extra of $nDocs")
   }
+
+  test("x39's membership probe is the native codegen'd expression, not a UDF") {
+    val df = SparkEntry.queries("x39_decontaminate_bloom")(spark, sf001)
+    df.collect() // exercises the generated code path end to end
+    val exprs = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect { case e => e })
+    }.flatten
+    assert(exprs.exists(_.isInstanceOf[graft.functions.BloomMightContainLong]),
+      "x39 must probe the sketch through BloomMightContainLong")
+    assert(!exprs.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]),
+      "the Bloom probe must not fall back to a Scala UDF")
+  }
 }
