@@ -319,5 +319,12 @@ class BpeSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("bpe_apply_all") && ex.getMessage.contains("lefts"),
       s"must name kernel and argument: ${ex.getMessage}")
+    // SQL's only empty-array spelling types as array<null>; it is accepted
+    // as the EMPTY merge table (tokenize with zero merges = identity),
+    // not rejected as a type error (ADVICE r5)
+    val empty = spark.sql(
+      "SELECT bpe_apply_all(array('l', 'o'), array(), array()) AS m")
+      .head().getSeq[String](0)
+    assert(empty == Seq("l", "o"), "empty merge table must be the identity")
   }
 }
