@@ -17,7 +17,11 @@ object ProfileBench {
       else Seq("b10_status_counts", "b10_status_counts", "c14_sorted_limit",
         "c14_sorted_limit", "b07_multijoin_revenue", "b07_multijoin_revenue",
         "c17_sessionization", "c08_except", "x07_ann_lsh_topk", "x06_cosine_topk")
-    for (name <- names) time(name)(q(name)(spark, dir).count())
+    for (name <- names) q.get(name) match {
+      case Some(fn) => time(name)(fn(spark, dir).count())
+      case None => println(
+        s"PROF unknown query '$name'; known:\n  ${q.keys.toSeq.sorted.mkString("\n  ")}")
+    }
     spark.stop()
   }
 }
