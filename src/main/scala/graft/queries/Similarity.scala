@@ -200,6 +200,34 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$outDir/cells")
   }
 
+  /** Stored coarse quantizer, restored to the driver in cluster order —
+    * the k×dim move, required anyway to inline centroids as assign/probe
+    * literals.
+    */
+  def readIvfCentroids(s: SparkSession, indexDir: String): Seq[Array[Double]] =
+    s.read.parquet(s"$indexDir/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** INCREMENTAL index maintenance — the write-side companion of the probe
+    * path: a new batch joins the index by narrow argmin against the STORED
+    * centroids (no Lloyd, no base-segment read) and lands as a separate
+    * cluster-partitioned DELTA segment. The probe unions base + deltas —
+    * the base-plus-delta segment layout every serving index uses (rebuild/
+    * re-clustering is a periodic compaction, not a per-batch cost), and
+    * overwriting the delta keeps the operation idempotent per batch.
+    */
+  def appendIvfDelta(batch: DataFrame, indexDir: String, segment: String): Unit = {
+    val s = batch.sparkSession
+    graft.operators.KMeans
+      .assign(batch.select(col("vec_id"), col("embedding")),
+        readIvfCentroids(s, indexDir))
+      .select(col("id").as("vec_id"), col("vec").as("embedding"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/$segment")
+  }
+
   /** Probe-only IVF read path: scores the stored index's nprobe most
     * query-similar cells against a LITERAL query vector and returns
     * (vec_id, sim) candidates — no Lloyd iterations, no scan of the source
@@ -208,9 +236,13 @@ object Similarity {
     * filter is a LITERAL IN over the partition column: static partition
     * pruning the scan proves in its plan (StoredAnnSpec pins it). Callers
     * apply their own exclusions and top-k on the returned candidates.
+    *
+    * @param segments cell segments to search — base `cells` plus any
+    *                 [[appendIvfDelta]] deltas; each is partition-pruned
+    *                 to the same nprobe cells
     */
   def probeStoredIvf(s: SparkSession, indexDir: String, qvec: Array[Double],
-      nprobe: Int): DataFrame = {
+      nprobe: Int, segments: Seq[String] = Seq("cells")): DataFrame = {
     val qcol = typedLit(qvec)
     val qnorm = lit(math.sqrt(qvec.map(x => x * x).sum))
     val cells = s.read.parquet(s"$indexDir/centroids")
@@ -219,10 +251,12 @@ object Similarity {
       .orderBy(col("csim").desc, col("cluster"))
       .limit(nprobe)
       .select("cluster").collect().map(_.getInt(0)).toSeq
-    s.read.parquet(s"$indexDir/cells")
-      .where(col("cluster").isin(cells: _*))
-      .select(col("vec_id"),
-        VectorOps.cosinePreNorm(col("embedding"), qcol, qnorm).as("sim"))
+    segments.map { seg =>
+      s.read.parquet(s"$indexDir/$seg")
+        .where(col("cluster").isin(cells: _*))
+        .select(col("vec_id"),
+          VectorOps.cosinePreNorm(col("embedding"), qcol, qnorm).as("sim"))
+    }.reduce(_ unionAll _)
   }
 
   // ANN top-k from the STORED IVF index — the serving shape x07b's scaladoc
@@ -595,6 +629,34 @@ object Similarity {
     },
     None) // semantic half is k-means-derived: gated by SemDedupSpec
 
+  // Incremental IVF index maintenance — the ingest cycle of the x62 serving
+  // architecture: the standing slice (vec_id < 250) built the base index
+  // once; each new batch (vec_id >= 250) joins by narrow argmin against the
+  // STORED centroids and lands as a cluster-partitioned DELTA segment — no
+  // Lloyd, no base-segment read, cost scales with the batch. The probe
+  // unions base + delta under the same nprobe partition pruning, so newly
+  // ingested vectors are immediately searchable. StoredAnnSpec pins that a
+  // planted batch vector is found through the merged probe and that the
+  // append path runs no k-means.
+  private val x65 = GQuery(
+    "x65_ann_ivf_append", "ext-similarity-ann incremental-index stored-artifact",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_index_incr_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeIvfIndex(e.where(col("vec_id") < 250), store, iters = 2)
+      if (!graft.StoredArtifacts.ready(s"$store/delta"))
+        appendIvfDelta(e.where(col("vec_id") >= 250), store, "delta")
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      probeStoredIvf(s, store, qvec, nprobe = 6, segments = Seq("cells", "delta"))
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // approximate (probe subset): rows-only check + StoredAnnSpec
+
   // Incremental semantic dedup — x32/x52's ingest-cycle shape for MEANING:
   // the standing slice (vec_id < 250) built its index once (2 Lloyd
   // refinements, per-cluster representatives — persisted via
@@ -620,5 +682,6 @@ object Similarity {
     None) // k-means-derived index: gated by IncrementalSemDedupSpec
 
   val queries: Seq[GQuery] =
-    Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64)
+    Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
+      x65)
 }

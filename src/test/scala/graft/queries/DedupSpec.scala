@@ -138,4 +138,26 @@ class DedupSpec extends SparkSpec {
     assert(out(102L).isEmpty && out(103L).isEmpty,
       "in-batch duplicates are out of scope for the incremental probe")
   }
+
+  test("x66 stored-index incremental LSH equals the inline x52 and reads standing state from the index") {
+    // two physical paths, one result (the x46/x58 pattern): x52 recomputes
+    // the standing side's signatures inline; x66 reads them from the
+    // persisted artifact
+    val inline = SparkEntry.queries("x52_incremental_lsh")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val stored = SparkEntry.queries("x66_incremental_lsh_stored")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(inline.nonEmpty && stored == inline,
+      "stored-index probe must equal the inline form row for row")
+    // read-path discipline: every file scan in the plan reads the stored
+    // index (the batch's one documents scan sits behind the signature
+    // checkpoint; the standing corpus's text is never touched)
+    val df = SparkEntry.queries("x66_incremental_lsh_stored")(spark, sf001)
+    df.collect()
+    val scans = graft.SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected stored-index scans in the probe plan")
+    assert(scans.forall(_.metadata.get("Location").exists(_.contains("graft_artifacts"))),
+      s"standing side must come from the stored index:\n${scans.map(_.metadata.get("Location"))}")
+  }
 }

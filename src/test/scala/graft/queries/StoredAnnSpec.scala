@@ -85,6 +85,64 @@ class StoredAnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF delta append: batch vectors become searchable with no k-means and no base read") {
+    val base = Files.createTempDirectory("graft-ivfd")
+    val idx = base.resolve("ivf").toString
+    try {
+      import spark.implicits._
+      // standing: 3 orthogonal clusters, 5 members each (ids 0-24)
+      val standing = (for { c <- 0 until 3; j <- 0 until 5 } yield {
+        val v = Array.fill(6)(0.0f)
+        v(c) = 1.0f; v(3) = 0.01f * (j + 1)
+        ((c * 10 + j).toLong, v, s"c$c")
+      }).toDF("vec_id", "embedding", "label")
+      Similarity.writeIvfIndex(standing, idx, iters = 1)
+
+      // batch: id 500 sits almost exactly on the c0 query direction —
+      // closer than ANY standing vector — plus a decoy far away
+      val batch = Seq(
+        (500L, Array(1.0f, 0.0f, 0.0f, 0.005f, 0f, 0f), "c0"),
+        (501L, Array(0f, 0f, 0f, 0f, 0f, 1.0f), "c0")).toDF("vec_id", "embedding", "label")
+      spark.sparkContext.setJobGroup("ivf-append", "delta append")
+      Similarity.appendIvfDelta(batch, idx, "delta")
+      spark.sparkContext.clearJobGroup()
+      // the append is argmin + write — a couple of jobs; Lloyd iterations
+      // (objective + centroid-update collects per round) would add more
+      val appendJobs = jobsInGroup("ivf-append")
+      assert(appendJobs > 0 && appendJobs <= 4,
+        s"delta append ran $appendJobs jobs — is it re-clustering?")
+
+      val qvec = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      val merged = Similarity
+        .probeStoredIvf(spark, idx, qvec, nprobe = 1, segments = Seq("cells", "delta"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      assert(merged.head == 500L,
+        s"the freshly appended near-query vector must rank first, got $merged")
+      val baseOnly = Similarity
+        .probeStoredIvf(spark, idx, qvec, nprobe = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(!baseOnly.contains(500L), "the base segment must not contain the delta")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("x65 registry entry probes the merged base+delta index end to end") {
+    val got = SparkEntry.queries("x65_ann_ivf_append")(spark, sf001).collect()
+    assert(got.length == 20)
+    val ids = got.map(_.getLong(0)).toSet
+    // batch ids (>= 250) are searchable only through the delta segment, so
+    // ANY of them appearing proves the merged probe; on this corpus the
+    // top-20 of query 0 always includes batch-side neighbors
+    assert(ids.exists(_ >= 250), s"no delta-segment id in the merged top-20: $ids")
+    val again = SparkEntry.queries("x65_ann_ivf_append")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == ids, "delta overwrite keeps the append idempotent")
+  }
+
   test("x62 registry entry serves from the shared stored index and stays within the recall gate") {
     val got = SparkEntry.queries("x62_ann_ivf_stored")(spark, sf001)
       .collect().map(_.getLong(0)).toSet
