@@ -398,3 +398,131 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int, seed
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 }
+
+/** Product-quantization encoder (Jégou et al. 2011, "Product Quantization
+  * for Nearest Neighbor Search"): split the vector into `m` subspaces of
+  * `dsub` dims and emit, per subspace, the index of the nearest codebook
+  * centroid — compressing a dim-vector to `m` small ints. The flattened
+  * codebook (`m · k · dsub` doubles, laid out [sub][centroid][dim]) is an
+  * index artifact that rides inside this one expression node, the
+  * BpeApplyAll plan-shipping pattern. NOT SQL-registered: the codebook is
+  * loaded from the stored index by the engine, never typed as a SQL
+  * literal (same rationale as the broadcast-handle Bloom probe).
+  *
+  * A vector whose length is not `m · dsub`, or with a null element, encodes
+  * to null — surfacing corrupt embeddings instead of a plausible code.
+  */
+case class PqEncode(child: Expression, m: Int, dsub: Int, flat: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+  private def k: Int = if (m * dsub == 0) 0 else flat.length / (m * dsub)
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.vec) match {
+      case TypeCheckResult.TypeCheckSuccess if m < 1 || dsub < 1 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: m and dsub must be >= 1, got m=$m dsub=$dsub")
+      case TypeCheckResult.TypeCheckSuccess
+          if flat.isEmpty || flat.length % (m * dsub) != 0 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: codebook length ${flat.length} is not a positive " +
+            s"multiple of m*dsub = ${m * dsub}")
+      case ok => ok
+    }
+
+  private lazy val f = VectorKernels.isFloatArray(child)
+  private lazy val en = VectorKernels.elemNullable(child)
+  @transient private lazy val cb = flat.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dsub) return null
+    val kk = k
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < kk) {
+        var d2 = 0.0
+        var d = 0
+        val base = (sub * kk + c) * dsub
+        while (d < dsub) {
+          val i = sub * dsub + d
+          if (en && v.isNullAt(i)) return null
+          val diff = VectorKernels.elem(v, i, f) - cb(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance cosine scoring over PQ codes (the ADC table lookup
+  * of Jégou et al. 2011): with per-subspace lookup tables precomputed ONCE
+  * per query on the driver — `lutDot(sub·k + c)` = dot(query_sub,
+  * centroid_{sub,c}), `lutNorm` = ‖centroid_{sub,c}‖² — the per-row score
+  * is `m` additions into each of two sums:
+  * cos ≈ Σ lutDot / (qnorm · √(Σ lutNorm)), i.e. the EXACT cosine between
+  * the query and the reconstructed vector (subspace concatenation makes
+  * the decomposition exact; the only approximation is quantization
+  * itself). 64 float reads become `m` table lookups — the arithmetic-
+  * bandwidth trade that makes PQ the 100 TB ANN scan format. An
+  * out-of-range code or a zero reconstruction scores null.
+  */
+case class PqAdcScore(child: Expression, k: Int,
+    lutDot: Seq[Double], lutNorm: Seq[Double], qnorm: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_score"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) =>
+      if (k < 1)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be >= 1, got $k")
+      else if (lutDot.length != lutNorm.length || lutDot.isEmpty ||
+          lutDot.length % k != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: LUTs must be equal-length non-empty multiples of k, " +
+            s"got ${lutDot.length} and ${lutNorm.length} with k=$k")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: codes must be array<int>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val ld = lutDot.toArray
+  @transient private lazy val ln = lutNorm.toArray
+  private def m: Int = lutDot.length / k
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    if (codes.numElements() != m) return null
+    var dot = 0.0
+    var n2 = 0.0
+    var sub = 0
+    while (sub < m) {
+      if (codes.isNullAt(sub)) return null
+      val c = codes.getInt(sub)
+      if (c < 0 || c >= k) return null
+      dot += ld(sub * k + c)
+      n2 += ln(sub * k + c)
+      sub += 1
+    }
+    val denom = qnorm * math.sqrt(n2)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcScore =
+    copy(child = newChild)
+}

@@ -50,4 +50,13 @@ object VectorOps {
     */
   def lshBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
     ColumnGlue.column(HyperplaneBuckets(ColumnGlue.expression(vec), nPlanes, nTables, 0))
+
+  /** PQ encode: vector → `m` codebook indexes (see [[PqEncode]]). */
+  def pqEncode(vec: Column, m: Int, dsub: Int, flatCodebook: Seq[Double]): Column =
+    ColumnGlue.column(PqEncode(ColumnGlue.expression(vec), m, dsub, flatCodebook))
+
+  /** PQ asymmetric-distance cosine over codes (see [[PqAdcScore]]). */
+  def pqAdcScore(codes: Column, k: Int, lutDot: Seq[Double], lutNorm: Seq[Double],
+      qnorm: Double): Column =
+    ColumnGlue.column(PqAdcScore(ColumnGlue.expression(codes), k, lutDot, lutNorm, qnorm))
 }

@@ -657,6 +657,42 @@ object Similarity {
     },
     None) // approximate (probe subset): rows-only check + StoredAnnSpec
 
+  // PQ-compressed ANN scan — the memory format of billion-scale serving
+  // (Jégou et al. 2011): vectors stored as 8 codebook indexes instead of 64
+  // floats (8x here, 32x once byte-packed), scored by asymmetric distance —
+  // the query's m×k lookup tables are built once on the driver and each
+  // row's cosine estimate is m table additions in one kernel node. The
+  // index (per-subspace k-means codebooks + codes table) is a stored
+  // artifact built on first touch; the scan never reads a float vector.
+  // PqSpec gates the estimator (ADC == exact cosine of the reconstruction,
+  // planted near-dups recovered, corrupt vectors → null); this entry pins
+  // the end-to-end serving plan.
+  private val x67 = GQuery(
+    "x67_ann_pq_adc", "ext-similarity-ann compression stored-artifact",
+    (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "pq_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/codes")) {
+        val cb = ProductQuantizer.train(
+          e.select(col("vec_id"), col("embedding")), m = 8, k = 16, iters = 2)
+        ProductQuantizer.writeIndex(s, cb,
+          ProductQuantizer.encode(e.select(col("vec_id"), col("embedding")), cb),
+          store)
+      }
+      val cb = ProductQuantizer.readCodebooks(s, store)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      s.read.parquet(s"$store/codes")
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          ProductQuantizer.adcScore(col("codes"), cb, qvec).as("sim_adc"))
+        .orderBy(col("sim_adc").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // quantized estimator: gated by PqSpec, rows-only here
+
   // Incremental semantic dedup — x32/x52's ingest-cycle shape for MEANING:
   // the standing slice (vec_id < 250) built its index once (2 Lloyd
   // refinements, per-cluster representatives — persisted via
@@ -683,5 +719,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65)
+      x65, x67)
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for product quantization: the encoder picks nearest subspace
+  * centroids, ADC scoring equals the exact cosine of the RECONSTRUCTED
+  * vector (the decomposition is exact — quantization is the only
+  * approximation), planted near-duplicate structure survives compression,
+  * and corrupt vectors surface as null instead of plausible scores.
+  */
+class PqSpec extends SparkSpec {
+
+  // 3 orthogonal meaning directions in 24 dims (m=4 subspaces x dsub=6):
+  // per cluster 5 near-identical members; cluster c occupies dim 6c (so
+  // each direction lives in its own subspace for c < 3, and subspace 3 is
+  // shared noise)
+  private lazy val planted = {
+    import spark.implicits._
+    val rows = for { c <- 0 until 3; j <- 0 until 5 } yield {
+      val v = Array.fill(24)(0.0f)
+      v(c * 6) = 1.0f
+      v(18) = 0.01f * (j + 1) // per-member noise in the shared subspace
+      ((c * 10 + j).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("ADC score equals the exact cosine of the reconstructed vector") {
+    val cb = ProductQuantizer.train(planted, m = 4, k = 4, iters = 2)
+    val codes = ProductQuantizer.encode(planted, cb)
+    val q = Array.tabulate(24)(i => if (i == 0) 1.0 else if (i == 18) 0.02 else 0.0)
+    val got = codes
+      .select(col("vec_id"), ProductQuantizer.adcScore(col("codes"), cb, q).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: reconstruct each vector from its codes on the driver and
+    // take the true cosine — ADC must agree to fp-accumulation tolerance
+    val codeRows = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    for ((id, cs) <- codeRows) {
+      val rec = cs.zipWithIndex.flatMap { case (c, sub) => cb.centroid(sub, c) }
+      assert(math.abs(got(id) - cos(q, rec)) < 1e-9,
+        s"vec $id: ADC ${got(id)} != cos(q, reconstruction) ${cos(q, rec)}")
+    }
+  }
+
+  test("planted cluster structure survives compression: same-cluster codes collide, ranking recovers the cluster") {
+    val cb = ProductQuantizer.train(planted, m = 4, k = 4, iters = 2)
+    val codes = ProductQuantizer.encode(planted, cb)
+    val byId = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for (c <- 0 until 3) {
+      val clusterCodes = (0 until 5).map(j => byId((c * 10 + j).toLong).take(3))
+      assert(clusterCodes.distinct.size == 1,
+        s"cluster $c members must share their direction subspace codes: $clusterCodes")
+    }
+    // a query on direction 0 ranks every cluster-0 member above all others
+    val q = Array.tabulate(24)(i => if (i == 0) 1.0 else 0.0)
+    val ranked = codes
+      .select(col("vec_id"), ProductQuantizer.adcScore(col("codes"), cb, q).as("s"))
+      .orderBy(col("s").desc, col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked.take(5).toSet == (0 until 5).map(_.toLong).toSet,
+      s"cluster 0 must fill the top-5, got ${ranked.take(5)}")
+  }
+
+  test("corrupt vectors and codes score null, never a plausible number") {
+    import spark.implicits._
+    val cb = ProductQuantizer.train(planted, m = 4, k = 4, iters = 1)
+    // wrong dimensionality encodes to null
+    val shortVec = Seq((99L, Array.fill(23)(1.0f))).toDF("vec_id", "embedding")
+    val enc = ProductQuantizer.encode(shortVec, cb).head()
+    assert(enc.isNullAt(1), "a 23-dim vector cannot encode against a 24-dim index")
+    // out-of-range code scores null
+    val q = Array.tabulate(24)(i => if (i == 0) 1.0 else 0.0)
+    val badCodes = Seq((1L, Seq(0, 1, 2, 99))).toDF("vec_id", "codes")
+    val s = badCodes.select(ProductQuantizer.adcScore(col("codes"), cb, q)).head()
+    assert(s.isNullAt(0), "an out-of-range centroid index must score null")
+  }
+
+  test("x67 registry entry serves top-20 from the stored PQ index, deterministically") {
+    val got = graft.SparkEntry.queries("x67_ann_pq_adc")(spark, sf001).collect()
+    assert(got.length == 20)
+    val again = graft.SparkEntry.queries("x67_ann_pq_adc")(spark, sf001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "stored-index ADC scan must be deterministic across invocations")
+  }
+}
