@@ -64,18 +64,26 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query entries at 10 ms precision: run-to-run JVM noise is ±30-50%
-    // anyway, and the registry has grown enough that 3-decimal entries
-    // would push the line toward the tail-window guard below
-    def fmtQ(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // per-query entries at 10 ms precision with trailing zeros stripped
+    // ("1.50" -> "1.5"): run-to-run JVM noise is ±30-50% anyway, and at 140
+    // registry entries every spare character keeps the line clear of the
+    // tail-window guard below (a 3-decimal full-precision line already
+    // brushed it once)
+    def fmtQ(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     val ids = results.map { case (k, _) => shortId(k) }
     require(ids.distinct.size == ids.size, s"non-unique bench ids: $ids")
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // basename only: the full testdata path spent 19 characters of the
+    // bounded tail window on a constant prefix
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     // emit BEFORE the guard: if query growth ever trips it, the round's
     // numbers still reach the log tail and only the exit code goes loud —
     // failing first would discard the whole timed pass the guard protects
