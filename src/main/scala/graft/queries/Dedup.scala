@@ -376,6 +376,36 @@ object Dedup {
     bandHashes(sigs).write.mode("overwrite").parquet(s"$outDir/bands")
   }
 
+  /** Verdict a (doc_id, text) batch against a stored LSH index — shared by
+    * x66 (static registry form) and the streaming-ingest demonstration
+    * (StreamingIncrementalLshSpec): inside `foreachBatch` every micro-batch
+    * is a static frame, so this SAME verified-probe code runs per batch —
+    * the production streaming-dedup pattern with zero batch/stream drift.
+    * Output: one row per batch doc, `dup_of` = smallest verified standing
+    * match (null = genuinely new).
+    */
+  def probeLshIndex(batch: DataFrame, indexDir: String): DataFrame = {
+    val s = batch.sparkSession
+    // parquet round-trips array<long> with NULLABLE elements; the
+    // signature kernel's contract is non-null elements (and the writer
+    // never produces one), so array_compact — a semantic no-op whose
+    // output type is containsNull=false — restores the contract
+    val standSigs = s.read.parquet(s"$indexDir/sigs")
+      .select(col("doc_id"), array_compact(col("sig")).as("sig"))
+    val standBands = s.read.parquet(s"$indexDir/bands")
+      .select(col("band_hash"), col("doc_id").as("old_id"))
+    val batchSigs = minhashSigs(batch)
+    val candPairs = bandHashes(batchSigs)
+      .join(standBands, "band_hash")
+      .select(col("doc_id"), col("old_id")).distinct()
+    val verified = verifyPairs(candPairs, batchSigs, "old_id", standSigs)
+      .groupBy(col("doc_id")).agg(min(col("old_id")).as("dup_of"))
+    batchSigs.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
   // Incremental LSH from the STORED index — x52 with its stated production
   // cost model made real: the standing side's signatures and bands are READ
   // from the persisted artifact (built on first touch), never recomputed —
@@ -390,24 +420,7 @@ object Dedup {
       val store = graft.StoredArtifacts.dir(dir, "lsh_index_v1")
       if (!graft.StoredArtifacts.ready(s"$store/bands"))
         writeLshIndex(d.where(col("source") =!= "src0"), store)
-      // parquet round-trips array<long> with NULLABLE elements; the
-      // signature kernel's contract is non-null elements (and the writer
-      // never produces one), so array_compact — a semantic no-op whose
-      // output type is containsNull=false — restores the contract
-      val standSigs = s.read.parquet(s"$store/sigs")
-        .select(col("doc_id"), array_compact(col("sig")).as("sig"))
-      val standBands = s.read.parquet(s"$store/bands")
-        .select(col("band_hash"), col("doc_id").as("old_id"))
-      val batchSigs = minhashSigs(d.where(col("source") === "src0"))
-      val candPairs = bandHashes(batchSigs)
-        .join(standBands, "band_hash")
-        .select(col("doc_id"), col("old_id")).distinct()
-      val verified = verifyPairs(candPairs, batchSigs, "old_id", standSigs)
-        .groupBy(col("doc_id")).agg(min(col("old_id")).as("dup_of"))
-      batchSigs.select(col("doc_id"))
-        .join(verified, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("dup_of"))
-        .orderBy("doc_id")
+      probeLshIndex(d.where(col("source") === "src0"), store)
     },
     None) // hash-seeded algorithm: gated by DedupSpec row identity with x52
 

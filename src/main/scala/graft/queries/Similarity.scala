@@ -228,6 +228,47 @@ object Similarity {
       .parquet(s"$indexDir/$segment")
   }
 
+  /** Compact the index's segments into a new base generation — the
+    * maintenance step that bounds x65's delta accumulation: union the
+    * segments, optionally re-refine the coarse quantizer WARM-STARTED from
+    * the stored centroids (the serving centroids are already near-optimal,
+    * so one Lloyd step absorbs the deltas' drift — never a cold retrain),
+    * re-assign, and replace `cells` with the merged generation, dropping
+    * the deltas. The swap writes a fresh `cells_next` directory and then
+    * renames (same-filesystem move): readers of the OLD generation finish
+    * against their snapshot; production would flip a manifest pointer
+    * instead of renaming — the single-writer simplification is documented,
+    * not hidden.
+    */
+  def compactIvfIndex(s: SparkSession, indexDir: String, segments: Seq[String],
+      iters: Int): Unit = {
+    val all = segments.map(seg =>
+        s.read.parquet(s"$indexDir/$seg").select(col("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+      .localCheckpoint(true) // sever lineage from the dirs about to be replaced
+    val warm = readIvfCentroids(s, indexDir)
+    val cs =
+      if (iters == 0) warm
+      else graft.operators.KMeans.refine(all, warm, iters)._2
+    import s.implicits._
+    graft.operators.KMeans.assign(all, cs)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/cells_next")
+    cs.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val root = java.nio.file.Paths.get(indexDir)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    segments.foreach(seg => rmTree(root.resolve(seg)))
+    java.nio.file.Files.move(root.resolve("cells_next"), root.resolve("cells"))
+  }
+
   /** Probe-only IVF read path: scores the stored index's nprobe most
     * query-similar cells against a LITERAL query vector and returns
     * (vec_id, sim) candidates — no Lloyd iterations, no scan of the source
