@@ -93,16 +93,21 @@ object ProductQuantizer {
     VectorOps.pqAdcScore(codes, cb.k, lutDot.toSeq, lutNorm.toSeq, qnorm)
   }
 
+  /** Persist the one-row codebook table. */
+  def writeCodebooks(spark: SparkSession, cb: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    Seq((cb.m, cb.dsub, cb.k, cb.flat.toSeq))
+      .toDF("m", "dsub", "k", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Persist / load the PQ index: a one-row codebook table plus the codes
     * table (codes-last write, so `_SUCCESS` on `codes` implies a complete
     * index).
     */
   def writeIndex(spark: SparkSession, cb: Codebooks, codes: DataFrame,
       outDir: String): Unit = {
-    import spark.implicits._
-    Seq((cb.m, cb.dsub, cb.k, cb.flat.toSeq))
-      .toDF("m", "dsub", "k", "flat")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/codebooks")
+    writeCodebooks(spark, cb, s"$outDir/codebooks")
     codes.write.mode("overwrite").parquet(s"$outDir/codes")
   }
 

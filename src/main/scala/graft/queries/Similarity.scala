@@ -734,6 +734,83 @@ object Similarity {
     },
     None) // quantized estimator: gated by PqSpec, rows-only here
 
+  /** Build the IVF-PQ index — x62's partition pruning COMPOSED with x67's
+    * compression, the billion-scale serving layout proper: codes (not
+    * vectors) stored cluster-partitioned, so a probe reads nprobe
+    * directories of m-int codes and float vectors exist nowhere on the
+    * read path. PQ here quantizes raw vectors; the residual refinement
+    * (encode x − coarse_centroid, per-cell LUTs at probe time) is the
+    * known next step and changes LUT construction, not this layout.
+    */
+  def writeIvfPqIndex(e: DataFrame, outDir: String, iters: Int,
+      m: Int, kSub: Int): Unit = {
+    import graft.operators.{KMeans, ProductQuantizer}
+    val s = e.sparkSession
+    import s.implicits._
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val seed = KMeans.seedFromGroups(
+      e.select(col("label"), col("embedding")), "label", "embedding")
+    val (_, coarse, _) = KMeans.refine(vecs, seed, iters)
+    coarse.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    val cb = ProductQuantizer.train(vecs, m, kSub, iters)
+    ProductQuantizer.writeCodebooks(s, cb, s"$outDir/codebooks")
+    // one narrow pass computes BOTH the cell (argmin vs coarse literals)
+    // and the code (PqEncode) — the vector is read once and never stored
+    KMeans.assign(vecs, coarse)
+      .select(col("id").as("vec_id"),
+        graft.functions.VectorOps
+          .pqEncode(col("vec"), cb.m, cb.dsub, cb.flat.toSeq).as("codes"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/codes")
+  }
+
+  /** IVF-PQ probe: nprobe partition-pruned code directories, ADC-scored —
+    * returns (vec_id, sim_adc) candidates; callers exclude and top-k.
+    */
+  def probeIvfPq(s: SparkSession, indexDir: String, qvec: Array[Double],
+      nprobe: Int): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val cb = ProductQuantizer.readCodebooks(s, indexDir)
+    val qcol = typedLit(qvec)
+    val qnorm = lit(math.sqrt(qvec.map(x => x * x).sum))
+    val cells = s.read.parquet(s"$indexDir/centroids")
+      .select(col("cluster"),
+        VectorOps.cosinePreNorm(col("centroid"), qcol, qnorm).as("csim"))
+      .orderBy(col("csim").desc, col("cluster"))
+      .limit(nprobe)
+      .select("cluster").collect().map(_.getInt(0)).toSeq
+    s.read.parquet(s"$indexDir/codes")
+      .where(col("cluster").isin(cells: _*))
+      .select(col("vec_id"),
+        ProductQuantizer.adcScore(col("codes"), cb, qvec).as("sim_adc"))
+  }
+
+  // IVF-PQ serving scan — the composition the two previous entries build
+  // toward: x62's nprobe partition pruning over x67's 8x-compressed codes.
+  // A probe touches nprobe directories of m-int codes; no float vector
+  // exists anywhere on the read path, which is the layout that makes a
+  // 100 TB ANN index a few TB of RAM-resident codes. PqSpec gates the
+  // pruned+compressed probe on planted clusters; rows-only here.
+  private val x68 = GQuery(
+    "x68_ann_ivfpq", "ext-similarity-ann compression stored-artifact",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivfpq_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfPqIndex(e, store, iters = 2, m = 8, kSub = 16)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      probeIvfPq(s, store, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim_adc").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // quantized + probe subset: gated by PqSpec, rows-only here
+
   // Incremental semantic dedup — x32/x52's ingest-cycle shape for MEANING:
   // the standing slice (vec_id < 250) built its index once (2 Lloyd
   // refinements, per-cluster representatives — persisted via
@@ -760,5 +837,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67)
+      x65, x67, x68)
 }

@@ -83,6 +83,44 @@ class PqSpec extends SparkSpec {
     assert(s.isNullAt(0), "an out-of-range centroid index must score null")
   }
 
+  test("IVF-PQ: pruned probe over cluster-partitioned codes recovers the planted cluster, floats never read") {
+    import graft.queries.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+    val idx = base.resolve("ivfpq").toString
+    try {
+      val labeled = planted.withColumn("label",
+        concat(lit("c"), (col("vec_id") / 10).cast("int")))
+      Similarity.writeIvfPqIndex(labeled, idx, iters = 1, m = 4, kSub = 4)
+      val q = Array.tabulate(24)(i => if (i == 0) 1.0 else 0.0)
+      val probed = Similarity.probeIvfPq(spark, idx, q, nprobe = 1)
+        .orderBy(col("sim_adc").desc, col("vec_id"))
+      val got = probed.collect().map(_.getLong(0)).toSeq
+      // nprobe=1 reads exactly the query direction's cell: all five
+      // cluster-0 members, nothing else
+      assert(got.toSet == (0 until 5).map(_.toLong).toSet,
+        s"the probed cell must hold exactly the planted cluster: $got")
+
+      // read-path pins: scans touch only the index; the codes scan is
+      // partition-pruned on cluster and its schema holds codes, not a
+      // float vector — no embedding exists anywhere on the read path
+      val scans = graft.SparkSpec.allPlanNodes(probed.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.metadata.get("Location").exists(_.contains("graft-ivfpq"))))
+      val codeScan = scans
+        .find(_.metadata.get("Location").exists(_.contains("codes")))
+        .getOrElse(fail("no codes scan in the probe plan"))
+      assert(codeScan.metadata.getOrElse("PartitionFilters", "").contains("cluster"),
+        "the cell filter must prune partitions")
+      assert(!codeScan.metadata.getOrElse("ReadSchema", "").contains("embedding"),
+        s"the codes scan must not read vectors: ${codeScan.metadata.get("ReadSchema")}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("x67 registry entry serves top-20 from the stored PQ index, deterministically") {
     val got = graft.SparkEntry.queries("x67_ann_pq_adc")(spark, sf001).collect()
     assert(got.length == 20)
