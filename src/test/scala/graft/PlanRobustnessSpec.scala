@@ -29,11 +29,19 @@ class PlanRobustnessSpec extends SparkSpec {
     // round 4: x45's tf ⋈ df and x58's dl join are planner-chosen, and
     // both route their top-k through custom operators (GroupedTopK) whose
     // results must not depend on the physical join strategy around them
-    "x45_tfidf_topterms", "x58_bm25_from_index")
+    "x45_tfidf_topterms", "x58_bm25_from_index",
+    // round 6 stored serving paths: the vocab-segmentation joins (x61/x63)
+    // and the band-probe join (x66) are planner-chosen; the pruned index
+    // scans (x62/x68) ride along for the AQE-off half — a serving path
+    // whose answer depended on a physical choice would corrupt quietly at
+    // the exact moment a cell crosses a size threshold
+    "x61_bpe_tokenize_scale", "x63_bpe_tokenize_stored",
+    "x66_incremental_lsh_stored", "x62_ann_ivf_stored", "x68_ann_ivfpq")
 
   // EVERY join in these is broadcast()-hinted, so the threshold knob is a
   // no-op by construction; they verify independence from AQE re-planning
-  private val hinted = Seq("x24_decontaminate", "x27_knn_join")
+  private val hinted = Seq("x24_decontaminate", "x27_knn_join",
+    "x64_semantic_dedup_incremental")
 
   // sorted stringified rows: content equality as a multiset. Some queries'
   // ORDER BY is not a total order (e.g. c16 — the synthetic lineitem has
