@@ -121,6 +121,48 @@ object Bpe {
       .sortBy(_.rank)
       .toSeq
 
+  /** The deterministic symbol → id table of a learned tokenizer: base
+    * characters first in Unicode code-point order (ids 0..C-1 — the UTF-8
+    * byte order every other BPE convention in this operator uses), then
+    * one id per merge in rank order (id C + rank). This is the standard
+    * BPE vocabulary numbering: stable across runs, and ids are dense so a
+    * trainer can size its embedding table to `vocabSize`.
+    *
+    * Two merges can legally produce the SAME surface string ((a,bc) and
+    * (ab,c) both yield "abc"); encode joins by symbol, so the table keeps
+    * the SMALLEST id per surface form — without the dedupe the encode join
+    * would fan out.
+    */
+  def idVocab(chars: Seq[String], merges: Seq[BpeMerge]): Seq[(String, Int)] = {
+    val ordered = chars.distinct.sortBy(_.getBytes("UTF-8").toSeq
+      .map(b => (b & 0xff).toChar).mkString) // unsigned byte order
+    val all = ordered.zipWithIndex ++
+      merges.map(m => m.merged -> (ordered.length + m.rank))
+    all.groupBy(_._1).map { case (sym, ids) => sym -> ids.map(_._2).min }.toSeq
+  }
+
+  /** Encode a DISTINCT-WORD table to id sequences: segment once through
+    * the single-kernel apply ([[segmentVocab]]), map each symbol to its
+    * [[idVocab]] id via one broadcast join, reassemble in symbol order. A
+    * symbol outside the vocabulary (a character unseen at training time)
+    * encodes to -1 — the caller's OOV policy sees it explicitly instead of
+    * a silent drop. Same vocab-bounded cost model as segmentation itself;
+    * occurrences join back by word.
+    *
+    * @param ids (symbol, id) — [[idVocab]] as a DataFrame
+    * @return (word, ids array<int>)
+    */
+  def encodeVocabIds(vocab: DataFrame, wordCol: String, merges: Seq[BpeMerge],
+      ids: DataFrame): DataFrame =
+    segmentVocab(vocab, wordCol, merges)
+      .select(col("word"), posexplode(col("syms")))
+      .select(col("word"), col("pos").as("spos"), col("col").as("symbol"))
+      .join(broadcast(ids), Seq("symbol"), "left")
+      .groupBy(col("word"))
+      .agg(array_sort(collect_list(
+        struct(col("spos"), coalesce(col("id"), lit(-1)).as("id")))).as("sids"))
+      .select(col("word"), expr("transform(sids, x -> x.id)").as("ids"))
+
   /** Learn up to `nMerges` merges from a (word, count) table.
     *
     * @param wordCounts first column: word (string), second: corpus

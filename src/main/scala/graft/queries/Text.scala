@@ -801,7 +801,55 @@ object Text {
     },
     None) // gated by StoredIndexSpec: row-identical to x61, read-only serving path
 
+  // Trainer-ready id encoding — the artifact a training run actually
+  // consumes: every document as a dense array<int> of BPE ids under the
+  // stored tokenizer (x63's merge table + a stored symbol→id vocabulary:
+  // base characters in code-point order, then one id per merge rank — the
+  // standard numbering, so embedding tables size to vocabSize). Unseen-at-
+  // training characters encode to -1 (explicit OOV, never a silent drop;
+  // zero here since the vocab derives from this corpus — the OOV path is
+  // BpeSpec-pinned). Scale shape: encode cost is vocab-bounded (distinct
+  // words segment once; symbol→id is one broadcast join), occurrences join
+  // back by word, and per-doc reassembly exchanges (doc_id, word-position,
+  // id-array) — text never shuffles.
+  private val x69 = GQuery(
+    "x69_bpe_encode_ids", "ext-text vocab-apply trainer-artifact stored-artifact",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val words = docs(s, dir)
+        .select(col("doc_id"), posexplode(tokens))
+        .select(col("doc_id"), col("pos").as("wpos"), col("col").as("word"))
+        .where(length(col("word")) >= 1)
+      val mergeStore = graft.StoredArtifacts.dir(dir, "bpe_merges_v1")
+      if (!graft.StoredArtifacts.ready(mergeStore)) {
+        val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        Bpe.writeMerges(s, Bpe.learn(vocab, nMerges = 10), mergeStore)
+      }
+      val merges = Bpe.readMerges(s, mergeStore)
+      val idStore = graft.StoredArtifacts.dir(dir, "bpe_ids_v1")
+      if (!graft.StoredArtifacts.ready(idStore)) {
+        val chars = words
+          .select(explode(Bpe.charSymbols(col("word"))).as("c"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        import s.implicits._
+        Bpe.idVocab(chars, merges).toDF("symbol", "id")
+          .coalesce(1).write.mode("overwrite").parquet(idStore)
+      }
+      val ids = s.read.parquet(idStore)
+      val wordIds = Bpe.encodeVocabIds(words.select("word").distinct(), "word", merges, ids)
+      words.join(wordIds, "word")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("wpos"), col("ids")))).as("wids"))
+        .select(col("doc_id"), expr("flatten(transform(wids, x -> x.ids))").as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          expr("size(filter(ids, x -> x = -1))").cast("long").as("n_oov"),
+          col("ids"))
+        .orderBy("doc_id")
+    },
+    None) // BPE-derived ids: gated by BpeSpec round-trip + OOV pins
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54, x56, x61, x63)
+      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69)
 }

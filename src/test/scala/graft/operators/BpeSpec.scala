@@ -327,4 +327,60 @@ class BpeSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(empty == Seq("l", "o"), "empty merge table must be the identity")
   }
+
+  // ---- id vocabulary + trainer-ready encoding (x69) ----
+
+  test("idVocab numbers chars in code-point order then merges by rank; duplicate surfaces keep the smallest id") {
+    // ranks 1 and 2 produce the SAME surface string "abc" from different
+    // components — legal in a learned table, and the encode join must not
+    // fan out on it
+    val merges = Seq(BpeMerge(0, "a", "b", 1L), BpeMerge(1, "ab", "c", 1L),
+      BpeMerge(2, "a", "bc", 1L))
+    val vocab = Bpe.idVocab(Seq("b", "a", "c", "�"), merges).toMap
+    assert(vocab("a") == 0 && vocab("b") == 1 && vocab("c") == 2,
+      s"chars must number in code-point order: $vocab")
+    assert(vocab("�") == 3, "multi-byte char sorts after ASCII by UTF-8 bytes")
+    assert(vocab("ab") == 4, "first merge takes the next id")
+    assert(vocab("abc") == 5,
+      s"duplicate surface 'abc' (ranks 1 and 2) keeps the smallest id: $vocab")
+  }
+
+  test("encodeVocabIds round-trips through the vocabulary; unseen chars encode to -1") {
+    import spark.implicits._
+    val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L)
+    val merges = Bpe.learn(corpus.toDF("word", "n"), nMerges = 4)
+    val chars = corpus.map(_._1).flatMap(_.toCharArray.map(_.toString)).distinct
+    val vocab = Bpe.idVocab(chars, merges)
+    val idsDf = vocab.toDF("symbol", "id")
+    val words = (corpus.map(_._1) :+ "lowxy").toDF("word") // x, y unseen
+    val got = Bpe.encodeVocabIds(words, "word", merges, idsDf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    val byId = vocab.map(_.swap).toMap
+    val seg = words
+      .select(col("word"), Bpe.applyMergesAll(Bpe.charSymbols(col("word")), merges).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    for (w <- corpus.map(_._1)) {
+      assert(got(w).forall(_ >= 0), s"training-corpus word '$w' must have no OOV: ${got(w)}")
+      assert(got(w).map(byId) == seg(w),
+        s"'$w': decoding ids must reproduce the segmentation exactly")
+    }
+    // the word with unseen chars: known prefix encodes, x/y surface as -1
+    val tail = got("lowxy").takeRight(2)
+    assert(tail == List(-1, -1), s"unseen chars must encode to -1: ${got("lowxy")}")
+    assert(got("lowxy").dropRight(2).forall(_ >= 0))
+  }
+
+  test("x69 ids reproduce x56's per-document symbol counts over the fixture") {
+    // n_ids per doc must equal x56's n_bpe_syms (same segmentation, now as
+    // ids), and the training corpus has zero OOV by construction
+    val enc = graft.SparkEntry.queries("x69_bpe_encode_ids")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ref = graft.SparkEntry.queries("x56_bpe_vocab")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(enc.keySet == ref.keySet, "one id row per document")
+    for ((id, (nIds, nOov)) <- enc) {
+      assert(nIds == ref(id), s"doc $id: n_ids $nIds != x56 n_bpe_syms ${ref(id)}")
+      assert(nOov == 0L, s"doc $id: training corpus cannot have OOV, got $nOov")
+    }
+  }
 }
