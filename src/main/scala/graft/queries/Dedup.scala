@@ -331,7 +331,8 @@ object Dedup {
   // dedup has been paid. Here `source = 'src0'` plays the new batch and the
   // other sources the standing index (whose signatures/bands production
   // would have persisted at ingest; recomputing them here changes cost, not
-  // semantics). Same SigLen/Bands/VerifyAgree construction as x03/x22;
+  // semantics — x66 is the same probe against the PERSISTED artifact).
+  // Same SigLen/Bands/VerifyAgree construction as x03/x22;
   // unlike x03's min-candidate-then-verify cluster heuristic, every
   // cross-side candidate pair is verified and the minimum is taken over
   // VERIFIED matches, so a spurious band collision can never mask a real

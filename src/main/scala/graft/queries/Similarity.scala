@@ -139,7 +139,10 @@ object Similarity {
   // ingest), nprobe=6 nearest centroids searched. At corpus scale the
   // centroid table is broadcast (tiny), assignments are precomputed at
   // ingest as a partition/cluster key, and a probe scans only nprobe
-  // partitions — the classic IVF-flat layout expressed relationally.
+  // partitions — the classic IVF-flat layout expressed relationally. This
+  // entry is the inline-build demonstration; x62 is that layout as a
+  // STORED artifact (probe-only read path), x65 its incremental append,
+  // and x68 the PQ-compressed composition.
   // nprobe=6 (of 10 coarse cells) is sized for the synthetic corpus, where
   // the true top-20 spreads across all labels; a clustered production corpus
   // concentrates neighbors in few cells and probes far fewer.
@@ -631,6 +634,8 @@ object Similarity {
   // near-dup behavior is gated by SemDedupSpec on a corpus with true
   // semantic duplicates; this registry entry pins the end-to-end plan and
   // per-vector output (all rows emitted with their verdict, rows > 0).
+  // This is the full-corpus batch form; x64 is the incremental ingest-cycle
+  // form probing the same index as a stored artifact.
   private val x55 = GQuery(
     "x55_semantic_dedup", "ext-dedup-semantic ext-similarity custom-operator",
     (s, dir) => semDedup(emb(s, dir), iters = 2, tau = 0.9),
