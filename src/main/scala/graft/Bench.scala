@@ -49,7 +49,12 @@ object Bench {
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      name -> reps.sorted.apply(1) // median of 3
+      // median over SUCCESSFUL reps only: letting the -1 sentinel sort
+      // would make one failed rep report the flaky query's BEST timing —
+      // the opposite of de-noising. Two survivors report the larger
+      // (conservative); all-fail reports -1.
+      val ok = reps.filter(_ >= 0).sorted
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
     // The driver captures only a bounded tail of stdout (observed: 2000
     // chars) and parses the metric line from it with a line-anchored JSON

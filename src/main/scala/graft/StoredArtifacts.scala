@@ -18,10 +18,22 @@ package graft
   */
 object StoredArtifacts {
 
-  /** Artifact directory for (source dataset dir, artifact name). */
+  /** Artifact directory for (source dataset dir, artifact name). The key
+    * hashes the source PATH plus its last-modified time, so regenerating a
+    * fixture in place orphans the old artifacts instead of serving indexes
+    * trained on vanished data (an orphaned build is re-paid once — cheap;
+    * a stale index is silently wrong). Builder-CODE changes are still the
+    * `_vN` suffix's job: bump it whenever the artifact format or training
+    * behavior changes.
+    */
   def dir(sfDir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(sfDir)
+    val mtime =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.getLastModifiedTime(p).toMillis.toString
+      else "absent"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$sfDir@$mtime".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"${sys.props("java.io.tmpdir")}/graft_artifacts/$key/$name"
   }
 
@@ -31,4 +43,13 @@ object StoredArtifacts {
     */
   def ready(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+
+  /** Recursively delete a directory tree (no-op if absent). */
+  def deleteTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 }

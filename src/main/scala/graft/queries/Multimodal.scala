@@ -108,17 +108,22 @@ object Multimodal {
   // candidate recovery over the 64-bit aHash (4 × 16-bit bands — pigeonhole
   // guarantees any pair within Hamming distance 3 shares a band; PHashSpec
   // pins the math and its sharp edge) with an exact Hamming ≤ 3 confirm.
-  // Candidates take x04's cluster-assignment shape (per-band bucket-min,
-  // never pair enumeration — quadratic on template-heavy corpora) but
-  // verify EVERY distinct bucket candidate before taking the minimum —
-  // x52's discipline, so one spurious band collision with a low-id
-  // stranger cannot suppress a genuine near-dup. The fixture has no
-  // images, so payloads are planted in 25 duplicate classes (the x34
-  // planting discipline); their stub phashes are either identical or
-  // ~32 bits apart, so banding + confirm provably reduces to the exact
-  // groups the DuckDB oracle computes — the whole banded path is
-  // hash-verified end to end. Scaled/re-encoded REAL images land ≤ 6 bits
-  // apart (PHashSpec), within one more band of this same plan.
+  // Candidates take x04's cluster-assignment shape: each doc pairs with its
+  // shared bands' BUCKET MINIMA only (≤ 4 candidates/doc — never pair
+  // enumeration, which is quadratic on template-heavy corpora), and EVERY
+  // distinct bucket candidate is verified before taking the minimum (x52's
+  // discipline), so a spurious collision cannot suppress a doc's
+  // bucket-min match the way min-before-verify would. The heuristic's
+  // honest scope, same as x03/x04: a pair where BOTH members are
+  // non-minimal in every band they share is not a candidate (its members
+  // still pair with their bucket minima; x22's transitive closure is the
+  // published completion where chains matter). The fixture has no images,
+  // so payloads are planted in 25 duplicate classes (the x34 planting
+  // discipline); their stub phashes are either identical or ~32 bits
+  // apart, so banding + confirm provably reduces to the exact groups the
+  // DuckDB oracle computes — the whole banded path is hash-verified end to
+  // end. Scaled/re-encoded REAL images land ≤ 6 bits apart (PHashSpec),
+  // within one more band of this same plan.
   //
   // Scale shape: the batch-sizing repartition(8) is the ONE intentional
   // payload exchange (decode parallelism — the same knob x17/x28 turn; at
@@ -161,7 +166,12 @@ object Multimodal {
         .where(expr("aggregate(zip_with(bv, cbv, (x, y) -> bit_count(x ^ y)), " +
           "0, (a, x) -> a + x)") <= 3)
         .groupBy(col("media_id")).agg(min(col("cand")).as("keeper"))
-      // group rows: members + their keepers, n_copies = group size
+      // group rows: members + their keepers, n_copies = group size. Hamming
+      // ≤ t is not transitive, so in a chain (9 matches 5, 5 matches 1) a
+      // doc can be both a member AND someone's keeper — it must surface
+      // once, as a member (its own match stands; its dependents' rows name
+      // it): the anti join drops exactly the keeper rows of docs that are
+      // themselves members. A no-op on disjoint groups (the fixture).
       val sizes = verified.groupBy(col("keeper")).agg(count(lit(1)).as("n_dups"))
       val memberRows = verified
         .join(ph.select(col("media_id"), col("phash")), Seq("media_id"))
@@ -169,6 +179,7 @@ object Multimodal {
         .select(col("media_id"), col("phash"), col("keeper"),
           (col("n_dups") + 1).as("n_copies"))
       val keeperRows = sizes
+        .join(verified.select(col("media_id").as("keeper")), Seq("keeper"), "left_anti")
         .join(ph.select(col("media_id"), col("phash")),
           sizes("keeper") === ph("media_id"))
         .select(col("media_id"), col("phash"), col("keeper"),

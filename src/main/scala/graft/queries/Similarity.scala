@@ -236,15 +236,25 @@ object Similarity {
     * segments, optionally re-refine the coarse quantizer WARM-STARTED from
     * the stored centroids (the serving centroids are already near-optimal,
     * so one Lloyd step absorbs the deltas' drift — never a cold retrain),
-    * re-assign, and replace `cells` with the merged generation, dropping
-    * the deltas. The swap writes a fresh `cells_next` directory and then
-    * renames (same-filesystem move): readers of the OLD generation finish
-    * against their snapshot; production would flip a manifest pointer
-    * instead of renaming — the single-writer simplification is documented,
-    * not hidden.
+    * re-assign, and replace `cells`/`centroids` with the merged
+    * generation, dropping the deltas.
+    *
+    * Ordering is chosen so no crash point LOSES data: the full next
+    * generation (`cells_next` + `centroids_next`) is written before
+    * anything is removed, the old generation is swapped out via
+    * delete-then-rename, and the (now-redundant) deltas are deleted LAST
+    * — a crash mid-swap leaves either the complete old inputs or the
+    * complete new generation on disk, recoverable by hand. What this
+    * single-writer form does NOT give is atomicity against CONCURRENT
+    * readers (a probe between the two renames can pair new centroids with
+    * old cells): production flips a manifest pointer to a generation
+    * directory instead — documented simplification, not hidden.
     */
   def compactIvfIndex(s: SparkSession, indexDir: String, segments: Seq[String],
       iters: Int): Unit = {
+    require(segments.contains("cells"),
+      s"segments must include the base segment 'cells', got $segments — " +
+        "compacting deltas alone would leave the old base serving stale rows")
     val all = segments.map(seg =>
         s.read.parquet(s"$indexDir/$seg").select(col("vec_id"), col("embedding")))
       .reduce(_ unionAll _)
@@ -260,16 +270,14 @@ object Similarity {
       .parquet(s"$indexDir/cells_next")
     cs.zipWithIndex.map { case (c, j) => (j, c) }
       .toDF("cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids_next")
     val root = java.nio.file.Paths.get(indexDir)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    segments.foreach(seg => rmTree(root.resolve(seg)))
+    graft.StoredArtifacts.deleteTree(root.resolve("cells").toString)
     java.nio.file.Files.move(root.resolve("cells_next"), root.resolve("cells"))
+    graft.StoredArtifacts.deleteTree(root.resolve("centroids").toString)
+    java.nio.file.Files.move(root.resolve("centroids_next"), root.resolve("centroids"))
+    segments.filter(_ != "cells")
+      .foreach(seg => graft.StoredArtifacts.deleteTree(root.resolve(seg).toString))
   }
 
   /** Probe-only IVF read path: scores the stored index's nprobe most

@@ -14,6 +14,21 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = GraftSession.local("graft-test", 4)
 
+  /** Jobs submitted under `group`, polled until the ASYNC status store
+    * stops moving so late job-start events are counted — the shared gate
+    * for "this read path must not secretly run a training loop" pins.
+    */
+  def jobsInGroup(spark: SparkSession, group: String): Int = {
+    var n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    var stable = 0
+    while (stable < 3) {
+      Thread.sleep(100)
+      val m = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      if (m == n) stable += 1 else { n = m; stable = 0 }
+    }
+    n
+  }
+
   /** Every physical node, descending through AQE and query-stage wrappers —
     * the one definition of the unwrap logic shared by all plan-shape specs
     * (a Spark upgrade adding a new stage wrapper is fixed here once).

@@ -114,11 +114,7 @@ class PqSpec extends SparkSpec {
         "the cell filter must prune partitions")
       assert(!codeScan.metadata.getOrElse("ReadSchema", "").contains("embedding"),
         s"the codes scan must not read vectors: ${codeScan.metadata.get("ReadSchema")}")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
   test("x67 registry entry serves top-20 from the stored PQ index, deterministically") {

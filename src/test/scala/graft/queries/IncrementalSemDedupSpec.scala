@@ -89,11 +89,7 @@ class IncrementalSemDedupSpec extends SparkSpec {
           n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
           n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
         "incremental semantic dedup must join only against the broadcast rep table")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
   test("incremental verdicts agree with a full batch re-run over the fixture corpus") {

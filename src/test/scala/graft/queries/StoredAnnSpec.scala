@@ -18,19 +18,7 @@ class StoredAnnSpec extends SparkSpec {
     SparkEntry.queries("x06_cosine_topk")(spark, sf001)
       .collect().map(_.getLong(0)).toSet
 
-  /** Jobs submitted under `group` (polled until the async status store
-    * stops moving, so late job-start events are counted).
-    */
-  private def jobsInGroup(group: String): Int = {
-    var n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-    var stable = 0
-    while (stable < 3) {
-      Thread.sleep(100)
-      val m = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-      if (m == n) stable += 1 else { n = m; stable = 0 }
-    }
-    n
-  }
+  private def jobsInGroup(group: String): Int = SparkSpec.jobsInGroup(spark, group)
 
   test("stored IVF: probe-only read path hits the recall gate, prunes to nprobe cells, never rescans the corpus") {
     val base = Files.createTempDirectory("graft-ivf")
@@ -78,11 +66,7 @@ class StoredAnnSpec extends SparkSpec {
       val probeJobs = jobsInGroup("ivf-probe")
       assert(probeJobs > 0 && probeJobs <= 6,
         s"probe-only read path ran $probeJobs jobs — is it re-running Lloyd?")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
   test("IVF delta append: batch vectors become searchable with no k-means and no base read") {
@@ -139,11 +123,7 @@ class StoredAnnSpec extends SparkSpec {
         s"the compacted base must serve the former delta vector first: $compacted")
       assert(Similarity.readIvfCentroids(spark, idx).length == 3,
         "compaction keeps the coarse quantizer's k")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
   test("x65 registry entry probes the merged base+delta index end to end") {

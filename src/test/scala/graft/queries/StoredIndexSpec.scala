@@ -39,11 +39,7 @@ class StoredIndexSpec extends SparkSpec {
       val fromScan = SparkEntry.queries("x46_bm25_rank")(spark, sf001).collect().toSeq
       assert(fromDisk == fromScan,
         "stored-index BM25 must equal the scan-path ranking row for row")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
   test("stored BPE merge table: x63 serves x61's exact answer with zero training rounds") {
@@ -66,13 +62,7 @@ class StoredIndexSpec extends SparkSpec {
 
       // loading is a READ, not a training loop: one parquet collect — the
       // 10-merge trainer alone launches 10+ driver-coordinated jobs
-      var jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("bpe-load").length
-      var stable = 0
-      while (stable < 3) {
-        Thread.sleep(100)
-        val m = spark.sparkContext.statusTracker.getJobIdsForGroup("bpe-load").length
-        if (m == jobs) stable += 1 else { jobs = m; stable = 0 }
-      }
+      val jobs = graft.SparkSpec.jobsInGroup(spark, "bpe-load")
       assert(jobs > 0 && jobs <= 3,
         s"merge-table load ran $jobs jobs — is it re-training?")
 
@@ -96,11 +86,7 @@ class StoredIndexSpec extends SparkSpec {
       }.flatten
       assert(exprs.exists(_.isInstanceOf[BpeApplyAll]))
       assert(!exprs.exists(_.isInstanceOf[BpeMergeStep]))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
   test("stored bigram LM: x59 scoring from the persisted table is one corpus scan") {
@@ -141,10 +127,6 @@ class StoredIndexSpec extends SparkSpec {
         s"stored-LM scoring must scan the corpus once, found ${docScans.size}")
       assert(rows == SparkEntry.queries("x59_lm_coverage")(spark, sf001).collect().toSeq,
         "stored-LM scoring must equal the in-query form row for row")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 }

@@ -55,10 +55,6 @@ class StreamingIncrementalLshSpec extends SparkSpec {
       assert(results(101L).isEmpty, "genuinely new doc must pass")
       assert(results(102L).contains(10L),
         s"batch-2 near-copy must match standing doc 10: ${results(102L)}")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(idxBase).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.StoredArtifacts.deleteTree(idxBase.toString)
   }
 }
