@@ -526,3 +526,84 @@ case class PqAdcScore(child: Expression, k: Int,
   override protected def withNewChildInternal(newChild: Expression): PqAdcScore =
     copy(child = newChild)
 }
+
+/** Residual-PQ ADC scoring — the faiss-IVFPQ formulation: codes quantize
+  * the RESIDUAL x − c_cell, so the reconstruction is x̂ = c_cell + r̂ and
+  * cosine needs three LUT families plus two per-cell scalars, all built
+  * once per query on the driver:
+  *
+  *   dot(q, x̂)  = qDotCell(cell) + Σ_m lutDot(m·k + code_m)
+  *   ‖x̂‖²      = cellNorm2(cell) + Σ_m [ 2·lutCross((ci·m + m)·k + code_m)
+  *                                        + lutResidNorm(m·k + code_m) ]
+  *
+  * where `lutCross` is PER PROBED CELL (dot of the cell centroid's
+  * subspace slice with each residual centroid — the term a raw-PQ ADC
+  * does not need), and subspace cross-terms of r̂ vanish because
+  * reconstruction is concatenation. The score is therefore the EXACT
+  * cosine of q and the reconstruction; residual quantization shrinks
+  * ‖x − x̂‖ versus raw PQ because each subspace codebook only has to
+  * cover the within-cell spread, not the coarse structure. A row from a
+  * cell outside `probedCells`, an out-of-range code, or a zero
+  * reconstruction scores null.
+  */
+case class PqAdcResidualScore(left: Expression, right: Expression, k: Int,
+    probedCells: Seq[Int], lutDot: Seq[Double], lutResidNorm: Seq[Double],
+    lutCross: Seq[Double], qDotCell: Seq[Double], cellNorm2: Seq[Double],
+    qnorm: Double)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_residual_score"
+  private def m: Int = lutDot.length / k
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        if (k < 1 || lutDot.isEmpty || lutDot.length % k != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: lutDot must be a non-empty multiple of k, got ${lutDot.length}")
+        else if (lutResidNorm.length != lutDot.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: lutResidNorm length ${lutResidNorm.length} != lutDot ${lutDot.length}")
+        else if (lutCross.length != probedCells.length * lutDot.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: lutCross length ${lutCross.length} != cells×m×k " +
+              s"${probedCells.length * lutDot.length}")
+        else if (qDotCell.length != probedCells.length ||
+            cellNorm2.length != probedCells.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: per-cell scalars must match probedCells ${probedCells.length}")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expects (array<int> codes, int cell), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val ld = lutDot.toArray
+  @transient private lazy val lr = lutResidNorm.toArray
+  @transient private lazy val lc = lutCross.toArray
+  @transient private lazy val cellIdx: Map[Int, Int] = probedCells.zipWithIndex.toMap
+
+  override def nullSafeEval(codesAny: Any, cellAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val ci = cellIdx.getOrElse(cellAny.asInstanceOf[Int], -1)
+    if (ci < 0 || codes.numElements() != m) return null
+    var dot = qDotCell(ci)
+    var n2 = cellNorm2(ci)
+    var sub = 0
+    while (sub < m) {
+      if (codes.isNullAt(sub)) return null
+      val c = codes.getInt(sub)
+      if (c < 0 || c >= k) return null
+      val i = sub * k + c
+      dot += ld(i)
+      n2 += 2.0 * lc(ci * m * k + i) + lr(i)
+      sub += 1
+    }
+    val denom = qnorm * math.sqrt(math.max(n2, 0.0))
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcResidualScore =
+    copy(left = newLeft, right = newRight)
+}

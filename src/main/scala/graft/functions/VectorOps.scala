@@ -59,4 +59,12 @@ object VectorOps {
   def pqAdcScore(codes: Column, k: Int, lutDot: Seq[Double], lutNorm: Seq[Double],
       qnorm: Double): Column =
     ColumnGlue.column(PqAdcScore(ColumnGlue.expression(codes), k, lutDot, lutNorm, qnorm))
+
+  /** Residual-PQ ADC cosine over (codes, cell) (see [[PqAdcResidualScore]]). */
+  def pqAdcResidualScore(codes: Column, cell: Column, k: Int, probedCells: Seq[Int],
+      lutDot: Seq[Double], lutResidNorm: Seq[Double], lutCross: Seq[Double],
+      qDotCell: Seq[Double], cellNorm2: Seq[Double], qnorm: Double): Column =
+    ColumnGlue.column(PqAdcResidualScore(
+      ColumnGlue.expression(codes), ColumnGlue.expression(cell), k, probedCells,
+      lutDot, lutResidNorm, lutCross, qDotCell, cellNorm2, qnorm))
 }

@@ -751,9 +751,10 @@ object Similarity {
     * compression, the billion-scale serving layout proper: codes (not
     * vectors) stored cluster-partitioned, so a probe reads nprobe
     * directories of m-int codes and float vectors exist nowhere on the
-    * read path. PQ here quantizes raw vectors; the residual refinement
-    * (encode x − coarse_centroid, per-cell LUTs at probe time) is the
-    * known next step and changes LUT construction, not this layout.
+    * read path. PQ here quantizes raw vectors — the simpler estimator;
+    * [[writeIvfPqResidualIndex]]/x70 is the residual refinement (encode
+    * x − coarse_centroid, per-cell LUTs at probe time) on this same
+    * layout.
     */
   def writeIvfPqIndex(e: DataFrame, outDir: String, iters: Int,
       m: Int, kSub: Int): Unit = {
@@ -800,6 +801,124 @@ object Similarity {
       .select(col("vec_id"),
         ProductQuantizer.adcScore(col("codes"), cb, qvec).as("sim_adc"))
   }
+
+  /** Build the RESIDUAL IVF-PQ index — the refinement x68's scaladoc
+    * names, and what faiss's IVFPQ does by default: codes quantize
+    * x − c_cell instead of x, so each subspace codebook covers only the
+    * within-cell spread (smaller reconstruction error at the same code
+    * budget). Residuals are computed in the same ingest pass as the cell
+    * assignment; the zip_with arithmetic is interpreted HOF — acceptable
+    * at ingest, never on the read path.
+    */
+  def writeIvfPqResidualIndex(e: DataFrame, outDir: String, iters: Int,
+      m: Int, kSub: Int): Unit = {
+    import graft.operators.{KMeans, ProductQuantizer}
+    val s = e.sparkSession
+    import s.implicits._
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val seed = KMeans.seedFromGroups(
+      e.select(col("label"), col("embedding")), "label", "embedding")
+    val (_, coarse, _) = KMeans.refine(vecs, seed, iters)
+    coarse.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    val centLit = typedLit(coarse.map(_.toSeq))
+    val resid = KMeans.assign(vecs, coarse)
+      .select(col("id").as("vec_id"),
+        zip_with(col("vec").cast("array<double>"),
+          element_at(centLit, col("cluster") + 1),
+          (a, b) => a - b).as("resid"),
+        col("cluster"))
+      .localCheckpoint(true) // residuals feed trainer AND encoder
+    val cb = ProductQuantizer.train(resid.select(col("vec_id"), col("resid")), m, kSub, iters)
+    ProductQuantizer.writeCodebooks(s, cb, s"$outDir/codebooks")
+    resid.select(col("vec_id"),
+        graft.functions.VectorOps
+          .pqEncode(col("resid"), cb.m, cb.dsub, cb.flat.toSeq).as("codes"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/codes")
+  }
+
+  /** Residual IVF-PQ probe: cell selection is PURE DRIVER arithmetic (the
+    * coarse table is already k×dim in memory), the per-cell LUTs (incl.
+    * the centroid×residual cross terms raw PQ doesn't need) are built
+    * once per query, and the scan is nprobe pruned directories of codes
+    * scored by one kernel node.
+    */
+  def probeIvfPqResidual(s: SparkSession, indexDir: String, qvec: Array[Double],
+      nprobe: Int): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val cb = ProductQuantizer.readCodebooks(s, indexDir)
+    val coarse = readIvfCentroids(s, indexDir)
+    val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    val cells = coarse.zipWithIndex
+      .map { case (c, j) => j -> dot(qvec, c) / (qnorm * math.sqrt(dot(c, c))) }
+      .sortBy { case (j, sim) => (-sim, j) }
+      .take(nprobe).map(_._1)
+    val mk = cb.m * cb.k
+    val lutDot = new Array[Double](mk)
+    val lutResidNorm = new Array[Double](mk)
+    for (sub <- 0 until cb.m; c <- 0 until cb.k) {
+      val cent = cb.centroid(sub, c)
+      var d = 0.0; var n2 = 0.0
+      for (i <- 0 until cb.dsub) {
+        d += qvec(sub * cb.dsub + i) * cent(i)
+        n2 += cent(i) * cent(i)
+      }
+      lutDot(sub * cb.k + c) = d
+      lutResidNorm(sub * cb.k + c) = n2
+    }
+    val lutCross = new Array[Double](cells.length * mk)
+    val qDotCell = new Array[Double](cells.length)
+    val cellNorm2 = new Array[Double](cells.length)
+    for ((cell, ci) <- cells.zipWithIndex) {
+      val cc = coarse(cell)
+      qDotCell(ci) = dot(qvec, cc)
+      cellNorm2(ci) = dot(cc, cc)
+      for (sub <- 0 until cb.m; c <- 0 until cb.k) {
+        val cent = cb.centroid(sub, c)
+        var x = 0.0
+        for (i <- 0 until cb.dsub) x += cc(sub * cb.dsub + i) * cent(i)
+        lutCross(ci * mk + sub * cb.k + c) = x
+      }
+    }
+    s.read.parquet(s"$indexDir/codes")
+      .where(col("cluster").isin(cells: _*))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.pqAdcResidualScore(
+          col("codes"), col("cluster"), cb.k, cells,
+          lutDot.toSeq, lutResidNorm.toSeq, lutCross.toSeq,
+          qDotCell.toSeq, cellNorm2.toSeq, qnorm).as("sim_adc"))
+  }
+
+  // Residual IVF-PQ serving scan — x68 with the faiss-default residual
+  // refinement: codes quantize x − c_cell, the probe's per-cell LUTs add
+  // the centroid×residual cross terms, and the ADC estimate is the exact
+  // cosine of q and c_cell + r̂. Same pruned, float-free read path as x68
+  // with strictly smaller reconstruction error at the same code budget
+  // (PqSpec pins both the exactness and the error reduction).
+  private val x70 = GQuery(
+    "x70_ann_ivfpq_residual", "ext-similarity-ann compression stored-artifact",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivfpqr_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfPqResidualIndex(e, store, iters = 2, m = 8, kSub = 16)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      probeIvfPqResidual(s, store, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim_adc").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // quantized + probe subset: gated by PqSpec, rows-only here
 
   // IVF-PQ serving scan — the composition the two previous entries build
   // toward: x62's nprobe partition pruning over x67's 8x-compressed codes.
@@ -850,5 +969,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68)
+      x65, x67, x68, x70)
 }

@@ -117,6 +117,87 @@ class PqSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  // coarse structure + within-cell detail in the SAME subspace: raw PQ's
+  // k=4 codebook must spend centroids on the 3 distant coarse groups and
+  // cannot also resolve the within-group spread; residual PQ only ever
+  // sees the pooled within-cell spread
+  private lazy val offsetCorpus = {
+    import spark.implicits._
+    val rows = for { c <- 0 until 3; j <- 0 until 5 } yield {
+      val v = Array.fill(24)(0.0f)
+      v(0) = 10f * (c + 1) + 0.1f * j
+      v(6) = 1.0f
+      ((c * 10 + j).toLong, v, s"c$c")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("residual ADC equals the exact cosine of c_cell + residual reconstruction") {
+    import graft.queries.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-pqr")
+    val idx = base.resolve("pqr").toString
+    try {
+      Similarity.writeIvfPqResidualIndex(offsetCorpus, idx, iters = 2, m = 4, kSub = 4)
+      val q = Array.tabulate(24)(i =>
+        if (i == 0) 20.2 else if (i == 6) 1.0 else 0.0)
+      val got = Similarity.probeIvfPqResidual(spark, idx, q, nprobe = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == 15, "nprobe=3 covers every cell")
+      val cb = ProductQuantizer.readCodebooks(spark, idx)
+      val coarse = Similarity.readIvfCentroids(spark, idx)
+      val codeRows = spark.read.parquet(s"$idx/codes").collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Int](r.fieldIndex("codes")).toArray,
+          r.getInt(r.fieldIndex("cluster"))))
+      for ((id, codes, cell) <- codeRows) {
+        val rec = coarse(cell).clone()
+        for (sub <- 0 until cb.m; d <- 0 until cb.dsub)
+          rec(sub * cb.dsub + d) += cb.centroid(sub, codes(sub))(d)
+        assert(math.abs(got(id) - cos(q, rec)) < 1e-9,
+          s"vec $id: residual ADC ${got(id)} != cos(q, c + r̂) ${cos(q, rec)}")
+      }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("residual quantization reconstructs strictly better than raw PQ at the same code budget") {
+    import graft.queries.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-pqr2")
+    val idx = base.resolve("pqr").toString
+    try {
+      Similarity.writeIvfPqResidualIndex(offsetCorpus, idx, iters = 2, m = 4, kSub = 4)
+      val cb = ProductQuantizer.readCodebooks(spark, idx)
+      val coarse = Similarity.readIvfCentroids(spark, idx)
+      val vecs = offsetCorpus.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      val residErr = spark.read.parquet(s"$idx/codes").collect().map { r =>
+        val (id, codes, cell) = (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Int](r.fieldIndex("codes")).toArray, r.getInt(r.fieldIndex("cluster")))
+        val rec = coarse(cell).clone()
+        for (sub <- 0 until cb.m; d <- 0 until cb.dsub)
+          rec(sub * cb.dsub + d) += cb.centroid(sub, codes(sub))(d)
+        math.sqrt(vecs(id).zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sum / 15.0
+      val cbRaw = ProductQuantizer.train(
+        offsetCorpus.select(col("vec_id"), col("embedding")), m = 4, k = 4, iters = 2)
+      val rawErr = ProductQuantizer.encode(
+          offsetCorpus.select(col("vec_id"), col("embedding")), cbRaw)
+        .collect().map { r =>
+          val (id, codes) = (r.getLong(0), r.getSeq[Int](1).toArray)
+          val rec = codes.zipWithIndex.flatMap { case (c, sub) => cbRaw.centroid(sub, c) }
+          math.sqrt(vecs(id).zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.sum / 15.0
+      assert(residErr < rawErr,
+        s"residual recon error $residErr must beat raw PQ $rawErr on coarse+detail structure")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("x70 registry entry serves from the stored residual index, deterministically") {
+    val got = graft.SparkEntry.queries("x70_ann_ivfpq_residual")(spark, sf001).collect()
+    assert(got.length == 20)
+    val again = graft.SparkEntry.queries("x70_ann_ivfpq_residual")(spark, sf001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("x67 registry entry serves top-20 from the stored PQ index, deterministically") {
     val got = graft.SparkEntry.queries("x67_ann_pq_adc")(spark, sf001).collect()
     assert(got.length == 20)
