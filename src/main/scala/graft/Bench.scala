@@ -83,7 +83,10 @@ object Bench {
     require(ids.distinct.size == ids.size, s"non-unique bench ids: $ids")
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // an all-fail query reports -1 in its own entry; letting the sentinel
+    // into the SUM would shrink the total by a second per broken query —
+    // a regression disguised as an improvement
+    val total = results.map(_._2).filter(_ >= 0).sum
     // basename only: the full testdata path spent 19 characters of the
     // bounded tail window on a constant prefix
     val sfName = new java.io.File(sfDir).getName

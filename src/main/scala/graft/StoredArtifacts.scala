@@ -18,23 +18,46 @@ package graft
   */
 object StoredArtifacts {
 
-  /** Artifact directory for (source dataset dir, artifact name). The key
-    * hashes the source PATH plus its last-modified time, so regenerating a
-    * fixture in place orphans the old artifacts instead of serving indexes
-    * trained on vanished data (an orphaned build is re-paid once — cheap;
-    * a stale index is silently wrong). Builder-CODE changes are still the
-    * `_vN` suffix's job: bump it whenever the artifact format or training
-    * behavior changes.
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Artifact directory for (source dataset dir, artifact name). The key is
+    * `<pathHash>_<stateHash>`: the state half hashes every top-level entry's
+    * (name, size, file mtime) — FILE mtimes, because a fixture regenerated
+    * by truncate+overwrite changes no directory mtime and no entry name —
+    * so any regeneration re-keys and the old index is never served against
+    * vanished data (a re-build is re-paid once — cheap; a stale index is
+    * silently wrong). The path half is stable per source dir, which lets
+    * [[dir]] SWEEP superseded generations of the same source on each call:
+    * disk holds at most one artifact generation per fixture. Builder-CODE
+    * changes are still the `_vN` suffix's job: bump it whenever the
+    * artifact format or training behavior changes.
     */
   def dir(sfDir: String, name: String): String = {
+    import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(sfDir)
-    val mtime =
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.getLastModifiedTime(p).toMillis.toString
+    val state =
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq.sortBy(_.toString)
+          .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+          .mkString("|")
       else "absent"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir@$mtime".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_artifacts/$key/$name"
+    val pathKey = md5(sfDir).take(8)
+    val stateKey = md5(state).take(8)
+    val root = java.nio.file.Paths.get(s"${sys.props("java.io.tmpdir")}/graft_artifacts")
+    val current = s"${pathKey}_$stateKey"
+    // sweep superseded generations of THIS source (same path hash, other
+    // state) — single-writer harness, so nothing can be mid-read on them
+    if (java.nio.file.Files.isDirectory(root))
+      java.nio.file.Files.list(root).iterator().asScala.toSeq
+        .filter { d =>
+          val n = d.getFileName.toString
+          n.startsWith(s"${pathKey}_") && n != current
+        }
+        .foreach(d => deleteTree(d.toString))
+    s"$root/$current/$name"
   }
 
   /** True iff a parquet write to `path` COMPLETED (committer `_SUCCESS`

@@ -532,9 +532,9 @@ case class PqAdcScore(child: Expression, k: Int,
   * cosine needs three LUT families plus two per-cell scalars, all built
   * once per query on the driver:
   *
-  *   dot(q, x̂)  = qDotCell(cell) + Σ_m lutDot(m·k + code_m)
-  *   ‖x̂‖²      = cellNorm2(cell) + Σ_m [ 2·lutCross((ci·m + m)·k + code_m)
-  *                                        + lutResidNorm(m·k + code_m) ]
+  *   dot(q, x̂)  = qDotCell(cell) + Σ_sub lutDot(sub·k + code_sub)
+  *   ‖x̂‖²      = cellNorm2(cell) + Σ_sub [ 2·lutCross((ci·m + sub)·k + code_sub)
+  *                                          + lutResidNorm(sub·k + code_sub) ]
   *
   * where `lutCross` is PER PROBED CELL (dot of the cell centroid's
   * subspace slice with each residual centroid — the term a raw-PQ ADC

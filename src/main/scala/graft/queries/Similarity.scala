@@ -246,9 +246,10 @@ object Similarity {
     * — a crash mid-swap leaves either the complete old inputs or the
     * complete new generation on disk, recoverable by hand. What this
     * single-writer form does NOT give is atomicity against CONCURRENT
-    * readers (a probe between the two renames can pair new centroids with
-    * old cells): production flips a manifest pointer to a generation
-    * directory instead — documented simplification, not hidden.
+    * readers (cells swap before centroids, so a probe between the two
+    * renames can pair NEW cells with OLD centroids): production flips a
+    * manifest pointer to a generation directory instead — documented
+    * simplification, not hidden.
     */
   def compactIvfIndex(s: SparkSession, indexDir: String, segments: Seq[String],
       iters: Int): Unit = {
@@ -851,6 +852,8 @@ object Similarity {
     import graft.operators.ProductQuantizer
     val cb = ProductQuantizer.readCodebooks(s, indexDir)
     val coarse = readIvfCentroids(s, indexDir)
+    require(qvec.length == cb.m * cb.dsub,
+      s"query dim ${qvec.length} != index dim ${cb.m * cb.dsub}")
     val qnorm = math.sqrt(qvec.map(x => x * x).sum)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var i = 0; var d = 0.0
