@@ -125,8 +125,11 @@ object Bpe {
     * characters first in Unicode code-point order (ids 0..C-1 — the UTF-8
     * byte order every other BPE convention in this operator uses), then
     * one id per merge in rank order (id C + rank). This is the standard
-    * BPE vocabulary numbering: stable across runs, and ids are dense so a
-    * trainer can size its embedding table to `vocabSize`.
+    * BPE vocabulary numbering: stable across runs, and ids are BOUNDED by
+    * `nChars + nMerges` — NOT dense: duplicate merge surfaces dedupe to
+    * the min id (leaving holes), while merge ids are `C + rank`
+    * regardless, so a trainer must size its embedding table to
+    * `nChars + maxRank + 1`, not to the distinct-symbol count.
     *
     * Two merges can legally produce the SAME surface string ((a,bc) and
     * (ab,c) both yield "abc"); encode joins by symbol, so the table keeps

@@ -296,14 +296,26 @@ object Similarity {
     */
   def probeStoredIvf(s: SparkSession, indexDir: String, qvec: Array[Double],
       nprobe: Int, segments: Seq[String] = Seq("cells")): DataFrame = {
+    // cell selection is pure driver arithmetic — the coarse table is k×dim,
+    // already a driver value by the IVF contract (same discipline as the
+    // residual probe), and reading it here is where the query/index
+    // dimension mismatch fails FAST instead of scoring all-null
+    val coarse = readIvfCentroids(s, indexDir)
+    require(coarse.nonEmpty, s"empty centroid table under $indexDir")
+    require(qvec.length == coarse.head.length,
+      s"query dim ${qvec.length} != index dim ${coarse.head.length}")
+    val qn = math.sqrt(qvec.map(x => x * x).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    val cells = coarse.zipWithIndex
+      .map { case (c, j) => j -> dot(qvec, c) / (qn * math.sqrt(dot(c, c))) }
+      .sortBy { case (j, sim) => (-sim, j) }
+      .take(nprobe).map(_._1)
     val qcol = typedLit(qvec)
-    val qnorm = lit(math.sqrt(qvec.map(x => x * x).sum))
-    val cells = s.read.parquet(s"$indexDir/centroids")
-      .select(col("cluster"),
-        VectorOps.cosinePreNorm(col("centroid"), qcol, qnorm).as("csim"))
-      .orderBy(col("csim").desc, col("cluster"))
-      .limit(nprobe)
-      .select("cluster").collect().map(_.getInt(0)).toSeq
+    val qnorm = lit(qn)
     segments.map { seg =>
       s.read.parquet(s"$indexDir/$seg")
         .where(col("cluster").isin(cells: _*))
@@ -789,14 +801,22 @@ object Similarity {
       nprobe: Int): DataFrame = {
     import graft.operators.ProductQuantizer
     val cb = ProductQuantizer.readCodebooks(s, indexDir)
-    val qcol = typedLit(qvec)
-    val qnorm = lit(math.sqrt(qvec.map(x => x * x).sum))
-    val cells = s.read.parquet(s"$indexDir/centroids")
-      .select(col("cluster"),
-        VectorOps.cosinePreNorm(col("centroid"), qcol, qnorm).as("csim"))
-      .orderBy(col("csim").desc, col("cluster"))
-      .limit(nprobe)
-      .select("cluster").collect().map(_.getInt(0)).toSeq
+    require(qvec.length == cb.m * cb.dsub,
+      s"query dim ${qvec.length} != index dim ${cb.m * cb.dsub}")
+    // driver-arithmetic cell selection (see probeStoredIvf): the coarse
+    // table is already a driver value, and the dim guard above fails fast
+    // before any scan is planned
+    val coarse = readIvfCentroids(s, indexDir)
+    val qn = math.sqrt(qvec.map(x => x * x).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    val cells = coarse.zipWithIndex
+      .map { case (c, j) => j -> dot(qvec, c) / (qn * math.sqrt(dot(c, c))) }
+      .sortBy { case (j, sim) => (-sim, j) }
+      .take(nprobe).map(_._1)
     s.read.parquet(s"$indexDir/codes")
       .where(col("cluster").isin(cells: _*))
       .select(col("vec_id"),

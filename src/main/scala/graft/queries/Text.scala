@@ -802,16 +802,27 @@ object Text {
     None) // gated by StoredIndexSpec: row-identical to x61, read-only serving path
 
   // Trainer-ready id encoding — the artifact a training run actually
-  // consumes: every document as a dense array<int> of BPE ids under the
-  // stored tokenizer (x63's merge table + a stored symbol→id vocabulary:
-  // base characters in code-point order, then one id per merge rank — the
-  // standard numbering, so embedding tables size to vocabSize). Unseen-at-
-  // training characters encode to -1 (explicit OOV, never a silent drop;
-  // zero here since the vocab derives from this corpus — the OOV path is
-  // BpeSpec-pinned). Scale shape: encode cost is vocab-bounded (distinct
-  // words segment once; symbol→id is one broadcast join), occurrences join
-  // back by word, and per-doc reassembly exchanges (doc_id, word-position,
+  // consumes: every document as an array<int> of BPE ids under the stored
+  // tokenizer (x63's merge table + a stored symbol→id vocabulary: base
+  // characters in code-point order, then one id per merge rank — the
+  // standard numbering; ids are BOUNDED by nChars + nMerges, with gaps
+  // where duplicate merge surfaces dedupe to the min id, so an embedding
+  // table sizes to nChars + maxRank + 1). Unseen-at-training characters
+  // encode to -1 (explicit OOV, never a silent drop; zero here since the
+  // vocab derives from this corpus — the OOV path is BpeSpec-pinned).
+  // Scale shape: encode cost is vocab-bounded (distinct words segment
+  // once; symbol→id is one broadcast join), occurrences join back by
+  // word, and per-doc reassembly exchanges (doc_id, word-position,
   // id-array) — text never shuffles.
+  //
+  // The REGISTERED output carries the id sequence as a scalar digest
+  // (xxhash64 of the comma-joined ids) rather than the raw array: the
+  // driver's canonicalizer sorts result rows by every column and cannot
+  // sort raw array cells (r6 verdict — the only registry query emitting
+  // one crashed its row). The raw array<int> form stays available as
+  // `Bpe.encodeVocabIds`, pinned by BpeSpec's decode round-trip; the
+  // digest is equality-faithful to it (same ids ⇔ same digest at
+  // fixture scale).
   private val x69 = GQuery(
     "x69_bpe_encode_ids", "ext-text vocab-apply trainer-artifact stored-artifact",
     (s, dir) => {
@@ -844,7 +855,8 @@ object Text {
         .select(col("doc_id"),
           size(col("ids")).cast("long").as("n_ids"),
           expr("size(filter(ids, x -> x = -1))").cast("long").as("n_oov"),
-          col("ids"))
+          xxhash64(array_join(col("ids").cast("array<string>"), ","))
+            .as("ids_digest"))
         .orderBy("doc_id")
     },
     None) // BPE-derived ids: gated by BpeSpec round-trip + OOV pins
