@@ -324,6 +324,70 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** BATCH serving probe — [[probeStoredIvf]] generalized from one
+    * driver-resident query vector to a whole query TABLE, the shape real
+    * serving runs (thousands of queries per pass, not one `.head()`):
+    *
+    *   1. per-query cell selection is a narrow projection of the batch
+    *      against the k centroid LITERALS (the same k×dim driver value the
+    *      single probe uses) + a bounded per-query top-nprobe
+    *      (GroupedTopK: ≤ nprobe rows per query per partition cross the
+    *      shuffle, and only (q_id, cluster, csim) ever moves — never a
+    *      corpus row);
+    *   2. the UNION of probed cells collapses to a driver literal (≤ k
+    *      ints, batch-independent) so the cell scan is still statically
+    *      partition-pruned — and it runs ONCE for the whole batch, not
+    *      once per query;
+    *   3. each scanned code row joins the broadcast (q_id, cluster, qvec,
+    *      qnorm) probe table on `cluster`, so a row is scored against
+    *      exactly the queries probing its cell.
+    *
+    * Returns (q_id, vec_id, sim) candidates; callers exclude and top-k
+    * per query (GroupedTopK again). Per-query results are identical to N
+    * single-vector probes — StoredAnnSpec pins the equality and the
+    * one-scan plan. At a batch too large to broadcast, the same plan
+    * holds with the probe table shuffled on `cluster` instead (both
+    * sides cluster-keyed — a co-located join); the fixture batch is
+    * broadcast-sized, the common serving case.
+    *
+    * @param queries first column: query id (long), second: vector. A
+    *                query whose vector length differs from the index dim
+    *                scores null (per-row data problem, surfaced not
+    *                dropped); the all-null case is the single probe's
+    *                fail-fast guard, which batch rows cannot use.
+    */
+  def probeStoredIvfBatch(s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int, segments: Seq[String] = Seq("cells")): DataFrame = {
+    import graft.plans.GroupedTopKOps
+    GroupedTopKOps.ensureInstalled(s)
+    val coarse = readIvfCentroids(s, indexDir)
+    require(coarse.nonEmpty, s"empty centroid table under $indexDir")
+    val q = queries.select(
+        col(queries.columns(0)).cast("long").as("q_id"),
+        col(queries.columns(1)).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", VectorOps.l2norm(col("qvec")))
+    val centLit = typedLit(coarse.map(_.toSeq))
+    val scoredCells = q
+      .select(col("q_id"), col("qvec"), col("qnorm"), posexplode(centLit))
+      .select(col("q_id"), col("qvec"), col("qnorm"),
+        col("pos").as("cluster"),
+        VectorOps.cosinePreNorm(col("col"), col("qvec"), col("qnorm")).as("csim"))
+    // tie-break (csim desc, cluster asc) matches the single probe's
+    // (-sim, j) exactly — same kernel summation order, same cells chosen
+    val probeSel = GroupedTopKOps.groupedTopK(scoredCells, Seq(col("q_id")),
+        Seq(col("csim").desc, col("cluster")), k = nprobe)
+      .select(col("q_id"), col("cluster"), col("qvec"), col("qnorm"))
+    val cells = probeSel.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    segments.map { seg =>
+      s.read.parquet(s"$indexDir/$seg")
+        .where(col("cluster").isin(cells: _*))
+    }.reduce(_ unionAll _)
+      .join(broadcast(probeSel), Seq("cluster"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm")).as("sim"))
+  }
+
   // ANN top-k from the STORED IVF index — the serving shape x07b's scaladoc
   // promised ("assignments precomputed at ingest as a partition key"): built
   // on first touch (graft.StoredArtifacts), then every invocation is
@@ -966,6 +1030,32 @@ object Similarity {
     },
     None) // quantized + probe subset: gated by PqSpec, rows-only here
 
+  // BATCH ANN serving from the stored IVF index — x62 without its one-
+  // query-per-pass limitation: an 8-query batch probes the index in ONE
+  // pruned scan of the unioned nprobe cells, each scanned row scored
+  // against exactly the queries probing its cell, per-query top-10 via
+  // GroupedTopK bounded heaps. Shares x62's stored artifact (built on
+  // first touch); StoredAnnSpec pins per-query equality with N single
+  // probes and the single-scan plan.
+  private val x71 = GQuery(
+    "x71_ann_ivf_batch", "ext-similarity-ann stored-artifact serving-path batch-serving",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeIvfIndex(e, store, iters = 2)
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val cands = probeStoredIvfBatch(s, store, queries, nprobe = 6)
+        .where(col("vec_id") =!= col("q_id"))
+      GroupedTopKOps.groupedTopK(cands, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id")), k = 10)
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    },
+    None) // approximate (probe subset): rows-only check + StoredAnnSpec
+
   // Incremental semantic dedup — x32/x52's ingest-cycle shape for MEANING:
   // the standing slice (vec_id < 250) built its index once (2 Lloyd
   // refinements, per-cluster representatives — persisted via
@@ -992,5 +1082,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70)
+      x65, x67, x68, x70, x71)
 }

@@ -139,6 +139,82 @@ class StoredAnnSpec extends SparkSpec {
     assert(again == ids, "delta overwrite keeps the append idempotent")
   }
 
+  test("batch IVF probe: per-query candidates equal N single probes, served by ONE pruned scan of the unioned cells") {
+    val base = Files.createTempDirectory("graft-ivfbatch")
+    val idx = base.resolve("ivf").toString
+    try {
+      val e = Tables(spark, sf001, "embeddings")
+      Similarity.writeIvfIndex(e, idx, iters = 2)
+      val qRows = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      // query batch built from literals so the probe plan is index-only
+      import spark.implicits._
+      val queries = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("q_id", "qvec")
+
+      spark.sparkContext.setJobGroup("ivf-batch", "batch probe")
+      val batch = Similarity.probeStoredIvfBatch(spark, idx, queries, nprobe = 4)
+      val got = batch.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        }
+      spark.sparkContext.clearJobGroup()
+
+      // the whole batch is a BATCH-INDEPENDENT number of jobs — centroid
+      // read, the cell-selection shuffle (materialized twice: once for
+      // the union-of-cells collect, once inside the final plan), the
+      // scored scan. 8 single probes would run ~24; the bound catches a
+      // regression to per-query probing while allowing AQE stage jobs.
+      val batchJobs = jobsInGroup("ivf-batch")
+      assert(batchJobs > 0 && batchJobs <= 10,
+        s"batch probe ran $batchJobs jobs — is it probing per query?")
+
+      // per-query candidate sets and scores are IDENTICAL to the single-
+      // vector probe path (same cells chosen, same kernel arithmetic)
+      assert(got.keySet == qRows.map(_._1).toSet, "one candidate set per query")
+      for ((qid, qv) <- qRows) {
+        val single = Similarity.probeStoredIvf(spark, idx, qv, nprobe = 4)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got(qid).keySet == single.keySet,
+          s"query $qid: batch candidates != single-probe candidates")
+        for ((id, sim) <- single)
+          assert(math.abs(got(qid)(id) - sim) < 1e-12,
+            s"query $qid id $id: batch sim ${got(qid)(id)} != single $sim")
+      }
+
+      // plan discipline: the cells table is scanned ONCE for the whole
+      // batch (that is the point of batching), the scan is partition-
+      // pruned, and no non-index file is read
+      val scans = SparkSpec.allPlanNodes(batch.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.forall(_.metadata.get("Location").exists(_.contains("graft-ivfbatch"))),
+        s"batch probe must scan only the stored index:\n${batch.queryExecution.executedPlan}")
+      val cellScans = scans.filter(_.metadata.get("Location").exists(_.contains("cells")))
+      assert(cellScans.length == 1,
+        s"cells must be scanned exactly once for the whole batch, got ${cellScans.length}")
+      assert(cellScans.head.metadata.getOrElse("PartitionFilters", "").contains("cluster"),
+        "the unioned cell filter must prune partitions")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("x71 registry entry serves per-query top-10 for the whole batch deterministically") {
+    val got = SparkEntry.queries("x71_ann_ivf_batch")(spark, sf001).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet, s"one group per batch query: ${byQ.keySet}")
+    for ((q, rows) <- byQ) {
+      assert(rows.length == 10, s"query $q: expected top-10, got ${rows.length}")
+      assert(!rows.map(_.getLong(1)).contains(q), s"query $q must exclude itself")
+      val sims = rows.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, s"query $q results must be sim-descending")
+    }
+    val again = SparkEntry.queries("x71_ann_ivf_batch")(spark, sf001).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "batch serving must be deterministic across invocations")
+  }
+
   test("x62 registry entry serves from the shared stored index and stays within the recall gate") {
     val got = SparkEntry.queries("x62_ann_ivf_stored")(spark, sf001)
       .collect().map(_.getLong(0)).toSet
