@@ -411,10 +411,19 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, nTables: Int, seed
   *
   * A vector whose length is not `m · dsub`, or with a null element, encodes
   * to null — surfacing corrupt embeddings instead of a plausible code.
+  *
+  * With `packed = true` the output is BINARY — `m` unsigned bytes instead
+  * of `m` 4-byte ints (requires k ≤ 256, which every production PQ uses:
+  * k = 256 IS the byte-code design point). This is the storage format's
+  * honest 32× compression (64 floats → 8 bytes); the int-array form
+  * remains for debuggability and back-compat, and both score through the
+  * same ADC kernels.
   */
-case class PqEncode(child: Expression, m: Int, dsub: Int, flat: Seq[Double])
+case class PqEncode(child: Expression, m: Int, dsub: Int, flat: Seq[Double],
+    packed: Boolean = false)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType =
+    if (packed) BinaryType else ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
   private def k: Int = if (m * dsub == 0) 0 else flat.length / (m * dsub)
@@ -428,6 +437,9 @@ case class PqEncode(child: Expression, m: Int, dsub: Int, flat: Seq[Double])
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName: codebook length ${flat.length} is not a positive " +
             s"multiple of m*dsub = ${m * dsub}")
+      case TypeCheckResult.TypeCheckSuccess if packed && k > 256 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: packed codes are unsigned bytes, k must be <= 256, got $k")
       case ok => ok
     }
 
@@ -462,7 +474,12 @@ case class PqEncode(child: Expression, m: Int, dsub: Int, flat: Seq[Double])
       out(sub) = best
       sub += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    if (packed) {
+      val b = new Array[Byte](m)
+      var i = 0
+      while (i < m) { b(i) = out(i).toByte; i += 1 }
+      b
+    } else UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
@@ -487,8 +504,11 @@ case class PqAdcScore(child: Expression, k: Int,
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "pq_adc_score"
+  // codes may be array<int> or BINARY (the byte-packed storage format —
+  // m unsigned bytes); both read through the same LUT arithmetic, so a
+  // packed index scores bit-identically to its unpacked form (PqSpec pins)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) =>
+    case ArrayType(IntegerType, _) | BinaryType =>
       if (k < 1)
         TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be >= 1, got $k")
       else if (lutDot.length != lutNorm.length || lutDot.isEmpty ||
@@ -498,26 +518,40 @@ case class PqAdcScore(child: Expression, k: Int,
             s"got ${lutDot.length} and ${lutNorm.length} with k=$k")
       else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName: codes must be array<int>, got ${other.catalogString}")
+      s"$prettyName: codes must be array<int> or binary, got ${other.catalogString}")
   }
 
   @transient private lazy val ld = lutDot.toArray
   @transient private lazy val ln = lutNorm.toArray
   private def m: Int = lutDot.length / k
+  private lazy val binary = child.dataType == BinaryType
 
   override def nullSafeEval(input: Any): Any = {
-    val codes = input.asInstanceOf[ArrayData]
-    if (codes.numElements() != m) return null
     var dot = 0.0
     var n2 = 0.0
-    var sub = 0
-    while (sub < m) {
-      if (codes.isNullAt(sub)) return null
-      val c = codes.getInt(sub)
-      if (c < 0 || c >= k) return null
-      dot += ld(sub * k + c)
-      n2 += ln(sub * k + c)
-      sub += 1
+    if (binary) {
+      val codes = input.asInstanceOf[Array[Byte]]
+      if (codes.length != m) return null
+      var sub = 0
+      while (sub < m) {
+        val c = codes(sub) & 0xff // unsigned byte code
+        if (c >= k) return null
+        dot += ld(sub * k + c)
+        n2 += ln(sub * k + c)
+        sub += 1
+      }
+    } else {
+      val codes = input.asInstanceOf[ArrayData]
+      if (codes.numElements() != m) return null
+      var sub = 0
+      while (sub < m) {
+        if (codes.isNullAt(sub)) return null
+        val c = codes.getInt(sub)
+        if (c < 0 || c >= k) return null
+        dot += ld(sub * k + c)
+        n2 += ln(sub * k + c)
+        sub += 1
+      }
     }
     val denom = qnorm * math.sqrt(n2)
     if (denom == 0.0) null else dot / denom
@@ -557,7 +591,7 @@ case class PqAdcResidualScore(left: Expression, right: Expression, k: Int,
   private def m: Int = lutDot.length / k
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(IntegerType, _), IntegerType) =>
+      case (ArrayType(IntegerType, _) | BinaryType, IntegerType) =>
         if (k < 1 || lutDot.isEmpty || lutDot.length % k != 0)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName: lutDot must be a non-empty multiple of k, got ${lutDot.length}")
@@ -574,7 +608,7 @@ case class PqAdcResidualScore(left: Expression, right: Expression, k: Int,
             s"$prettyName: per-cell scalars must match probedCells ${probedCells.length}")
         else TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: expects (array<int> codes, int cell), got " +
+        s"$prettyName: expects (array<int> or binary codes, int cell), got " +
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
@@ -582,22 +616,38 @@ case class PqAdcResidualScore(left: Expression, right: Expression, k: Int,
   @transient private lazy val lr = lutResidNorm.toArray
   @transient private lazy val lc = lutCross.toArray
   @transient private lazy val cellIdx: Map[Int, Int] = probedCells.zipWithIndex.toMap
+  private lazy val binary = left.dataType == BinaryType
 
   override def nullSafeEval(codesAny: Any, cellAny: Any): Any = {
-    val codes = codesAny.asInstanceOf[ArrayData]
     val ci = cellIdx.getOrElse(cellAny.asInstanceOf[Int], -1)
-    if (ci < 0 || codes.numElements() != m) return null
+    if (ci < 0) return null
     var dot = qDotCell(ci)
     var n2 = cellNorm2(ci)
-    var sub = 0
-    while (sub < m) {
-      if (codes.isNullAt(sub)) return null
-      val c = codes.getInt(sub)
-      if (c < 0 || c >= k) return null
-      val i = sub * k + c
-      dot += ld(i)
-      n2 += 2.0 * lc(ci * m * k + i) + lr(i)
-      sub += 1
+    if (binary) {
+      val codes = codesAny.asInstanceOf[Array[Byte]]
+      if (codes.length != m) return null
+      var sub = 0
+      while (sub < m) {
+        val c = codes(sub) & 0xff // unsigned byte code
+        if (c >= k) return null
+        val i = sub * k + c
+        dot += ld(i)
+        n2 += 2.0 * lc(ci * m * k + i) + lr(i)
+        sub += 1
+      }
+    } else {
+      val codes = codesAny.asInstanceOf[ArrayData]
+      if (codes.numElements() != m) return null
+      var sub = 0
+      while (sub < m) {
+        if (codes.isNullAt(sub)) return null
+        val c = codes.getInt(sub)
+        if (c < 0 || c >= k) return null
+        val i = sub * k + c
+        dot += ld(i)
+        n2 += 2.0 * lc(ci * m * k + i) + lr(i)
+        sub += 1
+      }
     }
     val denom = qnorm * math.sqrt(math.max(n2, 0.0))
     if (denom == 0.0) null else dot / denom

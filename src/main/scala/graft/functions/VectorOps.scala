@@ -51,9 +51,13 @@ object VectorOps {
   def lshBuckets(vec: Column, nPlanes: Int, nTables: Int): Column =
     ColumnGlue.column(HyperplaneBuckets(ColumnGlue.expression(vec), nPlanes, nTables, 0))
 
-  /** PQ encode: vector → `m` codebook indexes (see [[PqEncode]]). */
-  def pqEncode(vec: Column, m: Int, dsub: Int, flatCodebook: Seq[Double]): Column =
-    ColumnGlue.column(PqEncode(ColumnGlue.expression(vec), m, dsub, flatCodebook))
+  /** PQ encode: vector → `m` codebook indexes — `array<int>`, or BINARY
+    * (`m` unsigned bytes, the 32× storage format; requires k ≤ 256) when
+    * `packed` (see [[PqEncode]]).
+    */
+  def pqEncode(vec: Column, m: Int, dsub: Int, flatCodebook: Seq[Double],
+      packed: Boolean = false): Column =
+    ColumnGlue.column(PqEncode(ColumnGlue.expression(vec), m, dsub, flatCodebook, packed))
 
   /** PQ asymmetric-distance cosine over codes (see [[PqAdcScore]]). */
   def pqAdcScore(codes: Column, k: Int, lutDot: Seq[Double], lutNorm: Seq[Double],

@@ -60,12 +60,16 @@ object ProductQuantizer {
     Codebooks(m, dsub, k, flat)
   }
 
-  /** (id, codes array<int>) — one narrow pass through the PqEncode kernel. */
-  def encode(vecs: DataFrame, cb: Codebooks): DataFrame = {
+  /** (id, codes) — one narrow pass through the PqEncode kernel. `packed`
+    * stores codes as BINARY (`m` bytes/vector — the real 32× format;
+    * requires k ≤ 256) instead of `array<int>`; both score identically
+    * through [[adcScore]].
+    */
+  def encode(vecs: DataFrame, cb: Codebooks, packed: Boolean = false): DataFrame = {
     val idCol = vecs.columns(0)
     val vecCol = vecs.columns(1)
     vecs.select(col(idCol),
-      VectorOps.pqEncode(col(vecCol), cb.m, cb.dsub, cb.flat.toSeq).as("codes"))
+      VectorOps.pqEncode(col(vecCol), cb.m, cb.dsub, cb.flat.toSeq, packed).as("codes"))
   }
 
   /** ADC cosine of a literal query against a codes column: the two

@@ -803,12 +803,13 @@ object Similarity {
     (s, dir) => {
       import graft.operators.ProductQuantizer
       val e = emb(s, dir)
-      val store = graft.StoredArtifacts.dir(dir, "pq_index_v1")
+      val store = graft.StoredArtifacts.dir(dir, "pq_index_v2")
       if (!graft.StoredArtifacts.ready(s"$store/codes")) {
         val cb = ProductQuantizer.train(
           e.select(col("vec_id"), col("embedding")), m = 8, k = 16, iters = 2)
         ProductQuantizer.writeIndex(s, cb,
-          ProductQuantizer.encode(e.select(col("vec_id"), col("embedding")), cb),
+          ProductQuantizer.encode(e.select(col("vec_id"), col("embedding")), cb,
+            packed = true),
           store)
       }
       val cb = ProductQuantizer.readCodebooks(s, store)
@@ -852,7 +853,8 @@ object Similarity {
     KMeans.assign(vecs, coarse)
       .select(col("id").as("vec_id"),
         graft.functions.VectorOps
-          .pqEncode(col("vec"), cb.m, cb.dsub, cb.flat.toSeq).as("codes"),
+          .pqEncode(col("vec"), cb.m, cb.dsub, cb.flat.toSeq, packed = true)
+          .as("codes"),
         col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$outDir/codes")
@@ -919,7 +921,8 @@ object Similarity {
     ProductQuantizer.writeCodebooks(s, cb, s"$outDir/codebooks")
     resid.select(col("vec_id"),
         graft.functions.VectorOps
-          .pqEncode(col("resid"), cb.m, cb.dsub, cb.flat.toSeq).as("codes"),
+          .pqEncode(col("resid"), cb.m, cb.dsub, cb.flat.toSeq, packed = true)
+          .as("codes"),
         col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$outDir/codes")
@@ -994,7 +997,7 @@ object Similarity {
     "x70_ann_ivfpq_residual", "ext-similarity-ann compression stored-artifact",
     (s, dir) => {
       val e = emb(s, dir)
-      val store = graft.StoredArtifacts.dir(dir, "ivfpqr_index_v1")
+      val store = graft.StoredArtifacts.dir(dir, "ivfpqr_index_v2")
       if (!graft.StoredArtifacts.ready(s"$store/codes"))
         writeIvfPqResidualIndex(e, store, iters = 2, m = 8, kSub = 16)
       val qvec = e.where(col("vec_id") === 0)
@@ -1017,7 +1020,7 @@ object Similarity {
     "x68_ann_ivfpq", "ext-similarity-ann compression stored-artifact",
     (s, dir) => {
       val e = emb(s, dir)
-      val store = graft.StoredArtifacts.dir(dir, "ivfpq_index_v1")
+      val store = graft.StoredArtifacts.dir(dir, "ivfpq_index_v2")
       if (!graft.StoredArtifacts.ready(s"$store/codes"))
         writeIvfPqIndex(e, store, iters = 2, m = 8, kSub = 16)
       val qvec = e.where(col("vec_id") === 0)

@@ -145,9 +145,10 @@ class PqSpec extends SparkSpec {
       assert(got.size == 15, "nprobe=3 covers every cell")
       val cb = ProductQuantizer.readCodebooks(spark, idx)
       val coarse = Similarity.readIvfCentroids(spark, idx)
+      // codes are stored byte-packed (binary): read back as unsigned ints
       val codeRows = spark.read.parquet(s"$idx/codes").collect()
         .map(r => (r.getLong(r.fieldIndex("vec_id")),
-          r.getSeq[Int](r.fieldIndex("codes")).toArray,
+          r.getAs[Array[Byte]](r.fieldIndex("codes")).map(_ & 0xff),
           r.getInt(r.fieldIndex("cluster"))))
       for ((id, codes, cell) <- codeRows) {
         val rec = coarse(cell).clone()
@@ -171,7 +172,8 @@ class PqSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
       val residErr = spark.read.parquet(s"$idx/codes").collect().map { r =>
         val (id, codes, cell) = (r.getLong(r.fieldIndex("vec_id")),
-          r.getSeq[Int](r.fieldIndex("codes")).toArray, r.getInt(r.fieldIndex("cluster")))
+          r.getAs[Array[Byte]](r.fieldIndex("codes")).map(_ & 0xff),
+          r.getInt(r.fieldIndex("cluster")))
         val rec = coarse(cell).clone()
         for (sub <- 0 until cb.m; d <- 0 until cb.dsub)
           rec(sub * cb.dsub + d) += cb.centroid(sub, codes(sub))(d)
@@ -188,6 +190,53 @@ class PqSpec extends SparkSpec {
         }.sum / 15.0
       assert(residErr < rawErr,
         s"residual recon error $residErr must beat raw PQ $rawErr on coarse+detail structure")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("byte-packed codes are m bytes and score bit-identically to array<int> codes") {
+    val cb = ProductQuantizer.train(planted, m = 4, k = 4, iters = 2)
+    val ints = ProductQuantizer.encode(planted, cb)
+      .withColumnRenamed("codes", "codes_int")
+    val packed = ProductQuantizer.encode(planted, cb, packed = true)
+      .withColumnRenamed("codes", "codes_bin")
+    val q = Array.tabulate(24)(i => if (i == 0) 1.0 else if (i == 18) 0.02 else 0.0)
+    val both = ints.join(packed, "vec_id")
+      .select(col("vec_id"),
+        col("codes_int"), col("codes_bin"),
+        ProductQuantizer.adcScore(col("codes_int"), cb, q).as("s_int"),
+        ProductQuantizer.adcScore(col("codes_bin"), cb, q).as("s_bin"))
+      .collect()
+    assert(both.length == 15)
+    for (r <- both) {
+      val bin = r.getAs[Array[Byte]]("codes_bin")
+      assert(bin.length == 4, s"packed codes must be exactly m bytes, got ${bin.length}")
+      assert(bin.map(_ & 0xff).toSeq == r.getSeq[Int](1).toSeq,
+        s"vec ${r.getLong(0)}: packed bytes must hold the same code values")
+      // same LUT arithmetic on both input forms — bit-identical, not close
+      assert(r.getDouble(3) == r.getDouble(4),
+        s"vec ${r.getLong(0)}: packed ADC ${r.getDouble(4)} != unpacked ${r.getDouble(3)}")
+    }
+  }
+
+  test("packed codes file costs bytes-per-row near m, the honest 32x storage claim") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pqsize")
+    val dir = base.resolve("codes").toString
+    try {
+      val e = graft.Tables(spark, sf001, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cb = ProductQuantizer.train(e, m = 8, k = 16, iters = 1)
+      ProductQuantizer.encode(e, cb, packed = true)
+        .write.mode("overwrite").parquet(dir)
+      val rows = spark.read.parquet(dir).count()
+      val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size).sum()
+      // m code bytes + 8-byte id per row, plus bounded parquet framing:
+      // the bound fails if codes regress to the 4-bytes-per-code int form
+      val budget = rows * (cb.m + 8 + 16) + 4096
+      assert(bytes <= budget,
+        s"packed codes cost $bytes bytes for $rows rows — exceeds $budget; " +
+          "did the codes column regress to array<int>?")
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
