@@ -987,6 +987,66 @@ object Similarity {
           qDotCell.toSeq, cellNorm2.toSeq, qnorm).as("sim_adc"))
   }
 
+  /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
+    * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
+    * x67/x68/x70) never reads a float vector and its scores carry
+    * quantization error: within a cell, vectors sharing codes tie and
+    * rank arbitrarily. This stage takes the ADC top-`topC` candidate ids
+    * (C ≈ 5k in production — a broadcast-sized id set, independent of
+    * corpus size), fetches ONLY those ids' true vectors by equi-join, and
+    * scores them with the exact cosine kernel; callers take the final
+    * top-k from the C re-scored rows.
+    *
+    * Scale shape: the candidate side is C rows of (id) — broadcast; the
+    * fetch reads two columns (id, vector) and only C rows survive the
+    * join. With the corpus bucketed/sorted by id the fetch is a point
+    * lookup; even unbucketed it is one column-pruned scan, and the
+    * re-rank arithmetic is C exact cosines — microseconds. PqSpec pins
+    * that re-ranked recall strictly beats raw ADC on structure
+    * quantization erased, and that exactly C vectors are fetched.
+    *
+    * @param corpus     (vec_id, embedding) — the true-vector table
+    * @param candidates first column: id, second: ADC score (as returned
+    *                   by the stage-1 probes)
+    */
+  def rerankExact(corpus: DataFrame, candidates: DataFrame, qvec: Array[Double],
+      topC: Int): DataFrame = {
+    val qcol = typedLit(qvec)
+    val qnorm = lit(math.sqrt(qvec.map(x => x * x).sum))
+    val candIds = candidates
+      .orderBy(col(candidates.columns(1)).desc, col(candidates.columns(0)))
+      .limit(topC)
+      .select(col(candidates.columns(0)).as("vec_id"))
+    corpus.join(broadcast(candIds), "vec_id")
+      .select(col("vec_id"),
+        VectorOps.cosinePreNorm(col("embedding"), qcol, qnorm).as("sim"))
+  }
+
+  // Two-stage ANN serving — the production composition of the PQ family:
+  // stage 1 probes the stored IVF-PQ index (nprobe pruned cells of byte-
+  // packed codes, no float reads), stage 2 re-ranks the ADC top-100 by
+  // exact cosine over just those 100 fetched vectors. Recall comes from
+  // stage 2; scan economics from stage 1 — the shape every billion-scale
+  // ANN deployment serves (FAISS's IVFPQ+refine). Shares x68's stored
+  // artifact; PqSpec pins the strict recall win and the bounded fetch.
+  private val x72 = GQuery(
+    "x72_ann_pq_rerank", "ext-similarity-ann serving-path two-stage stored-artifact",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivfpq_index_v2")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfPqIndex(e, store, iters = 2, m = 8, kSub = 16)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val cands = probeIvfPq(s, store, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+      rerankExact(e.select(col("vec_id"), col("embedding")), cands, qvec, topC = 100)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // quantized stage-1 candidates: gated by PqSpec, rows-only here
+
   // Residual IVF-PQ serving scan — x68 with the faiss-default residual
   // refinement: codes quantize x − c_cell, the probe's per-cell LUTs add
   // the centroid×residual cross terms, and the ADC estimate is the exact
@@ -1085,5 +1145,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71)
+      x65, x67, x68, x70, x71, x72)
 }

@@ -240,6 +240,66 @@ class PqSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  test("exact re-rank strictly beats raw ADC recall on detail quantization erased, fetching exactly C vectors") {
+    import graft.queries.Similarity
+    import spark.implicits._
+    // 30 vectors sharing one direction, with a detail component 0.01·(j+1)
+    // on dim 2 that grows with id; the query carries 0.3 on that dim, so
+    // the EXACT cosine is strictly increasing in j (detail approaches the
+    // query's ratio from below): true top-10 = ids 20..29. Under m=4, k=2
+    // quantization the detail subspace collapses to two centroids — every
+    // vector in the query-side cell shares one code, ADC ties, and the
+    // deterministic id tie-break ranks LOW ids first: raw ADC misses most
+    // of the true top-10. Re-ranking the ADC top-C by exact cosine over
+    // the fetched true vectors recovers it completely.
+    val corpus = (0 until 30).map { j =>
+      val v = Array.fill(8)(0.0f)
+      v(0) = 1.0f
+      v(2) = 0.01f * (j + 1)
+      (j.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = Array.tabulate(8)(i => if (i == 0) 1.0 else if (i == 2) 0.3 else 0.0)
+    val trueTop10 = (20L until 30L).toSet
+
+    val cb = ProductQuantizer.train(corpus, m = 4, k = 2, iters = 2)
+    val scored = ProductQuantizer.encode(corpus, cb, packed = true)
+      .select(col("vec_id"), ProductQuantizer.adcScore(col("codes"), cb, q).as("s"))
+    val adcTop10 = scored.orderBy(col("s").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recallAdc = (adcTop10 & trueTop10).size / 10.0
+    assert(recallAdc < 1.0,
+      s"the construction must make raw ADC lossy, got recall $recallAdc")
+
+    val reranked = Similarity.rerankExact(corpus, scored, q, topC = 20)
+    // fetch discipline: exactly C candidate vectors are scored — the
+    // whole point of the two-stage shape (C exact cosines, not |corpus|)
+    assert(reranked.count() == 20, "re-rank must score exactly topC fetched vectors")
+    val rerTop10 = reranked.orderBy(col("sim").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recallRer = (rerTop10 & trueTop10).size / 10.0
+    assert(recallRer > recallAdc,
+      s"re-rank recall $recallRer must strictly beat raw ADC $recallAdc")
+    assert(recallRer == 1.0,
+      s"C=20 covers the true top-10, so exact re-rank must recover it: $rerTop10")
+  }
+
+  test("x72 registry entry: two-stage serving returns exact-cosine scores for its top-20") {
+    val got = graft.SparkEntry.queries("x72_ann_pq_rerank")(spark, sf001).collect()
+    assert(got.length == 20)
+    // stage-2 scores are TRUE cosines: they must agree with the exact
+    // brute-force query (x06) on every id the two top-20s share
+    val exact = graft.SparkEntry.queries("x06_cosine_topk")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val shared = got.filter(r => exact.contains(r.getLong(0)))
+    assert(shared.nonEmpty, "two-stage top-20 must overlap the exact top-20")
+    for (r <- shared)
+      assert(math.abs(r.getDouble(1) - exact(r.getLong(0))) < 1e-12,
+        s"id ${r.getLong(0)}: re-rank sim ${r.getDouble(1)} != exact ${exact(r.getLong(0))}")
+    val again = graft.SparkEntry.queries("x72_ann_pq_rerank")(spark, sf001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "two-stage serving must be deterministic across invocations")
+  }
+
   test("x70 registry entry serves from the stored residual index, deterministically") {
     val got = graft.SparkEntry.queries("x70_ann_ivfpq_residual")(spark, sf001).collect()
     assert(got.length == 20)
