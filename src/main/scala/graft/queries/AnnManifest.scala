@@ -1,0 +1,150 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-pointer commit protocol for the stored IVF index — the fix for
+  * [[Similarity.compactIvfIndex]]'s documented crash window (cells swap
+  * before centroids, so a concurrent probe between the two renames could
+  * pair NEW cells with OLD centroids).
+  *
+  * Layout: the index root holds immutable GENERATION directories plus one
+  * `MANIFEST` file naming the live generation and its segment list:
+  *
+  * {{{
+  *   indexDir/
+  *     MANIFEST            # "gen_0|cells,delta_1"  (single line)
+  *     gen_0/centroids/  gen_0/cells/  gen_0/delta_1/
+  * }}}
+  *
+  * Every reader resolves paths through the manifest; every writer builds
+  * its output COMPLETELY under a new path and then publishes it with ONE
+  * atomic manifest replace (write `MANIFEST.tmp`, `ATOMIC_MOVE` over
+  * `MANIFEST`). No crash point can publish an incomplete generation:
+  *   - append: the delta directory is fully written (parquet `_SUCCESS`)
+  *     before the manifest adds it; a crash before the commit leaves an
+  *     orphan directory readers never resolve.
+  *   - compaction: the ENTIRE next generation (cells + centroids) exists
+  *     before the manifest flips to it; the old generation is deleted only
+  *     after the flip, and an interrupted delete is garbage the next
+  *     compaction's GC step sweeps (any `gen_*` the manifest doesn't name).
+  *
+  * On a cluster the same protocol holds with the manifest as an
+  * atomically-replaced object (rename on HDFS, put-if-match on S3) — the
+  * standard table-format commit (Iceberg/Delta do exactly this at file
+  * granularity). Single-writer is still assumed for WRITERS (two
+  * concurrent compactions would race the pointer); readers are now safe
+  * at any point, which is what the non-manifest layout could not give.
+  * ManifestAnnSpec drives the crash windows: it stops compaction after
+  * every step prefix and proves a probe always serves one complete
+  * generation.
+  */
+object AnnManifest {
+
+  private def manifestPath(indexDir: String) = Paths.get(indexDir, "MANIFEST")
+
+  /** Atomically publish (generation, segments). */
+  def writeManifest(indexDir: String, gen: String, segments: Seq[String]): Unit = {
+    require(segments.nonEmpty && segments.forall(s => !s.contains(",") && !s.contains("|")),
+      s"segment names must be non-empty and ','/'|'-free: $segments")
+    Files.createDirectories(Paths.get(indexDir))
+    val tmp = Paths.get(indexDir, "MANIFEST.tmp")
+    Files.write(tmp, s"$gen|${segments.mkString(",")}".getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(indexDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The live (generation, segments) — what every read path resolves. */
+  def readManifest(indexDir: String): (String, Seq[String]) = {
+    val line = new String(Files.readAllBytes(manifestPath(indexDir)), "UTF-8").trim
+    line.split('|') match {
+      case Array(gen, segs) => (gen, segs.split(',').toSeq)
+      case _ => throw new IllegalStateException(
+        s"malformed MANIFEST under $indexDir: '$line'")
+    }
+  }
+
+  def exists(indexDir: String): Boolean = Files.exists(manifestPath(indexDir))
+
+  /** Build generation 0 and publish it. */
+  def init(e: DataFrame, indexDir: String, iters: Int): Unit = {
+    Similarity.writeIvfIndex(e, s"$indexDir/gen_0", iters)
+    writeManifest(indexDir, "gen_0", Seq("cells"))
+  }
+
+  /** Append a batch as a delta segment of the LIVE generation: the segment
+    * directory is complete before the manifest commit adds it (idempotent
+    * per segment name — an overwrite before a re-commit is safe).
+    */
+  def append(batch: DataFrame, indexDir: String, segment: String): Unit = {
+    val (gen, segments) = readManifest(indexDir)
+    Similarity.appendIvfDelta(batch, s"$indexDir/$gen", segment)
+    if (!segments.contains(segment))
+      writeManifest(indexDir, gen, segments :+ segment)
+  }
+
+  /** Probe through the manifest — always one complete generation. */
+  def probe(s: SparkSession, indexDir: String, qvec: Array[Double],
+      nprobe: Int): DataFrame = {
+    val (gen, segments) = readManifest(indexDir)
+    Similarity.probeStoredIvf(s, s"$indexDir/$gen", qvec, nprobe, segments)
+  }
+
+  /** Compaction as an explicit step list so the crash-window spec can stop
+    * after any prefix; [[compact]] runs them all. Steps:
+    *   1. gc: delete generation dirs the manifest does not name (garbage
+    *      from a previous interrupted compaction — safe: unreachable);
+    *   2. write-next-gen: merge the live segments into a COMPLETE next
+    *      generation (re-assigned cells + refreshed centroids), warm-
+    *      started from the live centroids;
+    *   3. commit-manifest: one atomic pointer flip to the next generation;
+    *   4. drop-old-gen: delete the superseded generation (pure GC — a
+    *      crash here leaves garbage, not incorrectness).
+    */
+  def compactionSteps(s: SparkSession, indexDir: String,
+      iters: Int): Seq[(String, () => Unit)] = {
+    import org.apache.spark.sql.functions.col
+    val (gen, segments) = readManifest(indexDir)
+    val genNum = gen.stripPrefix("gen_").toInt
+    val next = s"gen_${genNum + 1}"
+    Seq(
+      "gc" -> { () =>
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get(indexDir)).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith("gen_") &&
+            p.getFileName.toString != gen)
+          .foreach(p => graft.StoredArtifacts.deleteTree(p.toString))
+      },
+      "write-next-gen" -> { () =>
+        val all = segments.map(seg =>
+            s.read.parquet(s"$indexDir/$gen/$seg")
+              .select(col("vec_id"), col("embedding")))
+          .reduce(_ unionAll _)
+          .localCheckpoint(true)
+        val warm = Similarity.readIvfCentroids(s, s"$indexDir/$gen")
+        val cs =
+          if (iters == 0) warm
+          else graft.operators.KMeans.refine(all, warm, iters)._2
+        import s.implicits._
+        graft.operators.KMeans.assign(all, cs)
+          .select(col("id").as("vec_id"), col("vec").as("embedding"), col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$indexDir/$next/cells")
+        cs.zipWithIndex.map { case (c, j) => (j, c) }
+          .toDF("cluster", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$next/centroids")
+      },
+      "commit-manifest" -> { () => writeManifest(indexDir, next, Seq("cells")) },
+      "drop-old-gen" -> { () =>
+        graft.StoredArtifacts.deleteTree(Paths.get(indexDir, gen).toString)
+      })
+  }
+
+  /** Merge the live generation's segments into the next one and flip the
+    * manifest pointer — delta accumulation bounded, readers safe at every
+    * instant.
+    */
+  def compact(s: SparkSession, indexDir: String, iters: Int): Unit =
+    compactionSteps(s, indexDir, iters).foreach { case (_, step) => step() }
+}

@@ -248,8 +248,9 @@ object Similarity {
     * single-writer form does NOT give is atomicity against CONCURRENT
     * readers (cells swap before centroids, so a probe between the two
     * renames can pair NEW cells with OLD centroids): production flips a
-    * manifest pointer to a generation directory instead — documented
-    * simplification, not hidden.
+    * manifest pointer to a generation directory instead — implemented as
+    * [[AnnManifest]] (x73, crash windows spec-driven); this in-place form
+    * remains for the plain x62/x65 layout.
     */
   def compactIvfIndex(s: SparkSession, indexDir: String, segments: Seq[String],
       iters: Int): Unit = {
@@ -1119,6 +1120,35 @@ object Similarity {
     },
     None) // approximate (probe subset): rows-only check + StoredAnnSpec
 
+  // Manifest-committed IVF lifecycle — x65's base+delta layout under the
+  // AnnManifest pointer protocol, the production form the compaction
+  // scaladoc names: init (gen_0 + manifest), delta append (segment commit
+  // AFTER the data is complete), compaction (whole next generation, then
+  // ONE atomic pointer flip), all exercised at first touch; every
+  // invocation then probes through the manifest. ManifestAnnSpec kills
+  // compaction after every step prefix and proves a probe always serves
+  // one complete generation — the crash-safety x65's layout documented
+  // as a gap.
+  private val x73 = GQuery(
+    "x73_ann_ivf_manifest", "ext-similarity-ann incremental-index stored-artifact crash-safe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_manifest_v1")
+      if (!AnnManifest.exists(store)) {
+        AnnManifest.init(e.where(col("vec_id") < 250), store, iters = 2)
+        AnnManifest.append(e.where(col("vec_id") >= 250), store, "delta_1")
+        AnnManifest.compact(s, store, iters = 1)
+      }
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      AnnManifest.probe(s, store, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // approximate (probe subset): rows-only check + ManifestAnnSpec
+
   // Incremental semantic dedup — x32/x52's ingest-cycle shape for MEANING:
   // the standing slice (vec_id < 250) built its index once (2 Lloyd
   // refinements, per-cluster representatives — persisted via
@@ -1145,5 +1175,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72)
+      x65, x67, x68, x70, x71, x72, x73)
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** The manifest-pointer commit protocol's correctness claim, driven
+  * literally: a reader resolving through MANIFEST sees one COMPLETE
+  * generation no matter where a writer crashed. The spec builds a fresh
+  * index per crash window, stops compaction after every step prefix, and
+  * probes — plus the lifecycle and GC behaviors around it.
+  */
+class ManifestAnnSpec extends SparkSpec {
+
+  // 3 orthogonal clusters, 5 members each (ids 0-24 pattern) — the same
+  // planted corpus as the delta-append gate in StoredAnnSpec
+  private def standing = {
+    import spark.implicits._
+    (for { c <- 0 until 3; j <- 0 until 5 } yield {
+      val v = Array.fill(6)(0.0f)
+      v(c) = 1.0f; v(3) = 0.01f * (j + 1)
+      ((c * 10 + j).toLong, v, s"c$c")
+    }).toDF("vec_id", "embedding", "label")
+  }
+
+  private def batch = {
+    import spark.implicits._
+    Seq(
+      (500L, Array(1.0f, 0f, 0f, 0.005f, 0f, 0f), "c0"),
+      (501L, Array(0f, 1.0f, 0f, 0f, 0f, 0f), "c1")).toDF("vec_id", "embedding", "label")
+  }
+
+  private val allIds = ((0 until 3).flatMap(c => (0 until 5).map(j => (c * 10 + j).toLong))
+    ++ Seq(500L, 501L)).toSet
+
+  private def probedIds(idx: String): Set[Long] =
+    AnnManifest.probe(spark, idx, Array(1.0, 0, 0, 0, 0, 0), nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+
+  test("lifecycle: init serves the base, append makes the batch searchable, compact merges and drops the delta") {
+    val base = Files.createTempDirectory("graft-manifest")
+    val idx = base.resolve("ivf").toString
+    try {
+      AnnManifest.init(standing, idx, iters = 1)
+      assert(AnnManifest.readManifest(idx) == (("gen_0", Seq("cells"))))
+      assert(probedIds(idx) == allIds -- Seq(500L, 501L), "base generation serves the standing corpus")
+
+      AnnManifest.append(batch, idx, "delta_1")
+      assert(AnnManifest.readManifest(idx) == (("gen_0", Seq("cells", "delta_1"))))
+      assert(probedIds(idx) == allIds, "the committed delta is immediately searchable")
+
+      AnnManifest.compact(spark, idx, iters = 1)
+      assert(AnnManifest.readManifest(idx) == (("gen_1", Seq("cells"))))
+      assert(probedIds(idx) == allIds, "the compacted generation serves everything")
+      assert(!Files.exists(base.resolve("ivf").resolve("gen_0")),
+        "compaction drops the superseded generation")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("crash windows: a probe serves one complete generation after ANY compaction step prefix") {
+    val nSteps = 4 // gc, write-next-gen, commit-manifest, drop-old-gen
+    for (prefix <- 0 to nSteps) {
+      val base = Files.createTempDirectory(s"graft-crash$prefix")
+      val idx = base.resolve("ivf").toString
+      try {
+        AnnManifest.init(standing, idx, iters = 1)
+        AnnManifest.append(batch, idx, "delta_1")
+        val steps = AnnManifest.compactionSteps(spark, idx, iters = 1)
+        assert(steps.length == nSteps, s"spec must cover every step, got ${steps.map(_._1)}")
+        steps.take(prefix).foreach { case (_, run) => run() }
+        // the crash: nothing else runs. The reader must still see ALL rows
+        // through a complete generation — gen_0+delta before the commit
+        // flip (prefix < 3), gen_1 after it
+        assert(probedIds(idx) == allIds,
+          s"after ${steps.take(prefix).map(_._1)} the probe lost rows")
+        val (gen, _) = AnnManifest.readManifest(idx)
+        assert(gen == (if (prefix < 3) "gen_0" else "gen_1"),
+          s"prefix $prefix must leave the manifest on the ${if (prefix < 3) "old" else "new"} generation, got $gen")
+      } finally graft.StoredArtifacts.deleteTree(base.toString)
+    }
+  }
+
+  test("interrupted compaction leaves only garbage: the next compaction GCs it and commits a fresh generation") {
+    val base = Files.createTempDirectory("graft-gc")
+    val idx = base.resolve("ivf").toString
+    try {
+      AnnManifest.init(standing, idx, iters = 1)
+      AnnManifest.append(batch, idx, "delta_1")
+      // crash AFTER the pointer flip but BEFORE the old generation drop:
+      // gen_0 remains on disk as unreachable garbage
+      AnnManifest.compactionSteps(spark, idx, iters = 1).take(3)
+        .foreach { case (_, run) => run() }
+      assert(Files.exists(base.resolve("ivf").resolve("gen_0")), "garbage present")
+      AnnManifest.compact(spark, idx, iters = 0)
+      assert(AnnManifest.readManifest(idx)._1 == "gen_2")
+      assert(!Files.exists(base.resolve("ivf").resolve("gen_0")),
+        "the GC step must sweep the unreachable generation")
+      assert(!Files.exists(base.resolve("ivf").resolve("gen_1")),
+        "the superseded generation is dropped as usual")
+      assert(probedIds(idx) == allIds)
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("x73 registry entry runs the full lifecycle once, then serves deterministically from the compacted manifest") {
+    val got = SparkEntry.queries("x73_ann_ivf_manifest")(spark, sf001).collect()
+    assert(got.length == 20)
+    val ids = got.map(_.getLong(0)).toSet
+    assert(ids.exists(_ >= 250), s"compacted base must serve former delta ids: $ids")
+    val again = SparkEntry.queries("x73_ann_ivf_manifest")(spark, sf001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "manifest probe must be deterministic across invocations")
+  }
+}
