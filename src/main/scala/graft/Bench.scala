@@ -69,16 +69,17 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query entries at 10 ms precision with trailing zeros stripped
-    // ("1.50" -> "1.5"): run-to-run JVM noise is ±30-50% anyway, and at 140
-    // registry entries every spare character keeps the line clear of the
-    // tail-window guard below (a 3-decimal full-precision line already
-    // brushed it once)
-    def fmtQ(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      else s
-    }
+    // per-query entries are INTEGER CENTISECONDS ("qunit":"cs" below):
+    // 1.23 s -> 123, 0.45 s -> 45. Run-to-run JVM noise is ±30-50% anyway,
+    // so 10 ms resolution loses nothing, and the integer form costs ~2
+    // fewer chars per entry than the previous "0.45" decimals — at 150+
+    // registry entries that is the difference between a ~1400-char line
+    // and brushing the tail-window guard below. A failed query keeps the
+    // -1 sentinel (never -100: the sentinel is a MARKER, not a timing).
+    // BASELINE.md documents the encoding and that per-query rounding means
+    // the entries need not sum exactly to the full-precision total.
+    def fmtQ(v: Double): String =
+      if (v < 0) "-1" else math.round(v * 100).toString
     val ids = results.map { case (k, _) => shortId(k) }
     require(ids.distinct.size == ids.size, s"non-unique bench ids: $ids")
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
@@ -91,7 +92,7 @@ object Bench {
     // bounded tail window on a constant prefix
     val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qs,"sf":"$sfName"}"""
     // emit BEFORE the guard: if query growth ever trips it, the round's
     // numbers still reach the log tail and only the exit code goes loud —
     // failing first would discard the whole timed pass the guard protects

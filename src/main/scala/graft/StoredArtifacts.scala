@@ -49,7 +49,13 @@ object StoredArtifacts {
     val root = java.nio.file.Paths.get(s"${sys.props("java.io.tmpdir")}/graft_artifacts")
     val current = s"${pathKey}_$stateKey"
     // sweep superseded generations of THIS source (same path hash, other
-    // state) — single-writer harness, so nothing can be mid-read on them
+    // state). HARD single-JVM assumption: there is no cross-process
+    // coordination, so a concurrent JVM on the same fixtures could have a
+    // swept generation mid-read (observed failure mode: missing-file
+    // errors in the reader). The harness runs one JVM (SKILL.md states
+    // the constraint as correctness, not timing); a shared deployment
+    // would gate this sweep behind a manifest/lease, as AnnManifest does
+    // for the IVF index proper.
     if (java.nio.file.Files.isDirectory(root))
       java.nio.file.Files.list(root).iterator().asScala.toSeq
         .filter { d =>
