@@ -454,6 +454,60 @@ object MediaDecode {
     media.mapPartitions(_.flatMap(codec.sample(_, maxFrames)))
   }
 
+  /** Deterministic REAL image payloads for the fixtures (which are
+    * text-only): a 32×32 black/white GIF whose 8×8 block pattern encodes
+    * [[patternBits]] of an id. The point is an ORACLE over the actual
+    * decode path: [[perceptualHash]]'s aHash of this image equals the
+    * pattern exactly (cells are pure 0/255 luminance, the mean sits
+    * strictly between, and GIF is lossless for 2-color images), and the
+    * same 64-bit value is computable in plain SQL from the id — so a
+    * DuckDB hash compare verifies ImageIO decode + the sampling grid +
+    * the bit assembly end to end, not a stub (x74).
+    */
+  object SyntheticImages {
+    /** Cell i (row-major, i in 1..63) is white iff (id + i) % 3 == 0;
+      * cell 0 stays black, keeping the value positive so the SQL oracle
+      * needs no signed-overflow care. Always mixed (≥ 20 white cells), so
+      * the flat-image special case never triggers.
+      */
+    def patternBits(id: Long): Long = {
+      var acc = 0L
+      var i = 1
+      while (i < 64) {
+        if ((id + i) % 3 == 0) acc |= (1L << (63 - i))
+        i += 1
+      }
+      acc
+    }
+
+    /** The pattern as a real GIF payload (4×4-pixel blocks). */
+    def gif(id: Long): Array[Byte] = {
+      val bits = patternBits(id)
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val white = (bits & (1L << (63 - (cy * 8 + cx)))) != 0
+          val rgb = if (white) 0xffffff else 0x000000
+          var y = cy * 4
+          while (y < cy * 4 + 4) {
+            var x = cx * 4
+            while (x < cx * 4 + 4) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "gif", out),
+        "JDK GIF writer missing — cannot synthesize image payloads")
+      out.toByteArray
+    }
+  }
+
   /** Frame/chunk sampling plan for large payloads: fixed-size chunk spans as
     * (offset, length) rows, computed without materializing chunks — the scan
     * plan a chunked decoder consumes.

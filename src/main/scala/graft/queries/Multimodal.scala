@@ -196,5 +196,37 @@ object Multimodal {
             SELECT media_id, phash, keeper, CAST(n_copies AS BIGINT) AS n_copies
             FROM k WHERE n_copies >= 2 ORDER BY media_id"""))
 
-  val queries: Seq[GQuery] = Seq(x16, x17, x28, x60)
+  // The REAL decode path under a full DuckDB hash oracle — closing x60's
+  // gap (its fixture payloads are text bytes, so its oracle exercises the
+  // md5 fallback, and the real-ImageIO path was spec-only). Each document
+  // becomes a deterministic 32×32 black/white GIF whose 8×8 block pattern
+  // encodes SyntheticImages.patternBits(doc_id); the engine REALLY decodes
+  // it (ImageIO GIF reader → luminance sampling grid → aHash bit assembly)
+  // and the oracle computes the same 64-bit value from doc_id in plain
+  // SQL. Any decode drift — wrong pixel order, sampling bounds, bit
+  // endianness, or a silent fallback to the stub hash (real_decode would
+  // flip false) — breaks the row hash. Scale shape: pure narrow
+  // mapPartitions decode, no exchange at all.
+  private val x74 = GQuery(
+    "x74_image_real_decode", "ext-multimodal real-decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.MediaDecode
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaDecode.MediaRecord(id, "gif", MediaDecode.SyntheticImages.gif(id)))
+      MediaDecode.perceptualHash(media)
+        .select(col("media_id"), col("phash"), col("real_decode"))
+        .orderBy("media_id")
+    },
+    Some("""WITH bits AS (
+              SELECT doc_id, i FROM documents, unnest(range(1, 64)) r(i)
+              WHERE (doc_id + i) % 3 = 0)
+            SELECT d.doc_id AS media_id,
+              printf('%016x', CAST(COALESCE(SUM(1::BIGINT << (63 - b.i)), 0) AS BIGINT)) AS phash,
+              true AS real_decode
+            FROM documents d LEFT JOIN bits b ON d.doc_id = b.doc_id
+            GROUP BY d.doc_id ORDER BY media_id"""))
+
+  val queries: Seq[GQuery] = Seq(x16, x17, x28, x60, x74)
 }

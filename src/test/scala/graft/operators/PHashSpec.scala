@@ -137,6 +137,18 @@ class PHashSpec extends SparkSpec {
     assert(h(7L) == ((md.take(16), false)))
   }
 
+  test("x74: synthesized GIFs really decode and their aHash equals the planted pattern bit-for-bit") {
+    import graft.operators.MediaDecode.SyntheticImages
+    val got = graft.SparkEntry.queries("x74_image_real_decode")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    for ((id, phash, real) <- got) {
+      assert(real, s"doc $id must take the REAL ImageIO path, not the stub fallback")
+      val want = f"${SyntheticImages.patternBits(id)}%016x"
+      assert(phash == want, s"doc $id: decoded aHash $phash != planted pattern $want")
+    }
+  }
+
   test("x60's banded query recovers exact-group dedup on the fixture and never shuffles payloads") {
     import org.apache.spark.sql.functions._
     val df = graft.SparkEntry.queries("x60_image_near_dup")(spark, sf001)
