@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -42,30 +42,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AnnManifest {
 
-  private def manifestPath(indexDir: String) = Paths.get(indexDir, "MANIFEST")
-
-  /** Atomically publish (generation, segments). */
-  def writeManifest(indexDir: String, gen: String, segments: Seq[String]): Unit = {
-    require(segments.nonEmpty && segments.forall(s => !s.contains(",") && !s.contains("|")),
-      s"segment names must be non-empty and ','/'|'-free: $segments")
-    Files.createDirectories(Paths.get(indexDir))
-    val tmp = Paths.get(indexDir, "MANIFEST.tmp")
-    Files.write(tmp, s"$gen|${segments.mkString(",")}".getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(indexDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Atomically publish (generation, segments) — [[graft.StoredManifest]],
+    * which this index shares with every other generation-directory
+    * artifact (e.g. the streaming dashboard).
+    */
+  def writeManifest(indexDir: String, gen: String, segments: Seq[String]): Unit =
+    graft.StoredManifest.write(indexDir, gen, segments)
 
   /** The live (generation, segments) — what every read path resolves. */
-  def readManifest(indexDir: String): (String, Seq[String]) = {
-    val line = new String(Files.readAllBytes(manifestPath(indexDir)), "UTF-8").trim
-    line.split('|') match {
-      case Array(gen, segs) => (gen, segs.split(',').toSeq)
-      case _ => throw new IllegalStateException(
-        s"malformed MANIFEST under $indexDir: '$line'")
-    }
-  }
+  def readManifest(indexDir: String): (String, Seq[String]) =
+    graft.StoredManifest.read(indexDir)
 
-  def exists(indexDir: String): Boolean = Files.exists(manifestPath(indexDir))
+  def exists(indexDir: String): Boolean = graft.StoredManifest.exists(indexDir)
 
   /** Build generation 0 and publish it. */
   def init(e: DataFrame, indexDir: String, iters: Int): Unit = {
