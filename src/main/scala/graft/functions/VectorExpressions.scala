@@ -561,6 +561,88 @@ case class PqAdcScore(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Multi-query ADC scoring — [[PqAdcScore]] for a BATCH of queries in one
+  * kernel node: `lutDot` stacks each query's m×k dot table
+  * (`lutDot[(qi·m + sub)·k + code]`), `lutNorm` holds the centroid norms
+  * ONCE (they are query-independent), and `qnorms[qi]` the per-query norm.
+  * The right child selects the query: each scanned code row arrives joined
+  * to the (query, cell) probe pairs, so one scan of the unioned cells
+  * scores every (row, probing query) pair — the batch-serving shape at
+  * PQ compression. The stacked table is B·m·k doubles built once on the
+  * driver (FAISS's coordinator does the same): 1000 queries × 8×256 ≈
+  * 16 MB, broadcast-sized by the batch contract. Scores are bit-identical
+  * to [[PqAdcScore]] per query (same accumulation order; spec-pinned).
+  * Codes may be `array<int>` or byte-packed BINARY, as in the single-query
+  * kernel; an out-of-range code, query index, or zero reconstruction
+  * scores null.
+  */
+case class PqAdcScoreMulti(left: Expression, right: Expression, k: Int,
+    lutDot: Seq[Double], lutNorm: Seq[Double], qnorms: Seq[Double])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_score_multi"
+  private def m: Int = if (k == 0) 0 else lutNorm.length / k
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _) | BinaryType, IntegerType) =>
+        if (k < 1 || lutNorm.isEmpty || lutNorm.length % k != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: lutNorm must be a non-empty multiple of k, got ${lutNorm.length}")
+        else if (qnorms.isEmpty || lutDot.length != qnorms.length * lutNorm.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: lutDot length ${lutDot.length} != nQueries×m×k " +
+              s"${qnorms.length * lutNorm.length}")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expects (array<int> or binary codes, int query index), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val ld = lutDot.toArray
+  @transient private lazy val ln = lutNorm.toArray
+  @transient private lazy val qn = qnorms.toArray
+  private lazy val binary = left.dataType == BinaryType
+
+  override def nullSafeEval(codesAny: Any, qiAny: Any): Any = {
+    val qi = qiAny.asInstanceOf[Int]
+    if (qi < 0 || qi >= qn.length) return null
+    val base = qi * m * k
+    var dot = 0.0
+    var n2 = 0.0
+    if (binary) {
+      val codes = codesAny.asInstanceOf[Array[Byte]]
+      if (codes.length != m) return null
+      var sub = 0
+      while (sub < m) {
+        val c = codes(sub) & 0xff // unsigned byte code
+        if (c >= k) return null
+        dot += ld(base + sub * k + c)
+        n2 += ln(sub * k + c)
+        sub += 1
+      }
+    } else {
+      val codes = codesAny.asInstanceOf[ArrayData]
+      if (codes.numElements() != m) return null
+      var sub = 0
+      while (sub < m) {
+        if (codes.isNullAt(sub)) return null
+        val c = codes.getInt(sub)
+        if (c < 0 || c >= k) return null
+        dot += ld(base + sub * k + c)
+        n2 += ln(sub * k + c)
+        sub += 1
+      }
+    }
+    val denom = qn(qi) * math.sqrt(n2)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreMulti =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Residual-PQ ADC scoring — the faiss-IVFPQ formulation: codes quantize
   * the RESIDUAL x − c_cell, so the reconstruction is x̂ = c_cell + r̂ and
   * cosine needs three LUT families plus two per-cell scalars, all built

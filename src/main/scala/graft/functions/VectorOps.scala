@@ -64,6 +64,12 @@ object VectorOps {
       qnorm: Double): Column =
     ColumnGlue.column(PqAdcScore(ColumnGlue.expression(codes), k, lutDot, lutNorm, qnorm))
 
+  /** Multi-query ADC cosine over (codes, query index) (see [[PqAdcScoreMulti]]). */
+  def pqAdcScoreMulti(codes: Column, qIdx: Column, k: Int, lutDot: Seq[Double],
+      lutNorm: Seq[Double], qnorms: Seq[Double]): Column =
+    ColumnGlue.column(PqAdcScoreMulti(
+      ColumnGlue.expression(codes), ColumnGlue.expression(qIdx), k, lutDot, lutNorm, qnorms))
+
   /** Residual-PQ ADC cosine over (codes, cell) (see [[PqAdcResidualScore]]). */
   def pqAdcResidualScore(codes: Column, cell: Column, k: Int, probedCells: Seq[Int],
       lutDot: Seq[Double], lutResidNorm: Seq[Double], lutCross: Seq[Double],

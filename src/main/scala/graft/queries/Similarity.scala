@@ -890,6 +890,112 @@ object Similarity {
         ProductQuantizer.adcScore(col("codes"), cb, qvec).as("sim_adc"))
   }
 
+  /** BATCH IVF-PQ probe — [[probeStoredIvfBatch]]'s one-scan batch shape
+    * at PQ compression: the whole query batch is served by a single scan
+    * of the unioned nprobe cells of byte-packed codes, each code row
+    * scored against exactly the queries probing its cell through ONE
+    * multi-query ADC kernel node ([[graft.functions.VectorExpressions.PqAdcScoreMulti]]).
+    *
+    * Unlike the IVF-flat batch probe (whose queries stay distributed),
+    * the batch is COLLECTED to the driver here: ADC's whole point is
+    * per-query lookup tables, and those are built where the query
+    * vectors are — B·m×k stacked doubles, the coordinator move every
+    * LUT-based ANN serving system makes (FAISS batches exactly so).
+    * Cell selection is the same driver arithmetic as the single probe,
+    * so per-query candidates and scores are identical to B single
+    * probes (PqSpec pins both, and the one-scan plan).
+    *
+    * Returns (q_id, vec_id, sim_adc); callers exclude/top-k/re-rank.
+    */
+  def probeIvfPqBatch(s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val cb = ProductQuantizer.readCodebooks(s, indexDir)
+    val coarse = readIvfCentroids(s, indexDir)
+    val qRows = queries.select(
+        col(queries.columns(0)).cast("long"),
+        col(queries.columns(1)).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(qRows.nonEmpty, "empty query batch")
+    qRows.foreach { case (id, q) =>
+      require(q.length == cb.m * cb.dsub,
+        s"query $id dim ${q.length} != index dim ${cb.m * cb.dsub}")
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    // per-query nprobe cells: B×k driver dots, same tie-break as the
+    // single probe — identical cells chosen
+    val pairs = qRows.zipWithIndex.flatMap { case ((qid, q), qi) =>
+      val qnorm = math.sqrt(q.map(x => x * x).sum)
+      coarse.zipWithIndex
+        .map { case (c, j) => j -> dot(q, c) / (qnorm * math.sqrt(dot(c, c))) }
+        .sortBy { case (j, sim) => (-sim, j) }
+        .take(nprobe).map { case (cell, _) => (qid, qi, cell) }
+    }
+    val mk = cb.m * cb.k
+    // lutNorm (centroid norms) is query-independent — stored once;
+    // lutDot stacks per query, built in the SAME (sub, c, d) loop order
+    // as ProductQuantizer.adcScore so scores are bit-identical
+    val lutNorm = new Array[Double](mk)
+    for (sub <- 0 until cb.m; c <- 0 until cb.k) {
+      var n2 = 0.0
+      for (d <- 0 until cb.dsub) {
+        val cd = cb.flat((sub * cb.k + c) * cb.dsub + d)
+        n2 += cd * cd
+      }
+      lutNorm(sub * cb.k + c) = n2
+    }
+    val lutDot = new Array[Double](qRows.length * mk)
+    val qnorms = new Array[Double](qRows.length)
+    for (((_, q), qi) <- qRows.zipWithIndex) {
+      qnorms(qi) = math.sqrt(q.map(x => x * x).sum)
+      for (sub <- 0 until cb.m; c <- 0 until cb.k) {
+        var d0 = 0.0
+        for (d <- 0 until cb.dsub)
+          d0 += q(sub * cb.dsub + d) * cb.flat((sub * cb.k + c) * cb.dsub + d)
+        lutDot(qi * mk + sub * cb.k + c) = d0
+      }
+    }
+    import s.implicits._
+    val pairsDf = pairs.toSeq.toDF("q_id", "q_idx", "cluster")
+    val cells = pairs.map(_._3).distinct.sorted
+    s.read.parquet(s"$indexDir/codes")
+      .where(col("cluster").isin(cells: _*))
+      .join(broadcast(pairsDf), Seq("cluster"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.pqAdcScoreMulti(col("codes"), col("q_idx"), cb.k,
+          lutDot.toSeq, lutNorm.toSeq, qnorms.toSeq).as("sim_adc"))
+  }
+
+  // Batch serving × compression — x71's one-scan batch shape over x68's
+  // byte-packed IVF-PQ index: an 8-query batch served by one pruned scan
+  // of code directories, per-(row, query) ADC through a single stacked-LUT
+  // kernel node, per-query top-10 via GroupedTopK. No float vector on the
+  // read path AND no per-query pass — the two serving economics composed.
+  // Shares x68's stored artifact; PqSpec pins per-query equality with B
+  // single probes and the one-scan plan.
+  private val x75 = GQuery(
+    "x75_ann_ivfpq_batch", "ext-similarity-ann compression stored-artifact batch-serving",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivfpq_index_v2")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfPqIndex(e, store, iters = 2, m = 8, kSub = 16)
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val cands = probeIvfPqBatch(s, store, queries, nprobe = 6)
+        .where(col("vec_id") =!= col("q_id"))
+      GroupedTopKOps.groupedTopK(cands, Seq(col("q_id")),
+        Seq(col("sim_adc").desc, col("vec_id")), k = 10)
+        .orderBy(col("q_id"), col("sim_adc").desc, col("vec_id"))
+    },
+    None) // quantized + probe subset: gated by PqSpec, rows-only here
+
   /** Build the RESIDUAL IVF-PQ index — the refinement x68's scaladoc
     * names, and what faiss's IVFPQ does by default: codes quantize
     * x − c_cell instead of x, so each subspace codebook covers only the
@@ -1175,5 +1281,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72, x73)
+      x65, x67, x68, x70, x71, x72, x73, x75)
 }

@@ -300,6 +300,62 @@ class PqSpec extends SparkSpec {
       "two-stage serving must be deterministic across invocations")
   }
 
+  test("batch IVF-PQ probe equals B single probes through one scan of the unioned code cells") {
+    import graft.queries.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpqb")
+    val idx = base.resolve("ivfpq").toString
+    try {
+      val labeled = planted.withColumn("label",
+        concat(lit("c"), (col("vec_id") / 10).cast("int")))
+      Similarity.writeIvfPqIndex(labeled, idx, iters = 1, m = 4, kSub = 4)
+      import spark.implicits._
+      val qVecs = Seq(
+        0L -> Array.tabulate(24)(i => if (i == 0) 1.0 else 0.0),
+        1L -> Array.tabulate(24)(i => if (i == 6) 1.0 else 0.0),
+        2L -> Array.tabulate(24)(i => if (i == 12) 1.0 else if (i == 18) 0.05 else 0.0))
+      val queries = qVecs.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qvec")
+
+      val batch = Similarity.probeIvfPqBatch(spark, idx, queries, nprobe = 2)
+      val got = batch.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        }
+      assert(got.keySet == qVecs.map(_._1).toSet)
+      // per-query candidates AND scores bit-identical to the single probe
+      for ((qid, q) <- qVecs) {
+        val single = Similarity.probeIvfPq(spark, idx, q, nprobe = 2)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got(qid).keySet == single.keySet,
+          s"query $qid: batch candidates != single-probe candidates")
+        for ((id, sim) <- single)
+          assert(got(qid)(id) == sim,
+            s"query $qid id $id: batch ADC ${got(qid)(id)} != single $sim")
+      }
+      // one scan of the codes table for the whole batch, pruned, no floats
+      val scans = graft.SparkSpec.allPlanNodes(batch.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val codeScans = scans.filter(_.metadata.get("Location").exists(_.contains("codes")))
+      assert(codeScans.length == 1,
+        s"codes must be scanned once for the whole batch, got ${codeScans.length}")
+      assert(codeScans.head.metadata.getOrElse("PartitionFilters", "").contains("cluster"))
+      assert(!codeScans.head.metadata.getOrElse("ReadSchema", "").contains("embedding"))
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("x75 registry entry serves per-query ADC top-10 for the whole batch deterministically") {
+    val got = graft.SparkEntry.queries("x75_ann_ivfpq_batch")(spark, sf001).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet, s"one group per batch query: ${byQ.keySet}")
+    for ((q, rows) <- byQ) {
+      assert(rows.length == 10, s"query $q: expected top-10, got ${rows.length}")
+      assert(!rows.map(_.getLong(1)).contains(q), s"query $q must exclude itself")
+    }
+    val again = graft.SparkEntry.queries("x75_ann_ivfpq_batch")(spark, sf001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "batch ADC serving must be deterministic across invocations")
+  }
+
   test("x70 registry entry serves from the stored residual index, deterministically") {
     val got = graft.SparkEntry.queries("x70_ann_ivfpq_residual")(spark, sf001).collect()
     assert(got.length == 20)
