@@ -20,7 +20,10 @@ object StoredManifest {
 
   /** Atomically publish (generation, segments). */
   def write(dir: String, gen: String, segments: Seq[String]): Unit = {
-    require(segments.nonEmpty && segments.forall(s => !s.contains(",") && !s.contains("|")),
+    require(gen.nonEmpty && !gen.contains(",") && !gen.contains("|"),
+      s"generation name must be non-empty and ','/'|'-free: '$gen'")
+    require(segments.nonEmpty &&
+        segments.forall(s => s.nonEmpty && !s.contains(",") && !s.contains("|")),
       s"segment names must be non-empty and ','/'|'-free: $segments")
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, "MANIFEST.tmp")

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Manifest-pointer commit protocol for the stored IVF index — the fix for
@@ -26,9 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     before the manifest adds it; a crash before the commit leaves an
   *     orphan directory readers never resolve.
   *   - compaction: the ENTIRE next generation (cells + centroids) exists
-  *     before the manifest flips to it; the old generation is deleted only
-  *     after the flip, and an interrupted delete is garbage the next
-  *     compaction's GC step sweeps (any `gen_*` the manifest doesn't name).
+  *     before the manifest flips to it; the superseded generation is NOT
+  *     deleted at the flip — it stays on disk until the NEXT compaction's
+  *     gc sweeps unreachable generations, so a reader that resolved the
+  *     manifest just before the flip gets a full cycle to finish its read.
   *
   * On a cluster the same protocol holds with the manifest as an
   * atomically-replaced object (rename on HDFS, put-if-match on S3) — the
@@ -62,14 +61,17 @@ object AnnManifest {
   }
 
   /** Append a batch as a delta segment of the LIVE generation: the segment
-    * directory is complete before the manifest commit adds it (idempotent
-    * per segment name — an overwrite before a re-commit is safe).
+    * directory is complete before the manifest commit adds it. A segment
+    * the manifest ALREADY names is committed and reader-visible, hence
+    * immutable — a retried append with the same name is a no-op, never an
+    * in-place overwrite of live data (the overwrite is safe only in the
+    * crash-before-commit case, where the orphan directory is unreachable).
     */
   def append(batch: DataFrame, indexDir: String, segment: String): Unit = {
     val (gen, segments) = readManifest(indexDir)
+    if (segments.contains(segment)) return
     Similarity.appendIvfDelta(batch, s"$indexDir/$gen", segment)
-    if (!segments.contains(segment))
-      writeManifest(indexDir, gen, segments :+ segment)
+    writeManifest(indexDir, gen, segments :+ segment)
   }
 
   /** Probe through the manifest — always one complete generation. */
@@ -81,14 +83,19 @@ object AnnManifest {
 
   /** Compaction as an explicit step list so the crash-window spec can stop
     * after any prefix; [[compact]] runs them all. Steps:
-    *   1. gc: delete generation dirs the manifest does not name (garbage
-    *      from a previous interrupted compaction — safe: unreachable);
+    *   1. gc: delete generation dirs the manifest does not name
+    *      ([[graft.StoredManifest.sweepUnreachable]]) — garbage from a
+    *      previous interrupted compaction AND the generation the previous
+    *      compaction superseded, both unreachable. Sweeping HERE rather
+    *      than right after a flip gives a reader that resolved the
+    *      manifest just before that flip one full compaction cycle to
+    *      finish its read — there is no drop-right-after-commit step for
+    *      exactly that reason;
     *   2. write-next-gen: merge the live segments into a COMPLETE next
     *      generation (re-assigned cells + refreshed centroids), warm-
     *      started from the live centroids;
-    *   3. commit-manifest: one atomic pointer flip to the next generation;
-    *   4. drop-old-gen: delete the superseded generation (pure GC — a
-    *      crash here leaves garbage, not incorrectness).
+    *   3. commit-manifest: one atomic pointer flip to the next generation
+    *      (the superseded generation stays on disk until the next gc).
     */
   def compactionSteps(s: SparkSession, indexDir: String,
       iters: Int): Seq[(String, () => Unit)] = {
@@ -97,13 +104,7 @@ object AnnManifest {
     val genNum = gen.stripPrefix("gen_").toInt
     val next = s"gen_${genNum + 1}"
     Seq(
-      "gc" -> { () =>
-        import scala.jdk.CollectionConverters._
-        Files.list(Paths.get(indexDir)).iterator().asScala.toSeq
-          .filter(p => p.getFileName.toString.startsWith("gen_") &&
-            p.getFileName.toString != gen)
-          .foreach(p => graft.StoredArtifacts.deleteTree(p.toString))
-      },
+      "gc" -> { () => graft.StoredManifest.sweepUnreachable(indexDir) },
       "write-next-gen" -> { () =>
         val all = segments.map(seg =>
             s.read.parquet(s"$indexDir/$gen/$seg")
@@ -123,10 +124,7 @@ object AnnManifest {
           .toDF("cluster", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$next/centroids")
       },
-      "commit-manifest" -> { () => writeManifest(indexDir, next, Seq("cells")) },
-      "drop-old-gen" -> { () =>
-        graft.StoredArtifacts.deleteTree(Paths.get(indexDir, gen).toString)
-      })
+      "commit-manifest" -> { () => writeManifest(indexDir, next, Seq("cells")) })
   }
 
   /** Merge the live generation's segments into the next one and flip the

@@ -213,6 +213,25 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2).toSeq
 
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var i = 0; var d = 0.0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  /** Driver-side coarse-cell selection shared by EVERY IVF probe: cosine
+    * of the query against each stored centroid, top-`nprobe` under the
+    * (-sim, index) tie-break. One definition on purpose — the batch≡single
+    * equality specs pin this exact ordering, so a probe with its own copy
+    * could drift out of the pinned agreement.
+    */
+  private[queries] def selectCells(coarse: Seq[Array[Double]],
+      qvec: Array[Double], qnorm: Double, nprobe: Int): Seq[Int] =
+    coarse.zipWithIndex
+      .map { case (c, j) => j -> dotd(qvec, c) / (qnorm * math.sqrt(dotd(c, c))) }
+      .sortBy { case (j, sim) => (-sim, j) }
+      .take(nprobe).map(_._1)
+
   /** INCREMENTAL index maintenance — the write-side companion of the probe
     * path: a new batch joins the index by narrow argmin against the STORED
     * centroids (no Lloyd, no base-segment read) and lands as a separate
@@ -306,15 +325,7 @@ object Similarity {
     require(qvec.length == coarse.head.length,
       s"query dim ${qvec.length} != index dim ${coarse.head.length}")
     val qn = math.sqrt(qvec.map(x => x * x).sum)
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var i = 0; var d = 0.0
-      while (i < a.length) { d += a(i) * b(i); i += 1 }
-      d
-    }
-    val cells = coarse.zipWithIndex
-      .map { case (c, j) => j -> dot(qvec, c) / (qn * math.sqrt(dot(c, c))) }
-      .sortBy { case (j, sim) => (-sim, j) }
-      .take(nprobe).map(_._1)
+    val cells = selectCells(coarse, qvec, qn, nprobe)
     val qcol = typedLit(qvec)
     val qnorm = lit(qn)
     segments.map { seg =>
@@ -874,16 +885,8 @@ object Similarity {
     // table is already a driver value, and the dim guard above fails fast
     // before any scan is planned
     val coarse = readIvfCentroids(s, indexDir)
-    val qn = math.sqrt(qvec.map(x => x * x).sum)
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var i = 0; var d = 0.0
-      while (i < a.length) { d += a(i) * b(i); i += 1 }
-      d
-    }
-    val cells = coarse.zipWithIndex
-      .map { case (c, j) => j -> dot(qvec, c) / (qn * math.sqrt(dot(c, c))) }
-      .sortBy { case (j, sim) => (-sim, j) }
-      .take(nprobe).map(_._1)
+    val cells = selectCells(coarse, qvec,
+      math.sqrt(qvec.map(x => x * x).sum), nprobe)
     s.read.parquet(s"$indexDir/codes")
       .where(col("cluster").isin(cells: _*))
       .select(col("vec_id"),
@@ -921,19 +924,12 @@ object Similarity {
       require(q.length == cb.m * cb.dsub,
         s"query $id dim ${q.length} != index dim ${cb.m * cb.dsub}")
     }
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var i = 0; var d = 0.0
-      while (i < a.length) { d += a(i) * b(i); i += 1 }
-      d
-    }
+    // one norm per query, shared by cell selection AND the kernel divisor
+    val qnorms = qRows.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
     // per-query nprobe cells: B×k driver dots, same tie-break as the
     // single probe — identical cells chosen
     val pairs = qRows.zipWithIndex.flatMap { case ((qid, q), qi) =>
-      val qnorm = math.sqrt(q.map(x => x * x).sum)
-      coarse.zipWithIndex
-        .map { case (c, j) => j -> dot(q, c) / (qnorm * math.sqrt(dot(c, c))) }
-        .sortBy { case (j, sim) => (-sim, j) }
-        .take(nprobe).map { case (cell, _) => (qid, qi, cell) }
+      selectCells(coarse, q, qnorms(qi), nprobe).map(cell => (qid, qi, cell))
     }
     val mk = cb.m * cb.k
     // lutNorm (centroid norms) is query-independent — stored once;
@@ -949,9 +945,7 @@ object Similarity {
       lutNorm(sub * cb.k + c) = n2
     }
     val lutDot = new Array[Double](qRows.length * mk)
-    val qnorms = new Array[Double](qRows.length)
     for (((_, q), qi) <- qRows.zipWithIndex) {
-      qnorms(qi) = math.sqrt(q.map(x => x * x).sum)
       for (sub <- 0 until cb.m; c <- 0 until cb.k) {
         var d0 = 0.0
         for (d <- 0 until cb.dsub)
@@ -1049,15 +1043,7 @@ object Similarity {
     require(qvec.length == cb.m * cb.dsub,
       s"query dim ${qvec.length} != index dim ${cb.m * cb.dsub}")
     val qnorm = math.sqrt(qvec.map(x => x * x).sum)
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var i = 0; var d = 0.0
-      while (i < a.length) { d += a(i) * b(i); i += 1 }
-      d
-    }
-    val cells = coarse.zipWithIndex
-      .map { case (c, j) => j -> dot(qvec, c) / (qnorm * math.sqrt(dot(c, c))) }
-      .sortBy { case (j, sim) => (-sim, j) }
-      .take(nprobe).map(_._1)
+    val cells = selectCells(coarse, qvec, qnorm, nprobe)
     val mk = cb.m * cb.k
     val lutDot = new Array[Double](mk)
     val lutResidNorm = new Array[Double](mk)
@@ -1076,8 +1062,8 @@ object Similarity {
     val cellNorm2 = new Array[Double](cells.length)
     for ((cell, ci) <- cells.zipWithIndex) {
       val cc = coarse(cell)
-      qDotCell(ci) = dot(qvec, cc)
-      cellNorm2(ci) = dot(cc, cc)
+      qDotCell(ci) = dotd(qvec, cc)
+      cellNorm2(ci) = dotd(cc, cc)
       for (sub <- 0 until cb.m; c <- 0 until cb.k) {
         val cent = cb.centroid(sub, c)
         var x = 0.0

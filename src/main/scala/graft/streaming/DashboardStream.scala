@@ -63,8 +63,14 @@ object DashboardStream {
     */
   def refresh(spark: SparkSession, cfg: GraftConfig, gen: Long): Unit = {
     val dir = dashDir(cfg)
-    StoredManifest.sweepUnreachable(dir)
     val genName = s"gen_$gen"
+    // foreachBatch is at-least-once: a crash between the manifest flip and
+    // the checkpoint commit re-delivers the SAME batchId, and rewriting
+    // the now-live generation in place would un-publish it mid-overwrite.
+    // An already-live generation means this refresh already succeeded.
+    if (StoredManifest.exists(dir) && StoredManifest.read(dir)._1 == genName)
+      return
+    StoredManifest.sweepUnreachable(dir)
     val panels = RunAnalytics.dashboard(spark, cfg)
     panels.foreach { case (name, df) =>
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$genName/$name")

@@ -50,16 +50,29 @@ class ManifestAnnSpec extends SparkSpec {
       assert(AnnManifest.readManifest(idx) == (("gen_0", Seq("cells", "delta_1"))))
       assert(probedIds(idx) == allIds, "the committed delta is immediately searchable")
 
+      // committed segments are immutable: a retried append is a no-op,
+      // never an in-place overwrite of reader-visible data
+      AnnManifest.append(batch.limit(0), idx, "delta_1")
+      assert(probedIds(idx) == allIds, "retried append must not rewrite the live delta")
+
       AnnManifest.compact(spark, idx, iters = 1)
       assert(AnnManifest.readManifest(idx) == (("gen_1", Seq("cells"))))
       assert(probedIds(idx) == allIds, "the compacted generation serves everything")
+      // DEFERRED GC: the superseded generation survives the flip (an
+      // in-flight reader gets a full cycle), and the NEXT compaction's
+      // gc step sweeps it
+      assert(Files.exists(base.resolve("ivf").resolve("gen_0")),
+        "the superseded generation must survive until the next gc")
+      AnnManifest.compact(spark, idx, iters = 0)
+      assert(AnnManifest.readManifest(idx)._1 == "gen_2")
       assert(!Files.exists(base.resolve("ivf").resolve("gen_0")),
-        "compaction drops the superseded generation")
+        "the next compaction's gc sweeps the unreachable generation")
+      assert(probedIds(idx) == allIds)
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
   test("crash windows: a probe serves one complete generation after ANY compaction step prefix") {
-    val nSteps = 4 // gc, write-next-gen, commit-manifest, drop-old-gen
+    val nSteps = 3 // gc, write-next-gen, commit-manifest
     for (prefix <- 0 to nSteps) {
       val base = Files.createTempDirectory(s"graft-crash$prefix")
       val idx = base.resolve("ivf").toString
@@ -75,30 +88,30 @@ class ManifestAnnSpec extends SparkSpec {
         assert(probedIds(idx) == allIds,
           s"after ${steps.take(prefix).map(_._1)} the probe lost rows")
         val (gen, _) = AnnManifest.readManifest(idx)
-        assert(gen == (if (prefix < 3) "gen_0" else "gen_1"),
-          s"prefix $prefix must leave the manifest on the ${if (prefix < 3) "old" else "new"} generation, got $gen")
+        assert(gen == (if (prefix < nSteps) "gen_0" else "gen_1"),
+          s"prefix $prefix must leave the manifest on the ${if (prefix < nSteps) "old" else "new"} generation, got $gen")
       } finally graft.StoredArtifacts.deleteTree(base.toString)
     }
   }
 
-  test("interrupted compaction leaves only garbage: the next compaction GCs it and commits a fresh generation") {
+  test("a half-written next generation is unreachable garbage: the next compaction GCs it and recommits") {
     val base = Files.createTempDirectory("graft-gc")
     val idx = base.resolve("ivf").toString
     try {
       AnnManifest.init(standing, idx, iters = 1)
       AnnManifest.append(batch, idx, "delta_1")
-      // crash AFTER the pointer flip but BEFORE the old generation drop:
-      // gen_0 remains on disk as unreachable garbage
-      AnnManifest.compactionSteps(spark, idx, iters = 1).take(3)
+      // crash AFTER writing the next generation but BEFORE the pointer
+      // flip: gen_1 sits on disk complete but unreachable — readers still
+      // resolve gen_0+delta, and the retried compaction sweeps the orphan
+      // before rebuilding (never serving a generation it didn't commit)
+      AnnManifest.compactionSteps(spark, idx, iters = 1).take(2)
         .foreach { case (_, run) => run() }
-      assert(Files.exists(base.resolve("ivf").resolve("gen_0")), "garbage present")
+      assert(Files.exists(base.resolve("ivf").resolve("gen_1")), "orphan present")
+      assert(AnnManifest.readManifest(idx)._1 == "gen_0")
       AnnManifest.compact(spark, idx, iters = 0)
-      assert(AnnManifest.readManifest(idx)._1 == "gen_2")
-      assert(!Files.exists(base.resolve("ivf").resolve("gen_0")),
-        "the GC step must sweep the unreachable generation")
-      assert(!Files.exists(base.resolve("ivf").resolve("gen_1")),
-        "the superseded generation is dropped as usual")
-      assert(probedIds(idx) == allIds)
+      assert(AnnManifest.readManifest(idx)._1 == "gen_1")
+      assert(probedIds(idx) == allIds,
+        "the recommitted generation serves everything")
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
