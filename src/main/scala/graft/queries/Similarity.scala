@@ -1115,6 +1115,64 @@ object Similarity {
         VectorOps.cosinePreNorm(col("embedding"), qcol, qnorm).as("sim"))
   }
 
+  /** Batch form of [[rerankExact]]: per-QUERY ADC top-`topC` candidates
+    * (GroupedTopK bounded heaps — no global sort of the scored stream),
+    * one fetch join of the distinct candidate ids against the corpus, and
+    * exact re-scoring of each (query, candidate) pair. Candidate and
+    * query tables are broadcast-sized (B·C ids, B vectors); the corpus is
+    * read once. Per-query results are identical to B single-query
+    * [[rerankExact]] calls (PqSpec pins it).
+    *
+    * @param corpus     (vec_id, embedding)
+    * @param candidates (q_id, vec_id, score) — stage-1 batch probe output
+    * @param queries    first column: query id, second: vector
+    */
+  def rerankExactBatch(corpus: DataFrame, candidates: DataFrame,
+      queries: DataFrame, topC: Int): DataFrame = {
+    import graft.plans.GroupedTopKOps
+    GroupedTopKOps.ensureInstalled(corpus.sparkSession)
+    val q = queries.select(
+        col(queries.columns(0)).cast("long").as("q_id"),
+        col(queries.columns(1)).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", VectorOps.l2norm(col("qvec")))
+    val top = GroupedTopKOps.groupedTopK(
+        candidates.toDF("q_id", "vec_id", "score"),
+        Seq(col("q_id")), Seq(col("score").desc, col("vec_id")), k = topC)
+      .select(col("q_id"), col("vec_id"))
+    corpus.join(broadcast(top), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm")).as("sim"))
+  }
+
+  // The full batch serving composition — every stage of the production ANN
+  // path at once: batch IVF-PQ probe (one pruned scan of byte-packed
+  // codes, stacked-LUT ADC), per-query ADC top-100, one corpus fetch of
+  // the candidate union, exact re-rank, per-query exact top-10. Stage-1
+  // economics × stage-2 recall × batch amortization. Shares x68's stored
+  // artifact; PqSpec pins per-query equality with the single-query
+  // two-stage path.
+  private val x76 = GQuery(
+    "x76_ann_batch_rerank", "ext-similarity-ann serving-path two-stage batch-serving",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivfpq_index_v2")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfPqIndex(e, store, iters = 2, m = 8, kSub = 16)
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val cands = probeIvfPqBatch(s, store, queries, nprobe = 6)
+        .where(col("vec_id") =!= col("q_id"))
+      val exact = rerankExactBatch(
+        e.select(col("vec_id"), col("embedding")), cands, queries, topC = 100)
+      GroupedTopKOps.groupedTopK(exact, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id")), k = 10)
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    },
+    None) // quantized stage-1 candidates: gated by PqSpec, rows-only here
+
   // Two-stage ANN serving — the production composition of the PQ family:
   // stage 1 probes the stored IVF-PQ index (nprobe pruned cells of byte-
   // packed codes, no float reads), stage 2 re-ranks the ADC top-100 by
@@ -1267,5 +1325,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72, x73, x75)
+      x65, x67, x68, x70, x71, x72, x73, x75, x76)
 }

@@ -36,12 +36,20 @@ class PlanRobustnessSpec extends SparkSpec {
     // whose answer depended on a physical choice would corrupt quietly at
     // the exact moment a cell crosses a size threshold
     "x61_bpe_tokenize_scale", "x63_bpe_tokenize_stored",
-    "x66_incremental_lsh_stored", "x62_ann_ivf_stored", "x68_ann_ivfpq")
+    "x66_incremental_lsh_stored", "x62_ann_ivf_stored", "x68_ann_ivfpq",
+    // round 7: the manifest-resolved probe rides the AQE-off half like
+    // x62; the batch probes' candidate joins are broadcast()-hinted and
+    // live in the hinted group below
+    "x73_ann_ivf_manifest")
 
   // EVERY join in these is broadcast()-hinted, so the threshold knob is a
   // no-op by construction; they verify independence from AQE re-planning
   private val hinted = Seq("x24_decontaminate", "x27_knn_join",
-    "x64_semantic_dedup_incremental")
+    "x64_semantic_dedup_incremental",
+    // round 7 batch serving: probe-pair / candidate / query joins are all
+    // broadcast()-hinted; a GroupedTopK or stacked-LUT result that shifted
+    // under AQE re-planning would corrupt batch serving silently
+    "x71_ann_ivf_batch", "x75_ann_ivfpq_batch", "x76_ann_batch_rerank")
 
   // sorted stringified rows: content equality as a multiset. Some queries'
   // ORDER BY is not a total order (e.g. c16 — the synthetic lineitem has

@@ -356,6 +356,61 @@ class PqSpec extends SparkSpec {
       "batch ADC serving must be deterministic across invocations")
   }
 
+  test("batch two-stage re-rank equals B single-query two-stage paths") {
+    import graft.queries.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-rerankb")
+    val idx = base.resolve("ivfpq").toString
+    try {
+      val labeled = planted.withColumn("label",
+        concat(lit("c"), (col("vec_id") / 10).cast("int")))
+      Similarity.writeIvfPqIndex(labeled, idx, iters = 1, m = 4, kSub = 4)
+      import spark.implicits._
+      val qVecs = Seq(
+        0L -> Array.tabulate(24)(i => if (i == 0) 1.0 else if (i == 18) 0.03 else 0.0),
+        1L -> Array.tabulate(24)(i => if (i == 6) 1.0 else 0.0))
+      val queries = qVecs.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qvec")
+      val corpus = planted
+
+      val cands = Similarity.probeIvfPqBatch(spark, idx, queries, nprobe = 3)
+      val batch = Similarity.rerankExactBatch(corpus, cands, queries, topC = 6)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        }
+      for ((qid, q) <- qVecs) {
+        val single = Similarity.rerankExact(corpus,
+            Similarity.probeIvfPq(spark, idx, q, nprobe = 3), q, topC = 6)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(batch(qid).keySet == single.keySet,
+          s"query $qid: batch re-rank candidates != single path")
+        for ((id, sim) <- single)
+          assert(batch(qid)(id) == sim,
+            s"query $qid id $id: batch exact sim ${batch(qid)(id)} != single $sim")
+      }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("x76 registry entry: full batch two-stage serving, exact scores, deterministic") {
+    val got = graft.SparkEntry.queries("x76_ann_batch_rerank")(spark, sf001).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    for ((q, rows) <- byQ) {
+      assert(rows.length == 10, s"query $q: expected top-10, got ${rows.length}")
+      assert(!rows.map(_.getLong(1)).contains(q), s"query $q must exclude itself")
+    }
+    // stage-2 scores are true cosines: query 0's shared ids must agree
+    // with the exact brute-force top-20
+    val exact = graft.SparkEntry.queries("x06_cosine_topk")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q0shared = byQ(0L).filter(r => exact.contains(r.getLong(1)))
+    assert(q0shared.nonEmpty)
+    for (r <- q0shared)
+      assert(math.abs(r.getDouble(2) - exact(r.getLong(1))) < 1e-12)
+    val again = graft.SparkEntry.queries("x76_ann_batch_rerank")(spark, sf001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("x70 registry entry serves from the stored residual index, deterministically") {
     val got = graft.SparkEntry.queries("x70_ann_ivfpq_residual")(spark, sf001).collect()
     assert(got.length == 20)
