@@ -643,6 +643,105 @@ case class PqAdcScoreMulti(left: Expression, right: Expression, k: Int,
     copy(left = newLeft, right = newRight)
 }
 
+/** Multi-query RESIDUAL ADC scoring — [[PqAdcResidualScore]] for a query
+  * batch in one kernel node. The residual decomposition splits cleanly by
+  * what depends on the query: `lutCross` (cell-centroid × residual-centroid
+  * cross terms), `lutResidNorm`, and `cellNorm2` are query-INDEPENDENT and
+  * stored once for the probed-cell union; only `lutDot` (query × residual
+  * centroids, stacked `lutDot[(qi·m + sub)·k + c]`), `qDotCell`
+  * (`qDotCell[qi·nCells + ci]`), and `qnorms` stack per query. Children:
+  * (codes, cell, query index) — each scanned row arrives joined to the
+  * (query, cell) probe pairs, so one scan of the unioned cells scores
+  * every (row, probing query) pair, bit-identically to the single-query
+  * kernel (same accumulation order; spec-pinned). Codes may be
+  * `array<int>` or byte-packed BINARY. A row from a cell outside the
+  * union, an out-of-range code or query index, or a zero reconstruction
+  * scores null.
+  */
+case class PqAdcResidualScoreMulti(first: Expression, second: Expression,
+    third: Expression, k: Int, probedCells: Seq[Int], lutDot: Seq[Double],
+    lutResidNorm: Seq[Double], lutCross: Seq[Double], qDotCell: Seq[Double],
+    cellNorm2: Seq[Double], qnorms: Seq[Double])
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_residual_score_multi"
+  private def m: Int = if (k == 0) 0 else lutResidNorm.length / k
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _) | BinaryType, IntegerType, IntegerType) =>
+        if (k < 1 || lutResidNorm.isEmpty || lutResidNorm.length % k != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: lutResidNorm must be a non-empty multiple of k, got ${lutResidNorm.length}")
+        else if (lutDot.length != qnorms.length * lutResidNorm.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: lutDot length ${lutDot.length} != nQueries×m×k " +
+              s"${qnorms.length * lutResidNorm.length}")
+        else if (lutCross.length != probedCells.length * lutResidNorm.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: lutCross length ${lutCross.length} != cells×m×k " +
+              s"${probedCells.length * lutResidNorm.length}")
+        else if (qDotCell.length != qnorms.length * probedCells.length ||
+            cellNorm2.length != probedCells.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: per-cell tables must match nQueries×cells and cells, " +
+              s"got ${qDotCell.length} and ${cellNorm2.length}")
+        else TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expects (array<int> or binary codes, int cell, int query " +
+          s"index), got (${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  @transient private lazy val ld = lutDot.toArray
+  @transient private lazy val lr = lutResidNorm.toArray
+  @transient private lazy val lc = lutCross.toArray
+  @transient private lazy val qdc = qDotCell.toArray
+  @transient private lazy val qn = qnorms.toArray
+  @transient private lazy val cellIdx: Map[Int, Int] = probedCells.zipWithIndex.toMap
+  private lazy val binary = first.dataType == BinaryType
+
+  override def nullSafeEval(codesAny: Any, cellAny: Any, qiAny: Any): Any = {
+    val ci = cellIdx.getOrElse(cellAny.asInstanceOf[Int], -1)
+    val qi = qiAny.asInstanceOf[Int]
+    if (ci < 0 || qi < 0 || qi >= qn.length) return null
+    val mk = m * k
+    var dot = qdc(qi * probedCells.length + ci)
+    var n2 = cellNorm2(ci)
+    if (binary) {
+      val codes = codesAny.asInstanceOf[Array[Byte]]
+      if (codes.length != m) return null
+      var sub = 0
+      while (sub < m) {
+        val c = codes(sub) & 0xff // unsigned byte code
+        if (c >= k) return null
+        val i = sub * k + c
+        dot += ld(qi * mk + i)
+        n2 += 2.0 * lc(ci * mk + i) + lr(i)
+        sub += 1
+      }
+    } else {
+      val codes = codesAny.asInstanceOf[ArrayData]
+      if (codes.numElements() != m) return null
+      var sub = 0
+      while (sub < m) {
+        if (codes.isNullAt(sub)) return null
+        val c = codes.getInt(sub)
+        if (c < 0 || c >= k) return null
+        val i = sub * k + c
+        dot += ld(qi * mk + i)
+        n2 += 2.0 * lc(ci * mk + i) + lr(i)
+        sub += 1
+      }
+    }
+    val denom = qn(qi) * math.sqrt(math.max(n2, 0.0))
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqAdcResidualScoreMulti =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Residual-PQ ADC scoring — the faiss-IVFPQ formulation: codes quantize
   * the RESIDUAL x − c_cell, so the reconstruction is x̂ = c_cell + r̂ and
   * cosine needs three LUT families plus two per-cell scalars, all built

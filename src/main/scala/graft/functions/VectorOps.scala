@@ -70,6 +70,18 @@ object VectorOps {
     ColumnGlue.column(PqAdcScoreMulti(
       ColumnGlue.expression(codes), ColumnGlue.expression(qIdx), k, lutDot, lutNorm, qnorms))
 
+  /** Multi-query residual ADC cosine over (codes, cell, query index)
+    * (see [[PqAdcResidualScoreMulti]]).
+    */
+  def pqAdcResidualScoreMulti(codes: Column, cell: Column, qIdx: Column, k: Int,
+      probedCells: Seq[Int], lutDot: Seq[Double], lutResidNorm: Seq[Double],
+      lutCross: Seq[Double], qDotCell: Seq[Double], cellNorm2: Seq[Double],
+      qnorms: Seq[Double]): Column =
+    ColumnGlue.column(PqAdcResidualScoreMulti(
+      ColumnGlue.expression(codes), ColumnGlue.expression(cell),
+      ColumnGlue.expression(qIdx), k, probedCells, lutDot, lutResidNorm,
+      lutCross, qDotCell, cellNorm2, qnorms))
+
   /** Residual-PQ ADC cosine over (codes, cell) (see [[PqAdcResidualScore]]). */
   def pqAdcResidualScore(codes: Column, cell: Column, k: Int, probedCells: Seq[Int],
       lutDot: Seq[Double], lutResidNorm: Seq[Double], lutCross: Seq[Double],

@@ -1080,6 +1080,113 @@ object Similarity {
           qDotCell.toSeq, cellNorm2.toSeq, qnorm).as("sim_adc"))
   }
 
+  /** BATCH residual IVF-PQ probe — [[probeIvfPqBatch]]'s one-scan batch
+    * shape on the residual layout, closing the family's last single-query
+    * asymmetry. The residual decomposition is batch-friendly by
+    * construction: the expensive cross-term table (`lutCross`, cell
+    * centroid × residual centroids) plus `lutResidNorm`/`cellNorm2` are
+    * QUERY-INDEPENDENT — built once for the probed-cell union — and only
+    * the small query-side tables stack per query (`lutDot` B·m×k,
+    * `qDotCell` B×cells, `qnorms`). One pruned scan of the unioned code
+    * cells scores every (row, probing query) pair through a single
+    * [[graft.functions.VectorExpressions.PqAdcResidualScoreMulti]] node,
+    * bit-identical per query to [[probeIvfPqResidual]] (PqSpec pins it).
+    */
+  def probeIvfPqResidualBatch(s: SparkSession, indexDir: String,
+      queries: DataFrame, nprobe: Int): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val cb = ProductQuantizer.readCodebooks(s, indexDir)
+    val coarse = readIvfCentroids(s, indexDir)
+    val qRows = queries.select(
+        col(queries.columns(0)).cast("long"),
+        col(queries.columns(1)).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(qRows.nonEmpty, "empty query batch")
+    qRows.foreach { case (id, q) =>
+      require(q.length == cb.m * cb.dsub,
+        s"query $id dim ${q.length} != index dim ${cb.m * cb.dsub}")
+    }
+    val qnorms = qRows.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val perQueryCells = qRows.zipWithIndex.map { case ((_, q), qi) =>
+      selectCells(coarse, q, qnorms(qi), nprobe)
+    }
+    val cells = perQueryCells.flatten.distinct.sorted.toSeq
+    val mk = cb.m * cb.k
+    // query-independent tables, once per batch — same loop order as the
+    // single probe so scores are bit-identical
+    val lutResidNorm = new Array[Double](mk)
+    for (sub <- 0 until cb.m; c <- 0 until cb.k) {
+      val cent = cb.centroid(sub, c)
+      var n2 = 0.0
+      for (i <- 0 until cb.dsub) n2 += cent(i) * cent(i)
+      lutResidNorm(sub * cb.k + c) = n2
+    }
+    val lutCross = new Array[Double](cells.length * mk)
+    val cellNorm2 = new Array[Double](cells.length)
+    for ((cell, ci) <- cells.zipWithIndex) {
+      val cc = coarse(cell)
+      cellNorm2(ci) = dotd(cc, cc)
+      for (sub <- 0 until cb.m; c <- 0 until cb.k) {
+        val cent = cb.centroid(sub, c)
+        var x = 0.0
+        for (i <- 0 until cb.dsub) x += cc(sub * cb.dsub + i) * cent(i)
+        lutCross(ci * mk + sub * cb.k + c) = x
+      }
+    }
+    // query-dependent tables, stacked
+    val lutDot = new Array[Double](qRows.length * mk)
+    val qDotCell = new Array[Double](qRows.length * cells.length)
+    for (((_, q), qi) <- qRows.zipWithIndex) {
+      for (sub <- 0 until cb.m; c <- 0 until cb.k) {
+        val cent = cb.centroid(sub, c)
+        var d = 0.0
+        for (i <- 0 until cb.dsub) d += q(sub * cb.dsub + i) * cent(i)
+        lutDot(qi * mk + sub * cb.k + c) = d
+      }
+      for ((cell, ci) <- cells.zipWithIndex)
+        qDotCell(qi * cells.length + ci) = dotd(q, coarse(cell))
+    }
+    import s.implicits._
+    val pairs = qRows.zipWithIndex.flatMap { case ((qid, _), qi) =>
+      perQueryCells(qi).map(cell => (qid, qi, cell))
+    }
+    val pairsDf = pairs.toSeq.toDF("q_id", "q_idx", "cluster")
+    s.read.parquet(s"$indexDir/codes")
+      .where(col("cluster").isin(cells: _*))
+      .join(broadcast(pairsDf), Seq("cluster"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.pqAdcResidualScoreMulti(col("codes"), col("cluster"),
+          col("q_idx"), cb.k, cells, lutDot.toSeq, lutResidNorm.toSeq,
+          lutCross.toSeq, qDotCell.toSeq, cellNorm2.toSeq, qnorms.toSeq)
+          .as("sim_adc"))
+  }
+
+  // Batch residual serving — x75's batch economics on x70's residual
+  // layout (the faiss-default form): the cross-term LUTs amortize over
+  // the whole batch because they never depended on the query, and the
+  // per-query additions are the same m table lookups. Shares x70's
+  // stored artifact; PqSpec pins per-query bit-identity with the
+  // single-query residual probe.
+  private val x77 = GQuery(
+    "x77_ann_ivfpqr_batch",
+    "ext-similarity-ann compression stored-artifact batch-serving",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivfpqr_index_v2")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfPqResidualIndex(e, store, iters = 2, m = 8, kSub = 16)
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val cands = probeIvfPqResidualBatch(s, store, queries, nprobe = 6)
+        .where(col("vec_id") =!= col("q_id"))
+      GroupedTopKOps.groupedTopK(cands, Seq(col("q_id")),
+        Seq(col("sim_adc").desc, col("vec_id")), k = 10)
+        .orderBy(col("q_id"), col("sim_adc").desc, col("vec_id"))
+    },
+    None) // quantized + probe subset: gated by PqSpec, rows-only here
+
   /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
     * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
     * x67/x68/x70) never reads a float vector and its scores carry
@@ -1325,5 +1432,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72, x73, x75, x76)
+      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77)
 }

@@ -49,7 +49,8 @@ class PlanRobustnessSpec extends SparkSpec {
     // round 7 batch serving: probe-pair / candidate / query joins are all
     // broadcast()-hinted; a GroupedTopK or stacked-LUT result that shifted
     // under AQE re-planning would corrupt batch serving silently
-    "x71_ann_ivf_batch", "x75_ann_ivfpq_batch", "x76_ann_batch_rerank")
+    "x71_ann_ivf_batch", "x75_ann_ivfpq_batch", "x76_ann_batch_rerank",
+    "x77_ann_ivfpqr_batch")
 
   // sorted stringified rows: content equality as a multiset. Some queries'
   // ORDER BY is not a total order (e.g. c16 — the synthetic lineitem has

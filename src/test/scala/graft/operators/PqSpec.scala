@@ -411,6 +411,58 @@ class PqSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("batch residual probe equals B single residual probes; cross-term LUTs amortize over the batch") {
+    import graft.queries.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-pqrb")
+    val idx = base.resolve("pqr").toString
+    try {
+      Similarity.writeIvfPqResidualIndex(offsetCorpus, idx, iters = 2, m = 4, kSub = 4)
+      import spark.implicits._
+      val qVecs = Seq(
+        0L -> Array.tabulate(24)(i =>
+          if (i == 0) 20.2 else if (i == 6) 1.0 else 0.0),
+        1L -> Array.tabulate(24)(i =>
+          if (i == 0) 10.1 else if (i == 6) 1.0 else 0.0))
+      val queries = qVecs.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qvec")
+
+      val batch = Similarity.probeIvfPqResidualBatch(spark, idx, queries, nprobe = 2)
+      val got = batch.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        }
+      assert(got.keySet == qVecs.map(_._1).toSet)
+      for ((qid, q) <- qVecs) {
+        val single = Similarity.probeIvfPqResidual(spark, idx, q, nprobe = 2)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got(qid).keySet == single.keySet,
+          s"query $qid: batch residual candidates != single probe")
+        for ((id, sim) <- single)
+          assert(got(qid)(id) == sim,
+            s"query $qid id $id: batch residual ADC ${got(qid)(id)} != single $sim")
+      }
+      // one pruned, float-free scan for the whole batch
+      val scans = graft.SparkSpec.allPlanNodes(batch.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val codeScans = scans.filter(_.metadata.get("Location").exists(_.contains("codes")))
+      assert(codeScans.length == 1)
+      assert(codeScans.head.metadata.getOrElse("PartitionFilters", "").contains("cluster"))
+      assert(!codeScans.head.metadata.getOrElse("ReadSchema", "").contains("embedding"))
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("x77 registry entry serves per-query residual ADC top-10 deterministically") {
+    val got = graft.SparkEntry.queries("x77_ann_ivfpqr_batch")(spark, sf001).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    for ((q, rows) <- byQ) {
+      assert(rows.length == 10, s"query $q: expected top-10, got ${rows.length}")
+      assert(!rows.map(_.getLong(1)).contains(q))
+    }
+    val again = graft.SparkEntry.queries("x77_ann_ivfpqr_batch")(spark, sf001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("x70 registry entry serves from the stored residual index, deterministically") {
     val got = graft.SparkEntry.queries("x70_ann_ivfpq_residual")(spark, sf001).collect()
     assert(got.length == 20)
