@@ -98,7 +98,7 @@ object AnnManifest {
     *      (the superseded generation stays on disk until the next gc).
     */
   def compactionSteps(s: SparkSession, indexDir: String,
-      iters: Int): Seq[(String, () => Unit)] = {
+      iters: Int, baseSegment: String = "cells"): Seq[(String, () => Unit)] = {
     import org.apache.spark.sql.functions.col
     val (gen, segments) = readManifest(indexDir)
     val genNum = gen.stripPrefix("gen_").toInt
@@ -119,18 +119,23 @@ object AnnManifest {
         graft.operators.KMeans.assign(all, cs)
           .select(col("id").as("vec_id"), col("vec").as("embedding"), col("cluster"))
           .write.mode("overwrite").partitionBy("cluster")
-          .parquet(s"$indexDir/$next/cells")
+          .parquet(s"$indexDir/$next/$baseSegment")
         cs.zipWithIndex.map { case (c, j) => (j, c) }
           .toDF("cluster", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$next/centroids")
       },
-      "commit-manifest" -> { () => writeManifest(indexDir, next, Seq("cells")) })
+      "commit-manifest" -> { () => writeManifest(indexDir, next, Seq(baseSegment)) })
   }
 
   /** Merge the live generation's segments into the next one and flip the
     * manifest pointer — delta accumulation bounded, readers safe at every
-    * instant.
+    * instant. `baseSegment` names the merged generation's single segment:
+    * "cells" for the plain index, a watermark name (e.g. `base_<batchId>`)
+    * for [[graft.streaming.AnnIngestStream]], which folds its at-least-once
+    * dedup state into the segment names the manifest already commits.
     */
-  def compact(s: SparkSession, indexDir: String, iters: Int): Unit =
-    compactionSteps(s, indexDir, iters).foreach { case (_, step) => step() }
+  def compact(s: SparkSession, indexDir: String, iters: Int,
+      baseSegment: String = "cells"): Unit =
+    compactionSteps(s, indexDir, iters, baseSegment)
+      .foreach { case (_, step) => step() }
 }

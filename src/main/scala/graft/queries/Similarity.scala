@@ -1406,6 +1406,43 @@ object Similarity {
     },
     None) // approximate (probe subset): rows-only check + ManifestAnnSpec
 
+  // Streaming ingest into the manifest-committed index — x73's lifecycle
+  // driven by Structured Streaming: two embedding arrival files land as
+  // separate micro-batches (maxFilesPerTrigger = 1), each foreachBatch
+  // cycle bootstraps/appends through AnnManifest's atomic commit, and
+  // maxSegments = 1 forces the in-loop compaction so the full
+  // init → append → compact lifecycle runs inside the one stream. The
+  // probe serves vectors from BOTH batches through the final manifest.
+  // At-least-once re-delivery is deduped by the segment-name watermark
+  // (StreamingAnnIngestSpec drives the crash/re-delivery windows).
+  private val x78 = GQuery(
+    "x78_ann_ingest_stream",
+    "ext-similarity-ann streaming incremental-index crash-safe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ann_ingest_v1")
+      val index = s"$store/index"
+      if (!AnnManifest.exists(index)) {
+        val arrivals = s"$store/arrivals"
+        e.where(col("vec_id") < 250).coalesce(1)
+          .write.mode("append").parquet(arrivals)
+        e.where(col("vec_id") >= 250).coalesce(1)
+          .write.mode("append").parquet(arrivals)
+        graft.streaming.AnnIngestStream
+          .start(s, arrivals, index, s"$store/ckpt",
+            iters = 2, maxSegments = 1)
+          .awaitTermination()
+      }
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      AnnManifest.probe(s, index, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // approximate (probe subset): rows-only check + StreamingAnnIngestSpec
+
   // Incremental semantic dedup — x32/x52's ingest-cycle shape for MEANING:
   // the standing slice (vec_id < 250) built its index once (2 Lloyd
   // refinements, per-cluster representatives — persisted via
@@ -1432,5 +1469,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77)
+      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78)
 }
