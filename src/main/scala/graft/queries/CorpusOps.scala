@@ -441,6 +441,101 @@ object CorpusOps {
             FROM tok t JOIN bl ON t.tok = bl.term
             GROUP BY doc_id ORDER BY doc_id"""))
 
-  val queries: Seq[GQuery] = Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51)
+  /** Exact duplicated-substring detection — the suffix-array dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed as a distributed positional k-gram sweep: a
+    * substring of length ≥ k duplicated ANYWHERE in the corpus (across
+    * documents or repeated within one) makes every one of its length-k
+    * windows duplicated, so the duplicated-gram positions of a document,
+    * unioned as intervals, are exactly the characters inside duplicated
+    * regions of length ≥ k. Three phases, each a standard shuffle:
+    *   1. coverage: explode (doc_id, pos, gram) and count occurrences per
+    *      gram with one window — a position is covered iff its gram
+    *      appears more than once;
+    *   2. interval union: per document, covered positions sorted by pos;
+    *      a gap > k starts a new island (positions ≤ k apart have
+    *      overlapping-or-adjacent windows, so their union is contiguous);
+    *   3. spans: per island, the union covers max(pos) − min(pos) + k
+    *      characters — report per-doc span count, duplicated characters,
+    *      and longest span.
+    *
+    * Scale shape: the only wide exchange carries (gram, doc_id, pos) —
+    * k bytes + 12, ≈ k× the corpus size for the one shuffle, which is the
+    * same order the suffix-array construction itself moves. Production
+    * variants shrink it: fingerprint grams to `xxhash64` 8-byte keys
+    * (collision odds 2⁻⁶⁴ per pair — then this exact-string form is the
+    * verify pass), stride the positions (only every s-th gram, finding
+    * spans ≥ k + s), or pre-filter through a Bloom of first-occurrence
+    * grams (the BFF layout). The exact form here is the oracle-checkable
+    * ground truth those approximations are measured against.
+    */
+  def substringSpans(d: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"gram length must be >= 2: $k")
+    val grams = d
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= k,
+          sequence(lit(0), length(col("text")) - k))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $k)").as("gram"))
+    val covered = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .where(col("occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = covered
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum(col("brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + k).cast("long").as("span_len"))
+    val agg = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_chars"),
+        max(col("span_len")).as("longest"))
+    d.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("longest"), lit(0L)).as("longest"))
+      .orderBy("doc_id")
+  }
+
+  private val x79 = GQuery(
+    "x79_substring_dedup", "ext-dedup exact-substring",
+    (s, dir) => substringSpans(docs(s, dir), k = 20),
+    Some("""WITH grams AS (
+              SELECT doc_id, r.pos, substr(text, r.pos + 1, 20) AS gram
+              FROM documents,
+                unnest(range(0, greatest(length(text) - 19, 0))) r(pos)),
+            cov AS (
+              SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ
+              FROM grams),
+            isl AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+                  THEN 0 ELSE 1 END AS brk
+              FROM cov WHERE occ > 1),
+            grp AS (
+              SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl),
+            spans AS (
+              SELECT doc_id, island,
+                CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_len
+              FROM grp GROUP BY doc_id, island),
+            agg AS (
+              SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(span_len) AS BIGINT) AS dup_chars,
+                CAST(max(span_len) AS BIGINT) AS longest
+              FROM spans GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+              coalesce(dup_chars, 0) AS dup_chars, coalesce(longest, 0) AS longest
+            FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
+  val queries: Seq[GQuery] =
+    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79)
 }
 

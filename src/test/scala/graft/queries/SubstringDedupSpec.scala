@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Exact substring-span detection on planted corpora: the k-gram coverage
+  * sweep must find precisely the duplicated regions — cross-document
+  * shares, within-document repeats — and nothing in clean text.
+  */
+class SubstringDedupSpec extends SparkSpec {
+
+  test("planted duplicated substrings: cross-doc span, within-doc repeat, clean doc") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "qqqq" + "abcdefghi" + "rrrr"),
+      (1L, "ssss" + "abcdefghi" + "tttt"),
+      (2L, "uniquetextwithnothingrepeated"),
+      (3L, "mnopq" + "12345678" + "mnopq" + "87654321"),
+      (4L, "tiny")) // shorter than k: no grams at all
+      .toDF("doc_id", "text")
+    val r = CorpusOps.substringSpans(d, k = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // the shared 9-char region yields covered positions 4..8 -> ONE island
+    // whose interval union is exactly the 9 shared characters
+    assert(r(0L) == ((1L, 9L, 9L)), "cross-doc 9-char share = one 9-char span")
+    assert(r(1L) == ((1L, 9L, 9L)), "both sides of the share are reported")
+    assert(r(2L) == ((0L, 0L, 0L)), "clean doc reports zeros")
+    // "mnopq" at positions 0 and 13: a within-doc repeat covers BOTH
+    // occurrences, and the 13-char gap (> k) keeps them separate islands
+    assert(r(3L) == ((2L, 10L, 5L)), "within-doc repeat: two 5-char spans")
+    assert(r(4L) == ((0L, 0L, 0L)), "sub-k doc has no windows and no spans")
+    assert(r.size == 5, "every input document appears in the report")
+  }
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    import spark.implicits._
+    // 12-char share: covered positions 0..7 (k=5), all gaps 1 -> one island
+    // covering max-min+k = 12 chars
+    val d = Seq(
+      (0L, "abcdefghijkl" + "0000"),
+      (1L, "abcdefghijkl" + "1111")).toDF("doc_id", "text")
+    val r = CorpusOps.substringSpans(d, k = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(0L) == ((1L, 12L, 12L)))
+    assert(r(1L) == ((1L, 12L, 12L)))
+  }
+}
