@@ -838,3 +838,56 @@ case class PqAdcResidualScore(left: Expression, right: Expression, k: Int,
       newLeft: Expression, newRight: Expression): PqAdcResidualScore =
     copy(left = newLeft, right = newRight)
 }
+
+/** Sparse dot product of a hashed-feature row with a LITERAL dense weight
+  * vector — the scoring kernel of the hashed linear classifier
+  * ([[graft.operators.QualityClassifier]]): Σᵢ weights(indices(i)) ·
+  * values(i). The weights are a model artifact (dim doubles, driver-sized
+  * by the feature-hashing contract), inlined exactly like the k-means
+  * centroid and PQ LUT literals, so scoring is a narrow per-row loop —
+  * no join against a weights table, no shuffle. An index outside
+  * [0, dim) or a length mismatch between the two arrays scores null
+  * (a corrupt row must surface, not silently contribute 0).
+  */
+case class SparseDotLit(left: Expression, right: Expression,
+    weights: Seq[Double])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sparse_dot_lit"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (weights.isEmpty)
+      return TypeCheckResult.TypeCheckFailure(s"$prettyName: empty weights")
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expected (array<int>, array<double>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
+  @transient private lazy val w = weights.toArray
+  private lazy val ln = VectorKernels.elemNullable(left)
+  private lazy val rn = VectorKernels.elemNullable(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val idx = a.asInstanceOf[ArrayData]
+    val vals = b.asInstanceOf[ArrayData]
+    if (idx.numElements() != vals.numElements()) return null
+    val n = idx.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if ((ln && idx.isNullAt(i)) || (rn && vals.isNullAt(i))) return null
+      val j = idx.getInt(i)
+      if (j < 0 || j >= w.length) return null
+      s += w(j) * vals.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparseDotLit =
+    copy(left = newLeft, right = newRight)
+}

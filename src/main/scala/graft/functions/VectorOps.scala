@@ -35,6 +35,11 @@ object VectorOps {
   def sqDist(a: Column, b: Column): Column =
     ColumnGlue.column(SqDist(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
+  /** Sparse dot with a literal dense weight vector — see [[SparseDotLit]]. */
+  def sparseDotLit(indices: Column, values: Column, weights: Seq[Double]): Column =
+    ColumnGlue.column(SparseDotLit(
+      ColumnGlue.expression(indices), ColumnGlue.expression(values), weights))
+
   /** Single random-hyperplane LSH bucket (sign bits of `nPlanes` projections
     * packed into a long) — see [[HyperplaneBuckets]]. Deterministic and
     * scale-invariant: positive scaling never flips a projection's sign.

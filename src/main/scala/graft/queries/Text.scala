@@ -861,7 +861,40 @@ object Text {
     },
     None) // BPE-derived ids: gated by BpeSpec round-trip + OOV pins
 
+  // Model-based quality filtering — the classifier stage that sits AFTER
+  // the x12-style heuristics in a production pipeline (CCNet / DCLM /
+  // FineWeb-Edu run exactly this shape): hashed-feature logistic
+  // regression trained ON the corpus, scoring held-out documents. The
+  // fixture corpus carries no quality labels, so the query PLANTS the
+  // signal (x34's plant → detect discipline): every doc_id ≡ 0 (mod 3)
+  // gets a low-quality marker phrase appended and label 1; the model
+  // trains on even doc_ids and scores the odd holdout. The training
+  // loop's scale shape (literal-weight kernel forward, dim-bounded
+  // gradient exchange) is QualityClassifier's scaladoc; the planted
+  // holdout separation is QualityClassifierSpec's gate.
+  private val x80 = GQuery(
+    "x80_quality_classifier", "ext-text quality-model classifier-training",
+    (s, dir) => {
+      val dim = 4096 // vocab-sized so the 4 planted markers keep clean buckets
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" spamword junkword lowqual badtext")))
+          .otherwise(col("text")).as("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(1)).otherwise(lit(0))
+          .as("label"))
+      val feats = graft.operators.QualityClassifier.featurize(planted, dim)
+        .localCheckpoint(true) // featurize once, reuse across split + loop
+      val model = graft.operators.QualityClassifier.train(
+        feats.where(pmod(col("doc_id"), lit(2)) === 0), dim,
+        iters = 15, lr = 1.0)
+      graft.operators.QualityClassifier.score(
+          feats.where(pmod(col("doc_id"), lit(2)) === 1), model)
+        .select(col("doc_id"), col("label"), col("pred"))
+        .orderBy("doc_id")
+    },
+    None) // iterative float training: gated by QualityClassifierSpec
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69)
+      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80)
 }
