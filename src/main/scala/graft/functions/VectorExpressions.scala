@@ -891,3 +891,108 @@ case class SparseDotLit(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): SparseDotLit =
     copy(left = newLeft, right = newRight)
 }
+
+/** Scalar (SQ8) encoding: an `array<float|double>` vector → `dim` unsigned
+  * bytes under per-dimension linear quantization
+  * `code_d = round(255 · (x_d − min_d) / Δ_d)` (clamped to [0, 255];
+  * a zero-range dimension encodes 0). The per-dim (min, Δ) tables are
+  * model literals — dim doubles each, the k-means-centroid move — so
+  * encoding is one narrow loop per row producing 4× smaller storage than
+  * float32. Out-of-range inputs (a delta batch drifting past the trained
+  * range) CLAMP, matching the FAISS SQ8 convention: quantization error is
+  * bounded inside the trained range and saturates outside it.
+  */
+case class Sq8Encode(child: Expression, mins: Seq[Double], deltas: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_encode"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (mins.isEmpty || mins.length != deltas.length)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: mins/deltas must be equal-length non-empty, " +
+            s"got ${mins.length} and ${deltas.length}")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: vector must be array<float|double>, got ${other.catalogString}")
+  }
+  @transient private lazy val mn = mins.toArray
+  @transient private lazy val dl = deltas.toArray
+  private lazy val flt = VectorKernels.isFloatArray(child)
+  private lazy val en = VectorKernels.elemNullable(child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != mn.length) return null
+    val out = new Array[Byte](mn.length)
+    var d = 0
+    while (d < mn.length) {
+      if (en && x.isNullAt(d)) return null
+      val c =
+        if (dl(d) == 0.0) 0
+        else {
+          val raw = math.round(255.0 * (VectorKernels.elem(x, d, flt) - mn(d)) / dl(d))
+          math.min(255L, math.max(0L, raw)).toInt
+        }
+      out(d) = c.toByte
+      d += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** SQ8 asymmetric cosine: the query stays float, each stored byte row is
+  * scored against its RECONSTRUCTION `x̂_d = min_d + code_d · Δ_d / 255`
+  * without materializing it — all query×table cross terms are folded into
+  * per-dim driver constants, so the per-row loop is one multiply-add pair
+  * per dimension over bytes:
+  *   dot  = dotBase + Σ aDot_d · c_d          (aDot_d = q_d Δ_d / 255)
+  *   ‖x̂‖² = n2Base + Σ (nLin_d · c_d + nQuad_d · c_d²)
+  * with dotBase = Σ q_d min_d, n2Base = Σ min_d², nLin_d = 2 min_d Δ_d/255,
+  * nQuad_d = (Δ_d/255)². The score is EXACTLY the float cosine of q with
+  * x̂ (Sq8Spec pins to 1e-12), so serving quality is a pure function of
+  * quantization error. A wrong-width row scores null.
+  */
+case class Sq8AdcScore(child: Expression, aDot: Seq[Double], nLin: Seq[Double],
+    nQuad: Seq[Double], dotBase: Double, n2Base: Double, qnorm: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_adc_score"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      if (aDot.isEmpty || aDot.length != nLin.length || aDot.length != nQuad.length)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: per-dim tables must be equal-length non-empty, got " +
+            s"${aDot.length}/${nLin.length}/${nQuad.length}")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: codes must be binary, got ${other.catalogString}")
+  }
+  @transient private lazy val ad = aDot.toArray
+  @transient private lazy val nl = nLin.toArray
+  @transient private lazy val nq = nQuad.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    if (codes.length != ad.length) return null
+    var dot = dotBase
+    var n2 = n2Base
+    var d = 0
+    while (d < codes.length) {
+      val c = (codes(d) & 0xff).toDouble
+      dot += ad(d) * c
+      n2 += nl(d) * c + nq(d) * c * c
+      d += 1
+    }
+    val denom = qnorm * math.sqrt(math.max(n2, 0.0))
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8AdcScore =
+    copy(child = newChild)
+}

@@ -40,6 +40,16 @@ object VectorOps {
     ColumnGlue.column(SparseDotLit(
       ColumnGlue.expression(indices), ColumnGlue.expression(values), weights))
 
+  /** SQ8 linear quantization to dim bytes — see [[Sq8Encode]]. */
+  def sq8Encode(vec: Column, mins: Seq[Double], deltas: Seq[Double]): Column =
+    ColumnGlue.column(Sq8Encode(ColumnGlue.expression(vec), mins, deltas))
+
+  /** SQ8 asymmetric cosine over byte codes — see [[Sq8AdcScore]]. */
+  def sq8AdcScore(codes: Column, aDot: Seq[Double], nLin: Seq[Double],
+      nQuad: Seq[Double], dotBase: Double, n2Base: Double, qnorm: Double): Column =
+    ColumnGlue.column(Sq8AdcScore(ColumnGlue.expression(codes),
+      aDot, nLin, nQuad, dotBase, n2Base, qnorm))
+
   /** Single random-hyperplane LSH bucket (sign bits of `nPlanes` projections
     * packed into a long) — see [[HyperplaneBuckets]]. Deterministic and
     * scale-invariant: positive scaling never flips a projection's sign.

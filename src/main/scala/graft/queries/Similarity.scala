@@ -837,6 +837,39 @@ object Similarity {
     },
     None) // quantized estimator: gated by PqSpec, rows-only here
 
+  // SQ8 serving — the OTHER standard compression format next to PQ (x67):
+  // per-dim byte quantization, 4× smaller than float32, no codebook
+  // training (one min/max aggregation is the model). The probe scans ONLY
+  // the byte codes through the Sq8AdcScore kernel — exact cosine of the
+  // query with each row's reconstruction, all query×table cross terms
+  // driver-folded. Where PQ owns the billion-scale RAM budget (32×), SQ8
+  // owns the near-lossless tier: Sq8Spec pins reconstruction error to the
+  // per-dim bound and recall against the exact scan.
+  private val x81 = GQuery(
+    "x81_ann_sq8", "ext-similarity-ann compression stored-artifact",
+    (s, dir) => {
+      import graft.operators.ScalarQuantizer
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "sq8_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/codes")) {
+        val model = ScalarQuantizer.train(e.select(col("vec_id"), col("embedding")))
+        ScalarQuantizer.writeIndex(s, model,
+          ScalarQuantizer.encode(e.select(col("vec_id"), col("embedding")), model),
+          store)
+      }
+      val model = ScalarQuantizer.readModel(s, store)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      s.read.parquet(s"$store/codes")
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          ScalarQuantizer.adcScore(col("codes"), model, qvec).as("sim_sq8"))
+        .orderBy(col("sim_sq8").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // quantized estimator: gated by Sq8Spec, rows-only here
+
   /** Build the IVF-PQ index — x62's partition pruning COMPOSED with x67's
     * compression, the billion-scale serving layout proper: codes (not
     * vectors) stored cluster-partitioned, so a probe reads nprobe
@@ -1469,5 +1502,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78)
+      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81)
 }

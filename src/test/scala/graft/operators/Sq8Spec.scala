@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar quantization gates: the per-dim error bound the format
+  * promises, kernel-vs-driver score identity, storage width, and recall
+  * against the exact scan on a planted corpus.
+  */
+class Sq8Spec extends SparkSpec {
+
+  // 60 vectors in 8 dims: three orthogonal-ish groups plus per-vector
+  // jitter, deterministic from the id
+  private def corpus = {
+    import spark.implicits._
+    (0 until 60).map { i =>
+      val v = Array.tabulate(8) { d =>
+        val base = if (d == i % 3) 1.0f else 0.1f
+        base + 0.01f * ((i * 7 + d * 3) % 13)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def exactTop(k: Int, q: Array[Double]): Seq[Long] = {
+    import spark.implicits._
+    val qlit = typedLit(q)
+    corpus
+      .select(col("vec_id"),
+        graft.functions.VectorOps.cosine(col("embedding"), qlit).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k).collect().map(_.getLong(0)).toSeq
+  }
+
+  test("reconstruction error is bounded by delta/510 per dimension") {
+    val model = ScalarQuantizer.train(corpus)
+    val rows = ScalarQuantizer.encode(corpus, model)
+      .join(corpus, "vec_id")
+      .select(col("codes"), col("embedding").cast("array<double>"))
+      .collect()
+    rows.foreach { r =>
+      val rec = model.reconstruct(r.getAs[Array[Byte]](0))
+      val orig = r.getSeq[Double](1)
+      (0 until model.dim).foreach { d =>
+        // half a quantization step, plus float32->double read noise
+        val bound = model.deltas(d) / 510.0 + 1e-6
+        assert(math.abs(rec(d) - orig(d)) <= bound,
+          s"dim $d: |${rec(d)} - ${orig(d)}| > $bound")
+      }
+    }
+  }
+
+  test("codes are exactly dim bytes — 4x under float32") {
+    val model = ScalarQuantizer.train(corpus)
+    val lens = ScalarQuantizer.encode(corpus, model)
+      .select(length(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(8), s"every code row must be dim=8 bytes, got $lens")
+  }
+
+  test("kernel score equals driver-side cosine of the reconstruction at 1e-12") {
+    val model = ScalarQuantizer.train(corpus)
+    val q = Array.tabulate(8)(d => 0.3 + 0.1 * d)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val scored = ScalarQuantizer.encode(corpus, model)
+      .select(col("vec_id"), col("codes"),
+        ScalarQuantizer.adcScore(col("codes"), model, q).as("sim"))
+      .collect()
+    scored.foreach { r =>
+      val rec = model.reconstruct(r.getAs[Array[Byte]](1))
+      val dot = rec.zip(q).map { case (a, b) => a * b }.sum
+      val rn = math.sqrt(rec.map(x => x * x).sum)
+      val expected = dot / (qn * rn)
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12,
+        s"vec ${r.getLong(0)}: kernel ${r.getDouble(2)} vs driver $expected")
+    }
+  }
+
+  test("SQ8 top-10 recall against the exact scan is >= 0.9 on the planted corpus") {
+    val model = ScalarQuantizer.train(corpus)
+    val q = Array(1.0, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1)
+    val exact = exactTop(10, q).toSet
+    val sq8 = ScalarQuantizer.encode(corpus, model)
+      .select(col("vec_id"), ScalarQuantizer.adcScore(col("codes"), model, q).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect sq8).size / 10.0
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("out-of-range vectors clamp instead of wrapping") {
+    import spark.implicits._
+    val model = ScalarQuantizer.train(corpus)
+    val wild = Seq((999L, Array.fill(8)(100.0f)), (998L, Array.fill(8)(-100.0f)))
+      .toDF("vec_id", "embedding")
+    val codes = ScalarQuantizer.encode(wild, model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(codes(999L).forall(b => (b & 0xff) == 255), "above-range saturates high")
+    assert(codes(998L).forall(b => (b & 0xff) == 0), "below-range saturates low")
+  }
+}
