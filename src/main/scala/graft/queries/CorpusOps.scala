@@ -503,6 +503,85 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-weighted mixture sampling to a token budget — the
+    * source-mixing step of a pretraining data pipeline (the Pile / LLaMA
+    * recipe): small sources are UPWEIGHTED relative to large ones by
+    * `(T_max / T_s)^α` (α = 0.5 here — sqrt temperature), scaled by the
+    * budget knob, capped at keep-everything, and realized as DETERMINISTIC
+    * hash sampling (md5 threshold per doc — x42's reproducible-sample
+    * primitive, so reruns and the DuckDB oracle pick the identical
+    * sample).
+    *
+    * Numeric discipline for cross-engine determinism: the rate is built
+    * ONLY from exact integers (source token totals), one division, one
+    * `sqrt` (IEEE correctly rounded — identical everywhere; `pow`'s
+    * libm variance is exactly why α is fixed at 0.5), and one literal
+    * multiply; the threshold compare happens in STRING space (lowercase
+    * hex vs printf('%08x') bound — lexicographic = numeric for equal
+    * width), so no engine ever parses hex or rounds a float differently.
+    *
+    * Scale shape: one narrow token-count projection, a 5-row source-stats
+    * aggregate broadcast back (the q11 scalar-crossJoin move), and the
+    * keep decision is a per-row md5 — scan-bound, no data-sized shuffle;
+    * the kept-stats report aggregates by source.
+    */
+  def temperatureSample(d: DataFrame, scale: Double, seed: String): DataFrame = {
+    val toks = d.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val stats = toks.groupBy("source")
+      .agg(sum("n_tok").as("tot"), count(lit(1)).as("n_docs"))
+    val tmax = stats.agg(max(col("tot")).as("tmax"))
+    val rates = stats.crossJoin(broadcast(tmax))
+      .withColumn("rate",
+        least(lit(1.0),
+          sqrt(col("tmax").cast("double") / col("tot").cast("double")) * lit(scale)))
+      .withColumn("bound", format_string("%08x",
+        least(floor(col("rate") * lit(4294967296.0)).cast("long"),
+          lit(4294967295L))))
+    val kept = toks
+      .join(broadcast(rates.select(col("source"), col("bound"))), "source")
+      .where(substring(md5(concat(col("doc_id"), lit(s":$seed"))), 1, 8)
+        <= col("bound"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+    rates.select(col("source"), col("n_docs"), col("tot").as("total_tokens"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val x82 = GQuery(
+    "x82_mixture_sample", "ext-text mixture-sampling deterministic-sampling",
+    (s, dir) => temperatureSample(docs(s, dir), scale = 0.5, seed = "mix"),
+    Some("""WITH toks AS (
+              SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            stats AS (
+              SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot,
+                count(*) AS n_docs
+              FROM toks GROUP BY source),
+            mx AS (SELECT max(tot) AS tmax FROM stats),
+            rates AS (
+              SELECT source, tot, n_docs,
+                printf('%08x', least(CAST(floor(least(1.0,
+                  sqrt(CAST(tmax AS DOUBLE) / CAST(tot AS DOUBLE)) * 0.5)
+                  * 4294967296.0) AS BIGINT), 4294967295)) AS bound
+              FROM stats, mx),
+            kept AS (
+              SELECT t.source, count(*) AS kept_docs,
+                CAST(sum(t.n_tok) AS BIGINT) AS kept_tokens
+              FROM toks t JOIN rates r ON t.source = r.source
+              WHERE substr(md5(t.doc_id || ':mix'), 1, 8) <= r.bound
+              GROUP BY t.source)
+            SELECT r.source, r.n_docs, r.tot AS total_tokens,
+              coalesce(k.kept_docs, 0) AS kept_docs,
+              coalesce(k.kept_tokens, 0) AS kept_tokens
+            FROM rates r LEFT JOIN kept k ON r.source = k.source
+            ORDER BY r.source"""))
+
   private val x79 = GQuery(
     "x79_substring_dedup", "ext-dedup exact-substring",
     (s, dir) => substringSpans(docs(s, dir), k = 20),
@@ -536,6 +615,6 @@ object CorpusOps {
             FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
   val queries: Seq[GQuery] =
-    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79)
+    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82)
 }
 
