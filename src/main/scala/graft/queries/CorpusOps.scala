@@ -469,19 +469,24 @@ object CorpusOps {
     * grams (the BFF layout). The exact form here is the oracle-checkable
     * ground truth those approximations are measured against.
     */
-  def substringSpans(d: DataFrame, k: Int): DataFrame = {
-    require(k >= 2, s"gram length must be >= 2: $k")
-    val grams = d
-      .select(col("doc_id"), col("text"),
+  /** (doc_id, pos, gram): every length-k character window of every doc —
+    * the positional feature stream [[substringSpans]] and the incremental
+    * probe ([[substringSpansAgainst]]) share, so batch and standing sides
+    * always live in the identical gram space.
+    */
+  private def positionalGrams(d: DataFrame, k: Int): DataFrame =
+    d.select(col("doc_id"), col("text"),
         explode(when(length(col("text")) >= k,
           sequence(lit(0), length(col("text")) - k))
           .otherwise(array().cast("array<int>"))).as("pos"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos + 1, $k)").as("gram"))
-    val covered = grams
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .where(col("occ") > 1)
-      .select(col("doc_id"), col("pos"))
+
+  /** Covered positions → per-doc span report (phases 2–3 of the
+    * scaladoc's sweep): interval union per doc, then
+    * (n_spans, dup_chars, longest) with zero rows for clean docs.
+    */
+  private def spanReport(covered: DataFrame, d: DataFrame, k: Int): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = covered
       .withColumn("brk",
@@ -501,6 +506,43 @@ object CorpusOps {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
         coalesce(col("longest"), lit(0L)).as("longest"))
       .orderBy("doc_id")
+  }
+
+  def substringSpans(d: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"gram length must be >= 2: $k")
+    val covered = positionalGrams(d, k)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .where(col("occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    spanReport(covered, d, k)
+  }
+
+  /** Persist the standing corpus's DISTINCT gram set — the serving
+    * artifact of incremental substring dedup. Stored as the exact
+    * strings (k bytes each) for oracle parity; production shrinks the
+    * artifact with xxhash64 fingerprints (8 bytes, 2⁻⁶⁴ per-pair
+    * collisions) or a Bloom filter (~10 bits/gram, the BFF layout) and
+    * keeps this exact form as the verify tier.
+    */
+  def writeGramIndex(standing: DataFrame, k: Int, outDir: String): Unit =
+    positionalGrams(standing, k).select(col("gram")).distinct()
+      .write.mode("overwrite").parquet(s"$outDir/grams")
+
+  /** Incremental form of [[substringSpans]] — the ingest-cycle shape
+    * (x32/x52/x64's discipline applied to substrings): a batch position
+    * is covered iff its gram exists in the STORED standing index, so
+    * each cycle pays gram extraction for the BATCH only and the standing
+    * corpus text is never rescanned. One semi join on the gram key is
+    * the only wide exchange; the span union runs on batch positions.
+    */
+  def substringSpansAgainst(batch: DataFrame, k: Int,
+      s: SparkSession, indexDir: String): DataFrame = {
+    require(k >= 2, s"gram length must be >= 2: $k")
+    val standing = s.read.parquet(s"$indexDir/grams")
+    val covered = positionalGrams(batch, k)
+      .join(standing, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spanReport(covered, batch, k)
   }
 
   /** Temperature-weighted mixture sampling to a token budget — the
@@ -614,7 +656,60 @@ object CorpusOps {
               coalesce(dup_chars, 0) AS dup_chars, coalesce(longest, 0) AS longest
             FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
+  // Incremental substring dedup — x79 against a STORED gram index: the
+  // standing slice (doc_id % 4 != 0) persists its distinct gram set once;
+  // every batch (doc_id % 4 == 0) reports the spans of its text that
+  // already exist verbatim in the standing corpus. Unlike x79 this also
+  // catches spans duplicated ONLY across the standing/batch boundary and
+  // ignores batch-internal repeats — exactly the ingest-cycle question
+  // ("what of this new data is already in my corpus?"). Oracle mirrors
+  // the split and the semi join on exact gram strings.
+  private val x84 = GQuery(
+    "x84_substring_dedup_incremental",
+    "ext-dedup exact-substring incremental-index stored-artifact",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "gram_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/grams"))
+        writeGramIndex(d.where(pmod(col("doc_id"), lit(4)) =!= 0), k = 20, store)
+      substringSpansAgainst(d.where(pmod(col("doc_id"), lit(4)) === 0),
+        k = 20, s, store)
+    },
+    Some("""WITH sta AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+            bat AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+            sg AS (
+              SELECT DISTINCT substr(text, r.pos + 1, 20) AS gram
+              FROM sta,
+                unnest(range(0, greatest(length(text) - 19, 0))) r(pos)),
+            bg AS (
+              SELECT doc_id, r.pos, substr(text, r.pos + 1, 20) AS gram
+              FROM bat,
+                unnest(range(0, greatest(length(text) - 19, 0))) r(pos)),
+            cov AS (
+              SELECT bg.doc_id, bg.pos FROM bg JOIN sg USING (gram)),
+            isl AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+                  THEN 0 ELSE 1 END AS brk
+              FROM cov),
+            grp AS (
+              SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl),
+            spans AS (
+              SELECT doc_id, island,
+                CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_len
+              FROM grp GROUP BY doc_id, island),
+            agg AS (
+              SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(span_len) AS BIGINT) AS dup_chars,
+                CAST(max(span_len) AS BIGINT) AS longest
+              FROM spans GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(n_spans, 0) AS n_spans,
+              coalesce(dup_chars, 0) AS dup_chars, coalesce(longest, 0) AS longest
+            FROM bat b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
-    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82)
+    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84)
 }
 

@@ -823,43 +823,110 @@ object Text {
   // `Bpe.encodeVocabIds`, pinned by BpeSpec's decode round-trip; the
   // digest is equality-faithful to it (same ids ⇔ same digest at
   // fixture scale).
+  /** (doc_id, ids array<int>): every document as a dense BPE id sequence
+    * under the STORED tokenizer artifacts (merge table + symbol→id vocab,
+    * both built on first touch) — the trainer-input construction shared
+    * by x69 (per-doc digest report) and x85 (packed training sequences).
+    */
+  private def bpeDocIds(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val words = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokens))
+      .select(col("doc_id"), col("pos").as("wpos"), col("col").as("word"))
+      .where(length(col("word")) >= 1)
+    val mergeStore = graft.StoredArtifacts.dir(dir, "bpe_merges_v1")
+    if (!graft.StoredArtifacts.ready(mergeStore)) {
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      Bpe.writeMerges(s, Bpe.learn(vocab, nMerges = 10), mergeStore)
+    }
+    val merges = Bpe.readMerges(s, mergeStore)
+    val idStore = graft.StoredArtifacts.dir(dir, "bpe_ids_v1")
+    if (!graft.StoredArtifacts.ready(idStore)) {
+      val chars = words
+        .select(explode(Bpe.charSymbols(col("word"))).as("c"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      import s.implicits._
+      Bpe.idVocab(chars, merges).toDF("symbol", "id")
+        .coalesce(1).write.mode("overwrite").parquet(idStore)
+    }
+    val ids = s.read.parquet(idStore)
+    val wordIds = Bpe.encodeVocabIds(words.select("word").distinct(), "word", merges, ids)
+    words.join(wordIds, "word")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("wpos"), col("ids")))).as("wids"))
+      .select(col("doc_id"), expr("flatten(transform(wids, x -> x.ids))").as("ids"))
+  }
+
   private val x69 = GQuery(
     "x69_bpe_encode_ids", "ext-text vocab-apply trainer-artifact stored-artifact",
-    (s, dir) => {
-      import graft.operators.Bpe
-      val words = docs(s, dir)
-        .select(col("doc_id"), posexplode(tokens))
-        .select(col("doc_id"), col("pos").as("wpos"), col("col").as("word"))
-        .where(length(col("word")) >= 1)
-      val mergeStore = graft.StoredArtifacts.dir(dir, "bpe_merges_v1")
-      if (!graft.StoredArtifacts.ready(mergeStore)) {
-        val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
-        Bpe.writeMerges(s, Bpe.learn(vocab, nMerges = 10), mergeStore)
-      }
-      val merges = Bpe.readMerges(s, mergeStore)
-      val idStore = graft.StoredArtifacts.dir(dir, "bpe_ids_v1")
-      if (!graft.StoredArtifacts.ready(idStore)) {
-        val chars = words
-          .select(explode(Bpe.charSymbols(col("word"))).as("c"))
-          .distinct().collect().map(_.getString(0)).toSeq
-        import s.implicits._
-        Bpe.idVocab(chars, merges).toDF("symbol", "id")
-          .coalesce(1).write.mode("overwrite").parquet(idStore)
-      }
-      val ids = s.read.parquet(idStore)
-      val wordIds = Bpe.encodeVocabIds(words.select("word").distinct(), "word", merges, ids)
-      words.join(wordIds, "word")
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("wpos"), col("ids")))).as("wids"))
-        .select(col("doc_id"), expr("flatten(transform(wids, x -> x.ids))").as("ids"))
-        .select(col("doc_id"),
-          size(col("ids")).cast("long").as("n_ids"),
-          expr("size(filter(ids, x -> x = -1))").cast("long").as("n_oov"),
-          xxhash64(array_join(col("ids").cast("array<string>"), ","))
-            .as("ids_digest"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => bpeDocIds(s, dir)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_ids"),
+        expr("size(filter(ids, x -> x = -1))").cast("long").as("n_oov"),
+        xxhash64(array_join(col("ids").cast("array<string>"), ","))
+          .as("ids_digest"))
+      .orderBy("doc_id"),
     None) // BPE-derived ids: gated by BpeSpec round-trip + OOV pins
+
+  /** GPT-style training-batch materialization: concatenate documents (in
+    * a deterministic shuffled order) and cut the token stream into
+    * fixed-length sequences — the "document packing" step between
+    * tokenization and the training loop. Packing runs WITHIN shards
+    * (x36's md5 shard key), so each shard is an independent token stream
+    * and the expensive ordering is 16^w parallel partition-local sorts —
+    * the per-training-worker layout, not one global cumsum (a
+    * no-partition window would serialize the corpus through a single
+    * task). Per sequence: token count (= seqLen except each shard's
+    * tail), distinct documents touched, document STARTS (the loss-mask
+    * reset points a trainer needs for attention/loss boundaries), and a
+    * digest of the exact id stream for round-trip gates.
+    *
+    * Scale shape: one window cumsum per shard over doc-sized rows, one
+    * posexplode to token granularity (the trainer materializes every
+    * token anyway — this is the op whose output IS that materialization),
+    * one (shard, seq) aggregation. Nothing global; shard width is the
+    * parallelism knob.
+    */
+  def packSequences(ids: DataFrame, shardHexChars: Int, seqLen: Int): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      s"shardHexChars must be in [1,8]: $shardHexChars")
+    require(seqLen >= 2, s"seqLen must be >= 2: $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val withOff = ids
+      .withColumn("h", md5(concat(col("doc_id"), lit(":42"))))
+      .withColumn("shard", substring(col("h"), 1, shardHexChars))
+      .withColumn("n", size(col("ids")).cast("long"))
+      .withColumn("start", coalesce(
+        sum(col("n")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    withOff
+      .select(col("shard"), col("doc_id"), col("start"),
+        posexplode(col("ids")).as(Seq("pos", "id")))
+      .withColumn("g", col("start") + col("pos"))
+      .withColumn("seq_id", floor(col("g") / seqLen))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_starts"),
+        xxhash64(array_join(
+          transform(array_sort(collect_list(struct(col("g"), col("id")))),
+            x => x.getField("id").cast("string")), ",")).as("ids_digest"))
+      .orderBy("shard", "seq_id")
+  }
+
+  // Packed training sequences — the last hop of the tokenizer pipeline:
+  // x69's per-doc id arrays (stored-vocab encoding) concatenated within
+  // deterministic shards and cut at 512-token boundaries, the exact rows
+  // a pretraining loader consumes. PackedSequencesSpec gates the
+  // round-trip (unpacked stream == concatenated doc ids), the
+  // all-but-tail-full invariant, and boundary accounting.
+  private val x85 = GQuery(
+    "x85_packed_sequences",
+    "ext-text sequence-packing trainer-artifact stored-artifact",
+    (s, dir) => packSequences(bpeDocIds(s, dir), shardHexChars = 1, seqLen = 512),
+    None) // BPE-derived ids: gated by PackedSequencesSpec
 
   // Model-based quality filtering — the classifier stage that sits AFTER
   // the x12-style heuristics in a production pipeline (CCNet / DCLM /
@@ -896,5 +963,5 @@ object Text {
 
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80)
+      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85)
 }

@@ -32,6 +32,26 @@ class SubstringDedupSpec extends SparkSpec {
     assert(r.size == 5, "every input document appears in the report")
   }
 
+  test("incremental: batch spans score against the stored standing grams only") {
+    import spark.implicits._
+    val standing = Seq((10L, "qqqq" + "abcdefghi" + "rrrr")).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "ssss" + "abcdefghi" + "tttt"), // shares 9 chars with standing
+      (1L, "mnopq" + "12345678" + "mnopq"), // batch-INTERNAL repeat only
+      (2L, "wholly novel content")).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-grams").toString
+    CorpusOps.writeGramIndex(standing, k = 5, store)
+    val r = CorpusOps.substringSpansAgainst(batch, k = 5, spark, store)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(0L) == ((1L, 9L, 9L)), "standing overlap is found from the stored index")
+    assert(r(1L) == ((0L, 0L, 0L)),
+      "a batch-internal repeat is NOT standing duplication — the incremental " +
+        "question is 'already in my corpus?', and this text is not")
+    assert(r(2L) == ((0L, 0L, 0L)))
+  }
+
   test("overlapping duplicated windows merge into one maximal span") {
     import spark.implicits._
     // 12-char share: covered positions 0..7 (k=5), all gaps 1 -> one island
