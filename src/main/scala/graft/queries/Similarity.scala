@@ -870,6 +870,76 @@ object Similarity {
     },
     None) // quantized estimator: gated by Sq8Spec, rows-only here
 
+  /** Build the IVF-SQ8 index — x62's partition pruning composed with
+    * x81's byte quantization: the near-LOSSLESS compressed serving tier
+    * (FAISS `IVF…,SQ8`). Same one-narrow-pass ingest as IVF-PQ: cell
+    * (argmin vs coarse literals) and code (Sq8Encode) computed in a
+    * single projection, the float vector read once and stored nowhere.
+    * Where IVF-PQ owns the RAM-budget tier (m bytes/vector, reconstruction
+    * error from codebook granularity), IVF-SQ8 keeps dim bytes/vector
+    * with per-dim error ≤ Δ/510 — recall is near-exact, so no re-rank
+    * stage is needed for most serving points.
+    */
+  def writeIvfSq8Index(e: DataFrame, outDir: String, iters: Int): Unit = {
+    import graft.operators.{KMeans, ScalarQuantizer}
+    val s = e.sparkSession
+    import s.implicits._
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val seed = KMeans.seedFromGroups(
+      e.select(col("label"), col("embedding")), "label", "embedding")
+    val (_, coarse, _) = KMeans.refine(vecs, seed, iters)
+    coarse.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    val model = ScalarQuantizer.train(vecs)
+    model.mins.indices.map(d => (d, model.mins(d), model.deltas(d)))
+      .toDF("d", "mn", "dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/model")
+    KMeans.assign(vecs, coarse)
+      .select(col("id").as("vec_id"),
+        graft.functions.VectorOps.sq8Encode(col("vec"),
+          model.mins.toSeq, model.deltas.toSeq).as("codes"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/codes")
+  }
+
+  /** IVF-SQ8 probe: nprobe partition-pruned byte-code directories scored
+    * through the driver-folded [[graft.operators.ScalarQuantizer.adcScore]]
+    * kernel — (vec_id, sim_sq8) candidates, callers exclude and top-k.
+    */
+  def probeIvfSq8(s: SparkSession, indexDir: String, qvec: Array[Double],
+      nprobe: Int): DataFrame = {
+    import graft.operators.ScalarQuantizer
+    val model = ScalarQuantizer.readModel(s, indexDir)
+    require(qvec.length == model.dim,
+      s"query dim ${qvec.length} != index dim ${model.dim}")
+    val coarse = readIvfCentroids(s, indexDir)
+    val cells = selectCells(coarse, qvec,
+      math.sqrt(qvec.map(x => x * x).sum), nprobe)
+    s.read.parquet(s"$indexDir/codes")
+      .where(col("cluster").isin(cells: _*))
+      .select(col("vec_id"),
+        ScalarQuantizer.adcScore(col("codes"), model, qvec).as("sim_sq8"))
+  }
+
+  private val x86 = GQuery(
+    "x86_ann_ivf_sq8", "ext-similarity-ann compression stored-artifact",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_sq8_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfSq8Index(e, store, iters = 2)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      probeIvfSq8(s, store, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim_sq8").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // quantized + probe subset: gated by Sq8Spec's IVF composition
+
   /** Build the IVF-PQ index — x62's partition pruning COMPOSED with x67's
     * compression, the billion-scale serving layout proper: codes (not
     * vectors) stored cluster-partitioned, so a probe reads nprobe
@@ -1502,5 +1572,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81)
+      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86)
 }

@@ -87,6 +87,51 @@ class Sq8Spec extends SparkSpec {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("IVF-SQ8: pruned byte-code probe agrees with the flat IVF probe and never reads a float") {
+    import graft.queries.Similarity
+    import graft.Tables
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfsq8")
+    val flatIdx = base.resolve("flat").toString
+    val sq8Idx = base.resolve("sq8").toString
+    try {
+      val e = Tables(spark, sf001, "embeddings")
+      Similarity.writeIvfIndex(e, flatIdx, iters = 2)
+      Similarity.writeIvfSq8Index(e, sq8Idx, iters = 2)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+
+      def top20(df: org.apache.spark.sql.DataFrame, sim: String): Seq[Long] =
+        df.where(col("vec_id") =!= 0)
+          .orderBy(col(sim).desc, col("vec_id")).limit(20)
+          .collect().map(_.getLong(0)).toSeq
+
+      val flat = top20(Similarity.probeStoredIvf(spark, flatIdx, qvec, 6), "sim")
+      val probed = Similarity.probeIvfSq8(spark, sq8Idx, qvec, 6)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim_sq8").desc, col("vec_id")).limit(20)
+      val sq8 = probed.collect().map(_.getLong(0)).toSeq
+
+      // identical coarse quantizer (same deterministic seed + iters), so
+      // the candidate cells match; SQ8's near-lossless scores may swap
+      // only boundary-close neighbors
+      assert((flat.toSet intersect sq8.toSet).size >= 18,
+        s"IVF-SQ8 must track the flat probe: flat=$flat sq8=$sq8")
+
+      val scans = graft.SparkSpec.allPlanNodes(probed.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall(
+          _.metadata.getOrElse("Location", "").contains("sq8")),
+        "probe must scan only the stored index")
+      val cellScan = scans.find(_.metadata.getOrElse("Location", "").contains("codes")).get
+      assert(cellScan.metadata.getOrElse("PartitionFilters", "").contains("cluster"),
+        "cluster IN (...) must prune partitions")
+      assert(!cellScan.schema.catalogString.contains("array<float>"),
+        s"the code scan must read bytes, not vectors: ${cellScan.schema.catalogString}")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
   test("out-of-range vectors clamp instead of wrapping") {
     import spark.implicits._
     val model = ScalarQuantizer.train(corpus)
