@@ -482,20 +482,30 @@ object CorpusOps {
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos + 1, $k)").as("gram"))
 
-  /** Covered positions → per-doc span report (phases 2–3 of the
-    * scaladoc's sweep): interval union per doc, then
-    * (n_spans, dup_chars, longest) with zero rows for clean docs.
+  /** Covered positions → per-doc maximal duplicated intervals
+    * (doc_id, s, e) in 0-based INCLUSIVE character coordinates — phase 2
+    * of the scaladoc's sweep, shared by the span report and the cleaner.
     */
-  private def spanReport(covered: DataFrame, d: DataFrame, k: Int): DataFrame = {
+  private def spanIntervals(covered: DataFrame, k: Int): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = covered
+    covered
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(wd) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("island", sum(col("brk")).over(
         wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) - min(col("pos")) + k).cast("long").as("span_len"))
-    val agg = spans.groupBy(col("doc_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** Covered positions → per-doc span report (phases 2–3 of the
+    * scaladoc's sweep): interval union per doc, then
+    * (n_spans, dup_chars, longest) with zero rows for clean docs.
+    */
+  private def spanReport(covered: DataFrame, d: DataFrame, k: Int): DataFrame = {
+    val agg = spanIntervals(covered, k)
+      .select(col("doc_id"), (col("e") - col("s") + 1).cast("long").as("span_len"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_len")).as("dup_chars"),
         max(col("span_len")).as("longest"))
@@ -664,6 +674,95 @@ object CorpusOps {
   // ignores batch-internal repeats — exactly the ingest-cycle question
   // ("what of this new data is already in my corpus?"). Oracle mirrors
   // the split and the semi join on exact gram strings.
+  /** The APPLY side of substring dedup — Lee et al. 2021's actual
+    * treatment: CUT every duplicated span out of the text (all
+    * occurrences; their ExactSubstr removes each copy) and return the
+    * cleaned corpus with integrity stats. Surgery is pure interval
+    * arithmetic shared with [[substringSpans]]: per doc, the kept pieces
+    * are the gaps between sorted spans plus the tail, reassembled in
+    * order — one window pass and one grouped concat; the fingerprints
+    * (`clean_fp` = md5 of the cleaned text, x35's discipline) make the
+    * result oracle-checkable without shipping the text twice.
+    */
+  def substringClean(d: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"gram length must be >= 2: $k")
+    val covered = positionalGrams(d, k)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .where(col("occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val pieces = spanIntervals(covered, k)
+      .withColumn("pe", coalesce(lag(col("e"), 1).over(wd), lit(-1)))
+      .join(d.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("s"), col("e"),
+        expr("substring(text, pe + 2, s - pe - 1)").as("kept"))
+    val cut = pieces
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("s"), col("kept")))),
+          x => x.getField("kept")), "").as("head_parts"),
+        max(col("e")).as("last_e"),
+        count(lit(1)).as("n_cut"))
+    d.select(col("doc_id"), col("text"))
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("orig_len"),
+        when(col("last_e").isNull, col("text"))
+          .otherwise(concat(col("head_parts"),
+            expr("substring(text, last_e + 2)"))).as("cleaned"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+      .select(col("doc_id"), col("orig_len"),
+        length(col("cleaned")).cast("long").as("clean_len"),
+        col("n_cut"), md5(col("cleaned")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val x87 = GQuery(
+    "x87_substring_clean", "ext-dedup exact-substring corpus-clean",
+    (s, dir) => substringClean(docs(s, dir), k = 20),
+    Some("""WITH grams AS (
+              SELECT doc_id, r.pos, substr(text, r.pos + 1, 20) AS gram
+              FROM documents,
+                unnest(range(0, greatest(length(text) - 19, 0))) r(pos)),
+            cov AS (
+              SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ
+              FROM grams),
+            isl AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+                  THEN 0 ELSE 1 END AS brk
+              FROM cov WHERE occ > 1),
+            grp AS (
+              SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl),
+            spans AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e
+              FROM grp GROUP BY doc_id, island),
+            pieces AS (
+              SELECT sp.doc_id, sp.s, sp.e,
+                coalesce(lag(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), -1) AS pe
+              FROM spans sp),
+            kept AS (
+              SELECT p.doc_id, p.s, p.e,
+                substr(d.text, p.pe + 2, p.s - p.pe - 1) AS kept
+              FROM pieces p JOIN documents d USING (doc_id)),
+            cut AS (
+              SELECT doc_id,
+                string_agg(kept, '' ORDER BY s) AS head_parts,
+                max(e) AS last_e, count(*) AS n_cut
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(length(d.text) AS BIGINT) AS orig_len,
+              CAST(length(CASE WHEN c.doc_id IS NULL THEN d.text
+                ELSE c.head_parts || substr(d.text, c.last_e + 2) END) AS BIGINT)
+                AS clean_len,
+              coalesce(c.n_cut, 0) AS n_cut,
+              md5(CASE WHEN c.doc_id IS NULL THEN d.text
+                ELSE c.head_parts || substr(d.text, c.last_e + 2) END) AS clean_fp
+            FROM documents d LEFT JOIN cut c USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   private val x84 = GQuery(
     "x84_substring_dedup_incremental",
     "ext-dedup exact-substring incremental-index stored-artifact",
@@ -710,6 +809,6 @@ object CorpusOps {
             FROM bat b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
   val queries: Seq[GQuery] =
-    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84)
+    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87)
 }
 

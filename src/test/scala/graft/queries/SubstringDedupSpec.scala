@@ -52,6 +52,29 @@ class SubstringDedupSpec extends SparkSpec {
     assert(r(2L) == ((0L, 0L, 0L)))
   }
 
+  test("substringClean cuts every duplicated span and fingerprints the remainder") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      (0L, "qqqq" + "abcdefghi" + "rrrr"),
+      (1L, "ssss" + "abcdefghi" + "tttt"),
+      (2L, "uniquetextwithnothingrepeated"),
+      (3L, "mnopq" + "12345678" + "mnopq" + "87654321"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.substringClean(d, k = 5).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r(0L) == ((17L, 8L, 1L, md5hex("qqqqrrrr"))),
+      "the shared 9 chars vanish, prefix and suffix survive in order")
+    assert(r(1L) == ((17L, 8L, 1L, md5hex("sssstttt"))))
+    assert(r(2L) == ((29L, 29L, 0L, md5hex("uniquetextwithnothingrepeated"))),
+      "clean docs pass through untouched")
+    assert(r(3L) == ((26L, 16L, 2L, md5hex("1234567887654321"))),
+      "BOTH copies of a within-doc repeat are cut (the Lee et al. semantics)")
+  }
+
   test("overlapping duplicated windows merge into one maximal span") {
     import spark.implicits._
     // 12-char share: covered positions 0..7 (k=5), all gaps 1 -> one island
