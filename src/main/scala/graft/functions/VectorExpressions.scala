@@ -996,3 +996,73 @@ case class Sq8AdcScore(child: Expression, aDot: Seq[Double], nLin: Seq[Double],
   override protected def withNewChildInternal(newChild: Expression): Sq8AdcScore =
     copy(child = newChild)
 }
+
+/** Multi-query SQ8 asymmetric cosine — [[Sq8AdcScore]] for a BATCH of
+  * queries in one kernel node. The SQ8 decomposition splits by what
+  * depends on the query even more cleanly than PQ's: the reconstruction
+  * norm (`nLin`/`nQuad`/`n2Base`) is query-INDEPENDENT and stored once;
+  * only the folded dot weights (`aDot[qi·dim + d] = q_d Δ_d / 255`),
+  * `dotBase[qi] = Σ q_d min_d`, and `qnorms[qi]` stack per query —
+  * B·dim + 2B doubles for the whole batch. The right child selects the
+  * query: each scanned code row arrives joined to the (query, cell)
+  * probe pairs, so one scan of the unioned cells scores every
+  * (row, probing query) pair. Accumulation order per dimension is
+  * identical to the single-query kernel, so scores are bit-identical to
+  * [[Sq8AdcScore]] per query (spec-pinned). A wrong-width row or
+  * out-of-range query index scores null.
+  */
+case class Sq8AdcScoreMulti(left: Expression, right: Expression,
+    aDot: Seq[Double], nLin: Seq[Double], nQuad: Seq[Double],
+    dotBase: Seq[Double], n2Base: Double, qnorms: Seq[Double])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_adc_score_multi"
+  private def dim: Int = nLin.length
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) =>
+        if (nLin.isEmpty || nQuad.length != nLin.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: per-dim norm tables must be equal-length non-empty, " +
+              s"got ${nLin.length}/${nQuad.length}")
+        else if (qnorms.isEmpty || aDot.length != qnorms.length * nLin.length ||
+            dotBase.length != qnorms.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: aDot length ${aDot.length} != nQueries×dim " +
+              s"${qnorms.length * nLin.length} or dotBase ${dotBase.length} != " +
+              s"nQueries ${qnorms.length}")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expects (binary codes, int query index), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  @transient private lazy val ad = aDot.toArray
+  @transient private lazy val nl = nLin.toArray
+  @transient private lazy val nq = nQuad.toArray
+  @transient private lazy val db = dotBase.toArray
+  @transient private lazy val qn = qnorms.toArray
+
+  override def nullSafeEval(codesAny: Any, qiAny: Any): Any = {
+    val qi = qiAny.asInstanceOf[Int]
+    if (qi < 0 || qi >= qn.length) return null
+    val codes = codesAny.asInstanceOf[Array[Byte]]
+    if (codes.length != dim) return null
+    val base = qi * dim
+    var dot = db(qi)
+    var n2 = n2Base
+    var d = 0
+    while (d < codes.length) {
+      val c = (codes(d) & 0xff).toDouble
+      dot += ad(base + d) * c
+      n2 += nl(d) * c + nq(d) * c * c
+      d += 1
+    }
+    val denom = qn(qi) * math.sqrt(math.max(n2, 0.0))
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8AdcScoreMulti =
+    copy(left = newLeft, right = newRight)
+}

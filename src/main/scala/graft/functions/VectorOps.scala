@@ -50,6 +50,14 @@ object VectorOps {
     ColumnGlue.column(Sq8AdcScore(ColumnGlue.expression(codes),
       aDot, nLin, nQuad, dotBase, n2Base, qnorm))
 
+  /** Multi-query SQ8 cosine over (codes, query index) (see [[Sq8AdcScoreMulti]]). */
+  def sq8AdcScoreMulti(codes: Column, qIdx: Column, aDot: Seq[Double],
+      nLin: Seq[Double], nQuad: Seq[Double], dotBase: Seq[Double],
+      n2Base: Double, qnorms: Seq[Double]): Column =
+    ColumnGlue.column(Sq8AdcScoreMulti(
+      ColumnGlue.expression(codes), ColumnGlue.expression(qIdx),
+      aDot, nLin, nQuad, dotBase, n2Base, qnorms))
+
   /** Single random-hyperplane LSH bucket (sign bits of `nPlanes` projections
     * packed into a long) — see [[HyperplaneBuckets]]. Deterministic and
     * scale-invariant: positive scaling never flips a projection's sign.

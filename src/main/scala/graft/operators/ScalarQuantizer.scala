@@ -79,9 +79,14 @@ object ScalarQuantizer {
     Sq8Model(rows.map(_._2), rows.map(_._3))
   }
 
-  /** ADC scoring constants for a query, folded once on the driver. */
-  def adcScore(codes: org.apache.spark.sql.Column, model: Sq8Model,
-      qvec: Array[Double]): org.apache.spark.sql.Column = {
+  /** Driver-folded ADC constants for one query: (aDot, nLin, nQuad,
+    * dotBase, n2Base, qnorm). The single-query kernel consumes them
+    * whole; the batch probe stacks `aDot`/`dotBase`/`qnorm` per query and
+    * keeps the query-independent norm tables once — both paths fold with
+    * THIS loop, so their scores are bit-identical by construction.
+    */
+  def adcTables(model: Sq8Model, qvec: Array[Double])
+      : (Array[Double], Array[Double], Array[Double], Double, Double, Double) = {
     require(qvec.length == model.dim,
       s"query dim ${qvec.length} != model dim ${model.dim}")
     val dim = model.dim
@@ -102,7 +107,14 @@ object ScalarQuantizer {
       qn += qvec(d) * qvec(d)
       d += 1
     }
+    (aDot, nLin, nQuad, dotBase, n2Base, math.sqrt(qn))
+  }
+
+  /** ADC scoring constants for a query, folded once on the driver. */
+  def adcScore(codes: org.apache.spark.sql.Column, model: Sq8Model,
+      qvec: Array[Double]): org.apache.spark.sql.Column = {
+    val (aDot, nLin, nQuad, dotBase, n2Base, qnorm) = adcTables(model, qvec)
     graft.functions.VectorOps.sq8AdcScore(codes,
-      aDot.toSeq, nLin.toSeq, nQuad.toSeq, dotBase, n2Base, math.sqrt(qn))
+      aDot.toSeq, nLin.toSeq, nQuad.toSeq, dotBase, n2Base, qnorm)
   }
 }

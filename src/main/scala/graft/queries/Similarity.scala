@@ -940,6 +940,93 @@ object Similarity {
     },
     None) // quantized + probe subset: gated by Sq8Spec's IVF composition
 
+  /** BATCH IVF-SQ8 probe — [[probeIvfPqBatch]]'s one-scan batch shape at
+    * the near-lossless tier, completing the batch-serving matrix across
+    * every compression format (flat x71, PQ x75, residual PQ x77, SQ8
+    * here). SQ8 splits by query-dependence even more cleanly than PQ: the
+    * reconstruction norm (`nLin`/`nQuad`/`n2Base`) is query-independent
+    * and stored once in the kernel; only the folded dot weights
+    * (`aDot`, B·dim doubles), `dotBase`, and `qnorms` stack per query.
+    * The batch is collected to the driver (the same coordinator move as
+    * every LUT-based probe — the weights are built where the query
+    * vectors are), cells are selected with the single probe's driver
+    * arithmetic, and one pruned scan of the unioned cells scores each
+    * code row against exactly the queries probing its cell through ONE
+    * [[graft.functions.Sq8AdcScoreMulti]] node — bit-identical per query
+    * to [[probeIvfSq8]] (Sq8Spec pins scores AND the one-scan plan).
+    *
+    * Returns (q_id, vec_id, sim_sq8); callers exclude/top-k.
+    */
+  def probeIvfSq8Batch(s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    import graft.operators.ScalarQuantizer
+    val model = ScalarQuantizer.readModel(s, indexDir)
+    val coarse = readIvfCentroids(s, indexDir)
+    val qRows = queries.select(
+        col(queries.columns(0)).cast("long"),
+        col(queries.columns(1)).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(qRows.nonEmpty, "empty query batch")
+    val dim = model.dim
+    // per-query folded tables from the SAME loop as the single probe
+    val aDot = new Array[Double](qRows.length * dim)
+    val dotBase = new Array[Double](qRows.length)
+    val qnorms = new Array[Double](qRows.length)
+    var nLin: Array[Double] = null
+    var nQuad: Array[Double] = null
+    var n2Base = 0.0
+    for (((id, q), qi) <- qRows.zipWithIndex) {
+      require(q.length == dim, s"query $id dim ${q.length} != index dim $dim")
+      val (ad, nl, nq, db, n2, qn) = ScalarQuantizer.adcTables(model, q)
+      System.arraycopy(ad, 0, aDot, qi * dim, dim)
+      dotBase(qi) = db; qnorms(qi) = qn
+      nLin = nl; nQuad = nq; n2Base = n2 // query-independent: same every qi
+    }
+    // per-query nprobe cells — identical driver arithmetic to the single
+    // probe, so identical cells chosen
+    val pairs = qRows.zipWithIndex.flatMap { case ((qid, _), qi) =>
+      selectCells(coarse, qRows(qi)._2, qnorms(qi), nprobe)
+        .map(cell => (qid, qi, cell))
+    }
+    import s.implicits._
+    val pairsDf = pairs.toSeq.toDF("q_id", "q_idx", "cluster")
+    val cells = pairs.map(_._3).distinct.sorted
+    s.read.parquet(s"$indexDir/codes")
+      .where(col("cluster").isin(cells: _*))
+      .join(broadcast(pairsDf), Seq("cluster"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.sq8AdcScoreMulti(col("codes"), col("q_idx"),
+          aDot.toSeq, nLin.toSeq, nQuad.toSeq, dotBase.toSeq, n2Base,
+          qnorms.toSeq).as("sim_sq8"))
+  }
+
+  // Batch serving at the near-lossless tier — one pruned scan of byte
+  // codes serves an 8-query batch, per-(row, query) scoring through a
+  // single stacked-weight SQ8 kernel node, per-query top-10 via
+  // GroupedTopK. Completes the batch matrix: every stored compression
+  // format (flat / PQ / residual PQ / SQ8) now has a one-scan batch
+  // probe. Shares x86's artifact; Sq8Spec pins per-query bit-identity
+  // with B single probes and the one-scan plan.
+  private val x88 = GQuery(
+    "x88_ann_ivf_sq8_batch",
+    "ext-similarity-ann compression stored-artifact batch-serving",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_sq8_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfSq8Index(e, store, iters = 2)
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val cands = probeIvfSq8Batch(s, store, queries, nprobe = 6)
+        .where(col("vec_id") =!= col("q_id"))
+      GroupedTopKOps.groupedTopK(cands, Seq(col("q_id")),
+        Seq(col("sim_sq8").desc, col("vec_id")), k = 10)
+        .orderBy(col("q_id"), col("sim_sq8").desc, col("vec_id"))
+    },
+    None) // quantized + probe subset: gated by Sq8Spec, rows-only here
+
   /** Build the IVF-PQ index — x62's partition pruning COMPOSED with x67's
     * compression, the billion-scale serving layout proper: codes (not
     * vectors) stored cluster-partitioned, so a probe reads nprobe
@@ -1572,5 +1659,5 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86)
+      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GQuery, Tables}
 import graft.functions.HashFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the north-star family:
@@ -961,7 +961,106 @@ object Text {
     },
     None) // iterative float training: gated by QualityClassifierSpec
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each RAW
+    * document's word-bigram occurrences against a TARGET corpus's bigram
+    * distribution and keep the docs whose target affinity beats the
+    * corpus average — the hashed-n-gram selection stage every modern
+    * pretraining pipeline runs between crawl and trainer (DSIR's target
+    * is Wikipedia+books; here the `isTarget` predicate marks the curated
+    * slice). DSIR proper ranks by the log-likelihood ratio
+    * Σ log p_t(b)/p_r(b); the REGISTERED decision uses the exact-integer
+    * affinity ratio test `sum_t · total_r > sum_r · total_t` (a doc is
+    * kept when its average target affinity beats the raw-corpus
+    * average), which is deterministic integer arithmetic end to end —
+    * DuckDB computes the identical decision, so selection is
+    * hash-verifiable, not just spot-checked.
+    *
+    * Scale shape: the bigram model is a corpus-vocabulary-sized table
+    * that STAYS distributed — the scoring join shuffles on the bigram
+    * key (at 100 TB: xxhash64 the bigram to a long first so the
+    * exchange carries 8-byte keys; counts are unchanged), the per-doc
+    * aggregation shuffles doc-sized rows, and the two corpus totals ride
+    * one broadcast scalar crossJoin (q11's pattern). Nothing is
+    * collected; no floats anywhere. The cross-multiplied longs bound
+    * per-doc affinity × corpus total — switch the comparison to
+    * decimal(38,0) past ~10^18, noted here because silent long wrap is
+    * the one scale hazard of the integer form.
+    */
+  def importanceSelect(d: DataFrame, isTarget: Column): DataFrame = {
+    val w = d.select(col("doc_id"), isTarget.as("is_target"),
+      split(col("text"), " ").as("w"))
+    val bg = w.where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+          .as("bigram"))
+    val model = bg.groupBy("bigram").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+    val totals = model.agg(sum("ct").as("total_t"), sum("cr").as("total_r"))
+    val sc = bg.where(!col("is_target"))
+      .join(model, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("ct").as("sum_t"), sum("cr").as("sum_r"))
+    d.where(!isTarget).select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_t"), lit(0L)).as("sum_t"),
+        coalesce(col("sum_r"), lit(0L)).as("sum_r"),
+        coalesce(col("sum_t") * col("total_r") > col("sum_r") * col("total_t"),
+          lit(false)).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  // Importance-ratio data selection with src0 as the curated target
+  // slice: every other source's documents scored by bigram affinity,
+  // kept when they look more target-like than the raw average. The
+  // whole decision — counts, totals, cross-multiplied comparison — is
+  // integer, so the oracle hash-verifies the SELECTION, not a proxy.
+  private val x89 = GQuery(
+    "x89_importance_select", "ext-text data-selection",
+    (s, dir) => importanceSelect(docs(s, dir), col("source") === "src0"),
+    Some("""WITH w AS (
+              SELECT doc_id, source = 'src0' AS is_target,
+                string_split(text, ' ') AS w
+              FROM documents),
+            bg AS (
+              SELECT doc_id, is_target,
+                unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS bigram
+              FROM w WHERE len(w) >= 2),
+            model AS (
+              SELECT bigram,
+                CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                CAST(SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS cr
+              FROM bg GROUP BY 1),
+            tot AS (
+              SELECT CAST(SUM(ct) AS BIGINT) AS total_t,
+                CAST(SUM(cr) AS BIGINT) AS total_r
+              FROM model),
+            sc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(ct) AS BIGINT) AS sum_t,
+                CAST(SUM(cr) AS BIGINT) AS sum_r
+              FROM bg JOIN model USING (bigram)
+              WHERE NOT is_target GROUP BY 1)
+            SELECT d.doc_id,
+              coalesce(sc.n_bigrams, 0) AS n_bigrams,
+              coalesce(sc.sum_t, 0) AS sum_t,
+              coalesce(sc.sum_r, 0) AS sum_r,
+              coalesce(sc.sum_t * t.total_r > sc.sum_r * t.total_t, FALSE)
+                AS selected
+            FROM documents d
+            LEFT JOIN sc ON d.doc_id = sc.doc_id
+            CROSS JOIN tot t
+            WHERE d.source <> 'src0'
+            ORDER BY d.doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85)
+      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89)
 }

@@ -132,6 +132,62 @@ class Sq8Spec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  test("batch IVF-SQ8 probe equals B single probes through one scan of the unioned code cells") {
+    import graft.queries.Similarity
+    import graft.Tables
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfsq8b")
+    val idx = base.resolve("sq8").toString
+    try {
+      val e = Tables(spark, sf001, "embeddings")
+      Similarity.writeIvfSq8Index(e, idx, iters = 2)
+      val queries = e.where(col("vec_id") < 6)
+        .select(col("vec_id"), col("embedding"))
+      val qVecs = queries.select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+      val batch = Similarity.probeIvfSq8Batch(spark, idx, queries, nprobe = 3)
+      val got = batch.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        }
+      assert(got.keySet == qVecs.map(_._1).toSet)
+      // per-query candidates AND scores bit-identical to the single probe
+      for ((qid, q) <- qVecs) {
+        val single = Similarity.probeIvfSq8(spark, idx, q, nprobe = 3)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got(qid).keySet == single.keySet,
+          s"query $qid: batch candidates != single-probe candidates")
+        for ((id, sim) <- single)
+          assert(got(qid)(id) == sim,
+            s"query $qid id $id: batch SQ8 ${got(qid)(id)} != single $sim")
+      }
+      // one scan of the codes table for the whole batch, pruned, no floats
+      val scans = graft.SparkSpec.allPlanNodes(batch.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      val codeScans = scans.filter(_.metadata.get("Location").exists(_.contains("codes")))
+      assert(codeScans.length == 1,
+        s"codes must be scanned once for the whole batch, got ${codeScans.length}")
+      assert(codeScans.head.metadata.getOrElse("PartitionFilters", "").contains("cluster"))
+      assert(!codeScans.head.metadata.getOrElse("ReadSchema", "").contains("embedding"))
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("x88 registry entry serves per-query SQ8 top-10 for the whole batch deterministically") {
+    val got = graft.SparkEntry.queries("x88_ann_ivf_sq8_batch")(spark, sf001).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet, s"one group per batch query: ${byQ.keySet}")
+    for ((q, rows) <- byQ) {
+      assert(rows.length == 10, s"query $q: expected top-10, got ${rows.length}")
+      assert(!rows.map(_.getLong(1)).contains(q), s"query $q must exclude itself")
+    }
+    val again = graft.SparkEntry.queries("x88_ann_ivf_sq8_batch")(spark, sf001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "batch SQ8 serving must be deterministic across invocations")
+  }
+
   test("out-of-range vectors clamp instead of wrapping") {
     import spark.implicits._
     val model = ScalarQuantizer.train(corpus)
