@@ -527,6 +527,30 @@ object CorpusOps {
     spanReport(covered, d, k)
   }
 
+  /** The PRODUCTION form of [[substringSpans]] — the fingerprint variant
+    * its scaladoc names: grams are hashed to 8-byte `xxhash64` keys in
+    * the narrow projection, so the sweep's one wide exchange carries
+    * (fp, doc_id, pos) = 20 bytes/window instead of (gram, doc_id, pos)
+    * = k+12 — at k = 20 a 1.6× shrink, at the k = 50 production setting
+    * 3×, independent of corpus size. Collision odds are 2⁻⁶⁴ per gram
+    * pair (a false duplicated window, which the interval union would
+    * absorb unless it lands > k from a real span); the exact-string form
+    * stays the verify tier. On collision-free data the report is
+    * IDENTICAL to the exact form — so the registry entry reuses x79's
+    * DuckDB oracle verbatim, putting a hash-green row on the scale path
+    * itself, and HashedSubstringSpec pins row-identity plus a
+    * no-string-in-exchange plan check.
+    */
+  def substringSpansHashed(d: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"gram length must be >= 2: $k")
+    val covered = positionalGrams(d, k)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("fp"))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    spanReport(covered, d, k)
+  }
+
   /** Persist the standing corpus's DISTINCT gram set — the serving
     * artifact of incremental substring dedup. Stored as the exact
     * strings (k bytes each) for oracle parity; production shrinks the
@@ -634,10 +658,11 @@ object CorpusOps {
             FROM rates r LEFT JOIN kept k ON r.source = k.source
             ORDER BY r.source"""))
 
-  private val x79 = GQuery(
-    "x79_substring_dedup", "ext-dedup exact-substring",
-    (s, dir) => substringSpans(docs(s, dir), k = 20),
-    Some("""WITH grams AS (
+  // One span-report oracle, shared by the exact form (x79) and the
+  // hashed-fingerprint form (x90): on collision-free data the two
+  // constructions are value-identical by design, and 2^-64 per-pair
+  // collision odds make the shared oracle a real gate on both.
+  private val spanOracle = """WITH grams AS (
               SELECT doc_id, r.pos, substr(text, r.pos + 1, 20) AS gram
               FROM documents,
                 unnest(range(0, greatest(length(text) - 19, 0))) r(pos)),
@@ -664,7 +689,21 @@ object CorpusOps {
               FROM spans GROUP BY doc_id)
             SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
               coalesce(dup_chars, 0) AS dup_chars, coalesce(longest, 0) AS longest
-            FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+            FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
+  private val x79 = GQuery(
+    "x79_substring_dedup", "ext-dedup exact-substring",
+    (s, dir) => substringSpans(docs(s, dir), k = 20),
+    Some(spanOracle))
+
+  // The same sweep through 8-byte fingerprints — the exchange carries
+  // hashes, never gram strings (HashedSubstringSpec pins the plan), and
+  // the SAME oracle hash-verifies the output: the scale path earns its
+  // own green row instead of inheriting the exact form's by argument.
+  private val x90 = GQuery(
+    "x90_substring_dedup_hashed", "ext-dedup exact-substring fingerprint",
+    (s, dir) => substringSpansHashed(docs(s, dir), k = 20),
+    Some(spanOracle))
 
   // Incremental substring dedup — x79 against a STORED gram index: the
   // standing slice (doc_id % 4 != 0) persists its distinct gram set once;
@@ -809,6 +848,7 @@ object CorpusOps {
             FROM bat b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
   val queries: Seq[GQuery] =
-    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87)
+    Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
+      x90)
 }
 

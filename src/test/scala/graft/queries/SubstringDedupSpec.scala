@@ -32,6 +32,35 @@ class SubstringDedupSpec extends SparkSpec {
     assert(r.size == 5, "every input document appears in the report")
   }
 
+  test("hashed-fingerprint sweep is row-identical to the exact form and shuffles no strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val planted = Seq(
+      (0L, "qqqq" + "abcdefghi" + "rrrr"),
+      (1L, "ssss" + "abcdefghi" + "tttt"),
+      (2L, "uniquetextwithnothingrepeated"),
+      (3L, "mnopq" + "12345678" + "mnopq" + "87654321"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val corpora = Seq(planted, graft.Tables(spark, sf001, "documents"))
+    for (d <- corpora) {
+      val exact = CorpusOps.substringSpans(d, k = 5).collect().map(_.toSeq).toSeq
+      val hashed = CorpusOps.substringSpansHashed(d, k = 5)
+      assert(hashed.collect().map(_.toSeq).toSeq == exact,
+        "fingerprint coverage must reproduce the exact span report")
+      // the scale claim: every wide exchange carries fixed-width columns
+      // only — the k-char gram never leaves its narrow projection
+      val exchanges = graft.SparkSpec
+        .allPlanNodes(hashed.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "the sweep has wide stages to check")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType == StringType),
+          s"a shuffle carries a string column: ${e.output.map(_.name)}")
+      }
+    }
+  }
+
   test("incremental: batch spans score against the stored standing grams only") {
     import spark.implicits._
     val standing = Seq((10L, "qqqq" + "abcdefghi" + "rrrr")).toDF("doc_id", "text")
