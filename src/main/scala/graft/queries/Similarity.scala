@@ -1000,6 +1000,67 @@ object Similarity {
           qnorms.toSeq).as("sim_sq8"))
   }
 
+  /** FILTERED ANN probe — the metadata-predicate + vector-search
+    * composition every production serving system ships (FAISS
+    * `IDSelector`, Milvus/Vespa filtered search): candidates must both
+    * be near the query AND satisfy a predicate that lives outside the
+    * index. The predicate arrives as an `allowed` id table — the general
+    * form, since the index stores no metadata — and is applied as a
+    * PRE-filter: a broadcast semi join on `vec_id` between the pruned
+    * cell scan and the allowed set, BEFORE any scoring work, so the
+    * cosine kernel runs only on rows that can be returned.
+    *
+    * Scale notes, in scaladoc because they decide real deployments:
+    * (a) the broadcast pre-filter is right when the filter is selective
+    * (the usual case — a tenant, a language, a date range); a
+    * non-selective filter is better POST-applied to the unfiltered
+    * probe's top-C (skip the join entirely) — the two give identical
+    * results (spec-pinned), the choice is pure economics; (b) low
+    * selectivity inside the probed cells starves top-k — production
+    * raises nprobe as selectivity drops (Milvus's adaptive rule);
+    * the fixture predicate keeps ~half the corpus, so nprobe stays at
+    * the unfiltered setting.
+    */
+  def probeStoredIvfFiltered(s: SparkSession, indexDir: String,
+      qvec: Array[Double], nprobe: Int, allowed: DataFrame): DataFrame = {
+    val coarse = readIvfCentroids(s, indexDir)
+    require(coarse.nonEmpty, s"empty centroid table under $indexDir")
+    require(qvec.length == coarse.head.length,
+      s"query dim ${qvec.length} != index dim ${coarse.head.length}")
+    val qn = math.sqrt(qvec.map(x => x * x).sum)
+    val cells = selectCells(coarse, qvec, qn, nprobe)
+    val ids = allowed.select(col(allowed.columns(0)).cast("long").as("vec_id"))
+    s.read.parquet(s"$indexDir/cells")
+      .where(col("cluster").isin(cells: _*))
+      .join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        VectorOps.cosinePreNorm(col("embedding"), typedLit(qvec), lit(qn))
+          .as("sim"))
+  }
+
+  // Filtered serving over the stored IVF index: even-label vectors only,
+  // top-20 among them — the predicate rides a broadcast id semi join
+  // ahead of the scoring kernel. FilteredAnnSpec pins pre ≡ post filter
+  // identity, predicate purity of the results, recall vs the exact
+  // filtered scan, and the intact pruned-scan plan.
+  private val x91 = GQuery(
+    "x91_ann_filtered", "ext-similarity-ann stored-artifact filtered-serving",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_index_v1") // x62's index
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeIvfIndex(e, store, iters = 2)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val allowed = e.where(pmod(col("label"), lit(2)) === 0 &&
+        col("vec_id") =!= 0).select(col("vec_id"))
+      probeStoredIvfFiltered(s, store, qvec, nprobe = 6, allowed)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // probe subset: gated by FilteredAnnSpec
+
   // Batch serving at the near-lossless tier — one pruned scan of byte
   // codes serves an 8-query batch, per-(row, query) scoring through a
   // single stacked-weight SQ8 kernel node, per-query top-10 via
@@ -1659,5 +1720,6 @@ object Similarity {
 
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
-      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88)
+      x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
+      x91)
 }
