@@ -847,8 +847,100 @@ object CorpusOps {
               coalesce(dup_chars, 0) AS dup_chars, coalesce(longest, 0) AS longest
             FROM bat b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
+  /** Source token-budget cap — the domain-quota curation op (C4 caps
+    * per-domain pages, Gopher caps source shares): within each source,
+    * keep documents in priority order (longest first, id tie-break)
+    * while the cumulative token count BEFORE the doc is under the
+    * budget — so every source gets at least its top doc, and no source
+    * exceeds budget + one doc (the standard greedy form; exact knapsack
+    * is NP-hard and order-unstable). All-integer arithmetic: one window
+    * cumsum per source, the keep decision hash-verifies in DuckDB.
+    *
+    * Scale shape: one shuffle on `source` for the window (source
+    * cardinality is the parallelism floor — salt the window by
+    * hash-bucket within giant sources if one source dominates, then
+    * re-cap across buckets with a second tiny pass over bucket
+    * subtotals); text never moves, only (doc_id, source, n_tokens).
+    */
+  def sourceTokenCap(d: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val ws = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    d.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "cum_tokens")
+  }
+
+  private val x93 = GQuery(
+    "x93_source_token_cap", "ext-text curation source-quota",
+    (s, dir) => sourceTokenCap(docs(s, dir), budget = 800L),
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY source
+                  ORDER BY n_tokens DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens - n_tokens < 800
+            ORDER BY source, cum_tokens"""))
+
+  /** EXACT stratified train/val/test split: within every source, docs
+    * are ordered by a deterministic md5 shuffle key and the first
+    * ⌈0.8·n⌉ go to train, the next up to ⌈0.9·n⌉ to val, the rest to
+    * test — per-source proportions hold EXACTLY (±1 doc), unlike
+    * threshold sampling (x42's discipline), which only holds them in
+    * expectation. Rank-vs-quota comparison is pure integer arithmetic
+    * (⌈p·n⌉ as `(p_num·n + p_den − 1) div p_den`), and the md5 key is
+    * engine-identical, so the whole assignment hash-verifies.
+    *
+    * Scale shape: one shuffle on `source` for the rank window plus a
+    * broadcast-sized per-source count; at a trillion docs the window is
+    * the same cumsum every engine runs for ntile — salt giant sources
+    * exactly as [[sourceTokenCap]] notes.
+    */
+  def stratifiedSplit(d: DataFrame): DataFrame = {
+    val ws = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":split"))).as("h"))
+      .withColumn("rk", row_number().over(ws).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"),
+        // integer `div`, never float division: quotas must be exact
+        when(col("rk") <= expr("(n * 4 + 4) div 5"), "train")
+          .when(col("rk") <= expr("(n * 9 + 9) div 10"), "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val x94 = GQuery(
+    "x94_stratified_split", "ext-text curation deterministic-split",
+    (s, dir) => stratifiedSplit(docs(s, dir)),
+    Some("""WITH h AS (
+              SELECT doc_id, source,
+                md5(CAST(doc_id AS VARCHAR) || ':split') AS h
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY h, doc_id) AS BIGINT) AS rk,
+                COUNT(*) OVER (PARTITION BY source) AS n
+              FROM h)
+            SELECT doc_id, source,
+              CASE WHEN rk <= (n * 4 + 4) // 5 THEN 'train'
+                   WHEN rk <= (n * 9 + 9) // 10 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM r ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
-      x90)
+      x90, x93, x94)
 }
 

@@ -1438,6 +1438,100 @@ object Similarity {
     },
     None) // quantized + probe subset: gated by PqSpec, rows-only here
 
+  /** MMR diversified re-rank (Carbonell & Goldstein 1998, maximal
+    * marginal relevance) — the serving stage that trades raw similarity
+    * for coverage: from a probe's top-C candidates, greedily build a
+    * k-set maximizing `λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j)`, so each
+    * pick is relevant to the query AND far from what's already chosen.
+    * At λ = 1 this is exactly the plain top-k (spec-pinned); lower λ
+    * spends rank positions on diversity — the dedup-at-serving-time
+    * every RAG/retrieval stack runs when its corpus has near-dup
+    * clusters (which is why it lives next to the dedup family here).
+    *
+    * Scale shape: the greedy loop is inherently sequential in |S| and
+    * runs on the DRIVER over the top-C candidates — C is a serving
+    * constant (100s–1000s), independent of corpus size, and every
+    * production implementation (Vespa/Elastic/LangChain rerankers) does
+    * exactly this coordinator-side. The distributed work is what
+    * precedes it: the probe's pruned scan and the C-row vector fetch
+    * (x72's broadcast id join). The C×C pairwise sims are computed
+    * lazily — only the k·C pairs the greedy loop actually inspects.
+    */
+  def mmrRerank(s: SparkSession, candidates: DataFrame, corpus: DataFrame,
+      k: Int, lambda: Double, topC: Int): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    require(k >= 1 && topC >= k, s"need topC >= k >= 1: k=$k topC=$topC")
+    require(topC <= 10000,
+      s"topC=$topC: the candidate set must stay a driver-sized serving constant")
+    val cc = candidates.columns
+    val topCands = candidates
+      .orderBy(col(cc(1)).desc, col(cc(0)))
+      .limit(topC)
+      .select(col(cc(0)).cast("long").as("vec_id"),
+        col(cc(1)).cast("double").as("rel"))
+    val fetched = corpus
+      .select(col(corpus.columns(0)).cast("long").as("vec_id"),
+        col(corpus.columns(1)).cast("array<double>").as("v"))
+      .join(broadcast(topCands), Seq("vec_id"))
+      .select(col("vec_id"), col("rel"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .sortBy { case (id, rel, _) => (-rel, id) }
+    require(fetched.nonEmpty, "no candidate vectors found in the corpus")
+    val norms = fetched.map { case (_, _, v) => math.sqrt(v.map(x => x * x).sum) }
+    def sim(i: Int, j: Int): Double = {
+      val (vi, vj) = (fetched(i)._3, fetched(j)._3)
+      var d = 0.0; var t = 0
+      while (t < vi.length) { d += vi(t) * vj(t); t += 1 }
+      val den = norms(i) * norms(j)
+      if (den == 0.0) 0.0 else d / den
+    }
+    val n = fetched.length
+    val picked = scala.collection.mutable.ArrayBuffer[Int]()
+    val maxSim = Array.fill(n)(0.0)
+    val in = Array.fill(n)(false)
+    while (picked.length < math.min(k, n)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      for (i <- 0 until n if !in(i)) {
+        val score =
+          if (picked.isEmpty) fetched(i)._2
+          else lambda * fetched(i)._2 - (1.0 - lambda) * maxSim(i)
+        // strict > with rel-then-id presort makes ties deterministic
+        if (score > bestScore) { best = i; bestScore = score }
+      }
+      in(best) = true
+      picked += best
+      for (i <- 0 until n if !in(i))
+        maxSim(i) = math.max(maxSim(i), sim(i, best))
+    }
+    import s.implicits._
+    picked.zipWithIndex.map { case (i, r) =>
+      (r.toLong, fetched(i)._1, fetched(i)._2)
+    }.toSeq.toDF("rank", "vec_id", "rel")
+  }
+
+  // Diversified serving: the stored-IVF probe's top-100 re-ranked by MMR
+  // at λ = 0.7 — near-duplicate candidates stop crowding the result page.
+  // MmrSpec pins the λ = 1 reduction to plain top-k, the planted-cluster
+  // coverage win, and determinism.
+  private val x92 = GQuery(
+    "x92_ann_mmr_rerank", "ext-similarity-ann filtered-serving diversity",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_index_v1") // x62's index
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeIvfIndex(e, store, iters = 2)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val cands = probeStoredIvf(s, store, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+      mmrRerank(s, cands, e.select(col("vec_id"), col("embedding")),
+        k = 20, lambda = 0.7, topC = 100)
+        .orderBy("rank")
+    },
+    None) // probe subset + greedy floats: gated by MmrSpec
+
   /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
     * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
     * x67/x68/x70) never reads a float vector and its scores carry
@@ -1721,5 +1815,5 @@ object Similarity {
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91)
+      x91, x92)
 }
