@@ -1532,6 +1532,74 @@ object Similarity {
     },
     None) // probe subset + greedy floats: gated by MmrSpec
 
+  /** Recall-evaluation harness — the continuous-monitoring op every
+    * ANN deployment runs: per query, |approx top-k ∩ exact top-k| / k,
+    * computed as one inner join on (q_id, vec_id) plus a per-query
+    * count. Takes ANY (q_id, vec_id)-shaped result pair, so every
+    * stored tier (flat/PQ/residual/SQ8, filtered, re-ranked) can be
+    * scored against the brute-force scan — or against another tier —
+    * with the same code. Integer counts only; the recall ratio is left
+    * to the caller so the output stays exact.
+    *
+    * Scale shape: both sides are top-k result sets — B·k rows, serving
+    * constants — so the join broadcasts; the heavy work (the probe, the
+    * exact scan) happens upstream in whatever produced the inputs. The
+    * exact side over a real corpus is itself a one-pass GroupedTopK
+    * (x27's kNN-join shape), so the harness costs one extra scan, which
+    * is exactly what a production recall monitor pays.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val a = approx.select(col(approx.columns(0)).cast("long").as("q_id"),
+      col(approx.columns(1)).cast("long").as("vec_id"))
+    val e = exact.select(col(exact.columns(0)).cast("long").as("q_id"),
+      col(exact.columns(1)).cast("long").as("vec_id"))
+    val hits = a.join(e, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    e.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(k.toLong).as("k"))
+      .orderBy("q_id")
+  }
+
+  // The recall monitor as a registry query: the batch IVF-flat probe's
+  // per-query top-10 scored against the brute-force exact top-10 over
+  // the same batch — the number a serving team alarms on. Exact side =
+  // one GroupedTopK scan; probe side reuses x71's stored index. Spec
+  // pins the self-recall identity (exact vs exact = k/k) and a recall
+  // floor for the probe.
+  private val x95 = GQuery(
+    "x95_ann_recall_eval", "ext-similarity-ann evaluation stored-artifact",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_index_v1") // x62's index
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeIvfIndex(e, store, iters = 2)
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val probed = probeStoredIvfBatch(s, store, queries, nprobe = 6)
+        .where(col("vec_id") =!= col("q_id"))
+      val approxTop = GroupedTopKOps.groupedTopK(probed, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id")), k = 10)
+      val batch = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qvec"),
+        VectorOps.l2norm(col("embedding")).as("qnorm"))
+      val exactAll = e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(batch))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosinePreNorm(col("embedding"), col("qvec"),
+            col("qnorm")).as("sim"))
+      val exactTop = GroupedTopKOps.groupedTopK(exactAll, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id")), k = 10)
+      recallAtK(approxTop.select("q_id", "vec_id"),
+        exactTop.select("q_id", "vec_id"), k = 10)
+    },
+    None) // probe-derived: gated by RecallEvalSpec
+
   /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
     * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
     * x67/x68/x70) never reads a float vector and its scores carry
@@ -1815,5 +1883,5 @@ object Similarity {
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92)
+      x91, x92, x95)
 }
