@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixture timestamps are TIMESTAMP(MICROS, isAdjustedToUTC=false);
+      // read them as plain TimestampType (session tz is pinned UTC below, so
+      // the instant is unambiguous) rather than TIMESTAMP_NTZ — keeps every
+      // downstream timestamp expression and oracle comparison on the native
+      // UTC-instant type.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

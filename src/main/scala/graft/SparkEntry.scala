@@ -24,9 +24,11 @@ object SparkEntry {
     * dashboard series (grafana msconvert.json:77) over `events`.
     */
   def entry(spark: SparkSession): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); runtime-settable legacy conf
-    // makes it readable regardless of how the caller built the session.
+    // events.ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS, NTZ);
+    // these runtime-settable confs make both readable as plain TimestampType
+    // regardless of how the caller built the session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     Tables(spark, "/root/testdata/sf0.001", "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("converted"))

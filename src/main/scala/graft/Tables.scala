@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture-table loaders (schemas documented in /root/repo/FIXTURES.md).
   *
@@ -17,12 +17,19 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
-    // spark.sql.legacy.parquet.nanosAsLong (set in every graft session
-    // builder) as nanos-since-epoch. Truncate to Spark's native microsecond
-    // TimestampType — the same truncation DuckDB applies casting ns → µs.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // events.ts normalizes to Spark's native (UTC-instant) TimestampType
+    // whatever the fixture's footer says. The generator has shipped two
+    // forms: TIMESTAMP(NANOS) — readable only via the
+    // spark.sql.legacy.parquet.nanosAsLong conf (set in every graft
+    // session builder) as nanos-since-epoch, truncated here to µs exactly
+    // as DuckDB truncates ns → µs — and TIMESTAMP(MICROS, NTZ), which the
+    // cast interprets in the session timezone (pinned UTC in build.sbt +
+    // every session builder, so the instant is unambiguous).
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
     else df
   }
 

@@ -939,8 +939,177 @@ object CorpusOps {
                    ELSE 'test' END AS split
             FROM r ORDER BY doc_id"""))
 
+  /** Lexical-diversity score in thousandths — distinct-token ratio, the
+    * cheap repetitiveness proxy quality pipelines threshold on (a spammy
+    * page repeating one phrase scores low, varied prose scores high).
+    * Pure integer arithmetic (`1000·distinct div total`) so the score —
+    * and everything calibrated from it — is bit-identical cross-engine.
+    */
+  private val diversityMilli =
+    expr("(1000L * size(array_distinct(split(text, ' ')))) div " +
+      "greatest(size(split(text, ' ')), 1)")
+
+  /** Epoch-based source upsampling — the mixture REALIZATION step (the
+    * LLaMA / Pile recipe publishes per-source epoch counts like wiki 2.45:
+    * each source's documents repeat ⌊e⌋ times, plus one more with
+    * probability frac(e)). The config arrives as a small table
+    * `(source, base, frac256)` with the fractional part in 256ths —
+    * exact binary fractions, so the md5-coin bound `frac256 · 2³²⁄₂₅₆`
+    * is integer arithmetic and the whole realized multiset
+    * hash-verifies in DuckDB (x42/x82's deterministic-sampling
+    * discipline). OUTPUT is the realized stream: one row per (doc, rep).
+    *
+    * Scale shape: config is broadcast (sources are dozens), the coin is
+    * a per-row md5, and the replication is a narrow `explode` — no
+    * shuffle at all; the expansion factor is the mixture's own epoch
+    * mass, which is the size of the training stream by definition.
+    */
+  def epochUpsample(d: DataFrame, cfg: DataFrame, seed: String): DataFrame = {
+    val bound = format_string("%08x", col("frac256").cast("long") * lit(16777216L))
+    d.join(broadcast(cfg), "source")
+      .withColumn("extra",
+        when(substring(md5(concat(col("doc_id"), lit(s":$seed"))), 1, 8)
+          < bound, 1).otherwise(0))
+      .withColumn("n_copies", (col("base") + col("extra")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("rep"))
+      .orderBy("doc_id", "rep")
+  }
+
+  // The registry's mixture config: derived deterministically from the
+  // source index (sources are `srcN` in the fixtures) so both engines
+  // build the identical table — base ∈ {1,2,3}, fraction in 256ths.
+  private def srcEpochCfg(d: DataFrame): DataFrame =
+    d.select(col("source")).distinct()
+      .withColumn("m", expr("(97 * CAST(substring(source, 4, 8) AS INT) + 13) % 768"))
+      .select(col("source"), expr("1 + (m div 256)").as("base"),
+        expr("m % 256").as("frac256"))
+
+  private val x96 = GQuery(
+    "x96_epoch_upsample", "ext-text mixture-sampling epoch-upsample",
+    (s, dir) => epochUpsample(docs(s, dir), srcEpochCfg(docs(s, dir)), "up"),
+    Some("""WITH cfg AS (
+              SELECT source, 1 + (m // 256) AS base, m % 256 AS frac256
+              FROM (SELECT source,
+                      (97 * CAST(substr(source, 4) AS INT) + 13) % 768 AS m
+                    FROM (SELECT DISTINCT source FROM documents))),
+            j AS (
+              SELECT d.doc_id, d.source,
+                CAST(base + CASE WHEN substr(md5(d.doc_id || ':up'), 1, 8)
+                  < printf('%08x', CAST(frac256 AS BIGINT) * 16777216)
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+              FROM documents d JOIN cfg USING (source))
+            SELECT doc_id, source, n_copies, CAST(r.rep AS BIGINT) AS rep
+            FROM j, unnest(range(0, n_copies)) r(rep)
+            ORDER BY doc_id, rep"""))
+
+  /** Quality-threshold calibration — given a target keep rate, find the
+    * per-language score cut that realizes it EXACTLY: order by
+    * (score DESC, doc_id), keep rank ≤ ⌈p·n⌉, report the boundary score.
+    * This is how production filters are tuned (pick the keep budget
+    * first, read the threshold off the distribution — not the other way
+    * around); the rank-based form dodges percentile-interpolation
+    * differences between engines entirely, so the calibration
+    * hash-verifies. Keep rate is a rational `keepNum/keepDen`, quota
+    * `⌈p·n⌉ = (num·n + den − 1) div den` — integer, never float.
+    *
+    * Scale shape: one narrow (lang, doc_id, score) projection, one
+    * shuffle on `lang` for the rank window (salt giant languages as
+    * [[sourceTokenCap]] notes), and a languages-sized output.
+    */
+  def calibrateQuality(d: DataFrame, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepNum >= 1 && keepNum <= keepDen,
+      s"keep rate must be in (0,1]: $keepNum/$keepDen")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    d.select(col("lang"), col("doc_id"), diversityMilli.as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .where(col("rnk") <= expr(s"($keepNum * n + ${keepDen - 1}) div $keepDen"))
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_keep"),
+        min(col("score")).as("threshold_milli"),
+        sum(col("score")).as("kept_score_sum"))
+      .orderBy("lang")
+  }
+
+  private val x97 = GQuery(
+    "x97_quality_calibrate", "ext-text quality-threshold calibration",
+    (s, dir) => calibrateQuality(docs(s, dir), keepNum = 3, keepDen = 5),
+    Some("""WITH s AS (
+              SELECT lang, doc_id,
+                (1000 * len(list_distinct(string_split(text, ' ')))) //
+                  greatest(len(string_split(text, ' ')), 1) AS score
+              FROM documents),
+            r AS (
+              SELECT lang, doc_id, score,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+                count(*) OVER (PARTITION BY lang) AS n
+              FROM s)
+            SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+              count(*) AS n_keep, CAST(min(score) AS BIGINT) AS threshold_milli,
+              CAST(sum(score) AS BIGINT) AS kept_score_sum
+            FROM r WHERE rnk <= (3 * n + 4) // 5
+            GROUP BY lang ORDER BY lang"""))
+
+  /** Curriculum ordering — assign every document a training stage
+    * (0..stages−1) by global quality rank (repetitive text first, varied
+    * prose last — the easy→hard curriculum schedule), plus its position
+    * within the stage. The global rank is NOT a global window: the score
+    * domain is bounded (thousandths, ≤1001 values), so rank = broadcast
+    * cumulative histogram offset + a per-score-partition row_number —
+    * x33's chunked-carry trick, every partition sorts in parallel and
+    * the histogram is domain-sized, never data-sized. Stage and position
+    * are then pure integer arithmetic on the rank, so the whole
+    * assignment hash-verifies against a plain-window oracle.
+    */
+  def curriculumOrder(d: DataFrame, stages: Int): DataFrame = {
+    require(stages >= 1, s"stages must be >= 1: $stages")
+    val scored = d.select(col("doc_id"), diversityMilli.as("score"))
+    // domain-sized (≤1001 rows) cumulative histogram; the single-partition
+    // window is over the histogram, not the data
+    val cum = scored.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("before",
+        sum(col("c")).over(Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("c"))
+      .select(col("score"), col("before"))
+    val total = scored.agg(count(lit(1)).as("n"))
+    val wScore = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+    scored.join(broadcast(cum), "score")
+      .withColumn("rnk", col("before") + row_number().over(wScore))
+      .crossJoin(broadcast(total))
+      .withColumn("stage", expr(s"((rnk - 1) * $stages) div n"))
+      .withColumn("pos", expr(s"rnk - ((stage * n + ${stages - 1}) div $stages)"))
+      .select(col("doc_id"), col("score").cast("long").as("score"),
+        col("stage"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  private val x98 = GQuery(
+    "x98_curriculum_order", "ext-text curriculum-ordering",
+    (s, dir) => curriculumOrder(docs(s, dir), stages = 8),
+    Some("""WITH s AS (
+              SELECT doc_id,
+                (1000 * len(list_distinct(string_split(text, ' ')))) //
+                  greatest(len(string_split(text, ' ')), 1) AS score
+              FROM documents),
+            r AS (
+              SELECT doc_id, score,
+                CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rnk,
+                count(*) OVER () AS n
+              FROM s),
+            t AS (
+              SELECT doc_id, score, rnk, n,
+                ((rnk - 1) * 8) // n AS stage
+              FROM r)
+            SELECT doc_id, CAST(score AS BIGINT) AS score,
+              CAST(stage AS BIGINT) AS stage,
+              CAST(rnk - ((stage * n + 7) // 8) AS BIGINT) AS pos
+            FROM t ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
-      x90, x93, x94)
+      x90, x93, x94, x96, x97, x98)
 }
 

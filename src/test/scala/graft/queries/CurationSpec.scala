@@ -59,4 +59,75 @@ class CurationSpec extends SparkSpec {
     val b = CorpusOps.stratifiedSplit(d).collect().map(_.toSeq).toSeq
     assert(a == b, "the split is a pure function of doc_id")
   }
+
+  test("epoch upsample realizes exact integer epochs and coin-bounded fractional ones") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "ten words of text", "a"), (2L, "more text here", "a"),
+      (3L, "other source text", "b"), (4L, "and another doc", "b"))
+      .toDF("doc_id", "text", "source")
+    // a: exactly 2 epochs (frac 0); b: 1 + 255/256 epochs (almost surely 2)
+    val cfg = Seq(("a", 2, 0), ("b", 1, 255)).toDF("source", "base", "frac256")
+    val r = CorpusOps.epochUpsample(d, cfg, "t").collect()
+    val byDoc = r.groupBy(_.getLong(0)).view.mapValues { rows =>
+      val reps = rows.map(_.getLong(3)).sorted.toSeq
+      val n = rows.head.getLong(2)
+      (n, reps)
+    }.toMap
+    for ((id, (n, reps)) <- byDoc)
+      assert(reps == (0L until n), s"doc $id: reps must be 0..${n - 1}: $reps")
+    assert(byDoc(1L)._1 == 2L && byDoc(2L)._1 == 2L,
+      "frac256 = 0 means exactly base copies — no coin involved")
+    assert(byDoc(3L)._1 >= 1L && byDoc(3L)._1 <= 2L)
+    // deterministic: the realized multiset is a pure function of (doc_id, seed)
+    val again = CorpusOps.epochUpsample(d, cfg, "t").collect().map(_.toSeq).toSeq
+    assert(r.map(_.toSeq).toSeq == again)
+  }
+
+  test("quality calibration picks the exact rank-based threshold") {
+    import spark.implicits._
+    // one language, 5 docs with distinct diversity scores; keep 3/5 → the
+    // threshold is the 3rd-highest score
+    def textOf(distinct: Int): String =
+      ((0 until distinct).map(i => s"w$i") ++ Seq.fill(10 - distinct)("w0"))
+        .mkString(" ")
+    val d = (1 to 5).map(i => (i.toLong, textOf(2 * i), "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusOps.calibrateQuality(d, 3, 5).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "en")
+    assert(row.getLong(1) == 5L, "n_docs")
+    assert(row.getLong(2) == 3L, "keep 3/5 of 5 docs = ceil(3) = 3")
+    // scores are 1000*distinct/10: docs have 2,4,6,8,10 distinct tokens →
+    // 200,400,600,800,1000; top-3 = {1000,800,600} → threshold 600
+    assert(row.getLong(3) == 600L, s"threshold: ${row.getLong(3)}")
+    assert(row.getLong(4) == 2400L, "sum of kept scores 1000+800+600")
+  }
+
+  test("curriculum order stages by global score rank without a global window") {
+    import spark.implicits._
+    // 16 docs, strictly increasing diversity → rank i is doc i; 8 stages
+    // of exactly 2, pos 1..2 within each
+    def textOf(distinct: Int): String =
+      ((0 until distinct).map(i => s"w$i") ++ Seq.fill(16 - distinct)("w0"))
+        .mkString(" ")
+    val d = (1 to 16).map(i => (i.toLong, textOf(i))).toDF("doc_id", "text")
+    val r = CorpusOps.curriculumOrder(d, stages = 8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    for (i <- 1 to 16) {
+      val expectedStage = ((i - 1) * 8) / 16
+      val expectedPos = i.toLong - (expectedStage * 16 + 7) / 8
+      assert(r(i.toLong) == ((expectedStage.toLong, expectedPos)),
+        s"doc $i: expected stage $expectedStage pos $expectedPos, got ${r(i.toLong)}")
+    }
+    // fixture sanity on real data: stages partition the corpus, sizes differ ≤ 1
+    val real = CorpusOps.curriculumOrder(
+      graft.Tables(spark, sf001, "documents"), stages = 8)
+    val sizes = real.groupBy("stage").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(sizes.keySet == (0L to 7L).toSet, s"all 8 stages present: $sizes")
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"stage sizes must be balanced: $sizes")
+  }
 }

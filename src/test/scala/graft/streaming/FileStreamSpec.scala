@@ -12,13 +12,19 @@ import org.apache.spark.sql.streaming.Trigger
 class FileStreamSpec extends SparkSpec {
 
   test("streaming file source reproduces the batch hourly series") {
-    // raw parquet schema (ts = nanos-as-long), not the Tables-normalized one
+    // raw parquet schema (not the Tables-normalized one): ts arrives as
+    // nanos-as-long or TIMESTAMP_NTZ depending on the fixture generation —
+    // normalize exactly as Tables does
     val schema = spark.read.parquet(s"$sf001/events.parquet").schema
-    val stream = spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet") // stream source wants a dir
       .parquet(sf001)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // nanosAsLong
+    val normalized =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    val stream = normalized
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("converted"))
     val q = stream.writeStream.format("memory").queryName("hourly_files")
