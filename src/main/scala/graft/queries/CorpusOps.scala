@@ -1108,8 +1108,58 @@ object CorpusOps {
               CAST(rnk - ((stage * n + 7) // 8) AS BIGINT) AS pos
             FROM t ORDER BY doc_id"""))
 
+  /** Corpus-health report — the per-source scorecard a curation team reads
+    * before every training run (and the summary row of the reference's
+    * monitoring dashboards, applied to corpus content): doc counts, exact
+    * duplicate rate, language spread, token volume, and mean quality, one
+    * row per source. Duplicate detection fingerprints with md5 (the x14
+    * principle — text never shuffles; the distinct runs over 16-byte
+    * digests), quality is the integer lexical-diversity score, and the two
+    * rates are integer thousandths so every cell hash-verifies.
+    *
+    * Scale shape: one narrow projection (source, lang, fingerprint, two
+    * numbers), one groupBy(source) with exact count-distincts — Spark
+    * expands those into a sources×fingerprints expand-aggregate, which is
+    * the standard exact form; at 100 TB swap `approx_count_distinct` for
+    * the expand if ±2 % is tolerable (the c21 trade, noted not taken:
+    * exactness is what makes this row auditable).
+    */
+  def corpusHealth(d: DataFrame): DataFrame =
+    d.select(col("source"), col("lang"), md5(col("text")).as("fp"),
+        diversityMilli.as("q"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("q")).as("q_sum"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("n_langs"),
+        col("total_tokens"),
+        expr("(1000 * (n_docs - n_unique)) div n_docs").as("dup_rate_milli"),
+        expr("q_sum div n_docs").as("mean_q_milli"))
+      .orderBy("source")
+
+  private val x104 = GQuery(
+    "x104_corpus_health", "ext-text data-quality report-composite",
+    (s, dir) => corpusHealth(docs(s, dir)),
+    Some("""WITH d AS (
+              SELECT source, lang, md5(text) AS fp,
+                (1000 * len(list_distinct(string_split(text, ' ')))) //
+                  greatest(len(string_split(text, ' ')), 1) AS q,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+              COUNT(DISTINCT fp) AS n_unique,
+              COUNT(DISTINCT lang) AS n_langs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              (1000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*)
+                AS dup_rate_milli,
+              CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_q_milli
+            FROM d GROUP BY source ORDER BY source"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
-      x90, x93, x94, x96, x97, x98)
+      x90, x93, x94, x96, x97, x98, x104)
 }
 

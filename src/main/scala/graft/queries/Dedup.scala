@@ -223,6 +223,44 @@ object Dedup {
     },
     None) // hash-seeded algorithm: no SQL oracle; covered by DedupSpec
 
+  // Quality-aware keeper selection — x22's transitive clusters with the
+  // keeper the production pipelines actually keep (Dolma/FineWeb style):
+  // the HIGHEST-QUALITY member of each near-dup cluster, not the smallest
+  // id. Quality is the integer lexical-diversity score (thousandths — the
+  // same score x97 calibrates and x98 orders by), tie-broken by min doc_id
+  // so the choice is total. Cluster structure is IDENTICAL to x22 (same
+  // verified candidate graph, same transitive close — DedupSpec pins the
+  // partition equality); only the representative changes.
+  //
+  // Scale shape: x22's plan plus one (comp, doc_id, q) shuffle for the
+  // per-cluster argmax window — scores ride the label table, text never
+  // shuffles. Keeper tables join back to members on `comp` (cluster-sized,
+  // skew-bounded by the verified-edge threshold).
+  private val x102 = GQuery(
+    "x102_dedup_quality_keeper", "ext-dedup-fuzzy quality-aware custom-operator",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val sigs = minhashSigs(d)
+      val edges = withBucketMin(bandHashes(sigs))
+        .where(col("bucket_min") < col("doc_id"))
+        .select(col("doc_id"), col("bucket_min")).distinct()
+      val verifiedEdges = verifyPairs(edges, sigs, "bucket_min")
+      val (labels, _) = graft.operators.ConnectedComponents.run(verifiedEdges)
+      val qual = d.select(col("doc_id"),
+        expr("(1000L * size(array_distinct(split(text, ' ')))) div " +
+          "greatest(size(split(text, ' ')), 1)").as("q"))
+      val member = labels.select(col("id").as("doc_id"), col("comp"))
+        .join(qual, "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp")).orderBy(col("q").desc, col("doc_id"))
+      val keepers = member.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("comp"), col("doc_id").as("keeper"))
+      coverCorpus(d, member.join(keepers, "comp")
+        .select(col("doc_id"), col("keeper")))
+    },
+    None) // hash-seeded clusters: no SQL oracle; covered by DedupSpec
+
   // Incremental ingestion dedup: a NEW batch (doc_id >= 250) lands against
   // an EXISTING corpus (doc_id < 250) — drop new docs whose normalized
   // fingerprint already exists in the corpus (anti join vs the fingerprint
@@ -425,5 +463,6 @@ object Dedup {
     },
     None) // hash-seeded algorithm: gated by DedupSpec row identity with x52
 
-  val queries: Seq[GQuery] = Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66)
+  val queries: Seq[GQuery] =
+    Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102)
 }

@@ -139,5 +139,57 @@ object Events {
               UNION ALL SELECT * FROM g3 UNION ALL SELECT * FROM g4)
             ORDER BY k, src, pos NULLS FIRST, val NULLS FIRST"""))
 
-  val queries: Seq[GQuery] = Seq(x49, c38)
+  /** Distribution-drift monitor — the data-quality alarm every ingest
+    * pipeline runs: per day, how far does the event-type mix deviate from
+    * the corpus-wide baseline? The score is the LIFT of a day's type share
+    * over the global type share in thousandths — `1000·o·N div (n_d·C_t)`
+    * where o = count(day, type), n_d = day total, C_t = global type count,
+    * N = grand total — the same integer association form as x99's PMI
+    * lift, so the whole monitor hash-verifies (no floats, no logs).
+    * `drifted` flags |lift − 1000| ≥ the threshold (per-mille deviation).
+    *
+    * Scale shape: the fact table is scanned and aggregated ONCE (a
+    * two-column projection into the day×type cell grid, map-side
+    * partial); both marginals and the grand total are rollups OF the
+    * domain-sized cell table, which is checkpointed so they reread a
+    * grid, not the facts. At 100 TB this is the same plan; the day×type
+    * grid stays tiny no matter how many events feed it. Overflow:
+    * o·N·1000 needs longs until ~3·10⁶ events per cell pair; past
+    * that, decimal(38,0) as x89 maps.
+    */
+  def typeDriftByDay(e: DataFrame, driftMilli: Long): DataFrame = {
+    val cell = e.select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false)
+    val byDay = cell.groupBy(col("day")).agg(sum(col("o")).as("n_day"))
+    val byType = cell.groupBy(col("event_type")).agg(sum(col("o")).as("c_type"))
+    val total = cell.agg(sum(col("o")).as("n_total"))
+    cell.join(broadcast(byDay), "day")
+      .join(broadcast(byType), "event_type")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_milli", expr("(1000 * o * n_total) div (n_day * c_type)"))
+      .select(col("day"), col("event_type"), col("o"), col("n_day"),
+        col("c_type"), col("lift_milli"),
+        (abs(col("lift_milli") - 1000) >= driftMilli).as("drifted"))
+      .orderBy("day", "event_type")
+  }
+
+  private val x103 = GQuery(
+    "x103_type_drift_monitor", "ext-events drift-monitor data-quality",
+    (s, dir) => typeDriftByDay(events(s, dir), driftMilli = 200L),
+    Some("""WITH t AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+            cell AS (SELECT day, event_type, COUNT(*) AS o
+                     FROM t GROUP BY day, event_type),
+            d AS (SELECT day, COUNT(*) AS n_day FROM t GROUP BY day),
+            ty AS (SELECT event_type, COUNT(*) AS c_type FROM t GROUP BY event_type),
+            n AS (SELECT COUNT(*) AS n_total FROM t)
+            SELECT c.day, c.event_type, c.o, d.n_day, ty.c_type,
+              (1000 * c.o * n.n_total) // (d.n_day * ty.c_type) AS lift_milli,
+              abs((1000 * c.o * n.n_total) // (d.n_day * ty.c_type) - 1000) >= 200
+                AS drifted
+            FROM cell c JOIN d USING (day) JOIN ty USING (event_type), n
+            ORDER BY day, event_type"""))
+
+  val queries: Seq[GQuery] = Seq(x49, c38, x103)
 }

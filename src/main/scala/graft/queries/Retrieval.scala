@@ -368,5 +368,63 @@ object Retrieval {
     },
     None) // Σ log p across engines: gated by LmPerplexitySpec
 
-  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58, x59, x83)
+  /** PMI collocation mining — the phrase-vocabulary primitive (word2vec's
+    * phrase pass, tokenizer multi-word-entry selection, NSP-style corpus
+    * audits all start here): score each bigram by how much more often it
+    * occurs than its parts predict. The association score is LIFT in
+    * thousandths, `1000·c_xy·N div (c_x•·c_•y)` over bigram-table marginals
+    * (c_x• = bigrams starting with x, c_•y = bigrams ending with y, N =
+    * total bigrams) — a strictly monotone transform of PMI (PMI = ln lift),
+    * kept log-free and integer-exact per this object's numeric discipline,
+    * so the full ranking hash-verifies in DuckDB.
+    *
+    * Scale shape: the corpus is exploded and aggregated ONCE — both
+    * marginals and the grand total are rollups OF the pair-count table
+    * (`c_x• = Σ_y c_xy` exactly, since every bigram has both ends), which
+    * is checkpointed so the three derived aggregations reread a
+    * pair²-sized table instead of re-exploding 100 TB of text three
+    * times. Then two shuffle joins on the word key (marginal tables are
+    * vocab-sized, so no broadcast assumption) and a global top-k via
+    * sort-limit (TakeOrderedAndProject — per-partition heaps, only k rows
+    * reach the driver). Overflow-safe to N ≈ 3·10⁶ bigrams per count
+    * pair in longs (1000·c·N < 2⁶³); past that, the same expression in
+    * decimal(38,0), as x89's scaladoc maps.
+    */
+  def pmiCollocations(d: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    val pair = docBigrams(d)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val prefix = pair.groupBy(col("w1")).agg(sum(col("c")).as("c_prefix"))
+    val suffix = pair.groupBy(col("w2")).agg(sum(col("c")).as("c_suffix"))
+    val total = pair.agg(sum(col("c")).as("n_bigrams"))
+    pair.where(col("c") >= minCount)
+      .join(prefix, "w1")
+      .join(suffix, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_milli",
+        expr("(1000 * c * n_bigrams) div (c_prefix * c_suffix)"))
+      .select(col("w1"), col("w2"), col("c"), col("c_prefix"),
+        col("c_suffix"), col("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  private val x99 = GQuery(
+    "x99_pmi_collocations", "ext-text collocations phrase-mining",
+    (s, dir) => pmiCollocations(docs(s, dir), minCount = 5L, topK = 100),
+    Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+            bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+                   FROM d, unnest(range(1, len(w))) r(i)),
+            pair AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+            pre AS (SELECT w1, COUNT(*) AS c_prefix FROM bg GROUP BY w1),
+            suf AS (SELECT w2, COUNT(*) AS c_suffix FROM bg GROUP BY w2),
+            n AS (SELECT COUNT(*) AS n_bigrams FROM bg)
+            SELECT p.w1, p.w2, p.c, pre.c_prefix, suf.c_suffix,
+              (1000 * p.c * n.n_bigrams) // (pre.c_prefix * suf.c_suffix)
+                AS lift_milli
+            FROM pair p JOIN pre USING (w1) JOIN suf USING (w2), n
+            WHERE p.c >= 5
+            ORDER BY lift_milli DESC, p.w1, p.w2 LIMIT 100"""))
+
+  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58, x59, x83, x99)
 }

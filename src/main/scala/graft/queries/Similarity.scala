@@ -1790,6 +1790,85 @@ object Similarity {
     },
     None) // approximate (probe subset): rows-only check + StoredAnnSpec
 
+  /** RANGE search over the stored IVF index — the radius form of ANN
+    * serving (FAISS `range_search`): for each query, ALL corpus vectors
+    * with cosine ≥ tau among the probed cells, not a fixed top-k. This is
+    * the near-duplicate-lookup shape (x09 as a SERVED operation instead of
+    * a corpus self-join): dedup-at-ingest asks "which existing docs is
+    * this batch a near-copy of", and the answer set's size is
+    * data-dependent, which is exactly what top-k cannot express.
+    *
+    * Scale shape: identical to the batch probe (one statically pruned
+    * scan of the unioned nprobe cells, broadcast probe table, per-row
+    * kernel cosine) with the top-k heap replaced by a threshold filter
+    * pushed onto the scored scan — cheaper than top-k (no per-query heap
+    * state, no GroupedTopK exchange) and the output is candidate-bounded
+    * by construction since tau bounds the result like a radius bounds a
+    * ball. Results are DETERMINISTIC given the stored index (cell choice
+    * and scan set are index-pure); RangeSearchSpec pins equivalence with
+    * a brute-force threshold scan restricted to the same cells, plus a
+    * recall floor against the global exact range set.
+    */
+  def rangeSearchBatch(s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int, tau: Double, segments: Seq[String] = Seq("cells")): DataFrame =
+    probeStoredIvfBatch(s, indexDir, queries, nprobe, segments)
+      .where(col("sim") >= tau)
+
+  private val x100 = GQuery(
+    "x100_ann_range_search", "ext-similarity-ann stored-artifact serving-path range-query",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeIvfIndex(e, store, iters = 2)
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      rangeSearchBatch(s, store, queries, nprobe = 6, tau = 0.3)
+        .where(col("vec_id") =!= col("q_id"))
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    },
+    None) // approximate (probe subset): rows-only check + RangeSearchSpec
+
+  /** IVF index-health report — the serving-ops monitor behind every probe
+    * latency SLO: per-cell population from the STORED index plus the
+    * roll-up a capacity planner reads (k, total vectors, min/max/mean cell
+    * size, imbalance = max/mean in thousandths). Cell skew is what decides
+    * probe TAIL latency — a probe touching one hot cell pays that cell's
+    * scan, whatever the mean says — and the fix (re-train or split hot
+    * cells, x73's compaction) starts from exactly this table.
+    *
+    * Scale shape: index-only — one scan of the cells table reading ONLY
+    * the partition column (cluster), one domain-sized (k rows) aggregate,
+    * one broadcast scalar join for the totals; the corpus and the vector
+    * payloads are never read (IndexStatsSpec pins both via ReadSchema and
+    * scan locations).
+    */
+  def ivfIndexStats(s: SparkSession, indexDir: String,
+      segments: Seq[String] = Seq("cells")): DataFrame = {
+    val perCell = segments.map { seg =>
+        s.read.parquet(s"$indexDir/$seg").select(col("cluster"))
+      }.reduce(_ unionAll _)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    val totals = perCell.agg(
+      count(lit(1)).as("k"), sum(col("n_vecs")).as("n_total"),
+      min(col("n_vecs")).as("cell_min"), max(col("n_vecs")).as("cell_max"))
+    perCell.crossJoin(broadcast(totals))
+      .select(col("cluster"), col("n_vecs"), col("k"), col("n_total"),
+        col("cell_min"), col("cell_max"),
+        expr("(1000 * cell_max * k) div n_total").as("imbalance_milli"))
+      .orderBy("cluster")
+  }
+
+  private val x105 = GQuery(
+    "x105_ann_index_stats", "ext-similarity-ann stored-artifact index-monitor",
+    (s, dir) => {
+      val store = graft.StoredArtifacts.dir(dir, "ivf_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeIvfIndex(emb(s, dir), store, iters = 2)
+      ivfIndexStats(s, store)
+    },
+    None) // k-means-derived index contents: gated by IndexStatsSpec
+
   // Manifest-committed IVF lifecycle — x65's base+delta layout under the
   // AnnManifest pointer protocol, the production form the compaction
   // scaladoc names: init (gen_0 + manifest), delta append (segment commit
@@ -1883,5 +1962,5 @@ object Similarity {
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95)
+      x91, x92, x95, x100, x105)
 }

@@ -1060,7 +1060,62 @@ object Text {
             WHERE d.source <> 'src0'
             ORDER BY d.doc_id"""))
 
+  /** Tokenizer fertility by language — the standard vocabulary-fit
+    * evaluation (how many BPE symbols per whitespace word each language
+    * pays under a given merge table; a vocab trained on English typically
+    * charges other languages 1.5-3× the symbols, which is why multilingual
+    * trainers monitor exactly this table before fixing a vocabulary).
+    * Per language: word/symbol/char totals, `fertility_milli` =
+    * 1000·symbols div words, `compression_milli` = 1000·symbols div chars
+    * — integer thousandths, same discipline as every other calibrated
+    * score in the registry.
+    *
+    * Scale shape: x61's vocab-segmentation apply (each DISTINCT word
+    * segments once through the one BpeApplyAll kernel, occurrences join
+    * back by word — broadcast at small vocab, sort-merge at 100 TB), then
+    * a languages-sized rollup. The registered form serves from the STORED
+    * merge table (x63's artifact — no trainer rounds); gated by BpeSpec
+    * (hand-computed fertilities on a planted two-language corpus where
+    * the merge table fits one language and not the other).
+    */
+  def tokenizerFertility(d: DataFrame,
+      merges: Seq[graft.operators.Bpe.BpeMerge]): DataFrame = {
+    import graft.operators.Bpe
+    val words = d
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val seg = Bpe.segmentVocab(vocab, "word", merges)
+      .select(col("word"), length(col("word")).cast("long").as("n_chars"),
+        size(col("syms")).cast("long").as("n_syms"))
+    words.join(seg, "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_syms"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility_milli", expr("(1000 * n_syms) div n_words"))
+      .withColumn("compression_milli", expr("(1000 * n_syms) div n_chars"))
+      .orderBy("lang")
+  }
+
+  private val x101 = GQuery(
+    "x101_tokenizer_fertility",
+    "ext-text vocab-eval stored-artifact serving-path",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val store = graft.StoredArtifacts.dir(dir, "bpe_merges_v1")
+      if (!graft.StoredArtifacts.ready(store)) {
+        val vocab = docs(s, dir)
+          .select(explode(tokens).as("word"))
+          .where(length(col("word")) >= 1)
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        Bpe.writeMerges(s, Bpe.learn(vocab, nMerges = 10), store)
+      }
+      tokenizerFertility(docs(s, dir), Bpe.readMerges(s, store))
+    },
+    None) // BPE-derived segmentation: gated by BpeSpec fertility pins
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89)
+      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101)
 }

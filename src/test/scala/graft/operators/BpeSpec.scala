@@ -383,4 +383,42 @@ class BpeSpec extends SparkSpec {
       assert(nOov == 0L, s"doc $id: training corpus cannot have OOV, got $nOov")
     }
   }
+
+  test("tokenizer fertility: hand-computed per-language ratios under a planted merge table") {
+    import spark.implicits._
+    // one merge (a,b) -> "ab": lang X words are built from it, lang Y's are
+    // not, so X pays fewer symbols per word — the vocabulary-fit signal the
+    // operator exists to surface
+    val merges = Seq(BpeMerge(0, "a", "b", 4L))
+    val d = Seq(
+      (1L, "ab abab ab", "X"), // words: ab(1 sym), abab(2), ab(1)
+      (2L, "cd cd", "Y"))      // words: cd(2), cd(2) — no merge applies
+      .toDF("doc_id", "text", "lang")
+    val r = graft.queries.Text.tokenizerFertility(d, merges)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // X: 3 words, 4 syms, 8 chars -> fertility 1333, compression 500
+    assert(r("X") == ((3L, 4L, 8L, 1333L, 500L)), s"lang X: ${r("X")}")
+    // Y: 2 words, 4 syms, 4 chars -> fertility 2000, compression 1000
+    assert(r("Y") == ((2L, 4L, 4L, 2000L, 1000L)), s"lang Y: ${r("Y")}")
+    assert(r("X")._4 < r("Y")._4,
+      "the language the vocabulary fits must pay fewer symbols per word")
+  }
+
+  test("x101 registry entry serves per-language fertility from the stored merge table") {
+    val got = graft.SparkEntry.queries("x101_tokenizer_fertility")(spark, sf001)
+      .collect()
+    assert(got.nonEmpty, "one row per fixture language")
+    for (r <- got) {
+      // a word can never segment to fewer than one symbol, or more symbols
+      // than characters
+      assert(r.getLong(4) >= 1000L, s"${r.getString(0)}: fertility below 1 sym/word")
+      assert(r.getLong(2) <= r.getLong(3),
+        s"${r.getString(0)}: more symbols than characters")
+    }
+    val again = graft.SparkEntry.queries("x101_tokenizer_fertility")(spark, sf001)
+      .collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "stored-vocab fertility must be deterministic across invocations")
+  }
 }

@@ -105,6 +105,27 @@ class CurationSpec extends SparkSpec {
     assert(row.getLong(4) == 2400L, "sum of kept scores 1000+800+600")
   }
 
+  test("corpus health report: exact duplicate rate and means on a planted corpus") {
+    import spark.implicits._
+    // src a: 4 docs, one exact duplicate pair -> dup_rate 1000*(4-3)/4 = 250
+    // src b: 2 identical docs -> dup_rate 500
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "en", "a"),
+      (2L, "alpha beta gamma delta", "en", "a"), // dup of 1
+      (3L, "one two three four", "de", "a"),
+      (4L, "five five five five", "en", "a"),
+      (5L, "same text here", "en", "b"),
+      (6L, "same text here", "fr", "b")) // dup of 5, different lang
+      .toDF("doc_id", "text", "lang", "source")
+    val r = CorpusOps.corpusHealth(d).collect()
+      .map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    // a: 4 docs, 3 unique, 2 langs, 16 tokens; q scores: 1000,1000,1000,250
+    //    -> mean (3250 div 4) = 812
+    assert(r("a") == Seq(4L, 3L, 2L, 16L, 250L, 812L), s"src a: ${r("a")}")
+    // b: 2 docs, 1 unique, 2 langs, 6 tokens; q 1000,1000 -> mean 1000
+    assert(r("b") == Seq(2L, 1L, 2L, 6L, 500L, 1000L), s"src b: ${r("b")}")
+  }
+
   test("curriculum order stages by global score rank without a global window") {
     import spark.implicits._
     // 16 docs, strictly increasing diversity → rank i is doc i; 8 stages

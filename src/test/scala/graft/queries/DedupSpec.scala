@@ -69,6 +69,35 @@ class DedupSpec extends SparkSpec {
     assert(n22 <= n03, s"transitive closure produced MORE clusters ($n22 > $n03)")
   }
 
+  test("x102 quality keeper: same partition as x22, keeper is the cluster's quality argmax") {
+    val x22 = clusters("x22_dedup_transitive")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val x102 = clusters("x102_dedup_quality_keeper")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(x102.keySet == x22.keySet, "assignment must cover the corpus")
+    // identical cluster STRUCTURE: grouping members by keeper yields the
+    // same partition of the corpus either way — only the representative
+    // differs
+    def partition(m: Map[Long, Long]): Set[Set[Long]] =
+      m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    assert(partition(x102) == partition(x22),
+      "quality-keeper selection must not change the cluster structure")
+    // the keeper is the member with the highest lexical-diversity score,
+    // ties to the smallest doc_id — recomputed independently here
+    val q = Tables(spark, sf001, "documents")
+      .select(col("doc_id"),
+        expr("(1000L * size(array_distinct(split(text, ' ')))) div " +
+          "greatest(size(split(text, ' ')), 1)").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((_, members) <- x102.groupBy(_._2)) {
+      val ids = members.keySet
+      val keeper = members.head._2
+      val best = ids.minBy(id => (-q(id), id))
+      assert(keeper == best,
+        s"cluster $ids: keeper $keeper is not the quality argmax $best")
+    }
+  }
+
   test("x22 merges a transitive chain that per-bucket assignment splits") {
     import graft.operators.ConnectedComponents
     import spark.implicits._
