@@ -83,7 +83,16 @@ object Bench {
       if (v < 0) "-1" else math.round(v * 100).toString
     val ids = results.map { case (k, _) => shortId(k) }
     require(ids.distinct.size == ids.size, s"non-unique bench ids: $ids")
-    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
+    // Sub-0.1 s entries are OMITTED from the per-query map ("qmin_cs":10
+    // below; BASELINE.md documents the floor): at 180+ registry entries the
+    // full map would overflow the driver's stdout tail, and a sub-100 ms
+    // timing at sf0.1 carries no regression signal (run-to-run noise is
+    // ±30-50%). An omitted query therefore reads as "ran and was fast";
+    // the -1 failure sentinel is ALWAYS emitted — a broken query must
+    // never be indistinguishable from a fast one.
+    val qs = results
+      .filter { case (_, v) => v < 0 || math.round(v * 100) >= 10 }
+      .map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     // an all-fail query reports -1 in its own entry; letting the sentinel
     // into the SUM would shrink the total by a second per broken query —
@@ -93,7 +102,7 @@ object Bench {
     // bounded tail window on a constant prefix
     val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":10,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
     // emit BEFORE the guard: if query growth ever trips it, the round's
     // numbers still reach the log tail and only the exit code goes loud —
     // failing first would discard the whole timed pass the guard protects
