@@ -83,15 +83,18 @@ object Bench {
       if (v < 0) "-1" else math.round(v * 100).toString
     val ids = results.map { case (k, _) => shortId(k) }
     require(ids.distinct.size == ids.size, s"non-unique bench ids: $ids")
-    // Sub-0.1 s entries are OMITTED from the per-query map ("qmin_cs":10
+    // Sub-0.25 s entries are OMITTED from the per-query map ("qmin_cs":25
     // below; BASELINE.md documents the floor): at 180+ registry entries the
-    // full map would overflow the driver's stdout tail, and a sub-100 ms
-    // timing at sf0.1 carries no regression signal (run-to-run noise is
-    // ±30-50%). An omitted query therefore reads as "ran and was fast";
+    // full map would overflow the driver's stdout tail (a dry run at 179
+    // queries measured 1794 of the 1900-char guard with a 10 cs floor —
+    // every warm sf0.1 query clears 0.1 s, so that floor dropped nothing),
+    // and a sub-quarter-second timing carries no regression signal
+    // (run-to-run noise is ±30-50%; a real regression crosses the floor
+    // and reappears). An omitted query therefore reads as "ran, < 0.25 s";
     // the -1 failure sentinel is ALWAYS emitted — a broken query must
     // never be indistinguishable from a fast one.
     val qs = results
-      .filter { case (_, v) => v < 0 || math.round(v * 100) >= 10 }
+      .filter { case (_, v) => v < 0 || math.round(v * 100) >= 25 }
       .map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     // an all-fail query reports -1 in its own entry; letting the sentinel
@@ -102,7 +105,7 @@ object Bench {
     // bounded tail window on a constant prefix
     val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":10,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":25,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
     // emit BEFORE the guard: if query growth ever trips it, the round's
     // numbers still reach the log tail and only the exit code goes loud —
     // failing first would discard the whole timed pass the guard protects

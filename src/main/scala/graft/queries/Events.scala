@@ -191,5 +191,142 @@ object Events {
             FROM cell c JOIN d USING (day) JOIN ty USING (event_type), n
             ORDER BY day, event_type"""))
 
-  val queries: Seq[GQuery] = Seq(x49, c38, x103)
+  /** Heavy-hitter skew report — the diagnostic read before every big join
+    * or aggregation lands on a cluster: the top-k keys of a column by
+    * exact frequency, each with its share of the table in thousandths and
+    * a cumulative share. A key near `1000/k_partitions` share is the one
+    * that makes a shuffle partition straggle; the salting/AQE-skew
+    * decision starts from exactly this table (SkewSpec demonstrates the
+    * fix; this op is how production finds the key to fix).
+    *
+    * Scale shape: one map-side-partial aggregation (key-cardinality
+    * sized), one broadcast scalar for the total, TakeOrderedAndProject
+    * top-k (per-partition heaps — only k rows reach the driver), and a
+    * k-row window for the cumulative share. Exact, not sketched: the c20
+    * count-min/x20 sketch family answers the same question at bounded
+    * memory when key cardinality itself is the problem; a skew DIAGNOSIS
+    * wants the exact counts it will be audited against.
+    */
+  def heavyHitters(d: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = d.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val top = counts.crossJoin(broadcast(total))
+      .orderBy(col("c").desc, col("key"))
+      .limit(topK)
+    // k-row table: the single-partition window is over the REPORT, not data
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("key"))
+    val cum = order.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    top
+      .withColumn("rnk", row_number().over(order).cast("long"))
+      .withColumn("cum_c", sum(col("c")).over(cum))
+      .withColumn("share_milli", expr("(1000 * c) div n_total"))
+      .withColumn("cum_share_milli", expr("(1000 * cum_c) div n_total"))
+      .select(col("rnk"), col("key"), col("c"), col("n_total"),
+        col("share_milli"), col("cum_share_milli"))
+      .orderBy("rnk")
+  }
+
+  private val x106 = GQuery(
+    "x106_skew_report", "ext-events data-quality skew-diagnostic",
+    (s, dir) => heavyHitters(events(s, dir), "user_id", topK = 20),
+    Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS c
+                       FROM events GROUP BY 1),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+            top AS (SELECT key, c, n_total FROM c, n
+                    ORDER BY c DESC, key LIMIT 20)
+            SELECT CAST(row_number() OVER (ORDER BY c DESC, key) AS BIGINT) AS rnk,
+              key, c, n_total,
+              (1000 * c) // n_total AS share_milli,
+              CAST((1000 * SUM(c) OVER (ORDER BY c DESC, key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // n_total
+                AS BIGINT) AS cum_share_milli
+            FROM top ORDER BY rnk"""))
+
+  /** Column-profile report — the schema-on-read audit (the Deequ/Great
+    * Expectations shape) a pipeline runs on every new source before
+    * trusting it: per column, row/null/distinct counts plus typed min/max
+    * (numeric columns in the `_num` pair, strings in the `_str` pair —
+    * never a double rendered through a string, which no two engines format
+    * alike). One row per profiled column, assembled as a union of
+    * per-column aggregates.
+    *
+    * Scale shape: each column profiles in one map-side-partial aggregate
+    * over a single-column projection (the scan prunes to exactly that
+    * column); the union is columns-sized. Exact distincts by the same
+    * audit argument as [[heavyHitters]] — c21/c30 are the sketch
+    * alternatives when cardinality alone is the question.
+    */
+  def profileColumns(d: DataFrame, numeric: Seq[String],
+      strings: Seq[String]): DataFrame = {
+    val parts =
+      numeric.map { c =>
+        d.agg(count(lit(1)).as("n_rows"),
+            sum(col(c).isNull.cast("long")).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("min_num"),
+            max(col(c)).cast("double").as("max_num"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_num"), col("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+      } ++ strings.map { c =>
+        d.agg(count(lit(1)).as("n_rows"),
+            sum(col(c).isNull.cast("long")).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+            col("n_distinct"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            col("min_str"), col("max_str"))
+      }
+    parts.reduce(_ unionByName _).orderBy("column")
+  }
+
+  private val x107 = GQuery(
+    "x107_column_profile", "ext-events data-quality profiling",
+    (s, dir) => profileColumns(events(s, dir),
+      numeric = Seq("event_id", "user_id", "value"),
+      strings = Seq("event_type", "props")),
+    Some("""WITH p AS (
+              SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                COUNT(DISTINCT event_id) AS n_distinct,
+                CAST(MIN(event_id) AS DOUBLE) AS min_num,
+                CAST(MAX(event_id) AS DOUBLE) AS max_num,
+                CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+              FROM events
+              UNION ALL
+              SELECT 'user_id', COUNT(*),
+                CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                COUNT(DISTINCT user_id),
+                CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+                NULL, NULL
+              FROM events
+              UNION ALL
+              SELECT 'value', COUNT(*),
+                CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                COUNT(DISTINCT value),
+                CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+                NULL, NULL
+              FROM events
+              UNION ALL
+              SELECT 'event_type', COUNT(*),
+                CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                COUNT(DISTINCT event_type), NULL, NULL,
+                MIN(event_type), MAX(event_type)
+              FROM events
+              UNION ALL
+              SELECT 'props', COUNT(*),
+                CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                COUNT(DISTINCT props), NULL, NULL,
+                MIN(props), MAX(props)
+              FROM events)
+            SELECT * FROM p ORDER BY "column""""))
+
+  val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107)
 }
