@@ -208,8 +208,12 @@ object Events {
     * wants the exact counts it will be audited against.
     */
   def heavyHitters(d: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    // checkpointed so the total is a rollup of the (key-cardinality-sized)
+    // count table rather than a second scan of the facts — the x99/x103
+    // aggregate-once discipline
     val counts = d.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val total = counts.agg(sum(col("c")).as("n_total"))
     val top = counts.crossJoin(broadcast(total))
       .orderBy(col("c").desc, col("key"))

@@ -325,6 +325,52 @@ class PlanSpec extends SparkSpec {
       s"hashed shingles should at least halve shuffle bytes: $hashForm vs $stringForm")
   }
 
+  test("x104 corpus health: one documents scan feeds the whole scorecard") {
+    val df = SparkEntry.queries("x104_corpus_health")(spark, sf001)
+    df.collect()
+    val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.length == 1,
+      s"health report must scan documents once, got ${scans.length}")
+    // the scan prunes to exactly the profiled columns — no doc_id, no n_chars
+    val schema = scans.head.metadata.getOrElse("ReadSchema", "")
+    assert(schema.contains("text") && schema.contains("source") &&
+      schema.contains("lang") && !schema.contains("doc_id"),
+      s"expected (source, lang, text) pruned scan: $schema")
+  }
+
+  test("x106 skew report: top-k plans as TakeOrderedAndProject over the aggregated keys") {
+    val df = SparkEntry.queries("x106_skew_report")(spark, sf001)
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"heavy-hitter top-k must be a bounded heap, not a global sort:\n$plan")
+    // the count table is checkpointed, so the total's rollup rereads it —
+    // at most the one original facts scan appears in the final plan
+    df.collect()
+    val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.length <= 1,
+      s"skew report must not rescan the facts (${scans.length} file scans)")
+  }
+
+  test("x103/x99: marginal rollups read the checkpointed aggregate, not the source") {
+    // both ops aggregate the facts ONCE and derive marginals from the
+    // checkpointed result — after collection, the executed plan of the
+    // registered query contains scans only of the fact table lineage that
+    // feeds the single aggregation (checkpoint scans are RDD scans, not
+    // file scans), so the FILE scan count stays 1 even though three
+    // marginal tables join in
+    for (name <- Seq("x103_type_drift_monitor")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect()
+      val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.length <= 1,
+        s"$name: marginals must reread the checkpointed grid, not the facts " +
+          s"(${scans.length} file scans)")
+    }
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf001)
     val plan = executedPlan(df).toString
