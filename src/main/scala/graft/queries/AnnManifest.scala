@@ -74,11 +74,61 @@ object AnnManifest {
     writeManifest(indexDir, gen, segments :+ segment)
   }
 
-  /** Probe through the manifest — always one complete generation. */
+  /** Tombstone segment prefix: a segment named `tomb_*` holds deleted
+    * vec_ids (one `vec_id` column), not vectors. Probes subtract them;
+    * compaction drops the rows physically and starts the next generation
+    * tombstone-free — the FAISS `remove_ids` / Milvus delete lifecycle
+    * under the same commit protocol as appends.
+    */
+  private val TombPrefix = "tomb_"
+
+  private def splitSegments(segments: Seq[String]): (Seq[String], Seq[String]) =
+    segments.partition(!_.startsWith(TombPrefix))
+
+  /** Delete a set of vec_ids from the LIVE generation: the tombstone
+    * segment is complete on disk before the manifest commit names it —
+    * the exact crash-safety story of [[append]], and the same idempotency
+    * (a committed tombstone segment is immutable; retrying the tag is a
+    * no-op). Deletion cost is O(deleted ids) at delete time; the vectors
+    * stay on disk until the next compaction rewrites the cells without
+    * them (logical-then-physical, the standard LSM/table-format shape).
+    */
+  def delete(ids: DataFrame, indexDir: String, tag: String): Unit = {
+    require(!tag.startsWith(TombPrefix), s"pass the bare tag, not $TombPrefix$tag")
+    val segment = s"$TombPrefix$tag"
+    val (gen, segments) = readManifest(indexDir)
+    if (segments.contains(segment)) return
+    import org.apache.spark.sql.functions.col
+    ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/$gen/$segment")
+    writeManifest(indexDir, gen, segments :+ segment)
+  }
+
+  /** The live generation's deleted-id set (empty frame if none). */
+  def tombstones(s: SparkSession, indexDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (gen, segments) = readManifest(indexDir)
+    val (_, tombs) = splitSegments(segments)
+    if (tombs.isEmpty)
+      s.range(0).select(col("id").as("vec_id"))
+    else tombs.map(t => s.read.parquet(s"$indexDir/$gen/$t"))
+      .reduce(_ unionAll _).distinct()
+  }
+
+  /** Probe through the manifest — always one complete generation, minus
+    * committed tombstones (broadcast anti join: the deleted-id set is
+    * deletion-sized, never corpus-sized — compaction folds it away before
+    * it could grow).
+    */
   def probe(s: SparkSession, indexDir: String, qvec: Array[Double],
       nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val (gen, segments) = readManifest(indexDir)
-    Similarity.probeStoredIvf(s, s"$indexDir/$gen", qvec, nprobe, segments)
+    val (data, tombs) = splitSegments(segments)
+    val hits = Similarity.probeStoredIvf(s, s"$indexDir/$gen", qvec, nprobe, data)
+    if (tombs.isEmpty) hits
+    else hits.join(broadcast(tombstones(s, indexDir)), Seq("vec_id"), "left_anti")
   }
 
   /** Compaction as an explicit step list so the crash-window spec can stop
@@ -106,10 +156,17 @@ object AnnManifest {
     Seq(
       "gc" -> { () => graft.StoredManifest.sweepUnreachable(indexDir) },
       "write-next-gen" -> { () =>
-        val all = segments.map(seg =>
+        // physical delete: merge only DATA segments, subtract committed
+        // tombstones — the next generation starts tombstone-free
+        val (dataSegs, tombSegs) = splitSegments(segments)
+        val merged = dataSegs.map(seg =>
             s.read.parquet(s"$indexDir/$gen/$seg")
               .select(col("vec_id"), col("embedding")))
           .reduce(_ unionAll _)
+        val all = (if (tombSegs.isEmpty) merged
+          else merged.join(
+            org.apache.spark.sql.functions.broadcast(tombstones(s, indexDir)),
+            Seq("vec_id"), "left_anti"))
           .localCheckpoint(true)
         val warm = Similarity.readIvfCentroids(s, s"$indexDir/$gen")
         val cs =

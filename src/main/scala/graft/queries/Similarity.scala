@@ -1898,6 +1898,33 @@ object Similarity {
     },
     None) // approximate (probe subset): rows-only check + ManifestAnnSpec
 
+  // Deletion lifecycle — the manifest index under the one mutation x73's
+  // lifecycle lacked: committed tombstone segments subtract ids from every
+  // probe immediately (logical delete, O(deleted) cost), and the next
+  // compaction rewrites the cells without them (physical delete) so the
+  // tombstone set never grows corpus-sized. First touch exercises
+  // init → delete → probe; DeleteAnnSpec drives idempotency, the
+  // compaction fold, and crash windows.
+  private val x108 = GQuery(
+    "x108_ann_delete", "ext-similarity-ann incremental-index delete-lifecycle",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivf_delete_v1")
+      if (!AnnManifest.exists(store)) {
+        AnnManifest.init(e, store, iters = 2)
+        AnnManifest.delete(
+          e.where(col("vec_id") % 7 === 0).select(col("vec_id")), store, "mod7")
+      }
+      val qvec = e.where(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      AnnManifest.probe(s, store, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 1)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // approximate (probe subset): rows-only check + DeleteAnnSpec
+
   // Streaming ingest into the manifest-committed index — x73's lifecycle
   // driven by Structured Streaming: two embedding arrival files land as
   // separate micro-batches (maxFilesPerTrigger = 1), each foreachBatch
@@ -1962,5 +1989,5 @@ object Similarity {
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105)
+      x91, x92, x95, x100, x105, x108)
 }
