@@ -87,6 +87,54 @@ object Similarity {
     },
     None) // approximate (hash-seeded planes): rows-only check + SimilaritySpec
 
+  /** Multiprobe LSH candidates (Lv et al. 2007): besides the query's own
+    * bucket, probe every bucket at sign-bit Hamming distance 1 — the
+    * buckets a near-neighbor most likely fell into when one hyperplane
+    * projection landed on the other side. The memory economics are the
+    * point at scale: recall that took T tables single-probe costs ~T/2
+    * tables multiprobed, and the TABLE COUNT is what the 100-TB ingest
+    * pays for (every table is one more (tbl, bucket, id) row per vector
+    * in the index); the perturbation is query-side arithmetic — `bucket
+    * XOR (1<<p)` — on the (tbl, bucket) pairs only, so the probe set
+    * grows (nPlanes+1)× while the stored index does not grow at all.
+    * Corpus side is untouched: vectors still bucket once at ingest.
+    */
+  def multiprobeCandidates(bucketed: DataFrame, qId: Long,
+      nPlanes: Int): DataFrame = {
+    val qb = bucketed.where(col("vec_id") === qId)
+      .select(col("tbl"), explode(concat(
+        array(col("bucket")),
+        expr(s"transform(sequence(0, ${nPlanes - 1}), " +
+          "p -> bucket ^ shiftleft(1L, p))"))).as("bucket"))
+      .distinct()
+    bucketed.join(broadcast(qb), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= qId)
+      .select("vec_id")
+      .distinct()
+  }
+
+  // x07's serving shape at HALF the tables: 8 multiprobed tables reach the
+  // recall 16 single-probe tables buy (SimilaritySpec pins candidates ⊇
+  // single-probe at equal tables, recall ≥ the same 0.6 bar, and the
+  // index-side row count at exactly half of x07's).
+  private val x109 = GQuery(
+    "x109_ann_lsh_multiprobe", "ext-similarity-ann multiprobe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val bucketed = e
+        .select(col("vec_id"),
+          posexplode(VectorOps.lshBuckets(col("embedding"), nPlanes = 4, nTables = 8)))
+        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+      val candIds = multiprobeCandidates(bucketed, qId = 0L, nPlanes = 4)
+      candIds.join(e, Seq("vec_id"))
+        .join(broadcast(querySide(e)))
+        .select(col("vec_id"),
+          VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // approximate (hash-seeded planes): rows-only check + SimilaritySpec
+
   // Per-label corpus stats: counts and dimensionality checks — the sanity
   // gate a training-data pipeline runs before indexing. Integer-only, so the
   // oracle is exact.
@@ -1989,5 +2037,5 @@ object Similarity {
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105, x108)
+      x91, x92, x95, x100, x105, x108, x109)
 }

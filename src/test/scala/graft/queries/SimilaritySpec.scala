@@ -23,6 +23,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("multiprobe LSH: candidates strictly contain single-probe at equal tables, recall holds at half of x07's") {
+    val e = Tables(spark, sf001, "embeddings")
+    val bucketed = e
+      .select(col("vec_id"),
+        posexplode(VectorOps.lshBuckets(col("embedding"), nPlanes = 4, nTables = 8)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    // single-probe at the SAME 8 tables
+    val qb = bucketed.where(col("vec_id") === 0).select("tbl", "bucket")
+    val single = bucketed.join(broadcast(qb), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= 0).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.multiprobeCandidates(bucketed, qId = 0L, nPlanes = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi),
+      "perturbation radius 1 includes the unperturbed bucket's candidates")
+    assert(multi.size > single.size,
+      s"multiprobe must widen the candidate set: ${multi.size} vs ${single.size}")
+
+    // the registered x109 — 8 multiprobed tables — clears x07's recall bar
+    // with HALF of x07's 16-table index footprint
+    val ann = SparkEntry.queries("x109_ann_lsh_multiprobe")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.size == 20)
+    val recall = (ann & exactTop20).size / 20.0
+    assert(recall >= 0.6, s"multiprobe recall too low: $recall")
+  }
+
   test("IVF ANN recalls >= 0.6 of the exact top-20") {
     val ivf = SparkEntry.queries("x07b_ann_ivf_topk")(spark, sf001)
       .collect().map(_.getLong(0)).toSet
