@@ -536,6 +536,37 @@ case class BloomMightContainLong(
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string column — the canonical-composition
+  * step every text-cleaning pipeline runs before fingerprinting (a
+  * decomposed `e` + COMBINING ACUTE and the precomposed `é` are the same
+  * text to a user and to a tokenizer, but different bytes to md5/xxhash64,
+  * so un-normalized dedup silently splits duplicate groups). Spark's SQL
+  * surface has no normalizer; this wraps the JDK's ICU-derived
+  * `java.text.Normalizer` (Unicode 15 tables in Java 17 — the same
+  * normalization DuckDB's `nfc_normalize` implements, which is what makes
+  * the x110 oracle a cross-engine check OF this kernel). Stateless,
+  * null-in/null-out; already-NFC strings (all ASCII included) pass through
+  * unchanged, and `Normalizer.isNormalized` short-circuits that common case
+  * without allocating.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.str)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column, ngram: Int = 1): Column =
@@ -582,6 +613,10 @@ object HashFunctions {
     */
   def bpeApplyAll(syms: Column, lefts: Seq[String], rights: Seq[String]): Column =
     ColumnGlue.column(BpeApplyAll(ColumnGlue.expression(syms), lefts, rights))
+
+  /** Column API for [[NfcNormalize]]: Unicode canonical composition. */
+  def nfcNormalize(s: Column): Column =
+    ColumnGlue.column(NfcNormalize(ColumnGlue.expression(s)))
 
   /** Column API for [[BloomMightContainLong]]: codegen'd membership probe
     * of a broadcast Bloom filter over a bigint key column.

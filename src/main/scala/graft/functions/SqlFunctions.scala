@@ -166,6 +166,9 @@ object SqlFunctions {
       val tables = intLit(args(2), "hyperplane_buckets", "nTables")
       val seed = if (args.length == 4) intLit(args(3), "hyperplane_buckets", "seed") else 0
       HyperplaneBuckets(args(0), planes, tables, seed)
+    },
+    "nfc_normalize" -> { args =>
+      arity("nfc_normalize", args, 1); NfcNormalize(args(0))
     })
 
   /** Every SQL-registered kernel name (the misuse gate iterates this). */

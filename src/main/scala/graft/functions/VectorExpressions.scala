@@ -69,6 +69,10 @@ private[functions] object KernelTypes {
     case DoubleType => None
     case other => Some(s"double, got ${other.catalogString}")
   }
+  val str: DataType => Option[String] = {
+    case StringType => None
+    case other => Some(s"string, got ${other.catalogString}")
+  }
 
   def check(fn: String, args: (Expression, DataType => Option[String])*): TypeCheckResult =
     args.zipWithIndex.collectFirst {

@@ -1115,7 +1115,67 @@ object Text {
     },
     None) // BPE-derived segmentation: gated by BpeSpec fertility pins
 
+  /** C4/CCNet-style text cleanup — the normalization every pipeline runs
+    * BEFORE fingerprinting, because a decomposed `é`, a zero-width space,
+    * or a stray control byte makes byte-identical text hash differently
+    * and silently splits duplicate groups: Unicode NFC (the custom
+    * [[graft.functions.NfcNormalize]] kernel — Spark SQL has no
+    * normalizer; DuckDB's `nfc_normalize` makes the oracle a genuine
+    * cross-engine check of the kernel), then strip control characters
+    * (C0 except tab/newline, DEL) and zero-width/BOM code points, then
+    * collapse whitespace runs and trim — x02's proven regex discipline.
+    * Output carries the cleaned fingerprint and before/after lengths, so
+    * the op audits itself (changed = any byte moved).
+    *
+    * Scale shape: pure narrow projection — one scan, no shuffle but the
+    * output sort; the kernel short-circuits already-NFC (ASCII) rows
+    * without allocation.
+    */
+  def cleanText(d: DataFrame): DataFrame = {
+    val nfc = HashFunctions.nfcNormalize(col("text"))
+    val stripped = regexp_replace(
+      regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    val clean = trim(regexp_replace(stripped, "\\s+", " "))
+    d.select(col("doc_id"), clean.as("clean"))
+      .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("long").as("n_clean_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val x110 = GQuery(
+    "x110_text_normalize", "ext-text cleanup custom-operator",
+    (s, dir) => {
+      val nfc = HashFunctions.nfcNormalize(col("text"))
+      val stripped = regexp_replace(
+        regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+      val clean = trim(regexp_replace(stripped, "\\s+", " "))
+      docs(s, dir)
+        .select(col("doc_id"), clean.as("clean"), col("text"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("n_clean_chars"),
+          length(col("text")).cast("long").as("n_raw_chars"),
+          (md5(col("text")) =!= md5(col("clean"))).as("changed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (
+              SELECT doc_id, text,
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(nfc_normalize(text),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                  '\s+', ' ', 'g')) AS clean
+              FROM documents)
+            SELECT doc_id, md5(clean) AS clean_md5,
+              CAST(len(clean) AS BIGINT) AS n_clean_chars,
+              CAST(len(text) AS BIGINT) AS n_raw_chars,
+              md5(text) <> md5(clean) AS changed
+            FROM c ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
-      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101)
+      x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
+      x110)
 }

@@ -113,7 +113,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "top_token_count" -> "top_token_count(n_chars)",
       "bpe_merge_step" -> "bpe_merge_step(doc_id, 'a', 'b')",
       "bpe_apply_all" -> "bpe_apply_all(doc_id, array('a'), array('b'))",
-      "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)")
+      "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)",
+      "nfc_normalize" -> "nfc_normalize(doc_id)")
     // self-enforcing completeness: registering a new kernel without adding
     // a bad-call row here must fail this gate, not silently escape it
     val registered = graft.functions.SqlFunctions.names.toSet
