@@ -542,9 +542,12 @@ case class BloomMightContainLong(
   * text to a user and to a tokenizer, but different bytes to md5/xxhash64,
   * so un-normalized dedup silently splits duplicate groups). Spark's SQL
   * surface has no normalizer; this wraps the JDK's ICU-derived
-  * `java.text.Normalizer` (Unicode 15 tables in Java 17 — the same
-  * normalization DuckDB's `nfc_normalize` implements, which is what makes
-  * the x110 oracle a cross-engine check OF this kernel). Stateless,
+  * `java.text.Normalizer` (Unicode 13.0 tables in Java 17; DuckDB's
+  * utf8proc tracks a newer Unicode, but NFC is stability-guaranteed for
+  * assigned code points, so the two engines agree on any text whose code
+  * points both know — that normalization STABILITY, not identical Unicode
+  * versions, is what makes the x110 oracle a cross-engine check OF this
+  * kernel). Stateless,
   * null-in/null-out; already-NFC strings (all ASCII included) pass through
   * unchanged, and `Normalizer.isNormalized` short-circuits that common case
   * without allocating.

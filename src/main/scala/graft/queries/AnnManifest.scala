@@ -105,21 +105,35 @@ object AnnManifest {
     writeManifest(indexDir, gen, segments :+ segment)
   }
 
-  /** The live generation's deleted-id set (empty frame if none). */
-  def tombstones(s: SparkSession, indexDir: String): DataFrame = {
+  /** Deleted-id frame for an ALREADY-RESOLVED (generation, tombstone
+    * segments) pair. Taking the resolved pair instead of re-reading the
+    * manifest is what keeps [[probe]] single-snapshot: hits and the
+    * anti-join side must come from the SAME generation, or a compaction
+    * committing between two manifest reads could pair old-generation data
+    * (still holding logically-deleted rows) with the new generation's
+    * empty tombstone set and resurface deleted ids.
+    */
+  private def tombstonesOf(s: SparkSession, indexDir: String, gen: String,
+      tombs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (gen, segments) = readManifest(indexDir)
-    val (_, tombs) = splitSegments(segments)
     if (tombs.isEmpty)
       s.range(0).select(col("id").as("vec_id"))
     else tombs.map(t => s.read.parquet(s"$indexDir/$gen/$t"))
       .reduce(_ unionAll _).distinct()
   }
 
+  /** The live generation's deleted-id set (empty frame if none). */
+  def tombstones(s: SparkSession, indexDir: String): DataFrame = {
+    val (gen, segments) = readManifest(indexDir)
+    val (_, tombs) = splitSegments(segments)
+    tombstonesOf(s, indexDir, gen, tombs)
+  }
+
   /** Probe through the manifest — always one complete generation, minus
     * committed tombstones (broadcast anti join: the deleted-id set is
     * deletion-sized, never corpus-sized — compaction folds it away before
-    * it could grow).
+    * it could grow). The manifest is resolved ONCE; both the hit scan and
+    * the tombstone anti-join are built from that single snapshot.
     */
   def probe(s: SparkSession, indexDir: String, qvec: Array[Double],
       nprobe: Int): DataFrame = {
@@ -128,7 +142,8 @@ object AnnManifest {
     val (data, tombs) = splitSegments(segments)
     val hits = Similarity.probeStoredIvf(s, s"$indexDir/$gen", qvec, nprobe, data)
     if (tombs.isEmpty) hits
-    else hits.join(broadcast(tombstones(s, indexDir)), Seq("vec_id"), "left_anti")
+    else hits.join(broadcast(tombstonesOf(s, indexDir, gen, tombs)),
+      Seq("vec_id"), "left_anti")
   }
 
   /** Compaction as an explicit step list so the crash-window spec can stop

@@ -156,6 +156,12 @@ object Events {
     * grid stays tiny no matter how many events feed it. Overflow:
     * o·N·1000 needs longs until ~3·10⁶ events per cell pair; past
     * that, decimal(38,0) as x89 maps.
+    *
+    * Retention: the checkpointed grid's blocks live in executor storage
+    * until the session ends (grid-sized — day×type cells, not facts; a
+    * monitor that re-runs in a long-lived session should `unpersist` the
+    * previous report's grid, the way compaction scopes its
+    * `localCheckpoint(true)` to a single write).
     */
   def typeDriftByDay(e: DataFrame, driftMilli: Long): DataFrame = {
     val cell = e.select(to_date(col("ts")).as("day"), col("event_type"))
@@ -210,7 +216,8 @@ object Events {
   def heavyHitters(d: DataFrame, keyCol: String, topK: Int): DataFrame = {
     // checkpointed so the total is a rollup of the (key-cardinality-sized)
     // count table rather than a second scan of the facts — the x99/x103
-    // aggregate-once discipline
+    // aggregate-once discipline; blocks are count-table-sized and retained
+    // until session end (see typeDriftByDay's retention note)
     val counts = d.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false)

@@ -1003,6 +1003,10 @@ object Similarity {
     * [[graft.functions.Sq8AdcScoreMulti]] node — bit-identical per query
     * to [[probeIvfSq8]] (Sq8Spec pins scores AND the one-scan plan).
     *
+    * The intended batch ceiling is B ≲ 10⁴ queries per call (the
+    * [[probeIvfPqBatch]] bound: the folded weights are B·dim doubles,
+    * broadcast); micro-batch larger streams into calls of this size.
+    *
     * Returns (q_id, vec_id, sim_sq8); callers exclude/top-k.
     */
   def probeIvfSq8Batch(s: SparkSession, indexDir: String, queries: DataFrame,
@@ -1015,6 +1019,9 @@ object Similarity {
         col(queries.columns(1)).cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     require(qRows.nonEmpty, "empty query batch")
+    require(qRows.length <= 10000,
+      s"batch of ${qRows.length}: the query batch must stay a driver-sized " +
+        "serving constant (micro-batch larger streams into <= 10000-query calls)")
     val dim = model.dim
     // per-query folded tables from the SAME loop as the single probe
     val aDot = new Array[Double](qRows.length * dim)
@@ -1207,6 +1214,12 @@ object Similarity {
     * so per-query candidates and scores are identical to B single
     * probes (PqSpec pins both, and the one-scan plan).
     *
+    * The intended batch ceiling is B ≲ 10⁴ queries per call (the same
+    * driver-sized serving constant as [[rerankExactBatch]]'s topC): the
+    * LUT stack is B·m·k doubles and the probe table B·nprobe rows, both
+    * broadcast. A larger stream of queries micro-batches into calls of
+    * this size — it does not belong in one call.
+    *
     * Returns (q_id, vec_id, sim_adc); callers exclude/top-k/re-rank.
     */
   def probeIvfPqBatch(s: SparkSession, indexDir: String, queries: DataFrame,
@@ -1219,6 +1232,9 @@ object Similarity {
         col(queries.columns(1)).cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     require(qRows.nonEmpty, "empty query batch")
+    require(qRows.length <= 10000,
+      s"batch of ${qRows.length}: the query batch must stay a driver-sized " +
+        "serving constant (micro-batch larger streams into <= 10000-query calls)")
     qRows.foreach { case (id, q) =>
       require(q.length == cb.m * cb.dsub,
         s"query $id dim ${q.length} != index dim ${cb.m * cb.dsub}")
@@ -1390,6 +1406,11 @@ object Similarity {
     * cells scores every (row, probing query) pair through a single
     * [[graft.functions.VectorExpressions.PqAdcResidualScoreMulti]] node,
     * bit-identical per query to [[probeIvfPqResidual]] (PqSpec pins it).
+    *
+    * The intended batch ceiling is B ≲ 10⁴ queries per call (the
+    * [[probeIvfPqBatch]] bound — here the stacked side is B·m·k +
+    * B·cells doubles); micro-batch larger streams into calls of this
+    * size.
     */
   def probeIvfPqResidualBatch(s: SparkSession, indexDir: String,
       queries: DataFrame, nprobe: Int): DataFrame = {
@@ -1401,6 +1422,9 @@ object Similarity {
         col(queries.columns(1)).cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     require(qRows.nonEmpty, "empty query batch")
+    require(qRows.length <= 10000,
+      s"batch of ${qRows.length}: the query batch must stay a driver-sized " +
+        "serving constant (micro-batch larger streams into <= 10000-query calls)")
     qRows.foreach { case (id, q) =>
       require(q.length == cb.m * cb.dsub,
         s"query $id dim ${q.length} != index dim ${cb.m * cb.dsub}")

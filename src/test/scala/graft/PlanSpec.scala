@@ -360,7 +360,7 @@ class PlanSpec extends SparkSpec {
     // feeds the single aggregation (checkpoint scans are RDD scans, not
     // file scans), so the FILE scan count stays 1 even though three
     // marginal tables join in
-    for (name <- Seq("x103_type_drift_monitor")) {
+    for (name <- Seq("x103_type_drift_monitor", "x99_pmi_collocations")) {
       val df = SparkEntry.queries(name)(spark, sf001)
       df.collect()
       val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
