@@ -272,13 +272,17 @@ object Similarity {
     * (-sim, index) tie-break. One definition on purpose — the batch≡single
     * equality specs pin this exact ordering, so a probe with its own copy
     * could drift out of the pinned agreement.
+    *
+    * Delegates to [[graft.operators.CentroidIndex]]: exact linear scan at
+    * fixture-scale k (bit-identical to the historical arithmetic), a
+    * content-cached deterministic HNSW above
+    * [[graft.operators.CentroidIndex.ExactScanCeiling]] — sublinear cell
+    * selection at production cell counts (k ~ 10⁵–10⁶), recall-gated by
+    * CentroidIndexSpec.
     */
   private[queries] def selectCells(coarse: Seq[Array[Double]],
       qvec: Array[Double], qnorm: Double, nprobe: Int): Seq[Int] =
-    coarse.zipWithIndex
-      .map { case (c, j) => j -> dotd(qvec, c) / (qnorm * math.sqrt(dotd(c, c))) }
-      .sortBy { case (j, sim) => (-sim, j) }
-      .take(nprobe).map(_._1)
+    graft.operators.CentroidIndex.select(coarse, qvec, qnorm, nprobe)
 
   /** INCREMENTAL index maintenance — the write-side companion of the probe
     * path: a new batch joins the index by narrow argmin against the STORED
@@ -388,57 +392,61 @@ object Similarity {
     * driver-resident query vector to a whole query TABLE, the shape real
     * serving runs (thousands of queries per pass, not one `.head()`):
     *
-    *   1. per-query cell selection is a narrow projection of the batch
-    *      against the k centroid LITERALS (the same k×dim driver value the
-    *      single probe uses) + a bounded per-query top-nprobe
-    *      (GroupedTopK: ≤ nprobe rows per query per partition cross the
-    *      shuffle, and only (q_id, cluster, csim) ever moves — never a
-    *      corpus row);
-    *   2. the UNION of probed cells collapses to a driver literal (≤ k
-    *      ints, batch-independent) so the cell scan is still statically
-    *      partition-pruned — and it runs ONCE for the whole batch, not
-    *      once per query;
-    *   3. each scanned code row joins the broadcast (q_id, cluster, qvec,
+    *   1. the batch is collected to the driver (the coordinator move
+    *      every batch probe in this module makes — see
+    *      [[probeIvfPqBatch]]) and per-query cells are chosen by the
+    *      SAME [[selectCells]] call as the single probe: exact at small
+    *      k, sublinear HNSW above [[graft.operators.CentroidIndex.ExactScanCeiling]].
+    *      No centroid ever enters the plan — plan size is CONSTANT in k
+    *      (the old form inlined all k centroids as a literal and scored
+    *      them in-plan, coupling plan size to the index);
+    *   2. the UNION of probed cells is a driver literal (≤ k ints,
+    *      batch-independent) so the cell scan is statically partition-
+    *      pruned — and it runs ONCE for the whole batch, not once per
+    *      query;
+    *   3. each scanned cell row joins the broadcast (q_id, cluster, qvec,
     *      qnorm) probe table on `cluster`, so a row is scored against
     *      exactly the queries probing its cell.
     *
     * Returns (q_id, vec_id, sim) candidates; callers exclude and top-k
-    * per query (GroupedTopK again). Per-query results are identical to N
+    * per query (GroupedTopK). Per-query results are identical to N
     * single-vector probes — StoredAnnSpec pins the equality and the
-    * one-scan plan. At a batch too large to broadcast, the same plan
-    * holds with the probe table shuffled on `cluster` instead (both
-    * sides cluster-keyed — a co-located join); the fixture batch is
-    * broadcast-sized, the common serving case.
+    * one-scan plan.
+    *
+    * The intended batch ceiling is B ≲ 10⁴ queries per call (the shared
+    * serving-constant bound: the broadcast probe table is B·nprobe rows
+    * of dim-length vectors); micro-batch larger streams into calls of
+    * this size.
     *
     * @param queries first column: query id (long), second: vector. A
     *                query whose vector length differs from the index dim
-    *                scores null (per-row data problem, surfaced not
-    *                dropped); the all-null case is the single probe's
-    *                fail-fast guard, which batch rows cannot use.
+    *                fails fast — the single probe's guard, applied
+    *                per-row now that the batch is driver-resident.
     */
   def probeStoredIvfBatch(s: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int, segments: Seq[String] = Seq("cells")): DataFrame = {
-    import graft.plans.GroupedTopKOps
-    GroupedTopKOps.ensureInstalled(s)
     val coarse = readIvfCentroids(s, indexDir)
     require(coarse.nonEmpty, s"empty centroid table under $indexDir")
-    val q = queries.select(
-        col(queries.columns(0)).cast("long").as("q_id"),
-        col(queries.columns(1)).cast("array<double>").as("qvec"))
-      .withColumn("qnorm", VectorOps.l2norm(col("qvec")))
-    val centLit = typedLit(coarse.map(_.toSeq))
-    val scoredCells = q
-      .select(col("q_id"), col("qvec"), col("qnorm"), posexplode(centLit))
-      .select(col("q_id"), col("qvec"), col("qnorm"),
-        col("pos").as("cluster"),
-        VectorOps.cosinePreNorm(col("col"), col("qvec"), col("qnorm")).as("csim"))
-    // tie-break (csim desc, cluster asc) matches the single probe's
-    // (-sim, j) exactly — same kernel summation order, same cells chosen
-    val probeSel = GroupedTopKOps.groupedTopK(scoredCells, Seq(col("q_id")),
-        Seq(col("csim").desc, col("cluster")), k = nprobe)
-      .select(col("q_id"), col("cluster"), col("qvec"), col("qnorm"))
-    val cells = probeSel.select("cluster").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    val qRows = queries.select(
+        col(queries.columns(0)).cast("long"),
+        col(queries.columns(1)).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(qRows.nonEmpty, "empty query batch")
+    require(qRows.length <= 10000,
+      s"batch of ${qRows.length}: the query batch must stay a driver-sized " +
+        "serving constant (micro-batch larger streams into <= 10000-query calls)")
+    qRows.foreach { case (id, q) =>
+      require(q.length == coarse.head.length,
+        s"query $id dim ${q.length} != index dim ${coarse.head.length}")
+    }
+    val qnorms = qRows.map { case (_, q) => math.sqrt(dotd(q, q)) }
+    val probeRows = qRows.zipWithIndex.flatMap { case ((qid, q), qi) =>
+      selectCells(coarse, q, qnorms(qi), nprobe)
+        .map(cell => (qid, cell, q.toSeq, qnorms(qi)))
+    }
+    import s.implicits._
+    val probeSel = probeRows.toSeq.toDF("q_id", "cluster", "qvec", "qnorm")
+    val cells = probeRows.map(_._2).distinct.sorted.toSeq
     segments.map { seg =>
       s.read.parquet(s"$indexDir/$seg")
         .where(col("cluster").isin(cells: _*))

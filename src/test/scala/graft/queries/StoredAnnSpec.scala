@@ -199,6 +199,39 @@ class StoredAnnSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  test("probe plans carry no centroid literal: plan size is constant in k") {
+    // the r7 scale joint: every probe inlined all k coarse centroids as a
+    // typedLit and scored them in-plan — plan size (and analysis cost)
+    // grew with the index. Cell selection is driver-side now
+    // (CentroidIndex: exact small-k, HNSW large-k), so the ONLY index
+    // values a probe plan may contain are the nprobe cell ids and the
+    // query vector itself.
+    val base = Files.createTempDirectory("graft-plansize")
+    val idx = base.resolve("ivf").toString
+    try {
+      val e = Tables(spark, sf001, "embeddings")
+      Similarity.writeIvfIndex(e, idx, iters = 2)
+      // a centroid component is a Lloyd mean — a long-mantissa double
+      // whose decimal rendering cannot appear in a plan by coincidence
+      val marker = Similarity.readIvfCentroids(spark, idx)
+        .head.head.toString
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      import spark.implicits._
+      val queries = Seq((0L, qvec.toSeq)).toDF("q_id", "qvec")
+      for ((name, df) <- Seq(
+          "single" -> Similarity.probeStoredIvf(spark, idx, qvec, nprobe = 4),
+          "batch" -> Similarity.probeStoredIvfBatch(spark, idx, queries, nprobe = 4))) {
+        val plan = df.queryExecution.optimizedPlan.toString
+        assert(!plan.contains(marker),
+          s"$name probe plan inlines centroid values (found $marker)")
+        assert(!plan.contains("posexplode"),
+          s"$name probe plan still explodes a centroid literal")
+      }
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
   test("x71 registry entry serves per-query top-10 for the whole batch deterministically") {
     val got = SparkEntry.queries("x71_ann_ivf_batch")(spark, sf001).collect()
     val byQ = got.groupBy(_.getLong(0))
