@@ -204,6 +204,64 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Dense matrix-vector product against a LITERAL row-major matrix —
+  * `y_i = Σ_j flat(i·cols + j) · x_j`. The per-row linear map behind
+  * OPQ's learned rotation (graft.operators.Opq) and any fixed embedding
+  * projection: the matrix is a MODEL constant (dim² doubles — independent
+  * of corpus size and of the index's cell count, the same class of plan
+  * literal as an ADC lookup table), so inlining it keeps the map a narrow
+  * fused per-row loop with no join and no shuffle. Null on input length
+  * mismatch (per-row data problem, surfaced not dropped).
+  */
+case class MatVecLit(child: Expression, rows: Int, flat: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mat_vec_lit"
+  private def cols: Int = if (rows == 0) 0 else flat.length / rows
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.vec) match {
+      case TypeCheckResult.TypeCheckSuccess if rows < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: rows must be >= 1, got $rows")
+      case TypeCheckResult.TypeCheckSuccess
+          if flat.isEmpty || flat.length % rows != 0 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: matrix length ${flat.length} is not a positive multiple of rows=$rows")
+      case ok => ok
+    }
+
+  private lazy val f = VectorKernels.isFloatArray(child)
+  private lazy val en = VectorKernels.elemNullable(child)
+  @transient private lazy val m = flat.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val c = cols
+    if (x.numElements() != c) return null
+    val xs = new Array[Double](c)
+    var j = 0
+    while (j < c) {
+      if (en && x.isNullAt(j)) return null
+      xs(j) = VectorKernels.elem(x, j, f)
+      j += 1
+    }
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      var s = 0.0
+      var jj = 0
+      val base = i * c
+      while (jj < c) { s += m(base + jj) * xs(jj); jj += 1 }
+      out(i) = s
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecLit =
+    copy(child = newChild)
+}
+
 /** Σ (a_i − b_i)² — squared euclidean distance; null on length mismatch. */
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

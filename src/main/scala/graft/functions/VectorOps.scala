@@ -35,6 +35,10 @@ object VectorOps {
   def sqDist(a: Column, b: Column): Column =
     ColumnGlue.column(SqDist(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
+  /** Matrix-vector product with a literal row-major matrix — see [[MatVecLit]]. */
+  def matVecLit(vec: Column, rows: Int, flat: Seq[Double]): Column =
+    ColumnGlue.column(MatVecLit(ColumnGlue.expression(vec), rows, flat))
+
   /** Sparse dot with a literal dense weight vector — see [[SparseDotLit]]. */
   def sparseDotLit(indices: Column, values: Column, weights: Seq[Double]): Column =
     ColumnGlue.column(SparseDotLit(

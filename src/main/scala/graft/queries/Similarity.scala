@@ -1313,6 +1313,92 @@ object Similarity {
     },
     None) // quantized + probe subset: gated by PqSpec, rows-only here
 
+  /** Build the OPQ-rotated IVF-PQ index — faiss's `OPQ..,IVF..,PQ..`
+    * default quality step ([[graft.operators.Opq]]): a learned orthogonal
+    * rotation is trained alternately with the codebooks, then the ENTIRE
+    * existing IVF-PQ build runs in the rotated space (coarse quantizer,
+    * cell assignment, byte-packed codes — zero new machinery). The index
+    * stores the rotation as one extra model-sized table; everything else
+    * is byte-identical to [[writeIvfPqIndex]]'s layout, which is what
+    * lets every probe/batch/re-rank path serve it unmodified.
+    */
+  def writeIvfOpqIndex(e: DataFrame, outDir: String, iters: Int,
+      m: Int, kSub: Int, opqIters: Int): Unit = {
+    import graft.operators.{KMeans, Opq, ProductQuantizer}
+    val s = e.sparkSession
+    import s.implicits._
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val (model, cb, _) = Opq.train(vecs, m, kSub, pqIters = iters,
+      opqIters = opqIters)
+    Opq.writeModel(s, model, s"$outDir/rotation")
+    ProductQuantizer.writeCodebooks(s, cb, s"$outDir/codebooks")
+    val rotated = e.select(col("vec_id"),
+      model.rotateCol(col("embedding")).as("embedding"), col("label"))
+    val seed = KMeans.seedFromGroups(
+      rotated.select(col("label"), col("embedding")), "label", "embedding")
+    val (_, coarse, _) = KMeans.refine(
+      rotated.select(col("vec_id"), col("embedding")), seed, iters)
+    coarse.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    KMeans.assign(rotated.select(col("vec_id"), col("embedding")), coarse)
+      .select(col("id").as("vec_id"),
+        graft.functions.VectorOps
+          .pqEncode(col("vec"), cb.m, cb.dsub, cb.flat.toSeq, packed = true)
+          .as("codes"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/codes")
+  }
+
+  /** OPQ probe: rotate the query driver-side (the ONLY OPQ-specific move
+    * at serve time — model-sized matvec), then the stored index IS an
+    * IVF-PQ index in the rotated frame and [[probeIvfPq]] serves it
+    * unchanged. Cosine is rotation-invariant, so `sim_adc` approximates
+    * the cosine against the ORIGINAL vectors exactly as x68's does —
+    * just with the smaller quantization error the rotation buys.
+    */
+  def probeIvfOpq(s: SparkSession, indexDir: String, qvec: Array[Double],
+      nprobe: Int): DataFrame = {
+    val model = graft.operators.Opq.readModel(s, s"$indexDir/rotation")
+    probeIvfPq(s, indexDir, model.rotate(qvec), nprobe)
+  }
+
+  /** Batch OPQ probe — rotate the query column in-frame (one narrow
+    * matvec per query row), then [[probeIvfPqBatch]]'s stacked-LUT
+    * one-scan path serves the rotated index unchanged. Per-query
+    * bit-identity with [[probeIvfOpq]] is inherited from the PQ batch
+    * path's pinned identity (OpqSpec re-pins it through the rotation).
+    */
+  def probeIvfOpqBatch(s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    val model = graft.operators.Opq.readModel(s, s"$indexDir/rotation")
+    val rotated = queries.select(col(queries.columns(0)).as("q_id"),
+      model.rotateCol(col(queries.columns(1))).as("qvec"))
+    probeIvfPqBatch(s, indexDir, rotated, nprobe)
+  }
+
+  // OPQ serving — the learned-rotation tier between raw PQ (x68) and
+  // residual PQ (x70): same byte-packed codes, same ADC kernels, same
+  // probe plans, strictly lower quantization error (OpqSpec pins the
+  // strict MSE win and the batch≡single identity through the rotation).
+  private val x111 = GQuery(
+    "x111_ann_ivf_opq", "ext-similarity-ann compression stored-artifact learned-rotation",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "ivfopq_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/codes"))
+        writeIvfOpqIndex(e, store, iters = 2, m = 8, kSub = 16, opqIters = 3)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      probeIvfOpq(s, store, qvec, nprobe = 6)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim_adc").desc, col("vec_id"))
+        .limit(20)
+    },
+    None) // quantized + probe subset: gated by OpqSpec
+
   /** Build the RESIDUAL IVF-PQ index — the refinement x68's scaladoc
     * names, and what faiss's IVFPQ does by default: codes quantize
     * x − c_cell instead of x, so each subspace codebook covers only the
@@ -2069,5 +2155,5 @@ object Similarity {
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105, x108, x109)
+      x91, x92, x95, x100, x105, x108, x109, x111)
 }
