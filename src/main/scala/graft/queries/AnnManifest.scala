@@ -136,15 +136,40 @@ object AnnManifest {
     * the tombstone anti-join are built from that single snapshot.
     */
   def probe(s: SparkSession, indexDir: String, qvec: Array[Double],
+      nprobe: Int): DataFrame =
+    probeResolved(s, indexDir, readManifest(indexDir), qvec, nprobe)
+
+  /** TIME-TRAVEL probe: serve a PINNED (or still-retained) generation
+    * exactly as its snapshot recorded it, while the live pointer is free
+    * to advance — `VERSION AS OF` for the index. Pair with
+    * [[graft.StoredManifest.pin]] to make the generation sweep-exempt
+    * for as long as the pin holds; ManifestAnnSpec pins bit-identical
+    * service across subsequent compactions.
+    */
+  def probePinned(s: SparkSession, indexDir: String, gen: String,
+      qvec: Array[Double], nprobe: Int): DataFrame =
+    probeResolved(s, indexDir, graft.StoredManifest.readGen(indexDir, gen),
+      qvec, nprobe)
+
+  private def probeResolved(s: SparkSession, indexDir: String,
+      resolved: (String, Seq[String]), qvec: Array[Double],
       nprobe: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val (gen, segments) = readManifest(indexDir)
+    val (gen, segments) = resolved
     val (data, tombs) = splitSegments(segments)
     val hits = Similarity.probeStoredIvf(s, s"$indexDir/$gen", qvec, nprobe, data)
     if (tombs.isEmpty) hits
     else hits.join(broadcast(tombstonesOf(s, indexDir, gen, tombs)),
       Seq("vec_id"), "left_anti")
   }
+
+  /** Re-point the live manifest at a prior generation ([[graft.StoredManifest.rollback]])
+    * — the move after a bad publish. The next probe serves the restored
+    * generation bit-identically; the bad generation becomes unreachable
+    * and the next compaction's gc collects it.
+    */
+  def rollback(indexDir: String, gen: String): Unit =
+    graft.StoredManifest.rollback(indexDir, gen)
 
   /** Compaction as an explicit step list so the crash-window spec can stop
     * after any prefix; [[compact]] runs them all. Steps:

@@ -115,6 +115,71 @@ class ManifestAnnSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  test("time travel: a pinned generation serves bit-identically across compactions; unpin releases it to the sweep") {
+    val base = Files.createTempDirectory("graft-pin")
+    val idx = base.resolve("ivf").toString
+    try {
+      AnnManifest.init(standing, idx, iters = 1)
+      AnnManifest.append(batch, idx, "delta_1")
+      val q = Array(1.0, 0, 0, 0, 0, 0)
+      val r0 = AnnManifest.probePinned(spark, idx, "gen_0", q, nprobe = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+      graft.StoredManifest.pin(idx, "gen_0")
+
+      // two compactions: without the pin, the SECOND one's gc sweeps gen_0
+      AnnManifest.compact(spark, idx, iters = 1)
+      AnnManifest.compact(spark, idx, iters = 0)
+      assert(AnnManifest.readManifest(idx)._1 == "gen_2")
+      assert(Files.exists(base.resolve("ivf").resolve("gen_0")),
+        "a pinned generation must be sweep-exempt")
+      val rPinned = AnnManifest.probePinned(spark, idx, "gen_0", q, nprobe = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+      assert(rPinned == r0,
+        "the pinned generation must serve bit-identical results while the live pointer advances")
+
+      graft.StoredManifest.unpin(idx, "gen_0")
+      AnnManifest.compact(spark, idx, iters = 0)
+      assert(!Files.exists(base.resolve("ivf").resolve("gen_0")),
+        "an unpinned superseded generation is swept by the next gc")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("rollback: after a bad publish, re-pointing at the prior generation restores probe results bit-identically") {
+    val base = Files.createTempDirectory("graft-rollback")
+    val idx = base.resolve("ivf").toString
+    try {
+      AnnManifest.init(standing, idx, iters = 1)
+      AnnManifest.append(batch, idx, "delta_1")
+      val q = Array(1.0, 0, 0, 0, 0, 0)
+      val before = AnnManifest.probe(spark, idx, q, nprobe = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+
+      // the "bad publish": a compaction that (say) shipped broken
+      // centroids — the generation is committed and live
+      AnnManifest.compact(spark, idx, iters = 1)
+      assert(AnnManifest.readManifest(idx)._1 == "gen_1")
+
+      AnnManifest.rollback(idx, "gen_0")
+      assert(AnnManifest.readManifest(idx) == (("gen_0", Seq("cells", "delta_1"))),
+        "rollback must restore the generation with its full segment list")
+      val after = AnnManifest.probe(spark, idx, q, nprobe = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+      assert(after == before,
+        "the restored generation must serve the prior results bit-identically")
+
+      // the bad generation is now unreachable: the sweep (the next
+      // compaction's gc step) collects it...
+      graft.StoredManifest.sweepUnreachable(idx)
+      assert(!Files.exists(base.resolve("ivf").resolve("gen_1")),
+        "the rolled-back-over generation is unreachable and sweepable")
+      // ...and the next compaction re-publishes gen_1 FRESH from the
+      // restored state (generation names recycle; content does not)
+      AnnManifest.compact(spark, idx, iters = 0)
+      assert(AnnManifest.readManifest(idx) == (("gen_1", Seq("cells"))))
+      assert(probedIds(idx) == allIds)
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
   test("x73 registry entry runs the full lifecycle once, then serves deterministically from the compacted manifest") {
     val got = SparkEntry.queries("x73_ann_ivf_manifest")(spark, sf001).collect()
     assert(got.length == 20)
