@@ -379,4 +379,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) HashAggregate") || plan.contains("*(2) HashAggregate"), plan)
     assert(plan.contains("*(1) ColumnarToRow"), "vectorized scan feeding codegen: " + plan)
   }
+
+  test("plan fingerprints are stable across independent plan constructions") {
+    // the bench artifact's adjudication premise: two builds of the same
+    // registry query — fresh expression ids, fresh checkpoint RDD ids —
+    // must hash identically, or "unchanged plan-hash" could never clear
+    // an environmental timing. Representatives cover the three id-noise
+    // sources: plain scans (TPC-H), localCheckpoint RDD scans (x103),
+    // stored-artifact probes with driver-built literals (x62).
+    for (name <- Seq("q01_pricing_summary", "x103_type_drift_monitor",
+        "x62_ann_ivf_stored")) {
+      val a = Bench.planFingerprint(SparkEntry.queries(name)(spark, sf001))
+      val b = Bench.planFingerprint(SparkEntry.queries(name)(spark, sf001))
+      assert(a == b, s"$name: fingerprint must not depend on session id state")
+      assert(a != "err" && a.length == 16, s"$name: malformed fingerprint $a")
+    }
+  }
 }
