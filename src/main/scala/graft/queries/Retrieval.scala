@@ -426,5 +426,40 @@ object Retrieval {
             WHERE p.c >= 5
             ORDER BY lift_milli DESC, p.w1, p.w2 LIMIT 100"""))
 
-  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58, x59, x83, x99)
+  // Engine-made embeddings — the "consume but cannot produce" gap closed:
+  // hashed GloVe trained from the documents corpus over x99's own
+  // co-occurrence shape (graft.operators.Glove), stored once
+  // (x62's first-touch discipline), then the REGISTERED output scores the
+  // top-PMI collocations through the trained geometry: each x99 pair's
+  // bucket-cosine in thousandths. Serving from the stored model makes
+  // re-invocations deterministic; GloveSpec gates loss descent, the
+  // collocation-vs-matched-random separation, and the x06/x07b flow of
+  // doc embeddings built from this model.
+  private val x112 = GQuery(
+    "x112_glove_embeddings",
+    "ext-text embedding-training trainer-artifact stored-artifact",
+    (s, dir) => {
+      import graft.operators.Glove
+      val store = graft.StoredArtifacts.dir(dir, "glove_model_v1")
+      if (!graft.StoredArtifacts.ready(store)) {
+        val cells = Glove.cooccurCells(docs(s, dir), "text", buckets = 1024)
+          .localCheckpoint(true)
+        val (model, _) = Glove.train(cells, buckets = 1024, dim = 32, iters = 30)
+        Glove.writeModel(s, model, store)
+      }
+      val model = Glove.readModel(s, store)
+      val pairs = pmiCollocations(docs(s, dir), minCount = 5L, topK = 50)
+        .select(col("w1"), col("w2")).collect()
+        .map(r => r.getString(0) -> r.getString(1))
+      import s.implicits._
+      pairs.toSeq.map { case (w1, w2) =>
+        val b1 = (graft.operators.Glove.bucketOf(w1, model.buckets))
+        val b2 = (graft.operators.Glove.bucketOf(w2, model.buckets))
+        (w1, w2, math.round(model.cosine(b1, b2) * 1000))
+      }.toDF("w1", "w2", "cos_milli")
+        .orderBy("w1", "w2")
+    },
+    None) // iterative float training: gated by GloveSpec
+
+  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58, x59, x83, x99, x112)
 }
