@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.ColumnGlue
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native Catalyst expressions for the text-fingerprinting operators the
   * built-in function library can't express in one pass.
@@ -489,6 +489,116 @@ case class BpeApplyAll(child: Expression, lefts: Seq[String], rights: Seq[String
     copy(child = newChild)
 }
 
+/** Viterbi segmentation of a word under a LITERAL unigram language model
+  * (the apply kernel of the SentencePiece unigram tokenizer, Kudo 2018) —
+  * the whole (piece, logProb) vocabulary rides in ONE expression node,
+  * the [[BpeApplyAll]] plan-shipping pattern: plan size constant in the
+  * vocabulary size, per-word cost O(len · maxPieceLen) independent of it.
+  *
+  * Semantics (shared with the trainer's E-step and with UnigramSpec's
+  * independent driver reference — one definition of the tie-break):
+  * maximize the sum of piece log-probabilities over segmentations; on
+  * equal score prefer the segmentation whose LAST piece is longest
+  * (ascending start-position scan with strict improvement). The word is
+  * segmented over CODE POINTS (Spark `substring` semantics, matching
+  * [[graft.operators.Bpe.charSymbols]]'s convention), so supplementary-
+  * plane characters are never split. A character absent from the
+  * vocabulary becomes its own piece at the documented floor log-prob
+  * (−1e9) — surfaced, never dropped; trainers seed all corpus characters
+  * so this is the UNSEEN-character path only.
+  */
+case class UnigramSegment(child: Expression, pieces: Seq[String],
+    logProbs: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_segment"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if pieces.length != logProbs.length =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: pieces and logProbs must be the same length, " +
+          s"got ${pieces.length} vs ${logProbs.length}")
+    case StringType if pieces.exists(p => p == null || p.isEmpty) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: pieces must be non-null, non-empty strings")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: word must be string, got ${other.simpleString(10)}")
+  }
+
+  private val FloorLogProb = -1e9
+
+  @transient private lazy val vocab: java.util.HashMap[String, Double] = {
+    val m = new java.util.HashMap[String, Double]()
+    var i = 0
+    while (i < pieces.length) {
+      // duplicate surfaces keep the best (max) log-prob — deterministic
+      val p = pieces(i); val lp = logProbs(i)
+      val prev = m.get(p)
+      if (!m.containsKey(p) || lp > prev) m.put(p, lp)
+      i += 1
+    }
+    m
+  }
+  @transient private lazy val maxPieceCp: Int =
+    if (pieces.isEmpty) 1
+    else pieces.map(p => p.codePointCount(0, p.length)).max
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    if (word.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    // code-point array (Spark substring semantics)
+    val cps = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf.toArray
+    }
+    val n = cps.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val prev = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceCp)
+      while (j < i) {
+        if (best(j) > Double.NegativeInfinity) {
+          val piece = cps.slice(j, i).mkString
+          val lp =
+            if (vocab.containsKey(piece)) vocab.get(piece)
+            else if (i - j == 1) FloorLogProb // unseen single character
+            else Double.NegativeInfinity
+          if (lp > Double.NegativeInfinity) {
+            val s = best(j) + lp
+            if (s > best(i)) { best(i) = s; prev(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // reconstruct
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = n
+    while (pos > 0) {
+      val j = prev(pos)
+      out += org.apache.spark.unsafe.types.UTF8String
+        .fromString(cps.slice(j, pos).mkString)
+      pos = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.reverseIterator.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}
+
 /** Membership test against a BROADCAST Bloom filter — the native form of
   * the classic `udf((x: Long) => bc.value.mightContainLong(x))` pattern
   * (x39's sketch-side decontamination). Spark's public surface exposes no
@@ -616,6 +726,13 @@ object HashFunctions {
     */
   def bpeApplyAll(syms: Column, lefts: Seq[String], rights: Seq[String]): Column =
     ColumnGlue.column(BpeApplyAll(ColumnGlue.expression(syms), lefts, rights))
+
+  /** Column API for [[UnigramSegment]]: Viterbi segmentation under a
+    * literal unigram LM — whole vocabulary in one kernel node.
+    */
+  def unigramSegment(word: Column, pieces: Seq[String],
+      logProbs: Seq[Double]): Column =
+    ColumnGlue.column(UnigramSegment(ColumnGlue.expression(word), pieces, logProbs))
 
   /** Column API for [[NfcNormalize]]: Unicode canonical composition. */
   def nfcNormalize(s: Column): Column =

@@ -1081,13 +1081,23 @@ object Text {
   def tokenizerFertility(d: DataFrame,
       merges: Seq[graft.operators.Bpe.BpeMerge]): DataFrame = {
     import graft.operators.Bpe
-    val words = d
-      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-      .where(length(col("word")) >= 1)
+    val words = fertilityWords(d)
     val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
     val seg = Bpe.segmentVocab(vocab, "word", merges)
       .select(col("word"), length(col("word")).cast("long").as("n_chars"),
         size(col("syms")).cast("long").as("n_syms"))
+    fertilityRollup(words, seg)
+  }
+
+  private def fertilityWords(d: DataFrame): DataFrame =
+    d.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+
+  /** Shared fertility aggregation — ONE definition so every tokenizer
+    * (BPE x101, unigram x113) is measured through identical arithmetic
+    * and the numbers are comparable across vocabularies.
+    */
+  private def fertilityRollup(words: DataFrame, seg: DataFrame): DataFrame =
     words.join(seg, "word")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
@@ -1096,6 +1106,20 @@ object Text {
       .withColumn("fertility_milli", expr("(1000 * n_syms) div n_words"))
       .withColumn("compression_milli", expr("(1000 * n_syms) div n_chars"))
       .orderBy("lang")
+
+  /** [[tokenizerFertility]] for a fitted unigram-LM vocabulary — x101's
+    * harness pointed at the OTHER tokenizer family, so the two report
+    * comparable rows from the same rollup.
+    */
+  def unigramFertility(d: DataFrame,
+      model: graft.operators.UnigramLm.UnigramVocab): DataFrame = {
+    import graft.operators.UnigramLm
+    val words = fertilityWords(d)
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val seg = UnigramLm.segmentVocab(vocab, "word", model)
+      .select(col("word"), length(col("word")).cast("long").as("n_chars"),
+        size(col("pieces")).cast("long").as("n_syms"))
+    fertilityRollup(words, seg)
   }
 
   private val x101 = GQuery(
@@ -1174,8 +1198,34 @@ object Text {
               md5(text) <> md5(clean) AS changed
             FROM c ORDER BY doc_id"""))
 
+  // Unigram-LM tokenizer (graft.operators.UnigramLm) measured through
+  // x101's fertility harness — the two production tokenizer families
+  // reporting comparable rows from the SAME rollup arithmetic. The fitted
+  // vocabulary is a stored artifact (x101's first-touch discipline);
+  // every re-invocation is segment-and-measure only. UnigramSpec gates
+  // exact agreement with a driver-side reference EM and the fertility
+  // comparison itself.
+  private val x113 = GQuery(
+    "x113_unigram_fertility",
+    "ext-text vocab-trainer vocab-eval stored-artifact custom-operator iterative",
+    (s, dir) => {
+      import graft.operators.UnigramLm
+      val store = graft.StoredArtifacts.dir(dir, "unigram_vocab_v1")
+      if (!graft.StoredArtifacts.ready(store)) {
+        val vocab = docs(s, dir)
+          .select(explode(tokens).as("word"))
+          .where(length(col("word")) >= 1)
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        val (model, _) = UnigramLm.train(vocab, vocabSize = 300,
+          emIters = 3, maxPieceLen = 6, seedSize = 1000, minCount = 2L)
+        UnigramLm.writeVocab(s, model, store)
+      }
+      unigramFertility(docs(s, dir), UnigramLm.readVocab(s, store))
+    },
+    None) // iterative driver-coordinated trainer: gated by UnigramSpec
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110)
+      x110, x113)
 }
