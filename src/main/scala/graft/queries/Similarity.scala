@@ -1313,6 +1313,52 @@ object Similarity {
     },
     None) // quantized + probe subset: gated by PqSpec, rows-only here
 
+  /** SQL serving surface for a stored index — the probes were Scala-only
+    * APIs, which locked `spark.sql` users out of every index. This
+    * registers a probe and the index's metadata as TEMP VIEWS, so plain
+    * SQL can select, join, filter, and top-k over index hits:
+    *
+    * {{{
+    *   Similarity.sqlRegister(spark, dir, "ann", qvec, nprobe = 6)
+    *   spark.sql("SELECT vec_id, sim FROM ann_hits ORDER BY sim DESC LIMIT 10")
+    * }}}
+    *
+    * Views registered: `<prefix>_hits` (the probe — lazy: the pruned cell
+    * scan runs when the SQL runs), `<prefix>_centroids` (the coarse
+    * quantizer table). Layout is auto-detected: a manifest-committed
+    * index resolves through [[AnnManifest.probe]] (single-snapshot,
+    * tombstone-subtracted); the plain layout through [[probeStoredIvf]].
+    * Re-registering with the same prefix replaces the views — the
+    * serving-side idiom for "new query vector".
+    *
+    * A view is a NAMED LAZY PLAN, so SQL parity with the Scala probe is
+    * structural (SqlSurfaceSpec pins row-identity anyway, plus the join
+    * composability that is the point of the SQL surface).
+    */
+  def sqlRegister(s: SparkSession, indexDir: String, prefix: String,
+      qvec: Array[Double], nprobe: Int): Unit = {
+    val (hits, centroidsPath) =
+      if (graft.StoredManifest.exists(indexDir)) {
+        val (gen, _) = graft.StoredManifest.read(indexDir)
+        (AnnManifest.probe(s, indexDir, qvec, nprobe),
+          s"$indexDir/$gen/centroids")
+      } else
+        (probeStoredIvf(s, indexDir, qvec, nprobe), s"$indexDir/centroids")
+    hits.createOrReplaceTempView(s"${prefix}_hits")
+    s.read.parquet(centroidsPath).createOrReplaceTempView(s"${prefix}_centroids")
+  }
+
+  /** Batch form of [[sqlRegister]]: probe the index for every row of an
+    * EXISTING temp view/table of (q_id, qvec) and register the candidate
+    * table as `<prefix>_hits` (q_id, vec_id, sim). The query table is
+    * resolved EAGERLY at registration (the batch probes' driver-batch
+    * contract — B ≲ 10⁴); the cell scan stays lazy.
+    */
+  def sqlRegisterBatch(s: SparkSession, indexDir: String, prefix: String,
+      queriesTable: String, nprobe: Int): Unit =
+    probeStoredIvfBatch(s, indexDir, s.table(queriesTable), nprobe)
+      .createOrReplaceTempView(s"${prefix}_hits")
+
   /** Build the OPQ-rotated IVF-PQ index — faiss's `OPQ..,IVF..,PQ..`
     * default quality step ([[graft.operators.Opq]]): a learned orthogonal
     * rotation is trained alternately with the codebooks, then the ENTIRE

@@ -183,4 +183,72 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(arity.getMessage.contains("l2_norm"),
       s"wrong arity must fail analysis naming the kernel: ${arity.getMessage}")
   }
+
+  test("a spark.sql user can reach a stored ANN index: SQL probe == Scala probe, and hits JOIN other views") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sqlann")
+    val idx = base.resolve("ivf").toString
+    try {
+      val e = Tables(spark, sf001, "embeddings")
+      graft.queries.Similarity.writeIvfIndex(e, idx, iters = 2)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      graft.queries.Similarity.sqlRegister(spark, idx, "ann", qvec, nprobe = 4)
+
+      val viaSql = spark.sql(
+        """SELECT vec_id, sim FROM ann_hits
+          |WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaScala = graft.queries.Similarity
+        .probeStoredIvf(spark, idx, qvec, nprobe = 4)
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaSql == viaScala, "SQL probe must be row-identical to the Scala probe")
+
+      // the POINT of the SQL surface: hits compose with other SQL views
+      e.createOrReplaceTempView("emb")
+      val joined = spark.sql(
+        """SELECT h.vec_id, e.label FROM ann_hits h JOIN emb e USING (vec_id)
+          |WHERE h.vec_id <> 0 ORDER BY h.sim DESC, h.vec_id LIMIT 5""".stripMargin)
+        .collect()
+      assert(joined.length == 5 && joined.forall(!_.isNullAt(1)),
+        "index hits must join metadata views in plain SQL")
+      assert(spark.sql("SELECT count(*) FROM ann_centroids").head().getLong(0) > 0)
+
+      // batch form: a SQL-created query view probes in one registration
+      spark.sql("""SELECT vec_id AS q_id, CAST(embedding AS ARRAY<DOUBLE>) AS qvec
+                  |FROM emb WHERE vec_id < 4""".stripMargin)
+        .createOrReplaceTempView("probe_queries")
+      graft.queries.Similarity.sqlRegisterBatch(spark, idx, "annb",
+        "probe_queries", nprobe = 4)
+      val batchSql = spark.sql(
+        """SELECT q_id, count(*) AS n FROM annb_hits
+          |GROUP BY q_id ORDER BY q_id""".stripMargin).collect()
+      assert(batchSql.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L),
+        "every batch query serves a candidate set through SQL")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("SQL probe through a MANIFEST index resolves the live generation minus tombstones") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sqlmanifest")
+    val idx = base.resolve("ivf").toString
+    try {
+      val standing = (for { c <- 0 until 3; j <- 0 until 5 } yield {
+        val v = Array.fill(6)(0.0f); v(c) = 1.0f; v(3) = 0.01f * (j + 1)
+        ((c * 10 + j).toLong, v, s"c$c")
+      }).toDF("vec_id", "embedding", "label")
+      graft.queries.AnnManifest.init(standing, idx, iters = 1)
+      graft.queries.AnnManifest.delete(Seq(1L).toDF("vec_id"), idx, "del1")
+      val q = Array(1.0, 0, 0, 0, 0, 0)
+      graft.queries.Similarity.sqlRegister(spark, idx, "mann", q, nprobe = 3)
+      val ids = spark.sql("SELECT vec_id FROM mann_hits ORDER BY vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val scala = graft.queries.AnnManifest.probe(spark, idx, q, nprobe = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == scala, "SQL manifest probe must equal the Scala manifest probe")
+      assert(!ids.contains(1L), "SQL hits must respect committed tombstones")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
 }
