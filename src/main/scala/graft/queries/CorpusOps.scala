@@ -1158,8 +1158,135 @@ object CorpusOps {
               CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_q_milli
             FROM d GROUP BY source ORDER BY source"""))
 
+  /** Document-length histogram — the first chart of every corpus audit:
+    * fixed power-of-two char-length bands × language, with counts and
+    * total characters per cell. Bands are CASE ranges (integer compares,
+    * identical in any engine), not float log2 — a power-of-two boundary
+    * must land in the same band everywhere or the audit diffs across
+    * engines.
+    *
+    * Scale shape: one narrow scan into a bands×langs cell grid, map-side
+    * partial; the scan reads (lang, n_chars) only (column pruning — text
+    * never loads).
+    */
+  def lengthHistogram(d: DataFrame): DataFrame = {
+    val band = when(col("n_chars") < 128, "a_lt128")
+      .when(col("n_chars") < 256, "b_128_255")
+      .when(col("n_chars") < 512, "c_256_511")
+      .when(col("n_chars") < 1024, "d_512_1023")
+      .when(col("n_chars") < 2048, "e_1024_2047")
+      .otherwise("f_ge2048")
+    d.select(col("lang"), band.as("band"), col("n_chars"))
+      .groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "band")
+  }
+
+  private val x119 = GQuery(
+    "x119_length_histogram", "ext-docs corpus-audit histogram",
+    (s, dir) => lengthHistogram(docs(s, dir)),
+    Some("""SELECT lang,
+              CASE WHEN n_chars < 128 THEN 'a_lt128'
+                   WHEN n_chars < 256 THEN 'b_128_255'
+                   WHEN n_chars < 512 THEN 'c_256_511'
+                   WHEN n_chars < 1024 THEN 'd_512_1023'
+                   WHEN n_chars < 2048 THEN 'e_1024_2047'
+                   ELSE 'f_ge2048' END AS band,
+              COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Type-token ratio per document — the lexical-diversity quality signal
+    * (low TTR = repetitive boilerplate, a strong SEO-spam marker) that
+    * sits next to x12's heuristics in every quality stack. Integer
+    * thousandths so the score is engine-exact.
+    *
+    * Scale shape: narrow per-row array ops (split / array_distinct /
+    * size) — scan-bound, no exchange at all before the output sort.
+    */
+  def typeTokenRatio(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_types"))
+      .withColumn("ttr_milli", expr("(1000 * n_types) div n_tokens"))
+      .orderBy("doc_id")
+
+  private val x120 = GQuery(
+    "x120_type_token_ratio", "ext-docs quality-signal lexical-diversity",
+    (s, dir) => typeTokenRatio(docs(s, dir)),
+    Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+              (1000 * len(list_distinct(string_split(text, ' '))))
+                // len(string_split(text, ' ')) AS ttr_milli
+            FROM documents ORDER BY doc_id"""))
+
+  /** Per-language character-trigram profile — the raw feature table under
+    * x11's n-gram language ID: the top-10 char trigrams per language by
+    * exact count ((count desc, trigram asc) tie-break). Training data for
+    * the identifier AND the drift check against it ("did lang=fr's
+    * trigram profile move").
+    *
+    * Scale shape: the explode is len-per-doc rows of 3-char strings with
+    * map-side combine into a langs×trigram-vocab grid; top-10 per lang
+    * via one rank window over the GRID (never the raw explode).
+    */
+  def charTrigramProfile(d: DataFrame): DataFrame = {
+    val grid = d.select(col("lang"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), " +
+          "i -> substring(text, i, 3))")).as("tri"))
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))
+    grid.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("tri"), col("n"))
+      .orderBy("lang", "rnk")
+  }
+
+  private val x121 = GQuery(
+    "x121_char_trigram_profile", "ext-docs language-id feature-table",
+    (s, dir) => charTrigramProfile(docs(s, dir)),
+    Some("""WITH g AS (
+              SELECT lang, substr(text, i, 3) AS tri
+              FROM documents,
+                unnest(range(1, greatest(len(text) - 2, 0) + 1)) r(i)),
+            c AS (SELECT lang, tri, COUNT(*) AS n FROM g GROUP BY 1, 2),
+            rk AS (SELECT lang, tri, n,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n DESC, tri) AS BIGINT) AS rnk
+                   FROM c)
+            SELECT lang, rnk, tri, n FROM rk WHERE rnk <= 10
+            ORDER BY lang, rnk"""))
+
+  /** Exact-duplicate cluster-size histogram — the dedup REPORT: how many
+    * clusters of k byte-identical documents exist, and how many documents
+    * (and removable excess copies) they hold. x01 decides what to drop;
+    * this is the table a data lead reads to see WHY the corpus shrank.
+    *
+    * Scale shape: text is hashed in the scan projection (md5 — the
+    * fingerprint exchange discipline of the dedup family); two
+    * cluster-then-histogram rollups, each map-side partial.
+    */
+  def dupClusterHistogram(d: DataFrame): DataFrame =
+    d.select(md5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("k") * col("n_clusters"))
+      .withColumn("n_excess", (col("k") - 1) * col("n_clusters"))
+      .orderBy("k")
+
+  private val x122 = GQuery(
+    "x122_dup_cluster_histogram", "ext-docs dedup-report histogram",
+    (s, dir) => dupClusterHistogram(docs(s, dir)),
+    Some("""WITH c AS (SELECT md5(text) AS fp, COUNT(*) AS k
+                       FROM documents GROUP BY fp)
+            SELECT k, COUNT(*) AS n_clusters,
+              k * COUNT(*) AS n_docs,
+              (k - 1) * COUNT(*) AS n_excess
+            FROM c GROUP BY k ORDER BY k"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
-      x90, x93, x94, x96, x97, x98, x104)
+      x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122)
 }
 

@@ -339,5 +339,195 @@ object Events {
               FROM events)
             SELECT * FROM p ORDER BY "column""""))
 
-  val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107)
+  /** Cohort retention — the activation/retention table every product and
+    * data-quality dashboard starts from: users grouped by FIRST-SEEN day
+    * (their cohort), then distinct active users per (cohort, day offset).
+    *
+    * Scale shape: one scan projects (user_id, day); the cohort table is a
+    * per-user min (map-side partial, user-cardinality exchange); the join
+    * back is user-keyed on two user-sized tables — the facts are never
+    * rescanned. distinct-user counts are exact (the audit argument of
+    * [[heavyHitters]]); offsets are integer day arithmetic, so every cell
+    * hash-verifies cross-engine.
+    */
+  def retentionCohorts(e: DataFrame): DataFrame = {
+    val days = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val x114 = GQuery(
+    "x114_retention_cohorts", "ext-events cohort-retention",
+    (s, dir) => retentionCohorts(events(s, dir)),
+    Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+            SELECT c.cohort_day, CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+              COUNT(DISTINCT d.user_id) AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Event-type transition matrix — the first-order Markov table behind
+    * sequence mining, anomaly detection ("error after purchase spiked"),
+    * and session modeling: per user, each consecutive (prev → next) pair
+    * counted, ordered by (ts, event_id) so ties are deterministic.
+    *
+    * Scale shape: ONE exchange on user_id feeds the lag window; the
+    * transition rollup is type²-sized with map-side partials. The
+    * noisiest production pitfall — nondeterministic ordering of
+    * same-timestamp events — is closed by the composite sort key, which
+    * is what lets this table hash-verify at all.
+    */
+  def typeTransitions(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val x115 = GQuery(
+    "x115_type_transitions", "ext-events sequence-mining markov",
+    (s, dir) => typeTransitions(events(s, dir)),
+    Some("""WITH t AS (
+              SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events)
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM t WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Exact activity quantiles over per-user event counts — the skew
+    * summary behind capacity planning and the salting decision
+    * ([[heavyHitters]] names the key; this names the distribution):
+    * p50/p90/p99 of events-per-user, selected at integer rank positions
+    * `ceil(n·q/100) = (n·q + 99) div 100` over the (count, user_id)-sorted
+    * user table, so the result is a deterministic ROW SELECTION, not an
+    * interpolated float — the same value both engines pick.
+    *
+    * Scale shape: the per-user rollup is the only fact-sized exchange;
+    * ranking happens on the user-cardinality count table. (At extreme
+    * user cardinality the single-partition rank window becomes the c30
+    * sketch's job — this op is the exact form, and says so.)
+    */
+  def activityQuantiles(e: DataFrame): DataFrame = {
+    val counts = e.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c"), col("user_id"))
+    val ranked = counts.withColumn("r", row_number().over(w).cast("long"))
+    val n = ranked.groupBy().agg(max(col("r")).as("n_users"))
+    ranked.crossJoin(broadcast(n))
+      .groupBy(col("n_users"))
+      .agg(
+        max(when(col("r") === expr("(n_users * 50 + 99) div 100"), col("c"))).as("p50"),
+        max(when(col("r") === expr("(n_users * 90 + 99) div 100"), col("c"))).as("p90"),
+        max(when(col("r") === expr("(n_users * 99 + 99) div 100"), col("c"))).as("p99"),
+        max(col("c")).as("p100"))
+      .select(col("n_users"), col("p50"), col("p90"), col("p99"), col("p100"))
+  }
+
+  private val x116 = GQuery(
+    "x116_activity_quantiles", "ext-events skew-diagnostic quantiles",
+    (s, dir) => activityQuantiles(events(s, dir)),
+    Some("""WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+            r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, user_id) AS BIGINT) AS r
+                  FROM c),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM c)
+            SELECT n.n_users,
+              MAX(CASE WHEN r.r = (n.n_users * 50 + 99) // 100 THEN r.c END) AS p50,
+              MAX(CASE WHEN r.r = (n.n_users * 90 + 99) // 100 THEN r.c END) AS p90,
+              MAX(CASE WHEN r.r = (n.n_users * 99 + 99) // 100 THEN r.c END) AS p99,
+              MAX(r.c) AS p100
+            FROM r, n GROUP BY n.n_users"""))
+
+  /** Hour-of-day × event-type load matrix with integer shares — the
+    * traffic-shape table behind batch scheduling ("when is ingest quiet")
+    * and drift triage (x103 tells you THAT types drifted; this shows the
+    * daily rhythm they drifted against).
+    *
+    * Scale shape: one scan into an hour×type cell grid (map-side
+    * partial); the per-hour totals are a rollup OF the grid (the
+    * x99/x103 aggregate-once discipline — at this grid size a broadcast
+    * join back, no checkpoint needed); shares are integer thousandths.
+    */
+  def hourlyTypeShare(e: DataFrame): DataFrame = {
+    val cells = e.select(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+      .groupBy(col("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byHour = cells.groupBy(col("hr")).agg(sum(col("n")).as("n_hour"))
+    cells.join(broadcast(byHour), "hr")
+      .withColumn("share_milli", expr("(1000 * n) div n_hour"))
+      .select(col("hr"), col("event_type"), col("n"), col("n_hour"), col("share_milli"))
+      .orderBy("hr", "event_type")
+  }
+
+  private val x117 = GQuery(
+    "x117_hourly_type_share", "ext-events load-profile drift-triage",
+    (s, dir) => hourlyTypeShare(events(s, dir)),
+    Some("""WITH cells AS (
+              SELECT hour(ts) AS hr, event_type, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            h AS (SELECT hr, SUM(n) AS n_hour FROM cells GROUP BY hr)
+            SELECT c.hr, c.event_type, c.n, CAST(h.n_hour AS BIGINT) AS n_hour,
+              CAST((1000 * c.n) // h.n_hour AS BIGINT) AS share_milli
+            FROM cells c JOIN h USING (hr) ORDER BY c.hr, c.event_type"""))
+
+  /** Inter-event gap profile — the bot/scraper signal every traffic-
+    * curation pipeline computes: per user, the exact MEDIAN gap between
+    * consecutive events in microseconds (rank-selected, not
+    * interpolated) plus the gap count. Sub-second medians at high event
+    * counts are the automation fingerprint; the downstream filter is a
+    * plain predicate on this table.
+    *
+    * Scale shape: one user-keyed exchange feeds both windows (lag and
+    * the per-user gap rank share the same partitioning — one sort, the
+    * x49 economy); microsecond integers end to end, so the table
+    * hash-verifies.
+    */
+  def interEventGaps(e: DataFrame): DataFrame = {
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = e.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeq))
+      .where(col("prev_us").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("gap_us"), col("event_id"))
+    gaps
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")))
+        .cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(when(col("r") === expr("(n * 50 + 99) div 100"), col("gap_us")))
+          .as("median_gap_us"))
+      .orderBy("user_id")
+  }
+
+  private val x118 = GQuery(
+    "x118_bot_gap_profile", "ext-events traffic-curation bot-signal",
+    (s, dir) => interEventGaps(events(s, dir)),
+    Some("""WITH g AS (
+              SELECT user_id, event_id,
+                epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events),
+            r AS (SELECT user_id, gap_us,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY gap_us, event_id) AS BIGINT) AS r,
+                    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+                  FROM g WHERE gap_us IS NOT NULL)
+            SELECT user_id, COUNT(*) AS n_gaps,
+              MAX(CASE WHEN r = (n * 50 + 99) // 100 THEN gap_us END) AS median_gap_us
+            FROM r GROUP BY user_id ORDER BY user_id"""))
+
+  val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
+    x114, x115, x116, x117, x118)
 }
