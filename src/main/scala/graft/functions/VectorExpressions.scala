@@ -964,6 +964,71 @@ case class SparseDotLit(left: Expression, right: Expression,
   * range) CLAMP, matching the FAISS SQ8 convention: quantization error is
   * bounded inside the trained range and saturates outside it.
   */
+/** Nearest-centroid assignment against a LITERAL flat centroid table —
+  * `struct(cluster, dist)` of the squared-euclidean argmin, ties to the
+  * LOWEST index. One expression node regardless of k: the composed form
+  * (`array_min` over k `struct(sq_dist, j)` nodes — KMeans.assign's
+  * original shape) builds a k-wide expression tree whose analysis cost
+  * and plan size grow with the quantizer, the BUILD-side twin of the
+  * probe-side centroid-literal joint CentroidIndex closed. Arithmetic is
+  * the same left-to-right (a_i − b_i)² accumulation as [[SqDist]] with
+  * strict-`<` improvement, so the assignment is bit-identical to the
+  * composed form (KMeansSpec pins it). The flat table is the k×dim model
+  * constant every k-means implementation ships to executors anyway.
+  */
+case class CellArgminLit(child: Expression, k: Int, flat: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_argmin"
+  private def dim: Int = if (k == 0) 0 else flat.length / k
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, child -> KernelTypes.vec) match {
+      case TypeCheckResult.TypeCheckSuccess if k < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be >= 1, got $k")
+      case TypeCheckResult.TypeCheckSuccess
+          if flat.isEmpty || flat.length % k != 0 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: centroid table length ${flat.length} is not a " +
+            s"positive multiple of k=$k")
+      case ok => ok
+    }
+
+  private lazy val f = VectorKernels.isFloatArray(child)
+  private lazy val en = VectorKernels.elemNullable(child)
+  @transient private lazy val cs = flat.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val d = dim
+    if (x.numElements() != d) return null
+    val xs = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (en && x.isNullAt(i)) return null
+      xs(i) = VectorKernels.elem(x, i, f)
+      i += 1
+    }
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var t = 0
+      val base = j * d
+      while (t < d) { val df = xs(t) - cs(base + t); s += df * df; t += 1 }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestD)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellArgminLit =
+    copy(child = newChild)
+}
+
 case class Sq8Encode(child: Expression, mins: Seq[Double], deltas: Seq[Double])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

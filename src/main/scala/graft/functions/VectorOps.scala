@@ -44,6 +44,12 @@ object VectorOps {
     ColumnGlue.column(SparseDotLit(
       ColumnGlue.expression(indices), ColumnGlue.expression(values), weights))
 
+  /** Nearest-centroid struct(cluster, dist) against a literal flat
+    * centroid table in one node — see [[CellArgminLit]].
+    */
+  def cellArgmin(vec: Column, k: Int, flat: Seq[Double]): Column =
+    ColumnGlue.column(CellArgminLit(ColumnGlue.expression(vec), k, flat))
+
   /** SQ8 linear quantization to dim bytes — see [[Sq8Encode]]. */
   def sq8Encode(vec: Column, mins: Seq[Double], deltas: Seq[Double]): Column =
     ColumnGlue.column(Sq8Encode(ColumnGlue.expression(vec), mins, deltas))

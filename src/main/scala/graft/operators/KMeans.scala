@@ -27,18 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Squared distance between an array<float|double> column and a literal
-    * double array — the native SqDist kernel (one fused JVM loop per row),
-    * NOT a zip_with/aggregate HOF chain, which Spark would evaluate
-    * interpreted per element (the round-1 similarity-kernel mistake).
-    */
-  private def sqDistToLit(vec: Column, c: Array[Double]): Column =
-    graft.functions.VectorOps.sqDist(vec, typedLit(c))
-
   /** Narrow assignment pass: (id, vec, cluster, dist) from the argmin
     * against centroid literals — no join, no shuffle; THE way to attach a
     * cluster column to a vector table (joining back a precomputed (id,
     * cluster) table would exchange the full vector corpus by id).
+    *
+    * The argmin runs in ONE [[graft.functions.VectorExpressions.CellArgminLit]]
+    * kernel node (flat k×dim literal, strict-< lowest-index tie-break) —
+    * bit-identical to the original k-node `array_min(array(struct(sq_dist,
+    * j)...))` composition (KMeansSpec pins it), but with plan size and
+    * analysis cost CONSTANT in k. At a production coarse quantizer
+    * (k ~ 10⁵) the composed form built a k-wide expression tree per
+    * assignment — the build-side twin of the probe-side literal joint
+    * `CentroidIndex` closed.
     *
     * @param vecs      (id, vec) — vec is array<float> or array<double>
     * @param centroids ordered seq of centroid vectors (cluster id = index)
@@ -46,15 +47,19 @@ object KMeans {
   def assign(vecs: DataFrame, centroids: Seq[Array[Double]]): DataFrame = {
     val idCol = vecs.columns(0)
     val vecCol = vecs.columns(1)
-    val dists = centroids.zipWithIndex.map { case (c, j) =>
-      struct(sqDistToLit(col(vecCol), c).as("d"), lit(j).as("j"))
+    val k = centroids.length
+    require(k >= 1, "need at least one centroid")
+    val dim = centroids.head.length
+    val flat = new Array[Double](k * dim)
+    centroids.zipWithIndex.foreach { case (c, j) =>
+      require(c.length == dim, s"centroid $j dim ${c.length} != $dim")
+      System.arraycopy(c, 0, flat, j * dim, dim)
     }
-    // argmin over the k (distance, index) structs: array_min orders by
-    // distance first, index as deterministic tiebreak
     vecs
-      .withColumn("best", array_min(array(dists: _*)))
+      .withColumn("best",
+        graft.functions.VectorOps.cellArgmin(col(vecCol), k, flat.toSeq))
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        col("best.j").as("cluster"), col("best.d").as("dist"))
+        col("best.cluster").as("cluster"), col("best.dist").as("dist"))
   }
 
   /** One Lloyd step over [[assign]]'s output: returns (assignments as

@@ -45,6 +45,39 @@ class KMeansSpec extends SparkSpec {
     assert(cs.length == seed.length, "cluster count preserved")
   }
 
+  test("kernel argmin is bit-identical to the composed array_min form, with plan size constant in k") {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val seed = KMeans.seedFromGroups(emb, "label", "embedding")
+    // the ORIGINAL k-node composition, kept here as the semantics oracle
+    def composed(centroids: Seq[Array[Double]]) = {
+      val dists = centroids.zipWithIndex.map { case (c, j) =>
+        struct(graft.functions.VectorOps.sqDist(col("embedding"), typedLit(c)).as("d"),
+          lit(j).as("j"))
+      }
+      vecs.withColumn("best", array_min(array(dists: _*)))
+        .select(col("vec_id"), col("best.j").as("cluster"), col("best.d").as("dist"))
+    }
+    val viaKernel = KMeans.assign(vecs, seed)
+      .select(col("id"), col("cluster"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val viaComposed = composed(seed).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(viaKernel.toSeq == viaComposed.toSeq,
+      "CellArgminLit must reproduce the array_min composition bit-for-bit")
+
+    // plan-size gate: quadrupling k must not grow the expression tree —
+    // the flat table is ONE literal inside ONE node either way
+    def planNodes(k: Int): Int = {
+      val cs = Seq.fill(k)(seed.head.clone())
+      KMeans.assign(vecs, cs).queryExecution.optimizedPlan
+        .expressions.map(_.collect { case e => e }.size).sum
+    }
+    val n8 = planNodes(8)
+    val n32 = planNodes(32)
+    assert(n32 == n8,
+      s"assignment expression-node count must be constant in k: k=8 -> $n8, k=32 -> $n32")
+  }
+
   test("a cluster that loses every member keeps its previous centroid") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)), (3L, Array(0.0f, 0.1f)))
