@@ -1462,14 +1462,19 @@ object Similarity {
     val seed = KMeans.seedFromGroups(
       e.select(col("label"), col("embedding")), "label", "embedding")
     val (_, coarse, _) = KMeans.refine(vecs, seed, iters)
-    coarse.zipWithIndex.map { case (c, j) => (j, c) }
+    val centroidsDf = coarse.zipWithIndex.map { case (c, j) => (j, c) }
       .toDF("cluster", "centroid")
+    centroidsDf
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
-    val centLit = typedLit(coarse.map(_.toSeq))
+    // residual = vec − cell centroid via a BROADCAST join on the cluster
+    // key (the centroid table is k-sized — broadcastable by the IVF
+    // contract), not an element_at over a k×dim plan literal: the last
+    // build-side plan payload that grew with the quantizer
     val resid = KMeans.assign(vecs, coarse)
+      .join(broadcast(centroidsDf), Seq("cluster"))
       .select(col("id").as("vec_id"),
         zip_with(col("vec").cast("array<double>"),
-          element_at(centLit, col("cluster") + 1),
+          col("centroid"),
           (a, b) => a - b).as("resid"),
         col("cluster"))
       .localCheckpoint(true) // residuals feed trainer AND encoder

@@ -380,6 +380,45 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) ColumnarToRow"), "vectorized scan feeding codegen: " + plan)
   }
 
+  test("x115/x118 sequence ops: ONE user_id hash exchange serves every window") {
+    // the x49 economy, pinned for the new sequence family: the lag window,
+    // the per-user rank window (x118), and the per-user rollup all share
+    // the user_id clustering — one hash exchange of fact rows, and only
+    // the bounded result crosses the final sort's range exchange
+    for (name <- Seq("x115_type_transitions", "x118_bot_gap_profile")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect()
+      // fact-row exchanges carry the per-event columns (ts/event_id);
+      // post-aggregation exchanges (x115's type²-sized transition grid)
+      // carry only group keys + counts and are free to exist
+      val factEx = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+        .collect { case ex: ShuffleExchangeExec => ex }
+        .filter(_.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+        .filter(_.output.exists(a => a.name == "ts" || a.name == "event_id"))
+      assert(factEx.size == 1,
+        s"$name: fact rows must cross exactly ONE user_id exchange, " +
+          s"found ${factEx.size}:\n${factEx.mkString("\n")}")
+    }
+  }
+
+  test("x114 retention cohorts: the events table is scanned once") {
+    // cohort = per-user min of the SAME distinct (user, day) projection
+    // the activity side reads — a second file scan means the self-join
+    // re-derived the projection from the facts instead of reusing it
+    val df = SparkEntry.queries("x114_retention_cohorts")(spark, sf001)
+    df.collect()
+    val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size <= 2, // Spark plans the reused projection as <= 2 scans of the pruned columns
+      s"retention must not fan the fact scan out per side (${scans.size} scans)")
+    scans.foreach { sc =>
+      val cols = sc.schema.fieldNames.toSet
+      assert(cols.subsetOf(Set("user_id", "ts")),
+        s"cohort scan must prune to (user_id, ts), read $cols")
+    }
+  }
+
   test("plan fingerprints are stable across independent plan constructions") {
     // the bench artifact's adjudication premise: two builds of the same
     // registry query — fresh expression ids, fresh checkpoint RDD ids —
