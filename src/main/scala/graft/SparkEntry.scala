@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CorpusOps, Dedup, Events, Extended, Multimodal, Relational, Retrieval, Similarity, Text, Tpch, TpchMore}
+import graft.queries.{CorpusOps, Dedup, Events, Extended, Graph, HnswAnn, Multimodal, Relational, Retrieval, Similarity, Text, Tpch, TpchMore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.queries ++ Extended.queries ++ Tpch.queries ++
       TpchMore.queries ++ Dedup.queries ++
       Similarity.queries ++ Text.queries ++ CorpusOps.queries ++
-      Retrieval.queries ++ Events.queries ++ Multimodal.queries
+      Retrieval.queries ++ Events.queries ++ Multimodal.queries ++
+      Graph.queries ++ HnswAnn.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.1's minimum slice: the reference's "conversions per hour"

@@ -143,6 +143,36 @@ object CentroidIndex {
 
     def size: Int = vecs.length
 
+    /** Serialization surface for the sharded full-vector tier
+      * ([[graft.queries.HnswAnn]]): per-node layer adjacency (index 0 =
+      * layer 0), entry point and top layer. Levels are implicit —
+      * `exportNeighbors(i).length - 1` — so the stored graph is one
+      * nested-array column. Arrays are the live internals; callers treat
+      * them as read-only.
+      */
+    def exportNeighbors: Array[Array[Array[Int]]] = neighbors
+    def entryPoint: Int = entry
+    def topLevel: Int = maxLevel
+
+    /** Top-`k` (id, cosine) for a query, ordered by `(-sim, id)` — the
+      * full-vector serving search: same traversal as [[select]], but
+      * returning the scores (exact cosines of the visited candidates, so
+      * returned scores are bit-identical to a brute-force scoring of the
+      * same ids) and an explicit `ef` floor.
+      */
+    def searchTop(qvec: Array[Double], qnorm: Double, k: Int,
+        ef: Int): Array[(Int, Double)] = {
+      var cur = entry
+      var lvl = maxLevel
+      while (lvl > 0) {
+        cur = greedyClosest(qvec, qnorm, cur, lvl)
+        lvl -= 1
+      }
+      searchLayer(qvec, qnorm, cur, math.max(ef, k), 0)
+        .sortBy { case (id, d) => (d, id) }.take(k)
+        .map { case (id, d) => (id, -d) }
+    }
+
     /** Top-`nprobe` cells for a query, ordered by `(-sim, id)` — the
       * shared probe contract.
       */
@@ -226,6 +256,21 @@ object CentroidIndex {
   }
 
   object Hnsw {
+
+    /** Rebuild a graph from its serialized form (vectors + per-node layer
+      * adjacency + entry/top) — the read side of the stored sharded-HNSW
+      * tier. Norms are recomputed (cheaper than storing, and keeps the
+      * stored schema to one nested column); search through a restored
+      * graph is bit-identical to search through the built one
+      * (HnswAnnSpec pins it).
+      */
+    def restore(vecs: Array[Array[Double]],
+        neighbors: Array[Array[Array[Int]]], entry: Int,
+        maxLevel: Int): Hnsw = {
+      val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+      new Hnsw(vecs, norms, neighbors.map(_.length - 1), neighbors, entry,
+        maxLevel)
+    }
 
     /** Deterministic construction: nodes inserted in id order, level from
       * a SplitMix64 hash of the id, neighbor sets from the paper's

@@ -528,6 +528,72 @@ object Events {
               MAX(CASE WHEN r = (n * 50 + 99) // 100 THEN gap_us END) AS median_gap_us
             FROM r GROUP BY user_id ORDER BY user_id"""))
 
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan 2005)
+    * — the MERGEABLE alternative to x106's exact heavy-hitter count: a
+    * depth×width grid of counters (here 4 × 256) built with map-side
+    * partial aggregation, whose ~1 KB footprint answers any key's
+    * frequency with a one-sided error (estimate ≥ truth, overshoot
+    * bounded by colliding mass) — the sketch a 1000-executor ingest keeps
+    * per partition and merges by cell-wise addition, where the exact form
+    * keeps per-key state. Hashes are md5-prefix cells — deterministic,
+    * engine-portable strings — so the WHOLE sketch, every estimate and
+    * every per-key overshoot hash-verifies bit-identically against the
+    * DuckDB oracle (the rare cross-engine-verifiable form of an
+    * approximate operator: the approximation is deterministic).
+    *
+    * Output per user: exact count, CMS estimate (min over the 4 rows'
+    * cells), and the overestimate — structurally ≥ 0, which the oracle's
+    * hash equality proves on every row.
+    *
+    * Scale shape: grid build = ONE scan with partial aggregation into
+    * 4·256 cells; the probe side joins the distinct-key table to the
+    * broadcast-sized grid. Nothing here is per-key state: at 100 TB the
+    * grid stays 1 KB while x106's exact map grows with the key domain.
+    */
+  def cmsFrequency(ev: DataFrame, depth: Int, hexChars: Int): DataFrame = {
+    val seeds = array((0 until depth).map(lit): _*)
+    def cell(seed: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      substring(md5(concat(seed.cast("string"), lit(":"), key.cast("string"))),
+        1, hexChars)
+    val grid = ev.select(col("user_id"), explode(seeds).as("seed"))
+      .select(col("seed"), cell(col("seed"), col("user_id")).as("cell"))
+      .groupBy("seed", "cell").agg(count(lit(1)).as("n"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    exact.select(col("user_id"), col("exact_n"), explode(seeds).as("seed"))
+      .withColumn("cell", cell(col("seed"), col("user_id")))
+      .join(broadcast(grid), Seq("seed", "cell"))
+      .groupBy("user_id", "exact_n").agg(min(col("n")).as("cms_n"))
+      .select(col("user_id"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("over_n"))
+      .orderBy("user_id")
+  }
+
+  private val x125 = GQuery(
+    "x125_cms_frequency", "ext-events sketch count-min mergeable",
+    (s, dir) => cmsFrequency(events(s, dir), depth = 4, hexChars = 2),
+    Some("""WITH seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed),
+            cells AS (
+              SELECT s.seed,
+                substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                  CAST(e.user_id AS VARCHAR)), 1, 2) AS cell
+              FROM events e CROSS JOIN seeds s),
+            grid AS (
+              SELECT seed, cell, CAST(COUNT(*) AS BIGINT) AS n
+              FROM cells GROUP BY 1, 2),
+            exact AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM events GROUP BY 1),
+            probe AS (
+              SELECT x.user_id, x.exact_n, s.seed,
+                substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                  CAST(x.user_id AS VARCHAR)), 1, 2) AS cell
+              FROM exact x CROSS JOIN seeds s)
+            SELECT p.user_id, p.exact_n, MIN(g.n) AS cms_n,
+              MIN(g.n) - p.exact_n AS over_n
+            FROM probe p JOIN grid g ON p.seed = g.seed AND p.cell = g.cell
+            GROUP BY p.user_id, p.exact_n
+            ORDER BY p.user_id"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
-    x114, x115, x116, x117, x118)
+    x114, x115, x116, x117, x118, x125)
 }

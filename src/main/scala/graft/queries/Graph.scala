@@ -1,0 +1,459 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the order co-purchase graph — the relational
+  * fixture's natural graph (two parts are linked when some order contains
+  * both), the same shape as the user-interaction / citation / link graphs
+  * a production corpus curation stack mines for communities, influence
+  * and recommendations.
+  *
+  * All four oracled queries are EXACT integer algorithms, so every result
+  * hash-verifies bit-identically against DuckDB: triangle counting and
+  * local clustering coefficients (the community-structure census),
+  * fixed-iteration integer PageRank (influence), common-neighbor /
+  * Jaccard link prediction (recommendation candidates), and the degree
+  * survival profile (the power-law report a partitioning decision reads).
+  *
+  * Scale shapes, per operator, are documented on each method; the common
+  * ground: the edge list is built ONCE per query from a single fact-table
+  * scan (per-order part lists are order-sized — TPC-H orders hold ≤ 7
+  * lines — so the pair explosion is bounded per row), every node-level
+  * side table (degrees, ranks) is node-sized and broadcastable, and no
+  * operator ever materializes an all-pairs product: triangle and wedge
+  * joins are bounded by graph arboricity / Σ C(deg,2), the quantities the
+  * published MapReduce triangle literature (Suri & Vassilvitskii 2011)
+  * bounds for real sparse graphs.
+  */
+object Graph {
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+
+  /** Undirected co-purchase edge list, canonical `pa < pb`, deduplicated.
+    * ONE scan: per-order distinct part sets (order-sized arrays), pairs by
+    * a bounded double explode, then one (pa, pb) distinct exchange. The
+    * self-join formulation the oracle uses scans the fact table twice and
+    * shuffles it twice; this form shuffles the fact rows once into
+    * order-sized groups and the deduplicated pairs once.
+    */
+  private[queries] def copurchaseEdges(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("pa"), col("parts"))
+      .select(col("pa"), explode(col("parts")).as("pb"))
+      .where(col("pa") < col("pb"))
+      .distinct()
+
+  /** Node degrees of the undirected edge list — node-sized. */
+  private[queries] def degrees(e: DataFrame): DataFrame =
+    e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Exact per-node triangle counts + local clustering coefficient
+    * (thousandths). Degree-ordered orientation (Suri & Vassilvitskii
+    * 2011): each undirected edge is directed from its lower (deg, id)
+    * endpoint to its higher, so every triangle is enumerated exactly once
+    * as src→mid→dst and — the scale point — the wedge join's fan-out per
+    * node is bounded by its ORIENTED out-degree, which the (deg, id)
+    * order caps near √m even at power-law hubs (a hub's edges all point
+    * INTO it, so it never anchors a quadratic wedge explosion; the id
+    * orientation the oracle uses enumerates the same triangle set but
+    * lets a low-id hub fan out by its full degree). Joins carry 16-byte
+    * id pairs only; the degree side table is node-sized and broadcast.
+    *
+    * Output is orientation-invariant — (part, deg, triangles, cc_milli)
+    * — which is what lets the DuckDB oracle verify the degree-ordered
+    * plan with its simpler id-ordered join, hash-exactly.
+    */
+  def triangleCensus(li: DataFrame): DataFrame = {
+    val e = copurchaseEdges(li)
+    val deg = degrees(e)
+    // orient each edge from lower (deg, id) endpoint to higher
+    val o = e
+      .join(broadcast(deg.select(col("node").as("pa"), col("deg").as("dega"))), "pa")
+      .join(broadcast(deg.select(col("node").as("pb"), col("deg").as("degb"))), "pb")
+      .select(
+        when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("pa") < col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst")))
+          .as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .join(o.as("e3"), col("u") === col("e3.src") && col("w") === col("e3.dst"))
+      .select("u", "v", "w")
+    val perNode = tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("v").as("node")))
+      .unionAll(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("part"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_milli",
+        when(col("deg") > 1, expr("(2000 * triangles) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy("part")
+  }
+
+  private val triangleOracle =
+    """WITH e AS (
+         SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey),
+       deg AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+         GROUP BY 1),
+       tri AS (
+         SELECT e1.pa AS u, e1.pb AS v, e2.pb AS w
+         FROM e e1
+         JOIN e e2 ON e1.pb = e2.pa
+         JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+       tn AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+         FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+               UNION ALL SELECT w FROM tri)
+         GROUP BY 1)
+       SELECT d.node AS part, d.deg,
+         COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+         CASE WHEN d.deg > 1
+           THEN (2000 * COALESCE(t.triangles, 0)) // (d.deg * (d.deg - 1))
+           ELSE CAST(0 AS BIGINT) END AS cc_milli
+       FROM deg d LEFT JOIN tn t ON d.node = t.node
+       ORDER BY part"""
+
+  private val x123 = GQuery(
+    "x123_triangle_census", "ext-graph triangle-count clustering-coefficient",
+    (s, dir) => triangleCensus(lineitem(s, dir)),
+    Some(triangleOracle))
+
+  /** Fixed-iteration INTEGER PageRank (damping 0.85, ranks in micros).
+    * All arithmetic is 64-bit integer — contribution = rank div outdeg,
+    * update = 150000 + (850 · Σ contrib) div 1000 — so the result is a
+    * pure function of the graph with no float summation order anywhere,
+    * which is what lets an iterative influence ranking hash-verify
+    * bit-identically against a different engine (the DuckDB oracle
+    * unrolls the same eight iterations as chained CTEs). The co-purchase
+    * graph is symmetric and edge-derived, so every node has outdeg ≥ 1 —
+    * no dangling-mass term.
+    *
+    * Scale shape: the (src, dst, outdeg) edge table is built once and
+    * localCheckpoint'd (eight iterations re-read it without recompute; at
+    * cluster scale the same role is played by a persisted, pre-partitioned
+    * edge table). Each iteration is ONE join of the edge table with the
+    * node-sized rank table on src and ONE dst-keyed partial-aggregated
+    * sum — the textbook Pregel superstep expressed relationally. Rank
+    * tables are checkpointed per iteration to keep lineage flat; the ≤
+    * iters cached node-sized tables are bounded by the node count, not
+    * the corpus.
+    */
+  def pagerank(li: DataFrame, iters: Int): DataFrame = {
+    val e = copurchaseEdges(li)
+    val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = directed.join(deg, "src").localCheckpoint(true)
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      ranks = ranks.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(850 * coalesce(c, 0L)) div 1000")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as("part"), col("rank").as("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("part"))
+  }
+
+  /** DuckDB oracle: the same eight integer supersteps, unrolled as
+    * chained CTEs (recursive CTEs forbid aggregation in the recursive
+    * term, so fixed-iteration unrolling is the portable form).
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey <> b.l_partkey),
+         deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT d.src AS node,
+             150000 + (850 * COALESCE(s.c, 0)) // 1000 AS rank
+           FROM deg d LEFT JOIN (
+             SELECT e.dst AS node2, CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS c
+             FROM e JOIN r${i - 1} r ON e.src = r.node
+                    JOIN deg g ON g.src = e.src
+             GROUP BY 1) s
+           ON s.node2 = d.src)"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS part, CAST(rank AS BIGINT) AS rank_micros FROM r$iters " +
+      "ORDER BY rank_micros DESC, part"
+  }
+
+  private val x124 = GQuery(
+    "x124_copurchase_pagerank", "ext-graph pagerank integer-iterative",
+    (s, dir) => pagerank(lineitem(s, dir), iters = 8),
+    Some(pagerankOracle(8)))
+
+  /** Common-neighbor / Jaccard link prediction: the top-100 NON-adjacent
+    * part pairs by shared co-purchase neighbors — "customers who bought
+    * these also bought" candidates, exact and integer (jaccard in
+    * thousandths) so the ranking hash-verifies.
+    *
+    * Scale shape: wedges are enumerated from the symmetric adjacency by
+    * one self-join on the CENTER node — Σ_v C(deg(v), 2) rows, the exact
+    * common-neighbor algebra (an all-pairs form would be quadratic in
+    * nodes; this is quadratic only in per-node degree, and a production
+    * run caps hub degree first — the x106 heavy-hitter report names the
+    * hubs). The wedge pairs aggregate by (ua, ub) with map-side partial
+    * counts, existing edges leave via one broadcast-able anti-join against
+    * the edge list, and the top-100 is a TakeOrderedAndProject — no
+    * global sort.
+    */
+  def linkPrediction(li: DataFrame, topN: Int): DataFrame = {
+    val e = copurchaseEdges(li)
+    val deg = degrees(e)
+    val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val wedges = directed.as("d1")
+      .join(directed.as("d2"), col("d1.src") === col("d2.src"))
+      .where(col("d1.dst") < col("d2.dst"))
+      .select(col("d1.dst").as("ua"), col("d2.dst").as("ub"))
+    val common = wedges.groupBy("ua", "ub").agg(count(lit(1)).as("n_common"))
+      .join(e.select(col("pa").as("ua"), col("pb").as("ub")),
+        Seq("ua", "ub"), "left_anti")
+    common
+      .join(broadcast(deg.select(col("node").as("ua"), col("deg").as("dega"))), "ua")
+      .join(broadcast(deg.select(col("node").as("ub"), col("deg").as("degb"))), "ub")
+      .select(col("ua"), col("ub"), col("n_common"),
+        expr("(1000 * n_common) div (dega + degb - n_common)").as("jaccard_milli"))
+      .orderBy(col("n_common").desc, col("ua"), col("ub"))
+      .limit(topN)
+  }
+
+  private val linkOracle =
+    """WITH e AS (
+         SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey),
+       deg AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+         GROUP BY 1),
+       adj AS (
+         SELECT pa AS src, pb AS dst FROM e
+         UNION ALL SELECT pb AS src, pa AS dst FROM e),
+       wedge AS (
+         SELECT d1.dst AS ua, d2.dst AS ub
+         FROM adj d1 JOIN adj d2 ON d1.src = d2.src
+         WHERE d1.dst < d2.dst),
+       common AS (
+         SELECT ua, ub, CAST(COUNT(*) AS BIGINT) AS n_common
+         FROM wedge GROUP BY 1, 2),
+       nonadj AS (
+         SELECT c.* FROM common c
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = c.ua AND e.pb = c.ub))
+       SELECT n.ua, n.ub, n.n_common,
+         (1000 * n.n_common) // (da.deg + db.deg - n.n_common) AS jaccard_milli
+       FROM nonadj n
+       JOIN deg da ON da.node = n.ua
+       JOIN deg db ON db.node = n.ub
+       ORDER BY n.n_common DESC, n.ua, n.ub
+       LIMIT 100"""
+
+  private val x126 = GQuery(
+    "x126_link_prediction", "ext-graph link-prediction common-neighbors",
+    (s, dir) => linkPrediction(lineitem(s, dir), topN = 100),
+    Some(linkOracle))
+
+  /** Degree survival profile — the power-law census a partitioning /
+    * salting decision reads before picking a strategy (x106 names the
+    * heavy keys; this names the whole distribution): per distinct degree,
+    * the node count and the survival share of nodes with degree ≥ d in
+    * thousandths. The histogram is degree-domain-sized (≤ max-degree
+    * rows), so the single-partition cumulative window at the end runs
+    * over a tiny aggregate, never over data — the same shape x106/x119
+    * pin.
+    */
+  def degreeProfile(li: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("deg").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    degrees(copurchaseEdges(li))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .withColumn("ge_nodes", sum(col("n_nodes")).over(w))
+      .withColumn("total", sum(col("n_nodes")).over(wAll))
+      .select(col("deg"), col("n_nodes"), col("ge_nodes"),
+        expr("(1000 * ge_nodes) div total").as("survival_milli"))
+      .orderBy("deg")
+  }
+
+  private val degreeOracle =
+    """WITH e AS (
+         SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey),
+       deg AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+         GROUP BY 1),
+       h AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1)
+       SELECT deg, n_nodes,
+         CAST(SUM(n_nodes) OVER (ORDER BY deg DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ge_nodes,
+         (1000 * CAST(SUM(n_nodes) OVER (ORDER BY deg DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+           // CAST(SUM(n_nodes) OVER () AS BIGINT) AS survival_milli
+       FROM h ORDER BY deg"""
+
+  private val x129 = GQuery(
+    "x129_degree_profile", "ext-graph degree-distribution survival",
+    (s, dir) => degreeProfile(lineitem(s, dir)),
+    Some(degreeOracle))
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), made fully deterministic: labels start as node ids; each of
+    * `iters` SYNCHRONOUS rounds every node adopts the most frequent label
+    * among its neighbors, ties to the SMALLEST label. Deterministic
+    * synchronous rounds + integer tie-breaks are what make an otherwise
+    * notoriously order-sensitive heuristic hash-verifiable bit-identically
+    * cross-engine (the DuckDB oracle unrolls the same rounds as chained
+    * CTEs; the usual asynchronous/randomized variant could never be
+    * oracled).
+    *
+    * Scale shape: per round, ONE join of the checkpointed symmetric
+    * adjacency with the node-sized label table and one (node, label)
+    * partial-aggregated count, argmax via a per-node window over the
+    * label-count rows (per-node fan-in = its degree). Same Pregel
+    * superstep shape as [[pagerank]].
+    */
+  def labelPropagation(li: DataFrame, iters: Int): DataFrame = {
+    val e = copurchaseEdges(li)
+    val adj = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to iters) {
+      labels = adj.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node").as("part"), col("label").as("community"))
+      .orderBy("part")
+  }
+
+  private def labelPropOracle(iters: Int): String = {
+    val head =
+      """WITH ed AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey <> b.l_partkey),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed)"""
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (
+           SELECT node, label FROM (
+             SELECT a.src AS node, l.label, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY a.src
+                 ORDER BY COUNT(*) DESC, l.label) AS rn
+             FROM ed a JOIN l${i - 1} l ON a.dst = l.node
+             GROUP BY a.src, l.label)
+           WHERE rn = 1)"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS part, label AS community FROM l$iters ORDER BY part"
+  }
+
+  private val x130 = GQuery(
+    "x130_label_propagation", "ext-graph community-detection label-propagation",
+    (s, dir) => labelPropagation(lineitem(s, dir), iters = 4),
+    Some(labelPropOracle(4)))
+
+  /** k-core extraction by synchronous peeling: `rounds` rounds of "drop
+    * every node with degree < k, with all its edges", then report the
+    * surviving nodes with their in-core degree — the density filter that
+    * isolates a graph's cohesive kernel (spam-farm detection, community
+    * seeding). Synchronous fixed-round peeling is deterministic whether
+    * or not it has converged, so the result hash-verifies; GraphSpec
+    * separately proves the fixture converges within the budget (one more
+    * round is a fixed point), which is the textbook O(max-core) bound in
+    * practice — degenerate chains that need more rounds only ever UNDER-
+    * peel, never produce wrong members of the true core.
+    *
+    * Scale shape: per round, one node-sized degree aggregate and two
+    * semi-joins of the edge list against the (broadcast-sized) survivor
+    * set; the edge table shrinks monotonically and is checkpointed per
+    * round.
+    */
+  def kCore(li: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = copurchaseEdges(li).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).where(col("deg") >= k).select("node")
+      edges = edges
+        .join(broadcast(keep.withColumnRenamed("node", "pa")), Seq("pa"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("node", "pb")), Seq("pb"), "left_semi")
+        .select("pa", "pb")
+        .localCheckpoint(true)
+    }
+    degrees(edges).where(col("deg") >= k)
+      .select(col("node").as("part"), col("deg").as("core_deg"))
+      .orderBy("part")
+  }
+
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey)"""
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+           SELECT node FROM (
+             SELECT node, COUNT(*) AS deg
+             FROM (SELECT pa AS node FROM e${i - 1}
+                   UNION ALL SELECT pb FROM e${i - 1})
+             GROUP BY 1)
+           WHERE deg >= $k),
+         e$i AS MATERIALIZED (
+           SELECT e.pa, e.pb FROM e${i - 1} e
+           WHERE e.pa IN (SELECT node FROM k$i)
+             AND e.pb IN (SELECT node FROM k$i))"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         SELECT node AS part, deg AS core_deg FROM (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM (SELECT pa AS node FROM e$rounds
+                 UNION ALL SELECT pb FROM e$rounds)
+           GROUP BY 1)
+         WHERE deg >= $k ORDER BY part"""
+  }
+
+  private val x131 = GQuery(
+    "x131_kcore", "ext-graph kcore density-peeling",
+    (s, dir) => kCore(lineitem(s, dir), k = 3, rounds = 8),
+    Some(kCoreOracle(3, 8)))
+
+  val queries: Seq[GQuery] = Seq(x123, x124, x126, x129, x130, x131)
+}

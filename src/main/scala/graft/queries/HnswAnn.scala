@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{GQuery, StoredArtifacts, Tables}
+import graft.operators.CentroidIndex.Hnsw
+import graft.plans.GroupedTopKOps
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded full-vector HNSW — the GRAPH ANN serving tier (Malkov &
+  * Yashunin 2016), next to the IVF/PQ/SQ8 quantization tiers: the layout
+  * Lucene/Elasticsearch ship as segment-HNSW, and the production default
+  * wherever recall at low latency beats compression.
+  *
+  * Layout: vectors are hashed into `shards` segments; each segment builds
+  * ONE deterministic in-memory HNSW over its own vectors (the build
+  * reuses [[graft.operators.CentroidIndex.Hnsw]] — id-hashed levels, id
+  * tie-breaks — so two builds of the same corpus are structurally
+  * identical) and serializes as parquet rows `(shard, local_id, vec_id,
+  * embedding, neighbors, entry, top_level)` partitioned by shard. The
+  * shard is the unit that must fit one task's memory — exactly Lucene's
+  * segment contract — so corpus growth adds shards, never node size.
+  *
+  * Probe: queries are replicated to every shard (a |Q|·S-row shuffle of
+  * id+vector only) and cogrouped with the graph rows by shard; each task
+  * restores its segment's graph once and runs every query of the group
+  * through it, emitting per-shard top-k; a bounded-heap grouped top-k
+  * ([[graft.plans.GroupedTopK]]) merges shards per query. NOTHING is
+  * collected to the driver — unlike the LUT-based PQ batch probes (which
+  * are driver-batch by the FAISS-coordinator argument and `require`
+  * ceilinged), this path distributes the query side, so the SAME code
+  * serves an 8-query batch and a 50k-query self-join: the x127 kNN-graph
+  * build below probes the index with the whole corpus.
+  *
+  * Returned scores are EXACT cosines (the graph bounds which candidates
+  * get scored, not how) — HnswAnnSpec pins bit-identity of every returned
+  * score against a driver brute-force recomputation, plus recall ≥ 0.9 vs
+  * exact top-k, restore≡built search identity, and determinism.
+  */
+object HnswAnn {
+
+  /** One stored graph node; neighbors(l) = layer-l adjacency. */
+  final case class HnswNode(shard: Int, local_id: Int, vec_id: Long,
+      embedding: Array[Double], neighbors: Array[Array[Int]],
+      entry: Int, top_level: Int)
+
+  /** One shard-routed query. */
+  final case class ShardQuery(shard: Int, q_id: Long, qvec: Array[Double])
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Build the sharded index: hash-shard, per-shard deterministic HNSW,
+    * one parquet write partitioned by shard. The per-shard build sorts by
+    * vec_id so local ids — and therefore the graph — are independent of
+    * upstream partitioning.
+    */
+  def writeHnswIndex(e: DataFrame, outDir: String, shards: Int): Unit = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select(pmod(col("vec_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, rows) =>
+        val sorted = rows.toArray.sortBy(_._2)
+        val g = Hnsw.build(sorted.map(_._3))
+        val nbrs = g.exportNeighbors
+        sorted.iterator.zipWithIndex.map { case ((_, vid, vec), i) =>
+          HnswNode(shard, i, vid, vec, nbrs(i), g.entryPoint, g.topLevel)
+        }
+      }
+      .toDF()
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/graph")
+  }
+
+  /** Distributed probe: top-`k` (q_id, vec_id, sim) per query in
+    * `queries` (columns `q_id`, `qvec: array<double>`), searched with
+    * candidate-list width `ef` per shard. See the object scaladoc for the
+    * cogroup shape; the final merge is the bounded-heap grouped top-k
+    * (≤ k rows per query per partition cross the merge exchange).
+    */
+  def probeHnsw(s: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, ef: Int): DataFrame = {
+    import s.implicits._
+    val graph = s.read.parquet(s"$indexDir/graph")
+      .select(col("shard"), col("local_id"), col("vec_id"), col("embedding"),
+        col("neighbors"), col("entry"), col("top_level"))
+      .as[HnswNode]
+    // shard list from the partition column only: a payload-free scan
+    val shardIds = s.read.parquet(s"$indexDir/graph").select("shard").distinct()
+    val routed = queries.crossJoin(shardIds)
+      .select(col("shard"), col("q_id"), col("qvec"))
+      .as[ShardQuery]
+    val perShard = graph.groupByKey(_.shard)
+      .cogroup(routed.groupByKey(_.shard)) { (_, nodes, qs) =>
+        val ns = nodes.toArray
+        if (ns.isEmpty) Iterator.empty
+        else {
+          java.util.Arrays.sort(ns, Ordering.by((n: HnswNode) => n.local_id))
+          val g = Hnsw.restore(ns.map(_.embedding), ns.map(_.neighbors),
+            ns.head.entry, ns.head.top_level)
+          qs.flatMap { q =>
+            var qn = 0.0
+            var i = 0
+            while (i < q.qvec.length) { qn += q.qvec(i) * q.qvec(i); i += 1 }
+            g.searchTop(q.qvec, math.sqrt(qn), k, ef)
+              .iterator.map { case (lid, sim) => (q.q_id, ns(lid).vec_id, sim) }
+          }
+        }
+      }
+      .toDF("q_id", "vec_id", "sim")
+    GroupedTopKOps.ensureInstalled(s)
+    GroupedTopKOps.groupedTopK(perShard, Seq(col("q_id")),
+      Seq(col("sim").desc, col("vec_id")), k)
+      .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+  }
+
+  /** SQL serving surface for the graph tier — the [[Similarity.sqlRegisterBatch]]
+    * discipline: probe the stored graph index for every row of an existing
+    * temp view/table of `(q_id, qvec)` and register the result as
+    * `<prefix>_hits` (q_id, vec_id, sim). Unlike the LUT-batch IVF
+    * registration, the query table is NOT collected at registration —
+    * the cogroup probe is fully lazy and distributed, so a registered
+    * view over an arbitrarily large query table is legal.
+    */
+  def sqlRegister(s: SparkSession, indexDir: String, prefix: String,
+      queriesTable: String, k: Int, ef: Int): Unit =
+    probeHnsw(s, indexDir, s.table(queriesTable), k, ef)
+      .createOrReplaceTempView(s"${prefix}_hits")
+
+  private def storeFor(s: SparkSession, dir: String): String = {
+    val store = StoredArtifacts.dir(dir, "hnsw_index_v1")
+    if (!StoredArtifacts.ready(s"$store/graph"))
+      writeHnswIndex(emb(s, dir), store, shards = 4)
+    store
+  }
+
+  // Batch serving through the stored graph tier: top-10 for an 8-query
+  // batch. Build on first touch, then probe-only — the x62 discipline.
+  private val x128 = GQuery(
+    "x128_ann_hnsw_stored", "ext-similarity-ann graph-index hnsw serving",
+    (s, dir) => {
+      val store = storeFor(s, dir)
+      val queries = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qvec"))
+      probeHnsw(s, store, queries, k = 10, ef = 64)
+        .where(col("q_id") =!= col("vec_id"))
+    },
+    None) // approximate candidate set: rows-only check + HnswAnnSpec gates
+
+  // kNN-graph build: every corpus vector self-probed through the SAME
+  // stored graph index — the all-nodes neighbor-list artifact that feeds
+  // graph clustering, SemDeDup-style pruning and diversity sampling. The
+  // distributed probe is what makes this expressible at all: |Q| = |corpus|
+  // would break any driver-batch ceiling. k+1 then self-filter, rank by
+  // (-sim, nbr_id) per source.
+  private val x127 = GQuery(
+    "x127_knn_graph", "ext-similarity-ann knn-graph self-join",
+    (s, dir) => {
+      val store = storeFor(s, dir)
+      val queries = emb(s, dir)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      probeHnsw(s, store, queries, k = 6, ef = 64)
+        .where(col("q_id") =!= col("vec_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("q_id").as("src_id"), col("vec_id").as("nbr_id"),
+          col("rank"), col("sim"))
+        .orderBy("src_id", "rank")
+    },
+    None) // approximate (graph-bounded candidates): HnswAnnSpec recall gate
+
+  val queries: Seq[GQuery] = Seq(x127, x128)
+}

@@ -230,6 +230,31 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  test("SQL probe through the sharded HNSW graph tier == Scala probe") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sqlhnsw")
+    val idx = base.resolve("hnsw").toString
+    try {
+      val e = Tables(spark, sf001, "embeddings")
+      graft.queries.HnswAnn.writeHnswIndex(e, idx, shards = 4)
+      e.createOrReplaceTempView("emb_hnsw")
+      spark.sql("""SELECT vec_id AS q_id, CAST(embedding AS ARRAY<DOUBLE>) AS qvec
+                  |FROM emb_hnsw WHERE vec_id < 3""".stripMargin)
+        .createOrReplaceTempView("hnsw_queries")
+      graft.queries.HnswAnn.sqlRegister(spark, idx, "hnsw", "hnsw_queries",
+        k = 8, ef = 64)
+      val viaSql = spark.sql(
+        """SELECT q_id, vec_id, sim FROM hnsw_hits
+          |ORDER BY q_id, sim DESC, vec_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaScala = graft.queries.HnswAnn
+        .probeHnsw(spark, idx, spark.table("hnsw_queries"), k = 8, ef = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(viaSql == viaScala,
+        "SQL graph probe must be row-identical to the Scala probe")
+      assert(viaSql.map(_._1).distinct.sorted == Seq(0L, 1L, 2L))
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
   test("SQL probe through a MANIFEST index resolves the live generation minus tombstones") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-sqlmanifest")
