@@ -594,6 +594,199 @@ object Events {
             GROUP BY p.user_id, p.exact_n
             ORDER BY p.user_id"""))
 
+  /** Daily-volume anomaly detection by median absolute deviation — the
+    * robust ops alarm next to x103's distribution drift: a day is
+    * anomalous when its event count deviates from the median day by more
+    * than 3× the MAD (the robust z-score; unlike mean/stddev, one outage
+    * day cannot drag the baseline toward itself). Both the median and the
+    * MAD are EXACT rank-selected integers (the x116/x118 discipline:
+    * rank = (n·50 + 99) div 100), so the alarm hash-verifies
+    * bit-identically — no float quantile estimate anywhere.
+    *
+    * Scale shape: one facts scan into a day-domain-sized count table;
+    * every window below runs over that tiny aggregate (single-partition
+    * windows over ≤ days rows — the x106/x129 rollup shape), never over
+    * events.
+    */
+  def dailyVolumeAnomaly(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wMed = Window.orderBy(col("n"), col("day"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withMed = daily
+      .withColumn("r", row_number().over(wMed).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("med", max(when(col("r") === expr("(cnt * 50 + 99) div 100"),
+        col("n"))).over(wAll))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val wMad = Window.orderBy(col("dev"), col("day"))
+    withMed
+      .withColumn("r2", row_number().over(wMad).cast("long"))
+      .withColumn("mad", max(when(col("r2") === expr("(cnt * 50 + 99) div 100"),
+        col("dev"))).over(wAll))
+      .select(col("day"), col("n"), col("med"), col("mad"),
+        (col("dev") > lit(3L) * col("mad")).as("anomalous"))
+      .orderBy("day")
+  }
+
+  private val x134 = GQuery(
+    "x134_volume_anomaly", "ext-events anomaly-detection robust-mad",
+    (s, dir) => dailyVolumeAnomaly(events(s, dir)),
+    Some("""WITH d AS (
+              SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            m AS (
+              SELECT day, n,
+                CAST(ROW_NUMBER() OVER (ORDER BY n, day) AS BIGINT) AS r,
+                CAST(COUNT(*) OVER () AS BIGINT) AS cnt
+              FROM d),
+            m2 AS (
+              SELECT day, n, cnt,
+                MAX(CASE WHEN r = (cnt * 50 + 99) // 100 THEN n END) OVER () AS med
+              FROM m),
+            m3 AS (
+              SELECT day, n, cnt, med, ABS(n - med) AS dev,
+                CAST(ROW_NUMBER() OVER (ORDER BY ABS(n - med), day) AS BIGINT) AS r2
+              FROM m2),
+            m4 AS (
+              SELECT day, n, med, dev,
+                MAX(CASE WHEN r2 = (cnt * 50 + 99) // 100 THEN dev END) OVER () AS mad
+              FROM m3)
+            SELECT day, n, med, mad, dev > 3 * mad AS anomalous
+            FROM m4 ORDER BY day"""))
+
+  /** Mergeable histogram quantile sketch vs exact quantiles — the second
+    * sketch-family row next to x125's count-min: a fixed 1000-bucket
+    * equi-width histogram over `value` (two passes: exact min/max, then
+    * one partial-aggregated bucket count — the mergeable state is 1000
+    * integers, combined by cell-wise addition across any number of
+    * executors or days) answers p50/p90/p99 as the upper edge of the
+    * first bucket whose cumulative count reaches the rank. The report
+    * pairs each sketch estimate with the EXACT rank-selected quantile
+    * and the true rank error, so the error bound is itself verified
+    * data, not a claim.
+    *
+    * Everything is deterministic — bucket arithmetic is plain IEEE-754
+    * (+, -, ×, ÷ are exactly specified, identical in any engine) and
+    * ranks are integers — so even this approximate operator
+    * hash-verifies bit-identically against DuckDB.
+    *
+    * Scale shape: two facts scans (min/max, buckets) with map-side
+    * partials; cumulative selection runs over the 1000-row histogram
+    * (single-partition window over a constant domain). The exact side
+    * exists for verification; a production run ships only the sketch.
+    */
+  def histogramQuantiles(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 1000
+    val mm = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+      count(lit(1)).as("n"))
+    val bucketed = ev.crossJoin(broadcast(mm))
+      .select(least(floor((col("value") - col("vmin")) * b /
+          (col("vmax") - col("vmin"))).cast("long"), lit((b - 1).toLong))
+        .as("bucket"), col("vmin"), col("vmax"), col("n"))
+      .groupBy("bucket", "vmin", "vmax", "n").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bucketed.withColumn("cum", sum(col("cnt")).over(wCum))
+    val exact = ev.select(col("value"))
+      .withColumn("r", row_number().over(Window.orderBy(col("value"))).cast("long"))
+    val ps = Seq(50, 90, 99)
+    ps.map { p =>
+      val rank = expr(s"(n * $p + 99) div 100")
+      val est = cum.where(col("cum") >= rank)
+        .orderBy(col("bucket"))
+        .limit(1)
+        .select(lit(p.toLong).as("p"),
+          (col("vmin") + (col("bucket") + 1) * (col("vmax") - col("vmin")) / b)
+            .as("sketch_est"), col("n"))
+      est.crossJoin(broadcast(mm.select(col("n").as("n2"))))
+        .join(exact, col("r") === expr(s"(n2 * $p + 99) div 100"))
+        .select(col("p"), col("sketch_est"), col("value").as("exact_q"))
+    }.reduce(_ unionAll _)
+      .orderBy("p")
+  }
+
+  private val x135 = GQuery(
+    "x135_histogram_quantiles", "ext-events sketch quantile-histogram mergeable",
+    (s, dir) => histogramQuantiles(events(s, dir)),
+    Some("""WITH mm AS (
+              SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events),
+            bk AS (
+              SELECT LEAST(CAST(FLOOR((e.value - m.vmin) * 1000 /
+                  (m.vmax - m.vmin)) AS BIGINT), 999) AS bucket,
+                m.vmin, m.vmax, m.n, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events e CROSS JOIN mm m
+              GROUP BY 1, 2, 3, 4),
+            cum AS (
+              SELECT bucket, vmin, vmax, n, cnt,
+                CAST(SUM(cnt) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM bk),
+            ex AS (
+              SELECT value,
+                CAST(ROW_NUMBER() OVER (ORDER BY value) AS BIGINT) AS r
+              FROM events),
+            pcts AS (SELECT UNNEST([50, 90, 99]) AS p)
+            SELECT CAST(p.p AS BIGINT) AS p,
+              (SELECT vmin + (bucket + 1) * (vmax - vmin) / 1000 FROM cum
+               WHERE cum >= (n * p.p + 99) // 100
+               ORDER BY bucket LIMIT 1) AS sketch_est,
+              (SELECT value FROM ex, mm
+               WHERE r = (mm.n * p.p + 99) // 100) AS exact_q
+            FROM pcts p ORDER BY p"""))
+
+  /** Integer EWMA over the daily volume series — the smoothing baseline
+    * under alerting dashboards, and the coverage row for SEQUENTIAL
+    * RECURRENCES: s_t = (7·s_{t-1} + n_t) div 8 (α = 1/8, all-positive
+    * integer arithmetic) genuinely depends on every prior step, the class
+    * of computation a window function cannot express. The distributed
+    * discipline is honest about that: the facts aggregate to the
+    * day-domain-sized series in parallel, and only the domain-sized
+    * recurrence itself runs as one ordered fold in a single task (the
+    * x106/x129 "tiny aggregate" shape — the sequential part never touches
+    * event rows). The DuckDB oracle runs the same recurrence as a
+    * RECURSIVE CTE stepping one row per iteration, so even this
+    * inherently ordered operator hash-verifies bit-identically.
+    */
+  def ewmaDailyVolume(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        var sAcc = -1L
+        it.map { case (d, n) =>
+          sAcc = if (sAcc < 0) n else (7L * sAcc + n) / 8L
+          (d, n, sAcc)
+        }
+      }
+      .toDF("day", "n", "ewma")
+      .orderBy("day")
+  }
+
+  private val x137 = GQuery(
+    "x137_ewma_volume", "ext-events smoothing sequential-recurrence",
+    (s, dir) => ewmaDailyVolume(events(s, dir)),
+    Some("""WITH RECURSIVE d AS (
+              SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT day, n,
+                CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+              FROM d),
+            w(i, day, n, ewma) AS (
+              SELECT i, day, n, n FROM r WHERE i = 1
+              UNION ALL
+              SELECT r.i, r.day, r.n, (7 * w.ewma + r.n) // 8
+              FROM w JOIN r ON r.i = w.i + 1)
+            SELECT day, n, ewma FROM w ORDER BY day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
-    x114, x115, x116, x117, x118, x125)
+    x114, x115, x116, x117, x118, x125, x134, x135, x137)
 }

@@ -545,7 +545,67 @@ object Extended {
             UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
             ORDER BY l_orderkey, l_linenumber, metric"""))
 
+  /** Declarative data-quality rule evaluation — the Deequ /
+    * Great-Expectations "checks" surface next to x107's profile: a fixed
+    * rule table (id, predicate) evaluates in ONE fact scan as conditional
+    * sums (no per-rule pass over the data — the rules fold into a single
+    * projection), reporting per rule the violation count, row count and
+    * pass rate in thousandths. Rules cover the assertion families a
+    * warehouse gate actually runs: non-negativity, value-range, domain
+    * membership, temporal sanity, and cross-field consistency.
+    */
+  def dqRules(li: DataFrame): DataFrame = {
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "quantity_positive" -> (col("l_quantity") <= 0),
+      "price_range" -> (col("l_extendedprice") < 900 || col("l_extendedprice") > 105000),
+      "discount_bounds" -> (col("l_discount") < 0 || col("l_discount") > 0.1),
+      "tax_bounds" -> (col("l_tax") < 0 || col("l_tax") > 0.08),
+      "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+      "linestatus_domain" -> !col("l_linestatus").isin("F", "O"),
+      "shipdate_sane" -> (col("l_shipdate") < to_timestamp(lit("1992-01-01")) ||
+        col("l_shipdate") >= to_timestamp(lit("1999-01-01"))),
+      "keys_positive" -> (col("l_orderkey") <= 0 || col("l_partkey") <= 0 ||
+        col("l_suppkey") <= 0))
+    val agg = li.agg(count(lit(1)).as("n_rows"),
+      rules.map { case (id, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"v_$id")
+      }: _*)
+    rules.map { case (id, _) =>
+      agg.select(lit(id).as("rule"), col(s"v_$id").as("violations"),
+        col("n_rows"),
+        expr(s"(1000 * (n_rows - v_$id)) div n_rows").as("pass_milli"))
+    }.reduce(_ unionAll _)
+      .orderBy("rule")
+  }
+
+  private val x136 = GQuery(
+    "x136_dq_rules", "ext-pipeline data-quality rule-checks",
+    (s, dir) => dqRules(Tables(s, dir, "lineitem")),
+    Some("""WITH a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_quantity_positive,
+                CAST(SUM(CASE WHEN l_extendedprice < 900 OR l_extendedprice > 105000 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_range,
+                CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_bounds,
+                CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_tax_bounds,
+                CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v_returnflag_domain,
+                CAST(SUM(CASE WHEN l_linestatus NOT IN ('F', 'O') THEN 1 ELSE 0 END) AS BIGINT) AS v_linestatus_domain,
+                CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01' OR l_shipdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_shipdate_sane,
+                CAST(SUM(CASE WHEN l_orderkey <= 0 OR l_partkey <= 0 OR l_suppkey <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_keys_positive
+              FROM lineitem)
+            SELECT rule, violations, n_rows,
+              (1000 * (n_rows - violations)) // n_rows AS pass_milli
+            FROM (
+              SELECT 'quantity_positive' AS rule, v_quantity_positive AS violations, n_rows FROM a
+              UNION ALL SELECT 'price_range', v_price_range, n_rows FROM a
+              UNION ALL SELECT 'discount_bounds', v_discount_bounds, n_rows FROM a
+              UNION ALL SELECT 'tax_bounds', v_tax_bounds, n_rows FROM a
+              UNION ALL SELECT 'returnflag_domain', v_returnflag_domain, n_rows FROM a
+              UNION ALL SELECT 'linestatus_domain', v_linestatus_domain, n_rows FROM a
+              UNION ALL SELECT 'shipdate_sane', v_shipdate_sane, n_rows FROM a
+              UNION ALL SELECT 'keys_positive', v_keys_positive, n_rows FROM a)
+            ORDER BY rule"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37)
+    c33, c34, c35, c36, c37, x136)
 }

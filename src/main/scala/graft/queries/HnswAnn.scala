@@ -43,8 +43,16 @@ object HnswAnn {
       embedding: Array[Double], neighbors: Array[Array[Int]],
       entry: Int, top_level: Int)
 
-  /** One shard-routed query. */
-  final case class ShardQuery(shard: Int, q_id: Long, qvec: Array[Double])
+  /** One segment-and-shard-routed query (`seg` = segment directory name;
+    * the base build is segment `"graph"`).
+    */
+  final case class SegQuery(seg: String, shard: Int, q_id: Long,
+      qvec: Array[Double])
+
+  /** A stored node tagged with its segment — the probe-side row shape. */
+  final case class SegNode(seg: String, shard: Int, local_id: Int,
+      vec_id: Long, embedding: Array[Double], neighbors: Array[Array[Int]],
+      entry: Int, top_level: Int)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -54,7 +62,24 @@ object HnswAnn {
     * vec_id so local ids — and therefore the graph — are independent of
     * upstream partitioning.
     */
-  def writeHnswIndex(e: DataFrame, outDir: String, shards: Int): Unit = {
+  def writeHnswIndex(e: DataFrame, outDir: String, shards: Int): Unit =
+    writeSegment(e, s"$outDir/graph", shards)
+
+  /** Append a DELTA segment — the incremental ingest path (the x65/LSM
+    * move, graph-tier edition): a new batch builds its OWN per-shard
+    * graphs under `seg_<name>` and the base segment is never reopened —
+    * per-batch cost is O(batch·log batch), not O(corpus). [[probeHnsw]]
+    * discovers and unions every committed segment, so new vectors serve
+    * immediately; overwrite mode keeps re-delivery of a batch
+    * idempotent. Periodic compaction = rebuild base from the union and
+    * drop the deltas (exactly the IVF tier's
+    * [[Similarity.compactIvfIndex]] role).
+    */
+  def appendHnswSegment(batch: DataFrame, indexDir: String, segment: String,
+      shards: Int): Unit =
+    writeSegment(batch, s"$indexDir/seg_$segment", shards)
+
+  private def writeSegment(e: DataFrame, dir: String, shards: Int): Unit = {
     val s = e.sparkSession
     import s.implicits._
     e.select(pmod(col("vec_id"), lit(shards.toLong)).cast("int").as("shard"),
@@ -70,7 +95,48 @@ object HnswAnn {
         }
       }
       .toDF()
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/graph")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** Compact all committed segments into a fresh base build — the
+    * maintenance step that bounds delta accumulation (each delta adds one
+    * graph per shard to every probe; compaction returns the index to
+    * ONE graph per shard, rebuilt over the union). Write-then-swap
+    * ordering: the next base is fully built under a temp name before the
+    * old base and the deltas are removed, so no crash point loses data —
+    * the same recovery contract as [[Similarity.compactIvfIndex]], with
+    * the same single-writer caveat (a manifest pointer is the concurrent-
+    * reader answer, as in [[AnnManifest]]).
+    */
+  def compactHnswIndex(s: SparkSession, indexDir: String, shards: Int): Unit = {
+    val segs = segmentsOf(indexDir)
+    require(segs.nonEmpty, s"nothing to compact under $indexDir")
+    val union = segs.map(seg =>
+        s.read.parquet(s"$indexDir/$seg").select(col("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+      .localCheckpoint(true) // sever lineage from the dirs about to go
+    writeSegment(union, s"$indexDir/graph_next", shards)
+    StoredArtifacts.deleteTree(s"$indexDir/graph")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$indexDir/graph_next"),
+      java.nio.file.Paths.get(s"$indexDir/graph"))
+    segs.filter(_.startsWith("seg_"))
+      .foreach(seg => StoredArtifacts.deleteTree(s"$indexDir/$seg"))
+  }
+
+  /** Segment directory names under `indexDir`, sorted for determinism:
+    * the base `graph` plus any committed `seg_*` delta (a half-written
+    * segment without the committer `_SUCCESS` marker stays invisible —
+    * the StoredArtifacts.ready discipline).
+    */
+  private def segmentsOf(indexDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(indexDir))
+      .iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => (n == "graph" || n.startsWith("seg_")) &&
+        StoredArtifacts.ready(s"$indexDir/$n"))
+      .toSeq.sorted
   }
 
   /** Distributed probe: top-`k` (q_id, vec_id, sim) per query in
@@ -82,21 +148,31 @@ object HnswAnn {
   def probeHnsw(s: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, ef: Int): DataFrame = {
     import s.implicits._
-    val graph = s.read.parquet(s"$indexDir/graph")
-      .select(col("shard"), col("local_id"), col("vec_id"), col("embedding"),
-        col("neighbors"), col("entry"), col("top_level"))
-      .as[HnswNode]
-    // shard list from the partition column only: a payload-free scan
-    val shardIds = s.read.parquet(s"$indexDir/graph").select("shard").distinct()
+    val segs = segmentsOf(indexDir)
+    require(segs.nonEmpty, s"no committed segments under $indexDir")
+    // base + delta segments union into one node stream; the cogroup key
+    // is (segment, shard) so every per-segment graph is restored whole
+    val graph = segs.map { seg =>
+      s.read.parquet(s"$indexDir/$seg")
+        .select(lit(seg).as("seg"), col("shard"), col("local_id"),
+          col("vec_id"), col("embedding"), col("neighbors"), col("entry"),
+          col("top_level"))
+    }.reduce(_ unionAll _)
+      .as[SegNode]
+    // shard lists from the partition column only: payload-free scans
+    val shardIds = segs.map { seg =>
+      s.read.parquet(s"$indexDir/$seg")
+        .select(lit(seg).as("seg"), col("shard")).distinct()
+    }.reduce(_ unionAll _)
     val routed = queries.crossJoin(shardIds)
-      .select(col("shard"), col("q_id"), col("qvec"))
-      .as[ShardQuery]
-    val perShard = graph.groupByKey(_.shard)
-      .cogroup(routed.groupByKey(_.shard)) { (_, nodes, qs) =>
-        val ns = nodes.toArray
+      .select(col("seg"), col("shard"), col("q_id"), col("qvec"))
+      .as[SegQuery]
+    val perShard = graph.groupByKey(n => (n.seg, n.shard))
+      .cogroup(routed.groupByKey(q => (q.seg, q.shard))) { (_, nodeRows, qs) =>
+        val ns = nodeRows.toArray
         if (ns.isEmpty) Iterator.empty
         else {
-          java.util.Arrays.sort(ns, Ordering.by((n: HnswNode) => n.local_id))
+          java.util.Arrays.sort(ns, Ordering.by((n: SegNode) => n.local_id))
           val g = Hnsw.restore(ns.map(_.embedding), ns.map(_.neighbors),
             ns.head.entry, ns.head.top_level)
           qs.flatMap { q =>
@@ -174,5 +250,28 @@ object HnswAnn {
     },
     None) // approximate (graph-bounded candidates): HnswAnnSpec recall gate
 
-  val queries: Seq[GQuery] = Seq(x127, x128)
+  // Incremental ingest through the graph tier: the corpus arrives as TWO
+  // batches — a base build over the even ids and an appended delta segment
+  // over the odd ids — and the probe serves the union. Build/append on
+  // first touch, then probe-only; the delta never reopens the base.
+  private val x132 = GQuery(
+    "x132_ann_hnsw_append", "ext-similarity-ann graph-index incremental-append",
+    (s, dir) => {
+      val store = StoredArtifacts.dir(dir, "hnsw_inc_v1")
+      val e = emb(s, dir)
+      if (!StoredArtifacts.ready(s"$store/graph"))
+        writeHnswIndex(e.where(pmod(col("vec_id"), lit(2L)) === 0), store,
+          shards = 2)
+      if (!StoredArtifacts.ready(s"$store/seg_odd"))
+        appendHnswSegment(e.where(pmod(col("vec_id"), lit(2L)) === 1), store,
+          "odd", shards = 2)
+      val queries = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qvec"))
+      probeHnsw(s, store, queries, k = 10, ef = 64)
+        .where(col("q_id") =!= col("vec_id"))
+    },
+    None) // approximate candidate set: rows-only check + HnswAnnSpec gates
+
+  val queries: Seq[GQuery] = Seq(x127, x128, x132)
 }

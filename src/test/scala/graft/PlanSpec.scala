@@ -419,6 +419,66 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x123/x126 graph census: degree side tables broadcast, fact scanned once per edge build") {
+    // the graph family's contract: node-sized degree tables join the edge
+    // list as BROADCAST sides (never a shuffled sort-merge of edges vs a
+    // tiny side), and the lineitem fact feeds each query through the ONE
+    // grouped edge build — triangle/wedge joins run over derived id pairs,
+    // not re-scans of the facts
+    for (name <- Seq("x123_triangle_census", "x126_link_prediction")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect()
+      val nodes = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      val bhj = nodes.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, s"$name: degree side tables must broadcast")
+      val scans = nodes.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      // the edge build scans lineitem once; Spark may plan the shared
+      // edge subtree as up to a handful of (orderkey, partkey)-pruned
+      // re-scans, but every scan must be pruned to the two join columns
+      scans.foreach { sc =>
+        val cols = sc.schema.fieldNames.toSet
+        assert(cols.subsetOf(Set("l_orderkey", "l_partkey")),
+          s"$name: edge-build scan must prune to (l_orderkey, l_partkey), read $cols")
+      }
+    }
+  }
+
+  test("x124/x130 pregel supersteps: iterations read checkpoints, not the facts") {
+    // the iterative graph ops sever lineage per superstep — the FINAL
+    // executed plan must contain NO file scan at all (rank/label tables
+    // and the edge table are checkpoint RDD scans after iteration 1)
+    for (name <- Seq("x124_copurchase_pagerank", "x130_label_propagation")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect()
+      val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.isEmpty,
+        s"$name: the last superstep must read checkpointed tables only " +
+          s"(${scans.size} file scans)")
+    }
+  }
+
+  test("x128 hnsw probe: no embeddings-corpus file scan beyond the index read") {
+    // the stored-graph serving contract: after the first-touch build, a
+    // probe reads the INDEX parquet (and the tiny query-side fetch), never
+    // the corpus table for scoring — scores come from vectors stored in
+    // the graph rows
+    val df = SparkEntry.queries("x128_ann_hnsw_stored")(spark, sf001)
+    df.collect()
+    val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val corpusScans = scans.filter(
+      _.metadata.get("Location").exists(_.contains("embeddings.parquet")))
+    // one query-side fetch (vec_id < 8) is the only corpus touch allowed
+    assert(corpusScans.size <= 1,
+      s"probe must score from the stored graph, not the corpus " +
+        s"(${corpusScans.size} embeddings scans)")
+  }
+
   test("plan fingerprints are stable across independent plan constructions") {
     // the bench artifact's adjudication premise: two builds of the same
     // registry query — fresh expression ids, fresh checkpoint RDD ids —

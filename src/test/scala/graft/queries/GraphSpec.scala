@@ -65,7 +65,8 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val got = Graph.linkPrediction(li, topN = 100).collect()
+    // candN=500 covers every sf0.001 node — the unrestricted semantics
+    val got = Graph.linkPrediction(li, candN = 500, topN = 100).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val (ua, ub, n, j) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
@@ -74,6 +75,19 @@ class GraphSpec extends SparkSpec {
       val common = (adj(ua) & adj(ub)).size.toLong
       assert(n == common, s"common($ua,$ub)")
       assert(j == 1000L * common / (adj(ua).size + adj(ub).size - common))
+    }
+    // a REAL candidate restriction: endpoints confined to the top-20
+    // degree set, but common-neighbor counts stay exact (centers range
+    // over all nodes)
+    val top20 = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(20).map(_._1).toSet
+    val restricted = Graph.linkPrediction(li, candN = 20, topN = 100).collect()
+    assert(restricted.nonEmpty)
+    restricted.foreach { r =>
+      val (ua, ub, n, _) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(top20(ua) && top20(ub), s"($ua,$ub) must be candidate-confined")
+      assert(n == (adj(ua) & adj(ub)).size.toLong,
+        s"restricted common($ua,$ub) must stay exact")
     }
   }
 
@@ -127,6 +141,75 @@ class GraphSpec extends SparkSpec {
     core.foreach { case (n, d) =>
       assert(coreAdj(n).size >= 3)
       assert(d == coreAdj(n).size.toLong)
+    }
+  }
+
+  test("x133: association rules match driver-computed support/confidence/lift") {
+    val baskets = li.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val n = baskets.size.toLong
+    val itemN = baskets.values.flatten.groupBy(identity)
+      .map { case (i, xs) => i -> xs.size.toLong }
+    val pairN = baskets.values.toSeq
+      .flatMap(s => s.toSeq.flatMap(a => s.toSeq.filter(_ != a).map(b => (a, b))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val got = Graph.associationRules(li, minSup = 2, topN = 100).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b, nab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nab == pairN((a, b)) && nab >= 2)
+      assert(r.getLong(3) == 1000000L * nab / n, "supp_micro")
+      assert(r.getLong(4) == 1000L * nab / itemN(a), "conf_milli")
+      assert(r.getLong(5) == 1000L * nab * n / (itemN(a) * itemN(b)), "lift_milli")
+    }
+    // ranked by lift: the list is non-increasing
+    val lifts = got.map(_.getLong(5)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
+  test("x134: MAD anomaly flags match a driver-side robust z-score") {
+    val ev = graft.Tables(spark, sf001, "events")
+    val got = Events.dailyVolumeAnomaly(ev).collect()
+    val daily = got.map(r => r.getTimestamp(0) -> r.getLong(1))
+    assert(daily.nonEmpty)
+    val counts = daily.map(_._2).toSeq
+    def rankSel(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted(((sorted.size * 50 + 99) / 100 - 1).toInt)
+    }
+    val med = rankSel(counts)
+    val mad = rankSel(counts.map(c => math.abs(c - med)))
+    got.foreach { r =>
+      assert(r.getLong(2) == med)
+      assert(r.getLong(3) == mad)
+      assert(r.getBoolean(4) == (math.abs(r.getLong(1) - med) > 3 * mad))
+    }
+  }
+
+  test("x135: histogram quantile estimate within one bucket of the exact quantile") {
+    val ev = graft.Tables(spark, sf001, "events")
+    val got = Events.histogramQuantiles(ev).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(50L, 90L, 99L))
+    val values = ev.select("value").collect().map(_.getDouble(0))
+    val width = (values.max - values.min) / 1000.0
+    got.foreach { r =>
+      val (est, exact) = (r.getDouble(1), r.getDouble(2))
+      assert(est >= exact - 1e-12 && est <= exact + width + 1e-12,
+        s"p${r.getLong(0)}: sketch $est must bracket exact $exact within one bucket")
+    }
+  }
+
+  test("x137: EWMA equals the driver-side sequential recurrence") {
+    val ev = graft.Tables(spark, sf001, "events")
+    val got = Events.ewmaDailyVolume(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(got.length > 1)
+    assert(got.map(_._1.getTime).toSeq == got.map(_._1.getTime).sorted.toSeq)
+    var s = -1L
+    got.foreach { case (_, n, e) =>
+      s = if (s < 0) n else (7L * s + n) / 8L
+      assert(e == s)
     }
   }
 

@@ -106,6 +106,74 @@ class HnswAnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("x132 incremental append: delta serves immediately, base untouched, idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-inc").toString
+    val e = graft.Tables(spark, sf001, "embeddings")
+    HnswAnn.writeHnswIndex(e.where(pmod(col("vec_id"), lit(2L)) === 0), dir, shards = 2)
+    val baseFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/graph"))
+        .iterator().asScala.map(p =>
+          p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    HnswAnn.appendHnswSegment(e.where(pmod(col("vec_id"), lit(2L)) === 1), dir,
+      "odd", shards = 2)
+    // base segment files are byte-for-byte untouched by the append
+    import scala.jdk.CollectionConverters._
+    val afterFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/graph"))
+      .iterator().asScala.map(p =>
+        p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .toMap
+    assert(afterFiles == baseFiles, "append must never reopen the base segment")
+    // every id serves: an odd (delta) query finds itself at sim ~ 1
+    val q = Seq((1L, corpus(1L)), (2L, corpus(2L))).toDF("q_id", "qvec")
+    val hits = HnswAnn.probeHnsw(spark, dir, q, k = 5, ef = 64).collect()
+      .groupBy(_.getLong(0))
+    for (id <- Seq(1L, 2L)) {
+      val self = hits(id).find(_.getLong(1) == id)
+      assert(self.isDefined && self.get.getDouble(2) > 0.999999,
+        s"query $id must find itself through its segment")
+    }
+    // union coverage: segments partition the corpus
+    val ids = Seq("graph", "seg_odd").flatMap(seg =>
+      spark.read.parquet(s"$dir/$seg").select("vec_id").collect().map(_.getLong(0)))
+    assert(ids.sorted == corpus.keys.toSeq.sorted)
+    // idempotent re-delivery: re-appending the same batch changes nothing
+    val before = HnswAnn.probeHnsw(spark, dir, q, k = 5, ef = 64).collect().toSeq
+    HnswAnn.appendHnswSegment(e.where(pmod(col("vec_id"), lit(2L)) === 1), dir,
+      "odd", shards = 2)
+    val after = HnswAnn.probeHnsw(spark, dir, q, k = 5, ef = 64).collect().toSeq
+    assert(before == after)
+  }
+
+  test("compaction folds deltas into one base; rebuild is deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-cmp").toString
+    val e = graft.Tables(spark, sf001, "embeddings")
+    HnswAnn.writeHnswIndex(e.where(pmod(col("vec_id"), lit(2L)) === 0), dir, shards = 2)
+    HnswAnn.appendHnswSegment(e.where(pmod(col("vec_id"), lit(2L)) === 1), dir,
+      "odd", shards = 2)
+    HnswAnn.compactHnswIndex(spark, dir, shards = 4)
+    // deltas gone, one base left, coverage intact
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    assert(dirs == Seq("graph"), s"compaction must leave only the base, got $dirs")
+    val ids = spark.read.parquet(s"$dir/graph").select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == corpus.keys.toSeq.sorted)
+    // the compacted index serves, and a SECOND compaction (same union,
+    // deterministic build) leaves probe results bit-identical
+    val q = Seq((1L, corpus(1L)), (4L, corpus(4L))).toDF("q_id", "qvec")
+    val a = HnswAnn.probeHnsw(spark, dir, q, k = 5, ef = 64).collect().toSeq
+    assert(a.nonEmpty)
+    HnswAnn.compactHnswIndex(spark, dir, shards = 4)
+    val b = HnswAnn.probeHnsw(spark, dir, q, k = 5, ef = 64).collect().toSeq
+    assert(a == b, "re-compaction of an already-compacted index must be a fixed point")
+  }
+
   test("x127 kNN graph: k=5 rows per node, exact scores, recall vs brute pairs") {
     val sub = graft.Tables(spark, sf001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-knn").toString
