@@ -168,8 +168,16 @@ object Graph {
     * iters cached node-sized tables are bounded by the node count, not
     * the corpus.
     */
-  def pagerank(li: DataFrame, iters: Int): DataFrame = {
-    val e = copurchaseEdges(li)
+  def pagerank(li: DataFrame, iters: Int): DataFrame =
+    pagerankOnEdges(copurchaseEdges(li), iters)
+      .select(col("node").as("part"), col("rank").as("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("part"))
+
+  /** The integer-PageRank superstep loop over ANY undirected edge list
+    * `(pa, pb)` — node type agnostic (x124 ranks part ids; x138 ranks
+    * words). Returns (node, rank) unordered.
+    */
+  private[queries] def pagerankOnEdges(e: DataFrame, iters: Int): DataFrame = {
     val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -200,8 +208,7 @@ object Graph {
       ranks = next
     }
     dropCheckpoint(withDeg)
-    ranks.select(col("node").as("part"), col("rank").as("rank_micros"))
-      .orderBy(col("rank_micros").desc, col("part"))
+    ranks
   }
 
   /** DuckDB oracle: the same eight integer supersteps, unrolled as
@@ -578,5 +585,66 @@ object Graph {
     (s, dir) => associationRules(lineitem(s, dir), minSup = 2, topN = 100),
     Some(rulesOracle))
 
-  val queries: Seq[GQuery] = Seq(x123, x124, x126, x129, x130, x131, x133)
+  /** Bounded multi-source BFS: hop distance from the SEED node (smallest
+    * part id — deterministic) to every node within `hops` hops — the
+    * blast-radius / reachability query (dependency impact, contamination
+    * spread). Frontier expansion as iterated relational min-distance:
+    * dist_k = min(dist_{k-1}, 1 + dist of any in-neighbor) — each round
+    * is one edge⋈frontier join + a min-aggregate, the Pregel SSSP
+    * superstep. The frontier table is ≤ node-sized and broadcast; rounds
+    * are checkpointed and superseded generations dropped (the x124
+    * hygiene). Unreached nodes are absent (no sentinel row), matching
+    * the oracle's semantics exactly.
+    */
+  def hopDistance(li: DataFrame, hops: Int): DataFrame = {
+    val e = copurchaseEdges(li)
+    val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .coalesce(8).localCheckpoint(true)
+    var frontier = e.agg(min(col("pa")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+      .coalesce(1).localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val next = frontier
+        .unionAll(directed.join(broadcast(frontier), col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .coalesce(1).localCheckpoint(true)
+      dropCheckpoint(frontier)
+      frontier = next
+    }
+    dropCheckpoint(directed)
+    frontier.select(col("node").as("part"), col("dist"))
+      .orderBy("part")
+  }
+
+  private def hopOracle(hops: Int): String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey),
+         e AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst FROM e0
+           UNION ALL SELECT pb AS src, pa AS dst FROM e0),
+         f0 AS (SELECT MIN(pa) AS node, CAST(0 AS BIGINT) AS dist FROM e0)"""
+    val steps = (1 to hops).map { i =>
+      s"""f$i AS MATERIALIZED (
+           SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM f${i - 1}
+             UNION ALL
+             SELECT e.dst AS node, f.dist + 1 AS dist
+             FROM e JOIN f${i - 1} f ON e.src = f.node)
+           GROUP BY node)"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS part, CAST(dist AS BIGINT) AS dist FROM f$hops ORDER BY part"
+  }
+
+  private val x139 = GQuery(
+    "x139_hop_distance", "ext-graph bfs reachability",
+    (s, dir) => hopDistance(lineitem(s, dir), hops = 4),
+    Some(hopOracle(4)))
+
+  val queries: Seq[GQuery] = Seq(x123, x124, x126, x129, x130, x131, x133, x139)
 }

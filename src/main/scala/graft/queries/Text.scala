@@ -1224,8 +1224,65 @@ object Text {
     },
     None) // iterative driver-coordinated trainer: gated by UnigramSpec
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
+    * keywords = the top-PageRank words of the adjacent-word co-occurrence
+    * graph — the unsupervised keyword baseline production tagging
+    * pipelines run before anything learned. Composition is the point:
+    * the word graph is x99's bigram machinery (adjacent pairs, one
+    * explode) collapsed to canonical undirected edges, and the ranking
+    * is x124's INTEGER PageRank loop reused verbatim via
+    * [[Graph.pagerankOnEdges]] — node-type-agnostic supersteps, so the
+    * exact hash-verifiable arithmetic carries over to string nodes
+    * unchanged. Four supersteps; top-50 by (rank, word).
+    */
+  def textrankKeywords(d: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val bg = d.select(split(col("text"), " ").as("w"))
+      .select(posexplode(col("w")).as(Seq("i", "a")), col("w"))
+      .where(col("i") < size(col("w")) - 1)
+      .select(col("a"), expr("w[i + 1]").as("b"))
+      .where(col("a") =!= col("b"))
+    val edges = bg.select(least(col("a"), col("b")).as("pa"),
+      greatest(col("a"), col("b")).as("pb")).distinct()
+    Graph.pagerankOnEdges(edges, iters)
+      .select(col("node").as("word"), col("rank").as("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("word"))
+      .limit(topK)
+  }
+
+  private def textrankOracle(iters: Int): String = {
+    val head =
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT w[i] AS a, w[i + 1] AS b
+                FROM d, unnest(range(1, len(w))) r(i)
+                WHERE w[i] <> w[i + 1]),
+         e0 AS MATERIALIZED (
+           SELECT DISTINCT LEAST(a, b) AS pa, GREATEST(a, b) AS pb FROM bg),
+         e AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst FROM e0
+           UNION ALL SELECT pb AS src, pa AS dst FROM e0),
+         deg AS MATERIALIZED (
+           SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+           SELECT e.dst AS node,
+             150000 + (850 * CAST(SUM(r.rank // g.outdeg) AS BIGINT)) // 1000 AS rank
+           FROM e JOIN r${i - 1} r ON e.src = r.node
+                  JOIN deg g ON g.src = e.src
+           GROUP BY 1)"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS word, CAST(rank AS BIGINT) AS rank_micros FROM r$iters " +
+      "ORDER BY rank_micros DESC, word LIMIT 50"
+  }
+
+  private val x138 = GQuery(
+    "x138_textrank_keywords", "ext-text keyword-extraction textrank",
+    (s, dir) => textrankKeywords(docs(s, dir), iters = 4, topK = 50),
+    Some(textrankOracle(4)))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113)
+      x110, x113, x138)
 }

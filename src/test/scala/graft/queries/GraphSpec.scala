@@ -213,6 +213,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("x139: hop distances equal a driver-side BFS from the same seed") {
+    val edges = Graph.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seed = edges.map(_._1).min
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to 4) {
+      val grown = dist.toSeq.flatMap { case (n, d) => adj(n).map(_ -> (d + 1)) }
+      dist = (dist.toSeq ++ grown).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val got = Graph.hopDistance(li, hops = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+    assert(got(seed) == 0L && got.values.exists(_ > 0))
+  }
+
+  test("x138: textrank reuses the integer pagerank supersteps on the word graph") {
+    val d = graft.Tables(spark, sf001, "documents")
+    val got = Text.textrankKeywords(d, iters = 4, topK = 50).collect()
+    // sf0.001's soup vocabulary is ~31 words — smaller than topK
+    assert(got.nonEmpty && got.length <= 50)
+    // ranks respect the teleport floor and arrive sorted
+    val ranks = got.map(_.getLong(1)).toSeq
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks == ranks.sorted.reverse)
+    // deterministic across runs (checkpointed supersteps)
+    val again = Text.textrankKeywords(d, iters = 4, topK = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(again == got.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("x125: CMS estimate dominates the exact count; identical keys collide consistently") {
     val ev = graft.Tables(spark, sf001, "events")
     val got = Events.cmsFrequency(ev, depth = 4, hexChars = 2).collect()
