@@ -1,0 +1,230 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized-view rewrite: answer day-grain aggregates over the `events`
+  * fact table from a tiny pre-aggregated daily summary instead of the fact
+  * scan — the classic OLAP aggregate-navigator / `OPTIMIZE ... MATERIALIZED
+  * VIEW` rewrite (Goldstein & Larson, SIGMOD'01 scope: single-table,
+  * grain-compatible, algebraic aggregates), expressed as a session-local
+  * Catalyst rule on `spark.experimental.extraOptimizations`.
+  *
+  * At 100 TB the fact table is the cost center: a dashboard's daily rollup
+  * re-reads billions of rows to produce a few thousand groups. The summary
+  * (day x event_type, one row per group) answers the same query from
+  * kilobytes, and because every supported aggregate is algebraic —
+  * count = sum(cnt), sum = sum(sum_value), min = min(min_value),
+  * max = max(max_value) — any COARSER grouping (day only, type only, global)
+  * re-aggregates from the same summary, so one artifact serves the whole
+  * rollup lattice above its grain.
+  *
+  * Soundness over convenience — the rule rewrites ONLY when it can prove
+  * bit-identical results, and otherwise leaves the plan untouched:
+  *
+  *  - the scan must be exactly the registered fact path (a different scale
+  *    factor's `events.parquet` does not match its summary);
+  *  - groupings must map into {date_trunc('day', ts), event_type} — a
+  *    finer grain (hour, user_id) cannot be served and is left alone;
+  *  - every aggregate call must be one of the four algebraic shapes above;
+  *    `sum` must be the engine's exact decimal(18,2) money sum (a raw
+  *    double sum is partition-order-dependent, so "identical results" is
+  *    not even well-defined for it — unmatched by design);
+  *  - filters may reference only `event_type` (day-aligned predicates are
+  *    future work; a predicate on raw `ts` or `value` disables the rewrite);
+  *  - anything left referencing a fact column after mapping aborts the
+  *    whole rewrite (one unmappable expression keeps the original plan).
+  *
+  * Output attribute ids are preserved by re-aliasing each output expression
+  * under its original `exprId`, so parent operators above the Aggregate are
+  * untouched; the summary relation is instantiated fresh per rewrite
+  * ([[LogicalRelation.newInstance]]) so two rewrites in one plan (e.g. a
+  * self-join of rollups) cannot collide on attribute ids. The rewrite
+  * cannot re-fire on its own output (the summary scan is not the fact
+  * path), so the rule is idempotent under the fixed-point batch.
+  *
+  * Freshness is the caller's contract, as for every stored artifact in this
+  * engine ([[graft.StoredArtifacts]] re-keys on fixture change;
+  * [[graft.streaming.DashboardStream]] shows the streaming maintenance
+  * side). Reference anchor: the five Grafana panels (msconvert.json) are
+  * precisely such rollups re-run on refresh — this rule is how the engine
+  * serves them without re-scanning the fact table.
+  */
+final case class SummaryRewrite(
+    factPath: String,
+    summary: LogicalRelation) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  // ------------------------------------------------------------------ match
+  private def isFactScan(lr: LogicalRelation): Boolean = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.exists(p => p.toUri.getPath == factPath)
+    case _ => false
+  }
+
+  /** Strip projections and collect filter conditions down to the fact scan.
+    *
+    * Projections are not only column pruning here: the optimizer's
+    * PullOutGroupingExpressions batch (which runs BEFORE user-provided
+    * rules) rewrites `groupBy(date_trunc(...))` into an Aggregate over a
+    * Project that aliases the grouping expression as `_groupingexpression`.
+    * Each deterministic alias is therefore recorded as a substitution
+    * (attribute id -> defining expression, composed through stacked
+    * projects) so the caller can inline it back before matching; a
+    * non-deterministic alias aborts.
+    *
+    * @return (filter conditions, alias substitution, fact relation)
+    */
+  private def stripToFact(
+      p: LogicalPlan,
+      conds: Seq[Expression] = Nil,
+      subst: Map[Long, Expression] = Map.empty)
+      : Option[(Seq[Expression], Map[Long, Expression], LogicalRelation)] =
+    p match {
+      case Project(pl, c) if pl.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.deterministic
+            case _ => false
+          } =>
+        val here = pl.collect { case a: Alias => a.exprId.id -> a.child }.toMap
+        // Upper substitutions may reference aliases defined in THIS project;
+        // inline so every recorded expression is in terms of lower output.
+        val composed = subst.view.mapValues(_.transformUp {
+          case ar: AttributeReference if here.contains(ar.exprId.id) =>
+            here(ar.exprId.id)
+        }).toMap
+        stripToFact(c, conds, composed ++ here)
+      case Filter(cond, c) => stripToFact(c, conds :+ cond, subst)
+      case lr: LogicalRelation if isFactScan(lr) => Some((conds, subst, lr))
+      case _ => None
+    }
+
+  private def attrOf(out: Seq[AttributeReference], name: String): Option[AttributeReference] =
+    out.find(_.name == name)
+
+  private def isDayTrunc(fmt: Expression): Boolean =
+    fmt.foldable && Option(fmt.eval()).exists(_.toString.equalsIgnoreCase("day"))
+
+  private val money = DecimalType(18, 2)
+
+  // ---------------------------------------------------------------- rewrite
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (rawConds, subst, fact) <- stripToFact(agg.child)
+      tsA <- attrOf(fact.output, "ts")
+      etA <- attrOf(fact.output, "event_type")
+      vA <- attrOf(fact.output, "value")
+      inst = summary.newInstance()
+      sDay <- attrOf(inst.output, "day")
+      sEt <- attrOf(inst.output, "event_type")
+      sCnt <- attrOf(inst.output, "cnt")
+      sSum <- attrOf(inst.output, "sum_value")
+      sMin <- attrOf(inst.output, "min_value")
+      sMax <- attrOf(inst.output, "max_value")
+      rewritten <- {
+        // Inline PullOutGroupingExpressions / withColumn aliases so the
+        // shapes below are matched against fact-table expressions.
+        def inline(e: Expression): Expression = e.transformUp {
+          case ar: AttributeReference if subst.contains(ar.exprId.id) =>
+            subst(ar.exprId.id)
+        }
+        val groupings = agg.groupingExpressions.map(inline)
+        val aggExprs = agg.aggregateExpressions.map(ne => inline(ne) match {
+          case n: NamedExpression => n
+          case other => Alias(other, ne.name)(ne.exprId)
+        })
+        val conds = rawConds.map(inline)
+
+        // Every aggregate call in the output must be one of the four
+        // algebraic shapes — checked up front because the top-down
+        // transform below cannot veto a subtree it has already entered.
+        def supported(ae: AggregateExpression): Boolean = ae match {
+          case AggregateExpression(f, Complete, false, None, _) => f match {
+            case Count(Seq(l: Literal)) => l.value != null
+            case Sum(Cast(a: AttributeReference, dt, _, _), _) =>
+              a.semanticEquals(vA) && dt == money
+            case Min(a: AttributeReference) => a.semanticEquals(vA)
+            case Max(a: AttributeReference) => a.semanticEquals(vA)
+            case _ => false
+          }
+          case _ => false
+        }
+        val aggsOk = aggExprs.forall(
+          _.collect { case ae: AggregateExpression => ae }.forall(supported))
+
+        // Top-down: a supported AggregateExpression is replaced wholesale
+        // (its new child references only summary attributes, so recursion
+        // finds nothing further); grouping-compatible scalars map 1:1.
+        val remap: PartialFunction[Expression, Expression] = {
+          case ae @ AggregateExpression(f, Complete, false, None, _) =>
+            val nf = f match {
+              case Count(Seq(_: Literal)) => Sum(sCnt)
+              case Sum(Cast(a: AttributeReference, dt, _, _), _)
+                  if a.semanticEquals(vA) && dt == money => Sum(sSum)
+              case Min(a: AttributeReference) if a.semanticEquals(vA) => Min(sMin)
+              case Max(a: AttributeReference) if a.semanticEquals(vA) => Max(sMax)
+              case other => other
+            }
+            if (nf eq f) ae else ae.copy(aggregateFunction = nf)
+          case TruncTimestamp(fmt, t: AttributeReference, _)
+              if isDayTrunc(fmt) && t.semanticEquals(tsA) => sDay
+          case a: AttributeReference if a.semanticEquals(etA) => sEt
+        }
+
+        val newGroup = groupings.map(_.transformDown(remap))
+        val newAggs: Seq[NamedExpression] = aggExprs.map { ne =>
+          ne.transformDown(remap) match {
+            case a: Alias => a // transform preserves the alias exprId
+            case ar: AttributeReference if ar.exprId == ne.exprId => ar
+            case other => Alias(other, ne.name)(ne.exprId)
+          }
+        }
+        val newConds = conds.map(_.transformDown(remap))
+
+        val outputSet = inst.outputSet
+        val mapped = aggsOk &&
+          newGroup.forall(_.references.subsetOf(outputSet)) &&
+          newAggs.forall(_.references.subsetOf(outputSet)) &&
+          newConds.forall(c => c.deterministic && c.references.subsetOf(outputSet))
+
+        if (!mapped) None
+        else {
+          val child = newConds.foldLeft(inst: LogicalPlan)((p, c) => Filter(c, p))
+          Some(Aggregate(newGroup, newAggs, child, None))
+        }
+      }
+    } yield rewritten
+  }
+}
+
+object SummaryRewrite {
+
+  /** Install (or refresh) the rewrite for `factPath` -> summary at `mvPath`
+    * on this session's experimental optimizer hook. Replaces any prior
+    * SummaryRewrite so re-installation under a new scale factor or a
+    * rebuilt summary never leaves a stale rule behind.
+    */
+  def install(spark: SparkSession, factPath: String, mvPath: String): Unit = {
+    val rel = spark.read.parquet(mvPath).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(sys.error(s"summary at $mvPath did not plan as a file scan"))
+    val norm = new org.apache.hadoop.fs.Path(factPath).toUri.getPath
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SummaryRewrite]) :+
+        SummaryRewrite(norm, rel)
+  }
+
+  /** Remove the rewrite (spec hygiene; serving sessions keep it). */
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SummaryRewrite])
+}

@@ -1285,8 +1285,52 @@ object CorpusOps {
               (k - 1) * COUNT(*) AS n_excess
             FROM c GROUP BY k ORDER BY k"""))
 
+  // Weighted sampling without replacement, per stratum: Efraimidis-Spirakis
+  // A-ES — each document draws key u^(1/w) (u uniform, w = its weight) and
+  // the k largest keys per language ARE a weighted sample without
+  // replacement. One pass, no rejection loop, no global RNG state: the
+  // uniform is the x42 discipline's content-independent reproducible coin,
+  // here a pure-integer LCG mix of doc_id expressible identically in both
+  // engines (md5 hex gives no numeric value DuckDB and Spark can both
+  // exponentiate). Weight = n_chars: longer documents proportionally more
+  // likely — the "sample by token mass, not doc count" correction every
+  // mixture builder needs (x29/x82's proportions assume it).
+  //
+  // Scale shape: a narrow projection computes the key, then one per-lang
+  // top-k. Spark 4 plans the rank-filter window with WindowGroupLimit, so
+  // each input partition forwards at most k rows per lang to the exchange
+  // — the same bounded-shuffle shape as c33's custom GroupedTopK operator,
+  // via the built-in path. Nothing else shuffles; text never moves.
+  private val x143 = GQuery(
+    "x143_weighted_sample", "ext-text weighted-reservoir-sampling",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("key").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(1073741824L))
+            .cast("double") / lit(1073741824.0)).as("u"))
+        .withColumn("key", pow(col("u"), lit(1.0) / col("n_chars").cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+              CAST((doc_id * 1103515245 + 12345) % 1073741824 AS DOUBLE)
+                / 1073741824.0 AS u
+            FROM documents),
+            r AS (SELECT lang, doc_id, n_chars,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC,
+                               doc_id) AS rank
+                  FROM t)
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+            FROM r WHERE rank <= 5 ORDER BY lang, rank"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
-      x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122)
+      x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143)
 }
 

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{GQuery, StoredArtifacts, Tables}
+import graft.functions.ZOrder
+import graft.plans.SummaryRewrite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lakehouse-layout and serving-acceleration operators: the Z-order
+  * clustering key as a first-class verified query, and the materialized-view
+  * rewrite serving path ([[graft.plans.SummaryRewrite]]).
+  *
+  * Reference anchor: the reference's dashboards re-run fixed rollups on
+  * every refresh (grafana msconvert.json panels) over an append-only fact
+  * history — exactly the workload a summary table + rewrite rule serves
+  * without re-scanning the fact table, and exactly the multi-dimension scan
+  * profile (filters on either of two id columns) Z-order layout accelerates.
+  */
+object Lakehouse {
+
+  // ------------------------------------------------------------------- x140
+  // Z-order (Morton) clustering key, verified bit-for-bit: interleave
+  // l_orderkey/l_partkey and roll up per coarse z-bucket. The per-bucket
+  // min/max spans ARE the row-group zone maps a z-sorted write produces:
+  // each bucket covers a bounded rectangle in (orderkey, partkey) space, so
+  // a narrow predicate on EITHER column prunes most buckets
+  // (PartitionedWriteSpec measures the pruning on real row groups; this
+  // query pins the key arithmetic against the oracle's unrolled bit terms).
+  //
+  // The raw keys are first scaled into a common 10-bit range (the
+  // scaladoc's "bucket the raw values first" — raw l_orderkey spans ~16x
+  // more bits than l_partkey, so raw interleaving would let one dimension
+  // monopolize the high bits). The scaling bound is a 1-row broadcast
+  // aggregate; at 100 TB it comes from table stats instead — same plan.
+  //
+  // Scale shape: the key is 10 codegen'd mask-shift terms — a narrow
+  // projection fused into the scan after a broadcast of the 1-row bound;
+  // the rollup is one hash exchange on the 64-value bucket id. At 100 TB
+  // the same key feeds `repartitionByRange(zvalue).sortWithinPartitions`
+  // on write — layout cost is one range shuffle, amortized over every
+  // later scan. The k_bounded/p_bounded output columns carry the proof:
+  // every bucket's span is at most 1/8 of EACH dimension's range (+1 for
+  // integer-division slack), which is exactly why a narrow predicate on
+  // either column can skip most row groups.
+  private val zBits = 10
+  private val zShift = 14 // keep top 3 interleaved bits per dim: 8x8 grid
+
+  private def zOracleTerms(a: String, b: String): String =
+    (0 until zBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+
+  private val x140 = GQuery(
+    "x140_zorder_key", "ext-layout zorder-clustering",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("k"),
+          col("l_partkey").cast("long").as("p"))
+      val bound = li.agg(max(col("k")).as("mk"), max(col("p")).as("mp"))
+      li.crossJoin(broadcast(bound))
+        .withColumn("ks", expr("k * 1024 div (mk + 1)"))
+        .withColumn("ps", expr("p * 1024 div (mp + 1)"))
+        .withColumn("z", ZOrder.zvalue(col("ks"), col("ps"), zBits))
+        .groupBy(shiftright(col("z"), zShift).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"),
+          expr("(max(k) - min(k)) <= (max(mk) + 1) div 8 + 1").as("k_bounded"),
+          expr("(max(p) - min(p)) <= (max(mp) + 1) div 8 + 1").as("p_bounded"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH src AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+                            CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+             m AS (SELECT MAX(k) AS mk, MAX(p) AS mp FROM src),
+             sc AS (SELECT k, p, (k * 1024) // (mk + 1) AS ks,
+                      (p * 1024) // (mp + 1) AS ps, mk, mp FROM src, m),
+             zed AS (SELECT k, p, mk, mp, ${zOracleTerms("ks", "ps")} AS z FROM sc)
+             SELECT z >> $zShift AS bucket, COUNT(*) AS n,
+               MIN(k) AS min_k, MAX(k) AS max_k,
+               MIN(p) AS min_p, MAX(p) AS max_p,
+               (MAX(k) - MIN(k)) <= (MAX(mk) + 1) // 8 + 1 AS k_bounded,
+               (MAX(p) - MIN(p)) <= (MAX(mp) + 1) // 8 + 1 AS p_bounded
+             FROM zed GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x141
+  // Materialized-view serving: the day-grain rollup the dashboards refresh,
+  // answered through SummaryRewrite from a (day x event_type) summary table
+  // instead of the fact scan. The registry fn builds the summary on first
+  // touch (StoredArtifacts keying: a changed fixture re-builds), installs
+  // the rule, and runs the USER query against the raw fact table — the
+  // rewrite, not the caller, routes it to the summary. The oracle computes
+  // from raw events, so the hash match certifies the rewrite end-to-end:
+  // summary build + plan rewrite + re-aggregation ≡ direct aggregation.
+  // SummaryRewriteSpec additionally pins that the optimized plan really
+  // scans the summary (not events) and that out-of-scope queries are left
+  // untouched.
+  //
+  // All aggregates are the algebraic set {count, decimal money-sum, min,
+  // max} plus ratios of them (avg = sum/count), so the SAME summary serves
+  // every coarser grouping; sums go through decimal(18,2) (the engine's
+  // moneySum discipline) making them partition-order-exact — which is what
+  // lets the rewrite promise bit-identical results at all.
+  /** Build (day, event_type) -> (cnt, sum_value dec(18,2), min, max). */
+  def buildEventsDailySummary(s: SparkSession, dir: String, out: String): Unit =
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .coalesce(1) // day x type cardinality: tiny by construction
+      .write.mode("overwrite").parquet(out)
+
+  /** The user-facing daily rollup (runs against the raw fact table; the
+    * installed rule decides whether a summary can serve it).
+    */
+  def dailyRollup(ev: DataFrame): DataFrame = {
+    val moneySum = sum(col("value").cast(DecimalType(18, 2))).cast("double")
+    ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        moneySum.as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        round(moneySum / count(lit(1)), 4).as("avg_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Ensure the summary artifact exists and the rewrite is installed for
+    * `dir`'s events table; returns the summary path.
+    */
+  def ensureMv(s: SparkSession, dir: String): String = {
+    val mv = StoredArtifacts.dir(dir, "mv_events_daily_v1")
+    if (!StoredArtifacts.ready(mv)) buildEventsDailySummary(s, dir, mv)
+    SummaryRewrite.install(s, s"$dir/events.parquet", mv)
+    mv
+  }
+
+  private val x141 = GQuery(
+    "x141_mv_rollup", "ext-serving materialized-view-rewrite",
+    (s, dir) => {
+      ensureMv(s, dir)
+      dailyRollup(Tables(s, dir, "events"))
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              MIN(value) AS min_value, MAX(value) AS max_value,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+                AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val queries: Seq[GQuery] = Seq(x140, x141)
+}

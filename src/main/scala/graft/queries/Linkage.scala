@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Record-linkage / fuzzy-matching operators over `documents`: the three
+  * classic sub-quadratic blocking schemes, each verified end-to-end against
+  * an exact relational oracle.
+  *
+  *  - x142: FastSS deletion-neighborhood blocking for edit-distance joins
+  *    (Bocek et al., "Fast Similarity Search in Large Dictionaries", 2007)
+  *  - x145: shingle-containment join (Broder's containment coefficient —
+  *    the ASYMMETRIC near-dup measure Jaccard misses: a document pasted
+  *    inside a bigger one scores low Jaccard but containment ~1)
+  *  - x146: sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95)
+  *
+  * Scale design: none of the three ever forms the quadratic pair space.
+  * Blocking emits O(n · block_width) candidate rows keyed so the verify
+  * join is an equi-join; verification (levenshtein / set intersection)
+  * touches only candidates. This is the standard entity-resolution shape
+  * at 100 TB: block -> equi-shuffle -> verify narrow.
+  */
+object Linkage {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  // ------------------------------------------------------------------- x142
+  // Edit-distance <= 1 self-join over the corpus vocabulary via FastSS:
+  // each token emits itself plus its |t| single-character deletions; two
+  // tokens within edit distance 1 (Levenshtein: substitution OR indel)
+  // necessarily share a variant, so an equi-join on the variant string
+  // finds every true pair (completeness), and a levenshtein() check on the
+  // O(candidates) join output removes the false ones (e.g. "abc"/"acb"
+  // share variant "ac" but are distance 2 — blocking is complete, not
+  // sound, hence the verify).
+  //
+  // Scale shape: a vocabulary of V tokens of length <= L emits <= V(L+1)
+  // variant rows — linear, vs the V² cross join the oracle (safely
+  // restricted by |len diff| <= 1, which ed <= 1 implies) pays; the join
+  // key is the variant string, so skew concentrates on short popular
+  // variants — bounded here by the length >= 4 floor. Verification is a
+  // narrow per-row levenshtein on candidates only.
+  //
+  // The fixture vocabulary is 30 synthetic words with NO natural
+  // distance-1 pairs, so the query plants one deterministic typo per
+  // doc_id residue — a deletion ("tabl"), an insertion ("scann"), and a
+  // substitution ("quary") — and must link each to its source word: the
+  // x34 plant-then-detect discipline, covering all three edit kinds.
+  private def plantTypos(text: org.apache.spark.sql.Column) =
+    concat(text,
+      when(pmod(col("doc_id"), lit(5)) === 1, lit(" tabl"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit(" scann"))
+        .when(pmod(col("doc_id"), lit(5)) === 3, lit(" quary"))
+        .otherwise(lit("")))
+
+  private val x142 = GQuery(
+    "x142_fuzzy_join", "ext-linkage fastss-edit-distance-join",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(split(lower(plantTypos(col("text"))), "[^a-z]+")).as("tok"))
+        .where(length(col("tok")).between(4, 20))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val vocab = toks.localCheckpoint(true) // one scan; reused on both sides
+      // tok + its single-deletion variants, tagged with deletion depth
+      val variants = vocab.select(col("tok"),
+          explode(concat(array(col("tok")),
+            expr("transform(sequence(1, length(tok)), " +
+              "i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1)))")))
+            .as("variant"))
+        .distinct() // a token with repeated chars yields duplicate variants
+      val cands = variants.as("a")
+        .join(variants.as("b"), Seq("variant"))
+        .where(col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("t1"), col("b.tok").as("t2"))
+        .distinct()
+      cands
+        .where(levenshtein(col("t1"), col("t2")) <= 1)
+        .join(vocab.select(col("tok").as("t1"), col("freq").as("f1")), "t1")
+        .join(vocab.select(col("tok").as("t2"), col("freq").as("f2")), "t2")
+        .select(col("t1"), col("t2"), col("f1"), col("f2"))
+        .orderBy("t1", "t2")
+    },
+    Some("""WITH planted AS (
+              SELECT text || CASE doc_id % 5
+                WHEN 1 THEN ' tabl' WHEN 2 THEN ' scann'
+                WHEN 3 THEN ' quary' ELSE '' END AS text
+              FROM documents),
+            toks AS (
+              SELECT tok, COUNT(*) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+                FROM planted)
+              WHERE length(tok) BETWEEN 4 AND 20 GROUP BY tok)
+            SELECT a.tok AS t1, b.tok AS t2, a.freq AS f1, b.freq AS f2
+            FROM toks a JOIN toks b
+              ON b.tok > a.tok
+             AND length(b.tok) BETWEEN length(a.tok) - 1 AND length(a.tok) + 1
+            WHERE levenshtein(a.tok, b.tok) <= 1
+            ORDER BY t1, t2"""))
+
+  // ------------------------------------------------------------------- x145
+  // Containment join: for ordered doc pairs sharing word-3-gram shingles,
+  // containment(a in b) = |Sa ∩ Sb| / |Sa|. Jaccard (x05) is symmetric and
+  // punishes size mismatch; containment is the measure for "this document
+  // IS that snippet, wrapped in boilerplate" — the dominant duplication
+  // mode in scraped training corpora (quote inclusion, template wrap).
+  //
+  // Shingles appearing in more than MaxDf documents are dropped on BOTH
+  // sides (operator semantics, mirrored in the oracle): boilerplate
+  // shingles otherwise create quadratic hot blocks while carrying no
+  // identity signal — the standard common-shingle cutoff.
+  //
+  // Scale shape: explode to (shingle, doc) pairs, one equi-shuffle on the
+  // shingle, per-pair intersection counts by hash aggregation; the df cap
+  // bounds every shingle's contribution to <= MaxDf² pairs. Candidate pairs
+  // (sharing >= 1 rare shingle) are the only pairs ever materialized.
+  private val MaxDf = 50
+
+  private val x145 = GQuery(
+    "x145_containment_join", "ext-linkage shingle-containment",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(split(lower(text), '[^a-z]+')) - 3, 0)), " +
+            "i -> concat_ws(' ', slice(split(lower(text), '[^a-z]+'), i, 3)))"))
+          .as("shingle"))
+        .where(length(col("shingle")) > 0)
+        .distinct()
+        .localCheckpoint(true)
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= MaxDf)
+      val kept = sh.join(rare.select("shingle"), "shingle")
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = kept.as("a").join(kept.as("b"), Seq("shingle"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+          (col("inter").cast("double") / least(col("sz1"), col("sz2")).cast("double"))
+            .as("containment"))
+        .where(col("containment") >= 0.5)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH sh AS (
+               SELECT DISTINCT doc_id, shingle FROM (
+                 SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+                     i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
+                 FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '[^a-z]+') AS toks
+                       FROM documents))
+               WHERE length(shingle) > 0),
+             rare AS (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING COUNT(*) <= $MaxDf),
+             kept AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+             inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                       FROM kept a JOIN kept b USING (shingle)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+             SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2,
+               CAST(inter AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE)
+                 AS containment
+             FROM inter
+             JOIN sizes s1 ON s1.doc_id = d1
+             JOIN sizes s2 ON s2.doc_id = d2
+             WHERE CAST(inter AS DOUBLE) / CAST(least(s1.sz, s2.sz) AS DOUBLE) >= 0.5
+             ORDER BY d1, d2"""))
+
+  // ------------------------------------------------------------------- x146
+  // Sorted-neighborhood blocking WITHIN key blocks: records are blocked on
+  // a cheap normalized key (first 8 normalized chars), sorted inside each
+  // block, and only pairs within `Win` positions of each other in the
+  // block's sort order are verified — O(n log n + n·w) candidates vs O(n²).
+  //
+  // The window is PARTITIONED by the block key (the Hernandez-Stolfo
+  // multi-pass refinement): an unpartitioned global-sort lead() would
+  // collapse Spark's window into one partition — the single-partition
+  // bottleneck this engine never ships. Blocked, the exchange is a normal
+  // hash shuffle on the key, every block's neighborhood scan runs in
+  // parallel, and at 100 TB block skew is bounded by the key's prefix
+  // entropy (lengthen the key or add a second pass with a different key —
+  // the standard multi-pass SNM — if a block outgrows an executor).
+  //
+  // Verify = levenshtein of the 24-char normalized prefixes <= 3
+  // (near-identical openings — the scraped-corpus "same article,
+  // different tail" signature).
+  private val Win = 2
+
+  private val x146 = GQuery(
+    "x146_sorted_neighborhood", "ext-linkage sorted-neighborhood",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("norm"), col("doc_id"))
+      val keyed = docs(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24)
+            .as("norm"))
+        .withColumn("key", substring(col("norm"), 1, 8))
+      val paired = (1 to Win).map { d =>
+        keyed
+          .withColumn("doc2", lead(col("doc_id"), d).over(w))
+          .withColumn("norm2", lead(col("norm"), d).over(w))
+          .where(col("doc2").isNotNull)
+      }.reduce(_ unionByName _)
+      paired
+        .where(levenshtein(col("norm"), col("norm2")) <= 3)
+        .select(col("doc_id").as("d1"), col("doc2").as("d2"),
+          levenshtein(col("norm"), col("norm2")).cast("long").as("dist"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH keyed AS (
+               SELECT doc_id,
+                 substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+                   AS norm,
+                 substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 8)
+                   AS key
+               FROM documents),
+             pos AS (SELECT doc_id, norm, key,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY norm, doc_id) AS rn
+                     FROM keyed),
+             cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.norm AS n1,
+                        b.norm AS n2
+                      FROM pos a JOIN pos b
+                        ON a.key = b.key
+                       AND b.rn > a.rn AND b.rn <= a.rn + $Win)
+             SELECT d1, d2, levenshtein(n1, n2) AS dist
+             FROM cand WHERE levenshtein(n1, n2) <= 3
+             ORDER BY d1, d2"""))
+
+  val queries: Seq[GQuery] = Seq(x142, x145, x146)
+}

@@ -461,5 +461,71 @@ object Retrieval {
     },
     None) // iterative float training: gated by GloveSpec
 
-  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58, x59, x83, x99, x112)
+  // Interpolated Kneser-Ney smoothing over the x47 bigram table — the
+  // production n-gram LM estimator (Kneser & Ney 1995; Chen & Goodman 1999
+  // found interpolated KN the strongest fixed-discount variant):
+  //
+  //   P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)
+  //                 + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/T)
+  //
+  // with discount D = 0.75, N1+(w1·) = distinct successors of w1,
+  // N1+(·w2) = distinct predecessors of w2 (the CONTINUATION count — how
+  // many contexts w2 completes, not how often it occurs: the insight that
+  // makes "Francisco" rare outside "San"), T = total distinct bigram
+  // types. Closed-form from four count tables — no iteration, so unlike
+  // the trained models (x80/x112) this one is fully oracle-checkable; the
+  // arithmetic mirrors the oracle's expression tree exactly (IEEE ops in
+  // the same order), the engine's no-transcendentals discipline.
+  //
+  // Scale shape: the same single explode as x47 feeds four hash
+  // aggregations (pair, prefix totals+successor types together, predecessor
+  // types, and the scalar T as a 1-row broadcast); all joins after the
+  // aggregations are on already-aggregated (vocabulary-sized) tables, the
+  // w1-keyed ones sharing one clustering. Token text shuffles only as
+  // (bigram, partial count) — map-side combine does the heavy lifting.
+  private val x144 = GQuery(
+    "x144_kneser_ney", "ext-text ngram-lm-smoothing",
+    (s, dir) => {
+      val bg = docBigrams(docs(s, dir))
+      val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // one explode feeds everything below
+      val prefix = pair.groupBy(col("w1"))
+        .agg(sum(col("c")).cast("long").as("c_prefix"),
+          count(lit(1)).as("n_fwd"))
+      val cont = pair.groupBy(col("w2")).agg(count(lit(1)).as("n_back"))
+      val types = pair.agg(count(lit(1)).as("t"))
+      val d = lit(0.75)
+      pair.where(col("c") >= 10)
+        .join(prefix, "w1")
+        .join(cont, "w2")
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("c"), col("c_prefix"),
+          col("n_fwd"), col("n_back"),
+          (greatest(col("c").cast("double") - d, lit(0.0))
+              / col("c_prefix").cast("double")
+            + (d * col("n_fwd").cast("double") / col("c_prefix").cast("double"))
+              * (col("n_back").cast("double") / col("t").cast("double")))
+            .as("p_kn"))
+        .orderBy("w1", "w2")
+    },
+    Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+            bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+                   FROM d, unnest(range(1, len(w))) r(i)),
+            pair AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+            prefix AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c_prefix,
+                         COUNT(*) AS n_fwd FROM pair GROUP BY w1),
+            cont AS (SELECT w2, COUNT(*) AS n_back FROM pair GROUP BY w2),
+            types AS (SELECT COUNT(*) AS t FROM pair)
+            SELECT p.w1, p.w2, p.c, f.c_prefix, f.n_fwd, b.n_back,
+              greatest(CAST(p.c AS DOUBLE) - 0.75, 0.0)
+                  / CAST(f.c_prefix AS DOUBLE)
+                + (0.75 * CAST(f.n_fwd AS DOUBLE) / CAST(f.c_prefix AS DOUBLE))
+                  * (CAST(b.n_back AS DOUBLE) / CAST(t.t AS DOUBLE)) AS p_kn
+            FROM pair p
+            JOIN prefix f USING (w1)
+            JOIN cont b USING (w2)
+            CROSS JOIN types t
+            WHERE p.c >= 10 ORDER BY p.w1, p.w2"""))
+
+  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58, x59, x83, x99, x112, x144)
 }

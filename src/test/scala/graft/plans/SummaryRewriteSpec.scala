@@ -1,0 +1,139 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.queries.Lakehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized-view rewrite gates: (a) rewritten plans really scan the
+  * summary and not the fact table, (b) results are bit-identical to the
+  * un-rewritten plan for every supported shape including coarser rollups
+  * and event_type filters, (c) out-of-scope queries are provably left
+  * untouched.
+  */
+class SummaryRewriteSpec extends SparkSpec {
+
+  private lazy val mvPath: String = Lakehouse.ensureMv(spark, sf001)
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  /** Root paths of every file scan in the optimized plan (the printed plan
+    * elides paths, so the pin inspects the relations structurally).
+    */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+
+  private def scansSummary(df: DataFrame): Boolean = {
+    val ps = scanPaths(df)
+    ps.nonEmpty && ps.forall(_.contains("mv_events_daily_v1"))
+  }
+
+  private def scansFactOnly(df: DataFrame): Boolean = {
+    val ps = scanPaths(df)
+    ps.nonEmpty && ps.forall(p =>
+      p.endsWith("events.parquet") && !p.contains("mv_events_daily_v1"))
+  }
+
+  private def withRuleOff[A](body: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_.isInstanceOf[SummaryRewrite])
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def assertSameRows(df: => DataFrame): Unit = {
+    val on = df.collect().toSeq
+    val off = withRuleOff(df.collect().toSeq)
+    assert(on == off, "rewrite changed results")
+  }
+
+  private def events: DataFrame = Tables(spark, sf001, "events")
+  private def moneySum = sum(col("value").cast(DecimalType(18, 2)))
+
+  test("day x type rollup is served from the summary, bit-identically") {
+    mvPath // force install
+    val q = Lakehouse.dailyRollup(events)
+    assert(scansSummary(q), planString(q))
+    assertSameRows(Lakehouse.dailyRollup(events))
+  }
+
+  test("coarser grains reuse the same summary: day-only, type-only, global") {
+    mvPath
+    val byDay = events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), moneySum.cast("double").as("s"))
+      .orderBy("day")
+    val byType = events.groupBy(col("event_type"))
+      .agg(max(col("value")).as("mx"), min(col("value")).as("mn"))
+      .orderBy("event_type")
+    val global = events.agg(count(lit(1)).as("n"), moneySum.cast("double").as("s"))
+    for (q <- Seq(byDay, byType, global)) assert(scansSummary(q), planString(q))
+    assertSameRows(events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), moneySum.cast("double").as("s")).orderBy("day"))
+    assertSameRows(events.groupBy(col("event_type"))
+      .agg(max(col("value")).as("mx"), min(col("value")).as("mn"))
+      .orderBy("event_type"))
+    assertSameRows(events.agg(count(lit(1)).as("n"), moneySum.cast("double").as("s")))
+  }
+
+  test("event_type filters map onto the summary") {
+    mvPath
+    val q = events.where(col("event_type").isin("view", "click"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+    assert(scansSummary(q), planString(q))
+    assertSameRows(events.where(col("event_type").isin("view", "click"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).orderBy("event_type"))
+  }
+
+  test("out-of-scope shapes keep the fact scan") {
+    mvPath
+    // finer grain
+    val hourly = events.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    // non-mapped grouping column
+    val byUser = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // unsupported aggregate (order-dependent double sum)
+    val rawSum = events.groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+    // unsupported filter column
+    val valFilter = events.where(col("value") > 10)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    // count over a nullable-semantics column (not count(1))
+    val countCol = events.groupBy(col("event_type"))
+      .agg(count(col("user_id")).as("n"))
+    for (q <- Seq(hourly, byUser, rawSum, valFilter, countCol))
+      assert(scansFactOnly(q), planString(q))
+  }
+
+  test("a different scale factor's events table does not match this summary") {
+    mvPath // installed for sf001
+    val other = Tables(spark, "/root/testdata/sf0.01", "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(scansFactOnly(other), planString(other))
+  }
+
+  test("rewrite survives composition: ratio-of-aggregates and sql path") {
+    mvPath
+    Tables.views(spark, sf001, Seq("events"))
+    val q = spark.sql(
+      """SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_v
+         FROM events GROUP BY event_type ORDER BY event_type""")
+    assert(scansSummary(q), planString(q))
+    val on = q.collect().toSeq
+    val off = withRuleOff(spark.sql(
+      """SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_v
+         FROM events GROUP BY event_type ORDER BY event_type""").collect().toSeq)
+    assert(on == off)
+  }
+}
