@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CorpusOps, Dedup, Events, Extended, Graph, HnswAnn, Lakehouse, Linkage, Multimodal, Relational, Retrieval, Similarity, Text, Tpch, TpchMore}
+import graft.queries.{CorpusOps, Dedup, Events, Extended, Graph, HnswAnn, Lakehouse, Linkage, Multimodal, Relational, Retrieval, Similarity, Spectral, Text, Tpch, TpchMore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,7 +18,8 @@ object SparkEntry {
       TpchMore.queries ++ Dedup.queries ++
       Similarity.queries ++ Text.queries ++ CorpusOps.queries ++
       Retrieval.queries ++ Events.queries ++ Multimodal.queries ++
-      Graph.queries ++ HnswAnn.queries ++ Lakehouse.queries ++ Linkage.queries
+      Graph.queries ++ HnswAnn.queries ++ Lakehouse.queries ++
+      Linkage.queries ++ Spectral.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.1's minimum slice: the reference's "conversions per hour"

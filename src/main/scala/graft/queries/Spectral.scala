@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import graft.operators.Pca
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spectral / dimensionality-reduction operators over the `embeddings`
+  * table: exact PCA (covariance eigendecomposition, [[graft.operators.Pca]])
+  * and a Johnson-Lindenstrauss random projection — the two standard
+  * pre-ANN compaction steps (PCA feeds OPQ-style rotations; JL projection
+  * is the cheap oblivious alternative when no training pass is affordable).
+  */
+object Spectral {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  // ------------------------------------------------------------------- x147
+  // PCA: fit top-8 axes, project the corpus through the plan-literal
+  // mat-vec kernel, and report per-axis (eigenvalue, projected variance,
+  // explained-variance ratio) in milli-units. The defining identity of PCA
+  // — the variance of the data PROJECTED onto axis i equals eigenvalue i —
+  // is thus computed two ways (driver eigensolve vs distributed projection
+  // aggregate) and lands in adjacent columns; PcaSpec pins their agreement
+  // plus orthonormality, trace, and reconstruction-optimality gates.
+  // Approximate/iterative float pipeline => no SQL oracle (rows-only
+  // check), the x112/x80 discipline.
+  //
+  // Scale shape: fit = one treeAggregate pass (d² partials, no rows to the
+  // driver); projection = narrow fused mat-vec; the variance rollup
+  // shuffles 8 doubles per input partition (partial aggregation). Nothing
+  // quadratic in n anywhere.
+  private val R = 8
+
+  private val x147 = GQuery(
+    "x147_pca_embeddings", "ext-spectral pca",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val m = Pca.fit(e, "embedding", R)
+      val projVar = e
+        .select(posexplode(Pca.projectCol(col("embedding"), m)).as(Seq("pos", "c")))
+        .groupBy(col("pos"))
+        .agg((avg(col("c") * col("c")) - avg(col("c")) * avg(col("c"))).as("pvar"))
+      val model = (0 until R).map(i =>
+        (i, math.round(m.eigenvalues(i) * 1000),
+          math.round(m.explainedRatio(i) * 1000)))
+        .toDF("pos", "lambda_milli", "evr_milli")
+      projVar.join(broadcast(model), "pos")
+        .select(col("pos").cast("long").as("comp"),
+          col("lambda_milli"), round(col("pvar") * 1000, 0).cast("long").as("pvar_milli"),
+          col("evr_milli"))
+        .orderBy("comp")
+    },
+    None) // float eigensolve: gated by PcaSpec (variance≡eigenvalue, orthonormality, optimality)
+
+  // ------------------------------------------------------------------- x148
+  // Johnson-Lindenstrauss random projection, EXACT-verifiable: embeddings
+  // are first quantized to integer milli-units, and the projection matrix
+  // is a deterministic ±1 sign pattern — the parity of md5(dim_axis), the
+  // x42 reproducible-coin discipline (a LINEAR integer hash mod 2 is NOT a
+  // coin: parity of i·odd + j·odd is parity(i+j), a rank-1 sign matrix
+  // that collapses all axes onto one direction — found the hard way, now
+  // pinned by SpectralSpec's rank/distortion gates). Every projected
+  // coordinate is an INTEGER sum: order-independent, and the DuckDB oracle
+  // reproduces it bit-for-bit (the engine's no-float-reassociation
+  // discipline applied to matrix multiply; Achlioptas 2003 showed ±1
+  // entries suffice for JL). The spec additionally checks the JL property
+  // itself: norms and pairwise distances survive the 64→8 compression.
+  //
+  // Scale shape: pure narrow per-row arithmetic (transform+aggregate over
+  // the vector, 8 output sums), fused in one projection over the scan —
+  // zero shuffle, zero state; the "matrix" never exists anywhere. The
+  // in-plan md5 costs d·r hashes per row — fine here and fully
+  // SQL-portable; the production form precomputes the r sign vectors
+  // driver-side once and ships them as plan literals (matVecLit), hashing
+  // nothing per row.
+  private val JlR = 8
+
+  private def jlTerm(j: Int): String =
+    s"aggregate(transform(sequence(0, size(mi) - 1), " +
+      s"i -> element_at(mi, i + 1) * (case when substring(md5(concat(cast(i as string), '_$j')), 1, 1) " +
+      s"in ('0','2','4','6','8','a','c','e') then 1 else -1 end)), " +
+      s"0L, (acc, x) -> acc + x)"
+
+  private val x148 = GQuery(
+    "x148_random_projection", "ext-spectral jl-projection",
+    (s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+          .as("mi"))
+      base.select(col("vec_id") +:
+          (0 until JlR).map(j => expr(jlTerm(j)).as(s"y$j")): _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      val ys = (0 until JlR).map { j =>
+        s"""CAST(list_sum(list_transform(range(0, len(mi)),
+             i -> mi[i + 1] * (CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_$j'), 1, 1)
+               IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END))) AS BIGINT) AS y$j"""
+      }.mkString(",\n               ")
+      s"""WITH q AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mi
+             FROM embeddings)
+           SELECT vec_id,
+               $ys
+           FROM q ORDER BY vec_id"""
+    })
+
+  val queries: Seq[GQuery] = Seq(x147, x148)
+}
