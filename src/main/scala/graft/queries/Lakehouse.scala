@@ -101,15 +101,36 @@ object Lakehouse {
   // every coarser grouping; sums go through decimal(18,2) (the engine's
   // moneySum discipline) making them partition-order-exact — which is what
   // lets the rewrite promise bit-identical results at all.
-  /** Build (day, event_type) -> (cnt, sum_value dec(18,2), min, max). */
-  def buildEventsDailySummary(s: SparkSession, dir: String, out: String): Unit =
-    Tables(s, dir, "events")
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+  /** (day, event_type) -> (cnt, sum_value dec(18,2), min, max): the ONE
+    * definition of the summary grain and schema, shared by the batch build
+    * below, the SummaryRewrite matcher's expectations, and the streaming
+    * incremental maintainer ([[graft.streaming.MvMaintainStream]], which
+    * runs this same aggregation per micro-batch and algebraically merges —
+    * the schemas cannot drift apart because they are this function).
+    */
+  def summarize(ev: DataFrame): DataFrame =
+    ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
           .as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+
+  /** Algebraic merge of summary rows (current generation ∪ fresh partials)
+    * back to one row per group: count adds, sum adds, min/max fold — the
+    * closure property that makes the summary incrementally maintainable
+    * at O(summary + batch) instead of a full fact re-scan.
+    */
+  def mergeSummaries(parts: DataFrame): DataFrame =
+    parts.groupBy(col("day"), col("event_type"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"),
+        sum(col("sum_value")).cast(DecimalType(18, 2)).as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+
+  /** Build (day, event_type) -> (cnt, sum_value dec(18,2), min, max). */
+  def buildEventsDailySummary(s: SparkSession, dir: String, out: String): Unit =
+    summarize(Tables(s, dir, "events"))
       .coalesce(1) // day x type cardinality: tiny by construction
       .write.mode("overwrite").parquet(out)
 
