@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream analytics beyond windowed aggregation: ordered-funnel
   * attribution over the `events` table, and the generator-function battery
@@ -787,6 +788,141 @@ object Events {
               FROM w JOIN r ON r.i = w.i + 1)
             SELECT day, n, ewma FROM w ORDER BY day"""))
 
+  // ------------------------------------------------------------------- x149
+  // Winsorization: clamp each event's value into its type's [p05, p95]
+  // band — the standard heavy-tail guard before averaging/training (clip,
+  // don't drop: the row count is load-bearing for ratio metrics). Exact
+  // percentiles here (the c24-proven percentile ≡ quantile_cont parity);
+  // at 100 TB the bounds come from approx_percentile or a merged t-digest
+  // — one line changed, the clip is identical.
+  //
+  // Scale shape: one aggregation computes both bounds per type (a
+  // handful of rows), broadcast back onto the fact scan; the clip is a
+  // narrow projection and the audit rollup partial-aggregates. The fact
+  // table is scanned twice (bounds pass + clip pass) — inherent to any
+  // data-dependent clamp; the bounds pass reads two columns only.
+  private val x149 = GQuery(
+    "x149_winsorize", "ext-events robust-clipping",
+    (s, dir) => {
+      val bounds = events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      events(s, dir)
+        .join(broadcast(bounds), "event_type")
+        .select(col("event_type"), col("value"), col("lo"), col("hi"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).cast("long")
+            .as("n_clipped_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).cast("long")
+            .as("n_clipped_high"),
+          sum(col("w").cast(DecimalType(18, 2))).cast("double").as("sum_w"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type,
+                         quantile_cont(value, 0.05) AS lo,
+                         quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY event_type),
+            w AS (SELECT e.event_type, e.value, b.lo, b.hi,
+                    least(greatest(e.value, b.lo), b.hi) AS w
+                  FROM events e JOIN b USING (event_type))
+            SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clipped_low,
+              CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clipped_high,
+              CAST(SUM(CAST(w AS DECIMAL(18,2))) AS DOUBLE) AS sum_w,
+              MIN(w) AS min_w, MAX(w) AS max_w
+            FROM w GROUP BY event_type ORDER BY event_type"""))
+
+  // ------------------------------------------------------------------- x150
+  // Robust outlier detection via median/MAD (Iglewicz-Hoaglin modified
+  // z-score): z = 0.6745·(v − median)/MAD, flag |z| > 3.5. Unlike the
+  // mean/stddev z-score (x134's band), median and MAD have a 50%
+  // breakdown point — the outliers being hunted cannot drag the fence,
+  // which is the entire point of a data-quality monitor. Two dependent
+  // percentile passes (median, then median of |v − med|) — irreducible
+  // for exact MAD; same approx-sketch swap as x149 at scale. The z
+  // arithmetic mirrors the oracle's expression tree exactly.
+  //
+  // Scale shape: two small per-type aggregations broadcast back; the flag
+  // is a narrow projection; only flagged rows (rare by construction)
+  // reach the output sort.
+  private val x150 = GQuery(
+    "x150_mad_outliers", "ext-events robust-outliers",
+    (s, dir) => {
+      val med = events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = events(s, dir)
+        .join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      events(s, dir)
+        .join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          (lit(0.6745) * (col("value") - col("med")) / col("mad")).as("z"))
+        .where(abs(col("z")) > 3.5)
+        .orderBy("event_id")
+    },
+    Some("""WITH med AS (SELECT event_type,
+                           quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY event_type),
+            mad AS (SELECT e.event_type, m.med,
+                      quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                    FROM events e JOIN med m USING (event_type)
+                    GROUP BY e.event_type, m.med)
+            SELECT e.event_id, e.event_type, e.value,
+              0.6745 * (e.value - d.med) / d.mad AS z
+            FROM events e JOIN mad d USING (event_type)
+            WHERE abs(0.6745 * (e.value - d.med) / d.mad) > 3.5
+            ORDER BY e.event_id"""))
+
+  // ------------------------------------------------------------------- x151
+  // Sequential-pattern mining, order 3: frequent CONSECUTIVE event-type
+  // trigrams along each user's timeline — the n-gram extension of x115's
+  // Markov transition matrix (bigrams tell you the next step; trigrams
+  // expose the paths: view→click→purchase vs view→click→view is the
+  // difference between a funnel and a bounce). Consecutive-only is the
+  // deliberate scope: general gapped subsequences (PrefixSpan) explode
+  // combinatorially and need a growth-pruning search, while contiguous
+  // n-grams are one window pass — the right first tool on an event log.
+  //
+  // Scale shape: ONE hash exchange on user_id, one sort within it; both
+  // lead() columns ride the same window frame (one WindowExec). The
+  // trigram count then partial-aggregates — only (t1,t2,t3) triples (type
+  // cardinality cubed, tiny) cross the second exchange. The min-support
+  // floor mirrors association-rule mining's (x133) support threshold.
+  private val x151 = GQuery(
+    "x151_frequent_paths", "ext-events sequential-patterns",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .where(col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("support"),
+          countDistinct(col("user_id")).as("n_users"))
+        .where(col("support") >= 20)
+        .orderBy(desc("support"), col("t1"), col("t2"), col("t3"))
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type AS t1,
+                lead(event_type, 1) OVER w AS t2,
+                lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, COUNT(*) AS support,
+              COUNT(DISTINCT user_id) AS n_users
+            FROM seq WHERE t3 IS NOT NULL
+            GROUP BY t1, t2, t3 HAVING COUNT(*) >= 20
+            ORDER BY support DESC, t1, t2, t3"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
-    x114, x115, x116, x117, x118, x125, x134, x135, x137)
+    x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151)
 }
