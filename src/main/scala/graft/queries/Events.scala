@@ -908,7 +908,7 @@ object Events {
         .groupBy(col("t1"), col("t2"), col("t3"))
         .agg(count(lit(1)).as("support"),
           countDistinct(col("user_id")).as("n_users"))
-        .where(col("support") >= 20)
+        .where(col("support") >= 5)
         .orderBy(desc("support"), col("t1"), col("t2"), col("t3"))
     },
     Some("""WITH seq AS (
@@ -920,7 +920,7 @@ object Events {
             SELECT t1, t2, t3, COUNT(*) AS support,
               COUNT(DISTINCT user_id) AS n_users
             FROM seq WHERE t3 IS NOT NULL
-            GROUP BY t1, t2, t3 HAVING COUNT(*) >= 20
+            GROUP BY t1, t2, t3 HAVING COUNT(*) >= 5
             ORDER BY support DESC, t1, t2, t3"""))
 
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,

@@ -494,4 +494,57 @@ class PlanSpec extends SparkSpec {
       assert(a != "err" && a.length == 16, s"$name: malformed fingerprint $a")
     }
   }
+
+  test("x151 frequent paths: both leads share one window over one user_id exchange") {
+    // pre-AQE plan: at fixture scale AQE can fold the support-filtered
+    // result to EmptyRelation, erasing the shape being pinned
+    val df = SparkEntry.queries("x151_frequent_paths")(spark, sf001)
+    val plan = df.queryExecution.sparkPlan
+    val windows = SparkSpec.allPlanNodes(plan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"t2/t3 must ride ONE WindowExec, got ${windows.size}")
+    // one window clustered on user_id = one timeline exchange; two separate
+    // WindowExecs (one per lead) would double the sort even on one exchange
+    assert(windows.head.partitionSpec.exists(_.toString.contains("user_id")),
+      s"window must partition by user_id: ${windows.head.partitionSpec}")
+    assert(windows.head.windowExpression.size == 2,
+      "both lead() columns must be evaluated by the single window")
+  }
+
+  test("x149/x150 robust stats: per-type bounds broadcast back onto the fact scan") {
+    for (name <- Seq("x149_winsorize", "x150_mad_outliers")) {
+      val plan = executedPlan(SparkEntry.queries(name)(spark, sf001)).toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: bounds must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: a tiny bounds table must never sort-merge:\n$plan")
+    }
+  }
+
+  test("x143 weighted sample: rank filter plans a group-limit before the exchange") {
+    val plan = executedPlan(
+      SparkEntry.queries("x143_weighted_sample")(spark, sf001)).toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-lang top-k must bound the shuffle via WindowGroupLimit:\n$plan")
+  }
+
+  test("x146 sorted neighborhood: the window is key-partitioned, never global") {
+    val df = SparkEntry.queries("x146_sorted_neighborhood")(spark, sf001)
+    val plan = executedPlan(df)
+    val windows = SparkSpec.allPlanNodes(plan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "lead() must be partitioned by the block key — an empty partition " +
+          "spec is the single-partition global sort this engine never ships")
+    }
+  }
+
+  test("x140 z-order rollup: scaling bound broadcasts; bucket agg has a partial phase") {
+    val plan = executedPlan(SparkEntry.queries("x140_zorder_key")(spark, sf001)).toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row max(k)/max(p) bound must broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"bucket rollup must partial-aggregate before its exchange:\n$plan")
+  }
 }
