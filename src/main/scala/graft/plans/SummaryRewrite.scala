@@ -210,8 +210,10 @@ object SummaryRewrite {
 
   /** Install (or refresh) the rewrite for `factPath` -> summary at `mvPath`
     * on this session's experimental optimizer hook. Replaces any prior
-    * SummaryRewrite so re-installation under a new scale factor or a
-    * rebuilt summary never leaves a stale rule behind.
+    * SummaryRewrite FOR THE SAME fact table — a rebuilt summary or a new
+    * generation never leaves a stale rule behind — while rules for other
+    * fact tables stay installed (one summary per fact, many facts per
+    * session; each rule's exact-path guard keeps them disjoint).
     */
   def install(spark: SparkSession, factPath: String, mvPath: String): Unit = {
     val rel = spark.read.parquet(mvPath).queryExecution.analyzed
@@ -219,8 +221,10 @@ object SummaryRewrite {
       .getOrElse(sys.error(s"summary at $mvPath did not plan as a file scan"))
     val norm = new org.apache.hadoop.fs.Path(factPath).toUri.getPath
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[SummaryRewrite]) :+
-        SummaryRewrite(norm, rel)
+      spark.experimental.extraOptimizations.filterNot {
+        case r: SummaryRewrite => r.factPath == norm
+        case _ => false
+      } :+ SummaryRewrite(norm, rel)
   }
 
   /** Remove the rewrite (spec hygiene; serving sessions keep it). */

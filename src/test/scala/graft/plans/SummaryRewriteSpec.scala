@@ -121,6 +121,28 @@ class SummaryRewriteSpec extends SparkSpec {
     assert(scansFactOnly(other), planString(other))
   }
 
+  test("two facts serve concurrently from their own summaries; same-fact reinstall replaces") {
+    mvPath // sf001 rule
+    Lakehouse.ensureMv(spark, "/root/testdata/sf0.01") // second fact's rule
+    try {
+      val q1 = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val q2 = Tables(spark, "/root/testdata/sf0.01", "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      assert(scansSummary(q1) && scansSummary(q2))
+      // each routed to its OWN summary (different artifact dirs)
+      assert(scanPaths(q1) != scanPaths(q2))
+      // reinstalling the sf001 rule replaces it, not stacks it
+      Lakehouse.ensureMv(spark, sf001)
+      val n = spark.experimental.extraOptimizations
+        .count(_.isInstanceOf[SummaryRewrite])
+      assert(n == 2, s"expected one rule per fact, got $n")
+    } finally {
+      // leave only the sf001 rule behind for the other tests
+      SummaryRewrite.uninstall(spark)
+      Lakehouse.ensureMv(spark, sf001)
+    }
+  }
+
   test("rewrite survives composition: ratio-of-aggregates and sql path") {
     mvPath
     Tables.views(spark, sf001, Seq("events"))
