@@ -92,9 +92,13 @@ object CorpusOps {
     "x35_line_dedup", "ext-dedup sub-document",
     (s, dir) => {
       def lines = docs(s, dir)
+        // toks hoisted out of the lambda: split() referenced inside a
+        // transform re-runs per element — O(tokens²) per doc (Text.scala's
+        // wordNgrams scaladoc documents the measured cost)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(split(text, ' ')), 8), " +
-            "i -> array_join(slice(split(text, ' '), i, 8), ' '))")))
+          "transform(sequence(1, size(toks), 8), " +
+            "i -> array_join(slice(toks, i, 8), ' '))")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("line"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))

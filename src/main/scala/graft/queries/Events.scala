@@ -923,6 +923,149 @@ object Events {
             GROUP BY t1, t2, t3 HAVING COUNT(*) >= 5
             ORDER BY support DESC, t1, t2, t3"""))
 
+  // ------------------------------------------------------------------- x152
+  // HyperLogLog distinct-count sketch, hash-verified AND mergeable — the
+  // x125 discipline (deterministic md5 hashing makes the approximation
+  // itself cross-engine-verifiable) applied to Flajolet's HLL:
+  //
+  //   register = first 2 md5 hex chars (m = 256); rho = 1 + leading zero
+  //   BITS of the next 8 hex chars (4·hex-zero-run + a per-char table),
+  //   capped at 33 when the whole suffix is zero. Daily sketch =
+  //   max(rho) per (day, register) — 256 tiny rows per day; the GLOBAL
+  //   sketch is max-merge over the daily ones, which is the whole point:
+  //   distinct counts don't add across days, but their HLL registers
+  //   max-fold losslessly (the same algebraic-closure argument as the
+  //   x141 summary, extended to a non-additive aggregate).
+  //
+  //   Estimate = alpha·m²/Z with Z = Σ 2^(−register). Every term is the
+  //   dyadic rational 1/(1<<rho) — EXACT in a double, computed by shift
+  //   and divide with no libm anywhere — and all partial sums stay inside
+  //   53 mantissa bits (spread ≤ 41 bits), so the float sum is
+  //   order-independent and the oracle hash-matches it bit-for-bit.
+  //   Flajolet's low-range correction (raw ≤ 2.5m ∧ V>0 → linear counting
+  //   m·ln(m/V), without which daily estimates here run ~2× high) DOES use
+  //   ln — admitted as a one-off exception to the no-transcendentals
+  //   discipline because it is finitely checkable: V is an integer in
+  //   [1,256], Java Math.log and DuckDB ln were compared bitwise on all
+  //   256 inputs (one 1-ulp divergence, at V=177), and the closest any
+  //   256·ln(256/V) comes to a rounding boundary is 5·10⁻³ — eleven
+  //   orders of magnitude above ulp noise, so round() agrees on every
+  //   reachable input.
+  //
+  // Scale shape: one scan partial-aggregates into day×256 cells; every
+  // estimate runs over sketch-sized tables. The exact countDistinct
+  // columns exist only to exhibit the error — a production pipeline
+  // stores the 256-row sketches and never recomputes exact counts.
+  private val HllM = 256
+
+  def hllDistinct(ev: DataFrame): DataFrame = {
+    val h = md5(col("user_id").cast("string"))
+    val rows = ev.select(date_trunc("day", col("ts")).as("day"),
+        col("user_id"), substring(h, 1, 2).as("reg"), substring(h, 3, 8).as("suf"))
+      .withColumn("zrun", length(regexp_extract(col("suf"), "^0*", 0)))
+      .withColumn("c", expr("substring(suf, zrun + 1, 1)"))
+      .withColumn("rho", when(col("zrun") === 8, lit(33)).otherwise(
+        lit(4) * col("zrun") + lit(1) +
+          when(col("c") === "1", 3)
+            .when(col("c").isin("2", "3"), 2)
+            .when(col("c").isin("4", "5", "6", "7"), 1)
+            .otherwise(0)))
+    val daily = rows.groupBy(col("day"), col("reg"))
+      .agg(max(col("rho")).as("mr"))
+      .localCheckpoint(true) // the stored artifact: day x 256 registers
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    def estimate(sk: DataFrame, keys: Seq[String]): DataFrame = {
+      val grouped = if (keys.isEmpty) sk.groupBy() else sk.groupBy(keys.map(col): _*)
+      grouped
+        .agg(expr("sum(cast(1 as double) / cast(shiftleft(cast(1 as bigint), mr) as double))")
+            .as("z_present"),
+          count(lit(1)).as("present"))
+        .withColumn("vzero", lit(HllM) - col("present"))
+        .withColumn("raw",
+          alpha * lit(HllM) * lit(HllM) / (col("z_present") + col("vzero")))
+        .withColumn("est_n",
+          when(col("raw") <= lit(2.5 * HllM) && col("vzero") > 0,
+            round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("vzero").cast("double")), 0))
+            .otherwise(round(col("raw"), 0))
+            .cast("long"))
+    }
+    val perDay = estimate(daily, Seq("day"))
+      .join(rows.groupBy("day").agg(countDistinct(col("user_id")).as("exact_n")), "day")
+    val merged = daily.groupBy(col("reg")).agg(max(col("mr")).as("mr"))
+    val global = estimate(merged, Nil)
+      .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact_n"))))
+      .withColumn("day", lit(null).cast("timestamp"))
+    perDay.unionByName(global.select(perDay.columns.map(col): _*))
+      .select(col("day"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("err_n"))
+      .orderBy(col("day"))
+  }
+
+  private val x152 = GQuery(
+    "x152_hll_distinct", "ext-events sketch hyperloglog mergeable",
+    (s, dir) => hllDistinct(events(s, dir)),
+    Some("""WITH r AS (
+              SELECT date_trunc('day', ts) AS day, user_id,
+                substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS reg,
+                substr(md5(CAST(user_id AS VARCHAR)), 3, 8) AS suf
+              FROM events),
+            rr AS (
+              SELECT day, user_id, reg,
+                CASE WHEN length(regexp_extract(suf, '^0*')) = 8 THEN 33
+                  ELSE 4 * length(regexp_extract(suf, '^0*')) + 1 +
+                    CASE substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1)
+                      WHEN '1' THEN 3
+                      WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1
+                      WHEN '6' THEN 1 WHEN '7' THEN 1
+                      ELSE 0 END
+                  END AS rho
+              FROM r),
+            daily AS (
+              SELECT day, reg, MAX(rho) AS mr FROM rr GROUP BY day, reg),
+            est_day AS (
+              SELECT day,
+                SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+                  AS z_present,
+                CAST(COUNT(*) AS BIGINT) AS present
+              FROM daily GROUP BY day),
+            exact_day AS (
+              SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n
+              FROM r GROUP BY day),
+            merged AS (SELECT reg, MAX(mr) AS mr FROM daily GROUP BY reg),
+            est_all AS (
+              SELECT SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+                  AS z_present,
+                CAST(COUNT(*) AS BIGINT) AS present
+              FROM merged),
+            exact_all AS (
+              SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n FROM events),
+            est_day2 AS (
+              SELECT day, 256 - present AS vzero,
+                0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                  / (z_present + (256 - present)) AS raw
+              FROM est_day),
+            est_all2 AS (
+              SELECT 256 - present AS vzero,
+                0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                  / (z_present + (256 - present)) AS raw
+              FROM est_all),
+            uni AS (
+              SELECT e.day, x.exact_n,
+                CAST(CASE WHEN e.raw <= 640.0 AND e.vzero > 0
+                  THEN round(256.0 * ln(256.0 / e.vzero), 0)
+                  ELSE round(e.raw, 0) END AS BIGINT) AS est_n
+              FROM est_day2 e JOIN exact_day x USING (day)
+              UNION ALL
+              SELECT CAST(NULL AS TIMESTAMP), x.exact_n,
+                CAST(CASE WHEN e.raw <= 640.0 AND e.vzero > 0
+                  THEN round(256.0 * ln(256.0 / e.vzero), 0)
+                  ELSE round(e.raw, 0) END AS BIGINT)
+              FROM est_all2 e CROSS JOIN exact_all x)
+            SELECT day, exact_n, est_n, est_n - exact_n AS err_n
+            FROM uni ORDER BY day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
-    x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151)
+    x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
+    x152)
 }

