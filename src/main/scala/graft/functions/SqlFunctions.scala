@@ -169,6 +169,11 @@ object SqlFunctions {
     },
     "nfc_normalize" -> { args =>
       arity("nfc_normalize", args, 1); NfcNormalize(args(0))
+    },
+    "hll_distinct" -> { args =>
+      arity("hll_distinct", args, 1)
+      HllDistinctAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), StringType)).toAggregateExpression()
     })
 
   /** Every SQL-registered kernel name (the misuse gate iterates this). */

@@ -1065,7 +1065,77 @@ object Events {
             SELECT day, exact_n, est_n, est_n - exact_n AS err_n
             FROM uni ORDER BY day"""))
 
+  // ------------------------------------------------------------------- x153
+  // The native HLL aggregate ([[graft.functions.HllDistinctAgg]] — the
+  // engine's first TypedImperativeAggregate) on the Verify surface: per
+  // event_type distinct users, estimated by the 256-byte sketch inside
+  // ObjectHashAggregate and verified BY HASH against a DuckDB oracle that
+  // re-derives the very same registers and estimator relationally — a
+  // custom imperative aggregate whose approximate output is
+  // oracle-checkable bit-for-bit, because its merge is order-free
+  // (bytewise max) and its estimator is the x152 dyadic/checked-ln
+  // arithmetic. HllAggSpec holds the operator-level gates (partitioning
+  // invariance, SQL-surface parity, aggregate ≡ relational twin).
+  //
+  // Scale shape: the whole aggregation state is 256 bytes per group —
+  // partials ship sketches, not members; contrast countDistinct's
+  // expand-and-shuffle of every (group, user) pair, present here only to
+  // exhibit the error column.
+  private val x153 = GQuery(
+    "x153_hll_by_type", "ext-events sketch custom-imperative-aggregate",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.HllAggregate.hllDistinct(col("user_id")).as("est_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"), col("est_users"),
+          (col("est_users") - col("exact_users")).as("err_users"))
+        .orderBy("event_type"),
+    Some("""WITH r AS (
+              SELECT event_type, user_id,
+                substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS reg,
+                substr(md5(CAST(user_id AS VARCHAR)), 3, 8) AS suf
+              FROM events),
+            rr AS (
+              SELECT event_type, user_id, reg,
+                CASE WHEN length(regexp_extract(suf, '^0*')) = 8 THEN 33
+                  ELSE 4 * length(regexp_extract(suf, '^0*')) + 1 +
+                    CASE substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1)
+                      WHEN '1' THEN 3
+                      WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1
+                      WHEN '6' THEN 1 WHEN '7' THEN 1
+                      ELSE 0 END
+                  END AS rho
+              FROM r),
+            sk AS (SELECT event_type, reg, MAX(rho) AS mr
+                   FROM rr GROUP BY event_type, reg),
+            est0 AS (
+              SELECT event_type,
+                SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+                  AS z_present,
+                CAST(COUNT(*) AS BIGINT) AS present
+              FROM sk GROUP BY event_type),
+            est AS (
+              SELECT event_type, 256 - present AS vzero,
+                0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                  / (z_present + (256 - present)) AS raw
+              FROM est0),
+            exact AS (
+              SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+              FROM events GROUP BY event_type)
+            SELECT x.event_type, x.exact_users,
+              CAST(CASE WHEN e.raw <= 640.0 AND e.vzero > 0
+                THEN round(256.0 * ln(256.0 / e.vzero), 0)
+                ELSE round(e.raw, 0) END AS BIGINT) AS est_users,
+              CAST(CASE WHEN e.raw <= 640.0 AND e.vzero > 0
+                THEN round(256.0 * ln(256.0 / e.vzero), 0)
+                ELSE round(e.raw, 0) END AS BIGINT) - x.exact_users AS err_users
+            FROM est e JOIN exact x USING (event_type)
+            ORDER BY x.event_type"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
-    x152)
+    x152, x153)
 }

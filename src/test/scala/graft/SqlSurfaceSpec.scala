@@ -114,7 +114,11 @@ class SqlSurfaceSpec extends SparkSpec {
       "bpe_merge_step" -> "bpe_merge_step(doc_id, 'a', 'b')",
       "bpe_apply_all" -> "bpe_apply_all(doc_id, array('a'), array('b'))",
       "hyperplane_buckets" -> "hyperplane_buckets(text, 4, 2)",
-      "nfc_normalize" -> "nfc_normalize(doc_id)")
+      "nfc_normalize" -> "nfc_normalize(doc_id)",
+      // hll_distinct casts ANY scalar to string by design (the canonical
+      // md5(CAST(x AS STRING)) input), so its misuse row is an arity
+      // violation — same analysis-time failure contract via arity()
+      "hll_distinct" -> "hll_distinct(text, text)")
     // self-enforcing completeness: registering a new kernel without adding
     // a bad-call row here must fail this gate, not silently escape it
     val registered = graft.functions.SqlFunctions.names.toSet
