@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DecimalType
@@ -61,6 +61,8 @@ final case class SummaryRewrite(
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
+      case agg @ Aggregate(_, _, ex: Expand, _) =>
+        tryRewriteExpand(agg, ex).getOrElse(agg)
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
@@ -115,6 +117,124 @@ final case class SummaryRewrite(
     fmt.foldable && Option(fmt.eval()).exists(_.toString.equalsIgnoreCase("day"))
 
   private val money = DecimalType(18, 2)
+
+  // ------------------------------------------------------- rewrite (Expand)
+  /** ROLLUP / CUBE / GROUPING SETS plan as Aggregate-over-Expand: serve the
+    * whole grouping-set lattice from the summary in ONE rewrite. Expand is
+    * linear row replication, so replicating SUMMARY rows per grouping set
+    * and re-aggregating with the algebraic substitutes (count→sum(cnt),
+    * money-sum→sum(sum_value), min/max fold) is exactly the rollup over
+    * facts — each set's groups partition the summary rows they cover.
+    *
+    * Mechanics: every Expand output position is classified as either a
+    * GROUPING position (all of its per-set expressions remap into summary
+    * attributes / literals — the nulled copies and the grouping id) or a
+    * VALUE position (every set projects the same fact measure column);
+    * value positions die (null literal — their only consumers were the
+    * aggregate calls being rewritten, which the reference check proves),
+    * and the four summary measure columns are appended pass-through to
+    * every projection row for the rewritten aggregates to consume.
+    *
+    * Known edge shared with the flat path: over an EMPTY fact table the
+    * global grouping set's count comes back null (sum over no rows) where
+    * the direct plan says 0 — the rule assumes a non-empty summary, which
+    * the builder guarantees for any non-empty fact partition.
+    */
+  private def tryRewriteExpand(agg: Aggregate, ex: Expand): Option[LogicalPlan] = {
+    for {
+      (rawConds, subst, fact) <- stripToFact(ex.child)
+      tsA <- attrOf(fact.output, "ts")
+      etA <- attrOf(fact.output, "event_type")
+      vA <- attrOf(fact.output, "value")
+      inst = summary.newInstance()
+      sDay <- attrOf(inst.output, "day")
+      sEt <- attrOf(inst.output, "event_type")
+      sCnt <- attrOf(inst.output, "cnt")
+      sSum <- attrOf(inst.output, "sum_value")
+      sMin <- attrOf(inst.output, "min_value")
+      sMax <- attrOf(inst.output, "max_value")
+      rewritten <- {
+        def inline(e: Expression): Expression = e.transformUp {
+          case ar: AttributeReference if subst.contains(ar.exprId.id) =>
+            subst(ar.exprId.id)
+        }
+        val remap: PartialFunction[Expression, Expression] = {
+          case TruncTimestamp(fmt, t: AttributeReference, _)
+              if isDayTrunc(fmt) && t.semanticEquals(tsA) => sDay
+          case a: AttributeReference if a.semanticEquals(etA) => sEt
+        }
+        val nPos = ex.output.length
+        val perPos = (0 until nPos).map(i => ex.projections.map(row => inline(row(i))))
+
+        val valuePositions = (0 until nPos).filter(i =>
+          perPos(i).forall(_.semanticEquals(vA))).toSet
+        val newGroupCols = (0 until nPos).map { i =>
+          if (valuePositions.contains(i))
+            perPos(i).map(_ => Literal.create(null, ex.output(i).dataType))
+          else perPos(i).map(_.transformDown(remap))
+        }
+        val groupOk = (0 until nPos).forall(i =>
+          newGroupCols(i).forall(_.references.subsetOf(inst.outputSet)))
+
+        val valueAttrIds = valuePositions.map(i => ex.output(i).exprId)
+        def isValueOut(a: AttributeReference): Boolean = valueAttrIds.contains(a.exprId)
+
+        def supported(ae: AggregateExpression): Boolean = ae match {
+          case AggregateExpression(f, Complete, false, None, _) => f match {
+            case Count(Seq(l: Literal)) => l.value != null
+            case Sum(Cast(a: AttributeReference, dt, _, _), _) =>
+              isValueOut(a) && dt == money
+            case Min(a: AttributeReference) => isValueOut(a)
+            case Max(a: AttributeReference) => isValueOut(a)
+            case _ => false
+          }
+          case _ => false
+        }
+        val aggsOk = agg.aggregateExpressions.forall(
+          _.collect { case ae: AggregateExpression => ae }.forall(supported))
+
+        val remapAgg: PartialFunction[Expression, Expression] = {
+          case ae @ AggregateExpression(f, Complete, false, None, _) =>
+            val nf = f match {
+              case Count(Seq(_: Literal)) => Sum(sCnt)
+              case Sum(Cast(a: AttributeReference, dt, _, _), _)
+                  if isValueOut(a) && dt == money => Sum(sSum)
+              case Min(a: AttributeReference) if isValueOut(a) => Min(sMin)
+              case Max(a: AttributeReference) if isValueOut(a) => Max(sMax)
+              case other => other
+            }
+            if (nf eq f) ae else ae.copy(aggregateFunction = nf)
+        }
+        val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+          ne.transformDown(remapAgg) match {
+            case a: Alias => a
+            case ar: AttributeReference if ar.exprId == ne.exprId => ar
+            case other => Alias(other, ne.name)(ne.exprId)
+          }
+        }
+        val newConds = rawConds.map(c => inline(c).transformDown(remap))
+
+        val newOutput = ex.output ++ Seq(sCnt, sSum, sMin, sMax)
+        val passThrough: Seq[Expression] = Seq(sCnt, sSum, sMin, sMax)
+        val newProjections = ex.projections.indices.map { r =>
+          (0 until nPos).map(i => newGroupCols(i)(r)) ++ passThrough
+        }
+
+        val outSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(newOutput)
+        val mapped = groupOk && aggsOk &&
+          agg.groupingExpressions.forall(_.references.subsetOf(outSet)) &&
+          newAggs.forall(_.references.subsetOf(outSet)) &&
+          newConds.forall(c => c.deterministic && c.references.subsetOf(inst.outputSet))
+
+        if (!mapped) None
+        else {
+          val base = newConds.foldLeft(inst: LogicalPlan)((p, c) => Filter(c, p))
+          val newExpand = Expand(newProjections, newOutput, base)
+          Some(Aggregate(agg.groupingExpressions, newAggs, newExpand, None))
+        }
+      }
+    } yield rewritten
+  }
 
   // ---------------------------------------------------------------- rewrite
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {

@@ -143,6 +143,40 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rollup/cube/grouping-sets lattices are served from the summary") {
+    mvPath
+    def rollup = events
+      .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum.cast("double").as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy(col("day"), col("event_type"))
+    def cube = events
+      .cube(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+    assert(scansSummary(rollup), planString(rollup))
+    assert(scansSummary(cube), planString(cube))
+    assertSameRows(rollup)
+    assertSameRows(cube)
+
+    Tables.views(spark, sf001, Seq("events"))
+    def gsets = spark.sql(
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(1) AS n
+         FROM events
+         GROUP BY GROUPING SETS ((date_trunc('day', ts)), (event_type), ())
+         ORDER BY day, event_type""")
+    assert(scansSummary(gsets), planString(gsets))
+    assertSameRows(gsets)
+  }
+
+  test("a finer-grain rollup keeps the fact scan") {
+    mvPath
+    val hourly = events
+      .rollup(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansFactOnly(hourly), planString(hourly))
+  }
+
   test("rewrite survives composition: ratio-of-aggregates and sql path") {
     mvPath
     Tables.views(spark, sf001, Seq("events"))
