@@ -172,5 +172,33 @@ object Lakehouse {
                 AS avg_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val queries: Seq[GQuery] = Seq(x140, x141)
+  // ------------------------------------------------------------------- x154
+  // The grouping-set lattice query the rewrite serves whole: ROLLUP(day,
+  // event_type) — per-group, per-day, and grand-total rows in one pass.
+  // With the rule installed this whole lattice reads the summary (the
+  // Expand-plan rewrite; SummaryRewriteSpec pins the routing and
+  // rule-off parity); the DuckDB oracle computes the same ROLLUP from raw
+  // events, so the hash match certifies the Expand rewrite end-to-end
+  // exactly as x141 certifies the flat one.
+  private val x154 = GQuery(
+    "x154_mv_rollup_lattice", "ext-serving materialized-view-rollup",
+    (s, dir) => {
+      ensureMv(s, dir)
+      Tables(s, dir, "events")
+        .rollup(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events
+            GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+            ORDER BY day, event_type"""))
+
+  val queries: Seq[GQuery] = Seq(x140, x141, x154)
 }
