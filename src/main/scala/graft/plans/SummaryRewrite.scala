@@ -57,7 +57,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 final case class SummaryRewrite(
     factPath: String,
-    summary: LogicalRelation) extends Rule[LogicalPlan] {
+    summary: LogicalRelation,
+    tsCol: String = "ts",
+    dimCol: String = "event_type",
+    valCol: String = "value") extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
@@ -143,12 +146,12 @@ final case class SummaryRewrite(
   private def tryRewriteExpand(agg: Aggregate, ex: Expand): Option[LogicalPlan] = {
     for {
       (rawConds, subst, fact) <- stripToFact(ex.child)
-      tsA <- attrOf(fact.output, "ts")
-      etA <- attrOf(fact.output, "event_type")
-      vA <- attrOf(fact.output, "value")
+      tsA <- attrOf(fact.output, tsCol)
+      etA <- attrOf(fact.output, dimCol)
+      vA <- attrOf(fact.output, valCol)
       inst = summary.newInstance()
       sDay <- attrOf(inst.output, "day")
-      sEt <- attrOf(inst.output, "event_type")
+      sEt <- attrOf(inst.output, dimCol)
       sCnt <- attrOf(inst.output, "cnt")
       sSum <- attrOf(inst.output, "sum_value")
       sMin <- attrOf(inst.output, "min_value")
@@ -240,12 +243,12 @@ final case class SummaryRewrite(
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
       (rawConds, subst, fact) <- stripToFact(agg.child)
-      tsA <- attrOf(fact.output, "ts")
-      etA <- attrOf(fact.output, "event_type")
-      vA <- attrOf(fact.output, "value")
+      tsA <- attrOf(fact.output, tsCol)
+      etA <- attrOf(fact.output, dimCol)
+      vA <- attrOf(fact.output, valCol)
       inst = summary.newInstance()
       sDay <- attrOf(inst.output, "day")
-      sEt <- attrOf(inst.output, "event_type")
+      sEt <- attrOf(inst.output, dimCol)
       sCnt <- attrOf(inst.output, "cnt")
       sSum <- attrOf(inst.output, "sum_value")
       sMin <- attrOf(inst.output, "min_value")
@@ -334,8 +337,16 @@ object SummaryRewrite {
     * generation never leaves a stale rule behind — while rules for other
     * fact tables stay installed (one summary per fact, many facts per
     * session; each rule's exact-path guard keeps them disjoint).
+    *
+    * The rule is generic over the fact's (time, dimension, measure)
+    * column names — events is `(ts, event_type, value)`, lineitem's
+    * revenue summary `(l_shipdate, l_returnflag, l_extendedprice)`; the
+    * summary's own measure columns are always the canonical
+    * day/cnt/sum_value/min_value/max_value (+ the fact's dim name).
     */
-  def install(spark: SparkSession, factPath: String, mvPath: String): Unit = {
+  def install(spark: SparkSession, factPath: String, mvPath: String,
+      tsCol: String = "ts", dimCol: String = "event_type",
+      valCol: String = "value"): Unit = {
     val rel = spark.read.parquet(mvPath).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
       .getOrElse(sys.error(s"summary at $mvPath did not plan as a file scan"))
@@ -344,7 +355,7 @@ object SummaryRewrite {
       spark.experimental.extraOptimizations.filterNot {
         case r: SummaryRewrite => r.factPath == norm
         case _ => false
-      } :+ SummaryRewrite(norm, rel)
+      } :+ SummaryRewrite(norm, rel, tsCol, dimCol, valCol)
   }
 
   /** Remove the rewrite (spec hygiene; serving sessions keep it). */

@@ -108,21 +108,22 @@ object Lakehouse {
     * runs this same aggregation per micro-batch and algebraically merges —
     * the schemas cannot drift apart because they are this function).
     */
-  def summarize(ev: DataFrame): DataFrame =
-    ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+  def summarize(ev: DataFrame, tsCol: String = "ts",
+      dimCol: String = "event_type", valCol: String = "value"): DataFrame =
+    ev.groupBy(date_trunc("day", col(tsCol)).as("day"), col(dimCol))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+        sum(col(valCol).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
           .as("sum_value"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
+        min(col(valCol)).as("min_value"),
+        max(col(valCol)).as("max_value"))
 
   /** Algebraic merge of summary rows (current generation ∪ fresh partials)
     * back to one row per group: count adds, sum adds, min/max fold — the
     * closure property that makes the summary incrementally maintainable
     * at O(summary + batch) instead of a full fact re-scan.
     */
-  def mergeSummaries(parts: DataFrame): DataFrame =
-    parts.groupBy(col("day"), col("event_type"))
+  def mergeSummaries(parts: DataFrame, dimCol: String = "event_type"): DataFrame =
+    parts.groupBy(col("day"), col(dimCol))
       .agg(sum(col("cnt")).cast("long").as("cnt"),
         sum(col("sum_value")).cast(DecimalType(18, 2)).as("sum_value"),
         min(col("min_value")).as("min_value"),
@@ -155,6 +156,20 @@ object Lakehouse {
     val mv = StoredArtifacts.dir(dir, "mv_events_daily_v1")
     if (!StoredArtifacts.ready(mv)) buildEventsDailySummary(s, dir, mv)
     SummaryRewrite.install(s, s"$dir/events.parquet", mv)
+    mv
+  }
+
+  /** Generic form: summary + rewrite for ANY (time, dim, measure) fact —
+    * the rule and builder are column-name-parametric, so one code path
+    * serves events' dashboards and lineitem's revenue rollups alike.
+    */
+  def ensureMvFor(s: SparkSession, dir: String, table: String, tsCol: String,
+      dimCol: String, valCol: String): String = {
+    val mv = StoredArtifacts.dir(dir, s"mv_${table}_${tsCol}_daily_v1")
+    if (!StoredArtifacts.ready(mv))
+      summarize(Tables(s, dir, table), tsCol, dimCol, valCol)
+        .coalesce(1).write.mode("overwrite").parquet(mv)
+    SummaryRewrite.install(s, s"$dir/$table.parquet", mv, tsCol, dimCol, valCol)
     mv
   }
 
@@ -200,5 +215,33 @@ object Lakehouse {
             GROUP BY ROLLUP (date_trunc('day', ts), event_type)
             ORDER BY day, event_type"""))
 
-  val queries: Seq[GQuery] = Seq(x140, x141, x154)
+  // ------------------------------------------------------------------- x155
+  // The rule generalized to a second fact table: lineitem's daily revenue
+  // rollup by return flag served from an
+  // (l_shipdate-day × l_returnflag) summary — same rule, same builder,
+  // different column names, proving the rewrite is a library feature and
+  // not an events-shaped demo. Both summaries stay installed concurrently
+  // (one rule per fact path); the oracle computes from raw lineitem.
+  private val x155 = GQuery(
+    "x155_mv_lineitem_daily", "ext-serving materialized-view-generic",
+    (s, dir) => {
+      ensureMvFor(s, dir, "lineitem", "l_shipdate", "l_returnflag", "l_extendedprice")
+      val moneySum = sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+      Tables(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          moneySum.as("revenue"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("day", "l_returnflag")
+    },
+    Some("""SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+              l_returnflag, COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue,
+              MIN(l_extendedprice) AS min_price,
+              MAX(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val queries: Seq[GQuery] = Seq(x140, x141, x154, x155)
 }

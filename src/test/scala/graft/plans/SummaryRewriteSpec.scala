@@ -169,6 +169,31 @@ class SummaryRewriteSpec extends SparkSpec {
     assertSameRows(gsets)
   }
 
+  test("generic columns: lineitem revenue rollup served from its own summary") {
+    mvPath
+    Lakehouse.ensureMvFor(spark, sf001, "lineitem",
+      "l_shipdate", "l_returnflag", "l_extendedprice")
+    try {
+      def q = Tables(spark, sf001, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+            .as("revenue"))
+        .orderBy("day", "l_returnflag")
+      val ps = scanPaths(q)
+      assert(ps.nonEmpty && ps.forall(_.contains("mv_lineitem_l_shipdate_daily_v1")), ps)
+      assertSameRows(q)
+      // the events rule is still installed and still serves its own fact
+      val ev = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      assert(scansSummary(ev), planString(ev))
+    } finally {
+      // restore the single-events-rule state the remaining tests expect
+      SummaryRewrite.uninstall(spark)
+      Lakehouse.ensureMv(spark, sf001)
+    }
+  }
+
   test("a finer-grain rollup keeps the fact scan") {
     mvPath
     val hourly = events
