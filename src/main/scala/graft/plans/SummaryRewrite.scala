@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
 
 /** Materialized-view rewrite: answer day-grain aggregates over the `events`
   * fact table from a tiny pre-aggregated daily summary instead of the fact
@@ -35,8 +35,11 @@ import org.apache.spark.sql.types.DecimalType
   *    `sum` must be the engine's exact decimal(18,2) money sum (a raw
   *    double sum is partition-order-dependent, so "identical results" is
   *    not even well-defined for it — unmatched by design);
-  *  - filters may reference only `event_type` (day-aligned predicates are
-  *    future work; a predicate on raw `ts` or `value` disables the rewrite);
+  *  - filters may reference the dimension column, or be day-aligned range
+  *    predicates on the raw time column (`ts >= <midnight>` / `ts <
+  *    <midnight>` map onto the summary's day under floor semantics — the
+  *    24 h dashboard filter; a non-aligned bound, a strict `>` /`<=` on a
+  *    boundary, or any predicate on the measure disables the rewrite);
   *  - anything left referencing a fact column after mapping aborts the
   *    whole rewrite (one unmappable expression keeps the original plan).
   *
@@ -120,6 +123,36 @@ final case class SummaryRewrite(
     fmt.foldable && Option(fmt.eval()).exists(_.toString.equalsIgnoreCase("day"))
 
   private val money = DecimalType(18, 2)
+
+  /** Literal timestamp on an exact UTC day boundary (sessions pin UTC). */
+  private def dayAligned(l: Literal): Boolean = l match {
+    case Literal(micros: Long, TimestampType) => micros % 86400000000L == 0
+    case _ => false
+  }
+
+  /** Day-aligned raw-ts range predicates map onto the summary's day
+    * column: for midnight M, `ts >= M ⟺ day(ts) >= M` and
+    * `ts < M ⟺ day(ts) < M` (floor semantics) — the 24 h / date-range
+    * dashboard filters. Strict `>` and `<=` on a boundary are NOT
+    * equivalent under the floor (ts > M excludes the instant M but keeps
+    * its day) and stay unmatched, keeping the fact scan.
+    */
+  private def tsRangeRemap(tsA: AttributeReference, sDay: AttributeReference)
+      : PartialFunction[Expression, Expression] = {
+    case GreaterThanOrEqual(t: AttributeReference, l: Literal)
+        if t.semanticEquals(tsA) && dayAligned(l) => GreaterThanOrEqual(sDay, l)
+    case LessThan(t: AttributeReference, l: Literal)
+        if t.semanticEquals(tsA) && dayAligned(l) => LessThan(sDay, l)
+    case LessThanOrEqual(l: Literal, t: AttributeReference)
+        if t.semanticEquals(tsA) && dayAligned(l) => LessThanOrEqual(l, sDay)
+    case GreaterThan(l: Literal, t: AttributeReference)
+        if t.semanticEquals(tsA) && dayAligned(l) => GreaterThan(l, sDay)
+    // the optimizer infers isnotnull(ts) next to any ts range; day(ts) is
+    // null exactly when ts is, so the null filter maps 1:1
+    case org.apache.spark.sql.catalyst.expressions.IsNotNull(t: AttributeReference)
+        if t.semanticEquals(tsA) =>
+      org.apache.spark.sql.catalyst.expressions.IsNotNull(sDay)
+  }
 
   // ------------------------------------------------------- rewrite (Expand)
   /** ROLLUP / CUBE / GROUPING SETS plan as Aggregate-over-Expand: serve the
@@ -215,7 +248,8 @@ final case class SummaryRewrite(
             case other => Alias(other, ne.name)(ne.exprId)
           }
         }
-        val newConds = rawConds.map(c => inline(c).transformDown(remap))
+        val newConds = rawConds.map(c =>
+          inline(c).transformDown(tsRangeRemap(tsA, sDay).orElse(remap)))
 
         val newOutput = ex.output ++ Seq(sCnt, sSum, sMin, sMax)
         val passThrough: Seq[Expression] = Seq(sCnt, sSum, sMin, sMax)
@@ -311,7 +345,8 @@ final case class SummaryRewrite(
             case other => Alias(other, ne.name)(ne.exprId)
           }
         }
-        val newConds = conds.map(_.transformDown(remap))
+        val newConds = conds.map(
+          _.transformDown(tsRangeRemap(tsA, sDay).orElse(remap)))
 
         val outputSet = inst.outputSet
         val mapped = aggsOk &&

@@ -194,6 +194,28 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("day-aligned ts ranges map onto the summary; misaligned ones do not") {
+    mvPath
+    import java.sql.Timestamp
+    val lo = lit(Timestamp.valueOf("2024-01-03 00:00:00"))
+    val hi = lit(Timestamp.valueOf("2024-01-10 00:00:00"))
+    def ranged = events.where(col("ts") >= lo && col("ts") < hi)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        moneySum.cast("double").as("s"))
+      .orderBy("event_type")
+    assert(scansSummary(ranged), planString(ranged))
+    assertSameRows(ranged)
+
+    // misaligned bound (10:30) — floor equivalence fails, fact scan stays
+    val mis = events.where(col("ts") >= lit(Timestamp.valueOf("2024-01-03 10:30:00")))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(scansFactOnly(mis), planString(mis))
+    // strict > on a boundary is not floor-equivalent either
+    val strict = events.where(col("ts") > lo)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(scansFactOnly(strict), planString(strict))
+  }
+
   test("a finer-grain rollup keeps the fact scan") {
     mvPath
     val hourly = events
