@@ -131,11 +131,15 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(scansSummary(q1) && scansSummary(q2))
       // each routed to its OWN summary (different artifact dirs)
       assert(scanPaths(q1) != scanPaths(q2))
-      // reinstalling the sf001 rule replaces it, not stacks it
-      Lakehouse.ensureMv(spark, sf001)
-      val n = spark.experimental.extraOptimizations
+      // reinstalling the sf001 rule replaces it, not stacks it (count is
+      // order-independent: other suites may have rules for other facts
+      // installed — e.g. x155's lineitem summary via the registry spec)
+      val before = spark.experimental.extraOptimizations
         .count(_.isInstanceOf[SummaryRewrite])
-      assert(n == 2, s"expected one rule per fact, got $n")
+      Lakehouse.ensureMv(spark, sf001)
+      val after = spark.experimental.extraOptimizations
+        .count(_.isInstanceOf[SummaryRewrite])
+      assert(after == before, s"reinstall stacked a rule: $before -> $after")
     } finally {
       // leave only the sf001 rule behind for the other tests
       SummaryRewrite.uninstall(spark)
