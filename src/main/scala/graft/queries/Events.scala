@@ -1135,7 +1135,81 @@ object Events {
             FROM est e JOIN exact x USING (event_type)
             ORDER BY x.event_type"""))
 
+  // ------------------------------------------------------------------- x156
+  // ANALYZE-style table statistics in ONE pass: per column, row count,
+  // null count, HLL NDV estimate (the x153 native aggregate), and the
+  // exact NDV alongside for the honest error — the stats a cost-based
+  // optimizer feeds on (ndv drives join-order and aggregation-strategy
+  // choices; Spark's own ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS
+  // collects exactly this triple). All twelve measures ride a single
+  // aggregation over a single scan, then unpivot via stack() to one row
+  // per column.
+  //
+  // Column scope: long/string columns only — CAST(double AS STRING)
+  // formats differ across engines (scientific notation thresholds), so a
+  // double column's md5-register stream would diverge from the oracle;
+  // a production caller hashes doubles by their IEEE bits instead.
+  //
+  // Scale shape: one scan, one partial-aggregated reduction to a single
+  // row (three 256-byte sketches + six longs), a 3-row stack — the whole
+  // operator ships O(1) bytes regardless of table size, vs countDistinct
+  // alone expanding one row per (column, value) pair into its exchange.
+  private val x156 = GQuery(
+    "x156_table_stats", "ext-serving analyze-column-stats",
+    (s, dir) => {
+      val cols = Seq("event_id", "user_id", "event_type")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}_nulls"),
+        graft.functions.HllAggregate.hllDistinct(col(c)).as(s"${c}_ndv_est"),
+        countDistinct(col(c)).as(s"${c}_ndv")))
+      val one = events(s, dir).agg(aggs.head, aggs.tail: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_ndv_est, ${c}_ndv").mkString(
+        s"stack(${cols.length}, ", ", ", ") AS (col_name, n_nulls, ndv_est, ndv_exact)")
+      one.selectExpr("n_rows", stackExpr)
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("ndv_est"), col("ndv_exact"),
+          (col("ndv_est") - col("ndv_exact")).as("ndv_err"))
+        .orderBy("col_name")
+    },
+    Some {
+      def hllBlock(c: String) =
+        s"""SELECT '$c' AS col_name,
+              (SELECT COUNT(*) FROM events) AS n_rows,
+              (SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM events) AS n_nulls,
+              (WITH r AS (
+                 SELECT substr(md5(CAST($c AS VARCHAR)), 1, 2) AS reg,
+                   substr(md5(CAST($c AS VARCHAR)), 3, 8) AS suf
+                 FROM events WHERE $c IS NOT NULL),
+               rr AS (
+                 SELECT reg,
+                   CASE WHEN length(regexp_extract(suf, '^0*')) = 8 THEN 33
+                     ELSE 4 * length(regexp_extract(suf, '^0*')) + 1 +
+                       CASE substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1)
+                         WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                         WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                         WHEN '7' THEN 1 ELSE 0 END
+                     END AS rho
+                 FROM r),
+               sk AS (SELECT reg, MAX(rho) AS mr FROM rr GROUP BY reg),
+               e0 AS (SELECT
+                   SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+                     AS z, CAST(COUNT(*) AS BIGINT) AS present FROM sk),
+               e1 AS (SELECT 256 - present AS vzero,
+                   0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                     / (z + (256 - present)) AS raw FROM e0)
+               SELECT CAST(CASE WHEN raw <= 640.0 AND vzero > 0
+                 THEN round(256.0 * ln(256.0 / vzero), 0)
+                 ELSE round(raw, 0) END AS BIGINT) FROM e1) AS ndv_est,
+              (SELECT CAST(COUNT(DISTINCT $c) AS BIGINT) FROM events) AS ndv_exact"""
+      Seq("event_id", "user_id", "event_type").map(hllBlock)
+        .mkString("SELECT col_name, n_rows, n_nulls, ndv_est, ndv_exact, " +
+          "ndv_est - ndv_exact AS ndv_err FROM (",
+          " UNION ALL ", ") ORDER BY col_name")
+    })
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
-    x152, x153)
+    x152, x153, x156)
 }
