@@ -1333,8 +1333,99 @@ object CorpusOps {
             SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
             FROM r WHERE rank <= 5 ORDER BY lang, rank"""))
 
+  // ------------------------------------------------------------------- x157
+  // Leakage-free train/val/test splitting: duplicates must NEVER straddle
+  // the split — a train copy of a test document is silent eval
+  // contamination (the x24 decontamination problem created by your own
+  // splitter). The fix is one line of discipline: draw the split coin on
+  // the DUP-GROUP key (here x02's normalized-text group), not the doc id,
+  // so every copy of a document lands in the same split by construction.
+  //
+  // The query PROVES the property instead of asserting it: both methods
+  // run side by side — naive (coin on doc_id) vs group-aware (coin on the
+  // group key) — and the output counts, per method, the groups whose
+  // members straddle splits. The fixture corpus has NO exact duplicates
+  // (x02 reports singleton groups), so the query plants them: every
+  // doc_id % 5 == 0 document is re-added verbatim under doc_id + 100000
+  // (the x34/x142 plant-then-detect discipline). The naive row then
+  // exhibits a nonzero straddle count (~1/3 of two-member groups split
+  // their coins) while the group-aware row's is structurally zero; the
+  // DuckDB oracle hash-checks both. Coins are the x42 md5 discipline
+  // (hex-threshold 80/10/10).
+  //
+  // Scale shape: one scan computes norm + both coins narrowly; the audit
+  // is a two-level aggregation on the group key — (group, split)
+  // distinct counts, then per-method rollup. Nothing shuffles text except
+  // the group key itself (at 100 TB: hash the norm to 128 bits first).
+  private val x157 = GQuery(
+    "x157_leakage_free_split", "ext-text split-hygiene",
+    (s, dir) => {
+      def splitOf(key: org.apache.spark.sql.Column) = {
+        val h = substring(md5(key), 1, 2)
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+      }
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = corpus.unionByName(
+        corpus.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val base = planted
+        .withColumn("g", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .select(col("doc_id"), col("g"),
+          splitOf(concat(col("doc_id"), lit(":split"))).as("naive"),
+          splitOf(concat(col("g"), lit(":split"))).as("grouped"))
+      val audits = Seq("naive", "grouped").map { m =>
+        base.groupBy(col("g"))
+          .agg(countDistinct(col(m)).as("n_splits"), count(lit(1)).as("n_docs"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n_splits") > 1, 1L).otherwise(0L)).cast("long")
+              .as("n_straddling"),
+            sum(when(col("n_splits") > 1, col("n_docs")).otherwise(0L))
+              .cast("long").as("n_docs_leaking"))
+          .select(lit(m).as("method"), col("n_groups"), col("n_straddling"),
+            col("n_docs_leaking"))
+      }
+      audits.reduce(_ unionByName _).orderBy("method")
+    },
+    Some("""WITH planted AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+            base AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS g
+              FROM planted),
+            coins AS (
+              SELECT doc_id, g,
+                CASE WHEN substr(md5(doc_id || ':split'), 1, 2) < 'cc' THEN 'train'
+                     WHEN substr(md5(doc_id || ':split'), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS naive,
+                CASE WHEN substr(md5(g || ':split'), 1, 2) < 'cc' THEN 'train'
+                     WHEN substr(md5(g || ':split'), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS grouped
+              FROM base),
+            per_g AS (
+              SELECT g,
+                COUNT(DISTINCT naive) AS ns_naive,
+                COUNT(DISTINCT grouped) AS ns_grouped,
+                COUNT(*) AS n_docs
+              FROM coins GROUP BY g)
+            SELECT 'grouped' AS method,
+              CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(CASE WHEN ns_grouped > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_straddling,
+              CAST(SUM(CASE WHEN ns_grouped > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+                AS n_docs_leaking
+            FROM per_g
+            UNION ALL
+            SELECT 'naive',
+              CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CASE WHEN ns_naive > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN ns_naive > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+            FROM per_g
+            ORDER BY method"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
-      x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143)
+      x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157)
 }
 

@@ -123,6 +123,40 @@ class StreamingMvSpec extends SparkSpec {
     }
   }
 
+  test("changelog maintenance: retractions splice recomputed groups over the fold") {
+    val root = Files.createTempDirectory("graft-mvcdc")
+    val mvDir = root.resolve("mv").toString
+    import spark.implicits._
+    try {
+      val v1 = rows1.toDF("ts", "event_type", "value")
+      MvMaintainStream.maintain(spark, v1, mvDir, 0L)
+
+      // delete jan1-view's MAX row (min/max are not subtractable — forces
+      // the recompute path), delete jan2-view's ONLY row (group must
+      // vanish), and insert a brand-new jan3 group in the same batch
+      val changelog = Seq(
+        (ts("2026-01-01 09:30:00"), "view", 20.5, "D"),
+        (ts("2026-01-02 11:00:00"), "view", 7.25, "D"),
+        (ts("2026-01-03 05:00:00"), "click", 2.0, "I"))
+        .toDF("ts", "event_type", "value", "op")
+      val post = Seq(rows1(0), rows1(2), (ts("2026-01-03 05:00:00"), "click", 2.0))
+        .toDF("ts", "event_type", "value")
+      MvMaintainStream.maintainChangelog(spark, changelog, post, mvDir, 1L)
+
+      val got = MvMaintainStream.currentSummary(spark, mvDir).get
+        .collect().map(_.toSeq).toSet
+      val want = Lakehouse.summarize(post).collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"summary after changelog != summary of post-change facts:\n$got\n$want")
+      assert(!got.exists(r => r(0) == ts("2026-01-02 00:00:00") && r(1) == "view"),
+        "fully-deleted group must vanish")
+
+      // re-delivery of the live batch id returns without touching anything
+      MvMaintainStream.maintainChangelog(spark, changelog, post, mvDir, 1L)
+      assert(graft.StoredManifest.read(mvDir)._1 == "gen_1")
+    } finally graft.StoredArtifacts.deleteTree(root.toString)
+  }
+
   private def withRuleOff[A](body: => A): A = {
     val saved = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
