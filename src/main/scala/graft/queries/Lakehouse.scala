@@ -243,5 +243,96 @@ object Lakehouse {
               MAX(l_extendedprice) AS max_price
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val queries: Seq[GQuery] = Seq(x140, x141, x154, x155)
+  // ------------------------------------------------------------------- x158
+  // The x156 statistics USED: System-R join-cardinality estimation.
+  // |orders ⋈ customer on custkey| ≈ |O|·|C| / max(ndv_O, ndv_C) — the
+  // independence-assumption formula every cost-based optimizer starts
+  // from (Selinger 1979), with the NDVs supplied by the HLL aggregate,
+  // next to the ACTUAL join count for the honest error. Integer
+  // arithmetic throughout (div), so the estimate hash-verifies through
+  // the same DuckDB register re-derivation as x153/x156.
+  //
+  // Scale shape: two single-row sketch aggregations (256 bytes each up
+  // the tree), a 1×1 cross join of their results, and the audit join —
+  // which a real CBO of course never runs; it exists to print the error.
+  private val x158 = GQuery(
+    "x158_join_cardinality", "ext-serving cbo-cardinality-estimate",
+    (s, dir) => {
+      import graft.functions.HllAggregate.hllDistinct
+      val o = Tables(s, dir, "orders")
+        .agg(count(lit(1)).as("n_orders"), hllDistinct(col("o_custkey")).as("ndv_o"))
+      val c = Tables(s, dir, "customer")
+        .agg(count(lit(1)).as("n_cust"), hllDistinct(col("c_custkey")).as("ndv_c"))
+      val actual = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      o.crossJoin(c).crossJoin(actual)
+        .withColumn("est_rows",
+          expr("(n_orders * n_cust) div greatest(ndv_o, ndv_c)"))
+        .select(col("n_orders"), col("n_cust"), col("ndv_o"), col("ndv_c"),
+          col("est_rows"), col("actual_rows"),
+          (col("est_rows") - col("actual_rows")).as("err_rows"))
+    },
+    Some("""WITH hll_o AS (
+              WITH r AS (
+                SELECT substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2) AS reg,
+                  substr(md5(CAST(o_custkey AS VARCHAR)), 3, 8) AS suf
+                FROM orders WHERE o_custkey IS NOT NULL),
+              rr AS (SELECT reg,
+                  CASE WHEN length(regexp_extract(suf, '^0*')) = 8 THEN 33
+                    ELSE 4 * length(regexp_extract(suf, '^0*')) + 1 +
+                      CASE substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1)
+                        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                        WHEN '7' THEN 1 ELSE 0 END END AS rho
+                FROM r),
+              sk AS (SELECT reg, MAX(rho) AS mr FROM rr GROUP BY reg),
+              e0 AS (SELECT SUM(CAST(1 AS DOUBLE)
+                  / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS z,
+                  CAST(COUNT(*) AS BIGINT) AS present FROM sk),
+              e1 AS (SELECT 256 - present AS vzero,
+                  0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                    / (z + (256 - present)) AS raw FROM e0)
+              SELECT CAST(CASE WHEN raw <= 640.0 AND vzero > 0
+                THEN round(256.0 * ln(256.0 / vzero), 0)
+                ELSE round(raw, 0) END AS BIGINT) AS ndv FROM e1),
+            hll_c AS (
+              WITH r AS (
+                SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) AS reg,
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 3, 8) AS suf
+                FROM customer WHERE c_custkey IS NOT NULL),
+              rr AS (SELECT reg,
+                  CASE WHEN length(regexp_extract(suf, '^0*')) = 8 THEN 33
+                    ELSE 4 * length(regexp_extract(suf, '^0*')) + 1 +
+                      CASE substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1)
+                        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                        WHEN '7' THEN 1 ELSE 0 END END AS rho
+                FROM r),
+              sk AS (SELECT reg, MAX(rho) AS mr FROM rr GROUP BY reg),
+              e0 AS (SELECT SUM(CAST(1 AS DOUBLE)
+                  / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS z,
+                  CAST(COUNT(*) AS BIGINT) AS present FROM sk),
+              e1 AS (SELECT 256 - present AS vzero,
+                  0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                    / (z + (256 - present)) AS raw FROM e0)
+              SELECT CAST(CASE WHEN raw <= 640.0 AND vzero > 0
+                THEN round(256.0 * ln(256.0 / vzero), 0)
+                ELSE round(raw, 0) END AS BIGINT) AS ndv FROM e1)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_cust,
+              (SELECT ndv FROM hll_o) AS ndv_o,
+              (SELECT ndv FROM hll_c) AS ndv_c,
+              ((SELECT COUNT(*) FROM orders) * (SELECT COUNT(*) FROM customer))
+                // greatest((SELECT ndv FROM hll_o), (SELECT ndv FROM hll_c))
+                AS est_rows,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey) AS actual_rows,
+              ((SELECT COUNT(*) FROM orders) * (SELECT COUNT(*) FROM customer))
+                // greatest((SELECT ndv FROM hll_o), (SELECT ndv FROM hll_c))
+                - (SELECT COUNT(*) FROM orders o
+                   JOIN customer c ON o.o_custkey = c.c_custkey) AS err_rows"""))
+
+  val queries: Seq[GQuery] = Seq(x140, x141, x154, x155, x158)
 }
