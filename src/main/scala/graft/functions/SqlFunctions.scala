@@ -174,6 +174,9 @@ object SqlFunctions {
       arity("hll_distinct", args, 1)
       HllDistinctAgg(org.apache.spark.sql.catalyst.expressions.Cast(
         args(0), StringType)).toAggregateExpression()
+    },
+    "jaro_winkler" -> { args =>
+      arity("jaro_winkler", args, 2); JaroWinkler(args(0), args(1))
     })
 
   /** Every SQL-registered kernel name (the misuse gate iterates this). */

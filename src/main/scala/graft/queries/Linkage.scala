@@ -245,5 +245,51 @@ object Linkage {
              FROM cand WHERE levenshtein(n1, n2) <= 3
              ORDER BY d1, d2"""))
 
-  val queries: Seq[GQuery] = Seq(x142, x145, x146)
+  // ------------------------------------------------------------------- x159
+  // The native Jaro-Winkler kernel cross-engine-verified: similar token
+  // pairs over the x142 planted vocabulary, scored by
+  // [[graft.functions.JaroWinkler]] on the engine side and DuckDB's own
+  // jaro_winkler_similarity in the oracle — two INDEPENDENT
+  // implementations of the measure hash-agreeing on every pair (micro-unit
+  // integers; the convention match is documented on the kernel). The
+  // planted deletion/insertion/substitution typos all clear the 0.85 bar
+  // against their source words, so the row set exercises every edit kind.
+  //
+  // Scale shape: the fixture vocabulary is tiny so the pair space is a
+  // broadcast nested loop; at corpus scale JW is the VERIFY stage behind
+  // x142/x146's blocking, never a pair generator.
+  private val x159 = GQuery(
+    "x159_jaro_winkler", "ext-linkage string-similarity custom-expression",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(split(lower(plantTypos(col("text"))), "[^a-z]+")).as("tok"))
+        .where(length(col("tok")).between(4, 20))
+        .distinct()
+      val jw = graft.functions.HashFunctions.jaroWinkler(col("t1"), col("t2"))
+      toks.select(col("tok").as("t1"))
+        .crossJoin(broadcast(toks.select(col("tok").as("t2"))))
+        .where(col("t1") < col("t2"))
+        .where(jw >= 0.85)
+        .select(col("t1"), col("t2"),
+          round(jw * 1000000, 0).cast("long").as("jw_micro"))
+        .orderBy("t1", "t2")
+    },
+    Some("""WITH planted AS (
+              SELECT text || CASE doc_id % 5
+                WHEN 1 THEN ' tabl' WHEN 2 THEN ' scann'
+                WHEN 3 THEN ' quary' ELSE '' END AS text
+              FROM documents),
+            toks AS (
+              SELECT DISTINCT tok FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+                FROM planted)
+              WHERE length(tok) BETWEEN 4 AND 20)
+            SELECT a.tok AS t1, b.tok AS t2,
+              CAST(round(jaro_winkler_similarity(a.tok, b.tok) * 1000000, 0)
+                AS BIGINT) AS jw_micro
+            FROM toks a JOIN toks b ON b.tok > a.tok
+            WHERE jaro_winkler_similarity(a.tok, b.tok) >= 0.85
+            ORDER BY t1, t2"""))
+
+  val queries: Seq[GQuery] = Seq(x142, x145, x146, x159)
 }

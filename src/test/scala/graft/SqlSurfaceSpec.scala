@@ -118,7 +118,8 @@ class SqlSurfaceSpec extends SparkSpec {
       // hll_distinct casts ANY scalar to string by design (the canonical
       // md5(CAST(x AS STRING)) input), so its misuse row is an arity
       // violation — same analysis-time failure contract via arity()
-      "hll_distinct" -> "hll_distinct(text, text)")
+      "hll_distinct" -> "hll_distinct(text, text)",
+      "jaro_winkler" -> "jaro_winkler(doc_id, text)")
     // self-enforcing completeness: registering a new kernel without adding
     // a bad-call row here must fail this gate, not silently escape it
     val registered = graft.functions.SqlFunctions.names.toSet

