@@ -291,5 +291,129 @@ object Linkage {
             WHERE jaro_winkler_similarity(a.tok, b.tok) >= 0.85
             ORDER BY t1, t2"""))
 
-  val queries: Seq[GQuery] = Seq(x142, x145, x146, x159)
+  // ------------------------------------------------------------------- x160
+  // Entity resolution END-TO-END, fully oracled: sorted-neighborhood
+  // blocking (x146's key-partitioned windows) → two-criterion match
+  // verify (levenshtein <= 3 AND native Jaro-Winkler >= 0.9 on the
+  // normalized prefixes — edit distance catches typos, JW weighs the
+  // identity-bearing prefix) → entity clustering by SIX unrolled
+  // min-label propagation rounds (the Pregel CC superstep, the
+  // x124/x139 unrolling discipline: both engines run exactly the same
+  // six rounds, so the hash match holds round-for-round regardless of
+  // convergence) → canonical record = min doc_id per cluster.
+  //
+  // Convergence is SELF-CERTIFYING: a seventh round runs and the output's
+  // `converged` column reports whether it changed anything — the oracle
+  // computes the same flag, so the claim "six rounds sufficed on this
+  // corpus" is itself hash-verified, not asserted (if the fixture ever
+  // grows a longer chain, the row flips visibly instead of silently
+  // truncating a cluster).
+  //
+  // Scale shape: blocking and verify are x146/x159's shapes; propagation
+  // joins touch only the (tiny) matched-pair edge list and doc_id labels
+  // — text never enters the loop. The production form for unbounded
+  // cluster diameters is the O(log n)-round hashed-min CC behind x22;
+  // this unrolled form is the ORACLED twin on bounded-diameter data.
+  private val x160 = GQuery(
+    "x160_entity_resolution", "ext-linkage entity-resolution composite",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("norm"), col("doc_id"))
+      val keyed = docs(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24)
+            .as("norm"))
+        .withColumn("key", substring(col("norm"), 1, 8))
+      val jw = graft.functions.HashFunctions.jaroWinkler(col("norm"), col("norm2"))
+      val edges = (1 to Win).map { d =>
+        keyed
+          .withColumn("doc2", lead(col("doc_id"), d).over(w))
+          .withColumn("norm2", lead(col("norm"), d).over(w))
+          .where(col("doc2").isNotNull)
+      }.reduce(_ unionByName _)
+        .where(levenshtein(col("norm"), col("norm2")) <= 3 && jw >= 0.9)
+        .select(col("doc_id").as("a"), col("doc2").as("b"))
+        .localCheckpoint(true)
+      val nodes = keyed.select(col("doc_id"))
+      val sym = edges.unionByName(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      def round(lbl: DataFrame): DataFrame =
+        lbl.join(sym, lbl("doc_id") === sym("a"), "left")
+          .join(lbl.select(col("doc_id").as("nb"), col("lbl").as("nlbl")),
+            sym("b") === col("nb"), "left")
+          .groupBy(lbl("doc_id"))
+          .agg(least(min(col("lbl")), coalesce(min(col("nlbl")),
+            min(col("lbl")))).as("lbl"))
+      val l0 = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+      val l6 = (1 to 6).foldLeft(l0)((l, _) => round(l).localCheckpoint(true))
+      val l7 = round(l6)
+      val changed = l6.select(col("doc_id"), col("lbl").as("l6"))
+        .join(l7.select(col("doc_id"), col("lbl").as("l7")), "doc_id")
+        .agg(sum(when(col("l6") =!= col("l7"), 1L).otherwise(0L)).cast("long")
+          .as("n_changed"))
+      val sizes = l6.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      l6.join(sizes, "lbl")
+        .crossJoin(broadcast(changed))
+        .select(col("doc_id"), col("lbl").as("entity"), col("cluster_size"),
+          (col("n_changed") === 0).as("converged"))
+        .where(col("cluster_size") > 1) // resolved entities only
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH keyed AS (
+               SELECT doc_id,
+                 substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+                   AS norm,
+                 substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 8)
+                   AS key
+               FROM documents),
+             pos AS (SELECT doc_id, norm, key,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY norm, doc_id) AS rn
+                     FROM keyed),
+             e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+                    FROM pos a JOIN pos b
+                      ON a.key = b.key AND b.rn > a.rn AND b.rn <= a.rn + $Win
+                    WHERE levenshtein(a.norm, b.norm) <= 3
+                      AND jaro_winkler_similarity(a.norm, b.norm) >= 0.9),
+             sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+             l0 AS (SELECT doc_id, doc_id AS lbl FROM keyed),
+             l1 AS (SELECT l.doc_id,
+                      least(MIN(l.lbl), coalesce(MIN(n.lbl), MIN(l.lbl))) AS lbl
+                    FROM l0 l LEFT JOIN sym s ON l.doc_id = s.a
+                    LEFT JOIN l0 n ON s.b = n.doc_id GROUP BY l.doc_id),
+             l2 AS (SELECT l.doc_id,
+                      least(MIN(l.lbl), coalesce(MIN(n.lbl), MIN(l.lbl))) AS lbl
+                    FROM l1 l LEFT JOIN sym s ON l.doc_id = s.a
+                    LEFT JOIN l1 n ON s.b = n.doc_id GROUP BY l.doc_id),
+             l3 AS (SELECT l.doc_id,
+                      least(MIN(l.lbl), coalesce(MIN(n.lbl), MIN(l.lbl))) AS lbl
+                    FROM l2 l LEFT JOIN sym s ON l.doc_id = s.a
+                    LEFT JOIN l2 n ON s.b = n.doc_id GROUP BY l.doc_id),
+             l4 AS (SELECT l.doc_id,
+                      least(MIN(l.lbl), coalesce(MIN(n.lbl), MIN(l.lbl))) AS lbl
+                    FROM l3 l LEFT JOIN sym s ON l.doc_id = s.a
+                    LEFT JOIN l3 n ON s.b = n.doc_id GROUP BY l.doc_id),
+             l5 AS (SELECT l.doc_id,
+                      least(MIN(l.lbl), coalesce(MIN(n.lbl), MIN(l.lbl))) AS lbl
+                    FROM l4 l LEFT JOIN sym s ON l.doc_id = s.a
+                    LEFT JOIN l4 n ON s.b = n.doc_id GROUP BY l.doc_id),
+             l6 AS (SELECT l.doc_id,
+                      least(MIN(l.lbl), coalesce(MIN(n.lbl), MIN(l.lbl))) AS lbl
+                    FROM l5 l LEFT JOIN sym s ON l.doc_id = s.a
+                    LEFT JOIN l5 n ON s.b = n.doc_id GROUP BY l.doc_id),
+             l7 AS (SELECT l.doc_id,
+                      least(MIN(l.lbl), coalesce(MIN(n.lbl), MIN(l.lbl))) AS lbl
+                    FROM l6 l LEFT JOIN sym s ON l.doc_id = s.a
+                    LEFT JOIN l6 n ON s.b = n.doc_id GROUP BY l.doc_id),
+             chg AS (SELECT CAST(SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_changed
+                     FROM l6 a JOIN l7 b USING (doc_id)),
+             sizes AS (SELECT lbl, COUNT(*) AS cluster_size FROM l6 GROUP BY lbl)
+             SELECT l6.doc_id, l6.lbl AS entity, sizes.cluster_size,
+               (chg.n_changed = 0) AS converged
+             FROM l6 JOIN sizes USING (lbl) CROSS JOIN chg
+             WHERE sizes.cluster_size > 1
+             ORDER BY l6.doc_id"""))
+
+  val queries: Seq[GQuery] = Seq(x142, x145, x146, x159, x160)
 }
