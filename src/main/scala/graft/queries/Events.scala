@@ -958,9 +958,13 @@ object Events {
   // stores the 256-row sketches and never recomputes exact counts.
   private val HllM = 256
 
-  def hllDistinct(ev: DataFrame): DataFrame = {
+  /** Per-row HLL register stream over the events table: one (day, user_id,
+    * reg, rho) row per event — the shared derivation behind x152, the
+    * streaming sketch maintainer, and any future sketch consumer.
+    */
+  def hllRegisterRows(ev: DataFrame): DataFrame = {
     val h = md5(col("user_id").cast("string"))
-    val rows = ev.select(date_trunc("day", col("ts")).as("day"),
+    ev.select(date_trunc("day", col("ts")).as("day"),
         col("user_id"), substring(h, 1, 2).as("reg"), substring(h, 3, 8).as("suf"))
       .withColumn("zrun", length(regexp_extract(col("suf"), "^0*", 0)))
       .withColumn("c", expr("substring(suf, zrun + 1, 1)"))
@@ -970,25 +974,48 @@ object Events {
             .when(col("c").isin("2", "3"), 2)
             .when(col("c").isin("4", "5", "6", "7"), 1)
             .otherwise(0)))
-    val daily = rows.groupBy(col("day"), col("reg"))
+  }
+
+  /** (day, reg) -> max rho: the daily 256-register sketch table. */
+  def hllDailySketch(ev: DataFrame): DataFrame =
+    hllRegisterRows(ev).groupBy(col("day"), col("reg"))
       .agg(max(col("rho")).as("mr"))
-      .localCheckpoint(true) // the stored artifact: day x 256 registers
+
+  /** Max-merge already-aggregated sketch rows back to one row per
+    * (day, reg) — the HLL analogue of [[Lakehouse.mergeSummaries]]:
+    * order-free, so incremental maintenance is bit-identical to a full
+    * rebuild.
+    */
+  def hllMergeSketches(parts: DataFrame): DataFrame =
+    parts.groupBy(col("day"), col("reg")).agg(max(col("mr")).as("mr"))
+
+  /** Estimate distinct counts from a register table, optionally grouped;
+    * adds `est_n` (the x152 estimator: exact dyadic sums + the
+    * finitely-checked ln correction).
+    */
+  def hllEstimate(sk: DataFrame, keys: Seq[String]): DataFrame = {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
-    def estimate(sk: DataFrame, keys: Seq[String]): DataFrame = {
-      val grouped = if (keys.isEmpty) sk.groupBy() else sk.groupBy(keys.map(col): _*)
-      grouped
-        .agg(expr("sum(cast(1 as double) / cast(shiftleft(cast(1 as bigint), mr) as double))")
-            .as("z_present"),
-          count(lit(1)).as("present"))
-        .withColumn("vzero", lit(HllM) - col("present"))
-        .withColumn("raw",
-          alpha * lit(HllM) * lit(HllM) / (col("z_present") + col("vzero")))
-        .withColumn("est_n",
-          when(col("raw") <= lit(2.5 * HllM) && col("vzero") > 0,
-            round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("vzero").cast("double")), 0))
-            .otherwise(round(col("raw"), 0))
-            .cast("long"))
-    }
+    val grouped = if (keys.isEmpty) sk.groupBy() else sk.groupBy(keys.map(col): _*)
+    grouped
+      .agg(expr("sum(cast(1 as double) / cast(shiftleft(cast(1 as bigint), mr) as double))")
+          .as("z_present"),
+        count(lit(1)).as("present"))
+      .withColumn("vzero", lit(HllM) - col("present"))
+      .withColumn("raw",
+        alpha * lit(HllM) * lit(HllM) / (col("z_present") + col("vzero")))
+      .withColumn("est_n",
+        when(col("raw") <= lit(2.5 * HllM) && col("vzero") > 0,
+          round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("vzero").cast("double")), 0))
+          .otherwise(round(col("raw"), 0))
+          .cast("long"))
+  }
+
+  def hllDistinct(ev: DataFrame): DataFrame = {
+    val rows = hllRegisterRows(ev)
+    val daily = hllDailySketch(ev)
+      .localCheckpoint(true) // the stored artifact: day x 256 registers
+    def estimate(sk: DataFrame, keys: Seq[String]): DataFrame =
+      hllEstimate(sk, keys)
     val perDay = estimate(daily, Seq("day"))
       .join(rows.groupBy("day").agg(countDistinct(col("user_id")).as("exact_n")), "day")
     val merged = daily.groupBy(col("reg")).agg(max(col("mr")).as("mr"))
@@ -1209,7 +1236,77 @@ object Events {
           " UNION ALL ", ") ORDER BY col_name")
     })
 
+  // ------------------------------------------------------------------- x161
+  // Classical seasonal decomposition of the daily volume series —
+  // n = trend + seasonal + residual, the additive moving-average
+  // decomposition (the core of STL without loess): trend = centered
+  // 7-day mean, seasonal = per-day-of-week mean of the detrended series,
+  // residual = the rest. This is the series the x134/x137 monitors
+  // alarm on, factored so a weekly rhythm stops masquerading as drift.
+  //
+  // Exactness discipline: every mean is ONE division of exact integers —
+  // trend = sum7/7 (interior days only, so the window is always full),
+  // seasonal = Σ(7·n − sum7)/(7·k) with the numerator accumulated as an
+  // exact integer BEFORE the only division — so no float sum ever
+  // reassociates and the doubles hash-match the oracle bit-for-bit
+  // (the engine's no-float-reassociation discipline, x148's trick
+  // applied to time series).
+  //
+  // Scale shape: one scan to day-grain counts; every window/group below
+  // runs on the tiny day-domain table (the x134 rollup shape).
+  private val x161 = GQuery(
+    "x161_seasonal_decompose", "ext-events time-series-decomposition",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("w_n", count(lit(1)).over(w7))
+        .withColumn("sum7", sum(col("n")).over(w7))
+        .where(col("w_n") === 7) // interior days: full window only
+        .withColumn("dow", dayofweek(col("day")))
+        .withColumn("detr7", lit(7) * col("n") - col("sum7")) // 7x detrended, exact
+      val seasonal = trended.groupBy(col("dow"))
+        .agg(sum(col("detr7")).cast("long").as("s_num"),
+          count(lit(1)).as("k"))
+      trended.join(broadcast(seasonal), "dow")
+        .select(col("day"), col("n"),
+          (col("sum7").cast("double") / 7.0).as("trend"),
+          (col("s_num").cast("double") / (lit(7.0) * col("k").cast("double")))
+            .as("seasonal"))
+        .withColumn("residual",
+          col("n").cast("double") - col("trend") - col("seasonal"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            win AS (
+              SELECT day, n,
+                COUNT(*) OVER w AS w_n,
+                CAST(SUM(n) OVER w AS BIGINT) AS sum7
+              FROM daily
+              WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            interior AS (
+              SELECT day, n, sum7, dayofweek(day) AS dow,
+                7 * n - sum7 AS detr7
+              FROM win WHERE w_n = 7),
+            seas AS (
+              SELECT dow, CAST(SUM(detr7) AS BIGINT) AS s_num,
+                CAST(COUNT(*) AS BIGINT) AS k
+              FROM interior GROUP BY dow)
+            SELECT i.day, i.n,
+              CAST(i.sum7 AS DOUBLE) / 7.0 AS trend,
+              CAST(s.s_num AS DOUBLE) / (7.0 * CAST(s.k AS DOUBLE)) AS seasonal,
+              CAST(i.n AS DOUBLE) - (CAST(i.sum7 AS DOUBLE) / 7.0)
+                - (CAST(s.s_num AS DOUBLE) / (7.0 * CAST(s.k AS DOUBLE)))
+                AS residual
+            FROM interior i JOIN seas s USING (dow)
+            ORDER BY i.day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
-    x152, x153, x156)
+    x152, x153, x156, x161)
 }
