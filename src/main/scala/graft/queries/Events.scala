@@ -1306,7 +1306,142 @@ object Events {
             FROM interior i JOIN seas s USING (dow)
             ORDER BY i.day"""))
 
+  // ------------------------------------------------------------------- x162
+  // Histogram-as-materialized-view: per (event_type, cent-quantized
+  // value) counts are a MERGEABLE summary (counts add — the x141
+  // algebra) that serves EXACT quantiles of the quantized distribution
+  // without a fact scan: p50/p90/p99 fall out of the cumulative count by
+  // rank selection (rank = ceil(p·n), the x116/x118 discrete-rank
+  // discipline — integers end to end, no interpolation, no floats). This
+  // is how production systems actually serve percentile dashboards
+  // (histogram buckets + rank walk), here with the histogram itself and
+  // the served quantiles both hash-verified.
+  //
+  // Scale shape: one fact scan partial-aggregates to the (type × distinct
+  // cents) histogram; the rank walk is a window over the histogram only.
+  // Cent quantization bounds the histogram domain; a production variant
+  // widens buckets adaptively (the t-digest trade), losing exactness —
+  // this form keeps it and states the domain cost instead.
+  private val x162 = GQuery(
+    "x162_histogram_quantile_mv", "ext-events histogram-mv exact-quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = events(s, dir)
+        .groupBy(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cent"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cent"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val ranked = hist
+        .withColumn("cum", sum(col("cnt")).over(w).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(wAll).cast("long"))
+      def q(p: Int) = min(when(col("cum") * 100 >= col("n") * p, col("cent")))
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          q(50).as("p50_cent"), q(90).as("p90_cent"), q(99).as("p99_cent"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy("event_type")
+    },
+    Some("""WITH hist AS (
+              SELECT event_type,
+                CAST(round(value * 100, 0) AS BIGINT) AS cent,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT event_type, cent, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cent
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM hist)
+            SELECT event_type, MAX(n) AS n,
+              MIN(CASE WHEN cum * 100 >= n * 50 THEN cent END) AS p50_cent,
+              MIN(CASE WHEN cum * 100 >= n * 90 THEN cent END) AS p90_cent,
+              MIN(CASE WHEN cum * 100 >= n * 99 THEN cent END) AS p99_cent,
+              COUNT(*) AS n_buckets
+            FROM ranked GROUP BY event_type ORDER BY event_type"""))
+
+  // ------------------------------------------------------------------- x163
+  // Sliding-window distinct users from the DAILY register tables: a
+  // 7-day trailing window's sketch is just the max-merge of its days'
+  // sketches (x152's artifact re-used — no fact re-scan, no per-window
+  // state), estimated with the same verified estimator; the exact
+  // windowed countDistinct rides along for the honest error. THE point
+  // of mergeable sketches: one daily artifact answers every window after
+  // the fact — tumbling, sliding, calendar — by re-merge.
+  //
+  // Scale shape: the range join runs sketch-rows × 7 (day-domain sized);
+  // the audit column is the expensive one (windowed exact distinct,
+  // fact-scan per window) and exists only to print the error.
+  private val x163 = GQuery(
+    "x163_sliding_distinct", "ext-events sketch sliding-window",
+    (s, dir) => {
+      val daily = hllDailySketch(events(s, dir)).localCheckpoint(true)
+      val days = daily.select(col("day")).distinct()
+      val windowed = days.as("w")
+        .join(daily.as("s"),
+          col("s.day") >= date_sub(col("w.day"), 6) &&
+            col("s.day") <= col("w.day"))
+        .groupBy(col("w.day").as("day"), col("s.reg").as("reg"))
+        .agg(max(col("s.mr")).as("mr"))
+      val est = hllEstimate(windowed, Seq("day")).select(col("day"), col("est_n"))
+      val exact = events(s, dir).as("e")
+        .join(days.as("w"),
+          date_trunc("day", col("e.ts")) >= date_sub(col("w.day"), 6) &&
+            date_trunc("day", col("e.ts")) <= col("w.day"))
+        .groupBy(col("w.day").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_n"))
+      est.join(exact, "day")
+        .select(col("day"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("err_n"))
+        .orderBy("day")
+    },
+    Some("""WITH r AS (
+              SELECT date_trunc('day', ts) AS day, user_id,
+                substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS reg,
+                substr(md5(CAST(user_id AS VARCHAR)), 3, 8) AS suf
+              FROM events),
+            rr AS (
+              SELECT day, reg,
+                CASE WHEN length(regexp_extract(suf, '^0*')) = 8 THEN 33
+                  ELSE 4 * length(regexp_extract(suf, '^0*')) + 1 +
+                    CASE substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                      WHEN '7' THEN 1 ELSE 0 END
+                  END AS rho
+              FROM r),
+            daily AS (SELECT day, reg, MAX(rho) AS mr FROM rr GROUP BY day, reg),
+            days AS (SELECT DISTINCT day FROM daily),
+            windowed AS (
+              SELECT w.day AS day, s.reg, MAX(s.mr) AS mr
+              FROM days w JOIN daily s
+                ON s.day >= w.day - INTERVAL 6 DAY AND s.day <= w.day
+              GROUP BY w.day, s.reg),
+            e0 AS (
+              SELECT day,
+                SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+                  AS z, CAST(COUNT(*) AS BIGINT) AS present
+              FROM windowed GROUP BY day),
+            e1 AS (SELECT day, 256 - present AS vzero,
+                0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                  / (z + (256 - present)) AS raw FROM e0),
+            est AS (SELECT day,
+                CAST(CASE WHEN raw <= 640.0 AND vzero > 0
+                  THEN round(256.0 * ln(256.0 / vzero), 0)
+                  ELSE round(raw, 0) END AS BIGINT) AS est_n FROM e1),
+            exact AS (
+              SELECT w.day AS day,
+                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_n
+              FROM days w JOIN events e
+                ON date_trunc('day', e.ts) >= w.day - INTERVAL 6 DAY
+               AND date_trunc('day', e.ts) <= w.day
+              GROUP BY w.day)
+            SELECT est.day, exact.exact_n, est.est_n,
+              est.est_n - exact.exact_n AS err_n
+            FROM est JOIN exact USING (day) ORDER BY est.day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
-    x152, x153, x156, x161)
+    x152, x153, x156, x161, x162, x163)
 }
