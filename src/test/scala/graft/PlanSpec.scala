@@ -540,6 +540,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x153 hll aggregate: plans through ObjectHashAggregate, sketches not rows") {
+    val plan = executedPlan(SparkEntry.queries("x153_hll_by_type")(spark, sf001)).toString
+    // TypedImperativeAggregate forces the object-hash path — the 256-byte
+    // buffer updates in place; a SortAggregate fallback would re-sort the
+    // fact table per group and a HashAggregate can't hold object buffers
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("x162 histogram MV: one fact scan feeds histogram, ranks, and quantiles") {
+    val df = SparkEntry.queries("x162_histogram_quantile_mv")(spark, sf001)
+    df.collect()
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1,
+      s"the rank walk must run over the histogram, not re-scan facts: $scans scans")
+  }
+
+  test("x160 entity resolution: label rounds iterate on checkpoints, not re-blocking") {
+    val df = SparkEntry.queries("x160_entity_resolution")(spark, sf001)
+    df.collect()
+    // blocking (keyed scan) appears at most twice (edge build + node list);
+    // seven propagation rounds re-deriving it would show 7+ scans
+    val docScans = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }.size
+    assert(docScans <= 2,
+      s"propagation must iterate on checkpointed labels: $docScans relation scans")
+  }
+
   test("x140 z-order rollup: scaling bound broadcasts; bucket agg has a partial phase") {
     val plan = executedPlan(SparkEntry.queries("x140_zorder_key")(spark, sf001)).toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
