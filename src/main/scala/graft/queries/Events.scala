@@ -1441,7 +1441,204 @@ object Events {
               est.est_n - exact.exact_n AS err_n
             FROM est JOIN exact USING (day) ORDER BY est.day"""))
 
+  // ------------------------------------------------------------------- x164
+  // Autocorrelation function of the daily volume series, lags 1..7 — the
+  // seasonality detector that tells x161 WHICH period to decompose (a
+  // weekly rhythm shows as a lag-7 peak). Exactness discipline: the x46
+  // "log-free rational form" applied to Pearson — the engine emits the
+  // EXACT integer components (num = n·Σxy − Σx·Σy, den_x = n·Σx² − (Σx)²,
+  // den_y likewise), accumulated as BIGINTs so no float sum ever
+  // reassociates, and derives acf with exactly one sqrt·sqrt·divide tail
+  // on those exact inputs — a fixed IEEE op sequence both engines execute
+  // identically, so even the double hash-verifies (x161's discipline).
+  //
+  // Scale shape: one fact scan to day-grain counts; the lag lattice
+  // (LEAD per lag over the tiny day-domain table) and the per-lag rollup
+  // never touch event rows — the x134/x161 "tiny aggregate" shape.
+  def autocorrelation(ev: DataFrame, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+    // all maxLag leads share ONE window ordering, and the lag lattice is a
+    // stack() generator over those columns — one fact scan, one day-domain
+    // sort, where the naive per-lag union re-scans the facts maxLag times
+    // (PlanSpec pins the single scan)
+    val withLeads = daily.select(
+      col("n").as("x") +:
+        (1 to maxLag).map(k => lead(col("n"), k).over(w).as(s"y$k")): _*)
+    val stackArgs = (1 to maxLag).map(k => s"${k}L, y$k").mkString(", ")
+    val lagged = withLeads
+      .select(col("x"),
+        expr(s"stack($maxLag, $stackArgs) AS (lag, y)"))
+      .where(col("y").isNotNull)
+    lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("acf", col("num").cast("double") /
+        (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))))
+      .orderBy("lag")
+  }
+
+  private val x164 = GQuery(
+    "x164_autocorrelation", "ext-events time-series-acf",
+    (s, dir) => autocorrelation(events(s, dir), maxLag = 7),
+    Some("""WITH daily AS (
+              SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            lattice AS (
+              SELECT k.lag, d.n AS x,
+                LEAD(d.n, CAST(k.lag AS INTEGER)) OVER (PARTITION BY k.lag ORDER BY d.day) AS y
+              FROM daily d CROSS JOIN
+                (SELECT CAST(r.range AS BIGINT) AS lag FROM range(1, 8) r) k),
+            comp AS (
+              SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * y) AS BIGINT) AS sxy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM lattice WHERE y IS NOT NULL GROUP BY lag)
+            SELECT lag, n_pairs,
+              n_pairs * sxy - sx * sy AS num,
+              n_pairs * sxx - sx * sx AS den_x,
+              n_pairs * syy - sy * sy AS den_y,
+              CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+                 sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+            FROM comp ORDER BY lag"""))
+
+  // ------------------------------------------------------------------- x165
+  // Single-changepoint detection (AMOC) on the daily volume series by the
+  // centered-cumulative-sum statistic: D_t = N·C_t − t·S (C_t = running
+  // volume, S = total, N = days) is the CUSUM deviation scaled by N so it
+  // stays an exact integer — argmax |D_t| is the classic at-most-one-
+  // changepoint estimator (Page 1954 / Hinkley 1970). No recurrence
+  // needed: unlike x137's EWMA, the statistic is a pure window cumsum, so
+  // the whole series is window-expressible and hash-verifies exactly.
+  //
+  // Scale shape: one fact scan to day grain; cumsum + global argmax run
+  // on the day-domain table. The single unpartitioned window is
+  // domain-sized (≤ a few thousand rows for years of days), never
+  // fact-sized.
+  def changepoint(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the totals (N, S) come from a full-frame window over the SAME
+    // single-partition day-domain sort the cumsum already paid for — no
+    // second fact derivation, no join (PlanSpec pins the single scan)
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stats = daily
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("n")).over(wAll))
+    stats
+      .withColumn("d_stat", col("nn") * col("cum_n") - col("t") * col("s"))
+      .withColumn("abs_d", abs(col("d_stat")))
+      .withColumn("is_changepoint",
+        row_number().over(Window.orderBy(col("abs_d").desc, col("day"))) === 1)
+      .select(col("day"), col("n"), col("cum_n"), col("d_stat"),
+        col("is_changepoint"))
+      .orderBy("day")
+  }
+
+  private val x165 = GQuery(
+    "x165_changepoint", "ext-events changepoint-cusum",
+    (s, dir) => changepoint(events(s, dir)),
+    Some("""WITH daily AS (
+              SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            cum AS (
+              SELECT day, n,
+                CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+                CAST(SUM(n) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+              FROM daily),
+            tot AS (SELECT MAX(t) AS nn, MAX(cum_n) AS s FROM cum),
+            d AS (
+              SELECT day, n, cum_n, nn * cum_n - t * s AS d_stat
+              FROM cum CROSS JOIN tot)
+            SELECT day, n, cum_n, d_stat,
+              ROW_NUMBER() OVER (ORDER BY abs(d_stat) DESC, day) = 1
+                AS is_changepoint
+            FROM d ORDER BY day"""))
+
+  // ------------------------------------------------------------------- x166
+  // Holt double exponential smoothing (level + trend) over the daily
+  // volume series — the forecasting step up from x137's EWMA: the trend
+  // accumulator makes the one-step-ahead forecast follow a drifting
+  // series instead of lagging it. Integer discipline: state is held in
+  // MICROS (×10⁶) and stepped with truncating integer division (Scala
+  // Long `/` and DuckDB `//` both truncate toward zero — the trend term
+  // goes negative on declines, so floor-vs-truncate is load-bearing and
+  // was verified to agree), α = β = 1/4:
+  //   l_t = (x_t·10⁶ + 3·(l_{t−1} + b_{t−1})) / 4
+  //   b_t = ((l_t − l_{t−1}) + 3·b_{t−1}) / 4
+  // init l_1 = x_1·10⁶, b_1 = 0. Like x137, the recurrence genuinely
+  // depends on every prior step; the distributed discipline is the same:
+  // facts partial-aggregate to the day domain in parallel, and only the
+  // domain-sized fold runs in one task. The oracle replays it as a
+  // recursive CTE, so the inherently-ordered operator still
+  // hash-verifies bit-identically.
+  def holtDailyVolume(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        var l = Long.MinValue
+        var b = 0L
+        it.map { case (d, n) =>
+          if (l == Long.MinValue) { l = n * 1000000L; b = 0L }
+          else {
+            val lPrev = l
+            l = (n * 1000000L + 3L * (lPrev + b)) / 4L
+            b = ((l - lPrev) + 3L * b) / 4L
+          }
+          (d, n, l, b, l + b)
+        }
+      }
+      .toDF("day", "n", "level_micros", "trend_micros", "forecast_micros")
+      .orderBy("day")
+  }
+
+  private val x166 = GQuery(
+    "x166_holt_smoothing", "ext-events forecasting sequential-recurrence",
+    (s, dir) => holtDailyVolume(events(s, dir)),
+    Some("""WITH RECURSIVE d AS (
+              SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT day, n,
+                CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+              FROM d),
+            w(i, day, n, l, lprev, b) AS (
+              SELECT i, day, n, n * 1000000, CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+              FROM r WHERE i = 1
+              UNION ALL
+              SELECT r.i, r.day, r.n,
+                (r.n * 1000000 + 3 * (w.l + w.b)) // 4,
+                w.l,
+                (((r.n * 1000000 + 3 * (w.l + w.b)) // 4) - w.l + 3 * w.b) // 4
+              FROM w JOIN r ON r.i = w.i + 1)
+            SELECT day, n, l AS level_micros, b AS trend_micros,
+              l + b AS forecast_micros
+            FROM w ORDER BY day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
-    x152, x153, x156, x161, x162, x163)
+    x152, x153, x156, x161, x162, x163, x164, x165, x166)
 }

@@ -568,6 +568,32 @@ class PlanSpec extends SparkSpec {
       s"propagation must iterate on checkpointed labels: $docScans relation scans")
   }
 
+  test("x164 acf: the lag lattice is one generator over one scan, not a per-lag union") {
+    val df = SparkEntry.queries("x164_autocorrelation")(spark, sf001)
+    df.collect()
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1,
+      s"all 7 lags must ride one scan + one day-domain sort: $scans scans")
+  }
+
+  test("x165 changepoint: totals ride the cumsum window — one scan, no join") {
+    val df = SparkEntry.queries("x165_changepoint")(spark, sf001)
+    val plan = executedPlan(df)
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"N and S must come from the full-frame window: $scans scans")
+    val joins = SparkSpec.allPlanNodes(plan).count(_.nodeName.toLowerCase.contains("join"))
+    assert(joins == 0, s"no join: the totals must not re-derive the series:\n$plan")
+  }
+
+  test("x166 holt: facts partial-aggregate to day grain before the single-task fold") {
+    val df = SparkEntry.queries("x166_holt_smoothing")(spark, sf001)
+    val plan = executedPlan(df).toString
+    // the recurrence runs on the day domain: a partial+final HashAggregate
+    // pair reduces the facts BEFORE the repartition(1) the fold needs
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"day-grain aggregation must happen before the sequential fold:\n$plan")
+  }
+
   test("x140 z-order rollup: scaling bound broadcasts; bucket agg has a partial phase") {
     val plan = executedPlan(SparkEntry.queries("x140_zorder_key")(spark, sf001)).toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

@@ -41,4 +41,44 @@ class QueriesSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
     assert(sims.sameElements(sims.sortBy(-_)))
   }
+
+  test("x164 acf: Cauchy-Schwarz holds exactly and acf stays in [-1, 1]") {
+    val rows = SparkEntry.queries("x164_autocorrelation")(spark, sf001)
+      .select("lag", "num", "den_x", "den_y", "acf").collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val (num, dx, dy) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3)))
+      // the exact integer components must satisfy num² ≤ den_x·den_y —
+      // any accumulation error in the rollup would break the identity
+      assert(num * num <= dx * dy, s"Cauchy-Schwarz violated at lag ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("x165 changepoint: exactly one argmax flag and a zero-sum final deviation") {
+    val rows = SparkEntry.queries("x165_changepoint")(spark, sf001)
+      .select("d_stat", "is_changepoint").collect()
+    assert(rows.count(_.getBoolean(1)) == 1)
+    // D_N = N·S − N·S = 0 by construction: the centered cumsum closes
+    assert(rows.last.getLong(0) == 0L)
+    val flaggedAbs = rows.filter(_.getBoolean(1)).map(r => math.abs(r.getLong(0))).head
+    assert(rows.forall(r => math.abs(r.getLong(0)) <= flaggedAbs))
+  }
+
+  test("x166 holt: recurrence replays exactly against a driver-side fold") {
+    val rows = SparkEntry.queries("x166_holt_smoothing")(spark, sf001)
+      .orderBy("day").select("n", "level_micros", "trend_micros", "forecast_micros")
+      .collect()
+    var l = 0L; var b = 0L; var first = true
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      if (first) { l = n * 1000000L; b = 0L; first = false }
+      else {
+        val lPrev = l
+        l = (n * 1000000L + 3L * (lPrev + b)) / 4L
+        b = ((l - lPrev) + 3L * b) / 4L
+      }
+      assert(r.getLong(1) == l && r.getLong(2) == b && r.getLong(3) == l + b)
+    }
+  }
 }
