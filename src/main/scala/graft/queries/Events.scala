@@ -1638,7 +1638,130 @@ object Events {
               l + b AS forecast_micros
             FROM w ORDER BY day"""))
 
+  // ------------------------------------------------------------------- x167
+  // Point-in-time feature snapshot — the feature-store export: per user,
+  // trailing-window activity features as of a cutoff (the max event ts,
+  // so the snapshot is reproducible from the data alone): 7-day and
+  // 30-day counts, 30-day spend in exact cents (x162's quantization, so
+  // no float sum ever reassociates), distinct active types, days since
+  // last activity, and the dominant event type in the window (ties to
+  // the lexicographically smallest — every decision deterministic, so
+  // the whole feature matrix hash-verifies).
+  //
+  // Scale shape: the cutoff is one tiny max() aggregate (data-dependent,
+  // like x149's bounds — the second fact pass is inherent to any
+  // snapshot "as of latest"); the feature pass partial-aggregates the
+  // facts to the (user × type) grid in ONE user-keyed exchange, and the
+  // dominant-type window + per-user rollup both reuse that clustering.
+  // TTL discipline: features only ever read the trailing windows, so an
+  // incremental refresh can serve this from x141-style daily summaries.
+  def featureSnapshot(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = ev.groupBy().agg(max(col("ts")).as("cutoff"))
+    val grid = ev.crossJoin(broadcast(cutoff))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(when(col("ts") >= col("cutoff") - expr("INTERVAL 7 DAYS"), 1L)
+          .otherwise(0L)).as("n7"),
+        sum(when(col("ts") >= col("cutoff") - expr("INTERVAL 30 DAYS"), 1L)
+          .otherwise(0L)).as("n30"),
+        sum(when(col("ts") >= col("cutoff") - expr("INTERVAL 30 DAYS"),
+          col("cents")).otherwise(0L)).as("cents30"),
+        max(col("ts")).as("last_ts"),
+        max(col("cutoff")).as("cutoff"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("n30").desc, col("event_type"))
+    grid
+      .withColumn("rn", row_number().over(byUser))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n7")).as("n_7d"), sum(col("n30")).as("n_30d"),
+        sum(col("cents30")).as("cents_30d"),
+        sum(when(col("n30") > 0, 1L).otherwise(0L)).as("n_types_30d"),
+        datediff(date_trunc("day", max(col("cutoff"))),
+          date_trunc("day", max(col("last_ts")))).cast("long")
+          .as("days_since_last"),
+        max(when(col("rn") === 1 && col("n30") > 0, col("event_type")))
+          .as("dominant_type_30d"))
+      .orderBy("user_id")
+  }
+
+  private val x167 = GQuery(
+    "x167_feature_snapshot", "ext-events feature-store point-in-time",
+    (s, dir) => featureSnapshot(events(s, dir)),
+    Some("""WITH cut AS (SELECT MAX(ts) AS cutoff FROM events),
+            grid AS (
+              SELECT e.user_id, e.event_type,
+                CAST(SUM(CASE WHEN e.ts >= c.cutoff - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+                CAST(SUM(CASE WHEN e.ts >= c.cutoff - INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n30,
+                CAST(SUM(CASE WHEN e.ts >= c.cutoff - INTERVAL 30 DAY
+                  THEN CAST(round(e.value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents30,
+                MAX(e.ts) AS last_ts, MAX(c.cutoff) AS cutoff
+              FROM events e CROSS JOIN cut c
+              GROUP BY e.user_id, e.event_type),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY n30 DESC, event_type) AS rn
+              FROM grid)
+            SELECT user_id,
+              CAST(SUM(n7) AS BIGINT) AS n_7d,
+              CAST(SUM(n30) AS BIGINT) AS n_30d,
+              CAST(SUM(cents30) AS BIGINT) AS cents_30d,
+              CAST(SUM(CASE WHEN n30 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_types_30d,
+              CAST(date_diff('day', date_trunc('day', MAX(last_ts)),
+                date_trunc('day', MAX(cutoff))) AS BIGINT) AS days_since_last,
+              MAX(CASE WHEN rn = 1 AND n30 > 0 THEN event_type END)
+                AS dominant_type_30d
+            FROM ranked GROUP BY user_id ORDER BY user_id"""))
+
+  // ------------------------------------------------------------------- x169
+  // Equal-frequency decile binning of event values per type — feature
+  // discretization (the preprocessing step behind gradient-boosted trees
+  // and calibration curves). ntile(10) over the exact cent-quantized
+  // value with event_id as the total-order tiebreak, so bin assignment
+  // is fully deterministic and the per-bin summary hash-verifies.
+  //
+  // Scale shape: the window is PARTITIONED by event_type, so the sort is
+  // per-type, not global; the bin summary partial-aggregates on the same
+  // clustering. At 100 TB the per-type sort gives way to cut points read
+  // from x162's mergeable histogram (rank-walk the cumulative counts,
+  // then bin by range lookup — one scan, no sort); this exact form is
+  // the oracle of that rewrite.
+  def decileBins(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cent"), col("event_id"))
+    ev.select(col("event_type"), col("event_id"),
+      round(col("value") * 100, 0).cast("long").as("cent"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cent")).as("lo_cent"), max(col("cent")).as("hi_cent"))
+      .orderBy("event_type", "decile")
+  }
+
+  private val x169 = GQuery(
+    "x169_decile_bins", "ext-events feature-discretization",
+    (s, dir) => decileBins(events(s, dir)),
+    Some("""WITH t AS (
+              SELECT event_type, event_id,
+                CAST(round(value * 100, 0) AS BIGINT) AS cent
+              FROM events),
+            b AS (
+              SELECT event_type, cent,
+                CAST(NTILE(10) OVER (PARTITION BY event_type
+                  ORDER BY cent, event_id) AS BIGINT) AS decile
+              FROM t)
+            SELECT event_type, decile, CAST(COUNT(*) AS BIGINT) AS n,
+              MIN(cent) AS lo_cent, MAX(cent) AS hi_cent
+            FROM b GROUP BY event_type, decile
+            ORDER BY event_type, decile"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
-    x152, x153, x156, x161, x162, x163, x164, x165, x166)
+    x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169)
 }

@@ -244,6 +244,79 @@ object Graph {
     (s, dir) => pagerank(lineitem(s, dir), iters = 8),
     Some(pagerankOracle(8)))
 
+  /** Personalized PageRank from a single deterministic seed (the max-
+    * degree node, ties to the smaller id — "customers who bought THIS
+    * part also orbit these"): the restart mass lands only on the seed,
+    * so rank concentrates in the seed's neighborhood instead of spreading
+    * by global degree — the recommendation/related-items variant of x124
+    * (Jeh & Widom 2003). Same integer-micros discipline and the same
+    * superstep economy: the seed id is an artifact-sized driver constant
+    * (one 1-row collect, like a codebook), each superstep is one
+    * broadcast-rank join + one dst-keyed partial agg over the
+    * checkpointed edges, and ranks stay exact BIGINTs so eight unrolled
+    * CTEs in DuckDB replay them bit-identically.
+    */
+  def personalizedPagerank(li: DataFrame, iters: Int): DataFrame = {
+    val e = copurchaseEdges(li)
+    val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val seed = deg.orderBy(col("outdeg").desc, col("src"))
+      .limit(1).collect()(0).getLong(0)
+    val withDeg = directed.join(deg, "src").coalesce(8).localCheckpoint(true)
+    var ranks = deg.select(col("src").as("node"),
+      when(col("src") === seed, lit(1000000L)).otherwise(lit(0L)).as("rank"))
+      .coalesce(1).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = withDeg.join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+        .select(col("dst").as("node"),
+          (when(col("dst") === seed, lit(150000L)).otherwise(lit(0L)) +
+            expr("(850 * c) div 1000")).as("rank"))
+        .coalesce(1).localCheckpoint(true)
+      dropCheckpoint(ranks)
+      ranks = next
+    }
+    dropCheckpoint(withDeg)
+    ranks.where(col("rank") > 0)
+      .select(col("node").as("part"), col("rank").as("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("part"))
+  }
+
+  private def ppagerankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey <> b.l_partkey),
+         deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         seed AS (SELECT src AS sid FROM deg ORDER BY outdeg DESC, src LIMIT 1),
+         r0 AS (SELECT d.src AS node,
+             CAST(CASE WHEN d.src = s.sid THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+           FROM deg d CROSS JOIN seed s)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT d.src AS node,
+             CAST(CASE WHEN d.src = se.sid THEN 150000 ELSE 0 END AS BIGINT)
+               + (850 * COALESCE(s.c, 0)) // 1000 AS rank
+           FROM deg d CROSS JOIN seed se LEFT JOIN (
+             SELECT e.dst AS node2, CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS c
+             FROM e JOIN r${i - 1} r ON e.src = r.node
+                    JOIN deg g ON g.src = e.src
+             GROUP BY 1) s
+           ON s.node2 = d.src)"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS part, CAST(rank AS BIGINT) AS rank_micros FROM r$iters " +
+      "WHERE rank > 0 ORDER BY rank_micros DESC, part"
+  }
+
+  private val x168 = GQuery(
+    "x168_personalized_pagerank", "ext-graph personalized-pagerank",
+    (s, dir) => personalizedPagerank(lineitem(s, dir), iters = 8),
+    Some(ppagerankOracle(8)))
+
   /** Common-neighbor / Jaccard link prediction among the top-`candN`
     * highest-degree nodes: the top-100 NON-adjacent candidate pairs by
     * shared co-purchase neighbors — "customers who bought these also
@@ -646,5 +719,5 @@ object Graph {
     (s, dir) => hopDistance(lineitem(s, dir), hops = 4),
     Some(hopOracle(4)))
 
-  val queries: Seq[GQuery] = Seq(x123, x124, x126, x129, x130, x131, x133, x139)
+  val queries: Seq[GQuery] = Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168)
 }

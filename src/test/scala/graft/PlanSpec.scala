@@ -594,6 +594,37 @@ class PlanSpec extends SparkSpec {
       s"day-grain aggregation must happen before the sequential fold:\n$plan")
   }
 
+  test("x167 feature snapshot: dominant-type window and rollup share the grid clustering") {
+    val df = SparkEntry.queries("x167_feature_snapshot")(spark, sf001)
+    val plan = executedPlan(df)
+    // two fact derivations max: the cutoff aggregate + the feature pass
+    // (the x149 data-dependent-bound shape)
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans <= 2, s"cutoff + one feature pass only: $scans scans")
+    // exactly ONE user_id-only hash exchange: the window's re-clustering,
+    // which the per-user rollup then rides (a second would mean the
+    // rollup re-exchanged after the window)
+    val userExchanges = SparkSpec.allPlanNodes(plan).filter {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.size == 1 && h.expressions.head.toString.contains("user_id")
+        case _ => false
+      }
+      case _ => false
+    }
+    assert(userExchanges.size == 1,
+      s"window + rollup must share one user exchange:\n$plan")
+  }
+
+  test("x169 decile bins: the window sort is type-partitioned, never global") {
+    val plan = executedPlan(SparkEntry.queries("x169_decile_bins")(spark, sf001))
+    val windows = SparkSpec.allPlanNodes(plan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"a global ntile sort would single-task the fact table:\n$plan")
+  }
+
   test("x140 z-order rollup: scaling bound broadcasts; bucket agg has a partial phase") {
     val plan = executedPlan(SparkEntry.queries("x140_zorder_key")(spark, sf001)).toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

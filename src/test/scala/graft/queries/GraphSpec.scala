@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
 /** Graph-analytics family (x123/x124/x126/x129 are DuckDB-hash-gated;
@@ -257,6 +257,50 @@ class GraphSpec extends SparkSpec {
       assert(en == exact(u))
       assert(cn >= en, s"CMS is one-sided: est($u)=$cn < exact $en")
       assert(over == cn - en)
+    }
+  }
+
+  test("x168: personalized pagerank concentrates on the seed and stays mass-bounded") {
+    val rows = SparkEntry.queries("x168_personalized_pagerank")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    // output is rank-desc ordered; the seed is the max-degree node and,
+    // with restart mass landing only on it, must hold the top rank
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val e = li.select(org.apache.spark.sql.functions.col("l_orderkey"),
+      org.apache.spark.sql.functions.col("l_partkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byOrder = e.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    byOrder.values.foreach { ps =>
+      for (a <- ps; b <- ps if a != b)
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+    }
+    val seed = adj.toSeq.map { case (n, s) => (n, s.size) }
+      .sortBy { case (n, d) => (-d, n) }.head._1
+    assert(rows.head._1 == seed, s"seed $seed must out-rank its neighborhood")
+    // total mass: restart injects <= 1.15e6 total across init + 8 rounds;
+    // integer truncation only loses mass, so the sum stays under that
+    assert(rows.map(_._2).sum <= 1000000L + 8L * 150000L)
+    // positive-rank support must be within 8 hops of the seed
+    var frontier = Set(seed); var reach = Set(seed)
+    for (_ <- 1 to 8) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- reach
+      reach ++= frontier
+    }
+    assert(rows.forall { case (n, _) => reach.contains(n) })
+  }
+
+  test("x169: decile bins are equal-frequency within one row and ordered by value") {
+    val rows = SparkEntry.queries("x169_decile_bins")(spark, sf001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, bins) =>
+      assert(bins.map(_.getLong(1)).sorted.sameElements(1L to 10L))
+      val counts = bins.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1, s"ntile balance: ${counts.mkString(",")}")
+      val ordered = bins.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(4) <= b.getLong(3) || a.getLong(4) <= b.getLong(4))
+      }
     }
   }
 }
