@@ -1761,7 +1761,190 @@ object Events {
             FROM b GROUP BY event_type, decile
             ORDER BY event_type, decile"""))
 
+  // ------------------------------------------------------------------- x171
+  // Audience overlap matrix — pairwise distinct-user intersection and
+  // Jaccard between event types, the segment-overlap report behind
+  // audience planning and dedup-across-channels. Exact and integer
+  // (jaccard in thousandths), so the full matrix hash-verifies.
+  //
+  // Scale shape: ONE fact scan to the distinct (user, type) membership
+  // table; the intersection self-join is user-keyed (each user
+  // contributes C(their types, 2) ≤ C(|types|, 2) rows — bounded by the
+  // tiny type domain, never quadratic in users); the pair lattice and
+  // per-type sizes are domain-sized broadcasts.
+  def audienceOverlap(ev: DataFrame): DataFrame = {
+    val d = ev.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // membership table: scan once, reuse thrice
+    val sizes = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val types = sizes.select(col("event_type").as("t"))
+    val lattice = types.as("x").join(types.as("y"), col("x.t") < col("y.t"))
+      .select(col("x.t").as("ta"), col("y.t").as("tb"))
+    val inter = d.as("a")
+      .join(d.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_inter"))
+    lattice
+      .join(inter, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(broadcast(sizes.select(col("event_type").as("ta"), col("n").as("n_a"))), "ta")
+      .join(broadcast(sizes.select(col("event_type").as("tb"), col("n").as("n_b"))), "tb")
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_inter"),
+        expr("(1000 * n_inter) div (n_a + n_b - n_inter)").as("jaccard_milli"))
+      .orderBy("ta", "tb")
+  }
+
+  private val x171 = GQuery(
+    "x171_audience_overlap", "ext-events audience-overlap set-similarity",
+    (s, dir) => audienceOverlap(events(s, dir)),
+    Some("""WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY 1),
+            lattice AS (
+              SELECT x.event_type AS ta, y.event_type AS tb
+              FROM sizes x JOIN sizes y ON x.event_type < y.event_type),
+            inter AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM d a JOIN d b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT l.ta, l.tb, sa.n AS n_a, sb.n AS n_b,
+              COALESCE(i.n_inter, 0) AS n_inter,
+              (1000 * COALESCE(i.n_inter, 0))
+                // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard_milli
+            FROM lattice l
+            LEFT JOIN inter i ON i.ta = l.ta AND i.tb = l.tb
+            JOIN sizes sa ON sa.event_type = l.ta
+            JOIN sizes sb ON sb.event_type = l.tb
+            ORDER BY l.ta, l.tb"""))
+
+  // ------------------------------------------------------------------- x172
+  // The SKETCH-SERVED overlap matrix: per-type HLL register tables
+  // (x152's derivation keyed by event_type), pairwise union by register
+  // max-merge — including registers present in only one sketch — and
+  // intersection by inclusion-exclusion est(A) + est(B) − est(A∪B),
+  // paired with x171's exact intersection to exhibit the error. This is
+  // how the overlap matrix actually ships at 100 TB: per-segment
+  // sketches are the stored artifact (256 rows each), and ANY pair —
+  // across segments, days, tenants — is answerable by merge, never by
+  // re-scanning facts. Same finitely-checked estimator as x152, so the
+  // whole report still hash-verifies against a relational DuckDB replay.
+  //
+  // Scale shape: one fact scan to the type×256 register table
+  // (checkpointed artifact); everything downstream — pair lattice, union
+  // merge, estimates, the error join — is sketch-domain-sized.
+  def sketchOverlap(ev: DataFrame): DataFrame = {
+    val h = md5(col("user_id").cast("string"))
+    val regRows = ev.select(col("event_type"), col("user_id"),
+        substring(h, 1, 2).as("reg"), substring(h, 3, 8).as("suf"))
+      .withColumn("zrun", length(regexp_extract(col("suf"), "^0*", 0)))
+      .withColumn("c", expr("substring(suf, zrun + 1, 1)"))
+      .withColumn("rho", when(col("zrun") === 8, lit(33)).otherwise(
+        lit(4) * col("zrun") + lit(1) +
+          when(col("c") === "1", 3)
+            .when(col("c").isin("2", "3"), 2)
+            .when(col("c").isin("4", "5", "6", "7"), 1)
+            .otherwise(0)))
+    val sk = regRows.groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rho")).as("mr"))
+      .localCheckpoint(true) // the stored artifact: type x 256 registers
+    val perType = hllEstimate(sk, Seq("event_type"))
+      .select(col("event_type"), col("est_n"))
+    val types = sk.select(col("event_type").as("t")).distinct()
+    val lattice = types.as("x").join(types.as("y"), col("x.t") < col("y.t"))
+      .select(col("x.t").as("ta"), col("y.t").as("tb"))
+    val unionRegs = lattice
+      .join(sk, col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("reg")).agg(max(col("mr")).as("mr"))
+    val estUnion = hllEstimate(unionRegs, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("est_n").as("est_union"))
+    val exact = audienceOverlap(ev).select(col("ta"), col("tb"), col("n_inter"))
+    estUnion
+      .join(broadcast(perType.select(col("event_type").as("ta"), col("est_n").as("est_a"))), "ta")
+      .join(broadcast(perType.select(col("event_type").as("tb"), col("est_n").as("est_b"))), "tb")
+      .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
+      .join(exact, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"), col("n_inter").as("exact_inter"),
+        (col("est_inter") - col("n_inter")).as("err_n"))
+      .orderBy("ta", "tb")
+  }
+
+  private val x172 = GQuery(
+    "x172_sketch_overlap", "ext-events sketch inclusion-exclusion mergeable",
+    (s, dir) => sketchOverlap(events(s, dir)),
+    Some("""WITH r AS (
+              SELECT event_type, user_id,
+                substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS reg,
+                substr(md5(CAST(user_id AS VARCHAR)), 3, 8) AS suf
+              FROM events),
+            rr AS (
+              SELECT event_type, reg,
+                CASE WHEN length(regexp_extract(suf, '^0*')) = 8 THEN 33
+                  ELSE 4 * length(regexp_extract(suf, '^0*')) + 1 +
+                    CASE substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1)
+                      WHEN '1' THEN 3
+                      WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1
+                      WHEN '6' THEN 1 WHEN '7' THEN 1
+                      ELSE 0 END
+                  END AS rho
+              FROM r),
+            sk AS (SELECT event_type, reg, MAX(rho) AS mr
+              FROM rr GROUP BY event_type, reg),
+            e0 AS (
+              SELECT event_type,
+                SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS z,
+                CAST(COUNT(*) AS BIGINT) AS present
+              FROM sk GROUP BY event_type),
+            e1 AS (SELECT event_type, 256 - present AS vzero,
+                0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256 / (z + (256 - present)) AS raw
+              FROM e0),
+            per_type AS (SELECT event_type,
+                CAST(CASE WHEN raw <= 640.0 AND vzero > 0
+                  THEN round(256.0 * ln(256.0 / vzero), 0)
+                  ELSE round(raw, 0) END AS BIGINT) AS est_n FROM e1),
+            lattice AS (
+              SELECT x.event_type AS ta, y.event_type AS tb
+              FROM per_type x JOIN per_type y ON x.event_type < y.event_type),
+            u AS (
+              SELECT l.ta, l.tb, s.reg, MAX(s.mr) AS mr
+              FROM lattice l JOIN sk s
+                ON s.event_type = l.ta OR s.event_type = l.tb
+              GROUP BY l.ta, l.tb, s.reg),
+            u0 AS (
+              SELECT ta, tb,
+                SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS z,
+                CAST(COUNT(*) AS BIGINT) AS present
+              FROM u GROUP BY ta, tb),
+            u1 AS (SELECT ta, tb, 256 - present AS vzero,
+                0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256 / (z + (256 - present)) AS raw
+              FROM u0),
+            est_u AS (SELECT ta, tb,
+                CAST(CASE WHEN raw <= 640.0 AND vzero > 0
+                  THEN round(256.0 * ln(256.0 / vzero), 0)
+                  ELSE round(raw, 0) END AS BIGINT) AS est_union FROM u1),
+            d AS (SELECT DISTINCT user_id, event_type FROM events),
+            inter AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM d a JOIN d b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT e.ta, e.tb, pa.est_n AS est_a, pb.est_n AS est_b,
+              e.est_union, pa.est_n + pb.est_n - e.est_union AS est_inter,
+              COALESCE(i.n_inter, 0) AS exact_inter,
+              pa.est_n + pb.est_n - e.est_union - COALESCE(i.n_inter, 0) AS err_n
+            FROM est_u e
+            JOIN per_type pa ON pa.event_type = e.ta
+            JOIN per_type pb ON pb.event_type = e.tb
+            LEFT JOIN inter i ON i.ta = e.ta AND i.tb = e.tb
+            ORDER BY e.ta, e.tb"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
-    x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169)
+    x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
+    x171, x172)
 }

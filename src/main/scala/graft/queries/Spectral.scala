@@ -109,5 +109,67 @@ object Spectral {
            FROM q ORDER BY vec_id"""
     })
 
-  val queries: Seq[GQuery] = Seq(x147, x148)
+  // ------------------------------------------------------------------- x170
+  // Leave-one-out 1-NN classifier evaluation over the embedding corpus —
+  // the label-quality / separability audit run before training on a
+  // labeled embedding set (a noisy-label detector: a class whose members'
+  // nearest neighbors sit in another class is mislabeled or inseparable).
+  // Output is the full confusion matrix of (actual, predicted-by-nearest-
+  // neighbor) label pairs on a deterministic holdout (first `EvalN`
+  // vec_ids — the x95 bounded-evaluation discipline).
+  //
+  // Exactness: embeddings quantize to integer milli-units (x148's
+  // discipline) and distances are exact integer squared-L2, so the argmin
+  // (ties to the smaller neighbor id) is deterministic and the matrix
+  // hash-verifies — the DuckDB replay computes the same integers through
+  // list_dot_product in doubles, exact below 2^53.
+  //
+  // Scale shape: the holdout sample (EvalN × d ints) broadcasts; the
+  // corpus side streams through ONE narrow scan scoring each corpus row
+  // against the broadcast sample (the x71 batch-serving shape, here with
+  // the sample as the query batch); per-query argmin partial-aggregates
+  // (min of (d2, nid) structs), so the exchange carries EvalN rows per
+  // partition, never the n×EvalN pair table.
+  private val EvalN = 500
+
+  private val x170 = GQuery(
+    "x170_knn_label_eval", "ext-spectral classifier-eval knn",
+    (s, dir) => {
+      val q = expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+      val base = emb(s, dir).select(col("vec_id"), col("label").cast("long").as("label"), q.as("mi"))
+      val holdout = base.where(col("vec_id") < EvalN)
+        .select(col("vec_id").as("qid"), col("label").as("actual"), col("mi").as("qv"))
+      val pairs = base.join(broadcast(holdout), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("actual"), col("label").as("cand_label"),
+          col("vec_id").as("nid"),
+          expr("aggregate(zip_with(mi, qv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+            .as("d2"))
+      pairs
+        .groupBy(col("qid"), col("actual"))
+        .agg(min(struct(col("d2"), col("nid"), col("cand_label"))).as("nn"))
+        .select(col("actual"), col("nn.cand_label").as("predicted"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    },
+    Some(s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS mi
+             FROM embeddings),
+            n AS (SELECT vec_id, label, mi, list_dot_product(mi, mi) AS nq FROM q),
+            hold AS (SELECT vec_id AS qid, label AS actual, mi AS qv, nq AS nhq
+              FROM n WHERE vec_id < $EvalN),
+            pairs AS (
+              SELECT h.qid, h.actual, c.label AS cand_label, c.vec_id AS nid,
+                c.nq + h.nhq - 2 * list_dot_product(c.mi, h.qv) AS d2
+              FROM n c JOIN hold h ON c.vec_id <> h.qid),
+            nn AS (
+              SELECT qid, actual, cand_label,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+              FROM pairs)
+            SELECT actual, cand_label AS predicted, CAST(COUNT(*) AS BIGINT) AS n
+            FROM nn WHERE rn = 1 GROUP BY actual, cand_label
+            ORDER BY actual, predicted"""))
+
+  val queries: Seq[GQuery] = Seq(x147, x148, x170)
 }

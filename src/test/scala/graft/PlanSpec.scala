@@ -625,6 +625,22 @@ class PlanSpec extends SparkSpec {
       s"a global ntile sort would single-task the fact table:\n$plan")
   }
 
+  test("x170 knn eval: the holdout broadcasts; the corpus never sort-merge-joins") {
+    val plan = executedPlan(SparkEntry.queries("x170_knn_label_eval")(spark, sf001))
+    val nodes = SparkSpec.allPlanNodes(plan).map(_.nodeName)
+    assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"the EvalN sample must broadcast against the corpus scan:\n$plan")
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      s"a sort-merge join would shuffle the full pair table:\n$plan")
+  }
+
+  test("x171 audience overlap: the membership self-join is user-keyed, not cartesian") {
+    val plan = executedPlan(SparkEntry.queries("x171_audience_overlap")(spark, sf001))
+    val nodes = SparkSpec.allPlanNodes(plan).map(_.nodeName)
+    assert(!nodes.exists(_.contains("CartesianProduct")),
+      s"intersection must join on user_id:\n$plan")
+  }
+
   test("x140 z-order rollup: scaling bound broadcasts; bucket agg has a partial phase") {
     val plan = executedPlan(SparkEntry.queries("x140_zorder_key")(spark, sf001)).toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

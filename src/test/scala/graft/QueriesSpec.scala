@@ -65,6 +65,48 @@ class QueriesSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getLong(0)) <= flaggedAbs))
   }
 
+  test("x170 knn eval: every holdout vector predicted exactly once") {
+    val rows = SparkEntry.queries("x170_knn_label_eval")(spark, sf001).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val corpus = graft.Tables(spark, sf001, "embeddings").count()
+    assert(total == math.min(500L, corpus),
+      s"matrix mass $total must equal the holdout size")
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("x171 audience overlap matches driver-side set intersection") {
+    val rows = SparkEntry.queries("x171_audience_overlap")(spark, sf001).collect()
+    val membership = graft.Tables(spark, sf001, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = membership.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    assert(rows.length == types.combinations(2).size)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val inter = (byType(ta) & byType(tb)).size.toLong
+      assert(r.getLong(2) == byType(ta).size.toLong)
+      assert(r.getLong(3) == byType(tb).size.toLong)
+      assert(r.getLong(4) == inter, s"intersection($ta,$tb)")
+      assert(r.getLong(5) ==
+        1000L * inter / (byType(ta).size + byType(tb).size - inter))
+    }
+  }
+
+  test("x172 sketch overlap: inclusion-exclusion estimate lands near the exact truth") {
+    val rows = SparkEntry.queries("x172_sketch_overlap")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (estU, estI, exact, err) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(err == estI - exact)
+      // m=256 HLL has ~6.5% σ per estimate; inclusion-exclusion stacks
+      // three of them — allow 4 stacked σ plus small-count slack
+      assert(math.abs(err) <= (estU * 26) / 100 + 10,
+        s"est_inter $estI too far from exact $exact (union $estU)")
+    }
+  }
+
   test("x166 holt: recurrence replays exactly against a driver-side fold") {
     val rows = SparkEntry.queries("x166_holt_smoothing")(spark, sf001)
       .orderBy("day").select("n", "level_micros", "trend_micros", "forecast_micros")
