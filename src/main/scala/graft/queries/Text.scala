@@ -1290,8 +1290,66 @@ object Text {
     (s, dir) => textrankKeywords(docs(s, dir), iters = 4, topK = 50),
     Some(textrankOracle(4)))
 
+  // ------------------------------------------------------------------- x173
+  // Vocabulary growth census (Heaps' law): cumulative distinct-token and
+  // total-token counts as the corpus is consumed in doc_id order — the
+  // curve that sizes a tokenizer vocabulary and predicts OOV decay as a
+  // crawl grows (new-vocab rate per doc is its derivative). Exact and
+  // integer end to end.
+  //
+  // Scale shape: the cumulative-distinct recurrence is rewritten as
+  // "count tokens whose FIRST occurrence is ≤ this doc" — first_doc =
+  // min(doc_id) per token is one token-keyed partial aggregation, the
+  // per-doc new-token counts roll up from it, and the running sums are a
+  // window over the DOC-DOMAIN table only. The token explosion is the
+  // same single scan every Text operator pays; nothing sequential ever
+  // touches token rows.
+  private val x173 = GQuery(
+    "x173_vocab_growth", "ext-text vocabulary-census heaps",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val firstDoc = toks.groupBy(col("tok"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val newPerDoc = firstDoc.groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("new_tokens"))
+      // per-doc totals need no explosion: size(split) is a narrow
+      // projection, so only the first-occurrence branch pays the token
+      // blow-up
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(newPerDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("new_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"), col("new_tokens"),
+          col("cum_tokens").cast("long"), col("cum_vocab").cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            fd AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+            npd AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_tokens
+              FROM fd GROUP BY first_doc),
+            pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM toks GROUP BY doc_id)
+            SELECT pd.doc_id, pd.n_tokens,
+              COALESCE(npd.new_tokens, 0) AS new_tokens,
+              CAST(SUM(pd.n_tokens) OVER (ORDER BY pd.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_tokens,
+              CAST(SUM(COALESCE(npd.new_tokens, 0)) OVER (ORDER BY pd.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_vocab
+            FROM pd LEFT JOIN npd ON npd.doc_id = pd.doc_id
+            ORDER BY pd.doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138)
+      x110, x113, x138, x173)
 }
