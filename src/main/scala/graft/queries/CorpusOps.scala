@@ -1424,8 +1424,78 @@ object CorpusOps {
             FROM per_g
             ORDER BY method"""))
 
+  // ------------------------------------------------------------------- x176
+  // Bottom-k sample as a MERGEABLE summary: per source, the k documents
+  // with the smallest md5(doc_id) rank. Unlike x42's fixed-threshold
+  // hash sample (whose size drifts with the corpus), bottom-k yields an
+  // EXACT-size uniform sample — and because "bottom k of a union is the
+  // bottom k of each part's bottom k", per-shard summaries merge into
+  // the corpus summary without touching the corpus again (the x141/x152
+  // summary algebra, applied to sampling). The query runs the sharded
+  // path (3 shards → merge) and the direct path side by side and emits
+  // the x160-style self-certifying agreement column, hash-checked by
+  // the oracle.
+  //
+  // Scale shape: each shard's bottom-k is a rank-filtered window over
+  // the shard (k rows out per source×shard); the merge re-ranks
+  // 3k rows per source. At 100 TB this is the distributed reservoir:
+  // partial bottom-k per partition (map-side), tiny merge at the end —
+  // no global sort, no fact-sized exchange.
+  private lazy val x176 = GQuery(
+    "x176_bottomk_sample", "ext-corpus mergeable-sampling bottom-k",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 10
+      val ranked = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"),
+          pmod(col("doc_id"), lit(3)).as("shard"))
+      def bottomK(df: DataFrame, parts: Seq[String]): DataFrame = {
+        val w = Window.partitionBy(parts.map(col): _*).orderBy(col("h"), col("doc_id"))
+        df.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+      }
+      val perShard = bottomK(ranked, Seq("source", "shard"))
+      val merged = bottomK(perShard, Seq("source"))
+        .select(col("source"), col("doc_id"), col("h"))
+      val direct = bottomK(ranked, Seq("source"))
+        .select(col("source"), col("doc_id"), lit(true).as("in_direct"))
+      merged.join(direct, Seq("source", "doc_id"), "full_outer")
+        .select(col("source"), col("doc_id"), col("h"),
+          (col("h").isNotNull && coalesce(col("in_direct"), lit(false)))
+            .as("merge_agrees"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""WITH r AS (
+              SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+                doc_id % 3 AS shard
+              FROM documents),
+            per_shard AS (
+              SELECT * FROM (
+                SELECT doc_id, source, h, shard,
+                  ROW_NUMBER() OVER (PARTITION BY source, shard
+                    ORDER BY h, doc_id) AS rn
+                FROM r) WHERE rn <= 10),
+            merged AS (
+              SELECT source, doc_id, h FROM (
+                SELECT doc_id, source, h,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY h, doc_id) AS rn
+                FROM per_shard) WHERE rn <= 10),
+            direct AS (
+              SELECT source, doc_id, TRUE AS in_direct FROM (
+                SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY h, doc_id) AS rn
+                FROM r) WHERE rn <= 10)
+            SELECT COALESCE(m.source, d.source) AS source,
+              COALESCE(m.doc_id, d.doc_id) AS doc_id, m.h,
+              (m.h IS NOT NULL AND COALESCE(d.in_direct, FALSE)) AS merge_agrees
+            FROM merged m FULL OUTER JOIN direct d
+              ON m.source = d.source AND m.doc_id = d.doc_id
+            ORDER BY source, doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
-      x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157)
+      x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
+      x176)
 }
-

@@ -334,5 +334,325 @@ object Lakehouse {
                 - (SELECT COUNT(*) FROM orders o
                    JOIN customer c ON o.o_custkey = c.c_custkey) AS err_rows"""))
 
-  val queries: Seq[GQuery] = Seq(x140, x141, x154, x155, x158)
+  // ------------------------------------------------------------------- x175
+  // Incremental maintenance of a JOIN materialized view — the delta rule
+  // the aggregate-MV family (x141/x155/x157-adjacent maintainers) doesn't
+  // cover: V = γ(fact ⋈ dim). For an append-only fact and a static dim,
+  // ΔV = γ(Δfact ⋈ dim), and the refreshed view is merge(V, ΔV) — the
+  // delta pass touches ONLY the appended rows (one broadcast-dim join
+  // over Δfact), never the base fact. The query runs base build, delta
+  // build, merge, AND the full rebuild side by side and emits a
+  // self-certifying match column (the x160 discipline): merge ≡ rebuild,
+  // hash-checked by the oracle, in exact cents so no float sum can
+  // reassociate the comparison away.
+  //
+  // Scale shape: base and delta each join with a BROADCAST dim and
+  // partial-aggregate to the segment domain; the merge is an
+  // aggregation over two domain-sized tables. The rebuild column exists
+  // only to exhibit the identity — production ships merge(V, ΔV) and
+  // never re-reads the base fact.
+  private val x175 = GQuery(
+    "x175_join_mv_delta", "ext-lakehouse incremental-view-maintenance join-mv",
+    (s, dir) => {
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def mv(fact: DataFrame): DataFrame = fact
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val orders = Tables(s, dir, "orders")
+      val base = mv(orders.where(pmod(col("o_orderkey"), lit(4)) =!= 0))
+      val delta = mv(orders.where(pmod(col("o_orderkey"), lit(4)) === 0))
+      val merged = base.unionByName(delta)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n")).as("merged_n"), sum(col("cents")).as("merged_cents"))
+      val full = mv(orders)
+        .select(col("c_mktsegment"), col("n").as("full_n"),
+          col("cents").as("full_cents"))
+      merged.join(full, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"), col("merged_n"), col("merged_cents"),
+          col("full_n"), col("full_cents"),
+          (col("merged_n") <=> col("full_n") &&
+            col("merged_cents") <=> col("full_cents")).as("delta_rule_holds"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH f AS (
+              SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+              FROM orders),
+            dim AS (SELECT c_custkey, c_mktsegment FROM customer),
+            base AS (
+              SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cents) AS BIGINT) AS cents
+              FROM f JOIN dim ON o_custkey = c_custkey
+              WHERE o_orderkey % 4 <> 0 GROUP BY 1),
+            delta AS (
+              SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cents) AS BIGINT) AS cents
+              FROM f JOIN dim ON o_custkey = c_custkey
+              WHERE o_orderkey % 4 = 0 GROUP BY 1),
+            merged AS (
+              SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS merged_n,
+                CAST(SUM(cents) AS BIGINT) AS merged_cents
+              FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+              GROUP BY 1),
+            fullv AS (
+              SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS full_n,
+                CAST(SUM(cents) AS BIGINT) AS full_cents
+              FROM f JOIN dim ON o_custkey = c_custkey GROUP BY 1)
+            SELECT m.c_mktsegment, m.merged_n, m.merged_cents,
+              v.full_n, v.full_cents,
+              (m.merged_n IS NOT DISTINCT FROM v.full_n AND
+               m.merged_cents IS NOT DISTINCT FROM v.full_cents)
+                AS delta_rule_holds
+            FROM merged m FULL OUTER JOIN fullv v USING (c_mktsegment)
+            ORDER BY c_mktsegment"""))
+
+  // ------------------------------------------------------------------- x174
+  // File-level zone-map skipping index — the EXTERNAL stats index a
+  // lakehouse metadata layer keeps (per-file min/max, the Delta/Iceberg
+  // file-stats idea), distinct from the parquet row-group zone maps
+  // PartitionedWriteSpec exercises: the planner consults the tiny stats
+  // table FIRST and hands the reader only the overlapping files, so a
+  // selective range scan opens a fraction of the data without relying
+  // on footer pushdown. Artifact = documents range-laid-out by doc_id
+  // into fixed shards + a per-file (min, max, n) stats table (built once
+  // via StoredArtifacts, read-only thereafter). The range bounds are
+  // derived from the data (max/4 .. max/2) so the query is scale-free;
+  // the output is just the matching rows, so a plain range filter is a
+  // full DuckDB oracle — the skip path must produce EXACTLY the rows the
+  // naive scan does. LakehouseSpec pins the actual skipping (files
+  // handed to the reader < files in the layout) and stats honesty.
+  private val ZoneShards = 8
+
+  /** Build (once) the range layout + stats; returns (layoutDir, stats). */
+  def ensureZoneIndex(s: SparkSession, dir: String): (String, DataFrame) = {
+    val layout = graft.StoredArtifacts.dir(dir, "zonemap_documents_v1")
+    val statsP = graft.StoredArtifacts.dir(dir, "zonemap_documents_stats_v1")
+    if (!graft.StoredArtifacts.ready(layout) || !graft.StoredArtifacts.ready(statsP)) {
+      Tables(s, dir, "documents")
+        .repartitionByRange(ZoneShards, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(layout)
+      s.read.parquet(layout)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(statsP)
+    }
+    (layout, s.read.parquet(statsP))
+  }
+
+  /** Files overlapping [lo, hi] per the stats table — the "planner" half,
+    * artifact-sized (ZoneShards rows) so the collect is a metadata read.
+    */
+  def zoneSelect(stats: DataFrame, lo: Long, hi: Long): Seq[String] =
+    stats.where(col("min_id") <= hi && col("max_id") >= lo)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  private val x174 = GQuery(
+    "x174_zonemap_lookup", "ext-lakehouse data-skipping file-stats",
+    (s, dir) => {
+      val (_, stats) = ensureZoneIndex(s, dir)
+      val maxId = Tables(s, dir, "documents")
+        .agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val (lo, hi) = (maxId / 4, maxId / 2)
+      val files = zoneSelect(stats, lo, hi)
+      s.read.parquet(files: _*)
+        .where(col("doc_id") >= lo && col("doc_id") <= hi)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id >= (SELECT MAX(doc_id) FROM documents) // 4
+              AND doc_id <= (SELECT MAX(doc_id) FROM documents) // 2
+            ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------- x181
+  // Compaction (the OPTIMIZE half of the x174 layout's lifecycle): bin
+  // the ZoneShards range-laid-out files into fewer, larger files while
+  // PRESERVING the range clustering — `repartitionByRange` on the same
+  // key keeps every compacted file covering a contiguous doc_id span, so
+  // the zone-map stats stay selective after compaction (naive
+  // `coalesce` would splice arbitrary shards together and destroy the
+  // skip index). The query reads the compacted layout back in full — a
+  // plain documents oracle makes "compaction preserves content exactly"
+  // a DuckDB row hash; LakehouseSkipSpec pins the physical half (fewer
+  // files, disjoint spans, honest rebuilt stats).
+  //
+  // Scale shape: compaction cost is ONE range shuffle of the table —
+  // the same price the original layout paid, amortized over every later
+  // pruned scan; at 100 TB it runs per-partition over only the
+  // small-file partitions a size census selects, never the whole table.
+  private val CompactedShards = 3
+
+  /** Build (once) the compacted layout + rebuilt stats. */
+  def ensureCompacted(s: SparkSession, dir: String): (String, DataFrame) = {
+    val (layout, _) = ensureZoneIndex(s, dir)
+    val compacted = graft.StoredArtifacts.dir(dir, "zonemap_documents_compact_v1")
+    val statsP = graft.StoredArtifacts.dir(dir, "zonemap_documents_compact_stats_v1")
+    if (!graft.StoredArtifacts.ready(compacted) || !graft.StoredArtifacts.ready(statsP)) {
+      s.read.parquet(layout)
+        .repartitionByRange(CompactedShards, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(compacted)
+      s.read.parquet(compacted)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(statsP)
+    }
+    (compacted, s.read.parquet(statsP))
+  }
+
+  private val x181 = GQuery(
+    "x181_compaction", "ext-lakehouse optimize-compaction",
+    (s, dir) => {
+      val (compacted, _) = ensureCompacted(s, dir)
+      s.read.parquet(compacted)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars FROM documents
+            ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------- x182
+  // Incremental layout append + stats MERGE: new data lands as NEW range-
+  // sharded files next to the immutable base — the base is never
+  // rewritten (spec pins byte-identical base files) — and the skip index
+  // is extended by scanning ONLY the appended batch (stats merge = union
+  // of per-file rows; the x84/x132 batch-only-cost discipline applied to
+  // the metadata layer). Appended files overlap the base's spans — the
+  // honest cost of cheap appends; selectivity degrades gracefully and
+  // x181's compaction is the operation that restores it. The query is a
+  // pruned range read over the MERGED stats, fully oracled: the
+  // incremental index must hand the reader every row the naive scan
+  // finds.
+  private val IncDeltaShards = 4
+
+  /** Build (once) base layout (2/3 of docs), appended batch (the rest),
+    * and the merged per-file stats; returns (baseDir, deltaDir, stats).
+    */
+  def ensureIncZone(s: SparkSession, dir: String): (String, String, DataFrame) = {
+    val base = graft.StoredArtifacts.dir(dir, "zoneinc_documents_base_v1")
+    val delta = graft.StoredArtifacts.dir(dir, "zoneinc_documents_delta_v1")
+    val statsP = graft.StoredArtifacts.dir(dir, "zoneinc_documents_stats_v1")
+    def fileStats(path: String): DataFrame = s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        count(lit(1)).as("n"))
+    if (!graft.StoredArtifacts.ready(base) || !graft.StoredArtifacts.ready(delta) ||
+      !graft.StoredArtifacts.ready(statsP)) {
+      val docs = Tables(s, dir, "documents")
+      docs.where(pmod(col("doc_id"), lit(3)) =!= 2)
+        .repartitionByRange(ZoneShards, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(base)
+      docs.where(pmod(col("doc_id"), lit(3)) === 2)
+        .repartitionByRange(IncDeltaShards, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(delta)
+      // merge = union of per-file rows; only the delta is newly scanned
+      // (base stats would come from the existing index at 100 TB — the
+      // re-scan here just keeps the builder self-contained)
+      fileStats(base).unionByName(fileStats(delta))
+        .coalesce(1).write.mode("overwrite").parquet(statsP)
+    }
+    (base, delta, s.read.parquet(statsP))
+  }
+
+  private val x182 = GQuery(
+    "x182_zonemap_append", "ext-lakehouse incremental-index stats-merge",
+    (s, dir) => {
+      val (_, _, stats) = ensureIncZone(s, dir)
+      val maxId = Tables(s, dir, "documents")
+        .agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val (lo, hi) = (maxId / 8, maxId / 3)
+      val files = zoneSelect(stats, lo, hi)
+      s.read.parquet(files: _*)
+        .where(col("doc_id") >= lo && col("doc_id") <= hi)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id >= (SELECT MAX(doc_id) FROM documents) // 8
+              AND doc_id <= (SELECT MAX(doc_id) FROM documents) // 3
+            ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------- x183
+  // Per-file Bloom skipping for POINT lookups on a column the range
+  // layout doesn't order (text): the equality-predicate complement of
+  // x174's min/max ranges — zone maps can't prune `text = ?` because
+  // every file spans the whole text domain, but a per-file Bloom over
+  // xxhash64(text) can (Delta/Iceberg keep exactly this pair: ranges
+  // for sort columns, blooms for high-cardinality lookup columns).
+  // Build: one pass over each layout file (driver loop over the
+  // ZoneShards-sized file list — artifact-sized, not data-sized),
+  // Spark's own sketch.BloomFilter serialized next to the stats. Probe:
+  // test the target hash against each file's bloom driver-side (a
+  // metadata read), hand the reader only candidate files. No false
+  // negatives by construction — the oracle (a plain equality scan)
+  // fails if pruning ever drops the real row; LakehouseSkipSpec pins
+  // that files are actually skipped at fpp = 1 %.
+  /** Build (once) per-file blooms over xxhash64(text); returns
+    * (layoutDir, Seq(file -> bloom)).
+    */
+  def ensureBloomIndex(s: SparkSession, dir: String)
+      : (String, Seq[(String, org.apache.spark.util.sketch.BloomFilter)]) = {
+    val (layout, _) = ensureZoneIndex(s, dir)
+    val idxP = graft.StoredArtifacts.dir(dir, "bloom_documents_text_v1")
+    if (!graft.StoredArtifacts.ready(idxP)) {
+      val files = s.read.parquet(layout)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val rows = files.map { f =>
+        val df = s.read.parquet(f).select(xxhash64(col("text")).as("h"))
+        val n = df.count()
+        val bf = df.stat.bloomFilter("h", math.max(n, 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("file", "bloom")
+        .coalesce(1).write.mode("overwrite").parquet(idxP)
+    }
+    val loaded = s.read.parquet(idxP).collect().map { r =>
+      val in = new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))
+      (r.getString(0), org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+    }.toSeq
+    (layout, loaded)
+  }
+
+  private val x183 = GQuery(
+    "x183_bloom_lookup", "ext-lakehouse bloom-skipping point-lookup",
+    (s, dir) => {
+      val (_, blooms) = ensureBloomIndex(s, dir)
+      // deterministic probe: the text of the first doc at or past max/2
+      val maxId = Tables(s, dir, "documents")
+        .agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val target = Tables(s, dir, "documents")
+        .where(col("doc_id") >= maxId / 2).orderBy("doc_id")
+        .select(col("text")).limit(1).collect()(0).getString(0)
+      val h = s.range(1).select(xxhash64(lit(target))).collect()(0).getLong(0)
+      val candidates = blooms.filter(_._2.mightContainLong(h)).map(_._1)
+      s.read.parquet(candidates: _*)
+        .where(col("text") === target)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH probe AS (
+              SELECT text FROM documents
+              WHERE doc_id = (SELECT MIN(doc_id) FROM documents
+                WHERE doc_id >= (SELECT MAX(doc_id) FROM documents) // 2))
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d, probe p WHERE d.text = p.text
+            ORDER BY d.doc_id"""))
+
+  val queries: Seq[GQuery] =
+    Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183)
 }
