@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CorpusOps, Dedup, Events, Extended, Graph, HnswAnn, Lakehouse, Linkage, Multimodal, Relational, Retrieval, Similarity, Spectral, Text, Tpch, TpchMore}
+import graft.queries.{CorpusOps, Dedup, Events, Extended, Graph, HnswAnn, Lakehouse, Linkage, Multimodal, Relational, Retrieval, Scd, Similarity, Spectral, Text, Tpch, TpchMore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,7 +19,7 @@ object SparkEntry {
       Similarity.queries ++ Text.queries ++ CorpusOps.queries ++
       Retrieval.queries ++ Events.queries ++ Multimodal.queries ++
       Graph.queries ++ HnswAnn.queries ++ Lakehouse.queries ++
-      Linkage.queries ++ Spectral.queries
+      Linkage.queries ++ Spectral.queries ++ Scd.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.1's minimum slice: the reference's "conversions per hour"

@@ -1,0 +1,305 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension and table-maintenance semantics — the
+  * lakehouse write-side surface (SCD Type-2 history build, point-in-time
+  * lookup, MERGE upsert, snapshot diff) expressed as verified batch
+  * queries over the fixture tables.
+  *
+  * Reference anchor: the reference's ledger keeps only the LATEST state
+  * per path (msconvert_dag.py's processed-set replace semantics); a
+  * warehouse consumer of the same feed needs the history that replace
+  * discards. These operators are that history layer: build validity
+  * intervals from a change stream, join facts to the version active at
+  * fact time, apply an upsert batch with last-writer-wins dedup, and
+  * diff two snapshots into a changelog.
+  *
+  * All four are fully oracled — interval construction, merge decisions,
+  * and diff classification are exact (timestamps, longs, strings), so
+  * every row hash-verifies against DuckDB.
+  */
+object Scd {
+
+  /** Deterministic argmax ordering key: zero-padded (µs-epoch, event_id)
+    * as a fixed-width string, so `max_by` ties identically in Spark and
+    * DuckDB even if two events share a timestamp (the engines' struct
+    * argmax keys don't overlap: DuckDB's max_by takes no ROW key).
+    */
+  private def lwwKey = concat(
+    lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+    lpad(col("event_id").cast("string"), 10, "0"))
+
+  /** Change events per user: consecutive-duplicate-compressed event_type
+    * stream ordered by (ts, event_id) — the changelog an SCD2 build
+    * consumes. Shared by x177/x178 so the dim and its lookup cannot
+    * drift.
+    */
+  private def changeStream(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .drop("prev_type")
+  }
+
+  /** SCD Type-2 dimension: per-user validity intervals [valid_from,
+    * valid_to) with version numbers and an is_current flag. Half-open
+    * semantics: a version is active at t iff valid_from <= t < valid_to
+    * (NULL valid_to = open-ended current version).
+    */
+  def scd2(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changeStream(e)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("ts").as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  // ------------------------------------------------------------------- x177
+  // SCD Type-2 history build. The change stream is compressed first
+  // (consecutive duplicates dropped — the "only store changes" half of
+  // SCD2), then ONE per-user window pass assigns intervals and versions.
+  //
+  // Scale shape: one user_id exchange, then lag + lead + row_number all
+  // ride the SAME (user_id | ts, event_id) sort — Spark plans a single
+  // Window operator chain over one sort, no second exchange (ScdSpec
+  // pins exactly one shuffle). Per-user state is the sort run, never a
+  // collected history; 100 TB of events with a bounded per-user stream
+  // is exactly this plan with more partitions.
+  private val x177 = GQuery(
+    "x177_scd2_build", "ext-lakehouse scd-type2 interval-build",
+    (s, dir) => scd2(Tables(s, dir, "events")).orderBy("user_id", "version"),
+    Some("""WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events),
+            changes AS (
+              SELECT user_id, ts, event_id, event_type FROM ordered
+              WHERE prev_type IS NULL OR prev_type <> event_type)
+            SELECT user_id, event_type AS attr, ts AS valid_from,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS valid_to,
+              CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS INT) AS version,
+              (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL) AS is_current
+            FROM changes
+            ORDER BY user_id, version"""))
+
+  // ------------------------------------------------------------------- x178
+  // Point-in-time lookup against the SCD2 dimension: every probed fact
+  // joins to the ONE version whose half-open interval contains the fact
+  // timestamp — the "what did this dimension say when the fact
+  // happened" join that as-of c20 approximates without explicit
+  // validity intervals. Probe set = every 7th event; each probe matches
+  // exactly one version (intervals partition [first_change, inf) per
+  // user and a user's facts never precede their first change).
+  //
+  // Scale shape: an EQUI-join on user_id carries the interval predicate
+  // as a post-join filter — the dim is user-clustered, so the join
+  // shuffles dim-sized and probe-sized rows by user_id, never a range
+  // cross-product. ScdSpec pins the no-NestedLoop plan and the
+  // exactly-one-match invariant.
+  private val x178 = GQuery(
+    "x178_scd2_lookup", "ext-lakehouse scd-type2 point-in-time-join",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      val dim = scd2(e)
+      val probes = e.where(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      probes.join(dim, Seq("user_id"))
+        .where(col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("attr").as("attr_at_ts"), col("version"), col("is_current"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events),
+            changes AS (
+              SELECT user_id, ts, event_id, event_type FROM ordered
+              WHERE prev_type IS NULL OR prev_type <> event_type),
+            dim AS (
+              SELECT user_id, event_type AS attr, ts AS valid_from,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS valid_to,
+                CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS INT) AS version
+              FROM changes),
+            probes AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_id % 7 = 0)
+            SELECT p.event_id, p.user_id, p.ts, d.attr AS attr_at_ts,
+              d.version, (d.valid_to IS NULL) AS is_current
+            FROM probes p JOIN dim d ON p.user_id = d.user_id
+            WHERE p.ts >= d.valid_from
+              AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+            ORDER BY p.event_id"""))
+
+  // ------------------------------------------------------------------- x179
+  // MERGE INTO (upsert) semantics: target snapshot + source batch →
+  // matched-UPDATE / matched-DELETE / not-matched-INSERT, with the
+  // last-writer-wins source dedup every MERGE implementation requires
+  // (a source with two rows per key is a MERGE error; deduping by
+  // latest (ts, event_id) is the standard resolution). Target = per-user
+  // state from events outside the batch; source = the batch's latest
+  // row per user, op = D when that row is a 'purchase' (the
+  // "terminal event closes the account" rule), else U.
+  //
+  // Decision table, all exact so the oracle hash covers every branch:
+  //   matched,  op=U -> update attr, keep counters        (action 'U')
+  //   matched,  op=D -> drop the row                      (filtered out)
+  //   unmatched,op=U -> insert with zeroed counters       (action 'I')
+  //   unmatched,op=D -> no-op                             (filtered out)
+  //
+  // Scale shape: ONE full-outer join on user_id between two user-sized
+  // aggregates; the source dedup is a struct-max partial aggregate
+  // (map-side combine), never a window sort. At 100 TB the target is
+  // the stored table and this plan is the Delta/Iceberg MERGE rewrite:
+  // join on the key, CASE on the action, rewrite only matched files.
+  private val x179 = GQuery(
+    "x179_merge_upsert", "ext-lakehouse merge-into upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      val inBatch = pmod(col("event_id"), lit(5)) === 0
+      val target = e.where(!inBatch)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max_by(col("event_type"), lwwKey)
+            .as("attr"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val source = e.where(inBatch)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), lwwKey)
+          .as("new_attr"))
+        .withColumn("op",
+          when(col("new_attr") === "purchase", lit("D")).otherwise(lit("U")))
+      target.join(source, Seq("user_id"), "full_outer")
+        .withColumn("action",
+          when(col("op").isNull, lit("keep"))
+            .when(col("op") === "D",
+              when(col("n_events").isNotNull, lit("delete")).otherwise(lit("skip")))
+            .when(col("n_events").isNotNull, lit("U"))
+            .otherwise(lit("I")))
+        .where(!col("action").isin("delete", "skip"))
+        .select(col("user_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          when(col("action") === "keep", col("attr"))
+            .otherwise(col("new_attr")).as("attr"),
+          coalesce(col("cents"), lit(0L)).as("cents"),
+          col("action"))
+        .orderBy("user_id")
+    },
+    Some("""WITH target AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                MAX_BY(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS attr,
+                CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS cents
+              FROM events WHERE event_id % 5 <> 0 GROUP BY user_id),
+            source AS (
+              SELECT user_id,
+                MAX_BY(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS new_attr
+              FROM events WHERE event_id % 5 = 0 GROUP BY user_id),
+            src AS (
+              SELECT user_id, new_attr,
+                CASE WHEN new_attr = 'purchase' THEN 'D' ELSE 'U' END AS op
+              FROM source),
+            merged AS (
+              SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+                t.n_events, t.attr, t.cents, s.new_attr, s.op,
+                CASE WHEN s.op IS NULL THEN 'keep'
+                     WHEN s.op = 'D' THEN
+                       CASE WHEN t.n_events IS NOT NULL
+                            THEN 'delete' ELSE 'skip' END
+                     WHEN t.n_events IS NOT NULL THEN 'U'
+                     ELSE 'I' END AS action
+              FROM target t FULL OUTER JOIN src s ON t.user_id = s.user_id)
+            SELECT user_id, COALESCE(n_events, 0) AS n_events,
+              CASE WHEN action = 'keep' THEN attr ELSE new_attr END AS attr,
+              COALESCE(cents, 0) AS cents, action
+            FROM merged WHERE action NOT IN ('delete', 'skip')
+            ORDER BY user_id"""))
+
+  // ------------------------------------------------------------------- x180
+  // Snapshot diff: two generations of a per-user state table → the
+  // changelog between them (op = I / U / D), the time-travel DIFF a
+  // lakehouse metadata layer answers from two manifests. Generation A =
+  // state as of the cutoff (3 days before max ts — data-dependent, so
+  // the query is scale-free); generation B = current state MINUS erased
+  // users (user_id % 13 = 0 — the GDPR-erasure case that makes D rows
+  // real in an otherwise append-only table). Unchanged rows are
+  // filtered out — the diff is |changes|-sized, not table-sized.
+  //
+  // Scale shape: two user-sized aggregates from ONE events scan domain,
+  // one full-outer join on user_id, then a row-compare CASE. At 100 TB
+  // both snapshots come from stored generations (x73's manifests) and
+  // only the join runs; the oracle replays the same construction.
+  private val x180 = GQuery(
+    "x180_snapshot_diff", "ext-lakehouse time-travel snapshot-diff",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      def snap(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+          max_by(col("event_type"), lwwKey)
+            .as("last_type"))
+      val cutoff = e.agg((max(col("ts")) - expr("INTERVAL 3 DAYS")).as("c"))
+      val a = snap(e.crossJoin(broadcast(cutoff)).where(col("ts") < col("c")))
+        .select(col("user_id"), col("n").as("a_n"), col("cents").as("a_cents"),
+          col("last_type").as("a_last"))
+      val b = snap(e.where(pmod(col("user_id"), lit(13)) =!= 0))
+        .select(col("user_id"), col("n").as("b_n"), col("cents").as("b_cents"),
+          col("last_type").as("b_last"))
+      a.join(b, Seq("user_id"), "full_outer")
+        .withColumn("op",
+          when(col("a_n").isNull, lit("I"))
+            .when(col("b_n").isNull, lit("D"))
+            .when(col("a_n") <=> col("b_n") &&
+              col("a_cents") <=> col("b_cents") &&
+              col("a_last") <=> col("b_last"), lit("="))
+            .otherwise(lit("U")))
+        .where(col("op") =!= "=")
+        .select(col("user_id"), col("op"), col("a_n"), col("b_n"),
+          col("a_cents"), col("b_cents"), col("a_last"), col("b_last"))
+        .orderBy("user_id")
+    },
+    Some("""WITH cutoff AS (
+              SELECT MAX(ts) - INTERVAL 3 DAY AS c FROM events),
+            a AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS a_n,
+                CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS a_cents,
+                MAX_BY(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS a_last
+              FROM events, cutoff WHERE ts < c GROUP BY user_id),
+            b AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS b_n,
+                CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS b_cents,
+                MAX_BY(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS b_last
+              FROM events WHERE user_id % 13 <> 0 GROUP BY user_id),
+            d AS (
+              SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+                a_n, b_n, a_cents, b_cents, a_last, b_last,
+                CASE WHEN a_n IS NULL THEN 'I'
+                     WHEN b_n IS NULL THEN 'D'
+                     WHEN a_n IS NOT DISTINCT FROM b_n
+                      AND a_cents IS NOT DISTINCT FROM b_cents
+                      AND a_last IS NOT DISTINCT FROM b_last THEN '='
+                     ELSE 'U' END AS op
+              FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+            SELECT user_id, op, a_n, b_n, a_cents, b_cents, a_last, b_last
+            FROM d WHERE op <> '=' ORDER BY user_id"""))
+
+  val queries: Seq[GQuery] = Seq(x177, x178, x179, x180)
+}
