@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.DoubleType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HoistCosineNorm)
+    ext.injectOptimizerRule(_ => StatsBroadcastJoin)
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
   }
 }

@@ -1,0 +1,111 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stats-driven broadcast selection (StatsCbo + StatsBroadcastJoin): with
+  * the size-based default disabled, a selectively-FILTERED dimension must
+  * plan as a broadcast join once its column stats are registered — and
+  * must not without them, or when the estimate says the filter keeps the
+  * side big. Results must be identical either way (a hint changes the
+  * strategy, never the rows).
+  */
+class StatsCboSpec extends SparkSpec {
+
+  private def ordersP = s"$sf001/orders.parquet"
+  private def customerP = s"$sf001/customer.parquet"
+
+  private def join() = {
+    // selective range filter on the dim side: stats see ~1 % of customers
+    val dim = spark.read.parquet(customerP)
+      .where(col("c_custkey") <= 2)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    spark.read.parquet(ordersP)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  private def strategyOf(df: org.apache.spark.sql.DataFrame): String = {
+    // pre-AQE planned join — the decision THIS rule drives (AQE may also
+    // convert at runtime from observed sizes; that path is not under test)
+    val p = df.queryExecution.sparkPlan.toString
+    if (p.contains("BroadcastHashJoin")) "broadcast"
+    else if (p.contains("SortMergeJoin")) "sortmerge"
+    else "other"
+  }
+
+  test("registered stats flip a filtered dim to broadcast; estimates are honest") {
+    StatsBroadcastJoin.install(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      StatsCbo.clear()
+      // without stats: the default cannot see through the filter
+      val before = join()
+      assert(strategyOf(before) == "sortmerge", strategyOf(before))
+      val expected = before.collect().map(_.toSeq).toSeq
+
+      val st = StatsCbo.analyzeAndRegister(spark, customerP)
+      assert(st.rows > 0 && st.cols.contains("c_custkey"))
+      // ALSO register the fact side: estimates must keep it un-broadcast
+      StatsCbo.analyzeAndRegister(spark, ordersP)
+      val after = join()
+      assert(strategyOf(after) == "broadcast",
+        after.queryExecution.sparkPlan.toString)
+      assert(after.collect().map(_.toSeq).toSeq == expected,
+        "the hint must never change results")
+
+      // honesty: an unselective filter stays sort-merge (selectivity of an
+      // unrecognized predicate is 1.0; a wide range stays near 1.0)
+      val wide = spark.read.parquet(ordersP)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(spark.read.parquet(customerP)
+          .where(length(col("c_name")) > 0) // unrecognized -> 1.0
+          .select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+      // customer table at full size still exceeds nothing here (tiny
+      // fixture), so pin via a 1-byte threshold instead
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      assert(strategyOf(wide) == "sortmerge",
+        wide.queryExecution.sparkPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      StatsCbo.clear()
+    }
+  }
+
+  test("x184: the registry query's dim side plans as broadcast via stats") {
+    val df = graft.SparkEntry.queries("x184_cbo_broadcast")(spark, sf001)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable the size-based default: only the stats hint can broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df2 = graft.SparkEntry.queries("x184_cbo_broadcast")(spark, sf001)
+      assert(df2.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        df2.queryExecution.sparkPlan.toString)
+      assert(df2.collect().map(_.toSeq).toSeq == df.collect().map(_.toSeq).toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("selectivity estimate tracks the System-R arithmetic") {
+    StatsCbo.clear()
+    val st = StatsCbo.analyze(spark, customerP)
+    val n = spark.read.parquet(customerP).count()
+    assert(st.rows == n)
+    val ck = st.cols("c_custkey")
+    assert(ck.ndv == n, "custkey is unique")
+    val bounds = spark.read.parquet(customerP)
+      .agg(min(col("c_custkey")).cast("double"),
+        max(col("c_custkey")).cast("double")).collect()(0)
+    assert(ck.lo.contains(bounds.getDouble(0)) &&
+      ck.hi.contains(bounds.getDouble(1)))
+    // equality on the key -> 1/ndv of the table, i.e. one row's bytes
+    // (observed through the rule's behavior in the test above; here pin
+    // the raw ingredients so a stats regression localizes)
+    assert(st.avgRowBytes > 8, "row width must include string columns")
+  }
+}
