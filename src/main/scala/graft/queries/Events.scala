@@ -1943,8 +1943,141 @@ object Events {
             LEFT JOIN inter i ON i.ta = e.ta AND i.tb = e.tb
             ORDER BY e.ta, e.tb"""))
 
+  // ------------------------------------------------------------------- x186
+  // TTL retention enforcement: rows age out per a POLICY table (the
+  // GDPR / storage-cost sweep every fact store schedules) — retention
+  // days keyed by event type, horizon anchored to max(ts) so the query
+  // is scale-free. Output is the per-type audit (kept / purged / the
+  // exact horizon applied), fully oracled; the purge itself is the
+  // `kept` predicate applied as an overwrite (x87's clean-apply shape).
+  //
+  // Scale shape: the policy is a 3-row broadcast; the decision is a
+  // narrow per-row comparison folded into the scan, and the audit is
+  // one type-keyed aggregation. At 100 TB with date-partitioned facts
+  // the same predicate prunes whole partitions (the horizon bounds map
+  // directly to partition values) — deletion becomes metadata-only for
+  // all but the boundary day.
+  private val x186 = GQuery(
+    "x186_ttl_retention", "ext-lifecycle ttl-retention policy-sweep",
+    (s, dir) => {
+      import s.implicits._
+      val policy = Seq(("view", 7), ("click", 14)).toDF("event_type", "ttl_days")
+      val e = events(s, dir)
+      val horizon = e.agg(max(col("ts")).as("now"))
+      e.join(broadcast(policy), Seq("event_type"), "left_outer")
+        .withColumn("ttl_days", coalesce(col("ttl_days"), lit(30)))
+        .crossJoin(broadcast(horizon))
+        .withColumn("pb", col("now") - expr("make_dt_interval(ttl_days)"))
+        .withColumn("kept", col("ts") > col("pb"))
+        .groupBy(col("event_type"), col("ttl_days"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("purged"),
+          max(col("pb")).as("purge_before"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (SELECT MAX(ts) AS now FROM events),
+            p AS (SELECT * FROM (VALUES ('view', 7), ('click', 14))
+                    AS t(event_type, ttl_days)),
+            j AS (
+              SELECT e.event_type,
+                COALESCE(p.ttl_days, 30) AS ttl_days,
+                (e.ts > h.now - COALESCE(p.ttl_days, 30) * INTERVAL 1 DAY)
+                  AS kept,
+                h.now - COALESCE(p.ttl_days, 30) * INTERVAL 1 DAY AS pb
+              FROM events e LEFT JOIN p ON e.event_type = p.event_type
+              CROSS JOIN h)
+            SELECT event_type, ttl_days,
+              CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+              CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS purged,
+              MAX(pb) AS purge_before
+            FROM j GROUP BY 1, 2 ORDER BY event_type"""))
+
+  // ------------------------------------------------------------------- x187
+  // A/B experiment analysis: deterministic md5 arm assignment (the x94
+  // hash-decision discipline — first hex digit's top bit picks the
+  // arm, so assignment is reproducible cross-engine and independent of
+  // row order), per-arm user counts and purchase-conversion rates in
+  // exact thousandths, and the pooled two-proportion z statistic. The
+  // z's components (the cross-multiplied numerator, pooled counts) are
+  // exact BIGINTs; the double tail is a FIXED operation sequence
+  // (cast → sqrt → multiply → divide, the x164 rational-form
+  // discipline) so even the float column hash-verifies.
+  //
+  // Scale shape: one user-grain aggregation (arm + converted flag per
+  // user), then a 2-row arm rollup and a 1-row final — the fact table
+  // is touched once; everything after is domain-sized.
+  private val x187 = GQuery(
+    "x187_ab_test", "ext-analytics experiment two-proportion-z",
+    (s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        // threshold conversion (>= 4 purchases): per-user event counts are
+        // scale-invariant in the fixture, so both arms get a real mix of
+        // converters and non-converters at every SF (a >= 1 metric is
+        // degenerate here — nearly every user purchases once, making the
+        // pooled variance 0)
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 4, 1L).otherwise(0L).as("converted"))
+        .withColumn("arm",
+          when(substring(md5(concat(col("user_id").cast("string"),
+            lit(":ab"))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+            lit("A")).otherwise(lit("B")))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val wide = arms.groupBy()
+        .agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("conv"))).as("conv_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("conv"))).as("conv_b"))
+      wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("(1000 * conv_a) div n_a").as("rate_a_milli"),
+        expr("(1000 * conv_b) div n_b").as("rate_b_milli"),
+        (col("conv_a") * col("n_b") - col("conv_b") * col("n_a")).as("z_num"),
+        expr("""CASE WHEN (conv_a + conv_b) = 0
+                     OR (conv_a + conv_b) = (n_a + n_b) THEN NULL
+                ELSE CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
+                     * sqrt(CAST(n_a + n_b AS DOUBLE))
+                     / sqrt(CAST((conv_a + conv_b)
+                                 * ((n_a + n_b) - (conv_a + conv_b))
+                                 * n_a * n_b AS DOUBLE)) END""").as("z"))
+    },
+    Some("""WITH u AS (
+              SELECT user_id,
+                CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) >= 4
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                  AS converted
+              FROM events GROUP BY user_id),
+            armed AS (
+              SELECT *, CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                THEN 'A' ELSE 'B' END AS arm
+              FROM u),
+            arms AS (
+              SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(converted) AS BIGINT) AS conv
+              FROM armed GROUP BY arm),
+            w AS (
+              SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+                MAX(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+                MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+                MAX(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+              FROM arms)
+            SELECT n_a, conv_a, n_b, conv_b,
+              (1000 * conv_a) // n_a AS rate_a_milli,
+              (1000 * conv_b) // n_b AS rate_b_milli,
+              conv_a * n_b - conv_b * n_a AS z_num,
+              CASE WHEN (conv_a + conv_b) = 0
+                     OR (conv_a + conv_b) = (n_a + n_b) THEN NULL
+                ELSE CAST(conv_a * n_b - conv_b * n_a AS DOUBLE)
+                     * sqrt(CAST(n_a + n_b AS DOUBLE))
+                     / sqrt(CAST((conv_a + conv_b)
+                                 * ((n_a + n_b) - (conv_a + conv_b))
+                                 * n_a * n_b AS DOUBLE)) END AS z
+            FROM w"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172)
+    x171, x172, x186, x187)
 }

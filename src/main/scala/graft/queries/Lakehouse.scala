@@ -653,6 +653,82 @@ object Lakehouse {
             FROM documents d, probe p WHERE d.text = p.text
             ORDER BY d.doc_id"""))
 
+  // ------------------------------------------------------------------- x184
+  // Stats-driven broadcast join, end to end: ANALYZE the dimension once
+  // (stats into [[graft.plans.StatsCbo]]'s registry), install the
+  // [[graft.plans.StatsBroadcastJoin]] optimizer rule, and run the
+  // selectively-filtered dim ⋈ fact rollup — the join the rule exists
+  // for, because Spark's size-based default can't see through the
+  // filter. The rows are fully oracled (a hint can change the strategy,
+  // never the result — this query hash-certifies that); StatsCboSpec
+  // pins the strategy flip itself.
+  //
+  // Isolation: the dim is ANALYZEd as a dedicated artifact COPY, so the
+  // registered path is scanned by THIS query alone — a global optimizer
+  // rule must not be able to re-plan any other registry query's pinned
+  // shape as a side effect of this one running first.
+  /** Build (once) the dedicated dim copy; ANALYZE + register its stats. */
+  def ensureCboDim(s: SparkSession, dir: String): String = {
+    val p = graft.StoredArtifacts.dir(dir, "cbo_customer_v1")
+    if (!graft.StoredArtifacts.ready(p))
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    if (graft.plans.StatsCbo.lookup(p).isEmpty)
+      graft.plans.StatsCbo.analyzeAndRegister(s, p)
+    p
+  }
+
+  private val x184 = GQuery(
+    "x184_cbo_broadcast", "ext-optimizer stats-cbo broadcast-selection",
+    (s, dir) => {
+      graft.plans.StatsBroadcastJoin.install(s)
+      val dimPath = ensureCboDim(s, dir)
+      val dim = s.read.parquet(dimPath)
+        .where(col("c_custkey") <= 20)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_custkey <= 20
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment"""))
+
+  // ------------------------------------------------------------------- x185
+  // Result-cache serving as a registry surface: the dashboard rollup the
+  // reference's Grafana panels re-issue on every refresh, routed through
+  // [[graft.plans.ResultCache]] — first touch computes and commits the
+  // result (atomic `_tmp` rename), every later touch (including Bench's
+  // repeat runs) reads ONE small parquet directory and runs zero
+  // upstream jobs. The oracle hash-certifies that a cache hit returns
+  // EXACTLY the recompute's rows; ResultCacheSpec pins the hit/miss job
+  // counts and key sensitivity.
+  private val x185 = GQuery(
+    "x185_result_cache", "ext-serving result-cache plan-fingerprint",
+    (s, dir) => {
+      val rollup = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      graft.plans.ResultCache
+        .run(rollup, graft.StoredArtifacts.dir(dir, "result_cache_v1"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
   val queries: Seq[GQuery] =
-    Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183)
+    Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184, x185)
 }

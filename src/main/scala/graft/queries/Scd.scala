@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   * All four are fully oracled — interval construction, merge decisions,
   * and diff classification are exact (timestamps, longs, strings), so
   * every row hash-verifies against DuckDB.
+  *
+  * Relation to the round-2 sketches x43/x44 (CorpusOps): those pinned
+  * the basic shapes (full-outer merge without delete or source-dedup;
+  * run-id islands over a filtered 100-customer slice). This family is
+  * the production surface on top: x177 runs the change-compressed
+  * build over the FULL stream with a one-exchange plan pin and is the
+  * shared dimension for x178's point-in-time join, x179 adds the
+  * matched-DELETE branch and the last-writer-wins source dedup every
+  * real MERGE requires, x180 closes the loop with generation diffs, and
+  * [[graft.streaming.ScdStream]] maintains the same history (spec-pinned
+  * stream ≡ batch) incrementally.
   */
 object Scd {
 
