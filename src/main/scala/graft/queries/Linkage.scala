@@ -415,5 +415,95 @@ object Linkage {
              WHERE sizes.cluster_size > 1
              ORDER BY l6.doc_id"""))
 
-  val queries: Seq[GQuery] = Seq(x142, x145, x146, x159, x160)
+  // ------------------------------------------------------------------- x188
+  // Soundex phonetic codes, cross-engine exact: Spark's native soundex()
+  // (UTF8String.soundex — mapping "01230127022455012623017202" with
+  // H/W TRANSPARENT (code '7' skips without touching the separator
+  // state) and vowels/non-letters resetting it) replayed in the oracle
+  // as a DuckDB recursive CTE that walks the same automaton character
+  // by character (a '!' sentinel carries the non-letter -> reset-idx
+  // branch the fixture's NATION_<k> names exercise). DuckDB ships no
+  // soundex, so this row certifies a
+  // nontrivial stateful string algorithm across engines the way x159
+  // certified Jaro-Winkler — every (word, code) row hash-matches or the
+  // automaton transcription is wrong. Domain: part-name vocabulary
+  // (lowercase a-z words, the classic blocking-key input).
+  //
+  // Scale shape: soundex is a narrow per-row projection fused into the
+  // scan; the distinct is one vocabulary-sized exchange.
+  private val soundexCte =
+    """WITH RECURSIVE words AS (
+         SELECT w AS word FROM (
+           SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+           UNION
+           SELECT unnest(string_split(p_type, ' ')) AS w FROM part
+           UNION
+           SELECT unnest(string_split(n_name, ' ')) AS w FROM nation)
+         WHERE length(w) > 0),
+       s AS (
+         SELECT word, upper(word) AS uw, 2 AS pos,
+           substr(upper(word), 1, 1) AS sx,
+           substr('01230127022455012623017202',
+             ascii(substr(upper(word), 1, 1)) - 64, 1) AS idx
+         FROM words
+         UNION ALL
+         SELECT word, uw, pos + 1,
+           CASE WHEN code = '!' OR code = '7' OR code = '0' OR code = idx
+                  OR length(sx) >= 4
+             THEN sx ELSE sx || code END,
+           CASE WHEN code = '!' THEN '0'
+                WHEN code = '7' THEN idx ELSE code END
+         FROM (
+           SELECT word, uw, pos, sx, idx,
+             CASE WHEN substr(uw, pos, 1) BETWEEN 'A' AND 'Z'
+               THEN substr('01230127022455012623017202',
+                 ascii(substr(uw, pos, 1)) - 64, 1)
+               ELSE '!' END AS code
+           FROM s WHERE pos <= length(uw)) t),
+       sdx AS (
+         SELECT word, rpad(sx, 4, '0') AS code
+         FROM s WHERE pos = length(uw) + 1)"""
+
+  /** Blocking-key vocabulary: part-name words (lowercase), part-type and
+    * nation-name words (UPPERCASE — the automaton's uppercase path).
+    */
+  private def partWords(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables(s, dir, "part")
+    part.select(explode(split(col("p_name"), " ")).as("word"))
+      .union(part.select(explode(split(col("p_type"), " ")).as("word")))
+      .union(Tables(s, dir, "nation")
+        .select(explode(split(col("n_name"), " ")).as("word")))
+      .where(length(col("word")) > 0)
+      .distinct()
+  }
+
+  private val x188 = GQuery(
+    "x188_soundex", "ext-linkage phonetic-code cross-engine",
+    (s, dir) => partWords(s, dir)
+      .select(col("word"), soundex(col("word")).as("code"))
+      .orderBy("word"),
+    Some(soundexCte + "\nSELECT word, code FROM sdx ORDER BY word"))
+
+  // ------------------------------------------------------------------- x189
+  // Phonetic blocking census: group the vocabulary by soundex code and
+  // keep colliding blocks — the block-size table that decides whether
+  // soundex is a usable blocking key for x146/x160's verify stage
+  // (candidate pairs scale with Σ size², so the census IS the cost
+  // model). Deterministic block exemplars via min/max word.
+  private val x189 = GQuery(
+    "x189_phonetic_blocks", "ext-linkage phonetic-blocking census",
+    (s, dir) => partWords(s, dir)
+      .groupBy(soundex(col("word")).as("code"))
+      .agg(count(lit(1)).as("n_words"),
+        min(col("word")).as("first_word"), max(col("word")).as("last_word"))
+      .where(col("n_words") > 1)
+      .orderBy("code"),
+    Some(soundexCte +
+      """
+       SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
+         MIN(word) AS first_word, MAX(word) AS last_word
+       FROM sdx GROUP BY code HAVING COUNT(*) > 1
+       ORDER BY code"""))
+
+  val queries: Seq[GQuery] = Seq(x142, x145, x146, x159, x160, x188, x189)
 }
