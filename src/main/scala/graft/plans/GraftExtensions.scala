@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => HoistCosineNorm)
     ext.injectOptimizerRule(_ => StatsBroadcastJoin)
+    ext.injectOptimizerRule(_ => JoinElimination)
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
   }
 }

@@ -729,6 +729,37 @@ object Lakehouse {
                 AS cents
             FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
+  // ------------------------------------------------------------------- x190
+  // Left-join elimination end to end: the BI-generated shape — fact LEFT
+  // JOIN dim on a declared-unique key, with only fact columns consumed —
+  // run with [[graft.plans.JoinElimination]] installed and the dim's key
+  // uniqueness verified-then-declared (`RELY` semantics with the audit
+  // scan). The optimizer drops the join entirely (StatsCboSpec pins the
+  // join-free optimized plan); the oracle runs the UN-eliminated left
+  // join in DuckDB, so the row hash certifies the rewrite's soundness:
+  // eliminated ≡ joined, row for row.
+  private val x190 = GQuery(
+    "x190_join_elimination", "ext-optimizer join-elimination declared-unique",
+    (s, dir) => {
+      graft.plans.JoinElimination.install(s)
+      val dimPath = ensureCboDim(s, dir)
+      require(graft.plans.JoinElimination
+        .verifyAndDeclareUnique(s, dimPath, "c_custkey"),
+        "dim key must audit unique before the declaration")
+      val dim = s.read.parquet(dimPath)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Tables(s, dir, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o_orderkey"""))
+
   val queries: Seq[GQuery] =
-    Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184, x185)
+    Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
+      x185, x190)
 }
