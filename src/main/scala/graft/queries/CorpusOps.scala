@@ -1494,8 +1494,33 @@ object CorpusOps {
               ON m.source = d.source AND m.doc_id = d.doc_id
             ORDER BY source, doc_id"""))
 
+  // ------------------------------------------------------------------- x191
+  // Cluster-aware k-fold assignment (GroupKFold): folds are dealt to
+  // exact-dup CLUSTERS (md5(text) groups), not documents, so a
+  // duplicate can never sit in both a train and an eval fold — x157's
+  // leakage rule carried into cross-validation. The fold is a pure hash
+  // decision (first hex digit of the salted cluster key, mod 4 — 16 hex
+  // values deal evenly into 4 folds), so assignment needs NO global
+  // sort or window: at 100 TB it is a narrow projection, and two
+  // engines (or two runs over different partitionings) deal identical
+  // folds. Fully oracled; EdgeCorpusSpec-style audit lives in the
+  // CurationSpec addition (every cluster in exactly one fold).
+  private lazy val x191 = GQuery(
+    "x191_group_kfold", "ext-curation cross-validation group-kfold",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("ckey"))
+      .withColumn("fold",
+        expr("pmod(locate(substring(md5(concat(ckey, ':cv')), 1, 1), " +
+          "'0123456789abcdef') - 1, 4)").cast("int"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, source, md5(text) AS ckey,
+              CAST((strpos('0123456789abcdef',
+                substr(md5(md5(text) || ':cv'), 1, 1)) - 1) % 4 AS INT)
+                AS fold
+            FROM documents ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176)
+      x176, x191)
 }

@@ -151,4 +151,22 @@ class CurationSpec extends SparkSpec {
     assert(sizes.values.max - sizes.values.min <= 1,
       s"stage sizes must be balanced: $sizes")
   }
+
+  test("x191: folds deal by cluster - exact dups never straddle folds") {
+    val rows = graft.SparkEntry.queries("x191_group_kfold")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 4))
+    // every cluster lands in exactly one fold
+    rows.groupBy(_._2).foreach { case (ck, xs) =>
+      assert(xs.map(_._3).distinct.length == 1, s"cluster $ck straddles folds")
+    }
+    // the hash deal is roughly even (each fold within [15, 35] percent)
+    val n = rows.length.toDouble
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length / n).toMap
+    (0 until 4).foreach { f =>
+      val p = sizes.getOrElse(f, 0.0)
+      assert(p > 0.15 && p < 0.35, s"fold $f share $p")
+    }
+  }
 }
