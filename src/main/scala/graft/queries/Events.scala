@@ -2076,8 +2076,61 @@ object Events {
                                  * n_a * n_b AS DOUBLE)) END AS z
             FROM w"""))
 
+  // ------------------------------------------------------------------- x192
+  // Late-arrival completeness audit (the bitemporal question): for each
+  // EVENT day, how much of its final count was already visible when the
+  // day closed? Transaction time is synthesized deterministically —
+  // ingest delay = (event_id mod 3) days, so a third of facts arrive
+  // same-day, a third one day late, a third two days late (the
+  // late-arriving-fact regime every warehouse backfill fights). Output
+  // per event-day: final count, count known by end-of-day, by
+  // end-of-next-day, and completeness in exact thousandths — the table
+  // that calibrates both the x103 drift monitor's re-read horizon and
+  // streaming watermark delays (a watermark shorter than the observed
+  // arrival tail drops exactly the mass this audit quantifies).
+  //
+  // Scale shape: one scan; the day grid aggregates with conditional
+  // sums (no self-join of facts against facts — the naive as-of-T
+  // rewrite joins the fact table to a day spine; here the day-bucket
+  // comparison folds into the aggregation).
+  private val x192 = GQuery(
+    "x192_late_arrival_audit", "ext-lifecycle bitemporal completeness",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(to_date(col("ts")).as("event_day"),
+          to_date(col("ts") + expr("make_dt_interval(event_id % 3)"))
+            .as("arrival_day"))
+      e.groupBy(col("event_day"))
+        .agg(count(lit(1)).as("n_final"),
+          sum(when(col("arrival_day") <= col("event_day"), 1L).otherwise(0L))
+            .as("n_by_eod"),
+          sum(when(col("arrival_day") <= date_add(col("event_day"), 1), 1L)
+            .otherwise(0L)).as("n_by_next_day"))
+        .select(col("event_day"), col("n_final"), col("n_by_eod"),
+          col("n_by_next_day"),
+          expr("(1000 * n_by_eod) div n_final").as("eod_complete_milli"),
+          expr("(1000 * n_by_next_day) div n_final").as("next_day_milli"))
+        .orderBy("event_day")
+    },
+    Some("""WITH e AS (
+              SELECT CAST(ts AS DATE) AS event_day,
+                CAST(ts + (event_id % 3) * INTERVAL 1 DAY AS DATE)
+                  AS arrival_day
+              FROM events),
+            g AS (
+              SELECT event_day, CAST(COUNT(*) AS BIGINT) AS n_final,
+                CAST(SUM(CASE WHEN arrival_day <= event_day
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_by_eod,
+                CAST(SUM(CASE WHEN arrival_day <= event_day + 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_by_next_day
+              FROM e GROUP BY event_day)
+            SELECT event_day, n_final, n_by_eod, n_by_next_day,
+              (1000 * n_by_eod) // n_final AS eod_complete_milli,
+              (1000 * n_by_next_day) // n_final AS next_day_milli
+            FROM g ORDER BY event_day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187)
+    x171, x172, x186, x187, x192)
 }
