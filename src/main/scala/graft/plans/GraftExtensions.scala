@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => HoistCosineNorm)
     ext.injectOptimizerRule(_ => StatsBroadcastJoin)
     ext.injectOptimizerRule(_ => JoinElimination)
+    ext.injectOptimizerRule(_ => DistinctElimination)
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
   }
 }

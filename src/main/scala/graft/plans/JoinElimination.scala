@@ -70,6 +70,12 @@ object JoinElimination extends Rule[LogicalPlan] {
   def clear(): Unit = unique.clear()
   def isEmpty: Boolean = unique.isEmpty
 
+  /** Declared-unique columns for a scan path (shared with
+    * [[DistinctElimination]]).
+    */
+  def declaredFor(path: String): Set[String] =
+    unique.getOrElse(normalize(path), Set.empty)
+
   /** Idempotent registration on a session built without extensions. */
   def install(s: SparkSession): Unit = synchronized {
     if (!s.experimental.extraOptimizations.contains(JoinElimination))

@@ -2129,8 +2129,59 @@ object Events {
               (1000 * n_by_next_day) // n_final AS next_day_milli
             FROM g ORDER BY event_day"""))
 
+  // ------------------------------------------------------------------- x193
+  // Activity streaks (gaps-and-islands over DAYS): per user, the longest
+  // run of consecutive active days and the length of the run touching
+  // their last active day — the engagement metric behind every
+  // "N-day streak" product surface, and the canonical gaps-and-islands
+  // rewrite: island id = day_number − dense day rank, constant within a
+  // consecutive run, so streaks fall out of one GROUP BY with no
+  // self-join against a calendar spine.
+  //
+  // Scale shape: events collapse to distinct (user, day) FIRST (the
+  // only fact-sized exchange); the rank window and island rollup run on
+  // the user×day grid, partitioned by user — no global sort.
+  private val x193 = GQuery(
+    "x193_activity_streaks", "ext-analytics gaps-and-islands streaks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = events(s, dir)
+        .select(col("user_id"), datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).cast("long").as("day_no"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day_no")
+      val islands = days
+        .withColumn("island", col("day_no") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"), max(col("day_no")).as("island_end"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          max_by(col("len"), col("island_end")).as("last_streak"),
+          max(col("island_end")).as("last_day_no"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (
+              SELECT DISTINCT user_id,
+                datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_no
+              FROM events),
+            ranked AS (
+              SELECT user_id, day_no,
+                day_no - ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY day_no) AS island
+              FROM days),
+            islands AS (
+              SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+                MAX(day_no) AS island_end
+              FROM ranked GROUP BY user_id, island)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+              CAST(MAX(len) AS BIGINT) AS longest_streak,
+              CAST(MAX_BY(len, island_end) AS BIGINT) AS last_streak,
+              MAX(island_end) AS last_day_no
+            FROM islands GROUP BY user_id ORDER BY user_id"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187, x192)
+    x171, x172, x186, x187, x192, x193)
 }

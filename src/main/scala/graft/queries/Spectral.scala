@@ -135,15 +135,20 @@ object Spectral {
   private val x170 = GQuery(
     "x170_knn_label_eval", "ext-spectral classifier-eval knn",
     (s, dir) => {
-      val q = expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+      // milli-quantized values kept in DOUBLE arrays so the native SqDist
+      // kernel applies: every term is an exact integral double (milli
+      // sums bound far below 2^53), so the arithmetic — and the argmin —
+      // is bit-identical to the bigint form, at kernel speed instead of
+      // one interpreted lambda per element per pair (profiled 3x total
+      // query cost at sf0.1 before this hoist)
+      val q = expr("transform(embedding, x -> round(cast(x as double) * 1000))")
       val base = emb(s, dir).select(col("vec_id"), col("label").cast("long").as("label"), q.as("mi"))
       val holdout = base.where(col("vec_id") < EvalN)
         .select(col("vec_id").as("qid"), col("label").as("actual"), col("mi").as("qv"))
       val pairs = base.join(broadcast(holdout), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("actual"), col("label").as("cand_label"),
           col("vec_id").as("nid"),
-          expr("aggregate(zip_with(mi, qv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-            .as("d2"))
+          graft.functions.VectorOps.sqDist(col("mi"), col("qv")).as("d2"))
       pairs
         .groupBy(col("qid"), col("actual"))
         .agg(min(struct(col("d2"), col("nid"), col("cand_label"))).as("nn"))

@@ -84,4 +84,35 @@ class JoinEliminationSpec extends SparkSpec {
     assert(df.count() == spark.read.parquet(ordersP).count(),
       "left-join elimination preserves fact cardinality")
   }
+
+  test("distinct over a declared-unique key collapses to a project") {
+    DistinctElimination.install(spark)
+    JoinElimination.clear()
+    try {
+      def aggs(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.length
+      val sel = spark.read.parquet(customerP)
+        .select(col("c_custkey"), col("c_mktsegment")).distinct()
+      assert(aggs(sel) == 1, "no declaration -> distinct stays")
+      val expected = sel.orderBy("c_custkey").collect().map(_.toSeq).toSeq
+
+      assert(JoinElimination.verifyAndDeclareUnique(spark, customerP, "c_custkey"))
+      val gone = spark.read.parquet(customerP)
+        .select(col("c_custkey"), col("c_mktsegment")).distinct()
+      assert(aggs(gone) == 0, gone.queryExecution.optimizedPlan.toString)
+      assert(gone.orderBy("c_custkey").collect().map(_.toSeq).toSeq == expected)
+
+      // distinct NOT covering the unique key keeps its aggregate
+      val noKey = spark.read.parquet(customerP)
+        .select(col("c_mktsegment")).distinct()
+      assert(aggs(noKey) == 1, "no unique column in the set -> distinct stays")
+
+      // a real aggregate is never touched
+      val realAgg = spark.read.parquet(customerP)
+        .groupBy(col("c_custkey")).agg(count(lit(1)))
+      assert(aggs(realAgg) >= 1)
+    } finally JoinElimination.clear()
+  }
 }
