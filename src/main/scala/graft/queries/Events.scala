@@ -2180,8 +2180,72 @@ object Events {
               MAX(island_end) AS last_day_no
             FROM islands GROUP BY user_id ORDER BY user_id"""))
 
+  // ------------------------------------------------------------------- x194
+  // Funnel latency distribution: time from a user's FIRST view to their
+  // first purchase AFTER it (x49's strict-order attribution applied to
+  // elapsed time), summarized as exact discrete percentiles — rank-based
+  // (value at row ceil(p·n) of the sorted deltas), not interpolated, so
+  // every output is an integer microsecond count that hash-verifies
+  // (interpolated percentile definitions differ across engines; the
+  // disc form is the one that replays).
+  //
+  // Scale shape: the fact table collapses to per-user (first_view,
+  // first_purchase_after) in ONE conditional aggregation — min(ts)
+  // filtered by type, then min(purchase ts > first view) via a second
+  // conditional min over the SAME grouped pass using max_by-free
+  // integer logic; the percentile machinery runs on the converted-user
+  // delta table (user-sized), with one small sort.
+  private val x194 = GQuery(
+    "x194_funnel_latency", "ext-analytics funnel time-to-convert percentiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("first_view"))
+      val purchases = events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pts"))
+      val deltas = perUser.join(purchases, Seq("user_id"))
+        .where(col("pts") >= col("first_view"))
+        .groupBy(col("user_id"))
+        .agg((min(col("pts")) - min(col("first_view"))).as("delta_us"))
+      val w = Window.orderBy(col("delta_us"), col("user_id"))
+      val ranked = deltas
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(deltas.agg(count(lit(1)).as("n"))))
+      val ps = Seq(25, 50, 75, 90)
+      ps.map { p =>
+        ranked.where(col("rk") ===
+            greatest(lit(1), ceil(col("n") * p / 100).cast("int")))
+          .select(lit(p).as("pct"), col("delta_us"), col("n").as("n_converted"))
+      }.reduce(_ unionAll _).orderBy("pct")
+    },
+    Some("""WITH pu AS (
+              SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                  AS first_view
+              FROM events GROUP BY user_id),
+            d AS (
+              SELECT p.user_id,
+                MIN(epoch_us(p.ts)) - MIN(pu.first_view) AS delta_us
+              FROM events p JOIN pu ON p.user_id = pu.user_id
+              WHERE p.event_type = 'purchase'
+                AND epoch_us(p.ts) >= pu.first_view
+              GROUP BY p.user_id),
+            r AS (
+              SELECT delta_us,
+                ROW_NUMBER() OVER (ORDER BY delta_us, user_id) AS rk,
+                COUNT(*) OVER () AS n
+              FROM d),
+            ps AS (SELECT * FROM (VALUES (25), (50), (75), (90)) t(pct))
+            SELECT pct, delta_us, n AS n_converted
+            FROM ps JOIN r
+              ON r.rk = GREATEST(1, CAST(CEIL(r.n * pct / 100.0) AS INT))
+            ORDER BY pct"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187, x192, x193)
+    x171, x172, x186, x187, x192, x193, x194)
 }

@@ -228,5 +228,38 @@ object Multimodal {
             FROM documents d LEFT JOIN bits b ON d.doc_id = b.doc_id
             GROUP BY d.doc_id ORDER BY media_id"""))
 
-  val queries: Seq[GQuery] = Seq(x16, x17, x28, x60, x74)
+  // ------------------------------------------------------------------- x195
+  // Real WAV decode (the audio half of x74): per-document synthetic PCM
+  // tracks wrapped in genuine WAV containers (javax.sound encoder),
+  // re-parsed through AudioSystem — sample rate from the REAL fmt
+  // chunk, samples from the REAL data chunk — then windowed into exact
+  // integer energies the oracle replays from the closed-form sample
+  // formula. A defect anywhere in the container round-trip breaks the
+  // row hash; `real_decode` additionally certifies header + frame-count
+  // agreement per track.
+  private val x195 = GQuery(
+    "x195_audio_real_decode", "ext-multimodal audio real-decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.AudioDecode
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => AudioDecode.AudioRecord(id, AudioDecode.SyntheticAudio.wav(id)))
+      AudioDecode.windowEnergy(media)
+        .select(col("media_id"), col("win"), col("sum_sq"), col("n_samples"),
+          col("sample_rate"), col("real_decode"))
+        .orderBy("media_id", "win")
+    },
+    Some("""WITH s AS (
+              SELECT doc_id, i,
+                ((doc_id * 131 + i * 17) % 2003) - 1001 AS v
+              FROM documents, unnest(range(0, 256)) r(i))
+            SELECT doc_id AS media_id, CAST(i // 64 AS INT) AS win,
+              CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+              CAST(COUNT(*) AS BIGINT) AS n_samples,
+              8000 AS sample_rate, true AS real_decode
+            FROM s GROUP BY doc_id, i // 64
+            ORDER BY media_id, win"""))
+
+  val queries: Seq[GQuery] = Seq(x16, x17, x28, x60, x74, x195)
 }
