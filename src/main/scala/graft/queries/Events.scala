@@ -2244,8 +2244,63 @@ object Events {
               ON r.rk = GREATEST(1, CAST(CEIL(r.n * pct / 100.0) AS INT))
             ORDER BY pct"""))
 
+  // ------------------------------------------------------------------- x197
+  // Salted skewed join, EXECUTED (x106 diagnoses skew; this is the
+  // treatment): a day-keyed big-big join has only ~30 distinct keys —
+  // hot partitions by construction — so the left side salts its key
+  // with pmod(event_id, S) and the right side replicates each row
+  // across all S salt values; the join key becomes (day, salt), S× the
+  // parallelism, identical semantics. The query joins same-day
+  // (purchase, view) pairs and aggregates — and certifies itself: the
+  // per-day pair count from the REAL salted join must equal
+  // n_purchases × n_views computed independently without any join
+  // (the x175 self-certifying discipline), so the oracle hash covers
+  // the salting rewrite's correctness exactly.
+  //
+  // Scale shape: the exchange carries (day, salt) keys — the hot day is
+  // spread over S reducers; replication multiplies the SMALL side by S
+  // (here both sides are facts; at a real skew site you salt the side
+  // with the hot keys and replicate the other). PlanAuditSpec pins the
+  // salt in the join keys.
+  private val Salts = 4
+
+  private val x197 = GQuery(
+    "x197_salted_join", "ext-join skew-salting executed",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("day"), pmod(col("event_id"), lit(Salts)).as("salt"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("day"),
+          explode(array((0 until Salts).map(lit(_)): _*)).as("salt"))
+      val joined = purchases.join(views, Seq("day", "salt"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_pairs"))
+      val expected = e.groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_p"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_v"))
+        .select(col("day"), (col("n_p") * col("n_v")).as("expected_pairs"))
+      joined.join(expected, Seq("day"), "full_outer")
+        .select(col("day"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          col("expected_pairs"),
+          (coalesce(col("n_pairs"), lit(0L)) <=> col("expected_pairs"))
+            .as("salt_rewrite_holds"))
+        .orderBy("day")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_p,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v
+              FROM events GROUP BY 1)
+            SELECT day, n_p * n_v AS n_pairs, n_p * n_v AS expected_pairs,
+              TRUE AS salt_rewrite_holds
+            FROM g ORDER BY day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187, x192, x193, x194)
+    x171, x172, x186, x187, x192, x193, x194, x197)
 }

@@ -605,7 +605,66 @@ object Extended {
               UNION ALL SELECT 'keys_positive', v_keys_positive, n_rows FROM a)
             ORDER BY rule"""))
 
+  // ------------------------------------------------------------------- x196
+  // Large-large BAND join (|a.cents − b.cents| <= delta, same day) via the
+  // bucket rewrite — the reconciliation join (two ledgers, near-equal
+  // amounts) where BOTH sides are fact-sized, so c19's broadcast trick
+  // does not apply and Spark's planner would fall back to a nested-loop
+  // pair explosion. The rewrite: bucket = cents div (delta+1), the left
+  // side emits buckets {b−1, b, b+1}, the right side emits b, and the
+  // join becomes a pure EQUI-join on (day, bucket) with the band
+  // predicate as a residual filter — width delta+1 and FLOOR division
+  // (sign-safe, unlike truncation) guarantee any pair within the band
+  // differs by at most one bucket, and a matching pair
+  // meets on EXACTLY one bucket value (the right row's own), so no
+  // dedup pass is needed. PlanAuditSpec's machinery gates the shape:
+  // the lint must find no cartesian in this plan.
+  //
+  // Scale shape: two fact-sized shuffles on (day, bucket) and a
+  // per-bucket hash join — candidate fan-out is bounded by per-bucket
+  // density, never |L|x|R|; skew concentrates only if the VALUE
+  // distribution does, the same bound as any equi-join.
+  private val BandDelta = 5L
+
+  private val x196 = GQuery(
+    "x196_band_join", "ext-join band-join bucket-rewrite",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_id"))
+      val width = BandDelta + 1
+      val left = e.where(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("day"), col("cents").as("l_cents"),
+          explode(array((-1 to 1).map(d =>
+            floor(col("cents") / width).cast("long") + d): _*)).as("bucket"))
+      val right = e.where(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("day"), col("cents").as("r_cents"),
+          floor(col("cents") / width).cast("long").as("bucket"))
+      left.join(right, Seq("day", "bucket"))
+        .where(abs(col("l_cents") - col("r_cents")) <= BandDelta)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("l_cents") - col("r_cents"))).as("sum_absdiff"),
+          min(col("l_cents") - col("r_cents")).as("min_diff"),
+          max(col("l_cents") - col("r_cents")).as("max_diff"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+              FROM events),
+            l AS (SELECT * FROM e WHERE event_id % 2 = 0),
+            r AS (SELECT * FROM e WHERE event_id % 2 = 1)
+            SELECT l.day, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(ABS(l.cents - r.cents)) AS BIGINT) AS sum_absdiff,
+              MIN(l.cents - r.cents) AS min_diff,
+              MAX(l.cents - r.cents) AS max_diff
+            FROM l JOIN r ON l.day = r.day
+              AND ABS(l.cents - r.cents) <= 5
+            GROUP BY l.day ORDER BY l.day"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37, x136)
+    c33, c34, c35, c36, c37, x136, x196)
 }

@@ -71,4 +71,31 @@ class PlanAuditSpec extends SparkSpec {
     val report = PlanAudit.audit(graft.SparkEntry.entry(spark))
     assert(report.isClean, report.findings.toString)
   }
+
+  test("x196: the bucketed band join audits clean (no cartesian anywhere)") {
+    val df = graft.SparkEntry.queries("x196_band_join")(spark, sf001)
+    val report = PlanAudit.audit(df)
+    assert(report.byRule("cartesian").isEmpty, report.findings.toString)
+    // the rewrite's work shows in the JOIN KEYS: candidates are
+    // (day, bucket)-grained — the naive plan's equi side is day alone,
+    // so its per-day candidate fan-out is |L_day| x |R_day| regardless
+    // of which join strategy the planner picks at this fixture size
+    val joined = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joined.nonEmpty)
+    assert(joined.exists(_.leftKeys.exists(_.toString.contains("bucket"))),
+      joined.map(_.simpleString(200)).mkString("\n"))
+  }
+
+  test("x197: the salted join's keys carry the salt") {
+    val df = graft.SparkEntry.queries("x197_salted_join")(spark, sf001)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.exists(_.leftKeys.exists(_.toString.contains("salt"))),
+      joins.map(_.simpleString(200)).mkString("\n"))
+    assert(df.collect().forall(_.getBoolean(3)),
+      "the salted join must reproduce the joinless pair count")
+  }
 }
