@@ -2299,8 +2299,71 @@ object Events {
               TRUE AS salt_rewrite_holds
             FROM g ORDER BY day"""))
 
+  // ------------------------------------------------------------------- x198
+  // Forecast evaluation — the backtest closing x166's loop: the one-step-
+  // ahead prediction for day t is day t−1's level+trend (lag of the
+  // forecast column), scored against the actual in exact micro-units:
+  // absolute error per day plus the RUNNING MAE (cumulative integer sum
+  // div day count — the walk-forward curve an operator watches to decide
+  // whether the smoother's parameters still fit). Every value is an
+  // exact integer, so the whole backtest hash-verifies through the same
+  // recursive-CTE oracle that certifies the smoother itself.
+  //
+  // Scale shape: inherits x166's day-grain single-partition fold (facts
+  // partial-aggregate to days first); the evaluation windows run on the
+  // day-sized table.
+  private val x198 = GQuery(
+    "x198_forecast_eval", "ext-events forecasting backtest walk-forward",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("day")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      holtDailyVolume(events(s, dir))
+        .withColumn("pred_micros", lag(col("forecast_micros"), 1).over(w))
+        .where(col("pred_micros").isNotNull)
+        .withColumn("abs_err_micros",
+          abs(col("n") * 1000000L - col("pred_micros")))
+        .withColumn("cum_err", sum(col("abs_err_micros")).over(cum))
+        .withColumn("cum_n", count(lit(1)).over(cum))
+        .withColumn("mae_so_far_micros", expr("cum_err div cum_n"))
+        .select(col("day"), col("n"), col("pred_micros"),
+          col("abs_err_micros"), col("mae_so_far_micros"))
+        .orderBy("day")
+    },
+    Some("""WITH RECURSIVE d AS (
+              SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT day, n,
+                CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+              FROM d),
+            w(i, day, n, l, lprev, b) AS (
+              SELECT i, day, n, n * 1000000, CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+              FROM r WHERE i = 1
+              UNION ALL
+              SELECT r.i, r.day, r.n,
+                (r.n * 1000000 + 3 * (w.l + w.b)) // 4,
+                w.l,
+                (((r.n * 1000000 + 3 * (w.l + w.b)) // 4) - w.l + 3 * w.b) // 4
+              FROM w JOIN r ON r.i = w.i + 1),
+            f AS (
+              SELECT day, n,
+                LAG(l + b) OVER (ORDER BY day) AS pred_micros
+              FROM w),
+            e AS (
+              SELECT day, n, pred_micros,
+                ABS(n * 1000000 - pred_micros) AS abs_err_micros
+              FROM f WHERE pred_micros IS NOT NULL)
+            SELECT day, n, pred_micros, abs_err_micros,
+              CAST(SUM(abs_err_micros) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                // COUNT(*) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS mae_so_far_micros
+            FROM e ORDER BY day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187, x192, x193, x194, x197)
+    x171, x172, x186, x187, x192, x193, x194, x197, x198)
 }

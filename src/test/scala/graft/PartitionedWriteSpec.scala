@@ -167,4 +167,59 @@ class PartitionedWriteSpec extends SparkSpec {
     assert(fine > coarse,
       s"smaller split budget must yield more input partitions: $fine vs $coarse")
   }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // the idempotent daily-backfill write: re-running one day's job must
+    // replace THAT day's partition and leave every other day untouched
+    // (static overwrite mode would drop the whole table first)
+    val out = Files.createTempDirectory("graft-dyn").resolve("by_day").toString
+    val e = Tables(spark, sf001, "events")
+      .select(to_date(col("ts")).as("day"), col("event_id"), col("value"))
+    e.write.partitionBy("day").mode("overwrite").parquet(out)
+    val nTotal = spark.read.parquet(out).count()
+    val someDay = spark.read.parquet(out).select(col("day"))
+      .orderBy("day").limit(1).collect()(0).getDate(0)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // "backfill" that day with a DOUBLED copy of its rows
+      val day = e.where(col("day") === someDay)
+      day.unionByName(day).write.partitionBy("day")
+        .mode("overwrite").parquet(out)
+      val after = spark.read.parquet(out)
+      val dayN = day.count()
+      assert(after.where(col("day") === someDay).count() == 2 * dayN,
+        "the target partition must hold the backfilled rows")
+      assert(after.count() == nTotal + dayN,
+        "untouched partitions must survive the overwrite")
+    } finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("schema evolution: mergeSchema reads old and new file generations") {
+    // generation 1 writes (doc_id, source); generation 2 adds a column —
+    // the evolving-corpus read every long-lived dataset needs
+    val out = Files.createTempDirectory("graft-evol").resolve("docs").toString
+    val docs = Tables(spark, sf001, "documents")
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.schema.fieldNames.toSet ==
+      Set("doc_id", "source", "n_chars", "gen"))
+    // old generation surfaces NULL for the added column; new is populated
+    assert(merged.where(col("gen") === 1 && col("n_chars").isNotNull).count() == 0)
+    val gen2Nulls = merged.where(col("gen") === 2 && col("n_chars").isNull).count()
+    assert(gen2Nulls == 0)
+    assert(merged.count() == docs.count())
+    // and a filter on the evolved column still prunes to gen 2 scans only
+    val evolved = merged.where(col("n_chars") > 100)
+    assert(evolved.count() ==
+      docs.where(col("doc_id") % 2 === 1 && col("n_chars") > 100).count())
+  }
 }
