@@ -2,9 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** DISTINCT elimination under declared-unique keys — the sibling of
   * [[JoinElimination]], sharing its RELY-declaration registry:
@@ -49,7 +48,8 @@ object DistinctElimination extends Rule[LogicalPlan] {
             agg.aggregateExpressions) &&
             agg.groupingExpressions.exists {
               case a: AttributeReference =>
-                uniqueCols(agg.child).contains(a.name)
+                JoinElimination.declaredUniqueAttrs(agg.child)
+                  .contains(a.exprId)
               case _ => false
             } =>
         Project(agg.aggregateExpressions, agg.child)
@@ -70,23 +70,4 @@ object DistinctElimination extends Rule[LogicalPlan] {
       }
   }
 
-  /** Declared-unique columns visible through Project/Filter over a
-    * registered scan, as bare attributes (the JoinElimination descent).
-    */
-  private def uniqueCols(side: LogicalPlan): Set[String] = side match {
-    case Project(pl, child) =>
-      val below = uniqueCols(child)
-      pl.collect {
-        case a: AttributeReference if below.contains(a.name) => a.name
-      }.toSet
-    case Filter(_, child) => uniqueCols(child)
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption
-          .map(p => JoinElimination.declaredFor(p.toString))
-          .getOrElse(Set.empty)
-      case _ => Set.empty
-    }
-    case _ => Set.empty
-  }
 }

@@ -47,8 +47,7 @@ object JoinElimination extends Rule[LogicalPlan] {
   /** Declared unique keys: normalized table path -> column names. */
   private val unique = TrieMap.empty[String, Set[String]]
 
-  private def normalize(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+  private def normalize(p: String): String = StatsCbo.normalize(p)
 
   def declareUnique(path: String, column: String): Unit =
     unique.updateWith(normalize(path)) {
@@ -70,11 +69,6 @@ object JoinElimination extends Rule[LogicalPlan] {
   def clear(): Unit = unique.clear()
   def isEmpty: Boolean = unique.isEmpty
 
-  /** Declared-unique columns for a scan path (shared with
-    * [[DistinctElimination]]).
-    */
-  def declaredFor(path: String): Set[String] =
-    unique.getOrElse(normalize(path), Set.empty)
 
   /** Idempotent registration on a session built without extensions. */
   def install(s: SparkSession): Unit = synchronized {
@@ -124,7 +118,7 @@ object JoinElimination extends Rule[LogicalPlan] {
     */
   private def uniqueRightEquiKeys(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Boolean = {
-    val declared = declaredUniqueCols(right)
+    val declared = declaredUniqueAttrs(right)
     // each conjunct's right-side attribute, or None if not a clean
     // left-attr = right-attr equality
     val rightKeys = splitConjuncts(cond).map {
@@ -137,7 +131,7 @@ object JoinElimination extends Rule[LogicalPlan] {
       case _ => None
     }
     declared.nonEmpty && rightKeys.forall(_.isDefined) &&
-      rightKeys.flatten.exists(r => declared.contains(r.name))
+      rightKeys.flatten.exists(r => declared.contains(r.exprId))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -145,24 +139,35 @@ object JoinElimination extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Unique columns declared for the right side — defined only when the
-    * right side is a (possibly projected) registered scan whose
-    * projection preserves the declared column as a bare attribute.
+  /** Declared-unique columns visible through Project/Filter over a
+    * registered scan, resolved to the scan's OWN output attributes and
+    * tracked by exprId thereafter — a projection aliasing some other
+    * column to the declared name cannot smuggle an impostor in (shared
+    * with [[DistinctElimination]]).
+    *
+    * The scan must read exactly ONE root path: a multi-directory
+    * `spark.read.parquet(a, b)` unions files, and a key unique within
+    * the declared directory can repeat across the union — matching on
+    * `rootPaths.head` alone would eliminate joins/distincts that still
+    * deduplicate real rows.
     */
-  private def declaredUniqueCols(side: LogicalPlan): Set[String] = side match {
+  private[plans] def declaredUniqueAttrs(side: LogicalPlan)
+      : Set[org.apache.spark.sql.catalyst.expressions.ExprId] = side match {
     case Project(pl, child) =>
-      val below = declaredUniqueCols(child)
+      val below = declaredUniqueAttrs(child)
       pl.collect {
-        case a: AttributeReference if below.contains(a.name) => a.name
+        case a: AttributeReference if below.contains(a.exprId) => a.exprId
       }.toSet
     // a filtered unique column stays unique (subset), and a right-side
     // filter is invisible to an un-consumed left join anyway
-    case Filter(_, child) => declaredUniqueCols(child)
+    case Filter(_, child) => declaredUniqueAttrs(child)
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption
-          .flatMap(p => unique.get(normalize(p.toString)))
-          .getOrElse(Set.empty)
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+        val names = unique.getOrElse(
+          normalize(fs.location.rootPaths.head.toString), Set.empty)
+        lr.output.collect {
+          case a: AttributeReference if names.contains(a.name) => a.exprId
+        }.toSet
       case _ => Set.empty
     }
     case _ => Set.empty

@@ -7,11 +7,12 @@ import org.apache.spark.sql.DataFrame
   * scheduled-report accelerator: the reference's Grafana panels re-issue
   * the same five rollups on every refresh).
   *
-  * The cache key is the canonicalized optimized plan's fingerprint
-  * ([[graft.Bench.planFingerprint]] — the same hash the per-round
-  * `plans_r<N>.json` artifact uses), so the key covers the full query
-  * SHAPE including literals: a changed filter constant, column set, or
-  * source path re-keys, while expression-id churn does not. Correctness
+  * The cache key is an md5 of the canonicalized optimized plan (see
+  * [[fingerprint]] for why it deliberately differs from the bench's
+  * `plans_r<N>.json` hash), so the key covers the full query SHAPE
+  * including literals and column references: a changed filter constant,
+  * column set, or source path re-keys, while expression-id churn does
+  * not (canonicalization normalizes exprIds to ordinals). Correctness
   * boundary stated plainly: the fingerprint does NOT see source-file
   * CONTENTS — serving cached results over mutated inputs is the caller's
   * decision, exactly as with any materialized view. Pair with
@@ -29,7 +30,23 @@ import org.apache.spark.sql.DataFrame
   */
 object ResultCache {
 
-  def fingerprint(df: DataFrame): String = graft.Bench.planFingerprint(df)
+  /** Cache key: md5 of the canonicalized optimized plan, UN-stripped —
+    * deliberately not [[graft.Bench.planFingerprint]]. The bench artifact
+    * erases `#<exprId>` ordinals to stay stable across rounds, but after
+    * canonicalization renames every attribute to `none` those ordinals
+    * are the ONLY token distinguishing same-typed columns — stripping
+    * them would let `where(a < 5)` and `where(b < 5)` collide and a hit
+    * serve the wrong query's rows. Canonicalized exprIds are normalized
+    * ordinals (deterministic per plan shape), so keeping them costs no
+    * stability for deterministic plans; a plan embedding genuinely
+    * session-local tokens (e.g. a localCheckpoint RDD id) re-keys and
+    * misses — the safe direction for a cache.
+    */
+  def fingerprint(df: DataFrame): String = {
+    val canon = df.queryExecution.optimizedPlan.canonicalized.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
 
   /** Serve `df`'s result from `cacheRoot`, computing and committing it on
     * first touch. Returns a DataFrame whose lineage is the CACHE READ.

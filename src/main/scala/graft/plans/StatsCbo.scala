@@ -56,7 +56,10 @@ object StatsCbo {
   def isEmpty: Boolean = registry.isEmpty
   def lookup(path: String): Option[TableStats] = registry.get(normalize(path))
 
-  private def normalize(p: String): String =
+  /** One normalizer for every plans-package path registry — a new URI
+    * form (authority prefixes, object stores) is handled here once.
+    */
+  private[plans] def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
   /** One-pass ANALYZE (the x156 shape): exact ndv + min/max + average

@@ -427,6 +427,16 @@ object Lakehouse {
   // handed to the reader < files in the layout) and stats honesty.
   private val ZoneShards = 8
 
+  /** Per-file (min, max, n) zone stats of a parquet directory — THE
+    * stats-table shape every skipping index in this module (and the
+    * streaming maintainer) commits; schema changes happen here once.
+    */
+  def fileStats(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        count(lit(1)).as("n"))
+
   /** Build (once) the range layout + stats; returns (layoutDir, stats). */
   def ensureZoneIndex(s: SparkSession, dir: String): (String, DataFrame) = {
     val layout = graft.StoredArtifacts.dir(dir, "zonemap_documents_v1")
@@ -436,10 +446,7 @@ object Lakehouse {
         .repartitionByRange(ZoneShards, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(layout)
-      s.read.parquet(layout)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
-          count(lit(1)).as("n"))
+      fileStats(s, layout)
         .coalesce(1)
         .write.mode("overwrite").parquet(statsP)
     }
@@ -499,10 +506,7 @@ object Lakehouse {
         .repartitionByRange(CompactedShards, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(compacted)
-      s.read.parquet(compacted)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
-          count(lit(1)).as("n"))
+      fileStats(s, compacted)
         .coalesce(1)
         .write.mode("overwrite").parquet(statsP)
     }
@@ -541,10 +545,6 @@ object Lakehouse {
     val base = graft.StoredArtifacts.dir(dir, "zoneinc_documents_base_v1")
     val delta = graft.StoredArtifacts.dir(dir, "zoneinc_documents_delta_v1")
     val statsP = graft.StoredArtifacts.dir(dir, "zoneinc_documents_stats_v1")
-    def fileStats(path: String): DataFrame = s.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
-        count(lit(1)).as("n"))
     if (!graft.StoredArtifacts.ready(base) || !graft.StoredArtifacts.ready(delta) ||
       !graft.StoredArtifacts.ready(statsP)) {
       val docs = Tables(s, dir, "documents")
@@ -559,7 +559,7 @@ object Lakehouse {
       // merge = union of per-file rows; only the delta is newly scanned
       // (base stats would come from the existing index at 100 TB — the
       // re-scan here just keeps the builder self-contained)
-      fileStats(base).unionByName(fileStats(delta))
+      fileStats(s, base).unionByName(fileStats(s, delta))
         .coalesce(1).write.mode("overwrite").parquet(statsP)
     }
     (base, delta, s.read.parquet(statsP))

@@ -81,7 +81,17 @@ object ZoneIndexStream {
       StoredManifest.write(indexDir, s"gen_$batchId", segments)
   }
 
-  /** Merge every live segment into one `base_<watermark>` segment. */
+  /** Merge every live segment into one `base_<watermark>` segment, then
+    * delete the absorbed segment directories — compaction must bound
+    * STORAGE, not just the manifest (a long-running stream would
+    * otherwise keep one full copy of every batch forever). Deletion
+    * happens strictly after the new generation's commit, so a crash
+    * between the two leaves only unreferenced-but-present directories
+    * (re-deleted by the next compaction that absorbs `base_<wm>`);
+    * in-flight readers of the superseded generation are a single-JVM
+    * concern, handled exactly as StoredArtifacts' generation sweep
+    * documents.
+    */
   private def compact(spark: SparkSession, indexDir: String,
       segments: Seq[String], watermark: Long): Unit = {
     val all = segments.map(s => spark.read.parquet(s"$indexDir/$s/data"))
@@ -89,6 +99,9 @@ object ZoneIndexStream {
     val seg = s"base_$watermark"
     writeSegment(spark, all, indexDir, seg)
     StoredManifest.write(indexDir, s"gen_$watermark", Seq(seg))
+    segments.filterNot(_ == seg).foreach { old =>
+      graft.StoredArtifacts.deleteTree(s"$indexDir/$old")
+    }
   }
 
   /** Range-shard + stats for one segment; readable only once the caller
@@ -101,10 +114,7 @@ object ZoneIndexStream {
     df.repartitionByRange(Shards, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(dataP)
-    spark.read.parquet(dataP)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
-        count(lit(1)).as("n"))
+    graft.queries.Lakehouse.fileStats(spark, dataP)
       .coalesce(1).write.mode("overwrite").parquet(statsP)
   }
 

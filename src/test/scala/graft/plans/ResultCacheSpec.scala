@@ -47,4 +47,16 @@ class ResultCacheSpec extends SparkSpec {
   test("fingerprints are stable across independent constructions of the same query") {
     assert(ResultCache.fingerprint(query(500)) == ResultCache.fingerprint(query(500)))
   }
+
+  test("same-typed different columns re-key (the stripped-ordinal collision)") {
+    // after canonicalization renames attributes, exprId ordinals are the
+    // only distinguishing token between same-typed columns — the cache
+    // key must keep them (the bench drift hash strips them)
+    val byCust = graft.Tables(spark, sf001, "orders")
+      .where(col("o_custkey") < 500).select(col("o_orderkey"))
+    val byKey = graft.Tables(spark, sf001, "orders")
+      .where(col("o_orderkey") < 500).select(col("o_orderkey"))
+    assert(ResultCache.fingerprint(byCust) != ResultCache.fingerprint(byKey),
+      "queries differing only in the referenced column must not collide")
+  }
 }
