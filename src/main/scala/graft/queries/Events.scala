@@ -2362,8 +2362,129 @@ object Events {
                 AS BIGINT) AS mae_so_far_micros
             FROM e ORDER BY day"""))
 
+  // ------------------------------------------------------------------- x200
+  // Mergeable ANALYZE — x156's statistics made INCREMENTAL: per-shard
+  // column stats (count / min / max / HLL registers over user_id) merge
+  // into the table's stats without re-touching other shards — count
+  // adds, min/max fold, and ndv merges by register max (x152's sketch
+  // algebra), which is ASSOCIATIVE, so the merged estimate equals the
+  // direct whole-table estimate EXACTLY, not approximately. That
+  // identity is the self-certifying column, and it is what makes
+  // per-file ANALYZE viable at 100 TB: a new file's stats fold into the
+  // table's (the Delta/Iceberg stats pipeline, and the refresh path
+  // [[graft.plans.StatsCbo]] would consume); nothing is ever re-scanned.
+  // Fully oracled — the DuckDB replay runs both the direct and the
+  // shard-merged register pipelines through x152's estimator.
+  private val x200 = GQuery(
+    "x200_mergeable_analyze", "ext-serving analyze-incremental stats-merge",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          pmod(col("event_id"), lit(3)).as("shard"))
+      // register rows (the x152 md5 sketch shape), tagged by shard
+      val reg = e.select(col("shard"), col("user_id"),
+        substring(md5(col("user_id").cast("string")), 1, 2).as("reg"),
+        substring(md5(col("user_id").cast("string")), 3, 8).as("suf"))
+        .withColumn("zeros", length(regexp_extract(col("suf"), "^0*", 0)))
+        .withColumn("nz", expr("substr(suf, zeros + 1, 1)"))
+        .withColumn("rho",
+          when(col("zeros") === 8, lit(33))
+            .otherwise(col("zeros") * 4 + 1 +
+              when(col("nz") === "1", 3)
+                .when(col("nz").isin("2", "3"), 2)
+                .when(col("nz").isin("4", "5", "6", "7"), 1)
+                .otherwise(0)))
+      val shardRegs = reg.groupBy(col("shard"), col("reg"))
+        .agg(max(col("rho")).as("mr"))
+      val mergedRegs = shardRegs.groupBy(col("reg")).agg(max(col("mr")).as("mr"))
+      val directRegs = reg.groupBy(col("reg")).agg(max(col("rho")).as("mr"))
+      val estMerged = hllEstimate(mergedRegs, Nil).select(col("est_n").as("est_merged"))
+      val estDirect = hllEstimate(directRegs, Nil).select(col("est_n").as("est_direct"))
+      val shardStats = e.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), min(col("user_id")).as("mn"),
+          max(col("user_id")).as("mx"))
+      val merged = shardStats.agg(sum(col("n")).as("n_merged"),
+        min(col("mn")).as("mn_merged"), max(col("mx")).as("mx_merged"))
+      val direct = e.agg(count(lit(1)).as("n_direct"),
+        min(col("user_id")).as("mn_direct"), max(col("user_id")).as("mx_direct"),
+        countDistinct(col("user_id")).as("ndv_exact"))
+      merged.crossJoin(broadcast(direct))
+        .crossJoin(broadcast(estMerged)).crossJoin(broadcast(estDirect))
+        .select(col("n_merged"), col("n_direct"), col("mn_merged"),
+          col("mn_direct"), col("mx_merged"), col("mx_direct"),
+          col("est_merged"), col("est_direct"), col("ndv_exact"),
+          (col("n_merged") === col("n_direct") &&
+            col("mn_merged") === col("mn_direct") &&
+            col("mx_merged") === col("mx_direct") &&
+            col("est_merged") === col("est_direct")).as("stats_merge_holds"))
+    },
+    Some("""WITH e AS (
+              SELECT event_id, user_id, event_id % 3 AS shard FROM events),
+            r AS (
+              SELECT shard, user_id,
+                substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS reg,
+                substr(md5(CAST(user_id AS VARCHAR)), 3, 8) AS suf
+              FROM e),
+            rr AS (
+              SELECT shard, reg,
+                CASE WHEN length(regexp_extract(suf, '^0*')) = 8 THEN 33
+                  ELSE 4 * length(regexp_extract(suf, '^0*')) + 1 +
+                    CASE substr(suf, length(regexp_extract(suf, '^0*')) + 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                      WHEN '7' THEN 1 ELSE 0 END
+                  END AS rho
+              FROM r),
+            shard_regs AS (
+              SELECT shard, reg, MAX(rho) AS mr FROM rr GROUP BY shard, reg),
+            merged_regs AS (
+              SELECT reg, MAX(mr) AS mr FROM shard_regs GROUP BY reg),
+            direct_regs AS (
+              SELECT reg, MAX(rho) AS mr FROM rr GROUP BY reg),
+            est AS (
+              SELECT
+                (SELECT CAST(CASE WHEN raw <= 640.0 AND vzero > 0
+                   THEN round(256.0 * ln(256.0 / vzero), 0)
+                   ELSE round(raw, 0) END AS BIGINT)
+                 FROM (SELECT 256 - present AS vzero,
+                         0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                           / (z + (256 - present)) AS raw
+                       FROM (SELECT SUM(CAST(1 AS DOUBLE) /
+                               CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS z,
+                               CAST(COUNT(*) AS BIGINT) AS present
+                             FROM merged_regs))) AS est_merged,
+                (SELECT CAST(CASE WHEN raw <= 640.0 AND vzero > 0
+                   THEN round(256.0 * ln(256.0 / vzero), 0)
+                   ELSE round(raw, 0) END AS BIGINT)
+                 FROM (SELECT 256 - present AS vzero,
+                         0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256
+                           / (z + (256 - present)) AS raw
+                       FROM (SELECT SUM(CAST(1 AS DOUBLE) /
+                               CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE)) AS z,
+                               CAST(COUNT(*) AS BIGINT) AS present
+                             FROM direct_regs))) AS est_direct),
+            shard_stats AS (
+              SELECT shard, CAST(COUNT(*) AS BIGINT) AS n,
+                MIN(user_id) AS mn, MAX(user_id) AS mx
+              FROM e GROUP BY shard),
+            m AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS n_merged,
+                MIN(mn) AS mn_merged, MAX(mx) AS mx_merged
+              FROM shard_stats),
+            d AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_direct,
+                MIN(user_id) AS mn_direct, MAX(user_id) AS mx_direct,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact
+              FROM e)
+            SELECT n_merged, n_direct, mn_merged, mn_direct,
+              mx_merged, mx_direct, est_merged, est_direct, ndv_exact,
+              (n_merged = n_direct AND mn_merged = mn_direct AND
+               mx_merged = mx_direct AND est_merged = est_direct)
+                AS stats_merge_holds
+            FROM m, d, est"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187, x192, x193, x194, x197, x198)
+    x171, x172, x186, x187, x192, x193, x194, x197, x198, x200)
 }

@@ -759,7 +759,107 @@ object Lakehouse {
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY o_orderkey"""))
 
+  // ------------------------------------------------------------------- x199
+  // Incremental JOIN-MV maintenance under DIMENSION updates — the delta
+  // rule x175 doesn't cover: x175's dim is static; here dim rows CHANGE
+  // attribute (customers with c_custkey % 7 = 0 re-segment to 'MOVED'),
+  // and V = γ_segment(fact ⋈ dim) must follow without re-scanning the
+  // fact table against the full dim. The update rule:
+  //
+  //   V' = merge(V, γ(fact ⋈ Δdim_old) NEGATED, γ(fact ⋈ Δdim_new))
+  //
+  // — only the CHANGED dim keys join the fact (a broadcast semi-sized
+  // join at real scale, since |Δdim| << |dim|), their old-segment
+  // contributions enter with negative sign and their new-segment
+  // contributions with positive, and the algebraic merge nets out. The
+  // query runs the delta path AND the full rebuild against the updated
+  // dim side by side with the x160/x175 self-certifying match column,
+  // in exact cents, hash-checked by the oracle. Groups whose net count
+  // reaches zero are dropped (the delete-group case the rule must get
+  // right).
+  //
+  // Scale shape: the delta pass touches fact rows ONLY for changed keys
+  // (the join is on the Δdim key set, broadcast); the rebuild column
+  // exists to exhibit the identity — production ships the merge.
+  private val x199 = GQuery(
+    "x199_join_mv_dim_update", "ext-lakehouse ivm dimension-update",
+    (s, dir) => {
+      val changed = col("c_custkey") % 7 === 0
+      val dimOld = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val dimNew = dimOld
+        .withColumn("c_mktsegment",
+          when(changed, lit("MOVED")).otherwise(col("c_mktsegment")))
+      val fact = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def mv(dim: DataFrame): DataFrame = fact
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      // base view over the OLD dim; deltas over the changed keys only
+      val base = mv(dimOld)
+      val deltaOld = mv(dimOld.where(changed))
+        .select(col("c_mktsegment"), (-col("n")).as("n"),
+          (-col("cents")).as("cents"))
+      val deltaNew = mv(dimNew.where(changed))
+      val merged = base.unionByName(deltaOld).unionByName(deltaNew)
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n")).as("merged_n"), sum(col("cents")).as("merged_cents"))
+        .where(col("merged_n") =!= 0)
+      val rebuilt = mv(dimNew)
+        .select(col("c_mktsegment"), col("n").as("full_n"),
+          col("cents").as("full_cents"))
+      merged.join(rebuilt, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"), col("merged_n"), col("merged_cents"),
+          col("full_n"), col("full_cents"),
+          (col("merged_n") <=> col("full_n") &&
+            col("merged_cents") <=> col("full_cents")).as("update_rule_holds"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH f AS (
+              SELECT o_custkey,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+              FROM orders),
+            d_old AS (SELECT c_custkey, c_mktsegment FROM customer),
+            d_new AS (
+              SELECT c_custkey,
+                CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                     ELSE c_mktsegment END AS c_mktsegment
+              FROM customer),
+            base AS (
+              SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cents) AS BIGINT) AS cents
+              FROM f JOIN d_old ON o_custkey = c_custkey GROUP BY 1),
+            delta_old AS (
+              SELECT c_mktsegment, -CAST(COUNT(*) AS BIGINT) AS n,
+                -CAST(SUM(cents) AS BIGINT) AS cents
+              FROM f JOIN d_old ON o_custkey = c_custkey
+              WHERE c_custkey % 7 = 0 GROUP BY 1),
+            delta_new AS (
+              SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cents) AS BIGINT) AS cents
+              FROM f JOIN d_new ON o_custkey = c_custkey
+              WHERE c_custkey % 7 = 0 GROUP BY 1),
+            merged AS (
+              SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS merged_n,
+                CAST(SUM(cents) AS BIGINT) AS merged_cents
+              FROM (SELECT * FROM base UNION ALL SELECT * FROM delta_old
+                    UNION ALL SELECT * FROM delta_new)
+              GROUP BY 1 HAVING SUM(n) <> 0),
+            rebuilt AS (
+              SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS full_n,
+                CAST(SUM(cents) AS BIGINT) AS full_cents
+              FROM f JOIN d_new ON o_custkey = c_custkey GROUP BY 1)
+            SELECT m.c_mktsegment, m.merged_n, m.merged_cents,
+              r.full_n, r.full_cents,
+              (m.merged_n IS NOT DISTINCT FROM r.full_n AND
+               m.merged_cents IS NOT DISTINCT FROM r.full_cents)
+                AS update_rule_holds
+            FROM merged m FULL OUTER JOIN rebuilt r USING (c_mktsegment)
+            ORDER BY c_mktsegment"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190)
+      x185, x190, x199)
 }
