@@ -2483,8 +2483,60 @@ object Events {
                 AS stats_merge_holds
             FROM m, d, est"""))
 
+  // ------------------------------------------------------------------- x201
+  // Quantile normalization — the rank transform feature pipelines apply
+  // before models that assume comparable scales (and the nonparametric
+  // cousin of x169's deciles): each purchase amount maps to its
+  // mid-rank quantile (2·rank − 1) / (2n) within its event type, in
+  // exact thousandths via average rank over cent ties (RANK + COUNT of
+  // equals — ties share one score, the textbook treatment). Everything
+  // is integer arithmetic until one final div, so the transform
+  // hash-verifies.
+  //
+  // Scale shape: the window is type-partitioned (no global sort); at
+  // 100 TB the same transform runs from x162's mergeable histogram
+  // (rank = cumulative count at the value's bin) — this exact form is
+  // that rewrite's oracle, the x162/x169 discipline.
+  private val x201 = GQuery(
+    "x201_quantile_normalize", "ext-analytics feature quantile-normalization",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      val n = Window.partitionBy("event_type")
+      e.withColumn("rk", rank().over(w))
+        .withColumn("ties", count(lit(1)).over(
+          Window.partitionBy(col("event_type"), col("cents"))))
+        .withColumn("n", count(lit(1)).over(n))
+        // mid-rank of the tie block: rank + (ties - 1) / 2, kept exact by
+        // doubling: q_milli = 1000 * (2*(rk + (ties-1)/2) - 1) / (2n)
+        //                   = 1000 * (2*rk + ties - 2) div (2n)
+        .withColumn("q_milli",
+          expr("(1000 * (2 * rk + ties - 2)) div (2 * n)"))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("q_milli"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+              SELECT event_id, event_type,
+                CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events),
+            r AS (
+              SELECT event_id, event_type, cents,
+                CAST(RANK() OVER (PARTITION BY event_type ORDER BY cents)
+                  AS BIGINT) AS rk,
+                CAST(COUNT(*) OVER (PARTITION BY event_type, cents)
+                  AS BIGINT) AS ties,
+                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM e)
+            SELECT event_id, event_type, cents,
+              (1000 * (2 * rk + ties - 2)) // (2 * n) AS q_milli
+            FROM r ORDER BY event_id"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187, x192, x193, x194, x197, x198, x200)
+    x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201)
 }
