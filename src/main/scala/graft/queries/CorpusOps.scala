@@ -1519,8 +1519,78 @@ object CorpusOps {
                 AS fold
             FROM documents ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------------- x202
+  // Temperature-based mixture realization (the mT5/XLM-R recipe): source
+  // sampling weights ∝ n^α with α = 1/2, DERIVED from corpus counts
+  // (x29 consumes externally-given proportions; this computes them).
+  // α = 1/2 is the production default AND the exactness-friendly one:
+  // sqrt is correctly rounded in IEEE 754, so s = round(sqrt(n)·1000)
+  // is bit-identical cross-engine, and every weight and target after
+  // that quantization is INTEGER arithmetic — no float sum ever
+  // reassociates (a double Σ√n would be partition-order-dependent).
+  // Targets for a budget of half the corpus realize by largest-
+  // remainder apportionment (floor + top-up by remainder rank, ties to
+  // source name), so Σ target = budget exactly — hash-checked.
+  //
+  // Scale shape: one source-grain aggregation; everything after runs on
+  // the source domain (a handful of rows).
+  private lazy val x202 = GQuery(
+    "x202_temperature_mix", "ext-curation mixture temperature-weights",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSource = Tables(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_milli",
+          round(sqrt(col("n_docs").cast("double")) * 1000, 0).cast("long"))
+      val all = Window.partitionBy()
+      val budgeted = perSource
+        .withColumn("sum_s", sum(col("s_milli")).over(all))
+        .withColumn("budget", (sum(col("n_docs")).over(all) / 2).cast("long"))
+        .withColumn("weight_micro",
+          expr("(1000000 * s_milli) div sum_s"))
+        .withColumn("target_floor", expr("(budget * s_milli) div sum_s"))
+        .withColumn("rem", expr("(budget * s_milli) % sum_s"))
+      budgeted
+        .withColumn("short",
+          col("budget") - sum(col("target_floor")).over(all))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("target",
+          col("target_floor") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("s_milli"),
+          col("weight_micro"), col("target"))
+        .orderBy("source")
+    },
+    Some("""WITH g AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source),
+            q AS (
+              SELECT source, n_docs,
+                CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000, 0) AS BIGINT)
+                  AS s_milli
+              FROM g),
+            t AS (
+              SELECT *, CAST(SUM(s_milli) OVER () AS BIGINT) AS sum_s,
+                CAST(SUM(n_docs) OVER () / 2 AS BIGINT) AS budget
+              FROM q),
+            f AS (
+              SELECT source, n_docs, s_milli,
+                (1000000 * s_milli) // sum_s AS weight_micro,
+                (budget * s_milli) // sum_s AS target_floor,
+                (budget * s_milli) % sum_s AS rem, budget
+              FROM t),
+            r AS (
+              SELECT *, budget - CAST(SUM(target_floor) OVER () AS BIGINT)
+                  AS short,
+                ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+              FROM f)
+            SELECT source, n_docs, s_milli, weight_micro,
+              target_floor + CAST(CASE WHEN rk <= short THEN 1 ELSE 0 END
+                  AS BIGINT) AS target
+            FROM r ORDER BY source"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176, x191)
+      x176, x191, x202)
 }

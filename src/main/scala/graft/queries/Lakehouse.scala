@@ -859,6 +859,31 @@ object Lakehouse {
             FROM merged m FULL OUTER JOIN rebuilt r USING (c_mktsegment)
             ORDER BY c_mktsegment"""))
 
+  /** SQL surface over the skipping indexes (the Similarity.sqlRegister
+    * discipline applied to the metadata layer): registers
+    * `<prefix>_zone_stats` — the per-file (min, max, n) stats table a
+    * `spark.sql` user consults for pruning decisions — and
+    * `<prefix>_zone_lookup(lo, hi)` semantics via a pre-bound pruned
+    * view `<prefix>_zone_range` over the given bounds: the view's scan
+    * list is resolved through [[zoneSelect]] at registration, so the
+    * SQL reader pays exactly the pruned file set a Scala caller would.
+    * SqlSurfaceSpec pins SQL ≡ Scala parity on both.
+    */
+  def sqlRegister(s: SparkSession, dir: String, prefix: String,
+      lo: Long, hi: Long): Unit = {
+    val (_, stats) = ensureZoneIndex(s, dir)
+    stats.createOrReplaceTempView(s"${prefix}_zone_stats")
+    val files = zoneSelect(stats, lo, hi)
+    val pruned =
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          s.read.parquet(graft.StoredArtifacts.dir(dir, "zonemap_documents_v1"))
+            .schema)
+      else s.read.parquet(files: _*)
+        .where(col("doc_id").between(lo, hi))
+    pruned.createOrReplaceTempView(s"${prefix}_zone_range")
+  }
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
       x185, x190, x199)

@@ -281,4 +281,26 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(!ids.contains(1L), "SQL hits must respect committed tombstones")
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
+
+  test("lakehouse zone index: SQL views equal the Scala pruned read") {
+    val docs = graft.Tables(spark, sf001, "documents")
+    val maxId = docs.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("doc_id"))).collect()(0).getLong(0)
+    val (lo, hi) = (maxId / 6, maxId / 2)
+    graft.queries.Lakehouse.sqlRegister(spark, sf001, "lk", lo, hi)
+    // stats view answers the pruning question a SQL planner would ask
+    val sqlFiles = spark.sql(
+      s"SELECT file FROM lk_zone_stats WHERE min_id <= $hi AND max_id >= $lo")
+      .collect().map(_.getString(0)).toSet
+    val (_, stats) = graft.queries.Lakehouse.ensureZoneIndex(spark, sf001)
+    assert(sqlFiles == graft.queries.Lakehouse.zoneSelect(stats, lo, hi).toSet)
+    assert(sqlFiles.size < stats.count(), "the range must actually prune")
+    // the pre-bound range view returns exactly the naive filter's rows
+    val sqlRows = spark.sql("SELECT doc_id FROM lk_zone_range ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val naive = docs.where(org.apache.spark.sql.functions.col("doc_id")
+        .between(lo, hi))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sqlRows == naive && sqlRows.nonEmpty)
+  }
 }
