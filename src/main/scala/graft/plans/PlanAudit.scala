@@ -75,9 +75,31 @@ object PlanAudit {
     * predicate stayed behind).
     */
   private def onlyTrivialPushed(pushed: String): Boolean =
-    pushed.stripPrefix("[").stripSuffix("]").split(",")
-      .map(_.trim).filter(_.nonEmpty)
+    splitTopLevel(pushed.stripPrefix("[").stripSuffix("]"))
       .forall(_.startsWith("IsNotNull"))
+
+  /** Split a rendered filter list on TOP-LEVEL commas only: an entry like
+    * `In(x, [1,2,3])` contains commas inside its own brackets, and a
+    * naive split would mis-tokenize it into fragments that don't start
+    * with `IsNotNull` — making the lint silently unreliable for IN
+    * predicates (a pushed IN would read as a non-trivial push even when
+    * it is the scan's only entry, and vice versa fragments of it would).
+    */
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case ',' if depth == 0 =>
+        val t = cur.result().trim; if (t.nonEmpty) out += t; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
 
   def audit(plan: SparkPlan): Report = {
     val nodes = allNodes(plan)

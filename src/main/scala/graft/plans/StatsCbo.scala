@@ -131,9 +131,9 @@ object StatsBroadcastJoin extends Rule[LogicalPlan] {
           if hint == JoinHint.NONE =>
         val lEst = estimateBytes(left)
         val rEst = estimateBytes(right)
-        val t = threshold(conf.autoBroadcastJoinThreshold)
-        val canL = canBroadcastLeft(joinType) && lEst.exists(_ <= t)
-        val canR = canBroadcastRight(joinType) && rEst.exists(_ <= t)
+        val t = threshold()
+        val canL = t > 0 && canBroadcastLeft(joinType) && lEst.exists(_ <= t)
+        val canR = t > 0 && canBroadcastRight(joinType) && rEst.exists(_ <= t)
         // prefer the smaller estimated side when both qualify
         val pickL = canL && (!canR || lEst.get <= rEst.get)
         if (pickL)
@@ -144,8 +144,24 @@ object StatsBroadcastJoin extends Rule[LogicalPlan] {
     }
   }
 
-  private def threshold(confVal: Long): Long =
-    if (confVal > 0) confVal else DefaultThreshold
+  /** Broadcast ceiling for the hint. The session's own
+    * `autoBroadcastJoinThreshold` wins when enabled; when the operator
+    * DISABLED it (<= 0 — the post-OOM "never broadcast" idiom) this rule
+    * must not silently override that safety setting, so the 10 MB
+    * fallback only applies when `spark.graft.cbo.broadcastThreshold`
+    * explicitly opts back in (set to a byte count, or "default" for
+    * 10 MB). Absent that opt-in, a disabled session threshold disables
+    * this rule too (returns -1 → no hint).
+    */
+  private def threshold(): Long = {
+    val session = conf.autoBroadcastJoinThreshold
+    if (session > 0) session
+    else conf.getConfString("spark.graft.cbo.broadcastThreshold", "") match {
+      case "" => -1L
+      case "default" => DefaultThreshold
+      case v => try v.toLong catch { case _: NumberFormatException => -1L }
+    }
+  }
 
   private def canBroadcastRight(jt: JoinType): Boolean = jt match {
     case Inner | Cross | LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin => true
@@ -179,8 +195,14 @@ object StatsBroadcastJoin extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Single-root scans only (mirroring [[JoinElimination]]'s guard): a
+    * multi-directory read (`spark.read.parquet(a, b)`) whose FIRST root
+    * happens to be registered would otherwise be estimated from that one
+    * directory's stats and broadcast-hinted while actually being a much
+    * larger union — an executor-OOM risk at scale.
+    */
   private def pathOf(lr: LogicalRelation): Option[String] = lr.relation match {
-    case fs: HadoopFsRelation =>
+    case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
       fs.location.rootPaths.headOption.map(_.toString)
     case _ => None
   }

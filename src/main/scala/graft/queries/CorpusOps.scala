@@ -1545,7 +1545,10 @@ object CorpusOps {
       val all = Window.partitionBy()
       val budgeted = perSource
         .withColumn("sum_s", sum(col("s_milli")).over(all))
-        .withColumn("budget", (sum(col("n_docs")).over(all) / 2).cast("long"))
+        // integer floor division (`div`), matching the oracle's `//`: a
+        // double divide-then-truncate vs round-to-nearest differs by 1
+        // whenever the corpus count is odd — a cross-engine hash hazard
+        .withColumn("budget", expr("sum(n_docs) over () div 2"))
         .withColumn("weight_micro",
           expr("(1000000 * s_milli) div sum_s"))
         .withColumn("target_floor", expr("(budget * s_milli) div sum_s"))
@@ -1571,7 +1574,7 @@ object CorpusOps {
               FROM g),
             t AS (
               SELECT *, CAST(SUM(s_milli) OVER () AS BIGINT) AS sum_s,
-                CAST(SUM(n_docs) OVER () / 2 AS BIGINT) AS budget
+                CAST(SUM(n_docs) OVER () // 2 AS BIGINT) AS budget
               FROM q),
             f AS (
               SELECT source, n_docs, s_milli,

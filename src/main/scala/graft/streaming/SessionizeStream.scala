@@ -43,10 +43,15 @@ object SessionizeStream {
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
   def apply(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    require(gapMs > 0, s"session gap must be positive, got $gapMs")
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      // milliseconds, NOT s"${gapMs / 1000} seconds": integer division
+      // would truncate sub-second gaps to a SHORTER admissibility horizon
+      // than the session logic's gap envelope, dropping events the merge
+      // rule still considers extendable
+      .withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(_.userId)
       .flatMapGroupsWithState[Vector[OpenSession], Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

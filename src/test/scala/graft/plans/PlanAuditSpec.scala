@@ -98,4 +98,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.collect().forall(_.getBoolean(3)),
       "the salted join must reproduce the joinless pair count")
   }
+
+  test("pushed-filter tokenizer splits on top-level commas only") {
+    // an IN predicate's internal commas must not fragment the entry
+    assert(PlanAudit.splitTopLevel("IsNotNull(x), In(x, [1,2,3])") ==
+      Seq("IsNotNull(x)", "In(x, [1,2,3])"))
+    assert(PlanAudit.splitTopLevel("In(x, [1,2,3])") == Seq("In(x, [1,2,3])"))
+    assert(PlanAudit.splitTopLevel("") == Seq.empty)
+    assert(PlanAudit.splitTopLevel("IsNotNull(a), IsNotNull(b)") ==
+      Seq("IsNotNull(a)", "IsNotNull(b)"))
+  }
 }

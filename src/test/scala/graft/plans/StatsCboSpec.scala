@@ -53,6 +53,14 @@ class StatsCboSpec extends SparkSpec {
       assert(st.rows > 0 && st.cols.contains("c_custkey"))
       // ALSO register the fact side: estimates must keep it un-broadcast
       StatsCbo.analyzeAndRegister(spark, ordersP)
+      // a DISABLED session threshold is an operator safety setting: with
+      // stats registered but no explicit graft opt-in, the rule must NOT
+      // override it
+      val optedOut = join()
+      assert(strategyOf(optedOut) == "sortmerge",
+        optedOut.queryExecution.sparkPlan.toString)
+      // explicit opt-in re-enables the stats-driven hint
+      spark.conf.set("spark.graft.cbo.broadcastThreshold", "default")
       val after = join()
       assert(strategyOf(after) == "broadcast",
         after.queryExecution.sparkPlan.toString)
@@ -74,6 +82,32 @@ class StatsCboSpec extends SparkSpec {
         wide.queryExecution.sparkPlan.toString)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.cbo.broadcastThreshold")
+      StatsCbo.clear()
+    }
+  }
+
+  test("multi-directory scans are never estimated from one root's stats") {
+    StatsBroadcastJoin.install(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.cbo.broadcastThreshold", "default")
+      StatsCbo.clear()
+      StatsCbo.analyzeAndRegister(spark, customerP)
+      // two-root scan whose FIRST root is the registered path: estimating
+      // it from customer's stats alone would hint a broadcast of the much
+      // larger union — the rule must decline (JoinElimination's guard)
+      val dim = spark.read.parquet(customerP, s"$sf01/customer.parquet")
+        .where(col("c_custkey") <= 2)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val j = spark.read.parquet(ordersP)
+        .select(col("o_custkey"))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+      assert(strategyOf(j) == "sortmerge", j.queryExecution.sparkPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.cbo.broadcastThreshold")
       StatsCbo.clear()
     }
   }
@@ -83,12 +117,18 @@ class StatsCboSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // disable the size-based default: only the stats hint can broadcast
+      // (with the explicit graft opt-in — a bare -1 is an operator
+      // opt-out the rule now honors)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.cbo.broadcastThreshold", "default")
       val df2 = graft.SparkEntry.queries("x184_cbo_broadcast")(spark, sf001)
       assert(df2.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
         df2.queryExecution.sparkPlan.toString)
       assert(df2.collect().map(_.toSeq).toSeq == df.collect().map(_.toSeq).toSeq)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.cbo.broadcastThreshold")
+    }
   }
 
   test("selectivity estimate tracks the System-R arithmetic") {

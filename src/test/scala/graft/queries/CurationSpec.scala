@@ -169,4 +169,17 @@ class CurationSpec extends SparkSpec {
       assert(p > 0.15 && p < 0.35, s"fold $f share $p")
     }
   }
+
+  test("x202: budget is integer floor(total/2) and targets apportion exactly") {
+    val rows = graft.SparkEntry.queries("x202_temperature_mix")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val nTotal = graft.Tables(spark, sf001, "documents").count()
+    // floor division, not round-half: an odd corpus count must budget
+    // (n-1)/2 on BOTH engines (the cross-engine hash hazard the r8
+    // ADVICE flagged)
+    val budget = nTotal / 2
+    val sumTarget = rows.map(_.getAs[Long]("target")).sum
+    assert(sumTarget == budget, s"sum(target)=$sumTarget budget=$budget n=$nTotal")
+  }
 }
