@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the order co-purchase graph — the relational
@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * survival profile (the power-law report a partitioning decision reads).
   *
   * Scale shapes, per operator, are documented on each method; the common
-  * ground: the edge list is built ONCE per query from a single fact-table
-  * scan (per-order part lists are order-sized — TPC-H orders hold ≤ 7
-  * lines — so the pair explosion is bounded per row), every node-level
-  * side table (degrees, ranks) is node-sized and broadcastable, and no
+  * ground since round 9: the edge list and its degree table are built
+  * ONCE PER FIXTURE as a [[graft.StoredArtifacts]] generation (the x62
+  * build-once / probe-many discipline — every production graph stack
+  * maintains a persisted edge table) and every registry query serves from
+  * that parquet; node-level side tables (degrees, ranks) stay node-sized;
+  * iterative operators run CO-PARTITIONED supersteps (edge table hash-
+  * partitioned by its join key once, node tables shuffled to it — never a
+  * static broadcast of a table that grows with the node count); and no
   * operator ever materializes an all-pairs product: triangle and wedge
   * joins are bounded by graph arboricity / Σ C(deg,2), the quantities the
   * published MapReduce triangle literature (Suri & Vassilvitskii 2011)
@@ -52,6 +56,32 @@ object Graph {
     e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
+  /** Stored co-purchase edge artifact (build-once / probe-many): the r8
+    * registry re-derived the edge list — a fact-table scan, an order-
+    * grained exchange and a pair-dedup exchange — from scratch in EVERY
+    * graph query, nine rebuilds per registry pass. Built on first touch
+    * and then only read, the artifact turns each query's input into an
+    * edge-sized two-column parquet scan; the fixture re-keys the artifact
+    * dir on any data change (StoredArtifacts state hash), so a stale edge
+    * list is never served.
+    */
+  private[queries] def storedEdges(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.StoredArtifacts.dir(dir, "copurchase_edges_v1")
+    if (!graft.StoredArtifacts.ready(store))
+      copurchaseEdges(lineitem(s, dir)).write.mode("overwrite").parquet(store)
+    s.read.parquet(store)
+  }
+
+  /** Stored degree table over [[storedEdges]] — node-sized, one agg,
+    * shared by the census/profile/link queries.
+    */
+  private[queries] def storedDegrees(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.StoredArtifacts.dir(dir, "copurchase_degrees_v1")
+    if (!graft.StoredArtifacts.ready(store))
+      degrees(storedEdges(s, dir)).write.mode("overwrite").parquet(store)
+    s.read.parquet(store)
+  }
+
   /** Unpersist a superseded localCheckpoint'd table. The iterative
     * operators below checkpoint once per superstep; without this, every
     * invocation would strand iters×(edge-table) blocks in executor
@@ -68,6 +98,184 @@ object Graph {
       case _ => ()
     }
 
+  /** Run `f` with AQE off, restoring the session setting after. The
+    * superstep loops below run entirely without AQE, for two reasons:
+    * (1) AQE's plan wrapper hides the final outputPartitioning from the
+    * localCheckpoint capture (LogicalRDD records UnknownPartitioning —
+    * verified on Spark 4.1.2 — and every superstep join would then
+    * re-shuffle a side the layout already satisfies); (2) supersteps are
+    * fixed-partitioning, fixed-size jobs where AQE's per-stage replanning
+    * is pure scheduling latency × iterations. Nothing adaptive is given
+    * up: partition counts are pinned by design and the node tables are
+    * uniform.
+    */
+  private def withoutAqe[A](spark: SparkSession)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Superstep parallelism sized to the GRAPH, not the session default:
+    * every table a superstep moves is node-sized (adjacency chunks,
+    * ranks), so the partition count targets ~200k directed edges per
+    * task and is clamped to [2, spark.sql.shuffle.partitions]. Without
+    * this, a node-sized stage pays the session's full task-launch
+    * overhead per superstep (at local[32], 32 near-empty tasks × 2
+    * stages × iters was the dominant cost of the whole query); at
+    * cluster scale the upper clamp hands control back to the operator's
+    * configured shuffle parallelism. The count is parquet-metadata-cheap
+    * for the stored edge artifact every registry query serves from.
+    */
+  private def superstepPartitions(e: DataFrame): Int = {
+    val conf = e.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = e.count()
+    math.max(2, math.min(conf, math.ceil(edges / 200000.0).toInt))
+  }
+
+  /** Scope the superstep loop's session settings: AQE off (see
+    * [[withoutAqe]] — partitioning capture + per-stage replanning) and
+    * `spark.sql.shuffle.partitions` pinned to the graph-sized
+    * parallelism so every exchange inside the loop — including the
+    * aggregates' own — uses it.
+    */
+  private def withSuperstepConfs[A](spark: SparkSession, p: Int)(f: => A): A = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try withoutAqe(spark)(f)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Hash-partition `df` by `key` into the current shuffle parallelism
+    * and pin that layout with an eager localCheckpoint: the LogicalRDD
+    * records the physical outputPartitioning (AQE disabled around the
+    * build — see [[withoutAqe]]), so every superstep join on `key` finds
+    * this side already distributed and inserts NO exchange above it. The
+    * partition count deliberately equals `spark.sql.shuffle.partitions`
+    * (graph-sized inside [[withSuperstepConfs]]) — the same count every
+    * superstep aggregate produces — so EnsureRequirements co-partitions
+    * the node table TO this side instead of ever re-shuffling it.
+    */
+  private def checkpointByKey(df: DataFrame, key: String): DataFrame =
+    withoutAqe(df.sparkSession) {
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(key)).localCheckpoint(true)
+    }
+
+  /** Adjacency-list form of the symmetric graph for the superstep loops:
+    * one row per (src, chunk) with the out-degree and a neighbor array —
+    * the GraphX/Pregel edge-partition layout expressed relationally.
+    * Two scale decisions live here: (a) the superstep join becomes
+    * NODE-sized × NODE-sized (the 2|E|-row flat edge table is folded into
+    * arrays once at build time; per superstep it is re-expanded by an
+    * in-pipeline explode that never hits an exchange — measured 3-4×
+    * faster than streaming the flat edge rows through the join every
+    * superstep); (b) hub adjacency is CHUNKED into ≤4096-entry rows
+    * (chunk = hash(dst) mod ceil(deg/4096)), so a 10M-degree hub at
+    * 100 TB becomes ~2500 bounded rows instead of one unbounded array —
+    * every chunk row carries the full out-degree, and since the superstep
+    * aggregates are integer sum/count/min (order- and grouping-
+    * insensitive), chunking cannot change any result bit.
+    */
+  private def adjacencyBySrc(directed: DataFrame, deg: DataFrame): DataFrame =
+    checkpointByKey(
+      directed.join(deg, "src")
+        .withColumn("chunk",
+          pmod(hash(col("dst")),
+            greatest(lit(1), ceil(col("outdeg") / lit(4096)).cast("int"))))
+        .groupBy(col("src"), col("chunk"))
+        .agg(first(col("outdeg")).as("outdeg"),
+          collect_list(col("dst")).as("dsts")),
+      "src")
+
+  /** ONE co-partitioned rank superstep: checkpointed adjacency ⋈
+    * node-sized rank table on src (both node-sized), contributions
+    * exploded per neighbor and summed per dst with a map-side partial.
+    * The rank side is SHUFFLE_HASH-hinted: the planner shuffles the NODE
+    * table to the adjacency partitioning and hash-builds it per
+    * partition — the adjacency side moves nothing and sorts nothing (a
+    * sort-merge join would re-sort it every superstep). This replaces
+    * the r8 `broadcast(ranks)`: a static broadcast of a table that grows
+    * with the node count exceeds broadcast limits at 100 TB, while this
+    * shape's per-superstep network cost is one node-table shuffle
+    * regardless of graph size.
+    */
+  private[queries] def rankSuperstep(
+      adj: DataFrame, ranks: DataFrame, restart: Column => Column): DataFrame =
+    adj.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+      .select(col("dsts"), expr("rank div outdeg").as("c"))
+      .select(explode(col("dsts")).as("dst"), col("c"))
+      .groupBy("dst").agg(sum(col("c")).as("c"))
+      .select(col("dst").as("node"),
+        (restart(col("dst")) + expr("(850 * c) div 1000")).as("rank"))
+
+  /** Supersteps per eager checkpoint. 1 — and deliberately so: chaining
+    * K supersteps lazily into one job makes the checkpointed adjacency
+    * LogicalRDD appear K times in a single plan, and attribute
+    * deduplication re-instances every occurrence after the first with
+    * fresh expr-ids WITHOUT rewriting the recorded outputPartitioning
+    * (verified on Spark 4.1.2) — so supersteps 2..K silently re-shuffle
+    * the side the layout already satisfies. One materialization per
+    * superstep keeps each plan's single adjacency occurrence
+    * partitioning-pinned; with the node-sized adjacency join this is two
+    * short stages per superstep.
+    */
+  private val CkptEvery = 1
+
+  /** The shared integer-rank superstep loop over ANY undirected edge list
+    * `(pa, pb)` — node type agnostic (x124 ranks part ids; x138 ranks
+    * words; x168 seeds restart mass on one node). Returns (node, rank)
+    * materialized (checkpointed). Superseded rank generations are
+    * unpersisted; the graph is symmetric with deg >= 1, so EVERY node
+    * receives at least one contribution — the aggregate itself
+    * enumerates the full node set and no join-back with the previous
+    * rank table is needed (a directed/dangling variant would need the
+    * oracle's LEFT JOIN).
+    */
+  private def rankSupersteps(e: DataFrame, iters: Int,
+      init: Column => Column, restart: Column => Column): DataFrame =
+    withSuperstepConfs(e.sparkSession, superstepPartitions(e)) {
+      val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val adj = adjacencyBySrc(directed, deg)
+      var ckpt = deg
+        .select(col("src").as("node"), init(col("src")).as("rank"))
+        .localCheckpoint(true)
+      var cur = ckpt
+      var pending = 0
+      for (i <- 1 to iters) {
+        cur = rankSuperstep(adj, cur, restart)
+        pending += 1
+        if (pending == CkptEvery || i == iters) {
+          val next = cur.localCheckpoint(true)
+          dropCheckpoint(ckpt)
+          ckpt = next
+          cur = next
+          pending = 0
+        }
+      }
+      dropCheckpoint(adj)
+      ckpt
+    }
+
+  /** Spec hook: the prepared edge table plus ONE un-materialized superstep
+    * over the initial rank table, for plan-shape inspection (the
+    * co-partitioning pins live in GraphPlanSpec: no static broadcast of
+    * the rank table, no exchange above the edge side, multi-partition
+    * aggregate).
+    */
+  private[queries] def superstepForSpec(e: DataFrame): DataFrame =
+    withSuperstepConfs(e.sparkSession, superstepPartitions(e)) {
+      val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val adj = adjacencyBySrc(directed, deg)
+      val ranks = deg
+        .select(col("src").as("node"), lit(1000000L).as("rank"))
+        .localCheckpoint(true)
+      rankSuperstep(adj, ranks, _ => lit(150000L))
+    }
+
   /** Exact per-node triangle counts + local clustering coefficient
     * (thousandths). Degree-ordered orientation (Suri & Vassilvitskii
     * 2011): each undirected edge is directed from its lower (deg, id)
@@ -78,7 +286,10 @@ object Graph {
     * INTO it, so it never anchors a quadratic wedge explosion; the id
     * orientation the oracle uses enumerates the same triangle set but
     * lets a low-id hub fan out by its full degree). Joins carry 16-byte
-    * id pairs only; the degree side table is node-sized and broadcast.
+    * id pairs only; the degree side table is node-sized and broadcast —
+    * broadcast is correct HERE (unlike the superstep rank table) because
+    * it happens once, not per iteration, and the wedge join that follows
+    * would otherwise shuffle the edge table twice.
     *
     * Output is orientation-invariant — (part, deg, triangles, cc_milli)
     * — which is what lets the DuckDB oracle verify the degree-ordered
@@ -86,7 +297,10 @@ object Graph {
     */
   def triangleCensus(li: DataFrame): DataFrame = {
     val e = copurchaseEdges(li)
-    val deg = degrees(e)
+    triangleCensusOn(e, degrees(e))
+  }
+
+  private[queries] def triangleCensusOn(e: DataFrame, deg: DataFrame): DataFrame = {
     // orient each edge from lower (deg, id) endpoint to higher
     val o = e
       .join(broadcast(deg.select(col("node").as("pa"), col("deg").as("dega"))), "pa")
@@ -145,7 +359,7 @@ object Graph {
 
   private val x123 = GQuery(
     "x123_triangle_census", "ext-graph triangle-count clustering-coefficient",
-    (s, dir) => triangleCensus(lineitem(s, dir)),
+    (s, dir) => triangleCensusOn(storedEdges(s, dir), storedDegrees(s, dir)),
     Some(triangleOracle))
 
   /** Fixed-iteration INTEGER PageRank (damping 0.85, ranks in micros).
@@ -158,58 +372,27 @@ object Graph {
     * graph is symmetric and edge-derived, so every node has outdeg ≥ 1 —
     * no dangling-mass term.
     *
-    * Scale shape: the (src, dst, outdeg) edge table is built once and
-    * localCheckpoint'd (eight iterations re-read it without recompute; at
-    * cluster scale the same role is played by a persisted, pre-partitioned
-    * edge table). Each iteration is ONE join of the edge table with the
-    * node-sized rank table on src and ONE dst-keyed partial-aggregated
-    * sum — the textbook Pregel superstep expressed relationally. Rank
-    * tables are checkpointed per iteration to keep lineage flat; the ≤
-    * iters cached node-sized tables are bounded by the node count, not
-    * the corpus.
+    * Scale shape: the (src, dst, outdeg) edge table is built once,
+    * hash-partitioned by src and localCheckpoint'd (eight iterations
+    * re-read it in place); each superstep is the co-partitioned
+    * [[rankSuperstep]] — the node-sized rank table shuffles TO the edge
+    * partitioning, the edge table never moves, and the dst-keyed sum
+    * partial-aggregates map-side. Per-superstep network cost is bounded
+    * by the node table at any graph size.
     */
   def pagerank(li: DataFrame, iters: Int): DataFrame =
-    pagerankOnEdges(copurchaseEdges(li), iters)
-      .select(col("node").as("part"), col("rank").as("rank_micros"))
+    rankedParts(pagerankOnEdges(copurchaseEdges(li), iters))
+
+  private def rankedParts(ranks: DataFrame): DataFrame =
+    ranks.select(col("node").as("part"), col("rank").as("rank_micros"))
       .orderBy(col("rank_micros").desc, col("part"))
 
   /** The integer-PageRank superstep loop over ANY undirected edge list
     * `(pa, pb)` — node type agnostic (x124 ranks part ids; x138 ranks
     * words). Returns (node, rank) unordered.
     */
-  private[queries] def pagerankOnEdges(e: DataFrame, iters: Int): DataFrame = {
-    val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-    val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // edge partition count sized to keep per-superstep task overhead
-    // bounded at fixture scale; a cluster run sizes this to the edge
-    // volume instead (the superstep SHAPE is partition-count-agnostic)
-    val withDeg = directed.join(deg, "src").coalesce(8).localCheckpoint(true)
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
-      .coalesce(1).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      // rank table is node-sized → broadcast, so a superstep never
-      // re-shuffles the (much larger) edge table: narrow map over the
-      // checkpointed edges + ONE dst-keyed partial-agg exchange. At
-      // node counts past broadcast range the production form pre-buckets
-      // edges by src and co-partitions ranks instead — same superstep,
-      // shuffle bounded by the node table either way.
-      // the graph is symmetric with deg >= 1, so EVERY node receives at
-      // least one contribution — the aggregate itself enumerates the full
-      // node set and no join-back with the previous rank table is needed
-      // (a directed/dangling variant would need the oracle's LEFT JOIN)
-      val next = withDeg.join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("c"))
-        .select(col("dst").as("node"),
-          (lit(150000L) + expr("(850 * c) div 1000")).as("rank"))
-        .coalesce(1).localCheckpoint(true)
-      dropCheckpoint(ranks)
-      ranks = next
-    }
-    dropCheckpoint(withDeg)
-    ranks
-  }
+  private[queries] def pagerankOnEdges(e: DataFrame, iters: Int): DataFrame =
+    rankSupersteps(e, iters, _ => lit(1000000L), _ => lit(150000L))
 
   /** DuckDB oracle: the same eight integer supersteps, unrolled as
     * chained CTEs (recursive CTEs forbid aggregation in the recursive
@@ -241,7 +424,7 @@ object Graph {
 
   private val x124 = GQuery(
     "x124_copurchase_pagerank", "ext-graph pagerank integer-iterative",
-    (s, dir) => pagerank(lineitem(s, dir), iters = 8),
+    (s, dir) => rankedParts(pagerankOnEdges(storedEdges(s, dir), iters = 8)),
     Some(pagerankOracle(8)))
 
   /** Personalized PageRank from a single deterministic seed (the max-
@@ -250,36 +433,24 @@ object Graph {
     * so rank concentrates in the seed's neighborhood instead of spreading
     * by global degree — the recommendation/related-items variant of x124
     * (Jeh & Widom 2003). Same integer-micros discipline and the same
-    * superstep economy: the seed id is an artifact-sized driver constant
-    * (one 1-row collect, like a codebook), each superstep is one
-    * broadcast-rank join + one dst-keyed partial agg over the
-    * checkpointed edges, and ranks stay exact BIGINTs so eight unrolled
-    * CTEs in DuckDB replay them bit-identically.
+    * co-partitioned superstep economy ([[rankSuperstep]]); the seed id is
+    * an artifact-sized driver constant (one 1-row collect, like a
+    * codebook), and ranks stay exact BIGINTs so eight unrolled CTEs in
+    * DuckDB replay them bit-identically.
     */
   def personalizedPagerank(li: DataFrame, iters: Int): DataFrame = {
     val e = copurchaseEdges(li)
-    val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-    val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val seed = deg.orderBy(col("outdeg").desc, col("src"))
+    personalizedPagerankOn(e, degrees(e), iters)
+  }
+
+  private[queries] def personalizedPagerankOn(
+      e: DataFrame, deg: DataFrame, iters: Int): DataFrame = {
+    val seed = deg.orderBy(col("deg").desc, col("node"))
       .limit(1).collect()(0).getLong(0)
-    val withDeg = directed.join(deg, "src").coalesce(8).localCheckpoint(true)
-    var ranks = deg.select(col("src").as("node"),
-      when(col("src") === seed, lit(1000000L)).otherwise(lit(0L)).as("rank"))
-      .coalesce(1).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val next = withDeg.join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("c"))
-        .select(col("dst").as("node"),
-          (when(col("dst") === seed, lit(150000L)).otherwise(lit(0L)) +
-            expr("(850 * c) div 1000")).as("rank"))
-        .coalesce(1).localCheckpoint(true)
-      dropCheckpoint(ranks)
-      ranks = next
-    }
-    dropCheckpoint(withDeg)
-    ranks.where(col("rank") > 0)
+    rankSupersteps(e, iters,
+      init = n => when(n === seed, lit(1000000L)).otherwise(lit(0L)),
+      restart = d => when(d === seed, lit(150000L)).otherwise(lit(0L)))
+      .where(col("rank") > 0)
       .select(col("node").as("part"), col("rank").as("rank_micros"))
       .orderBy(col("rank_micros").desc, col("part"))
   }
@@ -314,7 +485,8 @@ object Graph {
 
   private val x168 = GQuery(
     "x168_personalized_pagerank", "ext-graph personalized-pagerank",
-    (s, dir) => personalizedPagerank(lineitem(s, dir), iters = 8),
+    (s, dir) => personalizedPagerankOn(storedEdges(s, dir),
+      storedDegrees(s, dir), iters = 8),
     Some(ppagerankOracle(8)))
 
   /** Common-neighbor / Jaccard link prediction among the top-`candN`
@@ -336,7 +508,11 @@ object Graph {
     */
   def linkPrediction(li: DataFrame, candN: Int, topN: Int): DataFrame = {
     val e = copurchaseEdges(li)
-    val deg = degrees(e)
+    linkPredictionOn(e, degrees(e), candN, topN)
+  }
+
+  private[queries] def linkPredictionOn(
+      e: DataFrame, deg: DataFrame, candN: Int, topN: Int): DataFrame = {
     val cand = deg.orderBy(col("deg").desc, col("node")).limit(candN)
       .select(col("node"))
     val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -395,7 +571,8 @@ object Graph {
 
   private val x126 = GQuery(
     "x126_link_prediction", "ext-graph link-prediction common-neighbors",
-    (s, dir) => linkPrediction(lineitem(s, dir), candN = 500, topN = 100),
+    (s, dir) => linkPredictionOn(storedEdges(s, dir), storedDegrees(s, dir),
+      candN = 500, topN = 100),
     Some(linkOracle))
 
   /** Degree survival profile — the power-law census a partitioning /
@@ -407,14 +584,17 @@ object Graph {
     * over a tiny aggregate, never over data — the same shape x106/x119
     * pin.
     */
-  def degreeProfile(li: DataFrame): DataFrame = {
+  def degreeProfile(li: DataFrame): DataFrame =
+    degreeProfileOn(degrees(copurchaseEdges(li)))
+
+  private[queries] def degreeProfileOn(deg: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("deg").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    degrees(copurchaseEdges(li))
+    deg
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
       .withColumn("ge_nodes", sum(col("n_nodes")).over(w))
       .withColumn("total", sum(col("n_nodes")).over(wAll))
@@ -443,7 +623,7 @@ object Graph {
 
   private val x129 = GQuery(
     "x129_degree_profile", "ext-graph degree-distribution survival",
-    (s, dir) => degreeProfile(lineitem(s, dir)),
+    (s, dir) => degreeProfileOn(storedDegrees(s, dir)),
     Some(degreeOracle))
 
   /** Synchronous label-propagation community detection (Raghavan et al.
@@ -456,37 +636,46 @@ object Graph {
     * CTEs; the usual asynchronous/randomized variant could never be
     * oracled).
     *
-    * Scale shape: per round, ONE join of the checkpointed symmetric
-    * adjacency with the node-sized label table and one (node, label)
-    * partial-aggregated count, argmax via a per-node window over the
-    * label-count rows (per-node fan-in = its degree). Same Pregel
-    * superstep shape as [[pagerank]].
+    * Scale shape: the symmetric adjacency is hash-partitioned by `dst`
+    * (the label-join key) once and checkpointed; per round, the
+    * node-sized label table shuffles TO it (SHUFFLE_HASH — no static
+    * broadcast, no edge re-sort), then one (node, label) partial-
+    * aggregated count and a per-node argmax window (per-node fan-in =
+    * its degree). Same co-partitioned Pregel superstep as [[pagerank]].
     */
-  def labelPropagation(li: DataFrame, iters: Int): DataFrame = {
-    val e = copurchaseEdges(li)
-    val adj = e.select(col("pa").as("src"), col("pb").as("dst"))
+  def labelPropagation(li: DataFrame, iters: Int): DataFrame =
+    labelPropagationOnEdges(copurchaseEdges(li), iters)
+
+  private[queries] def labelPropagationOnEdges(e: DataFrame, iters: Int): DataFrame =
+    withSuperstepConfs(e.sparkSession, superstepPartitions(e)) {
+    val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .coalesce(8).localCheckpoint(true)
-    var labels = adj.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .coalesce(1).localCheckpoint(true)
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = adjacencyBySrc(directed, deg)
+    var labels = deg
+      .select(col("src").as("node"), col("src").as("label"))
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
+      .partitionBy(col("nbr")).orderBy(col("cnt").desc, col("label"))
     for (_ <- 1 to iters) {
-      // labels are node-sized → broadcast (the x124 superstep economy)
-      val next = adj.join(broadcast(labels), col("dst") === col("node"))
-        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      // PUSH form on the symmetric graph: each node sends its label to
+      // its neighbor list (one node-sized join + explode), identical to
+      // the pull form's "labels among my neighbors" because every edge
+      // (m, n) delivers label[m] to n in both readings
+      val next = adj.join(labels.hint("shuffle_hash"), col("src") === col("node"))
+        .select(explode(col("dsts")).as("nbr"), col("label"))
+        .groupBy(col("nbr"), col("label")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("src").as("node"), col("label"))
-        .coalesce(1).localCheckpoint(true)
+        .select(col("nbr").as("node"), col("label"))
+        .localCheckpoint(true)
       dropCheckpoint(labels)
       labels = next
     }
     dropCheckpoint(adj)
     labels.select(col("node").as("part"), col("label").as("community"))
       .orderBy("part")
-  }
+    }
 
   private def labelPropOracle(iters: Int): String = {
     val head =
@@ -511,7 +700,7 @@ object Graph {
 
   private val x130 = GQuery(
     "x130_label_propagation", "ext-graph community-detection label-propagation",
-    (s, dir) => labelPropagation(lineitem(s, dir), iters = 4),
+    (s, dir) => labelPropagationOnEdges(storedEdges(s, dir), iters = 4),
     Some(labelPropOracle(4)))
 
   /** k-core extraction by synchronous peeling: `rounds` rounds of "drop
@@ -526,12 +715,19 @@ object Graph {
     * peel, never produce wrong members of the true core.
     *
     * Scale shape: per round, one node-sized degree aggregate and two
-    * semi-joins of the edge list against the (broadcast-sized) survivor
-    * set; the edge table shrinks monotonically and is checkpointed per
-    * round.
+    * semi-joins of the edge list against the survivor set. The survivor
+    * broadcast here is a different trade than the superstep rank table:
+    * the set SHRINKS monotonically (first-round survivors of a k-core
+    * are already degree-filtered) and the alternative co-partitioned form
+    * would re-shuffle the edge table TWICE per round (pa- then pb-keyed);
+    * past broadcast range the production form switches to those two
+    * shuffles — the edge table also shrinks every round, bounding them.
     */
-  def kCore(li: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = copurchaseEdges(li).coalesce(8).localCheckpoint(true)
+  def kCore(li: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreOnEdges(copurchaseEdges(li), k, rounds)
+
+  private[queries] def kCoreOnEdges(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = e.localCheckpoint(true)
     var prevCount = edges.count()
     var round = 0
     var stable = false
@@ -546,7 +742,7 @@ object Graph {
         .join(broadcast(keep.withColumnRenamed("node", "pa")), Seq("pa"), "left_semi")
         .join(broadcast(keep.withColumnRenamed("node", "pb")), Seq("pb"), "left_semi")
         .select("pa", "pb")
-        .coalesce(8).localCheckpoint(true)
+        .localCheckpoint(true)
       val nextCount = next.count()
       stable = nextCount == prevCount
       prevCount = nextCount
@@ -590,7 +786,7 @@ object Graph {
 
   private val x131 = GQuery(
     "x131_kcore", "ext-graph kcore density-peeling",
-    (s, dir) => kCore(lineitem(s, dir), k = 3, rounds = 8),
+    (s, dir) => kCoreOnEdges(storedEdges(s, dir), k = 3, rounds = 8),
     Some(kCoreOracle(3, 8)))
 
   /** Market-basket association rules (Agrawal & Srikant 1994's level-2
@@ -598,10 +794,12 @@ object Graph {
     * confidence and lift — all exact integer ratios (micros/millis) so
     * the mined ruleset hash-verifies. Support counts come from the same
     * bounded per-order pair explosion as [[copurchaseEdges]] (kept as
-    * counts instead of collapsed to distinct); the min-support filter is
-    * applied BEFORE any join — the Apriori pruning insight — so only
-    * frequent pairs reach the rule arithmetic. Item counts and the basket
-    * total are item-domain-sized and broadcast.
+    * counts instead of collapsed to distinct — which is why this query
+    * reads the FACT table, not the stored edge artifact: basket
+    * multiplicities are not representable in the deduplicated edge list);
+    * the min-support filter is applied BEFORE any join — the Apriori
+    * pruning insight — so only frequent pairs reach the rule arithmetic.
+    * Item counts and the basket total are item-domain-sized and broadcast.
     */
   def associationRules(li: DataFrame, minSup: Int, topN: Int): DataFrame = {
     val baskets = li.groupBy(col("l_orderkey"))
@@ -663,33 +861,42 @@ object Graph {
     * blast-radius / reachability query (dependency impact, contamination
     * spread). Frontier expansion as iterated relational min-distance:
     * dist_k = min(dist_{k-1}, 1 + dist of any in-neighbor) — each round
-    * is one edge⋈frontier join + a min-aggregate, the Pregel SSSP
-    * superstep. The frontier table is ≤ node-sized and broadcast; rounds
-    * are checkpointed and superseded generations dropped (the x124
-    * hygiene). Unreached nodes are absent (no sentinel row), matching
-    * the oracle's semantics exactly.
+    * is one co-partitioned edge⋈frontier join (edges hash-partitioned by
+    * src once and checkpointed; the ≤ node-sized frontier shuffles TO
+    * them, SHUFFLE_HASH — never a static broadcast) + a min-aggregate,
+    * the Pregel SSSP superstep. Rounds are checkpointed and superseded
+    * generations dropped (the x124 hygiene). Unreached nodes are absent
+    * (no sentinel row), matching the oracle's semantics exactly.
     */
-  def hopDistance(li: DataFrame, hops: Int): DataFrame = {
-    val e = copurchaseEdges(li)
+  def hopDistance(li: DataFrame, hops: Int): DataFrame =
+    hopDistanceOnEdges(copurchaseEdges(li), hops)
+
+  private[queries] def hopDistanceOnEdges(e: DataFrame, hops: Int): DataFrame =
+    withSuperstepConfs(e.sparkSession, superstepPartitions(e)) {
     val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .coalesce(8).localCheckpoint(true)
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = adjacencyBySrc(directed, deg)
+    // each round references the frontier TWICE (kept rows ∪ grown rows),
+    // so rounds checkpoint eagerly; the frontier is ≤ node-sized, so the
+    // per-round materialization is cheap
     var frontier = e.agg(min(col("pa")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
-      .coalesce(1).localCheckpoint(true)
+      .localCheckpoint(true)
     for (_ <- 1 to hops) {
+      // PUSH form: frontier nodes send dist+1 down their neighbor lists
       val next = frontier
-        .unionAll(directed.join(broadcast(frontier), col("src") === col("node"))
-          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .unionAll(adj.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
+          .select(explode(col("dsts")).as("node"), (col("dist") + 1L).as("dist")))
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .coalesce(1).localCheckpoint(true)
+        .localCheckpoint(true)
       dropCheckpoint(frontier)
       frontier = next
     }
-    dropCheckpoint(directed)
+    dropCheckpoint(adj)
     frontier.select(col("node").as("part"), col("dist"))
       .orderBy("part")
-  }
+    }
 
   private def hopOracle(hops: Int): String = {
     val head =
@@ -716,7 +923,7 @@ object Graph {
 
   private val x139 = GQuery(
     "x139_hop_distance", "ext-graph bfs reachability",
-    (s, dir) => hopDistance(lineitem(s, dir), hops = 4),
+    (s, dir) => hopDistanceOnEdges(storedEdges(s, dir), hops = 4),
     Some(hopOracle(4)))
 
   val queries: Seq[GQuery] = Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168)
