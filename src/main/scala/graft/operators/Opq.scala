@@ -160,13 +160,24 @@ object Opq {
     (x2 - 2.0 * trRM + recon) / total
   }
 
+  /** Per-iteration training diagnostics — the convergence record an
+    * operator reads to size `opqIters` (the ANALYZE-style introspection
+    * the serving layer's other trainers expose): the quantization MSE
+    * under the iteration's rotation and the Frobenius norm of the
+    * rotation update that PRODUCED this iteration's frame (0 for
+    * iteration 0 — R starts at I). Written beside the index as the
+    * `opq_trace` artifact by [[graft.queries.Similarity.writeIvfOpqIndex]].
+    */
+  final case class IterStat(iter: Int, mse: Double, rotDelta: Double)
+
   /** Alternate codebook training and Procrustes rotation updates.
     *
-    * @return (model, final codebooks trained in the final rotation, MSE
-    *         trace — entry 0 is plain PQ's MSE since R starts at I)
+    * @return (model, final codebooks trained in the final rotation,
+    *         per-iteration diagnostics — entry 0's MSE is plain PQ's
+    *         since R starts at I)
     */
   def train(vecs: DataFrame, m: Int, k: Int, pqIters: Int, opqIters: Int)
-      : (Model, ProductQuantizer.Codebooks, Seq[Double]) = {
+      : (Model, ProductQuantizer.Codebooks, Seq[IterStat]) = {
     require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
     val idCol = vecs.columns(0)
     val vecCol = vecs.columns(1)
@@ -174,7 +185,8 @@ object Opq {
     require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
     var rot = identity(dim)
     var cb: ProductQuantizer.Codebooks = null
-    val trace = Seq.newBuilder[Double]
+    val trace = Seq.newBuilder[IterStat]
+    var lastDelta = 0.0
     for (it <- 0 until opqIters) {
       val model = Model(dim, rot)
       val rotatedIn = vecs.select(col(idCol),
@@ -190,17 +202,31 @@ object Opq {
           cb.flat.toSeq, packed = false).as("codes"))
       val (sStat, nStat, x2) = stats(encoded, cb, dim)
       val mMat = assembleM(sStat, cb, dim)
-      trace += mseOf(rot, mMat, nStat, x2, cb, dim)
+      trace += IterStat(it, mseOf(rot, mMat, nStat, x2, cb, dim), lastDelta)
       if (it < opqIters - 1) {
         // R = V·Uᵀ from M = U·Σ·Vᵀ maximizes tr(R·M) over orthogonal R
         val dec = breeze.linalg.svd(mMat)
         val rNew: breeze.linalg.DenseMatrix[Double] = dec.Vt.t * dec.U.t
         val next = new Array[Double](dim * dim)
-        for (i <- 0 until dim; j <- 0 until dim) next(i * dim + j) = rNew(i, j)
+        var df = 0.0
+        for (i <- 0 until dim; j <- 0 until dim) {
+          next(i * dim + j) = rNew(i, j)
+          val diff = rNew(i, j) - rot(i * dim + j)
+          df += diff * diff
+        }
+        lastDelta = math.sqrt(df)
         rot = next
       }
     }
     (Model(dim, rot), cb, trace.result())
+  }
+
+  /** Persist the training diagnostics as a queryable 3-column table. */
+  def writeTrace(spark: SparkSession, trace: Seq[IterStat], path: String): Unit = {
+    import spark.implicits._
+    trace.map(t => (t.iter, t.mse, t.rotDelta))
+      .toDF("iter", "mse", "rot_delta")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Persist / load the one-row rotation table. */

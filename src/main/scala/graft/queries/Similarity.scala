@@ -1348,15 +1348,58 @@ object Similarity {
     s.read.parquet(centroidsPath).createOrReplaceTempView(s"${prefix}_centroids")
   }
 
-  /** Batch form of [[sqlRegister]]: probe the index for every row of an
-    * EXISTING temp view/table of (q_id, qvec) and register the candidate
-    * table as `<prefix>_hits` (q_id, vec_id, sim). The query table is
-    * resolved EAGERLY at registration (the batch probes' driver-batch
-    * contract — B ≲ 10⁴); the cell scan stays lazy.
+  /** Fully LAZY distributed batch probe over the stored IVF index — the
+    * serving path for the SQL surface and for query tables past the
+    * driver-batch ceiling: nothing is collected at plan-build time, so a
+    * view over this plan re-evaluates the query table at every SELECT.
+    * Cell routing moves IN-PLAN: queries score against the broadcast
+    * centroid table and a bounded-heap top-nprobe (GroupedTopK)
+    * reproduces [[selectCells]]' exact `(-sim, cell)` ordering; the
+    * routed (q, cell) pairs then join the cluster-partitioned cell
+    * segment on its partition key (broadcast build side → dynamic
+    * partition pruning at production cell counts). Parity with the
+    * driver-batch probe is exact in the exact-routing regime
+    * (k ≤ CentroidIndex.ExactScanCeiling — SqlSurfaceSpec pins row
+    * identity); above the ceiling the batch API's HNSW routing is
+    * approximate anyway, and this path's exact in-plan routing is the
+    * stronger contract.
+    */
+  def probeStoredIvfLazy(s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int, segments: Seq[String] = Seq("cells")): DataFrame = {
+    import graft.plans.GroupedTopKOps
+    GroupedTopKOps.ensureInstalled(s)
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .select(col("cluster"), col("centroid"))
+    val q = queries.select(
+        col(queries.columns(0)).cast("long").as("q_id"),
+        col(queries.columns(1)).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", VectorOps.l2norm(col("qvec")))
+    // deliberate bounded fan-out: |Q| × k coarse scores, never corpus-sized
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qvec"), col("qnorm"), col("cluster"),
+        VectorOps.cosinePreNorm(col("centroid"), col("qvec"), col("qnorm"))
+          .as("csim"))
+    val routed = GroupedTopKOps.groupedTopK(scored, Seq(col("q_id")),
+      Seq(col("csim").desc, col("cluster")), nprobe)
+      .select(col("q_id"), col("cluster"), col("qvec"), col("qnorm"))
+    segments.map(seg => s.read.parquet(s"$indexDir/$seg")).reduce(_ unionAll _)
+      .join(routed.hint("broadcast"), Seq("cluster"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePreNorm(col("embedding"), col("qvec"), col("qnorm"))
+          .as("sim"))
+  }
+
+  /** Batch form of [[sqlRegister]]: register a LAZY probe over an
+    * existing temp view/table of (q_id, qvec) as `<prefix>_hits`
+    * (q_id, vec_id, sim). Nothing resolves at registration — the view
+    * re-reads the query table at every SELECT (the
+    * [[HnswAnn.sqlRegister]] discipline, via [[probeStoredIvfLazy]]), so
+    * rows that appear in the query table appear in the probe with no
+    * re-registration, and there is no driver-batch ceiling.
     */
   def sqlRegisterBatch(s: SparkSession, indexDir: String, prefix: String,
       queriesTable: String, nprobe: Int): Unit =
-    probeStoredIvfBatch(s, indexDir, s.table(queriesTable), nprobe)
+    probeStoredIvfLazy(s, indexDir, s.table(queriesTable), nprobe)
       .createOrReplaceTempView(s"${prefix}_hits")
 
   /** Build the OPQ-rotated IVF-PQ index — faiss's `OPQ..,IVF..,PQ..`
@@ -1374,9 +1417,13 @@ object Similarity {
     val s = e.sparkSession
     import s.implicits._
     val vecs = e.select(col("vec_id"), col("embedding"))
-    val (model, cb, _) = Opq.train(vecs, m, kSub, pqIters = iters,
+    val (model, cb, trace) = Opq.train(vecs, m, kSub, pqIters = iters,
       opqIters = opqIters)
     Opq.writeModel(s, model, s"$outDir/rotation")
+    // convergence diagnostics beside the index — (iter, mse, rot_delta),
+    // the record an operator queries to size opqIters (OpqSpec gates the
+    // monotone trace through this artifact)
+    Opq.writeTrace(s, trace, s"$outDir/opq_trace")
     ProductQuantizer.writeCodebooks(s, cb, s"$outDir/codebooks")
     val rotated = e.select(col("vec_id"),
       model.rotateCol(col("embedding")).as("embedding"), col("label"))
@@ -1432,7 +1479,7 @@ object Similarity {
     "x111_ann_ivf_opq", "ext-similarity-ann compression stored-artifact learned-rotation",
     (s, dir) => {
       val e = emb(s, dir)
-      val store = graft.StoredArtifacts.dir(dir, "ivfopq_index_v1")
+      val store = graft.StoredArtifacts.dir(dir, "ivfopq_index_v2")
       if (!graft.StoredArtifacts.ready(s"$store/codes"))
         writeIvfOpqIndex(e, store, iters = 2, m = 8, kSub = 16, opqIters = 3)
       val qvec = e.where(col("vec_id") === 0)

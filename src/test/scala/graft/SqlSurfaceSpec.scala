@@ -232,7 +232,59 @@ class SqlSurfaceSpec extends SparkSpec {
           |GROUP BY q_id ORDER BY q_id""".stripMargin).collect()
       assert(batchSql.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L),
         "every batch query serves a candidate set through SQL")
+
+      // parity: the lazy in-plan routing serves the SAME candidates and
+      // similarities as the driver-batch probe (exact routing regime)
+      val viaLazy = spark.sql(
+        """SELECT q_id, vec_id, sim FROM annb_hits
+          |ORDER BY q_id, sim DESC, vec_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaBatch = graft.queries.Similarity
+        .probeStoredIvfBatch(spark, idx, spark.table("probe_queries"), nprobe = 4)
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(viaLazy == viaBatch,
+        "lazy SQL batch probe must be row-identical to the driver-batch probe")
     } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
+
+  test("batch probe view is LAZY: new query rows appear without re-registration") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sqllazy")
+    val idx = base.resolve("ivf").toString
+    val qdir = base.resolve("queries").toString
+    try {
+      val e = Tables(spark, sf001, "embeddings")
+      graft.queries.Similarity.writeIvfIndex(e, idx, iters = 2)
+      // query table = CATALOG table over a parquet location — the
+      // mutable-serving setup: its CatalogFileIndex re-lists after
+      // REFRESH TABLE, so the (lazy) probe plan sees appended files at
+      // the next SELECT with no re-registration (a path-based temp view
+      // would pin an InMemoryFileIndex listing snapshot instead)
+      e.where(col("vec_id") < 2)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qvec"))
+        .write.mode("overwrite").parquet(qdir)
+      spark.sql("CREATE TABLE lazy_queries (q_id BIGINT, qvec ARRAY<DOUBLE>) " +
+        s"USING parquet LOCATION '$qdir'")
+      graft.queries.Similarity.sqlRegisterBatch(spark, idx, "lazyb",
+        "lazy_queries", nprobe = 4)
+      val before = spark.sql("SELECT DISTINCT q_id FROM lazyb_hits")
+        .collect().map(_.getLong(0)).toSet
+      assert(before == Set(0L, 1L))
+      // new queries arrive; NO re-registration of the probe view
+      e.where(col("vec_id") >= 2 && col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qvec"))
+        .write.mode("append").parquet(qdir)
+      spark.sql("REFRESH TABLE lazy_queries")
+      val after = spark.sql("SELECT DISTINCT q_id FROM lazyb_hits")
+        .collect().map(_.getLong(0)).toSet
+      assert(after == Set(0L, 1L, 2L, 3L),
+        s"appended queries must flow through the registered probe view: $after")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lazy_queries")
+      graft.StoredArtifacts.deleteTree(base.toString)
+    }
   }
 
   test("SQL probe through the sharded HNSW graph tier == Scala probe") {

@@ -28,11 +28,31 @@ class OpqSpec extends SparkSpec {
       s"OPQ must strictly beat raw PQ: opq=$opqMse raw=$rawMse")
     // trace entry 0 IS raw PQ (R starts at identity): the alternation's
     // monotone non-increase is the algorithm's own correctness witness
-    assert(math.abs(trace.head - rawMse) / rawMse < 1e-9,
-      s"trace(0)=${trace.head} must equal raw PQ's MSE $rawMse (R0 = I)")
+    assert(math.abs(trace.head.mse - rawMse) / rawMse < 1e-9,
+      s"trace(0)=${trace.head.mse} must equal raw PQ's MSE $rawMse (R0 = I)")
     for (i <- 1 until trace.length)
-      assert(trace(i) <= trace(i - 1) * (1 + 1e-9),
+      assert(trace(i).mse <= trace(i - 1).mse * (1 + 1e-9),
         s"objective must not increase: trace=$trace")
+    // rotation deltas: 0 entering iteration 0 (R0 = I), a real update
+    // entering iteration 1 (the Procrustes step moved the frame)
+    assert(trace.head.rotDelta == 0.0)
+    assert(trace(1).rotDelta > 0.0, s"Procrustes must move R: $trace")
+  }
+
+  test("opq_trace artifact beside the index is the queryable convergence record") {
+    val e = Tables(spark, sf001, "embeddings")
+    val store = graft.StoredArtifacts.dir(sf001, "ivfopq_index_v2")
+    if (!graft.StoredArtifacts.ready(s"$store/codes"))
+      Similarity.writeIvfOpqIndex(e, store, iters = 2, m = 8, kSub = 16, opqIters = 3)
+    val rows = spark.read.parquet(s"$store/opq_trace")
+      .orderBy("iter")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    for (i <- 1 until rows.length)
+      assert(rows(i)._2 <= rows(i - 1)._2 * (1 + 1e-9),
+        s"stored trace must be monotone: ${rows.toSeq}")
+    assert(rows(0)._3 == 0.0 && rows(1)._3 > 0.0,
+      s"stored rot_delta must record the Procrustes updates: ${rows.toSeq}")
   }
 
   test("learned rotation is orthogonal: R'R = I to 1e-9") {
@@ -64,7 +84,7 @@ class OpqSpec extends SparkSpec {
 
   test("batch OPQ probe is bit-identical to single probes through the rotated index") {
     val e = Tables(spark, sf001, "embeddings")
-    val store = graft.StoredArtifacts.dir(sf001, "ivfopq_index_v1")
+    val store = graft.StoredArtifacts.dir(sf001, "ivfopq_index_v2")
     if (!graft.StoredArtifacts.ready(s"$store/codes"))
       Similarity.writeIvfOpqIndex(e, store, iters = 2, m = 8, kSub = 16, opqIters = 3)
     val qRows = e.where(col("vec_id") < 4)
