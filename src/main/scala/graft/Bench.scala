@@ -104,8 +104,14 @@ object Bench {
     // basename only: the full testdata path spent 19 characters of the
     // bounded tail window on a constant prefix
     val sfName = new java.io.File(sfDir).getName
+    // JVM wall-clock at emit time (seconds since launch): the r8 judge
+    // burned cycles on a contended driver run (886 s sbt wall for a
+    // 205 s bench) — wall >> warmup+3×total now flags contention
+    // mechanically without a second artifact
+    val wallSec = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getUptime / 1000
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":25,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":25,"wall":$wallSec,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
     // emit BEFORE the guard: if query growth ever trips it, the round's
     // numbers still reach the log tail and only the exit code goes loud —
     // failing first would discard the whole timed pass the guard protects
