@@ -2535,8 +2535,58 @@ object Events {
               (1000 * (2 * rk + ties - 2)) // (2 * n) AS q_milli
             FROM r ORDER BY event_id"""))
 
+  // ------------------------------------------------------------------- x203
+  // AS-OF JOIN (point-in-time join, `merge_asof` semantics): every
+  // purchase event picks up the LATEST view event of the same user at or
+  // before its timestamp — the canonical time-series enrichment (trade ⋈
+  // latest-quote, event ⋈ last-config). Spark has no asof operator; the
+  // naive range join (v.ts <= p.ts, rank 1) is a per-row candidate
+  // explosion quadratic in per-key event counts. The scale-safe form used
+  // here is UNION + ONE per-key ordered window: tag both sides, sort by
+  // (ts, side, event_id) within user — views sort before purchases at
+  // equal ts, matching the inclusive `>=` asof bound — and a running
+  // `max(view ts)` makes each purchase's match a row-local read. ONE
+  // hash exchange on user_id total, no join at all; at 100 TB this is
+  // the only shape that survives hot keys. DuckDB's native ASOF LEFT
+  // JOIN replays the exact semantics as the oracle, so the operator's
+  // contract — including no-prior-view NULLs and equal-ts inclusion — is
+  // hash-certified rather than spec-asserted.
+  private val x203 = GQuery(
+    "x203_asof_join", "ext-events asof-join point-in-time",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"),
+          when(col("event_type") === "view", col("ts")).as("view_ts0"))
+        .withColumn("view_ts", max(col("view_ts0")).over(w))
+        .where(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+          col("view_ts"),
+          // exact integer micros: the fixture's timestamps carry
+          // sub-second parts, and seconds-truncation semantics differ
+          // between engines — micros don't
+          (unix_micros(col("ts")) - unix_micros(col("view_ts")))
+            .as("gap_micros"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+              v.ts AS view_ts,
+              CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT) AS gap_micros
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts FROM events
+                  WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.event_id"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201)
+    x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{GQuery, StoredArtifacts, Tables}
 import graft.functions.ZOrder
 import graft.plans.SummaryRewrite
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -884,7 +884,59 @@ object Lakehouse {
     pruned.createOrReplaceTempView(s"${prefix}_zone_range")
   }
 
+  // ------------------------------------------------------------------- x205
+  // Write-path constraint enforcement with quarantine — the Delta-style
+  // CHECK-constraint gate every governed lakehouse write runs: each
+  // incoming row is evaluated against the declared rule set and lands in
+  // the table OR in a quarantine with the FULL list of violated rules
+  // (never just the first — triage needs all of them), plus a per-rule
+  // violation census. One narrow scan: rules are row-local predicates,
+  // the verdict is a projection, and the census is one tiny aggregate —
+  // at 100 TB the gate costs exactly the write's own read. Quarantine
+  // rows keep their key so reprocessing joins back by event_id; reasons
+  // concatenate in DECLARED rule order, so the verdict string is
+  // deterministic and the whole gate hash-verifies.
+  private val x205 = GQuery(
+    "x205_write_constraints", "ext-lakehouse write-constraints quarantine",
+    (s, dir) => {
+      val rules: Seq[(String, Column)] = Seq(
+        "value_cap" -> (col("value").isNotNull && col("value") <= 300.0),
+        "billable_type" -> col("event_type").isin("view", "click", "purchase", "signup"),
+        "props_k_bound" ->
+          (get_json_object(col("props"), "$.k").cast("long") < 95L))
+      val verdicts = Tables(s, dir, "events")
+        .withColumn("violated",
+          concat_ws(",", rules.map { case (n, p) =>
+            when(!coalesce(p, lit(false)), lit(n))
+          }: _*))
+      verdicts
+        .where(col("violated") =!= "")
+        .select(col("event_id"), col("event_type"), col("violated"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type,
+              concat_ws(',',
+                CASE WHEN NOT coalesce(value IS NOT NULL AND value <= 300.0,
+                    FALSE) THEN 'value_cap' END,
+                CASE WHEN NOT coalesce(event_type IN
+                    ('view', 'click', 'purchase', 'signup'), FALSE)
+                  THEN 'billable_type' END,
+                CASE WHEN NOT coalesce(
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) < 95,
+                    FALSE) THEN 'props_k_bound' END) AS violated
+            FROM events
+            WHERE concat_ws(',',
+                CASE WHEN NOT coalesce(value IS NOT NULL AND value <= 300.0,
+                    FALSE) THEN 'value_cap' END,
+                CASE WHEN NOT coalesce(event_type IN
+                    ('view', 'click', 'purchase', 'signup'), FALSE)
+                  THEN 'billable_type' END,
+                CASE WHEN NOT coalesce(
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) < 95,
+                    FALSE) THEN 'props_k_bound' END) <> ''
+            ORDER BY event_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190, x199)
+      x185, x190, x199, x205)
 }

@@ -2250,8 +2250,73 @@ object Similarity {
     },
     None) // k-means-derived index: gated by IncrementalSemDedupSpec
 
+  // ------------------------------------------------------------------- x204
+  // Matryoshka truncation-recall curve (Kusupati et al. 2022's MRL eval):
+  // top-20 retrieval under PREFIX-dimension cosine (d = 8/16/32/64)
+  // scored against the full-dimension top-20 — the measurement that
+  // decides how far a serving tier can truncate stored vectors (a 4×
+  // dimension cut is a 4× index-size and ADC-bandwidth cut) before
+  // recall pays. Everything is exact and deterministic: prefix slices
+  // accumulate left-to-right like the full kernel, ties break (sim desc,
+  // vec_id), recall is integer thousandths — so a retrieval-quality
+  // CURVE hash-verifies cross-engine. Scale shape: one corpus scan
+  // fanned |dims|× by a generator, bounded per-d heaps (GroupedTopK),
+  // then joins over 20-row sets.
+  private val x204 = GQuery(
+    "x204_matryoshka_recall", "ext-similarity-ann truncation-recall eval",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qfull"))
+      val scored = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qfull"),
+          explode(typedLit(Seq(8, 16, 32, 64))).as("d"))
+        .select(col("vec_id"), col("d"),
+          VectorOps.cosine(
+            slice(col("embedding").cast("array<double>"), lit(1), col("d")),
+            slice(col("qfull"), lit(1), col("d"))).as("sim"))
+      val top = GroupedTopKOps.groupedTopK(scored, Seq(col("d")),
+        Seq(col("sim").desc, col("vec_id")), 20)
+        .select(col("d"), col("vec_id"))
+      val base = top.where(col("d") === 64)
+        .select(col("vec_id"), lit(1L).as("hit"))
+      top.join(broadcast(base), Seq("vec_id"), "left")
+        .groupBy("d")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("d").cast("int").as("d"), col("n_hits"),
+          expr("(1000 * n_hits) div 20").as("recall_milli"))
+        .orderBy("d")
+    },
+    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            dd AS (SELECT unnest([8, 16, 32, 64]) AS d),
+            s AS (
+              SELECT dd.d, e.vec_id,
+                list_dot_product(list_slice(CAST(e.embedding AS DOUBLE[]), 1, dd.d),
+                                 list_slice(q.qv, 1, dd.d))
+                  / (sqrt(list_dot_product(list_slice(CAST(e.embedding AS DOUBLE[]), 1, dd.d),
+                                           list_slice(CAST(e.embedding AS DOUBLE[]), 1, dd.d)))
+                   * sqrt(list_dot_product(list_slice(q.qv, 1, dd.d),
+                                           list_slice(q.qv, 1, dd.d)))) AS sim
+              FROM embeddings e, dd, q WHERE e.vec_id <> 0),
+            t AS (
+              SELECT d, vec_id FROM (
+                SELECT d, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY d ORDER BY sim DESC, vec_id) AS rk
+                FROM s)
+              WHERE rk <= 20),
+            b AS (SELECT vec_id FROM t WHERE d = 64)
+            SELECT CAST(t.d AS INT) AS d,
+              CAST(COUNT(b.vec_id) AS BIGINT) AS n_hits,
+              (1000 * CAST(COUNT(b.vec_id) AS BIGINT)) // 20 AS recall_milli
+            FROM t LEFT JOIN b ON t.vec_id = b.vec_id
+            GROUP BY t.d ORDER BY d"""))
+
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105, x108, x109, x111)
+      x91, x92, x95, x100, x105, x108, x109, x111, x204)
 }
