@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{avg, col, count, countDistinct, length, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{avg, col, count, countDistinct, length, lit, max, min, percentile_approx, sum, typedLit, when}
 import org.apache.spark.sql.types._
 
 /** Stats-driven broadcast-join selection — the cost-based half of the
@@ -40,7 +40,17 @@ import org.apache.spark.sql.types._
   */
 object StatsCbo {
 
-  final case class ColStats(ndv: Long, lo: Option[Double], hi: Option[Double])
+  /** Per-column statistics. `hist`, when non-empty, is an EQUI-DEPTH
+    * histogram: B+1 ascending boundaries (hist(0) = min … hist(B) = max),
+    * each of the B buckets holding ~1/B of the rows — the System-R
+    * refinement that makes range selectivity distribution-aware: a
+    * min/max-linear estimate on a skewed column (90 % of values in the
+    * bottom 1 % of the range) misestimates `x > t` by 10×; the histogram
+    * counts full buckets below the bound plus a linear share of the
+    * straddling bucket. Empty hist falls back to the linear estimate.
+    */
+  final case class ColStats(ndv: Long, lo: Option[Double], hi: Option[Double],
+      hist: Seq[Double] = Nil)
   final case class TableStats(rows: Long, avgRowBytes: Long,
       cols: Map[String, ColStats])
 
@@ -62,10 +72,16 @@ object StatsCbo {
   private[plans] def normalize(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
+  /** Equi-depth buckets per histogram (boundaries = HistBuckets + 1). */
+  val HistBuckets = 32
+
   /** One-pass ANALYZE (the x156 shape): exact ndv + min/max + average
-    * row width. Exact `countDistinct` is fine at fixture scale; at
-    * 100 TB the HLL aggregate (x153) replaces it — same registry,
-    * same rule.
+    * row width + an approximate equi-depth histogram per numeric column
+    * (`approx_percentile` over HistBuckets+1 even quantiles — the
+    * GK-sketch the built-in ANALYZE also uses; boundary error only
+    * blurs bucket EDGES, estimates stay within one bucket of exact).
+    * Exact `countDistinct` is fine at fixture scale; at 100 TB the HLL
+    * aggregate (x153) replaces it — same registry, same rule.
     */
   def analyze(spark: SparkSession, path: String): TableStats = {
     val df = spark.read.parquet(path)
@@ -74,20 +90,26 @@ object StatsCbo {
       case _ => false
     }).map(_.name)
     val strings = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val qs = (0 to HistBuckets).map(_.toDouble / HistBuckets)
     val aggs = count(lit(1)).as("n") +:
       (numeric.flatMap(c => Seq(
         countDistinct(col(c)).as(s"${c}__ndv"),
         min(col(c)).cast("double").as(s"${c}__lo"),
-        max(col(c)).cast("double").as(s"${c}__hi"))) ++
+        max(col(c)).cast("double").as(s"${c}__hi"),
+        percentile_approx(col(c).cast("double"),
+          typedLit(qs), lit(10000)).as(s"${c}__hist"))) ++
         strings.flatMap(c => Seq(
           countDistinct(col(c)).as(s"${c}__ndv"),
           avg(length(col(c))).as(s"${c}__len"))))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = r.getAs[Long]("n")
     val cols = (numeric.map { c =>
+      val hist = Option(r.getAs[scala.collection.Seq[Double]](s"${c}__hist"))
+        .map(_.toSeq).getOrElse(Seq.empty[Double])
       c -> ColStats(r.getAs[Long](s"${c}__ndv"),
         Option(r.getAs[java.lang.Double](s"${c}__lo")).map(_.doubleValue),
-        Option(r.getAs[java.lang.Double](s"${c}__hi")).map(_.doubleValue))
+        Option(r.getAs[java.lang.Double](s"${c}__hi")).map(_.doubleValue),
+        hist)
     } ++ strings.map { c =>
       c -> ColStats(r.getAs[Long](s"${c}__ndv"), None, None)
     }).toMap
@@ -224,12 +246,33 @@ object StatsBroadcastJoin extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+    // fraction of rows with value < bound (above = complement): from the
+    // equi-depth histogram when one is registered — full buckets below
+    // the bound count 1/B each, the straddling bucket contributes its
+    // linear share — else the min/max-linear System-R fallback
+    def fracBelow(cs: StatsCbo.ColStats, bound: Double): Option[Double] = {
+      val h = cs.hist
+      if (h.length >= 3) {
+        if (bound <= h.head) Some(0.0)
+        else if (bound >= h.last) Some(1.0)
+        else {
+          val b = h.length - 1 // bucket count
+          val i = h.lastIndexWhere(_ <= bound) // straddling bucket index
+          val within =
+            if (h(i + 1) > h(i)) (bound - h(i)) / (h(i + 1) - h(i)) else 0.0
+          Some(math.min(1.0, (i + within) / b))
+        }
+      } else None
+    }
     def rangeFrac(cs: StatsCbo.ColStats, bound: Double, below: Boolean): Double =
-      (cs.lo, cs.hi) match {
-        case (Some(lo), Some(hi)) if hi > lo =>
-          val f = (if (below) bound - lo else hi - bound) / (hi - lo)
-          math.min(1.0, math.max(0.0, f))
-        case _ => 1.0
+      fracBelow(cs, bound) match {
+        case Some(f) => if (below) f else 1.0 - f
+        case None => (cs.lo, cs.hi) match {
+          case (Some(lo), Some(hi)) if hi > lo =>
+            val f = (if (below) bound - lo else hi - bound) / (hi - lo)
+            math.min(1.0, math.max(0.0, f))
+          case _ => 1.0
+        }
       }
     e match {
       case And(a, b) => selectivity(a, st) * selectivity(b, st)

@@ -2585,8 +2585,57 @@ object Events {
               ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p.event_id"""))
 
+  // ------------------------------------------------------------------- x206
+  // Exact equi-depth histogram at VALUE grain — the ANALYZE artifact
+  // behind [[graft.plans.StatsCbo]]'s histogram selectivity (the rule
+  // consumes the approx_percentile form at registration; this query is
+  // the exact, hash-certified construction): per distinct value, the
+  // cumulative count BEFORE it assigns the whole value to bucket
+  // (cum_before · B) div N — pure integer arithmetic, no row-level tie
+  // splitting, so two engines deal identical buckets. Buckets are equal-
+  // depth up to the multiplicity of boundary values (exact when values
+  // are unique), and each bucket's [lo, hi] span is the selectivity
+  // estimator's interpolation interval.
+  //
+  // Scale shape: one fact-grain aggregate to the value DOMAIN, then a
+  // domain-sized cumulative window (the x106/x119 single-partition-over-
+  // aggregate discipline — bounded by value quantization, never by row
+  // count; unquantized domains take the GK-sketch path x135 instead).
+  private val x206 = GQuery(
+    "x206_equidepth_histogram", "ext-serving analyze histogram equi-depth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val before = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      events(s, dir)
+        .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(before), lit(0L)))
+        .withColumn("total", sum(col("cnt")).over(all))
+        .withColumn("bucket", expr("(cum_before * 16) div total"))
+        .groupBy("bucket")
+        .agg(sum(col("cnt")).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH v AS (
+              SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1),
+            c AS (
+              SELECT value, cnt,
+                COALESCE(CAST(SUM(cnt) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS cum_before,
+                CAST(SUM(cnt) OVER () AS BIGINT) AS total
+              FROM v)
+            SELECT (cum_before * 16) // total AS bucket,
+              CAST(SUM(cnt) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
+            FROM c GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
-    x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203)
+    x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
+    x206)
 }

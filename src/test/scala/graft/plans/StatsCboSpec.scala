@@ -131,6 +131,56 @@ class StatsCboSpec extends SparkSpec {
     }
   }
 
+  test("histogram selectivity sees through skew where min/max-linear cannot") {
+    StatsBroadcastJoin.install(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-skewdim").toString
+    try {
+      import spark.implicits._
+      // skewed dim: 90% of keys in [0, 10), a thin tail out to 1000 —
+      // `v >= 10` keeps ~10% of rows, but the min/max-linear estimate
+      // reads (1000-10)/1000 = 99%
+      val rows = (0 until 900).map(i => (i.toLong, (i % 10).toDouble, s"g$i")) ++
+        (0 until 100).map(i => (900L + i, 10.0 + i * 9.9, s"t$i"))
+      rows.toDF("id", "v", "tag").coalesce(1)
+        .write.mode("overwrite").parquet(dimDir)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.cbo.broadcastThreshold", "default")
+      StatsCbo.clear()
+      val st = StatsCbo.analyzeAndRegister(spark, dimDir)
+      assert(st.cols("v").hist.length == StatsCbo.HistBuckets + 1,
+        s"analyze must attach an equi-depth histogram: ${st.cols("v")}")
+      // threshold between the two estimates: 10% of table bytes fits,
+      // 99% does not
+      val tableBytes = st.rows * st.avgRowBytes
+      spark.conf.set("spark.graft.cbo.broadcastThreshold",
+        (tableBytes / 2).toString)
+      def joined = {
+        val dim = spark.read.parquet(dimDir).where(col("v") >= 10.0)
+        spark.read.parquet(s"$sf001/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(dim, col("o_custkey") === col("id"))
+      }
+      val withHist = joined
+      assert(strategyOf(withHist) == "broadcast",
+        s"histogram estimate (~10%) must clear the 50% threshold:\n" +
+          withHist.queryExecution.sparkPlan)
+      // strip the histogram: the linear estimate (~99%) must NOT broadcast
+      StatsCbo.register(dimDir, st.copy(cols = st.cols.map {
+        case (c, cs) => c -> cs.copy(hist = Nil)
+      }))
+      val linear = joined
+      assert(strategyOf(linear) == "sortmerge",
+        s"min/max-linear estimate (~99%) must not broadcast:\n" +
+          linear.queryExecution.sparkPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.cbo.broadcastThreshold")
+      StatsCbo.clear()
+      graft.StoredArtifacts.deleteTree(dimDir)
+    }
+  }
+
   test("selectivity estimate tracks the System-R arithmetic") {
     StatsCbo.clear()
     val st = StatsCbo.analyze(spark, customerP)
