@@ -1348,8 +1348,65 @@ object Text {
             FROM pd LEFT JOIN npd ON npd.doc_id = pd.doc_id
             ORDER BY pd.doc_id"""))
 
+  // ------------------------------------------------------------------- x207
+  // Positional phrase search — the retrieval capability the x30 posting
+  // index cannot express (its postings are doc-grained, so "data processing"
+  // and "processing data" are indistinguishable): per-document exact
+  // occurrence counts and first hit position for a two-term phrase. The
+  // phrase itself is data-derived for determinism — the corpus' most
+  // frequent adjacent bigram, ties (count desc, t1, t2); the 1-row
+  // collect is the usual artifact-sized driver constant.
+  //
+  // Scale shape: positional tokens + `lead` over ONE doc_id-partitioned
+  // window turn phrase adjacency into a row-local predicate — no
+  // token-table self-join anywhere (the oracle's join formulation is
+  // O(occurrences(t1)) only because its planner pushes the term filters;
+  // the lead form doesn't even need that). One exchange on doc_id serves
+  // both the bigram census and the match; the phrase filter then reduces
+  // to a narrow scan.
+  private val x207 = GQuery(
+    "x207_phrase_search", "ext-text retrieval phrase-positional",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+        .withColumn("nxt", lead(col("term"), 1).over(w))
+      val top = tok.where(col("nxt").isNotNull)
+        .groupBy(col("term"), col("nxt")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"), col("nxt"))
+        .limit(1).collect()(0)
+      val (t1, t2) = (top.getString(0), top.getString(1))
+      tok.where(col("term") === t1 && col("nxt") === t2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_occ"), min(col("pos")).cast("long").as("first_pos"))
+        .select(col("doc_id"), lit(t1).as("t1"), lit(t2).as("t2"),
+          col("n_occ"), col("first_pos"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, r.pos AS pos, toks[r.pos] AS term
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents) t,
+                   unnest(range(1, len(toks) + 1)) r(pos)),
+            bg AS (
+              SELECT a.term AS t1, b.term AS t2, COUNT(*) AS n
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1, 2),
+            q AS (SELECT t1, t2 FROM bg ORDER BY n DESC, t1, t2 LIMIT 1)
+            SELECT p1.doc_id, q.t1, q.t2, CAST(COUNT(*) AS BIGINT) AS n_occ,
+              CAST(MIN(p1.pos) AS BIGINT) AS first_pos
+            FROM tok p1
+            JOIN q ON p1.term = q.t1
+            JOIN tok p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+              AND p2.term = q.t2
+            GROUP BY 1, 2, 3 ORDER BY p1.doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138, x173)
+      x110, x113, x138, x173, x207)
 }
