@@ -2633,9 +2633,63 @@ object Events {
               CAST(SUM(cnt) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
             FROM c GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x208
+  // Per-type daily-volume TREND: exact integer ordinary least squares —
+  // the closed-form slope (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over
+  // (day index, daily count) pairs, reported in MICRO-counts/day. Every
+  // sum is a BIGINT of integer inputs and the single division is integer
+  // `div`, so an estimated regression coefficient — normally a float
+  // graveyard — hash-verifies bit-identically cross-engine. This is the
+  // growth/decay detector an operator reads next to x165's changepoint
+  // and x166's smoother: "is error volume trending up, and how fast?".
+  //
+  // Scale shape: facts partial-aggregate to (type, day) — ONE exchange;
+  // the regression sums are a per-type aggregate over the day-domain
+  // table, and the day index baseline is a 1-row broadcast min.
+  private val x208 = GQuery(
+    "x208_volume_trend", "ext-events trend-regression integer-ols",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val base = daily.agg(min(col("day")).as("day0"))
+      daily.crossJoin(broadcast(base))
+        .withColumn("x", datediff(col("day"), col("day0")).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_micro",
+          expr("(1000000 * (n_days * sxy - sx * sy)) div " +
+            "(n_days * sxx - sx * sx)"))
+        .select(col("event_type"), col("n_days"), col("sy").as("total"),
+          col("slope_micro"))
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            b AS (SELECT MIN(day) AS day0 FROM d),
+            xy AS (
+              SELECT event_type,
+                CAST(date_diff('day', b.day0, d.day) AS BIGINT) AS x, y
+              FROM d, b),
+            agg AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * y) AS BIGINT) AS sxy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM xy GROUP BY 1)
+            SELECT event_type, n_days, sy AS total,
+              (1000000 * (n_days * sxy - sx * sy)) //
+                (n_days * sxx - sx * sx) AS slope_micro
+            FROM agg ORDER BY event_type"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206)
+    x206, x208)
 }

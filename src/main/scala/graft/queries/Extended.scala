@@ -664,7 +664,87 @@ object Extended {
               AND ABS(l.cents - r.cents) <= 5
             GROUP BY l.day ORDER BY l.day"""))
 
+  // ------------------------------------------------------------------- x210
+  // Functional-dependency discovery — the schema-profiling step a
+  // normalization / dimensional-modeling pass runs before declaring keys
+  // (and the evidence [[graft.plans.JoinElimination]]-style rewrites
+  // need): for each candidate A → B over the denormalized
+  // customer⋈nation⋈region slice, the exact violation census
+  // Σ_a (ndv_B(a) − 1) — zero iff the dependency holds. The candidate
+  // list deliberately mixes holding FDs (nationkey → regionkey,
+  // nationkey → nation name) with failing ones (mktsegment → nationkey,
+  // regionkey → nationkey), so both verdicts are exercised under the
+  // hash.
+  //
+  // Scale shape: ONE scan — candidates stack through a generator (the
+  // x200-stats stacking idiom), then one (fd, lhs) aggregate and one
+  // fd-grained rollup; no per-candidate re-scan, no countDistinct
+  // expand. At profiling scale the exact ndv swaps for the x153 HLL
+  // aggregate — same shape.
+  private val x210 = GQuery(
+    "x210_fd_discovery", "ext-profiling functional-dependency discovery",
+    (s, dir) => {
+      val denorm = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("n_name"), col("n_regionkey"), col("r_name"))
+      val cands = Seq(
+        ("c_nationkey->n_regionkey", "c_nationkey", "n_regionkey"),
+        ("c_nationkey->n_name", "c_nationkey", "n_name"),
+        ("n_regionkey->r_name", "n_regionkey", "r_name"),
+        ("c_mktsegment->c_nationkey", "c_mktsegment", "c_nationkey"),
+        ("n_regionkey->c_nationkey", "n_regionkey", "c_nationkey"),
+        ("c_custkey->c_mktsegment", "c_custkey", "c_mktsegment"))
+      denorm
+        .select(explode(array(cands.map { case (fd, a, b) =>
+          struct(lit(fd).as("fd"), col(a).cast("string").as("lhs"),
+            col(b).cast("string").as("rhs"))
+        }: _*)).as("s"))
+        .select(col("s.fd").as("fd"), col("s.lhs").as("lhs"),
+          col("s.rhs").as("rhs"))
+        .groupBy("fd", "lhs").agg(countDistinct(col("rhs")).as("ndv_rhs"))
+        .groupBy("fd")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ndv_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum(col("ndv_rhs") - 1).as("violation_excess"))
+        .withColumn("holds", col("violation_excess") === 0L)
+        .orderBy("fd")
+    },
+    Some("""WITH denorm AS (
+              SELECT c_custkey, c_nationkey, c_mktsegment,
+                n_name, n_regionkey, r_name
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey),
+            stacked AS (
+              SELECT 'c_nationkey->n_regionkey' AS fd,
+                CAST(c_nationkey AS VARCHAR) AS lhs,
+                CAST(n_regionkey AS VARCHAR) AS rhs FROM denorm
+              UNION ALL SELECT 'c_nationkey->n_name',
+                CAST(c_nationkey AS VARCHAR), n_name FROM denorm
+              UNION ALL SELECT 'n_regionkey->r_name',
+                CAST(n_regionkey AS VARCHAR), r_name FROM denorm
+              UNION ALL SELECT 'c_mktsegment->c_nationkey',
+                c_mktsegment, CAST(c_nationkey AS VARCHAR) FROM denorm
+              UNION ALL SELECT 'n_regionkey->c_nationkey',
+                CAST(n_regionkey AS VARCHAR),
+                CAST(c_nationkey AS VARCHAR) FROM denorm
+              UNION ALL SELECT 'c_custkey->c_mktsegment',
+                CAST(c_custkey AS VARCHAR), c_mktsegment FROM denorm),
+            perLhs AS (
+              SELECT fd, lhs, CAST(COUNT(DISTINCT rhs) AS BIGINT) AS ndv_rhs
+              FROM stacked GROUP BY 1, 2)
+            SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(CASE WHEN ndv_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating,
+              CAST(SUM(ndv_rhs - 1) AS BIGINT) AS violation_excess,
+              SUM(ndv_rhs - 1) = 0 AS holds
+            FROM perLhs GROUP BY fd ORDER BY fd"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37, x136, x196)
+    c33, c34, c35, c36, c37, x136, x196, x210)
 }

@@ -447,6 +447,55 @@ object TpchMore {
               HAVING SUM(l_quantity) > 300.0)
             ORDER BY s_suppkey"""))
 
+  // ------------------------------------------------------------------- x209
+  // Benford first-digit audit — the classic fabricated-data / unit-drift
+  // detector run over the money column: observed first-significant-digit
+  // shares vs Benford's log10(1 + 1/d) expectation, with the per-digit
+  // chi-square contribution. Everything is integer-exact: the first
+  // digit comes from the CENTS integer's decimal string (no log10 float
+  // near digit boundaries), shares are milli, expectations are milli
+  // literals, contributions milli — so a statistical audit hash-verifies.
+  // (TPC-H prices are synthetic-uniform, NOT Benford — the large chi
+  // values are the audit working, not failing; the gate is arithmetic.)
+  // Scale shape: one narrow scan, one 9-group aggregate.
+  private val x209 = GQuery(
+    "x209_benford_audit", "ext-dq benford first-digit audit",
+    (s, dir) => {
+      val exp = "array(301, 176, 125, 97, 79, 67, 58, 51, 46)"
+      Tables(s, dir, "lineitem")
+        .select(substring(round(col("l_extendedprice") * 100, 0)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .withColumn("share_milli", expr("(1000 * n) div total"))
+        .select(col("digit"), col("n"), col("share_milli"),
+          expr(s"cast(element_at($exp, digit) as bigint)").as("exp_milli"))
+        .withColumn("chi_milli",
+          expr("((share_milli - exp_milli) * (share_milli - exp_milli) * 1000) " +
+            "div (exp_milli * 1000)"))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (
+              SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0)
+                  AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+              FROM lineitem),
+            g AS (
+              SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+              FROM d GROUP BY 1),
+            e AS (
+              SELECT digit, n, (1000 * n) // total AS share_milli,
+                CAST([301, 176, 125, 97, 79, 67, 58, 51, 46][digit]
+                  AS BIGINT) AS exp_milli
+              FROM g)
+            SELECT digit, n, share_milli, exp_milli,
+              ((share_milli - exp_milli) * (share_milli - exp_milli) * 1000)
+                // (exp_milli * 1000) AS chi_milli
+            FROM e ORDER BY digit"""))
+
   val queries: Seq[GQuery] =
-    Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20)
+    Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209)
 }
