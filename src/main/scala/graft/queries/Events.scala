@@ -2687,9 +2687,188 @@ object Events {
                 (n_days * sxx - sx * sx) AS slope_micro
             FROM agg ORDER BY event_type"""))
 
+  // ------------------------------------------------------------------- x211
+  // Cross-correlation lead-lag scan: does VIEW volume lead PURCHASE
+  // volume, and by how many days? For each lag in [-3, 3], the view
+  // series aligns against the purchase series shifted by `lag` days and
+  // the covariance numerator (n·Σxy − Σx·Σy)/n² reports in micros —
+  // exact BIGINT arithmetic end to end, so a lead-lag profile (normally
+  // float-fuzzy) hash-verifies. The marketing/ops question this answers
+  // ("how long is the conversion delay?") reads the argmax lag.
+  //
+  // Scale shape: facts aggregate to (day, type) once; the lag fan-out is
+  // a 7-way generator over the DAY-DOMAIN series, and the per-lag sums
+  // are one aggregate over day-sized pairs.
+  private val x211 = GQuery(
+    "x211_lead_lag_ccf", "ext-events cross-correlation lead-lag",
+    (s, dir) => {
+      val v = events(s, dir).where(col("event_type") === "view")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("vx"))
+      val p = events(s, dir).where(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("pday"))
+        .agg(count(lit(1)).as("py"))
+      v.select(col("day"), col("vx"),
+          explode(sequence(lit(-3), lit(3))).as("lag"))
+        .withColumn("pday", expr("date_add(day, lag)"))
+        .join(p, "pday")
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum(col("vx")).as("sx"),
+          sum(col("py")).as("sy"), sum(col("vx") * col("py")).as("sxy"))
+        .withColumn("cov_micro",
+          expr("(1000000 * (n * sxy - sx * sy)) div (n * n)"))
+        .select(col("lag").cast("int").as("lag"), col("n"), col("cov_micro"))
+        .orderBy("lag")
+    },
+    Some("""WITH v AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS vx
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            p AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS pday,
+                CAST(COUNT(*) AS BIGINT) AS py
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            lagged AS (
+              SELECT l.lag, v.vx, p.py
+              FROM v, unnest(range(-3, 4)) l(lag)
+              JOIN p ON p.pday = v.day + CAST(l.lag AS INT)),
+            agg AS (
+              SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(vx) AS BIGINT) AS sx, CAST(SUM(py) AS BIGINT) AS sy,
+                CAST(SUM(vx * py) AS BIGINT) AS sxy
+              FROM lagged GROUP BY 1)
+            SELECT CAST(lag AS INT) AS lag, n,
+              (1000000 * (n * sxy - sx * sy)) // (n * n) AS cov_micro
+            FROM agg ORDER BY lag"""))
+
+  // ------------------------------------------------------------------- x213
+  // RFM segmentation — the classic customer scoring: per user, recency
+  // (days since last event, against the corpus max day), frequency
+  // (event count) and monetary (exact decimal cents), each dealt into
+  // quintiles 1..5 where 5 is best (most recent / most frequent /
+  // highest spend), ties broken by user_id so the deal is
+  // deterministic and the full segment table hash-verifies.
+  //
+  // Scale shape: one per-user aggregate; the quintile windows rank the
+  // USER-ENTITY domain (three total-order sorts — the x169/x201
+  // rank-transform shape). At corpus scale the exact ntile swaps for
+  // histogram cut points (x135/x206) applied as row-local comparisons;
+  // the fixture runs the exact form the oracle can replay.
+  private val x213 = GQuery(
+    "x213_rfm_segments", "ext-events rfm-scoring quintiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val anchor = events(s, dir)
+        .agg(max(date_trunc("day", col("ts")).cast("date")).as("day_max"))
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(date_trunc("day", col("ts")).cast("date")).as("day_last"),
+          count(lit(1)).as("frequency"),
+          (sum(col("value").cast(DecimalType(12, 2))) * 100)
+            .cast("long").as("monetary_cents"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("recency_days",
+          datediff(col("day_max"), col("day_last")).cast("long"))
+      perUser
+        .withColumn("rq", ntile(5).over(
+          Window.orderBy(col("recency_days").desc, col("user_id"))))
+        .withColumn("fq", ntile(5).over(
+          Window.orderBy(col("frequency"), col("user_id"))))
+        .withColumn("mq", ntile(5).over(
+          Window.orderBy(col("monetary_cents"), col("user_id"))))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"), col("rq").cast("long").as("rq"),
+          col("fq").cast("long").as("fq"), col("mq").cast("long").as("mq"),
+          concat(col("rq"), col("fq"), col("mq")).as("segment"))
+        .orderBy("user_id")
+    },
+    Some("""WITH a AS (
+              SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS day_max
+              FROM events),
+            u AS (
+              SELECT user_id,
+                MAX(CAST(date_trunc('day', ts) AS DATE)) AS day_last,
+                CAST(COUNT(*) AS BIGINT) AS frequency,
+                CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                  AS monetary_cents
+              FROM events GROUP BY 1),
+            r AS (
+              SELECT u.user_id,
+                CAST(date_diff('day', u.day_last, a.day_max) AS BIGINT)
+                  AS recency_days,
+                u.frequency, u.monetary_cents
+              FROM u, a),
+            q AS (
+              SELECT *,
+                NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS rq,
+                NTILE(5) OVER (ORDER BY frequency, user_id) AS fq,
+                NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS mq
+              FROM r)
+            SELECT user_id, recency_days, frequency, monetary_cents,
+              rq, fq, mq,
+              CAST(rq AS VARCHAR) || CAST(fq AS VARCHAR) ||
+                CAST(mq AS VARCHAR) AS segment
+            FROM q ORDER BY user_id"""))
+
+  // ------------------------------------------------------------------- x214
+  // Theil–Sen robust trend — the median-of-pairwise-slopes estimator
+  // (Sen 1968), the robust complement to x208's OLS: immune to up to
+  // ~29 % outlier days (a holiday spike drags the OLS slope, not this
+  // one). Slopes quantize to exact integer micros FIRST
+  // ((Δy · 1e6) div Δx — deterministic), then the LOWER MEDIAN by
+  // (slope, day-pair) total order — so a robust statistic that is
+  // normally floating-median-fuzzy hash-verifies. Output also carries
+  // x208-style OLS on the same series for side-by-side reading.
+  //
+  // Scale shape: the pair lattice is DAY-DOMAIN sized (d(d−1)/2 pairs
+  // over the daily aggregate — the x201 domain-bound note: facts never
+  // pair). The domain cross join is deliberate and bounded.
+  private val x214 = GQuery(
+    "x214_theil_sen", "ext-events robust-trend theil-sen",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val base = daily.agg(min(col("day")).as("day0"))
+      val d = daily.crossJoin(broadcast(base))
+        .select(datediff(col("day"), col("day0")).cast("long").as("x"),
+          col("y"))
+      val pairs = d.as("a").join(d.as("b"), col("b.x") > col("a.x"))
+        .select(col("a.x").as("x1"), col("b.x").as("x2"),
+          expr("((b.y - a.y) * 1000000) div (b.x - a.x)").as("slope_micro"))
+      val n = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      pairs
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("slope_micro"), col("x1"), col("x2"))))
+        .withColumn("n_pairs", count(lit(1)).over(n))
+        .where(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_pairs"), col("slope_micro").as("ts_slope_micro"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            b AS (SELECT MIN(day) AS day0 FROM daily),
+            d AS (
+              SELECT CAST(date_diff('day', b.day0, daily.day) AS BIGINT) AS x, y
+              FROM daily, b),
+            p AS (
+              SELECT a.x AS x1, bb.x AS x2,
+                ((bb.y - a.y) * 1000000) // (bb.x - a.x) AS slope_micro
+              FROM d a JOIN d bb ON bb.x > a.x),
+            r AS (
+              SELECT slope_micro,
+                ROW_NUMBER() OVER (ORDER BY slope_micro, x1, x2) AS rn,
+                CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+              FROM p)
+            SELECT n_pairs, slope_micro AS ts_slope_micro
+            FROM r WHERE rn = (n_pairs + 1) // 2"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206, x208)
+    x206, x208, x211, x213, x214)
 }

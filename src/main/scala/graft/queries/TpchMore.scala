@@ -496,6 +496,71 @@ object TpchMore {
                 // (exp_milli * 1000) AS chi_milli
             FROM e ORDER BY digit"""))
 
+  // ------------------------------------------------------------------- x212
+  // ABC (Pareto) classification — inventory analytics' standard cut:
+  // parts ranked by exact decimal revenue, classified by CUMULATIVE
+  // revenue share (A ≤ 80 %, B ≤ 95 %, C the tail), reported as the
+  // per-class census (part count, revenue, shares — all in exact
+  // tenth-cent BIGINTs and integer milli-shares, so the classification
+  // hash-verifies; revenue follows b07's decimal discipline:
+  // dec(12,2) · dec(4,2) products sum exactly).
+  //
+  // Scale shape: one fact aggregate to the PART dimension, then a
+  // cumulative window over the part-domain table (dimension-sized —
+  // the x106/x119 bound), then a 3-group rollup.
+  private val x212 = GQuery(
+    "x212_abc_classification", "ext-analytics pareto abc-classes",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))) * 10000)
+          .cast("long").as("rev_tc"))
+      val cum = Window.orderBy(col("rev_tc").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      rev
+        .withColumn("cum_tc", sum(col("rev_tc")).over(cum))
+        .withColumn("total_tc", sum(col("rev_tc")).over(all))
+        .withColumn("cum_milli", expr("(1000 * cum_tc) div total_tc"))
+        .withColumn("abc_class",
+          when(col("cum_milli") <= 800, "A")
+            .when(col("cum_milli") <= 950, "B").otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_tc")).as("class_rev_tc"),
+          max(col("total_tc")).as("total_tc"))
+        .withColumn("share_milli", expr("(1000 * class_rev_tc) div total_tc"))
+        .select(col("abc_class"), col("n_parts"), col("class_rev_tc"),
+          col("share_milli"))
+        .orderBy("abc_class")
+    },
+    Some("""WITH rev AS (
+              SELECT l_partkey,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  CAST(1.0 - l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+                  AS rev_tc
+              FROM lineitem GROUP BY 1),
+            c AS (
+              SELECT l_partkey, rev_tc,
+                CAST(SUM(rev_tc) OVER (ORDER BY rev_tc DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tc,
+                CAST(SUM(rev_tc) OVER () AS BIGINT) AS total_tc
+              FROM rev),
+            k AS (
+              SELECT *, (1000 * cum_tc) // total_tc AS cum_milli,
+                CASE WHEN (1000 * cum_tc) // total_tc <= 800 THEN 'A'
+                     WHEN (1000 * cum_tc) // total_tc <= 950 THEN 'B'
+                     ELSE 'C' END AS abc_class
+              FROM c)
+            SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+              CAST(SUM(rev_tc) AS BIGINT) AS class_rev_tc,
+              (1000 * CAST(SUM(rev_tc) AS BIGINT)) // MAX(total_tc)
+                AS share_milli
+            FROM k GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
-    Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209)
+    Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212)
 }
