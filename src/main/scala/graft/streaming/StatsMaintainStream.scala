@@ -28,7 +28,12 @@ import org.apache.spark.sql.types.{NumericType, StringType, StructType}
   *   - per-column ndv: 256-register HLL sketches ([[Events.hllRegisterRows]]'
   *     md5 arithmetic, generalized to any column), merged by register
   *     max — associative, so incremental maintenance is bit-identical to
-  *     a one-shot build over the same rows.
+  *     a one-shot build over the same rows;
+  *   - per-column distribution: signed floor-log2 bucket COUNTS (add
+  *     across batches); [[serve]] interpolates equi-depth boundaries
+  *     from the bucket CDF, so the streaming path feeds [[StatsCbo]]'s
+  *     histogram selectivity too (equi-depth boundaries themselves are
+  *     not mergeable — bucket counts are the mergeable carrier).
   * Nothing ever re-scans previously analyzed files.
   *
   * State layout per generation: `scalar` (column, n, lo, hi, len_sum —
@@ -118,6 +123,64 @@ object StatsMaintainStream {
       .groupBy(col("column"), col("reg")).agg(max(col("rho")).as("mr"))
   }
 
+  /** Per-batch MERGEABLE histogram partials over numeric columns: counts
+    * per signed floor-log2 bucket (bucket 0 = [0,1), b ≥ 1 = [2^(b−1),
+    * 2^b), negatives mirrored) — counts ADD across batches, unlike
+    * equi-depth boundaries, which is the whole trick: the stream keeps
+    * ~128 bucket counters per column and [[serve]] interpolates
+    * equi-depth boundaries from the bucket CDF (piecewise-uniform within
+    * a bucket), giving [[StatsCbo]]'s histogram selectivity the same
+    * skew-awareness the batch ANALYZE gets from approx_percentile —
+    * without ever re-scanning analyzed files.
+    */
+  private[streaming] def histogramPartials(batch: DataFrame): DataFrame = {
+    val cols = numericCols(batch)
+    if (cols.isEmpty)
+      return batch.sparkSession.emptyDataFrame
+        .selectExpr("CAST(null AS STRING) column", "CAST(null AS INT) bkt",
+          "CAST(null AS BIGINT) n").limit(0)
+    batch
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.v").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("mag", abs(col("v")))
+      .withColumn("bkt",
+        when(col("mag") < 1.0, lit(0))
+          .otherwise(least(lit(62), (floor(log2(col("mag"))) + 1).cast("int")))
+          * when(col("v") < 0, -1).otherwise(1))
+      .groupBy(col("column"), col("bkt")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Equi-depth boundaries interpolated from merged log-bucket counts —
+    * driver-side over ≤ ~128 buckets per column (artifact-sized).
+    */
+  private[streaming] def boundariesFrom(
+      buckets: Seq[(Int, Long)], nBounds: Int): Seq[Double] = {
+    if (buckets.isEmpty) return Nil
+    def range(b: Int): (Double, Double) = {
+      val m = math.abs(b)
+      val (lo, hi) =
+        if (m == 0) (0.0, 1.0) else (math.pow(2, m - 1), math.pow(2, m))
+      if (b >= 0) (lo, hi) else (-hi, -lo)
+    }
+    val sorted = buckets.sortBy(_._1)
+    val total = sorted.map(_._2).sum.toDouble
+    val cum = sorted.scanLeft(0L)(_ + _._2).init // cumulative BEFORE bucket
+    (0 to nBounds).map { q =>
+      val target = q.toDouble * total / nBounds
+      val i = cum.lastIndexWhere(_ <= target) match {
+        case -1 => 0
+        case j => math.min(j, sorted.length - 1)
+      }
+      val (lo, hi) = range(sorted(i)._1)
+      val within =
+        if (sorted(i)._2 == 0) 0.0
+        else math.min(1.0, (target - cum(i)) / sorted(i)._2)
+      lo + within * (hi - lo)
+    }
+  }
+
   private def genPath(statsDir: String, gen: String, seg: String): String =
     s"$statsDir/$gen/$seg"
 
@@ -149,11 +212,25 @@ object StatsMaintainStream {
       prevRegs.map(_.unionByName(p)).getOrElse(p)
         .groupBy("column", "reg").agg(max(col("mr")).as("mr"))
     }
+    val prevHist =
+      if (StoredManifest.exists(statsDir)) {
+        val (cur, segs) = StoredManifest.read(statsDir)
+        if (segs.contains("histogram"))
+          Some(spark.read.parquet(genPath(statsDir, cur, "histogram")))
+        else None
+      } else None
+    val hist = {
+      val p = histogramPartials(batch)
+      prevHist.map(_.unionByName(p)).getOrElse(p)
+        .groupBy("column", "bkt").agg(sum(col("n")).as("n"))
+    }
     scalar.coalesce(1).write.mode("overwrite")
       .parquet(genPath(statsDir, gen, "scalar"))
     regs.coalesce(1).write.mode("overwrite")
       .parquet(genPath(statsDir, gen, "registers"))
-    StoredManifest.write(statsDir, gen, Seq("scalar", "registers"))
+    hist.coalesce(1).write.mode("overwrite")
+      .parquet(genPath(statsDir, gen, "histogram"))
+    StoredManifest.write(statsDir, gen, Seq("scalar", "registers", "histogram"))
   }
 
   /** Fold the live statistics generation into [[StatsCbo]]'s registry for
@@ -163,7 +240,7 @@ object StatsMaintainStream {
     * never stacks.
     */
   def serve(spark: SparkSession, tablePath: String, statsDir: String): Unit = {
-    val (gen, _) = StoredManifest.read(statsDir)
+    val (gen, segs) = StoredManifest.read(statsDir)
     val scalar = spark.read.parquet(genPath(statsDir, gen, "scalar"))
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1),
@@ -175,9 +252,27 @@ object StatsMaintainStream {
         spark.read.parquet(genPath(statsDir, gen, "registers")), Seq("column"))
       .select(col("column"), col("est_n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hists: Map[String, Seq[(Int, Long)]] =
+      if (segs.contains("histogram"))
+        spark.read.parquet(genPath(statsDir, gen, "histogram"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      else Map.empty
     val rows = scalar.get(RowsKey).map(_._1).getOrElse(0L)
     val cols = (scalar - RowsKey).map { case (c, (_, lo, hi, _)) =>
-      c -> StatsCbo.ColStats(math.max(1L, ndv.getOrElse(c, 1L)), lo, hi)
+      // equi-depth boundaries interpolated from the mergeable log-bucket
+      // counts, clamped into the exact maintained [lo, hi] envelope (the
+      // bucket edges are powers of two; min/max are exact)
+      val bounds = hists.get(c)
+        .map(b => boundariesFrom(b, StatsCbo.HistBuckets)).getOrElse(Nil)
+      val clamped = (lo, hi) match {
+        case (Some(l), Some(h)) if bounds.nonEmpty =>
+          bounds.map(x => math.max(l, math.min(h, x)))
+        case _ => bounds
+      }
+      c -> StatsCbo.ColStats(math.max(1L, ndv.getOrElse(c, 1L)), lo, hi,
+        clamped)
     }
     val strBytes = (scalar - RowsKey).values.map(_._4).sum
     val numericCount = (scalar - RowsKey).count(_._2._2.isDefined)

@@ -146,4 +146,57 @@ class StreamingStatsSpec extends SparkSpec {
       assert(StoredManifest.read(statsDir)._1 == gen)
     } finally graft.StoredArtifacts.deleteTree(root.toString)
   }
+
+  test("log-bucket CDF interpolation concentrates boundaries where the mass is") {
+    // 900 rows in [0,1), 100 rows in [8,16): with 4 equi-depth bounds,
+    // the first three quantiles (0%, 25%, 50%, 75% <= 900/1000) stay in
+    // the dense bucket and only the last reaches the tail
+    val b = StatsMaintainStream.boundariesFrom(Seq((0, 900L), (4, 100L)), 4)
+    assert(b.length == 5, b.toString)
+    assert(b.head == 0.0 && b.last == 16.0, b.toString)
+    assert(b(1) < 1.0 && b(2) < 1.0 && b(3) < 1.0,
+      s"quantiles within the 90% mass must stay in [0,1): $b")
+    // monotone
+    b.sliding(2).foreach { case Seq(x, y) => assert(x <= y, b.toString) }
+  }
+
+  test("streamed histogram gives the CBO skew-aware range selectivity") {
+    StatsBroadcastJoin.install(spark)
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-statshist")
+    val dimDir = root.resolve("dim").toString
+    val statsDir = root.resolve("stats").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // 90% of values in [0, 1), thin tail to 1024: `v >= 8` keeps ~8%,
+      // the min/max-linear estimate says ~99%
+      val rows = (0 until 900).map(i => (i.toLong, (i % 10) / 10.0)) ++
+        (0 until 100).map(i => (900L + i, 8.0 + i * 10.0))
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(dimDir)
+      StatsMaintainStream.maintain(spark,
+        spark.read.parquet(dimDir), statsDir, 0L)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.cbo.broadcastThreshold", "default")
+      StatsCbo.clear()
+      StatsMaintainStream.serve(spark, dimDir, statsDir)
+      val st = StatsCbo.lookup(dimDir).get
+      assert(st.cols("v").hist.nonEmpty,
+        "streamed stats must carry interpolated histogram boundaries")
+      val tableBytes = st.rows * st.avgRowBytes
+      spark.conf.set("spark.graft.cbo.broadcastThreshold",
+        (tableBytes / 2).toString)
+      val dim = spark.read.parquet(dimDir).where(col("v") >= 8.0)
+      val j = Tables(spark, sf001, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(dim, col("o_custkey") === col("id"))
+      assert(strategyOf(j) == "broadcast",
+        s"streamed histogram estimate (~8%) must clear the 50% threshold:\n" +
+          j.queryExecution.sparkPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.cbo.broadcastThreshold")
+      StatsCbo.clear()
+      graft.StoredArtifacts.deleteTree(root.toString)
+    }
+  }
 }
