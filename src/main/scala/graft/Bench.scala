@@ -128,20 +128,42 @@ object Bench {
     * machine check for bench-noise adjudication: an inflated timing whose
     * plan hash is unchanged from the previous round is environmental by
     * construction (two judges have burned cycles re-profiling exactly
-    * that). Canonicalized plans normalize expression ids; the residual
-    * `#<n>` attribute suffixes and the per-session RDD ids that
-    * localCheckpoint-based queries embed are regex-stripped so the hash
-    * is a pure function of plan SHAPE, stable across JVMs (PlanSpec gates
-    * the within-session stability). Failures record "err" rather than
-    * aborting the bench — the metric line is already out.
+    * that). Failures record "err" rather than aborting the bench — the
+    * metric line is already out.
+    *
+    * Cross-JVM stability (fixed in round 9 — the r8 algorithm was only
+    * within-session stable): Spark's canonicalization ORDERS commutative
+    * operands (and flips comparison directions) by expression hashCode,
+    * which reaches the scan relation's FileIndex — a plain object whose
+    * identity hashCode differs per JVM — so any plan with a multi-way
+    * And/Or chain over a subquery re-ordered its rendered operands every
+    * session (b01/b02/c15/q19 churned across rounds with zero code
+    * change). Typed-pipeline plans additionally embed lambda object
+    * addresses (`Lambda$NN/0x..@..`). The fingerprint therefore hashes a
+    * SHAPE form: per line, the tree depth plus the SORTED token bag —
+    * line order (tree structure) and operator/column names survive;
+    * intra-line operand order, comparison direction, ids and object
+    * addresses do not. That is exactly the sensitivity adjudication
+    * needs: node added/removed/reordered → changed hash; same plan in a
+    * new JVM → same hash.
     */
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
     val norm = df.queryExecution.optimizedPlan.canonicalized.toString
       .replaceAll("#\\d+", "#")
       .replaceAll("\\bExistingRDD\\b[^\\n]*", "ExistingRDD")
       .replaceAll("\\bLogicalRDD\\b[^\\n]*", "LogicalRDD")
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda")
+      .replaceAll("@[0-9a-f]{6,}", "@")
+    val shape = norm.linesIterator.map { line =>
+      val depth = line.indexWhere(_.isLetterOrDigit) match {
+        case -1 => line.length
+        case i => i
+      }
+      val tokens = line.split("[^A-Za-z0-9_.'\\-]+").filter(_.nonEmpty).sorted
+      s"$depth|${tokens.mkString(",")}"
+    }.mkString("\n")
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(norm.getBytes("UTF-8"))
+      .digest(shape.getBytes("UTF-8"))
     md.take(8).map(b => f"$b%02x").mkString
   }
 

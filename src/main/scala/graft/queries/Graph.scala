@@ -926,5 +926,74 @@ object Graph {
     (s, dir) => hopDistanceOnEdges(storedEdges(s, dir), hops = 4),
     Some(hopOracle(4)))
 
-  val queries: Seq[GQuery] = Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168)
+  // ------------------------------------------------------------------- x215
+  // Modularity of the detected communities — the quality score that says
+  // whether x130's partition is real structure or noise (Newman 2006):
+  // Q = (4m·Σ_c e_c − Σ_c d_c²) / (4m²) over the undirected graph, with
+  // e_c = intra-community edges and d_c = community degree sum. All
+  // arithmetic runs in DECIMAL(38,0) with ONE integer division at the
+  // end (micros), so a score that is normally float-summed
+  // hash-verifies; the decimal width also survives 100 TB edge counts
+  // where 4m² overflows BIGINT. Scale shape: two node-sized label joins
+  // onto the stored edge list + community-grained aggregates; the label
+  // table comes from the same co-partitioned superstep loop x130 runs.
+  private val x215 = GQuery(
+    "x215_modularity", "ext-graph community-quality modularity",
+    (s, dir) => {
+      val e = storedEdges(s, dir)
+      val labels = labelPropagationOnEdges(e, iters = 4)
+        .select(col("part").as("node"), col("community"))
+      val la = labels.select(col("node").as("pa"), col("community").as("ca"))
+      val lb = labels.select(col("node").as("pb"), col("community").as("cb"))
+      val intra = e.join(la, "pa").join(lb, "pb")
+        .where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+      val dsum = degrees(e).join(labels, "node")
+        .groupBy("community").agg(sum(col("deg")).as("d_c"))
+      val m = e.agg(count(lit(1)).as("m"))
+      dsum.join(intra, Seq("community"), "left")
+        .select(col("community"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+          col("d_c"))
+        .agg(count(lit(1)).as("n_communities"),
+          sum(col("e_c")).as("sum_ec"), sum(col("d_c") * col("d_c")).as("sum_dc2"))
+        .crossJoin(broadcast(m))
+        .select(col("n_communities"), col("m").as("m_edges"),
+          expr("""cast(1000000 * (4 * cast(m as decimal(38,0)) * sum_ec
+                    - cast(sum_dc2 as decimal(38,0))) as decimal(38,0))
+                  div cast(4 * cast(m as decimal(38,0)) * m as decimal(38,0))""")
+            .cast("long").as("q_micro"))
+    },
+    Some(labelPropOracle(4)
+      .replace("SELECT node AS part, label AS community FROM l4 ORDER BY part",
+        """, lab AS (SELECT node, label AS community FROM l4),
+           e2 AS (SELECT DISTINCT src AS pa, dst AS pb FROM ed WHERE src < dst),
+           deg2 AS (
+             SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM (SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2)
+             GROUP BY 1),
+           intra AS (
+             SELECT la.community, CAST(COUNT(*) AS BIGINT) AS e_c
+             FROM e2
+             JOIN lab la ON la.node = e2.pa
+             JOIN lab lb ON lb.node = e2.pb
+             WHERE la.community = lb.community
+             GROUP BY 1),
+           dsum AS (
+             SELECT lab.community, CAST(SUM(deg2.deg) AS BIGINT) AS d_c
+             FROM deg2 JOIN lab ON lab.node = deg2.node
+             GROUP BY 1),
+           mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e2),
+           agg AS (
+             SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(SUM(COALESCE(intra.e_c, 0)) AS BIGINT) AS sum_ec,
+               CAST(SUM(dsum.d_c * dsum.d_c) AS BIGINT) AS sum_dc2
+             FROM dsum LEFT JOIN intra ON intra.community = dsum.community)
+           SELECT n_communities, m AS m_edges,
+             CAST((1000000 * (4 * CAST(m AS HUGEINT) * sum_ec
+                 - CAST(sum_dc2 AS HUGEINT)))
+               // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_micro
+           FROM agg, mm""")))
+
+  val queries: Seq[GQuery] =
+    Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215)
 }

