@@ -125,6 +125,37 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.size < got.size)
   }
 
+  test("x215: modularity equals the driver-side Newman formula over the same labels") {
+    val rows = SparkEntry.queries("x215_modularity")(spark, sf001).collect()
+    assert(rows.length == 1)
+    val (nc, m, qMicro) = (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2))
+    // driver reference: same 4-round synchronous label propagation, then
+    // Q = (4m*sum_ec - sum_dc2) / (4m^2) with the same truncating div
+    val edges = Graph.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = adj.map { case (n, ns) =>
+        val counts = ns.map(lab).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val mm = edges.length.toLong
+    val sumEc = edges.count { case (a, b) => lab(a) == lab(b) }.toLong
+    val dc = adj.toSeq.map { case (n, ns) => lab(n) -> ns.size.toLong }
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+    val sumDc2 = dc.map(d => d * d).sum
+    assert(nc == dc.size.toLong)
+    assert(m == mm)
+    val expQ = BigInt(1000000) * (BigInt(4) * mm * sumEc - sumDc2) /
+      (BigInt(4) * mm * mm)
+    assert(qMicro == expQ.toLong, s"q_micro $qMicro != $expQ")
+    // sanity: modularity lives in [-0.5, 1]
+    assert(qMicro >= -500000L && qMicro <= 1000000L)
+  }
+
   test("x131: k-core peeling converges within the round budget and is a true 3-core") {
     val core = Graph.kCore(li, k = 3, rounds = 8).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
