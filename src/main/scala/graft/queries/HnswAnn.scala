@@ -54,6 +54,11 @@ object HnswAnn {
       vec_id: Long, embedding: Array[Double], neighbors: Array[Array[Int]],
       entry: Int, top_level: Int)
 
+  /** [[SegNode]] plus the per-node filter verdict for the filtered probe. */
+  final case class SegNodeF(seg: String, shard: Int, local_id: Int,
+      vec_id: Long, embedding: Array[Double], neighbors: Array[Array[Int]],
+      entry: Int, top_level: Int, ok: Boolean)
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
@@ -191,6 +196,77 @@ object HnswAnn {
       .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
   }
 
+  /** FILTERED distributed probe — the graph-tier row of the filtered-
+    * serving matrix (x91 is the IVF row): top-`k` among an ALLOWED id
+    * set only. The filter is applied the FAISS-IDSelector way — the
+    * traversal routes through every node (graph connectivity must not
+    * depend on the predicate) and only allowed nodes are collected —
+    * with the candidate width auto-widened to max(ef, 4k) so a
+    * moderately selective filter still fills k (the Lucene pre-filtered
+    * ef-expansion contract; a pathologically selective filter degrades
+    * recall, which FilteredAnnSpec's recall gate makes measurable
+    * rather than silent).
+    *
+    * The allowed set arrives as a DataFrame of ids and joins the node
+    * stream co-partitioned — never collected to the driver, so a
+    * corpus-sized filter (the common case: "everything not yet
+    * deduplicated") is legal. At serving scale a standing attribute
+    * predicate is instead precomputed into the stored rows at ingest;
+    * this API is the ad-hoc-set form.
+    */
+  def probeHnswFiltered(s: SparkSession, indexDir: String, queries: DataFrame,
+      allowed: DataFrame, k: Int, ef: Int): DataFrame = {
+    import s.implicits._
+    val segs = segmentsOf(indexDir)
+    require(segs.nonEmpty, s"no committed segments under $indexDir")
+    val allow = allowed.select(
+      col(allowed.columns(0)).cast("long").as("vec_id"),
+      lit(true).as("ok0"))
+    val graph = segs.map { seg =>
+      s.read.parquet(s"$indexDir/$seg")
+        .select(lit(seg).as("seg"), col("shard"), col("local_id"),
+          col("vec_id"), col("embedding"), col("neighbors"), col("entry"),
+          col("top_level"))
+    }.reduce(_ unionAll _)
+      .join(allow, Seq("vec_id"), "left")
+      .select(col("seg"), col("shard"), col("local_id"), col("vec_id"),
+        col("embedding"), col("neighbors"), col("entry"), col("top_level"),
+        coalesce(col("ok0"), lit(false)).as("ok"))
+      .as[SegNodeF]
+    val shardIds = segs.map { seg =>
+      s.read.parquet(s"$indexDir/$seg")
+        .select(lit(seg).as("seg"), col("shard")).distinct()
+    }.reduce(_ unionAll _)
+    val routed = queries.crossJoin(shardIds)
+      .select(col("seg"), col("shard"), col("q_id"), col("qvec"))
+      .as[SegQuery]
+    val width = math.max(ef, 4 * k)
+    val perShard = graph.groupByKey(n => (n.seg, n.shard))
+      .cogroup(routed.groupByKey(q => (q.seg, q.shard))) { (_, nodeRows, qs) =>
+        val ns = nodeRows.toArray
+        if (ns.isEmpty) Iterator.empty
+        else {
+          java.util.Arrays.sort(ns, Ordering.by((n: SegNodeF) => n.local_id))
+          val g = Hnsw.restore(ns.map(_.embedding), ns.map(_.neighbors),
+            ns.head.entry, ns.head.top_level)
+          qs.flatMap { q =>
+            var qn = 0.0
+            var i = 0
+            while (i < q.qvec.length) { qn += q.qvec(i) * q.qvec(i); i += 1 }
+            g.searchTop(q.qvec, math.sqrt(qn), width, width)
+              .iterator.filter { case (lid, _) => ns(lid).ok }
+              .take(k)
+              .map { case (lid, sim) => (q.q_id, ns(lid).vec_id, sim) }
+          }
+        }
+      }
+      .toDF("q_id", "vec_id", "sim")
+    GroupedTopKOps.ensureInstalled(s)
+    GroupedTopKOps.groupedTopK(perShard, Seq(col("q_id")),
+      Seq(col("sim").desc, col("vec_id")), k)
+      .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+  }
+
   /** SQL serving surface for the graph tier — the [[Similarity.sqlRegisterBatch]]
     * discipline: probe the stored graph index for every row of an existing
     * temp view/table of `(q_id, qvec)` and register the result as
@@ -273,5 +349,25 @@ object HnswAnn {
     },
     None) // approximate candidate set: rows-only check + HnswAnnSpec gates
 
-  val queries: Seq[GQuery] = Seq(x127, x128, x132)
+  // Filtered serving through the graph tier — the x91 predicate shape
+  // (even labels, query excluded) through the stored HNSW: build on
+  // first touch, probe with the allowed set joined co-partitioned.
+  // FilteredAnnSpec gates purity, recall vs the exact filtered scan,
+  // and determinism; rows-only here (approximate candidate set).
+  private val x216 = GQuery(
+    "x216_ann_hnsw_filtered",
+    "ext-similarity-ann graph-index filtered-serving",
+    (s, dir) => {
+      val store = storeFor(s, dir)
+      val e = emb(s, dir)
+      val queries = e.where(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qvec"))
+      val allowed = e.where(pmod(col("label"), lit(2)) === 0 &&
+        col("vec_id") =!= 0).select(col("vec_id"))
+      probeHnswFiltered(s, store, queries, allowed, k = 10, ef = 64)
+    },
+    None) // approximate + filtered: gated by FilteredAnnSpec
+
+  val queries: Seq[GQuery] = Seq(x127, x128, x132, x216)
 }

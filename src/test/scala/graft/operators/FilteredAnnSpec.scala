@@ -67,6 +67,44 @@ class FilteredAnnSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  test("x216: filtered HNSW probe — purity, recall vs exact filtered scan, determinism") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sf001, "embeddings")
+    val got = graft.SparkEntry.queries("x216_ann_hnsw_filtered")(spark, sf001)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10, s"top-10, got ${got.length}")
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (id, _) =>
+      assert(labels(id) % 2 == 0 && id != 0L,
+        s"vec $id label ${labels(id)} violates the filter")
+    }
+    // recall vs exact filtered brute force
+    val rows = e.select(col("vec_id"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val q = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = rows.filter { case (id, _) => id != 0L && labels(id) % 2 == 0 }
+      .map { case (id, v) => id -> cos(v, q) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val recall = (got.map(_._1).toSet intersect exact).size / 10.0
+    assert(recall >= 0.9, s"filtered graph recall@10 = $recall")
+    // scored sims are exact cosines of the returned candidates
+    got.foreach { case (id, sim) =>
+      val expect = cos(rows.find(_._1 == id).get._2, q)
+      assert(sim == expect, s"vec $id: sim $sim != exact $expect")
+    }
+    // deterministic across invocations
+    val again = graft.SparkEntry.queries("x216_ann_hnsw_filtered")(spark, sf001)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("x91 registry entry serves even-label top-20 deterministically") {
     val got = graft.SparkEntry.queries("x91_ann_filtered")(spark, sf001).collect()
     assert(got.length == 20, s"top-20, got ${got.length}")
