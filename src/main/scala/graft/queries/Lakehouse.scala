@@ -896,24 +896,34 @@ object Lakehouse {
   // rows keep their key so reprocessing joins back by event_id; reasons
   // concatenate in DECLARED rule order, so the verdict string is
   // deterministic and the whole gate hash-verifies.
+  /** The declared events-table constraint set — ONE definition shared by
+    * the batch gate (x205) and the streaming gate
+    * ([[graft.streaming.ConstraintGateStream]]), so the two can never
+    * drift apart on what "valid" means.
+    */
+  val eventConstraints: Seq[(String, Column)] = Seq(
+    "value_cap" -> (col("value").isNotNull && col("value") <= 300.0),
+    "billable_type" -> col("event_type").isin("view", "click", "purchase", "signup"),
+    "props_k_bound" ->
+      (get_json_object(col("props"), "$.k").cast("long") < 95L))
+
+  /** Adds the `violated` column: the comma-joined names of every failed
+    * rule in DECLARED order ("" = row passes). A NULL rule verdict is a
+    * violation (CHECK semantics: unknown is not valid).
+    */
+  def withViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    df.withColumn("violated",
+      concat_ws(",", rules.map { case (n, p) =>
+        when(!coalesce(p, lit(false)), lit(n))
+      }: _*))
+
   private val x205 = GQuery(
     "x205_write_constraints", "ext-lakehouse write-constraints quarantine",
-    (s, dir) => {
-      val rules: Seq[(String, Column)] = Seq(
-        "value_cap" -> (col("value").isNotNull && col("value") <= 300.0),
-        "billable_type" -> col("event_type").isin("view", "click", "purchase", "signup"),
-        "props_k_bound" ->
-          (get_json_object(col("props"), "$.k").cast("long") < 95L))
-      val verdicts = Tables(s, dir, "events")
-        .withColumn("violated",
-          concat_ws(",", rules.map { case (n, p) =>
-            when(!coalesce(p, lit(false)), lit(n))
-          }: _*))
-      verdicts
+    (s, dir) =>
+      withViolations(Tables(s, dir, "events"), eventConstraints)
         .where(col("violated") =!= "")
         .select(col("event_id"), col("event_type"), col("violated"))
-        .orderBy("event_id")
-    },
+        .orderBy("event_id"),
     Some("""SELECT event_id, event_type,
               concat_ws(',',
                 CASE WHEN NOT coalesce(value IS NOT NULL AND value <= 300.0,
