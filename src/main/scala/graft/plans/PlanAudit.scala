@@ -101,6 +101,33 @@ object PlanAudit {
     out.result()
   }
 
+  /** True when either side of a nested-loop join is PROVABLY at most a
+    * handful of rows: a grouping-free (global) aggregate is exactly one
+    * row, a LocalTableScan carries its literal rows, and a LIMIT bounds
+    * its child. The registry's pervasive `crossJoin(broadcast(bound))`
+    * idiom — a 1-row min/max/count bound fanned onto a fact scan — is a
+    * constant-space broadcast, not a quadratic join, and flagging it
+    * buried the real findings in 50 false positives (observed when the
+    * audit first ran registry-wide in round 9).
+    */
+  private def singleRowSide(j: BroadcastNestedLoopJoinExec): Boolean = {
+    def tiny(p: SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case l: LocalTableScanExec => l.rows.length <= 100
+      case l: org.apache.spark.sql.execution.LocalLimitExec => true
+      case l: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _ if p.children.size == 1 => tiny(p.children.head)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => tiny(q.plan)
+      case _ => false
+    }
+    tiny(j.left) || tiny(j.right)
+  }
+
   def audit(plan: SparkPlan): Report = {
     val nodes = allNodes(plan)
     val out = Seq.newBuilder[Finding]
@@ -108,7 +135,7 @@ object PlanAudit {
     nodes.foreach {
       case c: CartesianProductExec =>
         out += Finding("cartesian", c.simpleString(120))
-      case j: BroadcastNestedLoopJoinExec =>
+      case j: BroadcastNestedLoopJoinExec if !singleRowSide(j) =>
         out += Finding("cartesian", j.simpleString(120))
       case s: FileSourceScanExec
           if s.output.length >= WideScanColumns &&
