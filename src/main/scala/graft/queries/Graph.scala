@@ -994,6 +994,116 @@ object Graph {
                // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_micro
            FROM agg, mm""")))
 
+  /** WEIGHTED co-purchase edges: weight = number of orders containing
+    * both parts (the multiplicity [[copurchaseEdges]] collapses away) —
+    * the affinity-strength graph recommenders actually rank on. Stored
+    * under the same build-once discipline.
+    */
+  private[queries] def weightedEdges(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("pa"), col("parts"))
+      .select(col("pa"), explode(col("parts")).as("pb"))
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+
+  private[queries] def storedWeightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.StoredArtifacts.dir(dir, "copurchase_wedges_v1")
+    if (!graft.StoredArtifacts.ready(store))
+      weightedEdges(lineitem(s, dir)).write.mode("overwrite").parquet(store)
+    s.read.parquet(store)
+  }
+
+  // ------------------------------------------------------------------- x217
+  // WEIGHTED integer PageRank — the rank flows along edge multiplicity
+  // (an edge backed by 5 shared orders carries 5× the rank of a
+  // single-order edge), the form recommendation/influence ranking uses
+  // on real affinity graphs. Same exactness discipline as x124: the
+  // per-edge contribution is (rank · w) div strength with strength =
+  // Σ w over the node's edges — all BIGINT, so the weighted variant
+  // hash-verifies through the same unrolled-CTE oracle. Same 100 TB
+  // shape as [[rankSuperstep]]: chunked WEIGHTED adjacency lists
+  // ((dst, w) structs), hash-partitioned by src once; per superstep the
+  // node-sized rank table shuffles to them and the explode fans
+  // in-pipeline into a map-side-combined sum.
+  private[queries] def weightedPagerank(we: DataFrame, iters: Int): DataFrame =
+    withSuperstepConfs(we.sparkSession, superstepPartitions(we)) {
+      val directed = we.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+        .unionAll(we.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+      val strength = directed.groupBy("src").agg(sum(col("w")).as("strength"))
+      val adj = withoutAqe(we.sparkSession) {
+        directed.join(strength, "src")
+          .withColumn("chunk",
+            pmod(hash(col("dst")),
+              greatest(lit(1), ceil(count(lit(1)).over(
+                org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+                / lit(4096)).cast("int"))))
+          .groupBy(col("src"), col("chunk"))
+          .agg(first(col("strength")).as("strength"),
+            collect_list(struct(col("dst"), col("w"))).as("nbrs"))
+          .repartition(we.sparkSession.sessionState.conf.numShufflePartitions,
+            col("src"))
+          .localCheckpoint(true)
+      }
+      var ranks = strength
+        .select(col("src").as("node"), lit(1000000L).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val next = adj.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+          .select(explode(col("nbrs")).as("e"),
+            col("rank"), col("strength"))
+          .select(col("e.dst").as("dst"),
+            expr("(rank * e.w) div strength").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("c"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + expr("(850 * c) div 1000")).as("rank"))
+          .localCheckpoint(true)
+        dropCheckpoint(ranks)
+        ranks = next
+      }
+      dropCheckpoint(adj)
+      rankedParts(ranks)
+    }
+
+  private def wpagerankOracle(iters: Int): String = {
+    val head =
+      """WITH b AS MATERIALIZED (
+           SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+           FROM lineitem GROUP BY 1),
+         we AS MATERIALIZED (
+           SELECT a.pa AS src, a.pb AS dst, CAST(COUNT(*) AS BIGINT) AS w
+           FROM (
+             SELECT x.l_orderkey, x.l_partkey AS pa, y.l_partkey AS pb
+             FROM lineitem x JOIN lineitem y
+               ON x.l_orderkey = y.l_orderkey
+             WHERE x.l_partkey <> y.l_partkey
+             GROUP BY 1, 2, 3) a
+           GROUP BY 1, 2),
+         st AS MATERIALIZED (
+           SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM we GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM st)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT d.src AS node,
+             150000 + (850 * COALESCE(s.c, 0)) // 1000 AS rank
+           FROM st d LEFT JOIN (
+             SELECT we.dst AS node2,
+               CAST(SUM((r.rank * we.w) // g.strength) AS BIGINT) AS c
+             FROM we JOIN r${i - 1} r ON we.src = r.node
+                    JOIN st g ON g.src = we.src
+             GROUP BY 1) s
+           ON s.node2 = d.src)"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node AS part, CAST(rank AS BIGINT) AS rank_micros FROM r$iters " +
+      "ORDER BY rank_micros DESC, part"
+  }
+
+  private val x217 = GQuery(
+    "x217_weighted_pagerank", "ext-graph weighted-pagerank affinity",
+    (s, dir) => weightedPagerank(storedWeightedEdges(s, dir), iters = 8),
+    Some(wpagerankOracle(8)))
+
   val queries: Seq[GQuery] =
-    Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215)
+    Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215, x217)
 }

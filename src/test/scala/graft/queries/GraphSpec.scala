@@ -156,6 +156,24 @@ class GraphSpec extends SparkSpec {
     assert(qMicro >= -500000L && qMicro <= 1000000L)
   }
 
+  test("x217: weighted pagerank is deterministic and genuinely weight-sensitive") {
+    val w = SparkEntry.queries("x217_weighted_pagerank")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u = Graph.pagerank(li, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keySet == u.keySet, "same node set as the unweighted rank")
+    // every rank respects the teleport floor; mass only shrinks under div
+    assert(w.values.forall(r => r >= 150000L && r <= w.size * 1000000L))
+    // the multiplicity weights must actually MOVE some ranks (a fixture
+    // where every pair co-occurs exactly once would make this vacuous —
+    // GraphSpec's x133 test already proves multi-order pairs exist)
+    assert(w.exists { case (n, r) => u(n) != r },
+      "weighted ranks must differ from unweighted somewhere")
+    val again = SparkEntry.queries("x217_weighted_pagerank")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w == again)
+  }
+
   test("x131: k-core peeling converges within the round budget and is a true 3-core") {
     val core = Graph.kCore(li, k = 3, rounds = 8).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
