@@ -2866,9 +2866,117 @@ object Events {
             SELECT n_pairs, slope_micro AS ts_slope_micro
             FROM r WHERE rn = (n_pairs + 1) // 2"""))
 
+  // ------------------------------------------------------------------- x218
+  // Kaplan–Meier survival — time from a user's FIRST VIEW to FIRST
+  // PURCHASE in whole days, right-censored at the corpus horizon for
+  // users who viewed but never purchased (the product-analytics
+  // "conversion survival curve", and the canonical censored-duration
+  // estimator). The product limit Ŝ(t) = Π (1 − d/n) runs as the x137
+  // sequential-fold discipline with INTEGER micro-rounding per step
+  // (s ← (s·(n−d)) div n), so an estimator that is normally a float
+  // product hash-verifies through a recursive-CTE oracle. Output per
+  // event day: at-risk n, events d, censored c leaving after t, and the
+  // surviving fraction in micros.
+  //
+  // Scale shape: one per-user aggregate (first view / first purchase),
+  // then everything runs on the DURATION-DAY domain (≤ corpus days);
+  // the single-partition fold is domain-sized — the x137/x166 bound.
+  private val x218 = GQuery(
+    "x218_kaplan_meier", "ext-events survival kaplan-meier censored",
+    (s, dir) => {
+      import s.implicits._
+      val perUser = events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view",
+            date_trunc("day", col("ts")).cast("date"))).as("first_view"),
+          min(when(col("event_type") === "purchase",
+            date_trunc("day", col("ts")).cast("date"))).as("first_purchase"))
+        .where(col("first_view").isNotNull)
+      val horizon = events(s, dir)
+        .agg(max(date_trunc("day", col("ts")).cast("date")).as("hmax"))
+      val durations = perUser.crossJoin(broadcast(horizon))
+        .select(
+          when(col("first_purchase").isNotNull &&
+              col("first_purchase") >= col("first_view"),
+            datediff(col("first_purchase"), col("first_view")))
+            .otherwise(datediff(col("hmax"), col("first_view")))
+            .cast("long").as("t"),
+          (col("first_purchase").isNotNull &&
+            col("first_purchase") >= col("first_view")).as("converted"))
+      val byDay = durations.groupBy("t")
+        .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      byDay
+        .withColumn("gone_before",
+          coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+        .withColumn("total", sum(col("d") + col("c")).over(all))
+        .withColumn("n_risk", col("total") - col("gone_before"))
+        .select(col("t"), col("n_risk"), col("d"), col("c"))
+        .as[(Long, Long, Long, Long)]
+        .repartition(1).sortWithinPartitions("t")
+        .mapPartitions { it =>
+          var sMicro = 1000000L
+          it.map { case (t, n, d, c) =>
+            sMicro = sMicro * (n - d) / n
+            (t, n, d, c, sMicro)
+          }
+        }
+        .toDF("t", "n_risk", "d", "c", "s_micro")
+        .orderBy("t")
+    },
+    Some("""WITH RECURSIVE pu AS (
+              SELECT user_id,
+                MIN(CASE WHEN event_type = 'view'
+                  THEN CAST(date_trunc('day', ts) AS DATE) END) AS first_view,
+                MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(date_trunc('day', ts) AS DATE) END) AS first_purchase
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            h AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS hmax
+                  FROM events),
+            dur AS (
+              SELECT CASE WHEN pu.first_purchase IS NOT NULL
+                  AND pu.first_purchase >= pu.first_view
+                THEN CAST(date_diff('day', pu.first_view, pu.first_purchase)
+                  AS BIGINT)
+                ELSE CAST(date_diff('day', pu.first_view, h.hmax) AS BIGINT)
+                END AS t,
+                (pu.first_purchase IS NOT NULL
+                  AND pu.first_purchase >= pu.first_view) AS converted
+              FROM pu, h WHERE pu.first_view IS NOT NULL),
+            byday AS (
+              SELECT t,
+                CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS c
+              FROM dur GROUP BY 1),
+            risk AS (
+              SELECT t, d, c,
+                CAST(SUM(d + c) OVER () AS BIGINT)
+                  - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS n_risk,
+                CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i
+              FROM byday),
+            km(i, t, n_risk, d, c, s_micro) AS (
+              SELECT i, t, n_risk, d, c,
+                (1000000 * (n_risk - d)) // n_risk
+              FROM risk WHERE i = 1
+              UNION ALL
+              SELECT r.i, r.t, r.n_risk, r.d, r.c,
+                (km.s_micro * (r.n_risk - r.d)) // r.n_risk
+              FROM km JOIN risk r ON r.i = km.i + 1)
+            SELECT t, n_risk, d, c, s_micro FROM km ORDER BY t"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206, x208, x211, x213, x214)
+    x206, x208, x211, x213, x214, x218)
 }
