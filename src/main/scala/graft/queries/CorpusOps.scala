@@ -1592,8 +1592,208 @@ object CorpusOps {
                   AS BIGINT) AS target
             FROM r ORDER BY source"""))
 
+  // ------------------------------------------------------------------- x219
+  // Rank-based ROC-AUC (the Mann–Whitney U identity) — the standard
+  // evaluation for any quality-signal threshold choice: here, how well the
+  // x120 lexical-diversity score separates English documents from the rest
+  // of the corpus. AUC = (Σ avg-rank(positives) − n₊(n₊+1)/2) / (n₊·n₋),
+  // with ties carrying the textbook AVERAGE rank. Average ranks can be
+  // half-integers, so everything runs in DOUBLED rank units
+  // (2·avgrank = 2·(below+1) + ties − 1 — integer by construction), and
+  // the final statistic quantizes to micros with one integer division:
+  // engine-exact, hash-verifiable.
+  //
+  // Scale shape: the rank computation never forms a corpus-wide window —
+  // scores quantize to ≤ 1001 integer values, so ranks come from ONE
+  // map-side-combinable aggregate over the score domain plus a
+  // domain-sized cumulative window (the x214 bound: facts never sort).
+  private val x219 = GQuery(
+    "x219_auc_rank", "ext-text quality-signal roc-auc rank-statistic",
+    (s, dir) => {
+      val sc = docs(s, dir).select(
+        (col("lang") === "en").as("pos"),
+        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+          "div size(split(text, ' '))").as("score"))
+      val byScore = sc.groupBy("score").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * (col("below") + 1L) + col("n") - 1L)
+        .agg(sum(col("np")).as("n_pos"),
+          (sum(col("n")) - sum(col("np"))).as("n_neg"),
+          sum(col("np") * col("rank2")).as("r2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("(1000000 * (r2 - n_pos * (n_pos + 1))) " +
+            "div (2 * n_pos * n_neg)").as("auc_micro"))
+    },
+    Some("""WITH sc AS (
+              SELECT (lang = 'en') AS pos,
+                (1000 * len(list_distinct(string_split(text, ' '))))
+                  // len(string_split(text, ' ')) AS score
+              FROM documents),
+            bys AS (
+              SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM sc GROUP BY 1),
+            g AS (
+              SELECT *, COALESCE(CAST(SUM(n) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS below
+              FROM bys),
+            r AS (
+              SELECT np, n, 2 * (below + 1) + n - 1 AS rank2 FROM g),
+            f AS (
+              SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+                CAST(SUM(np * rank2) AS BIGINT) AS r2
+              FROM r)
+            SELECT n_pos, n_neg,
+              (1000000 * (r2 - n_pos * (n_pos + 1)))
+                // (2 * n_pos * n_neg) AS auc_micro
+            FROM f"""))
+
+  // ------------------------------------------------------------------- x222
+  // Cohen's kappa — chance-corrected agreement between two independent
+  // quality raters, the standard check before trusting any single heuristic
+  // (two filters that agree no better than chance are not measuring the
+  // same thing). Rater A: lexical diversity (x120's ttr_milli >= 500);
+  // rater B: document length (>= 55 tokens). κ = (p_o − p_e)/(1 − p_e)
+  // clears denominators to κ_micro = ((a+d)·n − pe_num)·10⁶ div
+  // (n² − pe_num) with pe_num = (a+b)(a+c) + (c+d)(b+d) — all integer
+  // (n² ≤ 9·10¹⁸ holds to n = 3·10⁹ documents; beyond that the same
+  // identity runs in DECIMAL(38,0)).
+  //
+  // Scale shape: one map-side-combinable 4-counter aggregate; nothing else.
+  private val x222 = GQuery(
+    "x222_cohens_kappa", "ext-text rater-agreement cohens-kappa",
+    (s, dir) => {
+      val rated = docs(s, dir).select(
+        (expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+          "div size(split(text, ' '))") >= 500L).as("ra"),
+        (size(split(col("text"), " ")) >= 55).as("rb"))
+      rated.agg(
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          expr("((a + d) * (a + b + c + d) " +
+            "- ((a + b) * (a + c) + (c + d) * (b + d))) * 1000000 " +
+            "div ((a + b + c + d) * (a + b + c + d) " +
+            "- ((a + b) * (a + c) + (c + d) * (b + d)))").as("kappa_micro"))
+    },
+    Some("""WITH rated AS (
+              SELECT
+                ((1000 * len(list_distinct(string_split(text, ' '))))
+                  // len(string_split(text, ' ')) >= 500) AS ra,
+                (len(string_split(text, ' ')) >= 55) AS rb
+              FROM documents),
+            cm AS (
+              SELECT
+                CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS d
+              FROM rated)
+            SELECT a, b, c, d,
+              ((a + d) * (a + b + c + d)
+                - ((a + b) * (a + c) + (c + d) * (b + d))) * 1000000
+                // ((a + b + c + d) * (a + b + c + d)
+                  - ((a + b) * (a + c) + (c + d) * (b + d))) AS kappa_micro
+            FROM cm"""))
+
+  // ------------------------------------------------------------------- x223
+  // k-anonymity census — the privacy-side curation audit: under the
+  // quasi-identifier (lang, source, length-bucket), how many documents sit
+  // in groups small enough to re-identify? Reports group and row counts per
+  // k-band; the k=1 band is the release blocker. Pure integer group-bys.
+  //
+  // Scale shape: one QI aggregate (map-side combinable), one band
+  // aggregate over the GROUP table — the fact table is touched once.
+  private val x223 = GQuery(
+    "x223_k_anonymity", "ext-docs privacy k-anonymity census",
+    (s, dir) => {
+      val groups = docs(s, dir)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("k"))
+      groups
+        .groupBy(when(col("k") === 1L, "1")
+          .when(col("k") <= 4L, "2-4")
+          .when(col("k") <= 9L, "5-9")
+          .otherwise("10+").as("k_band"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_docs"))
+        .orderBy("k_band")
+    },
+    Some("""WITH g AS (
+              SELECT lang, source, n_chars // 100 AS len_bucket,
+                CAST(COUNT(*) AS BIGINT) AS k
+              FROM documents GROUP BY 1, 2, 3),
+            b AS (
+              SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+                WHEN k <= 9 THEN '5-9' ELSE '10+' END AS k_band, k
+              FROM g)
+            SELECT k_band, CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(k) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x226
+  // Balanced shard packing — assign documents to a fixed shard count so
+  // per-shard token totals equalize: sort by token count descending and
+  // deal boustrophedon (serpentine: 0..7, then 7..0, ...), the classic
+  // greedy guarantee for balanced static partitioning of known sizes.
+  // This is the assignment step behind every fixed-budget training-shard
+  // build (x43's deterministic sharding balances COUNTS; this balances
+  // TOKEN MASS).
+  //
+  // Scale shape: the global rank never runs as one corpus-wide window —
+  // token counts quantize to ≤ 1000 values, so rank = domain-cumulative
+  // offset (tiny window over the count DOMAIN) + row_number within the
+  // count's partition (parallel window, partition-sized). Output is
+  // shard-level: 8 rows.
+  private val x226 = GQuery(
+    "x226_shard_packing", "ext-docs shard-assignment balanced boustrophedon",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val dom = d.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("n_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      d.join(dom, "n_tok")
+        .withColumn("r", col("offset")
+          + row_number().over(
+            Window.partitionBy("n_tok").orderBy("doc_id")).cast("long") - 1L)
+        .withColumn("shard",
+          when(expr("(r div 8) % 2") === 0L, expr("r % 8"))
+            .otherwise(expr("7 - (r % 8)")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+        .orderBy("shard")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            r AS (
+              SELECT n_tok,
+                CAST(ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id)
+                  AS BIGINT) - 1 AS r
+              FROM d),
+            a AS (
+              SELECT n_tok,
+                CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END
+                  AS shard
+              FROM r)
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS tok_total
+            FROM a GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176, x191, x202)
+      x176, x191, x202, x219, x222, x223, x226)
 }

@@ -463,6 +463,76 @@ object Dedup {
     },
     None) // hash-seeded algorithm: gated by DedupSpec row identity with x52
 
+  // EXACT all-pairs near-dup join via prefix filtering (Chaudhuri et al.
+  // ICDE'06; Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity
+  // Search", WWW'07) — the lossless counterpart to x03's probabilistic LSH:
+  // every document pair with word-3-shingle Jaccard >= 0.8 is returned, no
+  // recall gap, WITHOUT forming the quadratic pair space. Correctness of
+  // the filter: J(x,y) >= t implies |x ∩ y| >= t·max(|x|,|y|) (intersection
+  // over a union that is at least the larger set), so under any one global
+  // total order of the shingle vocabulary, x and y must collide inside
+  // their first n − ceil(t·n) + 1 shingles — the "prefix". Candidates are
+  // generated by an equi-join on prefix-shingle postings only; rarest-first
+  // ordering (ascending document frequency) makes those postings the
+  // shortest available, bounding both candidate count and join skew.
+  //
+  // Scale shape: one df aggregate (vocab-sized), one posting self-join
+  // keyed on prefix shingles (output bounded by true-near-dup density, not
+  // n²), a size filter (5·min >= 4·max — necessary for J >= 4/5), then one
+  // verify join that walks the two sorted hash sets (JaccardLongs merge).
+  // Text never shuffles; sets shuffle once into the verify. At 100 TB this
+  // is the published production algorithm for exact-threshold dedup.
+  //
+  // The sf0.01 oracle is the brute-force all-pairs definition (125k pairs —
+  // fine in DuckDB at verify scale); the Spark plan never materializes it.
+  private val x225 = GQuery(
+    "x225_allpairs_prefix_join", "ext-dedup-fuzzy all-pairs prefix-filter exact",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sets = docs(s, dir).select(col("doc_id"),
+          array_sort(array_distinct(
+            HashFunctions.shingleHashes(split(col("text"), " "), 3))).as("sh"))
+        .withColumn("n", size(col("sh")).cast("long"))
+        .localCheckpoint(true) // reused by postings + both verify sides
+      val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      // prefix = the n − ceil(0.8·n) + 1 rarest shingles; ceil(4n/5) as
+      // (4n + 4) div 5 keeps the bound exact in integers
+      val prefix = postings.join(dfTab, "s")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .where(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("s"), col("doc_id"), col("n"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .where(least(col("a.n"), col("b.n")) * 5 >=
+          greatest(col("a.n"), col("b.n")) * 4)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          HashFunctions.jaccardLongs(col("sa"), col("sb")).as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM t)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+                AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)))
+                >= 0.8
+            ORDER BY a_id, b_id"""))
+
   val queries: Seq[GQuery] =
-    Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102)
+    Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225)
 }

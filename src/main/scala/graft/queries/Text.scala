@@ -1405,8 +1405,46 @@ object Text {
               AND p2.term = q.t2
             GROUP BY 1, 2, 3 ORDER BY p1.doc_id"""))
 
+  // ------------------------------------------------------------------- x224
+  // Term burstiness (Church & Gale 1995): collection frequency over
+  // document frequency — a term that appears 3× in few documents (cf/df
+  // high) is "bursty"/topical; a term spread thinly everywhere (cf/df → 1)
+  // is function-word-like. The signal IDF misses: two terms with equal df
+  // can differ hugely in within-doc clumping, and burstiness is the
+  // standard stopword/keyword discriminator layered onto x45's TF-IDF.
+  // Integer milli-ratio, exact in both engines.
+  //
+  // Scale shape: the explode pre-aggregates per (term, doc) BEFORE the
+  // global term rollup, so the wide shuffle carries one row per distinct
+  // (term, doc) — map-side combinable both levels; output is vocab-sized.
+  private val x224 = GQuery(
+    "x224_term_burstiness", "ext-text burstiness cf-over-df",
+    (s, dir) => {
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      perDoc
+        .groupBy(col("term"))
+        .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+        .withColumn("burst_milli", expr("(1000 * cf) div df"))
+        .orderBy(col("burst_milli").desc, col("term"))
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            pd AS (
+              SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2)
+            SELECT term, CAST(SUM(c) AS BIGINT) AS cf,
+              CAST(COUNT(*) AS BIGINT) AS df,
+              (1000 * CAST(SUM(c) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+                AS burst_milli
+            FROM pd GROUP BY 1
+            ORDER BY burst_milli DESC, term"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138, x173, x207)
+      x110, x113, x138, x173, x207, x224)
 }

@@ -561,6 +561,111 @@ object TpchMore {
                 AS share_milli
             FROM k GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x220
+  // Gini coefficient of customer-revenue concentration per market segment —
+  // the standard inequality statistic (G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx)
+  // over ascending-sorted xᵢ), reported in exact integer micros. Revenue
+  // follows x212's decimal-cents discipline; the sorted index i is
+  // tie-robust (equal xᵢ swap i without changing Σ i·xᵢ). The ×10⁶
+  // numerator can cross 2⁶³ at warehouse scale, so that one product runs
+  // in DECIMAL(38,0) (HUGEINT on the oracle side) before the integral
+  // divide back to BIGINT.
+  //
+  // Scale shape: one fact aggregate to the customer dimension, a
+  // per-segment rank window over the CUSTOMER table (dimension-sized —
+  // the x212 bound), then a 5-row rollup.
+  private val x220 = GQuery(
+    "x220_gini_concentration", "ext-analytics inequality gini-index",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val custRev = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(12, 2))) * 100)
+          .cast("long").as("cents"))
+      val w = Window.partitionBy("segment")
+        .orderBy(col("cents"), col("c_custkey"))
+      custRev
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(expr("i * cents")).as("six"))
+        .select(col("segment"), col("n"), col("sx"),
+          expr("cast((cast(2 * six - (n + 1) * sx as decimal(38,0)) " +
+            "* 1000000) div (n * sx) as bigint)").as("gini_micro"))
+        .orderBy("segment")
+    },
+    Some("""WITH cr AS (
+              SELECT c.c_mktsegment AS segment, c.c_custkey,
+                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100
+                  AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2),
+            r AS (
+              SELECT segment, cents,
+                CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                  ORDER BY cents, c_custkey) AS BIGINT) AS i
+              FROM cr),
+            g AS (
+              SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cents) AS BIGINT) AS sx,
+                CAST(SUM(i * cents) AS BIGINT) AS six
+              FROM r GROUP BY 1)
+            SELECT segment, n, sx,
+              CAST((CAST(2 * six - (n + 1) * sx AS HUGEINT) * 1000000)
+                // (n * sx) AS BIGINT) AS gini_micro
+            FROM g ORDER BY segment"""))
+
+  // ------------------------------------------------------------------- x221
+  // Herfindahl–Hirschman concentration of supplier revenue within each
+  // nation — the antitrust-standard market-concentration index. Shares
+  // quantize to exact integer BASIS POINTS first ((x·10⁴) div X), then
+  // HHI = Σ s_bp² — the classic 0–10⁸ scale (10⁸ = monopoly), integer end
+  // to end, so a normally-float index hash-verifies. Quantizing before
+  // squaring is the same determinism trade the engine's micro-rounding
+  // discipline makes everywhere (documented bias < 2·10⁻⁴ of full scale).
+  //
+  // Scale shape: one fact aggregate to the supplier dimension, one
+  // nation-total window over the SUPPLIER table, one 25-row rollup.
+  private val x221 = GQuery(
+    "x221_hhi_concentration", "ext-analytics market-concentration hhi",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val supRev = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("l_suppkey"), col("cents"))
+      supRev
+        .withColumn("nat_total", sum(col("cents")).over(
+          Window.partitionBy(col("n_name"))))
+        .withColumn("s_bp", expr("(cents * 10000) div nat_total"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(expr("s_bp * s_bp")).as("hhi_bp2"))
+        .orderBy("n_name")
+    },
+    Some("""WITH sr AS (
+              SELECT n.n_name, l.l_suppkey,
+                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              GROUP BY 1, 2),
+            sh AS (
+              SELECT n_name,
+                (cents * 10000)
+                  // CAST(SUM(cents) OVER (PARTITION BY n_name) AS BIGINT)
+                  AS s_bp
+              FROM sr)
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+              CAST(SUM(s_bp * s_bp) AS BIGINT) AS hhi_bp2
+            FROM sh GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
-    Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212)
+    Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
+      x220, x221)
 }

@@ -189,4 +189,30 @@ class DedupSpec extends SparkSpec {
     assert(scans.forall(_.metadata.get("Location").exists(_.contains("graft_artifacts"))),
       s"standing side must come from the stored index:\n${scans.map(_.metadata.get("Location"))}")
   }
+
+  test("x225 prefix-filter join is LOSSLESS: equals brute-force all-pairs at sf0.001") {
+    // the oracle already pins this at sf0.01; this pins it at a second
+    // corpus (different shingle-df distribution) and keeps the guarantee
+    // under local refactors of the prefix-length arithmetic
+    import graft.functions.HashFunctions
+    val sets = Tables(spark, sf001, "documents").select(col("doc_id"),
+      array_sort(array_distinct(
+        HashFunctions.shingleHashes(split(col("text"), " "), 3))).as("sh"))
+    val brute = sets.as("a")
+      .join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        HashFunctions.jaccardLongs(col("a.sh"), col("b.sh")).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+    val fast = SparkEntry.queries("x225_allpairs_prefix_join")(spark, sf001)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      "prefix filtering must return exactly the brute-force pair set")
+    assert(fast.count() > 0, "fixture should contain near-dup pairs")
+  }
+
+  test("x225 candidate generation is an equi-join on prefix shingles, not a product") {
+    val df = SparkEntry.queries("x225_allpairs_prefix_join")(spark, sf001)
+    val nodes = graft.SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.nodeName.contains("CartesianProduct")),
+      "candidates must come from the posting equi-join")
+  }
 }
