@@ -2974,9 +2974,74 @@ object Events {
               FROM km JOIN risk r ON r.i = km.i + 1)
             SELECT t, n_risk, d, c, s_micro FROM km ORDER BY t"""))
 
+  // ------------------------------------------------------------------- x228
+  // Mann–Kendall trend test — the nonparametric SIGNIFICANCE companion to
+  // x214's Theil–Sen slope (Sen estimates the trend, Mann–Kendall tests
+  // whether it exists): S = Σ_{i<j} sign(y_j − y_i) over the daily series,
+  // tie-corrected variance Var(S)·18 kept as the exact integer
+  // n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the continuity-corrected
+  // z-statistic quantized to millis through the x202 round-after-sqrt
+  // discipline (IEEE sqrt/division are correctly rounded, so both engines
+  // produce the identical double before the one round).
+  //
+  // Scale shape: the sign lattice is DAY-DOMAIN pairs over the daily
+  // aggregate (the x214 bound — facts never pair); ties come from one
+  // further aggregate over the same domain; the combine is three 1-row
+  // frames.
+  private val x228 = GQuery(
+    "x228_mann_kendall", "ext-events trend-test mann-kendall",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(true) // three aggregates read the day domain
+      val sRow = daily.as("a").join(daily.as("b"), col("b.day") > col("a.day"))
+        .agg(sum(when(col("b.y") > col("a.y"), 1L)
+          .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s_stat"))
+      val nRow = daily.agg(count(lit(1)).as("n_days"))
+      val tieRow = daily.groupBy("y").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tsum"))
+      sRow.crossJoin(broadcast(nRow)).crossJoin(broadcast(tieRow))
+        .withColumn("var18",
+          expr("n_days * (n_days - 1) * (2 * n_days + 5) - tsum"))
+        .select(col("n_days"), col("s_stat"), col("var18"),
+          when(col("s_stat") > 0,
+            expr("cast(round((s_stat - 1) / sqrt(var18 / 18.0) * 1000, 0) as bigint)"))
+            .when(col("s_stat") < 0,
+              expr("cast(round((s_stat + 1) / sqrt(var18 / 18.0) * 1000, 0) as bigint)"))
+            .otherwise(lit(0L)).as("z_milli"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            sp AS (
+              SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+              FROM daily a JOIN daily b ON b.day > a.day),
+            np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+            tp AS (
+              SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT),
+                0) AS tsum
+              FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                    FROM daily GROUP BY y)),
+            v AS (
+              SELECT n_days, s_stat,
+                n_days * (n_days - 1) * (2 * n_days + 5) - tsum AS var18
+              FROM sp, np, tp)
+            SELECT n_days, s_stat, var18,
+              CASE WHEN s_stat > 0 THEN
+                CAST(round((s_stat - 1) / sqrt(var18 / 18.0) * 1000, 0)
+                  AS BIGINT)
+              WHEN s_stat < 0 THEN
+                CAST(round((s_stat + 1) / sqrt(var18 / 18.0) * 1000, 0)
+                  AS BIGINT)
+              ELSE 0 END AS z_milli
+            FROM v"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206, x208, x211, x213, x214, x218)
+    x206, x208, x211, x213, x214, x218, x228)
 }

@@ -209,6 +209,31 @@ class DedupSpec extends SparkSpec {
     assert(fast.count() > 0, "fixture should contain near-dup pairs")
   }
 
+  test("x227 incremental prefix join: equals brute batch x standing, standing read from the index") {
+    import graft.functions.HashFunctions
+    val fast = SparkEntry.queries("x227_allpairs_incremental")(spark, sf001)
+    val got = fast.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Tables(spark, sf001, "documents").select(col("doc_id"),
+      col("source"), array_sort(array_distinct(
+        HashFunctions.shingleHashes(split(col("text"), " "), 3))).as("sh"))
+    val brute = sets.where(col("source") === "src0").as("b")
+      .join(sets.where(col("source") =!= "src0").as("t"), lit(true))
+      .select(col("b.doc_id").as("batch_id"), col("t.doc_id").as("standing_id"),
+        HashFunctions.jaccardLongs(col("b.sh"), col("t.sh")).as("j"))
+      .where(col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, "incremental prefix filter must be lossless over batch x standing")
+    assert(got.nonEmpty, "fixture should contain cross-boundary near-dups")
+    // the probe must serve the standing side from the stored artifact: the
+    // only file scans in the probe plan are artifact reads (batch text
+    // sits behind its localCheckpoint)
+    val scans = graft.SparkSpec.allPlanNodes(fast.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected stored-index scans in the probe plan")
+    assert(scans.forall(_.metadata.get("Location").exists(_.contains("graft_artifacts"))),
+      s"standing side must come from the stored index:\n${scans.map(_.metadata.get("Location"))}")
+  }
+
   test("x225 candidate generation is an equi-join on prefix shingles, not a product") {
     val df = SparkEntry.queries("x225_allpairs_prefix_join")(spark, sf001)
     val nodes = graft.SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
