@@ -488,7 +488,7 @@ object Dedup {
   /** Per-doc sorted distinct word-3-shingle hash sets — the shared input of
     * the exact prefix-filter joins (x225 full, x227 incremental).
     */
-  private[queries] def shingleSets(d: DataFrame): DataFrame =
+  private[graft] def shingleSets(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
         array_sort(array_distinct(
           HashFunctions.shingleHashes(split(col("text"), " "), 3))).as("sh"))
@@ -503,7 +503,7 @@ object Dedup {
     * incremental probe, where a batch-only shingle cannot collide with
     * any standing posting anyway.
     */
-  private def prefixPostings(postings: DataFrame, dfTab: DataFrame): DataFrame = {
+  private[graft] def prefixPostings(postings: DataFrame, dfTab: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     postings.join(dfTab, Seq("s"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
@@ -574,17 +574,13 @@ object Dedup {
     * sides' prefixes use the SAME total order (standing df, shingle);
     * a batch-only shingle defaults to df = 0 and collides with nothing.
     */
-  def probeAllPairsIndex(batch: DataFrame, indexDir: String): DataFrame = {
-    val s = batch.sparkSession
-    // array_compact: parquet read-back loses containsNull=false (the x66
-    // note) — a semantic no-op here that restores JaccardLongs' contract
-    val standSets = s.read.parquet(s"$indexDir/sets")
-      .select(col("doc_id"), array_compact(col("sh")).as("sh"))
-    val standDf = s.read.parquet(s"$indexDir/df")
-    val standPrefix = s.read.parquet(s"$indexDir/prefix")
-    val bsets = shingleSets(batch).localCheckpoint(true)
-    val bpost = bsets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-    val bprefix = prefixPostings(bpost, standDf)
+  /** The probe's candidate + verify joins over ALREADY-PREFIXED sides —
+    * shared by the stored-artifact probe (x227) and the streaming ingest
+    * ([[graft.streaming.DedupIngestStream]]). Both set columns must be
+    * sorted distinct array<long> with non-nullable elements.
+    */
+  private[graft] def probeJoin(bsets: DataFrame, bprefix: DataFrame,
+      standSets: DataFrame, standPrefix: DataFrame): DataFrame = {
     val cand = bprefix
       .select(col("s"), col("doc_id").as("b_doc"), col("n").as("bn"))
       .join(standPrefix
@@ -599,6 +595,20 @@ object Dedup {
         HashFunctions.jaccardLongs(col("bsh"), col("tsh")).as("jaccard"))
       .where(col("jaccard") >= 0.8)
       .orderBy("batch_id", "standing_id")
+  }
+
+  def probeAllPairsIndex(batch: DataFrame, indexDir: String): DataFrame = {
+    val s = batch.sparkSession
+    // array_compact: parquet read-back loses containsNull=false (the x66
+    // note) — a semantic no-op here that restores JaccardLongs' contract
+    val standSets = s.read.parquet(s"$indexDir/sets")
+      .select(col("doc_id"), array_compact(col("sh")).as("sh"))
+    val standDf = s.read.parquet(s"$indexDir/df")
+    val standPrefix = s.read.parquet(s"$indexDir/prefix")
+    val bsets = shingleSets(batch).localCheckpoint(true)
+    val bpost = bsets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val bprefix = prefixPostings(bpost, standDf)
+    probeJoin(bsets, bprefix, standSets, standPrefix)
   }
 
   // Incremental exact near-dup join — x225's lossless guarantee at x66's
