@@ -611,6 +611,27 @@ object Dedup {
     probeJoin(bsets, bprefix, standSets, standPrefix)
   }
 
+  /** SQL serving surface for the exact near-dup tier — the
+    * HnswAnn.sqlRegister contract on the stored posting index: registers
+    * `<prefix>_pairs` whose plan references `docsTable` LAZILY, so every
+    * SELECT re-reads the query table's current rows with no
+    * re-registration (no checkpoint anywhere in the registered plan).
+    * A SQL user gets the same lossless >= 0.8-Jaccard pairs the Scala
+    * probe returns, served from the same artifact.
+    */
+  def sqlRegister(s: SparkSession, indexDir: String, prefix: String,
+      docsTable: String): Unit = {
+    val batch = s.table(docsTable)
+    val standSets = s.read.parquet(s"$indexDir/sets")
+      .select(col("doc_id"), array_compact(col("sh")).as("sh"))
+    val standDf = s.read.parquet(s"$indexDir/df")
+    val standPrefix = s.read.parquet(s"$indexDir/prefix")
+    val bsets = shingleSets(batch)
+    val bpost = bsets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    probeJoin(bsets, prefixPostings(bpost, standDf), standSets, standPrefix)
+      .createOrReplaceTempView(s"${prefix}_pairs")
+  }
+
   // Incremental exact near-dup join — x225's lossless guarantee at x66's
   // ingest cost model: the standing corpus (source != src0) is indexed
   // ONCE (sets + df + prefix postings, a stored-artifact generation) and

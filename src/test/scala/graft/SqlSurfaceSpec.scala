@@ -355,4 +355,43 @@ class SqlSurfaceSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(sqlRows == naive && sqlRows.nonEmpty)
   }
+
+  test("SQL probe through the near-dup posting index == Scala probe, lazily re-resolved") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sqldedup")
+    val idx = base.resolve("postings").toString
+    try {
+      val d = Tables(spark, sf001, "documents")
+      graft.queries.Dedup.writeAllPairsIndex(
+        d.where(org.apache.spark.sql.functions.col("source") =!= "src0"), idx)
+      val batchDir = base.resolve("batch").toString
+      d.where(org.apache.spark.sql.functions.col("source") === "src0" &&
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+        .write.parquet(batchDir)
+      spark.read.parquet(batchDir).createOrReplaceTempView("dedup_batch")
+      graft.queries.Dedup.sqlRegister(spark, idx, "dd", "dedup_batch")
+      val viaSql = spark.sql(
+        "SELECT batch_id, standing_id FROM dd_pairs ORDER BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val viaScala = graft.queries.Dedup
+        .probeAllPairsIndex(spark.table("dedup_batch"), idx)
+        .select("batch_id", "standing_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaSql == viaScala,
+        "SQL near-dup probe must be row-identical to the Scala probe")
+      // laziness: rows landing in the query table's backing files appear
+      // at the NEXT select with no re-registration
+      d.where(org.apache.spark.sql.functions.col("source") === "src0" &&
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .write.mode("append").parquet(batchDir)
+      spark.catalog.refreshByPath(batchDir)
+      val grown = spark.sql("SELECT COUNT(DISTINCT batch_id) FROM dd_pairs")
+        .head().getLong(0)
+      val full = graft.queries.Dedup
+        .probeAllPairsIndex(spark.read.parquet(batchDir), idx)
+        .select("batch_id").distinct().count()
+      assert(grown == full, "registered view must re-resolve the grown batch")
+    } finally graft.StoredArtifacts.deleteTree(base.toString)
+  }
 }
