@@ -946,7 +946,68 @@ object Lakehouse {
                     FALSE) THEN 'props_k_bound' END) <> ''
             ORDER BY event_id"""))
 
+  // ------------------------------------------------------------------- x229
+  // Merge-on-read POSITION deletes (deletion vectors) — the Iceberg-v2 /
+  // Delta-DV row-level delete that every lakehouse needs at 100 TB:
+  // deleting rows must not rewrite multi-GB data files, so deletes land
+  // as a tiny (file, row-position) sidecar and the READ path subtracts
+  // them. Rows are identified purely by physical position
+  // (`_metadata.file_path`, `_metadata.row_index` — Spark's native scan
+  // metadata), never by re-evaluating the delete predicate: the serving
+  // scan works even after the predicate's columns are gone. The sidecar
+  // anti-join is file+pos keyed and DV-sized, so the planner broadcasts
+  // it (LakehouseSkipSpec pins that plus the no-rewrite property);
+  // compaction (x181's job) is where DVs eventually fold into rewritten
+  // files.
+  private val DvEvery = 10L
+
+  /** Build (once) the multi-file layout and its position-delete sidecar
+    * (every DvEvery-th doc deleted); returns (layoutDir, dvDir).
+    */
+  def ensureDeletionVectors(s: SparkSession, dir: String): (String, String) = {
+    val layout = graft.StoredArtifacts.dir(dir, "dv_documents_v1")
+    val dvP = graft.StoredArtifacts.dir(dir, "dv_documents_deletes_v1")
+    if (!graft.StoredArtifacts.ready(layout) ||
+        !graft.StoredArtifacts.ready(dvP)) {
+      Tables(s, dir, "documents")
+        .repartitionByRange(ZoneShards, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(layout)
+      s.read.parquet(layout)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"), col("doc_id"))
+        .where(col("doc_id") % DvEvery === 0)
+        .select("file", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(dvP)
+    }
+    (layout, dvP)
+  }
+
+  /** The merge-on-read serving scan: data files minus the sidecar's
+    * positions — one broadcast anti-join, no predicate re-evaluation.
+    */
+  def readWithDeletes(s: SparkSession, layout: String, dvDir: String): DataFrame =
+    s.read.parquet(layout)
+      .withColumn("file", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .join(s.read.parquet(dvDir), Seq("file", "pos"), "left_anti")
+      .drop("file", "pos")
+
+  private val x229 = GQuery(
+    "x229_deletion_vectors", "ext-lakehouse merge-on-read position-deletes",
+    (s, dir) => {
+      val (layout, dv) = ensureDeletionVectors(s, dir)
+      readWithDeletes(s, layout, dv)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE doc_id % 10 <> 0
+            GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190, x199, x205)
+      x185, x190, x199, x205, x229)
 }

@@ -116,6 +116,31 @@ class LakehouseSkipSpec extends SparkSpec {
     assert(served == naive)
   }
 
+  test("x229: deletion vectors subtract rows positionally, without rewriting data files") {
+    val (layout, dvP) = Lakehouse.ensureDeletionVectors(spark, sf001)
+    val dataFiles = new java.io.File(layout).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    assert(dataFiles.size > 1, "layout must be multi-file")
+    val dv = spark.read.parquet(dvP)
+    assert(dv.columns.toSeq == Seq("file", "pos"),
+      "the sidecar must identify rows by position only (no data columns)")
+    val served = Lakehouse.readWithDeletes(spark, layout, dvP)
+    // every deleted position is absent, everything else survives
+    assert(served.where(col("doc_id") % 10 === 0).count() == 0L)
+    assert(served.count() ==
+      spark.read.parquet(layout).count() - dv.count())
+    // merge-on-read: applying deletes modified NO data file
+    val after = new java.io.File(layout).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    assert(after == dataFiles, "serving with DVs must not rewrite data files")
+    // the DV-sized sidecar broadcasts: the anti-join must not shuffle the
+    // data side on (file, pos)
+    served.collect()
+    val nodes = graft.SparkSpec.allPlanNodes(served.queryExecution.executedPlan)
+    assert(nodes.exists(n => n.nodeName.contains("BroadcastHashJoin")),
+      s"expected a broadcast anti-join:\n${served.queryExecution.executedPlan}")
+  }
+
   test("x176: shard-merge equals direct bottom-k with exact size per source") {
     val rows = SparkEntry.queries("x176_bottomk_sample")(spark, sf001).collect()
     assert(rows.nonEmpty)
