@@ -599,6 +599,95 @@ case class UnigramSegment(child: Expression, pieces: Seq[String],
     copy(child = newChild)
 }
 
+/** WordPiece segmentation (Wu et al. 2016; the BERT tokenizer): GREEDY
+  * longest-match-first against a two-part vocabulary — word-INITIAL
+  * pieces at position 0, CONTINUATION pieces (rendered with the standard
+  * `##` prefix) thereafter. The third production tokenizer family next to
+  * BPE (merge-order replay) and unigram-LM (Viterbi): same word in, a
+  * maximal-munch segmentation out. A position with no vocabulary match
+  * maps the WHOLE word to `[UNK]` — BERT's behavior — though vocabularies
+  * built by [[graft.operators.WordPiece]] include every single character
+  * in both parts, so the branch is a safety net there.
+  *
+  * Literal vocabulary inside the expression node (the [[UnigramSegment]]
+  * discipline): one kernel call segments a whole word column with no join
+  * against a vocab table, which is what lets x230 run the fertility
+  * harness at scan speed over the distinct-word vocabulary.
+  */
+case class WordPieceSegment(child: Expression, initPieces: Seq[String],
+    contPieces: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_segment"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType
+        if (initPieces ++ contPieces).exists(p => p == null || p.isEmpty) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: pieces must be non-null, non-empty strings")
+    case StringType if initPieces.isEmpty =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: the initial-piece vocabulary must be non-empty")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: word must be string, got ${other.simpleString(10)}")
+  }
+
+  @transient private lazy val initSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](); initPieces.foreach(s.add); s
+  }
+  @transient private lazy val contSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](); contPieces.foreach(s.add); s
+  }
+  @transient private lazy val maxInitCp: Int =
+    initPieces.map(p => p.codePointCount(0, p.length)).max
+  @transient private lazy val maxContCp: Int =
+    if (contPieces.isEmpty) 1
+    else contPieces.map(p => p.codePointCount(0, p.length)).max
+
+  private val Unk = org.apache.spark.unsafe.types.UTF8String.fromString("[UNK]")
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    if (word.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val cps = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf.toArray
+    }
+    val n = cps.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    while (pos < n) {
+      val atStart = pos == 0
+      val set = if (atStart) initSet else contSet
+      val maxCp = if (atStart) maxInitCp else maxContCp
+      var len = math.min(maxCp, n - pos)
+      var hit: String = null
+      while (len >= 1 && hit == null) {
+        val cand = cps.slice(pos, pos + len).mkString
+        if (set.contains(cand)) hit = cand else len -= 1
+      }
+      if (hit == null)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](Unk))
+      out += org.apache.spark.unsafe.types.UTF8String
+        .fromString(if (atStart) hit else "##" + hit)
+      pos += len
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceSegment =
+    copy(child = newChild)
+}
+
 /** Membership test against a BROADCAST Bloom filter — the native form of
   * the classic `udf((x: Long) => bc.value.mightContainLong(x))` pattern
   * (x39's sketch-side decontamination). Spark's public surface exposes no
@@ -816,6 +905,14 @@ object HashFunctions {
   def unigramSegment(word: Column, pieces: Seq[String],
       logProbs: Seq[Double]): Column =
     ColumnGlue.column(UnigramSegment(ColumnGlue.expression(word), pieces, logProbs))
+
+  /** Column API for [[WordPieceSegment]]: greedy longest-match WordPiece
+    * under a literal two-part vocabulary.
+    */
+  def wordPieceSegment(word: Column, initPieces: Seq[String],
+      contPieces: Seq[String]): Column =
+    ColumnGlue.column(WordPieceSegment(ColumnGlue.expression(word),
+      initPieces, contPieces))
 
   /** Column API for [[NfcNormalize]]: Unicode canonical composition. */
   def nfcNormalize(s: Column): Column =

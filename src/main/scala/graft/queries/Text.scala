@@ -1233,6 +1233,48 @@ object Text {
     },
     None) // iterative driver-coordinated trainer: gated by UnigramSpec
 
+  /** [[tokenizerFertility]] for a WordPiece two-part vocabulary — the
+    * THIRD family through the same rollup, so BPE (x101), unigram (x113)
+    * and WordPiece (x230) report directly comparable rows.
+    */
+  def wordPieceFertility(d: DataFrame,
+      vocab: graft.operators.WordPiece.WpVocab): DataFrame = {
+    import graft.operators.WordPiece
+    val words = fertilityWords(d)
+    val wv = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val seg = WordPiece.segmentVocab(wv, "word", vocab)
+      .select(col("word"), length(col("word")).cast("long").as("n_chars"),
+        size(col("pieces")).cast("long").as("n_syms"))
+    fertilityRollup(words, seg)
+  }
+
+  // WordPiece (greedy longest-match, graft.operators.WordPiece) measured
+  // through x101's fertility harness — the tokenizer triad complete, all
+  // three families through identical rollup arithmetic. The two-part
+  // vocabulary derives from the engine's own BPE inventory (first-touch
+  // stored artifact); WordPieceSpec gates maximal-munch correctness,
+  // round-trip, zero-UNK coverage, and the cross-family comparison.
+  private val x230 = GQuery(
+    "x230_wordpiece_fertility",
+    "ext-text vocab-eval stored-artifact custom-expression",
+    (s, dir) => {
+      import graft.operators.{Bpe, WordPiece}
+      val store = graft.StoredArtifacts.dir(dir, "wordpiece_vocab_v1")
+      if (!graft.StoredArtifacts.ready(store)) {
+        val vocab = docs(s, dir)
+          .select(explode(tokens).as("word"))
+          .where(length(col("word")) >= 1)
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        val bpeStore = graft.StoredArtifacts.dir(dir, "bpe_merges_v1")
+        if (!graft.StoredArtifacts.ready(bpeStore))
+          Bpe.writeMerges(s, Bpe.learn(vocab, nMerges = 10), bpeStore)
+        WordPiece.writeVocab(s,
+          WordPiece.fromBpe(vocab, Bpe.readMerges(s, bpeStore)), store)
+      }
+      wordPieceFertility(docs(s, dir), WordPiece.readVocab(s, store))
+    },
+    None) // greedy-kernel segmentation: gated by WordPieceSpec
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
     * keywords = the top-PageRank words of the adjacent-word co-occurrence
     * graph — the unsupervised keyword baseline production tagging
@@ -1446,5 +1488,5 @@ object Text {
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138, x173, x207, x224)
+      x110, x113, x138, x173, x207, x224, x230)
 }
