@@ -993,6 +993,20 @@ object Lakehouse {
       .join(s.read.parquet(dvDir), Seq("file", "pos"), "left_anti")
       .drop("file", "pos")
 
+  /** Fold the deletion vectors into rewritten data files (merge-on-read →
+    * copy-on-write): the maintenance step that keeps the DV sidecar from
+    * growing unboundedly, scheduled exactly like x181's small-file
+    * compaction. Survivors are re-laid-out range-partitioned; the new
+    * layout serves with an EMPTY sidecar. LakehouseSkipSpec pins row
+    * parity with the pre-fold merge-on-read scan.
+    */
+  def compactDeletes(s: SparkSession, layout: String, dvDir: String,
+      outDir: String): Unit =
+    readWithDeletes(s, layout, dvDir)
+      .repartitionByRange(ZoneShards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(outDir)
+
   private val x229 = GQuery(
     "x229_deletion_vectors", "ext-lakehouse merge-on-read position-deletes",
     (s, dir) => {

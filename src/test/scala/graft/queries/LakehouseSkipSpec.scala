@@ -141,6 +141,27 @@ class LakehouseSkipSpec extends SparkSpec {
       s"expected a broadcast anti-join:\n${served.queryExecution.executedPlan}")
   }
 
+  test("x229: DV fold-in compaction preserves rows and empties the sidecar") {
+    val (layout, dvP) = Lakehouse.ensureDeletionVectors(spark, sf001)
+    val out = java.nio.file.Files.createTempDirectory("graft-dvfold").toString
+    try {
+      Lakehouse.compactDeletes(spark, layout, dvP, out)
+      val before = Lakehouse.readWithDeletes(spark, layout, dvP)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val after = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(after == before, "fold-in must preserve exactly the survivors")
+      // the rewritten layout serves with an empty DV — same scan path
+      import spark.implicits._
+      val emptyDv = spark.emptyDataset[(String, Long)].toDF("file", "pos")
+      val dvEmpty = java.nio.file.Files.createTempDirectory("graft-dvempty").toString
+      emptyDv.write.mode("overwrite").parquet(dvEmpty)
+      assert(Lakehouse.readWithDeletes(spark, out, dvEmpty).count() ==
+        before.length.toLong)
+      graft.StoredArtifacts.deleteTree(dvEmpty)
+    } finally graft.StoredArtifacts.deleteTree(out)
+  }
+
   test("x176: shard-merge equals direct bottom-k with exact size per source") {
     val rows = SparkEntry.queries("x176_bottomk_sample")(spark, sf001).collect()
     assert(rows.nonEmpty)
