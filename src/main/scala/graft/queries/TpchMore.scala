@@ -665,7 +665,109 @@ object TpchMore {
               CAST(SUM(s_bp * s_bp) AS BIGINT) AS hhi_bp2
             FROM sh GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x231
+  // Pearson correlation profile — the data-profiling pass every warehouse
+  // runs to find redundant/derived columns before modeling (quantity vs
+  // extended price SHOULD correlate; discount should not). All moments
+  // accumulate as exact integers (quantity integral, money in cents,
+  // discount in hundredths; per-row products fit BIGINT, the SUMS ride
+  // DECIMAL(38,0)/HUGEINT), so both engines reach the identical exact
+  // rationals; the only floating steps are the final sqrt/divide on those
+  // exact values plus one round to micros — the x228 discipline.
+  //
+  // Scale shape: ONE map-side-combinable aggregate over the fact table
+  // computes every moment; the 3-row unpivot is driver-free.
+  private val x231 = GQuery(
+    "x231_corr_profile", "ext-analytics data-profiling pearson-correlation",
+    (s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val li = Tables(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("p"),
+        (col("l_discount").cast(DecimalType(4, 2)) * 100)
+          .cast("long").as("d"))
+      val m = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("p")).as("sp"), sum(col("d")).as("sd"),
+        sum((col("q") * col("q")).cast(d38)).as("sqq"),
+        sum((col("p") * col("p")).cast(d38)).as("spp"),
+        sum((col("d") * col("d")).cast(d38)).as("sdd"),
+        sum((col("q") * col("p")).cast(d38)).as("sqp"),
+        sum((col("q") * col("d")).cast(d38)).as("sqd"),
+        sum((col("p") * col("d")).cast(d38)).as("spd"))
+      def corr(x: String, y: String, sxy: String) = expr(
+        s"""cast(round(
+             cast(cast(n as decimal(38,0)) * $sxy
+               - cast(s$x as decimal(38,0)) * s$y as double)
+             / (sqrt(cast(cast(n as decimal(38,0)) * s$x$x
+                 - cast(s$x as decimal(38,0)) * s$x as double))
+               * sqrt(cast(cast(n as decimal(38,0)) * s$y$y
+                 - cast(s$y as decimal(38,0)) * s$y as double)))
+             * 1000000, 0) as bigint)""")
+      m.select(col("n"),
+          corr("q", "p", "sqp").as("c_qp"),
+          corr("q", "d", "sqd").as("c_qd"),
+          corr("p", "d", "spd").as("c_pd"))
+        .selectExpr("n",
+          "stack(3, 'price_disc', c_pd, 'qty_disc', c_qd, 'qty_price', c_qp)" +
+            " as (pair, corr_micro)")
+        .select(col("pair"), col("n"), col("corr_micro"))
+        .orderBy("pair")
+    },
+    Some("""WITH li AS (
+              SELECT CAST(l_quantity AS BIGINT) AS q,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS p,
+                CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d
+              FROM lineitem),
+            m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+                CAST(SUM(d) AS BIGINT) AS sd,
+                SUM(CAST(q * q AS HUGEINT)) AS sqq,
+                SUM(CAST(p * p AS HUGEINT)) AS spp,
+                SUM(CAST(d * d AS HUGEINT)) AS sdd,
+                SUM(CAST(q * p AS HUGEINT)) AS sqp,
+                SUM(CAST(q * d AS HUGEINT)) AS sqd,
+                SUM(CAST(p * d AS HUGEINT)) AS spd
+              FROM li),
+            c AS (
+              SELECT 'qty_price' AS pair, n,
+                CAST(round(
+                  CAST(CAST(n AS HUGEINT) * sqp
+                    - CAST(sq AS HUGEINT) * sp AS DOUBLE)
+                  / (sqrt(CAST(CAST(n AS HUGEINT) * sqq
+                      - CAST(sq AS HUGEINT) * sq AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * spp
+                      - CAST(sp AS HUGEINT) * sp AS DOUBLE)))
+                  * 1000000, 0) AS BIGINT) AS corr_micro
+              FROM m
+              UNION ALL
+              SELECT 'qty_disc', n,
+                CAST(round(
+                  CAST(CAST(n AS HUGEINT) * sqd
+                    - CAST(sq AS HUGEINT) * sd AS DOUBLE)
+                  / (sqrt(CAST(CAST(n AS HUGEINT) * sqq
+                      - CAST(sq AS HUGEINT) * sq AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * sdd
+                      - CAST(sd AS HUGEINT) * sd AS DOUBLE)))
+                  * 1000000, 0) AS BIGINT)
+              FROM m
+              UNION ALL
+              SELECT 'price_disc', n,
+                CAST(round(
+                  CAST(CAST(n AS HUGEINT) * spd
+                    - CAST(sp AS HUGEINT) * sd AS DOUBLE)
+                  / (sqrt(CAST(CAST(n AS HUGEINT) * spp
+                      - CAST(sp AS HUGEINT) * sp AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * sdd
+                      - CAST(sd AS HUGEINT) * sd AS DOUBLE)))
+                  * 1000000, 0) AS BIGINT)
+              FROM m)
+            SELECT pair, n, corr_micro FROM c ORDER BY pair"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
-      x220, x221)
+      x220, x221, x231)
 }
