@@ -2315,8 +2315,106 @@ object Similarity {
             FROM t LEFT JOIN b ON t.vec_id = b.vec_id
             GROUP BY t.d ORDER BY d"""))
 
+  // ------------------------------------------------------------------- x232
+  // Greedy k-center coreset (Gonzalez 1985 farthest-first traversal) —
+  // the diversity-sampling primitive of data curation: pick k points so
+  // every vector sits within the covering radius of some pick (a provable
+  // 2-approximation of the optimal k-center cover). The selection order
+  // IS the curriculum many coreset pipelines use (most-novel-first).
+  //
+  // Engine-exact: coordinates quantize ONCE to integer millis
+  // (round(x·1000) — the x202 round-after-float discipline), so every
+  // squared-L2 distance is an exact integer ≤ 64·10⁶ and the
+  // (max dist, min vec_id) selection is a total order both engines walk
+  // identically; the DuckDB oracle replays the k steps as generated
+  // chained CTEs (the x124 unrolled-iteration discipline — dot products
+  // of integer lists are exact in its doubles).
+  //
+  // Scale shape: k passes, each ONE narrow map over (vec_id, running
+  // min-dist) + a (dist, id)-ordered limit-1 — O(n·k) total work, no
+  // pairwise matrix; the per-step driver collect is the 1-row argmax.
+  private val KCenterK = 8
+
+  private def milliVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      // cast to double BEFORE the multiply: a float multiply would round
+      // differently than DuckDB's double arithmetic
+      expr("transform(embedding, " +
+        "x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+        .as("v"))
+
+  /** d²(v, center) as an exact-integer column, center as a literal. */
+  private def d2ToCenter(center: Seq[Long]): org.apache.spark.sql.Column =
+    expr(s"""aggregate(zip_with(v, array(${center.mkString(",")}L),
+        (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""")
+
+  def kcenterCoreset(e: DataFrame, k: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val pts = milliVecs(e).localCheckpoint(true)
+    val seedRow = pts.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v")).head()
+    var centers = Seq((0, seedRow.getLong(0), 0L))
+    var curCenter = seedRow.getSeq[Long](1)
+    var dist = pts.select(col("vec_id"), col("v"),
+      d2ToCenter(curCenter).as("d"))
+    for (step <- 1 until k) {
+      dist = dist.select(col("vec_id"), col("v"),
+        least(col("d"), d2ToCenter(curCenter)).as("d"))
+        .localCheckpoint(true)
+      val next = dist.orderBy(col("d").desc, col("vec_id")).limit(1).head()
+      centers = centers :+ ((step, next.getLong(0), next.getLong(2)))
+      curCenter = next.getSeq[Long](1)
+    }
+    centers.toDF("step", "vec_id", "radius")
+      .select(col("step").cast("int").as("step"), col("vec_id"),
+        col("radius"))
+      .orderBy("step")
+  }
+
+  /** Generated unrolled-CTE oracle for [[kcenterCoreset]]. */
+  private def kcenterOracle(k: Int): String = {
+    val steps = (1 until k).map { i =>
+      s"""d$i AS (
+           SELECT p.vec_id, p.v,
+             LEAST(d${i - 1}.d, CAST(
+               list_inner_product(p.v, c$i.v) * (-2)
+               + list_inner_product(p.v, p.v)
+               + list_inner_product(c$i.v, c$i.v) AS BIGINT)) AS d
+           FROM p JOIN d${i - 1} ON p.vec_id = d${i - 1}.vec_id
+           CROSS JOIN c$i),
+         c${i + 1} AS (
+           SELECT vec_id, v, d FROM d$i
+           ORDER BY d DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val rows = (2 to k).map(i =>
+      s"SELECT ${i - 1} AS step, vec_id, d AS radius FROM c$i").mkString(
+      "\nUNION ALL\n")
+    s"""WITH p AS (
+          SELECT vec_id,
+            [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+             FOR x IN embedding] AS v
+          FROM embeddings),
+        c1 AS (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 1),
+        d0 AS (SELECT vec_id, v, CAST(9223372036854775807 AS BIGINT) AS d
+               FROM p),
+        $steps
+        SELECT CAST(step AS INT) AS step, vec_id, CAST(radius AS BIGINT)
+          AS radius
+        FROM (
+          SELECT 0 AS step, vec_id, 0 AS radius FROM c1
+          UNION ALL
+          $rows)
+        ORDER BY step"""
+  }
+
+  private val x232 = GQuery(
+    "x232_kcenter_coreset", "ext-similarity diversity-sampling k-center",
+    (s, dir) => kcenterCoreset(emb(s, dir), KCenterK),
+    Some(kcenterOracle(KCenterK)))
+
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105, x108, x109, x111, x204)
+      x91, x92, x95, x100, x105, x108, x109, x111, x204, x232)
 }

@@ -53,6 +53,28 @@ class AnalyticsMetricsSpec extends SparkSpec {
     assert(k >= -1000000L && k <= 1000000L, s"kappa out of range: $k")
   }
 
+  test("x232 k-center: radii are non-increasing and the picks cover at the last radius") {
+    val picks = SparkEntry.queries("x232_kcenter_coreset")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(picks.map(_._1).toSeq == (0 until 8))
+    val radii = picks.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"farthest-first radii must be non-increasing: ${radii.toSeq}")
+    // covering: every vector is within the NEXT radius (<= the last pick's
+    // distance) of some center — the Gonzalez guarantee the coreset is for
+    val e = Tables(spark, sf001, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+        .as("v"))
+    val centers = e.where(col("vec_id").isin(picks.map(_._2): _*))
+      .collect().map(_.getSeq[Long](1))
+    val maxMin = e.collect().map { r =>
+      val v = r.getSeq[Long](1)
+      centers.map(c => v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }.max
+    assert(maxMin <= radii.last,
+      s"a point sits farther ($maxMin) than the last selection radius (${radii.last})")
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
