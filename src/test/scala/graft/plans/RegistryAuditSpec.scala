@@ -41,6 +41,7 @@ class RegistryAuditSpec extends SparkSpec {
     "x172_sketch_overlap" -> "type-pair lattice over 256-register sketches",
     "x204_matryoshka_recall" -> "1-row query vector x 4 prefix dims",
     "x214_theil_sen" -> "day-domain pair lattice (documented bound)",
+    "x228_mann_kendall" -> "day-domain sign lattice (the x214 bound)",
     "x216_ann_hnsw_filtered" -> "1-query batch x shard-count routing",
     "x27_knn_join" -> "8-row batch fans onto the corpus scan",
     "x50_hard_negatives" -> "anchor batch fans onto candidate pool",
