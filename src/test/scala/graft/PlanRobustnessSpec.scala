@@ -40,7 +40,16 @@ class PlanRobustnessSpec extends SparkSpec {
     // round 7: the manifest-resolved probe rides the AQE-off half like
     // x62; the batch probes' candidate joins are broadcast()-hinted and
     // live in the hinted group below
-    "x73_ann_ivf_manifest")
+    "x73_ann_ivf_manifest",
+    // round 9: the concentration metrics' dim joins (x220 customer,
+    // x221 supplier/nation), the prefix-filter posting joins (x225 df +
+    // candidate + verify; x227 the same against stored postings), and
+    // the DV anti-join (x229) are all planner-chosen — an integer-exact
+    // statistic that shifted under a strategy flip would be a silent
+    // wrong answer at exactly the scale where thresholds flip
+    "x220_gini_concentration", "x221_hhi_concentration",
+    "x225_allpairs_prefix_join", "x227_allpairs_incremental",
+    "x229_deletion_vectors")
 
   // EVERY join in these is broadcast()-hinted, so the threshold knob is a
   // no-op by construction; they verify independence from AQE re-planning
