@@ -1792,8 +1792,64 @@ object CorpusOps {
               CAST(SUM(n_tok) AS BIGINT) AS tok_total
             FROM a GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x233
+  // Export manifest — the verifiable deliverable of a training-shard
+  // build: per shard (x226's boustrophedon assignment), the document
+  // count, token mass, and a CONTENT HASH (md5 over the doc_id-ordered
+  // concatenation of per-document md5s) a downstream consumer re-derives
+  // to prove the handoff lost nothing. This is the receipt every corpus
+  // release ships next to its shards; content addressing follows x14's
+  // md5 fingerprint discipline.
+  //
+  // Scale shape: per-doc hashing is scan-bound; each shard's digest folds
+  // 32-char hashes (never text) through one shard-partitioned sort —
+  // shard-sized lists of fingerprints, bounded by the packing balance.
+  private val x233 = GQuery(
+    "x233_export_manifest", "ext-docs shard-export content-manifest",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      val dom = d.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("n_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      d.join(dom, "n_tok")
+        .withColumn("r", col("offset")
+          + row_number().over(
+            Window.partitionBy("n_tok").orderBy("doc_id")).cast("long") - 1L)
+        .withColumn("shard",
+          when(expr("(r div 8) % 2") === 0L, expr("r % 8"))
+            .otherwise(expr("7 - (r % 8)")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+          md5(concat_ws("",
+            array_sort(collect_list(struct(col("doc_id"), col("h"))))
+              .getField("h"))).as("content_hash"))
+        .orderBy("shard")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                md5(text) AS h
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tok, h,
+                CAST(ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id)
+                  AS BIGINT) - 1 AS r
+              FROM d),
+            a AS (
+              SELECT doc_id, n_tok, h,
+                CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END
+                  AS shard
+              FROM r)
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+              md5(string_agg(h, '' ORDER BY doc_id)) AS content_hash
+            FROM a GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176, x191, x202, x219, x222, x223, x226)
+      x176, x191, x202, x219, x222, x223, x226, x233)
 }
