@@ -65,4 +65,88 @@ class KernelPropertySpec extends AnyFunSuite {
         ShingleHashes(noNull, n).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq)
   }
+
+  private def litLongs(xs: Seq[Long]): Literal =
+    Literal.create(xs, ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false))
+
+  test("TokenHashSet: sorted, distinct, size == distinct token count") {
+    holds(Prop.forAll(tokensGen) { ts =>
+      val out = TokenHashSet(litTokens(ts)).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      out == out.sorted && out.distinct == out &&
+        out.length == ts.filter(_ != null).distinct.length
+    })
+  }
+
+  test("JaccardLongs == the set-theoretic definition on sorted distinct inputs") {
+    val setGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    holds(Prop.forAll(setGen, setGen) { (a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val expected = if (union == 0) 0.0 else inter.toDouble / union
+      JaccardLongs(litLongs(a), litLongs(b)).eval()
+        .asInstanceOf[Double] == expected
+    })
+  }
+
+  private val litWord: String => Literal =
+    w => Literal.create(w, org.apache.spark.sql.types.StringType)
+
+  test("WordPieceSegment: round-trip, vocab membership, maximal munch — or a lone [UNK]") {
+    val pieceGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val vocabGen = Gen.nonEmptyListOf(pieceGen).map(_.distinct)
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+    holds(Prop.forAll(vocabGen, vocabGen, wordGen) { (init, cont, word) =>
+      val out = WordPieceSegment(litWord(word), init, cont).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      if (out == Seq("[UNK]")) {
+        // refusal is only legal when greedy truly cannot finish: replay
+        // the greedy walk and confirm it strands
+        var pos = 0; var stuck = false
+        while (pos < word.length && !stuck) {
+          val set = if (pos == 0) init.toSet else cont.toSet
+          val hit = (math.min(3, word.length - pos) to 1 by -1)
+            .map(l => word.substring(pos, pos + l)).find(set.contains)
+          hit match { case Some(h) => pos += h.length case None => stuck = true }
+        }
+        stuck
+      } else {
+        val bare = out.map(_.stripPrefix("##"))
+        var pos = 0
+        val munch = out.indices.forall { i =>
+          val set = if (i == 0) init.toSet else cont.toSet
+          val rest = word.substring(pos)
+          val ok = set.contains(bare(i)) &&
+            !(bare(i).length + 1 to math.min(3, rest.length))
+              .exists(l => set.contains(rest.substring(0, l)))
+          pos += bare(i).length; ok
+        }
+        bare.mkString == word && munch &&
+          out.tail.forall(_.startsWith("##")) && !out.head.startsWith("##")
+      }
+    })
+  }
+
+  test("UnigramSegment: pieces concatenate to the word; known pieces or single chars") {
+    val pieceGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b')))
+    val vocabGen = Gen.nonEmptyListOf(pieceGen).map(_.distinct)
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    holds(Prop.forAll(vocabGen, wordGen) { (pieces, word) =>
+      val lps = pieces.indices.map(i => -1.0 - i * 0.1)
+      val out = UnigramSegment(litWord(word), pieces, lps).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      out.mkString == word &&
+        out.forall(p => pieces.contains(p) || p.length == 1)
+    })
+  }
 }
