@@ -234,6 +234,24 @@ class DedupSpec extends SparkSpec {
       s"standing side must come from the stored index:\n${scans.map(_.metadata.get("Location"))}")
   }
 
+  test("x225 candidate set is subquadratic: prefix filtering prunes >95% of the pair space") {
+    // the mechanical form of the scale claim — the candidate count the
+    // verify join pays, versus the brute pair space it replaces
+    import graft.functions.HashFunctions
+    val sets = Dedup.shingleSets(Tables(spark, sf001, "documents"))
+    val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = Dedup.prefixPostings(postings, dfTab)
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val n = sets.count()
+    val brute = n * (n - 1) / 2
+    assert(cands * 20 < brute,
+      s"prefix filtering left $cands of $brute pairs (> 5%)")
+  }
+
   test("x225 candidate generation is an equi-join on prefix shingles, not a product") {
     val df = SparkEntry.queries("x225_allpairs_prefix_join")(spark, sf001)
     val nodes = graft.SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
