@@ -744,7 +744,31 @@ object Extended {
               SUM(ndv_rhs - 1) = 0 AS holds
             FROM perLhs GROUP BY fd ORDER BY fd"""))
 
+  // ------------------------------------------------------------------- x234
+  // Sketch-tier quantiles — c24's exact percentiles are the PARITY row;
+  // this is the row that actually runs at 100 TB: Spark's native
+  // Greenwald–Khanna-style `approx_percentile` (mergeable one-pass
+  // summaries, map-side combinable, memory bounded by the accuracy knob
+  // instead of the group size). No cross-engine oracle — DuckDB's
+  // sketch is a different algorithm — so the gate is ApproxQuantileSpec:
+  // the documented rank-error bound against c24's exact values, per
+  // group, at the configured accuracy.
+  private val x234 = GQuery(
+    "x234_approx_quantiles", "percentile-sketch scale-tier",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+            .as("q"))
+        .select(col("event_type"),
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p90"),
+          element_at(col("q"), 3).as("p99"))
+        .orderBy("event_type"),
+    None) // sketch-specific values: gated by ApproxQuantileSpec rank error
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37, x136, x196, x210)
+    c33, c34, c35, c36, c37, x136, x196, x210, x234)
 }
