@@ -1848,8 +1848,69 @@ object CorpusOps {
               md5(string_agg(h, '' ORDER BY doc_id)) AS content_hash
             FROM a GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x235
+  // Chi-square independence audit of lang × source — the categorical
+  // confounding check a curation pipeline runs before stratified
+  // sampling: if language and source are dependent, per-source quotas
+  // silently reshape the language mixture (and vice versa). Full
+  // contingency over the DOMAIN LATTICE (absent cells contribute through
+  // their expected counts — a groupBy alone would drop them), per-cell
+  // contributions exact to the micro: (N·n_ij − r_i·c_j)²·10⁶ div
+  // (N·r_i·c_j), with the squared deviation in DECIMAL(38,0)/HUGEINT
+  // (the x220 headroom discipline). κ/z/MK siblings: x222, x187, x228.
+  //
+  // Scale shape: one fact aggregate to the (lang, source) grid, marginals
+  // as rollups OF the grid, the lattice a langs × sources cross of two
+  // dimension-sized tables (bounded domain — whitelisted like x171).
+  private val x235 = GQuery(
+    "x235_chi2_independence", "ext-docs categorical-audit chi-square",
+    (s, dir) => {
+      val grid = docs(s, dir).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // marginals + lattice reread the grid
+      val langs = grid.groupBy("lang").agg(sum(col("n")).as("r_i"))
+      val sources = grid.groupBy("source").agg(sum(col("n")).as("c_j"))
+      val total = grid.agg(sum(col("n")).as("n_total"))
+      langs.crossJoin(sources).crossJoin(broadcast(total))
+        .join(grid, Seq("lang", "source"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("dev", expr("n_total * n - r_i * c_j"))
+        .withColumn("chi2_cell_micro",
+          expr("cast((cast(dev as decimal(38,0)) * dev * 1000000) " +
+            "div (cast(n_total as decimal(38,0)) * r_i * c_j) as bigint)"))
+        .withColumn("chi2_total_micro",
+          sum(col("chi2_cell_micro")).over(Window.partitionBy()))
+        .select(col("lang"), col("source"), col("n"),
+          col("chi2_cell_micro"), col("chi2_total_micro"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH grid AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2),
+            l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r_i
+                  FROM grid GROUP BY 1),
+            s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c_j
+                  FROM grid GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM grid),
+            cells AS (
+              SELECT l.lang, s.source, COALESCE(g.n, 0) AS n,
+                t.n_total * COALESCE(g.n, 0) - l.r_i * s.c_j AS dev,
+                l.r_i, s.c_j, t.n_total
+              FROM l CROSS JOIN s CROSS JOIN t
+              LEFT JOIN grid g ON g.lang = l.lang AND g.source = s.source),
+            x AS (
+              SELECT lang, source, n,
+                CAST((CAST(dev AS HUGEINT) * dev * 1000000)
+                  // (CAST(n_total AS HUGEINT) * r_i * c_j) AS BIGINT)
+                  AS chi2_cell_micro
+              FROM cells)
+            SELECT lang, source, n, chi2_cell_micro,
+              CAST(SUM(chi2_cell_micro) OVER () AS BIGINT)
+                AS chi2_total_micro
+            FROM x ORDER BY lang, source"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176, x191, x202, x219, x222, x223, x226, x233)
+      x176, x191, x202, x219, x222, x223, x226, x233, x235)
 }
