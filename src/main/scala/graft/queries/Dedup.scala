@@ -665,6 +665,68 @@ object Dedup {
                 >= 0.8
             ORDER BY batch_id, standing_id"""))
 
+  // Exact near-dup CLUSTERS — x225's lossless pair set closed
+  // transitively with distributed connected components, keeper = the
+  // cluster's minimum doc_id, every document covered. This is x22's
+  // output shape with a crucial upgrade: because the EDGES are exact
+  // (prefix filtering loses nothing and seeds nothing), the whole
+  // operator — including the transitive closure — has a DuckDB oracle
+  // (recursive-CTE label spread over the brute pair set), making this
+  // the registry's first fully-oracled clustering row. The LSH variants
+  // (x03/x22/x102) remain the probabilistic tier; this is the exact tier
+  // a release pipeline runs when recall guarantees are contractual.
+  //
+  // Scale shape: x225's plan plus ConnectedComponents.run — O(log n)
+  // label rounds shuffling (long, long) pairs over a graph whose size is
+  // the near-dup density, not the corpus.
+  private val x236 = GQuery(
+    "x236_allpairs_clusters", "ext-dedup-fuzzy exact-clusters transitive custom-operator",
+    (s, dir) => {
+      val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
+      val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      val prefix = prefixPostings(postings, dfTab)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .where(least(col("a.n"), col("b.n")) * 5 >=
+          greatest(col("a.n"), col("b.n")) * 4)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val pairs = cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+        .where(HashFunctions.jaccardLongs(col("sa"), col("sb")) >= 0.8)
+        .select(col("a_id"), col("b_id"))
+      val (labels, _) = graft.operators.ConnectedComponents.run(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      coverCorpus(docs(s, dir),
+        labels.select(col("id").as("doc_id"), col("comp").as("keeper")))
+    },
+    Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM t),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok)
+                   - len(list_intersect(a.tok, b.tok))) >= 0.8),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+            reach(node, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node)
+            SELECT d.doc_id,
+              COALESCE((SELECT MIN(lbl) FROM reach WHERE node = d.doc_id),
+                d.doc_id) AS keeper
+            FROM documents d ORDER BY d.doc_id"""))
+
   val queries: Seq[GQuery] =
-    Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227)
+    Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
+      x236)
 }

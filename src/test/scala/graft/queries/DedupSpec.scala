@@ -252,6 +252,24 @@ class DedupSpec extends SparkSpec {
       s"prefix filtering left $cands of $brute pairs (> 5%)")
   }
 
+  test("x236 clusters close exactly over the x225 pair set") {
+    val pairs = SparkEntry.queries("x225_allpairs_prefix_join")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keeper = SparkEntry.queries("x236_allpairs_clusters")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair is in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(keeper(a) == keeper(b), s"pair ($a,$b) split across clusters")
+    }
+    // exactly the paired docs are clustered (everything else keeps itself
+    // and is nobody else's keeper)
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val clustered = keeper.filter { case (d, k) => k != d }.keySet ++
+      keeper.groupBy(_._2).filter(_._2.size > 1).keySet
+    assert(clustered == paired,
+      s"clustered=${clustered.size} paired=${paired.size}")
+  }
+
   test("x225 candidate generation is an equi-join on prefix shingles, not a product") {
     val df = SparkEntry.queries("x225_allpairs_prefix_join")(spark, sf001)
     val nodes = graft.SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
