@@ -1007,6 +1007,68 @@ object Lakehouse {
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Merge-on-read MERGE (upsert): matched LIVE rows are masked by a new
+    * DV segment and every update lands as an appended `seg=merge_<tag>`
+    * data segment — no base-file rewrite (Delta DV / Iceberg MoR upsert
+    * semantics; x179 is the copy-on-write tier). Matching resolves
+    * against the CURRENT live view (base + earlier merge segments minus
+    * DVs), so chained merges compose: a second merge updating a row the
+    * first merge introduced masks the FIRST MERGE's version.
+    *
+    * Idempotence: both writes are tag-addressed overwrites of a pure
+    * function of (updates, live-state-before-tag) — re-running a tag
+    * reproduces identical segments. The append-then-mask order leaves a
+    * both-versions window on a crash between the writes (resolved by
+    * re-running the tag), never a lost row; collapsing that window needs
+    * the StoredManifest pointer-commit, exactly as AnnIngestStream does.
+    */
+  def mergeMoR(updates: DataFrame, layout: String, mergeDir: String,
+      dvDir: String, tag: String): Unit = {
+    val s = updates.sparkSession
+    // fully-applied check on the LAST write (the DedupIngestStream
+    // discipline): a replay after the tag committed must no-op — probing
+    // the POST-tag live view would resolve the updates to their own rows
+    // and overwrite this tag's masks with dead-path positions
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$dvDir/seg=merge_$tag/_SUCCESS"))) return
+    // the probe must see every previously-committed segment, and readers
+    // must see this merge's: drop any cached file listings on both ends
+    Seq(mergeDir, dvDir).foreach { p =>
+      if (new java.io.File(p).isDirectory) s.catalog.refreshByPath(p)
+    }
+    val liveMatched = readMoRWithPos(s, layout, mergeDir, dvDir)
+      .join(updates.select(col("doc_id")).distinct().hint("broadcast"),
+        Seq("doc_id"), "left_semi")
+      .select("file", "pos")
+      .localCheckpoint(true) // pin BEFORE the append lands new files
+    updates.write.mode("overwrite").parquet(s"$mergeDir/seg=merge_$tag")
+    liveMatched.write.mode("overwrite").parquet(s"$dvDir/seg=merge_$tag")
+    Seq(mergeDir, dvDir).foreach(p => s.catalog.refreshByPath(p))
+  }
+
+  private def readMoRWithPos(s: SparkSession, layout: String,
+      mergeDir: String, dvDir: String): DataFrame = {
+    def withPos(df: DataFrame) = df
+      .withColumn("file", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+    val base = withPos(s.read.parquet(layout))
+    val merged =
+      if (new java.io.File(mergeDir).isDirectory)
+        withPos(s.read.parquet(mergeDir)).drop("seg")
+      else base.limit(0)
+    val union = base.unionByName(merged)
+    if (new java.io.File(dvDir).isDirectory)
+      union.join(
+        s.read.parquet(dvDir).select("file", "pos").distinct(),
+        Seq("file", "pos"), "left_anti")
+    else union
+  }
+
+  /** The MoR serving scan: base + merge segments minus every DV. */
+  def readMoR(s: SparkSession, layout: String, mergeDir: String,
+      dvDir: String): DataFrame =
+    readMoRWithPos(s, layout, mergeDir, dvDir).drop("file", "pos")
+
   private val x229 = GQuery(
     "x229_deletion_vectors", "ext-lakehouse merge-on-read position-deletes",
     (s, dir) => {

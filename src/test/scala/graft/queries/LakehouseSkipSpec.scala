@@ -162,6 +162,55 @@ class LakehouseSkipSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(out)
   }
 
+  test("mergeMoR: chained upserts equal copy-on-write semantics without base rewrites") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mor")
+    val layout = root.resolve("base").toString
+    val mergeDir = root.resolve("merge").toString
+    val dvDir = root.resolve("dv").toString
+    try {
+      val d = graft.Tables(spark, sf001, "documents")
+        .select("doc_id", "text", "source")
+      d.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.parquet(layout)
+      val baseFiles = new java.io.File(layout).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+
+      val m1 = d.where(col("doc_id") % 7 === 0)
+        .withColumn("text", upper(col("text")))
+      Lakehouse.mergeMoR(m1, layout, mergeDir, dvDir, "m1")
+      // chained: m2 touches a subset m1 already rewrote, plus fresh ids
+      val m2 = d.where(col("doc_id") % 14 === 0 || col("doc_id") % 11 === 0)
+        .withColumn("text", concat(col("text"), lit("!")))
+      Lakehouse.mergeMoR(m2, layout, mergeDir, dvDir, "m2")
+
+      val got = Lakehouse.readMoR(spark, layout, mergeDir, dvDir)
+        .select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = d.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+        .map { case (id, t) =>
+          id -> (if (id % 14 == 0 || id % 11 == 0) t + "!"
+            else if (id % 7 == 0) t.toUpperCase else t)
+        }
+      assert(got.size == expect.size, s"${got.size} vs ${expect.size}")
+      assert(got == expect, "MoR merge must equal the copy-on-write result")
+
+      // idempotence: replaying tag m2 reproduces identical state
+      Lakehouse.mergeMoR(m2, layout, mergeDir, dvDir, "m2")
+      spark.catalog.refreshByPath(mergeDir)
+      spark.catalog.refreshByPath(dvDir)
+      val replay = Lakehouse.readMoR(spark, layout, mergeDir, dvDir)
+        .select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(replay == expect, "tag replay must be idempotent")
+
+      // base files never rewritten
+      val after = new java.io.File(layout).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+      assert(after == baseFiles)
+    } finally graft.StoredArtifacts.deleteTree(root.toString)
+  }
+
   test("x176: shard-merge equals direct bottom-k with exact size per source") {
     val rows = SparkEntry.queries("x176_bottomk_sample")(spark, sf001).collect()
     assert(rows.nonEmpty)
