@@ -726,7 +726,66 @@ object Dedup {
                 d.doc_id) AS keeper
             FROM documents d ORDER BY d.doc_id"""))
 
+  // Similarity-band census — the threshold-sensitivity audit run BEFORE
+  // committing to a dedup cutoff: how many document pairs sit in each
+  // Jaccard decile above 0.5? A cliff between bands is where the corpus'
+  // natural near-dup boundary lies; a smooth slope means the chosen
+  // threshold is a policy, not a property of the data. Same lossless
+  // prefix-filter machinery as x225 at t = 0.5 (prefix n − ceil(n/2) + 1,
+  // size filter 2·min >= max), but banding runs on exact INTEGER set
+  // sizes — band = (10·|∩|) div |∪| — so no float ever enters the
+  // operator and the census hash-verifies trivially.
+  //
+  // Scale shape: candidates grow as the threshold drops (430k at sf0.1
+  // vs x225's 122k) — still density-bounded, never n²; the verify join
+  // walks sorted hash arrays exactly as x225 does.
+  private val x237 = GQuery(
+    "x237_similarity_bands", "ext-dedup-fuzzy threshold-sensitivity band-census",
+    (s, dir) => {
+      val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
+      val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      val prefix = postings.join(dfTab, "s")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .where(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+        .select(col("s"), col("doc_id"), col("n"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .where(least(col("a.n"), col("b.n")) * 2 >=
+          greatest(col("a.n"), col("b.n")))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
+          col("n").as("na")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
+          col("n").as("nb")), "b_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("un", col("na") + col("nb") - col("inter"))
+        .where(col("inter") * 2 >= col("un"))
+        .withColumn("band", expr("(10 * inter) div un"))
+        .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("band")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM t),
+            p AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT) AS i,
+                CAST(len(a.tok) + len(b.tok)
+                  - len(list_intersect(a.tok, b.tok)) AS BIGINT) AS u
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT (10 * i) // u AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p WHERE i * 2 >= u
+            GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
-      x236)
+      x236, x237)
 }

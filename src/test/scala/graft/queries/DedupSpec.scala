@@ -270,6 +270,17 @@ class DedupSpec extends SparkSpec {
       s"clustered=${clustered.size} paired=${paired.size}")
   }
 
+  test("x237 bands >= 8 sum exactly to the x225 pair count") {
+    // band = floor(10·J), x225 keeps J >= 0.8 — the two operators must
+    // agree on the same boundary or one of the filters drifted
+    val bands = SparkEntry.queries("x237_similarity_bands")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bands.keySet.forall(b => b >= 5L && b <= 10L), bands.toString)
+    val high = bands.filter(_._1 >= 8L).values.sum
+    val pairs = SparkEntry.queries("x225_allpairs_prefix_join")(spark, sf001).count()
+    assert(high == pairs, s"bands>=8 sum $high != x225 pairs $pairs")
+  }
+
   test("x225 candidate generation is an equi-join on prefix shingles, not a product") {
     val df = SparkEntry.queries("x225_allpairs_prefix_join")(spark, sf001)
     val nodes = graft.SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
