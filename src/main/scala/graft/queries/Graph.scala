@@ -937,11 +937,26 @@ object Graph {
   // where 4m² overflows BIGINT. Scale shape: two node-sized label joins
   // onto the stored edge list + community-grained aggregates; the label
   // table comes from the same co-partitioned superstep loop x130 runs.
+  /** Stored community labels (x130's 4-round partition) — the x62
+    * build-once discipline applied to the DETECTION result: x130 remains
+    * the algorithm row (it benches the superstep loop); consumers that
+    * SCORE or slice the partition (x215) read the stored labels instead
+    * of re-detecting. Values are identical by construction, so x215's
+    * unrolled-CTE oracle is unchanged.
+    */
+  private[queries] def storedLabels(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.StoredArtifacts.dir(dir, "lp_labels_i4_v1")
+    if (!graft.StoredArtifacts.ready(store))
+      labelPropagationOnEdges(storedEdges(s, dir), iters = 4)
+        .write.mode("overwrite").parquet(store)
+    s.read.parquet(store)
+  }
+
   private val x215 = GQuery(
     "x215_modularity", "ext-graph community-quality modularity",
     (s, dir) => {
       val e = storedEdges(s, dir)
-      val labels = labelPropagationOnEdges(e, iters = 4)
+      val labels = storedLabels(s, dir)
         .select(col("part").as("node"), col("community"))
       val la = labels.select(col("node").as("pa"), col("community").as("ca"))
       val lb = labels.select(col("node").as("pb"), col("community").as("cb"))
