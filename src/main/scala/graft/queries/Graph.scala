@@ -1119,6 +1119,78 @@ object Graph {
     (s, dir) => weightedPagerank(storedWeightedEdges(s, dir), iters = 8),
     Some(wpagerankOracle(8)))
 
+  // ------------------------------------------------------------------- x238
+  // Per-community profile over the STORED partition (x215's artifact):
+  // size, intra-community edges, boundary edges (counted toward both
+  // endpoint communities), and conductance in millis — the PER-COMMUNITY
+  // quality read (a high-conductance "community" is a label-prop
+  // artifact, not structure; x215's Q is the global aggregate of the
+  // same ingredients). Integer end to end.
+  //
+  // Scale shape: two node-sized label joins onto the stored edge list,
+  // then community-grained aggregates — no iteration (the loop already
+  // ran once into the artifact).
+  private val x238 = GQuery(
+    "x238_community_profile", "ext-graph community-profile conductance",
+    (s, dir) => {
+      val e = storedEdges(s, dir)
+      val labels = storedLabels(s, dir)
+        .select(col("part").as("node"), col("community"))
+      val tagged = e
+        .join(labels.select(col("node").as("pa"), col("community").as("ca")), "pa")
+        .join(labels.select(col("node").as("pb"), col("community").as("cb")), "pb")
+        .localCheckpoint(true) // intra + boundary reread the tagged edges
+      val intra = tagged.where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra"))
+      val boundary = tagged.where(col("ca") =!= col("cb"))
+        .select(col("ca").as("community"))
+        .unionAll(tagged.where(col("ca") =!= col("cb"))
+          .select(col("cb").as("community")))
+        .groupBy("community").agg(count(lit(1)).as("boundary"))
+      labels.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+        .join(intra, Seq("community"), "left")
+        .join(boundary, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("intra"), lit(0L)).as("intra"),
+          coalesce(col("boundary"), lit(0L)).as("boundary"))
+        .withColumn("conductance_milli",
+          when(expr("2 * intra + boundary") === 0L, 0L)
+            .otherwise(expr("(1000 * boundary) div (2 * intra + boundary)")))
+        .orderBy("community")
+    },
+    Some(labelPropOracle(4)
+      .replace("SELECT node AS part, label AS community FROM l4 ORDER BY part",
+        """, lab AS (SELECT node, label AS community FROM l4),
+           e2 AS (SELECT DISTINCT src AS pa, dst AS pb FROM ed WHERE src < dst),
+           tag AS (
+             SELECT la.community AS ca, lb.community AS cb
+             FROM e2
+             JOIN lab la ON la.node = e2.pa
+             JOIN lab lb ON lb.node = e2.pb),
+           intra AS (
+             SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS intra
+             FROM tag WHERE ca = cb GROUP BY 1),
+           bnd AS (
+             SELECT community, CAST(COUNT(*) AS BIGINT) AS boundary
+             FROM (SELECT ca AS community FROM tag WHERE ca <> cb
+                   UNION ALL SELECT cb FROM tag WHERE ca <> cb)
+             GROUP BY 1),
+           sz AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                  FROM lab GROUP BY 1)
+           SELECT sz.community, sz.n_nodes,
+             COALESCE(intra.intra, 0) AS intra,
+             COALESCE(bnd.boundary, 0) AS boundary,
+             CASE WHEN 2 * COALESCE(intra.intra, 0)
+                 + COALESCE(bnd.boundary, 0) = 0 THEN 0
+               ELSE (1000 * COALESCE(bnd.boundary, 0))
+                 // (2 * COALESCE(intra.intra, 0)
+                    + COALESCE(bnd.boundary, 0)) END AS conductance_milli
+           FROM sz
+           LEFT JOIN intra ON intra.community = sz.community
+           LEFT JOIN bnd ON bnd.community = sz.community
+           ORDER BY sz.community""")))
+
   val queries: Seq[GQuery] =
-    Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215, x217)
+    Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215, x217,
+      x238)
 }
