@@ -767,7 +767,65 @@ object TpchMore {
               FROM m)
             SELECT pair, n, corr_micro FROM c ORDER BY pair"""))
 
+  // ------------------------------------------------------------------- x239
+  // Lorenz decile table — the CURVE behind x220's Gini scalar: customers
+  // ranked by revenue into deciles, each decile's share and cumulative
+  // share of total revenue in exact milli (the "bottom 50% hold 21%"
+  // read an inequality audit actually reports). NTILE over the
+  // (cents, custkey) total order is identical in both engines; shares
+  // are integer divisions of exact cents.
+  //
+  // Scale shape: one fact aggregate to the customer dimension, one
+  // dimension-sized rank window, a 10-row rollup + domain windows.
+  private val x239 = GQuery(
+    "x239_lorenz_deciles", "ext-analytics inequality lorenz-curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val custRev = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(12, 2))) * 100)
+          .cast("long").as("cents"))
+      val w = Window.orderBy(col("cents"), col("o_custkey"))
+      val deciles = custRev
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents_total"))
+      val cum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      deciles
+        .withColumn("grand", sum(col("cents_total")).over(all))
+        .withColumn("cum_cents", sum(col("cents_total")).over(cum))
+        .select(col("decile"), col("n_customers"), col("cents_total"),
+          expr("(1000 * cents_total) div grand").as("share_milli"),
+          expr("(1000 * cum_cents) div grand").as("cum_share_milli"))
+        .orderBy("decile")
+    },
+    Some("""WITH cr AS (
+              SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            d AS (
+              SELECT CAST(NTILE(10) OVER (ORDER BY cents, o_custkey)
+                AS BIGINT) AS decile, cents
+              FROM cr),
+            g AS (
+              SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                CAST(SUM(cents) AS BIGINT) AS cents_total
+              FROM d GROUP BY 1)
+            SELECT decile, n_customers, cents_total,
+              (1000 * cents_total) // CAST(SUM(cents_total) OVER () AS BIGINT)
+                AS share_milli,
+              (1000 * CAST(SUM(cents_total) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT))
+                // CAST(SUM(cents_total) OVER () AS BIGINT)
+                AS cum_share_milli
+            FROM g ORDER BY decile"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
-      x220, x221, x231)
+      x220, x221, x231, x239)
 }
