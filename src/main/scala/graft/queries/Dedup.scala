@@ -785,7 +785,57 @@ object Dedup {
             FROM p WHERE i * 2 >= u
             GROUP BY 1 ORDER BY 1"""))
 
+  // Near-dup pair EXPLANATIONS — the review table behind every x225
+  // decision: for each kept pair, both set sizes, the overlap, the union
+  // and the integer milli-Jaccard ((1000·|∩|) div |∪| — float-free, like
+  // x237's banding). A reviewer disputing a dedup decision reads this
+  // row, not the raw texts. Same lossless machinery; only the output
+  // projection differs.
+  private val x241 = GQuery(
+    "x241_pair_explanations", "ext-dedup-fuzzy pair-audit explanation",
+    (s, dir) => {
+      val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
+      val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      val prefix = prefixPostings(postings, dfTab)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .where(least(col("a.n"), col("b.n")) * 5 >=
+          greatest(col("a.n"), col("b.n")) * 4)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
+          col("n").as("n_a")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
+          col("n").as("n_b")), "b_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("un", col("n_a") + col("n_b") - col("inter"))
+        .where(col("inter") * 5 >= col("un") * 4) // J >= 4/5 in integers
+        .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+          col("inter"), col("un"),
+          expr("(1000 * inter) div un").as("jaccard_milli"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               FOR i IN range(1, len(w) - 1)]) AS tok
+              FROM t),
+            p AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(len(a.tok) AS BIGINT) AS n_a,
+                CAST(len(b.tok) AS BIGINT) AS n_b,
+                CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT) AS i
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT a_id, b_id, n_a, n_b, i AS inter,
+              n_a + n_b - i AS un,
+              (1000 * i) // (n_a + n_b - i) AS jaccard_milli
+            FROM p WHERE i * 5 >= (n_a + n_b - i) * 4
+            ORDER BY a_id, b_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
-      x236, x237)
+      x236, x237, x241)
 }

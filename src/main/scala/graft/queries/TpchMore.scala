@@ -825,7 +825,55 @@ object TpchMore {
                 AS cum_share_milli
             FROM g ORDER BY decile"""))
 
+  // ------------------------------------------------------------------- x240
+  // Exact weighted median — order quantity weighted by revenue cents,
+  // per return flag: "the quantity at which half the MONEY sits below"
+  // (the unweighted median c24 answers a different question when order
+  // sizes and values correlate, as x231 shows they do). Lower weighted
+  // median by the (quantity, revenue-rank) total order: first value
+  // whose cumulative weight reaches half the total — all integer cents,
+  // both engines walk the same cumulative sums.
+  //
+  // Scale shape: one map-combinable aggregate to the (flag, quantity)
+  // grid (quantity domain ≤ 50 values), cumulative windows over the
+  // GRID — facts never sort (the x219 domain discipline).
+  private val x240 = GQuery(
+    "x240_weighted_median", "ext-analytics weighted-median exact",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = Tables(s, dir, "lineitem").groupBy(
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("w"))
+      val cum = Window.partitionBy("flag").orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy("flag")
+      grid
+        .withColumn("cw", sum(col("w")).over(cum))
+        .withColumn("tw", sum(col("w")).over(tot))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy("flag")
+        .agg(min(col("qty")).as("wmedian_qty"), max(col("tw")).as("total_cents"))
+        .orderBy("flag")
+    },
+    Some("""WITH grid AS (
+              SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS w
+              FROM lineitem GROUP BY 1, 2),
+            c AS (
+              SELECT flag, qty,
+                CAST(SUM(w) OVER (PARTITION BY flag ORDER BY qty
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+                CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+              FROM grid)
+            SELECT flag, CAST(MIN(qty) AS BIGINT) AS wmedian_qty,
+              CAST(MAX(tw) AS BIGINT) AS total_cents
+            FROM c WHERE cw * 2 >= tw
+            GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
-      x220, x221, x231, x239)
+      x220, x221, x231, x239, x240)
 }
