@@ -1754,22 +1754,33 @@ object CorpusOps {
   // offset (tiny window over the count DOMAIN) + row_number within the
   // count's partition (parallel window, partition-sized). Output is
   // shard-level: 8 rows.
+  /** The ONE boustrophedon shard assignment (x226 packing, x233 export
+    * manifest): rank by (n_tok desc, doc_id) via the count-domain offset
+    * + per-count window (never a global sort), deal serpentine over 8
+    * shards. Input needs (doc_id, n_tok, ...); output adds `shard` and
+    * preserves the other columns.
+    */
+  private def serpentineShards(d: DataFrame): DataFrame = {
+    val dom = d.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("n_tok").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    d.join(dom.select(col("n_tok"), col("offset")), "n_tok")
+      .withColumn("r", col("offset")
+        + row_number().over(
+          Window.partitionBy("n_tok").orderBy("doc_id")).cast("long") - 1L)
+      .withColumn("shard",
+        when(expr("(r div 8) % 2") === 0L, expr("r % 8"))
+          .otherwise(expr("7 - (r % 8)")))
+      .drop("offset", "r")
+  }
+
   private val x226 = GQuery(
     "x226_shard_packing", "ext-docs shard-assignment balanced boustrophedon",
     (s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val dom = d.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("offset", coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("n_tok").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      d.join(dom, "n_tok")
-        .withColumn("r", col("offset")
-          + row_number().over(
-            Window.partitionBy("n_tok").orderBy("doc_id")).cast("long") - 1L)
-        .withColumn("shard",
-          when(expr("(r div 8) % 2") === 0L, expr("r % 8"))
-            .otherwise(expr("7 - (r % 8)")))
+      serpentineShards(d)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
         .orderBy("shard")
@@ -1810,17 +1821,7 @@ object CorpusOps {
       val d = docs(s, dir).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         md5(col("text")).as("h"))
-      val dom = d.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("offset", coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("n_tok").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      d.join(dom, "n_tok")
-        .withColumn("r", col("offset")
-          + row_number().over(
-            Window.partitionBy("n_tok").orderBy("doc_id")).cast("long") - 1L)
-        .withColumn("shard",
-          when(expr("(r div 8) % 2") === 0L, expr("r % 8"))
-            .otherwise(expr("7 - (r % 8)")))
+      serpentineShards(d)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
           md5(concat_ws("",

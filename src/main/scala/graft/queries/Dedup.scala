@@ -503,33 +503,48 @@ object Dedup {
     * incremental probe, where a batch-only shingle cannot collide with
     * any standing posting anyway.
     */
-  private[graft] def prefixPostings(postings: DataFrame, dfTab: DataFrame): DataFrame = {
+  private[graft] def prefixPostings(postings: DataFrame, dfTab: DataFrame,
+      num: Int = 4, den: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ceil(t·n) for t = num/den as (num·n + den − 1) div den
     postings.join(dfTab, Seq("s"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-      .where(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .where(col("rk") <=
+        col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
       .select(col("s"), col("doc_id"), col("n"))
+  }
+
+  /** The ONE candidate-generation + verify-input pipeline every exact
+    * prefix-filter row shares (x225 pairs, x236 clusters, x237 bands,
+    * x241 explanations — the lossless arithmetic lives here once):
+    * rarest-first prefixes at threshold num/den, posting equi-join,
+    * den·min >= num·max size filter, both sets re-joined. Callers apply
+    * their own verify projection (double Jaccard, integer banding, ...).
+    * `sets` is read three times — checkpoint it at the call site.
+    */
+  private def prefixCandidates(sets: DataFrame, num: Int, den: Int): DataFrame = {
+    val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = prefixPostings(postings, dfTab, num, den)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .where(least(col("a.n"), col("b.n")) * den >=
+        greatest(col("a.n"), col("b.n")) * num)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
+        col("n").as("n_a")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
+        col("n").as("n_b")), "b_id")
   }
 
   private val x225 = GQuery(
     "x225_allpairs_prefix_join", "ext-dedup-fuzzy all-pairs prefix-filter exact",
     (s, dir) => {
-      val sets = shingleSets(docs(s, dir))
-        .localCheckpoint(true) // reused by postings + both verify sides
-      val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
-      val prefix = prefixPostings(postings, dfTab)
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .where(least(col("a.n"), col("b.n")) * 5 >=
-          greatest(col("a.n"), col("b.n")) * 4)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
+      prefixCandidates(sets, 4, 5)
         .select(col("a_id"), col("b_id"),
           HashFunctions.jaccardLongs(col("sa"), col("sb")).as("jaccard"))
         .where(col("jaccard") >= 0.8)
@@ -556,16 +571,27 @@ object Dedup {
     * rarest-first prefix postings — the ingest-time cost the x66/x62
     * build-once/probe-many discipline amortizes over every batch.
     */
-  def writeAllPairsIndex(standing: DataFrame, outDir: String): Unit = {
+  /** The one standing-index builder (sets + df + rarest-first prefixes),
+    * parameterized by output sub-paths so the flat artifact (x227) and
+    * the segmented streaming layout (DedupIngestStream) stay structurally
+    * identical. The prefix table is written LAST — it is the ready/applied
+    * marker for both layouts.
+    */
+  private[graft] def buildAllPairsIndex(standing: DataFrame, dfDir: String,
+      setsDir: String, prefixDir: String): Unit = {
     val sets = shingleSets(standing).localCheckpoint(true)
     val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
       .localCheckpoint(true)
-    sets.write.mode("overwrite").parquet(s"$outDir/sets")
-    dfTab.write.mode("overwrite").parquet(s"$outDir/df")
+    sets.write.mode("overwrite").parquet(setsDir)
+    dfTab.write.mode("overwrite").parquet(dfDir)
     prefixPostings(postings, dfTab)
-      .write.mode("overwrite").parquet(s"$outDir/prefix")
+      .write.mode("overwrite").parquet(prefixDir)
   }
+
+  def writeAllPairsIndex(standing: DataFrame, outDir: String): Unit =
+    buildAllPairsIndex(standing, s"$outDir/df", s"$outDir/sets",
+      s"$outDir/prefix")
 
   /** Probe a NEW batch against the stored standing postings: the batch
     * pays its own shingle cost plus one posting equi-join — the standing
@@ -683,18 +709,7 @@ object Dedup {
     "x236_allpairs_clusters", "ext-dedup-fuzzy exact-clusters transitive custom-operator",
     (s, dir) => {
       val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
-      val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
-      val prefix = prefixPostings(postings, dfTab)
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .where(least(col("a.n"), col("b.n")) * 5 >=
-          greatest(col("a.n"), col("b.n")) * 4)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val pairs = cand
-        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      val pairs = prefixCandidates(sets, 4, 5)
         .where(HashFunctions.jaccardLongs(col("sa"), col("sb")) >= 0.8)
         .select(col("a_id"), col("b_id"))
       val (labels, _) = graft.operators.ConnectedComponents.run(
@@ -743,27 +758,9 @@ object Dedup {
     "x237_similarity_bands", "ext-dedup-fuzzy threshold-sensitivity band-census",
     (s, dir) => {
       val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
-      val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
-      val prefix = postings.join(dfTab, "s")
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id").orderBy(col("df"), col("s"))))
-        .where(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
-        .select(col("s"), col("doc_id"), col("n"))
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .where(least(col("a.n"), col("b.n")) * 2 >=
-          greatest(col("a.n"), col("b.n")))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
-          col("n").as("na")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
-          col("n").as("nb")), "b_id")
+      prefixCandidates(sets, 1, 2)
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("un", col("na") + col("nb") - col("inter"))
+        .withColumn("un", col("n_a") + col("n_b") - col("inter"))
         .where(col("inter") * 2 >= col("un"))
         .withColumn("band", expr("(10 * inter) div un"))
         .groupBy("band").agg(count(lit(1)).as("n_pairs"))
@@ -795,20 +792,7 @@ object Dedup {
     "x241_pair_explanations", "ext-dedup-fuzzy pair-audit explanation",
     (s, dir) => {
       val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
-      val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
-      val prefix = prefixPostings(postings, dfTab)
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .where(least(col("a.n"), col("b.n")) * 5 >=
-          greatest(col("a.n"), col("b.n")) * 4)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
-          col("n").as("n_a")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
-          col("n").as("n_b")), "b_id")
+      prefixCandidates(sets, 4, 5)
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("un", col("n_a") + col("n_b") - col("inter"))
         .where(col("inter") * 5 >= col("un") * 4) // J >= 4/5 in integers

@@ -985,12 +985,16 @@ object Lakehouse {
 
   /** The merge-on-read serving scan: data files minus the sidecar's
     * positions — one broadcast anti-join, no predicate re-evaluation.
+    * The sidecar is deduplicated so segmented layouts whose batches
+    * overlap (DeleteVectorStream) serve through the same path — a no-op
+    * for the single-segment artifact.
     */
   def readWithDeletes(s: SparkSession, layout: String, dvDir: String): DataFrame =
     s.read.parquet(layout)
       .withColumn("file", col("_metadata.file_path"))
       .withColumn("pos", col("_metadata.row_index"))
-      .join(s.read.parquet(dvDir), Seq("file", "pos"), "left_anti")
+      .join(s.read.parquet(dvDir).select("file", "pos").distinct(),
+        Seq("file", "pos"), "left_anti")
       .drop("file", "pos")
 
   /** Fold the deletion vectors into rewritten data files (merge-on-read →
@@ -1031,6 +1035,13 @@ object Lakehouse {
     // and overwrite this tag's masks with dead-path positions
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(
         s"$dvDir/seg=merge_$tag/_SUCCESS"))) return
+    // a crash DURING a segment commit can leave part files visible
+    // without _SUCCESS (committer v2, or v1 dying mid-job-commit);
+    // partition discovery would feed them to the replay's probe and
+    // corrupt the recomputed mask — drop any partial segment of THIS tag
+    // before recomputing
+    Seq(s"$mergeDir/seg=merge_$tag", s"$dvDir/seg=merge_$tag")
+      .foreach(dropPartialSegment)
     // the probe must see every previously-committed segment, and readers
     // must see this merge's: drop any cached file listings on both ends
     Seq(mergeDir, dvDir).foreach { p =>
@@ -1044,6 +1055,16 @@ object Lakehouse {
     updates.write.mode("overwrite").parquet(s"$mergeDir/seg=merge_$tag")
     liveMatched.write.mode("overwrite").parquet(s"$dvDir/seg=merge_$tag")
     Seq(mergeDir, dvDir).foreach(p => s.catalog.refreshByPath(p))
+  }
+
+  /** Remove a segment directory whose commit never finished (part files
+    * visible, `_SUCCESS` absent) — shared replay hygiene for every
+    * tag/batch-addressed writer in this module and the streaming loops.
+    */
+  private[graft] def dropPartialSegment(path: String): Unit = {
+    val dir = new java.io.File(path)
+    if (dir.isDirectory && !new java.io.File(dir, "_SUCCESS").exists())
+      graft.StoredArtifacts.deleteTree(path)
   }
 
   private def readMoRWithPos(s: SparkSession, layout: String,

@@ -2348,6 +2348,13 @@ object Similarity {
     expr(s"""aggregate(zip_with(v, array(${center.mkString(",")}L),
         (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""")
 
+  private def dropCkpt(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def kcenterCoreset(e: DataFrame, k: Int): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
@@ -2356,15 +2363,23 @@ object Similarity {
       .select(col("vec_id"), col("v")).head()
     var centers = Seq((0, seedRow.getLong(0), 0L))
     var curCenter = seedRow.getSeq[Long](1)
+    // running min-dist table, one checkpointed generation at a time (the
+    // Graph.dropCheckpoint retention discipline — without the unpersist,
+    // k generations of the embedding table stay pinned per run)
     var dist = pts.select(col("vec_id"), col("v"),
-      d2ToCenter(curCenter).as("d"))
+      d2ToCenter(curCenter).as("d")).localCheckpoint(true)
+    dropCkpt(pts)
     for (step <- 1 until k) {
-      dist = dist.select(col("vec_id"), col("v"),
-        least(col("d"), d2ToCenter(curCenter)).as("d"))
-        .localCheckpoint(true)
-      val next = dist.orderBy(col("d").desc, col("vec_id")).limit(1).head()
-      centers = centers :+ ((step, next.getLong(0), next.getLong(2)))
-      curCenter = next.getSeq[Long](1)
+      val next0 = dist.orderBy(col("d").desc, col("vec_id")).limit(1).head()
+      centers = centers :+ ((step, next0.getLong(0), next0.getLong(2)))
+      curCenter = next0.getSeq[Long](1)
+      if (step < k - 1) {
+        val refreshed = dist.select(col("vec_id"), col("v"),
+          least(col("d"), d2ToCenter(curCenter)).as("d"))
+          .localCheckpoint(true)
+        dropCkpt(dist)
+        dist = refreshed
+      }
     }
     centers.toDF("step", "vec_id", "radius")
       .select(col("step").cast("int").as("step"), col("vec_id"),

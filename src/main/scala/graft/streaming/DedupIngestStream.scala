@@ -52,16 +52,9 @@ object DedupIngestStream {
     * as generation 0: `df/` (the frozen order), `sets/seg=base`,
     * `prefix/seg=base`.
     */
-  def bootstrap(standing: DataFrame, indexDir: String): Unit = {
-    val sets = Dedup.shingleSets(standing).localCheckpoint(true)
-    val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-    val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
-    dfTab.write.mode("overwrite").parquet(s"$indexDir/df")
-    sets.write.mode("overwrite").parquet(s"$indexDir/sets/seg=base")
-    Dedup.prefixPostings(postings, dfTab)
-      .write.mode("overwrite").parquet(s"$indexDir/prefix/seg=base")
-  }
+  def bootstrap(standing: DataFrame, indexDir: String): Unit =
+    Dedup.buildAllPairsIndex(standing, s"$indexDir/df",
+      s"$indexDir/sets/seg=base", s"$indexDir/prefix/seg=base")
 
   /** True iff `batchId` is fully applied: its sets segment (the LAST
     * write of a cycle) is committed.
@@ -76,6 +69,15 @@ object DedupIngestStream {
   def ingestBatch(batch: DataFrame, indexDir: String, pairsDir: String,
       batchId: Long): Unit = {
     if (applied(indexDir, batchId)) return
+    // replay hygiene: a crash mid-commit can leave part files without
+    // _SUCCESS; partition discovery would hand a partially-visible sets
+    // segment to the probe and emit self-pairs — drop any partial
+    // segment of THIS batch before recomputing (a fully-committed prefix
+    // segment is harmless: self-candidates die in the verify join)
+    Seq(s"$indexDir/sets/seg=batch_$batchId",
+      s"$indexDir/prefix/seg=batch_$batchId",
+      s"$pairsDir/seg=batch_$batchId")
+      .foreach(graft.queries.Lakehouse.dropPartialSegment)
     val s = batch.sparkSession
     val bsets = Dedup.shingleSets(batch).localCheckpoint(true)
     val frozenDf = s.read.parquet(s"$indexDir/df")

@@ -66,15 +66,11 @@ object DeleteVectorStream {
       }
       .start()
 
-  /** The serving scan over the streamed sidecar — x229's read with the
-    * segmented DV directory (partition discovery reads every committed
-    * segment).
+  /** The serving scan over the streamed sidecar — exactly x229's read
+    * (it deduplicates the sidecar, so overlapping delete batches across
+    * segments collapse); partition discovery reads every committed
+    * segment.
     */
   def read(s: SparkSession, layout: String, dvDir: String): DataFrame =
-    s.read.parquet(layout)
-      .withColumn("file", col("_metadata.file_path"))
-      .withColumn("pos", col("_metadata.row_index"))
-      .join(s.read.parquet(dvDir).select("file", "pos").distinct(),
-        Seq("file", "pos"), "left_anti")
-      .drop("file", "pos")
+    Lakehouse.readWithDeletes(s, layout, dvDir)
 }
