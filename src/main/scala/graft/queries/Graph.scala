@@ -1190,7 +1190,171 @@ object Graph {
            LEFT JOIN bnd ON bnd.community = sz.community
            ORDER BY sz.community""")))
 
+  // ------------------------------------------------------------------- x242
+  // Degree assortativity (Newman 2002, Phys. Rev. Lett. 89.208701): the
+  // Pearson correlation of the degrees at the two ends of every edge —
+  // THE one-number answer to "do hubs link to hubs?" that decides whether
+  // hub-removal partitioning tricks will work on this graph. Computed
+  // over the directed double cover (each undirected edge in both
+  // orientations), which makes the statistic symmetric by construction.
+  // All moments accumulate as exact integers (degrees are BIGINT,
+  // per-edge products fit BIGINT, sums ride DECIMAL(38,0)/HUGEINT), so
+  // both engines reach identical exact rationals; the only floating steps
+  // are the final sqrt/divide on those exact values plus one round to
+  // micros — the x231 discipline.
+  //
+  // Scale shape: two node-sized degree joins onto the stored edge list
+  // (shuffle-bounded by the edge table), then ONE map-side-combinable
+  // aggregate. No iteration, no window, no driver data.
+  private val x242 = GQuery(
+    "x242_degree_assortativity", "ext-graph assortativity degree-mixing",
+    (s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = storedEdges(s, dir)
+      val deg = storedDegrees(s, dir)
+      val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      val m = directed
+        .join(deg.select(col("node").as("src"), col("deg").as("da")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("db")), "dst")
+        .agg(count(lit(1)).as("n"),
+          sum(col("da")).as("sa"), sum(col("db")).as("sb"),
+          sum((col("da") * col("da")).cast(d38)).as("saa"),
+          sum((col("db") * col("db")).cast(d38)).as("sbb"),
+          sum((col("da") * col("db")).cast(d38)).as("sab"))
+      m.select(col("n").as("m_directed"),
+        expr("""cast(round(
+             cast(cast(n as decimal(38,0)) * sab
+               - cast(sa as decimal(38,0)) * sb as double)
+             / (sqrt(cast(cast(n as decimal(38,0)) * saa
+                 - cast(sa as decimal(38,0)) * sa as double))
+               * sqrt(cast(cast(n as decimal(38,0)) * sbb
+                 - cast(sb as decimal(38,0)) * sb as double)))
+             * 1000000, 0) as bigint)""").as("r_micro"))
+    },
+    Some("""WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey),
+            e AS (SELECT pa AS src, pb AS dst FROM e0
+                  UNION ALL SELECT pb AS src, pa AS dst FROM e0),
+            deg AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM (SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0)
+              GROUP BY 1),
+            m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(da.deg) AS BIGINT) AS sa,
+                CAST(SUM(db.deg) AS BIGINT) AS sb,
+                SUM(CAST(da.deg * da.deg AS HUGEINT)) AS saa,
+                SUM(CAST(db.deg * db.deg AS HUGEINT)) AS sbb,
+                SUM(CAST(da.deg * db.deg AS HUGEINT)) AS sab
+              FROM e
+              JOIN deg da ON da.node = e.src
+              JOIN deg db ON db.node = e.dst)
+            SELECT n AS m_directed,
+              CAST(round(
+                CAST(CAST(n AS HUGEINT) * sab
+                  - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+                / (sqrt(CAST(CAST(n AS HUGEINT) * saa
+                    - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS HUGEINT) * sbb
+                    - CAST(sb AS HUGEINT) * sb AS DOUBLE)))
+                * 1000000, 0) AS BIGINT) AS r_micro
+            FROM m"""))
+
+  // ------------------------------------------------------------------- x243
+  // Closeness / eccentricity profile of the TOP-DEGREE seeds: multi-source
+  // BFS from the 8 highest-degree nodes (deterministic (deg DESC, id)
+  // pick), reporting per seed the reached count, distance mass,
+  // eccentricity (its max distance = a diameter lower bound), exact
+  // closeness in millis (1000·(reached−1) div Σdist) and tie-robust
+  // harmonic centrality (Σ 1000 div dist — per-term integer division, so
+  // no float sum ever forms). The hub-centrality read a routing /
+  // cache-placement decision wants; seeds are a BOUNDED set, so the cost
+  // is k parallel BFS fronts, not all-pairs shortest paths.
+  //
+  // Scale shape: the x139 superstep (co-partitioned edge⋈frontier,
+  // SHUFFLE_HASH, checkpoint-per-round, superseded generations dropped)
+  // with a (seed, node) keyed frontier of ≤ k·|V| rows — k fixed at 8.
+  private[queries] def closenessProfileOnEdges(
+      e: DataFrame, seeds: Int, hops: Int): DataFrame =
+    withSuperstepConfs(e.sparkSession, superstepPartitions(e)) {
+      val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val adj = adjacencyBySrc(directed, deg)
+      var frontier = deg.orderBy(col("outdeg").desc, col("src")).limit(seeds)
+        .select(col("src").as("seed"), col("src").as("node"),
+          lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to hops) {
+        val next = frontier
+          .unionAll(adj
+            .join(frontier.hint("shuffle_hash"), col("src") === col("node"))
+            .select(col("seed"), explode(col("dsts")).as("node"),
+              (col("dist") + 1L).as("dist")))
+          .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        dropCheckpoint(frontier)
+        frontier = next
+      }
+      dropCheckpoint(adj)
+      frontier.groupBy("seed")
+        .agg(count(lit(1)).as("reached"), sum(col("dist")).as("sum_dist"),
+          max(col("dist")).as("ecc"),
+          sum(when(col("dist") > 0L, expr("1000 div dist"))
+            .otherwise(lit(0L))).as("harmonic_milli"))
+        .withColumn("closeness_milli",
+          when(col("sum_dist") === 0L, lit(0L))
+            .otherwise(expr("(1000 * (reached - 1)) div sum_dist")))
+        .select(col("seed"), col("reached"), col("sum_dist"), col("ecc"),
+          col("closeness_milli"), col("harmonic_milli"))
+        .orderBy("seed")
+    }
+
+  private def closenessOracle(seeds: Int, hops: Int): String = {
+    val head =
+      s"""WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey < b.l_partkey),
+         e AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst FROM e0
+           UNION ALL SELECT pb AS src, pa AS dst FROM e0),
+         dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM e GROUP BY 1),
+         f0 AS (SELECT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
+                FROM dg ORDER BY outdeg DESC, src LIMIT $seeds)"""
+    val steps = (1 to hops).map { i =>
+      s"""f$i AS MATERIALIZED (
+           SELECT seed, node, MIN(dist) AS dist FROM (
+             SELECT seed, node, dist FROM f${i - 1}
+             UNION ALL
+             SELECT f.seed, e.dst AS node, f.dist + 1 AS dist
+             FROM e JOIN f${i - 1} f ON e.src = f.node)
+           GROUP BY 1, 2)"""
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+        SELECT seed, CAST(COUNT(*) AS BIGINT) AS reached,
+          CAST(SUM(dist) AS BIGINT) AS sum_dist,
+          CAST(MAX(dist) AS BIGINT) AS ecc,
+          CASE WHEN SUM(dist) = 0 THEN 0
+            ELSE CAST((1000 * (COUNT(*) - 1)) // SUM(dist) AS BIGINT)
+            END AS closeness_milli,
+          CAST(SUM(CASE WHEN dist > 0 THEN 1000 // dist ELSE 0 END)
+            AS BIGINT) AS harmonic_milli
+        FROM f$hops GROUP BY 1 ORDER BY 1"""
+  }
+
+  private val x243 = GQuery(
+    "x243_closeness_profile", "ext-graph closeness eccentricity bfs",
+    (s, dir) => closenessProfileOnEdges(storedEdges(s, dir),
+      seeds = 8, hops = 4),
+    Some(closenessOracle(8, 4)))
+
   val queries: Seq[GQuery] =
     Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215, x217,
-      x238)
+      x238, x242, x243)
 }

@@ -873,7 +873,255 @@ object TpchMore {
             FROM c WHERE cw * 2 >= tw
             GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x244
+  // Spearman rank correlation per market segment — does a customer's
+  // revenue RANK track their order-count rank? The monotone-association
+  // companion to x231's linear Pearson (a heavy-tailed revenue column can
+  // decorrelate linearly while staying perfectly monotone). Tie-aware:
+  // both engines build 2-SCALED average ranks (2·avgrank = 2·RANK +
+  // ties−1, an exact integer — fractional .5 average ranks never appear),
+  // then Pearson-of-ranks over exact DECIMAL(38,0)/HUGEINT moments — the
+  // textbook tie-corrected Spearman, float-free until the final
+  // sqrt/divide/round (the x231 discipline).
+  //
+  // Scale shape: one fact aggregate to the customer dimension, then
+  // dimension-sized rank windows partitioned by segment (5 partitions
+  // over |customers| rows — never fact-sized), one map-combinable moment
+  // aggregate per segment.
+  private val x244 = GQuery(
+    "x244_spearman_rank", "ext-analytics spearman rank-correlation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = DecimalType(38, 0)
+      val cust = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(12, 2))) * 100)
+          .cast("long").as("cents"),
+          count(lit(1)).as("n_orders"))
+      val ranked = cust
+        .withColumn("rx2",
+          rank().over(Window.partitionBy("segment").orderBy("cents"))
+            .cast("long") * 2
+            + count(lit(1)).over(Window.partitionBy("segment", "cents")) - 1)
+        .withColumn("ry2",
+          rank().over(Window.partitionBy("segment").orderBy("n_orders"))
+            .cast("long") * 2
+            + count(lit(1)).over(Window.partitionBy("segment", "n_orders"))
+            - 1)
+      ranked.groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+          sum((col("rx2") * col("rx2")).cast(d38)).as("sxx"),
+          sum((col("ry2") * col("ry2")).cast(d38)).as("syy"),
+          sum((col("rx2") * col("ry2")).cast(d38)).as("sxy"))
+        .select(col("segment"), col("n"),
+          expr("""cast(round(
+               cast(cast(n as decimal(38,0)) * sxy
+                 - cast(sx as decimal(38,0)) * sy as double)
+               / (sqrt(cast(cast(n as decimal(38,0)) * sxx
+                   - cast(sx as decimal(38,0)) * sx as double))
+                 * sqrt(cast(cast(n as decimal(38,0)) * syy
+                   - cast(sy as decimal(38,0)) * sy as double)))
+               * 1000000, 0) as bigint)""").as("rho_micro"))
+        .orderBy("segment")
+    },
+    Some("""WITH cust AS (
+              SELECT c.c_mktsegment AS segment, o.o_custkey,
+                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100
+                  AS BIGINT) AS cents,
+                CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2),
+            r AS (
+              SELECT segment,
+                CAST(RANK() OVER (PARTITION BY segment ORDER BY cents)
+                  AS BIGINT) * 2
+                  + CAST(COUNT(*) OVER (PARTITION BY segment, cents)
+                    AS BIGINT) - 1 AS rx2,
+                CAST(RANK() OVER (PARTITION BY segment ORDER BY n_orders)
+                  AS BIGINT) * 2
+                  + CAST(COUNT(*) OVER (PARTITION BY segment, n_orders)
+                    AS BIGINT) - 1 AS ry2
+              FROM cust),
+            m AS (
+              SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(rx2) AS BIGINT) AS sx,
+                CAST(SUM(ry2) AS BIGINT) AS sy,
+                SUM(CAST(rx2 * rx2 AS HUGEINT)) AS sxx,
+                SUM(CAST(ry2 * ry2 AS HUGEINT)) AS syy,
+                SUM(CAST(rx2 * ry2 AS HUGEINT)) AS sxy
+              FROM r GROUP BY 1)
+            SELECT segment, n,
+              CAST(round(
+                CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                * 1000000, 0) AS BIGINT) AS rho_micro
+            FROM m ORDER BY segment"""))
+
+  // ------------------------------------------------------------------- x245
+  // Mann–Whitney U per return flag — do PROMO parts ship in different
+  // quantities than non-promo parts? The distribution-free two-sample
+  // test (Mann & Whitney 1947) an A/B readout uses when t-test normality
+  // fails. Computed WITHOUT a pooled fact-table sort: aggregate both
+  // samples to the (flag, quantity) DOMAIN grid (≤ 50 values), then
+  // 2U₁ = Σ_v n1_v·(2·|{group2 < v}| + n2_v) — the rank-sum identity with
+  // the tie ½-credits kept integral by the doubling. Rank-biserial effect
+  // size r = 2U/(n1·n2) − 1 is the only division, done on exact integers
+  // as doubles then rounded to micros (the x231 finishing step).
+  //
+  // Scale shape: one map-combinable aggregate to the domain grid, grid
+  // windows (≤ 50 rows per flag), a 3-row rollup. Facts never sort — the
+  // x240 domain discipline.
+  private val x245 = GQuery(
+    "x245_mannwhitney_u", "ext-analytics mann-whitney two-sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = DecimalType(38, 0)
+      val grid = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(sum(when(col("p_type").startsWith("PROMO"), 1L).otherwise(0L))
+          .as("n1v"),
+          sum(when(col("p_type").startsWith("PROMO"), 0L).otherwise(1L))
+            .as("n2v"))
+      val cum = Window.partitionBy("flag").orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("c2lt", sum(col("n2v")).over(cum) - col("n2v"))
+        .groupBy("flag")
+        .agg(sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+          sum((col("n1v") * (col("c2lt") * 2 + col("n2v"))).cast(d38))
+            .as("u2"))
+        .select(col("flag"), col("n1"), col("n2"),
+          col("u2").cast("long").as("u_doubled"),
+          expr("""cast(round(
+               cast(u2 - cast(n1 as decimal(38,0)) * n2 as double)
+               / cast(cast(n1 as decimal(38,0)) * n2 as double)
+               * 1000000, 0) as bigint)""").as("rb_micro"))
+        .orderBy("flag")
+    },
+    Some("""WITH grid AS (
+              SELECT l.l_returnflag AS flag,
+                CAST(l.l_quantity AS BIGINT) AS qty,
+                CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1v,
+                CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n2v
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1, 2),
+            c AS (
+              SELECT flag, qty, n1v, n2v,
+                CAST(SUM(n2v) OVER (PARTITION BY flag ORDER BY qty
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - n2v AS c2lt
+              FROM grid),
+            m AS (
+              SELECT flag, CAST(SUM(n1v) AS BIGINT) AS n1,
+                CAST(SUM(n2v) AS BIGINT) AS n2,
+                SUM(CAST(n1v * (2 * c2lt + n2v) AS HUGEINT)) AS u2
+              FROM c GROUP BY 1)
+            SELECT flag, n1, n2, CAST(u2 AS BIGINT) AS u_doubled,
+              CAST(round(
+                CAST(u2 - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                * 1000000, 0) AS BIGINT) AS rb_micro
+            FROM m ORDER BY flag"""))
+
+  // ------------------------------------------------------------------- x246
+  // Kendall tau-b between quantity and discount — the concordance test
+  // (Kendall 1938) with the tau-b tie normalization both columns need on
+  // a coarse grid. Computed on the JOINT DOMAIN GRID (≤ 50 quantities ×
+  // 11 discounts): concordant/discordant mass from the grid's pair
+  // lattice (cell-count products, q strictly increasing), tie terms from
+  // the marginals — every term an exact integer in DECIMAL(38,0)/HUGEINT,
+  // with n² headroom for 100 TB row counts; the single float step is the
+  // final (C−D)/√((n0−n1)(n0−n2)) on exact values, rounded to micros.
+  //
+  // Scale shape: one map-combinable aggregate to the ≤550-cell grid; the
+  // pair lattice is grid×grid (≤ 550² bounded rows — whitelisted in the
+  // registry cartesian gate like the x214/x228 domain lattices); facts
+  // never pair.
+  private val x246 = GQuery(
+    "x246_kendall_tau", "ext-analytics kendall-tau concordance",
+    (s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val cells = Tables(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast("long").as("q"),
+          (col("l_discount").cast(DecimalType(4, 2)) * 100).cast("long")
+            .as("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // reread by lattice + both marginals
+      val pairs = cells.select(col("q").as("q1"), col("d").as("d1"),
+          col("c").as("c1"))
+        .join(cells.select(col("q").as("q2"), col("d").as("d2"),
+          col("c").as("c2")), col("q1") < col("q2"))
+        .agg(
+          sum(when(col("d1") < col("d2"),
+            (col("c1") * col("c2")).cast(d38)).otherwise(lit(0).cast(d38)))
+            .as("cc"),
+          sum(when(col("d1") > col("d2"),
+            (col("c1") * col("c2")).cast(d38)).otherwise(lit(0).cast(d38)))
+            .as("dd"))
+      val tot = cells.agg(sum(col("c")).as("nn"))
+        .select(expr("cast(nn as decimal(38,0)) * (nn - 1) / 2")
+          .cast(d38).as("n0"))
+      val tq = cells.groupBy("q").agg(sum(col("c")).as("t"))
+        .agg(sum(expr("cast(t as decimal(38,0)) * (t - 1) / 2").cast(d38))
+          .as("n1"))
+      val td = cells.groupBy("d").agg(sum(col("c")).as("t"))
+        .agg(sum(expr("cast(t as decimal(38,0)) * (t - 1) / 2").cast(d38))
+          .as("n2"))
+      pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(tq))
+        .crossJoin(broadcast(td))
+        .select(col("cc").cast("long").as("concordant"),
+          col("dd").cast("long").as("discordant"),
+          expr("""cast(round(
+               cast(cc - dd as double)
+               / (sqrt(cast(n0 - n1 as double))
+                 * sqrt(cast(n0 - n2 as double)))
+               * 1000000, 0) as bigint)""").as("tau_micro"))
+    },
+    Some("""WITH cells AS (
+              SELECT CAST(l_quantity AS BIGINT) AS q,
+                CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1, 2),
+            cd AS (
+              SELECT
+                SUM(CASE WHEN a.d < b.d
+                  THEN CAST(a.c * b.c AS HUGEINT) ELSE 0 END) AS cc,
+                SUM(CASE WHEN a.d > b.d
+                  THEN CAST(a.c * b.c AS HUGEINT) ELSE 0 END) AS dd
+              FROM cells a JOIN cells b ON a.q < b.q),
+            tot AS (
+              SELECT CAST(SUM(c) AS HUGEINT)
+                * (CAST(SUM(c) AS HUGEINT) - 1) // 2 AS n0
+              FROM cells),
+            tq AS (
+              SELECT SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n1
+              FROM (SELECT CAST(SUM(c) AS BIGINT) AS t
+                    FROM cells GROUP BY q)),
+            td AS (
+              SELECT SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n2
+              FROM (SELECT CAST(SUM(c) AS BIGINT) AS t
+                    FROM cells GROUP BY d))
+            SELECT CAST(cc AS BIGINT) AS concordant,
+              CAST(dd AS BIGINT) AS discordant,
+              CAST(round(
+                CAST(cc - dd AS DOUBLE)
+                / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                  * sqrt(CAST(n0 - n2 AS DOUBLE)))
+                * 1000000, 0) AS BIGINT) AS tau_micro
+            FROM cd, tot, tq, td"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
-      x220, x221, x231, x239, x240)
+      x220, x221, x231, x239, x240, x244, x245, x246)
 }

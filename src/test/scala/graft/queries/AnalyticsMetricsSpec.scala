@@ -75,6 +75,98 @@ class AnalyticsMetricsSpec extends SparkSpec {
       s"a point sits farther ($maxMin) than the last selection radius (${radii.last})")
   }
 
+  test("x244 spearman equals a driver-side tie-corrected rank correlation") {
+    val cust = Tables(spark, sf001, "orders")
+      .join(Tables(spark, sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long").as("cents"), count(lit(1)).as("n_orders"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      // 2x tie-average rank: 2*minrank + ties - 1, over the value multiset
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val minRank = sorted.indexOf(v) + 1L
+        v -> (2 * minRank + sorted.count(_ == v) - 1)
+      }.toMap
+    }
+    val expected = cust.groupBy(_._1).map { case (seg, rows) =>
+      val rx = ranks2(rows.map(_._2).toSeq)
+      val ry = ranks2(rows.map(_._3).toSeq)
+      val pts = rows.map(r => (BigInt(rx(r._2)), BigInt(ry(r._3))))
+      val n = BigInt(pts.length)
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      seg -> math.round((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble)) * 1e6)
+    }
+    val got = SparkEntry.queries("x244_spearman_rank")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.values.forall(v => math.abs(v) <= 1000000L))
+  }
+
+  test("x245 mann-whitney: rank-sum identity vs the pairwise definition") {
+    // 2*U1 = #(promo > other)*2 + #(ties), counted literally over the
+    // pooled pair grid at sf0.001 — the domain-grid identity must match
+    val q = Tables(spark, sf001, "lineitem")
+      .join(Tables(spark, sf001, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_returnflag").as("flag"),
+        col("p_type").startsWith("PROMO").as("promo"),
+        col("l_quantity").cast("long").as("qty"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val expected = q.groupBy(_._1).map { case (flag, rows) =>
+      val g1 = rows.filter(_._2).map(_._3)
+      val g2 = rows.filterNot(_._2).map(_._3)
+      val u2 = g1.iterator.map { x =>
+        2L * g2.count(_ < x) + g2.count(_ == x)
+      }.sum
+      flag -> ((g1.length.toLong, g2.length.toLong, u2))
+    }
+    val got = SparkEntry.queries("x245_mannwhitney_u")(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // rank-biserial bounded
+    val rb = SparkEntry.queries("x245_mannwhitney_u")(spark, sf001)
+      .collect().map(_.getAs[Long]("rb_micro"))
+    assert(rb.forall(v => math.abs(v) <= 1000000L))
+  }
+
+  test("x246 kendall tau-b equals the driver-side pairwise concordance count") {
+    val pts = Tables(spark, sf001, "lineitem")
+      .select(col("l_quantity").cast("long"),
+        (col("l_discount").cast("decimal(4,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var (cc, dd) = (BigInt(0), BigInt(0))
+    var (tiesX, tiesY) = (BigInt(0), BigInt(0))
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val ((x1, y1), (x2, y2)) = (pts(i), pts(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) cc += 1 else dd += 1
+      }
+      if (x1 == x2 && y1 != y2) tiesX += 1
+      if (y1 == y2 && x1 != x2) tiesY += 1
+    }
+    val n = BigInt(pts.length)
+    val n0 = n * (n - 1) / 2
+    // n1/n2 count ALL same-x (same-y) pairs including both-tied cells
+    val n1 = n0 - cc - dd - tiesY
+    val n2 = n0 - cc - dd - tiesX
+    val expTau = math.round((cc - dd).toDouble /
+      (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble)) * 1e6)
+    val r = SparkEntry.queries("x246_kendall_tau")(spark, sf001).head()
+    assert(r.getAs[Long]("concordant") == cc.toLong)
+    assert(r.getAs[Long]("discordant") == dd.toLong)
+    assert(r.getAs[Long]("tau_micro") == expTau)
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee

@@ -280,6 +280,64 @@ class GraphSpec extends SparkSpec {
     assert(got(seed) == 0L && got.values.exists(_ > 0))
   }
 
+  test("x242: assortativity equals a driver-side Pearson over edge-end degrees") {
+    val edges = Graph.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // directed double cover, exact integer moments, same final float steps
+    val ends = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .map { case (s, d) => (deg(s), deg(d)) }
+    val n = BigInt(ends.length)
+    val sa = ends.map(p => BigInt(p._1)).sum
+    val sb = ends.map(p => BigInt(p._2)).sum
+    val saa = ends.map(p => BigInt(p._1) * p._1).sum
+    val sbb = ends.map(p => BigInt(p._2) * p._2).sum
+    val sab = ends.map(p => BigInt(p._1) * p._2).sum
+    val expected = math.round(
+      (n * sab - sa * sb).toDouble /
+        (math.sqrt((n * saa - sa * sa).toDouble) *
+          math.sqrt((n * sbb - sb * sb).toDouble)) * 1e6)
+    val row = SparkEntry.queries("x242_degree_assortativity")(spark, sf001)
+      .collect()
+    assert(row.length == 1)
+    assert(row.head.getLong(0) == ends.length.toLong)
+    assert(row.head.getLong(1) == expected)
+    // the statistic is a genuine correlation: strictly inside [-1, 1]
+    assert(math.abs(row.head.getLong(1)) <= 1000000L)
+  }
+
+  test("x243: closeness profile equals a driver-side multi-source BFS") {
+    val edges = Graph.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val degs = adj.map { case (k, v) => k -> v.size.toLong }
+    val seeds = degs.toSeq.sortBy { case (n, d) => (-d, n) }.take(8).map(_._1)
+    val expected = seeds.map { seed =>
+      var dist = Map(seed -> 0L)
+      for (_ <- 1 to 4) {
+        val grown = dist.toSeq.flatMap { case (n, d) => adj(n).map(_ -> (d + 1)) }
+        dist = (dist.toSeq ++ grown).groupBy(_._1)
+          .map { case (n, ds) => n -> ds.map(_._2).min }
+      }
+      val sumDist = dist.values.sum
+      val harmonic = dist.values.filter(_ > 0).map(1000L / _).sum
+      val closeness =
+        if (sumDist == 0) 0L else 1000L * (dist.size - 1) / sumDist
+      seed -> ((dist.size.toLong, sumDist, dist.values.max, closeness,
+        harmonic))
+    }.toMap
+    val got = SparkEntry.queries("x243_closeness_profile")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // top-degree seeds by construction; eccentricity bounded by the hops
+    assert(got.keySet == seeds.toSet)
+    assert(got.values.forall(_._3 <= 4L))
+  }
+
   test("x138: textrank reuses the integer pagerank supersteps on the word graph") {
     val d = graft.Tables(spark, sf001, "documents")
     val got = Text.textrankKeywords(d, iters = 4, topK = 50).collect()
