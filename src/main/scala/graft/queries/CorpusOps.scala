@@ -1910,8 +1910,78 @@ object CorpusOps {
                 AS chi2_total_micro
             FROM x ORDER BY lang, source"""))
 
+  // ------------------------------------------------------------------- x247
+  // Cramér's V — the [0,1]-normalized effect size behind x235's raw χ²
+  // (χ² grows with N even for a fixed association; V = √(χ²/(N·min(r−1,
+  // c−1))) is what a "HOW confounded is lang × source?" decision actually
+  // compares across corpora). The χ² mass is x235's exact per-cell
+  // micro-quantized total (integer, identical in both engines); N and the
+  // domain cardinalities are integers; the ONLY float steps are one
+  // division of those exact values, one correctly-rounded sqrt, and the
+  // round to micros — deterministic cross-engine like the x231 finish.
+  //
+  // Scale shape: identical to x235 (domain-lattice sized) plus a 1-row
+  // rollup.
+  private val x247 = GQuery(
+    "x247_cramers_v", "ext-docs categorical-audit cramers-v",
+    (s, dir) => {
+      val grid = docs(s, dir).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // marginals + lattice reread the grid
+      val langs = grid.groupBy("lang").agg(sum(col("n")).as("r_i"))
+      val sources = grid.groupBy("source").agg(sum(col("n")).as("c_j"))
+      val total = grid.agg(sum(col("n")).as("n_total"))
+      val dims = langs.agg(count(lit(1)).as("n_langs"))
+        .crossJoin(sources.agg(count(lit(1)).as("n_sources")))
+      langs.crossJoin(sources).crossJoin(broadcast(total))
+        .join(grid, Seq("lang", "source"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("dev", expr("n_total * n - r_i * c_j"))
+        .agg(sum(expr("cast((cast(dev as decimal(38,0)) * dev * 1000000) " +
+          "div (cast(n_total as decimal(38,0)) * r_i * c_j) as bigint)"))
+          .as("chi2_micro"), first(col("n_total")).as("n_total"))
+        .crossJoin(broadcast(dims))
+        .select(col("n_total"), col("n_langs"), col("n_sources"),
+          col("chi2_micro"),
+          expr("""cast(round(sqrt(
+               cast(chi2_micro as double)
+               / cast(1000000 * n_total
+                   * least(n_langs - 1, n_sources - 1) as double))
+             * 1000000, 0) as bigint)""").as("cramers_v_micro"))
+    },
+    Some("""WITH grid AS (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2),
+            l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r_i
+                  FROM grid GROUP BY 1),
+            s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c_j
+                  FROM grid GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM grid),
+            dims AS (
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_langs,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_sources),
+            x AS (
+              SELECT CAST(SUM(
+                  CAST((CAST(t.n_total * COALESCE(g.n, 0)
+                      - l.r_i * s.c_j AS HUGEINT)
+                    * (t.n_total * COALESCE(g.n, 0) - l.r_i * s.c_j)
+                    * 1000000)
+                  // (CAST(t.n_total AS HUGEINT) * l.r_i * s.c_j) AS BIGINT))
+                AS BIGINT) AS chi2_micro,
+                MAX(t.n_total) AS n_total
+              FROM l CROSS JOIN s CROSS JOIN t
+              LEFT JOIN grid g ON g.lang = l.lang AND g.source = s.source)
+            SELECT x.n_total, dims.n_langs, dims.n_sources, x.chi2_micro,
+              CAST(round(sqrt(
+                  CAST(x.chi2_micro AS DOUBLE)
+                  / CAST(1000000 * x.n_total
+                      * least(dims.n_langs - 1, dims.n_sources - 1)
+                    AS DOUBLE))
+                * 1000000, 0) AS BIGINT) AS cramers_v_micro
+            FROM x, dims"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176, x191, x202, x219, x222, x223, x226, x233, x235)
+      x176, x191, x202, x219, x222, x223, x226, x233, x235, x247)
 }

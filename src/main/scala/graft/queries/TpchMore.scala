@@ -1121,7 +1121,100 @@ object TpchMore {
                 * 1000000, 0) AS BIGINT) AS tau_micro
             FROM cd, tot, tq, td"""))
 
+  // ------------------------------------------------------------------- x248
+  // Kruskal–Wallis H across the return-flag groups — the k-sample
+  // extension of x245's two-sample U (is the quantity distribution the
+  // same in ALL THREE flag populations?), tie-corrected. Pooled ranks
+  // come off the (qty) DOMAIN grid with the same 2-scaled tie-average
+  // trick as x244 (2·avgrank = 2·|below| + |at| + 1 — exact integers),
+  // group rank-sum squares ride DECIMAL(38,0)/HUGEINT, and
+  // H = Σ_g 3·R2_g²/(N(N+1)·n_g) − 3(N+1) lands as per-group
+  // micro-truncated integer terms (the x235 per-cell discipline). The
+  // tie factor (N³−N)/(N³−N−Σ(t³−t)) is the one float step, applied to
+  // exact operands and rounded to micros. Exactness headroom: R2_g² ≤
+  // 4N⁴ caps the all-integer path at N ≈ 10⁹ rows per tested slice —
+  // beyond that, shard the statistic (it is sum-decomposable per group)
+  // before the final combine.
+  //
+  // Scale shape: one map-combinable aggregate to the ≤50-value domain
+  // grid, grid-sized windows, a 3-row group rollup. Facts never sort.
+  private val x248 = GQuery(
+    "x248_kruskal_wallis", "ext-analytics kruskal-wallis k-sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = DecimalType(38, 0)
+      val grid = Tables(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast("long").as("qty"),
+          col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // pooled ranks + group rollup reread it
+      val pooled = grid.groupBy("qty").agg(sum(col("c")).as("cv"))
+        .withColumn("cbelow", coalesce(sum(col("cv")).over(
+          Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("r2", col("cbelow") * 2 + col("cv") + 1)
+      val groups = grid
+        .join(pooled.select(col("qty"), col("r2")), "qty")
+        .groupBy("flag")
+        .agg(sum(col("c")).as("n_g"),
+          sum((col("c") * col("r2")).cast(d38)).as("r2s"))
+      val tot = pooled.agg(sum(col("cv")).as("nn"),
+        sum(expr("cast(cv as decimal(38,0)) * cv * cv - cv")).as("tsum"))
+      groups.crossJoin(broadcast(tot))
+        .withColumn("term_micro",
+          expr("""cast((3 * r2s * r2s * 1000000)
+               div (cast(nn as decimal(38,0)) * (nn + 1) * n_g) as bigint)"""))
+        .withColumn("h_micro",
+          sum(col("term_micro")).over(Window.partitionBy())
+            - (col("nn") + 1) * 3000000L)
+        .withColumn("nn3n", expr("cast(nn as decimal(38,0)) * nn * nn - nn"))
+        .select(col("flag"), col("n_g"), col("r2s").cast("long").as("r2_sum"),
+          col("h_micro"),
+          expr("""cast(round(cast(h_micro as double)
+               * (cast(nn3n as double) / cast(nn3n - tsum as double)),
+               0) as bigint)""").as("h_tie_micro"))
+        .orderBy("flag")
+    },
+    Some("""WITH grid AS (
+              SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1, 2),
+            pooled AS (
+              SELECT qty, CAST(SUM(c) AS BIGINT) AS cv FROM grid GROUP BY 1),
+            p2 AS (
+              SELECT qty,
+                2 * COALESCE(CAST(SUM(cv) OVER (ORDER BY qty
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) + cv + 1 AS r2
+              FROM pooled),
+            g AS (
+              SELECT grid.flag, CAST(SUM(grid.c) AS BIGINT) AS n_g,
+                SUM(CAST(grid.c AS HUGEINT) * p2.r2) AS r2s
+              FROM grid JOIN p2 ON p2.qty = grid.qty GROUP BY 1),
+            t AS (
+              SELECT CAST(SUM(cv) AS BIGINT) AS nn,
+                SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS tsum
+              FROM pooled),
+            f AS (
+              SELECT g.flag, g.n_g, g.r2s, t.nn, t.tsum,
+                CAST((3 * g.r2s * g.r2s * 1000000)
+                  // (CAST(t.nn AS HUGEINT) * (t.nn + 1) * g.n_g) AS BIGINT)
+                  AS term_micro
+              FROM g, t),
+            h AS (
+              SELECT flag, n_g, r2s, nn, tsum,
+                CAST(SUM(term_micro) OVER () AS BIGINT)
+                  - (nn + 1) * 3000000 AS h_micro
+              FROM f)
+            SELECT flag, n_g, CAST(r2s AS BIGINT) AS r2_sum, h_micro,
+              CAST(round(CAST(h_micro AS DOUBLE)
+                * (CAST(CAST(nn AS HUGEINT) * nn * nn - nn AS DOUBLE)
+                  / CAST(CAST(nn AS HUGEINT) * nn * nn - nn - tsum
+                    AS DOUBLE)),
+                0) AS BIGINT) AS h_tie_micro
+            FROM h ORDER BY flag"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
-      x220, x221, x231, x239, x240, x244, x245, x246)
+      x220, x221, x231, x239, x240, x244, x245, x246, x248)
 }

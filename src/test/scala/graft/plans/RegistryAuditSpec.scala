@@ -44,6 +44,7 @@ class RegistryAuditSpec extends SparkSpec {
     "x228_mann_kendall" -> "day-domain sign lattice (the x214 bound)",
     "x235_chi2_independence" -> "langs x sources contingency lattice (dimension domains)",
     "x246_kendall_tau" -> "qty x discount domain-grid pair lattice (<=550 cells)",
+    "x247_cramers_v" -> "langs x sources contingency lattice (the x235 bound)",
     "x216_ann_hnsw_filtered" -> "1-query batch x shard-count routing",
     "x27_knn_join" -> "8-row batch fans onto the corpus scan",
     "x50_hard_negatives" -> "anchor batch fans onto candidate pool",

@@ -167,6 +167,52 @@ class AnalyticsMetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("tau_micro") == expTau)
   }
 
+  test("x247 cramers v: chi2 mass equals x235's total, V within [0, 1e6]") {
+    val r = SparkEntry.queries("x247_cramers_v")(spark, sf001).head()
+    val chi2FromX235 = SparkEntry.queries("x235_chi2_independence")(spark, sf001)
+      .select("chi2_total_micro").head().getLong(0)
+    assert(r.getAs[Long]("chi2_micro") == chi2FromX235,
+      "x247 must normalize exactly the chi2 mass x235 reports")
+    val v = r.getAs[Long]("cramers_v_micro")
+    assert(v >= 0L && v <= 1000000L, s"V out of range: $v")
+    // dims match the actual domain cardinalities
+    val d = Tables(spark, sf001, "documents")
+    assert(r.getAs[Long]("n_langs") == d.select("lang").distinct().count())
+    assert(r.getAs[Long]("n_sources") == d.select("source").distinct().count())
+  }
+
+  test("x248 kruskal-wallis equals a driver-side BigInt replication") {
+    val rows = Tables(spark, sf001, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pooled = rows.groupBy(_._2).map { case (q, vs) => q -> BigInt(vs.length) }
+    val qtys = pooled.keys.toSeq.sorted
+    val r2 = qtys.map { q =>
+      val below = qtys.filter(_ < q).map(pooled).sum
+      q -> (2 * below + pooled(q) + 1)
+    }.toMap
+    val nn = pooled.values.sum
+    val groups = rows.groupBy(_._1).map { case (flag, vs) =>
+      val nG = BigInt(vs.length)
+      val r2s = vs.map(v => r2(v._2)).sum
+      val term = (3 * r2s * r2s * 1000000) / (nn * (nn + 1) * nG)
+      (flag, nG, r2s, term)
+    }.toSeq.sortBy(_._1)
+    val hMicro = groups.map(_._4).sum - (nn + 1) * 3000000
+    val nn3n = nn * nn * nn - nn
+    val tsum = pooled.values.map(t => t * t * t - t).sum
+    val hTie = math.round(hMicro.toDouble *
+      (nn3n.toDouble / (nn3n - tsum).toDouble))
+    val got = SparkEntry.queries("x248_kruskal_wallis")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == groups.map(_._1))
+    got.zip(groups).foreach { case ((_, nG, r2s, h, ht), (_, eN, eR, _)) =>
+      assert(nG == eN.toLong && r2s == eR.toLong)
+      assert(h == hMicro.toLong && ht == hTie)
+    }
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
