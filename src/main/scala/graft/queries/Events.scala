@@ -198,6 +198,90 @@ object Events {
             FROM cell c JOIN d USING (day) JOIN ty USING (event_type), n
             ORDER BY day, event_type"""))
 
+  /** Two-sample NUMERIC drift: Mann–Whitney rank test of `cur`'s value
+    * column against `ref`'s, computed on the pooled CENTI-QUANTIZED
+    * domain grid (fixture values carry 2 decimals, so ×100 is exact;
+    * grid cardinality is bounded by value-range·100, never fact-sized —
+    * the x245 domain discipline). Returns ONE row: sample sizes, the
+    * tie-credited doubled U statistic (2U₁ = Σ n1_v·(2·|ref below| +
+    * |ref at|) — exact integer), rank-biserial effect in micros (one
+    * exact-operand division, x231 finish) and the drift verdict
+    * |rb| ≥ alarmMicro. This is the numeric companion to [[typeDriftByDay]]
+    * (categorical mixture drift): x103 asks "did the TYPE mix move?",
+    * this asks "did the VALUE distribution move?" — together the two
+    * monitors a data-quality gate runs on every landed batch. Shared by
+    * the x249 registry row and [[graft.streaming.RankDriftStream]].
+    *
+    * Scale shape: two map-combinable aggregates to the shared grid, one
+    * full-outer grid merge, grid-sized windows, a 1-row rollup. Facts
+    * never sort, never pool, never pair.
+    */
+  def valueRankDrift(cur: DataFrame, ref: DataFrame,
+      alarmMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def centi(df: DataFrame) = df.select(
+      expr("cast(round(value * 100, 0) as bigint)").as("v"))
+    val grid = centi(cur).groupBy("v").agg(count(lit(1)).as("n1v"))
+      .join(centi(ref).groupBy("v").agg(count(lit(1)).as("n2v")),
+        Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("n1v"), lit(0L)).as("n1v"),
+        coalesce(col("n2v"), lit(0L)).as("n2v"))
+    val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("c2lt", sum(col("n2v")).over(cum) - col("n2v"))
+      .agg(sum(col("n1v")).as("n_cur"), sum(col("n2v")).as("n_ref"),
+        sum((col("n1v") * (col("c2lt") * 2 + col("n2v"))).cast(d38))
+          .as("u2"))
+      .select(col("n_cur"), col("n_ref"),
+        col("u2").cast("long").as("u_doubled"),
+        expr("""cast(round(
+             cast(u2 - cast(n_cur as decimal(38,0)) * n_ref as double)
+             / cast(cast(n_cur as decimal(38,0)) * n_ref as double)
+             * 1000000, 0) as bigint)""").as("rb_micro"))
+      .withColumn("drifted", abs(col("rb_micro")) >= alarmMicro)
+  }
+
+  // x249: the operator pointed at the fixture's natural two-sample split —
+  // purchase events vs everything else ("do purchases carry a different
+  // value distribution than ambient traffic?").
+  private val x249 = GQuery(
+    "x249_value_rank_drift", "ext-events numeric-drift mann-whitney",
+    (s, dir) => {
+      val e = events(s, dir)
+      valueRankDrift(e.where(col("event_type") === "purchase"),
+        e.where(col("event_type") =!= "purchase"), alarmMicro = 100000L)
+    },
+    Some("""WITH q AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i1
+              FROM events),
+            grid AS (
+              SELECT v, CAST(SUM(i1) AS BIGINT) AS n1v,
+                CAST(SUM(1 - i1) AS BIGINT) AS n2v
+              FROM q GROUP BY 1),
+            c AS (
+              SELECT v, n1v, n2v,
+                CAST(SUM(n2v) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - n2v AS c2lt
+              FROM grid),
+            m AS (
+              SELECT CAST(SUM(n1v) AS BIGINT) AS n_cur,
+                CAST(SUM(n2v) AS BIGINT) AS n_ref,
+                SUM(CAST(n1v * (2 * c2lt + n2v) AS HUGEINT)) AS u2
+              FROM c)
+            SELECT n_cur, n_ref, CAST(u2 AS BIGINT) AS u_doubled,
+              CAST(round(
+                CAST(u2 - CAST(n_cur AS HUGEINT) * n_ref AS DOUBLE)
+                / CAST(CAST(n_cur AS HUGEINT) * n_ref AS DOUBLE)
+                * 1000000, 0) AS BIGINT) AS rb_micro,
+              abs(CAST(round(
+                CAST(u2 - CAST(n_cur AS HUGEINT) * n_ref AS DOUBLE)
+                / CAST(CAST(n_cur AS HUGEINT) * n_ref AS DOUBLE)
+                * 1000000, 0) AS BIGINT)) >= 100000 AS drifted
+            FROM m"""))
+
   /** Heavy-hitter skew report — the diagnostic read before every big join
     * or aggregation lands on a cluster: the top-k keys of a column by
     * exact frequency, each with its share of the table in thousandths and
@@ -3043,5 +3127,5 @@ object Events {
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206, x208, x211, x213, x214, x218, x228)
+    x206, x208, x211, x213, x214, x218, x228, x249)
 }
