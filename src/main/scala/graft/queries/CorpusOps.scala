@@ -1910,6 +1910,67 @@ object CorpusOps {
                 AS chi2_total_micro
             FROM x ORDER BY lang, source"""))
 
+  // ------------------------------------------------------------------- x251
+  // ROC curve table — the CURVE behind x219's AUC scalar (the x239→x220
+  // read applied to classification): one row per distinct score
+  // threshold of the same type-token-ratio signal over the same
+  // pos=English labeling, with exact counts and integer-milli TPR/FPR at
+  // "predict positive when score ≥ t". What a threshold DECISION actually
+  // reads — AUC says the signal ranks well overall; this says which
+  // cutoff buys which trade. Exact integers end to end (descending
+  // cumulative counts over the ≤1001-value score domain).
+  //
+  // Scale shape: one fact aggregate to the score domain, domain-sized
+  // descending windows — the x219 shape with the rollup deferred.
+  private val x251 = GQuery(
+    "x251_roc_curve", "ext-text quality-signal roc-curve thresholds",
+    (s, dir) => {
+      val sc = docs(s, dir).select(
+        (col("lang") === "en").as("pos"),
+        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+          "div size(split(text, ' '))").as("score"))
+      val byScore = sc.groupBy("score").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+      val desc = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      byScore
+        .withColumn("tp", sum(col("np")).over(desc))
+        .withColumn("fp", sum(col("n") - col("np")).over(desc))
+        .withColumn("p", sum(col("np")).over(all))
+        .withColumn("nn", sum(col("n") - col("np")).over(all))
+        .select(col("score").as("threshold"), col("tp"), col("fp"),
+          expr("(1000 * tp) div p").as("tpr_milli"),
+          expr("(1000 * fp) div nn").as("fpr_milli"))
+        .orderBy(col("threshold").desc)
+    },
+    Some("""WITH sc AS (
+              SELECT (lang = 'en') AS pos,
+                (1000 * len(list_distinct(string_split(text, ' '))))
+                  // len(string_split(text, ' ')) AS score
+              FROM documents),
+            bys AS (
+              SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM sc GROUP BY 1),
+            g AS (
+              SELECT score,
+                CAST(SUM(np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(SUM(n - np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS fp,
+                CAST(SUM(np) OVER () AS BIGINT) AS p,
+                CAST(SUM(n - np) OVER () AS BIGINT) AS nn
+              FROM bys)
+            SELECT score AS threshold, tp, fp,
+              (1000 * tp) // p AS tpr_milli,
+              (1000 * fp) // nn AS fpr_milli
+            FROM g ORDER BY threshold DESC"""))
+
   // ------------------------------------------------------------------- x247
   // Cramér's V — the [0,1]-normalized effect size behind x235's raw χ²
   // (χ² grows with N even for a fixed association; V = √(χ²/(N·min(r−1,
@@ -1983,5 +2044,5 @@ object CorpusOps {
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176, x191, x202, x219, x222, x223, x226, x233, x235, x247)
+      x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251)
 }

@@ -282,6 +282,88 @@ object Events {
                 * 1000000, 0) AS BIGINT)) >= 100000 AS drifted
             FROM m"""))
 
+  /** Two-sample Kolmogorov–Smirnov on the same centi-quantized value
+    * grid as [[valueRankDrift]] — the SHAPE companion to the rank test:
+    * U catches a location shift, KS catches ANY CDF divergence (variance
+    * doubling, bimodality) at its maximizing value. Exact end to end:
+    * D = max|F₁−F₂| is computed as max|C₁·N₂ − C₂·N₁| over the grid
+    * (integer cross-products in DECIMAL(38,0)/HUGEINT — N₁·N₂ headroom
+    * at 100 TB), reported in micros with the maximizing value (smallest
+    * attaining v — deterministic). One row: n_cur, n_ref, ks_micro,
+    * v_at.
+    *
+    * Scale shape: identical to [[valueRankDrift]] — grid aggregates,
+    * grid windows, one filtered top-1. Facts never sort.
+    */
+  def ksTwoSample(cur: DataFrame, ref: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def centi(df: DataFrame) = df.select(
+      expr("cast(round(value * 100, 0) as bigint)").as("v"))
+    val grid = centi(cur).groupBy("v").agg(count(lit(1)).as("n1v"))
+      .join(centi(ref).groupBy("v").agg(count(lit(1)).as("n2v")),
+        Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("n1v"), lit(0L)).as("n1v"),
+        coalesce(col("n2v"), lit(0L)).as("n2v"))
+    val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    grid
+      .withColumn("c1", sum(col("n1v")).over(cum))
+      .withColumn("c2", sum(col("n2v")).over(cum))
+      .withColumn("tw1", sum(col("n1v")).over(all))
+      .withColumn("tw2", sum(col("n2v")).over(all))
+      .withColumn("dnum", abs(col("c1").cast(d38) * col("tw2")
+        - col("c2").cast(d38) * col("tw1")))
+      .withColumn("dmax", max(col("dnum")).over(all))
+      .where(col("dnum") === col("dmax"))
+      .orderBy("v").limit(1)
+      .select(col("tw1").as("n_cur"), col("tw2").as("n_ref"),
+        expr("""cast((1000000 * dnum)
+             div (cast(tw1 as decimal(38,0)) * tw2) as bigint)""")
+          .as("ks_micro"),
+        col("v").as("v_at"))
+  }
+
+  private val x250 = GQuery(
+    "x250_ks_two_sample", "ext-events numeric-drift kolmogorov-smirnov",
+    (s, dir) => {
+      val e = events(s, dir)
+      ksTwoSample(e.where(col("event_type") === "purchase"),
+        e.where(col("event_type") =!= "purchase"))
+    },
+    Some("""WITH q AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i1
+              FROM events),
+            grid AS (
+              SELECT v, CAST(SUM(i1) AS BIGINT) AS n1v,
+                CAST(SUM(1 - i1) AS BIGINT) AS n2v
+              FROM q GROUP BY 1),
+            c AS (
+              SELECT v,
+                CAST(SUM(n1v) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c1,
+                CAST(SUM(n2v) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c2,
+                CAST(SUM(n1v) OVER () AS BIGINT) AS tw1,
+                CAST(SUM(n2v) OVER () AS BIGINT) AS tw2
+              FROM grid),
+            d AS (
+              SELECT v, tw1, tw2,
+                abs(CAST(c1 AS HUGEINT) * tw2 - CAST(c2 AS HUGEINT) * tw1)
+                  AS dnum
+              FROM c)
+            SELECT tw1 AS n_cur, tw2 AS n_ref,
+              CAST((1000000 * dnum)
+                // (CAST(tw1 AS HUGEINT) * tw2) AS BIGINT) AS ks_micro,
+              v AS v_at
+            FROM d
+            WHERE dnum = (SELECT MAX(dnum) FROM d)
+            ORDER BY v LIMIT 1"""))
+
   /** Heavy-hitter skew report — the diagnostic read before every big join
     * or aggregation lands on a cluster: the top-k keys of a column by
     * exact frequency, each with its share of the table in thousandths and
@@ -3127,5 +3209,5 @@ object Events {
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206, x208, x211, x213, x214, x218, x228, x249)
+    x206, x208, x211, x213, x214, x218, x228, x249, x250)
 }

@@ -213,6 +213,54 @@ class AnalyticsMetricsSpec extends SparkSpec {
     }
   }
 
+  test("x250 KS equals a driver-side exact max-CDF-gap computation") {
+    val vals = Tables(spark, sf001, "events")
+      .select(col("event_type") === "purchase",
+        expr("cast(round(value * 100, 0) as bigint)"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val cur = vals.filter(_._1).map(_._2)
+    val ref = vals.filterNot(_._1).map(_._2)
+    val grid = (cur ++ ref).distinct.sorted
+    val (n1, n2) = (BigInt(cur.length), BigInt(ref.length))
+    val gaps = grid.map { v =>
+      val c1 = BigInt(cur.count(_ <= v))
+      val c2 = BigInt(ref.count(_ <= v))
+      v -> (c1 * n2 - c2 * n1).abs
+    }
+    val dmax = gaps.map(_._2).max
+    val vAt = gaps.filter(_._2 == dmax).map(_._1).min
+    val r = SparkEntry.queries("x250_ks_two_sample")(spark, sf001).head()
+    assert(r.getAs[Long]("n_cur") == n1.toLong)
+    assert(r.getAs[Long]("n_ref") == n2.toLong)
+    assert(r.getAs[Long]("ks_micro") == ((dmax * 1000000) / (n1 * n2)).toLong)
+    assert(r.getAs[Long]("v_at") == vAt)
+  }
+
+  test("x251 ROC curve integrates back to exactly x219's AUC (trapezoid identity)") {
+    val roc = SparkEntry.queries("x251_roc_curve")(spark, sf001)
+      .orderBy(col("threshold").desc)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (tp, fp) desc
+    // doubled trapezoid area over the FP axis: S = sum dFP*(2*TPprev + dTP);
+    // with U the tie-credited Mann-Whitney mass, S == 2U exactly, so the
+    // micro-truncated AUC must reproduce x219 bit-for-bit
+    var (tpPrev, fpPrev) = (BigInt(0), BigInt(0))
+    var s2 = BigInt(0)
+    roc.foreach { case (tp, fp) =>
+      s2 += (BigInt(fp) - fpPrev) * (2 * tpPrev + (BigInt(tp) - tpPrev))
+      tpPrev = BigInt(tp); fpPrev = BigInt(fp)
+    }
+    val (p, nn) = (tpPrev, fpPrev) // the last row covers everything
+    val x219row = SparkEntry.queries("x219_auc_rank")(spark, sf001).head()
+    assert(p.toLong == x219row.getAs[Long]("n_pos"))
+    assert(nn.toLong == x219row.getAs[Long]("n_neg"))
+    assert(((s2 * 1000000) / (2 * p * nn)).toLong
+      == x219row.getAs[Long]("auc_micro"),
+      "ROC trapezoid mass must equal the rank-form AUC")
+    // curve sanity: monotone non-decreasing tp/fp along descending thresholds
+    assert(roc.zip(roc.tail).forall { case ((t1, f1), (t2, f2)) =>
+      t2 >= t1 && f2 >= f1 })
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
