@@ -1971,6 +1971,75 @@ object CorpusOps {
               (1000 * fp) // nn AS fpr_milli
             FROM g ORDER BY threshold DESC"""))
 
+  // ------------------------------------------------------------------- x253
+  // F1-optimal operating point — the DECISION x251's curve informs: the
+  // threshold maximizing milli-quantized F1 (2000·tp div (2tp+fp+fn)),
+  // ties broken toward the smallest threshold (deterministic in both
+  // engines). One row: the chosen cutoff with its exact confusion counts
+  // and milli precision/recall/F1 — what actually ships into a quality
+  // gate config. Exact integers end to end; F1's milli quantization is
+  // the selection metric itself, so cross-engine argmax agreement is
+  // structural, not numerical luck.
+  //
+  // Scale shape: x251's domain-grid windows + one TakeOrdered(1).
+  private val x253 = GQuery(
+    "x253_f1_operating_point", "ext-text quality-signal f1-threshold",
+    (s, dir) => {
+      val sc = docs(s, dir).select(
+        (col("lang") === "en").as("pos"),
+        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+          "div size(split(text, ' '))").as("score"))
+      val byScore = sc.groupBy("score").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+      val desc = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      byScore
+        .withColumn("tp", sum(col("np")).over(desc))
+        .withColumn("fp", sum(col("n") - col("np")).over(desc))
+        .withColumn("p", sum(col("np")).over(all))
+        .withColumn("fn", col("p") - col("tp"))
+        .withColumn("f1_milli",
+          expr("(2000 * tp) div (2 * tp + fp + fn)"))
+        .orderBy(col("f1_milli").desc, col("score"))
+        .limit(1)
+        .select(col("score").as("threshold"), col("tp"), col("fp"),
+          col("fn"),
+          expr("(1000 * tp) div (tp + fp)").as("precision_milli"),
+          expr("(1000 * tp) div p").as("recall_milli"),
+          col("f1_milli"))
+    },
+    Some("""WITH sc AS (
+              SELECT (lang = 'en') AS pos,
+                (1000 * len(list_distinct(string_split(text, ' '))))
+                  // len(string_split(text, ' ')) AS score
+              FROM documents),
+            bys AS (
+              SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM sc GROUP BY 1),
+            g AS (
+              SELECT score,
+                CAST(SUM(np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(SUM(n - np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS fp,
+                CAST(SUM(np) OVER () AS BIGINT) AS p
+              FROM bys),
+            f AS (
+              SELECT score AS threshold, tp, fp, p - tp AS fn,
+                (1000 * tp) // (tp + fp) AS precision_milli,
+                (1000 * tp) // p AS recall_milli,
+                (2000 * tp) // (2 * tp + fp + (p - tp)) AS f1_milli
+              FROM g)
+            SELECT threshold, tp, fp, fn, precision_milli, recall_milli,
+              f1_milli
+            FROM f ORDER BY f1_milli DESC, threshold LIMIT 1"""))
+
   // ------------------------------------------------------------------- x247
   // Cramér's V — the [0,1]-normalized effect size behind x235's raw χ²
   // (χ² grows with N even for a fixed association; V = √(χ²/(N·min(r−1,
@@ -2044,5 +2113,5 @@ object CorpusOps {
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251)
+      x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253)
 }

@@ -295,9 +295,15 @@ object Events {
     * Scale shape: identical to [[valueRankDrift]] — grid aggregates,
     * grid windows, one filtered top-1. Facts never sort.
     */
-  def ksTwoSample(cur: DataFrame, ref: DataFrame): DataFrame = {
+  /** Shared CDF grid of two samples over the centi-quantized value
+    * domain: one row per distinct value with both cumulative counts and
+    * both totals — the common substrate of [[ksTwoSample]] (max gap) and
+    * the x252 Q-Q read (quantile inversion). Grid-sized, never
+    * fact-sized.
+    */
+  private[queries] def centiCdfGrid(cur: DataFrame,
+      ref: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def centi(df: DataFrame) = df.select(
       expr("cast(round(value * 100, 0) as bigint)").as("v"))
     val grid = centi(cur).groupBy("v").agg(count(lit(1)).as("n1v"))
@@ -313,6 +319,14 @@ object Events {
       .withColumn("c2", sum(col("n2v")).over(cum))
       .withColumn("tw1", sum(col("n1v")).over(all))
       .withColumn("tw2", sum(col("n2v")).over(all))
+  }
+
+  def ksTwoSample(cur: DataFrame, ref: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    centiCdfGrid(cur, ref)
       .withColumn("dnum", abs(col("c1").cast(d38) * col("tw2")
         - col("c2").cast(d38) * col("tw1")))
       .withColumn("dmax", max(col("dnum")).over(all))
@@ -363,6 +377,68 @@ object Events {
             FROM d
             WHERE dnum = (SELECT MAX(dnum) FROM d)
             ORDER BY v LIMIT 1"""))
+
+  // ------------------------------------------------------------------- x252
+  // Q-Q decile drift — WHERE the distribution moved: x249 says the values
+  // shifted, x250 says how far the CDFs diverge; this inverts both CDFs
+  // at the deciles (smallest grid value v with 10·C(v) ≥ d·N — the x240
+  // lower-quantile convention, exact integers) and reports the per-decile
+  // gap in centi units. A tail-only regression and a uniform shift score
+  // the same KS but opposite Q-Q shapes — this is the row that tells them
+  // apart.
+  //
+  // Scale shape: the shared CDF grid (checkpointed once, read by both
+  // inversions), a 9-row literal decile table fanned onto it (a
+  // LocalTableScan side — constant), two grid-sized min-aggregates.
+  private val x252 = GQuery(
+    "x252_qq_decile_drift", "ext-events numeric-drift qq-quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val e = events(s, dir)
+      val g = centiCdfGrid(e.where(col("event_type") === "purchase"),
+        e.where(col("event_type") =!= "purchase"))
+        .localCheckpoint(true) // both quantile inversions read the grid
+      val deciles = (1L to 9L).toDF("decile")
+      val qc = g.join(deciles, expr("10 * c1 >= decile * tw1"))
+        .groupBy("decile").agg(min(col("v")).as("v_cur"))
+      val qr = g.join(deciles, expr("10 * c2 >= decile * tw2"))
+        .groupBy("decile").agg(min(col("v")).as("v_ref"))
+      qc.join(qr, "decile")
+        .select(col("decile"), col("v_cur"), col("v_ref"),
+          (col("v_cur") - col("v_ref")).as("gap_centi"))
+        .orderBy("decile")
+    },
+    Some("""WITH q AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i1
+              FROM events),
+            grid AS (
+              SELECT v, CAST(SUM(i1) AS BIGINT) AS n1v,
+                CAST(SUM(1 - i1) AS BIGINT) AS n2v
+              FROM q GROUP BY 1),
+            c AS (
+              SELECT v,
+                CAST(SUM(n1v) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c1,
+                CAST(SUM(n2v) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c2,
+                CAST(SUM(n1v) OVER () AS BIGINT) AS tw1,
+                CAST(SUM(n2v) OVER () AS BIGINT) AS tw2
+              FROM grid),
+            dd AS (SELECT CAST(range AS BIGINT) AS decile FROM range(1, 10)),
+            qc AS (
+              SELECT dd.decile, MIN(c.v) AS v_cur
+              FROM dd JOIN c ON 10 * c.c1 >= dd.decile * c.tw1
+              GROUP BY 1),
+            qr AS (
+              SELECT dd.decile, MIN(c.v) AS v_ref
+              FROM dd JOIN c ON 10 * c.c2 >= dd.decile * c.tw2
+              GROUP BY 1)
+            SELECT qc.decile, qc.v_cur, qr.v_ref,
+              qc.v_cur - qr.v_ref AS gap_centi
+            FROM qc JOIN qr USING (decile) ORDER BY decile"""))
 
   /** Heavy-hitter skew report — the diagnostic read before every big join
     * or aggregation lands on a cluster: the top-k keys of a column by
@@ -3209,5 +3285,5 @@ object Events {
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206, x208, x211, x213, x214, x218, x228, x249, x250)
+    x206, x208, x211, x213, x214, x218, x228, x249, x250, x252)
 }

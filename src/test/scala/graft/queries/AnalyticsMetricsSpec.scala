@@ -261,6 +261,46 @@ class AnalyticsMetricsSpec extends SparkSpec {
       t2 >= t1 && f2 >= f1 })
   }
 
+  test("x252 Q-Q deciles equal driver-side lower-quantile inversion; monotone") {
+    val vals = Tables(spark, sf001, "events")
+      .select(col("event_type") === "purchase",
+        expr("cast(round(value * 100, 0) as bigint)"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    def decile(sample: Seq[Long], d: Int): Long = {
+      val sorted = sample.sorted
+      // smallest v with 10*|{<=v}| >= d*N == element at ceil(d*N/10)-1
+      sorted(((d.toLong * sorted.length + 9) / 10 - 1).toInt)
+    }
+    val cur = vals.filter(_._1).map(_._2).toSeq
+    val ref = vals.filterNot(_._1).map(_._2).toSeq
+    val got = SparkEntry.queries("x252_qq_decile_drift")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1L to 9L))
+    got.foreach { case (d, vCur, vRef, gap) =>
+      assert(vCur == decile(cur, d.toInt), s"v_cur at decile $d")
+      assert(vRef == decile(ref, d.toInt), s"v_ref at decile $d")
+      assert(gap == vCur - vRef)
+    }
+    // quantile functions are monotone in d
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+  }
+
+  test("x253 operating point is the argmax of F1 over x251's curve") {
+    val roc = SparkEntry.queries("x251_roc_curve")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val p = roc.map(_._2).max // tp is cumulative; last threshold has all
+    val best = roc.map { case (t, tp, fp) =>
+      (t, (2000L * tp) / (2 * tp + fp + (p - tp)))
+    }.sortBy { case (t, f1) => (-f1, t) }.head
+    val r = SparkEntry.queries("x253_f1_operating_point")(spark, sf001).head()
+    assert(r.getAs[Long]("threshold") == best._1)
+    assert(r.getAs[Long]("f1_milli") == best._2)
+    // confusion counts are consistent
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == p)
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
