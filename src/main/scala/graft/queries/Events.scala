@@ -390,23 +390,32 @@ object Events {
   // Scale shape: the shared CDF grid (checkpointed once, read by both
   // inversions), a 9-row literal decile table fanned onto it (a
   // LocalTableScan side — constant), two grid-sized min-aggregates.
+  /** The x252 body as an operator: per-decile Q-Q gap of `cur` vs `ref`
+    * (shared by the registry row and [[graft.streaming.RankDriftStream]]'s
+    * full drift report).
+    */
+  def qqDecileDrift(cur: DataFrame, ref: DataFrame): DataFrame = {
+    val s = cur.sparkSession
+    import s.implicits._
+    val g = centiCdfGrid(cur, ref)
+      .localCheckpoint(true) // both quantile inversions read the grid
+    val deciles = (1L to 9L).toDF("decile")
+    val qc = g.join(deciles, expr("10 * c1 >= decile * tw1"))
+      .groupBy("decile").agg(min(col("v")).as("v_cur"))
+    val qr = g.join(deciles, expr("10 * c2 >= decile * tw2"))
+      .groupBy("decile").agg(min(col("v")).as("v_ref"))
+    qc.join(qr, "decile")
+      .select(col("decile"), col("v_cur"), col("v_ref"),
+        (col("v_cur") - col("v_ref")).as("gap_centi"))
+      .orderBy("decile")
+  }
+
   private val x252 = GQuery(
     "x252_qq_decile_drift", "ext-events numeric-drift qq-quantiles",
     (s, dir) => {
-      import s.implicits._
       val e = events(s, dir)
-      val g = centiCdfGrid(e.where(col("event_type") === "purchase"),
+      qqDecileDrift(e.where(col("event_type") === "purchase"),
         e.where(col("event_type") =!= "purchase"))
-        .localCheckpoint(true) // both quantile inversions read the grid
-      val deciles = (1L to 9L).toDF("decile")
-      val qc = g.join(deciles, expr("10 * c1 >= decile * tw1"))
-        .groupBy("decile").agg(min(col("v")).as("v_cur"))
-      val qr = g.join(deciles, expr("10 * c2 >= decile * tw2"))
-        .groupBy("decile").agg(min(col("v")).as("v_ref"))
-      qc.join(qr, "decile")
-        .select(col("decile"), col("v_cur"), col("v_ref"),
-          (col("v_cur") - col("v_ref")).as("gap_centi"))
-        .orderBy("decile")
     },
     Some("""WITH q AS (
               SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,

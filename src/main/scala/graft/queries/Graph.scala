@@ -1277,7 +1277,12 @@ object Graph {
   // Scale shape: the x139 superstep (co-partitioned edge⋈frontier,
   // SHUFFLE_HASH, checkpoint-per-round, superseded generations dropped)
   // with a (seed, node) keyed frontier of ≤ k·|V| rows — k fixed at 8.
-  private[queries] def closenessProfileOnEdges(
+  /** Multi-source BFS frontier from the top-`seeds` degree nodes: the
+    * (seed, node, dist) table after `hops` co-partitioned supersteps —
+    * the shared substrate of the x243 closeness profile (aggregates it)
+    * and the x254 landmark-distance artifact (stores it).
+    */
+  private[queries] def multiSourceBfsOnEdges(
       e: DataFrame, seeds: Int, hops: Int): DataFrame =
     withSuperstepConfs(e.sparkSession, superstepPartitions(e)) {
       val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
@@ -1300,7 +1305,12 @@ object Graph {
         frontier = next
       }
       dropCheckpoint(adj)
-      frontier.groupBy("seed")
+      frontier
+    }
+
+  private[queries] def closenessProfileOnEdges(
+      e: DataFrame, seeds: Int, hops: Int): DataFrame =
+    multiSourceBfsOnEdges(e, seeds, hops).groupBy("seed")
         .agg(count(lit(1)).as("reached"), sum(col("dist")).as("sum_dist"),
           max(col("dist")).as("ecc"),
           sum(when(col("dist") > 0L, expr("1000 div dist"))
@@ -1311,7 +1321,6 @@ object Graph {
         .select(col("seed"), col("reached"), col("sum_dist"), col("ecc"),
           col("closeness_milli"), col("harmonic_milli"))
         .orderBy("seed")
-    }
 
   private def closenessOracle(seeds: Int, hops: Int): String = {
     val head =
@@ -1354,7 +1363,104 @@ object Graph {
       seeds = 8, hops = 4),
     Some(closenessOracle(8, 4)))
 
+  // ------------------------------------------------------------------- x254
+  // Landmark-distance estimation (Potamias, Bonchi, Castillo & Gionis,
+  // CIKM 2009): the 100 TB answer to "how far apart are u and v?" when an
+  // exact BFS per query is unaffordable — store per-landmark distance
+  // vectors ONCE (x243's multi-source BFS, the x62 build-once / probe-many
+  // discipline applied to distances), then bound any pair by the triangle
+  // inequality: d̂(u,v) = min_l d(l,u)+d(l,v). Probed here for the
+  // top-16-degree node pairs; rows where a landmark IS an endpoint carry
+  // the exact distance too, and there the bound is provably TIGHT
+  // (d(l,u)+d(l,l) = d(l,u)) — the spec pins both properties. Pairs no
+  // common landmark reaches within the horizon are absent (no sentinel).
+  //
+  // Scale shape: the landmark table is |L|·|V| rows partitioned by node;
+  // a probe joins the probe set to it (node-keyed), self-joins the
+  // ≤|L|·|probes| result on the landmark key, and min-aggregates —
+  // nothing fact-sized moves, no BFS runs at query time.
+  /** Stored (seed, node, dist) landmark BFS artifact over the stored
+    * edge list — built on first touch, then only read.
+    */
+  private[queries] def storedLandmarkBfs(s: SparkSession,
+      dir: String): DataFrame = {
+    val store = graft.StoredArtifacts.dir(dir, "bfs_landmarks_s8h4_v1")
+    if (!graft.StoredArtifacts.ready(store))
+      multiSourceBfsOnEdges(storedEdges(s, dir), seeds = 8, hops = 4)
+        .write.mode("overwrite").parquet(store)
+    s.read.parquet(store)
+  }
+
+  private val x254 = GQuery(
+    "x254_landmark_distance", "ext-graph landmark-distance triangle-bound",
+    (s, dir) => {
+      val lm = storedLandmarkBfs(s, dir)
+      val probes = storedDegrees(s, dir)
+        .orderBy(col("deg").desc, col("node")).limit(16)
+        .select(col("node"))
+      val pu = lm.join(probes, "node")
+        .select(col("seed"), col("node").as("u"), col("dist").as("du"))
+      val pv = pu.select(col("seed"), col("u").as("v"), col("du").as("dv"))
+      val est = pu.join(pv, Seq("seed")).where(col("u") < col("v"))
+        .groupBy("u", "v").agg(min(col("du") + col("dv")).as("est_dist"))
+      val exact = lm.select(col("seed").as("u"), col("node").as("v"),
+          col("dist").as("ed")).where(col("u") < col("v"))
+        .unionAll(lm.select(col("node").as("u"), col("seed").as("v"),
+          col("dist").as("ed")).where(col("u") < col("v")))
+        .groupBy("u", "v").agg(min(col("ed")).as("exact_dist"))
+      est.join(exact, Seq("u", "v"), "left")
+        .select(col("u").as("ua"), col("v").as("ub"), col("est_dist"),
+          coalesce(col("exact_dist"), lit(-1L)).as("exact_dist"))
+        .orderBy("ua", "ub")
+    },
+    Some {
+      val head =
+        """WITH e0 AS MATERIALIZED (
+             SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+             FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             WHERE a.l_partkey < b.l_partkey),
+           e AS MATERIALIZED (
+             SELECT pa AS src, pb AS dst FROM e0
+             UNION ALL SELECT pb AS src, pa AS dst FROM e0),
+           dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+                  FROM e GROUP BY 1),
+           f0 AS (SELECT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
+                  FROM dg ORDER BY outdeg DESC, src LIMIT 8)"""
+      val steps = (1 to 4).map { i =>
+        s"""f$i AS MATERIALIZED (
+             SELECT seed, node, MIN(dist) AS dist FROM (
+               SELECT seed, node, dist FROM f${i - 1}
+               UNION ALL
+               SELECT f.seed, e.dst AS node, f.dist + 1 AS dist
+               FROM e JOIN f${i - 1} f ON e.src = f.node)
+             GROUP BY 1, 2)"""
+      }
+      (head +: steps).mkString(",\n") +
+        """,
+          probes AS (SELECT src AS node FROM dg
+                     ORDER BY outdeg DESC, src LIMIT 16),
+          pu AS (SELECT l.seed, l.node AS u, l.dist AS du
+                 FROM f4 l JOIN probes p ON p.node = l.node),
+          est AS (
+            SELECT a.u AS u, b.u AS v,
+              CAST(MIN(a.du + b.du) AS BIGINT) AS est_dist
+            FROM pu a JOIN pu b ON a.seed = b.seed AND a.u < b.u
+            GROUP BY 1, 2),
+          ex AS (
+            SELECT u, v, CAST(MIN(ed) AS BIGINT) AS exact_dist FROM (
+              SELECT seed AS u, node AS v, dist AS ed FROM f4
+              WHERE seed < node
+              UNION ALL
+              SELECT node AS u, seed AS v, dist AS ed FROM f4
+              WHERE node < seed)
+            GROUP BY 1, 2)
+          SELECT est.u AS ua, est.v AS ub, est.est_dist,
+            COALESCE(ex.exact_dist, -1) AS exact_dist
+          FROM est LEFT JOIN ex ON ex.u = est.u AND ex.v = est.v
+          ORDER BY ua, ub"""
+    })
+
   val queries: Seq[GQuery] =
     Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215, x217,
-      x238, x242, x243)
+      x238, x242, x243, x254)
 }

@@ -63,9 +63,13 @@ object RankDriftStream {
       .start()
   }
 
-  /** One refresh: recompute the verdict over everything in `arrivalsDir`
-    * vs the reference, publish it under a new generation, flip the
-    * manifest.
+  /** One refresh: recompute the FULL drift report over everything in
+    * `arrivalsDir` vs the reference — the rank verdict (x249: DID the
+    * distribution move), the KS gap (x250: how far, and at which value)
+    * and the Q-Q decile table (x252: WHERE) — publish the three segments
+    * under one generation, flip the manifest atomically. An operator
+    * paged by the verdict reads the other two segments of the SAME
+    * generation to triage, never a mixed-generation report.
     */
   def refresh(spark: SparkSession, arrivalsDir: String, referenceDir: String,
       stateDir: String, alarmMicro: Long, gen: Long,
@@ -82,17 +86,28 @@ object RankDriftStream {
     graft.queries.Events.valueRankDrift(cur, ref, alarmMicro)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/$genName/verdict")
-    StoredManifest.write(dir, genName, Seq("verdict"))
+    graft.queries.Events.ksTwoSample(cur, ref)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$genName/ks")
+    graft.queries.Events.qqDecileDrift(cur, ref)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$genName/qq")
+    StoredManifest.write(dir, genName, Seq("ks", "qq", "verdict"))
   }
 
   def published(stateDir: String): Boolean =
     StoredManifest.exists(monitorDir(stateDir))
 
-  /** Read the live verdict through the manifest. */
-  def read(spark: SparkSession, stateDir: String): DataFrame = {
+  /** Read a live report segment ("verdict", "ks" or "qq") through the
+    * manifest.
+    */
+  def read(spark: SparkSession, stateDir: String,
+      segment: String = "verdict"): DataFrame = {
     val dir = monitorDir(stateDir)
-    val (gen, _) = StoredManifest.read(dir)
-    spark.read.parquet(s"$dir/$gen/verdict")
+    val (gen, segments) = StoredManifest.read(dir)
+    require(segments.contains(segment),
+      s"unknown segment '$segment'; published: ${segments.mkString(", ")}")
+    spark.read.parquet(s"$dir/$gen/$segment")
   }
 
   def liveGeneration(stateDir: String): String =

@@ -49,7 +49,13 @@ class PlanRobustnessSpec extends SparkSpec {
     // wrong answer at exactly the scale where thresholds flip
     "x220_gini_concentration", "x221_hhi_concentration",
     "x225_allpairs_prefix_join", "x227_allpairs_incremental",
-    "x229_deletion_vectors")
+    "x229_deletion_vectors",
+    // round-9 fifth arc: the assortativity degree joins (x242), the
+    // Spearman orders ⋈ customer join (x244), the Mann-Whitney
+    // lineitem ⋈ part join (x245), the Q-Q full-outer grid merge (x252)
+    // and the landmark probe joins (x254) are all planner-chosen
+    "x242_degree_assortativity", "x244_spearman_rank",
+    "x245_mannwhitney_u", "x252_qq_decile_drift", "x254_landmark_distance")
 
   // EVERY join in these is broadcast()-hinted, so the threshold knob is a
   // no-op by construction; they verify independence from AQE re-planning

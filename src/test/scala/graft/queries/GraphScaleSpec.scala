@@ -84,7 +84,8 @@ class GraphScaleSpec extends SparkSpec {
   test("iterative registry queries serve index-only: no lineitem scan anywhere") {
     for (name <- Seq("x124_copurchase_pagerank", "x129_degree_profile",
         "x130_label_propagation", "x131_kcore", "x139_hop_distance",
-        "x168_personalized_pagerank")) {
+        "x168_personalized_pagerank", "x242_degree_assortativity",
+        "x243_closeness_profile", "x254_landmark_distance")) {
       val df = SparkEntry.queries(name)(spark, sf001)
       df.collect()
       val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)

@@ -338,6 +338,32 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(_._3 <= 4L))
   }
 
+  test("x254: landmark bounds dominate exact distances, tight at landmark endpoints") {
+    val got = SparkEntry.queries("x254_landmark_distance")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val edges = Graph.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degs = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val landmarks = degs.toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(8).map(_._1).toSet
+    got.foreach { case (ua, ub, est, exact) =>
+      assert(est >= 0L)
+      if (exact >= 0L) {
+        assert(est >= exact, s"triangle bound violated for ($ua,$ub)")
+        if (landmarks(ua) || landmarks(ub))
+          assert(est == exact, s"landmark endpoint must be tight ($ua,$ub)")
+      }
+    }
+    // probes are the top-16 by (deg, id): all pairs among them that share
+    // a reaching landmark appear, so landmark-landmark pairs are present
+    val lmPairs = got.count { case (ua, ub, _, _) =>
+      landmarks(ua) && landmarks(ub) }
+    assert(lmPairs > 0, "landmark-landmark pairs must be estimable")
+  }
+
   test("x138: textrank reuses the integer pagerank supersteps on the word graph") {
     val d = graft.Tables(spark, sf001, "documents")
     val got = Text.textrankKeywords(d, iters = 4, topK = 50).collect()

@@ -74,13 +74,26 @@ class RankDriftStreamSpec extends SparkSpec {
       assert(v2.getAs[Long]("rb_micro") > 0L,
         "shift upward means current stochastically dominates the reference")
 
-      // two paths, one result: the published verdict equals the batch
-      // operator over the same files
+      // two paths, one result: every published report segment equals its
+      // batch operator over the same files
+      val curDf = spark.read.parquet(arrivals)
+      val refDf = spark.read.parquet(refDir)
       val direct = graft.queries.Events.valueRankDrift(
-        spark.read.parquet(arrivals), spark.read.parquet(refDir),
-        alarmMicro = 450000L).head()
+        curDf, refDf, alarmMicro = 450000L).head()
       assert(RankDriftStream.read(spark, stateDir).head().toSeq
         == direct.toSeq, "published verdict != batch valueRankDrift")
+      assert(RankDriftStream.read(spark, stateDir, "ks").head().toSeq
+        == graft.queries.Events.ksTwoSample(curDf, refDf).head().toSeq,
+        "published ks != batch ksTwoSample")
+      assert(RankDriftStream.read(spark, stateDir, "qq")
+        .orderBy("decile").collect().map(_.toSeq).toSeq
+        == graft.queries.Events.qqDecileDrift(curDf, refDf)
+          .orderBy("decile").collect().map(_.toSeq).toSeq,
+        "published qq != batch qqDecileDrift")
+      // the shifted regime shows up in the report's triage segments too:
+      // a large positive KS gap value and positive upper-decile gaps
+      assert(RankDriftStream.read(spark, stateDir, "qq")
+        .where(col("decile") === 9L).head().getAs[Long]("gap_centi") > 0L)
 
       // at-least-once re-delivery of the live batchId is a no-op
       val genLive = RankDriftStream.liveGeneration(stateDir)
