@@ -1460,7 +1460,92 @@ object Graph {
           ORDER BY ua, ub"""
     })
 
+  // ------------------------------------------------------------------- x255
+  // Temporal graph evolution — year-over-year co-purchase edge churn: for
+  // each consecutive order-year pair, how many edges persisted, appeared,
+  // disappeared, and the edge-set Jaccard in millis. The graph-drift read
+  // behind every "retrain the graph model?" decision: a stable Jaccard
+  // says the stored embeddings/communities still describe the graph, a
+  // cliff says they don't. Exact integers end to end.
+  //
+  // Scale shape: the yearly edge list is built ONCE as a stored artifact
+  // (year tag rides the same one-scan order-grouped build as the static
+  // edge artifact — the facts are scanned once, ever); the evolution
+  // query is then one edge-keyed equi-self-join (y+1 alignment) + a
+  // year-grained rollup. Year count bounds the output, edge count bounds
+  // the join.
+  /** Stored yearly co-purchase edges `(y, pa, pb)` — the time-sliced
+    * sibling of [[storedEdges]]; an order contributes its pairs to its
+    * order-year's slice.
+    */
+  private[queries] def storedYearlyEdges(s: SparkSession,
+      dir: String): DataFrame = {
+    val store = graft.StoredArtifacts.dir(dir, "copurchase_edges_yearly_v1")
+    if (!graft.StoredArtifacts.ready(store)) {
+      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val oy = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("y"))
+      li.join(oy, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(first(col("y")).as("y"), collect_set(col("l_partkey")).as("parts"))
+        .select(col("y"), explode(col("parts")).as("pa"), col("parts"))
+        .select(col("y"), col("pa"), explode(col("parts")).as("pb"))
+        .where(col("pa") < col("pb"))
+        .distinct()
+        .write.mode("overwrite").parquet(store)
+    }
+    s.read.parquet(store)
+  }
+
+  private val x255 = GQuery(
+    "x255_graph_evolution", "ext-graph temporal-evolution edge-churn",
+    (s, dir) => {
+      val ey = storedYearlyEdges(s, dir)
+      val cnt = ey.groupBy("y").agg(count(lit(1)).as("n"))
+      val kept = ey.as("a")
+        .join(ey.as("b"), col("b.y") === col("a.y") + 1
+          && col("a.pa") === col("b.pa") && col("a.pb") === col("b.pb"))
+        .groupBy(col("a.y").as("y_from")).agg(count(lit(1)).as("kept"))
+      cnt.select(col("y").as("y_from"), col("n").as("n_from"))
+        .join(cnt.select(col("y").as("y_to"), col("n").as("n_to")),
+          expr("y_to = y_from + 1"))
+        .join(kept, Seq("y_from"), "left")
+        .select(col("y_from"), col("y_to"),
+          coalesce(col("kept"), lit(0L)).as("kept"),
+          (col("n_to") - coalesce(col("kept"), lit(0L))).as("added"),
+          (col("n_from") - coalesce(col("kept"), lit(0L))).as("removed"),
+          expr("""(1000 * coalesce(kept, 0))
+               div (n_from + n_to - coalesce(kept, 0))""")
+            .as("jaccard_milli"))
+        .orderBy("y_from")
+    },
+    Some("""WITH ey AS MATERIALIZED (
+              SELECT DISTINCT
+                CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS y,
+                a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a
+              JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+              JOIN orders o ON o.o_orderkey = a.l_orderkey
+              WHERE a.l_partkey < b.l_partkey),
+            cnt AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM ey GROUP BY 1),
+            kept AS (
+              SELECT e1.y AS y_from, CAST(COUNT(*) AS BIGINT) AS kept
+              FROM ey e1 JOIN ey e2 ON e2.y = e1.y + 1
+                AND e1.pa = e2.pa AND e1.pb = e2.pb
+              GROUP BY 1)
+            SELECT c1.y AS y_from, c2.y AS y_to,
+              COALESCE(k.kept, 0) AS kept,
+              c2.n - COALESCE(k.kept, 0) AS added,
+              c1.n - COALESCE(k.kept, 0) AS removed,
+              (1000 * COALESCE(k.kept, 0))
+                // (c1.n + c2.n - COALESCE(k.kept, 0)) AS jaccard_milli
+            FROM cnt c1
+            JOIN cnt c2 ON c2.y = c1.y + 1
+            LEFT JOIN kept k ON k.y_from = c1.y
+            ORDER BY y_from"""))
+
   val queries: Seq[GQuery] =
     Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215, x217,
-      x238, x242, x243, x254)
+      x238, x242, x243, x254, x255)
 }

@@ -364,6 +364,35 @@ class GraphSpec extends SparkSpec {
     assert(lmPairs > 0, "landmark-landmark pairs must be estimable")
   }
 
+  test("x255: edge churn equals driver-side yearly set algebra") {
+    val o = graft.Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byYear = li.select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (o(r.getLong(0)), r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (y, rows) =>
+        y -> rows.groupBy(_._2).values.flatMap { order =>
+          val parts = order.map(_._3).distinct.sorted
+          for (i <- parts.indices; j <- (i + 1) until parts.length)
+            yield (parts(i), parts(j))
+        }.toSet
+      }
+    val expected = byYear.keys.toSeq.sorted.flatMap { y =>
+      byYear.get(y + 1).map { next =>
+        val cur = byYear(y)
+        val kept = (cur & next).size.toLong
+        (y, y + 1, kept, next.size - kept, cur.size - kept,
+          1000L * kept / (cur.size + next.size - kept))
+      }
+    }
+    val got = SparkEntry.queries("x255_graph_evolution")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture orders span multiple years")
+  }
+
   test("x138: textrank reuses the integer pagerank supersteps on the word graph") {
     val d = graft.Tables(spark, sf001, "documents")
     val got = Text.textrankKeywords(d, iters = 4, topK = 50).collect()
