@@ -1545,7 +1545,93 @@ object Graph {
             LEFT JOIN kept k ON k.y_from = c1.y
             ORDER BY y_from"""))
 
+  // ------------------------------------------------------------------- x256
+  // Hub persistence — the companion read to x255's edge churn: do the
+  // HUBS stay the hubs year over year? Per consecutive-year pair, the
+  // top-32 degree nodes of each year (deterministic (deg DESC, id) pick
+  // within the year) are compared: overlap count, Jaccard in millis, and
+  // the mean absolute degree-RANK displacement (milli) of the carried-over
+  // hubs — hub-set stability plus how much the pecking order shuffled.
+  // Exact integers end to end; ranks come from a per-year window over
+  // the node-sized yearly degree table.
+  //
+  // Scale shape: yearly degrees are a rollup of the stored yearly edge
+  // artifact (node×year sized); the top-k pick is a per-year rank window
+  // over that table; the comparison joins two ≤32-row sets per year pair.
+  private val x256 = GQuery(
+    "x256_hub_persistence", "ext-graph temporal-hubs rank-stability",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ey = storedYearlyEdges(s, dir)
+      val deg = ey.select(col("y"), col("pa").as("node"))
+        .unionAll(ey.select(col("y"), col("pb").as("node")))
+        .groupBy("y", "node").agg(count(lit(1)).as("deg"))
+      val ranked = deg.withColumn("rk",
+          row_number().over(Window.partitionBy("y")
+            .orderBy(col("deg").desc, col("node"))).cast("long"))
+        .where(col("rk") <= 32)
+      val a = ranked.select(col("y").as("y_from"), col("node"),
+        col("rk").as("rk_from"))
+      val b = ranked.select((col("y") - 1).as("y_from"), col("node"),
+        col("rk").as("rk_to"))
+      val both = a.join(b, Seq("y_from", "node"))
+        .groupBy("y_from")
+        .agg(count(lit(1)).as("carried"),
+          sum(abs(col("rk_from") - col("rk_to"))).as("disp_sum"))
+      val years = ranked.groupBy(col("y")).agg(count(lit(1)).as("k"))
+      years.select(col("y").as("y_from"), col("k").as("k_from"))
+        .join(years.select((col("y") - 1).as("y_from"), col("k").as("k_to")),
+          "y_from")
+        .join(both, Seq("y_from"), "left")
+        .select(col("y_from"), (col("y_from") + 1).as("y_to"),
+          coalesce(col("carried"), lit(0L)).as("carried"),
+          expr("""(1000 * coalesce(carried, 0))
+               div (k_from + k_to - coalesce(carried, 0))""")
+            .as("jaccard_milli"),
+          expr("""case when coalesce(carried, 0) = 0 then -1
+               else (1000 * disp_sum) div carried end""")
+            .as("mean_disp_milli"))
+        .orderBy("y_from")
+    },
+    Some("""WITH ey AS MATERIALIZED (
+              SELECT DISTINCT
+                CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS y,
+                a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a
+              JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+              JOIN orders o ON o.o_orderkey = a.l_orderkey
+              WHERE a.l_partkey < b.l_partkey),
+            deg AS (
+              SELECT y, node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM (SELECT y, pa AS node FROM ey
+                    UNION ALL SELECT y, pb FROM ey)
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT y, node,
+                CAST(ROW_NUMBER() OVER (PARTITION BY y
+                  ORDER BY deg DESC, node) AS BIGINT) AS rk
+              FROM deg QUALIFY rk <= 32),
+            carry AS (
+              SELECT a.y AS y_from, CAST(COUNT(*) AS BIGINT) AS carried,
+                CAST(SUM(abs(a.rk - b.rk)) AS BIGINT) AS disp_sum
+              FROM ranked a JOIN ranked b
+                ON b.y = a.y + 1 AND b.node = a.node
+              GROUP BY 1),
+            yrs AS (
+              SELECT y, CAST(COUNT(*) AS BIGINT) AS k
+              FROM ranked GROUP BY 1)
+            SELECT y1.y AS y_from, y1.y + 1 AS y_to,
+              COALESCE(b.carried, 0) AS carried,
+              (1000 * COALESCE(b.carried, 0))
+                // (y1.k + y2.k - COALESCE(b.carried, 0)) AS jaccard_milli,
+              CASE WHEN COALESCE(b.carried, 0) = 0 THEN -1
+                ELSE (1000 * b.disp_sum) // b.carried END AS mean_disp_milli
+            FROM yrs y1
+            JOIN yrs y2 ON y2.y = y1.y + 1
+            LEFT JOIN carry b ON b.y_from = y1.y
+            ORDER BY y_from"""))
+
   val queries: Seq[GQuery] =
     Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215, x217,
-      x238, x242, x243, x254, x255)
+      x238, x242, x243, x254, x255, x256)
 }

@@ -393,6 +393,44 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture orders span multiple years")
   }
 
+  test("x256: hub persistence equals driver-side top-k rank comparison") {
+    val o = graft.Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgesByYear = li.select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (o(r.getLong(0)), r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (y, rows) =>
+        y -> rows.groupBy(_._2).values.flatMap { order =>
+          val parts = order.map(_._3).distinct.sorted
+          for (i <- parts.indices; j <- (i + 1) until parts.length)
+            yield (parts(i), parts(j))
+        }.toSet
+      }
+    val topByYear = edgesByYear.map { case (y, es) =>
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      y -> deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(32)
+        .zipWithIndex.map { case ((n, _), i) => n -> (i + 1L) }.toMap
+    }
+    val expected = topByYear.keys.toSeq.sorted.flatMap { y =>
+      topByYear.get(y + 1).map { next =>
+        val cur = topByYear(y)
+        val common = cur.keySet & next.keySet
+        val carried = common.size.toLong
+        val dispSum = common.toSeq.map(n => math.abs(cur(n) - next(n))).sum
+        val jac = 1000L * carried / (cur.size + next.size - carried)
+        val disp = if (carried == 0) -1L else 1000L * dispSum / carried
+        (y, y + 1, carried, jac, disp)
+      }
+    }
+    val got = SparkEntry.queries("x256_hub_persistence")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("x138: textrank reuses the integer pagerank supersteps on the word graph") {
     val d = graft.Tables(spark, sf001, "documents")
     val got = Text.textrankKeywords(d, iters = 4, topK = 50).collect()
