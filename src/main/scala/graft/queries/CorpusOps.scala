@@ -1971,6 +1971,53 @@ object CorpusOps {
               (1000 * fp) // nn AS fpr_milli
             FROM g ORDER BY threshold DESC"""))
 
+  // ------------------------------------------------------------------- x257
+  // Capture–recapture corpus-size estimation (Chapman's nearly-unbiased
+  // estimator, 1951): two INDEPENDENT deterministic hash samples (md5
+  // over doc_id with distinct salts — the x42 cross-engine sampling
+  // idiom) play the two "captures"; the overlap estimates the population:
+  // N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The estimator a federated/streaming
+  // setting uses when COUNT(*) itself is unaffordable or the frames are
+  // owned by different parties — audited here against the exactly-known
+  // corpus size, the c21/x152 estimate-vs-exact discipline. Integer
+  // division only; the m+1 denominator makes the zero-overlap case
+  // total.
+  //
+  // Scale shape: two predicate scans + one 1-row rollup each, overlap by
+  // a key-equi semi count — no shuffle wider than the samples.
+  private val x257 = GQuery(
+    "x257_capture_recapture", "ext-docs population-estimation chapman",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      def capture(salt: String) =
+        d.where(substring(md5(concat(col("doc_id"), lit(salt))), 1, 2)
+          <= "3f")
+      val a = capture(":capA")
+      val b = capture(":capB")
+      val n1 = a.agg(count(lit(1)).as("n1"))
+      val n2 = b.agg(count(lit(1)).as("n2"))
+      val m = a.join(b, "doc_id").agg(count(lit(1)).as("m"))
+      val truth = d.agg(count(lit(1)).as("n_true"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .crossJoin(broadcast(truth))
+        .select(col("n1"), col("n2"), col("m"),
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_hat"),
+          col("n_true"))
+    },
+    Some("""WITH a AS (SELECT doc_id FROM documents
+                       WHERE substr(md5(doc_id || ':capA'), 1, 2) <= '3f'),
+            b AS (SELECT doc_id FROM documents
+                  WHERE substr(md5(doc_id || ':capB'), 1, 2) <= '3f'),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+                  FROM a JOIN b USING (doc_id)),
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM a),
+            d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM b),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM documents)
+            SELECT c.n1, d.n2, m.m,
+              (c.n1 + 1) * (d.n2 + 1) // (m.m + 1) - 1 AS n_hat,
+              t.n_true
+            FROM c, d, m, t"""))
+
   // ------------------------------------------------------------------- x253
   // F1-optimal operating point — the DECISION x251's curve informs: the
   // threshold maximizing milli-quantized F1 (2000·tp div (2tp+fp+fn)),
@@ -2113,5 +2160,6 @@ object CorpusOps {
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
-      x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253)
+      x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
+      x257)
 }

@@ -1485,8 +1485,53 @@ object Text {
             FROM pd GROUP BY 1
             ORDER BY burst_milli DESC, term"""))
 
+  // ------------------------------------------------------------------- x258
+  // Vocabulary richness estimation — the question x173's Heaps curve
+  // extrapolates, answered by the frequency-of-frequencies instead:
+  // Chao1's bias-corrected richness bound V + f₁(f₁−1)/(2(f₂+1))
+  // (Chao 1984 — "how many words exist that we haven't seen yet") and
+  // the Good–Turing unseen-probability mass P₀ = f₁/N (Good 1953 — "how
+  // often will the NEXT token be novel"), the two numbers a tokenizer
+  // vocabulary budget and an OOV-rate forecast actually need. Exact
+  // integers end to end: singleton/doubleton counts are exact, both
+  // estimators are single integer divisions.
+  //
+  // Scale shape: one token explosion (the same single scan every Text
+  // operator pays) → token-keyed count → a frequency-of-frequency
+  // rollup (≤ max-count rows) → one-row estimators.
+  private val x258 = GQuery(
+    "x258_vocab_richness", "ext-text vocabulary-estimation chao1 good-turing",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      counts.agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+        .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+          expr("vocab + (f1 * (f1 - 1)) div (2 * (f2 + 1))").as("chao1"),
+          expr("(1000000 * f1) div n_tokens").as("p0_micro"))
+    },
+    Some("""WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            counts AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM toks GROUP BY 1),
+            m AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS vocab,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+              FROM counts)
+            SELECT n_tokens, vocab, f1, f2,
+              vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1,
+              (1000000 * f1) // n_tokens AS p0_micro
+            FROM m"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138, x173, x207, x224, x230)
+      x110, x113, x138, x173, x207, x224, x230, x258)
 }

@@ -301,6 +301,44 @@ class AnalyticsMetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == p)
   }
 
+  test("x257 capture-recapture equals driver-side Chapman on the same hash samples") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ids = Tables(spark, sf001, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    val a = ids.filter(id => md5hex(s"$id:capA").substring(0, 2) <= "3f").toSet
+    val b = ids.filter(id => md5hex(s"$id:capB").substring(0, 2) <= "3f").toSet
+    val m = (a & b).size.toLong
+    val nHat = (a.size + 1).toLong * (b.size + 1) / (m + 1) - 1
+    val r = SparkEntry.queries("x257_capture_recapture")(spark, sf001).head()
+    assert(r.getAs[Long]("n1") == a.size.toLong)
+    assert(r.getAs[Long]("n2") == b.size.toLong)
+    assert(r.getAs[Long]("m") == m)
+    assert(r.getAs[Long]("n_hat") == nHat)
+    assert(r.getAs[Long]("n_true") == ids.length.toLong)
+    // the estimator is in the right regime on the fixture (25% captures)
+    assert(math.abs(nHat - ids.length) <= ids.length / 2,
+      s"Chapman estimate $nHat implausibly far from ${ids.length}")
+  }
+
+  test("x258 richness estimators equal driver-side frequency-of-frequencies") {
+    val toks = Tables(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .collect().map(_.getString(0))
+    val counts = toks.groupBy(identity).map { case (_, v) => v.size.toLong }
+    val (n, v) = (toks.length.toLong, counts.size.toLong)
+    val f1 = counts.count(_ == 1L).toLong
+    val f2 = counts.count(_ == 2L).toLong
+    val r = SparkEntry.queries("x258_vocab_richness")(spark, sf001).head()
+    assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("vocab") == v)
+    assert(r.getAs[Long]("f1") == f1 && r.getAs[Long]("f2") == f2)
+    assert(r.getAs[Long]("chao1") == v + f1 * (f1 - 1) / (2 * (f2 + 1)))
+    assert(r.getAs[Long]("p0_micro") == 1000000L * f1 / n)
+    // Chao1 is a lower bound on richness that never undercuts observed V
+    assert(r.getAs[Long]("chao1") >= v)
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
