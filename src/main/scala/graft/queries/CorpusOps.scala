@@ -1971,6 +1971,64 @@ object CorpusOps {
               (1000 * fp) // nn AS fpr_milli
             FROM g ORDER BY threshold DESC"""))
 
+  // ------------------------------------------------------------------- x259
+  // Simpson diversity profile — corpus diversity along three axes (lang,
+  // source, token vocabulary) in ONE pass each: Simpson's λ = P(two
+  // random draws match) = Σ nᵢ(nᵢ−1) / (N(N−1)) and its inverse (the
+  // EFFECTIVE number of categories — "this corpus behaves like k
+  // equally-sized languages"), the diversity target a mixture curator
+  // tracks per ingest. Simpson is the diversity index that is EXACT in
+  // integers (Shannon's Σp·ln p is float-transcendental and would break
+  // the engine's cross-engine hash discipline; λ needs only counts),
+  // with DECIMAL(38,0)/HUGEINT headroom for nᵢ² at 100 TB.
+  //
+  // Scale shape: three category-keyed count aggregates unioned, one
+  // dimension-grained rollup; the token branch pays the same single
+  // explosion every Text operator pays.
+  private val x259 = GQuery(
+    "x259_diversity_profile", "ext-docs diversity simpson effective-categories",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val cats = d.select(lit("lang").as("dim"), col("lang").as("cat"))
+        .unionAll(d.select(lit("source").as("dim"), col("source").as("cat")))
+        .unionAll(d.select(lit("token").as("dim"),
+          explode(split(col("text"), " ")).as("cat")))
+      cats.groupBy("dim", "cat").agg(count(lit(1)).as("c"))
+        .groupBy("dim").agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+          sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("ss"))
+        .select(col("dim"), col("n"), col("k"),
+          expr("""cast((1000000 * ss)
+               div (cast(n as decimal(38,0)) * (n - 1)) as bigint)""")
+            .as("simpson_micro"),
+          expr("""case when ss = 0 then -1
+               else cast((1000 * cast(n as decimal(38,0)) * (n - 1))
+                 div ss as bigint) end""").as("eff_cats_milli"))
+        .orderBy("dim")
+    },
+    Some("""WITH cats AS (
+              SELECT 'lang' AS dim, lang AS cat FROM documents
+              UNION ALL
+              SELECT 'source' AS dim, source AS cat FROM documents
+              UNION ALL
+              SELECT 'token' AS dim, unnest(string_split(text, ' ')) AS cat
+              FROM documents),
+            cnt AS (
+              SELECT dim, cat, CAST(COUNT(*) AS BIGINT) AS c
+              FROM cats GROUP BY 1, 2),
+            m AS (
+              SELECT dim, CAST(SUM(c) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS k,
+                SUM(CAST(c AS HUGEINT) * (c - 1)) AS ss
+              FROM cnt GROUP BY 1)
+            SELECT dim, n, k,
+              CAST((1000000 * ss)
+                // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+                AS simpson_micro,
+              CASE WHEN ss = 0 THEN -1
+                ELSE CAST((1000 * CAST(n AS HUGEINT) * (n - 1))
+                  // ss AS BIGINT) END AS eff_cats_milli
+            FROM m ORDER BY dim"""))
+
   // ------------------------------------------------------------------- x257
   // Capture–recapture corpus-size estimation (Chapman's nearly-unbiased
   // estimator, 1951): two INDEPENDENT deterministic hash samples (md5
@@ -2161,5 +2219,5 @@ object CorpusOps {
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
       x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
-      x257)
+      x257, x259)
 }

@@ -228,17 +228,24 @@ object Events {
       .select(col("v"), coalesce(col("n1v"), lit(0L)).as("n1v"),
         coalesce(col("n2v"), lit(0L)).as("n2v"))
     val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    // TOTAL on degenerate inputs (a production window can legitimately
+    // contain no purchases): an empty sample yields the no-evidence
+    // verdict (rb 0, not drifted) instead of a null row — EmptySample
+    // arm of RankDriftStreamSpec pins all three empty combinations
     grid
       .withColumn("c2lt", sum(col("n2v")).over(cum) - col("n2v"))
-      .agg(sum(col("n1v")).as("n_cur"), sum(col("n2v")).as("n_ref"),
-        sum((col("n1v") * (col("c2lt") * 2 + col("n2v"))).cast(d38))
-          .as("u2"))
+      .agg(coalesce(sum(col("n1v")), lit(0L)).as("n_cur"),
+        coalesce(sum(col("n2v")), lit(0L)).as("n_ref"),
+        coalesce(
+          sum((col("n1v") * (col("c2lt") * 2 + col("n2v"))).cast(d38)),
+          lit(0).cast(d38)).as("u2"))
       .select(col("n_cur"), col("n_ref"),
         col("u2").cast("long").as("u_doubled"),
-        expr("""cast(round(
+        when(col("n_cur") === 0L || col("n_ref") === 0L, lit(0L))
+          .otherwise(expr("""cast(round(
              cast(u2 - cast(n_cur as decimal(38,0)) * n_ref as double)
              / cast(cast(n_cur as decimal(38,0)) * n_ref as double)
-             * 1000000, 0) as bigint)""").as("rb_micro"))
+             * 1000000, 0) as bigint)""")).as("rb_micro"))
       .withColumn("drifted", abs(col("rb_micro")) >= alarmMicro)
   }
 
@@ -333,8 +340,11 @@ object Events {
       .where(col("dnum") === col("dmax"))
       .orderBy("v").limit(1)
       .select(col("tw1").as("n_cur"), col("tw2").as("n_ref"),
-        expr("""cast((1000000 * dnum)
-             div (cast(tw1 as decimal(38,0)) * tw2) as bigint)""")
+        // empty-side totality: one empty sample makes every gap 0 and the
+        // N1·N2 denominator 0 — report ks 0 (no evidence), not null
+        when(col("tw1") === 0L || col("tw2") === 0L, lit(0L))
+          .otherwise(expr("""cast((1000000 * dnum)
+             div (cast(tw1 as decimal(38,0)) * tw2) as bigint)"""))
           .as("ks_micro"),
         col("v").as("v_at"))
   }
@@ -400,9 +410,13 @@ object Events {
     val g = centiCdfGrid(cur, ref)
       .localCheckpoint(true) // both quantile inversions read the grid
     val deciles = (1L to 9L).toDF("decile")
-    val qc = g.join(deciles, expr("10 * c1 >= decile * tw1"))
+    // tw > 0 guards: quantiles of an EMPTY sample are undefined — without
+    // the guard "10*0 >= d*0" holds everywhere and min(v) would silently
+    // report garbage; with it the inversion is empty and the final inner
+    // join returns no rows (the honest answer)
+    val qc = g.join(deciles, expr("10 * c1 >= decile * tw1 and tw1 > 0"))
       .groupBy("decile").agg(min(col("v")).as("v_cur"))
-    val qr = g.join(deciles, expr("10 * c2 >= decile * tw2"))
+    val qr = g.join(deciles, expr("10 * c2 >= decile * tw2 and tw2 > 0"))
       .groupBy("decile").agg(min(col("v")).as("v_ref"))
     qc.join(qr, "decile")
       .select(col("decile"), col("v_cur"), col("v_ref"),

@@ -339,6 +339,37 @@ class AnalyticsMetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("chao1") >= v)
   }
 
+  test("x259 simpson diversity equals driver-side counts; inverse within [1, k]") {
+    val d = Tables(spark, sf001, "documents")
+    def simpson(cats: Seq[String]): (Long, Long, BigInt) = {
+      val counts = cats.groupBy(identity).map(_._2.size.toLong)
+      (cats.length.toLong, counts.size.toLong,
+        counts.map(c => BigInt(c) * (c - 1)).sum)
+    }
+    val byDim = Map(
+      "lang" -> d.select("lang").collect().map(_.getString(0)).toSeq,
+      "source" -> d.select("source").collect().map(_.getString(0)).toSeq,
+      "token" -> d.select(explode(split(col("text"), " ")))
+        .collect().map(_.getString(0)).toSeq)
+    val got = SparkEntry.queries("x259_diversity_profile")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == byDim.keySet)
+    byDim.foreach { case (dim, cats) =>
+      val (n, k, ss) = simpson(cats)
+      val (gn, gk, gs, ge) = got(dim)
+      assert(gn == n && gk == k)
+      assert(gs == (BigInt(1000000) * ss / (BigInt(n) * (n - 1))).toLong)
+      assert(ge == (BigInt(1000) * n * (n - 1) / ss).toLong)
+      // effective categories is >= 1; the (n-1)-corrected inverse can
+      // exceed k by the finite-sample factor (n-1)/(n/k - 1) at most,
+      // i.e. it is bounded by k*(n-1)/(n-k) (equal-distribution maximum)
+      assert(ge >= 1000L, s"$dim: eff=$ge")
+      assert(BigInt(ge) <= BigInt(1000) * k * (n - 1) / (n - k) + 1,
+        s"$dim: eff=$ge exceeds the equal-distribution bound (k=$k, n=$n)")
+    }
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee

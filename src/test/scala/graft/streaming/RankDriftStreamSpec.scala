@@ -103,6 +103,29 @@ class RankDriftStreamSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(root.toString)
   }
 
+  test("empty samples are total: no-evidence verdicts, never null rows") {
+    import spark.implicits._
+    val some = sample(50.0, 20, 0L).toDF("event_id", "value")
+    val none = spark.emptyDataset[(Long, Double)].toDF("event_id", "value")
+    // rank verdict: one well-typed zero row for every empty combination
+    for ((cur, ref, nc, nr) <- Seq((none, some, 0L, 20L),
+        (some, none, 20L, 0L), (none, none, 0L, 0L))) {
+      val r = graft.queries.Events.valueRankDrift(cur, ref, 100000L).head()
+      assert(r.getAs[Long]("n_cur") == nc && r.getAs[Long]("n_ref") == nr)
+      assert(r.getAs[Long]("u_doubled") == 0L)
+      assert(r.getAs[Long]("rb_micro") == 0L, s"rb must be 0, got $r")
+      assert(!r.getAs[Boolean]("drifted"))
+    }
+    // KS: one empty side -> gap 0 (no evidence); both empty -> no rows
+    val ks1 = graft.queries.Events.ksTwoSample(none, some).head()
+    assert(ks1.getAs[Long]("n_cur") == 0L && ks1.getAs[Long]("ks_micro") == 0L)
+    assert(graft.queries.Events.ksTwoSample(none, none).count() == 0L)
+    // Q-Q: quantiles of an empty sample are undefined -> no rows, never
+    // a silently-garbage decile table
+    assert(graft.queries.Events.qqDecileDrift(none, some).count() == 0L)
+    assert(graft.queries.Events.qqDecileDrift(some, none).count() == 0L)
+  }
+
   test("rank-biserial verdict is sign-symmetric: swapping samples negates rb") {
     import spark.implicits._
     val lo = sample(40.0, 30, 0L).toDF("event_id", "value")
