@@ -1214,7 +1214,92 @@ object TpchMore {
                 0) AS BIGINT) AS h_tie_micro
             FROM h ORDER BY flag"""))
 
+  // ------------------------------------------------------------------- x260
+  // Poisson-bootstrap confidence interval (Chamandy, Muralidharan,
+  // Najmi & Naidu, Google 2012 — "Estimating Uncertainty for Massive
+  // Data Streams"): THE error-bar method that survives 100 TB, because
+  // resampling-with-replacement is replaced by per-row Poisson(1)
+  // weights — one pass, B weights per row, no shuffle of the data and no
+  // N-sized sample materialization. Determinism discipline: the weight
+  // for (row, replicate) is drawn by inverse-CDF over the first 4 hex
+  // chars of md5(key:replicate) compared against FIXED hex thresholds
+  // (the x42 string-ordered-hash idiom — no hex→int conversion, no float
+  // RNG), so both engines draw bit-identical weights. Replicate means
+  // are exact integer divisions of cents; the interval is the 2nd/31st
+  // order statistic of the 32 replicate means (the 30/32 ≈ 94 % central
+  // band). One row: n, exact full-sample mean, the band.
+  //
+  // Scale shape: a 32× in-pipeline replicate fan-out (generator, no
+  // exchange) into ONE 32-group partial-aggregated rollup; the order
+  // statistics are a 32-row window. The fan-out factor is B, fixed —
+  // never data-sized.
+  private val x260 = GQuery(
+    "x260_poisson_bootstrap", "ext-analytics bootstrap-ci poisson-resampling",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      val rep = o.select(col("o_orderkey"), col("cents"),
+          explode(expr("sequence(1, 32)")).as("b"))
+        .withColumn("h",
+          substring(md5(concat(col("o_orderkey"), lit(":"), col("b"))), 1, 4))
+        .withColumn("w", expr("""case
+             when h < '5e2d' then 0 when h < 'bc5e' then 1
+             when h < 'eb79' then 2 when h < 'fb2b' then 3
+             when h < 'ff10' then 4 when h < 'ffd9' then 5
+             when h < 'fffa' then 6 else 7 end"""))
+      val means = rep.groupBy("b")
+        .agg(sum(expr("cast(w * cents as decimal(38,0))")).as("swx"),
+          sum(col("w")).as("sw"))
+        .where(col("sw") > 0L)
+        .select(col("b"), expr("cast(swx div sw as bigint)").as("mean_b"))
+      val band = means
+        .withColumn("rn", row_number().over(Window.orderBy("mean_b")))
+        .agg(max(when(col("rn") === 2, col("mean_b"))).as("ci_lo_cents"),
+          max(when(col("rn") === 31, col("mean_b"))).as("ci_hi_cents"))
+      val full = o.agg(count(lit(1)).as("n_orders"),
+        expr("sum(cents) div count(1)").as("mean_cents"))
+      full.crossJoin(broadcast(band))
+        .select(col("n_orders"), col("mean_cents"),
+          col("ci_lo_cents"), col("ci_hi_cents"))
+    },
+    Some("""WITH o AS (
+              SELECT o_orderkey,
+                CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS cents
+              FROM orders),
+            rep AS (
+              SELECT o.o_orderkey, o.cents, b.b,
+                substr(md5(o.o_orderkey || ':' || b.b), 1, 4) AS h
+              FROM o CROSS JOIN
+                (SELECT CAST(range AS BIGINT) AS b FROM range(1, 33)) b),
+            w AS (
+              SELECT b, cents, CASE
+                WHEN h < '5e2d' THEN 0 WHEN h < 'bc5e' THEN 1
+                WHEN h < 'eb79' THEN 2 WHEN h < 'fb2b' THEN 3
+                WHEN h < 'ff10' THEN 4 WHEN h < 'ffd9' THEN 5
+                WHEN h < 'fffa' THEN 6 ELSE 7 END AS w
+              FROM rep),
+            means AS (
+              SELECT b, CAST(SUM(CAST(w * cents AS HUGEINT))
+                // CAST(SUM(w) AS HUGEINT) AS BIGINT) AS mean_b
+              FROM w GROUP BY b HAVING SUM(w) > 0),
+            band AS (
+              SELECT MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo_cents,
+                MAX(CASE WHEN rn = 31 THEN mean_b END) AS ci_hi_cents
+              FROM (SELECT mean_b,
+                      ROW_NUMBER() OVER (ORDER BY mean_b) AS rn
+                    FROM means)),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
+              FROM o)
+            SELECT tot.n_orders, tot.mean_cents,
+              band.ci_lo_cents, band.ci_hi_cents
+            FROM tot, band"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
-      x220, x221, x231, x239, x240, x244, x245, x246, x248)
+      x220, x221, x231, x239, x240, x244, x245, x246, x248, x260)
 }

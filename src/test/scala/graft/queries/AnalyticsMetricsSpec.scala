@@ -370,6 +370,37 @@ class AnalyticsMetricsSpec extends SparkSpec {
     }
   }
 
+  test("x260 poisson bootstrap equals driver-side deterministic replication") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val thresholds = Seq("5e2d" -> 0L, "bc5e" -> 1L, "eb79" -> 2L,
+      "fb2b" -> 3L, "ff10" -> 4L, "ffd9" -> 5L, "fffa" -> 6L)
+    def weight(h: String): Long =
+      thresholds.find { case (t, _) => h < t }.map(_._2).getOrElse(7L)
+    val orders = Tables(spark, sf001, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val means = (1 to 32).flatMap { b =>
+      var (swx, sw) = (BigInt(0), 0L)
+      orders.foreach { case (k, cents) =>
+        val w = weight(md5hex(s"$k:$b").substring(0, 4))
+        swx += BigInt(w) * cents; sw += w
+      }
+      if (sw > 0) Some((swx / sw).toLong) else None
+    }.sorted
+    val r = SparkEntry.queries("x260_poisson_bootstrap")(spark, sf001).head()
+    assert(r.getAs[Long]("n_orders") == orders.length.toLong)
+    assert(r.getAs[Long]("mean_cents")
+      == (orders.map(o => BigInt(o._2)).sum / orders.length).toLong)
+    assert(r.getAs[Long]("ci_lo_cents") == means(1))
+    assert(r.getAs[Long]("ci_hi_cents") == means(30))
+    // the band straddles the exact mean on the fixture
+    assert(r.getAs[Long]("ci_lo_cents") <= r.getAs[Long]("mean_cents"))
+    assert(r.getAs[Long]("ci_hi_cents") >= r.getAs[Long]("mean_cents"))
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
