@@ -1607,16 +1607,39 @@ object CorpusOps {
   // scores quantize to ≤ 1001 integer values, so ranks come from ONE
   // map-side-combinable aggregate over the score domain plus a
   // domain-sized cumulative window (the x214 bound: facts never sort).
+  /** (score, n, np) of the type-token-ratio quality signal labeled
+    * pos=English — the shared substrate of the quality-signal family:
+    * x219 (AUC), x251 (ROC curve) and x253 (F1 operating point) are all
+    * reads of THIS one table, so the score definition and tie handling
+    * can never drift between them (x251's trapezoid-identity spec pins
+    * the family's coherence; this makes it structural).
+    */
+  private def ttrScoreCounts(d: DataFrame): DataFrame =
+    d.select((col("lang") === "en").as("pos"),
+        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+          "div size(split(text, ' '))").as("score"))
+      .groupBy("score").agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+
+  /** Descending-threshold confusion counts layered on [[ttrScoreCounts]]:
+    * (score, n, np, tp, fp, p, nn) at "predict positive when score ≥ t".
+    */
+  private def confusionByThreshold(byScore: DataFrame): DataFrame = {
+    val desc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byScore
+      .withColumn("tp", sum(col("np")).over(desc))
+      .withColumn("fp", sum(col("n") - col("np")).over(desc))
+      .withColumn("p", sum(col("np")).over(all))
+      .withColumn("nn", sum(col("n") - col("np")).over(all))
+  }
+
   private val x219 = GQuery(
     "x219_auc_rank", "ext-text quality-signal roc-auc rank-statistic",
     (s, dir) => {
-      val sc = docs(s, dir).select(
-        (col("lang") === "en").as("pos"),
-        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
-          "div size(split(text, ' '))").as("score"))
-      val byScore = sc.groupBy("score").agg(
-        count(lit(1)).as("n"),
-        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+      val byScore = ttrScoreCounts(docs(s, dir))
       val w = Window.orderBy("score")
         .rowsBetween(Window.unboundedPreceding, -1)
       byScore
@@ -1863,22 +1886,31 @@ object CorpusOps {
   // Scale shape: one fact aggregate to the (lang, source) grid, marginals
   // as rollups OF the grid, the lattice a langs × sources cross of two
   // dimension-sized tables (bounded domain — whitelisted like x171).
+  /** The full lang × source chi-square lattice with exact per-cell micro
+    * contributions — ONE definition shared by x235 (the per-cell audit)
+    * and x247 (the Cramér's V normalization), so the spec-pinned
+    * bit-identity of their chi² mass is structural, not hand-maintained.
+    */
+  private def chi2CellsOf(d: DataFrame): DataFrame = {
+    val grid = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // marginals + lattice reread the grid
+    val langs = grid.groupBy("lang").agg(sum(col("n")).as("r_i"))
+    val sources = grid.groupBy("source").agg(sum(col("n")).as("c_j"))
+    val total = grid.agg(sum(col("n")).as("n_total"))
+    langs.crossJoin(sources).crossJoin(broadcast(total))
+      .join(grid, Seq("lang", "source"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("dev", expr("n_total * n - r_i * c_j"))
+      .withColumn("chi2_cell_micro",
+        expr("cast((cast(dev as decimal(38,0)) * dev * 1000000) " +
+          "div (cast(n_total as decimal(38,0)) * r_i * c_j) as bigint)"))
+  }
+
   private val x235 = GQuery(
     "x235_chi2_independence", "ext-docs categorical-audit chi-square",
     (s, dir) => {
-      val grid = docs(s, dir).groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // marginals + lattice reread the grid
-      val langs = grid.groupBy("lang").agg(sum(col("n")).as("r_i"))
-      val sources = grid.groupBy("source").agg(sum(col("n")).as("c_j"))
-      val total = grid.agg(sum(col("n")).as("n_total"))
-      langs.crossJoin(sources).crossJoin(broadcast(total))
-        .join(grid, Seq("lang", "source"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
-        .withColumn("dev", expr("n_total * n - r_i * c_j"))
-        .withColumn("chi2_cell_micro",
-          expr("cast((cast(dev as decimal(38,0)) * dev * 1000000) " +
-            "div (cast(n_total as decimal(38,0)) * r_i * c_j) as bigint)"))
+      chi2CellsOf(docs(s, dir))
         .withColumn("chi2_total_micro",
           sum(col("chi2_cell_micro")).over(Window.partitionBy()))
         .select(col("lang"), col("source"), col("n"),
@@ -1925,22 +1957,7 @@ object CorpusOps {
   private val x251 = GQuery(
     "x251_roc_curve", "ext-text quality-signal roc-curve thresholds",
     (s, dir) => {
-      val sc = docs(s, dir).select(
-        (col("lang") === "en").as("pos"),
-        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
-          "div size(split(text, ' '))").as("score"))
-      val byScore = sc.groupBy("score").agg(
-        count(lit(1)).as("n"),
-        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
-      val desc = Window.orderBy(col("score").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val all = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      byScore
-        .withColumn("tp", sum(col("np")).over(desc))
-        .withColumn("fp", sum(col("n") - col("np")).over(desc))
-        .withColumn("p", sum(col("np")).over(all))
-        .withColumn("nn", sum(col("n") - col("np")).over(all))
+      confusionByThreshold(ttrScoreCounts(docs(s, dir)))
         .select(col("score").as("threshold"), col("tp"), col("fp"),
           expr("(1000 * tp) div p").as("tpr_milli"),
           expr("(1000 * fp) div nn").as("fpr_milli"))
@@ -2090,21 +2107,7 @@ object CorpusOps {
   private val x253 = GQuery(
     "x253_f1_operating_point", "ext-text quality-signal f1-threshold",
     (s, dir) => {
-      val sc = docs(s, dir).select(
-        (col("lang") === "en").as("pos"),
-        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
-          "div size(split(text, ' '))").as("score"))
-      val byScore = sc.groupBy("score").agg(
-        count(lit(1)).as("n"),
-        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
-      val desc = Window.orderBy(col("score").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val all = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      byScore
-        .withColumn("tp", sum(col("np")).over(desc))
-        .withColumn("fp", sum(col("n") - col("np")).over(desc))
-        .withColumn("p", sum(col("np")).over(all))
+      confusionByThreshold(ttrScoreCounts(docs(s, dir)))
         .withColumn("fn", col("p") - col("tp"))
         .withColumn("f1_milli",
           expr("(2000 * tp) div (2 * tp + fp + fn)"))
@@ -2160,22 +2163,12 @@ object CorpusOps {
   private val x247 = GQuery(
     "x247_cramers_v", "ext-docs categorical-audit cramers-v",
     (s, dir) => {
-      val grid = docs(s, dir).groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // marginals + lattice reread the grid
-      val langs = grid.groupBy("lang").agg(sum(col("n")).as("r_i"))
-      val sources = grid.groupBy("source").agg(sum(col("n")).as("c_j"))
-      val total = grid.agg(sum(col("n")).as("n_total"))
-      val dims = langs.agg(count(lit(1)).as("n_langs"))
-        .crossJoin(sources.agg(count(lit(1)).as("n_sources")))
-      langs.crossJoin(sources).crossJoin(broadcast(total))
-        .join(grid, Seq("lang", "source"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
-        .withColumn("dev", expr("n_total * n - r_i * c_j"))
-        .agg(sum(expr("cast((cast(dev as decimal(38,0)) * dev * 1000000) " +
-          "div (cast(n_total as decimal(38,0)) * r_i * c_j) as bigint)"))
-          .as("chi2_micro"), first(col("n_total")).as("n_total"))
-        .crossJoin(broadcast(dims))
+      // the chi2 mass is x235's lattice, by construction (chi2CellsOf)
+      chi2CellsOf(docs(s, dir))
+        .agg(sum(col("chi2_cell_micro")).as("chi2_micro"),
+          first(col("n_total")).as("n_total"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
         .select(col("n_total"), col("n_langs"), col("n_sources"),
           col("chi2_micro"),
           expr("""cast(round(sqrt(

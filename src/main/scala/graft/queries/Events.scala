@@ -217,16 +217,17 @@ object Events {
     * never sort, never pool, never pair.
     */
   def valueRankDrift(cur: DataFrame, ref: DataFrame,
+      alarmMicro: Long): DataFrame =
+    rankVerdictFromGrid(centiCountGrid(cur, ref), alarmMicro)
+
+  /** The rank verdict off a prebuilt (v, n1v, n2v) count grid —
+    * [[graft.streaming.RankDriftStream]] builds the grid ONCE per
+    * refresh and derives all three report segments from it.
+    */
+  private[graft] def rankVerdictFromGrid(grid: DataFrame,
       alarmMicro: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    def centi(df: DataFrame) = df.select(
-      expr("cast(round(value * 100, 0) as bigint)").as("v"))
-    val grid = centi(cur).groupBy("v").agg(count(lit(1)).as("n1v"))
-      .join(centi(ref).groupBy("v").agg(count(lit(1)).as("n2v")),
-        Seq("v"), "full_outer")
-      .select(col("v"), coalesce(col("n1v"), lit(0L)).as("n1v"),
-        coalesce(col("n2v"), lit(0L)).as("n2v"))
     val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     // TOTAL on degenerate inputs (a production window can legitimately
     // contain no purchases): an empty sample yields the no-evidence
@@ -308,16 +309,25 @@ object Events {
     * the x252 Q-Q read (quantile inversion). Grid-sized, never
     * fact-sized.
     */
-  private[queries] def centiCdfGrid(cur: DataFrame,
+  /** The (v, n1v, n2v) centi-quantized count grid of two samples — the
+    * single substrate every numeric-drift segment derives from (the one
+    * definition the x249/x250/x252 family and the streaming report all
+    * share, so the quantization can never desynchronize between them).
+    */
+  private[graft] def centiCountGrid(cur: DataFrame,
       ref: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def centi(df: DataFrame) = df.select(
       expr("cast(round(value * 100, 0) as bigint)").as("v"))
-    val grid = centi(cur).groupBy("v").agg(count(lit(1)).as("n1v"))
+    centi(cur).groupBy("v").agg(count(lit(1)).as("n1v"))
       .join(centi(ref).groupBy("v").agg(count(lit(1)).as("n2v")),
         Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("n1v"), lit(0L)).as("n1v"),
         coalesce(col("n2v"), lit(0L)).as("n2v"))
+  }
+
+  /** Layer cumulative counts + totals onto a count grid. */
+  private[graft] def withCdf(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     val all = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
@@ -328,12 +338,19 @@ object Events {
       .withColumn("tw2", sum(col("n2v")).over(all))
   }
 
-  def ksTwoSample(cur: DataFrame, ref: DataFrame): DataFrame = {
+  private[queries] def centiCdfGrid(cur: DataFrame,
+      ref: DataFrame): DataFrame = withCdf(centiCountGrid(cur, ref))
+
+  def ksTwoSample(cur: DataFrame, ref: DataFrame): DataFrame =
+    ksFromCdf(centiCdfGrid(cur, ref))
+
+  /** The KS row off a prebuilt CDF grid (shared-grid streaming path). */
+  private[graft] def ksFromCdf(cdf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val all = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    centiCdfGrid(cur, ref)
+    cdf
       .withColumn("dnum", abs(col("c1").cast(d38) * col("tw2")
         - col("c2").cast(d38) * col("tw1")))
       .withColumn("dmax", max(col("dnum")).over(all))
@@ -404,11 +421,17 @@ object Events {
     * (shared by the registry row and [[graft.streaming.RankDriftStream]]'s
     * full drift report).
     */
-  def qqDecileDrift(cur: DataFrame, ref: DataFrame): DataFrame = {
-    val s = cur.sparkSession
+  def qqDecileDrift(cur: DataFrame, ref: DataFrame): DataFrame =
+    qqFromCdf(centiCdfGrid(cur, ref)
+      .localCheckpoint(true)) // both quantile inversions read the grid
+
+  /** The Q-Q table off a prebuilt CDF grid. Callers that pass a shared
+    * checkpointed grid (the streaming refresh) own its lifecycle and
+    * unpersist it after the derived segments are written.
+    */
+  private[graft] def qqFromCdf(g: DataFrame): DataFrame = {
+    val s = g.sparkSession
     import s.implicits._
-    val g = centiCdfGrid(cur, ref)
-      .localCheckpoint(true) // both quantile inversions read the grid
     val deciles = (1L to 9L).toDF("decile")
     // tw > 0 guards: quantiles of an EMPTY sample are undefined — without
     // the guard "10*0 >= d*0" holds everywhere and min(v) would silently

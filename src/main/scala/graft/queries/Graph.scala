@@ -91,12 +91,7 @@ object Graph {
     * generations are dropped: the final checkpoint backs the returned
     * DataFrame and stays.
     */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  private def dropCheckpoint(df: DataFrame): Unit = graft.Checkpoints.drop(df)
 
   /** Run `f` with AQE off, restoring the session setting after. The
     * superstep loops below run entirely without AQE, for two reasons:

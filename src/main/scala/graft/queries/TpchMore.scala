@@ -1236,32 +1236,15 @@ object TpchMore {
   private val x260 = GQuery(
     "x260_poisson_bootstrap", "ext-analytics bootstrap-ci poisson-resampling",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val o = Tables(s, dir, "orders").select(col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-          .cast("long").as("cents"))
-      val rep = o.select(col("o_orderkey"), col("cents"),
-          explode(expr("sequence(1, 32)")).as("b"))
-        .withColumn("h",
-          substring(md5(concat(col("o_orderkey"), lit(":"), col("b"))), 1, 4))
-        .withColumn("w", expr("""case
-             when h < '5e2d' then 0 when h < 'bc5e' then 1
-             when h < 'eb79' then 2 when h < 'fb2b' then 3
-             when h < 'ff10' then 4 when h < 'ffd9' then 5
-             when h < 'fffa' then 6 else 7 end"""))
-      val means = rep.groupBy("b")
-        .agg(sum(expr("cast(w * cents as decimal(38,0))")).as("swx"),
-          sum(col("w")).as("sw"))
-        .where(col("sw") > 0L)
-        .select(col("b"), expr("cast(swx div sw as bigint)").as("mean_b"))
-      val band = means
-        .withColumn("rn", row_number().over(Window.orderBy("mean_b")))
-        .agg(max(when(col("rn") === 2, col("mean_b"))).as("ci_lo_cents"),
-          max(when(col("rn") === 31, col("mean_b"))).as("ci_hi_cents"))
-      val full = o.agg(count(lit(1)).as("n_orders"),
-        expr("sum(cents) div count(1)").as("mean_cents"))
-      full.crossJoin(broadcast(band))
-        .select(col("n_orders"), col("mean_cents"),
+      // the weight/accumulator/verdict kernel lives in ONE place
+      // (graft.queries.Bootstrap), shared with the streaming maintainer
+      val rows = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("key"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+        .localCheckpoint(true) // accumulators + totals reread the rows
+      Bootstrap.verdict(Bootstrap.accumulate(rows), Bootstrap.totals(rows))
+        .select(col("n_rows").as("n_orders"), col("mean_cents"),
           col("ci_lo_cents"), col("ci_hi_cents"))
     },
     Some("""WITH o AS (

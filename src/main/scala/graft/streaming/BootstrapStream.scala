@@ -30,43 +30,18 @@ object BootstrapStream {
 
   def monitorDir(stateDir: String): String = s"$stateDir/bootstrap"
 
-  /** Per-row replicate weights + accumulator delta for a (key, cents)
-    * frame: 32 rows of (b, swx, sw). The shared kernel of the stream
-    * delta and the one-shot batch path.
+  /** Kernel delegates — ONE definition of the weights/accumulators/
+    * verdict lives in [[graft.queries.Bootstrap]], shared with the x260
+    * registry row so the stream ≡ batch weight identity is structural.
     */
   def accumulate(rows: DataFrame): DataFrame =
-    rows.select(col("key"), col("cents"),
-        explode(expr("sequence(1, 32)")).as("b"))
-      .withColumn("h",
-        substring(md5(concat(col("key"), lit(":"), col("b"))), 1, 4))
-      .withColumn("w", expr("""case
-           when h < '5e2d' then 0 when h < 'bc5e' then 1
-           when h < 'eb79' then 2 when h < 'fb2b' then 3
-           when h < 'ff10' then 4 when h < 'ffd9' then 5
-           when h < 'fffa' then 6 else 7 end"""))
-      .groupBy("b")
-      .agg(sum(expr("cast(w * cents as decimal(38,0))")).as("swx"),
-        sum(col("w")).as("sw"))
+    graft.queries.Bootstrap.accumulate(rows)
 
-  /** Exact totals for the point estimate: (n_rows, sum_cents). */
   def totals(rows: DataFrame): DataFrame =
-    rows.agg(count(lit(1)).as("n_rows"),
-      coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+    graft.queries.Bootstrap.totals(rows)
 
-  /** The published one-row verdict from accumulators + totals. */
-  def verdict(acc: DataFrame, tot: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val band = acc.where(col("sw") > 0L)
-      .select(col("b"), expr("cast(swx div sw as bigint)").as("mean_b"))
-      .withColumn("rn", row_number().over(Window.orderBy("mean_b")))
-      .agg(max(when(col("rn") === 2, col("mean_b"))).as("ci_lo_cents"),
-        max(when(col("rn") === 31, col("mean_b"))).as("ci_hi_cents"))
-    tot.crossJoin(broadcast(band))
-      .select(col("n_rows"),
-        when(col("n_rows") === 0L, lit(0L))
-          .otherwise(expr("sum_cents div n_rows")).as("mean_cents"),
-        col("ci_lo_cents"), col("ci_hi_cents"))
-  }
+  def verdict(acc: DataFrame, tot: DataFrame): DataFrame =
+    graft.queries.Bootstrap.verdict(acc, tot)
 
   /** Normalize an events-like frame to the (key, cents) kernel input. */
   def asKernelInput(df: DataFrame): DataFrame =
@@ -127,6 +102,13 @@ object BootstrapStream {
     verdict(accCk, totCk).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/$genName/verdict")
     StoredManifest.write(dir, genName, Seq("acc", "tot", "verdict"))
+    // all three checkpoints are superseded by the written parquet — in a
+    // weeks-long 5-minute-trigger stream, leaving one batch-sized + two
+    // state-sized block sets pinned per micro-batch is real memory
+    // pressure (the Graph.dropCheckpoint retention discipline)
+    graft.Checkpoints.drop(rows)
+    graft.Checkpoints.drop(accCk)
+    graft.Checkpoints.drop(totCk)
   }
 
   def published(stateDir: String): Boolean =

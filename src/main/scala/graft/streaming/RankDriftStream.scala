@@ -83,15 +83,24 @@ object RankDriftStream {
       .parquet(arrivalsDir)
     val ref = spark.read.option("pathGlobFilter", pathGlobFilter)
       .parquet(referenceDir)
-    graft.queries.Events.valueRankDrift(cur, ref, alarmMicro)
+    // ONE scan of arrivals+reference per refresh: the shared count grid
+    // is built and checkpointed once and all three segments derive from
+    // it (the DriftMonitorStream "one computation feeds both segments"
+    // discipline); the superseded checkpoint is dropped after the writes
+    // — per-refresh retention in a weeks-long stream is real memory
+    val grid = graft.queries.Events.centiCountGrid(cur, ref)
+      .localCheckpoint(true)
+    val cdf = graft.queries.Events.withCdf(grid)
+    graft.queries.Events.rankVerdictFromGrid(grid, alarmMicro)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/$genName/verdict")
-    graft.queries.Events.ksTwoSample(cur, ref)
+    graft.queries.Events.ksFromCdf(cdf)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/$genName/ks")
-    graft.queries.Events.qqDecileDrift(cur, ref)
+    graft.queries.Events.qqFromCdf(cdf)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/$genName/qq")
+    graft.Checkpoints.drop(grid)
     StoredManifest.write(dir, genName, Seq("ks", "qq", "verdict"))
   }
 
