@@ -1282,7 +1282,90 @@ object TpchMore {
               band.ci_lo_cents, band.ci_hi_cents
             FROM tot, band"""))
 
+  // ------------------------------------------------------------------- x261
+  // Correlation ratio η² + one-way ANOVA F — the continuous-BY-categorical
+  // association measure that completes the engine's association matrix
+  // (continuous×continuous: x231 Pearson; ranks: x244/x246;
+  // categorical×categorical: x235 χ²/x247 V; two-sample location/shape:
+  // x245 U/x250 KS): how much of order-value variance does the customer's
+  // market segment (k=5) or nation (k=25) explain? Values quantize to
+  // floor-dollars (floor(double) is identical in both engines; dollar
+  // grain buys 10⁴ headroom on the per-group s²_g div n_g term — the
+  // exact path holds to ~10¹³ rows at this value range, stated honestly
+  // like x248). Per-group terms are div-truncated integers (the x235
+  // per-cell discipline); η²_micro and F_milli are single divisions of
+  // exact scaled sums of squares.
+  //
+  // Scale shape: ONE map-combinable moment aggregate over the fact join,
+  // one group-grained rollup per factor, 2-row output. No windows.
+  private val x261 = GQuery(
+    "x261_correlation_ratio", "ext-analytics anova eta-squared",
+    (s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val o = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("string").as("nat"),
+          expr("cast(floor(o_totalprice) as bigint)").as("x"))
+        .localCheckpoint(true) // totals + both factor rollups reread it
+      val tot = o.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      val byGroup = o.select(lit("segment").as("factor"), col("seg").as("grp"),
+          col("x"))
+        .unionAll(o.select(lit("nation").as("factor"), col("nat").as("grp"),
+          col("x")))
+        .groupBy("factor", "grp")
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+      byGroup.groupBy("factor")
+        .agg(count(lit(1)).as("k"),
+          sum(expr("(cast(s_g as decimal(38,0)) * s_g) div n_g").cast(d38))
+            .as("a"))
+        .crossJoin(broadcast(tot))
+        .withColumn("ss_b", expr("cast(n as decimal(38,0)) * a " +
+          "- cast(s as decimal(38,0)) * s"))
+        .withColumn("ss_t", expr("cast(n as decimal(38,0)) * sxx " +
+          "- cast(s as decimal(38,0)) * s"))
+        .select(col("factor"), col("k"), col("n"),
+          expr("cast((1000000 * ss_b) div ss_t as bigint)").as("eta2_micro"),
+          expr("""cast((1000 * (n - k) * ss_b)
+               div ((k - 1) * (ss_t - ss_b)) as bigint)""").as("f_milli"))
+        .orderBy("factor")
+    },
+    Some("""WITH o AS (
+              SELECT c.c_mktsegment AS seg,
+                CAST(c.c_nationkey AS VARCHAR) AS nat,
+                CAST(floor(o.o_totalprice) AS BIGINT) AS x
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS s,
+                SUM(CAST(x * x AS HUGEINT)) AS sxx
+              FROM o),
+            g AS (
+              SELECT factor, grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+                CAST(SUM(x) AS BIGINT) AS s_g
+              FROM (SELECT 'segment' AS factor, seg AS grp, x FROM o
+                    UNION ALL SELECT 'nation', nat, x FROM o)
+              GROUP BY 1, 2),
+            f AS (
+              SELECT factor, CAST(COUNT(*) AS BIGINT) AS k,
+                SUM(CAST(s_g AS HUGEINT) * s_g // n_g) AS a
+              FROM g GROUP BY 1),
+            e AS (
+              SELECT f.factor, f.k, tot.n,
+                CAST(tot.n AS HUGEINT) * f.a
+                  - CAST(tot.s AS HUGEINT) * tot.s AS ss_b,
+                CAST(tot.n AS HUGEINT) * tot.sxx
+                  - CAST(tot.s AS HUGEINT) * tot.s AS ss_t
+              FROM f, tot)
+            SELECT factor, k, n,
+              CAST((1000000 * ss_b) // ss_t AS BIGINT) AS eta2_micro,
+              CAST((1000 * (n - k) * ss_b)
+                // ((k - 1) * (ss_t - ss_b)) AS BIGINT) AS f_milli
+            FROM e ORDER BY factor"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
-      x220, x221, x231, x239, x240, x244, x245, x246, x248, x260)
+      x220, x221, x231, x239, x240, x244, x245, x246, x248, x260, x261)
 }

@@ -401,6 +401,40 @@ class AnalyticsMetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("ci_hi_cents") >= r.getAs[Long]("mean_cents"))
   }
 
+  test("x261 correlation ratio equals driver-side BigInt replication; eta2 in [0,1]") {
+    val rows = Tables(spark, sf001, "orders")
+      .join(Tables(spark, sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_nationkey").cast("string"),
+        expr("cast(floor(o_totalprice) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = BigInt(rows.length)
+    val s = rows.map(r => BigInt(r._3)).sum
+    val sxx = rows.map(r => BigInt(r._3) * r._3).sum
+    def factor(key: ((String, String, Long)) => String) = {
+      val gs = rows.groupBy(key).values
+      val k = gs.size.toLong
+      val a = gs.map { g =>
+        val sg = g.map(r => BigInt(r._3)).sum
+        sg * sg / g.size
+      }.sum
+      val ssB = n * a - s * s
+      val ssT = n * sxx - s * s
+      (k, (BigInt(1000000) * ssB / ssT).toLong,
+        (BigInt(1000) * (n - k) * ssB / ((k - 1) * (ssT - ssB))).toLong)
+    }
+    val expected = Map("segment" -> factor(_._1), "nation" -> factor(_._2))
+    val got = SparkEntry.queries("x261_correlation_ratio")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (f, (k, eta, fm)) =>
+      val (gk, ge, gf) = got(f)
+      assert(gk == k && ge == eta && gf == fm, s"$f: got ${got(f)}")
+      assert(ge >= 0L && ge <= 1000000L)
+    }
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
