@@ -3327,9 +3327,83 @@ object Events {
               ELSE 0 END AS z_milli
             FROM v"""))
 
+  // ------------------------------------------------------------------- x262
+  // Wald–Wolfowitz runs test — the RANDOMNESS companion to x228's trend
+  // test: a series can be trend-free yet still non-random (clustered
+  // regimes, alternation); dichotomize daily volume around its lower
+  // median (ties to the median dropped, the standard treatment), count
+  // the runs of consecutive same-side days, and compare against the
+  // exact expectation 1 + 2n₁n₂/(n₁+n₂) in millis. Fewer runs than
+  // expected = regime clustering (a deployment/incident signature); more
+  // = oscillation (a retry storm signature). Integer end to end.
+  //
+  // Scale shape: one fact aggregate to the day domain, a count-domain
+  // median grid, one day-ordered lag window over ≤ |days| rows — the
+  // x214/x228 domain discipline throughout.
+  private val x262 = GQuery(
+    "x262_runs_test", "ext-events randomness-test wald-wolfowitz",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(true) // median grid + run scan reread the domain
+      val med = daily.groupBy("y").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum(col("c")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .where(col("cum") * 2 >= col("tot"))
+        .agg(min(col("y")).as("median"))
+      daily.crossJoin(broadcast(med))
+        .where(col("y") =!= col("median"))
+        .select(col("day"), (col("y") > col("median")).as("above"))
+        .withColumn("prev", lag(col("above"), 1).over(Window.orderBy("day")))
+        .agg(sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L)).as("runs"),
+          sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("above"), 1L).otherwise(0L)).as("n2"))
+        .select(col("n1"), col("n2"), coalesce(col("runs"), lit(0L)).as("runs"),
+          expr("""case when n1 + n2 = 0 then -1
+               else 1000 + (2000 * n1 * n2) div (n1 + n2) end""")
+            .as("expected_runs_milli"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            grid AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM daily GROUP BY 1),
+            mg AS (
+              SELECT y,
+                CAST(SUM(c) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(SUM(c) OVER () AS BIGINT) AS tot
+              FROM grid),
+            med AS (SELECT MIN(y) AS median FROM mg WHERE cum * 2 >= tot),
+            sg AS (SELECT day, y > med.median AS above
+                   FROM daily, med WHERE y <> med.median),
+            r AS (SELECT above, LAG(above) OVER (ORDER BY day) AS prev
+                  FROM sg),
+            m AS (
+              SELECT
+                CAST(SUM(CASE WHEN prev IS NULL OR prev <> above
+                  THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+                CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n2
+              FROM r)
+            SELECT n1, n2, COALESCE(runs, 0) AS runs,
+              CASE WHEN n1 + n2 = 0 THEN -1
+                ELSE 1000 + (2000 * n1 * n2) // (n1 + n2) END
+                AS expected_runs_milli
+            FROM m"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206, x208, x211, x213, x214, x218, x228, x249, x250, x252)
+    x206, x208, x211, x213, x214, x218, x228, x249, x250, x252, x262)
 }

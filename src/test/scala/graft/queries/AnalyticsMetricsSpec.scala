@@ -435,6 +435,28 @@ class AnalyticsMetricsSpec extends SparkSpec {
     }
   }
 
+  test("x262 runs test equals a driver-side run count over the daily series") {
+    val daily = Tables(spark, sf001, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val sorted = daily.map(_._2).sorted
+    val median = sorted(((daily.length + 1) / 2 - 1).max(0))
+    val signs = daily.map(_._2).filter(_ != median).map(_ > median)
+    val runs = if (signs.isEmpty) 0L
+      else 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.length - n1
+    val r = SparkEntry.queries("x262_runs_test")(spark, sf001).head()
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("runs") == runs)
+    assert(r.getAs[Long]("expected_runs_milli")
+      == (if (n1 + n2 == 0) -1L else 1000L + 2000L * n1 * n2 / (n1 + n2)))
+    // runs are bounded by the dichotomized day count
+    assert(runs <= n1 + n2)
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
