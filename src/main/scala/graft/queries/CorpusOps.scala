@@ -1615,9 +1615,16 @@ object CorpusOps {
     * the family's coherence; this makes it structural).
     */
   private def ttrScoreCounts(d: DataFrame): DataFrame =
-    d.select((col("lang") === "en").as("pos"),
-        expr("(1000 * size(array_distinct(split(text, ' ')))) " +
-          "div size(split(text, ' '))").as("score"))
+    scoreCounts(d, expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+      "div size(split(text, ' '))"))
+
+  /** (score, n, np) for ANY integer feature with the pos=English label —
+    * the generalized substrate (x263's stump scores token length through
+    * the same machinery the ttr family uses).
+    */
+  private def scoreCounts(d: DataFrame,
+      score: org.apache.spark.sql.Column): DataFrame =
+    d.select((col("lang") === "en").as("pos"), score.as("score"))
       .groupBy("score").agg(count(lit(1)).as("n"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
 
@@ -2046,6 +2053,100 @@ object CorpusOps {
                   // ss AS BIGINT) END AS eff_cats_milli
             FROM m ORDER BY dim"""))
 
+  // ------------------------------------------------------------------- x263
+  // Decision stump (CART's first node, Breiman et al. 1984): the best
+  // single threshold split of DOCUMENT LENGTH for predicting lang=en by
+  // exact Gini impurity decrease — the baseline every learned quality
+  // classifier (x80) must beat, and the interpretable rule ("docs ≥ t
+  // tokens are mostly English") an operator can read off directly.
+  // Split "left = score ≥ t" reuses the descending confusion windows;
+  // per-side weighted impurities are micro-quantized integers
+  // (1e6·(m² − pos² − neg²) div (m·n), the x235 per-term discipline), and
+  // the argmin is by the quantized metric itself with a smallest-
+  // threshold tie-break — cross-engine argmax agreement structural, like
+  // x253. n² products ride DECIMAL(38,0)/HUGEINT.
+  //
+  // Scale shape: one fact aggregate to the ≤|length-domain| grid,
+  // domain-sized windows, one TakeOrdered(1).
+  private val x263 = GQuery(
+    "x263_decision_stump", "ext-text decision-stump gini-split",
+    (s, dir) => {
+      val byScore = scoreCounts(docs(s, dir),
+        size(split(col("text"), " ")).cast("long"))
+      confusionByThreshold(byScore)
+        .withColumn("ml", col("tp") + col("fp"))
+        .withColumn("mr", col("p") + col("nn") - col("ml"))
+        .where(col("mr") > 0) // a split needs a non-empty right side
+        .withColumn("nn_tot", col("p") + col("nn"))
+        .withColumn("gini_split_micro", expr(
+          """cast((1000000 * (cast(ml as decimal(38,0)) * ml
+                - cast(tp as decimal(38,0)) * tp
+                - cast(ml - tp as decimal(38,0)) * (ml - tp)))
+              div (cast(ml as decimal(38,0)) * nn_tot) as bigint)
+            + cast((1000000 * (cast(mr as decimal(38,0)) * mr
+                - cast(p - tp as decimal(38,0)) * (p - tp)
+                - cast(mr - p + tp as decimal(38,0)) * (mr - p + tp)))
+              div (cast(mr as decimal(38,0)) * nn_tot) as bigint)"""))
+        .withColumn("gini_parent_micro", expr(
+          """cast((1000000 * (cast(nn_tot as decimal(38,0)) * nn_tot
+                - cast(p as decimal(38,0)) * p
+                - cast(nn as decimal(38,0)) * nn))
+              div (cast(nn_tot as decimal(38,0)) * nn_tot) as bigint)"""))
+        .orderBy(col("gini_split_micro"), col("score"))
+        .limit(1)
+        .select(col("score").as("threshold"),
+          col("ml").as("n_left"), col("tp").as("pos_left"),
+          col("mr").as("n_right"), (col("p") - col("tp")).as("pos_right"),
+          col("gini_parent_micro"), col("gini_split_micro"),
+          (col("gini_parent_micro") - col("gini_split_micro"))
+            .as("gain_micro"))
+    },
+    Some("""WITH sc AS (
+              SELECT (lang = 'en') AS pos,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+              FROM documents),
+            bys AS (
+              SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM sc GROUP BY 1),
+            g AS (
+              SELECT score,
+                CAST(SUM(np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(SUM(n) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ml,
+                CAST(SUM(np) OVER () AS BIGINT) AS p,
+                CAST(SUM(n) OVER () AS BIGINT) AS nn_tot
+              FROM bys),
+            e AS (
+              SELECT score, ml, tp, nn_tot - ml AS mr, p,
+                nn_tot, nn_tot - p AS nn
+              FROM g WHERE nn_tot - ml > 0),
+            sp AS (
+              SELECT score, ml, tp, mr, p, nn_tot,
+                CAST((1000000 * (CAST(ml AS HUGEINT) * ml
+                    - CAST(tp AS HUGEINT) * tp
+                    - CAST(ml - tp AS HUGEINT) * (ml - tp)))
+                  // (CAST(ml AS HUGEINT) * nn_tot) AS BIGINT)
+                + CAST((1000000 * (CAST(mr AS HUGEINT) * mr
+                    - CAST(p - tp AS HUGEINT) * (p - tp)
+                    - CAST(mr - p + tp AS HUGEINT) * (mr - p + tp)))
+                  // (CAST(mr AS HUGEINT) * nn_tot) AS BIGINT)
+                  AS gini_split_micro,
+                CAST((1000000 * (CAST(nn_tot AS HUGEINT) * nn_tot
+                    - CAST(p AS HUGEINT) * p
+                    - CAST(nn_tot - p AS HUGEINT) * (nn_tot - p)))
+                  // (CAST(nn_tot AS HUGEINT) * nn_tot) AS BIGINT)
+                  AS gini_parent_micro
+              FROM e)
+            SELECT score AS threshold, ml AS n_left, tp AS pos_left,
+              mr AS n_right, p - tp AS pos_right,
+              gini_parent_micro, gini_split_micro,
+              gini_parent_micro - gini_split_micro AS gain_micro
+            FROM sp ORDER BY gini_split_micro, score LIMIT 1"""))
+
   // ------------------------------------------------------------------- x257
   // Capture–recapture corpus-size estimation (Chapman's nearly-unbiased
   // estimator, 1951): two INDEPENDENT deterministic hash samples (md5
@@ -2212,5 +2313,5 @@ object CorpusOps {
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
       x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
-      x257, x259)
+      x257, x259, x263)
 }

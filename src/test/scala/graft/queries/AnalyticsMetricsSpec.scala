@@ -457,6 +457,36 @@ class AnalyticsMetricsSpec extends SparkSpec {
     assert(runs <= n1 + n2)
   }
 
+  test("x263 stump is the argmin of exact quantized split impurity") {
+    val pts = Tables(spark, sf001, "documents")
+      .select(col("lang") === "en",
+        size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val n = BigInt(pts.length)
+    val p = BigInt(pts.count(_._1))
+    def giniSide(m: BigInt, pos: BigInt): BigInt =
+      if (m == 0) BigInt(0)
+      else (BigInt(1000000) * (m * m - pos * pos - (m - pos) * (m - pos))) /
+        (m * n)
+    val candidates = pts.map(_._2).distinct.sorted.reverse.flatMap { t =>
+      val left = pts.filter(_._2 >= t)
+      val (ml, posL) = (BigInt(left.length), BigInt(left.count(_._1)))
+      val mr = n - ml
+      if (mr > 0)
+        Some((t, (giniSide(ml, posL) + giniSide(mr, p - posL)).toLong))
+      else None
+    }
+    val best = candidates.sortBy { case (t, g) => (g, t) }.head
+    val r = SparkEntry.queries("x263_decision_stump")(spark, sf001).head()
+    assert(r.getAs[Long]("threshold") == best._1)
+    assert(r.getAs[Long]("gini_split_micro") == best._2)
+    // a split never increases impurity under the exact (unquantized)
+    // metric; with per-term micro truncation the gain can dip below zero
+    // by at most 2 quantization units
+    assert(r.getAs[Long]("gain_micro") >= -2L)
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == n.toLong)
+  }
+
   test("x226 boustrophedon packing: covers the corpus, imbalance <= max doc size") {
     // serpentine dealing of descending sizes bounds the token-mass spread
     // across shards by the largest single document — the greedy guarantee
