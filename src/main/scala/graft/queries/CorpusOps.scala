@@ -2309,9 +2309,281 @@ object CorpusOps {
                 * 1000000, 0) AS BIGINT) AS cramers_v_micro
             FROM x, dims"""))
 
+  // ------------------------------------------------------------------- x264
+  // Precision–recall curve — the companion x251 (ROC) cannot replace
+  // under class imbalance: with 10⁴:1 negative skew (the regime of every
+  // web-corpus quality filter) FPR stays near zero for ANY cutoff while
+  // precision collapses, so the PR curve is what a curation-threshold
+  // decision actually reads (Davis & Goadrich 2006). Same signal, same
+  // labeling, same descending-threshold confusion counts as x219/x251/
+  // x253 — one more read of the shared substrate, so the family cannot
+  // drift. tp+fp ≥ 1 at every emitted threshold by construction (the
+  // row's own score bucket is included), so the divisions are total.
+  //
+  // Scale shape: x251's — one fact aggregate to the ≤1001-value score
+  // domain, domain-sized descending windows, no fact-sized sort.
+  private val x264 = GQuery(
+    "x264_pr_curve", "ext-text quality-signal pr-curve thresholds",
+    (s, dir) => {
+      confusionByThreshold(ttrScoreCounts(docs(s, dir)))
+        .select(col("score").as("threshold"), col("tp"), col("fp"),
+          expr("(1000 * tp) div (tp + fp)").as("precision_milli"),
+          expr("(1000 * tp) div p").as("recall_milli"))
+        .orderBy(col("threshold").desc)
+    },
+    Some("""WITH sc AS (
+              SELECT (lang = 'en') AS pos,
+                (1000 * len(list_distinct(string_split(text, ' '))))
+                  // len(string_split(text, ' ')) AS score
+              FROM documents),
+            bys AS (
+              SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM sc GROUP BY 1),
+            g AS (
+              SELECT score,
+                CAST(SUM(np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(SUM(n - np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS fp,
+                CAST(SUM(np) OVER () AS BIGINT) AS p
+              FROM bys)
+            SELECT score AS threshold, tp, fp,
+              (1000 * tp) // (tp + fp) AS precision_milli,
+              (1000 * tp) // p AS recall_milli
+            FROM g ORDER BY threshold DESC"""))
+
+  // ------------------------------------------------------------------- x265
+  // Average precision — the SCALAR of x264's curve, as x219's AUC is the
+  // scalar of x251's: the step-interpolated AP = Σₜ Δrecallₜ·precisionₜ
+  // ranking metric every retrieval/filter comparison tabulates. Clearing
+  // the recall denominator gives AP = (Σₜ Δtpₜ·precₜ)/p with Δtp the
+  // positives gained at threshold t, so quantizing precision to micros
+  // FIRST (integer div, identical in both engines) makes the whole sum —
+  // and the final division by p — exact integers: cross-engine agreement
+  // is structural, not numerical luck (the x253 argmax discipline applied
+  // to a sum).
+  //
+  // Scale shape: x264's domain windows + one 1-row rollup.
+  private val x265 = GQuery(
+    "x265_average_precision", "ext-text quality-signal average-precision",
+    (s, dir) => {
+      val desc = Window.orderBy(col("score").desc)
+      confusionByThreshold(ttrScoreCounts(docs(s, dir)))
+        .withColumn("dtp",
+          col("tp") - coalesce(lag(col("tp"), 1).over(desc), lit(0L)))
+        .withColumn("prec_micro",
+          expr("(1000000 * tp) div (tp + fp)"))
+        .agg(first(col("p")).as("n_pos"),
+          sum(col("dtp") * col("prec_micro")).as("mass"))
+        .select(col("n_pos"),
+          expr("mass div n_pos").as("ap_micro"))
+    },
+    Some("""WITH sc AS (
+              SELECT (lang = 'en') AS pos,
+                (1000 * len(list_distinct(string_split(text, ' '))))
+                  // len(string_split(text, ' ')) AS score
+              FROM documents),
+            bys AS (
+              SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM sc GROUP BY 1),
+            g AS (
+              SELECT score,
+                CAST(SUM(np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(SUM(n - np) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS fp,
+                CAST(SUM(np) OVER () AS BIGINT) AS p
+              FROM bys),
+            d AS (
+              SELECT p, tp - COALESCE(LAG(tp) OVER (ORDER BY score DESC), 0)
+                  AS dtp,
+                (1000000 * tp) // (tp + fp) AS prec_micro
+              FROM g),
+            m AS (
+              SELECT CAST(MAX(p) AS BIGINT) AS n_pos,
+                CAST(SUM(dtp * prec_micro) AS BIGINT) AS mass
+              FROM d)
+            SELECT n_pos, mass // n_pos AS ap_micro FROM m"""))
+
+  // ------------------------------------------------------------------- x266
+  // Calibration table + expected calibration error (ECE, Naeini et al.
+  // 2015) — x219/x264 grade how the signal RANKS; this grades whether its
+  // VALUE means what it says: treating the milli-scaled TTR score as a
+  // predicted probability of lang=en, bin into 10 fixed-width bins and
+  // compare each bin's mean predicted milli against its empirical
+  // positive rate. ECE = Σ nᵦ·|gap|/N is the number a scorer has to beat
+  // before its raw scores may gate anything (an uncalibrated score needs
+  // x97's quantile calibration first — this measures how much). All
+  // integer: per-bin means and rates quantize by integer division before
+  // the weighted rollup, so both engines sum identical integers.
+  //
+  // Scale shape: one map-side-combinable 10-bin aggregate over the fact
+  // scan; the ECE constant rides a 10-row window — nothing fact-sized
+  // moves.
+  private val x266 = GQuery(
+    "x266_calibration_ece", "ext-text quality-signal calibration-ece",
+    (s, dir) => {
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      docs(s, dir)
+        .select((col("lang") === "en").as("pos"),
+          expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+            "div size(split(text, ' '))").as("score"))
+        .groupBy(expr("least(score div 100, 9)").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("ssum"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+        .withColumn("mean_pred_milli", expr("ssum div n"))
+        .withColumn("emp_milli", expr("(1000 * np) div n"))
+        .withColumn("gap_milli", col("mean_pred_milli") - col("emp_milli"))
+        .withColumn("wnum", sum(col("n") * abs(col("gap_milli"))).over(all))
+        .withColumn("wden", sum(col("n")).over(all))
+        .withColumn("ece_milli", expr("wnum div wden"))
+        .select(col("bin"), col("n"), col("mean_pred_milli"),
+          col("emp_milli"), col("gap_milli"), col("ece_milli"))
+        .orderBy("bin")
+    },
+    Some("""WITH sc AS (
+              SELECT (lang = 'en') AS pos,
+                (1000 * len(list_distinct(string_split(text, ' '))))
+                  // len(string_split(text, ' ')) AS score
+              FROM documents),
+            b AS (
+              SELECT least(score // 100, 9) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(score) AS BIGINT) AS ssum,
+                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM sc GROUP BY 1),
+            g AS (
+              SELECT bin, n, ssum // n AS mean_pred_milli,
+                (1000 * np) // n AS emp_milli
+              FROM b)
+            SELECT bin, n, mean_pred_milli, emp_milli,
+              mean_pred_milli - emp_milli AS gap_milli,
+              CAST(SUM(n * abs(mean_pred_milli - emp_milli)) OVER ()
+                // SUM(n) OVER () AS BIGINT) AS ece_milli
+            FROM g ORDER BY bin"""))
+
+  // ------------------------------------------------------------------- x267
+  // Fleiss' kappa (1971) — x222's two-rater agreement generalized to the
+  // panel: THREE independent binary quality raters (lexical diversity,
+  // document length, mean bytes-per-token) judge every document, and the
+  // chance-corrected panel agreement is the go/no-go before an ensemble
+  // filter ships (raters that agree no better than chance measure
+  // different things; near-1 means the panel is redundant). For n=3
+  // raters / 2 categories only the per-document positive-vote count
+  // c ∈ {0..3} matters: Pᵢ = (2c²−6c+6)/6, and clearing every
+  // denominator gives κ_micro = 10⁶·(3N·S − 2·(T² + (3N−T)²)) div
+  // (18N² − 2·(T² + (3N−T)²)) with S = Σ(2c²−6c+6), T = Σc — exact
+  // integers end to end; N² rides DECIMAL(38,0)/HUGEINT (good to
+  // N ≈ 10¹⁸ documents).
+  //
+  // Scale shape: one map-side-combinable 3-counter aggregate over the
+  // fact scan; nothing else moves.
+  private val x267 = GQuery(
+    "x267_fleiss_kappa", "ext-text rater-agreement fleiss-kappa",
+    (s, dir) => {
+      val votes = docs(s, dir).select(
+        (when(expr("(1000 * size(array_distinct(split(text, ' ')))) " +
+            "div size(split(text, ' '))") >= 500L, 1L).otherwise(0L)
+          + when(size(split(col("text"), " ")) >= 55, 1L).otherwise(0L)
+          + when(expr("n_chars div size(split(text, ' '))") >= 5L, 1L)
+            .otherwise(0L)).as("c"))
+      votes
+        .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("t"),
+          sum(lit(2L) * col("c") * col("c") - lit(6L) * col("c") + lit(6L))
+            .as("s"))
+        .select(col("n_docs"), col("t"), col("s"),
+          expr("""cast((1000000 * (3 * cast(n_docs as decimal(38,0)) * s
+                - 2 * (cast(t as decimal(38,0)) * t
+                  + cast(3 * n_docs - t as decimal(38,0))
+                    * (3 * n_docs - t))))
+              div (18 * cast(n_docs as decimal(38,0)) * n_docs
+                - 2 * (cast(t as decimal(38,0)) * t
+                  + cast(3 * n_docs - t as decimal(38,0))
+                    * (3 * n_docs - t))) as bigint)""").as("kappa_micro"))
+    },
+    Some("""WITH votes AS (
+              SELECT
+                (CASE WHEN (1000 * len(list_distinct(string_split(text, ' '))))
+                    // len(string_split(text, ' ')) >= 500
+                  THEN 1 ELSE 0 END
+                + CASE WHEN len(string_split(text, ' ')) >= 55
+                  THEN 1 ELSE 0 END
+                + CASE WHEN n_chars // len(string_split(text, ' ')) >= 5
+                  THEN 1 ELSE 0 END) AS c
+              FROM documents),
+            m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(c) AS BIGINT) AS t,
+                CAST(SUM(2 * c * c - 6 * c + 6) AS BIGINT) AS s
+              FROM votes)
+            SELECT n_docs, t, s,
+              CAST((1000000 * (3 * CAST(n_docs AS HUGEINT) * s
+                  - 2 * (CAST(t AS HUGEINT) * t
+                    + CAST(3 * n_docs - t AS HUGEINT) * (3 * n_docs - t))))
+                // (18 * CAST(n_docs AS HUGEINT) * n_docs
+                  - 2 * (CAST(t AS HUGEINT) * t
+                    + CAST(3 * n_docs - t AS HUGEINT) * (3 * n_docs - t)))
+                AS BIGINT) AS kappa_micro
+            FROM m"""))
+
+  // ------------------------------------------------------------------- x275
+  // Distinct l-diversity census (Machanavajjhala et al. 2007) — the audit
+  // k-anonymity (x223) provably cannot cover: a group of 50 documents is
+  // 50-anonymous yet leaks its sensitive attribute completely if all 50
+  // share one value (the homogeneity attack). Quasi-identifier here is
+  // (lang, length-bucket) with `source` as the sensitive attribute: per
+  // QI group, l = COUNT(DISTINCT source), banded like x223 so the l=1
+  // band is the release blocker and min_l is the headline number every
+  // row carries. Pure integer group-bys.
+  //
+  // Scale shape: one (QI, sensitive) aggregate (map-side combinable),
+  // one QI-grained distinct rollup, one band aggregate over the GROUP
+  // table; the fact table is touched once. The min_l constant rides a
+  // band-domain window.
+  private val x275 = GQuery(
+    "x275_l_diversity", "ext-docs privacy l-diversity census",
+    (s, dir) => {
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val groups = docs(s, dir)
+        .groupBy(col("lang"), expr("n_chars div 100").as("len_bucket"),
+          col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lang"), col("len_bucket"))
+        .agg(countDistinct(col("source")).as("l"), sum(col("cnt")).as("k"))
+      groups
+        .groupBy(when(col("l") === 1L, "1").when(col("l") <= 2L, "2")
+          .when(col("l") <= 4L, "3-4").otherwise("5+").as("l_band"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_docs"),
+          min(col("l")).as("band_min_l"))
+        .withColumn("min_l", min(col("band_min_l")).over(all))
+        .drop("band_min_l")
+        .orderBy("l_band")
+    },
+    Some("""WITH g AS (
+              SELECT lang, n_chars // 100 AS len_bucket,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS l,
+                CAST(COUNT(*) AS BIGINT) AS k
+              FROM documents GROUP BY 1, 2),
+            b AS (
+              SELECT CASE WHEN l = 1 THEN '1' WHEN l <= 2 THEN '2'
+                WHEN l <= 4 THEN '3-4' ELSE '5+' END AS l_band, l, k
+              FROM g)
+            SELECT l_band, CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(k) AS BIGINT) AS n_docs,
+              CAST(MIN(MIN(l)) OVER () AS BIGINT) AS min_l
+            FROM b GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
       x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
-      x257, x259, x263)
+      x257, x259, x263, x264, x265, x266, x267, x275)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -3401,9 +3402,233 @@ object Events {
                 AS expected_runs_milli
             FROM m"""))
 
+  // ------------------------------------------------------------------- x268
+  // Markov next-event backtest — x115 BUILDS the transition matrix; this
+  // grades it the only way that counts: train the first-order model on
+  // the first ¾ of the timeline (integer-micro split point, exact in
+  // both engines), predict each held-out transition as the train-side
+  // argmax (ties to the lexicographically smallest successor — the x253
+  // determinism discipline), and report per-source accuracy. The honest
+  // temporal split a sequence model demands — random splits leak future
+  // behavior backwards. A source first seen in test predicts '(none)'
+  // and scores zero, kept visible rather than dropped.
+  //
+  // Scale shape: one user-partitioned lag window over the fact scan (the
+  // x115 shape), then everything is |type|²-domain: train counts, argmax
+  // window, test counts, one broadcast-sized join. The 1-row split bound
+  // rides the registry's crossJoin(broadcast(bound)) idiom.
+  private val x268 = GQuery(
+    "x268_markov_backtest", "ext-events sequence-model temporal-backtest",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val bound = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select(expr("lo + ((hi - lo) * 3) div 4").as("split_us"))
+      val seq = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val pairs = e
+        .withColumn("src", lag(col("event_type"), 1).over(seq))
+        .where(col("src").isNotNull)
+        .crossJoin(broadcast(bound))
+        .select(col("src"), col("event_type").as("dst"),
+          (col("us") < col("split_us")).as("is_train"))
+      val train = pairs.where(col("is_train"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+      val arg = Window.partitionBy("src")
+        .orderBy(col("wt").desc, col("dst"))
+      val pred = train.withColumn("rn", row_number().over(arg))
+        .where(col("rn") === 1).select(col("src"), col("dst").as("predicted"))
+      pairs.where(!col("is_train"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .join(broadcast(pred), Seq("src"), "left")
+        .groupBy(col("src"),
+          coalesce(col("predicted"), lit("(none)")).as("predicted"))
+        .agg(sum(col("n")).as("n_test"),
+          sum(when(col("dst") === coalesce(col("predicted"), lit("(none)")),
+            col("n")).otherwise(0L)).as("n_correct"))
+        .select(col("src"), col("predicted"), col("n_test"), col("n_correct"),
+          expr("(1000 * n_correct) div n_test").as("acc_milli"))
+        .orderBy("src")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+              FROM events),
+            b AS (
+              SELECT MIN(us) + ((MAX(us) - MIN(us)) * 3) // 4 AS split_us
+              FROM e),
+            p AS (
+              SELECT event_type AS dst, us,
+                LAG(event_type) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id) AS src
+              FROM e),
+            pairs AS (
+              SELECT src, dst, us < b.split_us AS is_train
+              FROM p, b WHERE src IS NOT NULL),
+            train AS (
+              SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt
+              FROM pairs WHERE is_train GROUP BY 1, 2),
+            pred AS (
+              SELECT src, dst AS predicted FROM (
+                SELECT src, dst, ROW_NUMBER() OVER (
+                  PARTITION BY src ORDER BY wt DESC, dst) AS rn
+                FROM train) WHERE rn = 1),
+            test AS (
+              SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pairs WHERE NOT is_train GROUP BY 1, 2),
+            j AS (
+              SELECT t.src, COALESCE(pr.predicted, '(none)') AS predicted,
+                t.dst, t.n
+              FROM test t LEFT JOIN pred pr ON pr.src = t.src)
+            SELECT src, predicted, CAST(SUM(n) AS BIGINT) AS n_test,
+              CAST(SUM(CASE WHEN dst = predicted THEN n ELSE 0 END)
+                AS BIGINT) AS n_correct,
+              (1000 * CAST(SUM(CASE WHEN dst = predicted THEN n ELSE 0 END)
+                AS BIGINT)) // CAST(SUM(n) AS BIGINT) AS acc_milli
+            FROM j GROUP BY 1, 2 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x269
+  // Time-decay multi-touch attribution — x49 gives the conversion to ONE
+  // touch (first strict-order funnel); production marketing/feature
+  // attribution splits it across EVERY touch in the lookback window with
+  // exponentially decaying credit (half-life 1 day here): weight 1000
+  // div 2^age_days, normalized per conversion to micro shares, rolled up
+  // by touch type. Exact integers: the halving weights and the
+  // per-conversion share division are integer ops identical in both
+  // engines (truncation loss stays inside each conversion, deterministic).
+  //
+  // Scale shape: conversions join touches USER-KEYED with a 7-day range
+  // predicate — per-user-bounded fan-out, never a cartesian; one
+  // conversion-keyed window for the normalizer; one |type|-domain rollup.
+  private val x269 = GQuery(
+    "x269_timedecay_attribution", "ext-events attribution time-decay",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val conv = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("cus"),
+          col("event_id").as("conv_id"))
+      val touches = e.join(conv, Seq("user_id"))
+        .where(col("us") < col("cus")
+          && col("us") >= col("cus") - lit(7L * 86400000000L))
+        .withColumn("w",
+          expr("1000 div shiftleft(1, cast((cus - us) div 86400000000 as int))"))
+      val perConv = Window.partitionBy("conv_id")
+      touches
+        .withColumn("tot", sum(col("w")).over(perConv))
+        .withColumn("share_micro", expr("(w * 1000000) div tot"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("share_micro")).as("credit_micro"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+              FROM events),
+            conv AS (
+              SELECT user_id, us AS cus, event_id AS conv_id
+              FROM e WHERE event_type = 'purchase'),
+            touches AS (
+              SELECT t.event_type, c.conv_id,
+                1000 // (1 << CAST((c.cus - t.us) // 86400000000 AS INT))
+                  AS w
+              FROM e t JOIN conv c ON c.user_id = t.user_id
+              WHERE t.us < c.cus AND t.us >= c.cus - 7 * 86400000000),
+            sh AS (
+              SELECT event_type,
+                (w * 1000000) // SUM(w) OVER (PARTITION BY conv_id)
+                  AS share_micro
+              FROM touches)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+              CAST(SUM(share_micro) AS BIGINT) AS credit_micro
+            FROM sh GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x270
+  // Two-factor OLS — x208's single-regressor trend generalized to the
+  // first genuinely multivariate fit: daily volume ~ intercept + b·day
+  // index + c·weekend, solved EXACTLY by Cramer's rule over the 3×3
+  // normal equations (integer moment sums; each determinant is a
+  // products-of-sums polynomial, exact in BIGINT — day-domain n ≤ 10⁴
+  // keeps every term far below 2⁶³ even at 10¹² events/day). Separating
+  // the weekend dummy from the trend is the point: a naive x208 trend on
+  // weekday-seasonal data aliases the seasonality into slope; the
+  // two-factor fit reads them apart. Milli-quantized coefficients via
+  // one integer division per Cramer ratio — deterministic cross-engine.
+  //
+  // Scale shape: one fact aggregate to the day domain, one 9-moment
+  // rollup (map-side combinable), arithmetic on a single row.
+  private val x270 = GQuery(
+    "x270_two_factor_ols", "ext-events regression two-factor-ols",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val minDay = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      daily
+        .withColumn("t", datediff(col("day"), min(col("day")).over(minDay))
+          .cast("long"))
+        .withColumn("w",
+          when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+          sum(col("w")).as("sw"), sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("w")).as("stw"),
+          sum(col("w") * col("w")).as("sww"), sum(col("y")).as("sy"),
+          sum(col("t") * col("y")).as("sty"),
+          sum(col("w") * col("y")).as("swy"))
+        .select(col("n"),
+          expr("""n * (stt * sww - stw * stw) - st * (st * sww - stw * sw)
+               + sw * (st * stw - stt * sw)""").as("det"),
+          expr("""sy * (stt * sww - stw * stw) - st * (sty * sww - stw * swy)
+               + sw * (sty * stw - stt * swy)""").as("det_a"),
+          expr("""n * (sty * sww - stw * swy) - sy * (st * sww - stw * sw)
+               + sw * (st * swy - sty * sw)""").as("det_b"),
+          expr("""n * (stt * swy - sty * stw) - st * (st * swy - sty * sw)
+               + sy * (st * stw - stt * sw)""").as("det_c"))
+        .select(col("n").as("n_days"),
+          expr("(1000 * det_a) div det").as("intercept_milli"),
+          expr("(1000 * det_b) div det").as("slope_milli"),
+          expr("(1000 * det_c) div det").as("weekend_milli"))
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            f AS (
+              SELECT CAST(datediff('day', MIN(day) OVER (), day) AS BIGINT)
+                  AS t,
+                CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END AS w,
+                y
+              FROM daily),
+            m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(w) AS BIGINT) AS sw,
+                CAST(SUM(t * t) AS BIGINT) AS stt,
+                CAST(SUM(t * w) AS BIGINT) AS stw,
+                CAST(SUM(w * w) AS BIGINT) AS sww,
+                CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(t * y) AS BIGINT) AS sty,
+                CAST(SUM(w * y) AS BIGINT) AS swy
+              FROM f),
+            d AS (
+              SELECT n,
+                n * (stt * sww - stw * stw) - st * (st * sww - stw * sw)
+                  + sw * (st * stw - stt * sw) AS det,
+                sy * (stt * sww - stw * stw) - st * (sty * sww - stw * swy)
+                  + sw * (sty * stw - stt * swy) AS det_a,
+                n * (sty * sww - stw * swy) - sy * (st * sww - stw * sw)
+                  + sw * (st * swy - sty * sw) AS det_b,
+                n * (stt * swy - sty * stw) - st * (st * swy - sty * sw)
+                  + sy * (st * stw - stt * sw) AS det_c
+              FROM m)
+            SELECT n AS n_days,
+              (1000 * det_a) // det AS intercept_milli,
+              (1000 * det_b) // det AS slope_milli,
+              (1000 * det_c) // det AS weekend_milli
+            FROM d"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
-    x206, x208, x211, x213, x214, x218, x228, x249, x250, x252, x262)
+    x206, x208, x211, x213, x214, x218, x228, x249, x250, x252, x262,
+    x268, x269, x270)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the order co-purchase graph — the relational
@@ -1626,7 +1627,81 @@ object Graph {
             LEFT JOIN carry b ON b.y_from = y1.y
             ORDER BY y_from"""))
 
+  // ------------------------------------------------------------------- x272
+  // Item-item recommendation serving (Sarwar et al. 2001 / Linden et al.
+  // 2003 item-to-item CF) — the read the co-purchase graph exists FOR:
+  // each part's top-3 "customers also bought" neighbors, ranked by
+  // squared-cosine affinity sim²·10⁶ = 10⁶·w² div (supp_i·supp_j) over
+  // order support. Squaring clears the √(supp·supp) denominator, so the
+  // ranking metric is an exact integer — rank-equivalent to cosine
+  // (both sides positive), the x253 structural-argmax discipline.
+  // Served entirely from STORED artifacts (weighted edges + support):
+  // the recommender never touches the fact table at query time.
+  //
+  // Scale shape: symmetrize the edge artifact, one node-keyed support
+  // join each side (support is node-sized — broadcastable at dim scale),
+  // one PARTITIONED top-3 window on the same item keying. No fact scan,
+  // no cartesian: fan-out is the co-purchase adjacency itself.
+  private[queries] def storedSupport(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.StoredArtifacts.dir(dir, "copurchase_support_v1")
+    if (!graft.StoredArtifacts.ready(store))
+      lineitem(s, dir).groupBy(col("l_partkey").as("node"))
+        .agg(countDistinct(col("l_orderkey")).as("supp"))
+        .write.mode("overwrite").parquet(store)
+    s.read.parquet(store)
+  }
+
+  private val x272 = GQuery(
+    "x272_item_item_recs", "ext-graph recommendation item-item-cf",
+    (s, dir) => {
+      val we = storedWeightedEdges(s, dir)
+      val sym = we.select(col("pa").as("item"), col("pb").as("nb"), col("w"))
+        .unionAll(we.select(col("pb").as("item"), col("pa").as("nb"), col("w")))
+      val supp = storedSupport(s, dir)
+      val scored = sym
+        .join(broadcast(supp.select(col("node").as("item"),
+          col("supp").as("supp_i"))), "item")
+        .join(broadcast(supp.select(col("node").as("nb"),
+          col("supp").as("supp_j"))), "nb")
+        .withColumn("sim_micro",
+          expr("(1000000 * w * w) div (supp_i * supp_j)"))
+      val rank = Window.partitionBy("item")
+        .orderBy(col("sim_micro").desc, col("nb"))
+      scored.withColumn("rn", row_number().over(rank).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("item"), col("rn"), col("nb"), col("w"), col("sim_micro"))
+        .orderBy("item", "rn")
+    },
+    Some("""WITH pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS w
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+            sym AS (
+              SELECT pa AS item, pb AS nb, w FROM pairs
+              UNION ALL
+              SELECT pb AS item, pa AS nb, w FROM pairs),
+            supp AS (
+              SELECT l_partkey AS node,
+                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS supp
+              FROM lineitem GROUP BY 1),
+            scored AS (
+              SELECT s.item, s.nb, s.w,
+                (1000000 * s.w * s.w) // (si.supp * sj.supp) AS sim_micro
+              FROM sym s
+              JOIN supp si ON si.node = s.item
+              JOIN supp sj ON sj.node = s.nb),
+            ranked AS (
+              SELECT item, nb, w, sim_micro,
+                CAST(ROW_NUMBER() OVER (PARTITION BY item
+                  ORDER BY sim_micro DESC, nb) AS BIGINT) AS rn
+              FROM scored)
+            SELECT item, rn, nb, w, sim_micro
+            FROM ranked WHERE rn <= 3 ORDER BY item, rn"""))
+
   val queries: Seq[GQuery] =
     Seq(x123, x124, x126, x129, x130, x131, x133, x139, x168, x215, x217,
-      x238, x242, x243, x254, x255, x256)
+      x238, x242, x243, x254, x255, x256, x272)
 }

@@ -4,6 +4,7 @@ import graft.{GQuery, StoredArtifacts, Tables}
 import graft.functions.ZOrder
 import graft.plans.SummaryRewrite
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1104,7 +1105,157 @@ object Lakehouse {
             FROM documents WHERE doc_id % 10 <> 0
             GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x273
+  // Sort-key advisor — x140 lays the table out once a key is CHOSEN; this
+  // chooses it: for each candidate sort key, the exact number of
+  // 32-equal-file spans each distinct value would touch if the table were
+  // range-sorted by that key (the clustering-factor metric behind every
+  // warehouse CLUSTER BY advisor). In a sorted layout equal values are
+  // contiguous, so files-per-value follows from the value's cumulative
+  // [start,end] row span alone: file(r) = (r−1)·32 div N — the whole
+  // metric computes on the VALUE DOMAIN with a domain cumsum, the table
+  // itself is never sorted (the x214 "facts never sort" discipline; the
+  // sort this advises on happens once at write time, after the choice).
+  // Lowest avg files/value wins; the first output row is the
+  // recommendation. Exact integers end to end.
+  //
+  // Scale shape: one groupBy per candidate (map-side combinable) to its
+  // value domain, domain-sized cumsum windows, four 1-row summaries
+  // unioned.
+  private def sortKeySpan(li: DataFrame, name: String,
+      key: Column): DataFrame = {
+    val w = Window.orderBy(col("k"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    li.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+      .withColumn("end", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_tot", sum(col("cnt")).over(all))
+      .withColumn("ft", expr("((end - 1) * 32) div n_tot " +
+        "- ((end - cnt) * 32) div n_tot + 1"))
+      .agg(count(lit(1)).as("ndv"), sum(col("ft")).as("files_sum"))
+      .select(lit(name).as("candidate"), col("ndv"), col("files_sum"),
+        expr("(1000 * files_sum) div ndv").as("avg_files_milli"))
+  }
+
+  private def sortKeyOracleCte(name: String, keySql: String): String =
+    s"""${name}_g AS (
+         SELECT $keySql AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY 1),
+       ${name}_c AS (
+         SELECT cnt,
+           CAST(SUM(cnt) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS e,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n_tot
+         FROM ${name}_g),
+       ${name}_s AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS ndv,
+           CAST(SUM(((e - 1) * 32) // n_tot
+             - ((e - cnt) * 32) // n_tot + 1) AS BIGINT) AS files_sum
+         FROM ${name}_c)"""
+
+  private val x273 = GQuery(
+    "x273_sort_key_advisor", "ext-lakehouse layout-advisor sort-key",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      sortKeySpan(li, "l_partkey", col("l_partkey"))
+        .unionAll(sortKeySpan(li, "l_returnflag", col("l_returnflag")))
+        .unionAll(sortKeySpan(li, "l_shipdate",
+          date_trunc("day", col("l_shipdate")).cast("date")))
+        .unionAll(sortKeySpan(li, "l_suppkey", col("l_suppkey")))
+        .orderBy(col("avg_files_milli"), col("candidate"))
+    },
+    Some(s"""WITH ${sortKeyOracleCte("pk", "l_partkey")},
+            ${sortKeyOracleCte("rf", "l_returnflag")},
+            ${sortKeyOracleCte("sd",
+              "CAST(date_trunc('day', l_shipdate) AS DATE)")},
+            ${sortKeyOracleCte("sk", "l_suppkey")},
+            u AS (
+              SELECT 'l_partkey' AS candidate, ndv, files_sum FROM pk_s
+              UNION ALL
+              SELECT 'l_returnflag', ndv, files_sum FROM rf_s
+              UNION ALL
+              SELECT 'l_shipdate', ndv, files_sum FROM sd_s
+              UNION ALL
+              SELECT 'l_suppkey', ndv, files_sum FROM sk_s)
+            SELECT candidate, ndv, files_sum,
+              (1000 * files_sum) // ndv AS avg_files_milli
+            FROM u ORDER BY avg_files_milli, candidate"""))
+
+  // ------------------------------------------------------------------- x274
+  // Column-encoding advisor — the other half of the layout decision x273
+  // starts: per column, exact byte accounting of PLAIN (every value
+  // spelled out) vs DICTIONARY (each distinct value once + a fixed-width
+  // code per row, width by dictionary size: ≤2⁸→1, ≤2¹⁶→2, else 4) over
+  // the column's string rendering, and the cheaper one recommended —
+  // the parquet-writer heuristic surfaced as a queryable audit so an
+  // operator can see WHY a column's files are large before forcing an
+  // encoding. Integer bytes end to end.
+  //
+  // Scale shape: one value-domain aggregate per column (map-side
+  // combinable — the domain carries (value, count)), one domain rollup
+  // each, four 1-row summaries unioned; the fact table is scanned once
+  // per column with only that column read (column pruning does the rest).
+  // The value length is materialized in the domain-level aggregate (not
+  // referenced from the outer rollup): for columns that are already
+  // strings the `cast(string).as(v)` projection is alias-only, and
+  // letting the outer aggregate reference `v` through it trips Spark's
+  // project-collapsing into ATTRIBUTE_NOT_FOUND (seen on sf0.01).
+  private def encodingStats(ev: DataFrame, name: String): DataFrame =
+    ev.select(col(name).cast("string").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"),
+        max(length(col("v"))).cast("long").as("len"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"),
+        sum(col("cnt") * col("len")).as("plain_bytes"),
+        sum(col("len")).as("lit_bytes"))
+      .select(lit(name).as("column_name"), col("n"), col("ndv"),
+        col("plain_bytes"),
+        expr("""lit_bytes + n * (case when ndv <= 256 then 1
+             when ndv <= 65536 then 2 else 4 end)""").as("dict_bytes"))
+      .withColumn("encoding",
+        when(col("dict_bytes") < col("plain_bytes"), "dict")
+          .otherwise("plain"))
+
+  private def encOracleCte(name: String): String =
+    s"""${name}_g AS (
+         SELECT CAST($name AS VARCHAR) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1),
+       ${name}_s AS (
+         SELECT '$name' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS ndv,
+           CAST(SUM(cnt * length(v)) AS BIGINT) AS plain_bytes,
+           CAST(SUM(length(v)) AS BIGINT) AS lit_bytes
+         FROM ${name}_g)"""
+
+  private val x274 = GQuery(
+    "x274_encoding_advisor", "ext-lakehouse layout-advisor encoding",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      encodingStats(ev, "event_id")
+        .unionAll(encodingStats(ev, "event_type"))
+        .unionAll(encodingStats(ev, "props"))
+        .unionAll(encodingStats(ev, "user_id"))
+        .orderBy("column_name")
+    },
+    Some(s"""WITH ${encOracleCte("event_id")},
+            ${encOracleCte("event_type")},
+            ${encOracleCte("props")},
+            ${encOracleCte("user_id")},
+            u AS (
+              SELECT * FROM event_id_s
+              UNION ALL SELECT * FROM event_type_s
+              UNION ALL SELECT * FROM props_s
+              UNION ALL SELECT * FROM user_id_s)
+            SELECT column_name, n, ndv, plain_bytes,
+              lit_bytes + n * (CASE WHEN ndv <= 256 THEN 1
+                WHEN ndv <= 65536 THEN 2 ELSE 4 END) AS dict_bytes,
+              CASE WHEN lit_bytes + n * (CASE WHEN ndv <= 256 THEN 1
+                  WHEN ndv <= 65536 THEN 2 ELSE 4 END) < plain_bytes
+                THEN 'dict' ELSE 'plain' END AS encoding
+            FROM u ORDER BY column_name"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190, x199, x205, x229)
+      x185, x190, x199, x205, x229, x273, x274)
 }

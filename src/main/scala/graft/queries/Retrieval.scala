@@ -527,5 +527,95 @@ object Retrieval {
             CROSS JOIN types t
             WHERE p.c >= 10 ORDER BY p.w1, p.w2"""))
 
-  val queries: Seq[GQuery] = Seq(x45, x46, x47, x58, x59, x83, x99, x112, x144)
+  // ------------------------------------------------------------------- x271
+  // Reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke & Büttcher
+  // 2009) — the standard way production search combines a LEXICAL run
+  // and a SEMANTIC run without score calibration: each list contributes
+  // 1/(60 + rank) and only RANKS cross the fusion boundary, so the
+  // incomparable score scales (BM25 floats vs integer L2 distances)
+  // never meet. Run A: x46's BM25 top-20 (the same bm25Rank code path).
+  // Run B: exact top-20 nearest embeddings to a fixed query vector
+  // (vec_id 0) in milli-quantized integer squared-L2 — the x170
+  // discipline, so the ranks are engine-exact. The corpora deliberately
+  // overlap only partially (the semantic index covers the embedded
+  // subset) — RRF's absent-list handling is the point. Contributions
+  // quantize to micros BEFORE summing (integer div both engines), so
+  // the fused order is structural.
+  //
+  // Scale shape: each run is its own already-bounded top-k (BM25: df
+  // broadcast + TakeOrdered; ANN: 1-row aggregate query bound fanned on
+  // the corpus scan — the x06 serving shape, here behind a provable
+  // 1-row aggregate so the audit sees the bound); fusion joins two
+  // 20-row lists.
+  private val x271 = GQuery(
+    "x271_rrf_hybrid", "ext-text retrieval-fusion rrf hybrid",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(tokens).as("token"))
+        .where(col("token").isin(QTerms: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val lex = bm25Rank(d, tf)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("lex_rank"))
+      val base = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> round(cast(x as double) * 1000))")
+          .as("mi"))
+      val qv = base
+        .agg(first(when(col("vec_id") === 0L, col("mi")), ignoreNulls = true)
+          .as("qv"))
+      val sem = base.crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          graft.functions.VectorOps.sqDist(col("mi"), col("qv")).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(20)
+        .select(col("vec_id").as("doc_id"), row_number().over(
+          Window.orderBy(col("d2"), col("vec_id"))).cast("long")
+          .as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+        .withColumn("rrf_micro", expr(
+          """case when lex_rank > 0 then 1000000 div (60 + lex_rank)
+               else 0 end
+             + case when sem_rank > 0 then 1000000 div (60 + sem_rank)
+               else 0 end"""))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+    },
+    Some(s"""WITH lexq AS (SELECT * FROM ($Bm25OracleSql)),
+            lex AS (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id) AS lex_rank
+              FROM lexq),
+            e AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS mi
+              FROM embeddings),
+            qv AS (SELECT mi AS qv FROM e WHERE vec_id = 0),
+            dist AS (
+              SELECT vec_id,
+                list_dot_product(mi, mi) + list_dot_product(qv, qv)
+                  - 2 * list_dot_product(mi, qv) AS d2
+              FROM e, qv),
+            semt AS (
+              SELECT vec_id FROM dist ORDER BY d2, vec_id LIMIT 20),
+            sem AS (
+              SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+                ORDER BY d2, vec_id) AS sem_rank
+              FROM dist WHERE vec_id IN (SELECT vec_id FROM semt)),
+            f AS (
+              SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                COALESCE(l.lex_rank, 0) AS lex_rank,
+                COALESCE(s.sem_rank, 0) AS sem_rank
+              FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+            SELECT doc_id, lex_rank, sem_rank,
+              (CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank)
+                ELSE 0 END
+              + CASE WHEN sem_rank > 0 THEN 1000000 // (60 + sem_rank)
+                ELSE 0 END) AS rrf_micro
+            FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10"""))
+
+  val queries: Seq[GQuery] =
+    Seq(x45, x46, x47, x58, x59, x83, x99, x112, x144, x271)
 }
+

@@ -176,5 +176,74 @@ object Spectral {
             FROM nn WHERE rn = 1 GROUP BY actual, cand_label
             ORDER BY actual, predicted"""))
 
-  val queries: Seq[GQuery] = Seq(x147, x148, x170)
+  // ------------------------------------------------------------------- x276
+  // Embedding hubness audit (Radovanović et al. 2010) — the intrinsic-
+  // dimensionality pathology check run before trusting ANY similarity
+  // search over an embedding space: in high-dimensional spaces the
+  // k-occurrence distribution (how often each vector appears in others'
+  // exact k-NN lists) skews right — a few "hub" vectors show up in
+  // everything (they poison dedup clusters and retrieval), while
+  // antihubs (in-degree 0) are unreachable. Output is the exact
+  // k-occurrence histogram for k=10 over a 500-query deterministic
+  // sample (the x95/x170 bounded-evaluation discipline), antihubs
+  // included via the corpus left join. Same milli-quantized integer
+  // squared-L2 + smaller-id tie-break as x170, so the k-NN sets — and
+  // the histogram — hash-verify cross-engine.
+  //
+  // Scale shape: the 500-query sample broadcasts; the corpus streams
+  // through one narrow scan; GroupedTopK's partial/final bounded heaps
+  // carry at most 10 rows per query per partition across the exchange
+  // (never the n×500 pair table); in-degree and the histogram are
+  // |corpus|- and |degree-domain|-sized aggregates. The production-scale
+  // form of the SAME audit is an in-degree aggregate over x127's stored
+  // kNN-graph artifact — this row is its exact-arithmetic oracle.
+  private val HubN = 500
+  private val HubK = 10
+
+  private val x276 = GQuery(
+    "x276_hubness_audit", "ext-spectral similarity-audit hubness",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val q = expr("transform(embedding, x -> round(cast(x as double) * 1000))")
+      val base = emb(s, dir).select(col("vec_id"), q.as("mi"))
+      val sample = base.where(col("vec_id") < HubN)
+        .select(col("vec_id").as("qid"), col("mi").as("qv"))
+      val pairs = base.join(broadcast(sample), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          graft.functions.VectorOps.sqDist(col("mi"), col("qv")).as("d2"))
+      val knn = GroupedTopKOps.groupedTopK(pairs, Seq(col("qid")),
+        Seq(col("d2"), col("nid")), k = HubK)
+      val indeg = knn.groupBy(col("nid")).agg(count(lit(1)).as("deg"))
+      base.select(col("vec_id"))
+        .join(indeg, col("vec_id") === col("nid"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("in_deg"))
+        .groupBy(col("in_deg")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy("in_deg")
+    },
+    Some(s"""WITH q AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS mi
+             FROM embeddings),
+            n AS (SELECT vec_id, mi, list_dot_product(mi, mi) AS nq FROM q),
+            hold AS (SELECT vec_id AS qid, mi AS qv, nq AS nhq
+              FROM n WHERE vec_id < $HubN),
+            pairs AS (
+              SELECT h.qid, c.vec_id AS nid,
+                c.nq + h.nhq - 2 * list_dot_product(c.mi, h.qv) AS d2
+              FROM n c JOIN hold h ON c.vec_id <> h.qid),
+            r AS (
+              SELECT nid, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY d2, nid) AS rn
+              FROM pairs),
+            ind AS (
+              SELECT nid, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM r WHERE rn <= $HubK GROUP BY 1),
+            a AS (
+              SELECT COALESCE(i.deg, 0) AS in_deg
+              FROM q LEFT JOIN ind i ON i.nid = q.vec_id)
+            SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM a GROUP BY 1 ORDER BY 1"""))
+
+  val queries: Seq[GQuery] = Seq(x147, x148, x170, x276)
 }
