@@ -67,36 +67,8 @@ object Bench {
     // build.sbt). Keep the length guard: fail LOUDLY (non-zero exit the
     // driver records) if query growth ever pushes the line back over the
     // tail window — a silent re-break would cost a round of feedback.
-    def shortId(name: String): String = name.takeWhile(_ != '_')
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query entries are INTEGER CENTISECONDS ("qunit":"cs" below):
-    // 1.23 s -> 123, 0.45 s -> 45. Run-to-run JVM noise is ±30-50% anyway,
-    // so 10 ms resolution loses nothing, and the integer form costs ~2
-    // fewer chars per entry than the previous "0.45" decimals — at 150+
-    // registry entries that is the difference between a ~1400-char line
-    // and brushing the tail-window guard below. A failed query keeps the
-    // -1 sentinel (never -100: the sentinel is a MARKER, not a timing).
-    // BASELINE.md documents the encoding and that per-query rounding means
-    // the entries need not sum exactly to the full-precision total.
-    def fmtQ(v: Double): String =
-      if (v < 0) "-1" else math.round(v * 100).toString
     val ids = results.map { case (k, _) => shortId(k) }
     require(ids.distinct.size == ids.size, s"non-unique bench ids: $ids")
-    // Sub-0.25 s entries are OMITTED from the per-query map ("qmin_cs":25
-    // below; BASELINE.md documents the floor): at 180+ registry entries the
-    // full map would overflow the driver's stdout tail (a dry run at 179
-    // queries measured 1794 of the 1900-char guard with a 10 cs floor —
-    // every warm sf0.1 query clears 0.1 s, so that floor dropped nothing),
-    // and a sub-quarter-second timing carries no regression signal
-    // (run-to-run noise is ±30-50%; a real regression crosses the floor
-    // and reappears). An omitted query therefore reads as "ran, < 0.25 s";
-    // the -1 failure sentinel is ALWAYS emitted — a broken query must
-    // never be indistinguishable from a fast one.
-    val qs = results
-      .filter { case (_, v) => v < 0 || math.round(v * 100) >= 25 }
-      .map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
-      .mkString("{", ",", "}")
     // an all-fail query reports -1 in its own entry; letting the sentinel
     // into the SUM would shrink the total by a second per broken query —
     // a regression disguised as an improvement
@@ -110,16 +82,20 @@ object Bench {
     // mechanically without a second artifact
     val wallSec = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getUptime / 1000
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":25,"wall":$wallSec,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
-    // emit BEFORE the guard: if query growth ever trips it, the round's
+    val line = fitMetricLine(results, total, wallSec, sfName)
+    // fingerprints + full detail BEFORE the guard (round 10 — in r9 they
+    // sat after it, so the tripped guard also lost the round's plan
+    // fingerprints and the mechanical noise adjudication with them)
+    val round = currentRound()
+    writeBenchDetail(round, results, total, wallSec, sfName)
+    writePlanFingerprints(spark, round, queries, sfDir)
+    // emit BEFORE the guard: if the encoding ever breaks, the round's
     // numbers still reach the log tail and only the exit code goes loud —
     // failing first would discard the whole timed pass the guard protects
     println(line)
     require(line.length <= 1900,
       s"metric line ${line.length} chars nears the driver's ~2000-char stdout tail; " +
-        "shorten ids or drop per-query entries before the next bench round")
-    writePlanFingerprints(spark, queries, sfDir)
+        "the self-fitting floor failed — fix the encoding before the next bench round")
     spark.stop()
   }
 
@@ -167,16 +143,86 @@ object Bench {
     md.take(8).map(b => f"$b%02x").mkString
   }
 
-  private def writePlanFingerprints(spark: SparkSession,
+  private def shortId(name: String): String = name.takeWhile(_ != '_')
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  // per-query entries are INTEGER CENTISECONDS ("qunit":"cs"): 1.23 s ->
+  // 123, 0.45 s -> 45. Run-to-run JVM noise is ±30-50% anyway, so 10 ms
+  // resolution loses nothing, and the integer form costs ~2 fewer chars
+  // per entry than "0.45" decimals. A failed query keeps the -1 sentinel
+  // (never -100: the sentinel is a MARKER, not a timing). BASELINE.md
+  // documents the encoding and that per-query rounding means the entries
+  // need not sum exactly to the full-precision total.
+  private def fmtQ(v: Double): String =
+    if (v < 0) "-1" else math.round(v * 100).toString
+
+  /** SELF-FITTING metric line (round 10 — the r9 gate failure): the driver
+    * captures only a bounded stdout tail (~2000 chars) and the fixed
+    * qmin_cs=25 floor overflowed it at 350 queries (2465 chars, rc 1, an
+    * unparseable round artifact). The floor is now COMPUTED: render the
+    * line at increasing floors until it fits the 1900-char budget. Failure
+    * sentinels (-1) are emitted at EVERY floor — a broken query must never
+    * be indistinguishable from a fast one — so the fit loop only sheds
+    * successful sub-floor timings, which carry no regression signal (an
+    * omitted query reads as "ran, < floor"). The COMPLETE map goes to
+    * bench_detail_r<N>.json regardless, so nothing is lost to the fit —
+    * the line is a summary, the file is the record. The terminal floor
+    * (10 s) renders ≤ ~30 entries even at a 10k-query registry; main's
+    * length require is then a true invariant, kept as a tripwire for
+    * encoding bugs, not registry growth.
+    */
+  private[graft] def fitMetricLine(results: Seq[(String, Double)],
+      total: Double, wallSec: Long, sfName: String): String = {
+    def renderLine(floorCs: Int): String = {
+      val qs = results
+        .filter { case (_, v) => v < 0 || math.round(v * 100) >= floorCs }
+        .map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":$floorCs,"wall":$wallSec,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
+    }
+    Seq(25, 50, 75, 100, 150, 200, 300, 500, 1000)
+      .map(renderLine).find(_.length <= 1900)
+      .getOrElse(renderLine(1000))
+  }
+
+  /** Round number for artifact filenames: env override, else one past the
+    * newest BENCH_r<N>.json the driver has written so far.
+    */
+  private def currentRound(): Int =
+    sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val pat = "BENCH_r(\\d+)\\.json".r
+      val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (seen.isEmpty) 0 else seen.max + 1
+    }
+
+  /** The COMPLETE per-query timing map (full names, centiseconds, -1
+    * sentinels), written to `bench_detail_r<N>.json` beside the plans
+    * artifact — judges read this file, not the bounded stdout tail, so
+    * the metric line's self-fitting floor loses nothing.
+    */
+  private def writeBenchDetail(round: Int, results: Seq[(String, Double)],
+      total: Double, wallSec: Long, sfName: String): Unit = {
+    try {
+      val qs = results
+        .map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
+        .mkString("{", ",", "}")
+      val totalStr =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+      val out =
+        s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"cs","wall":$wallSec,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      val path = java.nio.file.Paths.get(f"bench_detail_r$round%02d.json")
+      java.nio.file.Files.write(path, out.getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bench-detail artifact failed: $e")
+    }
+  }
+
+  private def writePlanFingerprints(spark: SparkSession, round: Int,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       sfDir: String): Unit = {
     try {
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-        val pat = "BENCH_r(\\d+)\\.json".r
-        val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-        if (seen.isEmpty) 0 else seen.max + 1
-      }
       val entries = queries.map { case (name, fn) =>
         val fp = try planFingerprint(fn(spark, sfDir))
           catch { case _: Throwable => "err" }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench metric-line emission — the artifact gate that broke
+  * round 9 (a fixed qmin_cs=25 floor overflowed the driver's ~2000-char
+  * stdout tail at 350 queries and tripped Bench's own length guard, so
+  * BENCH_r09.json carried no parsed total). The line must now SELF-FIT:
+  * raise the per-query floor until the rendered line is within the
+  * 1900-char budget, while always emitting -1 failure sentinels.
+  */
+class BenchEmitSpec extends AnyFunSuite {
+
+  private def mkResults(n: Int): Seq[(String, Double)] =
+    (0 until n).map(i => (f"x$i%03d_some_query_name", 0.30 + (i % 50) * 0.07))
+
+  test("metric line fits the 1900-char budget at 350 queries") {
+    val results = mkResults(350)
+    val line = Bench.fitMetricLine(results, results.map(_._2).sum, 120L, "sf0.1")
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+    assert(line.startsWith("{\"metric\":\"total\""))
+  }
+
+  test("metric line fits even at a 2000-query registry") {
+    val results = mkResults(2000)
+    val line = Bench.fitMetricLine(results, results.map(_._2).sum, 120L, "sf0.1")
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+  }
+
+  test("failure sentinels survive every floor") {
+    // 400 slow queries force a high floor; the two failed entries must
+    // still appear with -1 regardless of which floor the fit lands on
+    val results = mkResults(400).map { case (k, v) => (k, v + 3.0) } ++
+      Seq(("x900_broken_query", -1.0), ("x901_broken_query", -1.0))
+    val line = Bench.fitMetricLine(results, 0.0, 5L, "sf0.1")
+    assert(line.contains("\"x900\":-1"), line.takeRight(200))
+    assert(line.contains("\"x901\":-1"), line.takeRight(200))
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+  }
+
+  test("line is parseable JSON shape with qmin_cs recorded") {
+    val results = mkResults(350)
+    val line = Bench.fitMetricLine(results, 42.0, 7L, "sf0.1")
+    // the driver's parse is line-anchored JSON; pin the fields it reads
+    assert(line.contains("\"value\":42.000"))
+    assert(line.contains("\"qmin_cs\":"))
+    assert(line.contains("\"n_queries\":350"))
+    assert(line.contains("\"sf\":\"sf0.1\""))
+    // brace balance as a cheap well-formedness check
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+}
