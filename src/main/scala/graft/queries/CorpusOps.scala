@@ -2318,7 +2318,9 @@ object CorpusOps {
   // labeling, same descending-threshold confusion counts as x219/x251/
   // x253 — one more read of the shared substrate, so the family cannot
   // drift. tp+fp ≥ 1 at every emitted threshold by construction (the
-  // row's own score bucket is included), so the divisions are total.
+  // row's own score bucket is included), so the precision division is
+  // total; recall divides by total positives p, which CAN be zero (no
+  // lang='en' rows), so it is guarded to NULL in both engines.
   //
   // Scale shape: x251's — one fact aggregate to the ≤1001-value score
   // domain, domain-sized descending windows, no fact-sized sort.
@@ -2328,7 +2330,11 @@ object CorpusOps {
       confusionByThreshold(ttrScoreCounts(docs(s, dir)))
         .select(col("score").as("threshold"), col("tp"), col("fp"),
           expr("(1000 * tp) div (tp + fp)").as("precision_milli"),
-          expr("(1000 * tp) div p").as("recall_milli"))
+          // guarded (round-10 ADVICE): a corpus with NO positives (p=0,
+          // e.g. no lang='en' rows) yields a defined NULL recall in both
+          // engines rather than an unguarded division by zero
+          expr("case when p > 0 then (1000 * tp) div p end")
+            .as("recall_milli"))
         .orderBy(col("threshold").desc)
     },
     Some("""WITH sc AS (
@@ -2352,7 +2358,7 @@ object CorpusOps {
               FROM bys)
             SELECT score AS threshold, tp, fp,
               (1000 * tp) // (tp + fp) AS precision_milli,
-              (1000 * tp) // p AS recall_milli
+              CASE WHEN p > 0 THEN (1000 * tp) // p END AS recall_milli
             FROM g ORDER BY threshold DESC"""))
 
   // ------------------------------------------------------------------- x265
@@ -2379,7 +2385,10 @@ object CorpusOps {
         .agg(first(col("p")).as("n_pos"),
           sum(col("dtp") * col("prec_micro")).as("mass"))
         .select(col("n_pos"),
-          expr("mass div n_pos").as("ap_micro"))
+          // guarded (round-10 ADVICE): zero positives → NULL AP in both
+          // engines, not a division by zero
+          expr("case when n_pos > 0 then mass div n_pos end")
+            .as("ap_micro"))
     },
     Some("""WITH sc AS (
               SELECT (lang = 'en') AS pos,
@@ -2409,7 +2418,9 @@ object CorpusOps {
               SELECT CAST(MAX(p) AS BIGINT) AS n_pos,
                 CAST(SUM(dtp * prec_micro) AS BIGINT) AS mass
               FROM d)
-            SELECT n_pos, mass // n_pos AS ap_micro FROM m"""))
+            SELECT n_pos,
+              CASE WHEN n_pos > 0 THEN mass // n_pos END AS ap_micro
+            FROM m"""))
 
   // ------------------------------------------------------------------- x266
   // Calibration table + expected calibration error (ECE, Naeini et al.

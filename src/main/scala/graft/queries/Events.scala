@@ -3545,10 +3545,19 @@ object Events {
   // Two-factor OLS — x208's single-regressor trend generalized to the
   // first genuinely multivariate fit: daily volume ~ intercept + b·day
   // index + c·weekend, solved EXACTLY by Cramer's rule over the 3×3
-  // normal equations (integer moment sums; each determinant is a
-  // products-of-sums polynomial, exact in BIGINT — day-domain n ≤ 10⁴
-  // keeps every term far below 2⁶³ even at 10¹² events/day). Separating
-  // the weekend dummy from the trend is the point: a naive x208 trend on
+  // normal equations. OVERFLOW DISCIPLINE (round-10 ADVICE fix): at the
+  // stated production scale (10⁴ days × 10¹² events/day) the y-moments
+  // already exceed 2⁶³ — sty = Σt·y ≈ 5·10¹⁹ — and the Cramer
+  // determinants reach ~10³² — so BIGINT is NOT exact there (Spark Long
+  // wraps silently non-ANSI while DuckDB's BIGINT errors: a silent
+  // cross-engine divergence). Every moment and determinant therefore
+  // rides DECIMAL(38,0) on the Spark side and HUGEINT in the oracle (the
+  // x235/x220 headroom discipline); 1000·det_a ≈ 10³⁵ < 10³⁸ keeps the
+  // scaled ratios in range. A SINGULAR system (window of only weekdays →
+  // w all zero, or a single day) makes det = 0: the `det_zero` flag is
+  // emitted and the coefficients are explicitly NULL in BOTH engines
+  // rather than an unguarded division. Separating the weekend dummy from
+  // the trend is the point: a naive x208 trend on
   // weekday-seasonal data aliases the seasonality into slope; the
   // two-factor fit reads them apart. Milli-quantized coefficients via
   // one integer division per Cramer ratio — deterministic cross-engine.
@@ -3568,12 +3577,17 @@ object Events {
           .cast("long"))
         .withColumn("w",
           when(dayofweek(col("day")).isin(1, 7), 1L).otherwise(0L))
-        .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
-          sum(col("w")).as("sw"), sum(col("t") * col("t")).as("stt"),
-          sum(col("t") * col("w")).as("stw"),
-          sum(col("w") * col("w")).as("sww"), sum(col("y")).as("sy"),
-          sum(col("t") * col("y")).as("sty"),
-          sum(col("w") * col("y")).as("swy"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("t")).cast("decimal(38,0)").as("st"),
+          sum(col("w")).cast("decimal(38,0)").as("sw"),
+          sum(col("t") * col("t")).cast("decimal(38,0)").as("stt"),
+          sum(col("t") * col("w")).cast("decimal(38,0)").as("stw"),
+          sum(col("w") * col("w")).cast("decimal(38,0)").as("sww"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          // the in-sum cast matters: t·y alone is ~10¹⁶ per row at
+          // production scale, and the BIGINT running sum is what wraps
+          sum(col("t").cast("decimal(38,0)") * col("y")).as("sty"),
+          sum(col("w").cast("decimal(38,0)") * col("y")).as("swy"))
         .select(col("n"),
           expr("""n * (stt * sww - stw * stw) - st * (st * sww - stw * sw)
                + sw * (st * stw - stt * sw)""").as("det"),
@@ -3583,10 +3597,14 @@ object Events {
                + sw * (st * swy - sty * sw)""").as("det_b"),
           expr("""n * (stt * swy - sty * stw) - st * (st * swy - sty * sw)
                + sy * (st * stw - stt * sw)""").as("det_c"))
-        .select(col("n").as("n_days"),
-          expr("(1000 * det_a) div det").as("intercept_milli"),
-          expr("(1000 * det_b) div det").as("slope_milli"),
-          expr("(1000 * det_c) div det").as("weekend_milli"))
+        .select(col("n").cast("long").as("n_days"),
+          when(col("det") === 0, lit(1L)).otherwise(lit(0L)).as("det_zero"),
+          when(col("det") =!= 0,
+            expr("(1000 * det_a) div det")).as("intercept_milli"),
+          when(col("det") =!= 0,
+            expr("(1000 * det_b) div det")).as("slope_milli"),
+          when(col("det") =!= 0,
+            expr("(1000 * det_c) div det")).as("weekend_milli"))
     },
     Some("""WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -3599,14 +3617,15 @@ object Events {
                 y
               FROM daily),
             m AS (
-              SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(w) AS BIGINT) AS sw,
-                CAST(SUM(t * t) AS BIGINT) AS stt,
-                CAST(SUM(t * w) AS BIGINT) AS stw,
-                CAST(SUM(w * w) AS BIGINT) AS sww,
-                CAST(SUM(y) AS BIGINT) AS sy,
-                CAST(SUM(t * y) AS BIGINT) AS sty,
-                CAST(SUM(w * y) AS BIGINT) AS swy
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(t) AS HUGEINT) AS st,
+                CAST(SUM(w) AS HUGEINT) AS sw,
+                CAST(SUM(t * t) AS HUGEINT) AS stt,
+                CAST(SUM(t * w) AS HUGEINT) AS stw,
+                CAST(SUM(w * w) AS HUGEINT) AS sww,
+                CAST(SUM(y) AS HUGEINT) AS sy,
+                SUM(CAST(t AS HUGEINT) * y) AS sty,
+                SUM(CAST(w AS HUGEINT) * y) AS swy
               FROM f),
             d AS (
               SELECT n,
@@ -3619,10 +3638,18 @@ object Events {
                 n * (stt * swy - sty * stw) - st * (st * swy - sty * sw)
                   + sy * (st * stw - stt * sw) AS det_c
               FROM m)
-            SELECT n AS n_days,
-              (1000 * det_a) // det AS intercept_milli,
-              (1000 * det_b) // det AS slope_milli,
-              (1000 * det_c) // det AS weekend_milli
+            SELECT CAST(n AS BIGINT) AS n_days,
+              CASE WHEN det = 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS det_zero,
+              CASE WHEN det <> 0
+                THEN CAST((1000 * det_a) // det AS BIGINT) END
+                AS intercept_milli,
+              CASE WHEN det <> 0
+                THEN CAST((1000 * det_b) // det AS BIGINT) END
+                AS slope_milli,
+              CASE WHEN det <> 0
+                THEN CAST((1000 * det_c) // det AS BIGINT) END
+                AS weekend_milli
             FROM d"""))
 
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,

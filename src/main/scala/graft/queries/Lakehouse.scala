@@ -1188,7 +1188,10 @@ object Lakehouse {
   // starts: per column, exact byte accounting of PLAIN (every value
   // spelled out) vs DICTIONARY (each distinct value once + a fixed-width
   // code per row, width by dictionary size: ≤2⁸→1, ≤2¹⁶→2, else 4) over
-  // the column's string rendering, and the cheaper one recommended —
+  // the column's string rendering, and the cheaper one recommended.
+  // Byte accounting is UTF-8 octets (round-10 ADVICE fix: octet_length /
+  // strlen, not character length — non-ASCII payloads undercount in
+  // characters and can flip the recommendation) —
   // the parquet-writer heuristic surfaced as a queryable audit so an
   // operator can see WHY a column's files are large before forcing an
   // encoding. Integer bytes end to end.
@@ -1205,7 +1208,7 @@ object Lakehouse {
   private def encodingStats(ev: DataFrame, name: String): DataFrame =
     ev.select(col(name).cast("string").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"),
-        max(length(col("v"))).cast("long").as("len"))
+        max(expr("octet_length(v)")).cast("long").as("len"))
       .agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"),
         sum(col("cnt") * col("len")).as("plain_bytes"),
         sum(col("len")).as("lit_bytes"))
@@ -1224,8 +1227,8 @@ object Lakehouse {
        ${name}_s AS (
          SELECT '$name' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS ndv,
-           CAST(SUM(cnt * length(v)) AS BIGINT) AS plain_bytes,
-           CAST(SUM(length(v)) AS BIGINT) AS lit_bytes
+           CAST(SUM(cnt * strlen(v)) AS BIGINT) AS plain_bytes,
+           CAST(SUM(strlen(v)) AS BIGINT) AS lit_bytes
          FROM ${name}_g)"""
 
   private val x274 = GQuery(

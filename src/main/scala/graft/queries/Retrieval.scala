@@ -561,9 +561,16 @@ object Retrieval {
       val base = Tables(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> round(cast(x as double) * 1000))")
           .as("mi"))
-      val qv = base
-        .agg(first(when(col("vec_id") === 0L, col("mi")), ignoreNulls = true)
-          .as("qv"))
+      // round-10 ADVICE fix: the aggregate's input is FILTERED to the
+      // query id and the NULL row dropped — a corpus without vec_id 0
+      // would otherwise yield a NULL query vector, NULL distances for
+      // every row, and 20 arbitrary "semantic" hits (while the oracle's
+      // qv CTE is simply empty). With the guard, an absent query vector
+      // makes the semantic run EMPTY in both engines and RRF degrades to
+      // the lexical run alone — the absent-list semantics RRF is for.
+      val qv = base.where(col("vec_id") === 0L)
+        .agg(first(col("mi"), ignoreNulls = true).as("qv"))
+        .where(col("qv").isNotNull)
       val sem = base.crossJoin(broadcast(qv))
         .select(col("vec_id"),
           graft.functions.VectorOps.sqDist(col("mi"), col("qv")).as("d2"))
