@@ -157,6 +157,43 @@ object Graph {
         col(key)).localCheckpoint(true)
     }
 
+  /** Row-count gate for the ONE-SHOT node-sized dimension joins (triangle
+    * census degrees, link-prediction degrees/candidates, k-core survivor
+    * sets — the non-superstep family). Unset (the default), every such
+    * join broadcasts: correct at fixture-to-head-graph scale because it
+    * happens ONCE per query, not per superstep, and saves re-shuffling
+    * the edge table. But a node table at 100 TB is ~10⁹ rows and a
+    * broadcast of it fails outright, so — the [[graft.plans.StatsCbo]]
+    * StatsBroadcastJoin opt-out discipline — setting
+    * `spark.graft.graph.nodeBroadcastThreshold` to a row count makes
+    * each gated join COUNT its dimension side once (a node-sized
+    * aggregate, trivial next to the query it guards) and switch past the
+    * threshold to the co-partitioned SHUFFLE_HASH form the scaladocs
+    * name: both sides hash-partitioned on the join key, no driver
+    * collect, no executor-sized build table. "0" forces the shuffle form
+    * outright (what GraphScaleSpec uses to pin row-identity of the two
+    * paths). The switch changes WHERE the node table meets the edge
+    * table — executor-local hash map vs exchange — never the rows out.
+    */
+  private[queries] def nodePastBroadcast(dim: DataFrame): Boolean = {
+    val raw = dim.sparkSession.conf
+      .get("spark.graft.graph.nodeBroadcastThreshold", "")
+    raw.trim match {
+      case "" => false
+      case t =>
+        try { val n = t.toLong; n <= 0 || dim.count() > n }
+        catch { case _: NumberFormatException => false }
+    }
+  }
+
+  /** The dimension side of a one-shot node join under the
+    * [[nodePastBroadcast]] gate: broadcast in range, SHUFFLE_HASH past it
+    * (sort-merge would pay a sort neither side needs — the probe side is
+    * consumed by an aggregate that re-partitions anyway).
+    */
+  private[queries] def nodeSide(dim: DataFrame, past: Boolean): DataFrame =
+    if (past) dim.hint("shuffle_hash") else broadcast(dim)
+
   /** Adjacency-list form of the symmetric graph for the superstep loops:
     * one row per (src, chunk) with the out-degree and a neighbor array —
     * the GraphX/Pregel edge-partition layout expressed relationally.
@@ -282,10 +319,13 @@ object Graph {
     * INTO it, so it never anchors a quadratic wedge explosion; the id
     * orientation the oracle uses enumerates the same triangle set but
     * lets a low-id hub fan out by its full degree). Joins carry 16-byte
-    * id pairs only; the degree side table is node-sized and broadcast —
-    * broadcast is correct HERE (unlike the superstep rank table) because
-    * it happens once, not per iteration, and the wedge join that follows
-    * would otherwise shuffle the edge table twice.
+    * id pairs only; the degree side table is node-sized and broadcast BY
+    * DEFAULT — broadcast is correct here (unlike the superstep rank
+    * table) because it happens once, not per iteration, and the wedge
+    * join that follows would otherwise shuffle the edge table twice —
+    * with the [[nodePastBroadcast]] gate switching to the co-partitioned
+    * shuffle form past `spark.graft.graph.nodeBroadcastThreshold`
+    * (GraphScaleSpec pins both paths row-identical).
     *
     * Output is orientation-invariant — (part, deg, triangles, cc_milli)
     * — which is what lets the DuckDB oracle verify the degree-ordered
@@ -297,10 +337,12 @@ object Graph {
   }
 
   private[queries] def triangleCensusOn(e: DataFrame, deg: DataFrame): DataFrame = {
+    // one gate decision for both degree joins (see nodePastBroadcast)
+    val past = nodePastBroadcast(deg)
     // orient each edge from lower (deg, id) endpoint to higher
     val o = e
-      .join(broadcast(deg.select(col("node").as("pa"), col("deg").as("dega"))), "pa")
-      .join(broadcast(deg.select(col("node").as("pb"), col("deg").as("degb"))), "pb")
+      .join(nodeSide(deg.select(col("node").as("pa"), col("deg").as("dega")), past), "pa")
+      .join(nodeSide(deg.select(col("node").as("pb"), col("deg").as("degb")), past), "pb")
       .select(
         when(col("dega") < col("degb") ||
             (col("dega") === col("degb") && col("pa") < col("pb")),
@@ -509,12 +551,17 @@ object Graph {
 
   private[queries] def linkPredictionOn(
       e: DataFrame, deg: DataFrame, candN: Int, topN: Int): DataFrame = {
+    val past = nodePastBroadcast(deg)
     val cand = deg.orderBy(col("deg").desc, col("node")).limit(candN)
       .select(col("node"))
     val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-      // only adjacency rows ENDING in a candidate can form a ranked pair
-      .join(broadcast(cand.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
+      // only adjacency rows ENDING in a candidate can form a ranked pair.
+      // cand is candN-bounded (a query parameter, not node-sized), so its
+      // broadcast never outgrows an executor — but it rides the same gate
+      // for a uniformly auditable family
+      .join(nodeSide(cand.withColumnRenamed("node", "dst"), past),
+        Seq("dst"), "left_semi")
     val wedges = directed.as("d1")
       .join(directed.as("d2"), col("d1.src") === col("d2.src"))
       .where(col("d1.dst") < col("d2.dst"))
@@ -523,8 +570,8 @@ object Graph {
       .join(e.select(col("pa").as("ua"), col("pb").as("ub")),
         Seq("ua", "ub"), "left_anti")
     common
-      .join(broadcast(deg.select(col("node").as("ua"), col("deg").as("dega"))), "ua")
-      .join(broadcast(deg.select(col("node").as("ub"), col("deg").as("degb"))), "ub")
+      .join(nodeSide(deg.select(col("node").as("ua"), col("deg").as("dega")), past), "ua")
+      .join(nodeSide(deg.select(col("node").as("ub"), col("deg").as("degb")), past), "ub")
       .select(col("ua"), col("ub"), col("n_common"),
         expr("(1000 * n_common) div (dega + degb - n_common)").as("jaccard_milli"))
       .orderBy(col("n_common").desc, col("ua"), col("ub"))
@@ -715,9 +762,10 @@ object Graph {
     * broadcast here is a different trade than the superstep rank table:
     * the set SHRINKS monotonically (first-round survivors of a k-core
     * are already degree-filtered) and the alternative co-partitioned form
-    * would re-shuffle the edge table TWICE per round (pa- then pb-keyed);
-    * past broadcast range the production form switches to those two
-    * shuffles — the edge table also shrinks every round, bounding them.
+    * re-shuffles the edge table TWICE per round (pa- then pb-keyed);
+    * past broadcast range — the [[nodePastBroadcast]] gate — the query
+    * switches to exactly those two shuffles, and the edge table shrinking
+    * every round bounds them.
     */
   def kCore(li: DataFrame, k: Int, rounds: Int): DataFrame =
     kCoreOnEdges(copurchaseEdges(li), k, rounds)
@@ -725,6 +773,12 @@ object Graph {
   private[queries] def kCoreOnEdges(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = e.localCheckpoint(true)
     var prevCount = edges.count()
+    // gate decided ONCE from the round-0 node set: the survivor set only
+    // shrinks, so a round-0 "fits in broadcast" verdict holds for every
+    // later round, and a "past broadcast" verdict is merely conservative
+    // (correct, one avoidable exchange) — re-counting per round would
+    // double-compute the degree aggregate for a micro-decision
+    val past = nodePastBroadcast(degrees(edges).select("node"))
     var round = 0
     var stable = false
     // peel up to `rounds` times, but STOP at the fixed point: once a peel
@@ -735,8 +789,8 @@ object Graph {
     while (round < rounds && !stable) {
       val keep = degrees(edges).where(col("deg") >= k).select("node")
       val next = edges
-        .join(broadcast(keep.withColumnRenamed("node", "pa")), Seq("pa"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("node", "pb")), Seq("pb"), "left_semi")
+        .join(nodeSide(keep.withColumnRenamed("node", "pa"), past), Seq("pa"), "left_semi")
+        .join(nodeSide(keep.withColumnRenamed("node", "pb"), past), Seq("pb"), "left_semi")
         .select("pa", "pb")
         .localCheckpoint(true)
       val nextCount = next.count()
