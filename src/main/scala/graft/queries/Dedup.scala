@@ -705,18 +705,26 @@ object Dedup {
   // Scale shape: x225's plan plus ConnectedComponents.run — O(log n)
   // label rounds shuffling (long, long) pairs over a graph whose size is
   // the near-dup density, not the corpus.
+  /** x236's exact near-dup cluster labels — (doc_id, keeper) covering the
+    * whole corpus, keeper = the transitive cluster's minimum id. ONE
+    * definition shared by the x236 registry row and CorpusMain's opt-in
+    * `neardup` stage (the x31 discipline: the CLI ships exactly the code
+    * the oracle verifies, so the two cannot drift).
+    */
+  def allPairsClusters(d: DataFrame): DataFrame = {
+    val sets = shingleSets(d).localCheckpoint(true)
+    val pairs = prefixCandidates(sets, 4, 5)
+      .where(HashFunctions.jaccardLongs(col("sa"), col("sb")) >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    val (labels, _) = graft.operators.ConnectedComponents.run(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    coverCorpus(d,
+      labels.select(col("id").as("doc_id"), col("comp").as("keeper")))
+  }
+
   private val x236 = GQuery(
     "x236_allpairs_clusters", "ext-dedup-fuzzy exact-clusters transitive custom-operator",
-    (s, dir) => {
-      val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
-      val pairs = prefixCandidates(sets, 4, 5)
-        .where(HashFunctions.jaccardLongs(col("sa"), col("sb")) >= 0.8)
-        .select(col("a_id"), col("b_id"))
-      val (labels, _) = graft.operators.ConnectedComponents.run(
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
-      coverCorpus(docs(s, dir),
-        labels.select(col("id").as("doc_id"), col("comp").as("keeper")))
-    },
+    (s, dir) => allPairsClusters(docs(s, dir)),
     Some("""WITH RECURSIVE t AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             sh AS (SELECT doc_id,

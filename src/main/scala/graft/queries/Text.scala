@@ -301,7 +301,7 @@ object Text {
     * counts up to a ~2⁻⁶⁴-probability window collision (TextSketchSpec pins
     * hash-vs-string agreement end to end on the fixture corpus).
     */
-  private def contaminationHits(d: DataFrame): DataFrame = {
+  private[graft] def contaminationHits(d: DataFrame): DataFrame = {
     val sh = d.select(col("doc_id"),
       explode(array_distinct(graft.functions.HashFunctions.shingleHashes(tokens, 6)))
         .as("shingle"))

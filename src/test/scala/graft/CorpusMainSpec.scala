@@ -33,4 +33,57 @@ class CorpusMainSpec extends SparkSpec {
       "one distinct content digest per kept row")
     assert(corpus.where(col("quality").isin("good", "ok")).count() == st.kept)
   }
+
+  // ---- opt-in stages (round 10): each must be FLAG-SET-EQUAL with its
+  // standalone oracle-verified registry query — the x31 discipline makes
+  // this structural (same code), these rows prove the composition didn't
+  // break it (joins, ordering, base-gate interaction).
+
+  private def baseIds: Set[Long] =
+    SparkEntry.queries("x19_clean_corpus")(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("neardup stage keeps exactly x236's cluster keepers") {
+    val out = Files.createTempDirectory("graft-corpus-nd").resolve("c").toString
+    CorpusMain.run(spark, sf001, out, stages = Set("neardup"))
+    val kept = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepers = SparkEntry.queries("x236_allpairs_clusters")(spark, sf001)
+      .where(col("doc_id") === col("keeper"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (baseIds intersect keepers),
+      "CLI neardup selection == base gate ∩ x236 keepers")
+  }
+
+  test("decontam stage drops exactly x24's contaminated set") {
+    val out = Files.createTempDirectory("graft-corpus-dc").resolve("c").toString
+    CorpusMain.run(spark, sf001, out, stages = Set("decontam"))
+    val kept = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = SparkEntry.queries("x24_decontaminate")(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (baseIds diff hits),
+      "CLI decontam selection == base gate minus x24 hits")
+  }
+
+  test("substrclean stage carries x87's columns verbatim") {
+    val out = Files.createTempDirectory("graft-corpus-sc").resolve("c").toString
+    CorpusMain.run(spark, sf001, out, stages = Set("substrclean"))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "clean_len", "n_cut", "clean_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val ref = SparkEntry.queries("x87_substring_clean")(spark, sf001)
+      .select("doc_id", "clean_len", "n_cut", "clean_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .filter { case (id, _, _, _) => baseIds(id) }.toSet
+    assert(got == ref, "CLI substrclean columns == x87 rows on the kept set")
+  }
+
+  test("unknown stage names are rejected loudly") {
+    val out = Files.createTempDirectory("graft-corpus-bad").resolve("c").toString
+    intercept[IllegalArgumentException] {
+      CorpusMain.run(spark, sf001, out, stages = Set("neardup", "typo"))
+    }
+  }
 }
