@@ -768,7 +768,63 @@ object Extended {
         .orderBy("event_type"),
     None) // sketch-specific values: gated by ApproxQuantileSpec rank error
 
+  // ------------------------------------------------------------------- x278
+  // Nearest-rank percentiles per small group — x234's EXACT arm, oracled
+  // (the r9 VERDICT conversion item): per (event_type, day), the
+  // inverse-CDF percentile (smallest value at rank ceil(q·n), the SQL
+  // percentile_disc definition) computed explicitly from integer rank
+  // arithmetic — ceil(q·n) as (k·n + d − 1) div d — so both engines pick
+  // the IDENTICAL data element (no interpolation, no sketch, no float
+  // construction) and the row hash-verifies. This is the tier a
+  // daily-SLA report runs when groups are bounded: c24 is the
+  // interpolated whole-table parity row, x234 the unbounded-group
+  // sketch, this the small-group exact read — the three-tier policy in
+  // registry form.
+  //
+  // Scale shape: one per-group sort window — the documented cost of the
+  // exact arm, affordable precisely BECAUSE the (type, day) groups are
+  // bounded (the premise of choosing this tier over x234); the rollup is
+  // group-domain-sized. Ties need no break for the VALUE at a rank
+  // (equal values straddle any boundary identically); event_id makes the
+  // row numbering itself deterministic.
+  private val x278 = GQuery(
+    "x278_percentile_exact_rank", "percentile-exact small-group-tier",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), date_trunc("day", col("ts")))
+        .orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(org.apache.spark.sql
+          .expressions.Window.partitionBy(col("event_type"),
+            date_trunc("day", col("ts")))))
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(
+          max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("p50"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value"))).as("p90"),
+          max(when(col("rn") === expr("(99 * n + 99) div 100"), col("value"))).as("p99"),
+          max(col("n")).as("n_rows"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH t AS (
+              SELECT event_type,
+                CAST(date_trunc('day', ts) AS DATE) AS day, value,
+                ROW_NUMBER() OVER (
+                  PARTITION BY event_type, date_trunc('day', ts)
+                  ORDER BY value, event_id) AS rn,
+                CAST(COUNT(*) OVER (
+                  PARTITION BY event_type, date_trunc('day', ts))
+                  AS BIGINT) AS n
+              FROM events)
+            SELECT event_type, day,
+              MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+              MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+              MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99,
+              MAX(n) AS n_rows
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37, x136, x196, x210, x234)
+    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278)
 }

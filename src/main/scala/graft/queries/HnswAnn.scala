@@ -369,5 +369,50 @@ object HnswAnn {
     },
     None) // approximate + filtered: gated by FilteredAnnSpec
 
-  val queries: Seq[GQuery] = Seq(x127, x128, x132, x216)
+  // ------------------------------------------------------------------- x277
+  // Exact filtered-scan twin of x216 (the r9 VERDICT oracle-conversion
+  // item): the SAME predicate shape — query vec 0, allowed = even label,
+  // query excluded — served by the exact brute-force scan in
+  // milli-quantized integer squared-L2 with the (d2, vec_id) tie-break
+  // (the x170/x271 discipline), so the top-10 hash-verifies cross-engine.
+  // This is the ground truth FilteredAnnSpec measures x216's recall
+  // against, promoted to its own oracled registry row: the graph tier
+  // answers fast, this row answers EXACTLY, and the pair documents the
+  // trade. Query-vector guard as x271: an absent vec 0 yields an empty
+  // result in both engines.
+  //
+  // Scale shape: 1-row query aggregate broadcast over one narrow corpus
+  // scan (filter pushed to the scan), TakeOrdered top-10 — no shuffle of
+  // anything corpus-sized; the production form swaps the scan for x216's
+  // stored-graph probe, which is the point of owning both rows.
+  private val x277 = GQuery(
+    "x277_ann_filtered_exact",
+    "ext-similarity-ann filtered-serving exact-twin",
+    (s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> round(cast(x as double) * 1000))")
+          .as("mi"))
+      val qv = base.where(col("vec_id") === 0L)
+        .agg(first(col("mi"), ignoreNulls = true).as("qv"))
+        .where(col("qv").isNotNull)
+      base.where(pmod(col("label"), lit(2)) === 0 && col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          graft.functions.VectorOps.sqDist(col("mi"), col("qv"))
+            .cast("long").as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, label, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS mi
+              FROM embeddings),
+            qv AS (SELECT mi AS qv FROM e WHERE vec_id = 0)
+            SELECT vec_id,
+              CAST(list_dot_product(mi, mi) + list_dot_product(qv, qv)
+                - 2 * list_dot_product(mi, qv) AS BIGINT) AS d2
+            FROM e, qv
+            WHERE label % 2 = 0 AND vec_id <> 0
+            ORDER BY d2, vec_id LIMIT 10"""))
+
+  val queries: Seq[GQuery] = Seq(x127, x128, x132, x216, x277)
 }
