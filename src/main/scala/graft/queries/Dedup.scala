@@ -566,6 +566,67 @@ object Dedup {
                 >= 0.8
             ORDER BY a_id, b_id"""))
 
+  // ------------------------------------------------------------------- x280
+  // Exact CONTAINMENT join (Broder 1997's containment coefficient) — the
+  // asymmetric duplication x225's Jaccard provably under-reports: a
+  // 100-word document pasted verbatim into a 10000-word page has
+  // C(A→B) = |A∩B|/|A| ≈ 1 but Jaccard ≈ 0.01, so symmetric near-dup
+  // tiers never see sub-document copying (quote farms, template
+  // wrapping, article scrapes inside aggregators). Same lossless
+  // prefix-filter machinery as x225 with the ASYMMETRIC adaptation: the
+  // contained side contributes its rarest-first prefix of length
+  // n_a − ceil(0.8·n_a) + 1, probed against FULL postings (no size
+  // filter is sound for containment — the container may be any size),
+  // then exact overlap verification. Output: every ordered pair with
+  // C(inner→outer) ≥ 0.8, containment milli-quantized by integer div so
+  // the row hash-verifies against the brute-force oracle.
+  //
+  // Scale shape: candidates bounded by true containment density via the
+  // prefix filter (rarest-first keeps postings short); only 8-byte
+  // hashes and id pairs cross the exchanges; text never shuffles.
+  private val x280 = GQuery(
+    "x280_containment_join", "ext-dedup-fuzzy containment prefix-filter exact",
+    (s, dir) => {
+      val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
+      val postings = sets.select(col("doc_id"), col("n"),
+        explode(col("sh")).as("s"))
+      val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      val probe = prefixPostings(postings, dfTab, 4, 5)
+        .select(col("s"), col("doc_id").as("a_id"))
+      val cand = probe
+        .join(postings.select(col("s"), col("doc_id").as("b_id")), "s")
+        .where(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
+          col("n").as("n_a")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+        .withColumn("overlap",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .where(col("overlap") * 5 >= col("n_a") * 4)
+        .select(col("a_id").as("inner_id"), col("b_id").as("outer_id"),
+          col("overlap"), col("n_a"),
+          expr("(1000 * overlap) div n_a").as("containment_milli"))
+        .orderBy("inner_id", "outer_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM t),
+            p AS (
+              SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+                CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT) AS overlap,
+                CAST(len(a.tok) AS BIGINT) AS n_a
+              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              WHERE len(a.tok) >= 1)
+            SELECT inner_id, outer_id, overlap, n_a,
+              (1000 * overlap) // n_a AS containment_milli
+            FROM p
+            WHERE overlap * 5 >= n_a * 4
+            ORDER BY inner_id, outer_id"""))
+
   /** Build the standing side of the incremental prefix-filter join as a
     * stored artifact: shingle sets, the global df table, and the
     * rarest-first prefix postings — the ingest-time cost the x66/x62
@@ -829,5 +890,5 @@ object Dedup {
 
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
-      x236, x237, x241)
+      x236, x237, x241, x280)
 }

@@ -824,7 +824,58 @@ object Extended {
               MAX(n) AS n_rows
             FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ------------------------------------------------------------------- x281
+  // Trimmed (5 %) robust mean — the outlier-resistant location estimate a
+  // monitoring pipeline reads when tail events (retries, bulk imports,
+  // clock skew) poison the plain average: per event_type, drop the
+  // n div 20 lowest- and highest-ranked values and average the rest.
+  // Exact integers end to end: values sum as CENTS (the b03 DECIMAL
+  // discipline — decimal summation is order-independent where double
+  // summation is not), trim bounds from integer rank arithmetic (the
+  // x278 discipline), mean centi-quantized by integer division. Both
+  // engines drop the identical rows and sum the identical integers.
+  //
+  // Scale shape: one per-group sort window (small-group tier, the x278
+  // premise) + one group-domain rollup.
+  private val x281 = GQuery(
+    "x281_trimmed_mean", "robust-aggregate trimmed-mean",
+    (s, dir) => {
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val w = byType.orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"),
+          col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("t", expr("n div 20"))
+        .where(col("rn") > col("t") && col("rn") <= col("n") - col("t"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("t")).as("n_trimmed_each"),
+          count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+        .select(col("event_type"), col("n"), col("n_trimmed_each"),
+          col("n_kept"),
+          expr("sum_cents div n_kept").as("trimmed_mean_centi"))
+        .orderBy("event_type")
+    },
+    Some("""WITH r AS (
+              SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS rn,
+                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM events),
+            k AS (
+              SELECT event_type, cents, n, n // 20 AS t
+              FROM r WHERE rn > n // 20 AND rn <= n - n // 20)
+            SELECT event_type, MAX(n) AS n, MAX(t) AS n_trimmed_each,
+              CAST(COUNT(*) AS BIGINT) AS n_kept,
+              CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_centi
+            FROM k GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278)
+    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278, x281)
 }

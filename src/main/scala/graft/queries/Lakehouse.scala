@@ -1258,7 +1258,60 @@ object Lakehouse {
                 THEN 'dict' ELSE 'plain' END AS encoding
             FROM u ORDER BY column_name"""))
 
+  // ------------------------------------------------------------------- x282
+  // Column profile audit — the ANALYZE-shaped read behind x273/x274's
+  // advisors surfaced as its own queryable row: per column, exact row
+  // count, null count, and NDV. This is the table every layout/encoding/
+  // stats decision starts from (StatsCbo ingests the same numbers; the
+  // advisors consume its domains), and the audit an operator runs FIRST
+  // when a table misbehaves — nulls where none were expected, NDV
+  // collapse after a bad backfill. Exact integers; no type-dependent
+  // rendering (min/max stay with the typed advisors — cross-engine
+  // string formatting of doubles/timestamps is not hash-stable).
+  //
+  // Scale shape: one single-column aggregate per profiled column (column
+  // pruning gives each scan exactly one column; count-distinct is the
+  // exact tier — c21's HLL row is the sketch tier of the same read),
+  // five 1-row summaries unioned.
+  private def profileCol(ev: DataFrame, name: String): DataFrame =
+    ev.select(col(name).as("v"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("ndv"))
+      .select(lit(name).as("column_name"), col("n"), col("n_null"), col("ndv"))
+
+  private val x282 = GQuery(
+    "x282_column_profile", "ext-lakehouse profile-audit column-stats",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      profileCol(ev, "event_id")
+        .unionAll(profileCol(ev, "event_type"))
+        .unionAll(profileCol(ev, "props"))
+        .unionAll(profileCol(ev, "user_id"))
+        .unionAll(profileCol(ev, "value"))
+        .orderBy("column_name")
+    },
+    Some("""WITH u AS (
+              SELECT 'event_id' AS column_name, COUNT(*) AS n,
+                COUNT(*) - COUNT(event_id) AS n_null,
+                COUNT(DISTINCT event_id) AS ndv FROM events
+              UNION ALL
+              SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                COUNT(DISTINCT event_type) FROM events
+              UNION ALL
+              SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+                COUNT(DISTINCT props) FROM events
+              UNION ALL
+              SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                COUNT(DISTINCT user_id) FROM events
+              UNION ALL
+              SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                COUNT(DISTINCT value) FROM events)
+            SELECT column_name, CAST(n AS BIGINT) AS n,
+              CAST(n_null AS BIGINT) AS n_null, CAST(ndv AS BIGINT) AS ndv
+            FROM u ORDER BY column_name"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190, x199, x205, x229, x273, x274)
+      x185, x190, x199, x205, x229, x273, x274, x282)
 }

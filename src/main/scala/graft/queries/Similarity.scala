@@ -2428,8 +2428,56 @@ object Similarity {
     (s, dir) => kcenterCoreset(emb(s, dir), KCenterK),
     Some(kcenterOracle(KCenterK)))
 
+  // ------------------------------------------------------------------- x279
+  // Exact range-search twin of x100 (the oracle-conversion discipline
+  // x277 set for filtered serving, applied to range queries): the same
+  // 8-query batch answered by the exact brute-force scan in
+  // milli-quantized integer squared-L2 — every corpus vector within
+  // d² ≤ 1.5·10⁶ of each query, self excluded, (q_id, d2, vec_id)
+  // ordered. x100's stored-IVF probe answers the cosine form fast from
+  // index cells; this row answers the L2 form EXACTLY and hash-verifies,
+  // so the range family owns a cross-engine ground-truth row the way the
+  // top-k family owns x277.
+  //
+  // Scale shape: the 8-query side broadcasts (bounded by the batch, not
+  // the corpus); the corpus streams through one narrow scan with the
+  // threshold applied in-pipeline — output is bounded by true range
+  // density, nothing corpus-sized shuffles.
+  private val RangeTauSq = 1500000L
+
+  private val x279 = GQuery(
+    "x279_range_search_exact",
+    "ext-similarity-ann range-query exact-twin",
+    (s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> round(cast(x as double) * 1000))")
+          .as("mi"))
+      val qs = base.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("mi").as("qv"))
+      base.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VectorOps.sqDist(col("mi"), col("qv"))
+            .cast("long").as("d2"))
+        .where(col("d2") <= RangeTauSq)
+        .orderBy("q_id", "d2", "vec_id")
+    },
+    Some(s"""WITH e AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS mi
+              FROM embeddings),
+            q AS (SELECT vec_id AS q_id, mi AS qv FROM e WHERE vec_id < 8),
+            d AS (
+              SELECT q.q_id, e.vec_id,
+                CAST(list_dot_product(mi, mi) + list_dot_product(qv, qv)
+                  - 2 * list_dot_product(mi, qv) AS BIGINT) AS d2
+              FROM e, q WHERE e.vec_id <> q.q_id)
+            SELECT q_id, vec_id, d2 FROM d
+            WHERE d2 <= $RangeTauSq
+            ORDER BY q_id, d2, vec_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105, x108, x109, x111, x204, x232)
+      x91, x92, x95, x100, x105, x108, x109, x111, x204, x232, x279)
 }

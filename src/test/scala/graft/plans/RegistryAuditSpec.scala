@@ -47,6 +47,7 @@ class RegistryAuditSpec extends SparkSpec {
     "x247_cramers_v" -> "langs x sources contingency lattice (the x235 bound)",
     "x216_ann_hnsw_filtered" -> "1-query batch x shard-count routing",
     "x27_knn_join" -> "8-row batch fans onto the corpus scan",
+    "x279_range_search_exact" -> "8-query batch fans onto the corpus scan",
     "x276_hubness_audit" -> "500-query eval sample fans onto the corpus scan",
     "x50_hard_negatives" -> "anchor batch fans onto candidate pool",
     "x95_ann_recall_eval" -> "eval query batch onto corpus + index")
