@@ -828,52 +828,70 @@ object Extended {
   // Trimmed (5 %) robust mean — the outlier-resistant location estimate a
   // monitoring pipeline reads when tail events (retries, bulk imports,
   // clock skew) poison the plain average: per event_type, drop the
-  // n div 20 lowest- and highest-ranked values and average the rest.
-  // Exact integers end to end: values sum as CENTS (the b03 DECIMAL
-  // discipline — decimal summation is order-independent where double
-  // summation is not), trim bounds from integer rank arithmetic (the
-  // x278 discipline), mean centi-quantized by integer division. Both
-  // engines drop the identical rows and sum the identical integers.
+  // n div 20 lowest- and highest-RANKED observations and average the
+  // rest. Exact integers end to end: values sum as CENTS (the b03
+  // DECIMAL discipline — decimal summation is order-independent where
+  // double summation is not), trim bounds from integer rank arithmetic,
+  // mean centi-quantized by integer division.
   //
-  // Scale shape: one per-group sort window (small-group tier, the x278
-  // premise) + one group-domain rollup.
+  // Scale shape: the x214/x273 "facts never sort" discipline — one
+  // map-side-combinable (type, value)-domain aggregate, then DOMAIN
+  // cumsum windows; each distinct value's kept MULTIPLICITY is the
+  // interval overlap of its cumulative rank span [c−cnt+1, c] with the
+  // kept band [t+1, n−t], so no per-row rank is ever computed and
+  // nothing fact-sized sorts. Unlike the x278 percentile row (whose
+  // small-group premise bounds its sort), this form holds at any group
+  // size.
   private val x281 = GQuery(
-    "x281_trimmed_mean", "robust-aggregate trimmed-mean",
+    "x281_trimmed_mean", "robust-aggregate trimmed-mean domain-exact",
     (s, dir) => {
-      val byType = org.apache.spark.sql.expressions.Window
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+      val all = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type"))
-      val w = byType.orderBy(col("value"), col("event_id"))
       events(s, dir)
-        .select(col("event_type"), col("event_id"),
-          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
-            .as("cents"),
-          col("value"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(byType))
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cents",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .withColumn("c", sum(col("cnt")).over(wt))
+        .withColumn("n", sum(col("cnt")).over(all))
         .withColumn("t", expr("n div 20"))
-        .where(col("rn") > col("t") && col("rn") <= col("n") - col("t"))
+        .withColumn("kept", expr(
+          "greatest(0, least(c, n - t) - greatest(c - cnt + 1, t + 1) + 1)"))
+        .where(col("kept") > 0)
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n"), max(col("t")).as("n_trimmed_each"),
-          count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+          sum(col("kept")).as("n_kept"),
+          sum(expr("cents * kept")).as("sum_cents"))
         .select(col("event_type"), col("n"), col("n_trimmed_each"),
           col("n_kept"),
           expr("sum_cents div n_kept").as("trimmed_mean_centi"))
         .orderBy("event_type")
     },
-    Some("""WITH r AS (
-              SELECT event_type,
-                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-                ROW_NUMBER() OVER (PARTITION BY event_type
-                  ORDER BY value, event_id) AS rn,
-                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-              FROM events),
+    Some("""WITH dom AS (
+              SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, cents, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type
+                  ORDER BY value) AS BIGINT) AS c,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n
+              FROM dom),
             k AS (
-              SELECT event_type, cents, n, n // 20 AS t
-              FROM r WHERE rn > n // 20 AND rn <= n - n // 20)
+              SELECT event_type, cents, n, n // 20 AS t,
+                greatest(0, least(c, n - n // 20)
+                  - greatest(c - cnt + 1, n // 20 + 1) + 1) AS kept
+              FROM cum)
             SELECT event_type, MAX(n) AS n, MAX(t) AS n_trimmed_each,
-              CAST(COUNT(*) AS BIGINT) AS n_kept,
-              CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_centi
-            FROM k GROUP BY 1 ORDER BY 1"""))
+              CAST(SUM(kept) AS BIGINT) AS n_kept,
+              CAST(SUM(cents * kept) // SUM(kept) AS BIGINT)
+                AS trimmed_mean_centi
+            FROM k
+            WHERE kept > 0
+            GROUP BY 1 ORDER BY 1"""))
 
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,

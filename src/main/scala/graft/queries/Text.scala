@@ -1530,8 +1530,64 @@ object Text {
               (1000000 * f1) // n_tokens AS p0_micro
             FROM m"""))
 
+  // ------------------------------------------------------------------- x283
+  // Misra–Gries heavy-hitter summary (Misra & Gries 1982; mergeable form
+  // Agarwal et al. PODS 2012) — the DETERMINISTIC frequency tier next to
+  // x20's freqItems: capacity-64 summary of the corpus token stream,
+  // built as exact counts → TakeOrdered top-65 → subtract the 65-th
+  // largest. Unlike x20 (whose candidate set is implementation-defined),
+  // the one-shot MG summary is pure rank arithmetic over exact counts —
+  // fully SQL-expressible, so the SKETCH itself hash-verifies, estimate
+  // values included; every token with frequency > n/65 is present with
+  // estimate within n/65 below truth. The INCREMENTAL form is
+  // streaming/FreqMaintainStream (merge = add + subtract-(k+1)-th),
+  // spec-gated for the maintained guarantee.
+  //
+  // Scale shape: one map-side-combinable token count (the only
+  // fact-sized step), a distributed TakeOrderedAndProject, then k+1 rows.
+  private val x283 = GQuery(
+    "x283_frequent_tokens_mg", "ext-text sketch-agg misra-gries",
+    (s, dir) => graft.operators.MisraGries
+      .summarize(docs(s, dir).select(explode(tokens).as("token")),
+        "token", 64)
+      .orderBy(col("cnt").desc, col("item")),
+    Some("""WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS item
+              FROM documents),
+            c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+            r AS (SELECT item, cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS rk
+              FROM c),
+            sub AS (SELECT COALESCE(MAX(CASE WHEN rk = 65 THEN cnt END),
+                0) AS s
+              FROM r WHERE rk <= 65)
+            SELECT r.item, r.cnt - sub.s AS cnt, tot.n
+            FROM r, sub, tot
+            WHERE r.rk <= 64 AND r.cnt - sub.s > 0
+            ORDER BY cnt DESC, item"""))
+
+  // ------------------------------------------------------------------- x284
+  // Exact corpus-wide top-64 tokens — x283's ground truth as its own
+  // oracled row (the exact/sketch twin discipline): the table the MG
+  // estimates lower-bound, and the table FreqMaintainSpec recounts when
+  // pinning the maintained guarantee. TakeOrdered top-k over the exact
+  // token counts; deterministic (cnt desc, item) order.
+  private val x284 = GQuery(
+    "x284_frequent_tokens_exact", "ext-text frequency exact-twin",
+    (s, dir) => docs(s, dir)
+      .select(explode(tokens).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(64),
+    Some("""SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS item
+                  FROM documents)
+            GROUP BY 1 ORDER BY cnt DESC, item LIMIT 64"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138, x173, x207, x224, x230, x258)
+      x110, x113, x138, x173, x207, x224, x230, x258, x283, x284)
 }
