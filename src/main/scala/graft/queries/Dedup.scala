@@ -567,12 +567,15 @@ object Dedup {
             ORDER BY a_id, b_id"""))
 
   // ------------------------------------------------------------------- x280
-  // Exact CONTAINMENT join (Broder 1997's containment coefficient) — the
-  // asymmetric duplication x225's Jaccard provably under-reports: a
-  // 100-word document pasted verbatim into a 10000-word page has
-  // C(A→B) = |A∩B|/|A| ≈ 1 but Jaccard ≈ 0.01, so symmetric near-dup
-  // tiers never see sub-document copying (quote farms, template
-  // wrapping, article scrapes inside aggregators). Same lossless
+  // LOSSLESS containment join (Broder 1997's containment coefficient) —
+  // the exact tier above x145's df-capped blocked form, exactly as x225
+  // is the exact tier above x03's LSH: x145 drops shingles appearing in
+  // > MaxDf documents (boilerplate cutoff — scale-right, but a pair
+  // sharing ONLY common shingles is silently unreachable) and scores
+  // min-size containment on unordered pairs; this row guarantees EVERY
+  // directional pair with C(A→B) = |A∩B|/|A| ≥ 0.8 — the asymmetric
+  // duplication Jaccard provably under-reports (a 100-word document
+  // pasted into a 10000-word page has C ≈ 1, J ≈ 0.01). Same lossless
   // prefix-filter machinery as x225 with the ASYMMETRIC adaptation: the
   // contained side contributes its rarest-first prefix of length
   // n_a − ceil(0.8·n_a) + 1, probed against FULL postings (no size

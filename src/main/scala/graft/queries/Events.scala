@@ -3652,10 +3652,98 @@ object Events {
                 AS weekend_milli
             FROM d"""))
 
+  // ------------------------------------------------------------------- x285
+  // Banded interval-overlap join — the join pattern the registry's range
+  // tiers stop short of: c19 bands VALUES into a tiny tier dim, c20
+  // matches each row to ONE prior row; this joins two interval SETS where
+  // both sides are input-sized — user sessions (30-min-gap lag
+  // sessionization, exact integer micros) against incident windows
+  // (±15 min around a deterministic 1/97 sample of error events) — on
+  // closed-interval overlap. The scale decision is the BANDING: each
+  // interval explodes to its covered hour buckets, the join runs as an
+  // EQUI-join on the bucket key (shuffle-hash-able, co-partitionable,
+  // skew-salvageable — everything a raw theta join is not), a pair that
+  // shares several buckets dedups through one distinct, and the exact
+  // overlap predicate verifies after. Fan-out per interval is
+  // ceil(duration/band)+1 — bounded by interval length, never by the
+  // other side's size. Overlap reported in exact integer micros.
+  //
+  // The oracle states the SEMANTICS as the brute theta join — the banded
+  // plan must reproduce it row-for-row, which is precisely the lossless
+  // claim (band coverage is exhaustive: two intervals overlap iff they
+  // share at least one covered bucket).
+  private val x285 = GQuery(
+    "x285_interval_overlap_join", "ext-events interval-join banded",
+    (s, dir) => {
+      val us = 1000000L
+      val bandUs = 3600L * us
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val w = Window.partitionBy("user_id").orderBy("tus")
+      val sess = e
+        .withColumn("brk",
+          when(col("tus") - lag(col("tus"), 1).over(w) > 30L * 60L * us
+            || lag(col("tus"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+      val inc = e
+        .where(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("incident_id"),
+          (col("tus") - 15L * 60L * us).as("i_start"),
+          (col("tus") + 15L * 60L * us).as("i_end"))
+      val sessB = sess.withColumn("band",
+        explode(sequence(expr(s"s_start div $bandUs"),
+          expr(s"s_end div $bandUs"))))
+      val incB = inc.withColumn("band",
+        explode(sequence(expr(s"i_start div $bandUs"),
+          expr(s"i_end div $bandUs"))))
+      sessB.join(incB, "band")
+        .where(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+        .select(col("user_id"), col("session_idx"), col("incident_id"),
+          col("s_start"), col("s_end"), col("i_start"), col("i_end"))
+        .distinct()
+        .select(col("user_id"), col("session_idx"), col("incident_id"),
+          (least(col("s_end"), col("i_end"))
+            - greatest(col("s_start"), col("i_start"))).as("overlap_us"))
+        .orderBy("user_id", "session_idx", "incident_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+              FROM events),
+            m AS (
+              SELECT user_id, tus,
+                CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id
+                    ORDER BY tus) > 1800000000
+                  OR LAG(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                    IS NULL THEN 1 ELSE 0 END AS brk
+              FROM e),
+            g AS (
+              SELECT user_id, tus,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM m),
+            sess AS (
+              SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                MIN(tus) AS s_start, MAX(tus) AS s_end
+              FROM g GROUP BY 1, 2),
+            inc AS (
+              SELECT event_id AS incident_id,
+                tus - 900000000 AS i_start, tus + 900000000 AS i_end
+              FROM e WHERE event_type = 'error' AND event_id % 97 = 0)
+            SELECT s.user_id, s.session_idx, i.incident_id,
+              least(s.s_end, i.i_end) - greatest(s.s_start, i.i_start)
+                AS overlap_us
+            FROM sess s JOIN inc i
+              ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+            ORDER BY s.user_id, s.session_idx, i.incident_id"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
     x206, x208, x211, x213, x214, x218, x228, x249, x250, x252, x262,
-    x268, x269, x270)
+    x268, x269, x270, x285)
 }
