@@ -622,7 +622,92 @@ object Retrieval {
                 ELSE 0 END) AS rrf_micro
             FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10"""))
 
+  // ------------------------------------------------------------------- x286
+  // TextRank keywords (Mihalcea & Tarau 2004) — unsupervised keyword
+  // extraction as PageRank over the word co-occurrence graph: adjacent
+  // token pairs (window 2) become undirected edges, six supersteps of
+  // the registry's EXACT integer-micros recurrence (x124's rank = 150000
+  // + 850·Σ(rank div outdeg) div 1000 — the damping and shares all
+  // integer, so DuckDB replays the six unrolled CTEs bit-identically),
+  // top-30 by (rank desc, word). The graph-centrality complement to
+  // x45's TF-IDF and x99's PMI: those score words by document/pair
+  // statistics, this by global co-occurrence topology.
+  //
+  // Scale shape: one fact-sized tokenize+explode (tokens hoisted once —
+  // the x145 lesson) reduces to a VOCAB²-bounded distinct edge list;
+  // every iteration table thereafter is vocab-domain-sized (the
+  // dimension-iteration regime, not the x124 stored-graph superstep
+  // regime — a word vocabulary is bounded where a co-purchase graph is
+  // not), checkpointed per step to cut lineage.
+  private val x286 = GQuery(
+    "x286_textrank_keywords", "ext-text keyword-extraction textrank",
+    (s, dir) => {
+      val tk = docs(s, dir).select(split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+      val bg = tk.select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .where(col("a") =!= col("b"))
+      val e = bg.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(bg.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint(true)
+      var r = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 6) {
+        val contrib = e
+          .join(r, e("src") === r("node"))
+          .join(deg, "src")
+          .select(col("dst").as("node2"), expr("rank div outdeg").as("sh"))
+          .groupBy("node2").agg(sum(col("sh")).as("c"))
+        val next = deg.select(col("src").as("node"))
+          .join(contrib.withColumnRenamed("node2", "node"), Seq("node"), "left")
+          .select(col("node"),
+            expr("150000 + (850 * coalesce(c, 0)) div 1000").as("rank"))
+          .localCheckpoint(true)
+        graft.Checkpoints.drop(r)
+        r = next
+      }
+      r.select(col("node").as("word"), col("rank").as("rank_micros"))
+        .orderBy(col("rank_micros").desc, col("word")).limit(30)
+    },
+    Some {
+      val head =
+        """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents
+             WHERE len(string_split(text, ' ')) >= 2),
+           bg AS (SELECT w[i] AS a, w[i+1] AS b
+                  FROM t, unnest(range(1, len(w))) r(i)
+                  WHERE w[i] <> w[i+1]),
+           e AS MATERIALIZED (
+             SELECT DISTINCT src, dst FROM (
+               SELECT a AS src, b AS dst FROM bg
+               UNION ALL SELECT b, a FROM bg)),
+           deg AS MATERIALIZED (
+             SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+             FROM e GROUP BY 1),
+           r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank
+                  FROM deg)"""
+      val steps = (1 to 6).map { i =>
+        s"""r$i AS (
+             SELECT d.src AS node,
+               150000 + (850 * COALESCE(s.c, 0)) // 1000 AS rank
+             FROM deg d LEFT JOIN (
+               SELECT e.dst AS node2,
+                 CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS c
+               FROM e JOIN r${i - 1} r ON e.src = r.node
+                      JOIN deg g ON g.src = e.src
+               GROUP BY 1) s
+             ON s.node2 = d.src)"""
+      }
+      (head +: steps).mkString(",\n") +
+        "\nSELECT node AS word, CAST(rank AS BIGINT) AS rank_micros FROM r6 " +
+        "ORDER BY rank_micros DESC, word LIMIT 30"
+    })
+
   val queries: Seq[GQuery] =
-    Seq(x45, x46, x47, x58, x59, x83, x99, x112, x144, x271)
+    Seq(x45, x46, x47, x58, x59, x83, x99, x112, x144, x271, x286)
 }
 
