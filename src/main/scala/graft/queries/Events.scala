@@ -3740,10 +3740,60 @@ object Events {
               ON s.s_start <= i.i_end AND i.i_start <= s.s_end
             ORDER BY s.user_id, s.session_idx, i.incident_id"""))
 
+  // ------------------------------------------------------------------- x287
+  // Group-aware train/val/test split — the ENTITY-level split x94's
+  // document-level stratification cannot give: every event inherits its
+  // USER's assignment (md5 of the user id against fixed hex bounds, the
+  // x21 deterministic-coin discipline: 'cb'→~80 % train, 'e5'→~10 % val,
+  // rest test), so no user ever straddles splits — the leakage a
+  // sequence/behavior model trained on random event-level splits
+  // silently enjoys (its test users' OTHER events were in training).
+  // Leakage-freedom is structural (assignment is a pure function of the
+  // user), and the emitted per-split audit — users, events, purchases,
+  // purchase-rate milli — is exact integers, so the row hash-verifies.
+  //
+  // Scale shape: one narrow projection computes the assignment in the
+  // scan (no user table materialized, no join), one 3-row rollup.
+  private val x287 = GQuery(
+    "x287_groupwise_split", "ext-events leakage-safe entity-split",
+    (s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          substring(md5(concat(col("user_id"), lit(":x287"))), 1, 2).as("h"))
+        .withColumn("split",
+          when(col("h") <= "cb", "train")
+            .when(col("h") <= "e5", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .select(col("split"), col("n_users"), col("n_events"),
+          col("n_purchases"),
+          expr("(1000 * n_purchases) div n_events").as("purchase_rate_milli"))
+        .orderBy("split")
+    },
+    Some("""WITH a AS (
+              SELECT user_id, event_type,
+                CASE WHEN substr(md5(user_id || ':x287'), 1, 2) <= 'cb'
+                    THEN 'train'
+                  WHEN substr(md5(user_id || ':x287'), 1, 2) <= 'e5'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+              FROM events)
+            SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+              (1000 * CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+                AS purchase_rate_milli
+            FROM a GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
     x206, x208, x211, x213, x214, x218, x228, x249, x250, x252, x262,
-    x268, x269, x270, x285)
+    x268, x269, x270, x285, x287)
 }
