@@ -186,15 +186,20 @@ object Bench {
   }
 
   /** Round number for artifact filenames: env override, else one past the
-    * newest BENCH_r<N>.json the driver has written so far.
+    * newest BENCH_r<N>.json the driver has written so far. The env parse
+    * is TOTAL (a malformed value falls through to the file scan): this
+    * now runs before the metric line prints, so an unguarded toInt would
+    * discard the whole timed pass over a typo'd env var.
     */
   private def currentRound(): Int =
-    sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-      val pat = "BENCH_r(\\d+)\\.json".r
-      val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (seen.isEmpty) 0 else seen.max + 1
-    }
+    sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse {
+        val pat = "BENCH_r(\\d+)\\.json".r
+        val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (seen.isEmpty) 0 else seen.max + 1
+      }
 
   /** The COMPLETE per-query timing map (full names, centiseconds, -1
     * sentinels), written to `bench_detail_r<N>.json` beside the plans

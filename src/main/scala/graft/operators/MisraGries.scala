@@ -54,7 +54,13 @@ object MisraGries {
       .withColumn("sub",
         max(when(col("rk") === k + 1, col("cnt"))).over(all))
       .withColumn("cnt", col("cnt") - coalesce(col("sub"), lit(0L)))
-      .where(col("rk") <= k && col("cnt") > 0)
+      // the rank-1 row survives even at est 0 (an all-ties compress zeroes
+      // every estimate): a 0 estimate is semantically identical to absence
+      // under the MG bound (est ≤ true, true − est ≤ n/(k+1) hold either
+      // way), but the surviving row is what CARRIES the summarized total
+      // `n` — an empty summary would silently lose n and every later
+      // merge would under-state the bound the artifact is read by
+      .where(col("rk") <= k && (col("cnt") > 0 || col("rk") === 1))
       .select(col("item"), col("cnt").cast("long").as("cnt"))
   }
 
@@ -80,15 +86,22 @@ object MisraGries {
   /** Merge two capacity-k summaries (Agarwal et al. §3.1): item-wise
     * count addition, then the same (k+1)-th-largest subtraction. Totals
     * add — the bound for the merged summary is (n1+n2)/(k+1). Both
-    * inputs are k-bounded, so the whole merge moves ≤ 2k rows.
+    * inputs are k-bounded, so the whole merge moves ≤ 2k rows, and the
+    * result is ONE lazy plan: the totals ride 1-row aggregates through a
+    * broadcast cross join (the fromCounts shape) instead of eager
+    * driver .head() actions, so composing merges stays free and a
+    * streaming maintainer pays exactly one job per fold.
     */
   def merge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    val na = a.agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
-    val nb = b.agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    val tot = a.agg(coalesce(max(col("n")), lit(0L)).as("na"))
+      .crossJoin(b.agg(coalesce(max(col("n")), lit(0L)).as("nb")))
+      .select((col("na") + col("nb")).as("n"))
     val added = a.select(col("item"), col("cnt"))
       .unionAll(b.select(col("item"), col("cnt")))
       .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
-    compressBounded(added, k).withColumn("n", lit(na + nb))
+    compressBounded(added, k)
+      .crossJoin(broadcast(tot))
+      .select(col("item"), col("cnt"), col("n").cast("long").as("n"))
   }
 
   /** One-shot capacity-k summary of a token column: exact counts (the

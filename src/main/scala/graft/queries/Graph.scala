@@ -181,8 +181,17 @@ object Graph {
     raw.trim match {
       case "" => false
       case t =>
-        try { val n = t.toLong; n <= 0 || dim.count() > n }
-        catch { case _: NumberFormatException => false }
+        // a malformed threshold fails LOUDLY (the CorpusMain unknown-stage
+        // discipline): silently falling back to broadcast would disable
+        // the scale-safety gate at exactly the scale it exists for — the
+        // operator believes the gate is on while every node join
+        // broadcasts a ~10⁹-row table into an executor OOM
+        val n = try t.toLong catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            "spark.graft.graph.nodeBroadcastThreshold must be a row count " +
+              s"(or unset for always-broadcast), got '$t'", e)
+        }
+        n <= 0 || dim.count() > n
     }
   }
 

@@ -642,12 +642,11 @@ object Retrieval {
   private val x286 = GQuery(
     "x286_textrank_keywords", "ext-text keyword-extraction textrank",
     (s, dir) => {
-      val tk = docs(s, dir).select(split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 2)
-      val bg = tk.select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
+      // docBigrams is THE bigram definition (its zip_with shape also
+      // sidesteps the sequence(1, size-1)-descends-at-size-1 pitfall its
+      // scaladoc documents) — one feature space shared with x47/x59/x271
+      val bg = docBigrams(docs(s, dir))
+        .select(col("w1").as("a"), col("w2").as("b"))
         .where(col("a") =!= col("b"))
       val e = bg.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(bg.select(col("b").as("src"), col("a").as("dst")))

@@ -1565,7 +1565,7 @@ object Text {
               FROM r WHERE rk <= 65)
             SELECT r.item, r.cnt - sub.s AS cnt, tot.n
             FROM r, sub, tot
-            WHERE r.rk <= 64 AND r.cnt - sub.s > 0
+            WHERE r.rk <= 64 AND (r.cnt - sub.s > 0 OR r.rk = 1)
             ORDER BY cnt DESC, item"""))
 
   // ------------------------------------------------------------------- x284

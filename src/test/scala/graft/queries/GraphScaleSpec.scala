@@ -141,6 +141,18 @@ class GraphScaleSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("malformed node-broadcast threshold fails loudly, not silently-broadcast") {
+    val e = Graph.storedEdges(spark, sf001)
+    val key = "spark.graft.graph.nodeBroadcastThreshold"
+    try {
+      spark.conf.set(key, "1e6") // not a long — the gate must refuse, not
+      // fall back to broadcasting a node table the conf was set to cap
+      intercept[IllegalArgumentException] {
+        Graph.nodePastBroadcast(Graph.degrees(e).select("node"))
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("iterative registry queries serve index-only: no lineitem scan anywhere") {
     for (name <- Seq("x124_copurchase_pagerank", "x129_degree_profile",
         "x130_label_propagation", "x131_kcore", "x139_hop_distance",

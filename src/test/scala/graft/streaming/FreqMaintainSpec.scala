@@ -86,6 +86,23 @@ class FreqMaintainSpec extends SparkSpec {
       "replaying a folded batch must not change the summary")
   }
 
+  test("an all-ties compress still carries the total n") {
+    // 65 singleton tokens at k=64: the subtract-the-65th rule zeroes
+    // every estimate — the summary must still carry n on its rank-1
+    // survivor (the round-10 review finding: an empty summary lost n and
+    // every later merge under-stated the n/(k+1) bound)
+    import spark.implicits._
+    val batch1 = (1 to 65).map(i => s"tok$i").toDF("token")
+    val s1 = MisraGries.summarize(batch1, "token", 64)
+    val rows1 = s1.collect()
+    assert(rows1.nonEmpty, "the n-carrier row must survive an all-ties compress")
+    assert(rows1.map(_.getLong(2)).max == 65L)
+    val s2 = MisraGries.summarize(Seq("a", "a", "b").toDF("token"), "token", 64)
+    val m = MisraGries.merge(s1, s2, 64).collect()
+    assert(m.map(_.getLong(2)).max == 68L,
+      s"merged total must be 65 + 3: ${m.toSeq}")
+  }
+
   test("x283 one-shot summary equals the registry row (shared code)") {
     val viaRegistry = graft.SparkEntry
       .queries("x283_frequent_tokens_mg")(spark, sf001).collect()
