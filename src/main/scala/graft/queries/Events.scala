@@ -3790,10 +3790,131 @@ object Events {
                 AS purchase_rate_milli
             FROM a GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x288
+  // Run-length collapse of consecutive duplicate events — the
+  // at-least-once ingestion artifact every event pipeline scrubs:
+  // a client retry or redelivery lands the SAME action again moments
+  // later, and downstream counters double-bill unless immediately-
+  // repeated events collapse to their run's first row. Distinct from
+  // x32's keyed dedup (which needs an identity key and a ledger): this
+  // is POSITIONAL — only consecutive repeats of the same type within a
+  // user's timeline collapse; the same action genuinely repeated later
+  // stays. Exact: runs delimited by lag() over (user, time, event_id);
+  // per-user per-type audit of rows in vs runs kept.
+  //
+  // Scale shape: one user-keyed window pass (the x115/x268 lag shape —
+  // the partition key is the user, so the sort is per-user-bounded),
+  // one rollup; nothing else moves.
+  private val x288 = GQuery(
+    "x288_runlength_collapse", "ext-events ingest-dedup run-length",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("first_of_run",
+          when(col("event_type") === lag(col("event_type"), 1).over(w), 0L)
+            .otherwise(1L))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("first_of_run")).as("n_runs"))
+        .where(col("n_rows") > col("n_runs"))
+        .select(col("user_id"), col("event_type"), col("n_rows"),
+          col("n_runs"), (col("n_rows") - col("n_runs")).as("n_collapsed"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+              FROM events),
+            m AS (
+              SELECT user_id, event_type,
+                CASE WHEN event_type = LAG(event_type) OVER w
+                  THEN 0 ELSE 1 END AS first_of_run
+              FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY tus, event_id))
+            SELECT user_id, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(first_of_run) AS BIGINT) AS n_runs,
+              CAST(COUNT(*) - SUM(first_of_run) AS BIGINT) AS n_collapsed
+            FROM m GROUP BY 1, 2
+            HAVING COUNT(*) > SUM(first_of_run)
+            ORDER BY 1, 2"""))
+
+  // ------------------------------------------------------------------- x289
+  // Aggregation-reversal (Simpson's paradox) audit — the sanity check a
+  // metrics pipeline runs before publishing any pooled correlation: per
+  // event_type, the EXACT sign of cov(hour-of-day, value) from integer
+  // moments (sign(n·Σxy − Σx·Σy) — no division, no floats), next to the
+  // pooled sign over all types, flagging every stratum whose trend
+  // opposes the pooled trend (the reversal that makes a pooled "values
+  // rise through the day" claim false for a segment). Moments ride
+  // DECIMAL(38,0)/HUGEINT (the x270 headroom discipline — Σxy is
+  // hour·cents ≈ 10¹⁰ per row, past 2⁶³ in BIGINT well before 10¹²
+  // rows).
+  //
+  // Scale shape: one map-side-combinable 4-moment aggregate per type,
+  // pooled moments as a |type|-domain window over the 5-row group table.
+  private val x289 = GQuery(
+    "x289_simpson_audit", "ext-events metric-audit aggregation-reversal",
+    (s, dir) => {
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      events(s, dir)
+        .select(col("event_type"),
+          hour(col("ts")).cast("long").as("x"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .withColumn("np", sum(col("n")).over(all))
+        .withColumn("sxp", sum(col("sx")).over(all))
+        .withColumn("syp", sum(col("sy")).over(all))
+        .withColumn("sxyp", sum(col("sxy")).over(all))
+        .withColumn("cov_g", expr("n * sxy - sx * sy"))
+        .withColumn("cov_p", expr("np * sxyp - sxp * syp"))
+        .select(col("event_type"), col("n").cast("long").as("n_events"),
+          expr("cast(case when cov_g > 0 then 1 when cov_g < 0 then -1 " +
+            "else 0 end as bigint)").as("sign_stratum"),
+          col("cov_p"))
+        .withColumn("sign_pooled", expr(
+          "cast(case when cov_p > 0 then 1 when cov_p < 0 then -1 " +
+            "else 0 end as bigint)"))
+        .withColumn("reversed",
+          (col("sign_stratum") * col("sign_pooled")) < 0)
+        .drop("cov_p")
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (
+              SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(hour(ts)) AS HUGEINT) AS sx,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS HUGEINT) AS sy,
+                SUM(CAST(hour(ts) AS HUGEINT)
+                  * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS sxy
+              FROM events GROUP BY 1),
+            g AS (
+              SELECT event_type, n, n * sxy - sx * sy AS cov_g,
+                SUM(n) OVER () * SUM(sxy) OVER ()
+                  - SUM(sx) OVER () * SUM(sy) OVER () AS cov_p
+              FROM m)
+            SELECT event_type, CAST(n AS BIGINT) AS n_events,
+              CAST(CASE WHEN cov_g > 0 THEN 1 WHEN cov_g < 0 THEN -1
+                ELSE 0 END AS BIGINT) AS sign_stratum,
+              CAST(CASE WHEN cov_p > 0 THEN 1 WHEN cov_p < 0 THEN -1
+                ELSE 0 END AS BIGINT) AS sign_pooled,
+              (CASE WHEN cov_g > 0 THEN 1 WHEN cov_g < 0 THEN -1 ELSE 0 END)
+                * (CASE WHEN cov_p > 0 THEN 1 WHEN cov_p < 0 THEN -1
+                    ELSE 0 END) < 0 AS reversed
+            FROM g ORDER BY event_type"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
     x206, x208, x211, x213, x214, x218, x228, x249, x250, x252, x262,
-    x268, x269, x270, x285, x287)
+    x268, x269, x270, x285, x287, x288, x289)
 }
