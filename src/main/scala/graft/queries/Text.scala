@@ -1586,8 +1586,60 @@ object Text {
                   FROM documents)
             GROUP BY 1 ORDER BY cnt DESC, item LIMIT 64"""))
 
+  // ------------------------------------------------------------------- x290
+  // Vocabulary concentration — the Gini COEFFICIENT of per-language token
+  // frequencies (inequality, not x263's Gini impurity): a corpus whose
+  // token mass concentrates in few types (Gini → 1) is
+  // boilerplate/template-heavy and starves the tokenizer's tail; a flat
+  // distribution (→ 0) suggests noise. Exact integer rank arithmetic on
+  // the ascending-sorted count domain: G·10⁶ = 10⁶·(Σ(2i − v − 1)·cᵢ)
+  // div (v·T) — ties among equal counts cannot change the sum, so any
+  // deterministic tie order verifies. Rank-weighted products ride
+  // DECIMAL(38,0)/HUGEINT (rank ≈ vocab 10⁷ × count 10¹² passes 2⁶³).
+  //
+  // Scale shape: one fact-sized token count (map-side combinable), then
+  // a per-language VOCAB-domain rank window (vocab ≪ corpus — the
+  // x283/x56 regime) and a 5-row rollup.
+  private val x290 = GQuery(
+    "x290_vocab_gini", "ext-text corpus-health vocabulary-concentration",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("c"), col("t"))
+      docs(s, dir)
+        .select(col("lang"), explode(tokens).as("t"))
+        .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("v"), sum(col("c")).as("n_tokens"),
+          sum(col("rk").cast("decimal(38,0)") * col("c")).as("src"))
+        .select(col("lang"), col("v"), col("n_tokens"),
+          expr("""cast((1000000 * (2 * src
+                - (cast(v as decimal(38,0)) + 1) * n_tokens))
+              div (cast(v as decimal(38,0)) * n_tokens) as bigint)""")
+            .as("gini_micro"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+            c AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM tok GROUP BY 1, 2),
+            r AS (SELECT lang, c,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c, t) AS rk
+              FROM c),
+            m AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS v,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                SUM(CAST(rk AS HUGEINT) * c) AS src
+              FROM r GROUP BY 1)
+            SELECT lang, v, n_tokens,
+              CAST((1000000 * (2 * src - (CAST(v AS HUGEINT) + 1)
+                  * n_tokens))
+                // (CAST(v AS HUGEINT) * n_tokens) AS BIGINT) AS gini_micro
+            FROM m ORDER BY lang"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138, x173, x207, x224, x230, x258, x283, x284)
+      x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290)
 }
