@@ -245,5 +245,48 @@ object Spectral {
             SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_vectors
             FROM a GROUP BY 1 ORDER BY 1"""))
 
-  val queries: Seq[GQuery] = Seq(x147, x148, x170, x276)
+  // ------------------------------------------------------------------- x291
+  // Embedding norm-health audit — the degenerate-geometry check run
+  // before any cosine/L2 tier is trusted (x276's hubness sibling): per
+  // label, exact integer stats of the squared L2 norm in milli space
+  // (min/max/mean + the max/min spread in millis). Norm COLLAPSE (all
+  // vectors near one shell, spread → 0) makes cosine ≈ rank-free; norm
+  // BLOWUP (heavy-tailed spread) makes unnormalized dot products
+  // dominate retrieval. Same milli quantization as every exact vector
+  // row (x170/x271/x277), so the audit hash-verifies; norm² sums are
+  // per-row bounded (dims·(milli)² ≈ 10⁹) and the label rollup rides
+  // BIGINT.
+  //
+  // Scale shape: one narrow scan, per-row aggregate() over the vector
+  // (no explode — the x170 in-pipeline kernel shape), one |label|-domain
+  // rollup.
+  private val x291 = GQuery(
+    "x291_embedding_norm_audit", "ext-spectral similarity-audit norm-health",
+    (s, dir) => {
+      emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          expr("""aggregate(transform(embedding,
+                x -> cast(round(cast(x as double) * 1000) as bigint)),
+              0L, (acc, v) -> acc + v * v)""").as("n2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("n2")).as("min_n2"),
+          max(col("n2")).as("max_n2"), sum(col("n2")).as("sum_n2"))
+        .select(col("label"), col("n_vecs"), col("min_n2"), col("max_n2"),
+          expr("sum_n2 div n_vecs").as("mean_n2"),
+          (col("max_n2") - col("min_n2")).as("spread_n2"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                CAST(list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) ** 2))
+                  AS BIGINT) AS n2
+              FROM embeddings)
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              MIN(n2) AS min_n2, MAX(n2) AS max_n2,
+              CAST(SUM(n2) // COUNT(*) AS BIGINT) AS mean_n2,
+              MAX(n2) - MIN(n2) AS spread_n2
+            FROM e GROUP BY 1 ORDER BY 1"""))
+
+  val queries: Seq[GQuery] = Seq(x147, x148, x170, x276, x291)
 }
