@@ -1311,7 +1311,76 @@ object Lakehouse {
               CAST(n_null AS BIGINT) AS n_null, CAST(ndv AS BIGINT) AS ndv
             FROM u ORDER BY column_name"""))
 
+  // ------------------------------------------------------------------- x292
+  // Partition-key advisor — the third leg of the layout trio (x273 picks
+  // the sort key, x274 the encoding, this the PARTITION column): per
+  // candidate, the exact numbers the decision reads — partition count
+  // (ndv: too many = small-files explosion + listing pain), the largest
+  // partition's row share in millis (skew: one hot partition serializes
+  // every downstream stage), and the file count a 100k-rows/file target
+  // would produce (Σ ceil(rows_p / target) — the small-files bill). The
+  // advisor emits the trade-off table rather than a verdict: day
+  // partitioning is usually the pruning win, but THIS table is how an
+  // operator sees when a type column's 5 partitions at 300‰ skew or a
+  // user bucket's 10⁴ partitions would hurt more.
+  //
+  // Scale shape: one map-side-combinable value-domain aggregate per
+  // candidate, one domain rollup each, three 1-row summaries unioned;
+  // column pruning gives each scan exactly one column.
+  private def partitionStats(ev: DataFrame, name: String,
+      key: Column): DataFrame =
+    ev.select(key.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("rows_p"))
+      .agg(count(lit(1)).as("n_partitions"), sum(col("rows_p")).as("n_rows"),
+        max(col("rows_p")).as("max_rows"),
+        sum(expr("(rows_p + 99999) div 100000")).as("n_files_100k"))
+      .select(lit(name).as("candidate"), col("n_partitions"), col("n_rows"),
+        expr("(1000 * max_rows) div n_rows").as("max_share_milli"),
+        col("n_files_100k"))
+
+  private val x292 = GQuery(
+    "x292_partition_advisor", "ext-lakehouse layout-advisor partition-key",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      partitionStats(ev, "day", date_trunc("day", col("ts")).cast("date"))
+        .unionAll(partitionStats(ev, "event_type", col("event_type")))
+        .unionAll(partitionStats(ev, "user_bucket",
+          pmod(col("user_id"), lit(1024L))))
+        .orderBy("candidate")
+    },
+    Some("""WITH d_g AS (
+              SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                  AS k, CAST(COUNT(*) AS BIGINT) AS rows_p
+              FROM events GROUP BY 1),
+            t_g AS (
+              SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS rows_p
+              FROM events GROUP BY 1),
+            u_g AS (
+              SELECT CAST(user_id % 1024 AS VARCHAR) AS k,
+                CAST(COUNT(*) AS BIGINT) AS rows_p
+              FROM events GROUP BY 1),
+            u AS (
+              SELECT 'day' AS candidate,
+                CAST(COUNT(*) AS BIGINT) AS n_partitions,
+                CAST(SUM(rows_p) AS BIGINT) AS n_rows,
+                CAST(MAX(rows_p) AS BIGINT) AS max_rows,
+                CAST(SUM((rows_p + 99999) // 100000) AS BIGINT)
+                  AS n_files_100k
+              FROM d_g
+              UNION ALL
+              SELECT 'event_type', COUNT(*), SUM(rows_p), MAX(rows_p),
+                SUM((rows_p + 99999) // 100000) FROM t_g
+              UNION ALL
+              SELECT 'user_bucket', COUNT(*), SUM(rows_p), MAX(rows_p),
+                SUM((rows_p + 99999) // 100000) FROM u_g)
+            SELECT candidate, CAST(n_partitions AS BIGINT) AS n_partitions,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST((1000 * max_rows) // n_rows AS BIGINT)
+                AS max_share_milli,
+              CAST(n_files_100k AS BIGINT) AS n_files_100k
+            FROM u ORDER BY candidate"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190, x199, x205, x229, x273, x274, x282)
+      x185, x190, x199, x205, x229, x273, x274, x282, x292)
 }
