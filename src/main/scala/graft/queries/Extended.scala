@@ -893,7 +893,70 @@ object Extended {
             WHERE kept > 0
             GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x293
+  // Referential-integrity audit — the CROSS-table half of data quality
+  // x136's single-table rules stop at: per foreign-key relationship,
+  // exact child row count, orphan count (children whose parent key is
+  // absent), and coverage millis. Orphans are how partial loads, late
+  // dimensions, and botched deletes actually surface; a warehouse runs
+  // this table after every load. Each relationship is one LEFT ANTI
+  // join on the key — broadcastable when the parent is a dimension,
+  // co-partitioned shuffle otherwise; Catalyst picks per stats, which is
+  // the point of writing it declaratively.
+  private def fkAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val orphans = child.select(col(childKey).as("k"))
+      .join(parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(broadcast(orphans))
+      .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"),
+        expr("(1000 * (n_child - n_orphans)) div n_child")
+          .as("coverage_milli"))
+  }
+
+  private val x293 = GQuery(
+    "x293_referential_audit", "ext-pipeline data-quality referential",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      fkAudit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(fkAudit(li, "l_partkey", Tables(s, dir, "part"),
+          "p_partkey", "lineitem->part"))
+        .unionAll(fkAudit(li, "l_suppkey", Tables(s, dir, "supplier"),
+          "s_suppkey", "lineitem->supplier"))
+        .unionAll(fkAudit(o, "o_custkey", Tables(s, dir, "customer"),
+          "c_custkey", "orders->customer"))
+        .orderBy("relationship")
+    },
+    Some("""WITH a AS (
+              SELECT 'lineitem->orders' AS relationship,
+                CAST(COUNT(*) AS BIGINT) AS n_child,
+                CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+              FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              UNION ALL
+              SELECT 'lineitem->part', COUNT(*),
+                SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+              FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+              UNION ALL
+              SELECT 'lineitem->supplier', COUNT(*),
+                SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+              FROM lineitem l LEFT JOIN supplier s
+                ON l.l_suppkey = s.s_suppkey
+              UNION ALL
+              SELECT 'orders->customer', COUNT(*),
+                SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey)
+            SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+              CAST(n_orphans AS BIGINT) AS n_orphans,
+              CAST((1000 * (n_child - n_orphans)) // n_child AS BIGINT)
+                AS coverage_milli
+            FROM a ORDER BY relationship"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278, x281)
+    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278, x281, x293)
 }
