@@ -813,6 +813,69 @@ object Dedup {
                 d.doc_id) AS keeper
             FROM documents d ORDER BY d.doc_id"""))
 
+  // ------------------------------------------------------------------- x294
+  // Duplication census — the "how duplicated is my corpus" headline read
+  // over x236's EXACT clusters: per cluster-size band (1 / 2 / 3-4 / 5+,
+  // the x275 banding), how many clusters and how many documents, plus
+  // the dedup dividend (docs − clusters = rows a keeper-only corpus
+  // drops). The number a curation review quotes first, computed from
+  // the lossless tier so it cannot under-count the way an LSH census
+  // can. Shares allPairsClusters verbatim (the x31 discipline).
+  //
+  // Scale shape: x236's plan + one keeper-domain aggregate and a 4-row
+  // band rollup.
+  private val x294 = GQuery(
+    "x294_duplication_census", "ext-dedup-fuzzy cluster-size census",
+    (s, dir) => {
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      allPairsClusters(docs(s, dir))
+        .groupBy(col("keeper")).agg(count(lit(1)).as("sz"))
+        .groupBy(when(col("sz") === 1L, "1").when(col("sz") === 2L, "2")
+          .when(col("sz") <= 4L, "3-4").otherwise("5+").as("size_band"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        .withColumn("dedup_dividend",
+          sum(col("n_docs") - col("n_clusters")).over(all))
+        .orderBy("size_band")
+    },
+    Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM t),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok)
+                   - len(list_intersect(a.tok, b.tok))) >= 0.8),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+            reach(node, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node),
+            lab AS (
+              SELECT d.doc_id,
+                COALESCE((SELECT MIN(lbl) FROM reach WHERE node = d.doc_id),
+                  d.doc_id) AS keeper
+              FROM documents d),
+            cl AS (SELECT keeper, CAST(COUNT(*) AS BIGINT) AS sz
+                   FROM lab GROUP BY 1),
+            b AS (
+              SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+                  WHEN sz <= 4 THEN '3-4' ELSE '5+' END AS size_band,
+                CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                CAST(SUM(sz) AS BIGINT) AS n_docs
+              FROM cl GROUP BY 1)
+            SELECT size_band, n_clusters, n_docs,
+              CAST(SUM(n_docs - n_clusters) OVER () AS BIGINT)
+                AS dedup_dividend
+            FROM b ORDER BY size_band"""))
+
   // Similarity-band census — the threshold-sensitivity audit run BEFORE
   // committing to a dedup cutoff: how many document pairs sit in each
   // Jaccard decile above 0.5? A cliff between bands is where the corpus'
@@ -893,5 +956,5 @@ object Dedup {
 
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
-      x236, x237, x241, x280)
+      x236, x237, x241, x280, x294)
 }
