@@ -1638,8 +1638,72 @@ object Text {
                 // (CAST(v AS HUGEINT) * n_tokens) AS BIGINT) AS gini_micro
             FROM m ORDER BY lang"""))
 
+  // ------------------------------------------------------------------- x295
+  // Split-leakage audit — x24's decontamination question asked of the
+  // SPLIT itself: after an md5-coin train/test split (the x287
+  // discipline at document level), what fraction of TEST documents
+  // share any word-6-gram with the TRAIN side? Near-duplicate leakage
+  // across splits silently inflates every eval number; this is the
+  // check that catches it before the numbers ship. Differs from x24 in
+  // the scale regime, which is the point: x24's benchmark side is
+  // eval-suite-sized and BROADCASTS, while a train split is
+  // corpus-sized, so the membership test here is a co-partitioned
+  // shuffle semi-join on 8-byte shingle hashes — the same decision
+  // gradient as x39's Bloom tier, stated in the plan.
+  //
+  // Scale shape: one tokenize+shingle pass, one distinct on the train
+  // side, one hash-keyed semi join, two 1-row rollups. Only 8-byte
+  // hashes and doc ids cross the exchanges.
+  private val x295 = GQuery(
+    "x295_split_leakage_audit", "ext-text decontamination split-leakage",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          substring(md5(concat(col("doc_id"), lit(":x295"))), 1, 2).as("h"),
+          explode(array_distinct(
+            graft.functions.HashFunctions.shingleHashes(tokens, 6)))
+            .as("shingle"))
+      val trainShingles = sh.where(col("h") <= "cb")
+        .select("shingle").distinct()
+      val leaky = sh.where(col("h") > "cb")
+        .select(col("doc_id"), col("shingle"))
+        .join(trainShingles, Seq("shingle"), "left_semi")
+        .select("doc_id").distinct()
+        .agg(count(lit(1)).as("n_leaky"))
+      docs(s, dir)
+        .where(substring(md5(concat(col("doc_id"), lit(":x295"))), 1, 2)
+          > "cb")
+        .agg(count(lit(1)).as("n_test"))
+        .crossJoin(broadcast(leaky))
+        .select(col("n_test"), col("n_leaky"),
+          // guarded (the x264 lesson): an all-train coin flip on a tiny
+          // corpus yields a defined NULL rate, not a division by zero
+          expr("case when n_test > 0 then (1000 * n_leaky) div n_test end")
+            .as("leak_milli"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w,
+                substr(md5(doc_id || ':x295'), 1, 2) AS h
+              FROM documents),
+            sh AS (SELECT doc_id, h,
+                unnest(list_distinct(list_transform(
+                  range(1, greatest(len(w) - 5, 1) + 1),
+                  i -> array_to_string(w[i:i+5], ' ')))) AS shingle
+              FROM w),
+            train AS (SELECT DISTINCT shingle FROM sh WHERE h <= 'cb'),
+            leaky AS (
+              SELECT CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_leaky
+              FROM sh s JOIN train t USING (shingle) WHERE s.h > 'cb'),
+            test AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_test
+              FROM w WHERE h > 'cb')
+            SELECT n_test, n_leaky,
+              CASE WHEN n_test > 0 THEN (1000 * n_leaky) // n_test END
+                AS leak_milli
+            FROM test, leaky"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290)
+      x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295)
 }
