@@ -3911,10 +3911,111 @@ object Events {
                     ELSE 0 END) < 0 AS reversed
             FROM g ORDER BY event_type"""))
 
+  // ------------------------------------------------------------------- x296
+  // Per-stream freshness audit — the staleness read an on-call runs
+  // first when a dashboard flatlines: per event_type, the newest event's
+  // lag behind the corpus watermark (global max ts), plus volume in the
+  // last watermark-relative day. A type whose lag_us is large has
+  // stopped flowing; a type with normal lag but collapsed last-day
+  // volume is throttled. Everything is exact integer micros anchored to
+  // the DATA's own watermark (no wall clock — deterministic and
+  // cross-engine by construction).
+  //
+  // Scale shape: one map-side-combinable per-type aggregate + one 1-row
+  // global watermark broadcast.
+  private val x296 = GQuery(
+    "x296_freshness_audit", "ext-events ops-monitor freshness-lag",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      val wm = e.agg(max(col("tus")).as("watermark_us"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("tus")).as("newest_us"))
+        .crossJoin(broadcast(wm))
+        .select(col("event_type"), col("n_events"),
+          (col("watermark_us") - col("newest_us")).as("lag_us"))
+        .join(
+          e.crossJoin(broadcast(wm))
+            .where(col("tus") >= col("watermark_us") - lit(86400000000L))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_last_day")),
+          Seq("event_type"), "left")
+        .select(col("event_type"), col("n_events"), col("lag_us"),
+          coalesce(col("n_last_day"), lit(0L)).as("n_last_day"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT event_type, epoch_us(ts) AS tus FROM events),
+            wm AS (SELECT MAX(tus) AS watermark_us FROM e),
+            base AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                MAX(tus) AS newest_us
+              FROM e GROUP BY 1),
+            ld AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_last_day
+              FROM e, wm WHERE tus >= watermark_us - 86400000000
+              GROUP BY 1)
+            SELECT b.event_type, b.n_events,
+              w.watermark_us - b.newest_us AS lag_us,
+              COALESCE(ld.n_last_day, 0) AS n_last_day
+            FROM base b CROSS JOIN wm w
+            LEFT JOIN ld ON ld.event_type = b.event_type
+            ORDER BY b.event_type"""))
+
+  // ------------------------------------------------------------------- x297
+  // Out-of-order arrival audit — the number a watermark/allowed-lateness
+  // setting is actually tuned from: treating event_id as arrival order
+  // (the fixture's ingestion sequence) and ts as event time, how often
+  // does event time REGRESS between consecutive arrivals per user, and
+  // how far back (max regression micros)? A p99-ish lateness budget set
+  // without this table is folklore. Exact: one user-keyed lag window
+  // over arrival order; per-type rollup in integer micros and millis.
+  //
+  // Scale shape: the x115/x268 user-keyed window pass + one rollup.
+  private val x297 = GQuery(
+    "x297_out_of_order_audit", "ext-events ops-monitor lateness",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev_tus", lag(col("tus"), 1).over(w))
+        .where(col("prev_tus").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum(when(col("tus") < col("prev_tus"), 1L).otherwise(0L))
+            .as("n_regressions"),
+          max(when(col("tus") < col("prev_tus"),
+            col("prev_tus") - col("tus")).otherwise(0L))
+            .as("max_regression_us"))
+        .select(col("event_type"), col("n_arrivals"), col("n_regressions"),
+          expr("(1000 * n_regressions) div n_arrivals")
+            .as("regression_milli"),
+          col("max_regression_us"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+              FROM events),
+            m AS (
+              SELECT event_type, tus,
+                LAG(tus) OVER (PARTITION BY user_id ORDER BY event_id)
+                  AS prev_tus
+              FROM e)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+              CAST(SUM(CASE WHEN tus < prev_tus THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_regressions,
+              (1000 * CAST(SUM(CASE WHEN tus < prev_tus THEN 1 ELSE 0 END)
+                AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS regression_milli,
+              CAST(MAX(CASE WHEN tus < prev_tus THEN prev_tus - tus
+                ELSE 0 END) AS BIGINT) AS max_regression_us
+            FROM m WHERE prev_tus IS NOT NULL
+            GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
     x206, x208, x211, x213, x214, x218, x228, x249, x250, x252, x262,
-    x268, x269, x270, x285, x287, x288, x289)
+    x268, x269, x270, x285, x287, x288, x289, x296, x297)
 }
