@@ -956,7 +956,57 @@ object Extended {
                 AS coverage_milli
             FROM a ORDER BY relationship"""))
 
+  // ------------------------------------------------------------------- x298
+  // Join-blowup forecast — the EXACT output cardinality of a self-join
+  // per candidate key, computed from the key histogram BEFORE any join
+  // runs: |A ⋈ A on k| = Σ cnt(k)², with the hottest key's contribution
+  // and the blowup factor Σc² div Σc in millis. This is the number that
+  // says whether a wedge/co-purchase/all-pairs construction (x05, x123,
+  // x145) is affordable on a key, and which key needs salting — x106
+  // reports the skew, this prices the join it feeds. Σc² rides
+  // DECIMAL(38,0)/HUGEINT (a 10⁶-row hot key contributes 10¹², and 10⁹
+  // keys of those pass 2⁶³ — the x270 headroom discipline).
+  //
+  // Scale shape: one map-side-combinable key histogram per candidate,
+  // one domain rollup each, three 1-row summaries unioned.
+  private def joinBlowup(t: DataFrame, keyName: String): DataFrame =
+    t.select(col(keyName).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("selfjoin_rows"),
+        max(col("c")).as("max_key_rows"))
+      .select(lit(keyName).as("join_key"), col("n_rows"), col("n_keys"),
+        col("selfjoin_rows").cast("decimal(38,0)").as("sj"),
+        col("max_key_rows"))
+      .select(col("join_key"), col("n_rows"), col("n_keys"),
+        col("sj").cast("long").as("selfjoin_rows"), col("max_key_rows"),
+        expr("cast((1000 * sj) div n_rows as bigint)").as("blowup_milli"))
+
+  private val x298 = GQuery(
+    "x298_join_blowup_forecast", "ext-profiling join-cardinality forecast",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      joinBlowup(li, "l_orderkey")
+        .unionAll(joinBlowup(li, "l_partkey"))
+        .unionAll(joinBlowup(li, "l_suppkey"))
+        .orderBy("join_key")
+    },
+    Some("""WITH h AS (
+              SELECT 'l_orderkey' AS join_key, l_orderkey AS k
+              FROM lineitem
+              UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+              UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+            c AS (SELECT join_key, k, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM h GROUP BY 1, 2)
+            SELECT join_key, CAST(SUM(c) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_keys,
+              CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS selfjoin_rows,
+              CAST(MAX(c) AS BIGINT) AS max_key_rows,
+              CAST((1000 * SUM(CAST(c AS HUGEINT) * c)) // SUM(c) AS BIGINT)
+                AS blowup_milli
+            FROM c GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278, x281, x293)
+    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278, x281, x293, x298)
 }
