@@ -4012,10 +4012,69 @@ object Events {
             FROM m WHERE prev_tus IS NOT NULL
             GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x299
+  // CUSUM error-rate change detection (Page 1954) — the sequential
+  // monitor behind every "did the error rate SHIFT, not just blip"
+  // alert: over daily error counts, the one-sided CUSUM
+  // S_t = max(0, S_{t−1} + (x_t − k)) against the series' own mean k.
+  // The recursion looks un-SQL-able, but it has the exact prefix-sum
+  // closed form S_t = P_t − min(0, min_{j≤t} P_j) with P the running
+  // sum of deviations — two day-domain windows, no iteration, no UDF.
+  // Everything in milli-units of events (k = (1000·total) div n_days,
+  // x = 1000·count), so both engines walk identical integers; alarm at
+  // the conventional S > 4k.
+  //
+  // Scale shape: one fact aggregate to the day domain, two domain-sized
+  // cumulative windows, integer arithmetic per day row.
+  private val x299 = GQuery(
+    "x299_cusum_error_monitor", "ext-events drift-monitor cusum",
+    (s, dir) => {
+      val byDay = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      events(s, dir)
+        .where(col("event_type") === "error")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("tot", sum(col("c")).over(all))
+        .withColumn("nd", count(col("c")).over(all))
+        .withColumn("k", expr("(1000 * tot) div nd"))
+        .withColumn("dev", col("c") * 1000 - col("k"))
+        .withColumn("p", sum(col("dev")).over(byDay))
+        .withColumn("m", least(lit(0L), min(col("p")).over(byDay)))
+        .select(col("day"), col("c").as("n_errors"),
+          (col("p") - col("m")).as("cusum_milli"), col("k"),
+          ((col("p") - col("m")) > col("k") * 4).as("alarm"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM events WHERE event_type = 'error' GROUP BY 1),
+            k AS (
+              SELECT day, c,
+                (1000 * SUM(c) OVER ()) // COUNT(c) OVER () AS k
+              FROM d),
+            p AS (
+              SELECT day, c, k, SUM(c * 1000 - k) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS p
+              FROM k),
+            s AS (
+              SELECT day, c, k, p,
+                least(0, MIN(p) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING)) AS m
+              FROM p)
+            SELECT day, c AS n_errors,
+              CAST(p - m AS BIGINT) AS cusum_milli,
+              CAST(k AS BIGINT) AS k,
+              (p - m) > k * 4 AS alarm
+            FROM s ORDER BY day"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,
     x206, x208, x211, x213, x214, x218, x228, x249, x250, x252, x262,
-    x268, x269, x270, x285, x287, x288, x289, x296, x297)
+    x268, x269, x270, x285, x287, x288, x289, x296, x297, x299)
 }

@@ -1365,7 +1365,68 @@ object TpchMore {
                 // ((k - 1) * (ss_t - ss_b)) AS BIGINT) AS f_milli
             FROM e ORDER BY factor"""))
 
+  // ------------------------------------------------------------------- x300
+  // Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
+  // data-forensics read run on any money column before trusting it:
+  // naturally-occurring multiplicative amounts follow
+  // P(d) = log₁₀(1 + 1/d), and synthetic, capped, or fabricated data
+  // does not. The canonical distribution enters as INTEGER MILLI
+  // constants (301, 176, 125, 97, 79, 67, 58, 51, 46 — summing 1000),
+  // so the per-digit deviation and the total-deviation headline are
+  // exact integers in both engines. First digit via floor() (NOT a
+  // bigint cast: Spark truncates where DuckDB rounds — floor agrees).
+  //
+  // Scale shape: one map-side-combinable 9-bucket aggregate over the
+  // fact scan, a 9-row broadcast join, a 9-row window.
+  private val x300 = GQuery(
+    "x300_benford_audit", "ext-profiling forensics benford",
+    (s, dir) => {
+      import s.implicits._
+      val benford = Seq((1L, 301L), (2L, 176L), (3L, 125L), (4L, 97L),
+        (5L, 79L), (6L, 67L), (7L, 58L), (8L, 51L), (9L, 46L))
+        .toDF("digit", "benford_milli")
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("n_total", sum(col("n")).over(all))
+        .join(broadcast(benford), Seq("digit"), "right")
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          max(col("n_total")).over(all).as("n_total"),
+          col("benford_milli"))
+        .withColumn("share_milli", expr("(1000 * n) div n_total"))
+        .withColumn("dev_milli",
+          abs(col("share_milli") - col("benford_milli")))
+        .withColumn("total_dev_milli", sum(col("dev_milli")).over(all))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (
+              SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM orders),
+            c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+            bf(digit, benford_milli) AS (VALUES
+              (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+              (6, 67), (7, 58), (8, 51), (9, 46)),
+            j AS (
+              SELECT bf.digit, COALESCE(c.n, 0) AS n, t.n_total,
+                CAST(bf.benford_milli AS BIGINT) AS benford_milli,
+                (1000 * COALESCE(c.n, 0)) // t.n_total AS share_milli
+              FROM bf LEFT JOIN c ON c.digit = bf.digit CROSS JOIN t)
+            SELECT CAST(digit AS BIGINT) AS digit, n, n_total,
+              benford_milli, CAST(share_milli AS BIGINT) AS share_milli,
+              CAST(abs(share_milli - benford_milli) AS BIGINT) AS dev_milli,
+              CAST(SUM(abs(share_milli - benford_milli)) OVER ()
+                AS BIGINT) AS total_dev_milli
+            FROM j ORDER BY digit"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
-      x220, x221, x231, x239, x240, x244, x245, x246, x248, x260, x261)
+      x220, x221, x231, x239, x240, x244, x245, x246, x248, x260, x261,
+      x300)
 }
