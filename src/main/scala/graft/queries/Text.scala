@@ -1702,8 +1702,56 @@ object Text {
                 AS leak_milli
             FROM test, leaky"""))
 
+  // ------------------------------------------------------------------- x301
+  // Zipf rank-frequency audit — the third corpus-statistics read next to
+  // x290 (how much mass concentrates) and x283 (who concentrates): does
+  // the token distribution follow the Zipfian rank·frequency ≈ constant
+  // law natural language obeys and templated/synthetic text does not?
+  // Per top-32 token: exact rank (count desc, token), count, the r·f
+  // product, and r·f normalized against the top token's count in millis
+  // (Zipf predicts ≈ 1000 at every rank; a flat template corpus shows a
+  // rising line, a two-regime corpus a cliff). All exact integers.
+  //
+  // Scale shape: x284's — one map-side-combinable token count, one
+  // distributed TakeOrdered top-32, rank arithmetic on 32 rows.
+  private val x301 = GQuery(
+    "x301_zipf_audit", "ext-text corpus-health zipf rank-frequency",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("item"))
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      docs(s, dir)
+        .select(explode(tokens).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("item")).limit(32)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("f1", max(when(col("rank") === 1L, col("cnt"))).over(all))
+        .select(col("rank"), col("item"), col("cnt"),
+          (col("rank") * col("cnt")).as("rf"),
+          expr("(1000 * rank * cnt) div f1").as("rf_norm_milli"))
+        .orderBy("rank")
+    },
+    Some("""WITH c AS (
+              SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS item
+                    FROM documents)
+              GROUP BY 1),
+            top AS (
+              SELECT item, cnt,
+                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item)
+                  AS BIGINT) AS rank
+              FROM c ORDER BY cnt DESC, item LIMIT 32)
+            SELECT rank, item, cnt, rank * cnt AS rf,
+              (1000 * rank * cnt)
+                // MAX(CASE WHEN rank = 1 THEN cnt END) OVER ()
+                AS rf_norm_milli
+            FROM top ORDER BY rank"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
-      x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295)
+      x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
+      x301)
 }
