@@ -123,6 +123,34 @@ object StatsCbo {
   def analyzeAndRegister(spark: SparkSession, path: String): TableStats = {
     val st = analyze(spark, path); register(path, st); st
   }
+
+  /** Largest registered row count among the single-root scans a plan
+    * reads — the registry's answer to "how big is the data this
+    * DataFrame derives from?". Used by scale gates (the graph
+    * node-broadcast gate) that need a row-magnitude estimate WITHOUT
+    * running a count job: a derived dimension (degrees, survivor sets)
+    * is row-bounded by a small constant multiple of its source scan, so
+    * the max scan row count is a conservative proxy. None when no scan
+    * in the plan is registered — callers fall back to counting.
+    */
+  def maxScanRows(plan: LogicalPlan): Option[Long] = {
+    val rows = plan.collect {
+      case lr: LogicalRelation => scanPath(lr).flatMap(lookup).map(_.rows)
+    }.flatten
+    if (rows.isEmpty) None else Some(rows.max)
+  }
+
+  /** Single-root scans only (mirroring the JoinElimination guard): a
+    * multi-directory read whose FIRST root happens to be registered
+    * would otherwise be estimated from one directory's stats while
+    * actually being a much larger union.
+    */
+  private[plans] def scanPath(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+        fs.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
 }
 
 /** The optimizer rule: estimate each un-hinted join side from the
@@ -217,17 +245,8 @@ object StatsBroadcastJoin extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Single-root scans only (mirroring [[JoinElimination]]'s guard): a
-    * multi-directory read (`spark.read.parquet(a, b)`) whose FIRST root
-    * happens to be registered would otherwise be estimated from that one
-    * directory's stats and broadcast-hinted while actually being a much
-    * larger union — an executor-OOM risk at scale.
-    */
-  private def pathOf(lr: LogicalRelation): Option[String] = lr.relation match {
-    case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-      fs.location.rootPaths.headOption.map(_.toString)
-    case _ => None
-  }
+  private def pathOf(lr: LogicalRelation): Option[String] =
+    StatsCbo.scanPath(lr)
 
   /** System-R selectivities (the x158 arithmetic): 1/ndv for equality,
     * |list|/ndv for IN, range fraction from [lo, hi] for comparisons;

@@ -863,10 +863,15 @@ object Extended {
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n"), max(col("t")).as("n_trimmed_each"),
           sum(col("kept")).as("n_kept"),
-          sum(expr("cents * kept")).as("sum_cents"))
+          // cents×kept in DECIMAL(38,0): a LONG product wraps silently
+          // past 2^63 at the row scales this query is priced for (the
+          // x270 headroom discipline; DuckDB mirrors with HUGEINT)
+          sum(col("cents").cast(DecimalType(38, 0)) * col("kept"))
+            .as("sum_cents"))
         .select(col("event_type"), col("n"), col("n_trimmed_each"),
           col("n_kept"),
-          expr("sum_cents div n_kept").as("trimmed_mean_centi"))
+          expr("CAST(sum_cents div n_kept AS BIGINT)")
+            .as("trimmed_mean_centi"))
         .orderBy("event_type")
     },
     Some("""WITH dom AS (
@@ -887,8 +892,8 @@ object Extended {
               FROM cum)
             SELECT event_type, MAX(n) AS n, MAX(t) AS n_trimmed_each,
               CAST(SUM(kept) AS BIGINT) AS n_kept,
-              CAST(SUM(cents * kept) // SUM(kept) AS BIGINT)
-                AS trimmed_mean_centi
+              CAST(SUM(CAST(cents AS HUGEINT) * kept) // SUM(kept)
+                AS BIGINT) AS trimmed_mean_centi
             FROM k
             WHERE kept > 0
             GROUP BY 1 ORDER BY 1"""))

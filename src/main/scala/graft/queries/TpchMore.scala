@@ -1388,12 +1388,18 @@ object TpchMore {
       val all = org.apache.spark.sql.expressions.Window
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      Tables(s, dir, "orders")
+      // benford is the PRESERVED side, so the broadcast goes on the
+      // counts side (Spark cannot build-broadcast the preserved side of
+      // an outer join — a hint there is silently ignored, the r10 ADVICE
+      // finding); the counts side is a ≤9-row post-aggregate, the
+      // cheapest possible build table
+      val counts = Tables(s, dir, "orders")
         .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
           .cast("long").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
         .withColumn("n_total", sum(col("n")).over(all))
-        .join(broadcast(benford), Seq("digit"), "right")
+      benford
+        .join(broadcast(counts), Seq("digit"), "left")
         .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
           max(col("n_total")).over(all).as("n_total"),
           col("benford_milli"))

@@ -17,9 +17,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Unlike HLL's idempotent max-fold, MG count-addition is NOT replay-safe
   * by algebra, so replay safety comes from the manifest protocol alone:
-  * the generation is named by the batch id, a re-delivered batch sees its
-  * own generation already live and returns without folding (the exact
-  * discipline [[MvMaintainStream]] uses for its additive summaries).
+  * the generation is named by the batch id, which is also the HIGH-WATER
+  * mark — any batch at or below the live generation's id returns without
+  * folding. That covers both the same-checkpoint re-delivery (batchId ==
+  * live) and the fresh-checkpoint restart (batchId restarts at 0 while
+  * the artifact dir lives on), where equality alone would silently
+  * double every count (the r10 ADVICE finding).
   *
   * Per micro-batch: one exact token-count aggregate over the BATCH (the
   * only input-sized step, map-side combinable), compress to k rows, merge
@@ -54,8 +57,18 @@ object FreqMaintainStream {
   def maintain(spark: SparkSession, batch: DataFrame, dir: String,
       batchId: Long): Unit = {
     val gen = s"gen_$batchId"
-    if (StoredManifest.exists(dir) && StoredManifest.read(dir)._1 == gen)
-      return // replayed batch: its fold is already the live generation
+    if (StoredManifest.exists(dir)) {
+      // High-water replay guard: MG count-addition is not idempotent, and
+      // generations are published in batch-id order — so ANY batch at or
+      // below the live generation's id has already been folded and must
+      // not re-fold. Equality alone misses the case where the artifact
+      // dir outlives its streaming checkpoint (a fresh checkpoint
+      // restarts batchId at 0): earlier batches would re-fold into the
+      // existing summary and double every count silently.
+      val live = StoredManifest.read(dir)._1
+      val liveId = scala.util.Try(live.stripPrefix("gen_").toLong).toOption
+      if (liveId.exists(batchId <= _) || live == gen) return
+    }
     StoredManifest.sweepUnreachable(dir)
     val batchSummary = MisraGries.summarize(
       batch.select(explode(split(col("text"), " ")).as("token")),

@@ -84,6 +84,18 @@ class FreqMaintainSpec extends SparkSpec {
     assert(again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
       "replaying a folded batch must not change the summary")
+    // fresh-checkpoint restart (the r10 ADVICE finding): the artifact dir
+    // outlives its streaming checkpoint, batchId restarts at 0 — every
+    // EARLIER batch id must hit the high-water guard and not re-fold,
+    // not just the exact live-generation re-delivery
+    batches.zipWithIndex.foreach { case (b, i) =>
+      FreqMaintainStream.maintain(spark, b, dir, i.toLong)
+    }
+    val afterRestart = FreqMaintainStream.heavyHitters(spark, dir).collect()
+    assert(afterRestart.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq ==
+      got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+      "a fresh-checkpoint replay of earlier batches must not double counts")
   }
 
   test("an all-ties compress still carries the total n") {
