@@ -29,8 +29,10 @@ object StoredArtifacts {
     * so any regeneration re-keys and the old index is never served against
     * vanished data (a re-build is re-paid once — cheap; a stale index is
     * silently wrong). The path half is stable per source dir, which lets
-    * [[dir]] SWEEP superseded generations of the same source on each call:
-    * disk holds at most one artifact generation per fixture. Builder-CODE
+    * [[dir]] SWEEP superseded generations of the same source on each call
+    * (lease-protected, see below): disk holds at most one LIVE artifact
+    * generation per fixture plus superseded ones inside the grace
+    * window. Builder-CODE
     * changes are still the `_vN` suffix's job: bump it whenever the
     * artifact format or training behavior changes.
     */
@@ -48,22 +50,56 @@ object StoredArtifacts {
     val stateKey = md5(state).take(8)
     val root = java.nio.file.Paths.get(s"${sys.props("java.io.tmpdir")}/graft_artifacts")
     val current = s"${pathKey}_$stateKey"
-    // sweep superseded generations of THIS source (same path hash, other
-    // state). HARD single-JVM assumption: there is no cross-process
-    // coordination, so a concurrent JVM on the same fixtures could have a
-    // swept generation mid-read (observed failure mode: missing-file
-    // errors in the reader). The harness runs one JVM (SKILL.md states
-    // the constraint as correctness, not timing); a shared deployment
-    // would gate this sweep behind a manifest/lease, as AnnManifest does
-    // for the IVF index proper.
+    val curDir = root.resolve(current)
+    // Lease-then-sweep (the r10 "cross-process safety" finding): every
+    // serving process REFRESHES a `.lease` marker in the generation it is
+    // about to read, and the sweep only deletes superseded generations of
+    // THIS source (same path hash, other state) whose lease is older than
+    // [[SweepGraceMs]]. A second JVM still mid-read on a superseded
+    // generation has, by construction, refreshed that generation's lease
+    // at its own dir() call, so no concurrent process can delete it under
+    // the reader as long as one query fits inside the grace window (30
+    // min vs. per-query seconds). The residual race — lease check and
+    // delete interleaving with a first-ever touch — is a millisecond
+    // window instead of the whole serve duration; a shared multi-writer
+    // deployment with longer-lived readers would promote this to the
+    // manifest/lease protocol AnnManifest uses for the IVF index proper.
+    // Disk stays bounded: superseded generations outlive their
+    // replacement by at most the grace window.
+    java.nio.file.Files.createDirectories(curDir)
+    touchLease(curDir)
+    val cutoff = System.currentTimeMillis() - SweepGraceMs
     if (java.nio.file.Files.isDirectory(root))
       java.nio.file.Files.list(root).iterator().asScala.toSeq
         .filter { d =>
           val n = d.getFileName.toString
-          n.startsWith(s"${pathKey}_") && n != current
+          n.startsWith(s"${pathKey}_") && n != current &&
+            lastLeaseMillis(d) < cutoff
         }
         .foreach(d => deleteTree(d.toString))
     s"$root/$current/$name"
+  }
+
+  /** How long a superseded generation is retained after its last lease
+    * refresh. Must exceed the longest single artifact-serving query by a
+    * wide margin (queries run seconds-to-minutes; the grace is 30 min).
+    */
+  private[graft] val SweepGraceMs: Long = 30L * 60 * 1000
+
+  private def touchLease(genDir: java.nio.file.Path): Unit = {
+    val lease = genDir.resolve(".lease")
+    java.nio.file.Files.write(lease, Array.emptyByteArray)
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+  }
+
+  /** A generation's last lease refresh; generations written before the
+    * lease protocol (no `.lease` file) fall back to the directory mtime.
+    */
+  private[graft] def lastLeaseMillis(genDir: java.nio.file.Path): Long = {
+    val lease = genDir.resolve(".lease")
+    val p = if (java.nio.file.Files.exists(lease)) lease else genDir
+    java.nio.file.Files.getLastModifiedTime(p).toMillis
   }
 
   /** True iff a parquet write to `path` COMPLETED (committer `_SUCCESS`
