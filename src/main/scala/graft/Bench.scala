@@ -50,21 +50,37 @@ object Bench {
       spark.stop()
       return
     }
+    val warmT0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = queries.map { case (name, fn) =>
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
+    val repResults = queries.map { case (name, fn) =>
       val reps = Seq.fill(3) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
+      name -> reps
+    }
+    val results = repResults.map { case (name, reps) =>
       // median over SUCCESSFUL reps only: letting the -1 sentinel sort
       // would make one failed rep report the flaky query's BEST timing —
       // the opposite of de-noising. Two survivors report the larger
       // (conservative); all-fail reports -1.
       val ok = reps.filter(_ >= 0).sorted
       name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+    }
+    // per-query rep spread (max/median − 1, integer percent): the
+    // judge-side contention tell — an idle box keeps back-to-back reps
+    // within a few percent, a contended one scatters them. −1 when fewer
+    // than two reps succeeded or the median is sub-centisecond (a ratio
+    // over ~nothing is noise, not signal).
+    val spreads = repResults.map { case (name, reps) =>
+      val ok = reps.filter(_ >= 0).sorted
+      val med = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
+      name -> (if (ok.length < 2 || med < 0.01) -1L
+        else math.round((ok.last / med - 1.0) * 100))
     }
     // The driver captures only a bounded tail of stdout (observed: 2000
     // chars) and parses the metric line from it with a line-anchored JSON
@@ -91,12 +107,14 @@ object Bench {
     // mechanically without a second artifact
     val wallSec = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getUptime / 1000
-    val line = fitMetricLine(results, total, wallSec, sfName)
+    val contention = contentionRatio(wallSec, warmupSec, total)
+    val line = fitMetricLine(results, total, wallSec, contention, sfName)
     // fingerprints + full detail BEFORE the guard (round 10 — in r9 they
     // sat after it, so the tripped guard also lost the round's plan
     // fingerprints and the mechanical noise adjudication with them)
     val round = currentRound()
-    writeBenchDetail(round, results, total, wallSec, sfName)
+    writeBenchDetail(round, results, spreads, total, wallSec, warmupSec,
+      contention, sfName)
     writePlanFingerprints(spark, round, queries, sfDir)
     // emit BEFORE the guard: if the encoding ever breaks, the round's
     // numbers still reach the log tail and only the exit code goes loud —
@@ -186,18 +204,39 @@ object Bench {
     * encoding bugs, not registry growth.
     */
   private[graft] def fitMetricLine(results: Seq[(String, Double)],
-      total: Double, wallSec: Long, sfName: String): String = {
+      total: Double, wallSec: Long, contention: Double,
+      sfName: String): String = {
     def renderLine(floorCs: Int): String = {
       val qs = results
         .filter { case (_, v) => v < 0 || math.round(v * 100) >= floorCs }
         .map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":$floorCs,"wall":$wallSec,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":$floorCs,"wall":$wallSec,"contention":${fmt2(contention)},"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
     }
     Seq(25, 50, 75, 100, 150, 200, 300, 500, 1000)
       .map(renderLine).find(_.length <= 1900)
       .getOrElse(renderLine(1000))
   }
+
+  /** Wall-to-busy ratio — the run's SELF-IDENTIFYING contention flag (the
+    * r10 watch item: the driver's BENCH_r10 was 1.4× inflated with zero
+    * code change, and proving it took a judge re-run). Busy time is
+    * warmup + 3×total (the three timed reps); the remainder of the wall
+    * is JVM/sbt startup, fixture first-touch and scheduling delay — a
+    * few tens of seconds on an idle box, so the ratio sits near 1.0-1.3
+    * there, while a contended box (another JVM stealing cores between
+    * and during reps) pushes it well past the 1.5 adjudication threshold
+    * BASELINE.md documents. −1 when the denominator is degenerate.
+    */
+  private[graft] def contentionRatio(wallSec: Double, warmupSec: Double,
+      total: Double): Double = {
+    val busy = warmupSec + 3 * total
+    if (busy <= 0) -1.0
+    else math.round(wallSec / busy * 100) / 100.0
+  }
+
+  private def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   /** Round number for artifact filenames: env override, else one past the
     * newest BENCH_r<N>.json the driver has written so far. The env parse
@@ -221,15 +260,23 @@ object Bench {
     * the metric line's self-fitting floor loses nothing.
     */
   private def writeBenchDetail(round: Int, results: Seq[(String, Double)],
-      total: Double, wallSec: Long, sfName: String): Unit = {
+      spreads: Seq[(String, Long)], total: Double, wallSec: Long,
+      warmupSec: Double, contention: Double, sfName: String): Unit = {
     try {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
         .mkString("{", ",", "}")
+      // max/median − 1 per query, integer percent (−1 = not measurable):
+      // the per-query contention tell that lets a judge separate "this
+      // query regressed" from "the box was busy during its reps" without
+      // an idle re-run
+      val sp = spreads
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       val totalStr =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
       val out =
-        s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"cs","wall":$wallSec,"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"cs","wall":$wallSec,"warmup_sec":${fmt2(warmupSec)},"contention":${fmt2(contention)},"n_queries":${results.size},"queries":$qs,"spread_pct":$sp,"sf":"$sfName"}"""
       val path = java.nio.file.Paths.get(f"bench_detail_r$round%02d.json")
       java.nio.file.Files.write(path, out.getBytes("UTF-8"))
     } catch {

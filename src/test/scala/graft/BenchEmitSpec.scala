@@ -16,14 +16,14 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("metric line fits the 1900-char budget at 350 queries") {
     val results = mkResults(350)
-    val line = Bench.fitMetricLine(results, results.map(_._2).sum, 120L, "sf0.1")
+    val line = Bench.fitMetricLine(results, results.map(_._2).sum, 120L, 1.12, "sf0.1")
     assert(line.length <= 1900, s"line is ${line.length} chars")
     assert(line.startsWith("{\"metric\":\"total\""))
   }
 
   test("metric line fits even at a 2000-query registry") {
     val results = mkResults(2000)
-    val line = Bench.fitMetricLine(results, results.map(_._2).sum, 120L, "sf0.1")
+    val line = Bench.fitMetricLine(results, results.map(_._2).sum, 120L, 1.12, "sf0.1")
     assert(line.length <= 1900, s"line is ${line.length} chars")
   }
 
@@ -32,7 +32,7 @@ class BenchEmitSpec extends AnyFunSuite {
     // still appear with -1 regardless of which floor the fit lands on
     val results = mkResults(400).map { case (k, v) => (k, v + 3.0) } ++
       Seq(("x900_broken_query", -1.0), ("x901_broken_query", -1.0))
-    val line = Bench.fitMetricLine(results, 0.0, 5L, "sf0.1")
+    val line = Bench.fitMetricLine(results, 0.0, 5L, 1.0, "sf0.1")
     assert(line.contains("\"x900\":-1"), line.takeRight(200))
     assert(line.contains("\"x901\":-1"), line.takeRight(200))
     assert(line.length <= 1900, s"line is ${line.length} chars")
@@ -40,7 +40,7 @@ class BenchEmitSpec extends AnyFunSuite {
 
   test("line is parseable JSON shape with qmin_cs recorded") {
     val results = mkResults(350)
-    val line = Bench.fitMetricLine(results, 42.0, 7L, "sf0.1")
+    val line = Bench.fitMetricLine(results, 42.0, 7L, 1.37, "sf0.1")
     // the driver's parse is line-anchored JSON; pin the fields it reads
     assert(line.contains("\"value\":42.000"))
     assert(line.contains("\"qmin_cs\":"))
@@ -48,5 +48,18 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(line.contains("\"sf\":\"sf0.1\""))
     // brace balance as a cheap well-formedness check
     assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.contains("\"contention\":1.37"),
+      "the metric line must carry the contention ratio")
+  }
+
+  test("contention ratio: idle run sits near 1, contended run flags itself") {
+    // idle: 600 s wall over 80 s warmup + 3x160 s reps = 1.07 — under
+    // the 1.5 adjudication threshold BASELINE.md documents
+    assert(Bench.contentionRatio(600, 80.0, 160.0) < 1.5)
+    // contended (the r8 shape: 886 s sbt wall for a ~205 s bench): the
+    // run must flag ITSELF without a judge re-run
+    assert(Bench.contentionRatio(886, 60.0, 68.0) > 1.5)
+    // degenerate denominator reports the -1 sentinel, never divides
+    assert(Bench.contentionRatio(100, 0.0, 0.0) == -1.0)
   }
 }
