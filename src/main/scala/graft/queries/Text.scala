@@ -896,7 +896,8 @@ object Text {
     * one (shard, seq) aggregation. Nothing global; shard width is the
     * parallelism knob.
     */
-  def packSequences(ids: DataFrame, shardHexChars: Int, seqLen: Int): DataFrame = {
+  def packSequences(ids: DataFrame, shardHexChars: Int, seqLen: Int,
+      md5Digest: Boolean = false): DataFrame = {
     require(shardHexChars >= 1 && shardHexChars <= 8,
       s"shardHexChars must be in [1,8]: $shardHexChars")
     require(seqLen >= 2, s"seqLen must be >= 2: $seqLen")
@@ -919,9 +920,17 @@ object Text {
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("doc_id")).as("n_docs"),
         sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_starts"),
-        xxhash64(array_join(
-          transform(array_sort(collect_list(struct(col("g"), col("id")))),
-            x => x.getField("id").cast("string")), ",")).as("ids_digest"))
+        {
+          // md5Digest (the oracled x303 twin): same joined id stream,
+          // digested with md5 — the one hash both engines compute
+          // identically — instead of xxhash64 (JVM-native, no DuckDB
+          // counterpart). x85 keeps xxhash64: fixed-width, cheaper, and
+          // its BPE ids are spec-gated anyway.
+          val joined = array_join(
+            transform(array_sort(collect_list(struct(col("g"), col("id")))),
+              x => x.getField("id").cast("string")), ",")
+          (if (md5Digest) md5(joined) else xxhash64(joined)).as("ids_digest")
+        })
       .orderBy("shard", "seq_id")
   }
 
@@ -1749,9 +1758,91 @@ object Text {
                 AS rf_norm_milli
             FROM top ORDER BY rank"""))
 
+  // ------------------------------------------------------------------- x302
+  // Order-sensitive rolling-hash fingerprint, ORACLED EXACT TWIN of x15
+  // (the r10 "no-oracle twin audit" conversion): the same polynomial
+  // rolling form h ← h·B + hash(token) mod 2^64, but with every term
+  // cross-engine-exact — the per-token hash is the big-endian low half of
+  // md5 (Spark `conv(substr(md5,17,16),16,10)` ≡ DuckDB
+  // `CAST('0x'||substr(md5,17,16) AS UBIGINT)`), the fold is Spark's
+  // codegen'd `aggregate` higher-order function over the token array
+  // (DuckDB `list_reduce`), and the mod-2^64 wraparound is explicit
+  // DECIMAL(38,0)/HUGEINT arithmetic instead of x15's JVM-native long
+  // overflow. Same shape as x15 at 100 TB: pure per-row map over the
+  // document scan, no shuffle, order-sensitive where x14's bag-of-text
+  // md5 is not (token swap → different fp).
+  private val x302 = GQuery(
+    "x302_fingerprint_rolling_exact",
+    "ext-text dedup-fingerprint oracled-twin",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("""aggregate(split(text, ' '),
+              CAST(0 AS DECIMAL(38,0)),
+              (acc, t) -> CAST((acc * 1000003 +
+                CAST(conv(substring(md5(t), 17, 16), 16, 10)
+                  AS DECIMAL(38,0))) % 18446744073709551616
+                AS DECIMAL(38,0)))""").as("fp"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(list_reduce(
+              list_prepend(CAST(0 AS HUGEINT),
+                list_transform(string_split(text, ' '),
+                  t -> CAST(CAST(CONCAT('0x', substr(md5(t), 17, 16))
+                    AS UBIGINT) AS HUGEINT))),
+              (a, x) -> (a * 1000003 + x)
+                % CAST('18446744073709551616' AS HUGEINT))
+              AS DECIMAL(38,0)) AS fp
+            FROM documents ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------- x303
+  // Sequence packing, ORACLED EXACT TWIN of x85 (the second r10 twin
+  // conversion): identical packing algorithm — md5-keyed shards,
+  // first-fit by (h, doc_id) within shard, 512-token cuts, per-sequence
+  // token/doc/start accounting and an id-stream digest — but over the
+  // WHITESPACE token stream instead of x85's BPE ids (the only
+  // non-SQL-expressible ingredient: a trained merge table), with the
+  // digest as md5 of the ordered comma-joined stream (both engines).
+  // Every boundary decision x85 makes is therefore hash-verified here
+  // through the SHARED packSequences code path; x85 adds only the
+  // id-vocabulary substitution on top. Scale shape is x85's: shard-local
+  // window cumsum, one posexplode to token granularity, one (shard, seq)
+  // aggregate — nothing global.
+  private val x303 = GQuery(
+    "x303_packed_sequences_exact",
+    "ext-text sequence-packing oracled-twin",
+    (s, dir) => packSequences(
+      docs(s, dir).select(col("doc_id"), tokens.as("ids")),
+      shardHexChars = 1, seqLen = 512, md5Digest = true),
+    Some("""WITH d AS (
+              SELECT doc_id,
+                md5(CAST(doc_id AS VARCHAR) || ':42') AS h,
+                substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 1) AS shard,
+                string_split(text, ' ') AS ids,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+            o AS (
+              SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY shard
+                  ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS strt
+              FROM d),
+            t AS (
+              SELECT shard, doc_id, strt + pos AS g, pos, id
+              FROM (SELECT shard, doc_id, strt,
+                      unnest(ids) AS id,
+                      CAST(unnest(range(len(ids))) AS BIGINT) AS pos
+                    FROM o))
+            SELECT shard, g // 512 AS seq_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_starts,
+              md5(string_agg(id, ',' ORDER BY g)) AS ids_digest
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
-      x301)
+      x301, x302, x303)
 }
