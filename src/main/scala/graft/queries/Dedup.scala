@@ -954,7 +954,128 @@ object Dedup {
             FROM p WHERE i * 5 >= (n_a + n_b - i) * 4
             ORDER BY a_id, b_id"""))
 
+  // ------------------------------------------------------------------- x304
+  // End-to-end corpus-build accounting — the COST and YIELD of the full
+  // CorpusMain stage stack as one oracled registry row (the r10 "make the
+  // CLI's cost visible to the bench" task): exact-dedup + quality gate
+  // (x19's cleanCorpus), then the neardup keeper semi-join (x236's
+  // allPairsClusters), then benchmark decontamination (x24's
+  // contaminationHits anti-join), then the substring-surgery annotation
+  // census (x87's substringClean) — every stage the SAME shared function
+  // CorpusMain composes (the x31 no-drift discipline), so benching this
+  // row times the CLI's actual pipeline and hash-verifying it pins the
+  // CLI's per-stage selection end to end. One summary row: rows in,
+  // survivors and drop count per stage, final kept/langs, and how many
+  // kept docs the substring sweep would have cut into.
+  //
+  // Scale shape: the union of its stages' shapes — nothing new is
+  // materialized driver-side; the five 1-row aggregates meet in
+  // broadcast cross joins (the x293 audit pattern, RegistryAuditSpec
+  // whitelisted as dimension-bounded).
+  private val x304 = GQuery(
+    "x304_corpus_build_audit",
+    "ext-pipeline corpus-composite cost-accounting",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val base = Dedup.cleanCorpus(d).select("doc_id", "lang")
+      val keepers = Dedup.allPairsClusters(d)
+        .where(col("doc_id") === col("keeper")).select("doc_id")
+      val afterNear = base.join(keepers, Seq("doc_id"), "left_semi")
+      val hits = graft.queries.Text.contaminationHits(d).select("doc_id")
+      val afterDecon = afterNear.join(hits, Seq("doc_id"), "left_anti")
+      val cs = graft.queries.CorpusOps.substringClean(d, k = 20)
+        .select("doc_id", "n_cut")
+      d.agg(count(lit(1)).as("rows_in"))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("base_kept"))))
+        .crossJoin(broadcast(
+          afterNear.agg(count(lit(1)).as("after_neardup"))))
+        .crossJoin(broadcast(afterDecon.join(cs, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("kept"),
+            countDistinct(col("lang")).as("langs"),
+            sum(when(col("n_cut") > 0, 1L).otherwise(0L))
+              .as("n_cut_docs"))))
+        .select(col("rows_in"), col("base_kept"),
+          (col("rows_in") - col("base_kept")).as("drop_dedup_quality"),
+          (col("base_kept") - col("after_neardup")).as("drop_neardup"),
+          (col("after_neardup") - col("kept")).as("drop_decontam"),
+          col("kept"), col("langs"), col("n_cut_docs"))
+    },
+    Some("""WITH RECURSIVE
+            k AS (
+              SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS uniq_ratio
+              FROM documents),
+            base AS (
+              SELECT doc_id, lang FROM k
+              WHERE doc_id = keeper AND n_tokens >= 20 AND uniq_ratio >= 0.3),
+            t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh3 AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               FOR i IN range(1, len(w) - 1)]) AS tok
+              FROM t),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok)
+                   - len(list_intersect(a.tok, b.tok))) >= 0.8),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+            reach(node, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node),
+            lab AS (
+              SELECT d.doc_id,
+                COALESCE((SELECT MIN(lbl) FROM reach WHERE node = d.doc_id),
+                  d.doc_id) AS keeper
+              FROM documents d),
+            afternear AS (
+              SELECT b.* FROM base b
+              JOIN (SELECT doc_id FROM lab WHERE doc_id = keeper)
+                USING (doc_id)),
+            shing AS (
+              SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  range(1, greatest(len(w) - 5, 1) + 1),
+                  i -> array_to_string(w[i:i+5], ' ')))) AS shingle
+              FROM t),
+            bench AS (SELECT DISTINCT shingle FROM shing WHERE doc_id < 50),
+            hits AS (
+              SELECT DISTINCT doc_id FROM shing JOIN bench USING (shingle)
+              WHERE doc_id >= 50),
+            afterdecon AS (
+              SELECT a.* FROM afternear a
+              WHERE NOT EXISTS (SELECT 1 FROM hits h
+                                WHERE h.doc_id = a.doc_id)),
+            grams AS (
+              SELECT doc_id, r.pos, substr(text, r.pos + 1, 20) AS gram
+              FROM documents,
+                unnest(range(0, greatest(length(text) - 19, 0))) r(pos)),
+            cov AS (
+              SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ
+              FROM grams),
+            cut AS (
+              SELECT DISTINCT doc_id FROM cov WHERE occ > 1)
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS rows_in,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS base_kept,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                - (SELECT COUNT(*) FROM base) AS drop_dedup_quality,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM base)
+                - (SELECT COUNT(*) FROM afternear) AS drop_neardup,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM afternear)
+                - (SELECT COUNT(*) FROM afterdecon) AS drop_decontam,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM afterdecon) AS kept,
+              (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM afterdecon)
+                AS langs,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM afterdecon a
+                 JOIN cut c USING (doc_id)) AS n_cut_docs"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
-      x236, x237, x241, x280, x294)
+      x236, x237, x241, x280, x294, x304)
 }
