@@ -1075,7 +1075,184 @@ object Dedup {
               (SELECT CAST(COUNT(*) AS BIGINT) FROM afterdecon a
                  JOIN cut c USING (doc_id)) AS n_cut_docs"""))
 
+  // ------------------------------------------------------------------- x309
+  // Per-language duplication census — x294's headline broken out by
+  // language: per lang (of the cluster keeper), exact-near-dup clusters,
+  // documents, and the dedup dividend. The table a multilingual curation
+  // review reads to see WHERE the duplication lives (crawled languages
+  // duplicate very differently; a global census hides it). Shares
+  // allPairsClusters verbatim (the x31 discipline).
+  //
+  // Scale shape: x236's plan + a keeper-domain aggregate joined to a
+  // doc-keyed lang lookup + a lang-domain rollup.
+  private val x309 = GQuery(
+    "x309_lang_dup_census", "ext-dedup-fuzzy per-language census",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val langOf = d.select(col("doc_id").as("keeper"), col("lang"))
+      allPairsClusters(d)
+        .groupBy(col("keeper")).agg(count(lit(1)).as("sz"))
+        .join(langOf, "keeper")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("dedup_dividend"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_clusters"))
+        .orderBy("lang")
+    },
+    Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               FOR i IN range(1, len(w) - 1)]) AS tok
+              FROM t),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok)
+                   - len(list_intersect(a.tok, b.tok))) >= 0.8),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+            reach(node, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node),
+            lab AS (
+              SELECT d.doc_id,
+                COALESCE((SELECT MIN(lbl) FROM reach WHERE node = d.doc_id),
+                  d.doc_id) AS keeper
+              FROM documents d),
+            cl AS (SELECT keeper, CAST(COUNT(*) AS BIGINT) AS sz
+                   FROM lab GROUP BY 1)
+            SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(cl.sz) AS BIGINT) AS n_docs,
+              CAST(SUM(cl.sz - 1) AS BIGINT) AS dedup_dividend,
+              CAST(SUM(CASE WHEN cl.sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_clusters
+            FROM cl JOIN documents d ON d.doc_id = cl.keeper
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x313
+  // Quality × dedup-survival contingency — the curation question behind
+  // every dedup pass: does deduplication remove low-quality documents
+  // preferentially (healthy: duplicated boilerplate is usually junk), or
+  // is it eating curated content? Quality bands mirror CorpusMain's
+  // tiering ('good' ≥50 tokens & ≥0.5 uniq, 'ok' ≥20 & ≥0.3, 'low'
+  // otherwise); survival = the document is its exact-dup group's keeper
+  // (x01's min-doc_id rule). Exact integer millis.
+  //
+  // Scale shape: everything text-derived computed in the scan
+  // projection; the keeper window shuffles (hash, metadata) only — the
+  // x19 shape — then a 3-row band rollup.
+  private val x313 = GQuery(
+    "x313_quality_survival", "ext-dedup curation-audit quality-contingency",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      docs(s, dir)
+        .select(col("doc_id"), xxhash64(col("text")).as("h"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)).cast("double") / size(toks))
+            .as("uniq_ratio"))
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .withColumn("band",
+          when(col("n_tokens") >= 50 && col("uniq_ratio") >= 0.5, "good")
+            .when(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3, "ok")
+            .otherwise("low"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .select(col("band"), col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"),
+          expr("(1000 * (n_docs - n_kept)) div n_docs").as("drop_milli"))
+        .orderBy("band")
+    },
+    Some("""WITH k AS (
+              SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keeper,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS uniq_ratio
+              FROM documents),
+            b AS (
+              SELECT CASE
+                  WHEN n_tokens >= 50 AND uniq_ratio >= 0.5 THEN 'good'
+                  WHEN n_tokens >= 20 AND uniq_ratio >= 0.3 THEN 'ok'
+                  ELSE 'low' END AS band,
+                CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS kept
+              FROM k)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(kept) AS BIGINT) AS n_kept,
+              CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped,
+              CAST((1000 * (COUNT(*) - SUM(kept))) // COUNT(*) AS BIGINT)
+                AS drop_milli
+            FROM b GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x316
+  // Dedup threshold-sensitivity curve — x237's band census turned into
+  // the decision table a curation review actually wants: for each
+  // candidate Jaccard cutoff (0.5 … 0.9), how many pairs would merge and
+  // how many documents are touched? The cutoff where the curve cliffs is
+  // the corpus' natural near-dup boundary. Built on the SAME lossless
+  // prefix-filter candidates at t = 0.5 (every pair with J ≥ 0.5 is
+  // present — so each threshold's row is exact, not an estimate), with
+  // the threshold test in pure integers (1000·|∩| ≥ τ·|∪|).
+  //
+  // Scale shape: x237's candidate plan + a 5-way in-pipeline threshold
+  // explode over the (already pair-sized) candidate set and a 5-row
+  // rollup; the docs-touched count re-aggregates pair ids, never text.
+  private val x316 = GQuery(
+    "x316_dedup_threshold_curve", "ext-dedup-fuzzy threshold decision-curve",
+    (s, dir) => {
+      val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
+      val pairs = prefixCandidates(sets, 1, 2)
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("un", col("n_a") + col("n_b") - col("inter"))
+        .where(col("inter") * 2 >= col("un"))
+        .select(col("a_id"), col("b_id"), col("inter"), col("un"))
+      val perTau = pairs.select(col("a_id"), col("b_id"), col("inter"),
+          col("un"), explode(expr(
+            "array(500L, 600L, 700L, 800L, 900L)")).as("tau_milli"))
+        .where(col("inter") * 1000 >= col("tau_milli") * col("un"))
+      val nPairs = perTau.groupBy("tau_milli")
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = perTau
+        .select(col("tau_milli"), explode(
+          array(col("a_id"), col("b_id"))).as("doc_id"))
+        .groupBy("tau_milli")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      nPairs.join(nDocs, "tau_milli").orderBy("tau_milli")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               FOR i IN range(1, len(w) - 1)]) AS tok
+              FROM t),
+            p AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT) AS i,
+                CAST(len(a.tok) + len(b.tok)
+                  - len(list_intersect(a.tok, b.tok)) AS BIGINT) AS u
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+            tau AS (SELECT unnest([500, 600, 700, 800, 900]) AS tau_milli),
+            hit AS (
+              SELECT tau.tau_milli, p.a_id, p.b_id
+              FROM p, tau WHERE p.i * 1000 >= tau.tau_milli * p.u),
+            dc AS (
+              SELECT tau_milli, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+              FROM (SELECT tau_milli, a_id AS d FROM hit
+                    UNION ALL SELECT tau_milli, b_id FROM hit)
+              GROUP BY 1)
+            SELECT CAST(h.tau_milli AS BIGINT) AS tau_milli,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              MAX(dc.n_docs) AS n_docs
+            FROM hit h JOIN dc ON dc.tau_milli = h.tau_milli
+            GROUP BY h.tau_milli ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
-      x236, x237, x241, x280, x294, x304)
+      x236, x237, x241, x280, x294, x304, x309, x313, x316)
 }

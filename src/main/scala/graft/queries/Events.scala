@@ -4071,7 +4071,131 @@ object Events {
               (p - m) > k * 4 AS alarm
             FROM s ORDER BY day"""))
 
-  val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107,
+  // ------------------------------------------------------------------- x308
+  // Matthews correlation — the single-number classifier summary that,
+  // unlike accuracy or F1 (x253), is defensible under class imbalance
+  // (Matthews 1975; the metric BOTH classes must agree on). The decision
+  // rule is the x263-style threshold stump (value ≥ 50 predicts 'error');
+  // the confusion quadrants are exact integer counts, and the headline
+  // MCC is computed from them with an expression whose float steps are
+  // IDENTICAL in both engines (exact-int → double casts, left-assoc
+  // products, one correctly-rounded sqrt) — so even the double
+  // hash-verifies. The numerator is formed in DECIMAL(38,0)/HUGEINT
+  // (tp·tn at 10⁹ rows passes 2⁶³ — the x270 headroom discipline).
+  //
+  // Scale shape: one map-side-combinable 4-counter aggregate over the
+  // fact scan; the MCC arithmetic runs on one row.
+  private val x308 = GQuery(
+    "x308_matthews_corr", "ext-analytics classifier-eval mcc",
+    (s, dir) =>
+      events(s, dir)
+        .select(when(col("value") >= 50.0, 1L).otherwise(0L).as("pred"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("label"))
+        .agg(sum(expr("pred * label")).as("tp"),
+          sum(expr("pred * (1 - label)")).as("fp"),
+          sum(expr("(1 - pred) * label")).as("fn"),
+          sum(expr("(1 - pred) * (1 - label)")).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("""CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0
+                    OR (tn + fp) = 0 OR (tn + fn) = 0
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                            - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+                       / sqrt(CAST(tp + fp AS DOUBLE)
+                              * CAST(tp + fn AS DOUBLE)
+                              * CAST(tn + fp AS DOUBLE)
+                              * CAST(tn + fn AS DOUBLE)) END""").as("mcc")),
+    Some("""WITH c AS (
+              SELECT
+                CAST(SUM(CASE WHEN value >= 50 AND event_type = 'error'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN value >= 50 AND event_type <> 'error'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN value < 50 AND event_type = 'error'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN value < 50 AND event_type <> 'error'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM events)
+            SELECT tp, fp, fn, tn,
+              CASE WHEN (tp + fp) = 0 OR (tp + fn) = 0
+                OR (tn + fp) = 0 OR (tn + fn) = 0
+              THEN 0.0
+              ELSE CAST(CAST(tp AS HUGEINT) * tn
+                        - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                   / sqrt(CAST(tp + fp AS DOUBLE)
+                          * CAST(tp + fn AS DOUBLE)
+                          * CAST(tn + fp AS DOUBLE)
+                          * CAST(tn + fn AS DOUBLE)) END AS mcc
+            FROM c"""))
+
+  // ------------------------------------------------------------------- x310
+  // Inter-arrival cadence profile — x118's per-user bot read lifted to
+  // the per-TYPE operational view: for each event type, exact
+  // nearest-rank p50/p90/p99 of the within-user inter-arrival gap in
+  // microseconds. The freshness-SLA read an event pipeline alarms on
+  // (p99 cadence collapsing → a producer went bursty; exploding → a
+  // producer stalled). Gaps order within (user, type) by (ts, event_id)
+  // — the deterministic tiebreak the whole events family uses.
+  //
+  // Scale shape: the x214/x273 "facts never sort" discipline — the
+  // per-user lag window shuffles on user_id (never global), then the
+  // percentile picks run on the (type, gap)-DOMAIN grid with cumsum
+  // windows, so no fact-sized sort and no single-partition window.
+  private val x310 = GQuery(
+    "x310_interarrival_profile", "ext-events cadence-sla percentiles",
+    (s, dir) => {
+      val wSeq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeq))
+        .where(col("prev_us").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("gap_us"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      gaps.groupBy(col("event_type"), col("gap_us"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("c", sum(col("cnt")).over(wt))
+        .withColumn("n", sum(col("cnt")).over(all))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_gaps"),
+          max(when(expr("c - cnt < (n + 1) div 2 AND (n + 1) div 2 <= c"),
+            col("gap_us"))).as("p50_us"),
+          max(when(expr("c - cnt < (9 * n + 9) div 10 AND (9 * n + 9) div 10 <= c"),
+            col("gap_us"))).as("p90_us"),
+          max(when(expr("c - cnt < (99 * n + 99) div 100 AND (99 * n + 99) div 100 <= c"),
+            col("gap_us"))).as("p99_us"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS gap_us
+              FROM events),
+            d AS (SELECT event_type, gap_us,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2),
+            c AS (SELECT event_type, gap_us, cnt,
+                    CAST(SUM(cnt) OVER (PARTITION BY event_type
+                      ORDER BY gap_us) AS BIGINT) AS c,
+                    CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS n
+                  FROM d)
+            SELECT event_type, MAX(n) AS n_gaps,
+              MAX(CASE WHEN c - cnt < (n + 1) // 2
+                AND (n + 1) // 2 <= c THEN gap_us END) AS p50_us,
+              MAX(CASE WHEN c - cnt < (9 * n + 9) // 10
+                AND (9 * n + 9) // 10 <= c THEN gap_us END) AS p90_us,
+              MAX(CASE WHEN c - cnt < (99 * n + 99) // 100
+                AND (99 * n + 99) // 100 <= c THEN gap_us END) AS p99_us
+            FROM c GROUP BY 1 ORDER BY 1"""))
+
+  val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

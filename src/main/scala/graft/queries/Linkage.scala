@@ -505,5 +505,91 @@ object Linkage {
        FROM sdx GROUP BY code HAVING COUNT(*) > 1
        ORDER BY code"""))
 
-  val queries: Seq[GQuery] = Seq(x142, x145, x146, x159, x160, x188, x189)
+  // ------------------------------------------------------------------- x305
+  // Sparse TF-cosine near-dup pairs — the similarity measure between
+  // x145's containment (asymmetric, multiplicity-blind) and x09's dense
+  // embedding cosine: document pairs scored by the cosine of their
+  // 3-gram TERM-FREQUENCY vectors, exactly. Multiplicity matters here —
+  // a doc that repeats a template 10× is far from one containing it
+  // once, which set-Jaccard cannot see. Everything stays integer-exact:
+  // the score is cos²·10⁶ = (10⁶·dot²) div (‖a‖²·‖b‖²) (ranking by cos²
+  // ≡ ranking by cos on non-negative TF vectors), the keep test
+  // 2·dot² ≥ ‖a‖²·‖b‖² (cos ≥ √0.5), both with DECIMAL(38,0)/HUGEINT
+  // headroom for the squared products.
+  //
+  // Scale shape: x145's group-then-pair inverted index — ONE equi-
+  // shuffle on the 3-gram gathers each rare gram's (doc, tf) postings,
+  // dot-product contributions are generated IN PLACE from the posting
+  // list (bounded by the df cap ≤ 50² per gram) and partial-aggregate;
+  // norms come from the same capped postings (operator semantics:
+  // boilerplate grams above the cap leave BOTH the dots and the norms,
+  // mirrored in the oracle). The fact table never self-joins.
+  private val x305 = GQuery(
+    "x305_sparse_cosine_pairs", "ext-linkage tf-cosine exact",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), "[^a-z]+").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(toks) - 3, 0)), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))")).as("gram"))
+        .where(length(col("gram")) > 0)
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("tf"))
+      val byGram = tf.groupBy("gram")
+        .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ps"))
+        .where(size(col("ps")) <= MaxDf)
+        .localCheckpoint(true) // one build feeds dots AND norms
+      val dots = byGram.select(explode(expr(
+          "filter(flatten(transform(ps, a -> transform(ps, b -> " +
+            "struct(a.doc_id AS d1, a.tf AS t1, b.doc_id AS d2, b.tf AS t2)))), " +
+            "p -> p.d1 < p.d2)")).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(sum(col("p.t1") * col("p.t2")).as("dot"))
+      val norms = byGram
+        .select(explode(col("ps")).as("p"))
+        .groupBy(col("p.doc_id").as("doc_id"))
+        .agg(sum(col("p.tf") * col("p.tf")).as("n2"))
+      dots
+        .join(norms.select(col("doc_id").as("d1"), col("n2").as("n2a")), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("n2").as("n2b")), "d2")
+        .where(expr("2 * CAST(dot AS DECIMAL(38,0)) * dot >= " +
+          "CAST(n2a AS DECIMAL(38,0)) * n2b"))
+        .select(col("d1"), col("d2"), col("dot"), col("n2a"), col("n2b"),
+          expr("CAST((1000000 * CAST(dot AS DECIMAL(38,0)) * dot) div " +
+            "(CAST(n2a AS DECIMAL(38,0)) * n2b) AS BIGINT)")
+            .as("cos2_micro"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH g AS (
+               SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                 SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+                     i -> array_to_string(toks[i : i + 2], ' '))) AS gram
+                 FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '[^a-z]+') AS toks
+                       FROM documents))
+               WHERE length(gram) > 0 GROUP BY 1, 2),
+             rare AS (SELECT gram FROM g GROUP BY gram
+                      HAVING COUNT(*) <= $MaxDf),
+             kept AS (SELECT g.* FROM g JOIN rare USING (gram)),
+             norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+                       FROM kept GROUP BY 1),
+             dots AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+               FROM kept a JOIN kept b USING (gram)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+             SELECT d1, d2, dot, na.n2 AS n2a, nb.n2 AS n2b,
+               CAST((1000000 * CAST(dot AS HUGEINT) * dot)
+                 // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT)
+                 AS cos2_micro
+             FROM dots
+             JOIN norms na ON na.doc_id = d1
+             JOIN norms nb ON nb.doc_id = d2
+             WHERE 2 * CAST(dot AS HUGEINT) * dot
+               >= CAST(na.n2 AS HUGEINT) * nb.n2
+             ORDER BY d1, d2"""))
+
+  val queries: Seq[GQuery] =
+    Seq(x142, x145, x146, x159, x160, x188, x189, x305)
 }

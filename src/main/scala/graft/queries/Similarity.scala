@@ -2476,8 +2476,63 @@ object Similarity {
             WHERE d2 <= $RangeTauSq
             ORDER BY q_id, d2, vec_id"""))
 
+  // ------------------------------------------------------------------- x311
+  // Per-label embedding centroid drift — the clustering-health read next
+  // to x291's norm audit: how far does each label's centroid sit from
+  // the global centroid, dimension-exact? A label whose drift collapses
+  // toward 0 carries no geometric signal (its vectors are
+  // indistinguishable from the corpus); one dimension dominating
+  // max_dim_drift is a feature-scaling bug. All arithmetic is exact
+  // integers: each float coordinate enters as floor(v·10⁶) (floor, not
+  // round/cast — the one truncation both engines define identically; the
+  // float→double widening before the multiply is exact in both), and
+  // centroids use truncating integer division (Spark `div` ≡ DuckDB `//`
+  // including negatives), so the drift table hash-verifies.
+  //
+  // Scale shape: one posexplode to (label, dim) granularity with
+  // map-side-combinable integer sums — the exchange carries the
+  // (labels×64)-row grid, never vectors — then a 64-row-per-label join
+  // and a label-domain rollup. At 100 TB the grid is still labels×dims.
+  private val x311 = GQuery(
+    "x311_centroid_drift", "ext-embedding cluster-health centroid-drift",
+    (s, dir) => {
+      val m = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          floor(col("v").cast("double") * lit(1000000.0)).as("micro"))
+      val perLabel = m.groupBy(col("label"), col("pos"))
+        .agg(sum(col("micro")).as("s"), count(lit(1)).as("c"))
+      val global = m.groupBy(col("pos"))
+        .agg(sum(col("micro")).as("sg"), count(lit(1)).as("cg"))
+      perLabel.join(broadcast(global), "pos")
+        .withColumn("diff", expr("(s div c) - (sg div cg)"))
+        .groupBy(col("label"))
+        .agg(max(col("c")).as("n_vecs"),
+          sum(col("diff") * col("diff")).as("drift_sq_micro2"),
+          max(abs(col("diff"))).as("max_dim_drift_micro"))
+        .orderBy("label")
+    },
+    Some("""WITH m AS (
+              SELECT label,
+                CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+                CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS micro
+              FROM embeddings),
+            pl AS (SELECT label, pos, CAST(SUM(micro) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS c
+                   FROM m GROUP BY 1, 2),
+            g AS (SELECT pos, CAST(SUM(micro) AS BIGINT) AS sg,
+                    CAST(COUNT(*) AS BIGINT) AS cg
+                  FROM m GROUP BY 1),
+            d AS (SELECT label, (s // c) - (sg // cg) AS diff, c
+                  FROM pl JOIN g USING (pos))
+            SELECT label, MAX(c) AS n_vecs,
+              CAST(SUM(diff * diff) AS BIGINT) AS drift_sq_micro2,
+              CAST(MAX(ABS(diff)) AS BIGINT) AS max_dim_drift_micro
+            FROM d GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105, x108, x109, x111, x204, x232, x279)
+      x91, x92, x95, x100, x105, x108, x109, x111, x204, x232, x279, x311)
 }

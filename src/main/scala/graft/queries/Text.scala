@@ -1840,9 +1840,215 @@ object Text {
               md5(string_agg(id, ',' ORDER BY g)) AS ids_digest
             FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ------------------------------------------------------------------- x306
+  // Stopword-share audit — the cheapest of the corpus-quality probes a
+  // pipeline runs per ingest source: per language, what fraction of the
+  // token stream is function-word filler, and how many documents are
+  // stopword-heavy (>30 % filler — boilerplate, navigation chrome, or
+  // keyword stuffing read exactly like this). The stopword list is a
+  // FIXED 8-token constant (the operator's contract — swap the list per
+  // deployment, semantics unchanged); all ratios are exact integer
+  // millis, so the audit hash-verifies.
+  //
+  // Scale shape: one explode to token granularity with a map-side
+  // combinable per-doc aggregate, then a lang-domain rollup — the x11
+  // shape; nothing wider than (lang, doc_id) ever shuffles.
+  private val Stopwords = Seq("a", "the", "data", "table", "row", "value",
+    "fast", "slow")
+
+  private val x306 = GQuery(
+    "x306_stopword_audit", "ext-text corpus-quality stopword-share",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"), explode(tokens).as("t"))
+        .withColumn("is_stop",
+          when(col("t").isin(Stopwords: _*), 1L).otherwise(0L))
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("is_stop")).as("ns"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_tokens"), sum(col("ns")).as("n_stop"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("ns") * 1000 > col("n") * 300, 1L).otherwise(0L))
+            .as("n_stopheavy_docs"))
+        .select(col("lang"), col("n_tokens"), col("n_stop"),
+          expr("(1000 * n_stop) div n_tokens").as("stop_milli"),
+          col("n_docs"), col("n_stopheavy_docs"))
+        .orderBy("lang"),
+    Some("""WITH d AS (
+              SELECT lang, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('a', 'the', 'data', 'table', 'row', 'value',
+                             'fast', 'slow'))) AS BIGINT) AS ns
+              FROM documents)
+            SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+              CAST(SUM(ns) AS BIGINT) AS n_stop,
+              CAST((1000 * SUM(ns)) // SUM(n) AS BIGINT) AS stop_milli,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN ns * 1000 > n * 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stopheavy_docs
+            FROM d GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x307
+  // Split n-gram novelty — the generalization-risk read next to x295's
+  // leakage audit: of the validation slice's distinct word bigrams, how
+  // many never occur in the training slice? Near-zero novelty means the
+  // val set cannot measure generalization (it is lexically inside the
+  // train distribution); high novelty with x295 leakage ≈ 0 is the
+  // healthy shape. Same deterministic doc_id%5 split as the split
+  // family; exact integer millis.
+  //
+  // Scale shape: two distinct (lang, bigram) sets built in one explode
+  // pass each (map-side combinable), one anti join on the bigram key —
+  // vocabulary-sized exchanges, never corpus-sized.
+  private val x307 = GQuery(
+    "x307_ngram_novelty", "ext-text split-audit bigram-novelty",
+    (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("lang"), col("doc_id"), tokens.as("toks"))
+        .select(col("lang"), col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(toks) - 1, 0)), " +
+            "i -> concat_ws(' ', slice(toks, i, 2)))")).as("bigram"))
+      val train = bi.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select("lang", "bigram").distinct()
+      val valB = bi.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select("lang", "bigram").distinct()
+      val novel = valB.join(train, Seq("lang", "bigram"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_novel"))
+      valB.groupBy("lang").agg(count(lit(1)).as("n_val_bigrams"))
+        .join(novel, Seq("lang"), "left")
+        .select(col("lang"), col("n_val_bigrams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("(1000 * coalesce(n_novel, 0)) div n_val_bigrams")
+            .as("novelty_milli"))
+        .orderBy("lang")
+    },
+    Some("""WITH b AS (
+              SELECT lang, doc_id, unnest(list_transform(
+                range(1, greatest(len(w) - 1, 0) + 1),
+                i -> array_to_string(w[i:i+1], ' '))) AS bigram
+              FROM (SELECT lang, doc_id, string_split(text, ' ') AS w
+                    FROM documents)),
+            train AS (SELECT DISTINCT lang, bigram FROM b
+                      WHERE doc_id % 5 <> 0),
+            v AS (SELECT DISTINCT lang, bigram FROM b WHERE doc_id % 5 = 0),
+            novel AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_novel
+              FROM v WHERE NOT EXISTS (SELECT 1 FROM train t
+                WHERE t.lang = v.lang AND t.bigram = v.bigram)
+              GROUP BY 1)
+            SELECT v.lang, CAST(COUNT(*) AS BIGINT) AS n_val_bigrams,
+              COALESCE(MAX(n.n_novel), 0) AS n_novel,
+              (1000 * COALESCE(MAX(n.n_novel), 0)) // COUNT(*)
+                AS novelty_milli
+            FROM v LEFT JOIN novel n ON n.lang = v.lang
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x315
+  // Contamination ATTRIBUTION — x24 answers "which corpus docs are
+  // contaminated"; this answers the reviewer's follow-up "which BENCHMARK
+  // items leaked, and how widely": per benchmark document, how many
+  // corpus documents share at least one of its word-6-grams and how many
+  // of its distinct shingles appear anywhere in the corpus. The table a
+  // benchmark maintainer reads to decide which eval items to retire.
+  // Benchmark docs with zero leakage appear with zeros (the report must
+  // show the clean items too).
+  //
+  // Scale shape: x24's — the benchmark shingle side is eval-suite-sized
+  // and broadcasts; shingles travel as the same 64-bit kernel hashes
+  // (ShingleHashes), so the join and both distinct-counts run on 8-byte
+  // keys (distinct-hash ≡ distinct-shingle up to the documented 2⁻⁶⁴
+  // collision window the whole x24 family prices in).
+  private val x315 = GQuery(
+    "x315_contamination_attribution",
+    "ext-text decontamination benchmark-attribution",
+    (s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.HashFunctions.shingleHashes(tokens, 6)))
+          .as("shingle"))
+      val bench = sh.where(col("doc_id") < BenchBound)
+        .select(col("doc_id").as("bench_id"), col("shingle"))
+      val corpus = sh.where(col("doc_id") >= BenchBound)
+      val hits = corpus.join(broadcast(bench), "shingle")
+        .groupBy(col("bench_id"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+          countDistinct(col("shingle")).as("n_shingles_leaked"))
+      docs(s, dir).where(col("doc_id") < BenchBound)
+        .select(col("doc_id").as("bench_id"))
+        .join(hits, Seq("bench_id"), "left")
+        .select(col("bench_id"),
+          coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+          coalesce(col("n_shingles_leaked"), lit(0L))
+            .as("n_shingles_leaked"))
+        .orderBy("bench_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  range(1, greatest(len(w) - 5, 1) + 1),
+                  i -> array_to_string(w[i:i+5], ' ')))) AS shingle
+              FROM w),
+            hits AS (
+              SELECT b.doc_id AS bench_id,
+                CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs_hit,
+                CAST(COUNT(DISTINCT b.shingle) AS BIGINT)
+                  AS n_shingles_leaked
+              FROM sh b JOIN sh c ON c.shingle = b.shingle
+              WHERE b.doc_id < 50 AND c.doc_id >= 50
+              GROUP BY 1)
+            SELECT d.doc_id AS bench_id,
+              COALESCE(h.n_docs_hit, 0) AS n_docs_hit,
+              COALESCE(h.n_shingles_leaked, 0) AS n_shingles_leaked
+            FROM documents d LEFT JOIN hits h ON h.bench_id = d.doc_id
+            WHERE d.doc_id < 50 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x317
+  // Packing-efficiency audit — the trainer-capacity read over the x303
+  // packing: per shard, sequences produced, fill ratio, and tail waste
+  // (padding tokens a 512-token trainer would burn). The Spark side
+  // aggregates the ACTUAL packed output (shared packSequences path — the
+  // number the trainer sees); the oracle computes the closed form
+  // (n_seqs = ceil(Σtokens/512), waste = 512·n_seqs − Σtokens) from the
+  // raw corpus — so a hash match PROVES the packing is gapless and
+  // contiguous per shard, not just that two aggregations agree.
+  //
+  // Scale shape: x303's plan plus a 16-row shard rollup.
+  private val x317 = GQuery(
+    "x317_packing_efficiency", "ext-text sequence-packing capacity-audit",
+    (s, dir) =>
+      packSequences(docs(s, dir).select(col("doc_id"), tokens.as("ids")),
+        shardHexChars = 1, seqLen = 512, md5Digest = true)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("n_tokens") === 512L, 1L).otherwise(0L))
+            .as("n_full_seqs"))
+        .select(col("shard"), col("n_seqs"), col("n_tokens"),
+          col("n_full_seqs"),
+          (lit(512L) * col("n_seqs") - col("n_tokens")).as("tail_waste"),
+          expr("(1000 * n_tokens) div (512 * n_seqs)").as("fill_milli"))
+        .orderBy("shard"),
+    Some("""WITH d AS (
+              SELECT substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 1)
+                  AS shard,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+            s AS (
+              SELECT shard, CAST(SUM(n) AS BIGINT) AS n_tokens
+              FROM d GROUP BY 1)
+            SELECT shard,
+              (n_tokens + 511) // 512 AS n_seqs,
+              n_tokens,
+              n_tokens // 512 AS n_full_seqs,
+              512 * ((n_tokens + 511) // 512) - n_tokens AS tail_waste,
+              (1000 * n_tokens) // (512 * ((n_tokens + 511) // 512))
+                AS fill_milli
+            FROM s ORDER BY shard"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
-      x301, x302, x303)
+      x301, x302, x303, x306, x307, x315, x317)
 }

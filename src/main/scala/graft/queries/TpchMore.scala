@@ -1431,8 +1431,81 @@ object TpchMore {
                 AS BIGINT) AS total_dev_milli
             FROM j ORDER BY digit"""))
 
+  // ------------------------------------------------------------------- x319
+  // Join-key skew audit — the pre-flight read behind every salting/AQE
+  // decision this engine makes (SkewSpec exercises the cure; this row
+  // measures the disease): the full shape of the l_partkey key-count
+  // distribution in exact integers — max key, nearest-rank p50/p99 key
+  // counts, the hottest key's row share, skew ratio vs the mean, and how
+  // many keys run >2× the mean (the salting candidate set). An operator
+  // reads this row and knows whether the x197-style salted join or plain
+  // AQE skew handling is warranted BEFORE paying for a bad shuffle.
+  //
+  // Scale shape: one map-side-combinable per-key count, then everything
+  // runs on the count-of-counts DOMAIN (how many keys have count c) —
+  // bounded by the distinct count values, not the key count — with
+  // cumsum windows for the percentile picks; the fact table is scanned
+  // once and never sorted.
+  private val x319 = GQuery(
+    "x319_key_skew_audit", "ext-planning shuffle-skew audit",
+    (s, dir) => {
+      val wt = org.apache.spark.sql.expressions.Window.orderBy(col("cnt"))
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt")).agg(count(lit(1)).as("k"))
+        .withColumn("c", sum(col("k")).over(wt))
+        .withColumn("nk", sum(col("k")).over(all))
+        .withColumn("nr", sum(col("cnt") * col("k")).over(all))
+        .agg(max(col("nr")).as("n_rows"), max(col("nk")).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          max(when(expr("c - k < (nk + 1) div 2 AND (nk + 1) div 2 <= c"),
+            col("cnt"))).as("p50_cnt"),
+          max(when(expr("c - k < (99 * nk + 99) div 100 AND (99 * nk + 99) div 100 <= c"),
+            col("cnt"))).as("p99_cnt"),
+          sum(when(col("cnt") * col("nk") > lit(2) * col("nr"), col("k"))
+            .otherwise(0L)).as("n_hot_keys"))
+        .select(col("n_rows"), col("n_keys"),
+          expr("(1000 * n_rows) div n_keys").as("mean_cnt_milli"),
+          col("p50_cnt"), col("p99_cnt"), col("max_cnt"),
+          expr("(1000000 * max_cnt) div n_rows").as("top_share_micro"),
+          expr("(1000 * max_cnt * n_keys) div n_rows").as("skew_milli"),
+          col("n_hot_keys"))
+    },
+    Some("""WITH pc AS (
+              SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY 1),
+            d AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k
+                  FROM pc GROUP BY 1),
+            w AS (SELECT cnt, k,
+                    CAST(SUM(k) OVER (ORDER BY cnt) AS BIGINT) AS c,
+                    CAST(SUM(k) OVER () AS BIGINT) AS nk,
+                    CAST(SUM(cnt * k) OVER () AS BIGINT) AS nr
+                  FROM d),
+            a AS (SELECT MAX(nr) AS n_rows, MAX(nk) AS n_keys,
+                    MAX(cnt) AS max_cnt,
+                    MAX(CASE WHEN c - k < (nk + 1) // 2
+                      AND (nk + 1) // 2 <= c THEN cnt END) AS p50_cnt,
+                    MAX(CASE WHEN c - k < (99 * nk + 99) // 100
+                      AND (99 * nk + 99) // 100 <= c THEN cnt END)
+                      AS p99_cnt,
+                    CAST(SUM(CASE WHEN cnt * nk > 2 * nr THEN k ELSE 0 END)
+                      AS BIGINT) AS n_hot_keys
+                  FROM w)
+            SELECT n_rows, n_keys,
+              CAST((1000 * n_rows) // n_keys AS BIGINT) AS mean_cnt_milli,
+              p50_cnt, p99_cnt, max_cnt,
+              CAST((1000000 * max_cnt) // n_rows AS BIGINT)
+                AS top_share_micro,
+              CAST((1000 * max_cnt * n_keys) // n_rows AS BIGINT)
+                AS skew_milli,
+              n_hot_keys
+            FROM a"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
       x220, x221, x231, x239, x240, x244, x245, x246, x248, x260, x261,
-      x300)
+      x300, x319)
 }
