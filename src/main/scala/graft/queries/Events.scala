@@ -4195,7 +4195,200 @@ object Events {
                 AND (99 * n + 99) // 100 <= c THEN gap_us END) AS p99_us
             FROM c GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x321
+  // Candidate-key uniqueness audit — the schema-contract check upstream
+  // of every MERGE/upsert this engine ships (x179's correctness rests on
+  // the key actually being one): for each candidate key of the events
+  // table, exact row/distinct/duplicate counts and the verdict. x210
+  // discovers functional dependencies; this pins the specific contracts
+  // a pipeline declares. Distinct counts run as DISTINCT-project then
+  // count (not multi-arg COUNT DISTINCT) so Spark and DuckDB share one
+  // null semantic by construction.
+  //
+  // Scale shape: one distinct-aggregate per candidate (map-side
+  // combinable hash distinct), 1-row results unioned on the driver plan
+  // side — the fact table is scanned per candidate but never joined.
+  private val x321 = GQuery(
+    "x321_key_uniqueness_audit", "ext-quality schema-contract key-audit",
+    (s, dir) => {
+      val e = events(s, dir)
+      def audit(name: String, cols: Seq[String]): DataFrame = {
+        val d = e.select(cols.map(col): _*).distinct()
+          .agg(count(lit(1)).as("n_distinct"))
+        e.agg(count(lit(1)).as("n_rows")).crossJoin(broadcast(d))
+          .select(lit(name).as("candidate"), col("n_rows"),
+            col("n_distinct"),
+            (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
+            (col("n_rows") === col("n_distinct")).as("is_key"))
+      }
+      audit("event_id", Seq("event_id"))
+        .unionAll(audit("user_id+ts", Seq("user_id", "ts")))
+        .unionAll(audit("user_id+type+ts", Seq("user_id", "event_type", "ts")))
+        .orderBy("candidate")
+    },
+    Some("""WITH r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM events),
+            a AS (SELECT 'event_id' AS candidate,
+                    CAST(COUNT(*) AS BIGINT) AS n_distinct
+                  FROM (SELECT DISTINCT event_id FROM events)),
+            b AS (SELECT 'user_id+ts' AS candidate,
+                    CAST(COUNT(*) AS BIGINT) AS n_distinct
+                  FROM (SELECT DISTINCT user_id, ts FROM events)),
+            c AS (SELECT 'user_id+type+ts' AS candidate,
+                    CAST(COUNT(*) AS BIGINT) AS n_distinct
+                  FROM (SELECT DISTINCT user_id, event_type, ts
+                        FROM events)),
+            u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+                  UNION ALL SELECT * FROM c)
+            SELECT u.candidate, r.n_rows, u.n_distinct,
+              r.n_rows - u.n_distinct AS n_dup_rows,
+              r.n_rows = u.n_distinct AS is_key
+            FROM u, r ORDER BY u.candidate"""))
+
+  // ------------------------------------------------------------------- x322
+  // Day-over-day change attribution — the on-call question behind every
+  // volume alarm (x134 flags the day; this names the culprit): per day,
+  // the total delta vs the previous day and the event type contributing
+  // the LARGEST absolute share of that delta, with its exact milli
+  // share. Argmax is a deterministic window rank ordered by
+  // (|delta| desc, type) — never a tie-unstable max_by. Days without a
+  // predecessor are excluded (no delta to attribute).
+  //
+  // Scale shape: one (day, type) grid aggregate off the fact scan; the
+  // lag windows and the rank run on the grid, partitioned by day/type —
+  // nothing fact-sized sorts.
+  private val x322 = GQuery(
+    "x322_change_attribution", "ext-events anomaly-attribution",
+    (s, dir) => {
+      val grid = events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val perType = grid
+        .withColumn("prev", lag(col("n"), 1).over(wt))
+        .where(col("prev").isNotNull)
+        .withColumn("delta", col("n") - col("prev"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day"))
+        .orderBy(abs(col("delta")).desc, col("event_type"))
+      perType
+        .withColumn("delta_total", sum(col("delta")).over(wd))
+        .withColumn("rk", row_number().over(wr))
+        .where(col("rk") === 1)
+        .select(col("day"), col("delta_total"),
+          col("event_type").as("top_type"), col("delta").as("top_delta"),
+          when(col("delta_total") =!= 0,
+            expr("(1000 * top_delta) div delta_total"))
+            .as("top_share_milli"))
+        .orderBy("day")
+    },
+    Some("""WITH g AS (
+              SELECT date_trunc('day', ts) AS day, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            p AS (
+              SELECT day, event_type, n,
+                n - LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                  AS delta
+              FROM g),
+            q AS (
+              SELECT day, event_type, delta,
+                CAST(SUM(delta) OVER (PARTITION BY day) AS BIGINT)
+                  AS delta_total,
+                ROW_NUMBER() OVER (PARTITION BY day
+                  ORDER BY ABS(delta) DESC, event_type) AS rk
+              FROM p WHERE delta IS NOT NULL)
+            SELECT day, delta_total, event_type AS top_type,
+              delta AS top_delta,
+              CASE WHEN delta_total <> 0
+                THEN CAST((1000 * delta) // delta_total AS BIGINT) END
+                AS top_share_milli
+            FROM q WHERE rk = 1 ORDER BY day"""))
+
+  // ------------------------------------------------------------------- x323
+  // Weekly active-user churn accounting — the growth table every event
+  // warehouse publishes (active / new / churned / retention per week),
+  // exact: new = first-ever week for the user, churned = active the
+  // previous week but absent this week, retention = retained share of
+  // the previous week's actives in millis. Week boundaries via
+  // date_trunc('week') (Monday in both engines); churn matches on exact
+  // +7-day week arithmetic, so the table hash-verifies.
+  //
+  // Scale shape: one distinct (user, week) projection off the fact scan
+  // (map-side combinable), then all accounting runs on the user-week
+  // grid: a per-user min, one self anti-ish join on (user, week+7d) —
+  // grid-sized exchanges keyed by user/week, nothing fact-sized.
+  private val x323 = GQuery(
+    "x323_weekly_churn", "ext-events growth-accounting churn",
+    (s, dir) => {
+      val uw = events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val first = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("first_week"))
+      val active = uw.groupBy(col("week"))
+        .agg(count(lit(1)).as("n_active"))
+      val news = uw.join(first, "user_id")
+        .where(col("week") === col("first_week"))
+        .groupBy(col("week")).agg(count(lit(1)).as("n_new"))
+      val retained = uw.as("cur")
+        .join(uw.select(col("user_id"),
+          (col("week") + expr("INTERVAL 7 DAYS")).as("week")).as("prev"),
+          Seq("user_id", "week"))
+        .groupBy(col("week")).agg(count(lit(1)).as("n_retained"))
+      val prevActive = active.select(
+        (col("week") + expr("INTERVAL 7 DAYS")).as("week"),
+        col("n_active").as("n_prev_active"))
+      active.join(news, Seq("week"), "left")
+        .join(retained, Seq("week"), "left")
+        .join(prevActive, Seq("week"), "left")
+        .select(col("week"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          (coalesce(col("n_prev_active"), lit(0L))
+            - coalesce(col("n_retained"), lit(0L))).as("n_churned"),
+          when(col("n_prev_active").isNotNull,
+            expr("(1000 * coalesce(n_retained, 0)) div n_prev_active"))
+            .as("retention_milli"))
+        .orderBy("week")
+    },
+    Some("""WITH uw AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events),
+            f AS (SELECT user_id, MIN(week) AS first_week
+                  FROM uw GROUP BY 1),
+            act AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active
+                    FROM uw GROUP BY 1),
+            nw AS (SELECT uw.week, CAST(COUNT(*) AS BIGINT) AS n_new
+                   FROM uw JOIN f USING (user_id)
+                   WHERE uw.week = f.first_week GROUP BY 1),
+            ret AS (
+              SELECT c.week, CAST(COUNT(*) AS BIGINT) AS n_retained
+              FROM uw c JOIN uw p ON p.user_id = c.user_id
+                AND p.week + INTERVAL 7 DAY = c.week
+              GROUP BY 1),
+            pa AS (SELECT week + INTERVAL 7 DAY AS week,
+                     n_active AS n_prev_active
+                   FROM act)
+            SELECT a.week, a.n_active,
+              COALESCE(nw.n_new, 0) AS n_new,
+              COALESCE(ret.n_retained, 0) AS n_retained,
+              COALESCE(pa.n_prev_active, 0) - COALESCE(ret.n_retained, 0)
+                AS n_churned,
+              CASE WHEN pa.n_prev_active IS NOT NULL
+                THEN CAST((1000 * COALESCE(ret.n_retained, 0))
+                  // pa.n_prev_active AS BIGINT) END AS retention_milli
+            FROM act a
+            LEFT JOIN nw ON nw.week = a.week
+            LEFT JOIN ret ON ret.week = a.week
+            LEFT JOIN pa ON pa.week = a.week
+            ORDER BY a.week"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
+    x321, x322, x323,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -2046,9 +2046,51 @@ object Text {
                 AS fill_milli
             FROM s ORDER BY shard"""))
 
+  // ------------------------------------------------------------------- x320
+  // Mixture rebalance plan — the PLANNING half of the x29/x82 mixture
+  // samplers: per language, how much must each slice be upsampled to
+  // balance the corpus to its largest language, and what does the
+  // rebalanced corpus cost in rows? The table a data lead reads before
+  // committing to a mixture run (upsample factors >> 1000 millis flag
+  // languages too thin to balance by repetition). Exact integer millis
+  // throughout — the plan itself is an artifact worth hash-pinning,
+  // because a mixture re-run must reproduce it bit-for-bit.
+  //
+  // Scale shape: one lang-domain count, window arithmetic on the
+  // lang-sized grid.
+  private val x320 = GQuery(
+    "x320_mixture_rebalance_plan", "ext-corpus mixture planning",
+    (s, dir) => {
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("total", sum(col("n_docs")).over(all))
+        .withColumn("max_docs", max(col("n_docs")).over(all))
+        .select(col("lang"), col("n_docs"),
+          expr("(1000 * n_docs) div total").as("share_milli"),
+          expr("(1000 * max_docs) div n_docs").as("upsample_milli"),
+          expr("(n_docs * ((1000 * max_docs) div n_docs)) div 1000")
+            .as("expected_rows"))
+        .orderBy("lang")
+    },
+    Some("""WITH c AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1),
+            w AS (SELECT lang, n_docs,
+                    CAST(SUM(n_docs) OVER () AS BIGINT) AS total,
+                    CAST(MAX(n_docs) OVER () AS BIGINT) AS max_docs
+                  FROM c)
+            SELECT lang, n_docs,
+              CAST((1000 * n_docs) // total AS BIGINT) AS share_milli,
+              CAST((1000 * max_docs) // n_docs AS BIGINT) AS upsample_milli,
+              CAST((n_docs * ((1000 * max_docs) // n_docs)) // 1000
+                AS BIGINT) AS expected_rows
+            FROM w ORDER BY lang"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
-      x301, x302, x303, x306, x307, x315, x317)
+      x301, x302, x303, x306, x307, x315, x317, x320)
 }
