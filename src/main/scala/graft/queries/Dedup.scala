@@ -786,9 +786,25 @@ object Dedup {
       labels.select(col("id").as("doc_id"), col("comp").as("keeper")))
   }
 
+  /** [[allPairsClusters]] as a stored artifact (the x62 build-once /
+    * serve-many discipline): four registry rows (x236, x294, x304, x309)
+    * consume the SAME deterministic cluster labels, and before round 11
+    * each re-ran the full prefix-filter + connected-components build
+    * (~2.4 s each at sf0.1, measured in the r11 mid-round bench). The
+    * first toucher builds and publishes; everyone else reads the
+    * (doc_id, keeper) parquet. CorpusMain keeps the DataFrame form (its
+    * input is not always a fixture dir).
+    */
+  private[queries] def storedClusters(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.StoredArtifacts.dir(dir, "neardup_clusters_v1")
+    if (!graft.StoredArtifacts.ready(store))
+      allPairsClusters(docs(s, dir)).write.mode("overwrite").parquet(store)
+    s.read.parquet(store)
+  }
+
   private val x236 = GQuery(
     "x236_allpairs_clusters", "ext-dedup-fuzzy exact-clusters transitive custom-operator",
-    (s, dir) => allPairsClusters(docs(s, dir)),
+    (s, dir) => storedClusters(s, dir).orderBy("doc_id"),
     Some("""WITH RECURSIVE t AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             sh AS (SELECT doc_id,
@@ -830,7 +846,7 @@ object Dedup {
       val all = org.apache.spark.sql.expressions.Window
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      allPairsClusters(docs(s, dir))
+      storedClusters(s, dir)
         .groupBy(col("keeper")).agg(count(lit(1)).as("sz"))
         .groupBy(when(col("sz") === 1L, "1").when(col("sz") === 2L, "2")
           .when(col("sz") <= 4L, "3-4").otherwise("5+").as("size_band"))
@@ -978,7 +994,7 @@ object Dedup {
     (s, dir) => {
       val d = docs(s, dir)
       val base = Dedup.cleanCorpus(d).select("doc_id", "lang")
-      val keepers = Dedup.allPairsClusters(d)
+      val keepers = Dedup.storedClusters(s, dir)
         .where(col("doc_id") === col("keeper")).select("doc_id")
       val afterNear = base.join(keepers, Seq("doc_id"), "left_semi")
       val hits = graft.queries.Text.contaminationHits(d).select("doc_id")
@@ -1090,7 +1106,7 @@ object Dedup {
     (s, dir) => {
       val d = docs(s, dir)
       val langOf = d.select(col("doc_id").as("keeper"), col("lang"))
-      allPairsClusters(d)
+      storedClusters(s, dir)
         .groupBy(col("keeper")).agg(count(lit(1)).as("sz"))
         .join(langOf, "keeper")
         .groupBy(col("lang"))
@@ -1252,7 +1268,100 @@ object Dedup {
             FROM hit h JOIN dc ON dc.tau_milli = h.tau_milli
             GROUP BY h.tau_milli ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x327
+  // Source near-dup overlap matrix — WHO copies from WHOM: x225's exact
+  // J ≥ 0.8 pairs attributed to the (source, source) grid. Off-diagonal
+  // mass is cross-source duplication (mirrors, scrapers scraping each
+  // other); a curation review drops or down-weights the copying source,
+  // not individual documents. Pair sources are normalized
+  // (least, greatest) so each unordered source pair lands in one cell.
+  //
+  // Scale shape: x225's candidate plan + two doc-keyed source lookups
+  // and a source²-grid rollup.
+  private val x327 = GQuery(
+    "x327_source_overlap_matrix", "ext-dedup-fuzzy provenance-matrix",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val sets = shingleSets(d).localCheckpoint(true)
+      val pairs = prefixCandidates(sets, 4, 5)
+        .where(HashFunctions.jaccardLongs(col("sa"), col("sb")) >= 0.8)
+        .select(col("a_id"), col("b_id"))
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("src_a0")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("src_b0")), "b_id")
+        .select(least(col("src_a0"), col("src_b0")).as("src_a"),
+          greatest(col("src_a0"), col("src_b0")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               FOR i IN range(1, len(w) - 1)]) AS tok
+              FROM t),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok)
+                   - len(list_intersect(a.tok, b.tok))) >= 0.8)
+            SELECT least(da.source, db.source) AS src_a,
+              greatest(da.source, db.source) AS src_b,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.a_id
+            JOIN documents db ON db.doc_id = p.b_id
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ------------------------------------------------------------------- x328
+  // Dedup savings in BYTES — x294 counts what exact dedup drops; this
+  // prices it: characters (≈ bytes for this corpus) a keeper-only corpus
+  // stops storing, scanning and tokenizing, total and as a milli share.
+  // The one number that turns a dedup proposal into a storage/compute
+  // budget line. Exact-duplicate groups by full-text identity (the
+  // x01 min-doc_id keeper rule).
+  //
+  // Scale shape: the x19 shape — content hash + length computed in the
+  // scan projection, the group window shuffles (hash, len) only, one
+  // 1-row rollup.
+  private val x328 = GQuery(
+    "x328_dedup_savings", "ext-dedup storage-budget savings",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      docs(s, dir)
+        .select(col("doc_id"), xxhash64(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("total_chars"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("doc_id") =!= col("keeper"), col("len"))
+            .otherwise(0L)).as("chars_saved"))
+        .select(col("n_docs"), col("n_dropped"), col("total_chars"),
+          col("chars_saved"),
+          expr("(1000 * chars_saved) div total_chars").as("saved_milli"))
+    },
+    Some("""WITH k AS (
+              SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keeper,
+                CAST(length(text) AS BIGINT) AS len
+              FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+              CAST(SUM(len) AS BIGINT) AS total_chars,
+              CAST(SUM(CASE WHEN doc_id <> keeper THEN len ELSE 0 END)
+                AS BIGINT) AS chars_saved,
+              CAST((1000 * SUM(CASE WHEN doc_id <> keeper THEN len
+                ELSE 0 END)) // SUM(len) AS BIGINT) AS saved_milli
+            FROM k"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
-      x236, x237, x241, x280, x294, x304, x309, x313, x316)
+      x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328)
 }

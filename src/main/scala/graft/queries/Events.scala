@@ -4387,8 +4387,75 @@ object Events {
             LEFT JOIN pa ON pa.week = a.week
             ORDER BY a.week"""))
 
+  // ------------------------------------------------------------------- x331
+  // Session-gap threshold curve — the planning read BEFORE committing to
+  // a sessionization cutoff (c17/x17 hard-code one; this row shows what
+  // the choice costs): for each candidate idle gap (15/30/60 min),
+  // exact session count and mean events-per-session in millis. Session
+  // count = users + gaps above the cutoff — a closed form over the gap
+  // stream, so no per-threshold re-sessionization pass.
+  //
+  // Scale shape: ONE per-user lag window (shuffles on user_id, never
+  // global) feeds every threshold; the 3-way threshold explode runs on
+  // the gap stream in-pipeline and rolls up to 3 rows.
+  private val x331 = GQuery(
+    "x331_session_threshold_curve", "ext-events sessionization planning",
+    (s, dir) => {
+      val e = events(s, dir)
+      val wSeq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = e
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wSeq))
+        .where(col("prev_us").isNotNull)
+        .select((unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+      val base = e.agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      val breaks = gaps
+        .select(col("gap_us"), explode(expr(
+          "array(900L, 1800L, 3600L)")).as("theta_sec"))
+        .where(col("gap_us") > col("theta_sec") * 1000000L)
+        .groupBy(col("theta_sec")).agg(count(lit(1)).as("n_breaks"))
+      // a threshold so large no gap exceeds it still needs its row
+      val thetas = e.sparkSession.range(1).select(explode(expr(
+        "array(900L, 1800L, 3600L)")).as("theta_sec"))
+      thetas
+        .join(breaks, Seq("theta_sec"), "left")
+        .crossJoin(broadcast(base))
+        .select(col("theta_sec"),
+          (col("n_users") + coalesce(col("n_breaks"), lit(0L)))
+            .as("n_sessions"),
+          expr("""(1000 * n_events)
+              div (n_users + coalesce(n_breaks, 0))""")
+            .as("events_per_session_milli"))
+        .orderBy("theta_sec")
+    },
+    Some("""WITH g AS (
+              SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events),
+            base AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events),
+            th AS (SELECT CAST(unnest([900, 1800, 3600]) AS BIGINT)
+                     AS theta_sec),
+            br AS (
+              SELECT th.theta_sec, CAST(COUNT(*) AS BIGINT) AS n_breaks
+              FROM g, th
+              WHERE g.gap_us IS NOT NULL
+                AND g.gap_us > th.theta_sec * 1000000
+              GROUP BY 1)
+            SELECT th.theta_sec,
+              base.n_users + COALESCE(br.n_breaks, 0) AS n_sessions,
+              CAST((1000 * base.n_events)
+                // (base.n_users + COALESCE(br.n_breaks, 0)) AS BIGINT)
+                AS events_per_session_milli
+            FROM th LEFT JOIN br ON br.theta_sec = th.theta_sec, base
+            ORDER BY th.theta_sec"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
-    x321, x322, x323,
+    x321, x322, x323, x331,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -590,6 +590,87 @@ object Linkage {
                >= CAST(na.n2 AS HUGEINT) * nb.n2
              ORDER BY d1, d2"""))
 
+  // ------------------------------------------------------------------- x324
+  // Gram document-frequency profile — the measurement that JUSTIFIES the
+  // MaxDf=50 cap the whole prefix/containment family (x145/x305) prices
+  // its scale story on: the full df distribution of distinct word-3-
+  // grams (nearest-rank p50/p99, max), how many grams the cap drops, and
+  // what fraction of the posting mass goes with them. An operator tunes
+  // the cap from this row instead of folklore. All exact integers on the
+  // (df → gram-count) DOMAIN.
+  //
+  // Scale shape: one distinct (doc, gram) explode (map-side combinable),
+  // one gram-domain df count, then everything runs on the count-of-
+  // counts grid with cumsum windows — the x319 pattern.
+  private val x324 = GQuery(
+    "x324_gram_df_profile", "ext-linkage df-cap calibration",
+    (s, dir) => {
+      val wt = org.apache.spark.sql.expressions.Window.orderBy(col("df"))
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      docs(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), "[^a-z]+").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(toks) - 3, 0)), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))")).as("gram"))
+        .where(length(col("gram")) > 0)
+        .distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .groupBy(col("df")).agg(count(lit(1)).as("k"))
+        .withColumn("c", sum(col("k")).over(wt))
+        .withColumn("ng", sum(col("k")).over(all))
+        .withColumn("post", sum(col("df") * col("k")).over(all))
+        .agg(max(col("ng")).as("n_grams"), max(col("post")).as("n_postings"),
+          max(col("df")).as("max_df"),
+          max(when(expr("c - k < (ng + 1) div 2 AND (ng + 1) div 2 <= c"),
+            col("df"))).as("p50_df"),
+          max(when(expr("c - k < (99 * ng + 99) div 100 AND (99 * ng + 99) div 100 <= c"),
+            col("df"))).as("p99_df"),
+          sum(when(col("df") > MaxDf, col("k")).otherwise(0L))
+            .as("n_capped_grams"),
+          sum(when(col("df") > MaxDf, col("df") * col("k")).otherwise(0L))
+            .as("postings_lost"))
+        .select(col("n_grams"), col("n_postings"), col("max_df"),
+          col("p50_df"), col("p99_df"), col("n_capped_grams"),
+          col("postings_lost"),
+          expr("(1000 * postings_lost) div n_postings").as("lost_milli"))
+    },
+    Some(s"""WITH sh AS (
+               SELECT DISTINCT doc_id, gram FROM (
+                 SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+                     i -> array_to_string(toks[i : i + 2], ' '))) AS gram
+                 FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '[^a-z]+') AS toks
+                       FROM documents))
+               WHERE length(gram) > 0),
+             dfs AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+                     FROM sh GROUP BY 1),
+             d AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS k
+                   FROM dfs GROUP BY 1),
+             w AS (SELECT df, k,
+                     CAST(SUM(k) OVER (ORDER BY df) AS BIGINT) AS c,
+                     CAST(SUM(k) OVER () AS BIGINT) AS ng,
+                     CAST(SUM(df * k) OVER () AS BIGINT) AS post
+                   FROM d),
+             a AS (SELECT MAX(ng) AS n_grams, MAX(post) AS n_postings,
+                     MAX(df) AS max_df,
+                     MAX(CASE WHEN c - k < (ng + 1) // 2
+                       AND (ng + 1) // 2 <= c THEN df END) AS p50_df,
+                     MAX(CASE WHEN c - k < (99 * ng + 99) // 100
+                       AND (99 * ng + 99) // 100 <= c THEN df END) AS p99_df,
+                     CAST(SUM(CASE WHEN df > $MaxDf THEN k ELSE 0 END)
+                       AS BIGINT) AS n_capped_grams,
+                     CAST(SUM(CASE WHEN df > $MaxDf THEN df * k ELSE 0 END)
+                       AS BIGINT) AS postings_lost
+                   FROM w)
+             SELECT n_grams, n_postings, max_df, p50_df, p99_df,
+               n_capped_grams, postings_lost,
+               CAST((1000 * postings_lost) // n_postings AS BIGINT)
+                 AS lost_milli
+             FROM a"""))
+
   val queries: Seq[GQuery] =
-    Seq(x142, x145, x146, x159, x160, x188, x189, x305)
+    Seq(x142, x145, x146, x159, x160, x188, x189, x305, x324)
 }

@@ -2088,9 +2088,131 @@ object Text {
                 AS BIGINT) AS expected_rows
             FROM w ORDER BY lang"""))
 
+  // ------------------------------------------------------------------- x326
+  // Per-source length fingerprint — the fastest way to spot a broken or
+  // off-distribution ingest source: exact nearest-rank p50/p90/p99 of
+  // document length (chars) per source plus the mean in millis. A source
+  // whose p99 collapses shipped truncated documents; one whose p50
+  // explodes shipped concatenation bugs. Same (source, n_chars)-domain
+  // cumsum machinery as x310 — facts never sort.
+  private val x326 = GQuery(
+    "x326_source_length_profile", "ext-text ingest-health length-profile",
+    (s, dir) => {
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      docs(s, dir)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("c", sum(col("cnt")).over(wt))
+        .withColumn("n", sum(col("cnt")).over(all))
+        .withColumn("schars", sum(col("n_chars") * col("cnt")).over(all))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(expr("c - cnt < (n + 1) div 2 AND (n + 1) div 2 <= c"),
+            col("n_chars"))).as("p50_chars"),
+          max(when(expr("c - cnt < (9 * n + 9) div 10 AND (9 * n + 9) div 10 <= c"),
+            col("n_chars"))).as("p90_chars"),
+          max(when(expr("c - cnt < (99 * n + 99) div 100 AND (99 * n + 99) div 100 <= c"),
+            col("n_chars"))).as("p99_chars"),
+          max(expr("(1000 * schars) div n")).as("mean_chars_milli"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+              SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY 1, 2),
+            c AS (SELECT source, n_chars, cnt,
+                    CAST(SUM(cnt) OVER (PARTITION BY source
+                      ORDER BY n_chars) AS BIGINT) AS c,
+                    CAST(SUM(cnt) OVER (PARTITION BY source)
+                      AS BIGINT) AS n,
+                    CAST(SUM(n_chars * cnt) OVER (PARTITION BY source)
+                      AS BIGINT) AS schars
+                  FROM d)
+            SELECT source, MAX(n) AS n_docs,
+              MAX(CASE WHEN c - cnt < (n + 1) // 2
+                AND (n + 1) // 2 <= c THEN n_chars END) AS p50_chars,
+              MAX(CASE WHEN c - cnt < (9 * n + 9) // 10
+                AND (9 * n + 9) // 10 <= c THEN n_chars END) AS p90_chars,
+              MAX(CASE WHEN c - cnt < (99 * n + 99) // 100
+                AND (99 * n + 99) // 100 <= c THEN n_chars END)
+                AS p99_chars,
+              CAST(MAX((1000 * schars) // n) AS BIGINT)
+                AS mean_chars_milli
+            FROM c GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x329
+  // Collocation lift — the multiword-unit detector that feeds tokenizer
+  // merge decisions (BPE merges the most FREQUENT pair; a vocabulary
+  // designer wants the most ASSOCIATED pair): top-32 word bigrams by
+  // exact integer lift P(ab)/(P(a)P(b)) = c_ab·n_uni² / (n_bi·c_a·c_b),
+  // in millis with DECIMAL(38,0)/HUGEINT headroom (n_uni² passes 2⁶³
+  // just past ~3e9 tokens — the x270 discipline), min-support 5, ranked
+  // (lift desc, bigram) so the cut is deterministic. PMI = log(lift):
+  // same ranking, no float.
+  //
+  // Scale shape: one unigram and one bigram map-side-combinable count,
+  // two vocabulary-keyed joins (token strings at fixture scale; xxhash
+  // the key first at 100 TB as the x29 scaladoc prescribes), one
+  // distributed TakeOrdered top-32.
+  private val x329 = GQuery(
+    "x329_collocation_lift", "ext-text collocation mwu-lift",
+    (s, dir) => {
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val uni = docs(s, dir).select(explode(tokens).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .withColumn("n_uni", sum(col("c")).over(all))
+      val bi = docs(s, dir)
+        .select(tokens.as("toks"))
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(toks) - 1, 0)), " +
+            "i -> concat_ws(' ', slice(toks, i, 2)))")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
+        .withColumn("n_bi", sum(col("c_ab")).over(all))
+        .where(col("c_ab") >= 5)
+      bi
+        .withColumn("t1", expr("split(b, ' ')[0]"))
+        .withColumn("t2", expr("split(b, ' ')[1]"))
+        .join(uni.select(col("t").as("t1"), col("c").as("c_a"),
+          col("n_uni")), "t1")
+        .join(uni.select(col("t").as("t2"), col("c").as("c_b")), "t2")
+        .select(col("b").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("""CAST((1000 * CAST(c_ab AS DECIMAL(38,0)) * n_uni * n_uni)
+                div (CAST(n_bi AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)""")
+            .as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("bigram"))
+        .limit(32)
+    },
+    Some("""WITH toks AS (
+              SELECT string_split(text, ' ') AS w FROM documents),
+            uni AS (
+              SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+            nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+            bi AS (
+              SELECT b, CAST(COUNT(*) AS BIGINT) AS c_ab
+              FROM (SELECT unnest(list_transform(
+                      range(1, greatest(len(w) - 1, 0) + 1),
+                      i -> array_to_string(w[i:i+1], ' '))) AS b
+                    FROM toks)
+              GROUP BY 1),
+            nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bi)
+            SELECT b AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+              CAST((1000 * CAST(c_ab AS HUGEINT) * nu.n_uni * nu.n_uni)
+                // (CAST(nb.n_bi AS HUGEINT) * ua.c * ub.c) AS BIGINT)
+                AS lift_milli
+            FROM bi, nu, nb, uni ua, uni ub
+            WHERE c_ab >= 5
+              AND ua.t = string_split(b, ' ')[1]
+              AND ub.t = string_split(b, ' ')[2]
+            ORDER BY lift_milli DESC, bigram LIMIT 32"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
-      x301, x302, x303, x306, x307, x315, x317, x320)
+      x301, x302, x303, x306, x307, x315, x317, x320, x326, x329)
 }

@@ -1504,8 +1504,51 @@ object TpchMore {
               n_hot_keys
             FROM a"""))
 
+  // ------------------------------------------------------------------- x325
+  // Basket-width audit — the distribution that PRICES the co-purchase
+  // family's scale claims (x123/x133 bound their per-order pair
+  // explosion by basket width): exact histogram of lines-per-order with
+  // cumulative milli shares. Width^2 is the pair fan-out; an operator
+  // reads max_width off this row and knows the explosion bound before
+  // running the graph build. Domain-grid exact, a ~7-row table.
+  private val x325 = GQuery(
+    "x325_basket_width_audit", "ext-planning fanout-bound audit",
+    (s, dir) => {
+      val wt = org.apache.spark.sql.expressions.Window.orderBy(col("width"))
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("width"))
+        .groupBy(col("width")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders")).over(all))
+        .withColumn("cum", sum(col("n_orders")).over(wt))
+        .select(col("width"), col("n_orders"),
+          expr("(1000 * n_orders) div total").as("share_milli"),
+          expr("(1000 * cum) div total").as("cum_milli"),
+          expr("((width * (width - 1)) div 2) * n_orders")
+            .as("pair_fanout"))
+        .orderBy("width")
+    },
+    Some("""WITH w AS (
+              SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS width
+              FROM lineitem GROUP BY 1),
+            d AS (SELECT width, CAST(COUNT(*) AS BIGINT) AS n_orders
+                  FROM w GROUP BY 1),
+            c AS (SELECT width, n_orders,
+                    CAST(SUM(n_orders) OVER () AS BIGINT) AS total,
+                    CAST(SUM(n_orders) OVER (ORDER BY width) AS BIGINT)
+                      AS cum
+                  FROM d)
+            SELECT width, n_orders,
+              CAST((1000 * n_orders) // total AS BIGINT) AS share_milli,
+              CAST((1000 * cum) // total AS BIGINT) AS cum_milli,
+              CAST(((width * (width - 1)) // 2) * n_orders AS BIGINT)
+                AS pair_fanout
+            FROM c ORDER BY width"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
       x220, x221, x231, x239, x240, x244, x245, x246, x248, x260, x261,
-      x300, x319)
+      x300, x319, x325)
 }
