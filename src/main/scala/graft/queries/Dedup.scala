@@ -1361,7 +1361,213 @@ object Dedup {
                 ELSE 0 END)) // SUM(len) AS BIGINT) AS saved_milli
             FROM k"""))
 
+  // ------------------------------------------------------------------ x332
+  // MinHash + LSH banding, ORACLED EXACT TWIN of x03: the identical
+  // decision pipeline — word-3-gram shingles → K=16 min-hash signature →
+  // 4 bands of 4 → per-bucket min-doc_id candidate keeper → signature-
+  // agreement verify (>= 14/16 ≈ the 0.85 estimated-Jaccard threshold) →
+  // corpus cover — but with the ONE non-reproducible ingredient swapped:
+  // the K seeded xxhash64 permutations become K md5-derived hash
+  // functions h_k(shingle) = low64(md5(k || ':' || shingle)) that DuckDB
+  // computes bit-identically (the x302 conv/UBIGINT pattern), so the
+  // whole MinHash ESTIMATION algorithm — banding recall, bucket keeper
+  // choice, agreement verify — hash-verifies cross-engine, not just the
+  // exact-Jaccard selection x225 pins. Upgrades the no-oracle-twin-audit
+  // entry for x03 from the lossless-pairs proxy to the algorithm itself.
+  //
+  // Scale shape is x03's: shuffles only (band_key, doc_id) pairs and
+  // 16-long signatures, candidate verify is a doc_id equi-join, text
+  // never shuffles. The 16 md5 calls per shingle are the audit-tier
+  // price; the production operator stays x03 (one native xxhash64 per
+  // token + rolling combine).
+  private val x332 = GQuery(
+    "x332_minhash_exact", "ext-dedup-fuzzy oracled-twin",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, size(w) - 3),
+               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("sh"))
+      val sig = sh
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 15), k -> named_struct(
+               'k', k,
+               'h', CAST(conv(substring(md5(concat(k, ':', sh)), 17, 16),
+                 16, 10) AS DECIMAL(38, 0))))""")).as("kh"))
+        .groupBy(col("doc_id"), col("kh.k").as("k"))
+        .agg(min(col("kh.h")).as("mh"))
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(k, mh))), x -> CAST(x.mh AS STRING))")
+          .as("sig"))
+        .localCheckpoint(true) // reused: banding + both verify sides
+      val cand = sig
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3),
+               b -> concat(b, ':', concat_ws(',', slice(sig, b * 4 + 1, 4))))"""))
+          .as("bkey"))
+        .withColumn("bucket_min", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id")).agg(min(col("bucket_min")).as("cand"))
+        .where(col("cand") < col("doc_id"))
+      val verified = cand
+        .join(sig, Seq("doc_id"))
+        .join(sig.select(col("doc_id").as("cand"), col("sig").as("csig")), Seq("cand"))
+        .select(col("doc_id"), col("cand"),
+          expr("CAST(size(filter(sequence(0, 15), i -> sig[i] = csig[i])) AS BIGINT)")
+            .as("n_agree"))
+        .where(col("n_agree") >= 14)
+      docs(s, dir).select(col("doc_id"))
+        .join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cand"), col("doc_id")).as("keeper"),
+          coalesce(col("n_agree"), lit(16L)).as("n_agree"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(len(w) - 2),
+                     i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))) AS sh
+                   FROM w WHERE len(w) >= 3),
+            hx AS (SELECT doc_id, k,
+                     MIN(CAST(CONCAT('0x', substr(md5(CAST(k AS VARCHAR) || ':' || sh),
+                       17, 16)) AS UBIGINT)) AS mh
+                   FROM sh CROSS JOIN (SELECT unnest(range(16)) AS k)
+                   GROUP BY 1, 2),
+            sig AS (SELECT doc_id, list(CAST(mh AS VARCHAR) ORDER BY k) AS sig
+                    FROM hx GROUP BY 1),
+            band AS (SELECT doc_id, unnest(list_transform(range(4),
+                       b -> CAST(b AS VARCHAR) || ':' ||
+                            array_to_string(sig[b * 4 + 1 : b * 4 + 4], ','))) AS bkey
+                     FROM sig),
+            bmin AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY bkey) AS bucket_min
+                     FROM band),
+            cand AS (SELECT doc_id, MIN(bucket_min) AS cand FROM bmin
+                     GROUP BY doc_id HAVING MIN(bucket_min) < doc_id),
+            ver AS (SELECT c.doc_id, c.cand,
+                      CAST(len(list_filter(range(16),
+                        i -> s1.sig[i + 1] = s2.sig[i + 1])) AS BIGINT) AS n_agree
+                    FROM cand c
+                    JOIN sig s1 ON s1.doc_id = c.doc_id
+                    JOIN sig s2 ON s2.doc_id = c.cand)
+            SELECT d.doc_id,
+              COALESCE(v.cand, d.doc_id) AS keeper,
+              COALESCE(v.n_agree, CAST(16 AS BIGINT)) AS n_agree
+            FROM documents d
+            LEFT JOIN (SELECT * FROM ver WHERE n_agree >= 14) v USING (doc_id)
+            ORDER BY d.doc_id"""))
+
+  // ------------------------------------------------------------------ x333
+  // SimHash near-dup, ORACLED EXACT TWIN of x04: the same 64-bit SimHash
+  // pipeline — word-bigram features weighted by term frequency, per-bit
+  // vote sum, 4 × 16-bit chunk blocking (pigeonhole for Hamming <= 3),
+  // bit_count(xor) <= 8 verify against the per-chunk min-doc_id keeper,
+  // corpus cover — re-keyed to md5-derived feature hashes so every vote,
+  // every chunk bucket, and every Hamming distance reproduces in DuckDB.
+  // The signature travels as the SET of positive-vote bit positions
+  // (sorted int list), which makes the bit arithmetic engine-neutral:
+  // chunk c's 16-bit value == the sublist of bits in [16c, 16c+16), and
+  // hamming(a, b) == |a Δ b| = 2|a ∪ b| − |a| − |b|. Bit b of h(g) comes
+  // from the two 32-bit md5 halves via shiftright/&1 — identical integer
+  // ops both engines.
+  //
+  // Scale shape: the per-bit vote explode is 64 skinny (doc, bit, ±tf)
+  // rows per distinct bigram — linear, map-side combinable; buckets and
+  // verify shuffle only (chunk_key, doc_id) and bit-position lists.
+  // Production operator stays x04 (native SimHash64, one pass per doc).
+  private val x333 = GQuery(
+    "x333_simhash_exact", "ext-dedup-fuzzy oracled-twin",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ckey"))
+      val tf = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"))
+          .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val sig = tf
+        .select(col("doc_id"), col("c"),
+          expr("CAST(conv(substring(md5(concat('s:', g)), 17, 8), 16, 10) AS BIGINT)").as("hi"),
+          expr("CAST(conv(substring(md5(concat('s:', g)), 25, 8), 16, 10) AS BIGINT)").as("lo"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 63), b -> named_struct(
+               'b', b,
+               'v', CASE WHEN ((CASE WHEN b < 32 THEN shiftright(lo, b)
+                                ELSE shiftright(hi, b - 32) END & 1) = 1)
+                         THEN c ELSE -c END))""")).as("bv"))
+        .groupBy(col("doc_id"), col("bv.b").as("b"))
+        .agg(sum(col("bv.v")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(expr("array_sort(collect_list(CASE WHEN s > 0 THEN b END))").as("bits"))
+        .localCheckpoint(true) // reused: chunk blocking + both verify sides
+      val cand = sig
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3),
+               c -> concat(c, ':', concat_ws(',', filter(bits, b -> (b div 16) = c))))"""))
+          .as("ckey"))
+        .withColumn("bucket_min", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id")).agg(min(col("bucket_min")).as("cand"))
+        .where(col("cand") < col("doc_id"))
+      val verified = cand
+        .join(sig, Seq("doc_id"))
+        .join(sig.select(col("doc_id").as("cand"), col("bits").as("cbits")), Seq("cand"))
+        .select(col("doc_id"), col("cand"),
+          expr("""CAST(2 * size(array_union(bits, cbits))
+                  - size(bits) - size(cbits) AS BIGINT)""").as("hamming"))
+        .where(col("hamming") <= 8)
+      docs(s, dir).select(col("doc_id"))
+        .join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cand"), col("doc_id")).as("keeper"),
+          coalesce(col("hamming"), lit(0L)).as("hamming"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                     SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+                       i -> w[i + 1] || ' ' || w[i + 2])) AS g
+                     FROM w WHERE len(w) >= 2) GROUP BY 1, 2),
+            hh AS (SELECT doc_id, c,
+                     CAST(CAST(CONCAT('0x', substr(md5('s:' || g), 17, 8))
+                       AS UBIGINT) AS BIGINT) AS hi,
+                     CAST(CAST(CONCAT('0x', substr(md5('s:' || g), 25, 8))
+                       AS UBIGINT) AS BIGINT) AS lo
+                   FROM tf),
+            bv AS (SELECT doc_id, b,
+                     SUM(CASE WHEN (((CASE WHEN b < 32 THEN (lo >> CAST(b AS INTEGER))
+                                     ELSE (hi >> CAST(b - 32 AS INTEGER)) END) & 1) = 1)
+                         THEN c ELSE -c END) AS s
+                   FROM hh CROSS JOIN (SELECT unnest(range(64)) AS b)
+                   GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                      COALESCE(list(b ORDER BY b) FILTER (WHERE s > 0),
+                        CAST([] AS BIGINT[])) AS bits
+                    FROM bv GROUP BY 1),
+            band AS (SELECT doc_id, unnest(list_transform(range(4),
+                       c -> CAST(c AS VARCHAR) || ':' || array_to_string(
+                         list_filter(bits, b -> b // 16 = c), ','))) AS ckey
+                     FROM sig),
+            bmin AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY ckey) AS bucket_min
+                     FROM band),
+            cand AS (SELECT doc_id, MIN(bucket_min) AS cand FROM bmin
+                     GROUP BY doc_id HAVING MIN(bucket_min) < doc_id),
+            ver AS (SELECT c.doc_id, c.cand,
+                      CAST(2 * len(list_distinct(s1.bits || s2.bits))
+                        - len(s1.bits) - len(s2.bits) AS BIGINT) AS hamming
+                    FROM cand c
+                    JOIN sig s1 ON s1.doc_id = c.doc_id
+                    JOIN sig s2 ON s2.doc_id = c.cand)
+            SELECT d.doc_id,
+              COALESCE(v.cand, d.doc_id) AS keeper,
+              COALESCE(v.hamming, CAST(0 AS BIGINT)) AS hamming
+            FROM documents d
+            LEFT JOIN (SELECT * FROM ver WHERE hamming <= 8) v USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
-      x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328)
+      x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328,
+      x332, x333)
 }

@@ -2210,9 +2210,101 @@ object Text {
               AND ub.t = string_split(b, ' ')[2]
             ORDER BY lift_milli DESC, bigram LIMIT 32"""))
 
+  // ------------------------------------------------------------------ x334
+  // Bloom decontamination, ORACLED EXACT TWIN of x39: the same
+  // filter-shaped decision — build a fixed-memory bit set from the
+  // benchmark's word-6-gram shingles, flag corpus docs whose shingles
+  // ALL-k-positions-hit — with x39's seeded Spark BloomFilter swapped
+  // for an md5-derived one DuckDB reproduces bit-for-bit: m = 131072
+  // bits, k = 4 positions per shingle, pos_j(g) = low64(md5(j||':'||g))
+  // mod m. Because the exact-membership side (x24's string n-gram join)
+  // is computed in the SAME row, the output hash-pins the Bloom
+  // property itself: n_false_pos = bloom_hits − exact_hits is >= 0 on
+  // every row (no false negatives), and its magnitude IS the measured
+  // FP rate x39's TextSketchSpec can only bound — here cross-engine
+  // exact. One row per corpus doc, zeros included.
+  //
+  // Scale shape is x39's: the filter is a <= m-row distinct position
+  // set (broadcast — it is the Bloom bit array in relational form), the
+  // benchmark shingle set broadcasts for the exact side, and the corpus
+  // side is one narrow shingle explode feeding two broadcast probes and
+  // a per-doc aggregate. Production stays x39 (native codegen'd
+  // mightContainLong, zero join); this is the audit twin.
+  private val x334 = GQuery(
+    "x334_bloom_decontam_exact", "ext-text decontamination oracled-twin",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 6)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, size(w) - 6),
+               i -> concat_ws(' ', slice(w, i + 1, 6))))""")).as("g"))
+      val pos = sh.select(col("doc_id"), col("g"), explode(expr(
+        """transform(sequence(0, 3), j -> CAST(
+             CAST(conv(substring(md5(concat(j, ':', g)), 17, 16), 16, 10)
+               AS DECIMAL(38, 0)) % 131072 AS BIGINT))""")).as("p"))
+      val bloomBits = pos.where(col("doc_id") < BenchBound)
+        .select("p").distinct().withColumn("bit_set", lit(1))
+      val benchG = sh.where(col("doc_id") < BenchBound)
+        .select("g").distinct().withColumn("exact_hit", lit(1L))
+      val probed = pos.where(col("doc_id") >= BenchBound)
+        .join(broadcast(bloomBits), Seq("p"), "left")
+        .groupBy(col("doc_id"), col("g"))
+        .agg((min(coalesce(col("bit_set"), lit(0))) === 1).as("bloom_hit"))
+        .join(broadcast(benchG), Seq("g"), "left")
+      val perDoc = probed.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(coalesce(col("exact_hit"), lit(0L))).as("n_exact_hits"))
+      docs(s, dir).where(col("doc_id") >= BenchBound).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+          coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"))
+        .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
+        .withColumn("flagged", col("n_bloom_hits") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(len(w) - 5),
+                     i -> array_to_string(w[i + 1 : i + 6], ' ')))) AS g
+                   FROM w WHERE len(w) >= 6),
+            pos AS (SELECT doc_id, g, CAST(
+                      CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' || g),
+                        17, 16)) AS UBIGINT) % 131072 AS BIGINT) AS p
+                    FROM sh CROSS JOIN (SELECT unnest(range(4)) AS j)),
+            bits AS (SELECT DISTINCT p FROM pos WHERE doc_id < 50),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+            probed AS (SELECT pos.doc_id, pos.g,
+                         MIN(CASE WHEN bits.p IS NULL THEN 0 ELSE 1 END) = 1
+                           AS bloom_hit
+                       FROM pos LEFT JOIN bits USING (p)
+                       WHERE pos.doc_id >= 50
+                       GROUP BY 1, 2),
+            per_doc AS (SELECT probed.doc_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                          CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_bloom_hits,
+                          CAST(SUM(CASE WHEN bench.g IS NULL THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_exact_hits
+                        FROM probed LEFT JOIN bench USING (g)
+                        GROUP BY 1)
+            SELECT d.doc_id,
+              COALESCE(n_shingles, 0) AS n_shingles,
+              COALESCE(n_bloom_hits, 0) AS n_bloom_hits,
+              COALESCE(n_exact_hits, 0) AS n_exact_hits,
+              COALESCE(n_bloom_hits, 0) - COALESCE(n_exact_hits, 0)
+                AS n_false_pos,
+              COALESCE(n_bloom_hits, 0) > 0 AS flagged
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
+            WHERE d.doc_id >= 50
+            ORDER BY d.doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
-      x301, x302, x303, x306, x307, x315, x317, x320, x326, x329)
+      x301, x302, x303, x306, x307, x315, x317, x320, x326, x329, x334)
 }
