@@ -1566,8 +1566,192 @@ object Dedup {
             LEFT JOIN (SELECT * FROM ver WHERE hamming <= 8) v USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  // ------------------------------------------------------------------ x340
+  // LSH parameter tuning curve — the empirical S-curve behind
+  // x03/x332's banding choice: for signature sizes K = 8/16/32
+  // (rows-per-band fixed at 4, so 2/4/8 bands), take EVERY true pair
+  // with exact Jaccard >= 0.5 (the lossless prefix-filter tier at
+  // τ = 1/2), band it by its integer Jaccard millis (500s…900s), and
+  // measure per (config, band) the probability the banding scheme
+  // surfaces the pair as a candidate and the ceil(0.85·K) agreement
+  // verify keeps it. This is detection-probability-vs-similarity — the
+  // 1−(1−s^r)^b curve from the MinHash literature, measured instead of
+  // assumed — and it is the table an operator reads before committing a
+  // 100 TB dedup pass to a (bands, rows) point. The md5-keyed hash
+  // family (x332) makes every cell cross-engine exact; the family is
+  // NESTED (config K uses hashes 0..K−1), so 32 per-shingle hashes are
+  // computed once and every config slices them. Exact Jaccard is kept
+  // in integers ((1000·|∩|) div |∪|), never a float.
+  //
+  // The fixture's organic near-dups all sit in the 900s band, so the
+  // curve's mid-similarity points are PLANTED (the x142/x34
+  // plant-then-detect discipline): docs 0-39 get a deterministic
+  // degraded twin (doc_id + 10000) with every m-th token marked, m ∈
+  // {10, 14, 22, 44} by doc_id residue — a replaced token kills the 3
+  // shingles covering it, so the four rates land the planted pairs
+  // across the 500-800 bands. Both engines build the identical mutant
+  // corpus from the same string arithmetic.
+  //
+  // Scale shape: one shingle scan → 32-hash min-aggregate → per-config
+  // band keys (≤ 14 skinny rows per doc); candidate pairs are LSH
+  // bucket pairs (bounded by true near-dup density, the x03 argument);
+  // the truth side is the audited lossless prefix-filter join. Output:
+  // one row per (config, populated J-band).
+  private val x340 = GQuery(
+    "x340_lsh_tuning_curve", "ext-dedup-fuzzy lsh-parameter advisor",
+    (s, dir) => {
+      val mut = docs(s, dir).where(col("doc_id") < 40)
+        .withColumn("m", expr(
+          """CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 14
+             WHEN 2 THEN 22 ELSE 44 END"""))
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          expr("""array_join(transform(split(text, ' '),
+               (t, i) -> CASE WHEN (i + 1) % m = 0 THEN concat(t, '~')
+                         ELSE t END), ' ')""").as("text"))
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionAll(mut)
+        .localCheckpoint(true) // md5 sig side + xxhash truth side
+      val sh = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, size(w) - 3),
+               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("sh"))
+      val sig32 = sh
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 31), k -> named_struct(
+               'k', k,
+               'h', CAST(conv(substring(md5(concat(k, ':', sh)), 17, 16),
+                 16, 10) AS DECIMAL(38, 0))))""")).as("kh"))
+        .groupBy(col("doc_id"), col("kh.k").as("k"))
+        .agg(min(col("kh.h")).as("mh"))
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(k, mh))), x -> CAST(x.mh AS STRING))")
+          .as("sig"))
+        .localCheckpoint(true) // sliced by every config; both pair sides
+      val banded = sig32
+        .select(col("doc_id"), explode(expr("array(8, 16, 32)")).as("kk"), col("sig"))
+        .select(col("doc_id"), col("kk"), explode(expr(
+          """transform(sequence(0, kk div 4 - 1),
+               b -> concat(kk, ':', b, ':', concat_ws(',', slice(sig, b * 4 + 1, 4))))"""))
+          .as("bkey"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.kk").as("kk"), col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"))
+        .distinct()
+      val est = cand
+        .join(sig32.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+        .join(sig32.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+        .withColumn("agree",
+          expr("size(filter(sequence(0, kk - 1), i -> sa[i] = sb[i]))"))
+        .withColumn("pass", (col("agree") * 20 >= col("kk") * 17).cast("long"))
+        .select(col("kk"), col("a_id"), col("b_id"), lit(1L).as("caught"),
+          col("pass"))
+      val sets = shingleSets(corpus).localCheckpoint(true)
+      val truth = prefixCandidates(sets, 1, 2)
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("j_milli",
+          expr("(1000 * inter) div (n_a + n_b - inter)"))
+        .where(col("j_milli") >= 500)
+        .select(col("a_id"), col("b_id"),
+          least(expr("(j_milli div 100) * 100"), lit(900L)).as("j_band"))
+      truth
+        .select(col("a_id"), col("b_id"), col("j_band"),
+          explode(expr("array(8, 16, 32)")).as("kk"))
+        .join(est, Seq("kk", "a_id", "b_id"), "left")
+        .groupBy(col("kk"), col("j_band"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("caught"), lit(0L))).as("n_candidates"),
+          sum(coalesce(col("pass"), lit(0L))).as("n_verified"))
+        .select(col("kk").cast("long").as("k"),
+          expr("CAST(kk div 4 AS BIGINT)").as("n_bands"),
+          col("j_band"), col("n_true"), col("n_candidates"), col("n_verified"),
+          expr("(1000 * n_candidates) div n_true").as("catch_milli"),
+          expr("(1000 * n_verified) div n_true").as("verified_milli"))
+        .orderBy("k", "j_band")
+    },
+    Some("""WITH mut AS (
+              SELECT doc_id + 10000 AS doc_id,
+                array_to_string(list_transform(range(len(w0)),
+                  i -> CASE WHEN (i + 1) % m = 0 THEN w0[i + 1] || '~'
+                       ELSE w0[i + 1] END), ' ') AS text
+              FROM (SELECT doc_id, string_split(text, ' ') AS w0,
+                      CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 10
+                           WHEN 1 THEN 14 WHEN 2 THEN 22 ELSE 44 END AS m
+                    FROM documents WHERE doc_id < 40)),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM mut),
+            w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            shs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(len(w) - 2),
+                      i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))) AS sh
+                    FROM w WHERE len(w) >= 3),
+            hx AS (SELECT doc_id, k,
+                     MIN(CAST(CONCAT('0x', substr(md5(CAST(k AS VARCHAR) || ':' || sh),
+                       17, 16)) AS UBIGINT)) AS mh
+                   FROM shs CROSS JOIN (SELECT unnest(range(32)) AS k)
+                   GROUP BY 1, 2),
+            sig AS (SELECT doc_id, list(CAST(mh AS VARCHAR) ORDER BY k) AS sig
+                    FROM hx GROUP BY 1),
+            band AS (SELECT doc_id, kk, CAST(kk AS VARCHAR) || ':' ||
+                       CAST(b AS VARCHAR) || ':' ||
+                       array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bkey
+                     FROM sig
+                     CROSS JOIN (SELECT unnest([8, 16, 32]) AS kk)
+                     CROSS JOIN (SELECT unnest(range(8)) AS b)
+                     WHERE b < kk // 4),
+            cand AS (SELECT DISTINCT a.kk, a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM band a JOIN band b
+                       ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            est AS (SELECT c.kk, c.a_id, c.b_id, 1 AS caught,
+                      CASE WHEN CAST(len(list_filter(range(c.kk),
+                          i -> s1.sig[i + 1] = s2.sig[i + 1])) AS BIGINT) * 20
+                          >= c.kk * 17 THEN 1 ELSE 0 END AS pass
+                    FROM cand c
+                    JOIN sig s1 ON s1.doc_id = c.a_id
+                    JOIN sig s2 ON s2.doc_id = c.b_id),
+            tok AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM w),
+            truth AS (SELECT a_id, b_id,
+                        LEAST((j_milli // 100) * 100, 900) AS j_band
+                      FROM (
+                        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          (1000 * CAST(len(list_intersect(a.tok, b.tok))
+                            AS BIGINT))
+                          // (len(a.tok) + len(b.tok)
+                             - len(list_intersect(a.tok, b.tok))) AS j_milli
+                        FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+                        WHERE len(list_intersect(a.tok, b.tok)) > 0)
+                      WHERE j_milli >= 500),
+            fan AS (SELECT truth.*, kk
+                    FROM truth
+                    CROSS JOIN (SELECT unnest([8, 16, 32]) AS kk)),
+            agg AS (SELECT fan.kk, fan.j_band,
+                      CAST(COUNT(*) AS BIGINT) AS n_true,
+                      CAST(SUM(COALESCE(est.caught, 0)) AS BIGINT)
+                        AS n_candidates,
+                      CAST(SUM(COALESCE(est.pass, 0)) AS BIGINT)
+                        AS n_verified
+                    FROM fan LEFT JOIN est
+                      ON fan.kk = est.kk AND fan.a_id = est.a_id
+                         AND fan.b_id = est.b_id
+                    GROUP BY 1, 2)
+            SELECT CAST(kk AS BIGINT) AS k, CAST(kk // 4 AS BIGINT) AS n_bands,
+              CAST(j_band AS BIGINT) AS j_band, n_true, n_candidates,
+              n_verified,
+              CAST((1000 * n_candidates) // n_true AS BIGINT) AS catch_milli,
+              CAST((1000 * n_verified) // n_true AS BIGINT) AS verified_milli
+            FROM agg ORDER BY k, j_band"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
       x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328,
-      x332, x333)
+      x332, x333, x340)
 }

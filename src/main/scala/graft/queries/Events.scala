@@ -4454,8 +4454,101 @@ object Events {
             FROM th LEFT JOIN br ON br.theta_sec = th.theta_sec, base
             ORDER BY th.theta_sec"""))
 
+  // ------------------------------------------------------------------ x338
+  // Ordered funnel conversion — the product-analytics primitive the
+  // cadence family (x323 churn, x331 sessions) still lacked: how many
+  // users progress view → click → signup → purchase IN ORDER, with
+  // strict-sequence semantics AND a 24 h per-step conversion window
+  // (each stage's timestamp is the earliest event of that type AFTER
+  // the previous stage's timestamp and within 86 400 s of it — a click
+  // before the first view, or a signup a week later, does not count).
+  // Stage times are nested minima computed from per-user per-type
+  // timestamp lists with
+  // higher-order filters, so the whole funnel is ONE per-user aggregate
+  // — no self-joins, no window over the event stream. Output: one row —
+  // population, users reaching each stage, full-funnel and per-step
+  // conversion in millis.
+  //
+  // Scale shape: one (user_id) shuffle of (type, ts) pairs; per-user
+  // lists are bounded by per-user activity (the same envelope every
+  // per-user operator here rides); the rollup is 1 row. At 100 TB the
+  // funnel is exactly this: group by user, fold the event list.
+  private val x338 = GQuery(
+    "x338_funnel_conversion", "ext-events funnel ordered-conversion",
+    (s, dir) => {
+      val perUser = Tables(s, dir, "events")
+        .where(col("event_type").isin("view", "click", "signup", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("t"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("t"))).as("t1"),
+          collect_list(when(col("event_type") === "click", col("t"))).as("lc"),
+          collect_list(when(col("event_type") === "signup", col("t"))).as("ls"),
+          collect_list(when(col("event_type") === "purchase", col("t"))).as("lp"))
+        .withColumn("t2", expr("array_min(filter(lc, x -> x > t1 AND x <= t1 + 86400))"))
+        .withColumn("t3", expr("array_min(filter(ls, x -> x > t2 AND x <= t2 + 86400))"))
+        .withColumn("t4", expr("array_min(filter(lp, x -> x > t3 AND x <= t3 + 86400))"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("reached_view"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("reached_click"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("reached_signup"),
+        sum(when(col("t4").isNotNull, 1L).otherwise(0L)).as("reached_purchase"))
+        .select(col("n_users"), col("reached_view"), col("reached_click"),
+          col("reached_signup"), col("reached_purchase"),
+          expr("(1000 * reached_purchase) div n_users").as("full_funnel_milli"),
+          expr("CASE WHEN reached_view > 0 THEN (1000 * reached_click) div reached_view ELSE 0 END")
+            .as("step_click_milli"),
+          expr("CASE WHEN reached_click > 0 THEN (1000 * reached_signup) div reached_click ELSE 0 END")
+            .as("step_signup_milli"),
+          expr("CASE WHEN reached_signup > 0 THEN (1000 * reached_purchase) div reached_signup ELSE 0 END")
+            .as("step_purchase_milli"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS t
+              FROM events
+              WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+            pu AS (
+              SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN t END) AS t1,
+                list(t) FILTER (WHERE event_type = 'click') AS lc,
+                list(t) FILTER (WHERE event_type = 'signup') AS ls,
+                list(t) FILTER (WHERE event_type = 'purchase') AS lp
+              FROM ev GROUP BY 1),
+            s2 AS (SELECT *, list_min(list_filter(lc,
+                     x -> x > t1 AND x <= t1 + 86400)) AS t2 FROM pu),
+            s3 AS (SELECT *, list_min(list_filter(ls,
+                     x -> x > t2 AND x <= t2 + 86400)) AS t3 FROM s2),
+            s4 AS (SELECT *, list_min(list_filter(lp,
+                     x -> x > t3 AND x <= t3 + 86400)) AS t4 FROM s3),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS reached_view,
+                CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS reached_click,
+                CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS reached_signup,
+                CAST(SUM(CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS reached_purchase
+              FROM s4)
+            SELECT n_users, reached_view, reached_click, reached_signup,
+              reached_purchase,
+              CAST((1000 * reached_purchase) // n_users AS BIGINT)
+                AS full_funnel_milli,
+              CAST(CASE WHEN reached_view > 0
+                   THEN (1000 * reached_click) // reached_view
+                   ELSE 0 END AS BIGINT) AS step_click_milli,
+              CAST(CASE WHEN reached_click > 0
+                   THEN (1000 * reached_signup) // reached_click
+                   ELSE 0 END AS BIGINT) AS step_signup_milli,
+              CAST(CASE WHEN reached_signup > 0
+                   THEN (1000 * reached_purchase) // reached_signup
+                   ELSE 0 END AS BIGINT) AS step_purchase_milli
+            FROM agg"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
-    x321, x322, x323, x331,
+    x321, x322, x323, x331, x338,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -1011,7 +1011,89 @@ object Extended {
                 AS blowup_milli
             FROM c GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------ x337
+  // HyperLogLog register state, ORACLED EXACT TWIN of c21: the sketch
+  // itself made cross-engine-reproducible. c21's estimate is
+  // implementation-specific (Spark's HLL++ bias tables), so the twin
+  // pins the layer below the estimator: with an md5-derived hash, the
+  // ENTIRE register array of a p=8 HLL (256 registers; register = first
+  // byte of the hash, rank = leading-zero count of the next 52 bits
+  // + 1, capped at 53) is deterministic, and DuckDB rebuilds it
+  // bit-for-bit. Output: one row with the register-vector digest, the
+  // exact scaled harmonic denominator Σ 2^(53−rank_r) (empty registers
+  // contribute 2^53 — the float-free integer form of the HLL Z term;
+  // any engine can finish α·m²/(Z/2^53) from it), registers hit, and
+  // the true distinct count in the same row. Rank extraction is pure
+  // string/integer arithmetic on the hex form (leading-'0' run length
+  // + a nibble CASE), identical both engines.
+  //
+  // Scale shape: distinct-project the key (HLL state depends only on
+  // the distinct set), one map, one 256-cell register aggregate, one
+  // 1-row rollup; the exact count joins as a 1-row broadcast cross.
+  private val x337 = GQuery(
+    "x337_hll_registers_exact", "sketch-agg oracled-twin",
+    (s, dir) => {
+      val regs = Tables(s, dir, "lineitem")
+        .select(col("l_partkey")).distinct()
+        .select(md5(concat(col("l_partkey").cast("string"), lit(":hll"))).as("h"))
+        .select(expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)").as("r"),
+          expr("substring(h, 3, 13)").as("rest"))
+        .withColumn("zeros", length(regexp_extract(col("rest"), "^0*", 0)))
+        .withColumn("d1", expr("substring(rest, zeros + 1, 1)"))
+        .withColumn("rank", expr(
+          """CASE WHEN d1 = '' THEN 53
+             ELSE 4 * zeros + CASE WHEN d1 = '1' THEN 3
+                                   WHEN d1 IN ('2', '3') THEN 2
+                                   WHEN d1 IN ('4', '5', '6', '7') THEN 1
+                                   ELSE 0 END + 1 END"""))
+        .groupBy(col("r")).agg(max(col("rank")).as("mx"))
+        .agg(count(lit(1)).as("n_registers_hit"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(r, mx))), x -> concat(x.r, ':', x.mx))")))
+            .as("registers_digest"),
+          (sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)"))
+            + (lit(256L) - count(lit(1))) * lit(9007199254740992L)).as("z_scaled"))
+      val exact = Tables(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      regs.crossJoin(broadcast(exact))
+        .select(lit(256L).as("m"), col("n_registers_hit"),
+          col("registers_digest"), col("z_scaled"), col("exact_distinct"))
+    },
+    Some("""WITH h AS (
+              SELECT md5(CAST(l_partkey AS VARCHAR) || ':hll') AS h
+              FROM (SELECT DISTINCT l_partkey FROM lineitem)),
+            f AS (
+              SELECT CAST(CAST(CONCAT('0x', substr(h, 1, 2)) AS UBIGINT)
+                  AS INTEGER) AS r,
+                substr(h, 3, 13) AS rest,
+                CAST(length(regexp_extract(substr(h, 3, 13), '^0*'))
+                  AS INTEGER) AS zeros
+              FROM h),
+            rk AS (
+              SELECT r,
+                CASE WHEN substr(rest, zeros + 1, 1) = '' THEN 53
+                     ELSE 4 * zeros
+                        + CASE WHEN substr(rest, zeros + 1, 1) = '1' THEN 3
+                               WHEN substr(rest, zeros + 1, 1) IN ('2', '3') THEN 2
+                               WHEN substr(rest, zeros + 1, 1) IN ('4', '5', '6', '7') THEN 1
+                               ELSE 0 END + 1 END AS rank
+              FROM f),
+            reg AS (SELECT r, MAX(rank) AS mx FROM rk GROUP BY 1),
+            st AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+                md5(string_agg(CAST(r AS VARCHAR) || ':' || CAST(mx AS VARCHAR),
+                  ',' ORDER BY r)) AS registers_digest,
+                CAST(SUM(CAST(1 AS BIGINT) << (53 - mx))
+                  + (256 - COUNT(*)) * 9007199254740992 AS BIGINT) AS z_scaled
+              FROM reg)
+            SELECT CAST(256 AS BIGINT) AS m, n_registers_hit,
+              registers_digest, z_scaled,
+              (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+               FROM lineitem) AS exact_distinct
+            FROM st"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
-    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278, x281, x293, x298)
+    c33, c34, c35, c36, c37, x136, x196, x210, x234, x278, x281, x293, x298,
+    x337)
 }

@@ -1380,7 +1380,115 @@ object Lakehouse {
               CAST(n_files_100k AS BIGINT) AS n_files_100k
             FROM u ORDER BY candidate"""))
 
+  // ------------------------------------------------------------------- x335
+  // Z-order layout advisor — the multi-dimensional leg of the layout
+  // family (x273 sort key, x274 encoding, x292 partition key): for a
+  // two-predicate scan (customer range × date range), compare the file
+  // skipping four physical layouts would give under standard min/max
+  // pruning (what parquet row-group stats and lakehouse data-skipping
+  // indexes implement): `natural` insertion order, single-column sorts
+  // on either predicate column, and a Morton/Z-order interleave of
+  // both. Per layout: bucket (≈file) count, buckets whose
+  // [min,max]×[min,max] box overlaps the predicate, rows scanned, and
+  // scan efficiency (matched/scanned millis). The Z-curve is the
+  // textbook result the table shows: a single-column sort prunes its
+  // own dimension perfectly and the other not at all; Z-order prunes
+  // both at slight per-dimension loss — OPTIMIZE ZORDER BY in one row.
+  //
+  // The z-value is a pure integer bit-interleave (16 bits/dimension,
+  // shiftright/&/shiftleft over sequence(0,15)) — identical arithmetic
+  // in both engines; buckets are fixed-width z-prefix (resp. key-range /
+  // row-range) groups, so the whole advisor is one scan per layout into
+  // a bucket-domain aggregate and a 1-row rollup — no global sort
+  // anywhere, which is exactly why it scales: at 100 TB the advisor
+  // reads a column-pruned (custkey, date) projection and shuffles only
+  // bucket ids.
+  private def zorderLayout(o: DataFrame, name: String,
+      bucket: Column): DataFrame = {
+    val hit = col("max_c") >= 200 && col("min_c") <= 399 &&
+      col("max_d") >= 365 && col("min_d") <= 729
+    o.withColumn("b", bucket)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("rows_b"), sum(col("m")).as("match_b"),
+        min(col("cx")).as("min_c"), max(col("cx")).as("max_c"),
+        min(col("dy")).as("min_d"), max(col("dy")).as("max_d"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hit_buckets"),
+        sum(when(hit, col("rows_b")).otherwise(0L)).as("rows_scanned"),
+        sum(col("match_b")).as("rows_matched"))
+      .select(lit(name).as("layout"), col("n_buckets"), col("n_hit_buckets"),
+        col("rows_scanned"), col("rows_matched"),
+        expr("CASE WHEN rows_scanned > 0 THEN (1000 * rows_matched) div rows_scanned ELSE 0 END")
+          .as("efficiency_milli"))
+  }
+
+  private val x335 = GQuery(
+    "x335_zorder_advisor", "ext-lakehouse layout-advisor zorder",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("cx"),
+          pmod(datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long"), lit(65536L)).as("dy"))
+        .withColumn("m", (col("cx").between(200, 399) &&
+          col("dy").between(365, 729)).cast("long"))
+        .withColumn("z", expr(
+          """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+               (acc, i) -> acc + shiftleft(shiftright(cx, i) & 1, 2 * i)
+                               + shiftleft(shiftright(dy, i) & 1, 2 * i + 1))"""))
+        .localCheckpoint(true) // four layout passes over one projection
+      zorderLayout(o, "1_natural", expr("o_orderkey div 256"))
+        .unionAll(zorderLayout(o, "2_sort_cust", expr("cx div 32")))
+        .unionAll(zorderLayout(o, "3_sort_date", expr("dy div 48")))
+        .unionAll(zorderLayout(o, "4_zorder", expr("z div 65536")))
+        .orderBy("layout")
+    },
+    Some("""WITH o AS (
+              SELECT o_orderkey,
+                o_custkey % 65536 AS cx,
+                CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+                  % 65536 AS dy
+              FROM orders),
+            oz AS (
+              SELECT *, CASE WHEN cx BETWEEN 200 AND 399
+                              AND dy BETWEEN 365 AND 729
+                         THEN 1 ELSE 0 END AS m,
+                CAST(list_sum(list_transform(range(16),
+                  i -> (((cx >> i) & 1) << (2 * i))
+                     + (((dy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+              FROM o),
+            lay AS (
+              SELECT '1_natural' AS layout, o_orderkey // 256 AS b, * FROM oz
+              UNION ALL
+              SELECT '2_sort_cust', cx // 32, * FROM oz
+              UNION ALL
+              SELECT '3_sort_date', dy // 48, * FROM oz
+              UNION ALL
+              SELECT '4_zorder', z // 65536, * FROM oz),
+            bk AS (
+              SELECT layout, b, CAST(COUNT(*) AS BIGINT) AS rows_b,
+                CAST(SUM(m) AS BIGINT) AS match_b,
+                MIN(cx) AS min_c, MAX(cx) AS max_c,
+                MIN(dy) AS min_d, MAX(dy) AS max_d
+              FROM lay GROUP BY 1, 2),
+            agg AS (
+              SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                CAST(SUM(CASE WHEN max_c >= 200 AND min_c <= 399
+                              AND max_d >= 365 AND min_d <= 729
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_buckets,
+                CAST(SUM(CASE WHEN max_c >= 200 AND min_c <= 399
+                              AND max_d >= 365 AND min_d <= 729
+                         THEN rows_b ELSE 0 END) AS BIGINT) AS rows_scanned,
+                CAST(SUM(match_b) AS BIGINT) AS rows_matched
+              FROM bk GROUP BY 1)
+            SELECT layout, n_buckets, n_hit_buckets, rows_scanned,
+              rows_matched,
+              CAST(CASE WHEN rows_scanned > 0
+                   THEN (1000 * rows_matched) // rows_scanned
+                   ELSE 0 END AS BIGINT) AS efficiency_milli
+            FROM agg ORDER BY layout"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190, x199, x205, x229, x273, x274, x282, x292)
+      x185, x190, x199, x205, x229, x273, x274, x282, x292, x335)
 }

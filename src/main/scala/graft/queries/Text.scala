@@ -2302,9 +2302,145 @@ object Text {
             WHERE d.doc_id >= 50
             ORDER BY d.doc_id"""))
 
+  // ------------------------------------------------------------------ x336
+  // Token-budget curve — the data-budgeting row next to x316's dedup
+  // threshold curve and x313's quality-survival table: for each
+  // uniqueness cutoff (per-doc distinct-token share in millis, the
+  // cheapest repetition-quality axis, 0…900 step 100), how many
+  // documents and how many TOKENS survive, absolute and in millis of
+  // the corpus. This is the curve an epoch planner reads to pick the
+  // filter strength that still meets a token target (the
+  // Chinchilla-style "do we have enough data at this quality bar"
+  // question) — one row per candidate cutoff, exact integers.
+  //
+  // Scale shape: one doc scan to a (score)-domain grid (<= 1001 cells),
+  // the 10 thresholds explode INSIDE the grid (no join), one
+  // threshold-domain rollup. The fact table is never sorted and never
+  // joined.
+  private val x336 = GQuery(
+    "x336_token_budget_curve", "ext-text data-budget planning",
+    (s, dir) => {
+      val grid = docs(s, dir)
+        .select(size(tokens).cast("long").as("n_tok"),
+          expr("(1000 * size(array_distinct(split(text, ' ')))) div size(split(text, ' '))")
+            .as("score"))
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"))
+      grid
+        .select(col("score"), col("docs"), col("toks"),
+          explode(expr("sequence(0, 900, 100)")).as("threshold"))
+        .groupBy(col("threshold"))
+        .agg(sum(when(col("score") >= col("threshold"), col("docs")).otherwise(0L))
+            .as("docs_kept"),
+          sum(when(col("score") >= col("threshold"), col("toks")).otherwise(0L))
+            .as("tokens_kept"),
+          sum(col("docs")).as("t_docs"), sum(col("toks")).as("t_toks"))
+        .select(col("threshold").cast("long").as("threshold"),
+          col("docs_kept"), col("tokens_kept"),
+          expr("(1000 * docs_kept) div t_docs").as("docs_milli"),
+          expr("(1000 * tokens_kept) div t_toks").as("tokens_milli"))
+        .orderBy("threshold")
+    },
+    Some("""WITH d AS (
+              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                (1000 * CAST(len(list_distinct(string_split(text, ' ')))
+                  AS BIGINT)) // len(string_split(text, ' ')) AS score
+              FROM documents),
+            grid AS (
+              SELECT score, CAST(COUNT(*) AS BIGINT) AS docs,
+                CAST(SUM(n_tok) AS BIGINT) AS toks
+              FROM d GROUP BY 1),
+            th AS (SELECT unnest(range(0, 1000, 100)) AS threshold)
+            SELECT CAST(th.threshold AS BIGINT) AS threshold,
+              CAST(SUM(CASE WHEN score >= threshold THEN docs ELSE 0 END)
+                AS BIGINT) AS docs_kept,
+              CAST(SUM(CASE WHEN score >= threshold THEN toks ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+              CAST((1000 * SUM(CASE WHEN score >= threshold THEN docs
+                ELSE 0 END)) // SUM(docs) AS BIGINT) AS docs_milli,
+              CAST((1000 * SUM(CASE WHEN score >= threshold THEN toks
+                ELSE 0 END)) // SUM(toks) AS BIGINT) AS tokens_milli
+            FROM grid CROSS JOIN th
+            GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------ x339
+  // Vocabulary growth curve (Heaps'-law audit) — the tokenizer-planning
+  // read beside x290's Gini and x324's df profile: how fast does the
+  // distinct word-3-gram vocabulary grow as the corpus grows? (3-gram
+  // types, not unigrams: the fixture's closed unigram vocabulary
+  // saturates in the first bucket, while the combinatorial 3-gram space
+  // keeps growing — the regime a BPE/vocab planner actually faces.)
+  // Exact closed form with NO cumulative-distinct pass: every 3-gram
+  // type is charged to the 50-doc bucket where it FIRST appears (one
+  // groupBy gram → min bucket), so the running vocabulary after bucket
+  // b is just the bucket-domain cumulative sum of new-type counts. Per
+  // bucket: new types, cumulative types, cumulative gram instances, and
+  // the type/instance-millis ratio whose decay is the Heaps exponent an
+  // operator eyeballs before sizing a vocabulary.
+  //
+  // Scale shape: one gram explode → (gram)-keyed min aggregate →
+  // bucket-domain grid (n_docs/50 cells); the cumulative window runs on
+  // the GRID, never the gram stream. First-appearance charging is what
+  // makes the curve computable in one pass at 100 TB.
+  private val x339 = GQuery(
+    "x339_vocab_growth", "ext-text tokenizer-planning heaps-law",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tok = docs(s, dir)
+        .select(expr("doc_id div 50").as("bucket"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("bucket"), explode(expr(
+          "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"))
+          .as("t"))
+      val newTypes = tok.groupBy(col("t")).agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+      tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+        .join(newTypes, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("new_types"), lit(0L)).as("new_types"),
+          col("n_tokens"))
+        .withColumn("cum_types", sum(col("new_types")).over(w))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("type_token_milli",
+          expr("(1000 * cum_types) div cum_tokens"))
+        .orderBy("bucket")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id // 50 AS bucket, string_split(text, ' ') AS w
+              FROM documents),
+            tok AS (
+              SELECT bucket, unnest(list_transform(range(len(w) - 2),
+                i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS t
+              FROM w WHERE len(w) >= 3),
+            nt AS (
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+                SELECT t, MIN(bucket) AS bucket FROM tok GROUP BY 1)
+              GROUP BY 1),
+            bt AS (
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY 1),
+            g AS (
+              SELECT bt.bucket, COALESCE(new_types, 0) AS new_types, n_tokens
+              FROM bt LEFT JOIN nt USING (bucket)),
+            c AS (
+              SELECT bucket, new_types, n_tokens,
+                CAST(SUM(new_types) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_types,
+                CAST(SUM(n_tokens) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+              FROM g)
+            SELECT bucket, new_types, n_tokens, cum_types, cum_tokens,
+              CAST((1000 * cum_types) // cum_tokens AS BIGINT)
+                AS type_token_milli
+            FROM c ORDER BY bucket"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
-      x301, x302, x303, x306, x307, x315, x317, x320, x326, x329, x334)
+      x301, x302, x303, x306, x307, x315, x317, x320, x326, x329, x334, x336,
+      x339)
 }
