@@ -1368,18 +1368,48 @@ object Dedup {
   // agreement verify (>= 14/16 ≈ the 0.85 estimated-Jaccard threshold) →
   // corpus cover — but with the ONE non-reproducible ingredient swapped:
   // the K seeded xxhash64 permutations become K md5-derived hash
-  // functions h_k(shingle) = low64(md5(k || ':' || shingle)) that DuckDB
-  // computes bit-identically (the x302 conv/UBIGINT pattern), so the
+  // functions (hash 2j / 2j+1 = the low / high 16 HEX CHARS of
+  // md5(j || ':' || shingle), kept as strings: fixed-width lowercase
+  // hex orders lexicographically exactly as the unsigned value, so MIN
+  // works engine-identically with no conv/DECIMAL on the hot path, and
+  // one digest feeds two family members). The
   // whole MinHash ESTIMATION algorithm — banding recall, bucket keeper
   // choice, agreement verify — hash-verifies cross-engine, not just the
   // exact-Jaccard selection x225 pins. Upgrades the no-oracle-twin-audit
   // entry for x03 from the lossless-pairs proxy to the algorithm itself.
   //
-  // Scale shape is x03's: shuffles only (band_key, doc_id) pairs and
-  // 16-long signatures, candidate verify is a doc_id equi-join, text
-  // never shuffles. The 16 md5 calls per shingle are the audit-tier
-  // price; the production operator stays x03 (one native xxhash64 per
-  // token + rolling combine).
+  // Scale shape is x03's: the K per-shingle hashes stay INSIDE one
+  // projection (an array column), the signature is K map-side-
+  // combinable column MINs in a single doc_id aggregate — no
+  // (doc, k)-exploded shuffle; banding shuffles (band_key, doc_id)
+  // pairs, candidate verify is a doc_id equi-join, text never shuffles.
+  // The K md5 calls per shingle are the audit-tier price; the
+  // production operator stays x03 (one native xxhash64 per token +
+  // rolling combine).
+  /** K md5-derived min-hash signature values per doc over a (doc_id, sh)
+    * string-shingle frame, as an array<string> of LOW-16-HEX slices:
+    * fixed-width lowercase hex orders lexicographically exactly as the
+    * unsigned 64-bit value, so the per-column MINs are engine-exact with
+    * no numeric conversion, map-side combinable, and the exchange carries
+    * exactly K short strings per doc. Shared by x332 (K = 16) and x340
+    * (K = 32 — the same nested hash family, config K reads hashes
+    * 0..K−1).
+    */
+  private def minhashHexSigs(sh: DataFrame, k: Int): DataFrame = {
+    // one md5 yields TWO independent 64-bit members (hash 2j = low hex
+    // half of md5(j:sh), hash 2j+1 = high hex half): k functions cost
+    // k/2 md5 calls; the inner transform materializes each digest once.
+    val mins = (0 until k).map(i => min(col("hs").getItem(i)).as(s"m$i"))
+    sh.select(col("doc_id"), expr(
+        s"""flatten(transform(
+              transform(sequence(0, ${k / 2 - 1}), j -> md5(concat(j, ':', sh))),
+              h -> array(substring(h, 17, 16), substring(h, 1, 16))))""")
+        .as("hs"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   private val x332 = GQuery(
     "x332_minhash_exact", "ext-dedup-fuzzy oracled-twin",
     (s, dir) => {
@@ -1390,18 +1420,7 @@ object Dedup {
         .select(col("doc_id"), explode(expr(
           """array_distinct(transform(sequence(0, size(w) - 3),
                i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("sh"))
-      val sig = sh
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, 15), k -> named_struct(
-               'k', k,
-               'h', CAST(conv(substring(md5(concat(k, ':', sh)), 17, 16),
-                 16, 10) AS DECIMAL(38, 0))))""")).as("kh"))
-        .groupBy(col("doc_id"), col("kh.k").as("k"))
-        .agg(min(col("kh.h")).as("mh"))
-        .groupBy(col("doc_id"))
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(k, mh))), x -> CAST(x.mh AS STRING))")
-          .as("sig"))
+      val sig = minhashHexSigs(sh, 16)
         .localCheckpoint(true) // reused: banding + both verify sides
       val cand = sig
         .select(col("doc_id"), explode(expr(
@@ -1431,11 +1450,13 @@ object Dedup {
                      i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))) AS sh
                    FROM w WHERE len(w) >= 3),
             hx AS (SELECT doc_id, k,
-                     MIN(CAST(CONCAT('0x', substr(md5(CAST(k AS VARCHAR) || ':' || sh),
-                       17, 16)) AS UBIGINT)) AS mh
+                     MIN(CASE WHEN k % 2 = 0
+                         THEN substr(md5(CAST(k // 2 AS VARCHAR) || ':' || sh), 17, 16)
+                         ELSE substr(md5(CAST(k // 2 AS VARCHAR) || ':' || sh), 1, 16)
+                         END) AS mh
                    FROM sh CROSS JOIN (SELECT unnest(range(16)) AS k)
                    GROUP BY 1, 2),
-            sig AS (SELECT doc_id, list(CAST(mh AS VARCHAR) ORDER BY k) AS sig
+            sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig
                     FROM hx GROUP BY 1),
             band AS (SELECT doc_id, unnest(list_transform(range(4),
                        b -> CAST(b AS VARCHAR) || ':' ||
@@ -1472,10 +1493,11 @@ object Dedup {
   // from the two 32-bit md5 halves via shiftright/&1 — identical integer
   // ops both engines.
   //
-  // Scale shape: the per-bit vote explode is 64 skinny (doc, bit, ±tf)
-  // rows per distinct bigram — linear, map-side combinable; buckets and
-  // verify shuffle only (chunk_key, doc_id) and bit-position lists.
-  // Production operator stays x04 (native SimHash64, one pass per doc).
+  // Scale shape: the 64 per-bit votes are 64 map-side-combinable column
+  // SUMs in one doc_id aggregate (no per-bit exploded shuffle — the
+  // exchange carries 64 longs per doc); buckets and verify shuffle only
+  // (chunk_key, doc_id) and bit-position lists. Production operator
+  // stays x04 (native SimHash64, one pass per doc).
   private val x333 = GQuery(
     "x333_simhash_exact", "ext-dedup-fuzzy oracled-twin",
     (s, dir) => {
@@ -1487,20 +1509,22 @@ object Dedup {
           "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"))
           .as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val votes = (0 until 64).map { b =>
+        val bit = if (b < 32) s"shiftright(lo, $b)" else s"shiftright(hi, ${b - 32})"
+        sum(expr(s"(($bit & 1) * 2 - 1) * c")).as(s"v$b")
+      }
       val sig = tf
+        .withColumn("h", md5(concat(lit("s:"), col("g"))))
         .select(col("doc_id"), col("c"),
-          expr("CAST(conv(substring(md5(concat('s:', g)), 17, 8), 16, 10) AS BIGINT)").as("hi"),
-          expr("CAST(conv(substring(md5(concat('s:', g)), 25, 8), 16, 10) AS BIGINT)").as("lo"))
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, 63), b -> named_struct(
-               'b', b,
-               'v', CASE WHEN ((CASE WHEN b < 32 THEN shiftright(lo, b)
-                                ELSE shiftright(hi, b - 32) END & 1) = 1)
-                         THEN c ELSE -c END))""")).as("bv"))
-        .groupBy(col("doc_id"), col("bv.b").as("b"))
-        .agg(sum(col("bv.v")).as("s"))
+          expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("hi"),
+          expr("CAST(conv(substring(h, 25, 8), 16, 10) AS BIGINT)").as("lo"))
         .groupBy(col("doc_id"))
-        .agg(expr("array_sort(collect_list(CASE WHEN s > 0 THEN b END))").as("bits"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 64).map(b => col(s"v$b")): _*).as("vs"))
+        .select(col("doc_id"), expr(
+          """filter(transform(sequence(0, 63), b -> CASE WHEN vs[b] > 0 THEN b END),
+               x -> x IS NOT NULL)""").as("bits"))
         .localCheckpoint(true) // reused: chunk blocking + both verify sides
       val cand = sig
         .select(col("doc_id"), explode(expr(
@@ -1568,20 +1592,20 @@ object Dedup {
 
   // ------------------------------------------------------------------ x340
   // LSH parameter tuning curve — the empirical S-curve behind
-  // x03/x332's banding choice: for signature sizes K = 8/16/32
-  // (rows-per-band fixed at 4, so 2/4/8 bands), take EVERY true pair
-  // with exact Jaccard >= 0.5 (the lossless prefix-filter tier at
-  // τ = 1/2), band it by its integer Jaccard millis (500s…900s), and
-  // measure per (config, band) the probability the banding scheme
-  // surfaces the pair as a candidate and the ceil(0.85·K) agreement
-  // verify keeps it. This is detection-probability-vs-similarity — the
-  // 1−(1−s^r)^b curve from the MinHash literature, measured instead of
-  // assumed — and it is the table an operator reads before committing a
-  // 100 TB dedup pass to a (bands, rows) point. The md5-keyed hash
-  // family (x332) makes every cell cross-engine exact; the family is
-  // NESTED (config K uses hashes 0..K−1), so 32 per-shingle hashes are
-  // computed once and every config slices them. Exact Jaccard is kept
-  // in integers ((1000·|∩|) div |∪|), never a float.
+  // x03/x332's banding choice, asked the way an operator actually faces
+  // it: the signature budget is FIXED at K = 16 hashes (the x332
+  // family), and the knob is how to slice it into bands — (b=2, r=8),
+  // (b=4, r=4), (b=8, r=2). Take EVERY true pair with exact Jaccard
+  // >= 0.5 (the lossless prefix-filter tier at τ = 1/2), band it by its
+  // integer Jaccard millis (500s…900s), and measure per (slicing, band)
+  // the probability the scheme surfaces the pair as a candidate, and
+  // the (slicing-independent) ceil(0.85·16) agreement verify keeps it.
+  // This is detection-probability-vs-similarity — the 1−(1−s^r)^b curve
+  // from the MinHash literature, measured instead of assumed, at
+  // constant hashing cost per point. The md5-keyed hash family (x332)
+  // makes every cell cross-engine exact; ONE 16-hash signature serves
+  // all three slicings. Exact Jaccard is kept in integers
+  // ((1000·|∩|) div |∪|), never a float.
   //
   // The fixture's organic near-dups all sit in the 900s band, so the
   // curve's mid-similarity points are PLANTED (the x142/x34
@@ -1592,11 +1616,15 @@ object Dedup {
   // across the 500-800 bands. Both engines build the identical mutant
   // corpus from the same string arithmetic.
   //
-  // Scale shape: one shingle scan → 32-hash min-aggregate → per-config
-  // band keys (≤ 14 skinny rows per doc); candidate pairs are LSH
-  // bucket pairs (bounded by true near-dup density, the x03 argument);
-  // the truth side is the audited lossless prefix-filter join. Output:
-  // one row per (config, populated J-band).
+  // Scale shape: one shingle scan → 16-hash min-aggregate → per-slicing
+  // band keys (14 skinny rows per doc across all three); candidate
+  // pairs are LSH bucket pairs under a 32-doc hot-bucket cap — the
+  // production discipline (a near-empty band key is boilerplate
+  // gravity, exactly like x145's MaxDf posting cap), and the thing that
+  // keeps the r=2 slicing's fan-out bounded at corpus scale; the truth
+  // side is the audited lossless prefix-filter join. Output: one row
+  // per (slicing, populated J-band); catch rates are measured UNDER the
+  // cap, i.e. what the capped production pipeline would really see.
   private val x340 = GQuery(
     "x340_lsh_tuning_curve", "ext-dedup-fuzzy lsh-parameter advisor",
     (s, dir) => {
@@ -1617,38 +1645,31 @@ object Dedup {
         .select(col("doc_id"), explode(expr(
           """array_distinct(transform(sequence(0, size(w) - 3),
                i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("sh"))
-      val sig32 = sh
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, 31), k -> named_struct(
-               'k', k,
-               'h', CAST(conv(substring(md5(concat(k, ':', sh)), 17, 16),
-                 16, 10) AS DECIMAL(38, 0))))""")).as("kh"))
-        .groupBy(col("doc_id"), col("kh.k").as("k"))
-        .agg(min(col("kh.h")).as("mh"))
-        .groupBy(col("doc_id"))
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(k, mh))), x -> CAST(x.mh AS STRING))")
-          .as("sig"))
+      val sig16 = minhashHexSigs(sh, 16)
         .localCheckpoint(true) // sliced by every config; both pair sides
-      val banded = sig32
-        .select(col("doc_id"), explode(expr("array(8, 16, 32)")).as("kk"), col("sig"))
-        .select(col("doc_id"), col("kk"), explode(expr(
-          """transform(sequence(0, kk div 4 - 1),
-               b -> concat(kk, ':', b, ':', concat_ws(',', slice(sig, b * 4 + 1, 4))))"""))
+      val banded = sig16
+        .select(col("doc_id"), explode(expr("array(2, 4, 8)")).as("rr"), col("sig"))
+        .select(col("doc_id"), col("rr"), explode(expr(
+          """transform(sequence(0, 16 div rr - 1),
+               b -> concat(rr, ':', b, ':', concat_ws(',', slice(sig, b * rr + 1, rr))))"""))
           .as("bkey"))
-      val cand = banded.as("a")
-        .join(banded.as("b"),
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))
+      val capped = banded
+        .withColumn("bsz", count(lit(1)).over(wB))
+        .where(col("bsz") <= 32)
+      val cand = capped.as("a")
+        .join(capped.as("b"),
           col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.kk").as("kk"), col("a.doc_id").as("a_id"),
+        .select(col("a.rr").as("rr"), col("a.doc_id").as("a_id"),
           col("b.doc_id").as("b_id"))
         .distinct()
       val est = cand
-        .join(sig32.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
-        .join(sig32.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+        .join(sig16.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+        .join(sig16.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
         .withColumn("agree",
-          expr("size(filter(sequence(0, kk - 1), i -> sa[i] = sb[i]))"))
-        .withColumn("pass", (col("agree") * 20 >= col("kk") * 17).cast("long"))
-        .select(col("kk"), col("a_id"), col("b_id"), lit(1L).as("caught"),
+          expr("size(filter(sequence(0, 15), i -> sa[i] = sb[i]))"))
+        .withColumn("pass", (col("agree") >= 14).cast("long"))
+        .select(col("rr"), col("a_id"), col("b_id"), lit(1L).as("caught"),
           col("pass"))
       val sets = shingleSets(corpus).localCheckpoint(true)
       val truth = prefixCandidates(sets, 1, 2)
@@ -1661,18 +1682,18 @@ object Dedup {
           least(expr("(j_milli div 100) * 100"), lit(900L)).as("j_band"))
       truth
         .select(col("a_id"), col("b_id"), col("j_band"),
-          explode(expr("array(8, 16, 32)")).as("kk"))
-        .join(est, Seq("kk", "a_id", "b_id"), "left")
-        .groupBy(col("kk"), col("j_band"))
+          explode(expr("array(2, 4, 8)")).as("rr"))
+        .join(est, Seq("rr", "a_id", "b_id"), "left")
+        .groupBy(col("rr"), col("j_band"))
         .agg(count(lit(1)).as("n_true"),
           sum(coalesce(col("caught"), lit(0L))).as("n_candidates"),
           sum(coalesce(col("pass"), lit(0L))).as("n_verified"))
-        .select(col("kk").cast("long").as("k"),
-          expr("CAST(kk div 4 AS BIGINT)").as("n_bands"),
+        .select(col("rr").cast("long").as("rows_per_band"),
+          expr("CAST(16 div rr AS BIGINT)").as("n_bands"),
           col("j_band"), col("n_true"), col("n_candidates"), col("n_verified"),
           expr("(1000 * n_candidates) div n_true").as("catch_milli"),
           expr("(1000 * n_verified) div n_true").as("verified_milli"))
-        .orderBy("k", "j_band")
+        .orderBy("rows_per_band", "j_band")
     },
     Some("""WITH mut AS (
               SELECT doc_id + 10000 AS doc_id,
@@ -1692,26 +1713,31 @@ object Dedup {
                       i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))) AS sh
                     FROM w WHERE len(w) >= 3),
             hx AS (SELECT doc_id, k,
-                     MIN(CAST(CONCAT('0x', substr(md5(CAST(k AS VARCHAR) || ':' || sh),
-                       17, 16)) AS UBIGINT)) AS mh
-                   FROM shs CROSS JOIN (SELECT unnest(range(32)) AS k)
+                     MIN(CASE WHEN k % 2 = 0
+                         THEN substr(md5(CAST(k // 2 AS VARCHAR) || ':' || sh), 17, 16)
+                         ELSE substr(md5(CAST(k // 2 AS VARCHAR) || ':' || sh), 1, 16)
+                         END) AS mh
+                   FROM shs CROSS JOIN (SELECT unnest(range(16)) AS k)
                    GROUP BY 1, 2),
-            sig AS (SELECT doc_id, list(CAST(mh AS VARCHAR) ORDER BY k) AS sig
+            sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig
                     FROM hx GROUP BY 1),
-            band AS (SELECT doc_id, kk, CAST(kk AS VARCHAR) || ':' ||
+            band AS (SELECT doc_id, rr, CAST(rr AS VARCHAR) || ':' ||
                        CAST(b AS VARCHAR) || ':' ||
-                       array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bkey
+                       array_to_string(sig[b * rr + 1 : b * rr + rr], ',') AS bkey
                      FROM sig
-                     CROSS JOIN (SELECT unnest([8, 16, 32]) AS kk)
+                     CROSS JOIN (SELECT unnest([2, 4, 8]) AS rr)
                      CROSS JOIN (SELECT unnest(range(8)) AS b)
-                     WHERE b < kk // 4),
-            cand AS (SELECT DISTINCT a.kk, a.doc_id AS a_id, b.doc_id AS b_id
-                     FROM band a JOIN band b
-                       ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-            est AS (SELECT c.kk, c.a_id, c.b_id, 1 AS caught,
-                      CASE WHEN CAST(len(list_filter(range(c.kk),
-                          i -> s1.sig[i + 1] = s2.sig[i + 1])) AS BIGINT) * 20
-                          >= c.kk * 17 THEN 1 ELSE 0 END AS pass
+                     WHERE b < 16 // rr),
+            bandc AS (SELECT *, COUNT(*) OVER (PARTITION BY bkey) AS bsz
+                      FROM band),
+            cand AS (SELECT DISTINCT a.rr, a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM bandc a JOIN bandc b
+                       ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+                     WHERE a.bsz <= 32),
+            est AS (SELECT c.rr, c.a_id, c.b_id, 1 AS caught,
+                      CASE WHEN CAST(len(list_filter(range(16),
+                          i -> s1.sig[i + 1] = s2.sig[i + 1])) AS BIGINT)
+                          >= 14 THEN 1 ELSE 0 END AS pass
                     FROM cand c
                     JOIN sig s1 ON s1.doc_id = c.a_id
                     JOIN sig s2 ON s2.doc_id = c.b_id),
@@ -1730,25 +1756,26 @@ object Dedup {
                         FROM tok a JOIN tok b ON a.doc_id < b.doc_id
                         WHERE len(list_intersect(a.tok, b.tok)) > 0)
                       WHERE j_milli >= 500),
-            fan AS (SELECT truth.*, kk
+            fan AS (SELECT truth.*, rr
                     FROM truth
-                    CROSS JOIN (SELECT unnest([8, 16, 32]) AS kk)),
-            agg AS (SELECT fan.kk, fan.j_band,
+                    CROSS JOIN (SELECT unnest([2, 4, 8]) AS rr)),
+            agg AS (SELECT fan.rr, fan.j_band,
                       CAST(COUNT(*) AS BIGINT) AS n_true,
                       CAST(SUM(COALESCE(est.caught, 0)) AS BIGINT)
                         AS n_candidates,
                       CAST(SUM(COALESCE(est.pass, 0)) AS BIGINT)
                         AS n_verified
                     FROM fan LEFT JOIN est
-                      ON fan.kk = est.kk AND fan.a_id = est.a_id
+                      ON fan.rr = est.rr AND fan.a_id = est.a_id
                          AND fan.b_id = est.b_id
                     GROUP BY 1, 2)
-            SELECT CAST(kk AS BIGINT) AS k, CAST(kk // 4 AS BIGINT) AS n_bands,
+            SELECT CAST(rr AS BIGINT) AS rows_per_band,
+              CAST(16 // rr AS BIGINT) AS n_bands,
               CAST(j_band AS BIGINT) AS j_band, n_true, n_candidates,
               n_verified,
               CAST((1000 * n_candidates) // n_true AS BIGINT) AS catch_milli,
               CAST((1000 * n_verified) // n_true AS BIGINT) AS verified_milli
-            FROM agg ORDER BY k, j_band"""))
+            FROM agg ORDER BY rows_per_band, j_band"""))
 
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
