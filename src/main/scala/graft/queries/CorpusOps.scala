@@ -2592,9 +2592,96 @@ object CorpusOps {
               CAST(MIN(MIN(l)) OVER () AS BIGINT) AS min_l
             FROM b GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x341
+  // t-closeness census (Li, Li & Venkatasubramanian 2007) — the third
+  // privacy audit l-diversity (x275) provably cannot cover: a group can
+  // be 10-diverse yet still leak if its sensitive-value DISTRIBUTION
+  // differs sharply from the table's (the skewness attack). Same QI as
+  // x223/x275 — (lang, length-bucket) — with `source` sensitive; for a
+  // categorical attribute under uniform ground distance, the paper's EMD
+  // reduces to total variation distance, which stays in exact integers:
+  // t·2·n_g·N = Σ_s |c_gs·N − C_s·n_g| (sources absent from the group
+  // contribute C_s·n_g each, folded in closed form as (N − Σpresent)·n_g
+  // rather than densifying the group×source grid). Banded like x275 with
+  // the release-blocking max_t riding every row.
+  //
+  // Scale shape: one (QI, sensitive) aggregate off the fact table, a
+  // broadcast of the source-domain marginal, one QI-partitioned window
+  // over the skinny group×source table, one band rollup. The counts
+  // enter the |·| products as DECIMAL(38,0): c·N is ~10²⁴ at 10¹² rows,
+  // far past BIGINT.
+  private val x341 = GQuery(
+    "x341_t_closeness", "ext-docs privacy t-closeness census",
+    (s, dir) => {
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val g = docs(s, dir)
+        .groupBy(col("lang"), expr("n_chars div 100").as("len_bucket"),
+          col("source"))
+        .agg(count(lit(1)).as("c"))
+      val glob = g.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+        .withColumn("n_total", sum(col("cs")).over(wAll))
+      val wG = Window.partitionBy(col("lang"), col("len_bucket"))
+      val grp = g.join(broadcast(glob), "source")
+        .withColumn("n_g", sum(col("c")).over(wG))
+        .groupBy(col("lang"), col("len_bucket"))
+        .agg(max(col("n_g")).as("n_g"), max(col("n_total")).as("n_total"),
+          sum(abs(col("c").cast("decimal(38,0)") * col("n_total")
+            - col("cs").cast("decimal(38,0)") * col("n_g"))).as("present"),
+          sum(col("cs")).as("present_cs"))
+        .withColumn("t_milli", expr(
+          """cast((1000 * (present
+                 + cast(n_total - present_cs as decimal(38,0)) * n_g))
+               div (2 * cast(n_g as decimal(38,0)) * n_total) as bigint)"""))
+      grp
+        .groupBy(when(col("t_milli") < 100, "a:0-99")
+          .when(col("t_milli") < 300, "b:100-299")
+          .when(col("t_milli") < 600, "c:300-599")
+          .otherwise("d:600+").as("t_band"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_g")).as("n_docs"),
+          max(col("t_milli")).as("band_max_t"))
+        .withColumn("max_t_milli", max(col("band_max_t")).over(wAll))
+        .orderBy("t_band")
+    },
+    Some("""WITH g AS (
+              SELECT lang, n_chars // 100 AS len_bucket, source,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2, 3),
+            gmar AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS cs,
+                CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_total
+              FROM g GROUP BY 1),
+            wg AS (
+              SELECT g.lang, g.len_bucket, g.c, gmar.cs, gmar.n_total,
+                CAST(SUM(g.c) OVER (PARTITION BY g.lang, g.len_bucket)
+                  AS BIGINT) AS n_g
+              FROM g JOIN gmar USING (source)),
+            grp AS (
+              SELECT lang, len_bucket, MAX(n_g) AS n_g,
+                MAX(n_total) AS n_total,
+                SUM(ABS(CAST(c AS HUGEINT) * n_total
+                  - CAST(cs AS HUGEINT) * n_g)) AS present,
+                CAST(SUM(cs) AS BIGINT) AS present_cs
+              FROM wg GROUP BY 1, 2),
+            t AS (
+              SELECT *, CAST((1000 * (present
+                    + CAST(n_total - present_cs AS HUGEINT) * n_g))
+                  // (2 * CAST(n_g AS HUGEINT) * n_total) AS BIGINT)
+                AS t_milli
+              FROM grp)
+            SELECT CASE WHEN t_milli < 100 THEN 'a:0-99'
+                WHEN t_milli < 300 THEN 'b:100-299'
+                WHEN t_milli < 600 THEN 'c:300-599'
+                ELSE 'd:600+' END AS t_band,
+              CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(n_g) AS BIGINT) AS n_docs,
+              CAST(MAX(t_milli) AS BIGINT) AS band_max_t,
+              CAST(MAX(MAX(t_milli)) OVER () AS BIGINT) AS max_t_milli
+            FROM t GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
       x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
-      x257, x259, x263, x264, x265, x266, x267, x275)
+      x257, x259, x263, x264, x265, x266, x267, x275, x341)
 }

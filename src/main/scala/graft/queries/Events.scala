@@ -4547,8 +4547,88 @@ object Events {
                    ELSE 0 END AS BIGINT) AS step_purchase_milli
             FROM agg"""))
 
+  // ------------------------------------------------------------------- x342
+  // Differential-privacy sensitivity advisor (Dwork et al. 2006; the
+  // contribution-bounding discipline of Wilson et al. 2020, "DP SQL") —
+  // the pre-release audit a DP aggregate needs BEFORE noise is chosen:
+  // per event_type, how many events can one user contribute (the L∞
+  // contribution k), what clip bound a nearest-rank p95 suggests, what
+  // fraction of real events that clip discards, and the Laplace scale
+  // b = k_clip/ε the clipped count query then needs at each ε on the
+  // menu. Everything is exact integers: nearest-rank p95 is the x278
+  // discipline (smallest rank with 20·rn ≥ 19·n, ties broken by
+  // user_id), the clip loss is a ratio of event counts, and b rides in
+  // milli-units as (10000·k_clip) div eps_tenths.
+  //
+  // Scale shape: one (type, user) aggregate off the fact table, one
+  // type-partitioned rank window over the per-user table, one re-read of
+  // that per-user aggregate against the broadcast per-type clip bounds,
+  // and a 3-row ε-menu explode of the type-domain result.
+  private val x342 = GQuery(
+    "x342_dp_sensitivity", "ext-events privacy dp-sensitivity advisor",
+    (s, dir) => {
+      val per = events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // read twice: rank stats + clip loss
+      val wT = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt"), col("user_id"))
+      val stats = per
+        .withColumn("rn", row_number().over(wT).cast("long"))
+        .withColumn("nu",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("nu")).as("n_users"), max(col("cnt")).as("k_max"),
+          sum(col("cnt")).as("n_events"),
+          min(when(col("rn") * 20 >= col("nu") * 19, col("cnt")))
+            .as("k_clip"))
+      val loss = per
+        .join(broadcast(stats.select(col("event_type"), col("k_clip"))),
+          "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(greatest(col("cnt") - col("k_clip"), lit(0L)))
+          .as("clipped"))
+      stats.join(loss, "event_type")
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          col("k_max"), col("k_clip"),
+          expr("cast((1000 * clipped) div n_events as bigint)")
+            .as("clip_loss_milli"),
+          explode(expr("array(5L, 10L, 20L)")).as("eps_tenths"))
+        .withColumn("b_count_milli",
+          expr("cast((10000 * k_clip) div eps_tenths as bigint)"))
+        .orderBy("event_type", "eps_tenths")
+    },
+    Some("""WITH per AS (
+              SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY cnt, user_id) AS BIGINT) AS rn,
+                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS nu
+              FROM per),
+            stats AS (
+              SELECT event_type, MAX(nu) AS n_users, MAX(cnt) AS k_max,
+                CAST(SUM(cnt) AS BIGINT) AS n_events,
+                MIN(CASE WHEN rn * 20 >= nu * 19 THEN cnt END) AS k_clip
+              FROM r GROUP BY 1),
+            loss AS (
+              SELECT per.event_type,
+                CAST(SUM(GREATEST(per.cnt - s.k_clip, 0)) AS BIGINT)
+                  AS clipped
+              FROM per JOIN stats s USING (event_type) GROUP BY 1)
+            SELECT s.event_type, s.n_users, s.n_events, s.k_max, s.k_clip,
+              CAST((1000 * l.clipped) // s.n_events AS BIGINT)
+                AS clip_loss_milli,
+              CAST(eps_tenths AS BIGINT) AS eps_tenths,
+              CAST((10000 * s.k_clip) // eps_tenths AS BIGINT)
+                AS b_count_milli
+            FROM stats s JOIN loss l ON s.event_type = l.event_type
+            CROSS JOIN (SELECT unnest([5, 10, 20]) AS eps_tenths)
+            ORDER BY 1, eps_tenths"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
-    x321, x322, x323, x331, x338,
+    x321, x322, x323, x331, x338, x342,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -2531,8 +2531,65 @@ object Similarity {
               CAST(MAX(ABS(diff)) AS BIGINT) AS max_dim_drift_micro
             FROM d GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x345
+  // Class-imbalance weight plan (the inverse-frequency and
+  // median-frequency-balancing schemes of Eigen & Fergus 2015, the
+  // standard re-weighting menu a training pipeline emits alongside a
+  // labeled dataset): per label, its count, the inverse-frequency weight
+  // N/(K·n_c) and the median-frequency weight median(n)/n_c, both in
+  // exact milli-units. The median is the x278 nearest-rank discipline
+  // (lower median: smallest count at rank ≥ K/2, ties broken by label),
+  // so every cell is a floor division of integers both engines share.
+  //
+  // Scale shape: one label rollup off the embeddings table, then
+  // label-domain windows (K rows — the single-partition WindowExec is a
+  // constant-size fold, the x275 shape, not a data-sized sort).
+  private val x345 = GQuery(
+    "x345_class_weight_plan", "ext-ml class-imbalance weight plan",
+    (s, dir) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n"), col("label"))
+      emb(s, dir)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("k_classes", count(lit(1)).over(wAll))
+        .withColumn("n_total", sum(col("n")).over(wAll))
+        .withColumn("n_med",
+          min(when(col("rn") * 2 >= col("k_classes"), col("n"))).over(wAll))
+        .select(col("label"), col("n"), col("k_classes"), col("n_total"),
+          expr("cast((1000 * n_total) div (k_classes * n) as bigint)")
+            .as("inv_freq_milli"),
+          expr("cast((1000 * n_med) div n as bigint)")
+            .as("median_freq_milli"))
+        .orderBy("label")
+    },
+    Some("""WITH g AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM embeddings GROUP BY 1),
+            r AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n, label)
+                  AS BIGINT) AS rn,
+                CAST(COUNT(*) OVER () AS BIGINT) AS k_classes,
+                CAST(SUM(n) OVER () AS BIGINT) AS n_total
+              FROM g),
+            m AS (
+              SELECT *, MIN(CASE WHEN rn * 2 >= k_classes THEN n END)
+                  OVER () AS n_med
+              FROM r)
+            SELECT label, n, k_classes, n_total,
+              CAST((1000 * n_total) // (k_classes * n) AS BIGINT)
+                AS inv_freq_milli,
+              CAST((1000 * n_med) // n AS BIGINT) AS median_freq_milli
+            FROM m ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105, x108, x109, x111, x204, x232, x279, x311)
+      x91, x92, x95, x100, x105, x108, x109, x111, x204, x232, x279, x311,
+      x345)
 }

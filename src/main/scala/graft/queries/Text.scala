@@ -2437,10 +2437,128 @@ object Text {
                 AS type_token_milli
             FROM c ORDER BY bucket"""))
 
+  // ------------------------------------------------------------------- x343
+  // Feature-hashing collision audit (Weinberger et al. 2009, "hashing
+  // trick") — the table an operator reads before fixing the hashed
+  // feature-space width for a linear model / CTR-style pipeline: for each
+  // candidate width 2^k, how many distinct tokens collide, the worst
+  // bucket load, and the load factor. The bucket IS the first k/4 hex
+  // chars of md5(token) — the x332 md5 discipline, so both engines bucket
+  // identically and the audit is exact, not simulated. One 16-hash-wide
+  // vocabulary scan serves all three widths.
+  //
+  // Scale shape: a distinct over the token explode (vocabulary-sized,
+  // the x38 shape), a 3-way width explode of the VOCABULARY (not the
+  // corpus), and two nested map-side-combinable aggregates; nothing
+  // corpus-sized crosses a shuffle twice.
+  private val x343 = GQuery(
+    "x343_feature_hash_collisions", "ext-text feature-hashing collision audit",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .distinct()
+      toks
+        .select(col("tok"), explode(expr("array(8, 12, 16)")).as("k_bits"))
+        .select(col("k_bits"),
+          expr("substr(md5(tok), 1, k_bits div 4)").as("bucket"))
+        .groupBy(col("k_bits"), col("bucket"))
+        .agg(count(lit(1)).as("load"))
+        .groupBy(col("k_bits").cast("long").as("k_bits"))
+        .agg(sum(col("load")).as("n_tokens"),
+          count(lit(1)).as("buckets_used"), max(col("load")).as("max_load"))
+        .withColumn("table_size",
+          expr("shiftleft(cast(1 as bigint), cast(k_bits as int))"))
+        .withColumn("collision_milli",
+          expr("cast((1000 * (n_tokens - buckets_used)) div n_tokens as bigint)"))
+        .withColumn("load_factor_milli",
+          expr("cast((1000 * n_tokens) div table_size as bigint)"))
+        .orderBy("k_bits")
+    },
+    Some("""WITH toks AS (
+              SELECT DISTINCT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+              WHERE len(tok) > 0),
+            l AS (
+              SELECT k_bits, substr(md5(tok), 1, k_bits // 4) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS load
+              FROM toks
+              CROSS JOIN (SELECT unnest([8, 12, 16]) AS k_bits)
+              GROUP BY 1, 2)
+            SELECT CAST(k_bits AS BIGINT) AS k_bits,
+              CAST(SUM(load) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS buckets_used,
+              CAST(MAX(load) AS BIGINT) AS max_load,
+              CAST(1::BIGINT << k_bits AS BIGINT) AS table_size,
+              CAST((1000 * (SUM(load) - COUNT(*))) // SUM(load) AS BIGINT)
+                AS collision_milli,
+              CAST((1000 * SUM(load)) // (1::BIGINT << k_bits) AS BIGINT)
+                AS load_factor_milli
+            FROM l GROUP BY k_bits ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x347
+  // Readability profile (Flesch 1948; Kincaid et al. 1975) — the classic
+  // corpus-quality lens the length/punctuation battery (x12) does not
+  // carry: reading ease and grade level per language, from exact integer
+  // ingredients — words (token count), sentences (terminal-punctuation
+  // runs, clamped ≥1 so headline-style docs don't divide by zero), and a
+  // syllable proxy (vowel-run count, the standard approximation when no
+  // dictionary is available). The Flesch constants ride in milli-units
+  // with every ratio a floor division, so both engines land the same
+  // integers; the vowel-run proxy is a DEFINED statistic of the text,
+  // identical on both sides, not an estimate that needs tolerance.
+  //
+  // Scale shape: one map-side pass over the corpus computing three
+  // per-doc integers, one language-domain rollup. DECIMAL(38,0) casts on
+  // the constant·total products: 84600·Σvowel-runs is ~10¹⁹ at 10¹²
+  // docs, past BIGINT.
+  private val x347 = GQuery(
+    "x347_readability", "ext-text readability flesch-kincaid",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        greatest(expr("regexp_count(text, '[.!?]+')").cast("long"), lit(1L))
+          .as("sent"),
+        expr("regexp_count(lower(text), '[aeiou]+')").cast("long").as("vg"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tw"),
+          sum(col("sent")).as("ts"), sum(col("vg")).as("tvg"))
+        .select(col("lang"), col("n_docs"), col("tw"), col("ts"), col("tvg"),
+          expr("""cast(206835 - (1015 * cast(tw as decimal(38,0))) div ts
+               - (84600 * cast(tvg as decimal(38,0))) div tw as bigint)""")
+            .as("flesch_milli"),
+          expr("""cast((390 * cast(tw as decimal(38,0))) div ts
+               + (11800 * cast(tvg as decimal(38,0))) div tw
+               - 15590 as bigint)""").as("fk_grade_milli"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+              SELECT lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                  AS BIGINT), 1) AS sent,
+                CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                  AS BIGINT) AS vg
+              FROM documents),
+            g AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(sent) AS BIGINT) AS ts,
+                CAST(SUM(vg) AS BIGINT) AS tvg
+              FROM d GROUP BY 1)
+            SELECT lang, n_docs, tw, ts, tvg,
+              CAST(206835 - (1015 * CAST(tw AS HUGEINT)) // ts
+                - (84600 * CAST(tvg AS HUGEINT)) // tw AS BIGINT)
+                AS flesch_milli,
+              CAST((390 * CAST(tw AS HUGEINT)) // ts
+                + (11800 * CAST(tvg AS HUGEINT)) // tw
+                - 15590 AS BIGINT) AS fk_grade_milli
+            FROM g ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
       x301, x302, x303, x306, x307, x315, x317, x320, x326, x329, x334, x336,
-      x339)
+      x339, x343, x347)
 }

@@ -1547,8 +1547,139 @@ object TpchMore {
                 AS pair_fanout
             FROM c ORDER BY width"""))
 
+  // ------------------------------------------------------------------- x344
+  // Leave-one-out target-encoding audit (Micci-Barreca 2001) — the
+  // feature-prep step a tabular-ML pipeline runs on every high-arity
+  // categorical, audited the way leakage review demands: per category,
+  // the exact n and mean target, the RANGE the leave-one-out encoding
+  // spans (the LOO of the max-target row is the low edge, of the
+  // min-target row the high edge — if that spread is wide the encoding
+  // leaks the row's own label), and the m=100-smoothed encoding that
+  // shrinks small categories toward the global mean. Money rides as
+  // exact cents (the x281 idiom); every ratio is a floor division on
+  // DECIMAL(38,0), so both engines land identical integers.
+  //
+  // Scale shape: one category rollup off the fact table, one
+  // category-domain window pair for the global sums; nothing per-row
+  // survives the first aggregate — the LOO range needs only the
+  // category's min/max target, not a per-row join back.
+  private val x344 = GQuery(
+    "x344_target_encoding", "ext-ml target-encoding loo-leakage audit",
+    (s, dir) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("cat"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("cat"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("decimal(38,0)")).as("sc"),
+          min(col("cents")).as("y_min"), max(col("cents")).as("y_max"))
+        .withColumn("s_all", sum(col("sc")).over(wAll))
+        .withColumn("n_all", sum(col("n")).over(wAll))
+        .select(col("cat"), col("n"),
+          expr("cast(sc div n as bigint)").as("mean_cents"),
+          expr("""cast(case when n > 1 then (sc - y_max) div (n - 1) end
+               as bigint)""").as("loo_low_cents"),
+          expr("""cast(case when n > 1 then (sc - y_min) div (n - 1) end
+               as bigint)""").as("loo_high_cents"),
+          expr("""cast((sc + 100 * (s_all div n_all)) div (n + 100)
+               as bigint)""").as("enc_smooth_cents"))
+        .orderBy("cat")
+    },
+    Some("""WITH o AS (
+              SELECT o_orderpriority AS cat,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+              FROM orders),
+            g AS (
+              SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(cents AS HUGEINT)) AS sc,
+                MIN(cents) AS y_min, MAX(cents) AS y_max
+              FROM o GROUP BY 1),
+            t AS (SELECT *, SUM(sc) OVER () AS s_all,
+                SUM(n) OVER () AS n_all FROM g)
+            SELECT cat, n,
+              CAST(sc // n AS BIGINT) AS mean_cents,
+              CAST(CASE WHEN n > 1 THEN (sc - y_max) // (n - 1) END
+                AS BIGINT) AS loo_low_cents,
+              CAST(CASE WHEN n > 1 THEN (sc - y_min) // (n - 1) END
+                AS BIGINT) AS loo_high_cents,
+              CAST((sc + 100 * (s_all // n_all)) // (n + 100) AS BIGINT)
+                AS enc_smooth_cents
+            FROM t ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x346
+  // One-way ANOVA, exact-integer form (Fisher 1925) — the parametric
+  // mean-comparison the rank battery (x248 Kruskal-Wallis, x245
+  // Mann-Whitney) deliberately avoids, completing the pair every stats
+  // consumer expects. Defined on cent-exact targets with FLOORED group
+  // means (m_g = S_g div n_g) so the sums of squares are pure integer
+  // arithmetic both engines reproduce bit-for-bit: ssb = Σ n_g(m_g−m)²,
+  // ssw = Σ(Q_g − 2·m_g·S_g + n_g·m_g²), F in milli-units as
+  // (1000·ssb·(n−k)) div (ssw·(k−1)), effect size η² alongside. The
+  // floored-mean definition changes the statistic by <1 part in 10⁶ on
+  // cent-scale targets while making it an exactly-specified integer —
+  // the same trade every milli-unit row in this registry makes.
+  //
+  // Scale shape: one group rollup off the fact table (map-side
+  // combinable sums of y and y²), then a k-row fold. DECIMAL(38,0)
+  // throughout: Σy² is ~10²⁶ at 10¹² rows of 10⁷-cent targets; the F
+  // composition holds exact headroom through ~10¹⁰ rows at cent
+  // precision (beyond, feed whole-currency units).
+  private val x346 = GQuery(
+    "x346_anova_oneway", "ext-stats anova one-way exact",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("y"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n_g"),
+          sum(col("y").cast("decimal(38,0)")).as("s_g"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("q_g"))
+        .withColumn("m_g", expr("cast(s_g div n_g as decimal(38,0))"))
+        .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"),
+          sum(expr("q_g - 2 * m_g * s_g + n_g * m_g * m_g")).as("ssw"),
+          sum(col("n_g") * col("m_g")).as("nm"),
+          sum(expr("n_g * m_g * m_g")).as("nmm"))
+        .withColumn("m", expr("cast(s div n as decimal(38,0))"))
+        .withColumn("ssb", expr("nmm - 2 * m * nm + n * m * m"))
+        .select(col("k").cast("long").as("k_groups"),
+          expr("cast(n as bigint)").as("n_rows"),
+          expr("cast((1000 * ssb * (n - k)) div (ssw * (k - 1)) as bigint)")
+            .as("f_milli"),
+          expr("cast((1000 * ssb) div (ssb + ssw) as bigint)")
+            .as("eta2_milli"))
+    },
+    Some("""WITH o AS (
+              SELECT o_orderpriority AS grp,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+              FROM orders),
+            g AS (
+              SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n_g,
+                SUM(CAST(y AS HUGEINT)) AS s_g,
+                SUM(CAST(y AS HUGEINT) * y) AS q_g
+              FROM o GROUP BY 1),
+            gm AS (SELECT *, s_g // n_g AS m_g FROM g),
+            f AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n_g) AS n,
+                SUM(s_g) AS s,
+                SUM(q_g - 2 * m_g * s_g + n_g * m_g * m_g) AS ssw,
+                SUM(n_g * m_g) AS nm,
+                SUM(n_g * m_g * m_g) AS nmm
+              FROM gm),
+            fm AS (SELECT *, s // n AS m,
+                nmm - 2 * (s // n) * nm + n * (s // n) * (s // n) AS ssb
+              FROM f)
+            SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+              CAST((1000 * ssb * (n - k)) // (ssw * (k - 1)) AS BIGINT)
+                AS f_milli,
+              CAST((1000 * ssb) // (ssb + ssw) AS BIGINT) AS eta2_milli
+            FROM fm"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
       x220, x221, x231, x239, x240, x244, x245, x246, x248, x260, x261,
-      x300, x319, x325)
+      x300, x319, x325, x344, x346)
 }
