@@ -1777,8 +1777,167 @@ object Dedup {
               CAST((1000 * n_verified) // n_true AS BIGINT) AS verified_milli
             FROM agg ORDER BY rows_per_band, j_band"""))
 
+  // ------------------------------------------------------------------ x348
+  // Precision/recall of the SimHash tier against the exact truth tier —
+  // x340 answers "which LSH slicing?" for MinHash; this answers the same
+  // tuning question for SimHash's hamming threshold: at τ ∈ {4,8,12,16}
+  // bits, what fraction of surfaced pairs are true near-dups (precision) and
+  // what fraction of true pairs surface at all (recall, charged against
+  // the FULL truth — pairs the 4-chunk blocking never sees count as
+  // misses, so the number is honest about the blocking, not just the
+  // threshold). Signature and chunk blocking are the x333 md5 pipeline
+  // verbatim; truth is the registry's standard lossless tier (3-gram
+  // prefix-filter, integer J millis ≥ 500). Every cell is an integer
+  // count or a floor-division milli ratio.
+  //
+  // Scale shape: one bigram scan → 64-vote fold per doc; candidate pairs
+  // are chunk-bucket joins under the 32-doc hot-bucket cap (the x340
+  // discipline); the τ sweep explodes the PAIR tables (both bounded),
+  // never the corpus. The two 4-row summaries meet in a tau-keyed join.
+  private val x348 = GQuery(
+    "x348_simhash_pr_eval", "ext-dedup-fuzzy simhash threshold eval",
+    (s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val tf = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"))
+          .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val votes = (0 until 64).map { b =>
+        val bit = if (b < 32) s"shiftright(lo, $b)" else s"shiftright(hi, ${b - 32})"
+        sum(expr(s"(($bit & 1) * 2 - 1) * c")).as(s"v$b")
+      }
+      val sig = tf
+        .withColumn("h", md5(concat(lit("s:"), col("g"))))
+        .select(col("doc_id"), col("c"),
+          expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("hi"),
+          expr("CAST(conv(substring(h, 25, 8), 16, 10) AS BIGINT)").as("lo"))
+        .groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 64).map(b => col(s"v$b")): _*).as("vs"))
+        .select(col("doc_id"), expr(
+          """filter(transform(sequence(0, 63), b -> CASE WHEN vs[b] > 0 THEN b END),
+               x -> x IS NOT NULL)""").as("bits"))
+        .localCheckpoint(true) // blocking + both hamming sides
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("ckey"))
+      val chunks = sig
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 3),
+               c -> concat(c, ':', concat_ws(',', filter(bits, b -> (b div 16) = c))))"""))
+          .as("ckey"))
+        .withColumn("bsz", count(lit(1)).over(wB))
+        .where(col("bsz") <= 32)
+      val pred = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .join(sig.select(col("doc_id").as("a_id"), col("bits").as("ba")), "a_id")
+        .join(sig.select(col("doc_id").as("b_id"), col("bits").as("bb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("CAST(2 * size(array_union(ba, bb)) - size(ba) - size(bb) AS BIGINT)")
+            .as("hamming"))
+        .localCheckpoint(true) // tau sweep reads it per side
+      val sets = shingleSets(corpus).localCheckpoint(true)
+      val truth = prefixCandidates(sets, 1, 2)
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("j_milli", expr("(1000 * inter) div (n_a + n_b - inter)"))
+        .where(col("j_milli") >= 500)
+        .select(col("a_id"), col("b_id"))
+      val taus = explode(expr("array(4L, 8L, 12L, 16L)")).as("tau")
+      val recallSide = truth
+        .select(col("a_id"), col("b_id"), taus)
+        .join(pred, Seq("a_id", "b_id"), "left")
+        .groupBy(col("tau"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("hamming") <= col("tau"), 1L).otherwise(0L)).as("tp"))
+      val predSide = pred
+        .select(col("hamming"), taus)
+        .where(col("hamming") <= col("tau"))
+        .groupBy(col("tau"))
+        .agg(count(lit(1)).as("n_pred"))
+      recallSide.join(predSide, Seq("tau"), "left")
+        .select(col("tau"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"),
+          expr("""cast(case when coalesce(n_pred, 0) > 0
+               then (1000 * tp) div n_pred end as bigint)""")
+            .as("precision_milli"),
+          expr("cast((1000 * tp) div n_true as bigint)").as("recall_milli"))
+        .orderBy("tau")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                     SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+                       i -> w[i + 1] || ' ' || w[i + 2])) AS g
+                     FROM w WHERE len(w) >= 2) GROUP BY 1, 2),
+            hh AS (SELECT doc_id, c,
+                     CAST(CAST(CONCAT('0x', substr(md5('s:' || g), 17, 8))
+                       AS UBIGINT) AS BIGINT) AS hi,
+                     CAST(CAST(CONCAT('0x', substr(md5('s:' || g), 25, 8))
+                       AS UBIGINT) AS BIGINT) AS lo
+                   FROM tf),
+            vt AS (SELECT doc_id, b,
+                     SUM(CASE WHEN (((CASE WHEN b < 32 THEN (lo >> CAST(b AS INTEGER))
+                                     ELSE (hi >> CAST(b - 32 AS INTEGER)) END) & 1) = 1)
+                         THEN c ELSE -c END) AS v
+                   FROM hh CROSS JOIN (SELECT unnest(range(64)) AS b)
+                   GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                      COALESCE(list(b ORDER BY b) FILTER (WHERE v > 0),
+                        CAST([] AS BIGINT[])) AS bits
+                    FROM vt GROUP BY 1),
+            ck AS (SELECT doc_id, unnest(list_transform(range(4),
+                     ch -> CAST(ch AS VARCHAR) || ':' || array_to_string(
+                       list_filter(bits, b -> b // 16 = ch), ','))) AS ckey
+                   FROM sig),
+            ckc AS (SELECT *, COUNT(*) OVER (PARTITION BY ckey) AS bsz
+                    FROM ck),
+            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM ckc a JOIN ckc b
+                       ON a.ckey = b.ckey AND a.doc_id < b.doc_id
+                     WHERE a.bsz <= 32),
+            pred AS (SELECT c.a_id, c.b_id,
+                       CAST(2 * len(list_distinct(s1.bits || s2.bits))
+                         - len(s1.bits) - len(s2.bits) AS BIGINT) AS hamming
+                     FROM cand c
+                     JOIN sig s1 ON s1.doc_id = c.a_id
+                     JOIN sig s2 ON s2.doc_id = c.b_id),
+            tok AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM w),
+            truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+                      WHERE len(list_intersect(a.tok, b.tok)) > 0
+                        AND (1000 * CAST(len(list_intersect(a.tok, b.tok))
+                          AS BIGINT))
+                          // (len(a.tok) + len(b.tok)
+                             - len(list_intersect(a.tok, b.tok))) >= 500),
+            taus AS (SELECT CAST(unnest([4, 8, 12, 16]) AS BIGINT) AS tau),
+            rs AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_true,
+                     CAST(SUM(CASE WHEN pred.hamming <= tau THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tp
+                   FROM truth CROSS JOIN taus
+                   LEFT JOIN pred ON truth.a_id = pred.a_id
+                     AND truth.b_id = pred.b_id
+                   GROUP BY 1),
+            ps AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pred
+                   FROM pred CROSS JOIN taus
+                   WHERE hamming <= tau GROUP BY 1)
+            SELECT rs.tau, rs.n_true,
+              COALESCE(ps.n_pred, 0) AS n_pred, rs.tp,
+              CAST(CASE WHEN COALESCE(ps.n_pred, 0) > 0
+                THEN (1000 * rs.tp) // ps.n_pred END AS BIGINT)
+                AS precision_milli,
+              CAST((1000 * rs.tp) // rs.n_true AS BIGINT) AS recall_milli
+            FROM rs LEFT JOIN ps ON rs.tau = ps.tau ORDER BY rs.tau"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
       x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328,
-      x332, x333, x340)
+      x332, x333, x340, x348)
 }

@@ -4627,8 +4627,140 @@ object Events {
             CROSS JOIN (SELECT unnest([5, 10, 20]) AS eps_tenths)
             ORDER BY 1, eps_tenths"""))
 
+  // ------------------------------------------------------------------- x351
+  // Stream-join state advisor — the sizing table a Structured Streaming
+  // deployment reads BEFORE launching a stream-stream join or windowed
+  // dedup: for a 10-minute join window (equivalently, a 10-minute
+  // watermark's retained state), the per-type state footprint is the
+  // rolling count of events in the trailing 10 minutes. Computed exactly
+  // over the event history — per (type, minute) counts, a RANGE window
+  // summing the trailing 10 buckets, then max / nearest-rank-p95 /
+  // mean-milli over OBSERVED minutes (gap minutes hold no state worth
+  // provisioning for; the range frame still only credits buckets inside
+  // the window across gaps). The max row is the executor-memory bound;
+  // p95 is the autoscaling setpoint.
+  //
+  // Scale shape: the fact table collapses to the minute grid first
+  // (map-side combinable); every window after that is minute-domain. The
+  // RANGE frame is value-based, so sparse grids stay correct without
+  // densification.
+  private val x351 = GQuery(
+    "x351_stream_state_advisor", "ext-streaming join-state sizing advisor",
+    (s, dir) => {
+      val m = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("cast(unix_timestamp(ts) div 60 as bigint)").as("minute"))
+        .agg(count(lit(1)).as("c"))
+      val wRange = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+        .rangeBetween(-9, Window.currentRow)
+      val st = m.withColumn("state_rows", sum(col("c")).over(wRange))
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("state_rows"), col("minute"))
+      st.withColumn("rn", row_number().over(wRank).cast("long"))
+        .withColumn("nm",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("nm")).as("n_minutes"), sum(col("c")).as("n_events"),
+          max(col("state_rows")).as("max_state_rows"),
+          min(when(col("rn") * 20 >= col("nm") * 19, col("state_rows")))
+            .as("p95_state_rows"),
+          sum(col("state_rows").cast("decimal(38,0)")).as("sum_state"))
+        .select(col("event_type"), col("n_minutes"), col("n_events"),
+          col("max_state_rows"), col("p95_state_rows"),
+          expr("cast((1000 * sum_state) div n_minutes as bigint)")
+            .as("mean_state_milli"))
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (
+              SELECT event_type,
+                epoch_us(ts) // 60000000 AS minute,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type
+                  ORDER BY minute RANGE BETWEEN 9 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS state_rows
+              FROM m),
+            r AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY state_rows, minute) AS BIGINT) AS rn,
+                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nm
+              FROM st)
+            SELECT event_type, MAX(nm) AS n_minutes,
+              CAST(SUM(c) AS BIGINT) AS n_events,
+              MAX(state_rows) AS max_state_rows,
+              MIN(CASE WHEN rn * 20 >= nm * 19 THEN state_rows END)
+                AS p95_state_rows,
+              CAST((1000 * SUM(CAST(state_rows AS HUGEINT))) // MAX(nm)
+                AS BIGINT) AS mean_state_milli
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x353
+  // A/B-test power advisor (the 16·σ²/δ² rule-of-thumb form of the
+  // two-sample normal power calculation at α=0.05, power=0.8 — Lehr
+  // 1992) — the sample-size table an experimenter reads next to the
+  // x187 A/B readout: per event_type, the exact cent-variance of the
+  // metric (floored-mean form, the x346 discipline) and the required
+  // per-arm n at minimum-detectable-effect sizes of 1/2/5 % of the
+  // mean, each a ceiling division of exact integers. Degenerate cells
+  // (zero mean → zero delta) surface as NULL rather than a fabricated
+  // n.
+  //
+  // Scale shape: one per-type rollup of (n, Σy, Σy²) off the fact table
+  // (map-side combinable, DECIMAL(38,0) headroom), then a 3-row MDE
+  // explode of the type-domain result.
+  private val x353 = GQuery(
+    "x353_ab_power_advisor", "ext-events experiment power advisor",
+    (s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("cents").cast("decimal(38,0)")).as("sc"),
+          sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"))
+        .withColumn("m", expr("cast(sc div n_obs as decimal(38,0))"))
+        .withColumn("var_c2",
+          expr("cast((q - 2 * m * sc + n_obs * m * m) div n_obs as bigint)"))
+        .select(col("event_type"), col("n_obs"),
+          expr("cast(m as bigint)").as("mean_cents"), col("var_c2"),
+          explode(expr("array(10L, 20L, 50L)")).as("mde_milli"))
+        .withColumn("delta_cents",
+          expr("cast((cast(mean_cents as decimal(38,0)) * mde_milli) div 1000 as bigint)"))
+        .withColumn("n_per_arm", expr(
+          """cast(case when delta_cents > 0 then
+               (16 * cast(var_c2 as decimal(38,0))
+                + cast(delta_cents as decimal(38,0)) * delta_cents - 1)
+               div (cast(delta_cents as decimal(38,0)) * delta_cents)
+             end as bigint)"""))
+        .orderBy("event_type", "mde_milli")
+    },
+    Some("""WITH g AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                SUM(CAST(CAST(round(value * 100, 0) AS BIGINT) AS HUGEINT))
+                  AS sc,
+                SUM(CAST(CAST(round(value * 100, 0) AS BIGINT) AS HUGEINT)
+                  * CAST(round(value * 100, 0) AS BIGINT)) AS q
+              FROM events GROUP BY 1),
+            v AS (
+              SELECT event_type, n_obs, sc // n_obs AS m,
+                (q - 2 * (sc // n_obs) * sc
+                 + n_obs * (sc // n_obs) * (sc // n_obs)) // n_obs AS var_c2
+              FROM g)
+            SELECT event_type, n_obs, CAST(m AS BIGINT) AS mean_cents,
+              CAST(var_c2 AS BIGINT) AS var_c2,
+              CAST(mde_milli AS BIGINT) AS mde_milli,
+              CAST((m * mde_milli) // 1000 AS BIGINT) AS delta_cents,
+              CAST(CASE WHEN (m * mde_milli) // 1000 > 0 THEN
+                  (16 * var_c2 + ((m * mde_milli) // 1000)
+                     * ((m * mde_milli) // 1000) - 1)
+                  // (((m * mde_milli) // 1000) * ((m * mde_milli) // 1000))
+                END AS BIGINT) AS n_per_arm
+            FROM v CROSS JOIN (SELECT unnest([10, 20, 50]) AS mde_milli)
+            ORDER BY 1, mde_milli"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
-    x321, x322, x323, x331, x338, x342,
+    x321, x322, x323, x331, x338, x342, x351, x353,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -1092,8 +1092,78 @@ object Extended {
                FROM lineitem) AS exact_distinct
             FROM st"""))
 
+  // ------------------------------------------------------------------- x349
+  // KMV / theta distinct sketch, exact state (Bar-Yossef et al. 2002;
+  // the K-Minimum-Values form behind Theta sketches) — the second
+  // mergeable-cardinality family beside HLL (x337's register twin):
+  // per event_type (plus the merged '__all__' arm, demonstrating the
+  // union-mergeability that makes KMV the warehouse-rollup sketch), the
+  // k=64 smallest 60-bit md5 values of the distinct user set are a
+  // DETERMINISTIC state, so the 64th minimum, the (k−1)/θ estimate, and
+  // its exact error are all oracle-checkable integers — the sketch
+  // accuracy table read before standardizing on a k. Small populations
+  // (n < k) fall back to the exact count, the KMV rule.
+  //
+  // Scale shape: distinct-project → per-type rank window that the
+  // WindowGroupLimit path bounds at k rows per partition; the '__all__'
+  // arm is a second pass of the same distinct projection, not a
+  // corpus-sized shuffle join. 63·2⁶⁰ rides in DECIMAL(38,0).
+  private val x349 = GQuery(
+    "x349_kmv_distinct_sketch", "ext-sketch kmv-theta exact-state",
+    (s, dir) => {
+      val base = events(s, dir).select(col("event_type"), col("user_id"))
+      val both = base
+        .unionAll(base.select(lit("__all__").as("event_type"), col("user_id")))
+        .distinct()
+      val hv = both.select(col("event_type"),
+        expr("""CAST(conv(substring(md5(concat('k:', cast(user_id as string))),
+             1, 15), 16, 10) AS BIGINT)""").as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v"))
+      hv.withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact"),
+          max(when(col("rn") === 64L, col("v"))).as("v64"))
+        .select(col("event_type"), col("n_exact"),
+          lit(64L).as("sketch_k"),
+          expr("""cast(case when n_exact < 64 then n_exact
+               else (63 * cast(1152921504606846976 as decimal(38,0))) div v64
+               end as bigint)""").as("kmv_estimate"))
+        .withColumn("err_milli",
+          expr("cast((1000 * abs(kmv_estimate - n_exact)) div n_exact as bigint)"))
+        .orderBy("event_type")
+    },
+    Some("""WITH base AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              UNION
+              SELECT DISTINCT '__all__' AS event_type, user_id FROM events),
+            hv AS (
+              SELECT event_type,
+                CAST(CAST(CONCAT('0x', substr(md5('k:' ||
+                  CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+                  AS v
+              FROM base),
+            r AS (
+              SELECT event_type, v, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY event_type ORDER BY v) AS BIGINT) AS rn
+              FROM hv),
+            per AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                MAX(CASE WHEN rn = 64 THEN v END) AS v64
+              FROM r GROUP BY 1),
+            est AS (
+              SELECT event_type, n_exact, CAST(64 AS BIGINT) AS sketch_k,
+                CAST(CASE WHEN n_exact < 64 THEN n_exact
+                  ELSE (63 * CAST(1152921504606846976 AS HUGEINT)) // v64
+                  END AS BIGINT) AS kmv_estimate
+              FROM per)
+            SELECT event_type, n_exact, sketch_k, kmv_estimate,
+              CAST((1000 * ABS(kmv_estimate - n_exact)) // n_exact AS BIGINT)
+                AS err_milli
+            FROM est ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(
     c18, c19, c20, c21, c22, c23, c24, c25, c26, c27, c28, c29, c30, c31, c32,
     c33, c34, c35, c36, c37, x136, x196, x210, x234, x278, x281, x293, x298,
-    x337)
+    x337, x349)
 }
