@@ -2679,9 +2679,87 @@ object CorpusOps {
               CAST(MAX(MAX(t_milli)) OVER () AS BIGINT) AS max_t_milli
             FROM t GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x352
+  // Dataset card (the per-source rows of a "Datasheets for Datasets"
+  // release table, Gebru et al. 2021) — the one-glance composition,
+  // volume, duplication and language-concentration summary a corpus
+  // release ships with, per source plus the '__all__' rollup arm: doc /
+  // language counts, total chars and whitespace tokens, mean length,
+  // exact-duplicate rate (md5 text identity, the x01 tier), and the
+  // dominant language with its share (rank-1 by count, ties to the
+  // lexicographically first lang — deterministic both engines). Every
+  // cell an integer or a floor-division milli.
+  //
+  // Scale shape: one corpus scan feeding a source-domain rollup (the
+  // md5-distinct is the only wide aggregate, and it is the x01 dedup
+  // shuffle the release pipeline already paid for); the top-lang rank
+  // rides a (source, lang)-domain window, never the fact table.
+  private val x352 = GQuery(
+    "x352_dataset_card", "ext-docs release datasheet per source",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"), col("text"))
+      val both = base.unionAll(base.withColumn("source", lit("__all__")))
+      val per = both.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("lang"))
+      val top = both.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wr))
+        .where(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("c").as("top_lang_docs"))
+      per.join(top, "source")
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_chars"), col("total_tokens"),
+          expr("cast(total_chars div n_docs as bigint)").as("mean_chars"),
+          expr("cast((1000 * (n_docs - n_unique)) div n_docs as bigint)")
+            .as("dup_milli"),
+          col("top_lang"),
+          expr("cast((1000 * top_lang_docs) div n_docs as bigint)")
+            .as("top_lang_milli"))
+        .orderBy("source")
+    },
+    Some("""WITH base AS (
+              SELECT source, lang, n_chars, text FROM documents
+              UNION ALL
+              SELECT '__all__' AS source, lang, n_chars, text
+              FROM documents),
+            per AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                  AS total_tokens,
+                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+              FROM base GROUP BY 1),
+            lc AS (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+            top AS (
+              SELECT source, lang AS top_lang, c AS top_lang_docs
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY c DESC, lang) AS rk FROM lc)
+              WHERE rk = 1)
+            SELECT p.source, p.n_docs, p.n_langs, p.total_chars,
+              p.total_tokens,
+              CAST(p.total_chars // p.n_docs AS BIGINT) AS mean_chars,
+              CAST((1000 * (p.n_docs - p.n_unique)) // p.n_docs AS BIGINT)
+                AS dup_milli,
+              t.top_lang,
+              CAST((1000 * t.top_lang_docs) // p.n_docs AS BIGINT)
+                AS top_lang_milli
+            FROM per p JOIN top t ON p.source = t.source
+            ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
       x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
-      x257, x259, x263, x264, x265, x266, x267, x275, x341)
+      x257, x259, x263, x264, x265, x266, x267, x275, x341, x352)
 }

@@ -2555,10 +2555,133 @@ object Text {
                 - 15590 AS BIGINT) AS fk_grade_milli
             FROM g ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x350
+  // Bloom-filter sizing advisor — the table read before committing x39's
+  // decontamination bloom to an (m bits, k hashes) shape: for every
+  // config on the menu (m ∈ {2¹⁷, 2¹⁸, 2¹⁹} × k ∈ {2, 4}), build the
+  // filter over the bench set's 6-gram keys with the x334 md5-derived
+  // positions (deterministic, so the whole table is cross-engine exact),
+  // probe it with the corpus shingles that are NOT true bench members,
+  // and report measured false positives, fill ratio and bits/key — the
+  // empirical (m, k) trade-off measured instead of assumed, x340's
+  // advisor pattern applied to the Bloom tier. One md5 evaluation per
+  // (key, j); the m sweep is a modulus, not a re-hash.
+  //
+  // Scale shape: vocabulary-sized distincts (bench keys, probe keys);
+  // the config explode multiplies only those skinny tables (×12 rows
+  // max); bitsets stay (config, position) pairs — the 2¹⁹ ceiling keeps
+  // every bitset broadcast-sized by construction, and at production m
+  // the same plan holds because the bitset is bounded by m, not by the
+  // corpus.
+  private val x350 = GQuery(
+    "x350_bloom_size_advisor", "ext-text bloom sizing advisor",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 6)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, size(w) - 6),
+               i -> concat_ws(' ', slice(w, i + 1, 6))))""")).as("g"))
+      val benchG = sh.where(col("doc_id") < BenchBound)
+        .select("g").distinct().localCheckpoint(true)
+      val probeG = sh.where(col("doc_id") >= BenchBound)
+        .select("g").distinct()
+        .join(benchG.withColumn("in_bench", lit(1L)), Seq("g"), "left")
+        .where(col("in_bench").isNull)
+        .select("g")
+      def positions(keys: org.apache.spark.sql.DataFrame) = keys
+        .select(col("g"), explode(expr(
+          """transform(sequence(0, 3), j -> named_struct(
+               'j', CAST(j AS BIGINT),
+               'h', CAST(conv(substring(md5(concat(j, ':', g)), 17, 16),
+                 16, 10) AS DECIMAL(38, 0))))""")).as("x"))
+        .select(col("g"), col("x.j").as("j"), col("x.h").as("h"))
+        .select(col("g"), col("j"),
+          explode(expr("array(131072L, 262144L, 524288L)")).as("m"),
+          col("h"))
+        .withColumn("p", expr("CAST(h % m AS BIGINT)"))
+        .select(col("g"), col("m"), col("j"), col("p"),
+          explode(expr("array(2L, 4L)")).as("k"))
+        .where(col("j") < col("k"))
+      val benchPos = positions(benchG).localCheckpoint(true)
+      val bits = benchPos.select("m", "k", "p").distinct()
+        .withColumn("bit_set", lit(1L))
+      val keyStats = benchPos.groupBy(col("m"), col("k"))
+        .agg(countDistinct(col("g")).as("n_keys"),
+          countDistinct(col("p")).as("bits_used"))
+      val perConf = positions(probeG)
+        .join(broadcast(bits), Seq("m", "k", "p"), "left")
+        .groupBy(col("g"), col("m"), col("k"))
+        .agg((min(coalesce(col("bit_set"), lit(0L))) === 1L).as("fp"))
+        .groupBy(col("m"), col("k"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("fp"), 1L).otherwise(0L)).as("n_fp"))
+      keyStats.join(perConf, Seq("m", "k"))
+        .select(col("m").as("m_bits"), col("k").as("k_hashes"),
+          col("n_keys"), col("bits_used"),
+          expr("cast((1000 * bits_used) div m as bigint)").as("fill_milli"),
+          expr("cast(m div n_keys as bigint)").as("bits_per_key"),
+          col("n_probes"), col("n_fp"),
+          expr("cast((1000000 * n_fp) div n_probes as bigint)")
+            .as("fpp_micro"))
+        .orderBy("m_bits", "k_hashes")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(len(w) - 5),
+                     i -> array_to_string(w[i + 1 : i + 6], ' ')))) AS g
+                   FROM w WHERE len(w) >= 6),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+            probe AS (SELECT DISTINCT g FROM sh WHERE doc_id >= 50
+                      AND g NOT IN (SELECT g FROM bench)),
+            confs AS (SELECT m, k
+                      FROM (SELECT unnest([131072, 262144, 524288]) AS m)
+                      CROSS JOIN (SELECT unnest([2, 4]) AS k)),
+            bpos AS (SELECT b.g, c.m, c.k, j,
+                       CAST(CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR)
+                           || ':' || b.g), 17, 16)) AS UBIGINT)
+                         % c.m AS BIGINT) AS p
+                     FROM bench b CROSS JOIN confs c
+                     CROSS JOIN (SELECT unnest(range(4)) AS j)
+                     WHERE j < c.k),
+            bits AS (SELECT DISTINCT m, k, p FROM bpos),
+            kstats AS (SELECT m, k,
+                         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_keys,
+                         CAST(COUNT(DISTINCT p) AS BIGINT) AS bits_used
+                       FROM bpos GROUP BY 1, 2),
+            ppos AS (SELECT pr.g, c.m, c.k, j,
+                       CAST(CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR)
+                           || ':' || pr.g), 17, 16)) AS UBIGINT)
+                         % c.m AS BIGINT) AS p
+                     FROM probe pr CROSS JOIN confs c
+                     CROSS JOIN (SELECT unnest(range(4)) AS j)
+                     WHERE j < c.k),
+            hits AS (SELECT ppos.g, ppos.m, ppos.k,
+                       MIN(CASE WHEN bits.p IS NULL THEN 0 ELSE 1 END) = 1
+                         AS fp
+                     FROM ppos LEFT JOIN bits
+                       ON ppos.m = bits.m AND ppos.k = bits.k
+                          AND ppos.p = bits.p
+                     GROUP BY 1, 2, 3),
+            pc AS (SELECT m, k, CAST(COUNT(*) AS BIGINT) AS n_probes,
+                     CAST(SUM(CASE WHEN fp THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fp
+                   FROM hits GROUP BY 1, 2)
+            SELECT CAST(ks.m AS BIGINT) AS m_bits,
+              CAST(ks.k AS BIGINT) AS k_hashes,
+              ks.n_keys, ks.bits_used,
+              CAST((1000 * ks.bits_used) // ks.m AS BIGINT) AS fill_milli,
+              CAST(ks.m // ks.n_keys AS BIGINT) AS bits_per_key,
+              pc.n_probes, pc.n_fp,
+              CAST((1000000 * pc.n_fp) // pc.n_probes AS BIGINT) AS fpp_micro
+            FROM kstats ks JOIN pc ON ks.m = pc.m AND ks.k = pc.k
+            ORDER BY 1, 2"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
       x301, x302, x303, x306, x307, x315, x317, x320, x326, x329, x334, x336,
-      x339, x343, x347)
+      x339, x343, x347, x350)
 }
