@@ -1936,8 +1936,160 @@ object Dedup {
               CAST((1000 * rs.tp) // rs.n_true AS BIGINT) AS recall_milli
             FROM rs LEFT JOIN ps ON rs.tau = ps.tau ORDER BY rs.tau"""))
 
+  // ------------------------------------------------------------------ x356
+  // Clustering agreement between dedup tiers — Rand index and Adjusted
+  // Rand Index (Hubert & Arabie 1985) between the EXACT cluster tier
+  // (x236's transitive J ≥ 0.8 clusters) and the SimHash tier's keeper
+  // labeling (x333, shared fn — the x31 no-drift discipline): x348
+  // grades the tier pair-by-pair; this grades the PARTITIONS it induces,
+  // the number a curation review quotes when deciding whether the cheap
+  // tier can stand in for the lossless one. All pair-counting runs on
+  // group sizes, never pairs: with doubled-pair terms P• = Σ x(x−1),
+  // Σ_i a_i(a_i−1) = Σ_cells n_ij(a_i−1) — so ONE pass over the
+  // (ka, kb) contingency table with two partition windows yields every
+  // term, and RI / ARI are single floor divisions of DECIMAL(38,0)
+  // products (headroom to ~10⁹ docs; past that the census runs on the
+  // keeper-sampled corpus). The SimHash keeper labeling is one-step
+  // (doc → its bucket keeper), not transitively closed — exactly the
+  // production shape whose agreement with the closed tier is the
+  // question.
+  //
+  // Scale shape: two label tables (doc-domain), one join on doc_id, a
+  // contingency rollup (cluster-domain), windows over it, a 1-row fold.
+  private val x356 = GQuery(
+    "x356_clustering_agreement", "ext-dedup-fuzzy tier-agreement rand-ari",
+    (s, dir) => {
+      val a = storedClusters(s, dir)
+        .select(col("doc_id"), col("keeper").as("ka"))
+      val b = x333.fn(s, dir)
+        .select(col("doc_id"), col("keeper").as("kb"))
+      val ct = a.join(b, "doc_id")
+        .groupBy(col("ka"), col("kb")).agg(count(lit(1)).as("nij"))
+      val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("ka"))
+      val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("kb"))
+      ct.withColumn("ai", sum(col("nij")).over(wa))
+        .withColumn("bj", sum(col("nij")).over(wb))
+        .agg(sum(col("nij")).cast("decimal(38,0)").as("n"),
+          countDistinct(col("ka")).as("clusters_exact"),
+          countDistinct(col("kb")).as("clusters_simhash"),
+          sum(expr("cast(nij as decimal(38,0)) * (nij - 1)")).as("pij"),
+          sum(expr("cast(nij as decimal(38,0)) * (ai - 1)")).as("pa"),
+          sum(expr("cast(nij as decimal(38,0)) * (bj - 1)")).as("pb"))
+        .withColumn("pn", expr("n * (n - 1)"))
+        .select(expr("cast(n as bigint)").as("n_docs"),
+          col("clusters_exact"), col("clusters_simhash"),
+          expr("cast(pij div 2 as bigint)").as("pairs_both"),
+          expr("cast(pa div 2 as bigint)").as("pairs_exact"),
+          expr("cast(pb div 2 as bigint)").as("pairs_simhash"),
+          expr("cast((1000 * (pn + 2 * pij - pa - pb)) div pn as bigint)")
+            .as("rand_milli"),
+          expr("""cast(case when pn * (pa + pb) - 2 * pa * pb <> 0 then
+               (2000 * (pij * pn - pa * pb))
+                 div (pn * (pa + pb) - 2 * pa * pb) end as bigint)""")
+            .as("ari_milli"))
+    },
+    Some("""WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            shx AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM t),
+            xpairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / (len(a.tok) + len(b.tok)
+                   - len(list_intersect(a.tok, b.tok))) >= 0.8),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM xpairs
+              UNION SELECT b_id, a_id FROM xpairs),
+            reach(node, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node),
+            la AS (
+              SELECT d.doc_id,
+                COALESCE((SELECT MIN(lbl) FROM reach WHERE node = d.doc_id),
+                  d.doc_id) AS ka
+              FROM documents d),
+            tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                     SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+                       i -> w[i + 1] || ' ' || w[i + 2])) AS g
+                     FROM t WHERE len(w) >= 2) GROUP BY 1, 2),
+            hh AS (SELECT doc_id, c,
+                     CAST(CAST(CONCAT('0x', substr(md5('s:' || g), 17, 8))
+                       AS UBIGINT) AS BIGINT) AS hi,
+                     CAST(CAST(CONCAT('0x', substr(md5('s:' || g), 25, 8))
+                       AS UBIGINT) AS BIGINT) AS lo
+                   FROM tf),
+            bv AS (SELECT doc_id, b,
+                     SUM(CASE WHEN (((CASE WHEN b < 32 THEN (lo >> CAST(b AS INTEGER))
+                                     ELSE (hi >> CAST(b - 32 AS INTEGER)) END) & 1) = 1)
+                         THEN c ELSE -c END) AS s
+                   FROM hh CROSS JOIN (SELECT unnest(range(64)) AS b)
+                   GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                      COALESCE(list(b ORDER BY b) FILTER (WHERE s > 0),
+                        CAST([] AS BIGINT[])) AS bits
+                    FROM bv GROUP BY 1),
+            band AS (SELECT doc_id, unnest(list_transform(range(4),
+                       c -> CAST(c AS VARCHAR) || ':' || array_to_string(
+                         list_filter(bits, b -> b // 16 = c), ','))) AS ckey
+                     FROM sig),
+            bmin AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY ckey) AS bucket_min
+                     FROM band),
+            scand AS (SELECT doc_id, MIN(bucket_min) AS cand FROM bmin
+                      GROUP BY doc_id HAVING MIN(bucket_min) < doc_id),
+            ver AS (SELECT c.doc_id, c.cand,
+                      CAST(2 * len(list_distinct(s1.bits || s2.bits))
+                        - len(s1.bits) - len(s2.bits) AS BIGINT) AS hamming
+                    FROM scand c
+                    JOIN sig s1 ON s1.doc_id = c.doc_id
+                    JOIN sig s2 ON s2.doc_id = c.cand),
+            lb AS (
+              SELECT d.doc_id, COALESCE(v.cand, d.doc_id) AS kb
+              FROM documents d
+              LEFT JOIN (SELECT * FROM ver WHERE hamming <= 8) v
+                USING (doc_id)),
+            ct AS (
+              SELECT la.ka, lb.kb, CAST(COUNT(*) AS BIGINT) AS nij
+              FROM la JOIN lb USING (doc_id) GROUP BY 1, 2),
+            en AS (
+              SELECT *, SUM(nij) OVER (PARTITION BY ka) AS ai,
+                SUM(nij) OVER (PARTITION BY kb) AS bj
+              FROM ct),
+            agg AS (
+              SELECT CAST(SUM(nij) AS HUGEINT) AS n,
+                CAST(COUNT(DISTINCT ka) AS BIGINT) AS clusters_exact,
+                CAST(COUNT(DISTINCT kb) AS BIGINT) AS clusters_simhash,
+                CAST(SUM(CAST(nij AS HUGEINT) * (nij - 1)) AS HUGEINT)
+                  AS pij,
+                CAST(SUM(CAST(nij AS HUGEINT) * (ai - 1)) AS HUGEINT)
+                  AS pa,
+                CAST(SUM(CAST(nij AS HUGEINT) * (bj - 1)) AS HUGEINT)
+                  AS pb
+              FROM en),
+            fin AS (SELECT *, n * (n - 1) AS pn FROM agg)
+            SELECT CAST(n AS BIGINT) AS n_docs, clusters_exact,
+              clusters_simhash,
+              CAST(pij // 2 AS BIGINT) AS pairs_both,
+              CAST(pa // 2 AS BIGINT) AS pairs_exact,
+              CAST(pb // 2 AS BIGINT) AS pairs_simhash,
+              CAST((1000 * (pn + 2 * pij - pa - pb)) // pn AS BIGINT)
+                AS rand_milli,
+              CAST(CASE WHEN pn * (pa + pb) - 2 * pa * pb <> 0 THEN
+                  -- trunc-toward-zero to match Spark's `div` on a
+                  -- possibly-negative numerator (DuckDB // floors)
+                  CASE WHEN pij * pn - pa * pb >= 0 THEN
+                    (2000 * (pij * pn - pa * pb))
+                      // (pn * (pa + pb) - 2 * pa * pb)
+                  ELSE -((2000 * (pa * pb - pij * pn))
+                      // (pn * (pa + pb) - 2 * pa * pb)) END
+                END AS BIGINT) AS ari_milli
+            FROM fin"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
       x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328,
-      x332, x333, x340, x348)
+      x332, x333, x340, x348, x356)
 }

@@ -1488,7 +1488,110 @@ object Lakehouse {
                    ELSE 0 END AS BIGINT) AS efficiency_milli
             FROM agg ORDER BY layout"""))
 
+  // ------------------------------------------------------------------- x354
+  // Foreign-key / inclusion-dependency discovery (the cross-table
+  // counterpart of x210's in-table FD discovery; Bauckmann et al.'s
+  // SPIDER problem) — the catalog inference a lakehouse runs over
+  // ungoverned parquet before it can plan joins or enforce referential
+  // checks (x293 AUDITS a declared FK; this DISCOVERS candidates): for
+  // each candidate (child column → parent column) pair over the star's
+  // key-shaped columns plus a deliberate negative control
+  // (suppkey→custkey), the exact distinct-containment |C ⊆ P| in
+  // millis, both directions, and the verdict band (fk: containment
+  // 1000‰ child→parent; partial: ≥990; none). Distinct-project each
+  // column ONCE, then every test is a skinny anti-join census.
+  //
+  // Scale shape: per-column distinct projections (key-domain sized),
+  // one left-anti-style aggregate per candidate pair — never a
+  // fact×fact join; candidates are schema-enumerated (5 pairs), not
+  // column-squared.
+  private val x354 = GQuery(
+    "x354_fk_discovery", "ext-catalog inclusion-dependency discovery",
+    (s, dir) => {
+      def keys(t: String, c: String) =
+        Tables(s, dir, t).select(col(c).cast("long").as("k")).distinct()
+      val cands = Seq(
+        ("lineitem.l_orderkey", "orders.o_orderkey",
+          keys("lineitem", "l_orderkey"), keys("orders", "o_orderkey")),
+        ("orders.o_custkey", "customer.c_custkey",
+          keys("orders", "o_custkey"), keys("customer", "c_custkey")),
+        ("lineitem.l_partkey", "part.p_partkey",
+          keys("lineitem", "l_partkey"), keys("part", "p_partkey")),
+        ("lineitem.l_suppkey", "supplier.s_suppkey",
+          keys("lineitem", "l_suppkey"), keys("supplier", "s_suppkey")),
+        ("lineitem.l_suppkey", "customer.c_custkey",
+          keys("lineitem", "l_suppkey"), keys("customer", "c_custkey")))
+      cands.map { case (cn, pn, c, p) =>
+        c.join(p.withColumn("hit", lit(1L)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"), sum(coalesce(col("hit"), lit(0L)))
+            .as("n_contained"))
+          .select(lit(cn).as("child"), lit(pn).as("parent"),
+            col("n_child"), col("n_contained"))
+      }.reduce(_ unionAll _)
+        .withColumn("containment_milli",
+          expr("cast((1000 * n_contained) div n_child as bigint)"))
+        .withColumn("verdict",
+          when(col("containment_milli") === 1000, "fk")
+            .when(col("containment_milli") >= 990, "partial")
+            .otherwise("none"))
+        .orderBy("child", "parent")
+    },
+    Some("""WITH c1 AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k
+              FROM lineitem),
+            p1 AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+              FROM orders),
+            c2 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k
+              FROM orders),
+            p2 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k
+              FROM customer),
+            c3 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS k
+              FROM lineitem),
+            p3 AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS k
+              FROM part),
+            c4 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS k
+              FROM lineitem),
+            p4 AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k
+              FROM supplier),
+            pairs AS (
+              SELECT 'lineitem.l_orderkey' AS child,
+                'orders.o_orderkey' AS parent,
+                CAST(COUNT(*) AS BIGINT) AS n_child,
+                CAST(SUM(CASE WHEN p1.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_contained
+              FROM c1 LEFT JOIN p1 ON c1.k = p1.k
+              UNION ALL
+              SELECT 'orders.o_custkey', 'customer.c_custkey',
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN p2.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT)
+              FROM c2 LEFT JOIN p2 ON c2.k = p2.k
+              UNION ALL
+              SELECT 'lineitem.l_partkey', 'part.p_partkey',
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN p3.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT)
+              FROM c3 LEFT JOIN p3 ON c3.k = p3.k
+              UNION ALL
+              SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN p4.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT)
+              FROM c4 LEFT JOIN p4 ON c4.k = p4.k
+              UNION ALL
+              SELECT 'lineitem.l_suppkey', 'customer.c_custkey',
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN p2.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT)
+              FROM c4 LEFT JOIN p2 ON c4.k = p2.k)
+            SELECT child, parent, n_child, n_contained,
+              CAST((1000 * n_contained) // n_child AS BIGINT)
+                AS containment_milli,
+              CASE WHEN (1000 * n_contained) // n_child = 1000 THEN 'fk'
+                WHEN (1000 * n_contained) // n_child >= 990 THEN 'partial'
+                ELSE 'none' END AS verdict
+            FROM pairs ORDER BY 1, 2"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190, x199, x205, x229, x273, x274, x282, x292, x335)
+      x185, x190, x199, x205, x229, x273, x274, x282, x292, x335, x354)
 }

@@ -1678,8 +1678,66 @@ object TpchMore {
               CAST((1000 * ssb) // (ssb + ssw) AS BIGINT) AS eta2_milli
             FROM fm"""))
 
+  // ------------------------------------------------------------------- x355
+  // Hot-key coverage curve — the working-set table behind every
+  // cache / broadcast / hot-tier decision: if we pin the top-K part
+  // keys (K ∈ {10, 100, 1000}), what share of lineitem traffic do they
+  // absorb? Exact: per-key counts, rank by (count desc, key), coverage
+  // as floor-division millis. The complement of x319's skew AUDIT —
+  // skew as an asset to exploit (cache the head) rather than a hazard
+  // to salt away. Reads directly as "a 1000-key broadcast side covers
+  // N‰ of probe traffic".
+  //
+  // Scale shape: one fact rollup to the key domain, then key-domain
+  // windows and a 3-row cutoff explode of the RANKED key table (the
+  // unpartitioned rank is over the key domain, never the fact table).
+  private val x355 = GQuery(
+    "x355_hot_key_coverage", "ext-layout hot-key working-set curve",
+    (s, dir) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("l_partkey"))
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("total_rows", sum(col("cnt")).over(wAll))
+        .withColumn("total_keys", count(lit(1)).over(wAll))
+        .select(explode(expr("array(10L, 100L, 1000L)")).as("top_k"),
+          col("cnt"), col("rk"), col("total_rows"), col("total_keys"))
+        .where(col("rk") <= col("top_k"))
+        .groupBy(col("top_k"))
+        .agg(count(lit(1)).as("keys_used"),
+          max(col("total_keys")).as("total_keys"),
+          sum(col("cnt")).as("rows_covered"),
+          max(col("total_rows")).as("total_rows"))
+        .withColumn("coverage_milli",
+          expr("cast((1000 * rows_covered) div total_rows as bigint)"))
+        .orderBy("top_k")
+    },
+    Some("""WITH c AS (
+              SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY 1),
+            r AS (
+              SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                  l_partkey) AS BIGINT) AS rk,
+                CAST(SUM(cnt) OVER () AS BIGINT) AS total_rows,
+                CAST(COUNT(*) OVER () AS BIGINT) AS total_keys
+              FROM c)
+            SELECT CAST(top_k AS BIGINT) AS top_k,
+              CAST(COUNT(*) AS BIGINT) AS keys_used,
+              MAX(total_keys) AS total_keys,
+              CAST(SUM(cnt) AS BIGINT) AS rows_covered,
+              MAX(total_rows) AS total_rows,
+              CAST((1000 * SUM(cnt)) // MAX(total_rows) AS BIGINT)
+                AS coverage_milli
+            FROM r CROSS JOIN (SELECT unnest([10, 100, 1000]) AS top_k)
+            WHERE rk <= top_k GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
       x220, x221, x231, x239, x240, x244, x245, x246, x248, x260, x261,
-      x300, x319, x325, x344, x346)
+      x300, x319, x325, x344, x346, x355)
 }
