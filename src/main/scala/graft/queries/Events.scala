@@ -4759,8 +4759,59 @@ object Events {
             FROM v CROSS JOIN (SELECT unnest([10, 20, 50]) AS mde_milli)
             ORDER BY 1, mde_milli"""))
 
+  // ------------------------------------------------------------------- x357
+  // Sample-ratio-mismatch guard (the SRM check of Fabijan et al. 2019 —
+  // the first thing a trustworthy-experimentation platform tests, since
+  // a biased assignment invalidates every downstream readout): users are
+  // assigned to A/B by md5 parity (deterministic, cross-engine — the
+  // x42 hash-sample discipline), and per event_type the χ² statistic
+  // against the designed 50/50 split is exact integer arithmetic —
+  // χ² = (n_A − n_B)²/(n_A + n_B) in micro units, flagged at the
+  // df=1 α=0.05 critical value 3.841459. The experiment-health guard
+  // completing the x187 (readout) / x353 (power) family.
+  //
+  // Scale shape: one (type, user) distinct-project, one type-domain
+  // rollup; the χ² is a single floor division per type.
+  private val x357 = GQuery(
+    "x357_srm_guard", "ext-events experiment srm chi-square guard",
+    (s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_micro", expr(
+          """cast((1000000 * (n_a - n_b) * (n_a - n_b))
+               div (n_a + n_b) as bigint)"""))
+        .withColumn("srm_flag", col("chi2_micro") >= 3841459L)
+        .orderBy("event_type")
+    },
+    Some("""WITH u AS (
+              SELECT DISTINCT event_type, user_id FROM events),
+            a AS (
+              SELECT event_type,
+                CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 2 AS arm
+              FROM u),
+            g AS (
+              SELECT event_type,
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_b
+              FROM a GROUP BY 1)
+            SELECT event_type, n_a, n_b,
+              CAST((1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                AS BIGINT) AS chi2_micro,
+              (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                >= 3841459 AS srm_flag
+            FROM g ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
-    x321, x322, x323, x331, x338, x342, x351, x353,
+    x321, x322, x323, x331, x338, x342, x351, x353, x357,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -1736,8 +1736,120 @@ object TpchMore {
             FROM r CROSS JOIN (SELECT unnest([10, 100, 1000]) AS top_k)
             WHERE rk <= top_k GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x358
+  // Simpson-reversal scan — x289 AUDITS one known aggregation reversal;
+  // this SCANS the candidate-confounder menu the way an analyst actually
+  // hunts one: fix the comparison (urgent-priority vs standard orders,
+  // measured by mean order value), then for each candidate stratifier
+  // (order status, order year, customer-key residue class), count the
+  // strata whose within-stratum direction CONTRADICTS the aggregate
+  // direction. The sign test is exact without any division:
+  // sign(mean₁ − mean₂) == sign(S₁·n₂ − S₂·n₁) — cross-multiplied
+  // DECIMAL(38,0) products, never a floored mean. A confounder whose
+  // strata majority-contradict the aggregate is the Simpson flag.
+  //
+  // Scale shape: one fact scan exploded 3× by candidate (candidate
+  // count is schema-bounded), one (candidate, stratum, arm) rollup,
+  // stratum-domain sign arithmetic, 3-row output.
+  private val x358 = GQuery(
+    "x358_simpson_scan", "ext-stats simpson-reversal confounder scan",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(
+          when(col("o_orderpriority") < "3", 1L).otherwise(0L).as("arm"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderstatus"), col("o_orderdate"), col("o_custkey"))
+        .select(col("arm"), col("cents"), explode(expr(
+          """array(
+               named_struct('cand', 'status', 'stratum', o_orderstatus),
+               named_struct('cand', 'year', 'stratum',
+                 cast(year(o_orderdate) as string)),
+               named_struct('cand', 'cust_mod4', 'stratum',
+                 cast(o_custkey % 4 as string)))""")).as("x"))
+        .select(col("arm"), col("cents"), col("x.cand").as("cand"),
+          col("x.stratum").as("stratum"))
+      val cell = o.groupBy(col("cand"), col("stratum"), col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("decimal(38,0)")).as("sc"))
+      val strata = cell.groupBy(col("cand"), col("stratum"))
+        .agg(sum(when(col("arm") === 1L, col("sc"))).as("s1"),
+          sum(when(col("arm") === 1L, col("n"))).as("n1"),
+          sum(when(col("arm") === 0L, col("sc"))).as("s0"),
+          sum(when(col("arm") === 0L, col("n"))).as("n0"))
+        .where(col("n1").isNotNull && col("n0").isNotNull)
+        .withColumn("sgn", expr(
+          """case when s1 * n0 > s0 * n1 then 1
+               when s1 * n0 < s0 * n1 then -1 else 0 end"""))
+      val wC = org.apache.spark.sql.expressions.Window.partitionBy(col("cand"))
+      strata
+        .withColumn("agg_sgn", expr(
+          """case when sum(s1) over (partition by cand)
+                   * sum(n0) over (partition by cand)
+                 > sum(s0) over (partition by cand)
+                   * sum(n1) over (partition by cand) then 1
+               when sum(s1) over (partition by cand)
+                   * sum(n0) over (partition by cand)
+                 < sum(s0) over (partition by cand)
+                   * sum(n1) over (partition by cand) then -1
+               else 0 end"""))
+        .groupBy(col("cand"))
+        .agg(count(lit(1)).as("n_strata"),
+          max(col("agg_sgn")).cast("long").as("agg_sign"),
+          sum(when(col("sgn") =!= col("agg_sgn"), 1L).otherwise(0L))
+            .as("n_contradicting"))
+        .withColumn("simpson_flag",
+          col("n_contradicting") * 2L > col("n_strata"))
+        .orderBy("cand")
+    },
+    Some("""WITH o AS (
+              SELECT CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END
+                  AS arm,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                o_orderstatus, o_orderdate, o_custkey
+              FROM orders),
+            e AS (
+              SELECT arm, cents, 'status' AS cand,
+                o_orderstatus AS stratum FROM o
+              UNION ALL
+              SELECT arm, cents, 'year',
+                CAST(year(o_orderdate) AS VARCHAR) FROM o
+              UNION ALL
+              SELECT arm, cents, 'cust_mod4',
+                CAST(o_custkey % 4 AS VARCHAR) FROM o),
+            cell AS (
+              SELECT cand, stratum, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(cents AS HUGEINT)) AS sc
+              FROM e GROUP BY 1, 2, 3),
+            st AS (
+              SELECT cand, stratum,
+                SUM(CASE WHEN arm = 1 THEN sc END) AS s1,
+                SUM(CASE WHEN arm = 1 THEN n END) AS n1,
+                SUM(CASE WHEN arm = 0 THEN sc END) AS s0,
+                SUM(CASE WHEN arm = 0 THEN n END) AS n0
+              FROM cell GROUP BY 1, 2),
+            sg AS (
+              SELECT *, CASE WHEN s1 * n0 > s0 * n1 THEN 1
+                  WHEN s1 * n0 < s0 * n1 THEN -1 ELSE 0 END AS sgn,
+                CASE WHEN SUM(s1) OVER (PARTITION BY cand)
+                      * SUM(n0) OVER (PARTITION BY cand)
+                    > SUM(s0) OVER (PARTITION BY cand)
+                      * SUM(n1) OVER (PARTITION BY cand) THEN 1
+                  WHEN SUM(s1) OVER (PARTITION BY cand)
+                      * SUM(n0) OVER (PARTITION BY cand)
+                    < SUM(s0) OVER (PARTITION BY cand)
+                      * SUM(n1) OVER (PARTITION BY cand) THEN -1
+                  ELSE 0 END AS agg_sgn
+              FROM st WHERE n1 IS NOT NULL AND n0 IS NOT NULL)
+            SELECT cand, CAST(COUNT(*) AS BIGINT) AS n_strata,
+              CAST(MAX(agg_sgn) AS BIGINT) AS agg_sign,
+              CAST(SUM(CASE WHEN sgn <> agg_sgn THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contradicting,
+              CAST(SUM(CASE WHEN sgn <> agg_sgn THEN 1 ELSE 0 END)
+                AS BIGINT) * 2 > CAST(COUNT(*) AS BIGINT) AS simpson_flag
+            FROM sg GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(q4, q7, q8, q9, q11, q12, q13, q14, q15, q17, q19, q20, x209, x212,
       x220, x221, x231, x239, x240, x244, x245, x246, x248, x260, x261,
-      x300, x319, x325, x344, x346, x355)
+      x300, x319, x325, x344, x346, x355, x358)
 }
