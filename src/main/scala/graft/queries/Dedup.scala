@@ -1498,34 +1498,61 @@ object Dedup {
   // exchange carries 64 longs per doc); buckets and verify shuffle only
   // (chunk_key, doc_id) and bit-position lists. Production operator
   // stays x04 (native SimHash64, one pass per doc).
+  /** md5-keyed SimHash positive-vote bit positions per doc — the
+    * cross-engine-exact signature shared by the x333 tier and its x348
+    * precision/recall advisor (the x31 no-drift discipline: one
+    * definition, two consumers; a vote-rule or hash-prefix change can
+    * never desynchronize the advisor from the tier it advises).
+    * Returns (doc_id, bits) localCheckpoint'ed — every consumer reads
+    * it at least twice (blocking + verify sides).
+    */
+  private def simhashBits(d: DataFrame): DataFrame = {
+    val tf = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val votes = (0 until 64).map { b =>
+      val bit = if (b < 32) s"shiftright(lo, $b)" else s"shiftright(hi, ${b - 32})"
+      sum(expr(s"(($bit & 1) * 2 - 1) * c")).as(s"v$b")
+    }
+    tf
+      .withColumn("h", md5(concat(lit("s:"), col("g"))))
+      .select(col("doc_id"), col("c"),
+        expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("hi"),
+        expr("CAST(conv(substring(h, 25, 8), 16, 10) AS BIGINT)").as("lo"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 64).map(b => col(s"v$b")): _*).as("vs"))
+      .select(col("doc_id"), expr(
+        """filter(transform(sequence(0, 63), b -> CASE WHEN vs[b] > 0 THEN b END),
+             x -> x IS NOT NULL)""").as("bits"))
+      .localCheckpoint(true)
+  }
+
+  /** The registry's standard lossless truth tier at τ = 1/2: every doc
+    * pair with exact 3-gram-shingle Jaccard ≥ 500‰ (integer millis),
+    * via the audited prefix-filter join. Shared by the x340 (MinHash
+    * slicing) and x348 (SimHash threshold) advisors — the recall
+    * denominator both tuning tables are charged against must be ONE
+    * definition. Returns (a_id, b_id, j_milli).
+    */
+  private def truthPairsAtHalf(sets: DataFrame): DataFrame =
+    prefixCandidates(sets, 1, 2)
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("j_milli", expr("(1000 * inter) div (n_a + n_b - inter)"))
+      .where(col("j_milli") >= 500)
+      .select(col("a_id"), col("b_id"), col("j_milli"))
+
   private val x333 = GQuery(
     "x333_simhash_exact", "ext-dedup-fuzzy oracled-twin",
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ckey"))
-      val tf = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"))
-          .as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val votes = (0 until 64).map { b =>
-        val bit = if (b < 32) s"shiftright(lo, $b)" else s"shiftright(hi, ${b - 32})"
-        sum(expr(s"(($bit & 1) * 2 - 1) * c")).as(s"v$b")
-      }
-      val sig = tf
-        .withColumn("h", md5(concat(lit("s:"), col("g"))))
-        .select(col("doc_id"), col("c"),
-          expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("hi"),
-          expr("CAST(conv(substring(h, 25, 8), 16, 10) AS BIGINT)").as("lo"))
-        .groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 64).map(b => col(s"v$b")): _*).as("vs"))
-        .select(col("doc_id"), expr(
-          """filter(transform(sequence(0, 63), b -> CASE WHEN vs[b] > 0 THEN b END),
-               x -> x IS NOT NULL)""").as("bits"))
-        .localCheckpoint(true) // reused: chunk blocking + both verify sides
+      val sig = simhashBits(docs(s, dir))
       val cand = sig
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, 3),
@@ -1672,12 +1699,7 @@ object Dedup {
         .select(col("rr"), col("a_id"), col("b_id"), lit(1L).as("caught"),
           col("pass"))
       val sets = shingleSets(corpus).localCheckpoint(true)
-      val truth = prefixCandidates(sets, 1, 2)
-        .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("j_milli",
-          expr("(1000 * inter) div (n_a + n_b - inter)"))
-        .where(col("j_milli") >= 500)
+      val truth = truthPairsAtHalf(sets) // shared with x348 — one truth
         .select(col("a_id"), col("b_id"),
           least(expr("(j_milli div 100) * 100"), lit(900L)).as("j_band"))
       truth
@@ -1798,30 +1820,7 @@ object Dedup {
     "x348_simhash_pr_eval", "ext-dedup-fuzzy simhash threshold eval",
     (s, dir) => {
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
-      val tf = corpus
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))"))
-          .as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val votes = (0 until 64).map { b =>
-        val bit = if (b < 32) s"shiftright(lo, $b)" else s"shiftright(hi, ${b - 32})"
-        sum(expr(s"(($bit & 1) * 2 - 1) * c")).as(s"v$b")
-      }
-      val sig = tf
-        .withColumn("h", md5(concat(lit("s:"), col("g"))))
-        .select(col("doc_id"), col("c"),
-          expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("hi"),
-          expr("CAST(conv(substring(h, 25, 8), 16, 10) AS BIGINT)").as("lo"))
-        .groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 64).map(b => col(s"v$b")): _*).as("vs"))
-        .select(col("doc_id"), expr(
-          """filter(transform(sequence(0, 63), b -> CASE WHEN vs[b] > 0 THEN b END),
-               x -> x IS NOT NULL)""").as("bits"))
-        .localCheckpoint(true) // blocking + both hamming sides
+      val sig = simhashBits(corpus) // shared with x333 — no drift
       val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("ckey"))
       val chunks = sig
         .select(col("doc_id"), explode(expr(
@@ -1842,11 +1841,7 @@ object Dedup {
             .as("hamming"))
         .localCheckpoint(true) // tau sweep reads it per side
       val sets = shingleSets(corpus).localCheckpoint(true)
-      val truth = prefixCandidates(sets, 1, 2)
-        .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("j_milli", expr("(1000 * inter) div (n_a + n_b - inter)"))
-        .where(col("j_milli") >= 500)
+      val truth = truthPairsAtHalf(sets) // shared with x340 — one truth
         .select(col("a_id"), col("b_id"))
       val taus = explode(expr("array(4L, 8L, 12L, 16L)")).as("tau")
       val recallSide = truth
@@ -1948,14 +1943,21 @@ object Dedup {
   // Σ_i a_i(a_i−1) = Σ_cells n_ij(a_i−1) — so ONE pass over the
   // (ka, kb) contingency table with two partition windows yields every
   // term, and RI / ARI are single floor divisions of DECIMAL(38,0)
-  // products (headroom to ~10⁹ docs; past that the census runs on the
-  // keeper-sampled corpus). The SimHash keeper labeling is one-step
+  // products. Headroom: the binding ARI term 2000·(P_ij·P_N − P_a·P_b)
+  // is worst-case ~2000·n⁴ (one giant cluster), crossing the 10³⁸
+  // DECIMAL ceiling at n ≈ 1.5·10⁸ docs — past that the census runs on
+  // the keeper-sampled corpus. The SimHash keeper labeling is one-step
   // (doc → its bucket keeper), not transitively closed — exactly the
   // production shape whose agreement with the closed tier is the
   // question.
   //
   // Scale shape: two label tables (doc-domain), one join on doc_id, a
   // contingency rollup (cluster-domain), windows over it, a 1-row fold.
+  // The SimHash side re-runs x333's live pipeline (~1.5 s at sf0.1) —
+  // the deliberate trade: the exact side reads the storedClusters
+  // artifact because its build is iterative; the SimHash build is one
+  // pass, and storing it would put a second lifecycle between the
+  // oracled tier and its consumers for a ~1.5 s/pass saving.
   private val x356 = GQuery(
     "x356_clustering_agreement", "ext-dedup-fuzzy tier-agreement rand-ari",
     (s, dir) => {

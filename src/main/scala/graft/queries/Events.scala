@@ -4766,8 +4766,9 @@ object Events {
   // assigned to A/B by md5 parity (deterministic, cross-engine — the
   // x42 hash-sample discipline), and per event_type the χ² statistic
   // against the designed 50/50 split is exact integer arithmetic —
-  // χ² = (n_A − n_B)²/(n_A + n_B) in micro units, flagged at the
-  // df=1 α=0.05 critical value 3.841459. The experiment-health guard
+  // χ² = (n_A − n_B)²/(n_A + n_B) in micro units (the squared term in
+  // DECIMAL(38,0)/HUGEINT — at 10⁹-user arms a BIGINT square wraps),
+  // flagged at the df=1 α=0.05 critical value 3.841459. The experiment-health guard
   // completing the x187 (readout) / x353 (power) family.
   //
   // Scale shape: one (type, user) distinct-project, one type-domain
@@ -4783,7 +4784,8 @@ object Events {
         .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
         .withColumn("chi2_micro", expr(
-          """cast((1000000 * (n_a - n_b) * (n_a - n_b))
+          """cast((1000000 * cast(n_a - n_b as decimal(38,0))
+                 * (n_a - n_b))
                div (n_a + n_b) as bigint)"""))
         .withColumn("srm_flag", col("chi2_micro") >= 3841459L)
         .orderBy("event_type")
@@ -4804,10 +4806,10 @@ object Events {
                   AS n_b
               FROM a GROUP BY 1)
             SELECT event_type, n_a, n_b,
-              CAST((1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
-                AS BIGINT) AS chi2_micro,
-              (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
-                >= 3841459 AS srm_flag
+              CAST((1000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b))
+                // (n_a + n_b) AS BIGINT) AS chi2_micro,
+              (1000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b))
+                // (n_a + n_b) >= 3841459 AS srm_flag
             FROM g ORDER BY 1"""))
 
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,

@@ -1104,8 +1104,12 @@ object Extended {
   // accuracy table read before standardizing on a k. Small populations
   // (n < k) fall back to the exact count, the KMV rule.
   //
-  // Scale shape: distinct-project → per-type rank window that the
-  // WindowGroupLimit path bounds at k rows per partition; the '__all__'
+  // Scale shape: distinct-project → per-type rank window. The window
+  // ranks the full distinct (type, user) set — n_exact needs the full
+  // count anyway, so no rank-limit filter exists for WindowGroupLimit
+  // to exploit (adding `rn <= 64` would silently cap n_exact and break
+  // the n < k fallback); a streaming deployment maintains the k minima
+  // incrementally instead (SketchMaintainStream pattern). The '__all__'
   // arm is a second pass of the same distinct projection, not a
   // corpus-sized shuffle join. 63·2⁶⁰ rides in DECIMAL(38,0).
   private val x349 = GQuery(

@@ -1496,10 +1496,17 @@ object Lakehouse {
   // checks (x293 AUDITS a declared FK; this DISCOVERS candidates): for
   // each candidate (child column → parent column) pair over the star's
   // key-shaped columns plus a deliberate negative control
-  // (suppkey→custkey), the exact distinct-containment |C ⊆ P| in
-  // millis, both directions, and the verdict band (fk: containment
-  // 1000‰ child→parent; partial: ≥990; none). Distinct-project each
-  // column ONCE, then every test is a skinny anti-join census.
+  // (suppkey→custkey), BOTH directions of the exact distinct census —
+  // containment |C∩P|/|C| (does every child key resolve?) and coverage
+  // |C∩P|/|P| (does the child actually exercise the parent domain?).
+  // Containment alone cannot reject the control: TPC-H key ranges make
+  // suppkey a strict numeric subset of custkey, a true-but-spurious
+  // inclusion dependency. Coverage discriminates it — a real FK's
+  // child references a substantial share of its parent (orders cover
+  // ~⅔ of customers; lineitem covers ~all parts/suppliers), while the
+  // control covers a sliver. Verdict bands: fk (containment 1000‰,
+  // coverage ≥ 500‰), inclusion (containment 1000‰, low coverage — a
+  // numeric IND not worth a constraint), partial (≥ 990‰), none.
   //
   // Scale shape: per-column distinct projections (key-domain sized),
   // one left-anti-style aggregate per candidate pair — never a
@@ -1522,16 +1529,23 @@ object Lakehouse {
         ("lineitem.l_suppkey", "customer.c_custkey",
           keys("lineitem", "l_suppkey"), keys("customer", "c_custkey")))
       cands.map { case (cn, pn, c, p) =>
-        c.join(p.withColumn("hit", lit(1L)), Seq("k"), "left")
-          .agg(count(lit(1)).as("n_child"), sum(coalesce(col("hit"), lit(0L)))
-            .as("n_contained"))
+        c.withColumn("in_c", lit(1L))
+          .join(p.withColumn("in_p", lit(1L)), Seq("k"), "full_outer")
+          .agg(sum(coalesce(col("in_c"), lit(0L))).as("n_child"),
+            sum(coalesce(col("in_p"), lit(0L))).as("n_parent"),
+            sum(when(col("in_c").isNotNull && col("in_p").isNotNull, 1L)
+              .otherwise(0L)).as("n_contained"))
           .select(lit(cn).as("child"), lit(pn).as("parent"),
-            col("n_child"), col("n_contained"))
+            col("n_child"), col("n_parent"), col("n_contained"))
       }.reduce(_ unionAll _)
         .withColumn("containment_milli",
           expr("cast((1000 * n_contained) div n_child as bigint)"))
+        .withColumn("coverage_milli",
+          expr("cast((1000 * n_contained) div n_parent as bigint)"))
         .withColumn("verdict",
-          when(col("containment_milli") === 1000, "fk")
+          when(col("containment_milli") === 1000 &&
+            col("coverage_milli") >= 500, "fk")
+            .when(col("containment_milli") === 1000, "inclusion")
             .when(col("containment_milli") >= 990, "partial")
             .otherwise("none"))
         .orderBy("child", "parent")
@@ -1555,38 +1569,58 @@ object Lakehouse {
             pairs AS (
               SELECT 'lineitem.l_orderkey' AS child,
                 'orders.o_orderkey' AS parent,
-                CAST(COUNT(*) AS BIGINT) AS n_child,
+                CAST(SUM(CASE WHEN c1.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_child,
                 CAST(SUM(CASE WHEN p1.k IS NULL THEN 0 ELSE 1 END)
-                  AS BIGINT) AS n_contained
-              FROM c1 LEFT JOIN p1 ON c1.k = p1.k
+                  AS BIGINT) AS n_parent,
+                CAST(SUM(CASE WHEN c1.k IS NOT NULL AND p1.k IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_contained
+              FROM c1 FULL JOIN p1 ON c1.k = p1.k
               UNION ALL
               SELECT 'orders.o_custkey', 'customer.c_custkey',
-                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN c2.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT),
                 CAST(SUM(CASE WHEN p2.k IS NULL THEN 0 ELSE 1 END)
-                  AS BIGINT)
-              FROM c2 LEFT JOIN p2 ON c2.k = p2.k
+                  AS BIGINT),
+                CAST(SUM(CASE WHEN c2.k IS NOT NULL AND p2.k IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT)
+              FROM c2 FULL JOIN p2 ON c2.k = p2.k
               UNION ALL
               SELECT 'lineitem.l_partkey', 'part.p_partkey',
-                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN c3.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT),
                 CAST(SUM(CASE WHEN p3.k IS NULL THEN 0 ELSE 1 END)
-                  AS BIGINT)
-              FROM c3 LEFT JOIN p3 ON c3.k = p3.k
+                  AS BIGINT),
+                CAST(SUM(CASE WHEN c3.k IS NOT NULL AND p3.k IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT)
+              FROM c3 FULL JOIN p3 ON c3.k = p3.k
               UNION ALL
               SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
-                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN c4.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT),
                 CAST(SUM(CASE WHEN p4.k IS NULL THEN 0 ELSE 1 END)
-                  AS BIGINT)
-              FROM c4 LEFT JOIN p4 ON c4.k = p4.k
+                  AS BIGINT),
+                CAST(SUM(CASE WHEN c4.k IS NOT NULL AND p4.k IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT)
+              FROM c4 FULL JOIN p4 ON c4.k = p4.k
               UNION ALL
               SELECT 'lineitem.l_suppkey', 'customer.c_custkey',
-                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN c4.k IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT),
                 CAST(SUM(CASE WHEN p2.k IS NULL THEN 0 ELSE 1 END)
-                  AS BIGINT)
-              FROM c4 LEFT JOIN p2 ON c4.k = p2.k)
-            SELECT child, parent, n_child, n_contained,
+                  AS BIGINT),
+                CAST(SUM(CASE WHEN c4.k IS NOT NULL AND p2.k IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT)
+              FROM c4 FULL JOIN p2 ON c4.k = p2.k)
+            SELECT child, parent, n_child, n_parent, n_contained,
               CAST((1000 * n_contained) // n_child AS BIGINT)
                 AS containment_milli,
-              CASE WHEN (1000 * n_contained) // n_child = 1000 THEN 'fk'
+              CAST((1000 * n_contained) // n_parent AS BIGINT)
+                AS coverage_milli,
+              CASE WHEN (1000 * n_contained) // n_child = 1000
+                  AND (1000 * n_contained) // n_parent >= 500 THEN 'fk'
+                WHEN (1000 * n_contained) // n_child = 1000
+                  THEN 'inclusion'
                 WHEN (1000 * n_contained) // n_child >= 990 THEN 'partial'
                 ELSE 'none' END AS verdict
             FROM pairs ORDER BY 1, 2"""))
