@@ -4812,8 +4812,68 @@ object Events {
                 // (n_a + n_b) >= 3841459 AS srm_flag
             FROM g ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x359
+  // Seasonality index table — the classical ratio-to-overall seasonal
+  // index (the fixed-effects read the x161 decomposition implies but
+  // never tabulates): per event_type, the day-of-week and hour-of-day
+  // traffic indices in millis — 1000 = flat, the multiplier a capacity
+  // plan or an anomaly baseline (x134's expected-volume denominator)
+  // applies per calendar cell. Exact: index = (1000·cell_avg) div
+  // overall_avg computed cross-multiplied as (1000·cell_cnt·n_cells_all)
+  // div (total_cnt·n_cells_obs)... simpler and exact: per (type, dim,
+  // cell): index_milli = (1000·cnt·n_cells) div total — the cell's
+  // share of traffic against a uniform share, all integers (n_cells =
+  // observed cells of that dim, so sparse calendars stay honest).
+  //
+  // Scale shape: one fact rollup to (type, dim, cell) — calendar-domain
+  // — then type×dim-partitioned windows. Output is calendar-sized.
+  private val x359 = GQuery(
+    "x359_seasonality_index", "ext-events seasonal index table",
+    (s, dir) => {
+      val cells = events(s, dir)
+        .select(col("event_type"), explode(expr(
+          """array(
+               named_struct('dim', 'dow', 'cell',
+                 cast(dayofweek(ts) as string)),
+               named_struct('dim', 'hour', 'cell',
+                 cast(hour(ts) as string)))""")).as("x"))
+        .select(col("event_type"), col("x.dim").as("dim"),
+          col("x.cell").as("cell"))
+        .groupBy(col("event_type"), col("dim"), col("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val wTD = Window.partitionBy(col("event_type"), col("dim"))
+      cells
+        .withColumn("total", sum(col("cnt")).over(wTD))
+        .withColumn("n_cells", count(lit(1)).over(wTD))
+        .select(col("event_type"), col("dim"),
+          col("cell").cast("long").as("cell"), col("cnt"),
+          expr("""cast((1000 * cast(cnt as decimal(38,0)) * n_cells)
+               div total as bigint)""").as("index_milli"))
+        .orderBy("event_type", "dim", "cell")
+    },
+    Some("""WITH cells AS (
+              SELECT event_type, dim, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (
+                -- Spark dayofweek is 1-7 (Sun=1); DuckDB's is 0-6 — shift
+                SELECT event_type, 'dow' AS dim,
+                  CAST(dayofweek(ts) + 1 AS VARCHAR) AS cell FROM events
+                UNION ALL
+                SELECT event_type, 'hour',
+                  CAST(hour(ts) AS VARCHAR) FROM events)
+              GROUP BY 1, 2, 3),
+            w AS (
+              SELECT *, CAST(SUM(cnt) OVER (PARTITION BY event_type, dim)
+                  AS BIGINT) AS total,
+                CAST(COUNT(*) OVER (PARTITION BY event_type, dim)
+                  AS BIGINT) AS n_cells
+              FROM cells)
+            SELECT event_type, dim, CAST(cell AS BIGINT) AS cell, cnt,
+              CAST((1000 * CAST(cnt AS HUGEINT) * n_cells) // total
+                AS BIGINT) AS index_milli
+            FROM w ORDER BY 1, 2, 3"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
-    x321, x322, x323, x331, x338, x342, x351, x353, x357,
+    x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

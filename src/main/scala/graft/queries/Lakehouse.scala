@@ -1625,7 +1625,89 @@ object Lakehouse {
                 ELSE 'none' END AS verdict
             FROM pairs ORDER BY 1, 2"""))
 
+  // ------------------------------------------------------------------- x360
+  // Replication / migration checksum manifest — the data-contract row a
+  // cross-engine copy is signed off against (the role of snapshot
+  // digests in lakehouse table formats): per table, the row count and
+  // an ORDER-INDEPENDENT content checksum — the sum of 60-bit
+  // md5-derived integers over a canonical row rendering, mod 2⁶¹−1 —
+  // so two engines (or two clusters) agree iff the data agrees,
+  // regardless of partitioning or row order. The canonical rendering
+  // pins the cross-engine hazards explicitly: money as exact cents,
+  // dates via one format string, every field '|'-joined in schema
+  // order. This registry's own DuckDB oracle IS the demonstration: the
+  // checksum matching at all is the replication check passing.
+  //
+  // Scale shape: one map-side pass per table (hash + project), a 1-row
+  // combinable sum each; the union is table-domain. The mod-2⁶¹ fold
+  // keeps the running sum in DECIMAL(38,0) headroom to ~10¹⁹ rows.
+  private val x360 = GQuery(
+    "x360_replication_checksum", "ext-catalog content checksum manifest",
+    (s, dir) => {
+      def sum60(tbl: String, canonical: String) =
+        Tables(s, dir, tbl)
+          .select(expr(canonical).as("c"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("""cast(sum(cast(conv(substring(md5(c), 1, 15), 16, 10)
+                 as decimal(38,0))) % 2305843009213693951 as bigint)""")
+              .as("checksum"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("checksum"))
+      sum60("documents",
+        "concat_ws('|', doc_id, lang, source, n_chars)")
+        .unionAll(sum60("orders",
+          """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             cast(round(o_totalprice * 100, 0) as bigint),
+             date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)"""))
+        .unionAll(sum60("customer",
+          """concat_ws('|', c_custkey, c_name, c_nationkey,
+             cast(round(c_acctbal * 100, 0) as bigint), c_mktsegment)"""))
+        .unionAll(sum60("lineitem",
+          """concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+             cast(round(l_quantity, 0) as bigint),
+             cast(round(l_extendedprice * 100, 0) as bigint),
+             date_format(l_shipdate, 'yyyy-MM-dd'))"""))
+        .orderBy("tbl")
+    },
+    Some("""WITH d AS (
+              SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(
+                    concat_ws('|', doc_id, lang, source, n_chars)),
+                  1, 15)) AS UBIGINT) AS HUGEINT))
+                  % 2305843009213693951 AS BIGINT) AS checksum
+              FROM documents
+              UNION ALL
+              SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(
+                    concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                      strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)),
+                  1, 15)) AS UBIGINT) AS HUGEINT))
+                  % 2305843009213693951 AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(
+                    concat_ws('|', c_custkey, c_name, c_nationkey,
+                      CAST(round(c_acctbal * 100, 0) AS BIGINT),
+                      c_mktsegment)),
+                  1, 15)) AS UBIGINT) AS HUGEINT))
+                  % 2305843009213693951 AS BIGINT)
+              FROM customer
+              UNION ALL
+              SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(
+                    concat_ws('|', l_orderkey, l_partkey, l_suppkey,
+                      l_linenumber,
+                      CAST(round(l_quantity, 0) AS BIGINT),
+                      CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                      strftime(l_shipdate, '%Y-%m-%d'))),
+                  1, 15)) AS UBIGINT) AS HUGEINT))
+                  % 2305843009213693951 AS BIGINT)
+              FROM lineitem)
+            SELECT tbl, n_rows, checksum FROM d ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x140, x141, x154, x155, x158, x174, x175, x181, x182, x183, x184,
-      x185, x190, x199, x205, x229, x273, x274, x282, x292, x335, x354)
+      x185, x190, x199, x205, x229, x273, x274, x282, x292, x335, x354,
+      x360)
 }
