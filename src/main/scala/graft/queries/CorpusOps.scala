@@ -2757,9 +2757,87 @@ object CorpusOps {
             FROM per p JOIN top t ON p.source = t.source
             ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x363
+  // Shard balance audit — the acceptance check run AFTER x36's
+  // deterministic shuffle and before a training job trusts its shards:
+  // per shard, the total-variation distance between the shard's SOURCE
+  // mix and the corpus mix, in ppm. A well-mixed shuffle puts every
+  // shard's TVD near 0; a shard that over-drew one source (a broken
+  // hash, a sorted input leaking through) flags immediately. The shard
+  // assignment is trainingShuffle's OWN rule (the x31 no-drift
+  // discipline — auditing a re-implementation would certify nothing).
+  // Exact integers: TVD = ½ Σ_s |n_ss/n_shard − n_s/N| cross-multiplies
+  // to |n_ss·N − n_s·n_shard| over a common denominator; sources ABSENT
+  // from a shard contribute their full expected mass, folded in closed
+  // form as n_shard·(N − Σ_observed n_s) — no dense shard×source
+  // lattice is ever materialized. The 2 % flag threshold is the
+  // conventional mix-tolerance read, emitted so the flag math itself
+  // hash-verifies. Products ride DECIMAL(38,0)/HUGEINT (n_ss·N wraps
+  // BIGINT past ~10⁹·10¹⁰ docs — the x270 headroom discipline).
+  //
+  // Scale shape: one shard assignment scan → (shard, source) rollup
+  // (map-side combinable, ≤ 16·|sources| rows) → two domain-sized
+  // rollups join back → one |shards|-row output. The window-rank `pos`
+  // of x36 is deliberately NOT computed — membership alone decides
+  // balance, so the audit is cheaper than the shuffle it audits.
+  private val x363 = GQuery(
+    "x363_shard_balance_audit", "ext-text shard-mix balance audit",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val cells = trainingShuffle(d, shardHexChars = 1)
+        .join(d, Seq("doc_id"))
+        .groupBy(col("shard"), col("source"))
+        .agg(count(lit(1)).as("n_ss"))
+        .localCheckpoint(true) // source totals, shard totals, dev scan
+      val srcTot = cells.groupBy(col("source")).agg(sum(col("n_ss")).as("n_src"))
+      val shardTot = cells.groupBy(col("shard")).agg(sum(col("n_ss")).as("n_shard"))
+      val n = d.agg(count(lit(1)).as("n_total"))
+      cells.join(srcTot, Seq("source")).join(shardTot, Seq("shard"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("shard"), col("n_shard"), col("n_total"))
+        .agg(sum(expr(
+            """abs(cast(n_ss as decimal(38,0)) * n_total
+                 - cast(n_src as decimal(38,0)) * n_shard)""")).as("num_obs"),
+          sum(col("n_src")).as("obs_src"))
+        .select(col("shard"), col("n_shard").as("n_docs"),
+          expr("""cast((1000000 * (num_obs
+                 + cast(n_shard as decimal(38,0)) * (n_total - obs_src)))
+               div (2 * cast(n_shard as decimal(38,0)) * n_total)
+             as bigint)""").as("tvd_ppm"))
+        .withColumn("balanced", col("tvd_ppm") <= 20000L)
+        .orderBy("shard")
+    },
+    Some("""WITH d AS (SELECT doc_id, source FROM documents),
+            a AS (SELECT substr(md5(doc_id || ':42'), 1, 1) AS shard, source
+                  FROM d),
+            cells AS (SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n_ss
+                      FROM a GROUP BY 1, 2),
+            st AS (SELECT source, CAST(SUM(n_ss) AS BIGINT) AS n_src
+                   FROM cells GROUP BY 1),
+            sh AS (SELECT shard, CAST(SUM(n_ss) AS BIGINT) AS n_shard
+                   FROM cells GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d),
+            g AS (SELECT cells.shard, n_shard, n_total,
+                SUM(abs(CAST(n_ss AS HUGEINT) * n_total
+                  - CAST(n_src AS HUGEINT) * n_shard)) AS num_obs,
+                CAST(SUM(n_src) AS HUGEINT) AS obs_src
+              FROM cells JOIN st USING (source) JOIN sh USING (shard)
+              CROSS JOIN n
+              GROUP BY 1, 2, 3)
+            SELECT shard, n_shard AS n_docs,
+              CAST((1000000 * (num_obs
+                  + CAST(n_shard AS HUGEINT) * (n_total - obs_src)))
+                // (2 * CAST(n_shard AS HUGEINT) * n_total) AS BIGINT)
+                AS tvd_ppm,
+              (1000000 * (num_obs
+                  + CAST(n_shard AS HUGEINT) * (n_total - obs_src)))
+                // (2 * CAST(n_shard AS HUGEINT) * n_total) <= 20000
+                AS balanced
+            FROM g ORDER BY shard"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
       x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
-      x257, x259, x263, x264, x265, x266, x267, x275, x341, x352)
+      x257, x259, x263, x264, x265, x266, x267, x275, x341, x352, x363)
 }

@@ -2090,8 +2090,136 @@ object Dedup {
                 END AS BIGINT) AS ari_milli
             FROM fin"""))
 
+  // ------------------------------------------------------------------ x366
+  // Precision/recall of the MinHash banding tier — x340 measures the
+  // S-curve (catch probability vs similarity, on a planted mid-band
+  // corpus); x348 gives precision/recall for the SIMHASH tier. This row
+  // completes the square: for each 16-hash slicing (b=8/r=2, b=4/r=4,
+  // b=2/r=8) on the PLAIN corpus, what fraction of surfaced candidate
+  // pairs are true near-dups (precision — the verify-stage workload the
+  // slicing buys), and what fraction of true pairs surface at all
+  // (recall, charged against the FULL lossless truth tier at τ = 1/2,
+  // so pairs the hot-bucket cap drops count as misses). Signature,
+  // banding and cap are x332/x340's md5 pipeline verbatim; exact
+  // Jaccard per candidate is the same integer-millis arithmetic as the
+  // truth tier, so tp ≡ |candidates ∩ truth| by construction.
+  //
+  // Scale shape: one shingle scan → 16-column min signature; candidate
+  // pairs are capped LSH bucket pairs (the production bound); exact J
+  // is computed ONLY on candidates (bounded), and the truth side is
+  // the audited prefix-filter join — nothing all-pairs.
+  private val x366 = GQuery(
+    "x366_minhash_pr_eval", "ext-dedup-fuzzy minhash banding eval",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val sh = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, size(w) - 3),
+               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("sh"))
+      val sig16 = minhashHexSigs(sh, 16)
+      val capped = sig16
+        .select(col("doc_id"), explode(expr("array(2, 4, 8)")).as("rr"), col("sig"))
+        .select(col("doc_id"), col("rr"), explode(expr(
+          """transform(sequence(0, 16 div rr - 1),
+               b -> concat(rr, ':', b, ':', concat_ws(',', slice(sig, b * rr + 1, rr))))"""))
+          .as("bkey"))
+        .withColumn("bsz", count(lit(1)).over(w))
+        .where(col("bsz") <= 32)
+        .localCheckpoint(true) // both sides of the bucket pair join
+      val cand = capped.as("a")
+        .join(capped.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.rr").as("rr"), col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"))
+        .distinct()
+      val sets = shingleSets(corpus).localCheckpoint(true) // cand J + truth
+      val perSlicing = cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
+          col("n").as("n_a")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
+          col("n").as("n_b")), "b_id")
+        .withColumn("inter",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("j_milli", expr("(1000 * inter) div (n_a + n_b - inter)"))
+        .groupBy(col("rr"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("j_milli") >= 500, 1L).otherwise(0L)).as("tp"))
+      val truthN = truthPairsAtHalf(sets).agg(count(lit(1)).as("n_true"))
+      perSlicing.crossJoin(broadcast(truthN))
+        .select(col("rr").cast("long").as("rows_per_band"),
+          expr("CAST(16 div rr AS BIGINT)").as("n_bands"),
+          col("n_true"), col("n_cand"), col("tp"),
+          expr("""cast(case when n_cand > 0
+               then (1000 * tp) div n_cand end as bigint)""")
+            .as("precision_milli"),
+          expr("""cast(case when n_true > 0
+               then (1000 * tp) div n_true end as bigint)""")
+            .as("recall_milli"))
+        .orderBy("rows_per_band")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            shs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      range(len(w) - 2),
+                      i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))) AS sh
+                    FROM w WHERE len(w) >= 3),
+            hx AS (SELECT doc_id, k,
+                     MIN(CASE WHEN k % 2 = 0
+                         THEN substr(md5(CAST(k // 2 AS VARCHAR) || ':' || sh), 17, 16)
+                         ELSE substr(md5(CAST(k // 2 AS VARCHAR) || ':' || sh), 1, 16)
+                         END) AS mh
+                   FROM shs CROSS JOIN (SELECT unnest(range(16)) AS k)
+                   GROUP BY 1, 2),
+            sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig
+                    FROM hx GROUP BY 1),
+            band AS (SELECT doc_id, rr, CAST(rr AS VARCHAR) || ':' ||
+                       CAST(b AS VARCHAR) || ':' ||
+                       array_to_string(sig[b * rr + 1 : b * rr + rr], ',') AS bkey
+                     FROM sig
+                     CROSS JOIN (SELECT unnest([2, 4, 8]) AS rr)
+                     CROSS JOIN (SELECT unnest(range(8)) AS b)
+                     WHERE b < 16 // rr),
+            bandc AS (SELECT *, COUNT(*) OVER (PARTITION BY bkey) AS bsz
+                      FROM band),
+            cand AS (SELECT DISTINCT a.rr, a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM bandc a JOIN bandc b
+                       ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+                     WHERE a.bsz <= 32),
+            tok AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS tok
+              FROM w),
+            cj AS (SELECT c.rr,
+                     (1000 * CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT))
+                       // (len(a.tok) + len(b.tok)
+                          - len(list_intersect(a.tok, b.tok))) AS j_milli
+                   FROM cand c
+                   JOIN tok a ON a.doc_id = c.a_id
+                   JOIN tok b ON b.doc_id = c.b_id),
+            ps AS (SELECT rr, CAST(COUNT(*) AS BIGINT) AS n_cand,
+                     CAST(SUM(CASE WHEN j_milli >= 500 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tp
+                   FROM cj GROUP BY 1),
+            tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM (
+                     SELECT 1 FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+                     WHERE len(list_intersect(a.tok, b.tok)) > 0
+                       AND (1000 * CAST(len(list_intersect(a.tok, b.tok))
+                         AS BIGINT))
+                         // (len(a.tok) + len(b.tok)
+                            - len(list_intersect(a.tok, b.tok))) >= 500))
+            SELECT CAST(rr AS BIGINT) AS rows_per_band,
+              CAST(16 // rr AS BIGINT) AS n_bands,
+              n_true, n_cand, tp,
+              CAST(CASE WHEN n_cand > 0 THEN (1000 * tp) // n_cand END
+                AS BIGINT) AS precision_milli,
+              CAST(CASE WHEN n_true > 0 THEN (1000 * tp) // n_true END
+                AS BIGINT) AS recall_milli
+            FROM ps CROSS JOIN tn ORDER BY rows_per_band"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
       x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328,
-      x332, x333, x340, x348, x356)
+      x332, x333, x340, x348, x356, x366)
 }

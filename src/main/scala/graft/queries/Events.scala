@@ -3170,10 +3170,15 @@ object Events {
   // Scale shape: one per-user aggregate (first view / first purchase),
   // then everything runs on the DURATION-DAY domain (≤ corpus days);
   // the single-partition fold is domain-sized — the x137/x166 bound.
-  private val x218 = GQuery(
-    "x218_kaplan_meier", "ext-events survival kaplan-meier censored",
-    (s, dir) => {
-      import s.implicits._
+  /** The censored-duration risk table behind the survival pair — time
+    * from first view to first purchase in whole days, right-censored at
+    * the corpus horizon; per event day the at-risk count n, events d and
+    * censored c. Shared by x218 (Kaplan–Meier product-limit) and x368
+    * (Nelson–Aalen cumulative hazard) so the two estimators can never
+    * disagree about WHO is at risk WHEN (the x31 no-drift discipline).
+    * Returns (t, n_risk, d, c).
+    */
+  private def survivalRiskTable(s: SparkSession, dir: String): DataFrame = {
       val perUser = events(s, dir)
         .where(col("event_type").isin("view", "purchase"))
         .groupBy(col("user_id"))
@@ -3208,6 +3213,13 @@ object Events {
         .withColumn("total", sum(col("d") + col("c")).over(all))
         .withColumn("n_risk", col("total") - col("gone_before"))
         .select(col("t"), col("n_risk"), col("d"), col("c"))
+  }
+
+  private val x218 = GQuery(
+    "x218_kaplan_meier", "ext-events survival kaplan-meier censored",
+    (s, dir) => {
+      import s.implicits._
+      survivalRiskTable(s, dir)
         .as[(Long, Long, Long, Long)]
         .repartition(1).sortWithinPartitions("t")
         .mapPartitions { it =>
@@ -4773,16 +4785,26 @@ object Events {
   //
   // Scale shape: one (type, user) distinct-project, one type-domain
   // rollup; the χ² is a single floor division per type.
+  /** Per-type distinct-user arm counts of the md5-parity A/B assignment
+    * (the x42 hash-sample discipline) — the shared substrate of the x357
+    * single-test SRM guard and the x367 Holm multiple-testing scan (the
+    * x31 no-drift discipline: one assignment rule, two consumers; an
+    * assignment-hash change can never desynchronize the scan from the
+    * guard it extends). Returns (event_type, n_a, n_b).
+    */
+  private def srmArmCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("arm", expr(
+        "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+
   private val x357 = GQuery(
     "x357_srm_guard", "ext-events experiment srm chi-square guard",
     (s, dir) => {
-      events(s, dir)
-        .select(col("event_type"), col("user_id")).distinct()
-        .withColumn("arm", expr(
-          "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
-        .groupBy(col("event_type"))
-        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      srmArmCounts(s, dir)
         .withColumn("chi2_micro", expr(
           """cast((1000000 * cast(n_a - n_b as decimal(38,0))
                  * (n_a - n_b))
@@ -4872,8 +4894,372 @@ object Events {
                 AS BIGINT) AS index_milli
             FROM w ORDER BY 1, 2, 3"""))
 
+  // ------------------------------------------------------------------- x361
+  // Shapley-value channel attribution (Shapley 1953; the coalition-game
+  // read of multi-touch credit that x49 answers with one touch and x269
+  // with a decay heuristic): channels are the non-conversion event
+  // types, a converted user's COALITION is the set of channels they
+  // touched before their first purchase, and the value function
+  // v(S) = |converted users whose touch-set ⊆ S| — the "reach" form
+  // used by marketing-science platforms (monotone by construction, so
+  // every marginal is non-negative). With |N| = 4 channels the exact
+  // Shapley sum is 8 marginals per channel weighted |S|!(n−|S|−1)!;
+  // kept integer by carrying φ·4! = φ·24 (weights 6/2/2/6), so the
+  // whole attribution — normally a float expectation — hash-verifies.
+  // Efficiency (Σφ = v(N) − v(∅)) is pinned in ExperimentSemanticsSpec.
+  // Users with zero pre-purchase touches form v(∅), the baseline credit
+  // Shapley assigns to no channel. The channel universe is the
+  // configured experiment surface (production passes its own list; the
+  // 2^|N| lattice is code-generated from ONE Seq that also renders the
+  // oracle, so the two engines can never disagree about subset order).
+  //
+  // Scale shape: one user-keyed flag aggregate (4 map-side-combinable
+  // MAXes), ONE 16-column global rollup (no lattice join — the subset
+  // indicators are closed-form over the flags), then constant-row
+  // arithmetic and a 4-row stack. Nothing fact-sized ever pairs.
+  private val shapChannels = Seq("click", "error", "signup", "view")
+  private val shapSubsets: Seq[Seq[String]] =
+    shapChannels.foldLeft(Seq(Seq.empty[String]))((acc, c) => acc ++ acc.map(_ :+ c))
+  private def shapKey(ss: Seq[String]): String = "v_" + ss.map(_.head).mkString
+  /** |S|!·(n−|S|−1)! for n = 4 — the Shapley weight, ×4! to stay integer. */
+  private val shapW24 = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+  private def shapPhiExpr(ch: String): String =
+    shapSubsets.filterNot(_.contains(ch)).map { ss =>
+      val withCh = shapChannels.filter(c => ss.contains(c) || c == ch)
+      s"${shapW24(ss.size)} * (${shapKey(withCh)} - ${shapKey(ss)})"
+    }.mkString(" + ")
+  private def shapVCond(ss: Seq[String]): String = {
+    val excluded = shapChannels.filterNot(ss.contains)
+    if (excluded.isEmpty) "1 = 1"
+    else excluded.map(c => s"t_$c = 0").mkString(" AND ")
+  }
+
+  private val x361 = GQuery(
+    "x361_shapley_attribution", "ext-events attribution shapley exact",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val firstP = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("us")).as("pus"))
+      val flagAggs = shapChannels.map(c =>
+        max(when(col("event_type") === c, 1L).otherwise(0L)).as(s"t_$c"))
+      val flags = e.join(firstP, Seq("user_id"))
+        .where(col("us") < col("pus") && col("event_type") =!= "purchase")
+        .groupBy(col("user_id"))
+        .agg(flagAggs.head, flagAggs.tail: _*)
+      val users = firstP.join(flags, Seq("user_id"), "left")
+        .select(shapChannels.map(c =>
+          coalesce(col(s"t_$c"), lit(0L)).as(s"t_$c")): _*)
+      val vAggs = shapSubsets.map(ss =>
+        sum(expr(s"case when ${shapVCond(ss)} then 1L else 0L end"))
+          .as(shapKey(ss)))
+      val v = users.agg(vAggs.head, vAggs.tail: _*)
+      v.select(shapChannels.map(c => expr(shapPhiExpr(c)).as(s"phi_$c")) ++
+          Seq(col(shapKey(shapChannels)).as("n_conv"),
+            col(shapKey(Nil)).as("baseline")): _*)
+        .selectExpr(
+          s"stack(4, ${shapChannels.map(c => s"'$c', phi_$c").mkString(", ")})" +
+            " as (channel, phi_x24)",
+          "n_conv", "baseline")
+        .withColumn("share_micro", expr(
+          """cast(case when n_conv > baseline then
+               (1000000 * phi_x24) div (24 * (n_conv - baseline))
+             end as bigint)"""))
+        .orderBy("channel")
+    },
+    Some(s"""WITH e AS (
+               SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             fp AS (
+               SELECT user_id, MIN(us) AS pus FROM e
+               WHERE event_type = 'purchase' GROUP BY 1),
+             tf AS (
+               SELECT e.user_id,
+                 ${shapChannels.map(c =>
+                   s"MAX(CASE WHEN e.event_type = '$c' THEN 1 ELSE 0 END) AS t_$c")
+                   .mkString(",\n                 ")}
+               FROM e JOIN fp USING (user_id)
+               WHERE e.us < fp.pus AND e.event_type <> 'purchase'
+               GROUP BY 1),
+             u AS (
+               SELECT ${shapChannels.map(c => s"COALESCE(t_$c, 0) AS t_$c")
+                 .mkString(", ")}
+               FROM fp LEFT JOIN tf USING (user_id)),
+             v AS (
+               SELECT ${shapSubsets.map(ss =>
+                 s"CAST(SUM(CASE WHEN ${shapVCond(ss)} THEN 1 ELSE 0 END) AS BIGINT) AS ${shapKey(ss)}")
+                 .mkString(",\n               ")}
+               FROM u),
+             p AS (
+               SELECT ${shapChannels.map(c => s"${shapPhiExpr(c)} AS phi_$c")
+                 .mkString(",\n               ")},
+                 ${shapKey(shapChannels)} AS n_conv, v_ AS baseline
+               FROM v)
+             SELECT channel, phi_x24,
+               CAST(CASE WHEN n_conv > baseline THEN
+                   (1000000 * phi_x24) // (24 * (n_conv - baseline))
+                 END AS BIGINT) AS share_micro,
+               n_conv, baseline
+             FROM (SELECT
+                 unnest([${shapChannels.map(c => s"'$c'").mkString(", ")}])
+                   AS channel,
+                 unnest([${shapChannels.map(c => s"phi_$c").mkString(", ")}])
+                   AS phi_x24,
+                 n_conv, baseline FROM p)
+             ORDER BY channel"""))
+
+  // ------------------------------------------------------------------- x362
+  // CUPED variance reduction (Deng, Xu, Kohavi & Walker WSDM 2013 — the
+  // standard pre-experiment-covariate adjustment every mature A/B
+  // platform applies before reading x187/x353): each user's PRE-period
+  // spend (first half of the corpus window, exact integer midpoint of
+  // the us span) is the covariate X, the POST-period spend the metric
+  // Y, arms by the x357 md5-parity assignment. θ = Cov(X,Y)/Var(X) is
+  // computed POOLED (the unbiased choice — θ from the pooled sample is
+  // independent of assignment under SRM-clean randomization), quantized
+  // ONCE to micros (integer floor of cross-multiplied DECIMAL(38,0)
+  // moments — the x270 headroom discipline), and each arm's adjusted
+  // mean ŷ_a − θ(x̄_a − x̄) follows with integer cross-multiplied
+  // divisions only: a float regression adjustment that hash-verifies.
+  // Both engines truncate integer division toward zero, so the signed
+  // θ and signed imbalance terms stay cross-engine exact. A zero
+  // pre-period variance (vden = 0) yields NULL θ and NULL adjusted
+  // means in BOTH engines (the x270 det_zero discipline).
+  //
+  // Scale shape: one fact scan to per-user (x, y) cents, one 5-moment
+  // pooled rollup + one 3-moment per-arm rollup (both map-side
+  // combinable), arithmetic on 2 rows. The moment cross-products ride
+  // DECIMAL(38,0)/HUGEINT (exact to ~10⁸ users at 10⁶-cent user spend;
+  // beyond that the θ quantization order keeps every product < 10³⁸).
+  private val x362 = GQuery(
+    "x362_cuped_adjustment", "ext-events experiment cuped adjustment",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val span = e.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      val per = e.crossJoin(broadcast(span))
+        .withColumn("mid", expr("t0 + (t1 - t0) div 2"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .localCheckpoint(true) // pooled moments + per-arm rollup both read it
+      val g = per.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .withColumn("theta_micro", expr(
+          """cast(case when n * sxx - sx * sx > 0 then
+               (1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)
+             end as bigint)"""))
+      per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x").cast("decimal(38,0)")).as("sxa"),
+          sum(col("y").cast("decimal(38,0)")).as("sya"))
+        .crossJoin(broadcast(g.select(col("n"), col("sx"), col("theta_micro"))))
+        .select(col("arm"), col("n_users"),
+          expr("cast(sya as bigint)").as("sum_y_cents"),
+          expr("cast((1000000 * sya) div n_users as bigint)").as("mean_y_micro"),
+          col("theta_micro"),
+          expr("""cast((1000000 * sya) div n_users
+               - (theta_micro * (sxa * n - sx * n_users)) div (n_users * n)
+             as bigint)""").as("mean_adj_micro"))
+        .orderBy("arm")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events),
+            sp AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM e),
+            per AS (
+              SELECT user_id,
+                SUM(CASE WHEN us < t0 + (t1 - t0) // 2 THEN cents
+                  ELSE 0 END) AS x,
+                SUM(CASE WHEN us >= t0 + (t1 - t0) // 2 THEN cents
+                  ELSE 0 END) AS y
+              FROM e, sp GROUP BY 1),
+            pa AS (
+              SELECT CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y,
+                CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 2 AS arm
+              FROM per),
+            g AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              FROM pa),
+            t AS (
+              SELECT n, sx,
+                CASE WHEN n * sxx - sx * sx > 0 THEN
+                  (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                END AS theta_micro
+              FROM g),
+            a AS (
+              SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n_users,
+                SUM(x) AS sxa, SUM(y) AS sya
+              FROM pa GROUP BY 1)
+            SELECT CAST(arm AS BIGINT) AS arm,
+              CAST(n_users AS BIGINT) AS n_users,
+              CAST(sya AS BIGINT) AS sum_y_cents,
+              CAST((1000000 * sya) // n_users AS BIGINT) AS mean_y_micro,
+              CAST(theta_micro AS BIGINT) AS theta_micro,
+              CAST((1000000 * sya) // n_users
+                - (theta_micro * (sxa * n - sx * n_users)) // (n_users * n)
+                AS BIGINT) AS mean_adj_micro
+            FROM a, t ORDER BY arm"""))
+
+  // ------------------------------------------------------------------- x367
+  // Holm–Bonferroni SRM scan (Holm 1979) — x357 tests each event_type's
+  // assignment at α = 0.05 ALONE; scanning five types that way inflates
+  // the family-wise false-alarm rate to ~23 %. The step-down procedure
+  // orders the χ² statistics largest-first (smallest p first) and tests
+  // step k against α/(m−k+1), stopping at the first acceptance — the
+  // uniformly-more-powerful-than-Bonferroni guard a platform runs over
+  // its whole experiment surface. Exact: χ² in micros over the SAME
+  // srmArmCounts substrate as x357 (one assignment rule, two
+  // consumers), critical values a literal df=1 ladder for α/1…α/10
+  // (covers m ≤ 10 scans; χ²₁ criticals = z²_{1−α/2j}), and the
+  // sequential stop is a running-minimum window over the pass
+  // indicator. Holm rejection implies the x357 single-test flag
+  // (crit ≥ 3841459 everywhere) — pinned in ExperimentSemanticsSpec.
+  //
+  // Scale shape: srmArmCounts' one distinct-project + type rollup; the
+  // scan itself is |types|-domain window arithmetic.
+  private val x367 = GQuery(
+    "x367_holm_srm_scan", "ext-events experiment holm step-down scan",
+    (s, dir) => {
+      val wR = Window.orderBy(col("chi2_micro").desc, col("event_type"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val wRun = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      srmArmCounts(s, dir)
+        .withColumn("chi2_micro", expr(
+          """cast((1000000 * cast(n_a - n_b as decimal(38,0)) * (n_a - n_b))
+               div (n_a + n_b) as bigint)"""))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll).cast("long"))
+        .withColumn("crit_micro", expr(
+          """element_at(array(3841459L, 5023886L, 5731139L, 6238533L,
+               6634897L, 6960401L, 7236689L, 7476773L, 7689093L, 7879439L),
+             cast(m - rank + 1 as int))"""))
+        .withColumn("pass",
+          when(col("chi2_micro") >= col("crit_micro"), 1L).otherwise(0L))
+        .withColumn("holm_reject", min(col("pass")).over(wRun) === 1L)
+        .select(col("event_type"), col("n_a"), col("n_b"), col("chi2_micro"),
+          col("rank"), col("crit_micro"), col("holm_reject"))
+        .orderBy("rank")
+    },
+    Some("""WITH u AS (
+              SELECT DISTINCT event_type, user_id FROM events),
+            a AS (
+              SELECT event_type,
+                CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 2 AS arm
+              FROM u),
+            g AS (
+              SELECT event_type,
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_b
+              FROM a GROUP BY 1),
+            c AS (
+              SELECT event_type, n_a, n_b,
+                CAST((1000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b))
+                  // (n_a + n_b) AS BIGINT) AS chi2_micro
+              FROM g),
+            r AS (
+              SELECT *,
+                CAST(ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, event_type)
+                  AS BIGINT) AS rank,
+                CAST(COUNT(*) OVER () AS BIGINT) AS m
+              FROM c),
+            k AS (
+              SELECT *,
+                ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
+                  7236689, 7476773, 7689093, 7879439])[m - rank + 1]
+                  AS crit_micro,
+                CASE WHEN chi2_micro >= ([3841459, 5023886, 5731139,
+                  6238533, 6634897, 6960401, 7236689, 7476773, 7689093,
+                  7879439])[m - rank + 1] THEN 1 ELSE 0 END AS pass
+              FROM r)
+            SELECT event_type, n_a, n_b, chi2_micro, rank,
+              CAST(crit_micro AS BIGINT) AS crit_micro,
+              MIN(pass) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                AS holm_reject
+            FROM k ORDER BY rank"""))
+
+  // ------------------------------------------------------------------- x368
+  // Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the
+  // ADDITIVE twin of x218's product-limit curve over the identical
+  // survivalRiskTable: Ĥ(t) = Σ_{t_i ≤ t} d_i/n_i, the estimator
+  // survival texts read next to Kaplan–Meier (S ≈ e^{−H}) and the one
+  // whose increments are directly interpretable as per-day conversion
+  // hazard. Because it is a SUM (not a product), no sequential fold is
+  // needed: per-step hazard quantizes to micros by one integer
+  // division and the curve is a running-sum window — simpler plan than
+  // x218, same risk substrate (the shared helper makes disagreement
+  // about who-is-at-risk-when structurally impossible).
+  //
+  // Scale shape: x218's — one per-user aggregate, then duration-day
+  // domain windows only.
+  private val x368 = GQuery(
+    "x368_nelson_aalen", "ext-events survival nelson-aalen hazard",
+    (s, dir) => {
+      val wC = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      survivalRiskTable(s, dir)
+        .withColumn("h_step_micro", expr("(1000000 * d) div n_risk"))
+        .withColumn("h_cum_micro", sum(col("h_step_micro")).over(wC))
+        .orderBy("t")
+    },
+    Some("""WITH pu AS (
+              SELECT user_id,
+                MIN(CASE WHEN event_type = 'view'
+                  THEN CAST(date_trunc('day', ts) AS DATE) END) AS first_view,
+                MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(date_trunc('day', ts) AS DATE) END) AS first_purchase
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            h AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS hmax
+                  FROM events),
+            dur AS (
+              SELECT CASE WHEN pu.first_purchase IS NOT NULL
+                  AND pu.first_purchase >= pu.first_view
+                THEN CAST(date_diff('day', pu.first_view, pu.first_purchase)
+                  AS BIGINT)
+                ELSE CAST(date_diff('day', pu.first_view, h.hmax) AS BIGINT)
+                END AS t,
+                (pu.first_purchase IS NOT NULL
+                  AND pu.first_purchase >= pu.first_view) AS converted
+              FROM pu, h WHERE pu.first_view IS NOT NULL),
+            byday AS (
+              SELECT t,
+                CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS c
+              FROM dur GROUP BY 1),
+            risk AS (
+              SELECT t, d, c,
+                CAST(SUM(d + c) OVER () AS BIGINT)
+                  - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS n_risk
+              FROM byday)
+            SELECT t, n_risk, d, c,
+              (1000000 * d) // n_risk AS h_step_micro,
+              CAST(SUM((1000000 * d) // n_risk) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS h_cum_micro
+            FROM risk ORDER BY t"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
+    x361, x362, x367, x368,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -671,6 +671,103 @@ object Linkage {
                  AS lost_milli
              FROM a"""))
 
+  // ------------------------------------------------------------------- x365
+  // Blocking quality evaluation (Christen 2012's two standard metrics) —
+  // x146/x189 SHIP blockers; this row grades them the way a linkage
+  // pipeline is actually tuned: REDUCTION RATIO (1 − candidates/allpairs
+  // — how much of the n² comparison space the blocker kills) vs PAIRS
+  // COMPLETENESS (what fraction of true matched pairs remain reachable
+  // inside the blocks). Truth tier: pairs with IDENTICAL normalized
+  // 24-char heads (x146's norm — the exact-duplicate stratum, organic
+  // in the fixture). The trick that makes this exact AND linear: every
+  // metric is GROUP-SIZE arithmetic — a block of size k contributes
+  // (k−1)+(k−2) SNM-window-2 candidates or k(k−1)/2 all-pairs
+  // candidates, and because the block keys are PREFIXES of the norm, a
+  // true pair can never straddle blocks and equal norms sort
+  // contiguously — so caught-pair counts read off the same size
+  // histograms. No pair set is ever materialized on either engine.
+  // The two strategies span the design space: key8+SNM(w=2) (x146's
+  // production shape — high reduction, completeness pays for the window),
+  // prefix4 all-pairs (coarse blocking — total completeness, reduction
+  // pays). Products ride DECIMAL(38,0)/HUGEINT (n² counting).
+  //
+  // Scale shape: three group-by-size rollups over one normalized
+  // projection, single-row folds, a 2-row output.
+  private val x365 = GQuery(
+    "x365_blocking_quality_eval", "ext-linkage blocking quality eval",
+    (s, dir) => {
+      val keyed = docs(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24)
+            .as("norm"))
+        .localCheckpoint(true) // three size histograms read it
+      val n = keyed.agg(count(lit(1)).as("n_docs"))
+      val normSizes = keyed.groupBy(col("norm")).agg(count(lit(1)).as("k"))
+        .localCheckpoint(true) // truth denominator + SNM caught side
+      val truth = normSizes
+        .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).as("n_true"))
+      val snm = keyed.withColumn("key", substring(col("norm"), 1, 8))
+        .groupBy(col("key")).agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum(expr("greatest(k - 1, 0L) + greatest(k - 2, 0L)")),
+          lit(0L)).as("n_cand"))
+        .crossJoin(broadcast(normSizes
+          .agg(coalesce(sum(expr("greatest(k - 1, 0L) + greatest(k - 2, 0L)")),
+            lit(0L)).as("n_caught"))))
+        .withColumn("strategy", lit("key8_snm_w2"))
+      val p4 = keyed.withColumn("key", substring(col("norm"), 1, 4))
+        .groupBy(col("key")).agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).as("n_cand"))
+        .crossJoin(broadcast(truth.select(col("n_true").as("n_caught"))))
+        .withColumn("strategy", lit("prefix4_allpairs"))
+      snm.unionByName(p4)
+        .crossJoin(broadcast(truth))
+        .crossJoin(broadcast(n))
+        .select(col("strategy"), col("n_docs"), col("n_true"),
+          col("n_cand"), col("n_caught"),
+          expr("""cast(1000000 - (2000000 * cast(n_cand as decimal(38,0)))
+               div (cast(n_docs as decimal(38,0)) * (n_docs - 1))
+             as bigint)""").as("rr_ppm"),
+          expr("""cast(case when n_true > 0
+               then (1000 * n_caught) div n_true end as bigint)""")
+            .as("pc_milli"))
+        .orderBy("strategy")
+    },
+    Some("""WITH keyed AS (
+              SELECT doc_id,
+                substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+                  AS norm
+              FROM documents),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM keyed),
+            ns AS (SELECT norm, CAST(COUNT(*) AS BIGINT) AS k
+                   FROM keyed GROUP BY 1),
+            truth AS (SELECT COALESCE(CAST(SUM(k * (k - 1) // 2) AS BIGINT),
+                0) AS n_true FROM ns),
+            caught AS (SELECT COALESCE(CAST(SUM(greatest(k - 1, 0)
+                + greatest(k - 2, 0)) AS BIGINT), 0) AS n_caught FROM ns),
+            k8 AS (SELECT substr(norm, 1, 8) AS key,
+                CAST(COUNT(*) AS BIGINT) AS k FROM keyed GROUP BY 1),
+            snm AS (SELECT 'key8_snm_w2' AS strategy,
+                COALESCE(CAST(SUM(greatest(k - 1, 0) + greatest(k - 2, 0))
+                  AS BIGINT), 0) AS n_cand,
+                (SELECT n_caught FROM caught) AS n_caught
+              FROM k8),
+            k4 AS (SELECT substr(norm, 1, 4) AS key,
+                CAST(COUNT(*) AS BIGINT) AS k FROM keyed GROUP BY 1),
+            p4 AS (SELECT 'prefix4_allpairs' AS strategy,
+                COALESCE(CAST(SUM(k * (k - 1) // 2) AS BIGINT), 0) AS n_cand,
+                (SELECT n_true FROM truth) AS n_caught
+              FROM k4),
+            u AS (SELECT * FROM snm UNION ALL SELECT * FROM p4)
+            SELECT strategy, n.n_docs, truth.n_true, u.n_cand, u.n_caught,
+              CAST(1000000 - (2000000 * CAST(u.n_cand AS HUGEINT))
+                // (CAST(n.n_docs AS HUGEINT) * (n.n_docs - 1)) AS BIGINT)
+                AS rr_ppm,
+              CAST(CASE WHEN truth.n_true > 0
+                THEN (1000 * u.n_caught) // truth.n_true END AS BIGINT)
+                AS pc_milli
+            FROM u CROSS JOIN truth CROSS JOIN n
+            ORDER BY strategy"""))
+
   val queries: Seq[GQuery] =
-    Seq(x142, x145, x146, x159, x160, x188, x189, x305, x324)
+    Seq(x142, x145, x146, x159, x160, x188, x189, x305, x324, x365)
 }

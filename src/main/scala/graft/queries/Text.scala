@@ -2678,10 +2678,70 @@ object Text {
             FROM kstats ks JOIN pc ON ks.m = pc.m AND ks.k = pc.k
             ORDER BY 1, 2"""))
 
+  // ------------------------------------------------------------------- x364
+  // Good–Turing frequency table (Good 1953) — x258 reads the two HEADLINE
+  // numbers off the frequency-of-frequencies (Chao1 richness, P₀ unseen
+  // mass); this tabulates the WHOLE smoothing table an n-gram LM
+  // (x47/x144) actually consumes: per language and observed count r, the
+  // species count N_r and the Good–Turing adjusted count
+  // r* = (r+1)·N_{r+1}/N_r in millis — one integer division per cell.
+  // Raw GT semantics are kept honestly: a missing successor count
+  // (N_{r+1} = 0, detected by a gap-aware lead over the r domain) makes
+  // r* = 0, the raw estimator's known deficiency the smoothed variants
+  // (Katz, simple-GT) patch — emitting the raw table is the point; the
+  // patch is a modeling choice downstream. Reported for r ≤ 20, the
+  // band where GT smoothing is actually applied (higher counts use raw
+  // r); the lead() is computed BEFORE the band filter so r = 20 still
+  // sees N_21.
+  //
+  // Scale shape: one token scan → (lang, token) count (map-side
+  // combinable) → (lang, r) rollup — at most max-count rows per
+  // language — then lang-partitioned windows on that count-domain table.
+  private val x364 = GQuery(
+    "x364_good_turing", "ext-text smoothing good-turing table",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .select(col("lang"), explode(tokens).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val nr = counts.groupBy(col("lang"), col("c").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val w = Window.partitionBy("lang").orderBy("r")
+      nr.withColumn("next_r", lead(col("r"), 1).over(w))
+        .withColumn("next_n", lead(col("n_r"), 1).over(w))
+        .withColumn("r_star_milli", expr(
+          """case when next_r = r + 1
+               then (1000 * (r + 1) * next_n) div n_r
+             else 0L end"""))
+        .where(col("r") <= 20)
+        .select(col("lang"), col("r"), col("n_r"), col("r_star_milli"))
+        .orderBy("lang", "r")
+    },
+    Some("""WITH tok AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            counts AS (
+              SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+            nr AS (
+              SELECT lang, c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+              FROM counts GROUP BY 1, 2),
+            l AS (
+              SELECT *,
+                lead(r) OVER (PARTITION BY lang ORDER BY r) AS next_r,
+                lead(n_r) OVER (PARTITION BY lang ORDER BY r) AS next_n
+              FROM nr)
+            SELECT lang, r, n_r,
+              CASE WHEN next_r = r + 1
+                THEN (1000 * (r + 1) * next_n) // n_r
+                ELSE 0 END AS r_star_milli
+            FROM l WHERE r <= 20 ORDER BY lang, r"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
       x301, x302, x303, x306, x307, x315, x317, x320, x326, x329, x334, x336,
-      x339, x343, x347, x350)
+      x339, x343, x347, x350, x364)
 }

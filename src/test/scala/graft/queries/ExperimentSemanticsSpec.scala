@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the decision semantics of the x361–x368 wave (Shapley / CUPED /
+  * Holm / Nelson–Aalen / shard-balance / Good–Turing / blocking-quality /
+  * minhash-PR): each row's defining algebraic identity is recomputed
+  * independently (driver-side BigInt arithmetic or a literal simulation),
+  * so a value-hash oracle pass can never be a lucky constant and the
+  * cross-row no-drift contracts (shared truth tiers, shared risk tables,
+  * Holm ⊆ single-test flags) are suite-enforced.
+  */
+class ExperimentSemanticsSpec extends SparkSpec {
+
+  test("x361: Shapley efficiency — credits sum to 24·(v(N) − v(∅)), all ≥ 0") {
+    val rows = SparkEntry.queries("x361_shapley_attribution")(spark, sf001)
+      .collect()
+    assert(rows.length == 4)
+    val nConv = rows.head.getAs[Long]("n_conv")
+    val base = rows.head.getAs[Long]("baseline")
+    val phis = rows.map(_.getAs[Long]("phi_x24"))
+    assert(phis.forall(_ >= 0L), s"monotone v ⇒ non-negative φ: ${phis.toSeq}")
+    assert(phis.sum == 24L * (nConv - base),
+      s"efficiency: Σφ·24 = ${phis.sum}, 24·(v(N)−v(∅)) = ${24L * (nConv - base)}")
+    // shares are floor-truncated micro fractions of the attributable mass
+    if (nConv > base) {
+      val shares = rows.map(_.getAs[Long]("share_micro"))
+      assert(shares.sum <= 1000000L && shares.sum > 1000000L - 100L,
+        s"share truncation bound: ${shares.toSeq}")
+    }
+  }
+
+  test("x362: θ and adjusted means match an exact BigInt recomputation") {
+    val out = SparkEntry.queries("x362_cuped_adjustment")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("arm") -> r).toMap
+    // independent reimplementation: per-user (x, y) cents via Spark
+    // extraction (timestamps), all moments in exact BigInt on the driver
+    val e = Tables(spark, sf001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val t0 = e.map(_._2).min
+    val mid = t0 + (e.map(_._2).max - t0) / 2
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"a:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 2
+    }
+    val per = e.groupBy(_._1).map { case (u, es) =>
+      (arm(u), BigInt(es.filter(_._2 < mid).map(_._3).sum),
+        BigInt(es.filter(_._2 >= mid).map(_._3).sum))
+    }.toSeq
+    val n = BigInt(per.size)
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    val sxy = per.map(p => p._2 * p._3).sum
+    val vden = n * sxx - sx * sx
+    val theta = (BigInt(1000000) * (n * sxy - sx * sy)) / vden
+    for (a <- Seq(0L, 1L)) {
+      val mine = per.filter(_._1 == a)
+      val na = BigInt(mine.size); val sxa = mine.map(_._2).sum
+      val sya = mine.map(_._3).sum
+      val meanY = (BigInt(1000000) * sya) / na
+      val adj = meanY - (theta * (sxa * n - sx * na)) / (na * n)
+      val r = out(a)
+      assert(r.getAs[Long]("theta_micro") == theta.toLong, s"theta arm $a")
+      assert(r.getAs[Long]("mean_y_micro") == meanY.toLong, s"meanY arm $a")
+      assert(r.getAs[Long]("mean_adj_micro") == adj.toLong, s"adj arm $a")
+    }
+  }
+
+  test("x367: Holm ladder is exact, sequential, and implies the x357 flag") {
+    val rows = SparkEntry.queries("x367_holm_srm_scan")(spark, sf001)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    val crits = Seq(3841459L, 5023886L, 5731139L, 6238533L, 6634897L,
+      6960401L, 7236689L, 7476773L, 7689093L, 7879439L)
+    val m = rows.length
+    var alive = true
+    rows.foreach { r =>
+      val k = r.getAs[Long]("rank").toInt
+      assert(r.getAs[Long]("crit_micro") == crits(m - k), s"ladder at $r")
+      alive = alive && r.getAs[Long]("chi2_micro") >= r.getAs[Long]("crit_micro")
+      assert(r.getAs[Boolean]("holm_reject") == alive, s"sequential stop at $r")
+    }
+    // Holm rejection is never weaker than the naive per-test flag
+    val naive = SparkEntry.queries("x357_srm_guard")(spark, sf001)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Boolean]("srm_flag")).toMap
+    rows.filter(_.getAs[Boolean]("holm_reject")).foreach { r =>
+      assert(naive(r.getAs[String]("event_type")),
+        s"holm reject without single-test flag: $r")
+    }
+  }
+
+  test("x368: Nelson–Aalen is the running sum over x218's exact risk table") {
+    val na = SparkEntry.queries("x368_nelson_aalen")(spark, sf001)
+      .collect().sortBy(_.getAs[Long]("t"))
+    val km = SparkEntry.queries("x218_kaplan_meier")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d"), r.getAs[Long]("c"))).toMap
+    assert(na.length == km.size, "one shared risk table")
+    var cum = 0L
+    na.foreach { r =>
+      val (n, d, c) = km(r.getAs[Long]("t"))
+      assert((r.getAs[Long]("n_risk"), r.getAs[Long]("d"), r.getAs[Long]("c"))
+        == ((n, d, c)), s"risk row drift at $r")
+      val step = 1000000L * d / n
+      assert(r.getAs[Long]("h_step_micro") == step)
+      cum += step
+      assert(r.getAs[Long]("h_cum_micro") == cum, s"running sum at $r")
+    }
+  }
+
+  test("x363: shard TVD matches a driver-side recomputation over x36's shards") {
+    val out = SparkEntry.queries("x363_shard_balance_audit")(spark, sf001)
+      .collect().map(r => r.getAs[String]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tvd_ppm"),
+          r.getAs[Boolean]("balanced"))).toMap
+    // independent: the x36 registry row's own assignment + the source col
+    val assigned = SparkEntry.queries("x36_training_shuffle")(spark, sf001)
+      .select(col("doc_id"), substring(col("shard"), 1, 1).as("shard"))
+      .join(Tables(spark, sf001, "documents").select("doc_id", "source"), "doc_id")
+      .collect().map(r => (r.getAs[String]("shard"), r.getAs[String]("source")))
+    val nTotal = BigInt(assigned.length)
+    val srcTot = assigned.groupBy(_._2).map { case (s, v) => s -> BigInt(v.length) }
+    assigned.groupBy(_._1).foreach { case (sh, v) =>
+      val nShard = BigInt(v.length)
+      val cells = v.groupBy(_._2).map { case (s, w) => s -> BigInt(w.length) }
+      val num = srcTot.map { case (s, ns) =>
+        (cells.getOrElse(s, BigInt(0)) * nTotal - ns * nShard).abs }.sum
+      val tvd = (BigInt(1000000) * num) / (2 * nShard * nTotal)
+      assert(out(sh)._1 == nShard.toLong && out(sh)._2 == tvd.toLong,
+        s"shard $sh: ${out(sh)} vs ($nShard, $tvd)")
+      assert(out(sh)._3 == (tvd.toLong <= 20000L))
+    }
+    assert(out.values.map(_._1).sum == nTotal.toLong, "shards partition the corpus")
+  }
+
+  test("x364: Good–Turing r* matches counts-of-counts recomputed exactly") {
+    val out = SparkEntry.queries("x364_good_turing")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("r")) ->
+        (r.getAs[Long]("n_r"), r.getAs[Long]("r_star_milli"))).toMap
+    val counts = Tables(spark, sf001, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val nr = counts.groupBy(identity).map { case ((l, r), v) => (l, r) -> v.length.toLong }
+    nr.filter(_._1._2 <= 20).foreach { case ((l, r), n) =>
+      val nNext = nr.getOrElse((l, r + 1), 0L)
+      val rStar = if (nNext > 0) 1000L * (r + 1) * nNext / n else 0L
+      assert(out((l, r)) == ((n, rStar)), s"($l, $r): ${out((l, r))} vs ($n, $rStar)")
+    }
+    assert(out.keySet == nr.keySet.filter(_._2 <= 20), "cell domain")
+  }
+
+  test("x365: group-size shortcut equals a literal SNM window simulation") {
+    val rows = SparkEntry.queries("x365_blocking_quality_eval")(spark, sf001)
+      .collect().map(r => r.getAs[String]("strategy") -> r).toMap
+    val norms = Tables(spark, sf001, "documents")
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24)
+          .as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nTrue = norms.groupBy(_._2).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    // literal simulation of x146's blocking: sort each key8 block by
+    // (norm, doc_id), generate window-2 pairs, count them and the
+    // equal-norm pairs among them
+    var nCand = 0L; var nCaught = 0L
+    norms.groupBy(_._2.take(8)).values.foreach { block =>
+      val sorted = block.toSeq.sortBy(p => (p._2, p._1))
+      for (i <- sorted.indices; d <- 1 to 2 if i + d < sorted.size) {
+        nCand += 1
+        if (sorted(i)._2 == sorted(i + d)._2) nCaught += 1
+      }
+    }
+    val snm = rows("key8_snm_w2")
+    assert(snm.getAs[Long]("n_true") == nTrue)
+    assert(snm.getAs[Long]("n_cand") == nCand, "SNM candidate count")
+    assert(snm.getAs[Long]("n_caught") == nCaught, "SNM caught count")
+    assert(nTrue > 0L, "fixture must exercise the completeness leg")
+    // the coarse blocker is totally complete by prefix nesting
+    assert(rows("prefix4_allpairs").getAs[Long]("n_caught") == nTrue)
+    assert(rows("prefix4_allpairs").getAs[Long]("pc_milli") == 1000L)
+  }
+
+  test("x366: shares x348's truth tier; counting identities hold") {
+    val rows = SparkEntry.queries("x366_minhash_pr_eval")(spark, sf001).collect()
+    assert(rows.length == 3)
+    val nTrue = rows.head.getAs[Long]("n_true")
+    assert(rows.forall(_.getAs[Long]("n_true") == nTrue))
+    val x348True = SparkEntry.queries("x348_simhash_pr_eval")(spark, sf001)
+      .collect().head.getAs[Long]("n_true")
+    assert(nTrue == x348True, "one truth tier across both PR evals")
+    rows.foreach { r =>
+      val (cand, tp) = (r.getAs[Long]("n_cand"), r.getAs[Long]("tp"))
+      assert(tp <= cand && tp <= nTrue, s"tp bounds at $r")
+      if (cand > 0)
+        assert(r.getAs[Long]("precision_milli") == 1000L * tp / cand)
+      assert(r.getAs[Long]("recall_milli") == 1000L * tp / nTrue)
+      assert(r.getAs[Long]("n_bands") * r.getAs[Long]("rows_per_band") == 16L)
+    }
+  }
+}
