@@ -2835,9 +2835,140 @@ object CorpusOps {
                 AS balanced
             FROM g ORDER BY shard"""))
 
+  // ------------------------------------------------------------------- x371
+  // Neyman allocation (Neyman 1934) — the OPTIMAL stratified sampling
+  // plan x21's proportional split approximates: allocate a 10 000-doc
+  // budget across language strata ∝ N_h·S_h (stratum size × stratum
+  // std-dev of n_chars), the allocation that minimizes the estimator
+  // variance for a fixed budget. A high-variance stratum earns MORE
+  // than its proportional share — the table emits both allocations so
+  // the divergence is the readable payload. Arithmetic discipline: the
+  // variance numerator n·Σx²−(Σx)² is exact DECIMAL(38,0)/HUGEINT; the
+  // one unavoidable sqrt rides the x228 round-after-sqrt rule (both
+  // engines evaluate the IDENTICAL double from the identical exact
+  // integers, so the milli-quantized S_h matches), and everything after
+  // quantization is integer cross-multiplied floor division. A
+  // single-doc stratum has variance 0 and honestly earns 0.
+  //
+  // Scale shape: one fact scan to a 3-moment per-language rollup
+  // (map-side combinable), then |langs|-domain window arithmetic.
+  private val x371 = GQuery(
+    "x371_neyman_allocation", "ext-text sampling neyman allocation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+          sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("sxx"))
+        .withColumn("sd_milli", expr(
+          """cast(round(sqrt(cast(n_h * sxx - sx * sx as double))
+               / n_h * 1000, 0) as bigint)"""))
+        .withColumn("w_h", col("n_h") * col("sd_milli"))
+        .withColumn("tot_w", sum(col("w_h")).over(wAll))
+        .withColumn("tot_n", sum(col("n_h")).over(wAll))
+        .select(col("lang"), col("n_h"), col("sd_milli"),
+          expr("""cast(case when tot_w > 0
+               then (10000 * w_h) div tot_w end as bigint)""")
+            .as("neyman_alloc"),
+          expr("cast((10000 * n_h) div tot_n as bigint)")
+            .as("proportional_alloc"))
+        .orderBy("lang")
+    },
+    Some("""WITH g AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+                SUM(CAST(n_chars AS HUGEINT)) AS sx,
+                SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+              FROM documents GROUP BY 1),
+            sdv AS (
+              SELECT lang, n_h,
+                CAST(round(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))
+                  / n_h * 1000, 0) AS BIGINT) AS sd_milli
+              FROM g),
+            w AS (
+              SELECT *, n_h * sd_milli AS w_h,
+                CAST(SUM(n_h * sd_milli) OVER () AS BIGINT) AS tot_w,
+                CAST(SUM(n_h) OVER () AS BIGINT) AS tot_n
+              FROM sdv)
+            SELECT lang, n_h, sd_milli,
+              CAST(CASE WHEN tot_w > 0 THEN (10000 * w_h) // tot_w END
+                AS BIGINT) AS neyman_alloc,
+              CAST((10000 * n_h) // tot_n AS BIGINT) AS proportional_alloc
+            FROM w ORDER BY lang"""))
+
+  // ------------------------------------------------------------------- x372
+  // Reshard move plan — the migration-cost table read BEFORE growing
+  // x36's shard count (the consistent-hashing motivation, Karger et al.
+  // 1997, measured on this corpus's own assignment hash): for each
+  // growth path, how many documents change shards. Mod-hashing pays
+  // catastrophically (16→17 moves ~16/17 of the corpus; even the
+  // friendly 16→32 doubling moves half), while x36's hex-PREFIX scheme
+  // splits shards in place — width 1→2 moves ZERO docs across old
+  // boundaries, the property that makes it the production choice and
+  // why its growth factor is locked to 16. All three counts are exact
+  // integer comparisons on the same md5(doc_id:42) hash the shuffle
+  // itself uses (the x31 no-drift discipline).
+  //
+  // Scale shape: one map-only scan per strategy over the assignment
+  // hash (explode of a 3-literal strategy lattice inside the scan), one
+  // 3-row rollup. Nothing shuffles but the rollup.
+  private val x372 = GQuery(
+    "x372_reshard_move_plan", "ext-text layout reshard migration cost",
+    (s, dir) => {
+      docs(s, dir)
+        .select(expr(
+          "CAST(conv(substring(md5(concat(doc_id, ':42')), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"),
+          // old assignment (x36's width-1 shard) and the width-2 target:
+          // the prefix check below is the scheme's refinement property,
+          // measured rather than asserted
+          expr("substring(md5(concat(doc_id, ':42')), 1, 1)").as("p1"),
+          expr("substring(md5(concat(doc_id, ':42')), 1, 2)").as("p2"))
+        .select(col("h"), col("p1"), col("p2"), explode(expr(
+          """array('mod_16_to_17', 'mod_16_to_32', 'prefix_16_to_256')"""))
+          .as("strategy"))
+        .withColumn("moved", expr(
+          """case strategy
+               when 'mod_16_to_17' then cast(h % 16 != h % 17 as long)
+               when 'mod_16_to_32' then cast(h % 16 != h % 32 as long)
+               else cast(substring(p2, 1, 1) != p1 as long)
+             end"""))
+        .groupBy(col("strategy"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("moved")).as("n_moved"))
+        .withColumn("move_ppm", expr("(1000000 * n_moved) div n_docs"))
+        .orderBy("strategy")
+    },
+    Some("""WITH h AS (
+              SELECT CAST(CAST(CONCAT('0x',
+                  substr(md5(doc_id || ':42'), 1, 8)) AS UBIGINT) AS BIGINT)
+                  AS h,
+                substr(md5(doc_id || ':42'), 1, 1) AS p1,
+                substr(md5(doc_id || ':42'), 1, 2) AS p2
+              FROM documents),
+            f AS (
+              SELECT strategy,
+                CASE strategy
+                  WHEN 'mod_16_to_17' THEN
+                    CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END
+                  WHEN 'mod_16_to_32' THEN
+                    CASE WHEN h % 16 <> h % 32 THEN 1 ELSE 0 END
+                  ELSE CASE WHEN substr(p2, 1, 1) <> p1
+                    THEN 1 ELSE 0 END
+                END AS moved
+              FROM h CROSS JOIN (SELECT unnest(['mod_16_to_17',
+                'mod_16_to_32', 'prefix_16_to_256']) AS strategy))
+            SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(moved) AS BIGINT) AS n_moved,
+              (1000000 * CAST(SUM(moved) AS BIGINT))
+                // CAST(COUNT(*) AS BIGINT) AS move_ppm
+            FROM f GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
       x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
-      x257, x259, x263, x264, x265, x266, x267, x275, x341, x352, x363)
+      x257, x259, x263, x264, x265, x266, x267, x275, x341, x352, x363,
+      x371, x372)
 }

@@ -5257,9 +5257,97 @@ object Events {
                 AS BIGINT) AS h_cum_micro
             FROM risk ORDER BY t"""))
 
+  // ------------------------------------------------------------------- x369
+  // Cumulative gains / lift table — the targeting-model readout next to
+  // the threshold-free x219 AUC and the threshold-point x253 F1: users
+  // ranked by a LEAKAGE-FREE engagement score (non-purchase event count
+  // — ranking by spend would leak purchases into their own label),
+  // cut into NTILE(10) deciles under a deterministic total order
+  // (score desc, user_id), and per decile the cumulative capture rate
+  // (share of all converters found so far) and lift vs random
+  // targeting — both cross-multiplied exact integers. "Target the top
+  // 3 deciles" decisions read off this table; AUC alone can't price a
+  // campaign cutoff. NTILE follows the SQL-standard distribution (first
+  // n mod k buckets one larger) in both engines, so the decile edges
+  // hash-match.
+  //
+  // Scale shape: one fact scan to per-user (score, label), one
+  // dimension-sized rank window, a 10-row rollup + cumulative windows
+  // on the decile domain.
+  private val x369 = GQuery(
+    "x369_gains_table", "ext-events targeting gains lift table",
+    (s, dir) => {
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("pos"))
+      val wR = Window.orderBy(col("score").desc, col("user_id"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      per
+        .withColumn("decile", ntile(10).over(wR).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
+        .withColumn("cum_users", sum(col("n_users")).over(wCum))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .withColumn("tot_users", sum(col("n_users")).over(wAll))
+        .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+        .select(col("decile"), col("n_users"), col("n_pos"), col("cum_pos"),
+          expr("""cast(case when tot_pos > 0
+               then (1000 * cum_pos) div tot_pos end as bigint)""")
+            .as("capture_milli"),
+          // lift numerator is n²-sized (cum_pos·tot_users ~ 10¹⁸ at 10⁹
+          // users, ×1000 wraps BIGINT) — DECIMAL(38,0)/HUGEINT headroom
+          expr("""cast(case when cum_users * tot_pos > 0
+               then (1000 * cast(cum_pos as decimal(38,0)) * tot_users)
+                 div (cast(cum_users as decimal(38,0)) * tot_pos)
+             end as bigint)""").as("lift_milli"))
+        .orderBy("decile")
+    },
+    Some("""WITH per AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1
+                  ELSE 0 END) AS BIGINT) AS score,
+                CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE 0 END) AS BIGINT) AS pos
+              FROM events GROUP BY 1),
+            d AS (
+              SELECT score, pos,
+                CAST(NTILE(10) OVER (ORDER BY score DESC, user_id)
+                  AS BIGINT) AS decile
+              FROM per),
+            g AS (
+              SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(SUM(pos) AS BIGINT) AS n_pos
+              FROM d GROUP BY 1),
+            c AS (
+              SELECT *,
+                CAST(SUM(n_users) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users,
+                CAST(SUM(n_pos) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_pos,
+                CAST(SUM(n_users) OVER () AS BIGINT) AS tot_users,
+                CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+              FROM g)
+            SELECT decile, n_users, n_pos, cum_pos,
+              CAST(CASE WHEN tot_pos > 0
+                THEN (1000 * cum_pos) // tot_pos END AS BIGINT)
+                AS capture_milli,
+              CAST(CASE WHEN cum_users * tot_pos > 0
+                THEN (1000 * CAST(cum_pos AS HUGEINT) * tot_users)
+                  // (CAST(cum_users AS HUGEINT) * tot_pos)
+                END AS BIGINT) AS lift_milli
+            FROM c ORDER BY decile"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
-    x361, x362, x367, x368,
+    x361, x362, x367, x368, x369,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -2738,10 +2738,84 @@ object Text {
                 ELSE 0 END AS r_star_milli
             FROM l WHERE r <= 20 ORDER BY lang, r"""))
 
+  // ------------------------------------------------------------------- x370
+  // Context-length quantiles, TOKEN-weighted — the max_len planning
+  // table behind x33/x85's packing and any truncation policy: for each
+  // target coverage p, the smallest document length L such that docs of
+  // length ≤ L hold ≥ p of the corpus's TOKEN mass (the doc-weighted
+  // quantile x54's histogram implies answers a different question when
+  // long docs carry most tokens — which they do by construction). The
+  // lower-quantile convention and the cumulative-grid shape are x240's
+  // (first grid row whose cumulative weight crosses the cross-multiplied
+  // threshold); a second column reports the DOC share the same cutoff
+  // covers, making the "1 % of docs hold the tail 10 % of tokens" gap
+  // readable per row. Exact integers throughout.
+  //
+  // Scale shape: one doc scan to the length-domain grid (each doc of
+  // length ℓ contributes ℓ tokens, so the grid aggregate is
+  // map-side-combinable counts), cumulative windows over the GRID, a
+  // 5-value explode inside the grid, a join-back on the winning length.
+  private val x370 = GQuery(
+    "x370_context_length_quantiles", "ext-text packing max-len quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val cum = docs(s, dir)
+        .select(size(tokens).cast("long").as("len"))
+        .groupBy(col("len")).agg(count(lit(1)).as("docs"))
+        .withColumn("toks", col("len") * col("docs"))
+        .withColumn("cd", sum(col("docs")).over(wCum))
+        .withColumn("ct", sum(col("toks")).over(wCum))
+        .withColumn("td", sum(col("docs")).over(wAll))
+        .withColumn("tt", sum(col("toks")).over(wAll))
+        .localCheckpoint(true) // threshold scan + winner join-back
+      val win = cum
+        .select(col("len"), col("ct"), col("tt"),
+          explode(expr("array(500L, 750L, 900L, 950L, 990L)")).as("p_milli"))
+        .where(col("ct") * 1000 >= col("p_milli") * col("tt"))
+        .groupBy(col("p_milli")).agg(min(col("len")).as("max_len"))
+      win.join(cum.select(col("len").as("max_len"), col("cd"), col("ct"),
+          col("td"), col("tt")), Seq("max_len"))
+        .select(col("p_milli"), col("max_len"),
+          expr("cast((1000 * ct) div tt as bigint)").as("tokens_covered_milli"),
+          expr("cast((1000 * cd) div td as bigint)").as("docs_covered_milli"))
+        .orderBy("p_milli")
+    },
+    Some("""WITH grid AS (
+              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+                CAST(COUNT(*) AS BIGINT) AS docs
+              FROM documents GROUP BY 1),
+            cum AS (
+              SELECT len, docs, len * docs AS toks,
+                CAST(SUM(docs) OVER (ORDER BY len
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cd,
+                CAST(SUM(len * docs) OVER (ORDER BY len
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ct,
+                CAST(SUM(docs) OVER () AS BIGINT) AS td,
+                CAST(SUM(len * docs) OVER () AS BIGINT) AS tt
+              FROM grid),
+            win AS (
+              SELECT p_milli, MIN(len) AS max_len
+              FROM cum CROSS JOIN
+                (SELECT CAST(unnest([500, 750, 900, 950, 990]) AS BIGINT)
+                   AS p_milli)
+              WHERE ct * 1000 >= p_milli * tt
+              GROUP BY 1)
+            SELECT p_milli, CAST(max_len AS BIGINT) AS max_len,
+              CAST((1000 * ct) // tt AS BIGINT) AS tokens_covered_milli,
+              CAST((1000 * cd) // td AS BIGINT) AS docs_covered_milli
+            FROM win JOIN cum ON cum.len = win.max_len
+            ORDER BY p_milli"""))
+
   val queries: Seq[GQuery] =
     Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
       x301, x302, x303, x306, x307, x315, x317, x320, x326, x329, x334, x336,
-      x339, x343, x347, x350, x364)
+      x339, x343, x347, x350, x364, x370)
 }

@@ -185,6 +185,108 @@ class ExperimentSemanticsSpec extends SparkSpec {
     assert(rows("prefix4_allpairs").getAs[Long]("pc_milli") == 1000L)
   }
 
+  test("x369: gains table — capture monotone to 1000, lift exact, no leakage") {
+    val rows = SparkEntry.queries("x369_gains_table")(spark, sf001)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val captures = rows.map(_.getAs[Long]("capture_milli"))
+    assert(captures.zip(captures.tail).forall { case (a, b) => a <= b },
+      "cumulative capture is monotone")
+    assert(captures.last == 1000L, "decile 10 captures everything")
+    // independent recomputation from raw events (score excludes purchases)
+    val per = Tables(spark, sf001, "events")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type")))
+      .groupBy(_._1).map { case (u, es) =>
+        (u, es.count(_._2 != "purchase").toLong,
+          if (es.exists(_._2 == "purchase")) 1L else 0L)
+      }.toSeq
+    val n = per.size
+    val sorted = per.sortBy(p => (-p._2, p._1))
+    val deciles = sorted.zipWithIndex.map { case (p, i) =>
+      // SQL-standard NTILE: first (n mod 10) buckets get ceil(n/10)
+      val big = n % 10; val sz = n / 10
+      val d = if (i < big * (sz + 1)) i / (sz + 1) else big + (i - big * (sz + 1)) / sz
+      (d + 1L, p._3)
+    }
+    val totPos = per.map(_._3).sum
+    var cum = 0L
+    (1L to 10L).foreach { d =>
+      cum += deciles.filter(_._1 == d).map(_._2).sum
+      assert(rows(d.toInt - 1).getAs[Long]("cum_pos") == cum, s"cum_pos at $d")
+      assert(rows(d.toInt - 1).getAs[Long]("capture_milli") == 1000L * cum / totPos)
+    }
+  }
+
+  test("x370: token-weighted length quantiles match an exact recomputation") {
+    val rows = SparkEntry.queries("x370_context_length_quantiles")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("p_milli") -> r).toMap
+    val lens = Tables(spark, sf001, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(_.getLong(0)).sorted
+    val tt = lens.sum
+    for (p <- Seq(500L, 750L, 900L, 950L, 990L)) {
+      var ct = 0L
+      val lp = lens.find { l => ct += l; ct * 1000 >= p * tt }.get
+      assert(rows(p).getAs[Long]("max_len") == lp, s"L_$p")
+      val covered = lens.filter(_ <= lp).sum
+      assert(rows(p).getAs[Long]("tokens_covered_milli") == 1000L * covered / tt)
+      assert(rows(p).getAs[Long]("docs_covered_milli") ==
+        1000L * lens.count(_ <= lp) / lens.length)
+    }
+  }
+
+  test("x371: Neyman allocation matches round-after-sqrt recomputation") {
+    val rows = SparkEntry.queries("x371_neyman_allocation")(spark, sf001)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val per = Tables(spark, sf001, "documents")
+      .select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+      .groupBy(_._1).map { case (l, v) =>
+        val n = BigInt(v.size); val sx = v.map(_._2).sum
+        val sxx = v.map(x => x._2 * x._2).sum
+        val sd = math.round(math.sqrt((n * sxx - sx * sx).toDouble)
+          / n.toDouble * 1000)
+        (l, n.toLong, sd)
+      }
+    val totW = per.map(p => p._2 * p._3).sum
+    val totN = per.map(_._2).sum
+    per.foreach { case (l, n, sd) =>
+      val r = rows(l)
+      assert(r.getAs[Long]("sd_milli") == sd, s"sd for $l")
+      assert(r.getAs[Long]("neyman_alloc") == 10000L * n * sd / totW)
+      assert(r.getAs[Long]("proportional_alloc") == 10000L * n / totN)
+    }
+    // the point of the row: Neyman diverges from proportional somewhere
+    assert(per.exists { case (l, _, _) =>
+      rows(l).getAs[Long]("neyman_alloc") !=
+        rows(l).getAs[Long]("proportional_alloc") },
+      "fixture must show a non-proportional allocation")
+  }
+
+  test("x372: mod resharding pays, prefix split moves zero") {
+    val rows = SparkEntry.queries("x372_reshard_move_plan")(spark, sf001)
+      .collect().map(r => r.getAs[String]("strategy") -> r).toMap
+    // prefix refinement: structurally zero movers
+    assert(rows("prefix_16_to_256").getAs[Long]("n_moved") == 0L)
+    assert(rows("prefix_16_to_256").getAs[Long]("move_ppm") == 0L)
+    // independent recount of the mod strategies from the same hash
+    def h(d: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16)
+    }
+    val ids = Tables(spark, sf001, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    val m17 = ids.count(d => h(d) % 16 != h(d) % 17).toLong
+    val m32 = ids.count(d => h(d) % 16 != h(d) % 32).toLong
+    assert(rows("mod_16_to_17").getAs[Long]("n_moved") == m17)
+    assert(rows("mod_16_to_32").getAs[Long]("n_moved") == m32)
+    // and the qualitative lesson holds on the fixture
+    assert(rows("mod_16_to_17").getAs[Long]("move_ppm") > 850000L)
+    assert(rows("mod_16_to_32").getAs[Long]("move_ppm") > 400000L)
+  }
+
   test("x366: shares x348's truth tier; counting identities hold") {
     val rows = SparkEntry.queries("x366_minhash_pr_eval")(spark, sf001).collect()
     assert(rows.length == 3)
