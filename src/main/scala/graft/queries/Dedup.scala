@@ -2136,14 +2136,21 @@ object Dedup {
           col("b.doc_id").as("b_id"))
         .distinct()
       val sets = shingleSets(corpus).localCheckpoint(true) // cand J + truth
-      val perSlicing = cand
+      // exact J once per DISTINCT pair, not per (slicing, pair): the r=2
+      // slicing's candidates largely contain the others', so scoring the
+      // union once and joining back saves up to 3× of the set
+      // intersections (measured ~25 % of the row's cost at sf0.1)
+      val scored = cand.select(col("a_id"), col("b_id")).distinct()
         .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
           col("n").as("n_a")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
           col("n").as("n_b")), "b_id")
         .withColumn("inter",
           size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("j_milli", expr("(1000 * inter) div (n_a + n_b - inter)"))
+        .select(col("a_id"), col("b_id"),
+          expr("(1000 * inter) div (n_a + n_b - inter)").as("j_milli"))
+      val perSlicing = cand
+        .join(scored, Seq("a_id", "b_id"))
         .groupBy(col("rr"))
         .agg(count(lit(1)).as("n_cand"),
           sum(when(col("j_milli") >= 500, 1L).otherwise(0L)).as("tp"))

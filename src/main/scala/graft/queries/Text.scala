@@ -2691,8 +2691,13 @@ object Text {
   // (Katz, simple-GT) patch — emitting the raw table is the point; the
   // patch is a modeling choice downstream. Reported for r ≤ 20, the
   // band where GT smoothing is actually applied (higher counts use raw
-  // r); the lead() is computed BEFORE the band filter so r = 20 still
-  // sees N_21.
+  // r); the lead() is computed BEFORE the band filter so the last kept
+  // row still sees its successor. The band is the 20 SMALLEST OBSERVED
+  // counts per language (a rank, not an absolute r ≤ 20): "low
+  // frequency" is relative to the corpus — a small fixture's rarest
+  // words are singletons, a 10× one's may start at r = 27 — and an
+  // absolute cutoff silently empties the table as the corpus grows
+  // (caught at sf0.1).
   //
   // Scale shape: one token scan → (lang, token) count (map-side
   // combinable) → (lang, r) rollup — at most max-count rows per
@@ -2710,11 +2715,12 @@ object Text {
       val w = Window.partitionBy("lang").orderBy("r")
       nr.withColumn("next_r", lead(col("r"), 1).over(w))
         .withColumn("next_n", lead(col("n_r"), 1).over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("r_star_milli", expr(
           """case when next_r = r + 1
                then (1000 * (r + 1) * next_n) div n_r
              else 0L end"""))
-        .where(col("r") <= 20)
+        .where(col("rk") <= 20)
         .select(col("lang"), col("r"), col("n_r"), col("r_star_milli"))
         .orderBy("lang", "r")
     },
@@ -2730,13 +2736,14 @@ object Text {
             l AS (
               SELECT *,
                 lead(r) OVER (PARTITION BY lang ORDER BY r) AS next_r,
-                lead(n_r) OVER (PARTITION BY lang ORDER BY r) AS next_n
+                lead(n_r) OVER (PARTITION BY lang ORDER BY r) AS next_n,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY r) AS rk
               FROM nr)
             SELECT lang, r, n_r,
               CASE WHEN next_r = r + 1
                 THEN (1000 * (r + 1) * next_n) // n_r
                 ELSE 0 END AS r_star_milli
-            FROM l WHERE r <= 20 ORDER BY lang, r"""))
+            FROM l WHERE rk <= 20 ORDER BY lang, r"""))
 
   // ------------------------------------------------------------------- x370
   // Context-length quantiles, TOKEN-weighted — the max_len planning

@@ -146,12 +146,17 @@ class ExperimentSemanticsSpec extends SparkSpec {
       .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(2)))
     val nr = counts.groupBy(identity).map { case ((l, r), v) => (l, r) -> v.length.toLong }
-    nr.filter(_._1._2 <= 20).foreach { case ((l, r), n) =>
+    // the band is the 20 smallest OBSERVED r per language (rank, not
+    // absolute — an absolute cutoff empties the table as the corpus grows)
+    val kept = nr.keySet.groupBy(_._1).values
+      .flatMap(ks => ks.toSeq.sortBy(_._2).take(20)).toSet
+    kept.foreach { case (l, r) =>
+      val n = nr((l, r))
       val nNext = nr.getOrElse((l, r + 1), 0L)
       val rStar = if (nNext > 0) 1000L * (r + 1) * nNext / n else 0L
       assert(out((l, r)) == ((n, rStar)), s"($l, $r): ${out((l, r))} vs ($n, $rStar)")
     }
-    assert(out.keySet == nr.keySet.filter(_._2 <= 20), "cell domain")
+    assert(out.keySet == kept, "cell domain")
   }
 
   test("x365: group-size shortcut equals a literal SNM window simulation") {
