@@ -5345,9 +5345,167 @@ object Events {
                 END AS BIGINT) AS lift_milli
             FROM c ORDER BY decile"""))
 
+  // ------------------------------------------------------------------- x373
+  // Attribution model sensitivity — first-touch, last-touch and linear
+  // credit side by side over x269's EXACT touch window (same 7-day
+  // user-keyed join, the x31 no-drift discipline), the table a budget
+  // owner reads before trusting ANY single attribution model: when the
+  // channel ranking flips between models, the model choice — not the
+  // data — is driving the budget. Completes the attribution family
+  // (x49 strict funnel, x269 time-decay, x361 Shapley) with the three
+  // industry-default heuristics, all exact: first/last are rank-1
+  // indicators under deterministic (us, event_id) orders, linear is the
+  // same per-conversion integer split as x269's normalizer (truncation
+  // stays inside each conversion).
+  //
+  // Scale shape: x269's — user-keyed conversion×touch join with a
+  // range predicate (per-user-bounded fan-out), conversion-keyed
+  // windows, one |types|-domain rollup.
+  private val x373 = GQuery(
+    "x373_attribution_sensitivity", "ext-events attribution model comparison",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val conv = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("cus"),
+          col("event_id").as("conv_id"))
+      val touches = e.join(conv, Seq("user_id"))
+        .where(col("us") < col("cus")
+          && col("us") >= col("cus") - lit(7L * 86400000000L))
+      val wAsc = Window.partitionBy("conv_id")
+        .orderBy(col("us"), col("event_id"))
+      val wDesc = Window.partitionBy("conv_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val wAll = Window.partitionBy("conv_id")
+      touches
+        .withColumn("rn_f", row_number().over(wAsc))
+        .withColumn("rn_l", row_number().over(wDesc))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("rn_f") === 1, 1000000L).otherwise(0L))
+            .as("first_micro"),
+          sum(when(col("rn_l") === 1, 1000000L).otherwise(0L))
+            .as("last_micro"),
+          sum(expr("1000000 div cnt")).as("linear_micro"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+              FROM events),
+            conv AS (
+              SELECT user_id, us AS cus, event_id AS conv_id
+              FROM e WHERE event_type = 'purchase'),
+            touches AS (
+              SELECT t.event_type, c.conv_id, t.us, t.event_id
+              FROM e t JOIN conv c ON c.user_id = t.user_id
+              WHERE t.us < c.cus AND t.us >= c.cus - 7 * 86400000000),
+            r AS (
+              SELECT event_type,
+                ROW_NUMBER() OVER (PARTITION BY conv_id
+                  ORDER BY us, event_id) AS rn_f,
+                ROW_NUMBER() OVER (PARTITION BY conv_id
+                  ORDER BY us DESC, event_id DESC) AS rn_l,
+                COUNT(*) OVER (PARTITION BY conv_id) AS cnt
+              FROM touches)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+              CAST(SUM(CASE WHEN rn_f = 1 THEN 1000000 ELSE 0 END)
+                AS BIGINT) AS first_micro,
+              CAST(SUM(CASE WHEN rn_l = 1 THEN 1000000 ELSE 0 END)
+                AS BIGINT) AS last_micro,
+              CAST(SUM(1000000 // cnt) AS BIGINT) AS linear_micro
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x374
+  // Winsorized A/B readout — the heavy-tail-robust experiment metric
+  // next to x187 (proportions), x353 (power) and x362 (CUPED): per-user
+  // spend clipped at the POOLED 5th/95th percentiles before the arm
+  // means, the standard guard against one whale user deciding the
+  // experiment (x149 winsorizes a column for analytics; this is the
+  // experiment-readout form, clipping at pooled — not per-arm —
+  // thresholds so the clip itself cannot introduce an arm asymmetry).
+  // Thresholds by x278's lower nearest-rank convention on a rank
+  // window (first value whose cumulative rank crosses p·n), arms by
+  // the x357 md5-parity assignment; both raw and winsorized means
+  // emitted so the whale's leverage is the readable payload. All
+  // integer cents and floor divisions.
+  //
+  // Scale shape: one fact scan to per-user spend, one dimension-sized
+  // rank window for the two thresholds, a 2-row arm rollup.
+  private val x374 = GQuery(
+    "x374_winsorized_ab", "ext-events experiment winsorized readout",
+    (s, dir) => {
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+      val wR = Window.orderBy(col("spend"), col("user_id"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val ranked = per
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .localCheckpoint(true) // threshold fold + arm rollup
+      val thr = ranked
+        .agg(min(when(col("rn") * 1000 >= col("n") * 50, col("spend")))
+            .as("lo_cents"),
+          min(when(col("rn") * 1000 >= col("n") * 950, col("spend")))
+            .as("hi_cents"))
+      ranked.crossJoin(broadcast(thr))
+        .withColumn("w", greatest(least(col("spend"), col("hi_cents")),
+          col("lo_cents")))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("spend")).as("sum_cents"),
+          sum(col("w")).as("sum_w_cents"),
+          min(col("lo_cents")).as("lo_cents"),
+          min(col("hi_cents")).as("hi_cents"))
+        .select(col("arm"), col("n_users"), col("lo_cents"), col("hi_cents"),
+          expr("cast((1000000 * sum_cents) div n_users as bigint)")
+            .as("mean_micro"),
+          expr("cast((1000000 * sum_w_cents) div n_users as bigint)")
+            .as("mean_winsor_micro"))
+        .orderBy("arm")
+    },
+    Some("""WITH per AS (
+              SELECT user_id,
+                CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS spend
+              FROM events GROUP BY 1),
+            pa AS (
+              SELECT user_id, spend,
+                CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 2 AS arm
+              FROM per),
+            rk AS (
+              SELECT *,
+                CAST(ROW_NUMBER() OVER (ORDER BY spend, user_id)
+                  AS BIGINT) AS rn,
+                CAST(COUNT(*) OVER () AS BIGINT) AS n
+              FROM pa),
+            thr AS (
+              SELECT
+                MIN(CASE WHEN rn * 1000 >= n * 50 THEN spend END)
+                  AS lo_cents,
+                MIN(CASE WHEN rn * 1000 >= n * 950 THEN spend END)
+                  AS hi_cents
+              FROM rk)
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(MIN(thr.lo_cents) AS BIGINT) AS lo_cents,
+              CAST(MIN(thr.hi_cents) AS BIGINT) AS hi_cents,
+              CAST((1000000 * SUM(spend)) // COUNT(*) AS BIGINT)
+                AS mean_micro,
+              CAST((1000000 * SUM(greatest(least(spend, thr.hi_cents),
+                  thr.lo_cents))) // COUNT(*) AS BIGINT)
+                AS mean_winsor_micro
+            FROM rk CROSS JOIN thr
+            GROUP BY arm ORDER BY arm"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
-    x361, x362, x367, x368, x369,
+    x361, x362, x367, x368, x369, x373, x374,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -292,6 +292,60 @@ class ExperimentSemanticsSpec extends SparkSpec {
     assert(rows("mod_16_to_32").getAs[Long]("move_ppm") > 400000L)
   }
 
+  test("x373: each model distributes exactly 10^6 per conversion; x269's window") {
+    val rows = SparkEntry.queries("x373_attribution_sensitivity")(spark, sf001)
+      .collect()
+    // the touch table is x269's — same rows per type, suite-enforced
+    val decay = SparkEntry.queries("x269_timedecay_attribution")(spark, sf001)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_touches")).toMap
+    rows.foreach { r =>
+      assert(decay(r.getAs[String]("event_type")) == r.getAs[Long]("n_touches"),
+        s"touch-window drift vs x269 at $r")
+    }
+    val first = rows.map(_.getAs[Long]("first_micro")).sum
+    val last = rows.map(_.getAs[Long]("last_micro")).sum
+    val linear = rows.map(_.getAs[Long]("linear_micro")).sum
+    assert(first == last, "first and last both place exactly one credit per conversion")
+    assert(first % 1000000L == 0L)
+    val nConv = first / 1000000L
+    assert(nConv > 0)
+    // linear truncates inside each conversion: within n_touches of full
+    val nTouches = rows.map(_.getAs[Long]("n_touches")).sum
+    assert(linear <= 1000000L * nConv && linear > 1000000L * nConv - nTouches,
+      s"linear credit conservation: $linear vs ${1000000L * nConv}")
+  }
+
+  test("x374: pooled thresholds and winsorized means match a BigInt replay") {
+    val out = SparkEntry.queries("x374_winsorized_ab")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("arm") -> r).toMap
+    val per = Tables(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = per.sortBy(p => (p._2, p._1)).map(_._2)
+    val n = sorted.length
+    def thr(pMilli: Long): Long =
+      sorted.zipWithIndex.collectFirst {
+        case (s, i) if (i + 1).toLong * 1000 >= n * pMilli => s }.get
+    val (lo, hi) = (thr(50), thr(950))
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"a:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 2
+    }
+    for (a <- Seq(0L, 1L)) {
+      val mine = per.filter(p => arm(p._1) == a).map(_._2)
+      val w = mine.map(s => math.max(math.min(s, hi), lo))
+      val r = out(a)
+      assert(r.getAs[Long]("lo_cents") == lo && r.getAs[Long]("hi_cents") == hi)
+      assert(r.getAs[Long]("mean_micro") ==
+        (BigInt(1000000) * BigInt(mine.sum) / mine.size).toLong)
+      assert(r.getAs[Long]("mean_winsor_micro") ==
+        (BigInt(1000000) * BigInt(w.sum) / w.size).toLong)
+    }
+  }
+
   test("x366: shares x348's truth tier; counting identities hold") {
     val rows = SparkEntry.queries("x366_minhash_pr_eval")(spark, sf001).collect()
     assert(rows.length == 3)
