@@ -5503,9 +5503,81 @@ object Events {
             FROM rk CROSS JOIN thr
             GROUP BY arm ORDER BY arm"""))
 
+  // ------------------------------------------------------------------- x375
+  // Quantile treatment effects — the DISTRIBUTIONAL experiment readout
+  // completing the robust family (x187 proportions, x374 winsorized
+  // mean, x362 CUPED): per arm, exact lower-nearest-rank quantiles of
+  // per-user spend at p ∈ {250, 500, 750, 900}‰ and the per-quantile
+  // arm difference. A treatment that moves only the tail (or only the
+  // median) is invisible to any single mean; the QTE row is how that
+  // reads. Arms by the x357 md5-parity assignment; ranks are
+  // ARM-PARTITIONED windows under a deterministic (spend, user_id)
+  // order; the quantile pick is the x240/x374 cumulative-crossing
+  // convention, all integer cross-multiplication.
+  //
+  // Scale shape: one fact scan to per-user spend, arm-partitioned rank
+  // windows (dimension-sized), a (p × arm)-domain rollup pivoted to
+  // one row per p.
+  private val x375 = GQuery(
+    "x375_quantile_treatment_effects", "ext-events experiment qte",
+    (s, dir) => {
+      val wR = Window.partitionBy("arm").orderBy(col("spend"), col("user_id"))
+      val wN = Window.partitionBy("arm")
+      val picks = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN).cast("long"))
+        .select(col("arm"), col("spend"), col("rn"), col("n"),
+          explode(expr("array(250L, 500L, 750L, 900L)")).as("p_milli"))
+        .where(col("rn") * 1000 >= col("n") * col("p_milli"))
+        .groupBy(col("p_milli"), col("arm"))
+        .agg(min(col("spend")).as("q_cents"))
+      picks.groupBy(col("p_milli"))
+        .agg(min(when(col("arm") === 0L, col("q_cents"))).as("q_a_cents"),
+          min(when(col("arm") === 1L, col("q_cents"))).as("q_b_cents"))
+        .withColumn("qte_cents", col("q_b_cents") - col("q_a_cents"))
+        .orderBy("p_milli")
+    },
+    Some("""WITH per AS (
+              SELECT user_id,
+                CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS spend
+              FROM events GROUP BY 1),
+            pa AS (
+              SELECT user_id, spend,
+                CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 2 AS arm
+              FROM per),
+            rk AS (
+              SELECT *,
+                CAST(ROW_NUMBER() OVER (PARTITION BY arm
+                  ORDER BY spend, user_id) AS BIGINT) AS rn,
+                CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+              FROM pa),
+            picks AS (
+              SELECT p_milli, arm, MIN(spend) AS q_cents
+              FROM rk CROSS JOIN
+                (SELECT CAST(unnest([250, 500, 750, 900]) AS BIGINT)
+                   AS p_milli)
+              WHERE rn * 1000 >= n * p_milli
+              GROUP BY 1, 2)
+            SELECT p_milli,
+              CAST(MIN(CASE WHEN arm = 0 THEN q_cents END) AS BIGINT)
+                AS q_a_cents,
+              CAST(MIN(CASE WHEN arm = 1 THEN q_cents END) AS BIGINT)
+                AS q_b_cents,
+              CAST(MIN(CASE WHEN arm = 1 THEN q_cents END)
+                - MIN(CASE WHEN arm = 0 THEN q_cents END) AS BIGINT)
+                AS qte_cents
+            FROM picks GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
-    x361, x362, x367, x368, x369, x373, x374,
+    x361, x362, x367, x368, x369, x373, x374, x375,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -346,6 +346,35 @@ class ExperimentSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("x375: per-arm quantiles match a nearest-rank replay") {
+    val rows = SparkEntry.queries("x375_quantile_treatment_effects")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("p_milli") -> r).toMap
+    val per = Tables(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"a:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 2
+    }
+    def q(a: Long, p: Long): Long = {
+      val s = per.filter(x => arm(x._1) == a).sortBy(x => (x._2, x._1)).map(_._2)
+      s.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1).toLong * 1000 >= s.length.toLong * p => v }.get
+    }
+    for (p <- Seq(250L, 500L, 750L, 900L)) {
+      val r = rows(p)
+      assert(r.getAs[Long]("q_a_cents") == q(0, p), s"arm A q$p")
+      assert(r.getAs[Long]("q_b_cents") == q(1, p), s"arm B q$p")
+      assert(r.getAs[Long]("qte_cents") == q(1, p) - q(0, p))
+    }
+    // quantiles are monotone in p within each arm
+    val ps = Seq(250L, 500L, 750L, 900L).map(rows)
+    assert(ps.map(_.getAs[Long]("q_a_cents")).sliding(2).forall(s => s.head <= s.last))
+    assert(ps.map(_.getAs[Long]("q_b_cents")).sliding(2).forall(s => s.head <= s.last))
+  }
+
   test("x366: shares x348's truth tier; counting identities hold") {
     val rows = SparkEntry.queries("x366_minhash_pr_eval")(spark, sf001).collect()
     assert(rows.length == 3)
