@@ -44,7 +44,14 @@ object Bench {
     // fingerprints-only mode (builder-side tool, never set by the
     // driver): regenerate plans_r<N>.json without the ~15-minute timed
     // pass — used after a fingerprint-normalization fix so the round's
-    // artifact reflects the algorithm the NEXT round will compare with
+    // artifact reflects the algorithm the NEXT round will compare with.
+    // MODE CAVEAT (measured, round 11): a handful of plans are
+    // catalog-stats-sensitive (b03/c34/x134/x135/x137 at this writing) —
+    // in a timed session the ANALYZE-running registry rows (x156/x200
+    // family) have populated stats by fingerprint time, and CBO shapes
+    // those plans differently than in a cold FPONLY session. FPONLY
+    // runs are self-consistent; just don't adjudicate an FPONLY
+    // artifact against a timed one on those names.
     if (sys.env.contains("SPARK_GRAFT_FPONLY")) {
       writePlanFingerprints(spark, currentRound(), queries, sfDir)
       spark.stop()

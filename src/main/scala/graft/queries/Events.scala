@@ -4795,8 +4795,7 @@ object Events {
   private def srmArmCounts(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_type"), col("user_id")).distinct()
-      .withColumn("arm", expr(
-        "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+      .withColumn("arm", Experiment.arm)
       .groupBy(col("event_type"))
       .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
@@ -5042,8 +5041,7 @@ object Events {
         .groupBy(col("user_id"))
         .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
           sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
-        .withColumn("arm", expr(
-          "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .withColumn("arm", Experiment.arm)
         .localCheckpoint(true) // pooled moments + per-arm rollup both read it
       val g = per.agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(38,0)")).as("sx"),
@@ -5438,8 +5436,7 @@ object Events {
       val per = events(s, dir)
         .groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
-        .withColumn("arm", expr(
-          "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .withColumn("arm", Experiment.arm)
       val wR = Window.orderBy(col("spend"), col("user_id"))
       val wAll = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
@@ -5526,8 +5523,7 @@ object Events {
       val picks = events(s, dir)
         .groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
-        .withColumn("arm", expr(
-          "CAST(conv(substring(md5(concat('a:', cast(user_id as string))), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .withColumn("arm", Experiment.arm)
         .withColumn("rn", row_number().over(wR).cast("long"))
         .withColumn("n", count(lit(1)).over(wN).cast("long"))
         .select(col("arm"), col("spend"), col("rn"), col("n"),
