@@ -375,6 +375,37 @@ class ExperimentSemanticsSpec extends SparkSpec {
     assert(ps.map(_.getAs[Long]("q_b_cents")).sliding(2).forall(s => s.head <= s.last))
   }
 
+  test("scale-shape pins: the new rows plan what their scaladocs claim") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.optimizedPlan.toString
+    // x363 audits membership only — Catalyst must prune trainingShuffle's
+    // unused pos window (verified manually this round; pinned so a Spark
+    // upgrade regression is caught by the suite, not the bench)
+    val p363 = plan("x363_shard_balance_audit")
+    assert(!p363.contains("Window") && !p363.toLowerCase.contains("row_number"),
+      "x363 must not compute the shuffle's rank window")
+    // x361 computes v(S) as closed-form flag sums — no lattice join, no
+    // generator over the fact side beyond the 4-row output stack
+    val p361 = plan("x361_shapley_attribution")
+    assert(!p361.toLowerCase.contains("cartesianproduct"),
+      "x361 must not join a subset lattice")
+    // x372 is a map-only scan + rollup: a single scan of documents,
+    // no self-join (the strategy fan-out rides an explode)
+    val p372 = plan("x372_reshard_move_plan")
+    assert(!p372.contains("Join"), "x372 must not join")
+    // x364's windows run on the count DOMAIN grid after the fact-sized
+    // aggregate, never on the token stream: the window's child must
+    // already be an Aggregate. (x370 has the same shape but its
+    // localCheckpoint truncates the observable lineage to a LogicalRDD,
+    // so the pin can't see its window.)
+    val p364 = plan("x364_good_turing")
+    val winIdx = p364.indexOf("Window")
+    assert(winIdx >= 0, "x364 expects domain windows")
+    assert(p364.indexOf("Aggregate", winIdx) >= 0,
+      s"x364: window must sit above the domain aggregate, got:\n$p364")
+  }
+
   test("x366: shares x348's truth tier; counting identities hold") {
     val rows = SparkEntry.queries("x366_minhash_pr_eval")(spark, sf001).collect()
     assert(rows.length == 3)
