@@ -5,8 +5,15 @@ Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet written by graft.Verify, runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
-compares values exactly (columns sorted by name, rows sorted by all columns).
-Not part of the shipped library — local iteration tooling only.
+compares values EXACTLY. Round-12 rewrite: the r11 version pulled both
+sides through pandas ``fetchdf()``, which renders DECIMAL(38,0) as
+float64 — two values differing in the last ~4 digits at 2^64 magnitude
+compared EQUAL, so x302 shipped "green" locally and failed the driver's
+exact hash. The comparison now never leaves DuckDB: every cell is CAST
+to VARCHAR inside the engine (DECIMAL/HUGEINT render all digits) and the
+two sides are diffed with EXCEPT ALL both ways — at least as strict as
+the driver's canonical hash. Not part of the shipped library — local
+iteration tooling only.
 """
 import json
 import os
@@ -18,10 +25,56 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+def cols_of(con, rel_sql):
+    return [(r[0], r[1]) for r in
+            con.execute(f"DESCRIBE {rel_sql}").fetchall()]
+
+
+def varchar_sel(cols):
+    # sorted column order mirrors the driver's sort-columns-by-name hash.
+    # DATE and TIMESTAMP unify through TIMESTAMP before rendering: Spark's
+    # date_trunc('day', ...) writes a midnight TIMESTAMP where the oracle
+    # SQL produces a DATE — same value, different VARCHAR — and the
+    # driver's hash treats them as equal (x134/x166-family are green in
+    # every CORRECTNESS round). Everything else renders exactly: DECIMAL/
+    # HUGEINT keep all digits, which is the point of this rewrite.
+    parts = []
+    for c, t in sorted(cols):
+        if "TIMESTAMP" in t or t == "DATE":
+            parts.append(f'CAST(CAST("{c}" AS TIMESTAMP) AS VARCHAR) AS "{c}"')
+        else:
+            parts.append(f'CAST("{c}" AS VARCHAR) AS "{c}"')
+    return ", ".join(parts)
+
+
+def check_one(con, name, sql, out_dir):
+    got_rel = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+    gcols = cols_of(con, f"({got_rel})")
+    try:
+        wcols = cols_of(con, f"({sql})")
+    except Exception as e:  # noqa: BLE001
+        return f"FAIL {name}: oracle SQL error: {e}"
+    gnames, wnames = [c for c, _ in gcols], [c for c, _ in wcols]
+    if sorted(gnames) != sorted(wnames):
+        return f"FAIL {name}: columns {sorted(gnames)} != {sorted(wnames)}"
+    ng = con.execute(f"SELECT COUNT(*) FROM ({got_rel})").fetchone()[0]
+    nw = con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+    if ng != nw:
+        return f"FAIL {name}: rows {ng} != {nw}"
+    sel_g, sel_w = varchar_sel(gcols), varchar_sel(wcols)
+    extra = con.execute(
+        f"SELECT {sel_g} FROM ({got_rel}) EXCEPT ALL "
+        f"SELECT {sel_w} FROM ({sql})").fetchall()
+    missing = con.execute(
+        f"SELECT {sel_w} FROM ({sql}) EXCEPT ALL "
+        f"SELECT {sel_g} FROM ({got_rel})").fetchall()
+    if extra or missing:
+        msg = f"FAIL {name}: value mismatch"
+        for tag, rows in (("spark-only", extra), ("oracle-only", missing)):
+            for r in rows[:2]:
+                msg += f"\n  {tag} row: {r!r}"
+        return msg
+    return f"ok   {name} ({ng} rows)"
 
 
 def main(sf_dir, out_dir):
@@ -36,33 +89,14 @@ def main(sf_dir, out_dir):
             n_skip += 1  # SPARK_GRAFT_ONLY run: query not materialized
             continue
         try:
-            got = norm(con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
-            want = norm(con.execute(sql).fetchdf())
+            line = check_one(con, name, sql, out_dir)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: {e}")
-            n_bad += 1
-            continue
-        if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
-            n_bad += 1
-            continue
-        if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
-            n_bad += 1
-            continue
-        eq = got.equals(want)
-        if not eq:
-            diff = (got != want) & ~(got.isna() & want.isna())
-            bad_cols = [c for c in got.columns if diff[c].any()]
-            print(f"FAIL {name}: value mismatch in {bad_cols}")
-            for c in bad_cols[:2]:
-                idx = diff[c].idxmax()
-                print(f"  row {idx} col {c}: spark={got[c][idx]!r} oracle={want[c][idx]!r}")
-            n_bad += 1
-        else:
-            print(f"ok   {name} ({len(got)} rows)")
+            line = f"FAIL {name}: {e}"
+        print(line)
+        if line.startswith("ok"):
             n_ok += 1
+        else:
+            n_bad += 1
     print(f"== {n_ok} ok, {n_bad} fail, {n_skip} skipped")
     return 1 if n_bad else 0
 

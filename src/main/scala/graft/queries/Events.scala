@@ -4431,8 +4431,14 @@ object Events {
       // a threshold so large no gap exceeds it still needs its row
       val thetas = e.sparkSession.range(1).select(explode(expr(
         "array(900L, 1800L, 3600L)")).as("theta_sec"))
+      // breaks is explicitly broadcast (≤3 rows — one per threshold): the
+      // r11 driver's timed regen flipped this join's build side vs the
+      // committed fingerprint (the ONLY diff among 445) — a stats/
+      // core-count-sensitive CBO choice on two tiny sides. Domains this
+      // small are ALWAYS broadcast; pinning makes the fingerprint
+      // environment-independent.
       thetas
-        .join(breaks, Seq("theta_sec"), "left")
+        .join(broadcast(breaks), Seq("theta_sec"), "left")
         .crossJoin(broadcast(base))
         .select(col("theta_sec"),
           (col("n_users") + coalesce(col("n_breaks"), lit(0L)))
@@ -5118,7 +5124,9 @@ object Events {
   // its whole experiment surface. Exact: χ² in micros over the SAME
   // srmArmCounts substrate as x357 (one assignment rule, two
   // consumers), critical values a literal df=1 ladder for α/1…α/10
-  // (covers m ≤ 10 scans; χ²₁ criticals = z²_{1−α/2j}), and the
+  // (χ²₁ criticals = z²_{1−α/2j}; ranks deeper than the ladder — m>10 —
+  // clamp to the LAST rung, the strictest tabulated critical, so the
+  // scan stays defined and conservative instead of NULLing out), and the
   // sequential stop is a running-minimum window over the pass
   // indicator. Holm rejection implies the x357 single-test flag
   // (crit ≥ 3841459 everywhere) — pinned in ExperimentSemanticsSpec.
@@ -5139,10 +5147,16 @@ object Events {
                div (n_a + n_b) as bigint)"""))
         .withColumn("rank", row_number().over(wR).cast("long"))
         .withColumn("m", count(lit(1)).over(wAll).cast("long"))
+        // m>10 guard (r11 ADVICE): element_at past the ladder end returns
+        // NULL, which would zero `pass` and silently disable the whole
+        // scan. Steps beyond the α/10 rung fall back to the LAST ladder
+        // entry (the strictest tabulated critical) — conservative for
+        // those top ranks, never NULL; same fallback in the oracle.
         .withColumn("crit_micro", expr(
-          """element_at(array(3841459L, 5023886L, 5731139L, 6238533L,
-               6634897L, 6960401L, 7236689L, 7476773L, 7689093L, 7879439L),
-             cast(m - rank + 1 as int))"""))
+          """coalesce(element_at(array(3841459L, 5023886L, 5731139L,
+               6238533L, 6634897L, 6960401L, 7236689L, 7476773L, 7689093L,
+               7879439L),
+             least(cast(m - rank + 1 as int), 10)), 7879439L)"""))
         .withColumn("pass",
           when(col("chi2_micro") >= col("crit_micro"), 1L).otherwise(0L))
         .withColumn("holm_reject", min(col("pass")).over(wRun) === 1L)
@@ -5179,11 +5193,11 @@ object Events {
             k AS (
               SELECT *,
                 ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
-                  7236689, 7476773, 7689093, 7879439])[m - rank + 1]
+                  7236689, 7476773, 7689093, 7879439])[LEAST(m - rank + 1, 10)]
                   AS crit_micro,
                 CASE WHEN chi2_micro >= ([3841459, 5023886, 5731139,
                   6238533, 6634897, 6960401, 7236689, 7476773, 7689093,
-                  7879439])[m - rank + 1] THEN 1 ELSE 0 END AS pass
+                  7879439])[LEAST(m - rank + 1, 10)] THEN 1 ELSE 0 END AS pass
               FROM r)
             SELECT event_type, n_a, n_b, chi2_micro, rank,
               CAST(crit_micro AS BIGINT) AS crit_micro,
@@ -5299,8 +5313,12 @@ object Events {
                then (1000 * cum_pos) div tot_pos end as bigint)""")
             .as("capture_milli"),
           // lift numerator is n²-sized (cum_pos·tot_users ~ 10¹⁸ at 10⁹
-          // users, ×1000 wraps BIGINT) — DECIMAL(38,0)/HUGEINT headroom
-          expr("""cast(case when cum_users * tot_pos > 0
+          // users, ×1000 wraps BIGINT) — DECIMAL(38,0)/HUGEINT headroom.
+          // Guard on tot_pos ALONE (r11 ADVICE): cum_users ≥ 1 for every
+          // decile by construction (ntile never yields an empty bucket),
+          // and the old raw-BIGINT product cum_users*tot_pos was itself
+          // the n²-sized overflow the adjacent comment warns about.
+          expr("""cast(case when tot_pos > 0
                then (1000 * cast(cum_pos as decimal(38,0)) * tot_users)
                  div (cast(cum_users as decimal(38,0)) * tot_pos)
              end as bigint)""").as("lift_milli"))
@@ -5337,7 +5355,7 @@ object Events {
               CAST(CASE WHEN tot_pos > 0
                 THEN (1000 * cum_pos) // tot_pos END AS BIGINT)
                 AS capture_milli,
-              CAST(CASE WHEN cum_users * tot_pos > 0
+              CAST(CASE WHEN tot_pos > 0
                 THEN (1000 * CAST(cum_pos AS HUGEINT) * tot_users)
                   // (CAST(cum_users AS HUGEINT) * tot_pos)
                 END AS BIGINT) AS lift_milli
@@ -5571,9 +5589,558 @@ object Events {
                 AS qte_cents
             FROM picks GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x378
+  // Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) — the
+  // significance readout OVER the x218/x368 survival family: does arm B
+  // convert on a different time-to-purchase curve than arm A? Built on
+  // the same first-view → first-purchase duration substrate split by
+  // the ONE Experiment.arm rule; per event day t the observed-minus-
+  // expected arm-A deaths O−E = d_a − d·n_a/n and the hypergeometric
+  // variance d·(n_a/n)·(n_b/n)·(n−d)/(n−1), micro-quantized with the
+  // x228 discipline (the two risk shares quantize ONCE each; every
+  // division is integer); the running χ² = (Σ O−E)²/Σ Var is the test.
+  // DECIMAL(38,0) headroom on the variance product and the squared
+  // cumulative (both n²-sized at 10⁹ users).
+  //
+  // Scale shape: one per-user aggregate (shuffles on user_id), then
+  // duration-day DOMAIN windows only — same plan family as x218/x368.
+  private val x378 = GQuery(
+    "x378_logrank_test", "ext-events survival logrank experiment",
+    (s, dir) => {
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val perUser = events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view",
+            date_trunc("day", col("ts")).cast("date"))).as("fv"),
+          min(when(col("event_type") === "purchase",
+            date_trunc("day", col("ts")).cast("date"))).as("fp"))
+        .where(col("fv").isNotNull)
+        .withColumn("arm", Experiment.arm)
+      val horizon = events(s, dir)
+        .agg(max(date_trunc("day", col("ts")).cast("date")).as("hmax"))
+      val dur = perUser.crossJoin(broadcast(horizon))
+        .select(
+          when(col("fp").isNotNull && col("fp") >= col("fv"),
+            datediff(col("fp"), col("fv")))
+            .otherwise(datediff(col("hmax"), col("fv")))
+            .cast("long").as("t"),
+          (col("fp").isNotNull && col("fp") >= col("fv")).as("conv"),
+          col("arm"))
+      dur.groupBy("t")
+        .agg(
+          sum(when(col("conv") && col("arm") === 0L, 1L).otherwise(0L)).as("d_a"),
+          sum(when(col("conv") && col("arm") === 1L, 1L).otherwise(0L)).as("d_b"),
+          sum(when(!col("conv") && col("arm") === 0L, 1L).otherwise(0L)).as("c_a"),
+          sum(when(!col("conv") && col("arm") === 1L, 1L).otherwise(0L)).as("c_b"))
+        .withColumn("n_a", sum(col("d_a") + col("c_a")).over(wAll)
+          - coalesce(sum(col("d_a") + col("c_a")).over(wPrev), lit(0L)))
+        .withColumn("n_b", sum(col("d_b") + col("c_b")).over(wAll)
+          - coalesce(sum(col("d_b") + col("c_b")).over(wPrev), lit(0L)))
+        .withColumn("e_a_micro", expr(
+          """case when n_a + n_b > 0
+               then (1000000 * (d_a + d_b) * n_a) div (n_a + n_b)
+               else 0L end"""))
+        .withColumn("oe_micro", expr("1000000 * d_a - e_a_micro"))
+        .withColumn("var_micro", expr(
+          """case when n_a + n_b > 1 then
+               (cast(d_a + d_b as decimal(38,0))
+                 * ((1000000 * n_a) div (n_a + n_b))
+                 * ((1000000 * n_b) div (n_a + n_b))
+                 * (n_a + n_b - d_a - d_b))
+               div (cast(1000000 as decimal(38,0)) * (n_a + n_b - 1))
+             else 0L end"""))
+        .withColumn("cum_oe_micro", sum(col("oe_micro")).over(wCum))
+        .withColumn("cum_var_micro", sum(col("var_micro")).over(wCum))
+        .withColumn("lr_chi2_micro", expr(
+          """cast(case when cum_var_micro > 0
+               then (cast(cum_oe_micro as decimal(38,0)) * cum_oe_micro)
+                 div cum_var_micro end as bigint)"""))
+        .select(col("t"), col("n_a"), col("n_b"), col("d_a"), col("d_b"),
+          col("e_a_micro"), col("oe_micro"), col("var_micro"),
+          col("cum_oe_micro"), col("cum_var_micro"), col("lr_chi2_micro"))
+        .orderBy("t")
+    },
+    Some("""WITH pu AS (
+              SELECT user_id,
+                MIN(CASE WHEN event_type = 'view'
+                  THEN CAST(date_trunc('day', ts) AS DATE) END) AS fv,
+                MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(date_trunc('day', ts) AS DATE) END) AS fp
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            h AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS hmax
+                  FROM events),
+            dur AS (
+              SELECT CASE WHEN fp IS NOT NULL AND fp >= fv
+                  THEN datediff('day', fv, fp)
+                  ELSE datediff('day', fv, hmax) END AS t,
+                (fp IS NOT NULL AND fp >= fv) AS conv,
+                CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 2 AS arm
+              FROM pu, h WHERE fv IS NOT NULL),
+            byday AS (
+              SELECT CAST(t AS BIGINT) AS t,
+                CAST(SUM(CASE WHEN conv AND arm = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d_a,
+                CAST(SUM(CASE WHEN conv AND arm = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d_b,
+                CAST(SUM(CASE WHEN NOT conv AND arm = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+                CAST(SUM(CASE WHEN NOT conv AND arm = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+              FROM dur GROUP BY 1),
+            risk AS (
+              SELECT t, d_a, d_b,
+                CAST(SUM(d_a + c_a) OVER ()
+                  - COALESCE(SUM(d_a + c_a) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_a,
+                CAST(SUM(d_b + c_b) OVER ()
+                  - COALESCE(SUM(d_b + c_b) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_b
+              FROM byday),
+            terms AS (
+              SELECT t, n_a, n_b, d_a, d_b,
+                CASE WHEN n_a + n_b > 0
+                  THEN (1000000 * (d_a + d_b) * n_a) // (n_a + n_b)
+                  ELSE 0 END AS e_a_micro,
+                1000000 * d_a - CASE WHEN n_a + n_b > 0
+                  THEN (1000000 * (d_a + d_b) * n_a) // (n_a + n_b)
+                  ELSE 0 END AS oe_micro,
+                CASE WHEN n_a + n_b > 1 THEN
+                  (CAST(d_a + d_b AS HUGEINT)
+                    * ((1000000 * n_a) // (n_a + n_b))
+                    * ((1000000 * n_b) // (n_a + n_b))
+                    * (n_a + n_b - d_a - d_b))
+                  // (CAST(1000000 AS HUGEINT) * (n_a + n_b - 1))
+                ELSE 0 END AS var_micro
+              FROM risk),
+            cum AS (
+              SELECT t, n_a, n_b, d_a, d_b,
+                CAST(e_a_micro AS BIGINT) AS e_a_micro,
+                CAST(oe_micro AS BIGINT) AS oe_micro,
+                CAST(var_micro AS BIGINT) AS var_micro,
+                SUM(CAST(oe_micro AS HUGEINT)) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_oe,
+                SUM(CAST(var_micro AS HUGEINT)) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_var
+              FROM terms)
+            SELECT t, n_a, n_b, d_a, d_b, e_a_micro, oe_micro, var_micro,
+              CAST(cum_oe AS BIGINT) AS cum_oe_micro,
+              CAST(cum_var AS BIGINT) AS cum_var_micro,
+              CAST(CASE WHEN cum_var > 0 THEN (cum_oe * cum_oe) // cum_var END
+                AS BIGINT) AS lr_chi2_micro
+            FROM cum ORDER BY t"""))
+
+  /** Shared period split for the pre/post experiment rows (x379/x381):
+    * day < dmin + ⌈span/2⌉ is period 1, else period 2 — a deterministic
+    * closed form over the fixture's own timeline, so both engines and
+    * every consumer cut at the same day.
+    */
+  private def periodBounds(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).agg(
+      min(date_trunc("day", col("ts")).cast("date")).as("dmin"),
+      max(date_trunc("day", col("ts")).cast("date")).as("dmax"))
+
+  // ------------------------------------------------------------------- x379
+  // Difference-in-differences (Ashenfelter & Card 1985) — the quasi-
+  // experimental estimator a platform reaches for when the rollout was
+  // NOT randomized-per-exposure but phased in time: mean events/user by
+  // (arm × half-of-timeline) cell, DiD = (B₂−B₁) − (A₂−A₁), exactly the
+  // parallel-trends readout. Milli-quantized integer means (one
+  // integer division per cell); the 2×2 pivots to a single row so the
+  // estimate reads left-to-right.
+  //
+  // Scale shape: ONE conditional aggregate over the event scan (cells
+  // are a 4-value domain), then a 1-row pivot. Nothing per-user
+  // materializes except COUNT(DISTINCT user_id) per cell — an exact
+  // distinct over a 4-cell grid, the same shuffle c15 pays.
+  private val x379 = GQuery(
+    "x379_did_estimator", "ext-events experiment diff-in-diff",
+    (s, dir) => {
+      val cells = events(s, dir).crossJoin(broadcast(periodBounds(s, dir)))
+        .select(col("user_id"), Experiment.arm.as("arm"),
+          when(date_trunc("day", col("ts")).cast("date") <
+            expr("date_add(dmin, cast((datediff(dmax, dmin) + 1) div 2 as int))"),
+            1L).otherwise(2L).as("period"))
+        .groupBy(col("arm"), col("period"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("mean_milli", expr("(1000 * n_events) div n_users"))
+      cells.agg(
+        max(when(col("arm") === 0L && col("period") === 1L, col("n_users"))).as("n_a1"),
+        max(when(col("arm") === 0L && col("period") === 2L, col("n_users"))).as("n_a2"),
+        max(when(col("arm") === 1L && col("period") === 1L, col("n_users"))).as("n_b1"),
+        max(when(col("arm") === 1L && col("period") === 2L, col("n_users"))).as("n_b2"),
+        max(when(col("arm") === 0L && col("period") === 1L, col("mean_milli"))).as("mean_a1_milli"),
+        max(when(col("arm") === 0L && col("period") === 2L, col("mean_milli"))).as("mean_a2_milli"),
+        max(when(col("arm") === 1L && col("period") === 1L, col("mean_milli"))).as("mean_b1_milli"),
+        max(when(col("arm") === 1L && col("period") === 2L, col("mean_milli"))).as("mean_b2_milli"))
+        .withColumn("did_milli", expr(
+          "(mean_b2_milli - mean_b1_milli) - (mean_a2_milli - mean_a1_milli)"))
+    },
+    Some("""WITH b AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS dmin,
+                         MAX(CAST(date_trunc('day', ts) AS DATE)) AS dmax
+                       FROM events),
+            pp AS (SELECT user_id,
+                     CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                       CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                       % 2 AS arm,
+                     CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                       < dmin + CAST(((datediff('day', dmin, dmax) + 1) // 2)
+                           AS INTEGER)
+                       THEN 1 ELSE 2 END AS period
+                   FROM events, b),
+            cell AS (SELECT arm, period,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+                     FROM pp GROUP BY 1, 2),
+            m AS (SELECT arm, period, n_users,
+                    (1000 * n_events) // n_users AS mean_milli FROM cell)
+            SELECT
+              MAX(CASE WHEN arm=0 AND period=1 THEN n_users END) AS n_a1,
+              MAX(CASE WHEN arm=0 AND period=2 THEN n_users END) AS n_a2,
+              MAX(CASE WHEN arm=1 AND period=1 THEN n_users END) AS n_b1,
+              MAX(CASE WHEN arm=1 AND period=2 THEN n_users END) AS n_b2,
+              MAX(CASE WHEN arm=0 AND period=1 THEN mean_milli END) AS mean_a1_milli,
+              MAX(CASE WHEN arm=0 AND period=2 THEN mean_milli END) AS mean_a2_milli,
+              MAX(CASE WHEN arm=1 AND period=1 THEN mean_milli END) AS mean_b1_milli,
+              MAX(CASE WHEN arm=1 AND period=2 THEN mean_milli END) AS mean_b2_milli,
+              (MAX(CASE WHEN arm=1 AND period=2 THEN mean_milli END)
+               - MAX(CASE WHEN arm=1 AND period=1 THEN mean_milli END))
+              - (MAX(CASE WHEN arm=0 AND period=2 THEN mean_milli END)
+               - MAX(CASE WHEN arm=0 AND period=1 THEN mean_milli END))
+                AS did_milli
+            FROM m"""))
+
+  // ------------------------------------------------------------------- x380
+  // O'Brien–Fleming group-sequential scan (O'Brien & Fleming 1979) —
+  // the peeking-correct way to monitor the x357 SRM continuously: four
+  // equal-spaced looks over the timeline, cumulative per-arm user
+  // counts at each look, and the OBF boundary that spends almost no α
+  // early (χ² bound c·K/k for look k — early looks need ~4× the final
+  // evidence). Final boundary z = 2.024 (the published K=4, α=0.05
+  // two-sided value), so bound_micro = 2.024²·K/k in EXACT integers
+  // (2024² = 4096576). A platform that re-checks SRM daily without
+  // this correction alarms spuriously; this row is the correction.
+  //
+  // Scale shape: one per-user first-day aggregate, a 4-row broadcast
+  // domain join, a 4-row rollup — the x331 threshold-curve economy.
+  private val x380 = GQuery(
+    "x380_obrien_fleming_scan", "ext-events experiment sequential srm",
+    (s, dir) => {
+      val looks = events(s, dir).sparkSession.range(1)
+        .select(explode(expr("array(1L, 2L, 3L, 4L)")).as("look"))
+        .crossJoin(broadcast(periodBounds(s, dir)))
+        .select(col("look"), expr(
+          """date_add(dmin, cast(((datediff(dmax, dmin) + 1) * look) div 4
+               as int) - 1)""").as("cut_day"))
+      val users = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts")).cast("date")).as("first_day"))
+        .withColumn("arm", Experiment.arm)
+      users.crossJoin(broadcast(looks))
+        .groupBy(col("look"), col("cut_day"))
+        .agg(
+          sum(when(col("first_day") <= col("cut_day") && col("arm") === 0L,
+            1L).otherwise(0L)).as("n_a"),
+          sum(when(col("first_day") <= col("cut_day") && col("arm") === 1L,
+            1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_micro", expr(
+          """cast(case when n_a + n_b > 0
+               then (1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)
+               else 0L end as bigint)"""))
+        .withColumn("bound_micro", expr("(4096576 * 4) div look"))
+        .withColumn("crossed", col("chi2_micro") >= col("bound_micro"))
+        .select(col("look"), col("cut_day"), col("n_a"), col("n_b"),
+          col("chi2_micro"), col("bound_micro"), col("crossed"))
+        .orderBy("look")
+    },
+    Some("""WITH b AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS dmin,
+                         MAX(CAST(date_trunc('day', ts) AS DATE)) AS dmax
+                       FROM events),
+            k AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS look),
+            cut AS (SELECT look,
+                      dmin + CAST((((datediff('day', dmin, dmax) + 1) * look)
+                        // 4 - 1) AS INTEGER) AS cut_day
+                    FROM k, b),
+            u AS (SELECT user_id,
+                    MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+                    CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                      CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                      % 2 AS arm
+                  FROM events GROUP BY 1, 3),
+            cum AS (SELECT c.look, c.cut_day,
+                      CAST(SUM(CASE WHEN u.first_day <= c.cut_day AND u.arm = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                      CAST(SUM(CASE WHEN u.first_day <= c.cut_day AND u.arm = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                    FROM cut c, u GROUP BY 1, 2)
+            SELECT look, cut_day, n_a, n_b,
+              CAST(CASE WHEN n_a + n_b > 0
+                THEN (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                ELSE 0 END AS BIGINT) AS chi2_micro,
+              CAST((4096576 * 4) // look AS BIGINT) AS bound_micro,
+              CASE WHEN n_a + n_b > 0 THEN
+                (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                  >= (4096576 * 4) // look ELSE FALSE END AS crossed
+            FROM cum ORDER BY look"""))
+
+  // ------------------------------------------------------------------- x381
+  // McNemar's paired test (McNemar 1947) — did the SAME users' purchase
+  // behavior change between the two timeline halves? The paired design
+  // removes between-user variance entirely: only the discordant pairs
+  // (purchased in exactly one half) carry information, χ² = (b−c)²/(b+c)
+  // with the continuity-corrected (|b−c|−1)²/(b+c) variant beside it.
+  // The within-subject companion to x379's between-cell DiD. Exact
+  // integers end to end.
+  //
+  // Scale shape: one per-user conditional rollup (shuffles on user_id),
+  // one global 1-row aggregate.
+  private val x381 = GQuery(
+    "x381_mcnemar_paired", "ext-events experiment paired mcnemar",
+    (s, dir) => {
+      val pu = events(s, dir).crossJoin(broadcast(periodBounds(s, dir)))
+        .select(col("user_id"), col("event_type"),
+          when(date_trunc("day", col("ts")).cast("date") <
+            expr("date_add(dmin, cast((datediff(dmax, dmin) + 1) div 2 as int))"),
+            1L).otherwise(2L).as("period"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("period") === 1L, 1L).otherwise(0L)).as("act1"),
+          max(when(col("period") === 2L, 1L).otherwise(0L)).as("act2"),
+          max(when(col("period") === 1L && col("event_type") === "purchase",
+            1L).otherwise(0L)).as("p1"),
+          max(when(col("period") === 2L && col("event_type") === "purchase",
+            1L).otherwise(0L)).as("p2"))
+        .where(col("act1") === 1L && col("act2") === 1L)
+      pu.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("p1") === 1L && col("p2") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("p1") === 0L && col("p2") === 1L, 1L).otherwise(0L)).as("c"))
+        .withColumn("chi2_micro", expr(
+          """cast(case when b + c > 0
+               then (1000000 * (b - c) * (b - c)) div (b + c)
+             end as bigint)"""))
+        .withColumn("chi2_cc_micro", expr(
+          """cast(case when b + c > 0
+               then (1000000 * greatest(abs(b - c) - 1, 0L)
+                             * greatest(abs(b - c) - 1, 0L)) div (b + c)
+             end as bigint)"""))
+    },
+    Some("""WITH b AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS dmin,
+                         MAX(CAST(date_trunc('day', ts) AS DATE)) AS dmax
+                       FROM events),
+            pp AS (SELECT user_id, event_type,
+                     CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                       < dmin + CAST(((datediff('day', dmin, dmax) + 1) // 2)
+                           AS INTEGER)
+                       THEN 1 ELSE 2 END AS period
+                   FROM events, b),
+            pu AS (SELECT user_id,
+                     MAX(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS act1,
+                     MAX(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS act2,
+                     MAX(CASE WHEN period = 1 AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS p1,
+                     MAX(CASE WHEN period = 2 AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS p2
+                   FROM pp GROUP BY 1),
+            pairs AS (SELECT * FROM pu WHERE act1 = 1 AND act2 = 1),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                      CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c
+                    FROM pairs)
+            SELECT n_pairs, b, c,
+              CAST(CASE WHEN b + c > 0
+                THEN (1000000 * (b - c) * (b - c)) // (b + c) END AS BIGINT)
+                AS chi2_micro,
+              CAST(CASE WHEN b + c > 0
+                THEN (1000000 * GREATEST(ABS(b - c) - 1, 0)
+                              * GREATEST(ABS(b - c) - 1, 0)) // (b + c)
+                END AS BIGINT) AS chi2_cc_micro
+            FROM agg"""))
+
+  // ------------------------------------------------------------------- x382
+  // Wilson score interval (Wilson 1927) — the conversion-rate CI every
+  // experiment readout should print instead of the Wald interval (which
+  // collapses to zero width at p̂ ∈ {0,1} — exactly where this fixture
+  // sits): per arm, n, conversions, and the 95 % score bounds. The
+  // arithmetic is double-precision IEEE from exact integers — safe
+  // cross-engine because the expression tree is written IDENTICALLY in
+  // both engines, `sqrt` is correctly-rounded by IEEE 754 (unlike
+  // ln/exp, which is why entropy-family rows quantize to integers
+  // instead), z² = 1.96² = 3.8416 is exact in the literal, and the
+  // result quantizes ONCE through floor(1e6·x) (the x228 discipline).
+  //
+  // Scale shape: one per-user rollup, one 2-row arm aggregate.
+  private val x382 = GQuery(
+    "x382_conversion_ci_wilson", "ext-events experiment wilson interval",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("arm", Experiment.arm)
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+        .select(col("arm"), col("n").as("n_users"), col("x").as("n_conv"),
+          expr("(1000 * x) div n").as("p_milli"),
+          expr("""cast(floor(1000000 * (((cast(x as double) / n)
+               + 3.8416 / (2 * n)
+               - 1.96 * sqrt(((cast(x as double) / n)
+                   * (1 - cast(x as double) / n) + 3.8416 / (4 * n)) / n))
+             / (1 + 3.8416 / n))) as bigint)""").as("wilson_lo_micro"),
+          expr("""cast(floor(1000000 * (((cast(x as double) / n)
+               + 3.8416 / (2 * n)
+               + 1.96 * sqrt(((cast(x as double) / n)
+                   * (1 - cast(x as double) / n) + 3.8416 / (4 * n)) / n))
+             / (1 + 3.8416 / n))) as bigint)""").as("wilson_hi_micro"))
+        .orderBy("arm"),
+    Some("""WITH u AS (SELECT user_id,
+                     CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                       CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                       % 2 AS arm,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+                   FROM events GROUP BY 1, 2),
+            a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(conv) AS BIGINT) AS x FROM u GROUP BY 1)
+            SELECT arm, n AS n_users, x AS n_conv, (1000 * x) // n AS p_milli,
+              CAST(floor(1000000 * (((CAST(x AS DOUBLE) / n)
+                   + 3.8416 / (2 * n)
+                   - 1.96 * sqrt(((CAST(x AS DOUBLE) / n)
+                       * (1 - CAST(x AS DOUBLE) / n) + 3.8416 / (4 * n)) / n))
+                 / (1 + 3.8416 / n))) AS BIGINT) AS wilson_lo_micro,
+              CAST(floor(1000000 * (((CAST(x AS DOUBLE) / n)
+                   + 3.8416 / (2 * n)
+                   + 1.96 * sqrt(((CAST(x AS DOUBLE) / n)
+                       * (1 - CAST(x AS DOUBLE) / n) + 3.8416 / (4 * n)) / n))
+                 / (1 + 3.8416 / n))) AS BIGINT) AS wilson_hi_micro
+            FROM a ORDER BY arm"""))
+
+  // ------------------------------------------------------------------- x383
+  // Backfill plan for a quarantined ingest window — the ops table a
+  // pipeline owner reads after a bad deploy corrupted a week of ingest
+  // (here the deterministic window [dmax−13, dmax−7]): per affected
+  // event-day partition, rows and users to recompute, how many
+  // hour-grain rollup partitions downstream MVs must rebuild, the
+  // day's share of total corpus, and cumulative recompute volume in
+  // day order (the progress axis a backfill driver reports against).
+  //
+  // Scale shape: the quarantine filter prunes the scan to the window's
+  // partitions (day-partitioned storage serves exactly these files);
+  // one day-grain rollup with two exact distincts, then day-DOMAIN
+  // windows. The total is a separate 1-row broadcast.
+  private val x383 = GQuery(
+    "x383_backfill_plan", "ext-events ops backfill planning",
+    (s, dir) => {
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val total = events(s, dir).agg(count(lit(1)).as("n_total"))
+      events(s, dir).crossJoin(broadcast(periodBounds(s, dir)))
+        .where(date_trunc("day", col("ts")).cast("date")
+          .between(date_sub(col("dmax"), 13), date_sub(col("dmax"), 7)))
+        .select(date_trunc("day", col("ts")).cast("date").as("day"),
+          date_trunc("hour", col("ts")).as("hr"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("hr")).as("n_hour_partitions"))
+        .crossJoin(broadcast(total))
+        .withColumn("events_share_milli", expr("(1000 * n_events) div n_total"))
+        .withColumn("cum_events", sum(col("n_events")).over(wCum))
+        .select(col("day"), col("n_events"), col("n_users"),
+          col("n_hour_partitions"), col("events_share_milli"),
+          col("cum_events"))
+        .orderBy("day")
+    },
+    Some("""WITH b AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS dmax
+                       FROM events),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events),
+            q AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, user_id
+                  FROM events, b
+                  WHERE CAST(date_trunc('day', ts) AS DATE)
+                    BETWEEN dmax - 13 AND dmax - 7),
+            d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                    CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_hour_partitions
+                  FROM q GROUP BY 1)
+            SELECT day, n_events, n_users, n_hour_partitions,
+              (1000 * n_events) // (SELECT n_total FROM tot)
+                AS events_share_milli,
+              CAST(SUM(n_events) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_events
+            FROM d ORDER BY day"""))
+
+  // ------------------------------------------------------------------- x384
+  // Funnel attribution-window sensitivity — the x331 threshold-curve
+  // discipline applied to the conversion window x49/x338 hard-code:
+  // view→purchase conversion at windows of 1/3/7 days from each user's
+  // FIRST view, side by side. When the rate still climbs steeply from
+  // w=3 to w=7 the funnel is window-bound, not demand-bound — the read
+  // that decides the attribution policy before anyone trusts a single
+  // conversion number.
+  //
+  // Scale shape: one per-user (first_view, first_purchase) aggregate
+  // feeds every window; the 3-way explode runs on the per-user rows
+  // and rolls up to a 3-row domain. No re-scan per window.
+  private val x384 = GQuery(
+    "x384_funnel_window_curve", "ext-events funnel window sensitivity",
+    (s, dir) =>
+      events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view",
+            date_trunc("day", col("ts")).cast("date"))).as("fv"),
+          min(when(col("event_type") === "purchase",
+            date_trunc("day", col("ts")).cast("date"))).as("fp"))
+        .where(col("fv").isNotNull)
+        .select(col("fv"), col("fp"),
+          explode(expr("array(1L, 3L, 7L)")).as("w_days"))
+        .groupBy(col("w_days"))
+        .agg(count(lit(1)).as("n_viewers"),
+          sum(when(col("fp").isNotNull && col("fp") >= col("fv") &&
+            datediff(col("fp"), col("fv")) < col("w_days"), 1L).otherwise(0L))
+            .as("n_conv"))
+        .withColumn("conv_milli", expr("(1000 * n_conv) div n_viewers"))
+        .orderBy("w_days"),
+    Some("""WITH pu AS (
+              SELECT user_id,
+                MIN(CASE WHEN event_type = 'view'
+                  THEN CAST(date_trunc('day', ts) AS DATE) END) AS fv,
+                MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(date_trunc('day', ts) AS DATE) END) AS fp
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            w AS (SELECT CAST(unnest([1, 3, 7]) AS BIGINT) AS w_days),
+            c AS (SELECT w.w_days,
+                    CAST(COUNT(*) AS BIGINT) AS n_viewers,
+                    CAST(SUM(CASE WHEN fp IS NOT NULL AND fp >= fv
+                      AND datediff('day', fv, fp) < w.w_days
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+                  FROM pu, w WHERE fv IS NOT NULL GROUP BY 1)
+            SELECT w_days, n_viewers, n_conv,
+              (1000 * n_conv) // n_viewers AS conv_milli
+            FROM c ORDER BY w_days"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
     x361, x362, x367, x368, x369, x373, x374, x375,
+    x378, x379, x380, x381, x382, x383, x384,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

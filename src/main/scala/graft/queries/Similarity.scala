@@ -1750,7 +1750,27 @@ object Similarity {
       val den = norms(i) * norms(j)
       if (den == 0.0) 0.0 else d / den
     }
-    val n = fetched.length
+    val picked = mmrGreedy(fetched.map(_._2), sim, k, lambda)
+    import s.implicits._
+    picked.zipWithIndex.map { case (i, r) =>
+      (r.toLong, fetched(i)._1, fetched(i)._2)
+    }.toSeq.toDF("rank", "vec_id", "rel")
+  }
+
+  /** The MMR greedy selection itself, over candidates PRESORTED by
+    * (rel desc, id): repeatedly take the first strict-max of
+    * `λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j)` (bare `rel` for the first
+    * pick — same argmax, λ-scaling is monotone), updating each
+    * survivor's max-sim against the new member lazily. Extracted
+    * (round 12) so x377's integer-scored oracled twin drives the SAME
+    * loop the float serving path (x92) runs — every selection decision
+    * the twin's DuckDB recursive-CTE oracle hash-verifies is a decision
+    * this code made. Returns indices into the presorted candidate
+    * order, in pick order.
+    */
+  private[queries] def mmrGreedy(rel: IndexedSeq[Double],
+      sim: (Int, Int) => Double, k: Int, lambda: Double): Seq[Int] = {
+    val n = rel.length
     val picked = scala.collection.mutable.ArrayBuffer[Int]()
     val maxSim = Array.fill(n)(0.0)
     val in = Array.fill(n)(false)
@@ -1758,8 +1778,8 @@ object Similarity {
       var best = -1; var bestScore = Double.NegativeInfinity
       for (i <- 0 until n if !in(i)) {
         val score =
-          if (picked.isEmpty) fetched(i)._2
-          else lambda * fetched(i)._2 - (1.0 - lambda) * maxSim(i)
+          if (picked.isEmpty) rel(i)
+          else lambda * rel(i) - (1.0 - lambda) * maxSim(i)
         // strict > with rel-then-id presort makes ties deterministic
         if (score > bestScore) { best = i; bestScore = score }
       }
@@ -1768,10 +1788,7 @@ object Similarity {
       for (i <- 0 until n if !in(i))
         maxSim(i) = math.max(maxSim(i), sim(i, best))
     }
-    import s.implicits._
-    picked.zipWithIndex.map { case (i, r) =>
-      (r.toLong, fetched(i)._1, fetched(i)._2)
-    }.toSeq.toDF("rank", "vec_id", "rel")
+    picked.toSeq
   }
 
   // Diversified serving: the stored-IVF probe's top-100 re-ranked by MMR
@@ -1863,6 +1880,148 @@ object Similarity {
         exactTop.select("q_id", "vec_id"), k = 10)
     },
     None) // probe-derived: gated by RecallEvalSpec
+
+  // ------------------------------------------------------------------- x376
+  // Recall harness, ORACLED END-TO-END (the r11 "convertible twin" for
+  // x95): the SAME recallAtK join-and-count over two tiers that are BOTH
+  // cross-engine exact — the approx side is SQ8-cosine serving done the
+  // production way (normalize, quantize each coordinate to
+  // ⌊127·x/‖v‖ + ½⌋, rank by INTEGER dot product — every step either
+  // integer or deterministic IEEE double), the truth side is x06's
+  // bit-reproducible double-cosine kernel. What x95 can't oracle is only
+  // its seeded IVF probe; the harness arithmetic — per-query top-10 sets,
+  // the (q_id, vec_id) hit join, the left-join zero-fill — hash-verifies
+  // here, and the measured number is real: SQ8's quantization recall loss
+  // (79/80 at sf0.01). Scale shape: query batch broadcast (8 rows), one
+  // corpus scan per tier, GroupedTopK bounded heaps — no global sort, no
+  // corpus shuffle.
+  private val x376 = GQuery(
+    "x376_ann_recall_sq8_exact",
+    "ext-similarity-ann evaluation oracled-twin",
+    (s, dir) => {
+      import graft.plans.GroupedTopKOps
+      GroupedTopKOps.ensureInstalled(s)
+      val z = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("zv", expr(
+          "transform(emb, x -> cast(floor(127.0 * x / " +
+            "sqrt(aggregate(emb, 0.0d, (a, v) -> a + v * v)) + 0.5d) as bigint))"))
+      val q = z.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("emb").as("qd"), col("zv").as("qz"),
+          VectorOps.l2norm(col("emb")).as("qnorm"))
+      val approxAll = z.join(broadcast(q.select(col("q_id"), col("qz"))))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          expr("aggregate(zip_with(zv, qz, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+            .as("dot"))
+      val approxTop = GroupedTopKOps.groupedTopK(approxAll, Seq(col("q_id")),
+        Seq(col("dot").desc, col("vec_id")), k = 10)
+      val exactAll = z.join(broadcast(q.select(col("q_id"), col("qd"), col("qnorm"))))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosinePreNorm(col("emb"), col("qd"), col("qnorm")).as("sim"))
+      val exactTop = GroupedTopKOps.groupedTopK(exactAll, Seq(col("q_id")),
+        Seq(col("sim").desc, col("vec_id")), k = 10)
+      recallAtK(approxTop.select("q_id", "vec_id"),
+        exactTop.select("q_id", "vec_id"), k = 10)
+    },
+    Some("""WITH z AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor((127.0 * x)
+                  / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) + 0.5)
+                  AS BIGINT)) AS zv
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, emb AS qd, zv AS qz
+                FROM z WHERE vec_id < 8),
+          ax AS (SELECT q.q_id, z.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     list_dot_product(CAST(z.zv AS DOUBLE[]),
+                                      CAST(q.qz AS DOUBLE[])) DESC,
+                     z.vec_id) AS rn
+                 FROM z, q WHERE z.vec_id <> q.q_id),
+          ex AS (SELECT q.q_id, z.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     (list_dot_product(z.emb, q.qd)
+                       / (sqrt(list_dot_product(z.emb, z.emb))
+                        * sqrt(list_dot_product(q.qd, q.qd)))) DESC,
+                     z.vec_id) AS rn
+                 FROM z, q WHERE z.vec_id <> q.q_id),
+          hits AS (SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                   FROM (SELECT q_id, vec_id FROM ax WHERE rn <= 10) a
+                   JOIN (SELECT q_id, vec_id FROM ex WHERE rn <= 10) e
+                     USING (q_id, vec_id)
+                   GROUP BY 1)
+          SELECT q.q_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+            CAST(10 AS BIGINT) AS k
+          FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits h USING (q_id)
+          ORDER BY q_id"""))
+
+  // ------------------------------------------------------------------- x377
+  // MMR greedy selection, ORACLED (the r11 "convertible twin" for x92):
+  // the SAME mmrGreedy loop x92's float serving path runs — presort by
+  // (rel desc, id), first pick by bare rel, then strict-first-max of
+  // 0.7·rel − 0.3·maxSim with lazy max-sim updates — but with every
+  // score cross-engine exact: rel(i) and sim(i, j) are 24-bit md5
+  // integers (integer-valued doubles, so λ-arithmetic is deterministic
+  // IEEE in both engines), and the DuckDB oracle replays the greedy as
+  // a RECURSIVE CTE whose step-k argmax is ORDER BY (score DESC,
+  // rel DESC, id) LIMIT 1 — equivalent to the loop's strict > over the
+  // presorted order. Every selection decision the loop makes is
+  // hash-verified; x92 adds only float cosine scores on top. The
+  // candidate fetch (scan, filter, rel projection through Spark's md5)
+  // is the distributed part; the greedy is coordinator-side over a
+  // serving-constant candidate set, exactly as in x92.
+  private val x377 = GQuery(
+    "x377_mmr_rerank_exact",
+    "ext-similarity-ann filtered-serving oracled-twin",
+    (s, dir) => {
+      val fetched = emb(s, dir).where(col("vec_id") < 24)
+        .select(col("vec_id"),
+          expr("cast(conv(substring(md5(concat('rel:', cast(vec_id as string))), 1, 6), 16, 10) as long)")
+            .as("rel"))
+        .collect() // 24 rows — a driver-sized serving constant, as in x92
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, rel) => (-rel, id) }
+      def simInt(a: Long, b: Long): Double = {
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"sim:$lo:$hi".getBytes("UTF-8"))
+        md.take(3).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)).toDouble
+      }
+      val picked = mmrGreedy(fetched.map(_._2.toDouble),
+        (i, j) => simInt(fetched(i)._1, fetched(j)._1), k = 8, lambda = 0.7)
+      import s.implicits._
+      picked.zipWithIndex.map { case (i, r) =>
+        (r.toLong, fetched(i)._1, fetched(i)._2)
+      }.toSeq.toDF("rank", "vec_id", "rel")
+    },
+    Some("""WITH RECURSIVE
+          cand AS (
+            SELECT vec_id,
+              CAST(CAST(CONCAT('0x', substr(md5('rel:' ||
+                CAST(vec_id AS VARCHAR)), 1, 6)) AS INT) AS DOUBLE) AS rel
+            FROM embeddings WHERE vec_id < 24),
+          pick(step, picked) AS (
+            SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)]
+            UNION ALL
+            SELECT p.step + 1, list_append(p.picked, (
+              SELECT c.vec_id FROM cand c
+              WHERE NOT list_contains(p.picked, c.vec_id)
+              ORDER BY 0.7 * c.rel - 0.3 * list_aggregate(list_transform(p.picked,
+                  j -> CAST(CAST(CONCAT('0x', substr(md5('sim:' ||
+                    CAST(least(c.vec_id, j) AS VARCHAR) || ':' ||
+                    CAST(greatest(c.vec_id, j) AS VARCHAR)), 1, 6)) AS INT)
+                    AS DOUBLE)),
+                'max') DESC, c.rel DESC, c.vec_id
+              LIMIT 1))
+            FROM pick p WHERE p.step < 8)
+          SELECT CAST(o.i - 1 AS BIGINT) AS rank, CAST(o.v AS BIGINT) AS vec_id,
+            CAST(c.rel AS BIGINT) AS rel
+          FROM (SELECT unnest(picked) AS v, generate_subscripts(picked, 1) AS i
+                FROM pick WHERE step = 8) o
+          JOIN cand c ON c.vec_id = o.v
+          ORDER BY rank"""))
 
   /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
     * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
@@ -2591,5 +2750,5 @@ object Similarity {
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
       x91, x92, x95, x100, x105, x108, x109, x111, x204, x232, x279, x311,
-      x345)
+      x345, x376, x377)
 }

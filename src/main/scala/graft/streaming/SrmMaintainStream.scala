@@ -66,9 +66,25 @@ object SrmMaintainStream {
     val gen = s"gen_$batchId"
     if (StoredManifest.exists(dir)) {
       // High-water replay guard (see scaladoc): any batch at or below
-      // the live generation's id has already been folded.
+      // the live generation's id has already been folded. The guard is
+      // only sound when batch ids are MONOTONE over the output dir's
+      // lifetime — i.e. restarts reuse the checkpoint. A FRESH-checkpoint
+      // restart renumbers from 0 and its batch 0 re-lists every file,
+      // including genuinely new ones; silently skipping it would drop
+      // those events from the counts forever (undercount, not replay
+      // protection). A regressed batch id is detectable — same-checkpoint
+      // recovery only ever re-delivers the LAST batch (== liveId) or the
+      // next — so fail loudly and require the operator to reset the
+      // output dir together with the checkpoint. Residual edge (liveId
+      // == 0, fresh restart lands on batchId == 0): indistinguishable
+      // from a replay of batch 0 and still skipped — reset the output
+      // dir whenever the checkpoint is reset.
       val live = StoredManifest.read(dir)._1
       val liveId = scala.util.Try(live.stripPrefix("gen_").toLong).toOption
+      require(!liveId.exists(batchId < _),
+        s"batch id $batchId regressed below live generation $live: " +
+          "fresh-checkpoint restart over an existing counts dir — reset " +
+          s"$dir together with the checkpoint (see maintain() scaladoc)")
       if (liveId.exists(batchId <= _) || live == gen) return
     }
     StoredManifest.sweepUnreachable(dir)

@@ -52,6 +52,32 @@ class BenchEmitSpec extends AnyFunSuite {
       "the metric line must carry the contention ratio")
   }
 
+  test("metric line carries the calibration-probe fields") {
+    val results = mkResults(100)
+    val line = Bench.fitMetricLine(results, 42.0, 7L, 1.05, "sf0.1", 52.3, 1.08)
+    assert(line.contains("\"probe_ms\":52.3"))
+    assert(line.contains("\"probe_drift\":1.08"))
+  }
+
+  test("probe stats: uniform CPU steal that fools the wall ratio flags itself") {
+    // idle shape: readings within a few percent -> drift ~1, under 1.5
+    val (medIdle, driftIdle) = Bench.probeStats(Seq(50.0, 51.2, 49.8, 50.5, 50.1))
+    assert(math.abs(medIdle - 50.1) < 0.2 && driftIdle < 1.5)
+    // the r11 failure mode: the box is ~2× CPU-starved for part of the
+    // pass — wall-to-busy stays near 1 (steal inflates busy and wall
+    // together) but the fixed kernel slows 2× while starved
+    val (_, driftLoaded) = Bench.probeStats(Seq(50.0, 104.0, 98.0, 51.0, 100.0))
+    assert(driftLoaded > 1.5, s"drift $driftLoaded must flag the starved probes")
+    // degenerate: no or single reading reports the -1 sentinel
+    assert(Bench.probeStats(Nil) == (-1.0, -1.0))
+    assert(Bench.probeStats(Seq(50.0))._2 == -1.0)
+  }
+
+  test("calibration kernel runs and returns a plausible positive timing") {
+    val ms = Bench.calibrationProbeMs()
+    assert(ms > 0.0 && ms < 10000.0, s"probe $ms ms out of range")
+  }
+
   test("contention ratio: idle run sits near 1, contended run flags itself") {
     // idle: 600 s wall over 80 s warmup + 3x160 s reps = 1.07 — under
     // the 1.5 adjudication threshold BASELINE.md documents

@@ -24,6 +24,32 @@ class QueriesSpec extends SparkSpec {
       // c02 (anti join) may legitimately be empty at tiny SF; all others
       // must produce rows for the driver's rows-only check.
       if (q.name != "c02_anti_join_dedup") assert(df.count() > 0, s"${q.name} empty")
+      // int64 OUTPUT LINT (round 12, the x302 failure class): the driver's
+      // hash canonicalization is lossy above signed int64, so no ORACLED
+      // row may emit a numeric column whose values can exceed it. Decimal
+      // columns with more than 18 integer digits of headroom are the only
+      // way past int64 in this registry (sums/products are decimal-typed);
+      // for each, assert the actual values fit. A row that genuinely needs
+      // 2^64-scale values must re-key them (fixed-width hex, two BIGINT
+      // halves) the way x302 does.
+      if (q.oracle.isDefined) {
+        import org.apache.spark.sql.types.DecimalType
+        val wide = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] &&
+            f.dataType.asInstanceOf[DecimalType].precision -
+              f.dataType.asInstanceOf[DecimalType].scale > 18 => f.name
+        }
+        if (wide.nonEmpty) {
+          val maxes = df.select(wide.map(c => max(abs(col(c))).as(c)): _*).head()
+          wide.zipWithIndex.foreach { case (c, i) =>
+            val v = maxes.getDecimal(i)
+            assert(v == null ||
+              v.abs.compareTo(new java.math.BigDecimal(Long.MaxValue)) <= 0,
+              s"${q.name}.$c emits ${v} — beyond signed int64, the driver's " +
+                "oracle hash cannot represent it; re-key the column (see x302)")
+          }
+        }
+      }
     }
   }
 

@@ -55,6 +55,43 @@ class MmrSpec extends SparkSpec {
       "the first MMR pick is always the most relevant candidate")
   }
 
+  test("x377 integer twin: a BigInt-exact milli-score replay reproduces the shared greedy") {
+    // the twin feeds 24-bit md5 integers through the SAME mmrGreedy loop
+    // x92 runs, with λ-arithmetic in doubles (0.7·rel − 0.3·maxSim).
+    // Integer-valued doubles below 2^53 make that arithmetic exact, so an
+    // all-integer replay (700·rel − 300·maxSim in BigInt, no floats
+    // anywhere) must reproduce the pick sequence bit-for-bit — the pin
+    // that the double path loses nothing on integer scores.
+    def relOf(i: Long) = BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rel:$i".getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString, 16)
+    def simOf(a: Long, b: Long) = {
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sim:$lo:$hi".getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString, 16)
+    }
+    val ids = (0L until 24L).sortBy(i => (-relOf(i), i))
+    val n = ids.length
+    val maxSim = Array.fill(n)(BigInt(0))
+    val in = Array.fill(n)(false)
+    val picked = scala.collection.mutable.ArrayBuffer[Long]()
+    while (picked.length < 8) {
+      var best = -1; var bestScore: Option[BigInt] = None
+      for (i <- 0 until n if !in(i)) {
+        val score = if (picked.isEmpty) 1000 * relOf(ids(i))
+          else 700 * relOf(ids(i)) - 300 * maxSim(i)
+        if (bestScore.forall(score > _)) { best = i; bestScore = Some(score) }
+      }
+      in(best) = true
+      picked += ids(best)
+      for (i <- 0 until n if !in(i))
+        maxSim(i) = maxSim(i).max(simOf(ids(i), ids(best)))
+    }
+    val got = graft.SparkEntry.queries("x377_mmr_rerank_exact")(spark, sf001)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == picked.toSeq,
+      s"integer-exact replay diverged from the shared greedy: $got vs $picked")
+  }
+
   test("x92 registry entry serves a diversified top-20 deterministically") {
     val got = graft.SparkEntry.queries("x92_ann_mmr_rerank")(spark, sf001).collect()
     assert(got.length == 20, s"top-20, got ${got.length}")

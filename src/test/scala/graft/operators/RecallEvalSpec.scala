@@ -54,4 +54,36 @@ class RecallEvalSpec extends SparkSpec {
     val again = graft.SparkEntry.queries("x95_ann_recall_eval")(spark, sf001).collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("x376 SQ8 twin: recall matches a driver-side BigInt replay of both tiers") {
+    // independent driver-side replay of both tiers: the SQ8 side ranks by
+    // an integer dot product (exact by construction, Long arithmetic
+    // here), the exact side by a straightforward left-to-right double
+    // cosine — the same accumulation order as the native kernel, written
+    // independently of it. The per-query intersection sizes must match
+    // the registry row exactly.
+    val e = graft.Tables(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def quant(v: Array[Double]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(127.0 * x / n + 0.5).toLong)
+    }
+    def idot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val zs = e.map { case (id, v) => id -> quant(v) }
+    val expected = (0L until 8L).map { qid =>
+      val others = e.keys.filter(_ != qid).toSeq
+      val aTop = others.sortBy(id => (-idot(zs(id), zs(qid)), id)).take(10).toSet
+      val eTop = others.sortBy(id => (-cos(e(id), e(qid)), id)).take(10).toSet
+      qid -> (aTop & eTop).size.toLong
+    }.toMap
+    val got = graft.SparkEntry.queries("x376_ann_recall_sq8_exact")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"recall map diverged: $got vs $expected")
+  }
 }

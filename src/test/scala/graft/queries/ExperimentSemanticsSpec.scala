@@ -423,4 +423,123 @@ class ExperimentSemanticsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_bands") * r.getAs[Long]("rows_per_band") == 16L)
     }
   }
+
+  test("x378 log-rank: risk sets shrink, terms replay in BigInt, χ² closes the fold") {
+    val rows = SparkEntry.queries("x378_logrank_test")(spark, sf001)
+      .orderBy("t").collect()
+    assert(rows.nonEmpty)
+    var prevRisk = Long.MaxValue
+    var cumOe = BigInt(0); var cumVar = BigInt(0)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val (da, db) = (r.getAs[Long]("d_a"), r.getAs[Long]("d_b"))
+      val n = na + nb
+      assert(n <= prevRisk, "the at-risk set can only shrink over t")
+      prevRisk = n
+      val eA = if (n > 0) BigInt(1000000) * (da + db) * na / n else BigInt(0)
+      assert(BigInt(r.getAs[Long]("e_a_micro")) == eA)
+      val oe = BigInt(1000000) * da - eA
+      assert(BigInt(r.getAs[Long]("oe_micro")) == oe)
+      val v = if (n > 1)
+        (BigInt(da + db) * (BigInt(1000000) * na / n) * (BigInt(1000000) * nb / n)
+          * (n - da - db)) / (BigInt(1000000) * (n - 1))
+      else BigInt(0)
+      assert(BigInt(r.getAs[Long]("var_micro")) == v, s"variance term at t=${r.getAs[Long]("t")}")
+      cumOe += oe; cumVar += v
+      assert(BigInt(r.getAs[Long]("cum_oe_micro")) == cumOe)
+      assert(BigInt(r.getAs[Long]("cum_var_micro")) == cumVar)
+      if (cumVar > 0)
+        assert(BigInt(r.getAs[Long]("lr_chi2_micro")) == cumOe * cumOe / cumVar)
+    }
+  }
+
+  test("x379 DiD: the estimate is exactly the double difference of cell means") {
+    val r = SparkEntry.queries("x379_did_estimator")(spark, sf001).head()
+    val did = (r.getAs[Long]("mean_b2_milli") - r.getAs[Long]("mean_b1_milli")) -
+      (r.getAs[Long]("mean_a2_milli") - r.getAs[Long]("mean_a1_milli"))
+    assert(r.getAs[Long]("did_milli") == did)
+    Seq("n_a1", "n_a2", "n_b1", "n_b2").foreach(c =>
+      assert(r.getAs[Long](c) > 0L, s"empty cell $c breaks the 2×2 design"))
+  }
+
+  test("x380 OBF: boundary ladder is c·K/k exact, looks are cumulative, final bound is the α=0.05 χ²") {
+    val rows = SparkEntry.queries("x380_obrien_fleming_scan")(spark, sf001)
+      .orderBy("look").collect()
+    assert(rows.map(_.getAs[Long]("look")).toSeq == Seq(1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("look")
+      assert(r.getAs[Long]("bound_micro") == 4096576L * 4L / k)
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val chi2 = if (na + nb > 0) 1000000L * (na - nb) * (na - nb) / (na + nb) else 0L
+      assert(r.getAs[Long]("chi2_micro") == chi2)
+      assert(r.getAs[Boolean]("crossed") == (na + nb > 0 && chi2 >= 4096576L * 4L / k))
+    }
+    // looks only accumulate users; the last look covers the whole timeline
+    val ns = rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
+    // OBF spends almost no alpha early: the first-look bound is 4x the last
+    assert(rows.head.getAs[Long]("bound_micro") ==
+      4L * rows.last.getAs[Long]("bound_micro"))
+  }
+
+  test("x381 McNemar: only discordant pairs carry the statistic") {
+    val r = SparkEntry.queries("x381_mcnemar_paired")(spark, sf001).head()
+    val (b, c) = (r.getAs[Long]("b"), r.getAs[Long]("c"))
+    assert(b + c <= r.getAs[Long]("n_pairs"))
+    if (b + c > 0) {
+      assert(r.getAs[Long]("chi2_micro") == 1000000L * (b - c) * (b - c) / (b + c))
+      val cc = math.max(math.abs(b - c) - 1L, 0L)
+      assert(r.getAs[Long]("chi2_cc_micro") == 1000000L * cc * cc / (b + c))
+      assert(r.getAs[Long]("chi2_cc_micro") <= r.getAs[Long]("chi2_micro"),
+        "continuity correction can only shrink the statistic")
+    } else {
+      assert(r.isNullAt(r.fieldIndex("chi2_micro")),
+        "no discordant pairs -> the statistic is undefined, not zero")
+    }
+  }
+
+  test("x382 Wilson: bounds bracket p-hat inside [0, 1] and never collapse to a point") {
+    val rows = SparkEntry.queries("x382_conversion_ci_wilson")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("arm")).toSet == Set(0L, 1L))
+    rows.foreach { r =>
+      val (n, x) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_conv"))
+      val (lo, hi) = (r.getAs[Long]("wilson_lo_micro"), r.getAs[Long]("wilson_hi_micro"))
+      assert(lo >= 0L && hi <= 1000000L && lo <= hi)
+      val pMicro = 1000000.0 * x / n
+      assert(lo <= pMicro + 1 && hi >= pMicro - 1, s"bounds must bracket p-hat: $r")
+      // the Wald interval collapses to width 0 at p-hat in {0, 1}; Wilson
+      // must not (the reason this row exists)
+      if (n > 0) assert(hi - lo > 0L, s"degenerate interval at $r")
+    }
+  }
+
+  test("x383 backfill plan: shares and cumulative volume reconcile with a recount") {
+    val rows = SparkEntry.queries("x383_backfill_plan")(spark, sf001)
+      .orderBy("day").collect()
+    assert(rows.length == 7, "the quarantine window is exactly 7 days")
+    val total = graft.Tables(spark, sf001, "events").count()
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_events")
+      assert(r.getAs[Long]("cum_events") == cum)
+      assert(r.getAs[Long]("events_share_milli") ==
+        1000L * r.getAs[Long]("n_events") / total)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_hour_partitions") <= 24L)
+    }
+  }
+
+  test("x384 funnel window curve: conversion is monotone in the window over one viewer base") {
+    val rows = SparkEntry.queries("x384_funnel_window_curve")(spark, sf001)
+      .orderBy("w_days").collect()
+    assert(rows.map(_.getAs[Long]("w_days")).toSeq == Seq(1L, 3L, 7L))
+    val viewers = rows.map(_.getAs[Long]("n_viewers")).distinct
+    assert(viewers.length == 1, "every window is charged against the same viewer base")
+    val convs = rows.map(_.getAs[Long]("n_conv"))
+    assert(convs.zip(convs.tail).forall { case (a, b) => a <= b },
+      "a wider window can only add conversions")
+    rows.foreach(r => assert(r.getAs[Long]("conv_milli") ==
+      1000L * r.getAs[Long]("n_conv") / r.getAs[Long]("n_viewers")))
+  }
 }

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** The continuous traffic-SRM guard: maintained per-type arm counts must
   * equal a one-shot recount over everything folded (count addition is
   * exact, so the maintained tier has NO approximation gap), a replayed
-  * batch and a fresh-checkpoint restart must be no-ops (counts are not
-  * replay-safe by algebra — the manifest high-water protocol carries
-  * it), and the guard's χ² must be the x357 formula to the digit.
+  * batch must be a no-op (counts are not replay-safe by algebra — the
+  * manifest high-water protocol carries it), a fresh-checkpoint restart
+  * must FAIL LOUDLY (r12 — silently skipping the renumbered batches
+  * would drop never-folded events forever), and the guard's χ² must be
+  * the x357 formula to the digit.
   */
 class SrmMaintainSpec extends SparkSpec {
 
@@ -32,15 +34,24 @@ class SrmMaintainSpec extends SparkSpec {
     val got = SrmMaintainStream.current(spark, dir).get.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == truth, "maintained tier must have zero approximation gap")
-    // replayed live batch: no fold
+    // replayed live batch (same-checkpoint recovery re-delivers the LAST
+    // batch): no fold
     SrmMaintainStream.maintain(spark, batches.last, dir, 2L)
-    // fresh-checkpoint restart: batchId returns to 0 over a live artifact
-    batches.zipWithIndex.foreach { case (b, i) =>
-      SrmMaintainStream.maintain(spark, b, dir, i.toLong)
-    }
     val after = SrmMaintainStream.current(spark, dir).get.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(after == truth, "replay/restart must not double any count")
+    assert(after == truth, "replay must not double any count")
+    // fresh-checkpoint restart (batchId regresses below the live
+    // generation): silently skipping would permanently DROP any events
+    // that arrived after the last fold (r11 ADVICE — the renumbered
+    // batch 0 re-lists every file); the guard must fail loudly and
+    // demand a dir reset instead
+    val ex = intercept[IllegalArgumentException] {
+      SrmMaintainStream.maintain(spark, batches.head, dir, 0L)
+    }
+    assert(ex.getMessage.contains("fresh-checkpoint restart"))
+    val intact = SrmMaintainStream.current(spark, dir).get.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(intact == truth, "failed fold must leave the live counts intact")
   }
 
   test("guard homogeneity arithmetic matches a BigInt replay; organic is clean") {
