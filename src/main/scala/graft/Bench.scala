@@ -40,7 +40,15 @@ object Bench {
     // log flood adjacent to the metric line risks crowding it out of the
     // driver's bounded stdout tail
     spark.sparkContext.setLogLevel("ERROR")
+    // builder-side subset (comma-separated names; never set by the
+    // driver): a full 445-query timed pass costs ~15 min, which makes
+    // controlled experiments — e.g. the probe-drift calibration runs
+    // documented in BASELINE.md (idle vs deliberately CPU-loaded) —
+    // impractical; a 20-query subset reproduces the environment signal
+    // in ~1 min. Official artifacts are always full-registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // fingerprints-only mode (builder-side tool, never set by the
     // driver): regenerate plans_r<N>.json without the ~15-minute timed
     // pass — used after a fingerprint-normalization fix so the round's
@@ -61,10 +69,12 @@ object Bench {
     // at warmup and every PROBE_EVERY queries — the contention detector the
     // wall-to-busy ratio is NOT. Uniform CPU steal inflates busy and wall
     // together (BENCH_r11 read contention 1.05 on a run the judge measured
-    // 2.06× inflated), but it cannot inflate a deterministic 10⁷-digest
-    // kernel without showing up as probe drift. One untimed run first so
-    // JIT compilation is not the first reading's drift.
-    calibrationProbeMs()
+    // 2.06× inflated), but it cannot inflate a deterministic MD5-chain
+    // kernel without showing up as probe drift. Two untimed POINTS first
+    // (six kernel runs): one is not enough for C2 to finish compiling the
+    // digest loop, and a half-JIT'd first reading fakes ~1.4× drift on an
+    // idle box (measured) — too close to the 1.5 threshold to leave in.
+    (0 until 2).foreach(_ => calibrationProbeMs())
     val probes = scala.collection.mutable.ArrayBuffer(calibrationProbeMs())
     val warmT0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
@@ -72,13 +82,17 @@ object Bench {
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     probes += calibrationProbeMs()
+    // cadence: every 64 queries on the full registry; a BENCH_ONLY
+    // subset shortens it so even a 20-query calibration run collects
+    // mid-pass readings
+    val probeEvery = math.max(1, math.min(ProbeEvery, queries.size / 4))
     val repResults = queries.zipWithIndex.map { case ((name, fn), qi) =>
       val reps = Seq.fill(3) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      if ((qi + 1) % ProbeEvery == 0) probes += calibrationProbeMs()
+      if ((qi + 1) % probeEvery == 0) probes += calibrationProbeMs()
       name -> reps
     }
     probes += calibrationProbeMs()
@@ -141,9 +155,13 @@ object Bench {
       val ok = reps.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    writeBenchDetail(round, results, mins, spreads, total, wallSec, warmupSec,
-      contention, probes.toSeq, sfName)
-    writePlanFingerprints(spark, round, queries, sfDir)
+    // a BENCH_ONLY calibration run must never overwrite the round's
+    // official full-registry artifacts
+    if (only.isEmpty) {
+      writeBenchDetail(round, results, mins, spreads, total, wallSec,
+        warmupSec, contention, probes.toSeq, sfName)
+      writePlanFingerprints(spark, round, queries, sfDir)
+    }
     // emit BEFORE the guard: if the encoding ever breaks, the round's
     // numbers still reach the log tail and only the exit code goes loud —
     // failing first would discard the whole timed pass the guard protects
@@ -252,24 +270,32 @@ object Bench {
     */
   private val ProbeEvery = 64
 
-  /** Deterministic single-thread CPU kernel: 2·10⁵ chained MD5 digests of
-    * a fixed 64-byte seed (~40-80 ms idle on this class of box). On an
-    * idle machine every reading is within a few percent; a box whose CPUs
-    * are being stolen by another JVM slows the kernel in direct proportion
-    * to the steal — the failure mode the wall-to-busy `contention` ratio
-    * is structurally blind to (uniform steal inflates its numerator and
-    * denominator together). The digest chain result is folded into a
-    * check byte so the loop cannot be dead-code-eliminated.
+  /** Deterministic single-thread CPU kernel: one probe POINT is the MIN
+    * of three back-to-back runs of 4·10⁵ chained MD5 digests of a fixed
+    * 64-byte seed (~50 ms per run idle on this class of box, ~150 ms per
+    * point). The min-of-3 is what makes the point trustworthy: a single
+    * run is spiked 1.4-1.5× on an IDLE box by the bench JVM's own
+    * compiler/GC threads finishing the previous query's codegen
+    * (measured), while genuine external CPU steal slows all three runs —
+    * the min filters the first and keeps the second. A box whose CPUs
+    * another JVM is stealing slows the kernel in direct proportion — the
+    * failure mode the wall-to-busy `contention` ratio is structurally
+    * blind to (uniform steal inflates its numerator and denominator
+    * together). The digest chain folds into a check byte so the loop
+    * cannot be dead-code-eliminated.
     */
   private[graft] def calibrationProbeMs(): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    var buf = Array.fill[Byte](64)(0x5a.toByte)
-    val t0 = System.nanoTime()
-    var i = 0
-    while (i < 200000) { buf = md.digest(buf); i += 1 }
-    val ms = (System.nanoTime() - t0) / 1e6
-    if (buf(0) == 0x7f && buf(1) == 0x7f) System.err.print("") // keep live
-    ms
+    def run(): Double = {
+      var buf = Array.fill[Byte](64)(0x5a.toByte)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 400000) { buf = md.digest(buf); i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (buf(0) == 0x7f && buf(1) == 0x7f) System.err.print("") // keep live
+      ms
+    }
+    math.min(run(), math.min(run(), run()))
   }
 
   /** (median, max/min drift) over the probe readings; drift −1 when fewer

@@ -25,7 +25,12 @@ object ScaleProbe {
     "x236_allpairs_clusters", // prefix-filter exact near-dup + components
     "x145_containment_join", // shingle-keyed containment join
     "x260_poisson_bootstrap", // deterministic resampling fan-out
-    "x80_quality_classifier") // hashed-feature training loop
+    "x80_quality_classifier", // hashed-feature training loop
+    // round 12 (r11 verdict task 5): the dedup-eval family took over the
+    // top of the bench (3.5-6.4 s at sf0.1) and had only a composition
+    // argument — probe the two heaviest directly
+    "x340_lsh_tuning_curve", // banded S-curve vs lossless truth tier
+    "x366_minhash_pr_eval") // capped bucket pairs + distinct-pair scoring
 
   private def copies(df: DataFrame, n: Int, remap: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until n).map(i => remap(df, i)).reduce(_.unionAll(_))
@@ -64,12 +69,16 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional: probe only the named families (re-probing all seven when
+    // one new family lands wastes an idle half hour)
+    val picked = if (args.length > 1) Families.filter(args.tail.contains)
+      else Families
     val out = s"${sys.props("java.io.tmpdir")}/graft_scale10x"
     val spark = GraftSession.local("graft-scale-probe",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     build10x(spark, base, out)
-    val results = Families.map { name =>
+    val results = picked.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, base).count() // JIT/codegen warm + first-touch artifacts
       val t1 = median3(fn(spark, base).count())

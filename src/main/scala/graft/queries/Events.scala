@@ -6137,10 +6137,72 @@ object Events {
               (1000 * n_conv) // n_viewers AS conv_milli
             FROM c ORDER BY w_days"""))
 
+  // ------------------------------------------------------------------- x387
+  // Micro-batch trigger-interval advisor — the sizing read BEFORE
+  // choosing a Structured Streaming trigger (x351 sizes the STATE side;
+  // this sizes the BATCH side): for candidate intervals 1/5/15 min,
+  // exact per-batch row-count distribution (non-empty batches, p50/p95
+  // by the x278 nearest-rank convention, max, busiest-batch share).
+  // A p95 far above p50 says the source is bursty and the small trigger
+  // buys latency only at the cost of straggler batches.
+  //
+  // Scale shape: one scan fans out ×3 (interval literals), two-level
+  // aggregate — (interval, bucket) rollup shuffles on the composite
+  // key, then interval-DOMAIN windows over bucket-count rows only.
+  private val x387 = GQuery(
+    "x387_trigger_interval_advisor", "ext-events streaming trigger sizing",
+    (s, dir) => {
+      val wR = Window.partitionBy("trigger_sec")
+        .orderBy(col("n_rows"), col("bucket"))
+      val wP = Window.partitionBy("trigger_sec")
+      events(s, dir)
+        .select(explode(expr("array(60L, 300L, 900L)")).as("trigger_sec"),
+          col("ts"))
+        .select(col("trigger_sec"),
+          expr("unix_micros(ts) div (trigger_sec * 1000000L)").as("bucket"))
+        .groupBy(col("trigger_sec"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("nb", count(lit(1)).over(wP).cast("long"))
+        .withColumn("tot", sum(col("n_rows")).over(wP))
+        .groupBy(col("trigger_sec"))
+        .agg(min(col("nb")).as("n_batches"),
+          min(when(expr("rn * 100 >= nb * 50"), col("n_rows"))).as("rows_p50"),
+          min(when(expr("rn * 100 >= nb * 95"), col("n_rows"))).as("rows_p95"),
+          max(col("n_rows")).as("rows_max"),
+          min(col("tot")).as("tot"))
+        .withColumn("max_share_milli", expr("(1000 * rows_max) div tot"))
+        .drop("tot")
+        .orderBy("trigger_sec")
+    },
+    Some("""WITH t AS (SELECT CAST(unnest([60, 300, 900]) AS BIGINT)
+                         AS trigger_sec),
+            b AS (SELECT t.trigger_sec,
+                    epoch_us(ts) // (t.trigger_sec * 1000000) AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_rows
+                  FROM events, t GROUP BY 1, 2),
+            r AS (SELECT trigger_sec, n_rows,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY trigger_sec
+                      ORDER BY n_rows, bucket) AS BIGINT) AS rn,
+                    CAST(COUNT(*) OVER (PARTITION BY trigger_sec) AS BIGINT)
+                      AS nb,
+                    CAST(SUM(n_rows) OVER (PARTITION BY trigger_sec)
+                      AS BIGINT) AS tot
+                  FROM b)
+            SELECT trigger_sec,
+              MIN(nb) AS n_batches,
+              CAST(MIN(CASE WHEN rn * 100 >= nb * 50 THEN n_rows END)
+                AS BIGINT) AS rows_p50,
+              CAST(MIN(CASE WHEN rn * 100 >= nb * 95 THEN n_rows END)
+                AS BIGINT) AS rows_p95,
+              MAX(n_rows) AS rows_max,
+              (1000 * MAX(n_rows)) // MIN(tot) AS max_share_milli
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
     x361, x362, x367, x368, x369, x373, x374, x375,
-    x378, x379, x380, x381, x382, x383, x384,
+    x378, x379, x380, x381, x382, x383, x384, x387,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

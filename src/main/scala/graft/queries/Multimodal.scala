@@ -261,5 +261,103 @@ object Multimodal {
             FROM s GROUP BY doc_id, i // 64
             ORDER BY media_id, win"""))
 
-  val queries: Seq[GQuery] = Seq(x16, x17, x28, x60, x74, x195)
+  // ------------------------------------------------------------------- x388
+  // Perceptual-hash Hamming-threshold curve — the x331 threshold-curve
+  // discipline on the τ x60 hard-codes: over a GRADED planted fixture
+  // (32-bit stub phash per 25-class corpus, doc_id%4 deterministic
+  // md5-positioned bit flips, so within-class pair distances spread
+  // 0..8 instead of x60's all-or-nothing), confirmed near-dup pairs and
+  // 4×8-bit banding recall at τ ∈ {0,1,2,3,4,6}. The pigeonhole edge is
+  // MEASURED, not asserted: recall is exactly 1000‰ through τ = 3 (any
+  // pair within Hamming 3 of a 4-band split shares a band) and falls
+  // off above — the table a media-dedup owner reads before moving the
+  // x60 threshold.
+  //
+  // Scale shape: an EVAL-tier row (the x340/x348 discipline): pair
+  // enumeration is capped at 64 docs per class (row_number ≤ 64, the
+  // hot-bucket-cap convention), so the pair table is a constant
+  // 25·C(64,2) regardless of corpus size; everything upstream is one
+  // map-only projection.
+  private val x388 = GQuery(
+    "x388_phash_threshold_curve", "ext-multimodal dedup-fuzzy threshold curve",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cls")).orderBy(col("doc_id"))
+      val ph = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 25).as("cls"),
+          expr("""cast(conv(substring(md5(concat('img-',
+               cast(doc_id % 25 as string))), 9, 8), 16, 10) as bigint)""")
+            .as("base32"),
+          expr("""coalesce(aggregate(array_distinct(
+               transform(filter(sequence(0, 3), j -> j < doc_id % 4),
+                 j -> shiftleft(1L, cast(conv(substring(md5(concat(
+                   cast(doc_id as string), ':', cast(j as string))), 1, 2),
+                   16, 10) as int) % 32))),
+               0L, (a, x) -> a + x), 0L)""").as("mask"))
+        .select(col("doc_id"), col("cls"),
+          expr("base32 ^ mask").as("ph"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 64)
+        .select(col("doc_id"), col("cls"), col("ph"))
+      val pairs = ph.as("a")
+        .join(ph.as("b"), expr("a.cls = b.cls AND a.doc_id < b.doc_id"))
+        .select(expr("cast(bit_count(a.ph ^ b.ph) as bigint)").as("ham"),
+          expr("""((a.ph div 16777216) % 256 = (b.ph div 16777216) % 256
+               or (a.ph div 65536) % 256 = (b.ph div 65536) % 256
+               or (a.ph div 256) % 256 = (b.ph div 256) % 256
+               or a.ph % 256 = b.ph % 256)""").as("band_eq"))
+      pairs
+        .select(col("ham"), col("band_eq"),
+          explode(expr("array(0L, 1L, 2L, 3L, 4L, 6L)")).as("tau"))
+        .groupBy(col("tau"))
+        .agg(
+          sum(when(col("ham") <= col("tau"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("ham") <= col("tau") && col("band_eq"), 1L)
+            .otherwise(0L)).as("n_banded"))
+        .withColumn("recall_milli", expr(
+          "case when n_true > 0 then (1000 * n_banded) div n_true end"))
+        .orderBy("tau")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                    CAST(CAST(CONCAT('0x', substr(md5('img-' || (doc_id % 25)),
+                      9, 8)) AS UINTEGER) AS BIGINT) AS base32,
+                    doc_id % 25 AS cls, doc_id % 4 AS k
+                  FROM documents),
+            m AS (SELECT doc_id, cls, base32, k,
+                    COALESCE((SELECT CAST(SUM(DISTINCT (CAST(1 AS BIGINT)
+                        << CAST(CAST(CONCAT('0x', substr(md5(
+                          CAST(d.doc_id AS VARCHAR) || ':'
+                          || CAST(j AS VARCHAR)), 1, 2)) AS INTEGER) % 32
+                          AS INTEGER)))
+                      AS BIGINT) FROM range(0, 4) t(j) WHERE j < d.k), 0)
+                      AS mask
+                  FROM d),
+            p AS (SELECT doc_id, cls, xor(base32, mask) AS ph FROM m),
+            capped AS (SELECT * FROM (SELECT doc_id, cls, ph,
+                         ROW_NUMBER() OVER (PARTITION BY cls
+                           ORDER BY doc_id) AS rn
+                       FROM p) WHERE rn <= 64),
+            pairs AS (SELECT a.cls,
+                        CAST(bit_count(CAST(xor(a.ph, b.ph) AS BIGINT))
+                          AS BIGINT) AS ham,
+                        ((a.ph // 16777216) % 256 = (b.ph // 16777216) % 256
+                         OR (a.ph // 65536) % 256 = (b.ph // 65536) % 256
+                         OR (a.ph // 256) % 256 = (b.ph // 256) % 256
+                         OR a.ph % 256 = b.ph % 256) AS band_eq
+                      FROM capped a JOIN capped b
+                        ON a.cls = b.cls AND a.doc_id < b.doc_id),
+            tau AS (SELECT CAST(unnest([0, 1, 2, 3, 4, 6]) AS BIGINT) AS tau)
+            SELECT tau,
+              CAST(SUM(CASE WHEN ham <= tau THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_true,
+              CAST(SUM(CASE WHEN ham <= tau AND band_eq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_banded,
+              CASE WHEN SUM(CASE WHEN ham <= tau THEN 1 ELSE 0 END) > 0
+                THEN (1000 * SUM(CASE WHEN ham <= tau AND band_eq
+                  THEN 1 ELSE 0 END))
+                  // SUM(CASE WHEN ham <= tau THEN 1 ELSE 0 END) END
+                AS recall_milli
+            FROM pairs, tau GROUP BY 1 ORDER BY 1"""))
+
+  val queries: Seq[GQuery] = Seq(x16, x17, x28, x60, x74, x195, x388)
 }

@@ -1895,33 +1895,51 @@ object Similarity {
   // (79/80 at sf0.01). Scale shape: query batch broadcast (8 rows), one
   // corpus scan per tier, GroupedTopK bounded heaps — no global sort, no
   // corpus shuffle.
+  /** The two cross-engine-exact serving tiers behind x376/x385/x386:
+    * per query (vec_id < 8), the SQ8 normalize-quantize-integer-dot
+    * top-10 and the x06-kernel exact-cosine top-10, both with dense
+    * per-query positions. ONE definition so the recall, nDCG and MRR
+    * monitors can never disagree about what tier they are grading.
+    */
+  private def sq8AndExactTop10(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.plans.GroupedTopKOps
+    GroupedTopKOps.ensureInstalled(s)
+    val z = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("zv", expr(
+        "transform(emb, x -> cast(floor(127.0 * x / " +
+          "sqrt(aggregate(emb, 0.0d, (a, v) -> a + v * v)) + 0.5d) as bigint))"))
+    val q = z.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("qd"), col("zv").as("qz"),
+        VectorOps.l2norm(col("emb")).as("qnorm"))
+    val approxAll = z.join(broadcast(q.select(col("q_id"), col("qz"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(zv, qz, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+          .as("dot"))
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    val approxTop = GroupedTopKOps.groupedTopK(approxAll, Seq(col("q_id")),
+      Seq(col("dot").desc, col("vec_id")), k = 10)
+      .withColumn("pos", row_number().over(wA).cast("long"))
+    val exactAll = z.join(broadcast(q.select(col("q_id"), col("qd"), col("qnorm"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosinePreNorm(col("emb"), col("qd"), col("qnorm")).as("sim"))
+    val wE = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exactTop = GroupedTopKOps.groupedTopK(exactAll, Seq(col("q_id")),
+      Seq(col("sim").desc, col("vec_id")), k = 10)
+      .withColumn("pos", row_number().over(wE).cast("long"))
+    (approxTop.select("q_id", "vec_id", "pos"),
+      exactTop.select("q_id", "vec_id", "pos"))
+  }
+
   private val x376 = GQuery(
     "x376_ann_recall_sq8_exact",
     "ext-similarity-ann evaluation oracled-twin",
     (s, dir) => {
-      import graft.plans.GroupedTopKOps
-      GroupedTopKOps.ensureInstalled(s)
-      val z = emb(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        .withColumn("zv", expr(
-          "transform(emb, x -> cast(floor(127.0 * x / " +
-            "sqrt(aggregate(emb, 0.0d, (a, v) -> a + v * v)) + 0.5d) as bigint))"))
-      val q = z.where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("emb").as("qd"), col("zv").as("qz"),
-          VectorOps.l2norm(col("emb")).as("qnorm"))
-      val approxAll = z.join(broadcast(q.select(col("q_id"), col("qz"))))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          expr("aggregate(zip_with(zv, qz, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
-            .as("dot"))
-      val approxTop = GroupedTopKOps.groupedTopK(approxAll, Seq(col("q_id")),
-        Seq(col("dot").desc, col("vec_id")), k = 10)
-      val exactAll = z.join(broadcast(q.select(col("q_id"), col("qd"), col("qnorm"))))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          VectorOps.cosinePreNorm(col("emb"), col("qd"), col("qnorm")).as("sim"))
-      val exactTop = GroupedTopKOps.groupedTopK(exactAll, Seq(col("q_id")),
-        Seq(col("sim").desc, col("vec_id")), k = 10)
+      val (approxTop, exactTop) = sq8AndExactTop10(s, dir)
       recallAtK(approxTop.select("q_id", "vec_id"),
         exactTop.select("q_id", "vec_id"), k = 10)
     },
@@ -2022,6 +2040,165 @@ object Similarity {
                 FROM pick WHERE step = 8) o
           JOIN cand c ON c.vec_id = o.v
           ORDER BY rank"""))
+
+  // ------------------------------------------------------------------- x385
+  // nDCG@10 of the SQ8 serving tier (Järvelin & Kekäläinen 2002) —
+  // completes the retrieval-eval battery (recall x376, AUC x219, AP
+  // x265, PR x264) with the GRADED metric serving teams actually report.
+  // Relevance grades come from the exact-cosine tier (3 = exact top-3,
+  // 2 = top-5, 1 = top-10): grades are then monotone in exact position,
+  // so the ideal ordering IS the exact ordering and IDCG needs no extra
+  // sort. The 1/log₂(i+1) discounts are a 10-entry micro-integer LADDER
+  // (the x367 literal-constant discipline — logs are not cross-engine
+  // reproducible, ladder lookups are), so DCG/IDCG/nDCG are exact
+  // integers end to end, over the SAME sq8AndExactTop10 tiers as x376.
+  //
+  // Scale shape: both inputs are B·10-row serving sets; the join and
+  // ladder rollup are broadcast-sized. The heavy work (two corpus
+  // scans) is the tiers', shared with x376.
+  private val x385 = GQuery(
+    "x385_ndcg_sq8_exact",
+    "ext-similarity-ann evaluation graded ndcg",
+    (s, dir) => {
+      val (approxTop, exactTop) = sq8AndExactTop10(s, dir)
+      val disc = "array(1000000L, 630929L, 500000L, 430676L, 386852L, " +
+        "356207L, 333333L, 315464L, 301029L, 289064L)"
+      val grades = exactTop.select(col("q_id"), col("vec_id"),
+        expr("""case when pos <= 3 then 3L when pos <= 5 then 2L
+                else 1L end""").as("grade"),
+        col("pos").as("ideal_pos"))
+      val dcg = approxTop
+        .join(grades.select(col("q_id"), col("vec_id"), col("grade")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(expr(
+          s"coalesce(grade, 0L) * element_at($disc, cast(pos as int))"))
+          .as("dcg_micro"))
+      val idcg = grades.groupBy(col("q_id"))
+        .agg(sum(expr(
+          s"grade * element_at($disc, cast(ideal_pos as int))"))
+          .as("idcg_micro"))
+      dcg.join(idcg, Seq("q_id"))
+        .withColumn("ndcg_milli", expr("(1000 * dcg_micro) div idcg_micro"))
+        .orderBy("q_id")
+    },
+    Some("""WITH z AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor((127.0 * x)
+                  / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) + 0.5)
+                  AS BIGINT)) AS zv
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, emb AS qd, zv AS qz
+                FROM z WHERE vec_id < 8),
+          ax AS (SELECT q.q_id, z.vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     list_dot_product(CAST(z.zv AS DOUBLE[]),
+                                      CAST(q.qz AS DOUBLE[])) DESC,
+                     z.vec_id) AS BIGINT) AS pos
+                 FROM z, q WHERE z.vec_id <> q.q_id),
+          ex AS (SELECT q.q_id, z.vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     (list_dot_product(z.emb, q.qd)
+                       / (sqrt(list_dot_product(z.emb, z.emb))
+                        * sqrt(list_dot_product(q.qd, q.qd)))) DESC,
+                     z.vec_id) AS BIGINT) AS pos
+                 FROM z, q WHERE z.vec_id <> q.q_id),
+          g AS (SELECT q_id, vec_id, pos AS ideal_pos,
+                  CASE WHEN pos <= 3 THEN 3 WHEN pos <= 5 THEN 2 ELSE 1 END
+                    AS grade
+                FROM ex WHERE pos <= 10),
+          dcg AS (SELECT a.q_id,
+                    CAST(SUM(COALESCE(g.grade, 0)
+                      * ([1000000, 630929, 500000, 430676, 386852, 356207,
+                          333333, 315464, 301029, 289064])[a.pos]) AS BIGINT)
+                      AS dcg_micro
+                  FROM (SELECT * FROM ax WHERE pos <= 10) a
+                  LEFT JOIN g ON g.q_id = a.q_id AND g.vec_id = a.vec_id
+                  GROUP BY 1),
+          idcg AS (SELECT q_id,
+                     CAST(SUM(grade
+                       * ([1000000, 630929, 500000, 430676, 386852, 356207,
+                           333333, 315464, 301029, 289064])[ideal_pos])
+                       AS BIGINT) AS idcg_micro
+                   FROM g GROUP BY 1)
+          SELECT dcg.q_id, dcg_micro, idcg_micro,
+            (1000 * dcg_micro) // idcg_micro AS ndcg_milli
+          FROM dcg JOIN idcg USING (q_id) ORDER BY q_id"""))
+
+  // ------------------------------------------------------------------- x386
+  // MRR@10 of the SQ8 tier against the exact top-3 targets — the
+  // "how fast does the user see a truly-best result" readout next to
+  // x385's graded quality: reciprocal rank is RATIONAL (1e6 div rank,
+  // exact; 0 when no exact-top-3 member surfaces in the serving
+  // top-10), so unlike log-discounted metrics it needs no ladder. The
+  // batch mean repeats on every row (one window) so the scalar a
+  // dashboard tracks is in the same exact table.
+  //
+  // Scale shape: x385's — serving-set-sized joins over the shared
+  // tiers.
+  private val x386 = GQuery(
+    "x386_mrr_sq8_exact",
+    "ext-similarity-ann evaluation reciprocal rank",
+    (s, dir) => {
+      val (approxTop, exactTop) = sq8AndExactTop10(s, dir)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val targets = exactTop.where(col("pos") <= 3)
+        .select(col("q_id"), col("vec_id"))
+      approxTop
+        .join(targets, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(min(col("pos")).as("hit_rank"))
+        .join(exactTop.select("q_id").distinct(), Seq("q_id"), "right")
+        .select(col("q_id"),
+          coalesce(col("hit_rank"), lit(0L)).as("first_hit_rank"),
+          expr("""case when hit_rank is not null
+               then 1000000L div hit_rank else 0L end""").as("rr_micro"))
+        .withColumn("sum_rr", sum(col("rr_micro")).over(wAll))
+        .withColumn("n_q", count(lit(1)).over(wAll))
+        .withColumn("mrr_micro", expr("sum_rr div n_q"))
+        .drop("sum_rr", "n_q")
+        .orderBy("q_id")
+    },
+    Some("""WITH z AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor((127.0 * x)
+                  / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) + 0.5)
+                  AS BIGINT)) AS zv
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, emb AS qd, zv AS qz
+                FROM z WHERE vec_id < 8),
+          ax AS (SELECT q.q_id, z.vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     list_dot_product(CAST(z.zv AS DOUBLE[]),
+                                      CAST(q.qz AS DOUBLE[])) DESC,
+                     z.vec_id) AS BIGINT) AS pos
+                 FROM z, q WHERE z.vec_id <> q.q_id),
+          ex AS (SELECT q.q_id, z.vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     (list_dot_product(z.emb, q.qd)
+                       / (sqrt(list_dot_product(z.emb, z.emb))
+                        * sqrt(list_dot_product(q.qd, q.qd)))) DESC,
+                     z.vec_id) AS BIGINT) AS pos
+                 FROM z, q WHERE z.vec_id <> q.q_id),
+          hits AS (SELECT a.q_id, MIN(a.pos) AS hit_rank
+                   FROM (SELECT * FROM ax WHERE pos <= 10) a
+                   JOIN (SELECT q_id, vec_id FROM ex WHERE pos <= 3) t
+                     ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+                   GROUP BY 1),
+          rr AS (SELECT q.q_id,
+                   CAST(COALESCE(h.hit_rank, 0) AS BIGINT) AS first_hit_rank,
+                   CAST(CASE WHEN h.hit_rank IS NOT NULL
+                     THEN 1000000 // h.hit_rank ELSE 0 END AS BIGINT)
+                     AS rr_micro
+                 FROM (SELECT DISTINCT q_id FROM q) q
+                 LEFT JOIN hits h USING (q_id))
+          SELECT q_id, first_hit_rank, rr_micro,
+            CAST(SUM(rr_micro) OVER () // COUNT(*) OVER () AS BIGINT)
+              AS mrr_micro
+          FROM rr ORDER BY q_id"""))
 
   /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
     * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
@@ -2750,5 +2927,5 @@ object Similarity {
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
       x91, x92, x95, x100, x105, x108, x109, x111, x204, x232, x279, x311,
-      x345, x376, x377)
+      x345, x376, x377, x385, x386)
 }

@@ -185,4 +185,30 @@ class PHashSpec extends SparkSpec {
     assert(heavy.isEmpty,
       s"banded dedup must shuffle only bands/ids/hashes, found: ${heavy.map(_.output)}")
   }
+
+  test("x388 threshold curve: the pigeonhole edge is measured, not assumed") {
+    val rows = graft.SparkEntry.queries("x388_phash_threshold_curve")(spark, sf001)
+      .orderBy("tau").collect()
+    assert(rows.map(_.getAs[Long]("tau")).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 6L))
+    rows.foreach { r =>
+      val (t, b) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_banded"))
+      assert(b <= t, "banding can only ever lose pairs")
+      // 4 bands over 32 bits: any pair within Hamming 3 shares at least
+      // one untouched 8-bit band — recall is EXACTLY total through tau=3
+      if (r.getAs[Long]("tau") <= 3L) {
+        assert(b == t, s"pigeonhole guarantee broken at tau=${r.getAs[Long]("tau")}")
+        if (t > 0) assert(r.getAs[Long]("recall_milli") == 1000L)
+      }
+    }
+    // widening tau only adds pairs, on both tiers
+    val ts = rows.map(_.getAs[Long]("n_true"))
+    val bs = rows.map(_.getAs[Long]("n_banded"))
+    assert(ts.zip(ts.tail).forall { case (a, b2) => a <= b2 })
+    assert(bs.zip(bs.tail).forall { case (a, b2) => a <= b2 })
+    // the graded fixture must actually exercise the fall-off: some pair
+    // beyond tau=3 exists whose bands all differ (else the curve row
+    // measures nothing x60 doesn't already pin)
+    assert(rows.last.getAs[Long]("n_banded") < rows.last.getAs[Long]("n_true"),
+      "expected banding loss above the pigeonhole edge on the graded fixture")
+  }
 }

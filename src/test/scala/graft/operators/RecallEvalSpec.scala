@@ -86,4 +86,55 @@ class RecallEvalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected, s"recall map diverged: $got vs $expected")
   }
+
+  test("x385/x386: ladder DCG and reciprocal ranks replay from independent tier recomputes") {
+    val e = graft.Tables(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def quant(v: Array[Double]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(127.0 * x / n + 0.5).toLong)
+    }
+    def idot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val disc = Array(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val zs = e.map { case (id, v) => id -> quant(v) }
+    val ndcgRows = graft.SparkEntry.queries("x385_ndcg_sq8_exact")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("dcg_micro"), r.getAs[Long]("idcg_micro"),
+          r.getAs[Long]("ndcg_milli"))).toMap
+    val mrrRows = graft.SparkEntry.queries("x386_mrr_sq8_exact")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("first_hit_rank"), r.getAs[Long]("rr_micro"))).toMap
+    var rrSum = 0L
+    (0L until 8L).foreach { qid =>
+      val others = e.keys.filter(_ != qid).toSeq
+      val aTop = others.sortBy(id => (-idot(zs(id), zs(qid)), id)).take(10)
+      val eTop = others.sortBy(id => (-cos(e(id), e(qid)), id)).take(10)
+      val grade = eTop.zipWithIndex.map { case (id, i) =>
+        id -> (if (i < 3) 3L else if (i < 5) 2L else 1L)
+      }.toMap
+      val dcg = aTop.zipWithIndex.map { case (id, i) =>
+        grade.getOrElse(id, 0L) * disc(i) }.sum
+      val idcg = eTop.zipWithIndex.map { case (id, i) =>
+        grade(id) * disc(i) }.sum
+      assert(ndcgRows(qid) == ((dcg, idcg, 1000L * dcg / idcg)),
+        s"nDCG replay diverged for query $qid")
+      val hit = aTop.zipWithIndex.collectFirst {
+        case (id, i) if grade.getOrElse(id, 0L) == 3L => i + 1L
+      }
+      val rr = hit.map(1000000L / _).getOrElse(0L)
+      rrSum += rr
+      assert(mrrRows(qid) == ((hit.getOrElse(0L), rr)),
+        s"MRR replay diverged for query $qid")
+    }
+    val mrr = graft.SparkEntry.queries("x386_mrr_sq8_exact")(spark, sf001)
+      .collect().map(_.getAs[Long]("mrr_micro")).distinct
+    assert(mrr.toSeq == Seq(rrSum / 8L), "the repeated batch-mean column must be the exact mean")
+  }
 }

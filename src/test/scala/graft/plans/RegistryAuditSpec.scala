@@ -50,7 +50,13 @@ class RegistryAuditSpec extends SparkSpec {
     "x279_range_search_exact" -> "8-query batch fans onto the corpus scan",
     "x276_hubness_audit" -> "500-query eval sample fans onto the corpus scan",
     "x50_hard_negatives" -> "anchor batch fans onto candidate pool",
-    "x95_ann_recall_eval" -> "eval query batch onto corpus + index")
+    "x95_ann_recall_eval" -> "eval query batch onto corpus + index",
+    // round 12: the SQ8 eval trio shares x95's serving-batch contract
+    // (8-query batch fans onto two corpus scans via sq8AndExactTop10)
+    "x376_ann_recall_sq8_exact" -> "8-query batch fans onto the corpus scan",
+    "x385_ndcg_sq8_exact" -> "8-query batch fans onto the corpus scan",
+    "x386_mrr_sq8_exact" -> "8-query batch fans onto the corpus scan",
+    "x380_obrien_fleming_scan" -> "4-look domain broadcast onto the per-user rollup")
 
   test("no registry query introduces an unlisted cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

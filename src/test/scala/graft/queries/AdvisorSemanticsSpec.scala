@@ -68,4 +68,30 @@ class AdvisorSemanticsSpec extends SparkSpec {
     val den = BigInt(pn) * (BigInt(pa) + pb) - 2 * BigInt(pa) * pb
     if (den != 0) assert(row.getAs[Long]("ari_milli") == (num / den).toLong)
   }
+
+  test("x387 trigger advisor: distribution replays against a driver-side recount") {
+    val rows = SparkEntry.queries("x387_trigger_interval_advisor")(spark, sf001)
+      .orderBy("trigger_sec").collect()
+    assert(rows.map(_.getAs[Long]("trigger_sec")).toSeq == Seq(60L, 300L, 900L))
+    val ts = graft.Tables(spark, sf001, "events")
+      .selectExpr("unix_micros(ts) as us").collect().map(_.getLong(0))
+    rows.foreach { r =>
+      val t = r.getAs[Long]("trigger_sec")
+      val counts = ts.groupBy(us => us / (t * 1000000L)).values
+        .map(_.length.toLong).toSeq.sorted
+      val nb = counts.length.toLong
+      def nearestRank(p: Int): Long =
+        counts(((nb * p + 99) / 100 - 1).toInt.max(0))
+      assert(r.getAs[Long]("n_batches") == nb)
+      assert(r.getAs[Long]("rows_p50") == nearestRank(50), s"p50 at $t")
+      assert(r.getAs[Long]("rows_p95") == nearestRank(95), s"p95 at $t")
+      assert(r.getAs[Long]("rows_max") == counts.last)
+      assert(r.getAs[Long]("max_share_milli") == 1000L * counts.last / counts.sum)
+      assert(r.getAs[Long]("rows_p50") <= r.getAs[Long]("rows_p95"))
+      assert(r.getAs[Long]("rows_p95") <= r.getAs[Long]("rows_max"))
+    }
+    // a longer trigger can only merge buckets: batch counts shrink
+    val nbs = rows.map(_.getAs[Long]("n_batches"))
+    assert(nbs.zip(nbs.tail).forall { case (a, b) => a >= b })
+  }
 }
