@@ -2965,10 +2965,66 @@ object CorpusOps {
                 // CAST(COUNT(*) AS BIGINT) AS move_ppm
             FROM f GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x393
+  // Split balance audit — is x157's hash split biased by language? Per
+  // (lang, split) cell: docs, the lang's observed split share in exact
+  // millis, the DESIGN share (md5 first-two-hex thresholds 'cc'/'e6' =
+  // 204/26/26 of 256 → 796/101/101 milli, floor), and the deviation. A
+  // sound hash split deviates only by sampling noise; a systematic
+  // dev_milli on one language means the split KEY correlates with
+  // language (e.g. id ranges assigned per source) and the x21/x371
+  // stratified plans should be keyed differently. Uses x157's exact
+  // split rule (md5(doc_id || ':split')) so the audit and the split
+  // can never drift.
+  //
+  // Scale shape: one map-side projection, a (lang, split) dimension-
+  // grid rollup, a lang-domain broadcast of totals.
+  private val x393 = GQuery(
+    "x393_split_balance_audit", "ext-text split-hygiene balance",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("lang"),
+          expr("""case when substring(md5(concat(cast(doc_id as string),
+               ':split')), 1, 2) < 'cc' then 'train'
+             when substring(md5(concat(cast(doc_id as string),
+               ':split')), 1, 2) < 'e6' then 'val'
+             else 'test' end""").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+      val l = d.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+      d.join(l, Seq("lang"))
+        .select(col("lang"), col("split"), col("n_docs"), col("n_lang"),
+          expr("(1000 * n_docs) div n_lang").as("share_milli"),
+          expr("""cast(case split when 'train' then 796
+               when 'val' then 101 else 101 end as bigint)""")
+            .as("expected_milli"))
+        .withColumn("dev_milli", expr("share_milli - expected_milli"))
+        .orderBy("lang", "split")
+    },
+    Some("""WITH d AS (SELECT lang,
+                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                        1, 2) < 'cc' THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                        1, 2) < 'e6' THEN 'val'
+                      ELSE 'test' END AS split
+                  FROM documents),
+            g AS (SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM d GROUP BY 1, 2),
+            l AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+                  FROM g GROUP BY 1)
+            SELECT g.lang, g.split, g.n_docs, l.n_lang,
+              (1000 * g.n_docs) // l.n_lang AS share_milli,
+              CAST(CASE g.split WHEN 'train' THEN 796 WHEN 'val' THEN 101
+                ELSE 101 END AS BIGINT) AS expected_milli,
+              (1000 * g.n_docs) // l.n_lang
+                - CASE g.split WHEN 'train' THEN 796 WHEN 'val' THEN 101
+                    ELSE 101 END AS dev_milli
+            FROM g JOIN l USING (lang) ORDER BY lang, split"""))
+
   val queries: Seq[GQuery] =
     Seq(x34, x35, x36, x37, x38, x41, x42, x43, x44, x51, x79, x82, x84, x87,
       x90, x93, x94, x96, x97, x98, x104, x119, x120, x121, x122, x143, x157,
       x176, x191, x202, x219, x222, x223, x226, x233, x235, x247, x251, x253,
       x257, x259, x263, x264, x265, x266, x267, x275, x341, x352, x363,
-      x371, x372)
+      x371, x372, x393)
 }

@@ -2225,8 +2225,65 @@ object Dedup {
                 AS BIGINT) AS recall_milli
             FROM ps CROSS JOIN tn ORDER BY rows_per_band"""))
 
+  // ------------------------------------------------------------------- x392
+  // Dedup mixture-shift audit — what x01's exact dedup does to the
+  // TRAINING MIXTURE: per (lang, source) cell, row counts and exact
+  // milli shares before and after keeper selection, and the share
+  // shift. Duplication is never uniform across sources (template-heavy
+  // ones lose more), so dedup silently reweights the corpus away from
+  // the x29/x320 mixture plan — this is the audit that catches it,
+  // read BETWEEN the dedup stage and the mixture sampler. Same keeper
+  // rule as x01 (min doc_id per md5(text)), so this row and the dedup
+  // stage can never disagree about who survives.
+  //
+  // Scale shape: one md5 projection, a window-min keeper flag on the
+  // hash shuffle (x01's exchange), one (lang, source) rollup over the
+  // dimension-domain grid; totals ride a 1-row broadcast.
+  private val x392 = GQuery(
+    "x392_dedup_mixture_shift", "ext-dedup-exact mixture audit",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      val g = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("h"))
+        .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("keeper"), 1L).otherwise(0L)).as("n_after"))
+      val tot = g.agg(sum(col("n_before")).as("tb"),
+        sum(col("n_after")).as("ta"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_before"), col("n_after"),
+          expr("(1000 * n_before) div tb").as("share_before_milli"),
+          expr("(1000 * n_after) div ta").as("share_after_milli"),
+          expr("(1000 * n_after) div ta - (1000 * n_before) div tb")
+            .as("shift_milli"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, source, md5(text) AS h
+                       FROM documents),
+            keep AS (SELECT *,
+                       doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keeper
+                     FROM d),
+            g AS (SELECT lang, source,
+                    CAST(COUNT(*) AS BIGINT) AS n_before,
+                    CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_after
+                  FROM keep GROUP BY 1, 2),
+            t AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM g)
+            SELECT lang, source, n_before, n_after,
+              CAST((1000 * n_before) // (SELECT tb FROM t) AS BIGINT)
+                AS share_before_milli,
+              CAST((1000 * n_after) // (SELECT ta FROM t) AS BIGINT)
+                AS share_after_milli,
+              CAST((1000 * n_after) // (SELECT ta FROM t)
+                - (1000 * n_before) // (SELECT tb FROM t) AS BIGINT)
+                AS shift_milli
+            FROM g ORDER BY lang, source"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
       x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328,
-      x332, x333, x340, x348, x356, x366)
+      x332, x333, x340, x348, x356, x366, x392)
 }

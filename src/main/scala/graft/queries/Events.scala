@@ -6199,10 +6199,188 @@ object Events {
               (1000 * MAX(n_rows)) // MIN(tot) AS max_share_milli
             FROM r GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------------------- x389
+  // Watermark-delay policy curve — the third leg of the streaming-sizing
+  // family (x351 state, x387 batch, this one LOSS): under x192's
+  // deterministic ingest-delay model (arrival = ts + (event_id % 3)
+  // days), how many events a `withWatermark(delay)` pipeline DROPS vs
+  // BUFFERS at candidate delays of 0/1/2/3 days. An event whose ingest
+  // lag exceeds the delay arrives behind the watermark (event time ≈
+  // stream max at arrival for the zero-lag cohort) and is discarded;
+  // lag ≤ delay is kept but held in state — the drop/state trade the
+  // delay knob actually turns. The x331 threshold-curve discipline:
+  // one lag projection feeds every candidate, 4-row domain.
+  private val x389 = GQuery(
+    "x389_watermark_delay_curve", "ext-events streaming watermark loss curve",
+    (s, dir) => {
+      val tot = events(s, dir).agg(count(lit(1)).as("n_events"))
+      events(s, dir)
+        .select((col("event_id") % 3).as("lag_days"))
+        .select(col("lag_days"),
+          explode(expr("array(0L, 1L, 2L, 3L)")).as("delay_days"))
+        .groupBy(col("delay_days"))
+        .agg(
+          sum(when(col("lag_days") > col("delay_days"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("lag_days") > 0L &&
+            col("lag_days") <= col("delay_days"), 1L).otherwise(0L))
+            .as("n_late_kept"))
+        .crossJoin(broadcast(tot))
+        .select(col("delay_days"), col("n_events"), col("n_dropped"),
+          expr("(1000 * n_dropped) div n_events").as("drop_milli"),
+          col("n_late_kept"),
+          expr("(1000 * n_late_kept) div n_events").as("late_kept_milli"))
+        .orderBy("delay_days")
+    },
+    Some("""WITH e AS (SELECT event_id % 3 AS lag_days FROM events),
+            d AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS delay_days),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+            SELECT d.delay_days,
+              (SELECT n FROM tot) AS n_events,
+              CAST(SUM(CASE WHEN lag_days > d.delay_days THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+              (1000 * SUM(CASE WHEN lag_days > d.delay_days THEN 1 ELSE 0 END))
+                // (SELECT n FROM tot) AS drop_milli,
+              CAST(SUM(CASE WHEN lag_days > 0 AND lag_days <= d.delay_days
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late_kept,
+              (1000 * SUM(CASE WHEN lag_days > 0 AND lag_days <= d.delay_days
+                THEN 1 ELSE 0 END)) // (SELECT n FROM tot) AS late_kept_milli
+            FROM e, d GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x390
+  // SRM daily drilldown — the LOCALIZATION table behind the x357/x367/
+  // x380 alarms: once the scan fires, WHEN did the imbalance start? Per
+  // active day, the per-arm distinct-user split, its χ² in micros, the
+  // day's share of the summed daily χ² (contribution, exact milli) and
+  // the nominal single-test flag (3.841459 — significance stays with
+  // x367's family-wise scan; this table is for reading, not alarming).
+  //
+  // Scale shape: one (day, user) distinct-project (the c15 shuffle),
+  // day rollup, then day-DOMAIN windows.
+  private val x390 = GQuery(
+    "x390_srm_daily_drilldown", "ext-events experiment srm localization",
+    (s, dir) => {
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      events(s, dir)
+        .select(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("user_id")).distinct()
+        .withColumn("arm", Experiment.arm)
+        .groupBy(col("day"))
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_micro", expr(
+          """case when n_a + n_b > 0
+               then (1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)
+               else 0L end"""))
+        .withColumn("sum_chi2", sum(col("chi2_micro")).over(wAll))
+        .withColumn("contrib_milli", expr(
+          """case when sum_chi2 > 0
+               then (1000 * chi2_micro) div sum_chi2 else 0L end"""))
+        .withColumn("nominal_flag", col("chi2_micro") >= 3841459L)
+        .select(col("day"), col("n_a"), col("n_b"), col("chi2_micro"),
+          col("contrib_milli"), col("nominal_flag"))
+        .orderBy("day")
+    },
+    Some("""WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                          AS day, user_id
+                        FROM events),
+            a AS (SELECT day,
+                    CAST(SUM(CASE WHEN CAST(CAST(CONCAT('0x',
+                      substr(md5('a:' || CAST(user_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                    CAST(SUM(CASE WHEN CAST(CAST(CONCAT('0x',
+                      substr(md5('a:' || CAST(user_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+                  FROM du GROUP BY 1),
+            c AS (SELECT day, n_a, n_b,
+                    CASE WHEN n_a + n_b > 0
+                      THEN (1000000 * (n_a - n_b) * (n_a - n_b))
+                        // (n_a + n_b)
+                      ELSE 0 END AS chi2_micro
+                  FROM a)
+            SELECT day, n_a, n_b, CAST(chi2_micro AS BIGINT) AS chi2_micro,
+              CASE WHEN SUM(chi2_micro) OVER () > 0
+                THEN CAST((1000 * chi2_micro) // SUM(chi2_micro) OVER ()
+                  AS BIGINT)
+                ELSE 0 END AS contrib_milli,
+              chi2_micro >= 3841459 AS nominal_flag
+            FROM c ORDER BY day"""))
+
+  // ------------------------------------------------------------------- x391
+  // Novelty-effect curve (Kohavi et al., Trustworthy Online Controlled
+  // Experiments ch. 23) — the treatment-effect-by-exposure-age table
+  // that separates a REAL effect from a novelty (or primacy) artifact:
+  // per days-since-first-exposure k, per-arm mean events/user in exact
+  // millis and their delta. An effect that decays toward zero as k
+  // grows is novelty, not product value — the read that should gate
+  // any x379/x362 readout before shipping.
+  //
+  // Scale shape: one per-user first-day aggregate joins back to the
+  // event scan on user_id (co-partitioned, the x31 shape), then an
+  // (arm, k) rollup with an exact per-cell distinct and a k-DOMAIN
+  // pivot.
+  private val x391 = GQuery(
+    "x391_novelty_effect_curve", "ext-events experiment novelty decay",
+    (s, dir) => {
+      val u = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts")).cast("date")).as("first_day"))
+        .withColumn("arm", Experiment.arm)
+      events(s, dir).join(u, Seq("user_id"))
+        .select(col("arm"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            col("first_day")).cast("long").as("k"),
+          col("user_id"))
+        .groupBy(col("arm"), col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("mean_milli", expr("(1000 * n_events) div n_users"))
+        .groupBy(col("k"))
+        .agg(
+          max(when(col("arm") === 0L, col("n_users"))).as("n_users_a"),
+          max(when(col("arm") === 1L, col("n_users"))).as("n_users_b"),
+          max(when(col("arm") === 0L, col("mean_milli"))).as("mean_a_milli"),
+          max(when(col("arm") === 1L, col("mean_milli"))).as("mean_b_milli"))
+        .where(col("n_users_a").isNotNull && col("n_users_b").isNotNull)
+        .withColumn("delta_milli", expr("mean_b_milli - mean_a_milli"))
+        .orderBy("k")
+    },
+    Some("""WITH u AS (SELECT user_id,
+                    MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day,
+                    CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                      CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                      % 2 AS arm
+                  FROM events GROUP BY 1, 3),
+            k AS (SELECT u.arm, datediff('day', u.first_day,
+                    CAST(date_trunc('day', e.ts) AS DATE)) AS k,
+                    e.user_id
+                  FROM events e JOIN u ON u.user_id = e.user_id),
+            g AS (SELECT arm, CAST(k AS BIGINT) AS k,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+                  FROM k GROUP BY 1, 2),
+            m AS (SELECT arm, k, n_users,
+                    (1000 * n_events) // n_users AS mean_milli
+                  FROM g)
+            SELECT k,
+              MAX(CASE WHEN arm = 0 THEN n_users END) AS n_users_a,
+              MAX(CASE WHEN arm = 1 THEN n_users END) AS n_users_b,
+              MAX(CASE WHEN arm = 0 THEN mean_milli END) AS mean_a_milli,
+              MAX(CASE WHEN arm = 1 THEN mean_milli END) AS mean_b_milli,
+              MAX(CASE WHEN arm = 1 THEN mean_milli END)
+                - MAX(CASE WHEN arm = 0 THEN mean_milli END) AS delta_milli
+            FROM m GROUP BY 1
+            HAVING MAX(CASE WHEN arm = 0 THEN n_users END) IS NOT NULL
+              AND MAX(CASE WHEN arm = 1 THEN n_users END) IS NOT NULL
+            ORDER BY k"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
     x361, x362, x367, x368, x369, x373, x374, x375,
-    x378, x379, x380, x381, x382, x383, x384, x387,
+    x378, x379, x380, x381, x382, x383, x384, x387, x389, x390, x391,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
 /** Gates for the curation quota ops: the token-budget source cap (x93)
@@ -181,5 +181,29 @@ class CurationSpec extends SparkSpec {
     val budget = nTotal / 2
     val sumTarget = rows.map(_.getAs[Long]("target")).sum
     assert(sumTarget == budget, s"sum(target)=$sumTarget budget=$budget n=$nTotal")
+  }
+
+  test("x393 split balance: cells reconcile per language and the design shares are the hash-range ones") {
+    val rows = SparkEntry.queries("x393_split_balance_audit")(spark, sf001)
+      .collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, cells) =>
+      val nLang = cells.head.getAs[Long]("n_lang")
+      assert(cells.forall(_.getAs[Long]("n_lang") == nLang))
+      assert(cells.map(_.getAs[Long]("n_docs")).sum == nLang,
+        s"cells must partition language $lang")
+      cells.foreach { r =>
+        assert(r.getAs[Long]("share_milli") ==
+          1000L * r.getAs[Long]("n_docs") / nLang)
+        // 'cc'/'e6' two-hex thresholds carve 204/26/26 of 256
+        val expect = r.getAs[String]("split") match {
+          case "train" => 204L * 1000 / 256
+          case _ => 26L * 1000 / 256
+        }
+        assert(r.getAs[Long]("expected_milli") == expect)
+        assert(r.getAs[Long]("dev_milli") ==
+          r.getAs[Long]("share_milli") - expect)
+      }
+    }
   }
 }

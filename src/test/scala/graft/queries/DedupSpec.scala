@@ -287,4 +287,24 @@ class DedupSpec extends SparkSpec {
     assert(!nodes.exists(n => n.nodeName.contains("CartesianProduct")),
       "candidates must come from the posting equi-join")
   }
+
+  test("x392 mixture shift: totals reconcile with x01's keeper rule and shares truncate down") {
+    val rows = SparkEntry.queries("x392_dedup_mixture_shift")(spark, sf001)
+      .collect()
+    val corpus = graft.Tables(spark, sf001, "documents").count()
+    val distinctTexts = graft.Tables(spark, sf001, "documents")
+      .selectExpr("md5(text)").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_before")).sum == corpus,
+      "before-shares must cover the whole corpus")
+    assert(rows.map(_.getAs[Long]("n_after")).sum == distinctTexts,
+      "after-counts must equal the distinct-text census (x01's keeper rule)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("shift_milli") ==
+        r.getAs[Long]("share_after_milli") - r.getAs[Long]("share_before_milli"))
+    }
+    // floor-truncated shares each undershoot the whole by < 1 milli/cell
+    val sb = rows.map(_.getAs[Long]("share_before_milli")).sum
+    assert(sb <= 1000L && sb > 1000L - rows.length, s"share sum $sb")
+  }
 }

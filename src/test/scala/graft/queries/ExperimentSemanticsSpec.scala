@@ -530,6 +530,65 @@ class ExperimentSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("x389 watermark curve: drop + buffered + on-time partitions the stream at every delay") {
+    val rows = SparkEntry.queries("x389_watermark_delay_curve")(spark, sf001)
+      .orderBy("delay_days").collect()
+    assert(rows.map(_.getAs[Long]("delay_days")).toSeq == Seq(0L, 1L, 2L, 3L))
+    val onTime = graft.Tables(spark, sf001, "events")
+      .where(org.apache.spark.sql.functions.expr("event_id % 3 = 0")).count()
+    rows.foreach { r =>
+      // whatever the delay, the stream partitions into dropped /
+      // late-but-kept / on-time — the on-time cohort is delay-invariant
+      assert(r.getAs[Long]("n_events") - r.getAs[Long]("n_dropped")
+        - r.getAs[Long]("n_late_kept") == onTime, s"partition identity at $r")
+    }
+    val drops = rows.map(_.getAs[Long]("n_dropped"))
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+      "a longer delay can only drop fewer events")
+    val kept = rows.map(_.getAs[Long]("n_late_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b },
+      "a longer delay can only buffer more late events")
+    // lag domain is {0,1,2} days: delay 2 and 3 both drop nothing
+    assert(drops.takeRight(2).forall(_ == 0L))
+  }
+
+  test("x390 SRM drilldown: per-day chi-squares replay and contributions stay within budget") {
+    val rows = SparkEntry.queries("x390_srm_daily_drilldown")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val sumChi2 = rows.map(_.getAs[Long]("chi2_micro")).sum
+    var sumContrib = 0L
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val chi2 = if (na + nb > 0) 1000000L * (na - nb) * (na - nb) / (na + nb) else 0L
+      assert(r.getAs[Long]("chi2_micro") == chi2)
+      assert(r.getAs[Boolean]("nominal_flag") == (chi2 >= 3841459L))
+      assert(r.getAs[Long]("contrib_milli") ==
+        (if (sumChi2 > 0) 1000L * chi2 / sumChi2 else 0L))
+      sumContrib += r.getAs[Long]("contrib_milli")
+    }
+    // floor-truncated shares can only undershoot the whole
+    assert(sumContrib <= 1000L && sumContrib > 1000L - rows.length,
+      s"contribution shares must sum to 1000 within truncation: $sumContrib")
+  }
+
+  test("x391 novelty curve: cell means replay from a driver-side recount at k = 0") {
+    val rows = SparkEntry.queries("x391_novelty_effect_curve")(spark, sf001)
+      .orderBy("k").collect()
+    assert(rows.nonEmpty && rows.head.getAs[Long]("k") == 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_milli") ==
+        r.getAs[Long]("mean_b_milli") - r.getAs[Long]("mean_a_milli"))
+    }
+    // day-0 replay: every user contributes to their own k = 0 cell, so
+    // the user bases at k = 0 are the full per-arm populations
+    val e = graft.Tables(spark, sf001, "events")
+      .selectExpr("user_id", Experiment.ArmExpr + " as arm").distinct().collect()
+    val k0 = rows.head
+    assert(k0.getAs[Long]("n_users_a") == e.count(_.getLong(1) == 0L).toLong)
+    assert(k0.getAs[Long]("n_users_b") == e.count(_.getLong(1) == 1L).toLong)
+  }
+
   test("x384 funnel window curve: conversion is monotone in the window over one viewer base") {
     val rows = SparkEntry.queries("x384_funnel_window_curve")(spark, sf001)
       .orderBy("w_days").collect()
