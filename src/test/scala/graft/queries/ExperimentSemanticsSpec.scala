@@ -530,6 +530,44 @@ class ExperimentSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("scale-shape pins: the round-12 rows plan what their scaladocs claim") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.optimizedPlan.toString
+    def physical(name: String): String =
+      SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+    // x331 (r11 verdict task 4): the 3-row breaks side is explicitly
+    // broadcast — the join must never fall back to a shuffle strategy,
+    // whatever the stats/core environment says (the driver-vs-judge
+    // fingerprint flip this pin closes)
+    val p331 = physical("x331_session_threshold_curve")
+    assert(!p331.contains("SortMergeJoin") && !p331.contains("ShuffledHashJoin"),
+      "x331's domain joins must stay broadcast")
+    // x384: every window is served from ONE per-user aggregate — the
+    // 3-way explode must not re-scan events per window
+    val p384 = plan("x384_funnel_window_curve")
+    assert(p384.split("Relation").length - 1 == 1,
+      s"x384 must scan events exactly once:\n$p384")
+    // x380: the 4-look domain and the 1-row bounds both broadcast; a
+    // shuffle join on either would put the per-user rollup on the wire
+    // twice
+    val p380 = physical("x380_obrien_fleming_scan")
+    assert(!p380.contains("SortMergeJoin") && !p380.contains("ShuffledHashJoin"),
+      "x380's domain joins must stay broadcast")
+    // x388: within-class pairing is an equi-join on cls under the 64-doc
+    // cap — never a product
+    val p388 = physical("x388_phash_threshold_curve")
+    assert(!p388.contains("CartesianProduct"),
+      "x388 pairs must come from the class equi-join")
+    // x378: the log-rank terms are duration-DOMAIN windows above the
+    // per-day aggregate, never windows over the user-grain stream
+    val p378 = plan("x378_logrank_test")
+    val winIdx = p378.indexOf("Window")
+    assert(winIdx >= 0 && p378.indexOf("Aggregate", winIdx) >= 0,
+      s"x378: windows must sit above the day-domain aggregate:\n$p378")
+  }
+
   test("x389 watermark curve: drop + buffered + on-time partitions the stream at every delay") {
     val rows = SparkEntry.queries("x389_watermark_delay_curve")(spark, sf001)
       .orderBy("delay_days").collect()
