@@ -6377,10 +6377,189 @@ object Events {
               AND MAX(CASE WHEN arm = 1 THEN n_users END) IS NOT NULL
             ORDER BY k"""))
 
+  // ------------------------------------------------------------------- x394
+  // Winsorization-threshold sensitivity — the x331 curve discipline on
+  // the upper-clip percentile x374 hard-codes at 950‰: per p ∈
+  // {900, 950, 990}, the exact nearest-rank threshold and the per-arm
+  // winsorized means + delta. When the measured effect moves materially
+  // across this row, the "result" is a few whales and the clip choice —
+  // not the treatment — is driving the readout (the reason winsorized
+  // readouts exist at all). Upper clip only: the metric is non-negative
+  // spend, where the heavy tail lives.
+  //
+  // Scale shape: x374's — one per-user rollup, a global rank window
+  // (user-grain, the same sort x374 pays), a 3-row threshold broadcast,
+  // then (p, arm) domain rollups.
+  private val x394 = GQuery(
+    "x394_winsor_threshold_curve", "ext-events experiment winsor sensitivity",
+    (s, dir) => {
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .withColumn("arm", Experiment.arm)
+      val wR = Window.orderBy(col("spend"), col("user_id"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val ranked = per
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .localCheckpoint(true) // threshold fold + clipped rollup
+      val thr = ranked
+        .select(col("rn"), col("n"), col("spend"),
+          explode(expr("array(900L, 950L, 990L)")).as("p_milli"))
+        .groupBy(col("p_milli"))
+        .agg(min(when(col("rn") * 1000 >= col("n") * col("p_milli"),
+          col("spend"))).as("hi_cents"))
+      ranked.crossJoin(broadcast(thr))
+        .withColumn("w", least(col("spend"), col("hi_cents")))
+        .groupBy(col("p_milli"), col("hi_cents"), col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("w")).as("sw"))
+        .groupBy(col("p_milli"), col("hi_cents"))
+        .agg(
+          max(when(col("arm") === 0L, col("n_users"))).as("n_a"),
+          max(when(col("arm") === 1L, col("n_users"))).as("n_b"),
+          max(when(col("arm") === 0L,
+            expr("(1000000 * sw) div n_users"))).as("mean_a_winsor_micro"),
+          max(when(col("arm") === 1L,
+            expr("(1000000 * sw) div n_users"))).as("mean_b_winsor_micro"))
+        .withColumn("delta_micro",
+          expr("mean_b_winsor_micro - mean_a_winsor_micro"))
+        .orderBy("p_milli")
+    },
+    Some("""WITH per AS (
+              SELECT user_id,
+                CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS spend,
+                CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 2 AS arm
+              FROM events GROUP BY 1),
+            rk AS (SELECT *,
+                     CAST(ROW_NUMBER() OVER (ORDER BY spend, user_id)
+                       AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n
+                   FROM per),
+            p AS (SELECT CAST(unnest([900, 950, 990]) AS BIGINT) AS p_milli),
+            thr AS (SELECT p.p_milli,
+                      MIN(CASE WHEN rn * 1000 >= n * p.p_milli
+                        THEN spend END) AS hi_cents
+                    FROM rk, p GROUP BY 1),
+            cl AS (SELECT t.p_milli, t.hi_cents, r.arm,
+                     LEAST(r.spend, t.hi_cents) AS w
+                   FROM rk r, thr t),
+            g AS (SELECT p_milli, hi_cents, arm,
+                    CAST(COUNT(*) AS BIGINT) AS n_users,
+                    CAST(SUM(w) AS BIGINT) AS sw
+                  FROM cl GROUP BY 1, 2, 3)
+            SELECT p_milli, CAST(hi_cents AS BIGINT) AS hi_cents,
+              MAX(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+              MAX(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+              CAST(MAX(CASE WHEN arm = 0 THEN (1000000 * sw) // n_users END)
+                AS BIGINT) AS mean_a_winsor_micro,
+              CAST(MAX(CASE WHEN arm = 1 THEN (1000000 * sw) // n_users END)
+                AS BIGINT) AS mean_b_winsor_micro,
+              CAST(MAX(CASE WHEN arm = 1 THEN (1000000 * sw) // n_users END)
+                - MAX(CASE WHEN arm = 0 THEN (1000000 * sw) // n_users END)
+                AS BIGINT) AS delta_micro
+            FROM g GROUP BY 1, 2 ORDER BY 1"""))
+
+  // ------------------------------------------------------------------- x395
+  // Benjamini–Hochberg FDR scan (Benjamini & Hochberg 1995) — the
+  // step-UP companion completing the multiple-testing family (x357
+  // single test, x367 Holm step-down FWER, x380 sequential): over the
+  // SAME srmArmCounts substrate, accept every rank up to the LARGEST k
+  // whose χ² clears the α·k/m critical. The per-rank critical comes
+  // from the x367 micro-integer ladder, DISCRETIZED CONSERVATIVELY:
+  // p* = α·k/m rounds DOWN to the nearest tabulated ladder p (the
+  // rung with 50000//j ≤ p*_ppm), so the crit used is ≥ the exact BH
+  // crit — rejections are a subset of true BH, never a superset
+  // (ladder-discretized BH; exact inverse-χ² at arbitrary p is not
+  // cross-engine reproducible, ladder lookups are). BH rejection set ⊇
+  // Holm's by construction — pinned in spec.
+  //
+  // Scale shape: x367's — one distinct-project + type rollup, then
+  // |types|-domain window arithmetic.
+  private val x395 = GQuery(
+    "x395_bh_fdr_scan", "ext-events experiment bh fdr step-up",
+    (s, dir) => {
+      val wR = Window.orderBy(col("chi2_micro").desc, col("event_type"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      srmArmCounts(s, dir)
+        .withColumn("chi2_micro", expr(
+          """cast((1000000 * cast(n_a - n_b as decimal(38,0)) * (n_a - n_b))
+               div (n_a + n_b) as bigint)"""))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll).cast("long"))
+        .withColumn("pstar_ppm", expr("(50000 * rank) div m"))
+        .withColumn("rung", expr(
+          "array_min(filter(sequence(1, 10), j -> 50000 div j <= pstar_ppm))"))
+        .withColumn("crit_micro", expr(
+          """element_at(array(3841459L, 5023886L, 5731139L, 6238533L,
+               6634897L, 6960401L, 7236689L, 7476773L, 7689093L, 7879439L),
+             cast(coalesce(rung, 10) as int))"""))
+        .withColumn("passing_rank",
+          when(col("chi2_micro") >= col("crit_micro"), col("rank")))
+        .withColumn("kmax",
+          coalesce(max(col("passing_rank")).over(wAll), lit(0L)))
+        .withColumn("bh_reject", col("rank") <= col("kmax"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("chi2_micro"),
+          col("rank"), col("pstar_ppm"), col("crit_micro"), col("bh_reject"))
+        .orderBy("rank")
+    },
+    Some("""WITH u AS (
+              SELECT DISTINCT event_type, user_id FROM events),
+            a AS (
+              SELECT event_type,
+                CAST(CAST(CONCAT('0x', substr(md5('a:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 2 AS arm
+              FROM u),
+            g AS (
+              SELECT event_type,
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_b
+              FROM a GROUP BY 1),
+            c AS (
+              SELECT event_type, n_a, n_b,
+                CAST((1000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b))
+                  // (n_a + n_b) AS BIGINT) AS chi2_micro
+              FROM g),
+            r AS (
+              SELECT *,
+                CAST(ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, event_type)
+                  AS BIGINT) AS rank,
+                CAST(COUNT(*) OVER () AS BIGINT) AS m
+              FROM c),
+            k AS (
+              SELECT *, (50000 * rank) // m AS pstar_ppm,
+                list_min(list_filter([1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+                  j -> 50000 // j <= (50000 * rank) // m)) AS rung
+              FROM r),
+            s AS (
+              SELECT *,
+                ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
+                  7236689, 7476773, 7689093, 7879439])[COALESCE(rung, 10)]
+                  AS crit_micro,
+                CASE WHEN chi2_micro >= ([3841459, 5023886, 5731139, 6238533,
+                  6634897, 6960401, 7236689, 7476773, 7689093,
+                  7879439])[COALESCE(rung, 10)]
+                  THEN rank ELSE NULL END AS passing_rank
+              FROM k),
+            mx AS (SELECT MAX(passing_rank) AS kmax FROM s)
+            SELECT event_type, n_a, n_b, chi2_micro, rank,
+              CAST(pstar_ppm AS BIGINT) AS pstar_ppm,
+              CAST(crit_micro AS BIGINT) AS crit_micro,
+              rank <= COALESCE((SELECT kmax FROM mx), 0) AS bh_reject
+            FROM s ORDER BY rank"""))
+
   val queries: Seq[GQuery] = Seq(x49, c38, x103, x106, x107, x308, x310,
     x321, x322, x323, x331, x338, x342, x351, x353, x357, x359,
     x361, x362, x367, x368, x369, x373, x374, x375,
     x378, x379, x380, x381, x382, x383, x384, x387, x389, x390, x391,
+    x394, x395,
     x114, x115, x116, x117, x118, x125, x134, x135, x137, x149, x150, x151,
     x152, x153, x156, x161, x162, x163, x164, x165, x166, x167, x169,
     x171, x172, x186, x187, x192, x193, x194, x197, x198, x200, x201, x203,

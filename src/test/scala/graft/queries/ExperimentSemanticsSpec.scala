@@ -530,6 +530,55 @@ class ExperimentSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("x394 winsor curve: thresholds replay nearest-rank and clipping less raises the mean") {
+    val rows = SparkEntry.queries("x394_winsor_threshold_curve")(spark, sf001)
+      .orderBy("p_milli").collect()
+    assert(rows.map(_.getAs[Long]("p_milli")).toSeq == Seq(900L, 950L, 990L))
+    val spends = graft.Tables(spark, sf001, "events")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(cast(round(value * 100, 0) as long))").as("spend"))
+      .collect().map(_.getAs[Long]("spend")).sorted
+    val n = spends.length.toLong
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_milli")
+      val idx = (((n * p + 999) / 1000) - 1).toInt.max(0)
+      assert(r.getAs[Long]("hi_cents") == spends(idx),
+        s"nearest-rank threshold at p=$p")
+    }
+    val his = rows.map(_.getAs[Long]("hi_cents"))
+    assert(his.zip(his.tail).forall { case (a, b) => a <= b })
+    Seq("mean_a_winsor_micro", "mean_b_winsor_micro").foreach { c =>
+      val ms = rows.map(_.getAs[Long](c))
+      assert(ms.zip(ms.tail).forall { case (a, b) => a <= b },
+        s"$c must be nondecreasing as the clip loosens")
+    }
+  }
+
+  test("x395 BH step-up: rejections are a rank prefix, criticals relax down-rank, BH >= Holm") {
+    val rows = SparkEntry.queries("x395_bh_fdr_scan")(spark, sf001)
+      .orderBy("rank").collect()
+    val flags = rows.map(_.getAs[Boolean]("bh_reject"))
+    // step-up semantics: everything at or above the largest passing rank
+    assert(!flags.zip(flags.tail).exists { case (a, b) => !a && b },
+      "BH rejections must form a rank prefix")
+    val crits = rows.map(_.getAs[Long]("crit_micro"))
+    assert(crits.zip(crits.tail).forall { case (a, b) => a >= b },
+      "the BH critical can only relax as rank grows")
+    assert(crits.forall(_ >= 3841459L),
+      "ladder discretization is conservative: never below the single-test crit")
+    // BH is uniformly more powerful than Holm: every Holm rejection is a
+    // BH rejection (over the SAME substrate and ladder)
+    val holm = SparkEntry.queries("x367_holm_srm_scan")(spark, sf001)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Boolean]("holm_reject")).toMap
+    rows.foreach { r =>
+      if (holm(r.getAs[String]("event_type")))
+        assert(r.getAs[Boolean]("bh_reject"),
+          s"Holm rejected ${r.getAs[String]("event_type")} but BH did not")
+    }
+  }
+
   test("scale-shape pins: the round-12 rows plan what their scaladocs claim") {
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sf001)
