@@ -6410,7 +6410,13 @@ object Events {
         .groupBy(col("p_milli"))
         .agg(min(when(col("rn") * 1000 >= col("n") * col("p_milli"),
           col("spend"))).as("hi_cents"))
-      ranked.crossJoin(broadcast(thr))
+      // equi-join on the threshold key (never a cross join — the 3-row
+      // side is an aggregate the plan cannot prove tiny, and the
+      // registry's cartesian gate rightly refuses to take our word)
+      ranked
+        .select(col("spend"), col("arm"),
+          explode(expr("array(900L, 950L, 990L)")).as("p_milli"))
+        .join(broadcast(thr), Seq("p_milli"))
         .withColumn("w", least(col("spend"), col("hi_cents")))
         .groupBy(col("p_milli"), col("hi_cents"), col("arm"))
         .agg(count(lit(1)).as("n_users"), sum(col("w")).as("sw"))
