@@ -6038,10 +6038,12 @@ object Events {
   // day's share of total corpus, and cumulative recompute volume in
   // day order (the progress axis a backfill driver reports against).
   //
-  // Scale shape: the quarantine filter prunes the scan to the window's
-  // partitions (day-partitioned storage serves exactly these files);
-  // one day-grain rollup with two exact distincts, then day-DOMAIN
-  // windows. The total is a separate 1-row broadcast.
+  // Scale shape: one day-grain rollup with two exact distincts, then
+  // day-DOMAIN windows; the total is a separate 1-row broadcast. The
+  // window bound here is DATA-derived (dmax rides the broadcast), so
+  // the filter evaluates post-scan in this fixture; in production the
+  // quarantine window is a LITERAL date range and day-partitioned
+  // storage prunes to exactly the affected files before any read.
   private val x383 = GQuery(
     "x383_backfill_plan", "ext-events ops backfill planning",
     (s, dir) => {
