@@ -11,12 +11,29 @@ float64 — two values differing in the last ~4 digits at 2^64 magnitude
 compared EQUAL, so x302 shipped "green" locally and failed the driver's
 exact hash. The comparison now never leaves DuckDB: every cell is CAST
 to VARCHAR inside the engine (DECIMAL/HUGEINT render all digits) and the
-two sides are diffed with EXCEPT ALL both ways — at least as strict as
-the driver's canonical hash. Not part of the shipped library — local
-iteration tooling only.
+two sides are diffed with EXCEPT ALL both ways.
+
+HONESTY NOTE (round 13, replacing the r12 claim "at least as strict as
+the driver"): VARCHAR-rendered value equality is NOT as strict as the
+driver's hash, which is representation-sensitive — a DuckDB HUGEINT
+column whose values fit int64 renders identically to a BIGINT here yet
+hash-fails the driver (x388/x389, round 12). This checker therefore
+ALSO lints the oracle SQL's DESCRIBE'd output types and FAILS any
+column wider than int64 (HUGEINT/UHUGEINT/UBIGINT, or DECIMAL with >18
+integer digits): DuckDB's SUM(BIGINT) returns HUGEINT and `//` keeps
+it, so any milli/ratio expression must be wrapped in
+CAST(... AS BIGINT). Value check + type lint together cover both
+observed driver-failure classes (x302 values, x388/x389 types).
+
+The connection pins TimeZone='UTC': Spark-written parquet timestamps
+load as TIMESTAMPTZ and CAST(.. AS TIMESTAMP) renders in the session
+zone, so on a non-UTC box the Spark side would shift off midnight
+against the oracle's DATE side. Not part of the shipped library —
+local iteration tooling only.
 """
 import json
 import os
+import re
 import sys
 
 import duckdb
@@ -47,6 +64,26 @@ def varchar_sel(cols):
     return ", ".join(parts)
 
 
+def wide_type_lint(cols):
+    """Oracle output columns wider than int64 — the x388/x389 class.
+
+    The driver's hash distinguishes representations even when values
+    fit int64, so a HUGEINT (DuckDB SUM/`//` default) or wide-DECIMAL
+    oracle column against Spark's BIGINT fails the driver while the
+    VARCHAR value diff passes. Trip red here instead.
+    """
+    bad = []
+    for c, t in cols:
+        tu = t.upper()
+        if any(w in tu for w in ("HUGEINT", "UHUGEINT", "UBIGINT")):
+            bad.append((c, t))
+        else:
+            m = re.match(r"DECIMAL\((\d+),(\d+)\)", tu)
+            if m and int(m.group(1)) - int(m.group(2)) > 18:
+                bad.append((c, t))
+    return bad
+
+
 def check_one(con, name, sql, out_dir):
     got_rel = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
     gcols = cols_of(con, f"({got_rel})")
@@ -54,6 +91,10 @@ def check_one(con, name, sql, out_dir):
         wcols = cols_of(con, f"({sql})")
     except Exception as e:  # noqa: BLE001
         return f"FAIL {name}: oracle SQL error: {e}"
+    wide = wide_type_lint(wcols)
+    if wide:
+        return (f"FAIL {name}: oracle type lint — columns wider than "
+                f"int64 (driver hash is representation-sensitive): {wide}")
     gnames, wnames = [c for c, _ in gcols], [c for c, _ in wcols]
     if sorted(gnames) != sorted(wnames):
         return f"FAIL {name}: columns {sorted(gnames)} != {sorted(wnames)}"
@@ -79,6 +120,7 @@ def check_one(con, name, sql, out_dir):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -34,6 +34,21 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM-lifecycle hygiene (round 13, r12 VERDICT task 3): a single
+      // JVM timing 465 queries × 3 reps + warmup accumulates ~2000 SQL
+      // executions of status-store state (plan graphs, stage/task rows)
+      // with default retention (1000 executions / 100k tasks), so late
+      // queries run against a heap and listener bus the early ones
+      // filled — the measured pass-level mechanism behind like-for-like
+      // totals growing with registry size at byte-identical plans (r12:
+      // +23-26 % r11→r12; x169 swinging 0.33↔10.73 s ACROSS sessions
+      // with tight in-session spread). Bound the stores to a working
+      // set; the bench reads none of this state.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "64")
+      .config("spark.ui.retainedStages", "128")
+      .config("spark.ui.retainedTasks", "2048")
+      .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
     // ERROR, not WARN: the iterative operators (x22/x56) emit one benign
     // lineage-truncation WARN per unpersisted checkpoint generation, and a
@@ -86,11 +101,28 @@ object Bench {
     // subset shortens it so even a 20-query calibration run collects
     // mid-pass readings
     val probeEvery = math.max(1, math.min(ProbeEvery, queries.size / 4))
+    // between-query hygiene (round 13, with the bounded status stores
+    // above): a forced GC + settle sleep after each query's reps lets the
+    // ContextCleaner reclaim the query's broadcasts/accumulators BEFORE
+    // the next query is timed, instead of a GC landing mid-rep on some
+    // later, unrelated query — the cross-session single-row swings the
+    // r12 judge measured at unchanged plans. UNTIMED (between reps of
+    // different queries); the accumulated time is subtracted from wall
+    // before the contention ratio so hygiene doesn't read as CPU steal.
+    // SPARK_GRAFT_NOHYGIENE=1 restores the r12 protocol for A/B runs.
+    val hygiene = !sys.env.contains("SPARK_GRAFT_NOHYGIENE")
+    var hygieneSec = 0.0
     val repResults = queries.zipWithIndex.map { case ((name, fn), qi) =>
       val reps = Seq.fill(3) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      }
+      if (hygiene) {
+        val h0 = System.nanoTime()
+        System.gc()
+        Thread.sleep(80)
+        hygieneSec += (System.nanoTime() - h0) / 1e9
       }
       if ((qi + 1) % probeEvery == 0) probes += calibrationProbeMs()
       name -> reps
@@ -140,7 +172,10 @@ object Bench {
     // mechanically without a second artifact
     val wallSec = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getUptime / 1000
-    val contention = contentionRatio(wallSec, warmupSec, total)
+    // hygiene GC/sleep time is deliberate, not steal — remove it from the
+    // wall before the ratio (it is ~40 s on a full pass, which would fake
+    // contention ~1.15 on a clean run)
+    val contention = contentionRatio(wallSec - hygieneSec, warmupSec, total)
     val (probeMed, probeDrift) = probeStats(probes.toSeq)
     val line = fitMetricLine(results, total, wallSec, contention, sfName,
       probeMed, probeDrift)
@@ -207,6 +242,14 @@ object Bench {
       // next — the only fingerprint that churned r9→r10 with zero code
       // change); strip the id like every other session-scoped number
       .replaceAll("\\bBroadcast\\(\\d+\\)", "Broadcast")
+      // Range's split count is the ENVIRONMENT's core count, not plan
+      // shape: sparkSession.range(1) renders `Range (0, 1, step=1,
+      // splits=Some(32))` at local[32] but Some(16) at local[16], so the
+      // only two range(1)-seeded registry queries (x331/x380)
+      // fingerprinted differently builder-vs-driver every round until
+      // r13. Strip the count like Broadcast ids — a changed RANGE BOUND
+      // still changes the hash; only the scheduler's parallelism doesn't.
+      .replaceAll("\\bsplits=Some\\(\\d+\\)", "splits=Some")
       .replaceAll("@[0-9a-f]{6,}", "@")
     val shape = norm.linesIterator.map { line =>
       val depth = line.indexWhere(_.isLetterOrDigit) match {

@@ -5124,12 +5124,16 @@ object Events {
   // its whole experiment surface. Exact: χ² in micros over the SAME
   // srmArmCounts substrate as x357 (one assignment rule, two
   // consumers), critical values a literal df=1 ladder for α/1…α/10
-  // (χ²₁ criticals = z²_{1−α/2j}; ranks deeper than the ladder — m>10 —
-  // clamp to the LAST rung, the strictest tabulated critical, so the
-  // scan stays defined and conservative instead of NULLing out), and the
-  // sequential stop is a running-minimum window over the pass
-  // indicator. Holm rejection implies the x357 single-test flag
-  // (crit ≥ 3841459 everywhere) — pinned in ExperimentSemanticsSpec.
+  // (χ²₁ criticals = z²_{1−α/2j}). Ranks needing α/j beyond the ladder
+  // (m>10 ⇒ the TOP ranks need criticals STRICTER than the α/10 rung)
+  // ABSTAIN: crit is NULL and pass=0, so the step-down stops and the
+  // scan never rejects at m>10 — truly FWER-conservative. (The r12 form
+  // clamped those ranks to the α/10 rung, which is LOOSER than exact
+  // Holm's α/(m−k+1) there — anti-conservative, the opposite of what
+  // its comment claimed; r13 ADVICE.) The sequential stop is a
+  // running-minimum window over the pass indicator. Holm rejection
+  // implies the x357 single-test flag (crit ≥ 3841459 everywhere) —
+  // pinned in ExperimentSemanticsSpec.
   //
   // Scale shape: srmArmCounts' one distinct-project + type rollup; the
   // scan itself is |types|-domain window arithmetic.
@@ -5147,18 +5151,21 @@ object Events {
                div (n_a + n_b) as bigint)"""))
         .withColumn("rank", row_number().over(wR).cast("long"))
         .withColumn("m", count(lit(1)).over(wAll).cast("long"))
-        // m>10 guard (r11 ADVICE): element_at past the ladder end returns
-        // NULL, which would zero `pass` and silently disable the whole
-        // scan. Steps beyond the α/10 rung fall back to the LAST ladder
-        // entry (the strictest tabulated critical) — conservative for
-        // those top ranks, never NULL; same fallback in the oracle.
+        // m>10 guard (r13, replacing the r12 clamp): steps whose Holm
+        // index m−k+1 exceeds the ladder would need a critical STRICTER
+        // than the α/10 rung, so borrowing any tabulated rung is
+        // anti-conservative. Those steps abstain — crit NULL, pass=0 —
+        // and the running-min stop makes the whole scan non-rejecting
+        // at m>10. Same abstention in the oracle.
         .withColumn("crit_micro", expr(
-          """coalesce(element_at(array(3841459L, 5023886L, 5731139L,
-               6238533L, 6634897L, 6960401L, 7236689L, 7476773L, 7689093L,
-               7879439L),
-             least(cast(m - rank + 1 as int), 10)), 7879439L)"""))
+          """case when m - rank + 1 <= 10 then
+               element_at(array(3841459L, 5023886L, 5731139L,
+                 6238533L, 6634897L, 6960401L, 7236689L, 7476773L,
+                 7689093L, 7879439L),
+               cast(m - rank + 1 as int)) end"""))
         .withColumn("pass",
-          when(col("chi2_micro") >= col("crit_micro"), 1L).otherwise(0L))
+          when(col("crit_micro").isNotNull &&
+            col("chi2_micro") >= col("crit_micro"), 1L).otherwise(0L))
         .withColumn("holm_reject", min(col("pass")).over(wRun) === 1L)
         .select(col("event_type"), col("n_a"), col("n_b"), col("chi2_micro"),
           col("rank"), col("crit_micro"), col("holm_reject"))
@@ -5192,12 +5199,14 @@ object Events {
               FROM c),
             k AS (
               SELECT *,
-                ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
-                  7236689, 7476773, 7689093, 7879439])[LEAST(m - rank + 1, 10)]
-                  AS crit_micro,
-                CASE WHEN chi2_micro >= ([3841459, 5023886, 5731139,
-                  6238533, 6634897, 6960401, 7236689, 7476773, 7689093,
-                  7879439])[LEAST(m - rank + 1, 10)] THEN 1 ELSE 0 END AS pass
+                CASE WHEN m - rank + 1 <= 10 THEN
+                  ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
+                    7236689, 7476773, 7689093, 7879439])[m - rank + 1]
+                END AS crit_micro,
+                CASE WHEN m - rank + 1 <= 10 AND chi2_micro >=
+                  ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
+                    7236689, 7476773, 7689093, 7879439])[m - rank + 1]
+                  THEN 1 ELSE 0 END AS pass
               FROM r)
             SELECT event_type, n_a, n_b, chi2_micro, rank,
               CAST(crit_micro AS BIGINT) AS crit_micro,
@@ -5644,9 +5653,10 @@ object Events {
         .withColumn("n_b", sum(col("d_b") + col("c_b")).over(wAll)
           - coalesce(sum(col("d_b") + col("c_b")).over(wPrev), lit(0L)))
         .withColumn("e_a_micro", expr(
-          """case when n_a + n_b > 0
-               then (1000000 * (d_a + d_b) * n_a) div (n_a + n_b)
-               else 0L end"""))
+          """cast(case when n_a + n_b > 0
+               then (1000000 * cast(d_a + d_b as decimal(38,0)) * n_a)
+                 div (n_a + n_b)
+               else 0L end as bigint)"""))
         .withColumn("oe_micro", expr("1000000 * d_a - e_a_micro"))
         .withColumn("var_micro", expr(
           """case when n_a + n_b > 1 then
@@ -5711,10 +5721,12 @@ object Events {
             terms AS (
               SELECT t, n_a, n_b, d_a, d_b,
                 CASE WHEN n_a + n_b > 0
-                  THEN (1000000 * (d_a + d_b) * n_a) // (n_a + n_b)
+                  THEN (1000000 * CAST(d_a + d_b AS HUGEINT) * n_a)
+                    // (n_a + n_b)
                   ELSE 0 END AS e_a_micro,
                 1000000 * d_a - CASE WHEN n_a + n_b > 0
-                  THEN (1000000 * (d_a + d_b) * n_a) // (n_a + n_b)
+                  THEN (1000000 * CAST(d_a + d_b AS HUGEINT) * n_a)
+                    // (n_a + n_b)
                   ELSE 0 END AS oe_micro,
                 CASE WHEN n_a + n_b > 1 THEN
                   (CAST(d_a + d_b AS HUGEINT)
@@ -5742,9 +5754,12 @@ object Events {
             FROM cum ORDER BY t"""))
 
   /** Shared period split for the pre/post experiment rows (x379/x381):
-    * day < dmin + ⌈span/2⌉ is period 1, else period 2 — a deterministic
+    * day < dmin + ⌊span/2⌋ is period 1, else period 2, where span is
+    * the INCLUSIVE day count datediff(dmax,dmin)+1 — a deterministic
     * closed form over the fixture's own timeline, so both engines and
-    * every consumer cut at the same day.
+    * every consumer cut at the same day. (The floor form is what every
+    * consumer computes — `(datediff+1) div 2`; the r12 scaladoc said
+    * ceil, which differs for odd spans. r13 ADVICE doc fix.)
     */
   private def periodBounds(s: SparkSession, dir: String): DataFrame =
     events(s, dir).agg(
@@ -5857,7 +5872,8 @@ object Events {
             1L).otherwise(0L)).as("n_b"))
         .withColumn("chi2_micro", expr(
           """cast(case when n_a + n_b > 0
-               then (1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)
+               then (1000000 * cast(n_a - n_b as decimal(38,0)) * (n_a - n_b))
+                 div (n_a + n_b)
                else 0L end as bigint)"""))
         .withColumn("bound_micro", expr("(4096576 * 4) div look"))
         .withColumn("crossed", col("chi2_micro") >= col("bound_micro"))
@@ -5887,11 +5903,13 @@ object Events {
                     FROM cut c, u GROUP BY 1, 2)
             SELECT look, cut_day, n_a, n_b,
               CAST(CASE WHEN n_a + n_b > 0
-                THEN (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                THEN (1000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b))
+                  // (n_a + n_b)
                 ELSE 0 END AS BIGINT) AS chi2_micro,
               CAST((4096576 * 4) // look AS BIGINT) AS bound_micro,
               CASE WHEN n_a + n_b > 0 THEN
-                (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                (1000000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b))
+                  // (n_a + n_b)
                   >= (4096576 * 4) // look ELSE FALSE END AS crossed
             FROM cum ORDER BY look"""))
 
@@ -5929,11 +5947,13 @@ object Events {
         sum(when(col("p1") === 0L && col("p2") === 1L, 1L).otherwise(0L)).as("c"))
         .withColumn("chi2_micro", expr(
           """cast(case when b + c > 0
-               then (1000000 * (b - c) * (b - c)) div (b + c)
+               then (1000000 * cast(b - c as decimal(38,0)) * (b - c))
+                 div (b + c)
              end as bigint)"""))
         .withColumn("chi2_cc_micro", expr(
           """cast(case when b + c > 0
-               then (1000000 * greatest(abs(b - c) - 1, 0L)
+               then (1000000 * cast(greatest(abs(b - c) - 1, 0L)
+                               as decimal(38,0))
                              * greatest(abs(b - c) - 1, 0L)) div (b + c)
              end as bigint)"""))
     },
@@ -5963,10 +5983,10 @@ object Events {
                     FROM pairs)
             SELECT n_pairs, b, c,
               CAST(CASE WHEN b + c > 0
-                THEN (1000000 * (b - c) * (b - c)) // (b + c) END AS BIGINT)
-                AS chi2_micro,
+                THEN (1000000 * CAST(b - c AS HUGEINT) * (b - c)) // (b + c)
+                END AS BIGINT) AS chi2_micro,
               CAST(CASE WHEN b + c > 0
-                THEN (1000000 * GREATEST(ABS(b - c) - 1, 0)
+                THEN (1000000 * CAST(GREATEST(ABS(b - c) - 1, 0) AS HUGEINT)
                               * GREATEST(ABS(b - c) - 1, 0)) // (b + c)
                 END AS BIGINT) AS chi2_cc_micro
             FROM agg"""))
@@ -6241,12 +6261,15 @@ object Events {
               (SELECT n FROM tot) AS n_events,
               CAST(SUM(CASE WHEN lag_days > d.delay_days THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dropped,
-              (1000 * SUM(CASE WHEN lag_days > d.delay_days THEN 1 ELSE 0 END))
-                // (SELECT n FROM tot) AS drop_milli,
+              CAST((1000 * SUM(CASE WHEN lag_days > d.delay_days
+                THEN 1 ELSE 0 END))
+                // (SELECT n FROM tot) AS BIGINT) AS drop_milli,
               CAST(SUM(CASE WHEN lag_days > 0 AND lag_days <= d.delay_days
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_kept,
-              (1000 * SUM(CASE WHEN lag_days > 0 AND lag_days <= d.delay_days
-                THEN 1 ELSE 0 END)) // (SELECT n FROM tot) AS late_kept_milli
+              CAST((1000 * SUM(CASE WHEN lag_days > 0
+                AND lag_days <= d.delay_days
+                THEN 1 ELSE 0 END)) // (SELECT n FROM tot) AS BIGINT)
+                AS late_kept_milli
             FROM e, d GROUP BY 1 ORDER BY 1"""))
 
   // ------------------------------------------------------------------- x390
@@ -6272,9 +6295,10 @@ object Events {
         .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
           sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
         .withColumn("chi2_micro", expr(
-          """case when n_a + n_b > 0
-               then (1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)
-               else 0L end"""))
+          """cast(case when n_a + n_b > 0
+               then (1000000 * cast(n_a - n_b as decimal(38,0)) * (n_a - n_b))
+                 div (n_a + n_b)
+               else 0L end as bigint)"""))
         .withColumn("sum_chi2", sum(col("chi2_micro")).over(wAll))
         .withColumn("contrib_milli", expr(
           """case when sum_chi2 > 0
@@ -6299,8 +6323,8 @@ object Events {
                   FROM du GROUP BY 1),
             c AS (SELECT day, n_a, n_b,
                     CASE WHEN n_a + n_b > 0
-                      THEN (1000000 * (n_a - n_b) * (n_a - n_b))
-                        // (n_a + n_b)
+                      THEN CAST((1000000 * CAST(n_a - n_b AS HUGEINT)
+                        * (n_a - n_b)) // (n_a + n_b) AS BIGINT)
                       ELSE 0 END AS chi2_micro
                   FROM a)
             SELECT day, n_a, n_b, CAST(chi2_micro AS BIGINT) AS chi2_micro,
@@ -6482,7 +6506,12 @@ object Events {
   // rung with 50000//j ≤ p*_ppm), so the crit used is ≥ the exact BH
   // crit — rejections are a subset of true BH, never a superset
   // (ladder-discretized BH; exact inverse-χ² at arbitrary p is not
-  // cross-engine reproducible, ladder lookups are). BH rejection set ⊇
+  // cross-engine reproducible, ladder lookups are). Ranks whose p*
+  // falls BELOW the strictest rung (no j with α/j ≤ p*, i.e. m > 10·k)
+  // ABSTAIN — crit NULL, cannot certify kmax — since handing them the
+  // α/10 rung would be looser than exact BH and break the subset claim
+  // (r13, replacing the r12 coalesce-to-rung-10; unreachable at the
+  // m≤10 fixture, same class as x367's m>10 fix). BH rejection set ⊇
   // Holm's by construction — pinned in spec.
   //
   // Scale shape: x367's — one distinct-project + type rollup, then
@@ -6503,11 +6532,14 @@ object Events {
         .withColumn("rung", expr(
           "array_min(filter(sequence(1, 10), j -> 50000 div j <= pstar_ppm))"))
         .withColumn("crit_micro", expr(
-          """element_at(array(3841459L, 5023886L, 5731139L, 6238533L,
-               6634897L, 6960401L, 7236689L, 7476773L, 7689093L, 7879439L),
-             cast(coalesce(rung, 10) as int))"""))
+          """case when rung is not null then
+               element_at(array(3841459L, 5023886L, 5731139L, 6238533L,
+                 6634897L, 6960401L, 7236689L, 7476773L, 7689093L,
+                 7879439L),
+               cast(rung as int)) end"""))
         .withColumn("passing_rank",
-          when(col("chi2_micro") >= col("crit_micro"), col("rank")))
+          when(col("crit_micro").isNotNull &&
+            col("chi2_micro") >= col("crit_micro"), col("rank")))
         .withColumn("kmax",
           coalesce(max(col("passing_rank")).over(wAll), lit(0L)))
         .withColumn("bh_reject", col("rank") <= col("kmax"))
@@ -6548,12 +6580,13 @@ object Events {
               FROM r),
             s AS (
               SELECT *,
-                ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
-                  7236689, 7476773, 7689093, 7879439])[COALESCE(rung, 10)]
-                  AS crit_micro,
-                CASE WHEN chi2_micro >= ([3841459, 5023886, 5731139, 6238533,
-                  6634897, 6960401, 7236689, 7476773, 7689093,
-                  7879439])[COALESCE(rung, 10)]
+                CASE WHEN rung IS NOT NULL THEN
+                  ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
+                    7236689, 7476773, 7689093, 7879439])[rung]
+                END AS crit_micro,
+                CASE WHEN rung IS NOT NULL AND chi2_micro >=
+                  ([3841459, 5023886, 5731139, 6238533, 6634897, 6960401,
+                    7236689, 7476773, 7689093, 7879439])[rung]
                   THEN rank ELSE NULL END AS passing_rank
               FROM k),
             mx AS (SELECT MAX(passing_rank) AS kmax FROM s)

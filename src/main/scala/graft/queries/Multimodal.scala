@@ -352,11 +352,11 @@ object Multimodal {
                 AS n_true,
               CAST(SUM(CASE WHEN ham <= tau AND band_eq THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_banded,
-              CASE WHEN SUM(CASE WHEN ham <= tau THEN 1 ELSE 0 END) > 0
+              CAST(CASE WHEN SUM(CASE WHEN ham <= tau THEN 1 ELSE 0 END) > 0
                 THEN (1000 * SUM(CASE WHEN ham <= tau AND band_eq
                   THEN 1 ELSE 0 END))
                   // SUM(CASE WHEN ham <= tau THEN 1 ELSE 0 END) END
-                AS recall_milli
+                AS BIGINT) AS recall_milli
             FROM pairs, tau GROUP BY 1 ORDER BY 1"""))
 
   val queries: Seq[GQuery] = Seq(x16, x17, x28, x60, x74, x195, x388)
