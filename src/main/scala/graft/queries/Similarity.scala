@@ -2200,6 +2200,185 @@ object Similarity {
               AS mrr_micro
           FROM rr ORDER BY q_id"""))
 
+  // ------------------------------------------------------------------- x397
+  // Kendall rank agreement of the SQ8 serving tier (Kendall 1938) —
+  // the 4th standard serving-eval monitor after recall@10 (x376),
+  // nDCG@10 (x385) and MRR@10 (x386), and the one that answers the
+  // question the other three can't: among the items BOTH tiers return,
+  // does SQ8 preserve the exact tier's ORDER? Per query, over the
+  // intersection of the two top-10s (shared sq8AndExactTop10 — one
+  // definition, four monitors, no drift): concordant/discordant pair
+  // counts (positions are strict, so no ties) and τ = (C−D)/(C+D) in
+  // millis. The integer division of a possibly-negative numerator is
+  // routed through a sign-split CASE (nonnegative division then
+  // negate) because Spark's `div` truncates toward zero while DuckDB's
+  // `//` floors — they agree only on nonnegative operands.
+  //
+  // Scale shape: x376's — the heavy work is the two shared corpus
+  // scans; the intersection join and the ≤45-pairs-per-query self-join
+  // are serving-batch-sized.
+  private val x397 = GQuery(
+    "x397_rank_tau_sq8_exact",
+    "ext-similarity-ann evaluation rank-correlation oracled",
+    (s, dir) => {
+      val (approxTop, exactTop) = sq8AndExactTop10(s, dir)
+      val common = approxTop.withColumnRenamed("pos", "pa")
+        .join(exactTop.withColumnRenamed("pos", "pe"), Seq("q_id", "vec_id"))
+        .select(col("q_id"), col("vec_id"), col("pa"), col("pe"))
+      val pr = common.as("l").join(common.as("r"),
+          col("l.q_id") === col("r.q_id") &&
+            col("l.vec_id") < col("r.vec_id"))
+        .groupBy(col("l.q_id").as("q_id"))
+        .agg(
+          sum(when((col("l.pa") < col("r.pa")) === (col("l.pe") < col("r.pe")),
+            1L).otherwise(0L)).as("concordant"),
+          sum(when((col("l.pa") < col("r.pa")) =!= (col("l.pe") < col("r.pe")),
+            1L).otherwise(0L)).as("discordant"))
+      val nc = common.groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+      approxTop.select(col("q_id")).distinct()
+        .join(nc, Seq("q_id"), "left")
+        .join(pr, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          coalesce(col("concordant") + col("discordant"), lit(0L))
+            .as("n_pairs"),
+          coalesce(col("concordant"), lit(0L)).as("concordant"),
+          coalesce(col("discordant"), lit(0L)).as("discordant"),
+          expr("""cast(case when concordant + discordant > 0 then
+                case when concordant >= discordant
+                  then (1000 * (concordant - discordant))
+                    div (concordant + discordant)
+                  else -((1000 * (discordant - concordant))
+                    div (concordant + discordant)) end
+              end as bigint)""").as("tau_milli"))
+        .orderBy("q_id")
+    },
+    Some("""WITH z AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor((127.0 * x)
+                  / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) + 0.5)
+                  AS BIGINT)) AS zv
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, emb AS qd, zv AS qz
+                FROM z WHERE vec_id < 8),
+          ax AS (SELECT q.q_id, z.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     list_dot_product(CAST(z.zv AS DOUBLE[]),
+                                      CAST(q.qz AS DOUBLE[])) DESC,
+                     z.vec_id) AS rn
+                 FROM z, q WHERE z.vec_id <> q.q_id),
+          ex AS (SELECT q.q_id, z.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                     (list_dot_product(z.emb, q.qd)
+                       / (sqrt(list_dot_product(z.emb, z.emb))
+                        * sqrt(list_dot_product(q.qd, q.qd)))) DESC,
+                     z.vec_id) AS rn
+                 FROM z, q WHERE z.vec_id <> q.q_id),
+          com AS (SELECT a.q_id, a.vec_id,
+                    CAST(a.rn AS BIGINT) AS pa, CAST(e.rn AS BIGINT) AS pe
+                  FROM (SELECT q_id, vec_id, rn FROM ax WHERE rn <= 10) a
+                  JOIN (SELECT q_id, vec_id, rn FROM ex WHERE rn <= 10) e
+                    USING (q_id, vec_id)),
+          pr AS (SELECT x.q_id,
+                   CAST(SUM(CASE WHEN (x.pa < y.pa) = (x.pe < y.pe)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                   CAST(SUM(CASE WHEN (x.pa < y.pa) <> (x.pe < y.pe)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+                 FROM com x JOIN com y
+                   ON x.q_id = y.q_id AND x.vec_id < y.vec_id
+                 GROUP BY 1),
+          nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+                 FROM com GROUP BY 1)
+          SELECT qd.q_id,
+            COALESCE(nc.n_common, CAST(0 AS BIGINT)) AS n_common,
+            COALESCE(pr.concordant + pr.discordant, CAST(0 AS BIGINT))
+              AS n_pairs,
+            COALESCE(pr.concordant, CAST(0 AS BIGINT)) AS concordant,
+            COALESCE(pr.discordant, CAST(0 AS BIGINT)) AS discordant,
+            CAST(CASE WHEN pr.concordant + pr.discordant > 0 THEN
+              CASE WHEN pr.concordant >= pr.discordant
+                THEN (1000 * (pr.concordant - pr.discordant))
+                  // (pr.concordant + pr.discordant)
+                ELSE -((1000 * (pr.discordant - pr.concordant))
+                  // (pr.concordant + pr.discordant)) END
+            END AS BIGINT) AS tau_milli
+          FROM (SELECT DISTINCT q_id FROM q) qd
+          LEFT JOIN nc USING (q_id) LEFT JOIN pr USING (q_id)
+          ORDER BY q_id"""))
+
+  // ------------------------------------------------------------------- x400
+  // SQ8 code-magnitude occupancy — the quantizer-health monitor the
+  // serving trio presumes: per power-of-two magnitude band of |code|,
+  // how many codes land there, plus range utilization max|code|/127 in
+  // millis. A quantizer whose mass sits far below 127 wastes resolution
+  // (every unused top band is a lost bit of precision: here the
+  // fixture's unit-normalized embeddings peak at |code|≈62 — one bit
+  // idle), and a mass AT 127 means clipping; both are invisible to
+  // recall/nDCG until they get bad. Bands are literal integer bounds,
+  // counts exact integers; the same normalize-quantize map as
+  // sq8AndExactTop10 (the x31 one-definition discipline), hash-oracled.
+  //
+  // Scale shape: ONE corpus scan; per-row higher-order filters (7
+  // bounded passes over a 64-length array), one global map-side-
+  // combinable aggregate, then a 7-row stack — no join, no shuffle
+  // beyond the single agg.
+  private val x400 = GQuery(
+    "x400_sq8_code_occupancy",
+    "ext-similarity-ann compression quantizer-occupancy oracled",
+    (s, dir) => {
+      val bands = Seq((0L, 0L, 0L), (1L, 1L, 7L), (2L, 8L, 15L),
+        (3L, 16L, 31L), (4L, 32L, 63L), (5L, 64L, 126L), (6L, 127L, 127L))
+      val z = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("zv", expr(
+          "transform(emb, x -> cast(floor(127.0 * x / " +
+            "sqrt(aggregate(emb, 0.0d, (a, v) -> a + v * v)) + 0.5d) as bigint))"))
+      val aggCols = bands.map { case (b, lo, hi) =>
+        sum(expr(s"size(filter(zv, c -> abs(c) >= ${lo}L and abs(c) <= ${hi}L))")
+          .cast("long")).as(s"s$b")
+      } ++ Seq(
+        sum(expr("size(zv)").cast("long")).as("total_codes"),
+        max(expr("array_max(transform(zv, c -> abs(c)))")).as("max_abs"))
+      val stackExpr = bands.map { case (b, lo, hi) =>
+        s"${b}L, ${lo}L, ${hi}L, s$b"
+      }.mkString(s"stack(${bands.size}, ", ", ", ") as (band, lo, hi, n_codes)")
+      z.agg(aggCols.head, aggCols.tail: _*)
+        .selectExpr(stackExpr, "total_codes", "max_abs")
+        .select(col("band"), col("lo"), col("hi"), col("n_codes"),
+          expr("cast((1000000 * n_codes) div total_codes as bigint)")
+            .as("codes_ppm"),
+          col("max_abs").as("max_abs_code"),
+          expr("cast((1000 * max_abs) div 127 as bigint)").as("util_milli"))
+        .orderBy("band")
+    },
+    Some("""WITH z AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor((127.0 * x)
+                  / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) + 0.5)
+                  AS BIGINT)) AS zv
+            FROM embeddings),
+          b AS (SELECT CAST(unnest([0, 1, 2, 3, 4, 5, 6]) AS BIGINT) AS band,
+                  CAST(unnest([0, 1, 8, 16, 32, 64, 127]) AS BIGINT) AS lo,
+                  CAST(unnest([0, 7, 15, 31, 63, 126, 127]) AS BIGINT) AS hi),
+          per AS (SELECT b.band, b.lo, b.hi,
+                    CAST(SUM(len(list_filter(z.zv,
+                      c -> abs(c) >= b.lo AND abs(c) <= b.hi))) AS BIGINT)
+                      AS n_codes
+                  FROM z, b GROUP BY 1, 2, 3),
+          tot AS (SELECT CAST(SUM(len(zv)) AS BIGINT) AS total_codes,
+                    CAST(MAX(list_max(list_transform(zv, c -> abs(c))))
+                      AS BIGINT) AS max_abs
+                  FROM z)
+          SELECT band, lo, hi, n_codes,
+            CAST((1000000 * n_codes) // (SELECT total_codes FROM tot)
+              AS BIGINT) AS codes_ppm,
+            (SELECT max_abs FROM tot) AS max_abs_code,
+            CAST((1000 * (SELECT max_abs FROM tot)) // 127 AS BIGINT)
+              AS util_milli
+          FROM per ORDER BY band"""))
+
   /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
     * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
     * x67/x68/x70) never reads a float vector and its scores carry
@@ -2468,6 +2647,67 @@ object Similarity {
       ivfIndexStats(s, store)
     },
     None) // k-means-derived index contents: gated by IndexStatsSpec
+
+  /** Deterministic hash-bucketed cells segment — x396's substrate: the
+    * SAME on-disk layout [[ivfIndexStats]] serves (a `cells` parquet
+    * partitioned by the `cluster` directory column), with the assignment
+    * an integer md5 bucket (first 8 hex of md5('ix:'||vec_id), mod 16 —
+    * the x42 hash discipline) instead of trained float centroids, so the
+    * monitor's whole read path runs under an oracle-reproducible
+    * partition.
+    */
+  def writeHashCells(e: DataFrame, outDir: String): Unit =
+    e.select(col("vec_id"),
+        expr("""CAST(conv(substring(md5(concat('ix:',
+                  cast(vec_id as string))), 1, 8), 16, 10) AS BIGINT)
+                % 16""").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$outDir/cells")
+
+  // ------------------------------------------------------------------- x396
+  // Index-monitor exact twin (r12 VERDICT task 5, the x332/x376 pattern):
+  // x105's report runs over a k-means index whose float training is not
+  // cross-engine reproducible, so the MONITOR itself had no oracle. This
+  // row drives the IDENTICAL harness — a stored cells segment on disk,
+  // the same ivfIndexStats index-only scan and k-domain rollup (shared
+  // function: the monitor and its twin cannot disagree) — over a
+  // DETERMINISTIC partition, cluster = md5 bucket of vec_id, which DuckDB
+  // mirrors bit-for-bit. Every output column (per-cell counts, k, total,
+  // min/max, max/mean imbalance in thousandths) is exact integer
+  // arithmetic, hash-oracled end-to-end; what x105 adds on top is only
+  // the trained-content substrate, whose invariants IndexStatsSpec pins.
+  //
+  // Scale shape: identical to x105 — the stored segment is scanned once
+  // reading ONLY the cluster partition column; k-domain rollup plus one
+  // broadcast scalar join. The only cast is the partition-directory
+  // column's int→long (the driver's hash is representation-sensitive;
+  // the oracle ships BIGINT).
+  private val x396 = GQuery(
+    "x396_index_stats_exact", "ext-similarity-ann index-monitor exact twin",
+    (s, dir) => {
+      val store = graft.StoredArtifacts.dir(dir, "hash_cells_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeHashCells(emb(s, dir), store)
+      ivfIndexStats(s, store)
+        .select(col("cluster").cast("long").as("cluster"), col("n_vecs"),
+          col("k"), col("n_total"), col("cell_min"), col("cell_max"),
+          col("imbalance_milli"))
+    },
+    Some("""WITH assign AS (
+              SELECT CAST(CAST(CONCAT('0x', substr(md5('ix:' ||
+                CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                % 16 AS cluster
+              FROM embeddings),
+            pc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                   FROM assign GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                      CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+                      CAST(MIN(n_vecs) AS BIGINT) AS cell_min,
+                      CAST(MAX(n_vecs) AS BIGINT) AS cell_max
+                    FROM pc)
+            SELECT cluster, n_vecs, k, n_total, cell_min, cell_max,
+              CAST((1000 * cell_max * k) // n_total AS BIGINT)
+                AS imbalance_milli
+            FROM pc, tot ORDER BY cluster"""))
 
   // Manifest-committed IVF lifecycle — x65's base+delta layout under the
   // AnnManifest pointer protocol, the production form the compaction
@@ -2926,6 +3166,6 @@ object Similarity {
   val queries: Seq[GQuery] =
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
-      x91, x92, x95, x100, x105, x108, x109, x111, x204, x232, x279, x311,
-      x345, x376, x377, x385, x386)
+      x91, x92, x95, x100, x105, x396, x108, x109, x111, x204, x232, x279, x311,
+      x345, x376, x377, x385, x386, x397, x400)
 }

@@ -2838,8 +2838,62 @@ object Text {
             FROM win JOIN cum ON cum.len = win.max_len
             ORDER BY p_milli"""))
 
+  // ------------------------------------------------------------------- x399
+  // Per-language length-inequality profile (Gini 1912, via the exact
+  // rank-sum identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over values
+  // sorted ascending) — the curation readout behind mixture decisions:
+  // a language whose char mass concentrates in few huge documents (high
+  // Gini) needs chunking/repacking before sampling-by-document is fair,
+  // while a flat language can be sampled directly. Milli-quantized by
+  // integer division: each of the two terms floors identically in both
+  // engines, so the difference is exact. Ties cannot skew the sum —
+  // Σ i·xᵢ over a tie run depends only on the SUM of ranks in the run
+  // (xᵢ is constant there), which is permutation-invariant — and the
+  // explicit (n_chars, doc_id) order keeps the window itself
+  // deterministic anyway. DECIMAL(38,0) headroom on rank·chars products and
+  // the n·total divisor (both ~10¹⁸⁺ at 10⁹-document languages).
+  //
+  // Scale shape: one per-language sort window (the x374 user-grain
+  // cost; the 100 TB rewrite is the x162 length-histogram rank-walk —
+  // Σ i·xᵢ is computable per histogram bucket from cumulative counts),
+  // then a language-domain rollup.
+  private val x399 = GQuery(
+    "x399_doc_length_gini", "ext-text corpus length-inequality gini",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      docs(s, dir)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(expr("cast(rn as decimal(38,0)) * n_chars")).as("wsum"))
+        .select(col("lang"), col("n_docs"), col("total_chars"),
+          expr("""cast((2000 * wsum)
+                    div (cast(n_docs as decimal(38,0)) * total_chars)
+                  - (1000 * (n_docs + 1)) div n_docs as bigint)""")
+            .as("gini_milli"))
+        .orderBy("lang")
+    },
+    Some("""WITH r AS (
+              SELECT lang, n_chars,
+                CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+              FROM documents),
+            g AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                SUM(CAST(rn AS HUGEINT) * n_chars) AS wsum
+              FROM r GROUP BY 1)
+            SELECT lang, n_docs, total_chars,
+              CAST((2000 * wsum) // (CAST(n_docs AS HUGEINT) * total_chars)
+                - (1000 * (n_docs + 1)) // n_docs AS BIGINT) AS gini_milli
+            FROM g ORDER BY lang"""))
+
   val queries: Seq[GQuery] =
-    Seq(x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
+    Seq(x399,
+      x10, x10b, x11, x12, x13, x14, x15, x18, x20, x21, x23, x24, x25, x29,
       x30, x31, x33, x39, x53, x54, x56, x61, x63, x69, x80, x85, x89, x101,
       x110, x113, x138, x173, x207, x224, x230, x258, x283, x284, x290, x295,
       x301, x302, x303, x306, x307, x315, x317, x320, x326, x329, x334, x336,

@@ -87,6 +87,53 @@ class RecallEvalSpec extends SparkSpec {
     assert(got == expected, s"recall map diverged: $got vs $expected")
   }
 
+  test("x397: Kendall tau pair counts replay from independent tier recomputes") {
+    val e = graft.Tables(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def quant(v: Array[Double]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(127.0 * x / n + 0.5).toLong)
+    }
+    def idot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val zs = e.map { case (id, v) => id -> quant(v) }
+    val got = graft.SparkEntry.queries("x397_rank_tau_sq8_exact")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("concordant"), r.getAs[Long]("discordant"))).toMap
+    (0L until 8L).foreach { qid =>
+      val others = e.keys.filter(_ != qid).toSeq
+      val aTop = others.sortBy(id => (-idot(zs(id), zs(qid)), id)).take(10)
+      val eTop = others.sortBy(id => (-cos(e(id), e(qid)), id)).take(10)
+      val pa = aTop.zipWithIndex.toMap
+      val pe = eTop.zipWithIndex.toMap
+      val common = aTop.filter(pe.contains).sorted
+      val pairs = for {
+        i <- common.indices; j <- (i + 1) until common.length
+      } yield (common(i), common(j))
+      val conc = pairs.count { case (a, b) =>
+        (pa(a) < pa(b)) == (pe(a) < pe(b)) }
+      val disc = pairs.size - conc
+      assert(got(qid) == ((common.size.toLong, pairs.size.toLong,
+        conc.toLong, disc.toLong)), s"tau pair replay diverged for $qid")
+    }
+    // tau is bounded and consistent with its own counts under the
+    // sign-split integer division
+    for (r <- graft.SparkEntry.queries("x397_rank_tau_sq8_exact")(spark, sf001)
+        .collect() if r.getAs[Long]("n_pairs") > 0) {
+      val (c, d) = (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"))
+      val tau = r.getAs[Long]("tau_milli")
+      val expect = if (c >= d) 1000L * (c - d) / (c + d)
+        else -(1000L * (d - c) / (c + d))
+      assert(tau == expect && tau >= -1000L && tau <= 1000L)
+    }
+  }
+
   test("x385/x386: ladder DCG and reciprocal ranks replay from independent tier recomputes") {
     val e = graft.Tables(spark, sf001, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) as emb")

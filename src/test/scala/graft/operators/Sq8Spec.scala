@@ -175,6 +175,35 @@ class Sq8Spec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  test("x400 code occupancy: bands partition every code and replay from a driver-side quantize") {
+    val rows = graft.SparkEntry.queries("x400_sq8_code_occupancy")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("band")).toSeq == (0L to 6L),
+      "all 7 bands present in order")
+    val total = rows.head.getAs[Long]("n_codes") +
+      rows.tail.map(_.getAs[Long]("n_codes")).sum
+    // driver-side replay of the shared normalize-quantize map
+    val e = graft.Tables(spark, sf001, "embeddings")
+      .selectExpr("cast(embedding as array<double>) as emb")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val codes = e.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.abs(math.floor(127.0 * x / n + 0.5).toLong))
+    }
+    assert(total == codes.length.toLong, "bands must partition every code")
+    val bounds = Seq((0L, 0L), (1L, 7L), (8L, 15L), (16L, 31L), (32L, 63L),
+      (64L, 126L), (127L, 127L))
+    for ((r, (lo, hi)) <- rows.zip(bounds)) {
+      val expect = codes.count(c => c >= lo && c <= hi).toLong
+      assert(r.getAs[Long]("n_codes") == expect,
+        s"band [$lo,$hi]: ${r.getAs[Long]("n_codes")} != $expect")
+      assert(r.getAs[Long]("codes_ppm") ==
+        1000000L * expect / codes.length)
+      assert(r.getAs[Long]("max_abs_code") == codes.max)
+      assert(r.getAs[Long]("util_milli") == 1000L * codes.max / 127L)
+    }
+  }
+
   test("x88 registry entry serves per-query SQ8 top-10 for the whole batch deterministically") {
     val got = graft.SparkEntry.queries("x88_ann_ivf_sq8_batch")(spark, sf001).collect()
     val byQ = got.groupBy(_.getLong(0))

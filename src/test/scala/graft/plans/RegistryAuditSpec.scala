@@ -56,6 +56,8 @@ class RegistryAuditSpec extends SparkSpec {
     "x376_ann_recall_sq8_exact" -> "8-query batch fans onto the corpus scan",
     "x385_ndcg_sq8_exact" -> "8-query batch fans onto the corpus scan",
     "x386_mrr_sq8_exact" -> "8-query batch fans onto the corpus scan",
+    // round 13: the rank-correlation monitor shares the same batches
+    "x397_rank_tau_sq8_exact" -> "8-query batch fans onto the corpus scan",
     "x380_obrien_fleming_scan" -> "4-look domain broadcast onto the per-user rollup")
 
   test("no registry query introduces an unlisted cartesian join") {

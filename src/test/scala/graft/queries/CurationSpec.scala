@@ -183,6 +183,30 @@ class CurationSpec extends SparkSpec {
     assert(sumTarget == budget, s"sum(target)=$sumTarget budget=$budget n=$nTotal")
   }
 
+  test("x399 gini: rank-sum identity replays driver-side and bounds hold") {
+    val got = SparkEntry.queries("x399_doc_length_gini")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("gini_milli"))).toMap
+    val byLang = graft.Tables(spark, sf001, "documents")
+      .selectExpr("lang", "n_chars", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    for ((lang, rows) <- byLang) {
+      val xs = rows.sortBy(t => (t._2, t._3)).map(_._2)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val wsum = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * BigInt(x) }.sum
+      val gini = (BigInt(2000) * wsum / (BigInt(n) * BigInt(tot))
+        - BigInt(1000L * (n + 1)) / BigInt(n)).toLong
+      assert(got(lang) == ((n, tot, gini)), s"$lang: ${got(lang)}")
+      // Gini of nonnegative data lies in [0, 1): milli form in [0, 1000)
+      assert(gini >= 0L && gini < 1000L, s"$lang gini out of range: $gini")
+    }
+  }
+
   test("x393 split balance: cells reconcile per language and the design shares are the hash-range ones") {
     val rows = SparkEntry.queries("x393_split_balance_audit")(spark, sf001)
       .collect()

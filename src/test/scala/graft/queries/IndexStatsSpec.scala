@@ -60,6 +60,27 @@ class IndexStatsSpec extends SparkSpec {
     } finally graft.StoredArtifacts.deleteTree(base.toString)
   }
 
+  test("x396 exact twin: hash-bucketed cells through the SAME harness match a direct recount") {
+    val got = SparkEntry.queries("x396_index_stats_exact")(spark, sf001).collect()
+    // independent recount: the md5 bucket rule applied straight to the
+    // fixture (no stored artifact, no shared code path)
+    val truth = Tables(spark, sf001, "embeddings")
+      .select(expr("""CAST(conv(substring(md5(concat('ix:',
+          cast(vec_id as string))), 1, 8), 16, 10) AS BIGINT) % 16""")
+        .as("cluster"))
+      .groupBy("cluster").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(_.getLong(0)).toSet == truth.keySet)
+    val k = truth.size.toLong
+    val total = truth.values.sum
+    for (r <- got) {
+      assert(r.getLong(1) == truth(r.getLong(0)), s"cell count: $r")
+      assert(r.getLong(2) == k && r.getLong(3) == total)
+      assert(r.getLong(4) == truth.values.min && r.getLong(5) == truth.values.max)
+      assert(r.getLong(6) == 1000L * truth.values.max * k / total)
+    }
+  }
+
   test("x105 registry entry reports the shared stored index deterministically") {
     val got = SparkEntry.queries("x105_ann_index_stats")(spark, sf001)
       .collect().map(_.toSeq).toSeq
