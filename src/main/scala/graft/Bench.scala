@@ -200,6 +200,13 @@ object Bench {
     // emit BEFORE the guard: if the encoding ever breaks, the round's
     // numbers still reach the log tail and only the exit code goes loud —
     // failing first would discard the whole timed pass the guard protects
+    // silence ALL logging the instant the line is out: straggler task
+    // events can still fire ERROR-level stack traces (r13 run 5 logged
+    // 50 benign "non-existent accumulator" traces under contention —
+    // tasks completing after hygiene GC reclaimed their accumulators),
+    // and one landing AFTER the metric line would crowd it out of the
+    // driver's ~2000-char stdout tail
+    spark.sparkContext.setLogLevel("OFF")
     println(line)
     require(line.length <= 1900,
       s"metric line ${line.length} chars nears the driver's ~2000-char stdout tail; " +

@@ -70,6 +70,11 @@ class ExperimentSemanticsSpec extends SparkSpec {
     }
   }
 
+  // r13 semantics note: ranks whose Holm index m−k+1 exceeds the 10-rung
+  // ladder ABSTAIN (crit NULL, pass 0) — unreachable at this fixture
+  // (m=5), so the in-ladder assertions below are exhaustive here; at
+  // m>10 abstention only removes rejections, which PRESERVES both pinned
+  // implications (Holm ⇒ x357 flag, and BH ⊇ Holm below).
   test("x367: Holm ladder is exact, sequential, and implies the x357 flag") {
     val rows = SparkEntry.queries("x367_holm_srm_scan")(spark, sf001)
       .collect().sortBy(_.getAs[Long]("rank"))
