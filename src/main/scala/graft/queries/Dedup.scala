@@ -2282,8 +2282,152 @@ object Dedup {
                 AS shift_milli
             FROM g ORDER BY lang, source"""))
 
+  // ------------------------------------------------------------------- x402
+  // Prefix-filter candidate-budget curve — the scale-tuning readout the
+  // x225 pipeline hard-codes at one threshold: per τ ∈ {0.7, 0.8, 0.9},
+  // how many candidate pairs does the prefix filter generate, how many
+  // verify true (J ≥ τ), the verify precision, and the candidate share
+  // of all N(N−1)/2 pairs — the number that decides whether a corpus
+  // can afford a LOWER dedup threshold (the budget grows as τ drops).
+  // Runs the SAME rarest-first prefix discipline (rank by ascending
+  // (df, shingle), keep n − ⌈τ·n⌉ + 1, length-ratio filter) over
+  // STRING 3-gram shingles rather than the pipeline's shingle hashes:
+  // the hash is engine-local, so a hash-order prefix is not
+  // cross-engine reproducible, while the string order is — making this
+  // the hash pipeline's oracled BUDGET twin (the df-rank prefix depends
+  // only on the total order's CONSISTENCY for the lossless guarantee,
+  // so the string-ordered candidate counts are a faithful budget model
+  // for the hash-ordered production path). Jaccard verifies by integer
+  // cross-multiplication (den·|∩| ≥ num·(nₐ+n_b−|∩|)) — no floats
+  // anywhere. DECIMAL(38,0)/HUGEINT headroom on the ppm products
+  // (candidates and N² are both huge at corpus scale).
+  //
+  // Scale shape: one shingle explode + df count (map-side combinable),
+  // ONE rank window per doc (shared across the 3-row τ domain via an
+  // exploded literal — no re-scan, no grid join), then the x225
+  // posting-list equi-join per τ with the same df-ascending
+  // shortest-postings budget; verification touches candidates only.
+  private val x402 = GQuery(
+    "x402_prefix_budget_curve",
+    "ext-dedup-fuzzy prefix-filter candidate-budget curve",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      val sh = docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("tok", array_sort(array_distinct(expr(
+          """case when size(w) >= 3
+               then transform(sequence(0, size(w) - 3),
+                 i -> concat(element_at(w, i + 1), ' ',
+                             element_at(w, i + 2), ' ',
+                             element_at(w, i + 3)))
+               else array() end"""))))
+        .withColumn("n", size(col("tok")).cast("long"))
+        .select(col("doc_id"), col("tok"), col("n"))
+        .localCheckpoint(true) // shared by postings + both verify sides
+      val post = sh.select(col("doc_id"), col("n"),
+        explode(col("tok")).as("s"))
+      val dfv = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val rk = post.join(dfv, Seq("s"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+      val pref = rk.withColumn("g", explode(expr(
+          """array(named_struct('t_milli', 700L, 'num', 7L, 'den', 10L),
+                   named_struct('t_milli', 800L, 'num', 4L, 'den', 5L),
+                   named_struct('t_milli', 900L, 'num', 9L, 'den', 10L))""")))
+        .select(col("g.t_milli").as("t_milli"), col("g.num").as("num"),
+          col("g.den").as("den"), col("doc_id"), col("n"), col("s"),
+          col("rk"))
+        .where(col("rk") <= col("n") -
+          expr("(num * n + den - 1) div den") + 1)
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.t_milli") === col("b.t_milli") &&
+            col("a.s") === col("b.s") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .where(least(col("a.n"), col("b.n")) * col("a.den") >=
+          greatest(col("a.n"), col("b.n")) * col("a.num"))
+        .select(col("a.t_milli").as("t_milli"), col("a.num").as("num"),
+          col("a.den").as("den"), col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"))
+        .distinct()
+      val tot = sh.agg(count(lit(1)).as("nd"))
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("tok").as("sa"),
+          col("n").as("n_a")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("tok").as("sb"),
+          col("n").as("n_b")), "b_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb")))
+          .cast("long"))
+        .groupBy(col("t_milli"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("den") * col("inter") >=
+            col("num") * (col("n_a") + col("n_b") - col("inter")), 1L)
+            .otherwise(0L)).as("n_true"))
+        .crossJoin(broadcast(tot))
+        .select(col("t_milli"), col("n_candidates"), col("n_true"),
+          expr("""cast(case when n_candidates > 0
+                then (1000 * n_true) div n_candidates end as bigint)""")
+            .as("precision_milli"),
+          expr("""cast((1000000 * cast(n_candidates as decimal(38,0)))
+                div ((cast(nd as decimal(38,0)) * (nd - 1)) div 2)
+                as bigint)""").as("cand_ppm"))
+        .orderBy("t_milli")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            sh AS (SELECT doc_id,
+                list_sort(list_distinct(
+                  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, len(w) - 1)])) AS tok,
+                CAST(len(list_distinct(
+                  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, len(w) - 1)])) AS BIGINT) AS n
+              FROM t),
+            post AS (SELECT doc_id, n, unnest(tok) AS s FROM sh),
+            dfv AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM post GROUP BY 1),
+            rk AS (SELECT p.doc_id, p.n, p.s,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                       ORDER BY d.df, p.s) AS BIGINT) AS rk
+                   FROM post p JOIN dfv d USING (s)),
+            grid AS (SELECT CAST(unnest([700, 800, 900]) AS BIGINT)
+                       AS t_milli,
+                     CAST(unnest([7, 4, 9]) AS BIGINT) AS num,
+                     CAST(unnest([10, 5, 10]) AS BIGINT) AS den),
+            pref AS (SELECT g.t_milli, g.num, g.den, r.doc_id, r.n, r.s
+                     FROM rk r, grid g
+                     WHERE r.rk <=
+                       r.n - ((g.num * r.n + g.den - 1) // g.den) + 1),
+            cand AS (SELECT DISTINCT a.t_milli, a.num, a.den,
+                       a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM pref a JOIN pref b
+                       ON a.t_milli = b.t_milli AND a.s = b.s
+                          AND a.doc_id < b.doc_id
+                     WHERE least(a.n, b.n) * a.den
+                       >= greatest(a.n, b.n) * a.num),
+            ver AS (SELECT c.t_milli,
+                      CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                      CAST(SUM(CASE WHEN
+                        c.den * len(list_intersect(x.tok, y.tok))
+                        >= c.num * (x.n + y.n
+                          - len(list_intersect(x.tok, y.tok)))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+                    FROM cand c
+                    JOIN sh x ON x.doc_id = c.a_id
+                    JOIN sh y ON y.doc_id = c.b_id
+                    GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM sh)
+            SELECT t_milli, n_candidates, n_true,
+              CAST(CASE WHEN n_candidates > 0
+                THEN (1000 * n_true) // n_candidates END AS BIGINT)
+                AS precision_milli,
+              CAST((1000000 * CAST(n_candidates AS HUGEINT))
+                // ((CAST((SELECT nd FROM tot) AS HUGEINT)
+                    * ((SELECT nd FROM tot) - 1)) // 2) AS BIGINT)
+                AS cand_ppm
+            FROM ver ORDER BY t_milli"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
       x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328,
-      x332, x333, x340, x348, x356, x366, x392)
+      x332, x333, x340, x348, x356, x366, x392, x402)
 }

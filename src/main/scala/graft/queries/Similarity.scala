@@ -2379,6 +2379,66 @@ object Similarity {
               AS util_milli
           FROM per ORDER BY band"""))
 
+  // ------------------------------------------------------------------- x401
+  // SQ8 per-dimension bias — x400's occupancy profile aggregated the
+  // WRONG way round for drift detection: a corpus whose embeddings
+  // develop a dimension-level offset (a fine-tune, a pooling change, a
+  // normalization bug upstream) keeps its magnitude histogram while
+  // individual dimensions drift off zero — visible only per-dimension.
+  // Per dim: signed code sum and milli mean (sign-split integer
+  // division, the x397 rule: Spark `div` truncates, DuckDB `//`
+  // floors), mean |code| and max |code|. Same quantize map as the
+  // serving trio.
+  //
+  // Scale shape: one corpus scan, posexplode to (dim, code), ONE
+  // map-side-combinable aggregate over a |dim|-sized key domain.
+  private val x401 = GQuery(
+    "x401_sq8_dim_bias",
+    "ext-similarity-ann compression per-dimension bias oracled",
+    (s, dir) => {
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("zv", expr(
+          "transform(emb, x -> cast(floor(127.0 * x / " +
+            "sqrt(aggregate(emb, 0.0d, (a, v) -> a + v * v)) + 0.5d) as bigint))"))
+        .select(posexplode(col("zv")).as(Seq("dim", "c")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("c")).as("sum_code"),
+          sum(abs(col("c"))).as("sum_abs"),
+          max(abs(col("c"))).as("max_abs"))
+        .select(col("dim"), col("n_vecs"), col("sum_code"),
+          expr("""cast(case when sum_code >= 0
+                then (1000 * sum_code) div n_vecs
+                else -((1000 * -sum_code) div n_vecs) end as bigint)""")
+            .as("mean_code_milli"),
+          expr("cast((1000 * sum_abs) div n_vecs as bigint)")
+            .as("mean_abs_milli"),
+          col("max_abs"))
+        .orderBy("dim")
+    },
+    Some("""WITH z AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor((127.0 * x)
+                  / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) + 0.5)
+                  AS BIGINT)) AS zv
+            FROM embeddings),
+          u AS (SELECT unnest(zv) AS c, generate_subscripts(zv, 1) AS pos
+                FROM z),
+          g AS (SELECT CAST(pos - 1 AS BIGINT) AS dim,
+                  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                  CAST(SUM(c) AS BIGINT) AS sum_code,
+                  CAST(SUM(abs(c)) AS BIGINT) AS sum_abs,
+                  CAST(MAX(abs(c)) AS BIGINT) AS max_abs
+                FROM u GROUP BY 1)
+          SELECT dim, n_vecs, sum_code,
+            CAST(CASE WHEN sum_code >= 0 THEN (1000 * sum_code) // n_vecs
+              ELSE -((1000 * -sum_code) // n_vecs) END AS BIGINT)
+              AS mean_code_milli,
+            CAST((1000 * sum_abs) // n_vecs AS BIGINT) AS mean_abs_milli,
+            max_abs
+          FROM g ORDER BY dim"""))
+
   /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
     * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
     * x67/x68/x70) never reads a float vector and its scores carry
@@ -3167,5 +3227,5 @@ object Similarity {
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
       x91, x92, x95, x100, x105, x396, x108, x109, x111, x204, x232, x279, x311,
-      x345, x376, x377, x385, x386, x397, x400)
+      x345, x376, x377, x385, x386, x397, x400, x401)
 }

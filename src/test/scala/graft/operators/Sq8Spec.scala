@@ -204,6 +204,33 @@ class Sq8Spec extends SparkSpec {
     }
   }
 
+  test("x401 dim bias: per-dimension sums replay from a driver-side quantize") {
+    val rows = graft.SparkEntry.queries("x401_sq8_dim_bias")(spark, sf001)
+      .collect()
+    val vecs = graft.Tables(spark, sf001, "embeddings")
+      .selectExpr("cast(embedding as array<double>) as emb")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dims = vecs.head.length
+    assert(rows.map(_.getAs[Long]("dim")).toSeq == (0L until dims.toLong))
+    val codes = vecs.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(127.0 * x / n + 0.5).toLong)
+    }
+    for (r <- rows) {
+      val d = r.getAs[Long]("dim").toInt
+      val col = codes.map(_(d))
+      assert(r.getAs[Long]("n_vecs") == vecs.length.toLong)
+      assert(r.getAs[Long]("sum_code") == col.sum, s"dim $d sum")
+      val sc = col.sum
+      val expMean = if (sc >= 0) 1000L * sc / vecs.length
+        else -(1000L * -sc / vecs.length)
+      assert(r.getAs[Long]("mean_code_milli") == expMean, s"dim $d mean")
+      assert(r.getAs[Long]("mean_abs_milli") ==
+        1000L * col.map(math.abs).sum / vecs.length, s"dim $d mean_abs")
+      assert(r.getAs[Long]("max_abs") == col.map(math.abs).max, s"dim $d max")
+    }
+  }
+
   test("x88 registry entry serves per-query SQ8 top-10 for the whole batch deterministically") {
     val got = graft.SparkEntry.queries("x88_ann_ivf_sq8_batch")(spark, sf001).collect()
     val byQ = got.groupBy(_.getLong(0))

@@ -307,4 +307,26 @@ class DedupSpec extends SparkSpec {
     val sb = rows.map(_.getAs[Long]("share_before_milli")).sum
     assert(sb <= 1000L && sb > 1000L - rows.length, s"share sum $sb")
   }
+
+  test("x402 budget curve: lossless at 0.8 vs x225, counts monotone in tau") {
+    val rows = SparkEntry.queries("x402_prefix_budget_curve")(spark, sf001)
+      .collect().sortBy(_.getAs[Long]("t_milli"))
+    assert(rows.map(_.getAs[Long]("t_milli")).toSeq == Seq(700L, 800L, 900L))
+    for (r <- rows)
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_candidates"),
+        s"verified pairs must be candidates: $r")
+    // the prefix gets longer as tau drops, so the candidate set at a
+    // lower tau is a superset: counts non-increasing in tau
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      s"candidate budget must shrink as tau rises: ${cands.toSeq}")
+    // LOSSLESS cross-row pin: true pairs at tau=0.8 are exactly the
+    // pairs the hash-ordered x225 pipeline verifies (the prefix order
+    // affects only the CANDIDATE set; the verified output is
+    // order-invariant)
+    val x225Pairs = SparkEntry.queries("x225_allpairs_prefix_join")(
+      spark, sf001).count()
+    assert(rows(1).getAs[Long]("n_true") == x225Pairs,
+      s"x402@800 n_true ${rows(1).getAs[Long]("n_true")} != x225 $x225Pairs")
+  }
 }
