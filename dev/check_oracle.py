@@ -84,6 +84,28 @@ def wide_type_lint(cols):
     return bad
 
 
+def type_diff(gcols, wcols):
+    """Per-column DESCRIBE'd type diff between the Spark parquet side and
+    the oracle side (r13 ADVICE #2): the wide-type lint only catches
+    >int64 oracle columns, but the driver hash is representation-
+    sensitive in BOTH directions — a NARROW mismatch (DuckDB INTEGER or
+    DECIMAL(12,0) vs Spark BIGINT) renders identical VARCHAR here yet
+    can fail the driver. The TIMESTAMP/DATE family deliberately unifies
+    (varchar_sel renders both through TIMESTAMP; the x134/x166 family is
+    driver-green across every CORRECTNESS round, so the driver hash
+    treats them as equal).
+    """
+    def norm(t):
+        tu = t.upper()
+        if "TIMESTAMP" in tu or tu == "DATE":
+            return "TS"
+        return tu
+    g = {c: norm(t) for c, t in gcols}
+    w = {c: norm(t) for c, t in wcols}
+    return [(c, g[c], w[c])
+            for c in sorted(set(g) & set(w)) if g[c] != w[c]]
+
+
 def check_one(con, name, sql, out_dir):
     got_rel = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
     gcols = cols_of(con, f"({got_rel})")
@@ -98,6 +120,10 @@ def check_one(con, name, sql, out_dir):
     gnames, wnames = [c for c, _ in gcols], [c for c, _ in wcols]
     if sorted(gnames) != sorted(wnames):
         return f"FAIL {name}: columns {sorted(gnames)} != {sorted(wnames)}"
+    tdiff = type_diff(gcols, wcols)
+    if tdiff:
+        return (f"FAIL {name}: type diff spark-vs-oracle (driver hash is "
+                f"representation-sensitive): {tdiff}")
     ng = con.execute(f"SELECT COUNT(*) FROM ({got_rel})").fetchone()[0]
     nw = con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
     if ng != nw:

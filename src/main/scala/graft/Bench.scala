@@ -24,6 +24,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // silence ALL Spark/Hadoop logging for the WHOLE main, not just after
+    // the metric line (r13 "what's wrong" #1): the r13 driver pass opened
+    // its bounded ~2000-char stdout tail with a DAGScheduler ERROR trace
+    // that fired BEFORE the line — straggler task events under contention
+    // log stack traces at ERROR, so the r12 setLogLevel("ERROR") floor
+    // still let them compete with the line for the tail. Root OFF from
+    // the first instruction; the bench's own surface is println (the
+    // metric line) + System.err (artifact-failure notes), neither of
+    // which goes through log4j.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,11 +61,10 @@ object Bench {
       .config("spark.ui.retainedTasks", "2048")
       .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
-    // ERROR, not WARN: the iterative operators (x22/x56) emit one benign
-    // lineage-truncation WARN per unpersisted checkpoint generation, and a
-    // log flood adjacent to the metric line risks crowding it out of the
-    // driver's bounded stdout tail
-    spark.sparkContext.setLogLevel("ERROR")
+    // keep the context's own level in agreement with the root-OFF set at
+    // main entry (setLogLevel also records the level on the context so a
+    // later library reset cannot quietly restore chatty defaults)
+    spark.sparkContext.setLogLevel("OFF")
     // builder-side subset (comma-separated names; never set by the
     // driver): a full 445-query timed pass costs ~15 min, which makes
     // controlled experiments — e.g. the probe-drift calibration runs
@@ -90,13 +100,16 @@ object Bench {
     // digest loop, and a half-JIT'd first reading fakes ~1.4× drift on an
     // idle box (measured) — too close to the 1.5 threshold to leave in.
     (0 until 2).foreach(_ => calibrationProbeMs())
+    (0 until 2).foreach(_ => calibrationProbeMcMs())
     val probes = scala.collection.mutable.ArrayBuffer(calibrationProbeMs())
+    val probesMc = scala.collection.mutable.ArrayBuffer(calibrationProbeMcMs())
     val warmT0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     probes += calibrationProbeMs()
+    probesMc += calibrationProbeMcMs()
     // cadence: every 64 queries on the full registry; a BENCH_ONLY
     // subset shortens it so even a 20-query calibration run collects
     // mid-pass readings
@@ -124,10 +137,14 @@ object Bench {
         Thread.sleep(80)
         hygieneSec += (System.nanoTime() - h0) / 1e9
       }
-      if ((qi + 1) % probeEvery == 0) probes += calibrationProbeMs()
+      if ((qi + 1) % probeEvery == 0) {
+        probes += calibrationProbeMs()
+        probesMc += calibrationProbeMcMs()
+      }
       name -> reps
     }
     probes += calibrationProbeMs()
+    probesMc += calibrationProbeMcMs()
     val results = repResults.map { case (name, reps) =>
       // median over SUCCESSFUL reps only: letting the -1 sentinel sort
       // would make one failed rep report the flaky query's BEST timing —
@@ -177,8 +194,9 @@ object Bench {
     // contention ~1.15 on a clean run)
     val contention = contentionRatio(wallSec - hygieneSec, warmupSec, total)
     val (probeMed, probeDrift) = probeStats(probes.toSeq)
+    val (probeMcMed, probeMcDrift) = probeStats(probesMc.toSeq)
     val line = fitMetricLine(results, total, wallSec, contention, sfName,
-      probeMed, probeDrift)
+      probeMed, probeDrift, probeMcMed, probeMcDrift)
     // fingerprints + full detail BEFORE the guard (round 10 — in r9 they
     // sat after it, so the tripped guard also lost the round's plan
     // fingerprints and the mechanical noise adjudication with them)
@@ -194,8 +212,17 @@ object Bench {
     // official full-registry artifacts
     if (only.isEmpty) {
       writeBenchDetail(round, results, mins, spreads, total, wallSec,
-        warmupSec, contention, probes.toSeq, sfName)
+        warmupSec, contention, probes.toSeq, probesMc.toSeq, sfName)
       writePlanFingerprints(spark, round, queries, sfDir)
+    }
+    // calibration-run diagnostics (BENCH_ONLY only — stderr, never the
+    // stdout tail): the full probe series a full run records in the
+    // detail file, so hog-calibration subset runs can localize WHEN a
+    // reading spiked without writing round artifacts
+    if (only.nonEmpty) {
+      System.err.println("[bench] probe_series_ms=" +
+        probes.map(fmt1).mkString(",") +
+        " probe_mc_series_ms=" + probesMc.map(fmt1).mkString(","))
     }
     // emit BEFORE the guard: if the encoding ever breaks, the round's
     // numbers still reach the log tail and only the exit code goes loud —
@@ -302,13 +329,14 @@ object Bench {
   private[graft] def fitMetricLine(results: Seq[(String, Double)],
       total: Double, wallSec: Long, contention: Double,
       sfName: String, probeMedMs: Double = -1.0,
-      probeDrift: Double = -1.0): String = {
+      probeDrift: Double = -1.0, probeMcMedMs: Double = -1.0,
+      probeMcDrift: Double = -1.0): String = {
     def renderLine(floorCs: Int): String = {
       val qs = results
         .filter { case (_, v) => v < 0 || math.round(v * 100) >= floorCs }
         .map { case (k, v) => "\"" + shortId(k) + "\":" + fmtQ(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":$floorCs,"wall":$wallSec,"contention":${fmt2(contention)},"probe_ms":${fmt1(probeMedMs)},"probe_drift":${fmt2(probeDrift)},"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","qmin_cs":$floorCs,"wall":$wallSec,"contention":${fmt2(contention)},"probe_ms":${fmt1(probeMedMs)},"probe_drift":${fmt2(probeDrift)},"probe_mc_ms":${fmt1(probeMcMedMs)},"probe_mc_drift":${fmt2(probeMcDrift)},"n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
     }
     Seq(25, 50, 75, 100, 150, 200, 300, 500, 1000)
       .map(renderLine).find(_.length <= 1900)
@@ -344,6 +372,61 @@ object Bench {
       val ms = (System.nanoTime() - t0) / 1e6
       if (buf(0) == 0x7f && buf(1) == 0x7f) System.err.print("") // keep live
       ms
+    }
+    math.min(run(), math.min(run(), run()))
+  }
+
+  /** Thread count for the PARALLEL probe: every schedulable core (the
+    * box's availableProcessors, floored at 8 per the design target and
+    * capped at 32 to bound probe cost on larger boxes). Full width is
+    * the point — a probe narrower than the core count can land entirely
+    * on free cores while a mild hog steals the rest.
+    */
+  private[graft] val ProbeMcThreads: Int =
+    math.min(32, math.max(8, Runtime.getRuntime.availableProcessors))
+
+  /** PARALLEL calibration kernel (round 14 — the r13 "what's missing"
+    * #1): the SAME MD5-chain kernel run on [[ProbeMcThreads]] threads
+    * SIMULTANEOUSLY; one probe point is the min over three back-to-back
+    * runs of the SLOWEST thread's time. The single-thread probe is
+    * structurally blind to mild UNIFORM multi-core steal: with one probe
+    * thread on a 32-core box, a hog load that slows the bench's 32
+    * executor threads 10-15 % almost never collides with the probe (31
+    * free cores to land on), so three r13 passes carried 11-14 %
+    * inflation that probe_drift read as clean. This kernel occupies
+    * EVERY core at once, so any concurrent load must collide with at
+    * least one probe thread, and the max-over-threads statistic reports
+    * the collision; on an idle box all threads run unimpeded and the
+    * reading sits at the single-thread time (~50 ms — the kernel is
+    * pure CPU, no shared state, no memory bandwidth pressure). The
+    * min-of-3 filters the bench JVM's own compiler/GC threads finishing
+    * previous work (the same idle-box spike the single-thread probe
+    * min-filters). Calibration numbers and the adjudication rule are in
+    * BASELINE.md.
+    */
+  private[graft] def calibrationProbeMcMs(): Double = {
+    val n = ProbeMcThreads
+    def run(): Double = {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val times = new Array[Double](n)
+      val threads = (0 until n).map { ti =>
+        val t = new Thread(() => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var buf = Array.fill[Byte](64)((0x5a + ti).toByte)
+          start.await()
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < 400000) { buf = md.digest(buf); i += 1 }
+          times(ti) = (System.nanoTime() - t0) / 1e6
+          if (buf(0) == 0x7f && buf(1) == 0x7f) System.err.print("") // keep live
+        })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      start.countDown()
+      threads.foreach(_.join())
+      times.max
     }
     math.min(run(), math.min(run(), run()))
   }
@@ -409,7 +492,7 @@ object Bench {
   private def writeBenchDetail(round: Int, results: Seq[(String, Double)],
       mins: Seq[(String, Double)], spreads: Seq[(String, Long)],
       total: Double, wallSec: Long, warmupSec: Double, contention: Double,
-      probes: Seq[Double], sfName: String): Unit = {
+      probes: Seq[Double], probesMc: Seq[Double], sfName: String): Unit = {
     try {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
@@ -429,10 +512,12 @@ object Bench {
         .mkString("{", ",", "}")
       val (probeMed, probeDrift) = probeStats(probes)
       val probeList = probes.map(fmt1).mkString("[", ",", "]")
+      val (probeMcMed, probeMcDrift) = probeStats(probesMc)
+      val probeMcList = probesMc.map(fmt1).mkString("[", ",", "]")
       val totalStr =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
       val out =
-        s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"cs","wall":$wallSec,"warmup_sec":${fmt2(warmupSec)},"contention":${fmt2(contention)},"probe_ms":${fmt1(probeMed)},"probe_drift":${fmt2(probeDrift)},"probe_series_ms":$probeList,"n_queries":${results.size},"queries":$qs,"queries_min":$qmins,"spread_pct":$sp,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"cs","wall":$wallSec,"warmup_sec":${fmt2(warmupSec)},"contention":${fmt2(contention)},"probe_ms":${fmt1(probeMed)},"probe_drift":${fmt2(probeDrift)},"probe_series_ms":$probeList,"probe_mc_ms":${fmt1(probeMcMed)},"probe_mc_drift":${fmt2(probeMcDrift)},"probe_mc_threads":$ProbeMcThreads,"probe_mc_series_ms":$probeMcList,"n_queries":${results.size},"queries":$qs,"queries_min":$qmins,"spread_pct":$sp,"sf":"$sfName"}"""
       val path = java.nio.file.Paths.get(f"bench_detail_r$round%02d.json")
       java.nio.file.Files.write(path, out.getBytes("UTF-8"))
     } catch {

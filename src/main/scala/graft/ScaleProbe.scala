@@ -30,7 +30,16 @@ object ScaleProbe {
     // top of the bench (3.5-6.4 s at sf0.1) and had only a composition
     // argument — probe the two heaviest directly
     "x340_lsh_tuning_curve", // banded S-curve vs lossless truth tier
-    "x366_minhash_pr_eval") // capped bucket pairs + distinct-pair scoring
+    "x366_minhash_pr_eval", // capped bucket pairs + distinct-pair scoring
+    // round 14 (r13 verdict task 2b): the candidate-budget curve's τ=0.7
+    // arm GROWS the candidate set as the threshold drops — confirm the
+    // rarest-first prefix discipline keeps it near-linear at 10×
+    "x402_prefix_budget_curve",
+    // the Gini pair: per-document sort window (x399, the user-grain form)
+    // vs histogram rank-walk (x403, the 100 TB form) — the probe is the
+    // measured version of the rewrite's whole argument
+    "x399_doc_length_gini",
+    "x403_length_gini_hist")
 
   private def copies(df: DataFrame, n: Int, remap: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until n).map(i => remap(df, i)).reduce(_.unionAll(_))

@@ -378,6 +378,20 @@ object Similarity {
       s"query dim ${qvec.length} != index dim ${coarse.head.length}")
     val qn = math.sqrt(qvec.map(x => x * x).sum)
     val cells = selectCells(coarse, qvec, qn, nprobe)
+    scanStoredCells(s, indexDir, cells, qvec, qn, segments)
+  }
+
+  /** The partition-pruned cell scan + cosine scoring EVERY single-query
+    * stored-IVF probe runs — extracted (round 14) so the trained serving
+    * path ([[probeStoredIvf]]) and its x404 exact twin share one
+    * definition and cannot drift (the x396/ivfIndexStats discipline
+    * applied to the SERVING read path). The cell list is a driver
+    * literal, so the scan is statically partition-pruned in both
+    * callers.
+    */
+  private[queries] def scanStoredCells(s: SparkSession, indexDir: String,
+      cells: Seq[Int], qvec: Array[Double], qn: Double,
+      segments: Seq[String]): DataFrame = {
     val qcol = typedLit(qvec)
     val qnorm = lit(qn)
     segments.map { seg =>
@@ -2235,7 +2249,14 @@ object Similarity {
           sum(when((col("l.pa") < col("r.pa")) =!= (col("l.pe") < col("r.pe")),
             1L).otherwise(0L)).as("discordant"))
       val nc = common.groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
-      approxTop.select(col("q_id")).distinct()
+      // driver row set anchored on the QUERY TABLE (vec_id < 8), exactly
+      // as the oracle's SELECT DISTINCT q_id FROM q — anchoring on
+      // approxTop's q_ids (the r13 form) would drop a query whose top-10
+      // came back empty on a degenerate corpus while the oracle still
+      // emits its zero row; the other three monitors in the family
+      // already anchor this way (r13 ADVICE #1)
+      emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id")).distinct()
         .join(nc, Seq("q_id"), "left")
         .join(pr, Seq("q_id"), "left")
         .select(col("q_id"),
@@ -2438,6 +2459,110 @@ object Similarity {
             CAST((1000 * sum_abs) // n_vecs AS BIGINT) AS mean_abs_milli,
             max_abs
           FROM g ORDER BY dim"""))
+
+  /** Driver-side md5 bucket, bit-equal to [[writeHashCells]]'s in-plan
+    * assignment (first 8 hex of md5("ix:"+id) as unsigned int, mod 16):
+    * the x404 twin selects its probe cells from this map on the driver,
+    * exactly where [[probeStoredIvf]] runs [[selectCells]].
+    */
+  private[queries] def md5Bucket16(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ix:$id".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 16).toInt
+  }
+
+  /** x404's substrate — [[writeHashCells]] grown the embedding payload
+    * and the base+delta split: the SAME on-disk layout [[writeIvfIndex]]
+    * and [[appendIvfDelta]] produce (cluster-partitioned parquet of
+    * (vec_id, embedding)), with the assignment the deterministic md5
+    * bucket instead of trained float centroids. The delta segment is
+    * assigned by the SAME frozen map — faithfully mirroring x65's
+    * append contract (new batches assign against the STORED quantizer,
+    * never retrain).
+    */
+  def writeHashCellsServe(e: DataFrame, outDir: String): Unit = {
+    val assigned = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"),
+      expr("""CAST(conv(substring(md5(concat('ix:',
+                cast(vec_id as string))), 1, 8), 16, 10) AS BIGINT)
+              % 16""").as("cluster"))
+    assigned.where(col("vec_id") < 250)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$outDir/cells")
+    assigned.where(col("vec_id") >= 250)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$outDir/delta")
+  }
+
+  // ------------------------------------------------------------------- x404
+  // Stored-serving exact twin (r13 VERDICT task 5, the x396 pattern
+  // applied to the SERVING read path): x62/x65's probe — stored
+  // cluster-partitioned base+delta segments, literal-IN static partition
+  // pruning, cosine re-rank, global top-20 — had no oracle because cell
+  // SELECTION runs against k-means-trained float centroids. This row
+  // drives the IDENTICAL scan (shared [[scanStoredCells]] — the serving
+  // path and its twin cannot disagree) over the deterministic md5-bucket
+  // substrate, with the probe set the 6 cyclically-next buckets from the
+  // query's own bucket — a driver literal exactly like the trained
+  // path's selectCells result, mirrored in SQL by modular arithmetic.
+  // Base+delta union means the x65 append read path (frozen-assigner
+  // delta, immediately searchable) is oracled too. Ranks and
+  // floor-microquantized sims are exact integers (the cosine kernel is
+  // the bit-reproducible x06/x376 arithmetic; floor of a bit-identical
+  // double is engine-identical). What x62/x65 add on top is only the
+  // trained cell-selection content, whose recall/equality StoredAnnSpec
+  // pins.
+  //
+  // Scale shape: identical to x62/x65 serving — 6 of 16 partition
+  // directories scanned once per segment, no corpus shuffle, bounded
+  // TakeOrderedAndProject top-20.
+  private val x404 = GQuery(
+    "x404_ann_stored_serving_exact",
+    "ext-similarity-ann stored-serving exact twin",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "hash_cells_serve_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/cells"))
+        writeHashCellsServe(e, store)
+      val qvec = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val qn = math.sqrt(qvec.map(x => x * x).sum)
+      val qb = md5Bucket16(0L)
+      val cells = (0 until 6).map(i => (qb + i) % 16)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sim").desc, col("vec_id"))
+      scanStoredCells(s, store, cells, qvec, qn, Seq("cells", "delta"))
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("pos"), col("vec_id"),
+          expr("cast(floor(1000000 * sim) as bigint)").as("sim_micro"))
+        .orderBy("pos")
+    },
+    Some("""WITH b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                CAST(CAST(CONCAT('0x', substr(md5('ix:' ||
+                  CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+                  % 16 AS cluster
+              FROM embeddings),
+            q AS (SELECT emb AS qd, cluster AS qc,
+                    sqrt(list_dot_product(emb, emb)) AS qn
+                  FROM b WHERE vec_id = 0),
+            cand AS (
+              SELECT b.vec_id,
+                list_dot_product(b.emb, q.qd)
+                  / (sqrt(list_dot_product(b.emb, b.emb)) * q.qn) AS sim
+              FROM b, q
+              WHERE b.vec_id <> 0
+                AND ((b.cluster - q.qc + 16) % 16) < 6),
+            top AS (
+              SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id)
+                  AS BIGINT) AS pos,
+                vec_id, CAST(floor(1000000 * sim) AS BIGINT) AS sim_micro
+              FROM cand)
+            SELECT pos, vec_id, sim_micro FROM top
+            WHERE pos <= 20 ORDER BY pos"""))
 
   /** Stage 2 of two-stage ANN serving: EXACT re-rank of ADC candidates —
     * the step that makes PQ recall production-grade. Stage 1 (an ADC scan,
@@ -3227,5 +3352,5 @@ object Similarity {
     Seq(x06, x07, x07b, x08, x09, x26, x27, x40, x48, x50, x55, x57, x62, x64,
       x65, x67, x68, x70, x71, x72, x73, x75, x76, x77, x78, x81, x86, x88,
       x91, x92, x95, x100, x105, x396, x108, x109, x111, x204, x232, x279, x311,
-      x345, x376, x377, x385, x386, x397, x400, x401)
+      x345, x376, x377, x385, x386, x397, x400, x401, x404)
 }

@@ -78,6 +78,21 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(ms > 0.0 && ms < 10000.0, s"probe $ms ms out of range")
   }
 
+  test("metric line carries the multi-core probe fields") {
+    val results = mkResults(100)
+    val line = Bench.fitMetricLine(results, 42.0, 7L, 1.05, "sf0.1",
+      52.3, 1.08, 61.7, 1.12)
+    assert(line.contains("\"probe_mc_ms\":61.7"))
+    assert(line.contains("\"probe_mc_drift\":1.12"))
+  }
+
+  test("parallel calibration kernel runs wide and returns a plausible timing") {
+    assert(Bench.ProbeMcThreads >= 8,
+      s"parallel probe must span 8+ threads, got ${Bench.ProbeMcThreads}")
+    val ms = Bench.calibrationProbeMcMs()
+    assert(ms > 0.0 && ms < 10000.0, s"mc probe $ms ms out of range")
+  }
+
   test("contention ratio: idle run sits near 1, contended run flags itself") {
     // idle: 600 s wall over 80 s warmup + 3x160 s reps = 1.07 — under
     // the 1.5 adjudication threshold BASELINE.md documents

@@ -207,6 +207,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x403 histogram rank-walk == x399 per-document window, row for row") {
+    // the 100 TB form must be bit-identical to the sort-window form: the
+    // rank-sum of a tie run is c*C_prev + c(c+1)/2, permutation-invariant
+    // within the run, so the histogram walk computes x399's exact wsum
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    val a = SparkEntry.queries("x399_doc_length_gini")(spark, sf001)
+      .collect().map(r => key(r) -> r.toSeq.tail).toMap
+    val b = SparkEntry.queries("x403_length_gini_hist")(spark, sf001)
+      .collect().map(r => key(r) -> r.toSeq.tail).toMap
+    assert(a.nonEmpty && a == b,
+      s"histogram walk diverged: ${(a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))}")
+  }
+
   test("x393 split balance: cells reconcile per language and the design shares are the hash-range ones") {
     val rows = SparkEntry.queries("x393_split_balance_audit")(spark, sf001)
       .collect()

@@ -260,4 +260,59 @@ class StoredAnnSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(again == got, "stored-index probe must be deterministic across invocations")
   }
+
+  test("x404 twin: shared scan prunes both segments, serves delta vectors, and matches brute force") {
+    val df = SparkEntry.queries("x404_ann_stored_serving_exact")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("pos")).toSeq == (1L to 20L),
+      "positions must be dense 1..20")
+    // the x65 append contract oracled: frozen-assigner delta vectors
+    // (vec_id >= 250) are immediately searchable through the union scan
+    assert(rows.exists(_.getAs[Long]("vec_id") >= 250L),
+      "no delta-segment vector in the top-20 — union read path not exercised")
+    // read-path discipline (the x62 pins, applied to the twin): every
+    // scan reads the stored substrate, and the cluster literal reaches
+    // BOTH segment scans as a partition filter
+    val scans = SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 2, s"expected base+delta scans, got ${scans.size}")
+    assert(scans.forall(_.metadata.get("Location").exists(_.contains("hash_cells_serve_v1"))))
+    scans.foreach { sc =>
+      val pf = sc.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("cluster"),
+        s"cluster IN (...) must be a partition filter on every segment, got: $pf")
+    }
+    // exactness vs driver-side brute force over the same md5-cell subset:
+    // the twin's whole decision chain (assignment, pruning, cosine order,
+    // quantization) replayed independently of the stored artifact
+    val e = Tables(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = e(0L)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qb = (java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("ix:0".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString,
+      16) % 16).toInt
+    val want = e.toSeq
+      .filter { case (id, _) => id != 0L }
+      .filter { case (id, _) =>
+        val b = (java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"ix:$id".getBytes("UTF-8")).take(4).map(x => f"$x%02x").mkString,
+          16) % 16).toInt
+        ((b - qb + 16) % 16) < 6
+      }
+      .map { case (id, v) =>
+        val dot = v.zip(q).map { case (a, b) => a * b }.sum
+        (id, dot / (math.sqrt(v.map(x => x * x).sum) * qn))
+      }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(20)
+      .map { case (id, sim) => (id, math.floor(1e6 * sim).toLong) }
+    val gotPairs = rows.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_micro"))).toSeq
+    assert(gotPairs == want, s"twin diverged from brute force:\n$gotPairs\n$want")
+  }
 }
