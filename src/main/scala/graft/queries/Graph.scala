@@ -737,22 +737,35 @@ object Graph {
     var labels = deg
       .select(col("src").as("node"), col("src").as("label"))
       .localCheckpoint(true)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("nbr")).orderBy(col("cnt").desc, col("label"))
-    for (_ <- 1 to iters) {
+    var lastCk = labels
+    for (it <- 1 to iters) {
       // PUSH form on the symmetric graph: each node sends its label to
       // its neighbor list (one node-sized join + explode), identical to
       // the pull form's "labels among my neighbors" because every edge
-      // (m, n) delivers label[m] to n in both readings
-      val next = adj.join(labels.hint("shuffle_hash"), col("src") === col("node"))
+      // (m, n) delivers label[m] to n in both readings.
+      // Argmax as a HASH AGGREGATE, not a window (round 14): max of the
+      // (cnt, -label) struct is lexicographic — highest count, ties to
+      // the SMALLEST label — exactly the row the r13 row_number window
+      // kept, but partially aggregable (the per-node winner reduces
+      // map-side within each partition of the count output) and with no
+      // per-partition sort of the (node, label) stream.
+      val step = adj.join(labels.hint("shuffle_hash"), col("src") === col("node"))
         .select(explode(col("dsts")).as("nbr"), col("label"))
         .groupBy(col("nbr"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("nbr").as("node"), col("label"))
-        .localCheckpoint(true)
-      dropCheckpoint(labels)
-      labels = next
+        .groupBy(col("nbr"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("nbr").as("node"), (-col("m.nl")).as("label"))
+      // checkpoint CADENCE 2 (round 14): materialize every second round
+      // (and the last), chaining one lazy superstep in between — the
+      // intermediate agg's (nbr) hash partitioning is statically known
+      // with AQE off, so the chained round's join still co-locates with
+      // no extra exchange, and the pass runs half the checkpoint
+      // serialization jobs. Lineage stays bounded at two supersteps.
+      if (it % 2 == 0 || it == iters) {
+        labels = step.localCheckpoint(true)
+        dropCheckpoint(lastCk)
+        lastCk = labels
+      } else labels = step
     }
     dropCheckpoint(adj)
     labels.select(col("node").as("part"), col("label").as("community"))
