@@ -1395,6 +1395,29 @@ object Dedup {
     * (K = 32 — the same nested hash family, config K reads hashes
     * 0..K−1).
     */
+  /** Word-3-gram string-shingle frame of the md5-hex twin family —
+    * inline in x332 until round 14, extracted so x405's stored index
+    * builds from the IDENTICAL projection.
+    */
+  private def hexShingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(w) - 3),
+             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("sh"))
+
+  /** String band keys over an md5-hex signature (4 rows per band): the
+    * band id prefixed to the comma-joined slice — engine-neutral (plain
+    * string equality both sides). Shared by x332 (4 bands over K = 16)
+    * and x405 (8 bands over K = 32, the x66 geometry).
+    */
+  private def hexBandKeys(sigs: DataFrame, bands: Int): DataFrame = {
+    val keys = expr(
+      s"""transform(sequence(0, ${bands - 1}),
+           b -> concat(b, ':', concat_ws(',', slice(sig, b * 4 + 1, 4))))""")
+    sigs.select(col("doc_id"), explode(keys).as("bkey"))
+  }
+
   private def minhashHexSigs(sh: DataFrame, k: Int): DataFrame = {
     // one md5 yields TWO independent 64-bit members (hash 2j = low hex
     // half of md5(j:sh), hash 2j+1 = high hex half): k functions cost
@@ -1414,19 +1437,9 @@ object Dedup {
     "x332_minhash_exact", "ext-dedup-fuzzy oracled-twin",
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))
-      val sh = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(0, size(w) - 3),
-               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))""")).as("sh"))
-      val sig = minhashHexSigs(sh, 16)
+      val sig = minhashHexSigs(hexShingles(docs(s, dir)), 16)
         .localCheckpoint(true) // reused: banding + both verify sides
-      val cand = sig
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, 3),
-               b -> concat(b, ':', concat_ws(',', slice(sig, b * 4 + 1, 4))))"""))
-          .as("bkey"))
+      val cand = hexBandKeys(sig, 4)
         .withColumn("bucket_min", min(col("doc_id")).over(w))
         .groupBy(col("doc_id")).agg(min(col("bucket_min")).as("cand"))
         .where(col("cand") < col("doc_id"))
@@ -2426,8 +2439,116 @@ object Dedup {
                 AS cand_ppm
             FROM ver ORDER BY t_milli"""))
 
+  /** x405's substrate — [[writeLshIndex]] with the ONE non-reproducible
+    * ingredient swapped (the x332 discipline applied to the STORED
+    * index): per-doc md5-hex minhash signatures at x66's exact geometry
+    * (K = 32) and the 8-band string bucket table. Bands written last so
+    * a `_SUCCESS` on `bands` implies the whole index landed — the same
+    * commit order as the seeded writer.
+    */
+  def writeMd5LshIndex(standing: DataFrame, outDir: String): Unit = {
+    val sigs = minhashHexSigs(hexShingles(standing), 32).localCheckpoint(true)
+    sigs.write.mode("overwrite").parquet(s"$outDir/sigs")
+    hexBandKeys(sigs, 8).write.mode("overwrite").parquet(s"$outDir/bands")
+  }
+
+  /** Verdict a batch against the stored md5-hex LSH index — the
+    * [[probeLshIndex]] pipeline (standing sigs + bands READ from the
+    * artifact, batch-only signature computation, band-join candidates,
+    * signature-agreement verify, per-doc min dup_of) with every hash
+    * cross-engine exact. The output anchors on the BATCH TABLE's doc
+    * ids (the r13 x397 lesson): a doc too short to shingle still gets
+    * its (doc_id, null) row, exactly as the oracle's left join.
+    */
+  def probeMd5LshIndex(batch: DataFrame, indexDir: String): DataFrame = {
+    val s = batch.sparkSession
+    // array<string> elements round-trip parquet as nullable; restore the
+    // non-null element contract the writer guarantees (probeLshIndex's
+    // array_compact note)
+    val standSigs = s.read.parquet(s"$indexDir/sigs")
+      .select(col("doc_id").as("old_id"), array_compact(col("sig")).as("csig"))
+    val standBands = s.read.parquet(s"$indexDir/bands")
+      .select(col("bkey"), col("doc_id").as("old_id"))
+    val batchSigs = minhashHexSigs(hexShingles(batch), 32)
+      .localCheckpoint(true) // reused: banding + verify side
+    val cand = hexBandKeys(batchSigs, 8)
+      .join(standBands, "bkey")
+      .select(col("doc_id"), col("old_id")).distinct()
+    val verified = cand
+      .join(batchSigs, Seq("doc_id"))
+      .join(standSigs, Seq("old_id"))
+      .where(expr("size(filter(sequence(0, 31), i -> sig[i] = csig[i])) >= 28"))
+      .groupBy(col("doc_id")).agg(min(col("old_id")).as("dup_of"))
+    batch.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------- x405
+  // Stored-incremental-LSH exact twin (r13 VERDICT task 5, the x396/x404
+  // pattern applied to x66): the ENTIRE stored-index dedup cycle —
+  // standing signatures and band buckets persisted at ingest and READ
+  // back (including the parquet array-element-nullability round-trip),
+  // batch-only signature computation, band-join candidate generation,
+  // >= 28/32 signature-agreement verify, per-doc min-dup_of verdict —
+  // hash-oracled end to end, with x66's exact banding geometry (K = 32,
+  // 8 bands of 4, ceil(0.85*32) = 28) and the seeded xxhash64 family
+  // swapped for the x332 md5-hex family DuckDB mirrors bit-for-bit.
+  // What x66 adds on top is only the engine-native hash, whose verdict
+  // identity with the inline pipeline DedupSpec already pins.
+  //
+  // Scale shape is x66's: the standing corpus's text is never touched —
+  // serve-time cost is the BATCH's signatures (K/2 md5 per shingle, one
+  // map-side-combinable min-aggregate), a (bkey, doc_id) band join
+  // against the stored buckets, and a doc-pair verify join.
+  private val x405 = GQuery(
+    "x405_incremental_lsh_exact",
+    "ext-dedup-fuzzy stored-index exact twin",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val store = graft.StoredArtifacts.dir(dir, "md5_lsh_index_v1")
+      if (!graft.StoredArtifacts.ready(s"$store/bands"))
+        writeMd5LshIndex(d.where(col("source") =!= "src0"), store)
+      probeMd5LshIndex(d.where(col("source") === "src0"), store)
+    },
+    Some("""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w, source
+                        FROM documents),
+            sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+                     range(len(w) - 2),
+                     i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))) AS sh
+                   FROM wd WHERE len(w) >= 3),
+            hx AS (SELECT doc_id, source, k,
+                     MIN(CASE WHEN k % 2 = 0
+                         THEN substr(md5(CAST(k // 2 AS VARCHAR) || ':' || sh), 17, 16)
+                         ELSE substr(md5(CAST(k // 2 AS VARCHAR) || ':' || sh), 1, 16)
+                         END) AS mh
+                   FROM sh CROSS JOIN (SELECT unnest(range(32)) AS k)
+                   GROUP BY 1, 2, 3),
+            sig AS (SELECT doc_id, source, list(mh ORDER BY k) AS sig
+                    FROM hx GROUP BY 1, 2),
+            band AS (SELECT doc_id, source, unnest(list_transform(range(8),
+                       b -> CAST(b AS VARCHAR) || ':' ||
+                            array_to_string(sig[b * 4 + 1 : b * 4 + 4], ','))) AS bkey
+                     FROM sig),
+            cand AS (SELECT DISTINCT nb.doc_id, sb.doc_id AS old_id
+                     FROM (SELECT doc_id, bkey FROM band WHERE source = 'src0') nb
+                     JOIN (SELECT doc_id, bkey FROM band WHERE source <> 'src0') sb
+                       USING (bkey)),
+            ver AS (SELECT c.doc_id, MIN(c.old_id) AS dup_of
+                    FROM cand c
+                    JOIN sig s1 ON s1.doc_id = c.doc_id
+                    JOIN sig s2 ON s2.doc_id = c.old_id
+                    WHERE len(list_filter(range(32),
+                      i -> s1.sig[i + 1] = s2.sig[i + 1])) >= 28
+                    GROUP BY 1)
+            SELECT d.doc_id, v.dup_of
+            FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+            LEFT JOIN ver v USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(x01, x02, x03, x04, x05, x19, x22, x32, x52, x66, x102, x225, x227,
       x236, x237, x241, x280, x294, x304, x309, x313, x316, x327, x328,
-      x332, x333, x340, x348, x356, x366, x392, x402)
+      x332, x333, x340, x348, x356, x366, x392, x402, x405)
 }

@@ -190,6 +190,37 @@ class DedupSpec extends SparkSpec {
       s"standing side must come from the stored index:\n${scans.map(_.metadata.get("Location"))}")
   }
 
+  test("x405 md5-stored-index twin: batch-anchored rows, index-only standing reads, verdicts replay") {
+    val rows = SparkEntry.queries("x405_incremental_lsh_exact")(spark, sf001)
+      .collect()
+    // output anchors on the batch TABLE (the x397 row-set lesson): one
+    // row per src0 doc, shingled or not
+    val batchIds = Tables(spark, sf001, "documents")
+      .where(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == batchIds)
+    // verdicts point INTO the standing corpus only, never at the batch
+    val dups = rows.filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1))
+    assert(dups.nonEmpty, "fixture must plant at least one cross-source near-dup")
+    assert(dups.forall { case (_, old) => !batchIds.contains(old) },
+      "dup_of must reference the standing corpus")
+    // read-path discipline (the x66 pin): standing state comes from the
+    // stored artifact; the standing corpus's TEXT is never re-read —
+    // the only documents scan is the batch side
+    val df = SparkEntry.queries("x405_incremental_lsh_exact")(spark, sf001)
+    df.collect()
+    val scans = graft.SparkSpec.allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val standingScans = scans.filter(
+      _.metadata.get("Location").exists(_.contains("md5_lsh_index_v1")))
+    assert(standingScans.nonEmpty,
+      s"standing side must come from the stored md5 index:\n${scans.map(_.metadata.get("Location"))}")
+    // idempotent serving across invocations (stored-artifact discipline)
+    val again = SparkEntry.queries("x405_incremental_lsh_exact")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+  }
+
   test("x225 prefix-filter join is LOSSLESS: equals brute-force all-pairs at sf0.001") {
     // the oracle already pins this at sf0.01; this pins it at a second
     // corpus (different shingle-df distribution) and keeps the guarantee
