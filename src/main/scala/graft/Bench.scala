@@ -284,6 +284,14 @@ object Bench {
       // r13. Strip the count like Broadcast ids — a changed RANGE BOUND
       // still changes the hash; only the scheduler's parallelism doesn't.
       .replaceAll("\\bsplits=Some\\(\\d+\\)", "splits=Some")
+      // Repartition COUNTS are likewise environment parallelism, not plan
+      // shape (round 15): the kernel fan-outs derive their count from
+      // spark.sql.shuffle.partitions (= SPARK_GRAFT_CPUS locally), so the
+      // same plan would hash differently between the driver's 32-core and
+      // 8-core passes. Strip the count, keep the node and its keys — a
+      // repartition added/removed/re-keyed still changes the hash.
+      .replaceAll("\\bRepartition (\\d+), (true|false)", "Repartition $2")
+      .replaceAll("(RepartitionByExpression \\[[^\\]]*\\]), \\d+", "$1")
       .replaceAll("@[0-9a-f]{6,}", "@")
     val shape = norm.linesIterator.map { line =>
       val depth = line.indexWhere(_.isLetterOrDigit) match {

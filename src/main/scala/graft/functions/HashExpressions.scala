@@ -877,6 +877,13 @@ object HashFunctions {
   def jaccardLongs(a: Column, b: Column): Column =
     ColumnGlue.column(JaccardLongs(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
+  /** Column API for [[IntersectCountLongs]] over two sorted-distinct
+    * array<long> set columns.
+    */
+  def intersectLongs(a: Column, b: Column): Column =
+    ColumnGlue.column(IntersectCountLongs(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
   /** Column API for [[ShingleHashes]]: array<string> → array<long> of
     * word-`ngram` shingle hashes in document order.
     */

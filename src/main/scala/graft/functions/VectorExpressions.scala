@@ -373,6 +373,45 @@ case class JaccardLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A∩B| of two SORTED DEDUPLICATED array<long> sets via the same merge
+  * walk as [[JaccardLongs]] — O(|A|+|B|), zero allocation. Replaces
+  * `size(array_intersect(a, b))` on the prefix-filter verify paths
+  * (round 15): `array_intersect` builds a per-row hash set AND
+  * materializes the intersection array when only its SIZE is consumed —
+  * measured as the dominant CPU of every τ = 1/2 truth-tier verify
+  * (hundreds of thousands of candidate pairs × ~100-element sets per
+  * registry row). Exact same integer result by construction: both
+  * inputs are [[TokenHashSet]]/`shingleSets` outputs (sorted, distinct),
+  * where intersection-of-sets equals the merge-walk match count.
+  */
+case class IntersectCountLongs(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_longs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypes.check(prettyName, left -> KernelTypes.longSet, right -> KernelTypes.longSet)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0; var j = 0; var common = 0L
+    while (i < na && j < nb) {
+      val av = x.getLong(i)
+      val bv = y.getLong(j)
+      if (av == bv) { common += 1L; i += 1; j += 1 }
+      else if (av < bv) i += 1
+      else j += 1
+    }
+    common
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountLongs =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `nTables` random-hyperplane LSH bucket codes in one pass over the vector
   * (Charikar 2002). Table t, plane p's component for dimension j is a
   * splitmix64-derived pseudo-random double in [-1, 1]; bucket t packs the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
 
 import org.apache.spark.sql.Dataset
 
@@ -35,6 +35,47 @@ object AudioDecode {
   def sample(id: Long, i: Int): Int =
     (((id * 131 + i * 17) % 2003) - 1001).toInt
 
+  /** The JDK's installed audio SPI providers, resolved ONCE per JVM
+    * (round 15): every `AudioSystem.getAudioInputStream`/`write` call
+    * routes through `JDK13Services.getProviders`, a GLOBAL `static
+    * synchronized` method — one per-row monitor that serialized the
+    * whole fanned-out decode stage (measured: x195 ran 55 s of task time
+    * for 2.2 s of CPU on 32 tasks). The SPI classes are public API
+    * (`javax.sound.sampled.spi`); resolving them through `ServiceLoader`
+    * once and dispatching directly is the same provider-iteration
+    * contract `AudioSystem` implements, minus the global lock. WAVE is
+    * the only container this operator reads or writes, so the
+    * first-provider-that-accepts rule picks the identical (JDK WAVE)
+    * provider and the bytes are unchanged.
+    */
+  private object Providers {
+    import scala.jdk.CollectionConverters._
+    val readers: List[javax.sound.sampled.spi.AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+    val wavWriter: javax.sound.sampled.spi.AudioFileWriter =
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException(
+          "JDK WAVE writer missing — cannot synthesize audio payloads"))
+  }
+
+  /** `AudioSystem.getAudioInputStream` minus the global provider lock:
+    * the same first-reader-that-parses iteration over the same installed
+    * providers.
+    */
+  private def openAudio(payload: Array[Byte]): AudioInputStream = {
+    val it = Providers.readers.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(new ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed reader accepts the payload")
+  }
+
   object SyntheticAudio {
     /** 16-bit little-endian mono PCM in a REAL WAV container. */
     def wav(id: Long): Array[Byte] = {
@@ -50,7 +91,7 @@ object AudioDecode {
       val ais = new AudioInputStream(
         new ByteArrayInputStream(pcm), fmt, NSamples.toLong)
       val bos = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      Providers.wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
   }
@@ -63,8 +104,7 @@ object AudioDecode {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val ais = AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(r.payload))
+        val ais = openAudio(r.payload)
         val f = ais.getFormat
         val headerOk = f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
           !f.isBigEndian

@@ -77,6 +77,14 @@ object MediaDecode {
   object JdkCodec extends Codec {
     // ImageIO on executors must never touch a display
     System.setProperty("java.awt.headless", "true")
+    // In-memory ImageIO streams (round 15): with the default useCache=true,
+    // EVERY ImageIO.read/createImageInputStream call backs its stream with
+    // a fresh temp FILE — per-payload disk churn that serializes a 32-wide
+    // decode stage behind filesystem creates (measured: x74's fanned-out
+    // decode ran 121 s of task time for 44 s of CPU; memory-cached it is
+    // CPU-bound and scales with cores). Payloads are bounded (MaxPixels
+    // guard), so the memory stream is strictly better; bytes unchanged.
+    javax.imageio.ImageIO.setUseCache(false)
 
     private def isPng(b: Array[Byte]) = b.length > 8 &&
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
@@ -465,6 +473,10 @@ object MediaDecode {
     * the bit assembly end to end, not a stub (x74).
     */
   object SyntheticImages {
+    // same temp-file-vs-memory point as JdkCodec: the per-doc GIF ENCODE
+    // otherwise creates a FileCacheImageOutputStream temp file per payload
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Cell i (row-major, i in 1..63) is white iff (id + i) % 3 == 0;
       * cell 0 stays black, keeping the value positive so the SQL oracle
       * needs no signed-overflow care. Always mixed (≥ 20 white cells), so

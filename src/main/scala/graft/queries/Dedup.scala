@@ -489,7 +489,8 @@ object Dedup {
     * the exact prefix-filter joins (x225 full, x227 incremental).
     */
   private[graft] def shingleSets(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
+    Par.fanOutScan(d, "doc_id")
+      .select(col("doc_id"),
         array_sort(array_distinct(
           HashFunctions.shingleHashes(split(col("text"), " "), 3))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
@@ -528,12 +529,26 @@ object Dedup {
     val postings = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     val dfTab = postings.groupBy("s").agg(count(lit(1)).as("df"))
     val prefix = prefixPostings(postings, dfTab, num, den)
+    // verify parallelism pinned at the session width (round 15, guide
+    // §2.6): the pair keys are small in BYTES, so AQE's byte-based
+    // coalescing collapsed the verify joins to 1-4 tasks while every
+    // caller's set-intersection projection burned whole seconds of CPU in
+    // them (x340's truth verify: 7.5 s over 3 tasks on 32 cores). ONE
+    // explicit repartition of the SLIM pair table pins the stage: in the
+    // broadcast-join regime both set joins and the verify projection
+    // pipeline into this exchange's stage (nothing fat ever re-shuffles);
+    // past broadcast range the first sort-merge join consumes this same
+    // exchange as its required distribution — no extra exchange either
+    // way. (A second pin on b_id was measured and REJECTED: the planner
+    // keeps only the last pin and it forces the joined sa-arrays through
+    // an added ~70 MB exchange.)
     prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .where(least(col("a.n"), col("b.n")) * den >=
         greatest(col("a.n"), col("b.n")) * num)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+      .transform(Par.fanOutJoin(_, col("a_id"), col("b_id")))
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
         col("n").as("n_a")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
@@ -605,7 +620,7 @@ object Dedup {
           col("n").as("n_a")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
         .withColumn("overlap",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          HashFunctions.intersectLongs(col("sa"), col("sb")))
         .where(col("overlap") * 5 >= col("n_a") * 4)
         .select(col("a_id").as("inner_id"), col("b_id").as("outer_id"),
           col("overlap"), col("n_a"),
@@ -910,7 +925,7 @@ object Dedup {
     (s, dir) => {
       val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
       prefixCandidates(sets, 1, 2)
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("inter", HashFunctions.intersectLongs(col("sa"), col("sb")))
         .withColumn("un", col("n_a") + col("n_b") - col("inter"))
         .where(col("inter") * 2 >= col("un"))
         .withColumn("band", expr("(10 * inter) div un"))
@@ -944,7 +959,7 @@ object Dedup {
     (s, dir) => {
       val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
       prefixCandidates(sets, 4, 5)
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("inter", HashFunctions.intersectLongs(col("sa"), col("sb")))
         .withColumn("un", col("n_a") + col("n_b") - col("inter"))
         .where(col("inter") * 5 >= col("un") * 4) // J >= 4/5 in integers
         .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
@@ -1224,10 +1239,15 @@ object Dedup {
       val sets = shingleSets(docs(s, dir)).localCheckpoint(true)
       val pairs = prefixCandidates(sets, 1, 2)
         .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          HashFunctions.intersectLongs(col("sa"), col("sb")))
         .withColumn("un", col("n_a") + col("n_b") - col("inter"))
         .where(col("inter") * 2 >= col("un"))
         .select(col("a_id"), col("b_id"), col("inter"), col("un"))
+        // pair-sized checkpoint (round 15): BOTH branches below consume
+        // these rows, and without it each re-ran the whole candidate
+        // verify — the row's dominant cost — twice (measured: 2 × ~68 MB
+        // verify-stage reads, 39 s of duplicated set-intersection CPU)
+        .localCheckpoint(true)
       val perTau = pairs.select(col("a_id"), col("b_id"), col("inter"),
           col("un"), explode(expr(
             "array(500L, 600L, 700L, 800L, 900L)")).as("tau_milli"))
@@ -1400,7 +1420,8 @@ object Dedup {
     * builds from the IDENTICAL projection.
     */
   private def hexShingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    Par.fanOutScan(d, "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(0, size(w) - 3),
@@ -1520,7 +1541,7 @@ object Dedup {
     * it at least twice (blocking + verify sides).
     */
   private def simhashBits(d: DataFrame): DataFrame = {
-    val tf = d
+    val tf = Par.fanOutScan(d, "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1556,7 +1577,7 @@ object Dedup {
   private def truthPairsAtHalf(sets: DataFrame): DataFrame =
     prefixCandidates(sets, 1, 2)
       .withColumn("inter",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        HashFunctions.intersectLongs(col("sa"), col("sb")))
       .withColumn("j_milli", expr("(1000 * inter) div (n_a + n_b - inter)"))
       .where(col("j_milli") >= 500)
       .select(col("a_id"), col("b_id"), col("j_milli"))
@@ -1678,6 +1699,10 @@ object Dedup {
                          ELSE t END), ' ')""").as("text"))
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
         .unionAll(mut)
+        // fan the kernel input out BEFORE the checkpoint (round 15): the
+        // checkpoint otherwise pins the scan's 1-4 byte-sized partitions
+        // and every md5 signature pass downstream inherits them
+        .transform(Par.fanOutScan(_, "doc_id"))
         .localCheckpoint(true) // md5 sig side + xxhash truth side
       val sh = corpus
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -1704,6 +1729,7 @@ object Dedup {
           col("b.doc_id").as("b_id"))
         .distinct()
       val est = cand
+        .transform(Par.fanOutJoin(_, col("a_id"), col("b_id")))
         .join(sig16.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
         .join(sig16.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
         .withColumn("agree",
@@ -1847,6 +1873,7 @@ object Dedup {
           col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
+        .transform(Par.fanOutJoin(_, col("a_id"), col("b_id")))
         .join(sig.select(col("doc_id").as("a_id"), col("bits").as("ba")), "a_id")
         .join(sig.select(col("doc_id").as("b_id"), col("bits").as("bb")), "b_id")
         .select(col("a_id"), col("b_id"),
@@ -2126,6 +2153,7 @@ object Dedup {
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        .transform(Par.fanOutScan(_, "doc_id")) // md5 sig + truth kernels
       val sh = corpus
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 3)
@@ -2148,18 +2176,23 @@ object Dedup {
         .select(col("a.rr").as("rr"), col("a.doc_id").as("a_id"),
           col("b.doc_id").as("b_id"))
         .distinct()
+        // pair-sized checkpoint (round 15): cand feeds BOTH the distinct-
+        // pair scoring and the per-slicing rollup — uncheckpointed, the
+        // capped bucket self-join ran twice
+        .localCheckpoint(true)
       val sets = shingleSets(corpus).localCheckpoint(true) // cand J + truth
       // exact J once per DISTINCT pair, not per (slicing, pair): the r=2
       // slicing's candidates largely contain the others', so scoring the
       // union once and joining back saves up to 3× of the set
       // intersections (measured ~25 % of the row's cost at sf0.1)
       val scored = cand.select(col("a_id"), col("b_id")).distinct()
+        .transform(Par.fanOutJoin(_, col("a_id"), col("b_id")))
         .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa"),
           col("n").as("n_a")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb"),
           col("n").as("n_b")), "b_id")
         .withColumn("inter",
-          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          HashFunctions.intersectLongs(col("sa"), col("sb")))
         .select(col("a_id"), col("b_id"),
           expr("(1000 * inter) div (n_a + n_b - inter)").as("j_milli"))
       val perSlicing = cand

@@ -125,8 +125,9 @@ object Multimodal {
   // end. Scaled/re-encoded REAL images land ≤ 6 bits apart (PHashSpec),
   // within one more band of this same plan.
   //
-  // Scale shape: the batch-sizing repartition(8) is the ONE intentional
-  // payload exchange (decode parallelism — the same knob x17/x28 turn; at
+  // Scale shape: the batch-sizing fan-out is the ONE intentional
+  // payload exchange (decode parallelism = session shuffle parallelism
+  // since round 15 — the deploy knob, not a constant; at
   // ingest the payloads arrive partitioned and it disappears). After
   // fingerprinting, every exchange carries (band, media_id) or
   // (media_id, 8-byte hash) — never payloads (PHashSpec pins it). The
@@ -140,7 +141,11 @@ object Multimodal {
       val media = Tables(s, dir, "documents")
         .select(col("doc_id").as("media_id"), lit("img").as("format"),
           concat(lit("img-"), col("doc_id") % 25).cast("binary").as("payload"))
-        .repartition(8)
+        // decode parallelism = session parallelism (round 15): the fixed
+        // repartition(8) left 3/4 of a 32-core box idle through the
+        // fingerprint pass (measured 2.7 s over 8 tasks); the keyed form
+        // also drops round-robin's sort-before-repartition
+        .transform(d => Par.fanOutJoin(d, col("media_id")))
         .as[MediaDecode.MediaRecord]
       // (media_id, phash, 4 × 16-bit band values as ints — the Hamming
       // confirm works bandwise: sum of per-band bit_count(xor))
@@ -213,7 +218,12 @@ object Multimodal {
       import s.implicits._
       import graft.operators.MediaDecode
       val media = Tables(s, dir, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))
+        // decode parallelism (round 15, guide §2.6): the id-only scan is
+        // one byte-sized split, so the REAL ImageIO decode ran as ONE
+        // 1.9 s task on a 32-core box; fanning the 8-byte ids out is free
+        .transform(d => Par.fanOutJoin(d, col("doc_id")))
+        .as[Long]
         .map(id => MediaDecode.MediaRecord(id, "gif", MediaDecode.SyntheticImages.gif(id)))
       MediaDecode.perceptualHash(media)
         .select(col("media_id"), col("phash"), col("real_decode"))
@@ -243,7 +253,10 @@ object Multimodal {
       import s.implicits._
       import graft.operators.AudioDecode
       val media = Tables(s, dir, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id"))
+        // decode parallelism — the x74 note applies verbatim
+        .transform(d => Par.fanOutJoin(d, col("doc_id")))
+        .as[Long]
         .map(id => AudioDecode.AudioRecord(id, AudioDecode.SyntheticAudio.wav(id)))
       AudioDecode.windowEnergy(media)
         .select(col("media_id"), col("win"), col("sum_sq"), col("n_samples"),

@@ -2853,22 +2853,32 @@ object Text {
   // deterministic anyway. DECIMAL(38,0) headroom on rank·chars products and
   // the n·total divisor (both ~10¹⁸⁺ at 10⁹-document languages).
   //
-  // Scale shape: one per-language sort window (the x374 user-grain
-  // cost; the 100 TB rewrite is the x162 length-histogram rank-walk —
-  // Σ i·xᵢ is computable per histogram bucket from cumulative counts),
-  // then a language-domain rollup.
+  // Scale shape (round 15 — the r14 VERDICT's task 3): the live path IS
+  // the x162-style histogram rank-walk x403 landed in round 14 — the
+  // per-document sort window this row shipped with (10⁹ rows through one
+  // partition per language at 10⁹ docs/language) is replaced by the
+  // map-side-combinable (lang, n_chars) histogram + grid-sized cumulative
+  // window. Row-identical by the tie-run identity in the paragraph above
+  // (Σ i·xᵢ over a tie run depends only on the SUM of the ranks in the
+  // run); CurationSpec pins x399 == x403 and the DuckDB oracle (kept in
+  // the original window form) hash-checks the substitution.
   private val x399 = GQuery(
     "x399_doc_length_gini", "ext-text corpus length-inequality gini",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       docs(s, dir)
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cprev", coalesce(sum(col("c")).over(wPrev), lit(0L)))
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          sum(expr("cast(rn as decimal(38,0)) * n_chars")).as("wsum"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(col("n_chars").cast("long") * col("c")).as("total_chars"),
+          sum(expr("""cast(n_chars as decimal(38,0))
+                * (c * cast(cprev as decimal(38,0))
+                   + (cast(c as decimal(38,0)) * (c + 1)) div 2)"""))
+            .as("wsum"))
         .select(col("lang"), col("n_docs"), col("total_chars"),
           expr("""cast((2000 * wsum)
                     div (cast(n_docs as decimal(38,0)) * total_chars)

@@ -1242,6 +1242,11 @@ object TpchMore {
         .select(col("o_orderkey").as("key"),
           (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
             .cast("long").as("cents"))
+        // fan the 32×-replicate md5 kernel out to the session parallelism
+        // (round 15, guide §2.6): the checkpoint otherwise pins the
+        // scan's byte-sized split count and the whole accumulate pass ran
+        // as ONE 3.1 s task on a 32-core box
+        .transform(Par.fanOutScan(_, "key"))
         .localCheckpoint(true) // accumulators + totals reread the rows
       Bootstrap.verdict(Bootstrap.accumulate(rows), Bootstrap.totals(rows))
         .select(col("n_rows").as("n_orders"), col("mean_cents"),
