@@ -1235,7 +1235,10 @@ object CorpusOps {
     * via one rank window over the GRID (never the raw explode).
     */
   def charTrigramProfile(d: DataFrame): DataFrame = {
-    val grid = d.select(col("lang"), explode(expr(
+    // kernel fan-out (round 15, Par scaladoc): ~600 substring allocs per
+    // document ran on the scan's 1-4 byte-sized splits
+    val grid = Par.fanOutScan(d, "doc_id")
+      .select(col("lang"), explode(expr(
         "transform(sequence(1, greatest(length(text) - 2, 0)), " +
           "i -> substring(text, i, 3))")).as("tri"))
       .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))

